@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** A named query over the driver test corpus, optionally paired with the
+  * semantically-identical DuckDB SQL used as the correctness oracle
+  * (SURVEY.md §5.2.2). `oracle == None` → driver records a rows-only check.
+  */
+final case class QueryDef(
+    name: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+object QueryDef {
+  def sql(name: String, oracleSql: String)(
+      run: (SparkSession, String) => DataFrame): QueryDef =
+    QueryDef(name, run, Some(oracleSql))
+  def rowsOnly(name: String)(
+      run: (SparkSession, String) => DataFrame): QueryDef =
+    QueryDef(name, run, None)
+}
+
+/** Parquet table loaders for the driver corpus (TESTDATA.md). All reads go
+  * through here so scans stay prunable: callers `.select` early and Catalyst
+  * pushes projection/filters into the parquet scan.
+  */
+object Tables {
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame   = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame   = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame     = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame   = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
+    * reader rejects. Read it as raw nanosecond longs and truncate to
+    * microseconds with integer division (`div` — a double division would
+    * lose precision above 2^53). Truncation matches the DuckDB oracle's
+    * `CAST(ts AS TIMESTAMP)` exactly.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(s, d, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+  def documents(s: SparkSession, d: String): DataFrame =
+    table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame =
+    table(s, d, "embeddings")
+}
+
+/** Cross-engine determinism helpers.
+  *
+  * Doubles summed in different orders differ in the last ulps, so any
+  * aggregate the DuckDB oracle re-computes must be made order-independent.
+  * Monetary columns in the corpus have fixed decimal scale, so we sum exact
+  * integer "cents" (longs) and divide once at the end — bit-identical in any
+  * engine and any partitioning (SURVEY.md §7.3 "oracle parity traps").
+  */
+object Det {
+  /** Exact order-independent sum of a fixed-scale decimal-valued double. */
+  def centSum(c: Column, scale: Int): Column = {
+    val f = math.pow(10, scale)
+    sum(round(c * f, 0).cast("long")) / f
+  }
+  /** Exact average via exact sum / count (never the engine's native avg). */
+  def centAvg(c: Column, scale: Int): Column = {
+    val f = math.pow(10, scale)
+    (sum(round(c * f, 0).cast("long")) / f) / count(lit(1))
+  }
+  /** DuckDB fragment mirroring [[centSum]]. The divisor is cast to DOUBLE
+    * explicitly: a bare `100.0` literal is DECIMAL in DuckDB (and Spark SQL),
+    * which would change the result type away from Spark's double.
+    */
+  def duckCentSum(expr: String, scale: Int): String = {
+    val f = math.pow(10, scale).toLong
+    s"CAST(sum(CAST(round(($expr) * $f, 0) AS BIGINT)) AS DOUBLE) / CAST($f AS DOUBLE)"
+  }
+  def duckCentAvg(expr: String, scale: Int): String =
+    s"(${duckCentSum(expr, scale)}) / count(*)"
+}

@@ -1,0 +1,203 @@
+package graft.graph
+
+import org.apache.spark.graphx.{Edge, Graph, VertexId}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph query/maintenance operators over the nodes/edges relations
+  * (SURVEY.md §2.D): the Cypher-equivalent surface the reference delegates
+  * to Neo4j (`first-graph.py:29-36,141`), re-expressed as DataFrame plans +
+  * GraphX kernels.
+  */
+object GraphOps {
+
+  /** MERGE-style idempotent upsert (Q7; reference `new_final.js:22-40`):
+    * deterministic ids turn "match or create" into a left-anti join + union
+    * — no per-row lookups, one shuffle, safe at any scale.
+    */
+  def upsert(existing: GraphTables, incoming: GraphTables): GraphTables = {
+    val newNodes = incoming.nodes
+      .join(existing.nodes.select("id"), Seq("id"), "left_anti")
+      .as(existing.nodes.encoder)
+    val edgeKey = Seq("src", "dst", "relType")
+    val newEdges = incoming.edges
+      .join(existing.edges.select(edgeKey.map(col): _*), edgeKey, "left_anti")
+      .as(existing.edges.encoder)
+    GraphTables(existing.nodes.union(newNodes), existing.edges.union(newEdges))
+  }
+
+  /** Tag-predicate cascade delete (Q8/A19; `deleteneo.py:10-12`): drop the
+    * batch's nodes, then DETACH by keeping only edges whose BOTH endpoints
+    * survive (two semi-joins). With nodes parquet partitioned by `batch`
+    * the node side is partition pruning, not a scan.
+    */
+  def dropBatch(g: GraphTables, batch: String): GraphTables = {
+    val nodes = g.nodes.filter(col("batch") =!= batch)
+    val ids = nodes.select("id")
+    val edges = g.edges.filter(col("batch") =!= batch)
+      .join(ids.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
+      .join(ids.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
+      .as(g.edges.encoder)
+    GraphTables(nodes, edges)
+  }
+
+  /** `MATCH (n:Label {name: $v})` (Q1; `first-graph.py:63-136`). */
+  def matchNodes(g: GraphTables, label: String, name: String): DataFrame =
+    g.nodes.filter(col("label") === label && col("name") === name).toDF()
+
+  /** K-hop downward expansion (Q3/J11; `first-graph.py:141` — "up to three
+    * levels deep in the downward direction"). Downward = forward containment
+    * edges (`HAS_*`), excluding the synthetic reverse edges.
+    *
+    * Iterative frontier equi-join, k is small and fixed; each iteration is
+    * one shuffle. `localCheckpoint` would truncate lineage for large k —
+    * for k≤3 the plan stays shallow. Returns (root_id, node_id, depth) with
+    * minimal depth per reachable node.
+    */
+  def kHop(g: GraphTables, rootIds: DataFrame, k: Int,
+      relFilter: org.apache.spark.sql.Column = col("relType").startsWith("HAS_"))
+      : DataFrame = {
+    val edges = g.edges.filter(relFilter)
+      .select(col("src"), col("dst")).toDF()
+    var frontier = rootIds.select(col("root_id"),
+      col("root_id").as("node_id"), lit(0).as("depth"))
+    var acc = frontier
+    var depth = 0
+    var exhausted = false
+    while (depth < k && !exhausted) {
+      depth += 1
+      // using-column join (not dataset-qualified columns): the frontier's
+      // lineage already contains the edge attributes, and qualified refs
+      // would trip Spark's ambiguous-self-join detection
+      frontier = frontier.select(col("root_id"), col("node_id").as("src"))
+        .join(edges, Seq("src"))
+        .select(col("root_id"), col("dst").as("node_id"),
+          lit(depth).as("depth"))
+        .distinct()
+        // eager materialization: truncates the per-iteration plan/lineage
+        // growth (SURVEY.md §4.3) and makes the emptiness probe free
+        .localCheckpoint()
+      exhausted = frontier.isEmpty
+      if (!exhausted) acc = acc.unionByName(frontier)
+    }
+    acc.groupBy("root_id", "node_id").agg(min("depth").as("depth"))
+  }
+
+  /** Matched node + its ≤k-hop downward neighborhood as (m, connected) rows
+    * (Q4; result contract `first-graph.py:168`).
+    */
+  def neighborhood(g: GraphTables, label: String, name: String, k: Int)
+      : DataFrame =
+    neighborhoodWhere(g,
+      col("label") === label && col("name") === name, k)
+
+  /** [[neighborhood]] with an arbitrary node predicate (the general
+    * `MATCH (m) WHERE …` form).
+    */
+  def neighborhoodWhere(g: GraphTables,
+      pred: org.apache.spark.sql.Column, k: Int): DataFrame = {
+    val roots = g.nodes.filter(pred).select(col("id").as("root_id"))
+    val hops = kHop(g, roots, k).filter(col("depth") > 0)
+    val rootNodes = g.nodes.select(col("id").as("root_id"),
+      col("name").as("root_name"))
+    val connected = g.nodes.select(col("id").as("node_id"),
+      col("label").as("c_label"), col("name").as("c_name"),
+      col("content").as("c_content"))
+    hops.join(rootNodes, "root_id").join(connected, "node_id")
+      .select("root_name", "depth", "c_label", "c_name", "c_content")
+  }
+
+  /** Group connected rows under the matched node's name (Q5/B5/G1;
+    * `first-graph.py:170-176`) — the nested `{name: [connected…]}` shape,
+    * with the list sorted for determinism.
+    */
+  def nestByRoot(neigh: DataFrame): DataFrame =
+    neigh.groupBy("root_name")
+      .agg(count(lit(1)).as("n_connected"),
+        array_join(array_sort(collect_list(
+          concat_ws(":", col("c_label"), col("c_name")))), ",")
+          .as("connected"))
+
+  /** Subtree text aggregation (Q6/A6; `gatherContent`
+    * `new-converter.js:57-85`): descendants' text concatenated in document
+    * order. Order is recovered from the ingest-time `path` column —
+    * `collect_list` alone is shuffle-nondeterministic (SURVEY.md §4.3).
+    */
+  def subtreeText(g: GraphTables, label: String, name: String,
+      k: Int = Int.MaxValue >> 1): DataFrame = {
+    val roots = matchNodes(g, label, name).select(col("id").as("root_id"))
+    val hops = kHop(g, roots, math.min(k, 32))
+    val withText = hops
+      .join(g.nodes.select(col("id").as("node_id"), col("content"),
+        col("path"), col("docnbr")), "node_id")
+      .filter(length(col("content")) > 0)
+    withText.groupBy("root_id", "docnbr")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("path"), col("content")))),
+        x => x.getField("content")), " ").as("subtree_text"))
+  }
+
+  // ------------------------------------------------------------------ GraphX
+
+  /** Build a GraphX graph from the relations (north-star analytics path,
+    * BASELINE.json "GraphX/Pregel for analytics").
+    */
+  def toGraphX(g: GraphTables): Graph[String, String] = {
+    val vertices = g.nodes.rdd
+      .map(n => (n.id: VertexId, s"${n.label}:${n.name}"))
+    val edges = g.edges.rdd.map(e => Edge(e.src, e.dst, e.relType))
+    Graph(vertices, edges)
+  }
+
+  /** Out/in/total degree per node (Q9). */
+  def degrees(spark: SparkSession, g: GraphTables): DataFrame = {
+    import spark.implicits._
+    val gx = toGraphX(g)
+    val degs = gx.outDegrees.fullOuterJoin(gx.inDegrees).map {
+      case (id, (out, in)) => (id, out.getOrElse(0), in.getOrElse(0))
+    }.toDF("id", "out_degree", "in_degree")
+    g.nodes.toDF().join(degs, "id")
+      .select(col("label"), col("name"),
+        col("out_degree"), col("in_degree"),
+        (col("out_degree") + col("in_degree")).as("degree"))
+  }
+
+  /** Connected components via GraphX (Q9). */
+  def connectedComponents(spark: SparkSession, g: GraphTables): DataFrame = {
+    import spark.implicits._
+    toGraphX(g).connectedComponents().vertices
+      .toDF("id", "component")
+  }
+
+  /** PageRank via GraphX (Q9). */
+  def pageRank(spark: SparkSession, g: GraphTables, iters: Int = 10)
+      : DataFrame = {
+    import spark.implicits._
+    val ranks = toGraphX(g).staticPageRank(iters).vertices
+      .toDF("id", "rank")
+    g.nodes.toDF().join(ranks, "id")
+      .select(col("label"), col("name"), col("rank"))
+  }
+
+  /** Unbounded BFS depth from roots via Pregel (J11 unbounded form) —
+    * message = candidate depth, merge = min; `maxIterations` bounds run.
+    */
+  def bfsDepths(spark: SparkSession, g: GraphTables, rootIds: Set[Long],
+      maxIterations: Int = 20): DataFrame = {
+    import spark.implicits._
+    val gx = toGraphX(g)
+      .subgraph(epred = e => e.attr.startsWith("HAS_"))
+      .mapVertices((id, _) =>
+        if (rootIds.contains(id)) 0.0 else Double.PositiveInfinity)
+    val res = gx.pregel(Double.PositiveInfinity, maxIterations)(
+      (_, attr, msg) => math.min(attr, msg),
+      triplet =>
+        if (triplet.srcAttr + 1 < triplet.dstAttr)
+          Iterator((triplet.dstId, triplet.srcAttr + 1))
+        else Iterator.empty,
+      (a, b) => math.min(a, b))
+    res.vertices.filter(_._2 < Double.PositiveInfinity)
+      .map { case (id, d) => (id, d.toInt) }
+      .toDF("id", "depth")
+  }
+}

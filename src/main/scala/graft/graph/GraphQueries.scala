@@ -1,0 +1,108 @@
+package graft.graph
+
+import graft.QueryDef
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph-surface queries over the reference's own XML corpus
+  * (`/root/reference/boeing_service_bulletin_{1,2,3}.xml`, read-only).
+  * These have no relational DuckDB equivalent → rows-only checks; the exact
+  * golden-graph assertions live in the test suite (SURVEY.md §5.2.3).
+  */
+object GraphQueries {
+
+  val XmlGlob = "/root/reference/boeing_service_bulletin_*.xml"
+  val Batch = "batch_ref"
+
+  /** One ingest per session, cached: every graph query shares the plan. */
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, GraphTables]()
+
+  def graph(s: SparkSession): GraphTables =
+    cache.computeIfAbsent(s, (sp: SparkSession) => {
+      val g = XmlIngest.ingest(sp, XmlGlob, Batch)
+      GraphTables(g.nodes.cache(), g.edges.cache())
+    })
+
+  /** The reference's flagship read path (§3.1): match the service bulletin
+    * root by its document number, expand 3 hops downward, nest connected
+    * nodes by root name (`first-graph.py:141,168-176`).
+    */
+  def flagship(s: SparkSession): DataFrame =
+    GraphOps.nestByRoot(
+      GraphOps.neighborhoodWhere(graph(s),
+        col("label") === "Boeing_Service_Bulletin" &&
+          col("docnbr") === "737-00-1028", 3))
+      .orderBy("root_name")
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef.rowsOnly("graph_flagship_neighborhood") { (s, _) =>
+      flagship(s)
+    },
+    QueryDef.rowsOnly("graph_ingest_stats") { (s, _) =>
+      graph(s).nodes.groupBy("label")
+        .agg(count(lit(1)).as("n_nodes")).orderBy("label")
+    },
+    QueryDef.rowsOnly("graph_edge_types") { (s, _) =>
+      graph(s).edges.groupBy("relType")
+        .agg(count(lit(1)).as("n_edges")).orderBy("relType")
+    },
+    QueryDef.rowsOnly("graph_khop_flagship") { (s, _) =>
+      // ServiceBulletin root node = the document root element
+      GraphOps.nestByRoot(GraphOps.neighborhood(
+        graph(s), "Boeing_Service_Bulletin", "boeing_service_bulletin", 3))
+        .orderBy("root_name")
+    },
+    QueryDef.rowsOnly("graph_match_nodes") { (s, _) =>
+      GraphOps.matchNodes(graph(s), "Step", "step")
+        .select("label", "name", "content", "docnbr")
+        .orderBy("docnbr", "content")
+    },
+    QueryDef.rowsOnly("graph_upsert_idempotent") { (s, _) =>
+      // MERGE semantics C2: re-ingesting the same corpus must be a no-op
+      val g = graph(s)
+      val again = XmlIngest.ingest(s, XmlGlob, Batch)
+      val merged = GraphOps.upsert(g, again)
+      import s.implicits._
+      Seq((g.nodes.count(), merged.nodes.count(),
+          g.edges.count(), merged.edges.count()))
+        .toDF("nodes_before", "nodes_after", "edges_before", "edges_after")
+    },
+    QueryDef.rowsOnly("graph_drop_batch") { (s, _) =>
+      // A19 cascade delete: dropping the only batch empties the graph;
+      // dropping a non-existent batch is identity.
+      val g = graph(s)
+      val kept = GraphOps.dropBatch(g, "no_such_batch")
+      val dropped = GraphOps.dropBatch(g, Batch)
+      import s.implicits._
+      Seq((kept.nodes.count(), kept.edges.count(),
+          dropped.nodes.count(), dropped.edges.count()))
+        .toDF("kept_nodes", "kept_edges", "dropped_nodes", "dropped_edges")
+    },
+    QueryDef.rowsOnly("graph_subtree_text") { (s, _) =>
+      GraphOps.subtreeText(graph(s), "Appendix_A", "appendix_a")
+        .orderBy("docnbr")
+    },
+    QueryDef.rowsOnly("graph_degrees") { (s, _) =>
+      GraphOps.degrees(s, graph(s))
+        .orderBy(col("degree").desc, col("label"), col("name")).limit(20)
+    },
+    QueryDef.rowsOnly("graph_components") { (s, _) =>
+      GraphOps.connectedComponents(s, graph(s))
+        .groupBy("component").agg(count(lit(1)).as("size"))
+        .groupBy("size").agg(count(lit(1)).as("n_components"))
+        .orderBy("size")
+    },
+    QueryDef.rowsOnly("graph_pagerank") { (s, _) =>
+      GraphOps.pageRank(s, graph(s), iters = 10)
+        .orderBy(col("rank").desc, col("label"), col("name")).limit(10)
+    },
+    QueryDef.rowsOnly("graph_pregel_bfs") { (s, _) =>
+      val g = graph(s)
+      val roots = g.nodes.filter(col("label") === "Boeing_Service_Bulletin")
+        .select("id").collect().map(_.getLong(0)).toSet
+      GraphOps.bfsDepths(s, g, roots)
+        .groupBy("depth").agg(count(lit(1)).as("n_nodes")).orderBy("depth")
+    }
+  )
+}

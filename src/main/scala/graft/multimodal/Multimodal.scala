@@ -1,0 +1,98 @@
+package graft.multimodal
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import java.sql.Timestamp
+
+/** Decoded media metadata (typed side of an opaque binary payload). */
+final case class MediaMeta(doc_id: Long, kind: String, n_bytes: Long,
+    width: Int, height: Int, n_frames: Int)
+
+/** Multimodal-column plumbing (north star): media as opaque `binary`
+  * columns + typed metadata, with decode/feature-extract running batched
+  * per partition — the Scala analogue of a `mapInPandas` batch UDF.
+  *
+  * The actual codec call is STUBBED (no image/audio libraries in this
+  * environment): [[FakeCodec.decode]] derives deterministic dimensions from
+  * the payload bytes. The Spark-side contract — binary column, schema,
+  * partition-batched execution, typed output — is real and tested; swapping
+  * in a real decoder touches only the codec seam.
+  */
+object Multimodal {
+
+  /** A real decoder would parse the container header here. Deterministic
+    * fake: dimensions derived from payload length and first/last byte.
+    */
+  object FakeCodec {
+    def decode(docId: Long, payload: Array[Byte]): MediaMeta = {
+      val len = payload.length
+      val kind = (len % 3) match {
+        case 0 => "image"; case 1 => "audio"; case _ => "video"
+      }
+      MediaMeta(docId, kind, len.toLong,
+        width = (len % 64) + 16,
+        height = ((len / 7) % 64) + 16,
+        n_frames = (len % 10) + 1)
+    }
+  }
+
+  /** documents → (doc_id, payload binary) — the "raw media" table shape.
+    * Payload is the UTF-8 encoding of `text` standing in for media bytes.
+    */
+  def payloadTable(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+
+  /** Batched decode over partitions: one codec context per partition (the
+    * expensive init a real decoder amortizes), rows streamed through it.
+    */
+  def decodeAll(s: SparkSession, payloads: DataFrame): Dataset[MediaMeta] = {
+    import s.implicits._
+    payloads.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        // per-partition "codec init" would go here
+        rows.map { case (id, bytes) => FakeCodec.decode(id, bytes) }
+      }
+  }
+
+  /** The decode pipeline as an oracle-checkable query: the fake codec is
+    * pure arithmetic on the payload length, so DuckDB reproduces it.
+    */
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef.sql(
+      "mm1_decode_meta",
+      """SELECT doc_id,
+        |  CASE WHEN octet_length(encode(text)) % 3 = 0 THEN 'image'
+        |       WHEN octet_length(encode(text)) % 3 = 1 THEN 'audio'
+        |       ELSE 'video' END AS kind,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  CAST(octet_length(encode(text)) % 64 + 16 AS INT) AS width,
+        |  CAST((octet_length(encode(text)) // 7) % 64 + 16 AS INT) AS height,
+        |  CAST(octet_length(encode(text)) % 10 + 1 AS INT) AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      decodeAll(s, payloadTable(s, d)).toDF().orderBy("doc_id")
+    },
+    QueryDef.sql(
+      "mm2_media_stats",
+      """SELECT kind, count(*) AS n, CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+        |  CAST(max(width) AS INT) AS max_w, CAST(max(height) AS INT) AS max_h
+        |FROM (SELECT
+        |  CASE WHEN octet_length(encode(text)) % 3 = 0 THEN 'image'
+        |       WHEN octet_length(encode(text)) % 3 = 1 THEN 'audio'
+        |       ELSE 'video' END AS kind,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  octet_length(encode(text)) % 64 + 16 AS width,
+        |  (octet_length(encode(text)) // 7) % 64 + 16 AS height
+        |  FROM documents) t
+        |GROUP BY kind ORDER BY kind""".stripMargin) { (s, d) =>
+      decodeAll(s, payloadTable(s, d)).toDF()
+        .groupBy("kind")
+        .agg(count(lit(1)).as("n"), sum("n_bytes").as("total_bytes"),
+          max("width").as("max_w"), max("height").as("max_h"))
+        .orderBy("kind")
+    }
+  )
+}

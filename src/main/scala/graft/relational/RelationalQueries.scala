@@ -1,0 +1,672 @@
+package graft.relational
+
+import graft.{Det, QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The relational operator surface (SURVEY.md §2.C): scans, filters, joins,
+  * aggregations, windows, sorts, set ops, scalar functions — each as a
+  * canonical query over the driver corpus paired with its DuckDB oracle SQL.
+  *
+  * Scale posture: filters/projections stay adjacent to the scan so Catalyst
+  * pushes them into parquet; dimension joins are `broadcast()` hinted; fact
+  * joins shuffle on their join keys and rely on AQE for skew. Aggregates on
+  * fixed-scale decimals use exact integer-cent sums ([[graft.Det]]) so the
+  * result is bit-identical regardless of partitioning/order — required for
+  * the oracle hash compare, and a 100-TB-safe idiom (no FP drift).
+  */
+object RelationalQueries {
+  import Det.{centSum, duckCentSum}
+
+  val defs: Seq[QueryDef] = Seq(
+    // ---------------------------------------------------------- scans (S)
+    QueryDef.sql(
+      "s1_scan_project",
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |WHERE l_shipdate < TIMESTAMP '1996-01-01'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") < lit("1996-01-01").cast("timestamp"))
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+    QueryDef.sql(
+      "s4_local_rows",
+      """SELECT * FROM (VALUES (1, 'urgent'), (2, 'high'), (3, 'normal'))
+        |AS t(prio_id, prio_name) ORDER BY prio_id""".stripMargin) { (s, _) =>
+      import s.implicits._
+      Seq((1, "urgent"), (2, "high"), (3, "normal"))
+        .toDF("prio_id", "prio_name").orderBy("prio_id")
+    },
+    // ------------------------------------------------ filters/predicates (P)
+    QueryDef.sql(
+      "p2_filter_eq",
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_mktsegment = 'BUILDING' ORDER BY c_custkey""".stripMargin) {
+      (s, d) =>
+        Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+          .select("c_custkey", "c_name").orderBy("c_custkey")
+    },
+    QueryDef.sql(
+      "p3_filter_flag",
+      """SELECT l_orderkey, l_linenumber, (l_returnflag = 'R') AS is_return
+        |FROM lineitem WHERE (l_returnflag = 'R') = TRUE
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .withColumn("is_return", col("l_returnflag") === "R")
+        .filter(col("is_return"))
+        .select("l_orderkey", "l_linenumber", "is_return")
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+    QueryDef.sql(
+      "p4_filter_compound",
+      """SELECT l_orderkey, l_linenumber FROM lineitem
+        |WHERE (l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24)
+        |   OR (NOT (l_returnflag = 'N') AND l_tax > 0.06)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      li.filter(
+          (col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+            col("l_quantity") < 24) ||
+            (!(col("l_returnflag") === "N") && col("l_tax") > 0.06))
+        .select("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+    QueryDef.sql(
+      "p5_null_semantics",
+      """SELECT o_orderkey,
+        |  coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_or_open,
+        |  (nullif(o_orderstatus, 'O') IS NULL) AS was_open
+        |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      Tables.orders(s, d).select(
+        col("o_orderkey"),
+        coalesce(nullif(col("o_orderstatus"), lit("O")), lit("OPEN"))
+          .as("status_or_open"),
+        nullif(col("o_orderstatus"), lit("O")).isNull.as("was_open"))
+        .orderBy("o_orderkey")
+    },
+    QueryDef.sql(
+      "p6_like_regexp",
+      """SELECT p_partkey, p_name FROM part
+        |WHERE p_name LIKE '%blue%' OR regexp_matches(p_name, '^small .*t$')
+        |ORDER BY p_partkey""".stripMargin) { (s, d) =>
+      Tables.part(s, d)
+        .filter(col("p_name").like("%blue%") ||
+          col("p_name").rlike("^small .*t$"))
+        .select("p_partkey", "p_name").orderBy("p_partkey")
+    },
+    QueryDef.sql(
+      "p7_in_list",
+      """SELECT n_nationkey, n_name FROM nation
+        |WHERE n_name IN ('NATION_1', 'NATION_3', 'NATION_17')
+        |ORDER BY n_nationkey""".stripMargin) { (s, d) =>
+      Tables.nation(s, d)
+        .filter(col("n_name").isin("NATION_1", "NATION_3", "NATION_17"))
+        .select("n_nationkey", "n_name").orderBy("n_nationkey")
+    },
+    // ----------------------------------------------------------- joins (J)
+    QueryDef.sql(
+      "j1_join_inner",
+      """SELECT o_orderkey, c_name, o_totalprice FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+        .join(Tables.customer(s, d),
+          col("o_custkey") === col("c_custkey"), "inner")
+        .select("o_orderkey", "c_name", "o_totalprice")
+        .orderBy("o_orderkey")
+    },
+    QueryDef.sql(
+      "j2_join_broadcast_dims",
+      s"""SELECT r_name, count(*) AS n_cust,
+         |  ${duckCentSum("c_acctbal", 2)} AS sum_bal
+         |FROM customer
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY r_name ORDER BY r_name""".stripMargin) { (s, d) =>
+      Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(count(lit(1)).as("n_cust"),
+          centSum(col("c_acctbal"), 2).as("sum_bal"))
+        .orderBy("r_name")
+    },
+    QueryDef.sql(
+      "j3_join_fact_fact",
+      s"""SELECT o_orderpriority,
+         |  ${duckCentSum("l_extendedprice * (1 - l_discount)", 4)} AS revenue,
+         |  count(*) AS n_items
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) {
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_orderpriority")
+          .agg(
+            centSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+              .as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy("o_orderpriority")
+    },
+    QueryDef.sql(
+      "j4_join_left_outer",
+      """SELECT c_custkey, count(o_orderkey) AS n_orders
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d),
+          col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("n_orders"))
+        .orderBy("c_custkey")
+    },
+    QueryDef.sql(
+      "j5_join_semi",
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d).filter(col("o_orderstatus") === "F"),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name").orderBy("c_custkey")
+    },
+    QueryDef.sql(
+      "j6_join_anti",
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name").orderBy("c_custkey")
+    },
+    QueryDef.sql(
+      "j7_join_cross",
+      """SELECT r_name, seg FROM region
+        |CROSS JOIN (SELECT DISTINCT c_mktsegment AS seg FROM customer) t
+        |ORDER BY r_name, seg""".stripMargin) { (s, d) =>
+      Tables.region(s, d).select("r_name")
+        .crossJoin(
+          Tables.customer(s, d).select(col("c_mktsegment").as("seg")).distinct())
+        .orderBy("r_name", "seg")
+    },
+    QueryDef.sql(
+      "j8_join_range",
+      """SELECT bucket, count(*) AS n_parts FROM part
+        |JOIN (VALUES ('small', 1, 16), ('medium', 17, 33), ('large', 34, 50))
+        |  AS b(bucket, lo, hi)
+        |ON p_size >= lo AND p_size <= hi
+        |GROUP BY bucket ORDER BY bucket""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val buckets = Seq(("small", 1, 16), ("medium", 17, 33), ("large", 34, 50))
+        .toDF("bucket", "lo", "hi")
+      // non-equi range join: small side broadcast => BroadcastNestedLoopJoin
+      Tables.part(s, d)
+        .join(broadcast(buckets),
+          col("p_size") >= col("lo") && col("p_size") <= col("hi"))
+        .groupBy("bucket").agg(count(lit(1)).as("n_parts"))
+        .orderBy("bucket")
+    },
+    QueryDef.sql(
+      "j10_self_join",
+      """SELECT a.n_name AS nation_a, b.n_name AS nation_b
+        |FROM nation a JOIN nation b
+        |  ON a.n_regionkey = b.n_regionkey AND a.n_name < b.n_name
+        |ORDER BY nation_a, nation_b""".stripMargin) { (s, d) =>
+      val a = Tables.nation(s, d).select(
+        col("n_regionkey"), col("n_name").as("nation_a"))
+      val b = Tables.nation(s, d).select(
+        col("n_regionkey").as("rk_b"), col("n_name").as("nation_b"))
+      a.join(b, col("n_regionkey") === col("rk_b") &&
+          col("nation_a") < col("nation_b"))
+        .select("nation_a", "nation_b").orderBy("nation_a", "nation_b")
+    },
+    // ---------------------------------------------------- aggregations (G)
+    QueryDef.sql(
+      "g1_group_nest",
+      """SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS nations
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin) {
+      (s, d) =>
+        // collect_list is shuffle-order-nondeterministic; sort the array
+        // before serializing (SURVEY.md §7.3 deterministic aggregation).
+        Tables.nation(s, d).groupBy("n_regionkey")
+          .agg(array_join(array_sort(collect_list(col("n_name"))), ",")
+            .as("nations"))
+          .orderBy("n_regionkey")
+    },
+    QueryDef.sql(
+      "g2_agg_pricing_summary",
+      s"""SELECT l_returnflag, l_linestatus,
+         |  sum(l_quantity) AS sum_qty,
+         |  ${duckCentSum("l_extendedprice", 2)} AS sum_base_price,
+         |  ${duckCentSum("l_extendedprice * (1 - l_discount)", 4)} AS sum_disc_price,
+         |  ${duckCentSum("l_extendedprice * (1 - l_discount) * (1 + l_tax)", 6)} AS sum_charge,
+         |  sum(l_quantity) / count(*) AS avg_qty,
+         |  ${duckCentSum("l_extendedprice", 2)} / count(*) AS avg_price,
+         |  count(*) AS count_order
+         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("2000-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          centSum(col("l_extendedprice"), 2).as("sum_base_price"),
+          centSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+            .as("sum_disc_price"),
+          centSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+            (lit(1.0) + col("l_tax")), 6).as("sum_charge"),
+          (sum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+          (centSum(col("l_extendedprice"), 2) / count(lit(1))).as("avg_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+    QueryDef.sql(
+      "g3_count_distinct",
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_suppkey) AS n_supp,
+        |  count(DISTINCT l_partkey) AS n_part
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) {
+      (s, d) =>
+        Tables.lineitem(s, d).groupBy("l_returnflag")
+          .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+            countDistinct(col("l_partkey")).as("n_part"))
+          .orderBy("l_returnflag")
+    },
+    // HLL sketch differs engine-to-engine by design => rows-only check.
+    QueryDef.rowsOnly("g4_approx_distinct") { (s, d) =>
+      Tables.lineitem(s, d).groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
+        .orderBy("l_returnflag")
+    },
+    QueryDef.sql(
+      "g6_rollup",
+      """SELECT r_name, n_name, count(*) AS n_cust FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin) {
+      (s, d) =>
+        // SQL path: the DataFrame rollup-over-join form trips Spark 4.1's
+        // DetectAmbiguousSelfJoin false positive; the SQL analyzer does not
+        // attach the dataset-id metadata that rule keys on.
+        Tables.customer(s, d).createOrReplaceTempView("customer")
+        Tables.nation(s, d).createOrReplaceTempView("nation")
+        Tables.region(s, d).createOrReplaceTempView("region")
+        s.sql(
+          """SELECT r_name, n_name, count(*) AS n_cust
+            |FROM customer
+            |JOIN nation ON c_nationkey = n_nationkey
+            |JOIN region ON n_regionkey = r_regionkey
+            |GROUP BY ROLLUP (r_name, n_name)
+            |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin)
+    },
+    QueryDef.sql(
+      "g7_string_agg",
+      """SELECT p_brand, string_agg(DISTINCT p_type, '|' ORDER BY p_type) AS types
+        |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin) { (s, d) =>
+      Tables.part(s, d).groupBy("p_brand")
+        .agg(array_join(array_sort(collect_set(col("p_type"))), "|")
+          .as("types"))
+        .orderBy("p_brand")
+    },
+    QueryDef.sql(
+      "g8_max_by",
+      """SELECT c_nationkey,
+        |  arg_max(c_name, c_custkey) AS latest_cust,
+        |  arg_min(c_name, c_custkey) AS first_cust
+        |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin) {
+      (s, d) =>
+        Tables.customer(s, d).groupBy("c_nationkey")
+          .agg(max_by(col("c_name"), col("c_custkey")).as("latest_cust"),
+            min_by(col("c_name"), col("c_custkey")).as("first_cust"))
+          .orderBy("c_nationkey")
+    },
+    // --------------------------------------------------------- windows (W)
+    QueryDef.sql(
+      "w1_rank_topn",
+      """SELECT * FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) t WHERE rn <= 3
+        |ORDER BY o_custkey, rn""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          row_number().over(w).as("rn"))
+        .filter(col("rn") <= 3)
+        .orderBy("o_custkey", "rn")
+    },
+    QueryDef.sql(
+      "w2_lag_delta",
+      """SELECT event_id,
+        |  round(value - lag(value) OVER (PARTITION BY user_id
+        |    ORDER BY CAST(ts AS TIMESTAMP), event_id), 2) AS delta
+        |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("event_id"),
+          round(col("value") - lag(col("value"), 1).over(w), 2).as("delta"))
+        .orderBy("event_id")
+    },
+    QueryDef.sql(
+      "w3_frame_moving",
+      """SELECT l_orderkey, l_linenumber,
+        |  sum(l_quantity) OVER (PARTITION BY l_suppkey
+        |    ORDER BY CAST(l_shipdate AS TIMESTAMP), l_orderkey, l_linenumber
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS qty_3
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin) {
+      (s, d) =>
+        val w = Window.partitionBy("l_suppkey")
+          .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+          .rowsBetween(-2, Window.currentRow)
+        Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            sum(col("l_quantity")).over(w).as("qty_3"))
+          .orderBy("l_orderkey", "l_linenumber")
+    },
+    QueryDef.sql(
+      "w4_running_sum",
+      """SELECT event_id,
+        |  sum(CAST(round(value * 100, 0) AS BIGINT))
+        |    OVER (PARTITION BY user_id
+        |      ORDER BY CAST(ts AS TIMESTAMP), event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0
+        |  AS running_value
+        |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .select(col("event_id"),
+          (sum(round(col("value") * 100, 0).cast("long")).over(w) / 100.0)
+            .as("running_value"))
+        .orderBy("event_id")
+    },
+    QueryDef.sql(
+      "w5_ntile_pctrank",
+      """SELECT c_custkey,
+        |  ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS quartile,
+        |  round(percent_rank() OVER (ORDER BY c_acctbal, c_custkey), 6) AS pr
+        |FROM customer ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
+      Tables.customer(s, d)
+        .select(col("c_custkey"), ntile(4).over(w).as("quartile"),
+          round(percent_rank().over(w), 6).as("pr"))
+        .orderBy("c_custkey")
+    },
+    // ---------------------------------------------------- sorts/limits (O)
+    QueryDef.sql(
+      "o1_sort_multi",
+      """SELECT s_suppkey, s_nationkey, s_acctbal FROM supplier
+        |ORDER BY s_nationkey DESC, s_acctbal ASC, s_suppkey""".stripMargin) {
+      (s, d) =>
+        Tables.supplier(s, d).select("s_suppkey", "s_nationkey", "s_acctbal")
+          .orderBy(col("s_nationkey").desc, col("s_acctbal").asc,
+            col("s_suppkey"))
+    },
+    QueryDef.sql(
+      "o2_limit",
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_orderkey LIMIT 5""".stripMargin) { (s, d) =>
+      Tables.orders(s, d).select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey").limit(5)
+    },
+    QueryDef.sql(
+      "o3_topk",
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin) {
+      (s, d) =>
+        // order+limit fuses to TakeOrderedAndProject: no global sort at scale
+        Tables.orders(s, d).select("o_orderkey", "o_totalprice")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(10)
+    },
+    // --------------------------------------------------------- set ops (U)
+    QueryDef.sql(
+      "u1_union_all",
+      """SELECT o_orderkey, o_orderpriority FROM orders
+        |WHERE o_orderpriority = '1-URGENT'
+        |UNION ALL
+        |SELECT o_orderkey, o_orderpriority FROM orders
+        |WHERE o_orderpriority = '2-HIGH'
+        |ORDER BY o_orderkey, o_orderpriority""".stripMargin) { (s, d) =>
+      val o = Tables.orders(s, d).select("o_orderkey", "o_orderpriority")
+      o.filter(col("o_orderpriority") === "1-URGENT")
+        .unionByName(o.filter(col("o_orderpriority") === "2-HIGH"))
+        .orderBy("o_orderkey", "o_orderpriority")
+    },
+    QueryDef.sql(
+      "u2_union_distinct",
+      """SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+        |UNION
+        |SELECT c_custkey AS custkey FROM customer
+        |WHERE c_mktsegment = 'BUILDING'
+        |ORDER BY custkey""".stripMargin) { (s, d) =>
+      Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey").as("custkey"))
+        .union(Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey").as("custkey")))
+        .distinct()
+        .orderBy("custkey")
+    },
+    QueryDef.sql(
+      "u3_intersect",
+      """SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |INTERSECT
+        |SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '5-LOW'
+        |ORDER BY custkey""".stripMargin) { (s, d) =>
+      val o = Tables.orders(s, d)
+      o.filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").as("custkey"))
+        .intersect(o.filter(col("o_orderpriority") === "5-LOW")
+          .select(col("o_custkey").as("custkey")))
+        .orderBy("custkey")
+    },
+    QueryDef.sql(
+      "u4_except",
+      """SELECT c_custkey AS custkey FROM customer
+        |EXCEPT
+        |SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+        |ORDER BY custkey""".stripMargin) { (s, d) =>
+      Tables.customer(s, d).select(col("c_custkey").as("custkey"))
+        .except(Tables.orders(s, d).filter(col("o_orderstatus") === "O")
+          .select(col("o_custkey").as("custkey")))
+        .orderBy("custkey")
+    },
+    // ------------------------------------------------- scalar functions (F)
+    QueryDef.sql(
+      "f1_substring_instr",
+      """SELECT p_partkey, substr(p_name, 1, 5) AS prefix,
+        |  strpos(p_name, ' ') AS space_at
+        |FROM part ORDER BY p_partkey""".stripMargin) { (s, d) =>
+      Tables.part(s, d).select(col("p_partkey"),
+        substring(col("p_name"), 1, 5).as("prefix"),
+        instr(col("p_name"), " ").as("space_at"))
+        .orderBy("p_partkey")
+    },
+    QueryDef.sql(
+      "f2_trim_case",
+      """SELECT n_nationkey, upper(n_name) AS up, lower(n_name) AS lo,
+        |  trim(concat(' ', n_name, ' ')) AS trimmed
+        |FROM nation ORDER BY n_nationkey""".stripMargin) { (s, d) =>
+      Tables.nation(s, d).select(col("n_nationkey"),
+        upper(col("n_name")).as("up"), lower(col("n_name")).as("lo"),
+        trim(concat(lit(" "), col("n_name"), lit(" "))).as("trimmed"))
+        .orderBy("n_nationkey")
+    },
+    QueryDef.sql(
+      "f3_regexp_replace",
+      """SELECT p_partkey,
+        |  regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+        |  regexp_replace(p_brand, '[^a-zA-Z0-9_]', '_', 'g') AS sanitized
+        |FROM part ORDER BY p_partkey""".stripMargin) { (s, d) =>
+      // sanitized mirrors the reference's label sanitizer (latest.js:16-18)
+      Tables.part(s, d).select(col("p_partkey"),
+        regexp_replace(col("p_name"), "[aeiou]", "_").as("devoweled"),
+        regexp_replace(col("p_brand"), "[^a-zA-Z0-9_]", "_").as("sanitized"))
+        .orderBy("p_partkey")
+    },
+    QueryDef.sql(
+      "f4_split_explode",
+      """SELECT tok, count(*) AS n FROM (
+        |  SELECT unnest(string_split(p_name, ' ')) AS tok FROM part) t
+        |GROUP BY tok ORDER BY tok""".stripMargin) { (s, d) =>
+      Tables.part(s, d)
+        .select(explode(split(col("p_name"), " ")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("n"))
+        .orderBy("tok")
+    },
+    QueryDef.sql(
+      "f5_concat",
+      """SELECT c_custkey, concat_ws('|', c_name, c_mktsegment) AS key_seg,
+        |  concat(c_name, '@', c_mktsegment) AS at_seg
+        |FROM customer ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      Tables.customer(s, d).select(col("c_custkey"),
+        concat_ws("|", col("c_name"), col("c_mktsegment")).as("key_seg"),
+        concat(col("c_name"), lit("@"), col("c_mktsegment")).as("at_seg"))
+        .orderBy("c_custkey")
+    },
+    QueryDef.sql(
+      "f6_string_predicates",
+      """SELECT p_partkey, contains(p_name, 'ol') AS has_ol,
+        |  starts_with(p_name, 'red') AS is_red,
+        |  ends_with(p_name, 'bolt') AS is_bolt
+        |FROM part ORDER BY p_partkey""".stripMargin) { (s, d) =>
+      Tables.part(s, d).select(col("p_partkey"),
+        col("p_name").contains("ol").as("has_ol"),
+        col("p_name").startsWith("red").as("is_red"),
+        col("p_name").endsWith("bolt").as("is_bolt"))
+        .orderBy("p_partkey")
+    },
+    QueryDef.sql(
+      "f7_case_when",
+      """SELECT size_class, count(*) AS n FROM (
+        |  SELECT CASE WHEN p_size >= 40 THEN 'large'
+        |              WHEN p_size >= 15 THEN 'medium'
+        |              ELSE 'small' END AS size_class
+        |  FROM part) t GROUP BY size_class ORDER BY size_class""".stripMargin) {
+      (s, d) =>
+        Tables.part(s, d)
+          .select(when(col("p_size") >= 40, "large")
+            .when(col("p_size") >= 15, "medium")
+            .otherwise("small").as("size_class"))
+          .groupBy("size_class").agg(count(lit(1)).as("n"))
+          .orderBy("size_class")
+    },
+    QueryDef.sql(
+      "f8_date_functions",
+      """SELECT o_orderkey, year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+        |  day(o_orderdate) AS dom,
+        |  date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since,
+        |  o_orderdate + INTERVAL 30 DAY AS due
+        |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      Tables.orders(s, d).select(col("o_orderkey"),
+        year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        datediff(col("o_orderdate"), lit("1995-01-01").cast("date"))
+          .as("days_since"),
+        expr("timestampadd(DAY, 30, o_orderdate)").as("due"))
+        .orderBy("o_orderkey")
+    },
+    QueryDef.sql(
+      "f9_math",
+      """SELECT l_orderkey, l_linenumber,
+        |  floor(l_extendedprice / l_quantity * 100 + 0.5) / CAST(100 AS DOUBLE)
+        |    AS unit_price,
+        |  abs(l_discount - 0.05) AS disc_dev,
+        |  l_orderkey % 7 AS bucket7,
+        |  CAST(floor(l_quantity / 10) AS BIGINT) AS qty_decile,
+        |  sqrt(l_quantity) AS qty_root
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin) {
+      (s, d) =>
+        // NOT round(x, 2): Spark rounds the shortest decimal repr of the
+        // double, DuckDB rounds the binary value — they disagree on exact
+        // .xx5 boundaries. floor(x*100 + 0.5)/100 is pure IEEE arithmetic,
+        // identical in any engine.
+        Tables.lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"),
+          (floor(col("l_extendedprice") / col("l_quantity") * 100 + 0.5) /
+            100.0).as("unit_price"),
+          abs(col("l_discount") - 0.05).as("disc_dev"),
+          (col("l_orderkey") % 7).as("bucket7"),
+          floor(col("l_quantity") / 10).as("qty_decile"),
+          sqrt(col("l_quantity")).as("qty_root"))
+          .orderBy("l_orderkey", "l_linenumber")
+    },
+    QueryDef.sql(
+      "f10_casts",
+      """SELECT o_orderkey, CAST(o_orderkey AS VARCHAR) AS key_str,
+        |  CAST(trunc(o_totalprice) AS BIGINT) AS price_floor,
+        |  CAST(o_orderdate AS DATE) AS order_day
+        |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      // NB: Spark CAST(double AS INT) truncates while DuckDB rounds — both
+      // sides trunc() explicitly before the cast (SURVEY.md §7.3).
+      Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_orderkey").cast("string").as("key_str"),
+        expr("CAST(o_totalprice AS BIGINT)").as("price_floor"),
+        col("o_orderdate").cast("date").as("order_day"))
+        .orderBy("o_orderkey")
+    },
+    QueryDef.sql(
+      "f13_json",
+      """SELECT event_type,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) {
+      (s, d) =>
+        Tables.events(s, d)
+          .select(col("event_type"),
+            get_json_object(col("props"), "$.k").cast("long").as("k"))
+          .groupBy("event_type")
+          .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"))
+          .orderBy("event_type")
+    },
+    QueryDef.sql(
+      "f14_hash_md5",
+      """SELECT p_partkey, md5(p_name) AS name_md5,
+        |  sha256(concat(p_name, '|', p_brand)) AS nb_sha
+        |FROM part ORDER BY p_partkey""".stripMargin) { (s, d) =>
+      Tables.part(s, d).select(col("p_partkey"),
+        md5(col("p_name")).as("name_md5"),
+        sha2(concat(col("p_name"), lit("|"), col("p_brand")), 256).as("nb_sha"))
+        .orderBy("p_partkey")
+    },
+    // ---------------------------------------------------------- SQL surface
+    QueryDef.sql(
+      "b1_sql_surface",
+      s"""SELECT n_name, o_ym, ${duckCentSum("o_totalprice", 2)} AS revenue
+         |FROM (SELECT o_custkey, o_totalprice,
+         |        year(o_orderdate) * 100 + month(o_orderdate) AS o_ym
+         |      FROM orders WHERE o_orderstatus = 'F') o
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |GROUP BY n_name, o_ym
+         |HAVING count(*) > 1
+         |ORDER BY n_name, o_ym""".stripMargin) { (s, d) =>
+      // the engine's "arbitrary query execution" surface (SURVEY.md §2.B B1):
+      // register graph/relational views, run pure SQL through Catalyst.
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      Tables.customer(s, d).createOrReplaceTempView("customer")
+      Tables.nation(s, d).createOrReplaceTempView("nation")
+      s.sql(
+        s"""SELECT n_name, o_ym,
+           |  ${Det.duckCentSum("o_totalprice", 2)} AS revenue
+           |FROM (SELECT o_custkey, o_totalprice,
+           |        year(o_orderdate) * 100 + month(o_orderdate) AS o_ym
+           |      FROM orders WHERE o_orderstatus = 'F') o
+           |JOIN customer ON o_custkey = c_custkey
+           |JOIN nation ON c_nationkey = n_nationkey
+           |GROUP BY n_name, o_ym
+           |HAVING count(*) > 1
+           |ORDER BY n_name, o_ym""".stripMargin)
+    }
+  )
+}

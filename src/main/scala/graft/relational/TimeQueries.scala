@@ -1,0 +1,115 @@
+package graft.relational
+
+import graft.{Det, QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-time operators over `events` (SURVEY.md §2.C T-ops batch
+  * equivalents + J9 as-of join). The streaming forms of the same windows run
+  * in `graft.streaming` and are asserted equal to these batch results in the
+  * test suite — the oracle only checks the batch semantics.
+  *
+  * Every oracle casts `ts` to microseconds (`CAST(ts AS TIMESTAMp)`) because
+  * the parquet column is nanosecond-precision and Spark truncates to µs on
+  * read (see [[graft.Tables.events]]).
+  */
+object TimeQueries {
+  import Det.duckCentSum
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef.sql(
+      "t2_tumbling_window",
+      s"""SELECT time_bucket(INTERVAL 5 MINUTE, CAST(ts AS TIMESTAMP)) AS w_start,
+         |  event_type, count(*) AS n, ${duckCentSum("value", 2)} AS sum_value
+         |FROM events GROUP BY w_start, event_type
+         |ORDER BY w_start, event_type""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"), Det.centSum(col("value"), 2).as("sum_value"))
+        .select(col("window.start").as("w_start"), col("event_type"),
+          col("n"), col("sum_value"))
+        .orderBy("w_start", "event_type")
+    },
+    QueryDef.sql(
+      "t3_sliding_window",
+      // a 10-min window sliding by 5 min ⇒ each event lands in exactly two
+      // windows: floor5(ts) and floor5(ts) - 5min. The oracle materializes
+      // that expansion explicitly.
+      s"""WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS uts, value FROM events),
+         |x AS (
+         |  SELECT time_bucket(INTERVAL 5 MINUTE, uts) AS w_start, value FROM e
+         |  UNION ALL
+         |  SELECT time_bucket(INTERVAL 5 MINUTE, uts) - INTERVAL 5 MINUTE, value
+         |  FROM e)
+         |SELECT w_start, count(*) AS n, ${duckCentSum("value", 2)} AS sum_value
+         |FROM x GROUP BY w_start ORDER BY w_start""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "10 minutes", "5 minutes"))
+        .agg(count(lit(1)).as("n"), Det.centSum(col("value"), 2).as("sum_value"))
+        .select(col("window.start").as("w_start"), col("n"), col("sum_value"))
+        .orderBy("w_start")
+    },
+    QueryDef.sql(
+      "t4_session_window",
+      // sessionization with a 30-min gap; Spark's session end = last event +
+      // gap, reproduced as max(ts) + 30min. Oracle is the classic
+      // gaps-and-islands rewrite.
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS uts FROM events),
+        |m AS (SELECT user_id, uts,
+        |  CASE WHEN lag(uts) OVER w IS NULL
+        |         OR uts - lag(uts) OVER w >= INTERVAL 30 MINUTE
+        |       THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY uts)),
+        |g AS (SELECT user_id, uts, sum(brk) OVER (PARTITION BY user_id
+        |  ORDER BY uts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM m)
+        |SELECT user_id, min(uts) AS s_start,
+        |  max(uts) + INTERVAL 30 MINUTE AS s_end, count(*) AS n
+        |FROM g GROUP BY user_id, sid
+        |ORDER BY user_id, s_start""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("user_id"), col("session_window.start").as("s_start"),
+          col("session_window.end").as("s_end"), col("n"))
+        .orderBy("user_id", "s_start")
+    },
+    QueryDef.sql(
+      "j9_asof_join",
+      // as-of join: for each purchase, the latest view by the same user at
+      // or before the purchase. Implemented as the scalable union+window
+      // pattern (single shuffle on user_id, no range cross join); the
+      // oracle is the identical rewrite rather than DuckDB's ASOF JOIN so
+      // that equal-timestamp ties resolve identically (by event_id).
+      """WITH u AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS uts, 0 AS kind, event_id,
+        |         event_id AS view_id
+        |  FROM events WHERE event_type = 'view'
+        |  UNION ALL
+        |  SELECT user_id, CAST(ts AS TIMESTAMP), 1, event_id, NULL
+        |  FROM events WHERE event_type = 'purchase'),
+        |w AS (SELECT user_id, kind, event_id,
+        |  last_value(view_id IGNORE NULLS) OVER (PARTITION BY user_id
+        |    ORDER BY uts, kind, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_view_id
+        |  FROM u)
+        |SELECT event_id AS purchase_id, asof_view_id
+        |FROM w WHERE kind = 1 ORDER BY purchase_id""".stripMargin) { (s, d) =>
+      val e = Tables.events(s, d)
+      val views = e.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("uts"), lit(0).as("kind"),
+          col("event_id"), col("event_id").as("view_id"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("uts"), lit(1).as("kind"),
+          col("event_id"), lit(null).cast("long").as("view_id"))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("uts"), col("kind"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      views.unionByName(purchases)
+        .withColumn("asof_view_id", last(col("view_id"), ignoreNulls = true).over(w))
+        .filter(col("kind") === 1)
+        .select(col("event_id").as("purchase_id"), col("asof_view_id"))
+        .orderBy("purchase_id")
+    }
+  )
+}

@@ -1,0 +1,98 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import java.sql.Timestamp
+
+/** Typed event row for streaming ops (mirrors the `events` table schema,
+  * with `ts` already truncated to microseconds).
+  */
+final case class EventRow(
+    event_id: Long,
+    ts: Timestamp,
+    user_id: Long,
+    event_type: String,
+    value: Double)
+
+/** Per-user running state for the arbitrary-stateful operator (T6). */
+final case class UserState(n_events: Long, total_value: Double)
+final case class UserSnapshot(user_id: Long, n_events: Long,
+    total_value: Double)
+
+/** Structured-Streaming operator surface (SURVEY.md §2.C T1-T8). Each
+  * transform takes a (possibly streaming) events DataFrame and returns the
+  * transformed frame — the same plans run in batch mode, which is how the
+  * DuckDB oracle covers their semantics (see
+  * [[graft.relational.TimeQueries]]); the streaming-specific behaviors
+  * (watermark drops, incremental state) are asserted in the test suite with
+  * `MemoryStream`.
+  */
+object StreamingOps {
+
+  /** T1+T2: watermarked tumbling-window counts (append-able). */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("w_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** T3: sliding window (10 min window / 5 min slide). */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col("n"))
+
+  /** T4: session windows with a 30-minute gap, per user. */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"), col("n"))
+
+  /** T5: stateful dedup bounded by the watermark. */
+  def dedupWithinWatermark(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** T6: arbitrary stateful per-user running counters via
+    * `mapGroupsWithState` (state schema is ours: [[UserState]]).
+    */
+  def runningUserTotals(spark: SparkSession, events: Dataset[EventRow])
+      : Dataset[UserSnapshot] = {
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[UserState, UserSnapshot](
+        GroupStateTimeout.NoTimeout()) {
+        (userId: Long, rows: Iterator[EventRow], state: GroupState[UserState]) =>
+          val prev = state.getOption.getOrElse(UserState(0L, 0.0))
+          val batch = rows.toSeq
+          val next = UserState(prev.n_events + batch.size,
+            prev.total_value + batch.map(_.value).sum)
+          state.update(next)
+          UserSnapshot(userId, next.n_events, next.total_value)
+      }
+  }
+
+  /** T8: stream-static enrichment join against the customer dimension. */
+  def streamStaticJoin(events: DataFrame, userDim: DataFrame): DataFrame =
+    events.join(broadcast(userDim), events("user_id") === userDim("c_custkey"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("c_mktsegment"))
+
+  /** Run a streaming frame to completion against a memory sink and return
+    * the materialized result (local test/verify harness; S7).
+    */
+  def runToMemory(spark: SparkSession, streaming: DataFrame, name: String,
+      outputMode: OutputMode = OutputMode.Append): DataFrame = {
+    val q = streaming.writeStream
+      .format("memory").queryName(name).outputMode(outputMode).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+}

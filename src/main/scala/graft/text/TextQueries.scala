@@ -1,0 +1,413 @@
+package graft.text
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Engine-portable 60-bit hash: the low 15 hex digits of md5, identical in
+  * Spark and DuckDB, so hash-derived operators (minhash, simhash,
+  * fingerprints) are oracle-checkable. xxhash64 would be faster but is
+  * Spark-only; swap via this seam if an operator drops its oracle.
+  */
+object PortableHash {
+  def spark(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+  def duck(e: String): String =
+    s"CAST(concat('0x', substring(md5($e), 1, 15)) AS BIGINT)"
+}
+
+/** LLM-training-data pipeline operators over `documents` and `embeddings`
+  * (SURVEY.md §2.C L-ops + north star): exact/near dedup, similarity search,
+  * text analysis. Each is written as the scalable form — inverted-index /
+  * bucket joins instead of all-pairs cross joins wherever the semantics
+  * allow — and mirrored in DuckDB SQL for the correctness oracle.
+  */
+object TextQueries {
+  private val SEEDS  = 16 // minhash signature length
+  private val BANDS  = 4  // LSH bands (4 rows per band)
+  private val SIMBITS = 32
+
+  /** doc → distinct word-3-shingle rows; the shared frontend of the
+    * near-dup family. 0-based in Spark, mirrored 1-based in DuckDB.
+    */
+  private def shingles(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(toks) - 3)," +
+          " i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))")).as("s"))
+      .distinct()
+
+  private val duckShingles: String =
+    """SELECT DISTINCT doc_id, unnest(list_transform(
+      |    generate_series(1, len(l) - 2),
+      |    i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS s
+      |FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+      |WHERE len(l) >= 3""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    // ------------------------------------------------------- L1 exact dedup
+    QueryDef.sql(
+      "l1_exact_dedup",
+      """SELECT lang, count(*) AS n_docs,
+        |  count(DISTINCT md5(text)) AS n_uniq,
+        |  count(*) - count(DISTINCT md5(text)) AS n_dups
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+      // exact dedup = groupBy(content hash); reported as per-slice dup stats
+      Tables.documents(s, d).groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(md5(col("text"))).as("n_uniq"),
+          (count(lit(1)) - countDistinct(md5(col("text")))).as("n_dups"))
+        .orderBy("lang")
+    },
+    // -------------------------------------------------- L2 MinHash+LSH dedup
+    QueryDef.sql("l2_minhash_lsh", duckMinhashSql) { (s, d) =>
+      val sh = shingles(s, d)
+      val minCols = (0 until SEEDS).map(k =>
+        min(PortableHash.spark(concat(lit(s"$k|"), col("s")))).as(s"h$k"))
+      val sig = sh.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+      val rowsPerBand = SEEDS / BANDS
+      val bands = (0 until BANDS).map { b =>
+        val key = md5(concat_ws("_",
+          (0 until rowsPerBand).map(r =>
+            col(s"h${b * rowsPerBand + r}").cast("string")): _*))
+        sig.select(col("doc_id"), lit(b).as("band"), key.as("bkey"))
+      }.reduce(_ unionByName _)
+      // bucket join: only docs agreeing on a full band ever meet — this is
+      // the 100-TB path (shuffle by (band, bkey), no all-pairs compare)
+      val a = bands.select(col("band"), col("bkey"), col("doc_id").as("doc_a"))
+      val b = bands.select(col("band").as("band_b"), col("bkey").as("bkey_b"),
+        col("doc_id").as("doc_b"))
+      a.join(b, col("band") === col("band_b") && col("bkey") === col("bkey_b") &&
+          col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b").distinct()
+        .orderBy("doc_a", "doc_b")
+    },
+    // ------------------------------------------------------------ L2b SimHash
+    QueryDef.sql("l2b_simhash", duckSimhashSql) { (s, d) =>
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .withColumn("h", PortableHash.spark(col("tok")))
+      val sumCols = (0 until SIMBITS).map(j =>
+        sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1)
+          .otherwise(-1)).as(s"s$j"))
+      val sums = toks.groupBy("doc_id").agg(sumCols.head, sumCols.tail: _*)
+      val fp = (0 until SIMBITS).map(j =>
+        when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
+      sums.select(col("doc_id"), fp.as("simhash")).orderBy("doc_id")
+    },
+    // ------------------------------------------------- L2c n-gram Jaccard
+    QueryDef.sql(
+      "l2c_ngram_jaccard",
+      s"""WITH sh AS ($duckShingles),
+         |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id)
+         |SELECT doc_a, doc_b,
+         |  round(CAST(shared AS DOUBLE) /
+         |    CAST(sa.n + sb.n - shared AS DOUBLE), 6) AS jaccard
+         |FROM pairs JOIN sz sa ON doc_a = sa.doc_id
+         |           JOIN sz sb ON doc_b = sb.doc_id
+         |WHERE CAST(shared AS DOUBLE) / CAST(sa.n + sb.n - shared AS DOUBLE)
+         |      >= 0.1
+         |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+      // inverted-index join on shared shingles — never all-pairs
+      val sh = shingles(s, d)
+      val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val pairs = sh.select(col("doc_id").as("doc_a"), col("s"))
+        .join(sh.select(col("doc_id").as("doc_b"), col("s")), "s")
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
+      val jac = col("shared").cast("double") /
+        (col("na") + col("nb") - col("shared")).cast("double")
+      pairs
+        .join(sz.select(col("doc_id"), col("n").as("na")),
+          col("doc_a") === col("doc_id")).drop("doc_id")
+        .join(sz.select(col("doc_id"), col("n").as("nb")),
+          col("doc_b") === col("doc_id")).drop("doc_id")
+        .filter(jac >= 0.1)
+        .select(col("doc_a"), col("doc_b"), round(jac, 6).as("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    },
+    // ---------------------------------------- L3 brute-force cosine top-k
+    QueryDef.sql(
+      "l3_cosine_topk",
+      """WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+        |    sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+        |      x -> x * x))) AS nrm
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, emb AS qe, nrm AS qn FROM n
+        |  WHERE vec_id < 5),
+        |p AS (SELECT q_id, vec_id AS neighbor_id,
+        |    round(list_sum(list_transform(generate_series(1, len(qe)),
+        |      i -> qe[i] * emb[i])) / (qn * nrm), 6) AS sim
+        |  FROM q, n WHERE vec_id <> q_id),
+        |r AS (SELECT q_id, neighbor_id, sim, row_number() OVER
+        |    (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS rn
+        |  FROM p)
+        |SELECT q_id, neighbor_id, sim, rn FROM r WHERE rn <= 5
+        |ORDER BY q_id, rn""".stripMargin) { (s, d) =>
+      val n = Tables.embeddings(s, d).select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+        .withColumn("nrm",
+          sqrt(expr("aggregate(transform(emb, x -> x * x)," +
+            " CAST(0.0 AS DOUBLE), (a, v) -> a + v)")))
+      val q = n.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("emb").as("qe"),
+          col("nrm").as("qn"))
+      val sim = round(
+        expr("aggregate(zip_with(qe, emb, (x, y) -> x * y)," +
+          " CAST(0.0 AS DOUBLE), (a, v) -> a + v)") / (col("qn") * col("nrm")),
+        6)
+      val w = Window.partitionBy("q_id")
+        .orderBy(col("sim").desc, col("neighbor_id"))
+      n.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("neighbor_id"), sim.as("sim"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .orderBy("q_id", "rn")
+    },
+    // ------------------------------------- L4 LSH-bucketed ANN (scale path)
+    QueryDef.sql(
+      "l4_ann_bucketed",
+      """WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+        |    sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+        |      x -> x * x))) AS nrm,
+        |    list_sum(list_transform(generate_series(1, 8),
+        |      i -> CASE WHEN embedding[i] > 0 THEN 1 << (i - 1) ELSE 0 END))
+        |      AS bucket
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, emb AS qe, nrm AS qn, bucket FROM n
+        |  WHERE vec_id < 20),
+        |p AS (SELECT q_id, n.vec_id AS neighbor_id,
+        |    round(list_sum(list_transform(generate_series(1, len(qe)),
+        |      i -> qe[i] * emb[i])) / (qn * nrm), 6) AS sim
+        |  FROM q JOIN n ON q.bucket = n.bucket AND n.vec_id <> q.q_id),
+        |r AS (SELECT q_id, neighbor_id, sim, row_number() OVER
+        |    (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS rn
+        |  FROM p)
+        |SELECT q_id, neighbor_id, sim, rn FROM r WHERE rn <= 3
+        |ORDER BY q_id, rn""".stripMargin) { (s, d) =>
+      // sign-of-first-8-dims bucket: candidates meet only within a bucket,
+      // so the join shuffles by bucket key instead of cross-joining — the
+      // same shape an IVF index gives at 100 TB.
+      val n = Tables.embeddings(s, d).select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"),
+          expr("aggregate(transform(sequence(1, 8)," +
+            " i -> IF(element_at(embedding, i) > CAST(0.0 AS FLOAT)," +
+            " shiftleft(1, i - 1), 0)), 0, (a, v) -> a + v)").as("bucket"))
+        .withColumn("nrm",
+          sqrt(expr("aggregate(transform(emb, x -> x * x)," +
+            " CAST(0.0 AS DOUBLE), (a, v) -> a + v)")))
+      val q = n.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("emb").as("qe"),
+          col("nrm").as("qn"), col("bucket").as("qbucket"))
+      val sim = round(
+        expr("aggregate(zip_with(qe, emb, (x, y) -> x * y)," +
+          " CAST(0.0 AS DOUBLE), (a, v) -> a + v)") / (col("qn") * col("nrm")),
+        6)
+      val w = Window.partitionBy("q_id")
+        .orderBy(col("sim").desc, col("neighbor_id"))
+      q.join(n, col("qbucket") === col("bucket") &&
+          col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("neighbor_id"), sim.as("sim"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .orderBy("q_id", "rn")
+    },
+    // ------------------------------------------------------- L5 text stats
+    QueryDef.sql(
+      "l5_text_stats",
+      """SELECT doc_id,
+        |  len(string_split(text, ' ')) AS n_tokens,
+        |  length(text) AS n_chars_m,
+        |  len(regexp_extract_all(text, '[.,!?;:]')) AS n_punct,
+        |  len(list_filter(string_split(text, ' '),
+        |    t -> t IN ('the', 'a', 'of', 'and', 'to'))) AS n_stop,
+        |  round(CAST(length(replace(text, ' ', '')) AS DOUBLE) /
+        |    CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS avg_tok_len
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        size(split(col("text"), " ")).as("n_tokens"),
+        length(col("text")).as("n_chars_m"),
+        expr("size(regexp_extract_all(text, '[.,!?;:]', 0))").as("n_punct"),
+        expr("size(filter(split(text, ' ')," +
+          " t -> t IN ('the', 'a', 'of', 'and', 'to')))").as("n_stop"),
+        round(length(regexp_replace(col("text"), " ", "")).cast("double") /
+          size(split(col("text"), " ")).cast("double"), 6).as("avg_tok_len"))
+        .orderBy("doc_id")
+    },
+    // --------------------------------------------- L6 corpus slice analytics
+    QueryDef.sql(
+      "l6_slice_analytics",
+      """SELECT lang, source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+        |  CAST(min(n_chars) AS BIGINT) AS min_chars,
+        |  CAST(max(n_chars) AS BIGINT) AS max_chars
+        |FROM documents GROUP BY lang, source
+        |ORDER BY lang, source""".stripMargin) { (s, d) =>
+      Tables.documents(s, d).groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          sum(size(split(col("text"), " ")).cast("long")).as("total_tokens"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"))
+        .orderBy("lang", "source")
+    },
+    // -------------------------------------------- L7 language-ID heuristic
+    QueryDef.sql("l7_langid", duckLangIdSql) { (s, d) =>
+      val hits = LangId.stopwords.map { case (lang, words) =>
+        expr(s"size(filter(split(text, ' '), t -> t IN (${words
+          .map(w => s"'$w'").mkString(", ")})))").as(s"hits_$lang")
+      }
+      val pred = LangId.caseChain((l: String) => col(s"hits_$l"))
+      Tables.documents(s, d)
+        .select(Seq(col("doc_id"), col("lang")) ++ hits: _*)
+        .select(col("doc_id"), pred.as("pred_lang"),
+          (pred === col("lang")).as("is_correct"))
+        .orderBy("doc_id")
+    },
+    // --------------------------------------------- L8 quality scoring
+    QueryDef.sql(
+      "l8_quality_score",
+      """SELECT doc_id, round(
+        |  least(CAST(1.0 AS DOUBLE), CAST(len(string_split(text, ' ')) AS DOUBLE)
+        |    / CAST(200 AS DOUBLE)) * CAST(0.5 AS DOUBLE)
+        |  + (CAST(len(list_filter(string_split(text, ' '),
+        |      t -> t IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE)
+        |     / CAST(len(string_split(text, ' ')) AS DOUBLE)) * CAST(3.0 AS DOUBLE)
+        |  + (CAST(1.0 AS DOUBLE) - least(CAST(1.0 AS DOUBLE),
+        |      CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) * CAST(10.0 AS DOUBLE)
+        |        / CAST(length(text) AS DOUBLE))) * CAST(0.2 AS DOUBLE),
+        |  6) AS quality
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val nTok = size(split(col("text"), " ")).cast("double")
+      val nStop = expr("size(filter(split(text, ' ')," +
+        " t -> t IN ('the', 'a', 'of', 'and', 'to')))").cast("double")
+      val nPunct = expr("size(regexp_extract_all(text, '[.,!?;:]', 0))")
+        .cast("double")
+      val quality =
+        least(lit(1.0), nTok / lit(200.0)) * lit(0.5) +
+          (nStop / nTok) * lit(3.0) +
+          (lit(1.0) - least(lit(1.0),
+            nPunct * lit(10.0) / length(col("text")).cast("double"))) * lit(0.2)
+      Tables.documents(s, d)
+        .select(col("doc_id"), round(quality, 6).as("quality"))
+        .orderBy("doc_id")
+    },
+    // ------------------------------------------- L9 document fingerprinting
+    QueryDef.sql(
+      "l9_fingerprint",
+      s"""SELECT doc_id,
+         |  bit_xor(${PortableHash.duck("tok")}) AS fp,
+         |  count(*) AS n_uniq_tokens
+         |FROM (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+         |      FROM documents) t
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      // order-independent fingerprint: xor-fold of distinct token hashes
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .distinct()
+        .groupBy("doc_id")
+        .agg(expr(
+          "bit_xor(CAST(conv(substring(md5(tok), 1, 15), 16, 10) AS BIGINT))")
+          .as("fp"), count(lit(1)).as("n_uniq_tokens"))
+        .orderBy("doc_id")
+    }
+  )
+
+  /** DuckDB mirror of the MinHash+LSH pipeline, generated from the same
+    * SEEDS/BANDS constants as the Spark side.
+    */
+  private lazy val duckMinhashSql: String = {
+    val mins = (0 until SEEDS).map(k =>
+      s"min(${PortableHash.duck(s"concat('$k|', s)")}) AS h$k").mkString(",\n  ")
+    val rowsPerBand = SEEDS / BANDS
+    val bands = (0 until BANDS).map { b =>
+      val key = (0 until rowsPerBand)
+        .map(r => s"CAST(h${b * rowsPerBand + r} AS VARCHAR)")
+        .mkString("concat_ws('_', ", ", ", ")")
+      s"SELECT doc_id, $b AS band, md5($key) AS bkey FROM sig"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH sh AS ($duckShingles),
+       |sig AS (SELECT doc_id,
+       |  $mins
+       |FROM sh GROUP BY doc_id),
+       |bands AS (
+       |  $bands)
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |FROM bands a JOIN bands b
+       |  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** DuckDB mirror of the 32-bit SimHash. */
+  private lazy val duckSimhashSql: String = {
+    val h = PortableHash.duck("tok")
+    val sums = (0 until SIMBITS).map(j =>
+      s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j")
+      .mkString(",\n  ")
+    val fp = (0 until SIMBITS).map(j =>
+      s"(CASE WHEN s$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH toks AS (SELECT doc_id, $h AS h
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+       |        FROM documents) t),
+       |sums AS (SELECT doc_id,
+       |  $sums
+       |FROM toks GROUP BY doc_id)
+       |SELECT doc_id, CAST($fp AS BIGINT) AS simhash
+       |FROM sums ORDER BY doc_id""".stripMargin
+  }
+
+  private lazy val duckLangIdSql: String = {
+    val hitCols = LangId.stopwords.map { case (lang, words) =>
+      s"len(list_filter(string_split(text, ' '), t -> t IN (${words
+        .map(w => s"'$w'").mkString(", ")}))) AS hits_$lang"
+    }.mkString(",\n  ")
+    val pred = LangId.caseChainSql(l => s"hits_$l")
+    s"""WITH h AS (SELECT doc_id, lang,
+       |  $hitCols
+       |FROM documents)
+       |SELECT doc_id, $pred AS pred_lang,
+       |  ($pred = lang) AS is_correct
+       |FROM h ORDER BY doc_id""".stripMargin
+  }
+}
+
+/** Tiny n-gram/stopword language-ID heuristic shared by the Spark query and
+  * its DuckDB oracle. Priority order resolves ties deterministically.
+  */
+object LangId {
+  val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "a"),
+    "de" -> Seq("der", "und", "die", "das", "ist"),
+    "es" -> Seq("el", "la", "de", "y", "que"),
+    "fr" -> Seq("le", "et", "les", "des", "une"),
+    "zh" -> Seq("的", "是", "不", "了", "在"))
+
+  private val langs = stopwords.map(_._1)
+
+  /** first lang (in priority order) whose hit count ties-or-beats the rest */
+  def caseChain(hits: String => Column): Column =
+    langs.init.reverse.foldLeft(lit(langs.last)) { (elseCol, l) =>
+      val ge = langs.filterNot(_ == l)
+        .map(o => hits(l) >= hits(o)).reduce(_ && _)
+      when(ge, lit(l)).otherwise(elseCol)
+    }
+
+  def caseChainSql(hits: String => String): String = {
+    val whens = langs.init.map { l =>
+      val ge = langs.filterNot(_ == l)
+        .map(o => s"${hits(l)} >= ${hits(o)}").mkString(" AND ")
+      s"WHEN $ge THEN '$l'"
+    }.mkString(" ")
+    s"(CASE $whens ELSE '${langs.last}' END)"
+  }
+}

@@ -1,0 +1,68 @@
+package graft.relational
+
+import graft.{SparkSpec, SparkEntry}
+
+/** Plan-shape assertions (SURVEY.md §5.2.6): the optimizer must actually
+  * pick the scale-critical physical operators — broadcast for dim joins,
+  * partial+final aggregation, top-k fusion, parquet filter pushdown.
+  * Correctness of the same queries is covered by the DuckDB oracle.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+
+  test("dimension joins broadcast (J2)") {
+    val p = plan("j2_join_broadcast_dims")
+    assert(p.contains("BroadcastHashJoin"), p.take(500))
+  }
+
+  test("fact-fact join is a shuffle join, not broadcast of the fact (J3)") {
+    val p = plan("j3_join_fact_fact")
+    assert(p.contains("Join"), p.take(500))
+  }
+
+  test("aggregation is partial+final (G5)") {
+    val p = plan("g2_agg_pricing_summary")
+    assert(p.contains("partial_"), p.take(800))
+    assert(p.contains("HashAggregate"), p.take(800))
+  }
+
+  test("top-k fuses to TakeOrderedAndProject (O3)") {
+    val p = plan("o3_topk")
+    assert(p.contains("TakeOrderedAndProject"), p.take(500))
+  }
+
+  test("filters and projection push into the parquet scan (S1)") {
+    val p = plan("s1_scan_project")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p.take(1200))
+    assert(p.contains("ReadSchema"), p.take(1200))
+    // only the 4 referenced columns are read
+    assert(!p.contains("l_comment") && !p.contains("l_tax"))
+  }
+
+  test("range join broadcasts the bucket side (J8)") {
+    val p = plan("j8_join_range")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(500))
+  }
+
+  test("whole-stage codegen covers the hot aggregation path") {
+    // AQE prints the final (codegen'd) plan only after execution
+    val df = SparkEntry.queries("g2_agg_pricing_summary")(spark, sf("sf0.001"))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // AQE's final plan renders whole-stage-codegen spans as "*(n)" markers
+    assert(p.contains("WholeStageCodegen") || p.contains("*("), p.take(800))
+  }
+
+  test("every registered query has distinct name and runnable plan") {
+    val names = SparkEntry.allDefs.map(_.name)
+    assert(names.distinct.size == names.size)
+    // analysis-only check: resolve plans without executing
+    SparkEntry.allDefs.filterNot(_.name.startsWith("graph_")).foreach { q =>
+      q.run(spark, sf("sf0.001")).queryExecution.analyzed
+    }
+  }
+}

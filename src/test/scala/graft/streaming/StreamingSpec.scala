@@ -1,0 +1,125 @@
+package graft.streaming
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import java.sql.Timestamp
+
+/** Structured-Streaming behavior tests (SURVEY.md §5.2.5): streaming window
+  * aggregates equal their batch equivalents on the same data; watermarks
+  * drop late rows; stateful dedup and per-user state work incrementally.
+  */
+class StreamingSpec extends SparkSpec {
+
+  private def ts(minute: Int, sec: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 00:$minute%02d:$sec%02d")
+
+  private def eventsFixture: Seq[EventRow] = Seq(
+    EventRow(1L, ts(0), 1L, "view", 1.0),
+    EventRow(2L, ts(3), 1L, "view", 2.0),
+    EventRow(3L, ts(6), 2L, "click", 3.0),
+    EventRow(4L, ts(11), 1L, "view", 4.0),
+    EventRow(5L, ts(14), 2L, "click", 5.0),
+    EventRow(6L, ts(55), 1L, "view", 6.0))
+
+  test("streaming tumbling window equals batch on same data (T2)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventRow]
+    mem.addData(eventsFixture: _*)
+    val got = StreamingOps.runToMemory(spark,
+      StreamingOps.tumblingCounts(mem.toDF()), "t2_stream",
+      OutputMode.Complete())
+      .orderBy("w_start", "event_type").collect()
+    val want = StreamingOps.tumblingCounts(eventsFixture.toDF())
+      .orderBy("w_start", "event_type").collect()
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("watermark drops late rows in append mode (T1/T7)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventRow]
+    val q = StreamingOps.tumblingCounts(mem.toDF()).writeStream
+      .format("memory").queryName("t7_stream")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData(EventRow(1L, ts(0), 1L, "view", 1.0))
+    q.processAllAvailable()
+    // advance event time far past watermark, closing the first window
+    mem.addData(EventRow(2L, ts(55), 1L, "view", 2.0))
+    q.processAllAvailable()
+    // late row for the long-closed first window → dropped
+    mem.addData(EventRow(3L, ts(1), 1L, "view", 9.0))
+    q.processAllAvailable()
+    mem.addData(EventRow(4L, ts(59), 1L, "view", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val w0 = spark.table("t7_stream")
+      .filter(col("w_start") === ts(0)).collect()
+    assert(w0.forall(_.getAs[Long]("n") == 1L),
+      s"late row was not dropped: ${w0.mkString(",")}")
+  }
+
+  test("dropDuplicatesWithinWatermark dedups by event_id (T5)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventRow]
+    mem.addData(
+      EventRow(1L, ts(0), 1L, "view", 1.0),
+      EventRow(1L, ts(0, 30), 1L, "view", 1.0),
+      EventRow(2L, ts(1), 1L, "view", 2.0))
+    val got = StreamingOps.runToMemory(spark,
+      StreamingOps.dedupWithinWatermark(mem.toDF()), "t5_stream")
+    assert(got.count() == 2)
+  }
+
+  test("mapGroupsWithState accumulates per-user state across batches (T6)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventRow]
+    val q = StreamingOps
+      .runningUserTotals(spark, mem.toDS())
+      .writeStream.format("memory").queryName("t6_stream")
+      .outputMode(OutputMode.Update()).start()
+    mem.addData(EventRow(1L, ts(0), 7L, "view", 1.0))
+    q.processAllAvailable()
+    mem.addData(EventRow(2L, ts(1), 7L, "view", 2.5))
+    q.processAllAvailable()
+    q.stop()
+    val last = spark.table("t6_stream").filter(col("user_id") === 7L)
+      .orderBy(col("n_events").desc).collect().head
+    assert(last.getAs[Long]("n_events") == 2L)
+    assert(math.abs(last.getAs[Double]("total_value") - 3.5) < 1e-9)
+  }
+
+  test("stream-static join enriches events with the customer dim (T8)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventRow]
+    mem.addData(EventRow(1L, ts(0), 0L, "view", 1.0))
+    val dim = Tables.customer(spark, sf("sf0.001"))
+    val got = StreamingOps.runToMemory(spark,
+      StreamingOps.streamStaticJoin(mem.toDF(), dim), "t8_stream")
+    assert(got.count() == 1)
+    assert(got.collect().head.getAs[String]("c_mktsegment").nonEmpty)
+  }
+
+  test("streaming file source over events parquet works end-to-end (S6)") {
+    val schema = Tables.events(spark, sf("sf0.001")).schema
+    // file streaming source needs a plain-schema dir; stage a µs-normalized
+    // copy (the raw corpus is TIMESTAMP(NANOS) which the source rejects)
+    val dir = java.nio.file.Files.createTempDirectory("events_stream")
+    Tables.events(spark, sf("sf0.001")).write.mode("overwrite")
+      .parquet(dir.toString + "/data")
+    val stream = spark.readStream.schema(schema)
+      .parquet(dir.toString + "/data")
+    val got = StreamingOps.runToMemory(spark,
+      StreamingOps.tumblingCounts(stream), "s6_stream",
+      OutputMode.Complete())
+    val want = StreamingOps.tumblingCounts(
+      Tables.events(spark, sf("sf0.001")))
+    assert(got.count() == want.count())
+  }
+}

@@ -1,0 +1,102 @@
+package graft.text
+
+import graft.{SparkSpec, SparkEntry}
+import org.apache.spark.sql.functions._
+
+/** Behavioral checks for the LLM-pipeline operators beyond the oracle
+  * hash-compare: the dedup family must actually FIND planted duplicates.
+  */
+class TextOpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+
+  private def withDocs(df: org.apache.spark.sql.DataFrame)(
+      body: String => Unit): Unit = {
+    val dir = java.nio.file.Files.createTempDirectory("textops").toString
+    df.coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // satisfy loaders that touch other tables
+    spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    body(dir)
+  }
+
+  test("minhash LSH finds a near-duplicate pair, skips unrelated docs") {
+    // inputs chosen so the near-dup pair shares a full LSH band under the
+    // fixed md5 seed family (verified against the oracle-side simulation)
+    val base = ("alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliet kilo lima mike november oscar papa quebec romeo sierra tango " +
+      "uniform victor whiskey xray yankee zulu one two three four five six " +
+      "seven eight nine ten eleven twelve thirteen fourteen")
+    val nearDup = base + " fifteen"
+    val other = "completely different content about spark engines " +
+      "and distributed query processing with columnar storage formats " +
+      "arranged for scale"
+    withDocs(docs(1L -> base, 2L -> nearDup, 3L -> other)) { dir =>
+      val pairs = SparkEntry.queries("l2_minhash_lsh")(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs.contains((1L, 2L)), s"missing near-dup pair: $pairs")
+      assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    }
+  }
+
+  test("ngram jaccard scores the planted pair high") {
+    val base = ("alpha beta gamma delta epsilon zeta eta theta " * 4).trim
+    withDocs(docs(1L -> base, 2L -> (base + " iota"),
+      3L -> "unrelated words entirely disjoint vocabulary here now")) { dir =>
+      val rows = SparkEntry.queries("l2c_ngram_jaccard")(spark, dir).collect()
+      val planted = rows.find(r => r.getLong(0) == 1L && r.getLong(1) == 2L)
+      assert(planted.isDefined)
+      assert(planted.get.getAs[Double]("jaccard") > 0.8)
+    }
+  }
+
+  test("exact dedup counts duplicates") {
+    withDocs(docs(1L -> "same text", 2L -> "same text", 3L -> "different")) {
+      dir =>
+        val r = SparkEntry.queries("l1_exact_dedup")(spark, dir).collect()
+        assert(r.head.getAs[Long]("n_docs") == 3)
+        assert(r.head.getAs[Long]("n_uniq") == 2)
+        assert(r.head.getAs[Long]("n_dups") == 1)
+    }
+  }
+
+  test("simhash: identical docs share fingerprints, disjoint docs differ") {
+    withDocs(docs(1L -> "alpha beta gamma", 2L -> "alpha beta gamma",
+      3L -> "totally disjoint vocabulary set")) { dir =>
+      val fp = SparkEntry.queries("l2b_simhash")(spark, dir)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(fp(1L) == fp(2L))
+      assert(fp(1L) != fp(3L))
+    }
+  }
+
+  test("cosine top-k ranks an identical vector first") {
+    val dir = java.nio.file.Files.createTempDirectory("vec").toString
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f), 0),
+      (5L, Array(1.0f, 0.0f, 0.0f, 0.0f), 0), // identical to query 0
+      (6L, Array(0.9f, 0.1f, 0.0f, 0.0f), 0),
+      (7L, Array(0.0f, 1.0f, 0.0f, 0.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    emb.coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val top = SparkEntry.queries("l3_cosine_topk")(spark, dir)
+      .filter(col("q_id") === 0 && col("rn") === 1).collect().head
+    assert(top.getAs[Long]("neighbor_id") == 5L)
+    assert(math.abs(top.getAs[Double]("sim") - 1.0) < 1e-6)
+  }
+
+  test("langid heuristic picks the language with most stopword hits") {
+    withDocs(docs(1L -> "the cat and the dog of the town",
+      2L -> "der hund und die katze ist hier")) { dir =>
+      val got = SparkEntry.queries("l7_langid")(spark, dir)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got(1L) == "en")
+      assert(got(2L) == "de")
+    }
+  }
+}
