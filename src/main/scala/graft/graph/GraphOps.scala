@@ -141,12 +141,28 @@ object GraphOps {
 
   /** Build a GraphX graph from the relations (north-star analytics path,
     * BASELINE.json "GraphX/Pregel for analytics").
+    *
+    * Partition count scales with the edge data instead of inheriting the
+    * session shuffle default: GraphX's iterative jobs pay per-partition
+    * scheduling overhead every superstep, which dwarfs compute on small
+    * graphs (and a 100-TB graph would pass a higher explicit parallelism).
     */
-  def toGraphX(g: GraphTables): Graph[String, String] = {
+  def toGraphX(g: GraphTables, numPartitions: Int = 0): Graph[String, String] = {
+    val p =
+      if (numPartitions > 0) numPartitions
+      else {
+        // ~1M edges per partition, capped at the session's parallelism;
+        // g.edges is cached upstream so the count is a memory scan
+        val perPartition = 1000000L
+        val target = (g.edges.count() / perPartition + 1).toInt
+        math.max(1, math.min(target,
+          g.edges.sparkSession.sparkContext.defaultParallelism))
+      }
     val vertices = g.nodes.rdd
       .map(n => (n.id: VertexId, s"${n.label}:${n.name}"))
-    val edges = g.edges.rdd.map(e => Edge(e.src, e.dst, e.relType))
-    Graph(vertices, edges)
+      .coalesce(p)
+    val edgesRdd = g.edges.rdd.map(e => Edge(e.src, e.dst, e.relType))
+    Graph(vertices, edgesRdd.coalesce(p))
   }
 
   /** Out/in/total degree per node (Q9). */
