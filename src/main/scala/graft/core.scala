@@ -82,4 +82,19 @@ object Det {
   }
   def duckCentAvg(expr: String, scale: Int): String =
     s"(${duckCentSum(expr, scale)}) / count(*)"
+
+  /** Engine-portable rounding of a continuous double. `round(x, n)` is NOT
+    * portable: Spark rounds the shortest decimal representation (HALF_UP on
+    * `BigDecimal.valueOf`), DuckDB rounds the binary value, and they
+    * disagree on exact .5 boundaries. floor(x·10ⁿ + 0.5)/10ⁿ is pure IEEE
+    * arithmetic — bit-identical everywhere.
+    */
+  def portableRound(c: Column, scale: Int): Column = {
+    val f = math.pow(10, scale)
+    floor(c * f + 0.5) / f
+  }
+  def duckPortableRound(expr: String, scale: Int): String = {
+    val f = math.pow(10, scale).toLong
+    s"floor(($expr) * $f + 0.5) / CAST($f AS DOUBLE)"
+  }
 }

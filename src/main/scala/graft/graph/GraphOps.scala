@@ -137,6 +137,50 @@ object GraphOps {
         x => x.getField("content")), " ").as("subtree_text"))
   }
 
+  /** Cross-table link (A17; `new-converter.js:34-42`): connect document
+    * root nodes to dimension nodes by an equi-key — e.g. each service
+    * bulletin to the aircraft it `APPLIES_TO`. `mapping` columns:
+    * (docnbr, target_name). Dimension nodes are created shared
+    * (docnbr = "", like line numbers) and edges are keyed by deterministic
+    * ids, so re-linking is idempotent under [[upsert]].
+    */
+  def linkDocsTo(g: GraphTables, mapping: DataFrame, targetLabel: String,
+      relType: String, batch: String): GraphTables = {
+    val spark = g.nodes.sparkSession
+    import spark.implicits._
+    val nodeIdUdf = udf((name: String) =>
+      GraphModel.nodeId(targetLabel, name, "", ""))
+    val dimNodes = mapping.select(col("target_name")).distinct()
+      .select(nodeIdUdf(col("target_name")).as("id"),
+        lit(targetLabel).as("label"), col("target_name").as("name"),
+        lit("").as("content"), lit("").as("docnbr"), lit(batch).as("batch"),
+        typedLit(Seq.empty[Int]).as("path"))
+      .as[NodeRow]
+    val roots = g.nodes
+      .filter(col("path") === typedLit(Seq.empty[Int]) &&
+        col("docnbr") =!= "")
+      .select(col("id").as("root_id"), col("docnbr"))
+    val newEdges = mapping.join(roots, "docnbr")
+      .select(col("root_id").as("src"),
+        nodeIdUdf(col("target_name")).as("dst"),
+        lit(relType).as("relType"), col("docnbr"), lit(batch).as("batch"))
+      .as[EdgeRow]
+    upsert(g, GraphTables(dimNodes, newEdges))
+  }
+
+  /** Content update (A18; `MATCH … SET n.content` `new-converter.js:136-141`)
+    * as a join-update: no in-place mutation, one shuffle, missing keys keep
+    * their old content. `updates` columns: (id, new_content).
+    */
+  def updateContent(g: GraphTables, updates: DataFrame): GraphTables = {
+    val upd = updates.select(col("id"), col("new_content"))
+    val nodes = g.nodes.join(upd, Seq("id"), "left_outer")
+      .withColumn("content", coalesce(col("new_content"), col("content")))
+      .drop("new_content")
+      .as(g.nodes.encoder)
+    GraphTables(nodes, g.edges)
+  }
+
   // ------------------------------------------------------------------ GraphX
 
   /** Build a GraphX graph from the relations (north-star analytics path,

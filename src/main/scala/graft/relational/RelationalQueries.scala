@@ -393,14 +393,15 @@ object RelationalQueries {
     },
     QueryDef.sql(
       "w5_ntile_pctrank",
-      """SELECT c_custkey,
-        |  ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS quartile,
-        |  round(percent_rank() OVER (ORDER BY c_acctbal, c_custkey), 6) AS pr
-        |FROM customer ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      s"""SELECT c_custkey,
+         |  ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS quartile,
+         |  ${Det.duckPortableRound(
+             "percent_rank() OVER (ORDER BY c_acctbal, c_custkey)", 6)} AS pr
+         |FROM customer ORDER BY c_custkey""".stripMargin) { (s, d) =>
       val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
       Tables.customer(s, d)
         .select(col("c_custkey"), ntile(4).over(w).as("quartile"),
-          round(percent_rank().over(w), 6).as("pr"))
+          Det.portableRound(percent_rank().over(w), 6).as("pr"))
         .orderBy("c_custkey")
     },
     // ---------------------------------------------------- sorts/limits (O)
@@ -614,6 +615,41 @@ object RelationalQueries {
         expr("CAST(o_totalprice AS BIGINT)").as("price_floor"),
         col("o_orderdate").cast("date").as("order_day"))
         .orderBy("o_orderkey")
+    },
+    QueryDef.sql(
+      "f11_array_functions",
+      """SELECT vec_id, len(embedding) AS n_dims,
+        |  embedding[1] AS first_val,
+        |  list_sort(embedding[1:4]) AS first4_sorted,
+        |  list_max(embedding) AS max_val,
+        |  list_min(embedding) AS min_val,
+        |  list_reverse(embedding[1:3]) AS first3_rev
+        |FROM embeddings ORDER BY vec_id""".stripMargin) { (s, d) =>
+      Tables.embeddings(s, d).select(col("vec_id"),
+        size(col("embedding")).as("n_dims"),
+        element_at(col("embedding"), 1).as("first_val"),
+        array_sort(slice(col("embedding"), 1, 4)).as("first4_sorted"),
+        array_max(col("embedding")).as("max_val"),
+        array_min(col("embedding")).as("min_val"),
+        reverse(slice(col("embedding"), 1, 3)).as("first3_rev"))
+        .orderBy("vec_id")
+    },
+    QueryDef.sql(
+      "f12_map_functions",
+      // oracle side is the columns the map round-trips back to — the Spark
+      // side exercises map construction/access/keys/size over F12's surface
+      """SELECT doc_id, lang AS m_lang, source AS m_source,
+        |  'lang,source' AS m_keys, 2 AS m_size
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("m", map(lit("lang"), col("lang"),
+          lit("source"), col("source")))
+        .select(col("doc_id"),
+          element_at(col("m"), "lang").as("m_lang"),
+          element_at(col("m"), "source").as("m_source"),
+          array_join(array_sort(map_keys(col("m"))), ",").as("m_keys"),
+          size(col("m")).as("m_size"))
+        .orderBy("doc_id")
     },
     QueryDef.sql(
       "f13_json",

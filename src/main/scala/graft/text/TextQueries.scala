@@ -27,6 +27,12 @@ object TextQueries {
   private val SEEDS  = 16 // minhash signature length
   private val BANDS  = 4  // LSH bands (4 rows per band)
   private val SIMBITS = 32
+  // universal hash family over one base md5 hash: h_k = (a_k·h + b_k) mod P.
+  // One md5 per shingle instead of SEEDS md5s — 16× fewer digest calls on
+  // the ingest-side hot path; P = 2^31-1 keeps a_k·h < 2^63.
+  private val P = 2147483647L
+  private def hashA(k: Int): Long = 2L * k + 1
+  private def hashB(k: Int): Long = 12345L * k + 1
 
   /** doc → distinct word-3-shingle rows; the shared frontend of the
     * near-dup family. 0-based in Spark, mirrored 1-based in DuckDB.
@@ -65,8 +71,9 @@ object TextQueries {
     // -------------------------------------------------- L2 MinHash+LSH dedup
     QueryDef.sql("l2_minhash_lsh", duckMinhashSql) { (s, d) =>
       val sh = shingles(s, d)
+        .select(col("doc_id"), (PortableHash.spark(col("s")) % P).as("hb"))
       val minCols = (0 until SEEDS).map(k =>
-        min(PortableHash.spark(concat(lit(s"$k|"), col("s")))).as(s"h$k"))
+        min((lit(hashA(k)) * col("hb") + hashB(k)) % P).as(s"h$k"))
       val sig = sh.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
       val rowsPerBand = SEEDS / BANDS
       val bands = (0 until BANDS).map { b =>
@@ -108,8 +115,9 @@ object TextQueries {
          |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
          |  GROUP BY a.doc_id, b.doc_id)
          |SELECT doc_a, doc_b,
-         |  round(CAST(shared AS DOUBLE) /
-         |    CAST(sa.n + sb.n - shared AS DOUBLE), 6) AS jaccard
+         |  ${graft.Det.duckPortableRound(
+            "CAST(shared AS DOUBLE) / CAST(sa.n + sb.n - shared AS DOUBLE)",
+            6)} AS jaccard
          |FROM pairs JOIN sz sa ON doc_a = sa.doc_id
          |           JOIN sz sb ON doc_b = sb.doc_id
          |WHERE CAST(shared AS DOUBLE) / CAST(sa.n + sb.n - shared AS DOUBLE)
@@ -130,7 +138,8 @@ object TextQueries {
         .join(sz.select(col("doc_id"), col("n").as("nb")),
           col("doc_b") === col("doc_id")).drop("doc_id")
         .filter(jac >= 0.1)
-        .select(col("doc_a"), col("doc_b"), round(jac, 6).as("jaccard"))
+        .select(col("doc_a"), col("doc_b"),
+          graft.Det.portableRound(jac, 6).as("jaccard"))
         .orderBy("doc_a", "doc_b")
     },
     // ---------------------------------------- L3 brute-force cosine top-k
@@ -143,26 +152,26 @@ object TextQueries {
         |q AS (SELECT vec_id AS q_id, emb AS qe, nrm AS qn FROM n
         |  WHERE vec_id < 5),
         |p AS (SELECT q_id, vec_id AS neighbor_id,
-        |    round(list_sum(list_transform(generate_series(1, len(qe)),
-        |      i -> qe[i] * emb[i])) / (qn * nrm), 6) AS sim
+        |    floor(list_sum(list_transform(generate_series(1, len(qe)),
+        |      i -> qe[i] * emb[i])) / (qn * nrm) * 1000000 + 0.5)
+        |      / CAST(1000000 AS DOUBLE) AS sim
         |  FROM q, n WHERE vec_id <> q_id),
         |r AS (SELECT q_id, neighbor_id, sim, row_number() OVER
         |    (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS rn
         |  FROM p)
         |SELECT q_id, neighbor_id, sim, rn FROM r WHERE rn <= 5
         |ORDER BY q_id, rn""".stripMargin) { (s, d) =>
+      // hot path uses the native codegen'd DotProduct expression — same
+      // sequential fold as the oracle's list_sum, ~no per-element lambda cost
+      graft.functions.DotProduct.register(s)
       val n = Tables.embeddings(s, d).select(col("vec_id"),
           expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
-        .withColumn("nrm",
-          sqrt(expr("aggregate(transform(emb, x -> x * x)," +
-            " CAST(0.0 AS DOUBLE), (a, v) -> a + v)")))
+        .withColumn("nrm", sqrt(expr("graft_dot(emb, emb)")))
       val q = n.filter(col("vec_id") < 5)
         .select(col("vec_id").as("q_id"), col("emb").as("qe"),
           col("nrm").as("qn"))
-      val sim = round(
-        expr("aggregate(zip_with(qe, emb, (x, y) -> x * y)," +
-          " CAST(0.0 AS DOUBLE), (a, v) -> a + v)") / (col("qn") * col("nrm")),
-        6)
+      val sim = graft.Det.portableRound(
+        expr("graft_dot(qe, emb)") / (col("qn") * col("nrm")), 6)
       val w = Window.partitionBy("q_id")
         .orderBy(col("sim").desc, col("neighbor_id"))
       n.crossJoin(broadcast(q))
@@ -185,8 +194,9 @@ object TextQueries {
         |q AS (SELECT vec_id AS q_id, emb AS qe, nrm AS qn, bucket FROM n
         |  WHERE vec_id < 20),
         |p AS (SELECT q_id, n.vec_id AS neighbor_id,
-        |    round(list_sum(list_transform(generate_series(1, len(qe)),
-        |      i -> qe[i] * emb[i])) / (qn * nrm), 6) AS sim
+        |    floor(list_sum(list_transform(generate_series(1, len(qe)),
+        |      i -> qe[i] * emb[i])) / (qn * nrm) * 1000000 + 0.5)
+        |      / CAST(1000000 AS DOUBLE) AS sim
         |  FROM q JOIN n ON q.bucket = n.bucket AND n.vec_id <> q.q_id),
         |r AS (SELECT q_id, neighbor_id, sim, row_number() OVER
         |    (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS rn
@@ -207,7 +217,7 @@ object TextQueries {
       val q = n.filter(col("vec_id") < 20)
         .select(col("vec_id").as("q_id"), col("emb").as("qe"),
           col("nrm").as("qn"), col("bucket").as("qbucket"))
-      val sim = round(
+      val sim = graft.Det.portableRound(
         expr("aggregate(zip_with(qe, emb, (x, y) -> x * y)," +
           " CAST(0.0 AS DOUBLE), (a, v) -> a + v)") / (col("qn") * col("nrm")),
         6)
@@ -229,8 +239,9 @@ object TextQueries {
         |  len(regexp_extract_all(text, '[.,!?;:]')) AS n_punct,
         |  len(list_filter(string_split(text, ' '),
         |    t -> t IN ('the', 'a', 'of', 'and', 'to'))) AS n_stop,
-        |  round(CAST(length(replace(text, ' ', '')) AS DOUBLE) /
-        |    CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS avg_tok_len
+        |  floor(CAST(length(replace(text, ' ', '')) AS DOUBLE) /
+        |    CAST(len(string_split(text, ' ')) AS DOUBLE) * 1000000 + 0.5)
+        |    / CAST(1000000 AS DOUBLE) AS avg_tok_len
         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
       Tables.documents(s, d).select(col("doc_id"),
         size(split(col("text"), " ")).as("n_tokens"),
@@ -238,8 +249,10 @@ object TextQueries {
         expr("size(regexp_extract_all(text, '[.,!?;:]', 0))").as("n_punct"),
         expr("size(filter(split(text, ' ')," +
           " t -> t IN ('the', 'a', 'of', 'and', 'to')))").as("n_stop"),
-        round(length(regexp_replace(col("text"), " ", "")).cast("double") /
-          size(split(col("text"), " ")).cast("double"), 6).as("avg_tok_len"))
+        graft.Det.portableRound(
+          length(regexp_replace(col("text"), " ", "")).cast("double") /
+            size(split(col("text"), " ")).cast("double"), 6)
+          .as("avg_tok_len"))
         .orderBy("doc_id")
     },
     // --------------------------------------------- L6 corpus slice analytics
@@ -276,7 +289,7 @@ object TextQueries {
     // --------------------------------------------- L8 quality scoring
     QueryDef.sql(
       "l8_quality_score",
-      """SELECT doc_id, round(
+      """SELECT doc_id, floor((
         |  least(CAST(1.0 AS DOUBLE), CAST(len(string_split(text, ' ')) AS DOUBLE)
         |    / CAST(200 AS DOUBLE)) * CAST(0.5 AS DOUBLE)
         |  + (CAST(len(list_filter(string_split(text, ' '),
@@ -284,8 +297,8 @@ object TextQueries {
         |     / CAST(len(string_split(text, ' ')) AS DOUBLE)) * CAST(3.0 AS DOUBLE)
         |  + (CAST(1.0 AS DOUBLE) - least(CAST(1.0 AS DOUBLE),
         |      CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) * CAST(10.0 AS DOUBLE)
-        |        / CAST(length(text) AS DOUBLE))) * CAST(0.2 AS DOUBLE),
-        |  6) AS quality
+        |        / CAST(length(text) AS DOUBLE))) * CAST(0.2 AS DOUBLE)
+        |  ) * 1000000 + 0.5) / CAST(1000000 AS DOUBLE) AS quality
         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
       val nTok = size(split(col("text"), " ")).cast("double")
       val nStop = expr("size(filter(split(text, ' ')," +
@@ -298,7 +311,8 @@ object TextQueries {
           (lit(1.0) - least(lit(1.0),
             nPunct * lit(10.0) / length(col("text")).cast("double"))) * lit(0.2)
       Tables.documents(s, d)
-        .select(col("doc_id"), round(quality, 6).as("quality"))
+        .select(col("doc_id"),
+          graft.Det.portableRound(quality, 6).as("quality"))
         .orderBy("doc_id")
     },
     // ------------------------------------------- L9 document fingerprinting
@@ -327,7 +341,7 @@ object TextQueries {
     */
   private lazy val duckMinhashSql: String = {
     val mins = (0 until SEEDS).map(k =>
-      s"min(${PortableHash.duck(s"concat('$k|', s)")}) AS h$k").mkString(",\n  ")
+      s"min((${hashA(k)} * hb + ${hashB(k)}) % $P) AS h$k").mkString(",\n  ")
     val rowsPerBand = SEEDS / BANDS
     val bands = (0 until BANDS).map { b =>
       val key = (0 until rowsPerBand)
@@ -336,9 +350,10 @@ object TextQueries {
       s"SELECT doc_id, $b AS band, md5($key) AS bkey FROM sig"
     }.mkString("\n  UNION ALL\n  ")
     s"""WITH sh AS ($duckShingles),
+       |hs AS (SELECT doc_id, ${PortableHash.duck("s")} % $P AS hb FROM sh),
        |sig AS (SELECT doc_id,
        |  $mins
-       |FROM sh GROUP BY doc_id),
+       |FROM hs GROUP BY doc_id),
        |bands AS (
        |  $bands)
        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b

@@ -1,0 +1,77 @@
+package graft.graph
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Maintenance surface: graph-at-rest store (S5), cross-table link (A17),
+  * content update (A18).
+  */
+class GraphMaintenanceSpec extends SparkSpec {
+
+  lazy val g: GraphTables =
+    XmlIngest.ingest(spark, GraphQueries.XmlGlob, "b1")
+
+  test("save/load roundtrip preserves the graph (S5)") {
+    val dir = java.nio.file.Files.createTempDirectory("gstore")
+      .resolve("graph").toString
+    GraphStore.save(g, dir)
+    val back = GraphStore.load(spark, dir)
+    assert(back.nodes.count() == g.nodes.count())
+    assert(back.edges.count() == g.edges.count())
+    assert(back.nodes.select("id").except(g.nodes.select("id")).count() == 0)
+    // batch filters prune partitions at the scan
+    val plan = back.nodes.filter(col("batch") === "b1")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(batch"), plan.take(600))
+  }
+
+  test("atomic swap: second save replaces, partition drop deletes a batch") {
+    val dir = java.nio.file.Files.createTempDirectory("gstore2")
+      .resolve("graph").toString
+    GraphStore.save(g, dir)
+    // a second batch with distinct ids (id-shifted clone)
+    val g2 = GraphTables(
+      g.nodes.withColumn("id", col("id") + 1)
+        .withColumn("batch", lit("b9")).as(g.nodes.encoder),
+      g.edges.withColumn("src", col("src") + 1)
+        .withColumn("dst", col("dst") + 1)
+        .withColumn("batch", lit("b9")).as(g.edges.encoder))
+    GraphStore.save(GraphOps.upsert(g, g2), dir)
+    val both = GraphStore.load(spark, dir)
+    assert(both.nodes.select("batch").distinct().count() == 2)
+    GraphStore.dropBatchAtRest(dir, "b9")
+    val after = GraphStore.load(spark, dir)
+    assert(after.nodes.select("batch").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("b1"))
+  }
+
+  test("linkDocsTo connects roots to shared dimension nodes (A17)") {
+    import spark.implicits._
+    val mapping = Seq(
+      ("737-00-1028", "N737BA"), ("737-00-1029", "N737BA"),
+      ("737-00-1030", "N737BB"))
+      .toDF("docnbr", "target_name")
+    val linked = GraphOps.linkDocsTo(g, mapping, "Aircraft", "APPLIES_TO", "b1")
+    val aircraft = linked.nodes.filter(col("label") === "Aircraft")
+    assert(aircraft.count() == 2) // shared across docs
+    val applies = linked.edges.filter(col("relType") === "APPLIES_TO")
+    assert(applies.count() == 3)
+    // idempotent under repeat
+    val again = GraphOps.linkDocsTo(linked, mapping, "Aircraft",
+      "APPLIES_TO", "b1")
+    assert(again.nodes.count() == linked.nodes.count())
+    assert(again.edges.count() == linked.edges.count())
+  }
+
+  test("updateContent sets matched nodes, keeps the rest (A18)") {
+    import spark.implicits._
+    val someId = g.nodes.filter(col("label") === "Subject")
+      .select("id").collect().head.getLong(0)
+    val updated = GraphOps.updateContent(g,
+      Seq((someId, "NEW SUBJECT")).toDF("id", "new_content"))
+    assert(updated.nodes.filter(col("id") === someId)
+      .select("content").collect().head.getString(0) == "NEW SUBJECT")
+    assert(updated.nodes.filter(col("content") === "NEW SUBJECT").count() == 1)
+    assert(updated.nodes.count() == g.nodes.count())
+  }
+}
