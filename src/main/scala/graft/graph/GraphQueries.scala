@@ -45,6 +45,17 @@ object GraphQueries {
     QueryDef.rowsOnly("graph_flagship_neighborhood") { (s, _) =>
       flagship(s)
     },
+    QueryDef.rowsOnly("s3_text_lines") { (s, _) =>
+      // S3 line-oriented text source (reference `xml2neo.py:69-70`): the
+      // legacy generation's scan path, kept as a first-class source
+      s.read.text(XmlGlob)
+        .filter(length(trim(col("value"))) > 0)
+        .select(regexp_extract(col("value"), "<([a-zA-Z_]+)[ >]", 1)
+          .as("tag"))
+        .filter(col("tag") =!= "")
+        .groupBy("tag").agg(count(lit(1)).as("n_lines"))
+        .orderBy("tag")
+    },
     QueryDef.rowsOnly("graph_ingest_stats") { (s, _) =>
       graph(s).nodes.groupBy("label")
         .agg(count(lit(1)).as("n_nodes")).orderBy("label")
@@ -102,6 +113,34 @@ object GraphQueries {
     QueryDef.rowsOnly("graph_pagerank") { (s, _) =>
       GraphOps.pageRank(s, graph(s), iters = 10)
         .orderBy(col("rank").desc, col("label"), col("name")).limit(10)
+    },
+    QueryDef.rowsOnly("graph_sql_views") { (s, _) =>
+      // B1 over the graph: register relations as views, answer in pure SQL
+      val g = graph(s)
+      g.nodes.createOrReplaceTempView("nodes")
+      g.edges.createOrReplaceTempView("edges")
+      s.sql(
+        """SELECT p.label AS parent_label, e.relType, c.label AS child_label,
+          |       count(*) AS n
+          |FROM edges e
+          |JOIN nodes p ON e.src = p.id
+          |JOIN nodes c ON e.dst = c.id
+          |WHERE e.relType LIKE 'HAS\\_%'
+          |GROUP BY p.label, e.relType, c.label
+          |ORDER BY parent_label, relType, child_label""".stripMargin)
+    },
+    QueryDef.rowsOnly("graph_viz_export") { (s, _) =>
+      // B9: whole-graph feed for a renderer — (src name, relType, dst name)
+      val g = graph(s)
+      val names = g.nodes.select(col("id"),
+        concat_ws(":", col("label"), col("name")).as("node"))
+      g.edges.toDF()
+        .join(names.withColumnRenamed("node", "src_node")
+          .withColumnRenamed("id", "src"), Seq("src"))
+        .join(names.withColumnRenamed("node", "dst_node")
+          .withColumnRenamed("id", "dst"), Seq("dst"))
+        .select("src_node", "relType", "dst_node")
+        .orderBy("src_node", "relType", "dst_node")
     },
     QueryDef.rowsOnly("graph_pregel_bfs") { (s, _) =>
       val g = graph(s)

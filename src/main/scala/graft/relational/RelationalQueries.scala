@@ -350,12 +350,15 @@ object RelationalQueries {
       "w2_lag_delta",
       """SELECT event_id,
         |  round(value - lag(value) OVER (PARTITION BY user_id
-        |    ORDER BY CAST(ts AS TIMESTAMP), event_id), 2) AS delta
+        |    ORDER BY CAST(ts AS TIMESTAMP), event_id), 2) AS delta,
+        |  lead(event_type) OVER (PARTITION BY user_id
+        |    ORDER BY CAST(ts AS TIMESTAMP), event_id) AS next_type
         |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
       val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
       Tables.events(s, d)
         .select(col("event_id"),
-          round(col("value") - lag(col("value"), 1).over(w), 2).as("delta"))
+          round(col("value") - lag(col("value"), 1).over(w), 2).as("delta"),
+          lead(col("event_type"), 1).over(w).as("next_type"))
         .orderBy("event_id")
     },
     QueryDef.sql(
@@ -674,6 +677,44 @@ object RelationalQueries {
         md5(col("p_name")).as("name_md5"),
         sha2(concat(col("p_name"), lit("|"), col("p_brand")), 256).as("nb_sha"))
         .orderBy("p_partkey")
+    },
+    // --------------------------------------------- UDF/UDAF/UDTF surface (X)
+    QueryDef.sql(
+      "x1_scalar_udf",
+      """SELECT doc_id,
+        |  len(regexp_extract_all(text, 'a')) AS n_a,
+        |  len(regexp_extract_all(text, '[aeiou]')) AS n_vowels
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      // Scala closure UDF (X1) — the escape hatch when no built-in or
+      // custom Expression fits; kept off hot paths (no codegen)
+      val countChar = udf((text: String, c: String) =>
+        text.count(ch => c.contains(ch)))
+      Tables.documents(s, d).select(col("doc_id"),
+        countChar(col("text"), lit("a")).as("n_a"),
+        countChar(col("text"), lit("aeiou")).as("n_vowels"))
+        .orderBy("doc_id")
+    },
+    QueryDef.sql(
+      "x2_centroid_udaf",
+      // per-label, per-dimension centroid of the embeddings: the typed
+      // Aggregator runs partial+final; the oracle recomputes it as a plain
+      // per-dimension average
+      """SELECT label, i AS dim,
+        |  floor(avg(CAST(embedding[i] AS DOUBLE)) * 1000000 + 0.5)
+        |    / CAST(1000000 AS DOUBLE) AS centroid_val
+        |FROM embeddings CROSS JOIN generate_series(1, 8) t(i)
+        |GROUP BY label, i ORDER BY label, dim""".stripMargin) { (s, d) =>
+      val centroid = udaf(graft.functions.CentroidAgg)
+      Tables.embeddings(s, d)
+        .select(col("label"),
+          expr("transform(slice(embedding, 1, 8), x -> CAST(x AS DOUBLE))")
+            .as("emb"))
+        .groupBy("label").agg(centroid(col("emb")).as("centroid"))
+        // posexplode = the generator/UDTF surface (X3)
+        .select(col("label"), posexplode(col("centroid")))
+        .select(col("label"), (col("pos") + 1).cast("long").as("dim"),
+          graft.Det.portableRound(col("col"), 6).as("centroid_val"))
+        .orderBy("label", "dim")
     },
     // ---------------------------------------------------------- SQL surface
     QueryDef.sql(
