@@ -76,12 +76,14 @@ object TextQueries {
         min((lit(hashA(k)) * col("hb") + hashB(k)) % P).as(s"h$k"))
       val sig = sh.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
       val rowsPerBand = SEEDS / BANDS
-      val bands = (0 until BANDS).map { b =>
-        val key = md5(concat_ws("_",
-          (0 until rowsPerBand).map(r =>
-            col(s"h${b * rowsPerBand + r}").cast("string")): _*))
-        sig.select(col("doc_id"), lit(b).as("band"), key.as("bkey"))
-      }.reduce(_ unionByName _)
+      // one band-key array + posexplode, NOT a union of per-band selects: a
+      // union re-runs the whole scan+hash+aggregate pipeline per band
+      val bandKeys = array((0 until BANDS).map { b =>
+        md5(concat_ws("_", (0 until rowsPerBand).map(r =>
+          col(s"h${b * rowsPerBand + r}").cast("string")): _*))
+      }: _*)
+      val bands = sig.select(col("doc_id"), posexplode(bandKeys))
+        .select(col("doc_id"), col("pos").as("band"), col("col").as("bkey"))
       // bucket join: only docs agreeing on a full band ever meet — this is
       // the 100-TB path (shuffle by (band, bkey), no all-pairs compare)
       val a = bands.select(col("band"), col("bkey"), col("doc_id").as("doc_a"))

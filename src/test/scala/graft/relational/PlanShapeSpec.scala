@@ -1,6 +1,7 @@
 package graft.relational
 
 import graft.{SparkSpec, SparkEntry}
+import org.apache.spark.sql.functions.col
 
 /** Plan-shape assertions (SURVEY.md §5.2.6): the optimizer must actually
   * pick the scale-critical physical operators — broadcast for dim joins,
@@ -55,6 +56,14 @@ class PlanShapeSpec extends SparkSpec {
     val p = df.queryExecution.executedPlan.toString
     // AQE's final plan renders whole-stage-codegen spans as "*(n)" markers
     assert(p.contains("WholeStageCodegen") || p.contains("*("), p.take(800))
+  }
+
+  test("sortWithinPartitions avoids a global exchange (O4)") {
+    val df = graft.Tables.lineitem(spark, sf("sf0.001"))
+      .repartition(col("l_suppkey"))
+      .sortWithinPartitions("l_suppkey", "l_shipdate")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("Sort") && !p.contains("rangepartitioning"), p.take(600))
   }
 
   test("every registered query has distinct name and runnable plan") {

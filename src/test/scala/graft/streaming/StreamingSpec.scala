@@ -38,6 +38,20 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("streaming sliding window equals batch on same data (T3)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventRow]
+    mem.addData(eventsFixture: _*)
+    val got = StreamingOps.runToMemory(spark,
+      StreamingOps.slidingCounts(mem.toDF()), "t3_stream",
+      OutputMode.Complete())
+      .orderBy("w_start").collect()
+    val want = StreamingOps.slidingCounts(eventsFixture.toDF())
+      .orderBy("w_start").collect()
+    assert(got.toSeq == want.toSeq)
+  }
+
   test("watermark drops late rows in append mode (T1/T7)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
