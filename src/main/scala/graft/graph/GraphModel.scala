@@ -69,7 +69,7 @@ object GraphModel {
   def sanitizeLabel(raw: String): String = {
     val cleaned = raw.replaceAll("[^a-zA-Z0-9_]", "_")
     val joined = cleaned.split("_").filter(_.nonEmpty)
-      .map(p => p.head.toUpper + p.tail).mkString("_")
+      .map(p => p.head.toUpper + p.tail.toLowerCase).mkString("_")
     // digit-prefix guard AFTER joining: part-splitting can surface a
     // digit-leading name (e.g. "_2" → "2")
     if (joined.nonEmpty && joined.head.isDigit) "Tag_" + joined else joined

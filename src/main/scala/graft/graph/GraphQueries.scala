@@ -56,6 +56,12 @@ object GraphQueries {
         .groupBy("tag").agg(count(lit(1)).as("n_lines"))
         .orderBy("tag")
     },
+    QueryDef.rowsOnly("graph_title_mode") { (s, _) =>
+      // A5: TITLE-driven extraction generation over the same corpus
+      XmlIngest.ingest(s, XmlGlob, Batch, titleMode = true)
+        .nodes.select("label", "name", "docnbr")
+        .orderBy("docnbr", "label", "name")
+    },
     QueryDef.rowsOnly("graph_ingest_stats") { (s, _) =>
       graph(s).nodes.groupBy("label")
         .agg(count(lit(1)).as("n_nodes")).orderBy("label")

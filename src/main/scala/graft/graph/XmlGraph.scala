@@ -99,16 +99,98 @@ object XmlIngest {
     (nodes.toSeq, edges.toSeq)
   }
 
+  /** TITLE-driven section extraction (A5/A6; the reference's most advanced
+    * generation, `new-converter.js:87-152`): every element owning a
+    * `title`/`TITLE` child becomes a section node whose label is the
+    * formatted title text and whose content is the *aggregated subtree
+    * text* in document order (`gatherContent`, `new-converter.js:57-85`) —
+    * `TABLE` subtrees re-serialized as markup, `ColSpec` dropped. Root-level
+    * sections link to the document node, nested sections to their nearest
+    * titled ancestor; dedup key is `(name, content)`
+    * (`new-converter.js:99-105`), reproduced here by the deterministic id.
+    */
+  def parseTitleMode(xmlText: String, batch: String)
+      : (Seq[NodeRow], Seq[EdgeRow]) = {
+    val root = XML.loadString(xmlText)
+    val docnbr = root.attribute("docnbr").map(_.text.trim)
+      .orElse((root \ "header" \ "number").headOption.map(_.text.trim))
+      .getOrElse("ServiceBulletin")
+    val nodes = ArrayBuffer.empty[NodeRow]
+    val edges = ArrayBuffer.empty[EdgeRow]
+    val seen = scala.collection.mutable.Set.empty[(String, String)]
+
+    val docId = GraphModel.nodeId("ServiceBulletin", docnbr, "000", docnbr)
+    nodes += NodeRow(docId, "ServiceBulletin", docnbr, "000", docnbr, batch,
+      Vector.empty)
+
+    def isTitle(e: Node): Boolean = e.label.equalsIgnoreCase("title")
+
+    /** `gatherContent`: all descendant text in document order; TABLE
+      * subtrees serialized as markup; ColSpec skipped; the element's own
+      * title text excluded from its gathered body? — the reference keeps
+      * it, so we keep it too.
+      */
+    def gatherContent(e: Node): String = {
+      def walk(n: Node): Seq[String] = n match {
+        case el: Elem if el.label == "ColSpec" => Seq.empty
+        case el: Elem if el.label == "TABLE" =>
+          // serialize table markup, then strip ColSpec metadata
+          // (`new-converter.js:60-70,133`)
+          Seq(el.toString
+            .replaceAll("<ColSpec[^>]*/>", "")
+            .replaceAll("<ColSpec[^>]*>.*?</ColSpec>", ""))
+        case el: Elem => el.child.flatMap(walk)
+        case t if t.isAtom =>
+          val s = t.text.trim
+          if (s.nonEmpty) Seq(s) else Seq.empty
+        case _ => Seq.empty
+      }
+      walk(e).mkString(" ")
+    }
+
+    def walk(e: Node, parentTitled: Long, path: Vector[Int]): Unit = {
+      val elems = e.child.collect { case c: Elem => c }
+      val titleChild = elems.find(isTitle)
+      val selfId = titleChild match {
+        case Some(t) if t.text.trim.nonEmpty =>
+          val titleText = t.text.trim
+          val label = GraphModel.sanitizeLabel(titleText)
+          val content = gatherContent(e)
+          val key = (titleText, content)
+          val id = GraphModel.nodeId(label, titleText, content, docnbr)
+          if (!seen.contains(key)) {
+            seen += key
+            nodes += NodeRow(id, label, titleText, content, docnbr, batch,
+              path)
+            // edge typed by the CHILD's label (`new-converter.js:118,123`)
+            edges += EdgeRow(parentTitled, id,
+              "HAS_" + GraphModel.sanitizeRelType(label), docnbr, batch)
+            edges += EdgeRow(id, parentTitled, "IS_PART_OF", docnbr, batch)
+          }
+          id
+        case _ => parentTitled
+      }
+      elems.zipWithIndex.foreach { case (c, i) =>
+        walk(c, selfId, path :+ i)
+      }
+    }
+
+    walk(root, docId, Vector.empty)
+    (nodes.toSeq, edges.toSeq)
+  }
+
   /** Distributed ingest: documents in parallel, then one dedup shuffle per
     * relation (MERGE semantics C2/A11 — deterministic ids make "merge" just
     * `dropDuplicates`).
     */
-  def ingest(spark: SparkSession, pathGlob: String, batch: String)
-      : GraphTables = {
+  def ingest(spark: SparkSession, pathGlob: String, batch: String,
+      titleMode: Boolean = false): GraphTables = {
     import spark.implicits._
     val docs = spark.sparkContext.wholeTextFiles(pathGlob)
     val parsed = docs.flatMap { case (_, xmlText) =>
-      val (n, e) = parseDocument(xmlText, batch)
+      val (n, e) =
+        if (titleMode) parseTitleMode(xmlText, batch)
+        else parseDocument(xmlText, batch)
       Iterator.single((n, e))
     }
     val nodes = parsed.flatMap(_._1).toDS()

@@ -114,6 +114,47 @@ class GoldenGraphSpec extends SparkSpec {
     assert(bfs.agg(max("depth")).collect().head.getInt(0) >= 3)
   }
 
+  test("TITLE-mode extraction: section nodes with aggregated content (A5/A6)") {
+    val g2 = XmlIngest.ingest(spark, GraphQueries.XmlGlob, "t1",
+      titleMode = true)
+    // sb1's appendix has titled sections OPERATIONAL READINESS FLIGHT with
+    // two nested numbered sections (…_1.xml:73-97)
+    val labels = g2.nodes.select("label").collect().map(_.getString(0)).toSet
+    assert(labels.contains("ServiceBulletin"))
+    assert(labels.exists(_.startsWith("Operational_Readiness_Flight")), labels)
+    // content is aggregated subtree text, non-empty for every section
+    assert(g2.nodes.filter(col("label") =!= "ServiceBulletin" &&
+      length(col("content")) === 0).count() == 0)
+    // nested titled sections hang off their titled ancestor, not the root
+    val sb = g2.nodes.filter(col("label") === "ServiceBulletin")
+      .select("id").collect().map(_.getLong(0)).toSet
+    val nonRootEdges = g2.edges
+      .filter(col("relType").startsWith("HAS_"))
+      .filter(!col("src").isin(sb.toSeq: _*))
+    assert(nonRootEdges.count() > 0)
+    // re-ingest idempotent in title mode too
+    val again = XmlIngest.ingest(spark, GraphQueries.XmlGlob, "t1",
+      titleMode = true)
+    assert(GraphOps.upsert(g2, again).nodes.count() == g2.nodes.count())
+  }
+
+  test("TITLE-mode gathers TABLE markup and skips ColSpec (A6)") {
+    val xml =
+      """<AirplaneSB docnbr="T-1">
+        |  <body>
+        |    <TITLE>Main Section</TITLE>
+        |    <text>alpha</text>
+        |    <TABLE><ColSpec width="5"/><Row><Entry>cell</Entry></Row></TABLE>
+        |  </body>
+        |</AirplaneSB>""".stripMargin
+    val (nodes, _) = XmlIngest.parseTitleMode(xml, "t")
+    val section = nodes.find(_.label == "Main_Section").get
+    assert(section.content.contains("alpha"))
+    assert(section.content.contains("<TABLE>"))
+    assert(section.content.contains("cell"))
+    assert(section.docnbr == "T-1")
+  }
+
   test("synthetic AirplaneSB fixture: docnbr attribute + TABLE content") {
     val xml =
       """<AirplaneSB docnbr="TEST-001">

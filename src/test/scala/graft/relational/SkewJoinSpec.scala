@@ -1,0 +1,34 @@
+package graft.relational
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class SkewJoinSpec extends SparkSpec {
+
+  test("salted join returns exactly the plain join's rows") {
+    val events = Tables.events(spark, sf("sf0.001"))
+    val dim = Tables.customer(spark, sf("sf0.001"))
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    val plain = events.join(dim, Seq("user_id"))
+      .select("event_id", "c_mktsegment")
+    val salted = SkewJoin
+      .saltedEquiJoin(events, dim, "user_id", "event_id", 8)
+      .select("event_id", "c_mktsegment")
+    assert(salted.count() == plain.count())
+    assert(salted.except(plain).count() == 0)
+    assert(plain.except(salted).count() == 0)
+  }
+
+  test("salt spreads a hot key across buckets") {
+    import spark.implicits._
+    val hot = (1L to 1000L).map(i => (42L, i)).toDF("k", "row_id")
+    val dim = Seq((42L, "x")).toDF("k", "v")
+    val joined = SkewJoin.saltedEquiJoin(hot, dim, "k", "row_id", 8)
+    assert(joined.count() == 1000)
+    // the salt column really took >1 distinct value pre-join
+    val salts = hot.withColumn("_salt",
+      pmod(xxhash64(col("row_id")), lit(8)).cast("int"))
+      .select("_salt").distinct().count()
+    assert(salts > 4)
+  }
+}
