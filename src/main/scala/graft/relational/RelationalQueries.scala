@@ -716,6 +716,20 @@ object RelationalQueries {
           graft.Det.portableRound(col("col"), 6).as("centroid_val"))
         .orderBy("label", "dim")
     },
+    // ---------------------------------------------------------- joins: skew
+    QueryDef.sql(
+      "j12_salted_skew_join",
+      // oracle is the PLAIN join — salting must be result-invariant
+      """SELECT event_id, c_mktsegment FROM events
+        |JOIN customer ON user_id = c_custkey
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      SkewJoin.saltedEquiJoin(
+        Tables.events(s, d).withColumnRenamed("user_id", "c_custkey"),
+        Tables.customer(s, d).select("c_custkey", "c_mktsegment"),
+        key = "c_custkey", saltFrom = "event_id", saltBuckets = 8)
+        .select("event_id", "c_mktsegment")
+        .orderBy("event_id")
+    },
     // ---------------------------------------------------------- SQL surface
     QueryDef.sql(
       "b1_sql_surface",
@@ -744,6 +758,53 @@ object RelationalQueries {
            |GROUP BY n_name, o_ym
            |HAVING count(*) > 1
            |ORDER BY n_name, o_ym""".stripMargin)
+    },
+    QueryDef.sql(
+      "b2_correlated_subqueries",
+      // scalar + correlated EXISTS subqueries: Catalyst decorrelates both
+      """SELECT c_custkey FROM customer
+        |WHERE c_acctbal > (SELECT CAST(sum(CAST(round(c_acctbal * 100, 0)
+        |                      AS BIGINT)) AS DOUBLE)
+        |                     / CAST(100 AS DOUBLE) / count(*) FROM customer)
+        |  AND EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey
+        |                AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      Tables.customer(s, d).createOrReplaceTempView("customer")
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      s.sql(
+        """SELECT c_custkey FROM customer
+          |WHERE c_acctbal > (SELECT CAST(sum(CAST(round(c_acctbal * 100, 0)
+          |                      AS BIGINT)) AS DOUBLE)
+          |                     / CAST(100 AS DOUBLE) / count(*) FROM customer)
+          |  AND EXISTS (SELECT 1 FROM orders
+          |              WHERE o_custkey = c_custkey
+          |                AND o_orderpriority = '1-URGENT')
+          |ORDER BY c_custkey""".stripMargin)
+    },
+    QueryDef.sql(
+      "b3_cte_pipeline",
+      """WITH fat_orders AS (
+        |  SELECT o_orderkey, o_custkey FROM orders WHERE o_totalprice > 100000),
+        |per_cust AS (
+        |  SELECT o_custkey, count(*) AS n_fat FROM fat_orders GROUP BY o_custkey)
+        |SELECT c_mktsegment, count(*) AS n_cust,
+        |  CAST(sum(n_fat) AS BIGINT) AS total_fat
+        |FROM per_cust JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) { (s, d) =>
+      Tables.customer(s, d).createOrReplaceTempView("customer")
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      s.sql(
+        """WITH fat_orders AS (
+          |  SELECT o_orderkey, o_custkey FROM orders
+          |  WHERE o_totalprice > 100000),
+          |per_cust AS (
+          |  SELECT o_custkey, count(*) AS n_fat FROM fat_orders
+          |  GROUP BY o_custkey)
+          |SELECT c_mktsegment, count(*) AS n_cust,
+          |  sum(n_fat) AS total_fat
+          |FROM per_cust JOIN customer ON o_custkey = c_custkey
+          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
     }
   )
 }
