@@ -45,6 +45,20 @@ object GraphOps {
   def matchNodes(g: GraphTables, label: String, name: String): DataFrame =
     g.nodes.filter(col("label") === label && col("name") === name).toDF()
 
+  /** Single-hop expansion (Q2): `(a)-[:T]->(b)` with optional relationship
+    * type filter; direction "out" follows edges, "in" reverses them.
+    */
+  def expand(g: GraphTables, nodeIds: DataFrame, relType: Option[String],
+      direction: String = "out"): DataFrame = {
+    val base = relType.map(t => g.edges.filter(col("relType") === t))
+      .getOrElse(g.edges)
+    val edges =
+      if (direction == "out") base.select(col("src"), col("dst"))
+      else base.select(col("dst").as("src"), col("src").as("dst"))
+    nodeIds.select(col("id").as("src")).join(edges.toDF(), Seq("src"))
+      .select(col("src").as("from_id"), col("dst").as("to_id"))
+  }
+
   /** K-hop downward expansion (Q3/J11; `first-graph.py:141` — "up to three
     * levels deep in the downward direction"). Downward = forward containment
     * edges (`HAS_*`), excluding the synthetic reverse edges.

@@ -76,6 +76,30 @@ object Multimodal {
       decodeAll(s, payloadTable(s, d)).toDF().orderBy("doc_id")
     },
     QueryDef.sql(
+      "mm3_frame_sample",
+      // frame sampling for "video" payloads: one row per sampled frame with
+      // a deterministic frame fingerprint — the shape a real frame-decode
+      // fan-out produces (explode bounded by metadata, no driver loop)
+      """SELECT doc_id, frame_idx,
+        |  CAST(concat('0x', substring(md5(concat(CAST(doc_id AS VARCHAR), ':',
+        |    CAST(frame_idx AS VARCHAR))), 1, 15)) AS BIGINT) AS frame_fp
+        |FROM (SELECT doc_id, octet_length(encode(text)) % 10 + 1 AS n_frames
+        |      FROM documents
+        |      WHERE octet_length(encode(text)) % 3 = 2) v
+        |CROSS JOIN generate_series(1, 10) t(frame_idx)
+        |WHERE frame_idx <= n_frames
+        |ORDER BY doc_id, frame_idx""".stripMargin) { (s, d) =>
+      decodeAll(s, payloadTable(s, d)).toDF()
+        .filter(col("kind") === "video")
+        .select(col("doc_id"),
+          explode(sequence(lit(1), col("n_frames"))).as("frame_idx"))
+        .select(col("doc_id"), col("frame_idx"),
+          expr("CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), ':'," +
+            " CAST(frame_idx AS STRING))), 1, 15), 16, 10) AS BIGINT)")
+            .as("frame_fp"))
+        .orderBy("doc_id", "frame_idx")
+    },
+    QueryDef.sql(
       "mm2_media_stats",
       """SELECT kind, count(*) AS n, CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
         |  CAST(max(width) AS INT) AS max_w, CAST(max(height) AS INT) AS max_h

@@ -329,6 +329,29 @@ object RelationalQueries {
             min_by(col("c_name"), col("c_custkey")).as("first_cust"))
           .orderBy("c_nationkey")
     },
+    QueryDef.sql(
+      "g9_stats_percentiles",
+      s"""SELECT l_returnflag,
+         |  quantile_cont(l_quantity, 0.5) AS med_qty,
+         |  ${Det.duckPortableRound("quantile_cont(l_extendedprice, 0.25)", 4)} AS p25_price,
+         |  ${Det.duckPortableRound("quantile_cont(l_extendedprice, 0.75)", 4)} AS p75_price,
+         |  ${Det.duckPortableRound("corr(l_quantity, l_extendedprice)", 6)} AS qty_price_corr,
+         |  ${Det.duckPortableRound("stddev_samp(l_quantity)", 6)} AS qty_stddev
+         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) {
+      (s, d) =>
+        Tables.lineitem(s, d).groupBy("l_returnflag")
+          .agg(
+            expr("percentile(l_quantity, 0.5)").as("med_qty"),
+            Det.portableRound(expr("percentile(l_extendedprice, 0.25)"), 4)
+              .as("p25_price"),
+            Det.portableRound(expr("percentile(l_extendedprice, 0.75)"), 4)
+              .as("p75_price"),
+            Det.portableRound(corr(col("l_quantity"), col("l_extendedprice")), 6)
+              .as("qty_price_corr"),
+            Det.portableRound(stddev_samp(col("l_quantity")), 6)
+              .as("qty_stddev"))
+          .orderBy("l_returnflag")
+    },
     // --------------------------------------------------------- windows (W)
     QueryDef.sql(
       "w1_rank_topn",

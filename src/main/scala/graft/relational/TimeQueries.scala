@@ -75,6 +75,44 @@ object TimeQueries {
         .orderBy("user_id", "s_start")
     },
     QueryDef.sql(
+      "t6_funnel_batch",
+      // conversion funnel view → click → purchase, strictly ordered by the
+      // user's first event of each type; the batch shape of what the
+      // stateful streaming op (T6) computes incrementally
+      """WITH per_user AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN CAST(ts AS TIMESTAMP) END)
+        |      AS first_view,
+        |    min(CASE WHEN event_type = 'click' THEN CAST(ts AS TIMESTAMP) END)
+        |      AS first_click,
+        |    min(CASE WHEN event_type = 'purchase' THEN CAST(ts AS TIMESTAMP) END)
+        |      AS first_purchase
+        |  FROM events GROUP BY user_id)
+        |SELECT count(*) AS n_users,
+        |  CAST(sum(CASE WHEN first_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_viewed,
+        |  CAST(sum(CASE WHEN first_click > first_view THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_clicked_after_view,
+        |  CAST(sum(CASE WHEN first_purchase > first_click
+        |                 AND first_click > first_view THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_converted
+        |FROM per_user""".stripMargin) { (s, d) =>
+      val perUser = Tables.events(s, d).groupBy("user_id").agg(
+        min(when(col("event_type") === "view", col("ts"))).as("first_view"),
+        min(when(col("event_type") === "click", col("ts"))).as("first_click"),
+        min(when(col("event_type") === "purchase", col("ts")))
+          .as("first_purchase"))
+      perUser.agg(
+        count(lit(1)).as("n_users"),
+        sum(when(col("first_view").isNotNull, 1).otherwise(0)).cast("long")
+          .as("n_viewed"),
+        sum(when(col("first_click") > col("first_view"), 1).otherwise(0))
+          .cast("long").as("n_clicked_after_view"),
+        sum(when(col("first_purchase") > col("first_click") &&
+          col("first_click") > col("first_view"), 1).otherwise(0))
+          .cast("long").as("n_converted"))
+    },
+    QueryDef.sql(
       "j9_asof_join",
       // as-of join: for each purchase, the latest view by the same user at
       // or before the purchase. Implemented as the scalable union+window

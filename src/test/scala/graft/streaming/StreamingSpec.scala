@@ -76,6 +76,29 @@ class StreamingSpec extends SparkSpec {
       s"late row was not dropped: ${w0.mkString(",")}")
   }
 
+  test("streaming session windows emit closed sessions (T4)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventRow]
+    val q = StreamingOps.sessionCounts(mem.toDF()).writeStream
+      .format("memory").queryName("t4s_stream")
+      .outputMode(OutputMode.Append()).start()
+    // session: two events 5 min apart, then silence
+    mem.addData(EventRow(1L, ts(0), 1L, "view", 1.0),
+      EventRow(2L, ts(5), 1L, "view", 1.0))
+    q.processAllAvailable()
+    // event far in the future closes the session past the watermark
+    mem.addData(EventRow(3L, ts(59, 59), 1L, "view", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val sessions = spark.table("t4s_stream").collect()
+    assert(sessions.length == 1, sessions.mkString(","))
+    assert(sessions.head.getAs[Long]("n") == 2L)
+    assert(sessions.head.getAs[Timestamp]("s_start") == ts(0))
+    // end = last event + 30 min gap
+    assert(sessions.head.getAs[Timestamp]("s_end") == ts(35))
+  }
+
   test("dropDuplicatesWithinWatermark dedups by event_id (T5)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
