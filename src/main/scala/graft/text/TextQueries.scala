@@ -144,6 +144,46 @@ object TextQueries {
           graft.Det.portableRound(jac, 6).as("jaccard"))
         .orderBy("doc_a", "doc_b")
     },
+    // ------------------------------------ L2d embedding-cosine near-dup
+    QueryDef.sql(
+      "l2d_embedding_neardup",
+      // vectors whose cosine similarity exceeds 0.9 are near-duplicates;
+      // candidates meet only inside a sign-LSH bucket (first 8 dims), so
+      // the pair search is a bucket join, not all-pairs
+      """WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+        |    sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+        |      x -> x * x))) AS nrm,
+        |    list_sum(list_transform(generate_series(1, 8),
+        |      i -> CASE WHEN embedding[i] > 0 THEN 1 << (i - 1) ELSE 0 END))
+        |      AS bucket
+        |  FROM embeddings)
+        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  floor(list_sum(list_transform(generate_series(1, len(a.emb)),
+        |    i -> a.emb[i] * b.emb[i])) / (a.nrm * b.nrm) * 1000000 + 0.5)
+        |    / CAST(1000000 AS DOUBLE) AS sim
+        |FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        |WHERE list_sum(list_transform(generate_series(1, len(a.emb)),
+        |    i -> a.emb[i] * b.emb[i])) / (a.nrm * b.nrm) > 0.9
+        |ORDER BY vec_a, vec_b""".stripMargin) { (s, d) =>
+      graft.functions.DotProduct.register(s)
+      val n = Tables.embeddings(s, d).select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"),
+          expr("aggregate(transform(sequence(1, 8)," +
+            " i -> IF(element_at(embedding, i) > CAST(0.0 AS FLOAT)," +
+            " shiftleft(1, i - 1), 0)), 0, (a, v) -> a + v)").as("bucket"))
+        .withColumn("nrm", sqrt(expr("graft_dot(emb, emb)")))
+      val a = n.select(col("vec_id").as("vec_a"), col("emb").as("ea"),
+        col("nrm").as("na"), col("bucket"))
+      val b = n.select(col("vec_id").as("vec_b"), col("emb").as("eb"),
+        col("nrm").as("nb"), col("bucket").as("bucket_b"))
+      val rawSim = expr("graft_dot(ea, eb)") / (col("na") * col("nb"))
+      a.join(b, col("bucket") === col("bucket_b") &&
+          col("vec_a") < col("vec_b"))
+        .filter(rawSim > 0.9)
+        .select(col("vec_a"), col("vec_b"),
+          graft.Det.portableRound(rawSim, 6).as("sim"))
+        .orderBy("vec_a", "vec_b")
+    },
     // ---------------------------------------- L3 brute-force cosine top-k
     QueryDef.sql(
       "l3_cosine_topk",
@@ -255,6 +295,23 @@ object TextQueries {
           length(regexp_replace(col("text"), " ", "")).cast("double") /
             size(split(col("text"), " ")).cast("double"), 6)
           .as("avg_tok_len"))
+        .orderBy("doc_id")
+    },
+    // --------------------------------------------- L5b BPE-ish token count
+    QueryDef.sql(
+      "l5b_bpe_tokens",
+      // subword-ish tokenization by regex classes (letters / digits /
+      // punctuation runs) — the cheap proxy for a BPE pre-tokenizer pass
+      """SELECT doc_id,
+        |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))
+        |    AS n_bpe_tokens,
+        |  len(regexp_extract_all(text, '[a-zA-Z]{1,4}')) AS n_subwords
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        expr("size(regexp_extract_all(text," +
+          " '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]', 0))").as("n_bpe_tokens"),
+        expr("size(regexp_extract_all(text, '[a-zA-Z]{1,4}', 0))")
+          .as("n_subwords"))
         .orderBy("doc_id")
     },
     // --------------------------------------------- L6 corpus slice analytics
