@@ -82,8 +82,11 @@ object TextQueries {
         md5(concat_ws("_", (0 until rowsPerBand).map(r =>
           col(s"h${b * rowsPerBand + r}").cast("string")): _*))
       }: _*)
+      // bands are tiny (BANDS rows/doc of 32-char keys) — materialize once
+      // so the self-join below doesn't re-run the scan+hash pipeline per side
       val bands = sig.select(col("doc_id"), posexplode(bandKeys))
         .select(col("doc_id"), col("pos").as("band"), col("col").as("bkey"))
+        .localCheckpoint()
       // bucket join: only docs agreeing on a full band ever meet — this is
       // the 100-TB path (shuffle by (band, bkey), no all-pairs compare)
       val a = bands.select(col("band"), col("bkey"), col("doc_id").as("doc_a"))
