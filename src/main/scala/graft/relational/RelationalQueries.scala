@@ -330,6 +330,33 @@ object RelationalQueries {
           .orderBy("c_nationkey")
     },
     QueryDef.sql(
+      "g10_pivot",
+      // pivot = conditional aggregation; the oracle states it that way so
+      // it stays portable (DuckDB PIVOT syntax differs)
+      """SELECT o_orderstatus,
+        |  count(*) FILTER (o_orderpriority = '1-URGENT') AS urgent,
+        |  count(*) FILTER (o_orderpriority = '2-HIGH') AS high,
+        |  count(*) FILTER (o_orderpriority = '5-LOW') AS low
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) {
+      (s, d) =>
+        Tables.orders(s, d)
+          .groupBy("o_orderstatus")
+          .pivot("o_orderpriority", Seq("1-URGENT", "2-HIGH", "5-LOW"))
+          .agg(count(lit(1)))
+          .select(col("o_orderstatus"),
+            coalesce(col("1-URGENT"), lit(0L)).as("urgent"),
+            coalesce(col("2-HIGH"), lit(0L)).as("high"),
+            coalesce(col("5-LOW"), lit(0L)).as("low"))
+          .orderBy("o_orderstatus")
+    },
+    QueryDef.rowsOnly("o5_sampled_scan") { (s, d) =>
+      // seeded Bernoulli sample: deterministic within Spark, but sampling
+      // algorithms differ across engines → rows-only check
+      Tables.lineitem(s, d).sample(withReplacement = false, 0.1, seed = 42L)
+        .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    },
+    QueryDef.sql(
       "g9_stats_percentiles",
       s"""SELECT l_returnflag,
          |  quantile_cont(l_quantity, 0.5) AS med_qty,
