@@ -97,6 +97,35 @@ object GraphOps {
     acc.groupBy("root_id", "node_id").agg(min("depth").as("depth"))
   }
 
+  /** Unbounded reachability (transitive closure from roots), safe on CYCLIC
+    * graphs: each iteration expands only the nodes not already visited
+    * (anti-join against the accumulated set), so the loop reaches a
+    * fixpoint in at most diameter iterations regardless of cycles.
+    * `maxIterations` is a backstop, not the termination mechanism.
+    */
+  def reachable(g: GraphTables, rootIds: DataFrame,
+      relFilter: org.apache.spark.sql.Column =
+        col("relType").startsWith("HAS_"),
+      maxIterations: Int = 64): DataFrame = {
+    val edges = g.edges.filter(relFilter).select(col("src"), col("dst")).toDF()
+    var visited = rootIds.select(col("root_id"),
+      col("root_id").as("node_id")).localCheckpoint()
+    var frontier = visited
+    var depth = 0
+    while (depth < maxIterations && !frontier.isEmpty) {
+      depth += 1
+      frontier = frontier.select(col("root_id"), col("node_id").as("src"))
+        .join(edges, Seq("src"))
+        .select(col("root_id"), col("dst").as("node_id"))
+        .distinct()
+        .join(visited, Seq("root_id", "node_id"), "left_anti")
+        .localCheckpoint()
+      if (!frontier.isEmpty)
+        visited = visited.unionByName(frontier).localCheckpoint()
+    }
+    visited
+  }
+
   /** Matched node + its ≤k-hop downward neighborhood as (m, connected) rows
     * (Q4; result contract `first-graph.py:168`).
     */

@@ -286,6 +286,16 @@ object RelationalQueries {
         .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
         .orderBy("l_returnflag")
     },
+    QueryDef.rowsOnly("g4b_kmv_sketch") { (s, d) =>
+      // custom TypedImperativeAggregate KMV sketch (same rows-only class as
+      // any sketch); accuracy asserted against exact counts in the suite
+      graft.functions.KmvSketch.register(s)
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+      s.sql(
+        """SELECT l_returnflag, graft_kmv_distinct(l_partkey) AS kmv_parts
+          |FROM lineitem GROUP BY l_returnflag
+          |ORDER BY l_returnflag""".stripMargin)
+    },
     QueryDef.sql(
       "g6_rollup",
       """SELECT r_name, n_name, count(*) AS n_cust FROM customer

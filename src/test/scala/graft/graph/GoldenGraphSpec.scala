@@ -90,6 +90,26 @@ class GoldenGraphSpec extends SparkSpec {
     assert(back.select("to_id").except(roots).count() == 0)
   }
 
+  test("reachable terminates on cycles and finds the full closure") {
+    import spark.implicits._
+    // synthetic cyclic graph: 1→2→3→1 plus 3→4
+    val nodes = Seq(1L, 2L, 3L, 4L)
+      .map(i => NodeRow(i, "N", s"n$i", "", "d", "b", Nil)).toDS()
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L))
+      .map { case (s, d) => EdgeRow(s, d, "HAS_X", "d", "b") }.toDS()
+    val cyclic = GraphTables(nodes, edges)
+    val roots = Seq(1L).toDF("root_id")
+    val closure = GraphOps.reachable(cyclic, roots)
+      .select("node_id").collect().map(_.getLong(0)).toSet
+    assert(closure == Set(1L, 2L, 3L, 4L))
+    // and on the real corpus it agrees with deep kHop
+    val sbRoots = g.nodes.filter(col("label") === "Boeing_Service_Bulletin")
+      .select(col("id").as("root_id"))
+    val viaKhop = GraphOps.kHop(g, sbRoots, 32).select("root_id", "node_id")
+    val viaReach = GraphOps.reachable(g, sbRoots)
+    assert(viaReach.count() == viaKhop.count())
+  }
+
   test("kHop depths are monotone: kHop(k) ⊆ kHop(k+1)") {
     val roots = g.nodes.filter(col("label") === "Boeing_Service_Bulletin")
       .select(col("id").as("root_id"))
