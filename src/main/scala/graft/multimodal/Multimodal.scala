@@ -58,10 +58,39 @@ object Multimodal {
       }
   }
 
+  /** Windowed "audio" feature extraction: chunk the payload into fixed-size
+    * windows and compute per-window byte statistics — the batch shape of a
+    * spectrogram/MFCC pass, with the DSP stubbed to byte averages. Runs in
+    * `mapPartitions` so a real DSP context initializes once per partition.
+    */
+  final case class AudioWindow(doc_id: Long, window_idx: Int,
+      n_bytes: Int, mean_byte: Double)
+
+  def audioWindows(s: SparkSession, payloads: DataFrame,
+      windowSize: Int = 64): org.apache.spark.sql.Dataset[AudioWindow] = {
+    import s.implicits._
+    payloads.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          bytes.grouped(windowSize).zipWithIndex.map { case (w, i) =>
+            AudioWindow(id, i, w.length,
+              w.map(b => (b & 0xff).toDouble).sum / w.length)
+          }
+        }
+      }
+  }
+
   /** The decode pipeline as an oracle-checkable query: the fake codec is
     * pure arithmetic on the payload length, so DuckDB reproduces it.
     */
   val defs: Seq[QueryDef] = Seq(
+    QueryDef.rowsOnly("mm4_audio_windows") { (s, d) =>
+      audioWindows(s, payloadTable(s, d)
+        .filter(col("doc_id") % 3 === 1)) // the "audio" slice
+        .toDF()
+        .orderBy("doc_id", "window_idx")
+    },
     QueryDef.sql(
       "mm1_decode_meta",
       """SELECT doc_id,

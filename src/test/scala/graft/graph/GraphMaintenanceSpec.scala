@@ -63,6 +63,32 @@ class GraphMaintenanceSpec extends SparkSpec {
     assert(again.edges.count() == linked.edges.count())
   }
 
+  test("streaming incremental ingest converges to the batch graph") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // stream node rows in two micro-batches; foreachBatch MERGEs each into
+    // the accumulating graph — the streaming write path of Q7
+    val all = g.nodes.collect().toSeq
+    val (first, second) = all.splitAt(all.size / 2)
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[NodeRow]
+    var acc = GraphTables(spark.emptyDataset[NodeRow],
+      spark.emptyDataset[EdgeRow])
+    val q = mem.toDS().writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[NodeRow], _: Long) =>
+        acc = GraphOps.upsert(acc,
+          GraphTables(batch, spark.emptyDataset[EdgeRow]))
+        acc = GraphTables(acc.nodes.localCheckpoint(), acc.edges)
+    }.start()
+    mem.addData(first: _*)
+    q.processAllAvailable()
+    mem.addData(second: _*)
+    mem.addData(first: _*) // replayed rows must not duplicate (MERGE)
+    q.processAllAvailable()
+    q.stop()
+    assert(acc.nodes.count() == g.nodes.count())
+  }
+
   test("updateContent sets matched nodes, keeps the rest (A18)") {
     import spark.implicits._
     val someId = g.nodes.filter(col("label") === "Subject")
