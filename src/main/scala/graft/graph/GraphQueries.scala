@@ -135,6 +135,24 @@ object GraphQueries {
           |GROUP BY p.label, e.relType, c.label
           |ORDER BY parent_label, relType, child_label""".stripMargin)
     },
+    QueryDef.rowsOnly("graph_recursive_closure_sql") { (s, _) =>
+      // J11 in pure SQL over the graph views: unbounded downward closure
+      // from each document root via WITH RECURSIVE
+      val g = graph(s)
+      g.nodes.createOrReplaceTempView("nodes")
+      g.edges.createOrReplaceTempView("edges")
+      s.sql(
+        """WITH RECURSIVE down AS (
+          |  SELECT id AS root_id, id AS node_id, 0 AS depth FROM nodes
+          |  WHERE label = 'Boeing_Service_Bulletin'
+          |  UNION ALL
+          |  SELECT d.root_id, e.dst, d.depth + 1
+          |  FROM down d JOIN edges e ON d.node_id = e.src
+          |  WHERE e.relType LIKE 'HAS\\_%' AND d.depth < 20)
+          |SELECT root_id, CAST(max(depth) AS INT) AS max_depth,
+          |  count(DISTINCT node_id) AS n_reachable
+          |FROM down GROUP BY root_id ORDER BY root_id""".stripMargin)
+    },
     QueryDef.rowsOnly("graph_viz_export") { (s, _) =>
       // B9: whole-graph feed for a renderer — (src name, relType, dst name)
       val g = graph(s)

@@ -843,6 +843,41 @@ object RelationalQueries {
           |ORDER BY c_custkey""".stripMargin)
     },
     QueryDef.sql(
+      "b4_recursive_cte",
+      // recursive traversal in pure SQL (J11's SQL surface): follow the
+      // next-nation-in-region successor chain to its end
+      """WITH RECURSIVE nxt AS (
+        |  SELECT n_nationkey AS src,
+        |    lead(n_nationkey) OVER (PARTITION BY n_regionkey
+        |      ORDER BY n_nationkey) AS dst
+        |  FROM nation),
+        |r(start, node, depth) AS (
+        |  SELECT src, src, 0 FROM nxt
+        |  UNION ALL
+        |  SELECT r.start, nxt.dst, r.depth + 1
+        |  FROM r JOIN nxt ON r.node = nxt.src
+        |  WHERE nxt.dst IS NOT NULL)
+        |SELECT start, CAST(max(depth) AS INT) AS chain_len,
+        |  CAST(max(node) AS INT) AS chain_end
+        |FROM r GROUP BY start ORDER BY start""".stripMargin) { (s, d) =>
+      Tables.nation(s, d).createOrReplaceTempView("nation")
+      s.sql(
+        """WITH RECURSIVE nxt AS (
+          |  SELECT n_nationkey AS src,
+          |    lead(n_nationkey) OVER (PARTITION BY n_regionkey
+          |      ORDER BY n_nationkey) AS dst
+          |  FROM nation),
+          |r(start, node, depth) AS (
+          |  SELECT src, src, 0 FROM nxt
+          |  UNION ALL
+          |  SELECT r.start, nxt.dst, r.depth + 1
+          |  FROM r JOIN nxt ON r.node = nxt.src
+          |  WHERE nxt.dst IS NOT NULL)
+          |SELECT start, CAST(max(depth) AS INT) AS chain_len,
+          |  CAST(max(node) AS INT) AS chain_end
+          |FROM r GROUP BY start ORDER BY start""".stripMargin)
+    },
+    QueryDef.sql(
       "b3_cte_pipeline",
       """WITH fat_orders AS (
         |  SELECT o_orderkey, o_custkey FROM orders WHERE o_totalprice > 100000),
