@@ -1,0 +1,103 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** A Cypher-subset front end covering the query class the reference's LLM
+  * actually emits against its schema prompt (`first-graph.py:63-144`):
+  * match a node by label and/or property equality, optionally expand a
+  * bounded number of hops downward, return the matched node and its
+  * connected nodes. The serving shell can hand queries of this shape
+  * straight to the engine — no Neo4j.
+  *
+  * Grammar (case-insensitive keywords):
+  * {{{
+  *   MATCH (m[:Label] [{prop: 'value'[, ...]}]) [-[*1..K]->(connected)]
+  *   RETURN m[, connected] [LIMIT n]
+  * }}}
+  * Plus the maintenance form `MATCH (n) WHERE n.<tag> = true DETACH DELETE n`
+  * (the reference's `deleteneo.py:10-12`), which maps to [[GraphOps.dropBatch]].
+  */
+object CypherLite {
+
+  sealed trait Statement
+  final case class MatchReturn(
+      label: Option[String],
+      props: Map[String, String],
+      hops: Int,
+      returnConnected: Boolean,
+      limit: Option[Int]) extends Statement
+  final case class DetachDelete(tag: String) extends Statement
+
+  private val MatchRe =
+    ("""(?is)\s*MATCH\s*\(\s*(\w+)\s*(?::\s*(\w+))?\s*""" +
+      """(?:\{\s*([^}]*)\s*\})?\s*\)\s*""" +
+      """(?:-\s*\[\s*\*\s*1\s*\.\.\s*(\d+)\s*\]\s*->\s*\(\s*(\w+)\s*\)\s*)?""" +
+      """RETURN\s+(\w+)(?:\s*,\s*(\w+))?\s*(?:LIMIT\s+(\d+))?\s*;?\s*""").r
+
+  private val DeleteRe =
+    """(?is)\s*MATCH\s*\(\s*(\w+)\s*\)\s*WHERE\s+\1\.(\w+)\s*=\s*true\s+DETACH\s+DELETE\s+\1\s*;?\s*""".r
+
+  private val PropRe = """(\w+)\s*:\s*'([^']*)'""".r
+
+  def parse(query: String): Either[String, Statement] = query match {
+    case DeleteRe(_, tag) => Right(DetachDelete(tag))
+    case MatchRe(m, label, propsStr, hopsStr, connVar, ret1, ret2, limitStr) =>
+      val props = Option(propsStr).toSeq
+        .flatMap(s => PropRe.findAllMatchIn(s)
+          .map(p => p.group(1) -> p.group(2))).toMap
+      val hops = Option(hopsStr).map(_.toInt).getOrElse(0)
+      if (hops > 0 && Option(connVar).isEmpty)
+        Left("hop pattern requires a connected variable")
+      else if (Option(ret1).isEmpty)
+        Left("RETURN clause required")
+      else {
+        val wantsConnected = Option(ret2).isDefined ||
+          (Option(connVar).isDefined && Option(ret1).contains(connVar))
+        Right(MatchReturn(Option(label), props,
+          if (Option(connVar).isDefined) math.max(hops, 1) else 0,
+          wantsConnected, Option(limitStr).map(_.toInt)))
+      }
+    case _ => Left(s"unsupported query shape: ${query.take(120)}")
+  }
+
+  /** Execute against the graph; returns (m_label, m_name[, depth, c_label,
+    * c_name, c_content]) rows, mirroring the reference's (m, connected)
+    * contract (`first-graph.py:168`).
+    */
+  def run(g: GraphTables, query: String): Either[String, DataFrame] =
+    parse(query).map {
+      case DetachDelete(tag) =>
+        // the reference's boolean tag ≙ our batch lineage column
+        val after = GraphOps.dropBatch(g, tag)
+        after.nodes.groupBy("batch")
+          .agg(count(lit(1)).as("n_nodes")).orderBy("batch").toDF()
+      case MatchReturn(label, props, hops, wantsConnected, limit) =>
+        val pred = (label.map(col("label") === _).toSeq ++
+          props.map { case (k, v) =>
+            if (k == "name" || k == "content" || k == "docnbr")
+              col(k) === v
+            else col("name") === v
+          }).reduceOption(_ && _).getOrElse(lit(true))
+        val base =
+          if (hops == 0)
+            g.nodes.filter(pred)
+              .select(col("label").as("m_label"), col("name").as("m_name"),
+                col("content").as("m_content"))
+              .orderBy("m_label", "m_name", "m_content")
+          else {
+            val neigh = GraphOps.neighborhoodWhere(g, pred, hops)
+            val roots = g.nodes.filter(pred)
+              .select(col("id").as("root_id"), col("label").as("m_label"),
+                col("name").as("root_name_key"))
+            if (wantsConnected)
+              neigh.withColumnRenamed("root_name", "m_name")
+                .select("m_name", "depth", "c_label", "c_name", "c_content")
+                .orderBy("m_name", "depth", "c_label", "c_name", "c_content")
+            else
+              roots.select(col("m_label"), col("root_name_key").as("m_name"))
+                .orderBy("m_label", "m_name")
+          }
+        limit.map(base.limit).getOrElse(base)
+    }
+}

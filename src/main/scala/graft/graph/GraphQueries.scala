@@ -120,6 +120,13 @@ object GraphQueries {
       GraphOps.pageRank(s, graph(s), iters = 10)
         .orderBy(col("rank").desc, col("label"), col("name")).limit(10)
     },
+    QueryDef.rowsOnly("graph_cypher_surface") { (s, _) =>
+      // the Cypher-subset front end answering the reference's query class
+      CypherLite.run(graph(s),
+        "MATCH (m:Boeing_Service_Bulletin)-[*1..3]->(connected) " +
+          "RETURN m, connected")
+        .fold(err => throw new IllegalArgumentException(err), identity)
+    },
     QueryDef.rowsOnly("graph_sql_views") { (s, _) =>
       // B1 over the graph: register relations as views, answer in pure SQL
       val g = graph(s)

@@ -1,0 +1,56 @@
+package graft.graph
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The Cypher-subset surface must answer the reference's own flagship query
+  * shapes (`first-graph.py:141,168`) against the ingested corpus.
+  */
+class CypherLiteSpec extends SparkSpec {
+
+  lazy val g: GraphTables =
+    XmlIngest.ingest(spark, GraphQueries.XmlGlob, "b1")
+
+  test("match by label + property") {
+    val df = CypherLite.run(g,
+      "MATCH (m:Number {name: 'number'}) RETURN m").toOption.get
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[String]("m_label") == "Number"))
+  }
+
+  test("3-hop expansion returns (m, connected) rows") {
+    val df = CypherLite.run(g,
+      "MATCH (m:Boeing_Service_Bulletin)-[*1..3]->(connected) " +
+        "RETURN m, connected").toOption.get
+    // equals the library-level neighborhood op
+    val direct = GraphOps.neighborhoodWhere(g,
+      col("label") === "Boeing_Service_Bulletin", 3)
+    assert(df.count() == direct.count())
+    assert(df.columns.contains("c_name"))
+  }
+
+  test("LIMIT applies") {
+    val df = CypherLite.run(g,
+      "MATCH (m:Step) RETURN m LIMIT 2").toOption.get
+    assert(df.count() == 2)
+  }
+
+  test("DETACH DELETE maps to batch drop") {
+    val df = CypherLite.run(g,
+      "MATCH (n) WHERE n.b1 = true DETACH DELETE n").toOption.get
+    assert(df.count() == 0) // only batch was dropped -> empty graph summary
+  }
+
+  test("unsupported shapes are rejected, not misparsed") {
+    assert(CypherLite.parse("CREATE (n:Foo)").isLeft)
+    assert(CypherLite.parse(
+      "MATCH (m:X)-[*1..3]->(c) RETURN").isLeft)
+  }
+
+  test("case-insensitive keywords and whitespace tolerance") {
+    val df = CypherLite.run(g,
+      "  match ( m :Subject )  return m  ").toOption.get
+    assert(df.count() == 3)
+  }
+}
