@@ -84,6 +84,27 @@ object StreamingOps {
       .select(col("event_id"), col("user_id"), col("event_type"),
         col("c_mktsegment"))
 
+  /** Stream-stream join with event-time bounds (the hardest T-op): each
+    * purchase joins views by the same user within the preceding 30 minutes.
+    * Watermarks on BOTH sides bound the buffered state — without them the
+    * join state grows forever; with them Spark evicts rows older than
+    * watermark - bound, which is what makes this runnable on an unbounded
+    * stream at scale.
+    */
+  def streamStreamJoin(views: DataFrame, purchases: DataFrame): DataFrame = {
+    val v = views.withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("view_id"))
+    val p = purchases.withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+    p.join(v,
+      col("p_user") === col("v_user") &&
+        col("v_ts") <= col("p_ts") &&
+        col("v_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES"))
+      .select(col("purchase_id"), col("view_id"), col("p_user").as("user_id"))
+  }
+
   /** Run a streaming frame to completion against a memory sink and return
     * the materialized result (local test/verify harness; S7).
     */

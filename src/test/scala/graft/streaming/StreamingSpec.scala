@@ -143,6 +143,37 @@ class StreamingSpec extends SparkSpec {
     assert(got.collect().head.getAs[String]("c_mktsegment").nonEmpty)
   }
 
+  test("stream-stream join matches purchases to in-window views (T8+)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[EventRow]
+    val purchases = MemoryStream[EventRow]
+    val joined = StreamingOps.streamStreamJoin(
+      views.toDF(), purchases.toDF())
+    val q = joined.writeStream.format("memory").queryName("t8s_stream")
+      .outputMode(OutputMode.Append()).start()
+    views.addData(
+      EventRow(10L, ts(0), 1L, "view", 0.0),
+      EventRow(11L, ts(5), 1L, "view", 0.0),
+      EventRow(12L, ts(0), 2L, "view", 0.0))
+    purchases.addData(
+      EventRow(20L, ts(10), 1L, "purchase", 5.0), // joins views 10 and 11
+      EventRow(21L, ts(45), 1L, "purchase", 5.0)) // outside the 30-min bound
+    q.processAllAvailable()
+    // advance both watermarks so all joinable results emit
+    views.addData(EventRow(19L, ts(59, 50), 3L, "view", 0.0))
+    purchases.addData(EventRow(29L, ts(59, 55), 3L, "purchase", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("t8s_stream")
+      .select("purchase_id", "view_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((20L, 10L)) && got.contains((20L, 11L)), got)
+    assert(!got.exists(_._1 == 21L), s"out-of-window view joined: $got")
+    assert(!got.exists(p => p._1 == 20L && p._2 == 12L),
+      "cross-user join leaked")
+  }
+
   test("streaming file source over events parquet works end-to-end (S6)") {
     val schema = Tables.events(spark, sf("sf0.001")).schema
     // file streaming source needs a plain-schema dir; stage a µs-normalized
