@@ -282,6 +282,35 @@ object GraphOps {
       .select(col("label"), col("name"), col("rank"))
   }
 
+  /** Triangle count per vertex via GraphX (Q9 analytics breadth). */
+  def triangleCounts(spark: SparkSession, g: GraphTables): DataFrame = {
+    import spark.implicits._
+    val counts = toGraphX(g)
+      .partitionBy(org.apache.spark.graphx.PartitionStrategy.RandomVertexCut)
+      .triangleCount().vertices.toDF("id", "triangles")
+    g.nodes.toDF().join(counts, "id")
+      .select(col("label"), col("name"), col("triangles"))
+  }
+
+  /** Label propagation communities via GraphX (Q9). */
+  def labelPropagation(spark: SparkSession, g: GraphTables, iters: Int = 5)
+      : DataFrame = {
+    import spark.implicits._
+    org.apache.spark.graphx.lib.LabelPropagation
+      .run(toGraphX(g), iters).vertices.toDF("id", "community")
+  }
+
+  /** Single-source shortest path lengths to the given landmarks (Q9). */
+  def shortestPaths(spark: SparkSession, g: GraphTables,
+      landmarks: Seq[Long]): DataFrame = {
+    import spark.implicits._
+    org.apache.spark.graphx.lib.ShortestPaths
+      .run(toGraphX(g), landmarks).vertices
+      .flatMap { case (id, spmap) =>
+        spmap.map { case (lm, d) => (id, lm, d) }
+      }.toDF("id", "landmark", "distance")
+  }
+
   /** Unbounded BFS depth from roots via Pregel (J11 unbounded form) —
     * message = candidate depth, merge = min; `maxIterations` bounds run.
     */

@@ -173,6 +173,27 @@ object GraphQueries {
         .select("src_node", "relType", "dst_node")
         .orderBy("src_node", "relType", "dst_node")
     },
+    QueryDef.rowsOnly("graph_triangles") { (s, _) =>
+      // a containment tree has zero triangles — the summary row proves the
+      // op ran and the structure is as expected
+      GraphOps.triangleCounts(s, graph(s))
+        .agg(count(lit(1)).as("n_nodes"),
+          sum(col("triangles")).as("total_triangles"),
+          max(col("triangles")).as("max_triangles"))
+    },
+    QueryDef.rowsOnly("graph_label_propagation") { (s, _) =>
+      GraphOps.labelPropagation(s, graph(s))
+        .groupBy("community").agg(count(lit(1)).as("size"))
+        .orderBy(col("size").desc, col("community")).limit(10)
+    },
+    QueryDef.rowsOnly("graph_shortest_paths") { (s, _) =>
+      val g = graph(s)
+      val landmarks = g.nodes.filter(col("label") === "Boeing_Service_Bulletin")
+        .select("id").collect().map(_.getLong(0)).toSeq
+      GraphOps.shortestPaths(s, g, landmarks)
+        .groupBy("landmark", "distance").agg(count(lit(1)).as("n_nodes"))
+        .orderBy("landmark", "distance")
+    },
     QueryDef.rowsOnly("graph_pregel_bfs") { (s, _) =>
       val g = graph(s)
       val roots = g.nodes.filter(col("label") === "Boeing_Service_Bulletin")

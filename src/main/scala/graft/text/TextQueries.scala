@@ -70,32 +70,24 @@ object TextQueries {
     },
     // -------------------------------------------------- L2 MinHash+LSH dedup
     QueryDef.sql("l2_minhash_lsh", duckMinhashSql) { (s, d) =>
-      val sh = shingles(s, d)
-        .select(col("doc_id"), (PortableHash.spark(col("s")) % P).as("hb"))
-      val minCols = (0 until SEEDS).map(k =>
-        min((lit(hashA(k)) * col("hb") + hashB(k)) % P).as(s"h$k"))
-      val sig = sh.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
-      val rowsPerBand = SEEDS / BANDS
-      // one band-key array + posexplode, NOT a union of per-band selects: a
-      // union re-runs the whole scan+hash+aggregate pipeline per band
-      val bandKeys = array((0 until BANDS).map { b =>
-        md5(concat_ws("_", (0 until rowsPerBand).map(r =>
-          col(s"h${b * rowsPerBand + r}").cast("string")): _*))
-      }: _*)
-      // bands are tiny (BANDS rows/doc of 32-char keys) — materialize once
-      // so the self-join below doesn't re-run the scan+hash pipeline per side
-      val bands = sig.select(col("doc_id"), posexplode(bandKeys))
-        .select(col("doc_id"), col("pos").as("band"), col("col").as("bkey"))
-        .localCheckpoint()
-      // bucket join: only docs agreeing on a full band ever meet — this is
-      // the 100-TB path (shuffle by (band, bkey), no all-pairs compare)
-      val a = bands.select(col("band"), col("bkey"), col("doc_id").as("doc_a"))
-      val b = bands.select(col("band").as("band_b"), col("bkey").as("bkey_b"),
-        col("doc_id").as("doc_b"))
-      a.join(b, col("band") === col("band_b") && col("bkey") === col("bkey_b") &&
-          col("doc_a") < col("doc_b"))
-        .select("doc_a", "doc_b").distinct()
-        .orderBy("doc_a", "doc_b")
+      minhashPairs(s, d).orderBy("doc_a", "doc_b")
+    },
+    // ------------------------------------- L2e duplicate clustering (CC)
+    QueryDef.sql("l2e_dup_clusters", duckDupClustersSql) { (s, d) =>
+      // near-dup pairs form a graph; connected components assign each doc a
+      // cluster id (the min doc_id in its component) — the keep-one-per-
+      // cluster step an actual 100-TB dedup pipeline ends with
+      import s.implicits._
+      val vertices = Tables.documents(s, d).select("doc_id").as[Long]
+        .rdd.map(id => (id, ()))
+      val edges = minhashPairs(s, d).as[(Long, Long)]
+        .rdd.map { case (a, b) => org.apache.spark.graphx.Edge(a, b, ()) }
+      val cc = org.apache.spark.graphx.Graph(vertices, edges)
+        .connectedComponents().vertices
+      cc.toDF("doc_id", "cluster_id")
+        .select(col("doc_id"), col("cluster_id"),
+          (col("doc_id") === col("cluster_id")).as("is_canonical"))
+        .orderBy("doc_id")
     },
     // ------------------------------------------------------------ L2b SimHash
     QueryDef.sql("l2b_simhash", duckSimhashSql) { (s, d) =>
@@ -398,10 +390,39 @@ object TextQueries {
     }
   )
 
-  /** DuckDB mirror of the MinHash+LSH pipeline, generated from the same
-    * SEEDS/BANDS constants as the Spark side.
+  /** Spark side of the MinHash+LSH candidate-pair pipeline (shared by the
+    * pair query and duplicate clustering).
     */
-  private lazy val duckMinhashSql: String = {
+  private def minhashPairs(s: SparkSession, d: String): DataFrame = {
+    val sh = shingles(s, d)
+      .select(col("doc_id"), (PortableHash.spark(col("s")) % P).as("hb"))
+    val minCols = (0 until SEEDS).map(k =>
+      min((lit(hashA(k)) * col("hb") + hashB(k)) % P).as(s"h$k"))
+    val sig = sh.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+    val rowsPerBand = SEEDS / BANDS
+    // one band-key array + posexplode, NOT a union of per-band selects: a
+    // union re-runs the whole scan+hash+aggregate pipeline per band
+    val bandKeys = array((0 until BANDS).map { b =>
+      md5(concat_ws("_", (0 until rowsPerBand).map(r =>
+        col(s"h${b * rowsPerBand + r}").cast("string")): _*))
+    }: _*)
+    // bands are tiny (BANDS rows/doc of 32-char keys) — materialize once
+    // so the self-join below doesn't re-run the scan+hash pipeline per side
+    val bands = sig.select(col("doc_id"), posexplode(bandKeys))
+      .select(col("doc_id"), col("pos").as("band"), col("col").as("bkey"))
+      .localCheckpoint()
+    // bucket join: only docs agreeing on a full band ever meet — this is
+    // the 100-TB path (shuffle by (band, bkey), no all-pairs compare)
+    val a = bands.select(col("band"), col("bkey"), col("doc_id").as("doc_a"))
+    val b = bands.select(col("band").as("band_b"), col("bkey").as("bkey_b"),
+      col("doc_id").as("doc_b"))
+    a.join(b, col("band") === col("band_b") && col("bkey") === col("bkey_b") &&
+        col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+  }
+
+  /** Shared DuckDB CTE chain ending in a `pairs(doc_a, doc_b)` relation. */
+  private lazy val duckPairsCtes: String = {
     val mins = (0 until SEEDS).map(k =>
       s"min((${hashA(k)} * hb + ${hashB(k)}) % $P) AS h$k").mkString(",\n  ")
     val rowsPerBand = SEEDS / BANDS
@@ -411,18 +432,40 @@ object TextQueries {
         .mkString("concat_ws('_', ", ", ", ")")
       s"SELECT doc_id, $b AS band, md5($key) AS bkey FROM sig"
     }.mkString("\n  UNION ALL\n  ")
-    s"""WITH sh AS ($duckShingles),
+    s"""sh AS ($duckShingles),
        |hs AS (SELECT doc_id, ${PortableHash.duck("s")} % $P AS hb FROM sh),
        |sig AS (SELECT doc_id,
        |  $mins
        |FROM hs GROUP BY doc_id),
        |bands AS (
-       |  $bands)
-       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |FROM bands a JOIN bands b
-       |  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
-       |ORDER BY doc_a, doc_b""".stripMargin
+       |  $bands),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)""".stripMargin
   }
+
+  /** DuckDB mirror of the MinHash+LSH pipeline, generated from the same
+    * SEEDS/BANDS constants as the Spark side.
+    */
+  private lazy val duckMinhashSql: String =
+    s"""WITH $duckPairsCtes
+       |SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b""".stripMargin
+
+  /** DuckDB mirror of duplicate clustering: transitive closure over the
+    * candidate pairs via a recursive CTE, cluster id = min reachable doc.
+    */
+  private lazy val duckDupClustersSql: String =
+    s"""WITH RECURSIVE $duckPairsCtes,
+       |bi AS (SELECT doc_a AS s, doc_b AS t FROM pairs
+       |       UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach(start, node) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT r.start, e.t FROM reach r JOIN bi e ON r.node = e.s)
+       |SELECT start AS doc_id, CAST(min(node) AS BIGINT) AS cluster_id,
+       |  (start = min(node)) AS is_canonical
+       |FROM reach GROUP BY start ORDER BY doc_id""".stripMargin
 
   /** DuckDB mirror of the 32-bit SimHash. */
   private lazy val duckSimhashSql: String = {
