@@ -50,6 +50,30 @@ object GraphStore {
       if (Files.exists(p)) deleteRecursively(p)
     }
 
+  /** Small-files compaction: incremental batch upserts accumulate many
+    * small parquet files per partition; rewrite each relation to
+    * `filesPerPartition` files, preserving the batch partitioning. At
+    * 100 TB this runs per-partition as routine maintenance — here it is
+    * a full rewrite through the same atomic-swap commit.
+    */
+  def compact(spark: SparkSession, dir: String,
+      filesPerPartition: Int = 1): Unit = {
+    val g = load(spark, dir)
+    val compacted = GraphTables(
+      g.nodes.repartition(filesPerPartition,
+        org.apache.spark.sql.functions.col("batch"))
+        .as(g.nodes.encoder),
+      g.edges.repartition(filesPerPartition,
+        org.apache.spark.sql.functions.col("batch"))
+        .as(g.edges.encoder))
+    // save() writes to a temp dir first, so reading `dir` while compacting
+    // stays consistent; localCheckpoint breaks the read-own-input cycle
+    val materialized = GraphTables(
+      compacted.nodes.localCheckpoint(),
+      compacted.edges.localCheckpoint())
+    save(materialized, dir)
+  }
+
   private def deleteRecursively(p: Path): Unit =
     Files.walk(p).sorted(Comparator.reverseOrder[Path]())
       .forEach(f => Files.delete(f))

@@ -113,6 +113,42 @@ object TimeQueries {
           .cast("long").as("n_converted"))
     },
     QueryDef.sql(
+      "t7_session_features",
+      // per-session training features: duration, event count, value sum,
+      // distinct types — the feature-engineering shape over sessionization
+      s"""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS uts, value,
+         |  event_type FROM events),
+         |m AS (SELECT user_id, uts, value, event_type,
+         |  CASE WHEN lag(uts) OVER w IS NULL
+         |         OR uts - lag(uts) OVER w >= INTERVAL 30 MINUTE
+         |       THEN 1 ELSE 0 END AS brk
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY uts)),
+         |g AS (SELECT user_id, uts, value, event_type, sum(brk) OVER
+         |  (PARTITION BY user_id ORDER BY uts
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+         |  FROM m)
+         |SELECT user_id, min(uts) AS s_start,
+         |  CAST(date_diff('second', min(uts), max(uts)) AS BIGINT)
+         |    AS duration_s,
+         |  count(*) AS n_events,
+         |  ${Det.duckCentSum("value", 2)} AS total_value,
+         |  count(DISTINCT event_type) AS n_types
+         |FROM g GROUP BY user_id, sid
+         |ORDER BY user_id, s_start""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          Det.centSum(col("value"), 2).as("total_value"),
+          countDistinct(col("event_type")).as("n_types"),
+          min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"))
+        .select(col("user_id"),
+          col("session_window.start").as("s_start"),
+          (unix_timestamp(col("last_ts")) - unix_timestamp(col("first_ts")))
+            .as("duration_s"),
+          col("n_events"), col("total_value"), col("n_types"))
+        .orderBy("user_id", "s_start")
+    },
+    QueryDef.sql(
       "j9_asof_join",
       // as-of join: for each purchase, the latest view by the same user at
       // or before the purchase. Implemented as the scalable union+window

@@ -102,6 +102,24 @@ object TextQueries {
         when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
       sums.select(col("doc_id"), fp.as("simhash")).orderBy("doc_id")
     },
+    // ------------------------------------ L2f deduplicated corpus output
+    QueryDef.sql("l2f_dedup_output", duckDedupOutputSql) { (s, d) =>
+      // the actual cleaned-dataset step: keep one canonical doc per dup
+      // cluster, report the surviving slice sizes
+      import s.implicits._
+      val vertices = Tables.documents(s, d).select("doc_id").as[Long]
+        .rdd.map(id => (id, ()))
+      val edges = minhashPairs(s, d).as[(Long, Long)]
+        .rdd.map { case (a, b) => org.apache.spark.graphx.Edge(a, b, ()) }
+      val canonical = org.apache.spark.graphx.Graph(vertices, edges)
+        .connectedComponents().vertices
+        .filter { case (id, comp) => id == comp }
+        .map(_._1)
+      val keep = canonical.toDF("doc_id")
+      Tables.documents(s, d).join(keep, "doc_id")
+        .groupBy("lang").agg(count(lit(1)).as("n_docs_kept"))
+        .orderBy("lang")
+    },
     // ------------------------------------------------- L2c n-gram Jaccard
     QueryDef.sql(
       "l2c_ngram_jaccard",
@@ -451,6 +469,23 @@ object TextQueries {
   private lazy val duckMinhashSql: String =
     s"""WITH $duckPairsCtes
        |SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b""".stripMargin
+
+  /** DuckDB mirror of the dedup output: canonical docs joined back to the
+    * corpus, grouped by language.
+    */
+  private lazy val duckDedupOutputSql: String =
+    s"""WITH RECURSIVE $duckPairsCtes,
+       |bi AS (SELECT doc_a AS s, doc_b AS t FROM pairs
+       |       UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach(start, node) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT r.start, e.t FROM reach r JOIN bi e ON r.node = e.s),
+       |canon AS (SELECT start AS doc_id FROM reach
+       |          GROUP BY start HAVING start = min(node))
+       |SELECT lang, count(*) AS n_docs_kept
+       |FROM documents JOIN canon USING (doc_id)
+       |GROUP BY lang ORDER BY lang""".stripMargin
 
   /** DuckDB mirror of duplicate clustering: transitive closure over the
     * candidate pairs via a recursive CTE, cluster id = min reachable doc.

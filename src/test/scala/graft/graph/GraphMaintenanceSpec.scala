@@ -45,6 +45,28 @@ class GraphMaintenanceSpec extends SparkSpec {
       .map(_.getString(0)).toSeq == Seq("b1"))
   }
 
+  test("compaction reduces file count, preserves data") {
+    val dir = java.nio.file.Files.createTempDirectory("gstore3")
+      .resolve("graph").toString
+    // fragment: write with many partitions
+    val fragmented = GraphTables(
+      g.nodes.repartition(16).as(g.nodes.encoder),
+      g.edges.repartition(16).as(g.edges.encoder))
+    GraphStore.save(fragmented, dir)
+    def parquetFiles(rel: String) = {
+      val p = java.nio.file.Paths.get(dir, rel)
+      java.nio.file.Files.walk(p).filter(_.toString.endsWith(".parquet"))
+        .count()
+    }
+    val before = parquetFiles("nodes")
+    GraphStore.compact(spark, dir)
+    val after = parquetFiles("nodes")
+    assert(after < before, s"$before -> $after")
+    val back = GraphStore.load(spark, dir)
+    assert(back.nodes.count() == g.nodes.count())
+    assert(back.edges.count() == g.edges.count())
+  }
+
   test("linkDocsTo connects roots to shared dimension nodes (A17)") {
     import spark.implicits._
     val mapping = Seq(
