@@ -1,0 +1,35 @@
+#!/bin/bash
+# Regenerate PLANS.md: formatted AQE-final physical plans for the headline
+# queries. Run after `sbt compile`.
+set -e
+cd "$(dirname "$0")/.."
+cat > /tmp/DumpPlans.scala << 'EOF'
+val s2 = org.apache.spark.sql.SparkSession.builder().master("local[8]")
+  .config("spark.sql.shuffle.partitions","8")
+  .config("spark.sql.session.timeZone","UTC")
+  .config("spark.sql.legacy.parquet.nanosAsLong","true")
+  .config("spark.ui.enabled","false").getOrCreate()
+s2.sparkContext.setLogLevel("ERROR")
+val names = Seq("g2_agg_pricing_summary", "j2_join_broadcast_dims",
+  "j3_join_fact_fact", "o3_topk", "l2_minhash_lsh", "l3_cosine_topk",
+  "j9_asof_join", "t4_session_window")
+val sb = new StringBuilder
+sb.append("# PLANS -- formatted physical plans of headline queries (sf0.1, local[8])\n\n")
+sb.append("Generated from `df.queryExecution.explainString(FormattedMode)` after execution\n(AQE final plans). Regenerate with `tools/dump_plans.sh`.\n")
+for (n <- names) {
+  val df = graft.SparkEntry.queries(n)(s2, "/root/testdata/sf0.1")
+  df.collect()
+  val txt = df.queryExecution.explainString(
+    org.apache.spark.sql.execution.FormattedMode)
+  sb.append(s"\n## $n\n\n```\n")
+  sb.append(txt.linesIterator.take(60).map(_.take(200)).mkString("\n"))
+  sb.append("\n```\n")
+}
+java.nio.file.Files.writeString(
+  java.nio.file.Paths.get("PLANS.md"), sb.toString)
+println("WROTE_PLANS")
+System.exit(0)
+EOF
+/opt/spark/bin/spark-shell --master 'local[8]' --conf spark.ui.enabled=false \
+  --driver-class-path target/scala-2.13/classes -I /tmp/DumpPlans.scala \
+  2>/dev/null | grep -a WROTE_PLANS
