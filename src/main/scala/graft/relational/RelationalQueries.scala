@@ -319,6 +319,19 @@ object RelationalQueries {
             |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin)
     },
     QueryDef.sql(
+      "g6b_cube",
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin) {
+      (s, d) =>
+        Tables.orders(s, d).createOrReplaceTempView("orders")
+        s.sql(
+          """SELECT o_orderstatus, o_orderpriority, count(*) AS n
+            |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+            |ORDER BY o_orderstatus ASC NULLS FIRST,
+            |         o_orderpriority ASC NULLS FIRST""".stripMargin)
+    },
+    QueryDef.sql(
       "g7_string_agg",
       """SELECT p_brand, string_agg(DISTINCT p_type, '|' ORDER BY p_type) AS types
         |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin) { (s, d) =>
@@ -395,14 +408,21 @@ object RelationalQueries {
       """SELECT * FROM (
         |  SELECT o_custkey, o_orderkey,
         |    row_number() OVER (PARTITION BY o_custkey
-        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+        |    rank() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderpriority) AS prio_rank,
+        |    dense_rank() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderpriority) AS prio_dense
         |  FROM orders) t WHERE rn <= 3
         |ORDER BY o_custkey, rn""".stripMargin) { (s, d) =>
       val w = Window.partitionBy("o_custkey")
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      val wp = Window.partitionBy("o_custkey").orderBy(col("o_orderpriority"))
       Tables.orders(s, d)
         .select(col("o_custkey"), col("o_orderkey"),
-          row_number().over(w).as("rn"))
+          row_number().over(w).as("rn"),
+          rank().over(wp).as("prio_rank"),
+          dense_rank().over(wp).as("prio_dense"))
         .filter(col("rn") <= 3)
         .orderBy("o_custkey", "rn")
     },
@@ -466,6 +486,24 @@ object RelationalQueries {
         .select(col("c_custkey"), ntile(4).over(w).as("quartile"),
           Det.portableRound(percent_rank().over(w), 6).as("pr"))
         .orderBy("c_custkey")
+    },
+    QueryDef.sql(
+      "w6_range_frame",
+      // events-in-the-last-hour per user: a RANGE frame over event time,
+      // expressed on the epoch-microsecond axis so both engines use the
+      // identical numeric frame
+      """SELECT event_id,
+        |  count(*) OVER (PARTITION BY user_id
+        |    ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+        |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |    AS n_last_hour
+        |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("user_id")
+        .orderBy(unix_micros(col("ts")))
+        .rangeBetween(-3600000000L, Window.currentRow)
+      Tables.events(s, d)
+        .select(col("event_id"), count(lit(1)).over(w).as("n_last_hour"))
+        .orderBy("event_id")
     },
     // ---------------------------------------------------- sorts/limits (O)
     QueryDef.sql(
