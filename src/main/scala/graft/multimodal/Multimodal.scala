@@ -4,8 +4,6 @@ import graft.{QueryDef, Tables}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
-import java.sql.Timestamp
-
 /** Decoded media metadata (typed side of an opaque binary payload). */
 final case class MediaMeta(doc_id: Long, kind: String, n_bytes: Long,
     width: Int, height: Int, n_frames: Int)

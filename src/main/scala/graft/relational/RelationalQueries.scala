@@ -753,6 +753,44 @@ object RelationalQueries {
         .orderBy("doc_id")
     },
     QueryDef.sql(
+      "f11b_array_setops",
+      """SELECT p_partkey,
+        |  list_sort(list_intersect(string_split(p_name, ' '),
+        |    ['small', 'red', 'blue'])) AS color_hits,
+        |  list_contains(string_split(p_name, ' '), 'bolt') AS has_bolt,
+        |  list_sort(list_concat(string_split(p_name, ' '), [p_brand]))
+        |    AS with_brand
+        |FROM part ORDER BY p_partkey""".stripMargin) { (s, d) =>
+      Tables.part(s, d).select(col("p_partkey"),
+        array_sort(array_intersect(split(col("p_name"), " "),
+          array(lit("small"), lit("red"), lit("blue")))).as("color_hits"),
+        array_contains(split(col("p_name"), " "), "bolt").as("has_bolt"),
+        array_sort(concat(split(col("p_name"), " "), array(col("p_brand"))))
+          .as("with_brand"))
+        .orderBy("p_partkey")
+    },
+    QueryDef.sql(
+      "f15_more_strings",
+      """SELECT n_nationkey,
+        |  translate(n_name, 'NATION_', 'nation-') AS translated,
+        |  lpad(CAST(n_nationkey AS VARCHAR), 4, '0') AS padded,
+        |  rpad(n_name, 12, '.') AS rpadded,
+        |  repeat('-', 3) AS dashes,
+        |  reverse(n_name) AS reversed,
+        |  left(n_name, 6) AS l6,
+        |  right(n_name, 2) AS r2
+        |FROM nation ORDER BY n_nationkey""".stripMargin) { (s, d) =>
+      Tables.nation(s, d).select(col("n_nationkey"),
+        translate(col("n_name"), "NATION_", "nation-").as("translated"),
+        lpad(col("n_nationkey").cast("string"), 4, "0").as("padded"),
+        rpad(col("n_name"), 12, ".").as("rpadded"),
+        lit("-" * 3).as("dashes"),
+        reverse(col("n_name")).as("reversed"),
+        substring(col("n_name"), 1, 6).as("l6"),
+        expr("right(n_name, 2)").as("r2"))
+        .orderBy("n_nationkey")
+    },
+    QueryDef.sql(
       "f13_json",
       """SELECT event_type,
         |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
