@@ -19,6 +19,33 @@ class SkewJoinSpec extends SparkSpec {
     assert(plain.except(salted).count() == 0)
   }
 
+  test("AQE splits a skewed join partition (skew=true in plan)") {
+    import spark.implicits._
+    val confs = Seq(
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      // one hot key dominating the left side
+      val big = (1L to 200000L)
+        .map(i => (if (i % 10 == 0) 42L else i % 997, i)).toDF("k", "payload")
+      val dim = (0L to 996L).map(k => (k, s"v$k")).toDF("k", "v")
+      val joined = big.join(dim, Seq("k"))
+      joined.collect() // execute THIS plan so AQE finalizes it
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true") || plan.contains("isSkew=true"),
+        plan.take(1200))
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("salt spreads a hot key across buckets") {
     import spark.implicits._
     val hot = (1L to 1000L).map(i => (42L, i)).toDF("k", "row_id")

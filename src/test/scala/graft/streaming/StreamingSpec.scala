@@ -143,6 +143,32 @@ class StreamingSpec extends SparkSpec {
     assert(got.collect().head.getAs[String]("c_mktsegment").nonEmpty)
   }
 
+  test("stateful ops run on the RocksDB state store (scale-posture)") {
+    // HDFS-backed in-memory state breaks down at large key cardinality;
+    // RocksDB is the 100-TB state backend — prove the ops run on it
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    try {
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val mem = MemoryStream[EventRow]
+      mem.addData(eventsFixture: _*)
+      val got = StreamingOps.runToMemory(spark,
+        StreamingOps.tumblingCounts(mem.toDF()), "rocks_stream",
+        OutputMode.Complete())
+      val want = StreamingOps.tumblingCounts(eventsFixture.toDF())
+      assert(got.count() == want.count())
+    } finally {
+      prev match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("stream-stream join matches purchases to in-window views (T8+)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
