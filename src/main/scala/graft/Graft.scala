@@ -1,0 +1,80 @@
+package graft
+
+import graft.graph._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Public facade — the one-stop API a user of the reference system
+  * (`AshmitGupta/Graph-Database-Project`) programs against after switching:
+  * XML→graph ingestion, the Cypher-subset/SQL query surface, k-hop
+  * neighborhoods with nested shaping, MERGE/delete/link maintenance,
+  * graph-at-rest storage, and the LLM-pipeline corpus ops.
+  *
+  * Every method delegates to the module that owns the logic; this object
+  * adds no behavior, only a stable surface.
+  */
+object Graft {
+
+  // ---------------------------------------------------------------- ingest
+  /** Parse an XML corpus into graph relations (element mode; set
+    * `titleMode` for the TITLE-section generation).
+    */
+  def ingestXml(spark: SparkSession, pathGlob: String, batch: String,
+      titleMode: Boolean = false): GraphTables =
+    XmlIngest.ingest(spark, pathGlob, batch, titleMode)
+
+  // ----------------------------------------------------------------- query
+  /** Cypher-subset execution (`MATCH …[-[*1..k]->…] RETURN …`,
+    * `DETACH DELETE`).
+    */
+  def cypher(g: GraphTables, query: String): Either[String, DataFrame] =
+    CypherLite.run(g, query)
+
+  /** Register `nodes`/`edges` temp views and run arbitrary Spark SQL. */
+  def sql(spark: SparkSession, g: GraphTables, query: String): DataFrame = {
+    g.nodes.createOrReplaceTempView("nodes")
+    g.edges.createOrReplaceTempView("edges")
+    spark.sql(query)
+  }
+
+  /** Matched node + ≤k-hop downward neighborhood, nested by root name
+    * (the reference's flagship read path).
+    */
+  def neighborhood(g: GraphTables, label: String, name: String,
+      k: Int = 3): DataFrame =
+    GraphOps.nestByRoot(GraphOps.neighborhood(g, label, name, k))
+
+  // ----------------------------------------------------------- maintenance
+  def upsert(existing: GraphTables, incoming: GraphTables): GraphTables =
+    GraphOps.upsert(existing, incoming)
+
+  def dropBatch(g: GraphTables, batch: String): GraphTables =
+    GraphOps.dropBatch(g, batch)
+
+  // ----------------------------------------------------------------- store
+  def save(g: GraphTables, dir: String): Unit = GraphStore.save(g, dir)
+  def load(spark: SparkSession, dir: String): GraphTables =
+    GraphStore.load(spark, dir)
+  def compact(spark: SparkSession, dir: String): Unit =
+    GraphStore.compact(spark, dir)
+
+  // ------------------------------------------------------------- analytics
+  def pageRank(spark: SparkSession, g: GraphTables, iters: Int = 10)
+      : DataFrame = GraphOps.pageRank(spark, g, iters)
+  def connectedComponents(spark: SparkSession, g: GraphTables): DataFrame =
+    GraphOps.connectedComponents(spark, g)
+  def degrees(spark: SparkSession, g: GraphTables): DataFrame =
+    GraphOps.degrees(spark, g)
+
+  // ------------------------------------------------------------ corpus ops
+  /** Near-duplicate clusters of a documents table (doc_id, text, …):
+    * minhash-LSH candidate pairs → connected components →
+    * (doc_id, cluster_id, is_canonical).
+    */
+  def dupClusters(spark: SparkSession, sfDir: String): DataFrame =
+    SparkEntry.queries("l2e_dup_clusters")(spark, sfDir)
+
+  /** The deduplicated corpus slice counts (canonical docs only). */
+  def dedupOutput(spark: SparkSession, sfDir: String): DataFrame =
+    SparkEntry.queries("l2f_dedup_output")(spark, sfDir)
+}
