@@ -107,7 +107,7 @@ object Multimodal {
       // frame sampling for "video" payloads: one row per sampled frame with
       // a deterministic frame fingerprint — the shape a real frame-decode
       // fan-out produces (explode bounded by metadata, no driver loop)
-      """SELECT doc_id, frame_idx,
+      """SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
         |  CAST(concat('0x', substring(md5(concat(CAST(doc_id AS VARCHAR), ':',
         |    CAST(frame_idx AS VARCHAR))), 1, 15)) AS BIGINT) AS frame_fp
         |FROM (SELECT doc_id, octet_length(encode(text)) % 10 + 1 AS n_frames

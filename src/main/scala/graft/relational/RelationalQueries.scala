@@ -407,12 +407,12 @@ object RelationalQueries {
       "w1_rank_topn",
       """SELECT * FROM (
         |  SELECT o_custkey, o_orderkey,
-        |    row_number() OVER (PARTITION BY o_custkey
-        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn,
-        |    rank() OVER (PARTITION BY o_custkey
-        |      ORDER BY o_orderpriority) AS prio_rank,
-        |    dense_rank() OVER (PARTITION BY o_custkey
-        |      ORDER BY o_orderpriority) AS prio_dense
+        |    CAST(row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn,
+        |    CAST(rank() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderpriority) AS INT) AS prio_rank,
+        |    CAST(dense_rank() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderpriority) AS INT) AS prio_dense
         |  FROM orders) t WHERE rn <= 3
         |ORDER BY o_custkey, rn""".stripMargin) { (s, d) =>
       val w = Window.partitionBy("o_custkey")
@@ -477,7 +477,7 @@ object RelationalQueries {
     QueryDef.sql(
       "w5_ntile_pctrank",
       s"""SELECT c_custkey,
-         |  ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS quartile,
+         |  CAST(ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS INT) AS quartile,
          |  ${Det.duckPortableRound(
              "percent_rank() OVER (ORDER BY c_acctbal, c_custkey)", 6)} AS pr
          |FROM customer ORDER BY c_custkey""".stripMargin) { (s, d) =>
@@ -587,7 +587,7 @@ object RelationalQueries {
     QueryDef.sql(
       "f1_substring_instr",
       """SELECT p_partkey, substr(p_name, 1, 5) AS prefix,
-        |  strpos(p_name, ' ') AS space_at
+        |  CAST(strpos(p_name, ' ') AS INT) AS space_at
         |FROM part ORDER BY p_partkey""".stripMargin) { (s, d) =>
       Tables.part(s, d).select(col("p_partkey"),
         substring(col("p_name"), 1, 5).as("prefix"),
@@ -665,8 +665,9 @@ object RelationalQueries {
     },
     QueryDef.sql(
       "f8_date_functions",
-      """SELECT o_orderkey, year(o_orderdate) AS yr, month(o_orderdate) AS mo,
-        |  day(o_orderdate) AS dom,
+      """SELECT o_orderkey, CAST(year(o_orderdate) AS INT) AS yr,
+        |  CAST(month(o_orderdate) AS INT) AS mo,
+        |  CAST(day(o_orderdate) AS INT) AS dom,
         |  date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since,
         |  o_orderdate + INTERVAL 30 DAY AS due
         |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, d) =>
@@ -719,7 +720,7 @@ object RelationalQueries {
     },
     QueryDef.sql(
       "f11_array_functions",
-      """SELECT vec_id, len(embedding) AS n_dims,
+      """SELECT vec_id, CAST(len(embedding) AS INT) AS n_dims,
         |  embedding[1] AS first_val,
         |  list_sort(embedding[1:4]) AS first4_sorted,
         |  list_max(embedding) AS max_val,
@@ -818,8 +819,8 @@ object RelationalQueries {
     QueryDef.sql(
       "x1_scalar_udf",
       """SELECT doc_id,
-        |  len(regexp_extract_all(text, 'a')) AS n_a,
-        |  len(regexp_extract_all(text, '[aeiou]')) AS n_vowels
+        |  CAST(len(regexp_extract_all(text, 'a')) AS INT) AS n_a,
+        |  CAST(len(regexp_extract_all(text, '[aeiou]')) AS INT) AS n_vowels
         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
       // Scala closure UDF (X1) — the escape hatch when no built-in or
       // custom Expression fits; kept off hot paths (no codegen)
@@ -871,7 +872,7 @@ object RelationalQueries {
       "b1_sql_surface",
       s"""SELECT n_name, o_ym, ${duckCentSum("o_totalprice", 2)} AS revenue
          |FROM (SELECT o_custkey, o_totalprice,
-         |        year(o_orderdate) * 100 + month(o_orderdate) AS o_ym
+         |        CAST(year(o_orderdate) * 100 + month(o_orderdate) AS INT) AS o_ym
          |      FROM orders WHERE o_orderstatus = 'F') o
          |JOIN customer ON o_custkey = c_custkey
          |JOIN nation ON c_nationkey = n_nationkey
@@ -887,7 +888,7 @@ object RelationalQueries {
         s"""SELECT n_name, o_ym,
            |  ${Det.duckCentSum("o_totalprice", 2)} AS revenue
            |FROM (SELECT o_custkey, o_totalprice,
-           |        year(o_orderdate) * 100 + month(o_orderdate) AS o_ym
+           |        CAST(year(o_orderdate) * 100 + month(o_orderdate) AS INT) AS o_ym
            |      FROM orders WHERE o_orderstatus = 'F') o
            |JOIN customer ON o_custkey = c_custkey
            |JOIN nation ON c_nationkey = n_nationkey

@@ -211,8 +211,8 @@ object TextQueries {
         |      i -> qe[i] * emb[i])) / (qn * nrm) * 1000000 + 0.5)
         |      / CAST(1000000 AS DOUBLE) AS sim
         |  FROM q, n WHERE vec_id <> q_id),
-        |r AS (SELECT q_id, neighbor_id, sim, row_number() OVER
-        |    (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS rn
+        |r AS (SELECT q_id, neighbor_id, sim, CAST(row_number() OVER
+        |    (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS INT) AS rn
         |  FROM p)
         |SELECT q_id, neighbor_id, sim, rn FROM r WHERE rn <= 5
         |ORDER BY q_id, rn""".stripMargin) { (s, d) =>
@@ -253,8 +253,8 @@ object TextQueries {
         |      i -> qe[i] * emb[i])) / (qn * nrm) * 1000000 + 0.5)
         |      / CAST(1000000 AS DOUBLE) AS sim
         |  FROM q JOIN n ON q.bucket = n.bucket AND n.vec_id <> q.q_id),
-        |r AS (SELECT q_id, neighbor_id, sim, row_number() OVER
-        |    (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS rn
+        |r AS (SELECT q_id, neighbor_id, sim, CAST(row_number() OVER
+        |    (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS INT) AS rn
         |  FROM p)
         |SELECT q_id, neighbor_id, sim, rn FROM r WHERE rn <= 3
         |ORDER BY q_id, rn""".stripMargin) { (s, d) =>
@@ -289,11 +289,11 @@ object TextQueries {
     QueryDef.sql(
       "l5_text_stats",
       """SELECT doc_id,
-        |  len(string_split(text, ' ')) AS n_tokens,
-        |  length(text) AS n_chars_m,
-        |  len(regexp_extract_all(text, '[.,!?;:]')) AS n_punct,
-        |  len(list_filter(string_split(text, ' '),
-        |    t -> t IN ('the', 'a', 'of', 'and', 'to'))) AS n_stop,
+        |  CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+        |  CAST(length(text) AS INT) AS n_chars_m,
+        |  CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS INT) AS n_punct,
+        |  CAST(len(list_filter(string_split(text, ' '),
+        |    t -> t IN ('the', 'a', 'of', 'and', 'to'))) AS INT) AS n_stop,
         |  floor(CAST(length(replace(text, ' ', '')) AS DOUBLE) /
         |    CAST(len(string_split(text, ' ')) AS DOUBLE) * 1000000 + 0.5)
         |    / CAST(1000000 AS DOUBLE) AS avg_tok_len
@@ -316,9 +316,10 @@ object TextQueries {
       // subword-ish tokenization by regex classes (letters / digits /
       // punctuation runs) — the cheap proxy for a BPE pre-tokenizer pass
       """SELECT doc_id,
-        |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))
-        |    AS n_bpe_tokens,
-        |  len(regexp_extract_all(text, '[a-zA-Z]{1,4}')) AS n_subwords
+        |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))
+        |    AS INT) AS n_bpe_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-zA-Z]{1,4}')) AS INT)
+        |    AS n_subwords
         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
       Tables.documents(s, d).select(col("doc_id"),
         expr("size(regexp_extract_all(text," +
