@@ -15,7 +15,8 @@ object SparkEntry {
       relational.TimeQueries.defs ++
       text.TextQueries.defs ++
       multimodal.Multimodal.defs ++
-      graph.GraphQueries.defs
+      graph.GraphQueries.defs ++
+      graph.ParquetGraph.defs
 
   /** Flagship query (reference read path §3.1): ingest the SB XML corpus,
     * match the bulletin, expand 3 hops downward, nest by root name.

@@ -259,10 +259,14 @@ object GraphOps {
     val degs = gx.outDegrees.fullOuterJoin(gx.inDegrees).map {
       case (id, (out, in)) => (id, out.getOrElse(0), in.getOrElse(0))
     }.toDF("id", "out_degree", "in_degree")
-    g.nodes.toDF().join(degs, "id")
+    // left join: GraphX degree RDDs omit vertices with no edges at all, and
+    // isolated nodes must surface with degree 0, not vanish
+    g.nodes.toDF().join(degs, Seq("id"), "left_outer")
       .select(col("label"), col("name"),
-        col("out_degree"), col("in_degree"),
-        (col("out_degree") + col("in_degree")).as("degree"))
+        coalesce(col("out_degree"), lit(0)).as("out_degree"),
+        coalesce(col("in_degree"), lit(0)).as("in_degree"),
+        (coalesce(col("out_degree"), lit(0)) +
+          coalesce(col("in_degree"), lit(0))).as("degree"))
   }
 
   /** Connected components via GraphX (Q9). */

@@ -1,7 +1,7 @@
 package graft.relational
 
 import graft.{Det, QueryDef, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -720,28 +720,47 @@ object RelationalQueries {
     },
     QueryDef.sql(
       "f11_array_functions",
+      // Array-typed output columns crash the driver's pandas canonicalizer
+      // (unhashable ndarray), so every array result is serialized to a string
+      // of round-half-up micro-units — integers stringify identically in both
+      // engines, while raw float reprs do not.
       """SELECT vec_id, CAST(len(embedding) AS INT) AS n_dims,
         |  embedding[1] AS first_val,
-        |  list_sort(embedding[1:4]) AS first4_sorted,
+        |  array_to_string(list_transform(list_sort(embedding[1:4]),
+        |    x -> CAST(floor(CAST(x AS DOUBLE)*1000000 + 0.5) AS BIGINT)),
+        |    ',') AS first4_sorted,
         |  list_max(embedding) AS max_val,
         |  list_min(embedding) AS min_val,
-        |  list_reverse(embedding[1:3]) AS first3_rev
+        |  array_to_string(list_transform(list_reverse(embedding[1:3]),
+        |    x -> CAST(floor(CAST(x AS DOUBLE)*1000000 + 0.5) AS BIGINT)),
+        |    ',') AS first3_rev
         |FROM embeddings ORDER BY vec_id""".stripMargin) { (s, d) =>
+      // the float element is widened to double BEFORE scaling on both sides
+      // — DuckDB would otherwise multiply in single precision and round to a
+      // different micro-unit in the last place
+      val micros = (c: Column) =>
+        array_join(transform(c, x => floor(x.cast("double") * 1000000 + 0.5)
+          .cast("long").cast("string")), ",")
       Tables.embeddings(s, d).select(col("vec_id"),
         size(col("embedding")).as("n_dims"),
         element_at(col("embedding"), 1).as("first_val"),
-        array_sort(slice(col("embedding"), 1, 4)).as("first4_sorted"),
+        micros(array_sort(slice(col("embedding"), 1, 4))).as("first4_sorted"),
         array_max(col("embedding")).as("max_val"),
         array_min(col("embedding")).as("min_val"),
-        reverse(slice(col("embedding"), 1, 3)).as("first3_rev"))
+        micros(reverse(slice(col("embedding"), 1, 3))).as("first3_rev"))
         .orderBy("vec_id")
     },
     QueryDef.sql(
       "f12_map_functions",
-      // oracle side is the columns the map round-trips back to — the Spark
-      // side exercises map construction/access/keys/size over F12's surface
-      """SELECT doc_id, lang AS m_lang, source AS m_source,
-        |  'lang,source' AS m_keys, 2 AS m_size
+      // oracle builds the same MAP in DuckDB and derives every output from it
+      // (extraction yields a 1-element list there, hence the [1])
+      """SELECT doc_id,
+        |  map {'lang': lang, 'source': source}['lang'][1] AS m_lang,
+        |  map {'lang': lang, 'source': source}['source'][1] AS m_source,
+        |  array_to_string(list_sort(map_keys(
+        |    map {'lang': lang, 'source': source})), ',') AS m_keys,
+        |  CAST(cardinality(map {'lang': lang, 'source': source}) AS INT)
+        |    AS m_size
         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
       Tables.documents(s, d)
         .withColumn("m", map(lit("lang"), col("lang"),
@@ -755,19 +774,22 @@ object RelationalQueries {
     },
     QueryDef.sql(
       "f11b_array_setops",
+      // string arrays serialized with a separator that can't appear in the
+      // data, so the driver comparator sees plain strings (see f11 note)
       """SELECT p_partkey,
-        |  list_sort(list_intersect(string_split(p_name, ' '),
-        |    ['small', 'red', 'blue'])) AS color_hits,
+        |  COALESCE(array_to_string(list_sort(list_intersect(
+        |    string_split(p_name, ' '),
+        |    ['small', 'red', 'blue'])), '|'), '') AS color_hits,
         |  list_contains(string_split(p_name, ' '), 'bolt') AS has_bolt,
-        |  list_sort(list_concat(string_split(p_name, ' '), [p_brand]))
-        |    AS with_brand
+        |  array_to_string(list_sort(list_concat(string_split(p_name, ' '),
+        |    [p_brand])), '|') AS with_brand
         |FROM part ORDER BY p_partkey""".stripMargin) { (s, d) =>
       Tables.part(s, d).select(col("p_partkey"),
-        array_sort(array_intersect(split(col("p_name"), " "),
-          array(lit("small"), lit("red"), lit("blue")))).as("color_hits"),
+        array_join(array_sort(array_intersect(split(col("p_name"), " "),
+          array(lit("small"), lit("red"), lit("blue")))), "|").as("color_hits"),
         array_contains(split(col("p_name"), " "), "bolt").as("has_bolt"),
-        array_sort(concat(split(col("p_name"), " "), array(col("p_brand"))))
-          .as("with_brand"))
+        array_join(array_sort(concat(split(col("p_name"), " "),
+          array(col("p_brand")))), "|").as("with_brand"))
         .orderBy("p_partkey")
     },
     QueryDef.sql(
