@@ -34,16 +34,29 @@ object Bench {
     } catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-      }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).count(); true } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            false
+        }
+      val secs = (System.nanoTime() - t0) / 1e9
+      // failed queries report NEGATIVE elapsed so consumers can't mistake
+      // a crash for a fast run
+      name -> (if (ok) secs else -secs)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // ONE line, kept well under the driver's ~4 KB capture window: seconds
+    // rounded to ms, and only the 20 slowest queries listed individually
+    // (the rest sit at the ~0.2s session-overhead floor; total + count
+    // carry the rest of the signal). Double.toString is locale-independent.
+    def r3(v: Double): String = (math.round(v * 1000) / 1000.0).toString
+    val top = results.sortBy(t => -math.abs(t._2)).take(20)
+    val qs = top.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = results.filter(_._2 < 0).map("\"" + _._1 + "\"")
+      .mkString("[", ",", "]")
+    val total = results.map(t => math.abs(t._2)).sum
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -65,20 +65,34 @@ object CypherLite {
     * c_name, c_content]) rows, mirroring the reference's (m, connected)
     * contract (`first-graph.py:168`).
     */
+  /** Node properties a MATCH pattern may filter on. */
+  private val SupportedProps = Set("name", "content", "docnbr")
+
   def run(g: GraphTables, query: String): Either[String, DataFrame] =
-    parse(query).map {
+    parse(query).flatMap {
       case DetachDelete(tag) =>
         // the reference's boolean tag ≙ our batch lineage column
         val after = GraphOps.dropBatch(g, tag)
-        after.nodes.groupBy("batch")
-          .agg(count(lit(1)).as("n_nodes")).orderBy("batch").toDF()
+        Right(after.nodes.groupBy("batch")
+          .agg(count(lit(1)).as("n_nodes")).orderBy("batch").toDF())
       case MatchReturn(label, props, hops, wantsConnected, limit) =>
+        // unknown keys are rejected, not silently coerced to a name match —
+        // a plausible-but-wrong answer is worse than an error to the
+        // LLM-emitted-query caller this front end serves
+        props.keys.find(!SupportedProps(_)) match {
+          case Some(k) => Left(s"unsupported property: $k " +
+            s"(supported: ${SupportedProps.toSeq.sorted.mkString(", ")})")
+          case None => Right(runMatch(g, label, props, hops,
+            wantsConnected, limit))
+        }
+    }
+
+  private def runMatch(g: GraphTables, label: Option[String],
+      props: Map[String, String], hops: Int, wantsConnected: Boolean,
+      limit: Option[Int]): DataFrame = {
         val pred = (label.map(col("label") === _).toSeq ++
-          props.map { case (k, v) =>
-            if (k == "name" || k == "content" || k == "docnbr")
-              col(k) === v
-            else col("name") === v
-          }).reduceOption(_ && _).getOrElse(lit(true))
+          props.map { case (k, v) => col(k) === v })
+          .reduceOption(_ && _).getOrElse(lit(true))
         val base =
           if (hops == 0)
             g.nodes.filter(pred)
@@ -99,5 +113,5 @@ object CypherLite {
                 .orderBy("m_label", "m_name")
           }
         limit.map(base.limit).getOrElse(base)
-    }
+  }
 }

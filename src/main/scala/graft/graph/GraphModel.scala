@@ -46,6 +46,10 @@ object GraphModel {
     */
   def nodeId(label: String, name: String, content: String,
       docnbr: String, path: Seq[Int] = Nil): Long =
+    // fields joined on \u0001 (rendered invisibly below), a character XML
+    // 1.0 forbids in text, so field boundaries are unambiguous: without a
+    // delimiter, (docnbr="100", path=[23]) and (docnbr="1002", path=[3])
+    // would hash identically and MERGE would silently fuse distinct nodes
     fnv64(label + "" + name + "" + content + "" + docnbr +
       "" + path.mkString("."))
 
@@ -69,7 +73,7 @@ object GraphModel {
   def sanitizeLabel(raw: String): String = {
     val cleaned = raw.replaceAll("[^a-zA-Z0-9_]", "_")
     val joined = cleaned.split("_").filter(_.nonEmpty)
-      .map(p => p.head.toUpper + p.tail.toLowerCase).mkString("_")
+      .map(p => s"${p.head.toUpper}${p.tail.toLowerCase}").mkString("_")
     // digit-prefix guard AFTER joining: part-splitting can surface a
     // digit-leading name (e.g. "_2" → "2")
     if (joined.nonEmpty && joined.head.isDigit) "Tag_" + joined else joined

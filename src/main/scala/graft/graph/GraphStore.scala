@@ -10,35 +10,69 @@ import java.util.Comparator
   *  - batch lineage queries prune partitions at the scan,
   *  - tag-predicate cascade delete (A19) of the node side is a partition
   *    drop — a metadata operation, no data rewrite at any scale,
-  *  - MERGE upsert commits via write-temp-then-swap, the atomicity protocol
-  *    that replaces a lakehouse format's transaction log (§4.3) on a
-  *    filesystem with atomic rename.
+  *  - MERGE upsert commits by writing a fresh VERSION DIRECTORY and then
+  *    atomically repointing a one-file `CURRENT` pointer — the minimal
+  *    form of a lakehouse transaction log (§4.3). The commit is a single
+  *    rename, so a crash at ANY step leaves the previous version fully
+  *    live; there is no window with no readable graph. Orphaned versions
+  *    from crashed writers are swept by the next successful save (or an
+  *    explicit [[gc]]).
   */
 object GraphStore {
 
+  private val Pointer = "CURRENT"
+
+  private def currentVersion(dir: String): Option[String] = {
+    val p = Paths.get(dir, Pointer)
+    if (Files.exists(p)) Some(new String(Files.readAllBytes(p), "UTF-8").trim)
+    else None
+  }
+
+  /** The live data directory readers and maintenance resolve through. */
+  def currentDir(dir: String): String =
+    currentVersion(dir)
+      .map(v => Paths.get(dir, v).toString)
+      .getOrElse(dir) // pre-pointer layout: data directly under dir
+
   def save(g: GraphTables, dir: String): Unit = {
-    val target = Paths.get(dir)
-    val tmp = Paths.get(dir + ".tmp-" + java.util.UUID.randomUUID())
+    val version = "v-" + java.util.UUID.randomUUID()
+    val vdir = Paths.get(dir, version)
     g.nodes.write.mode(SaveMode.Overwrite).partitionBy("batch")
-      .parquet(tmp.resolve("nodes").toString)
+      .parquet(vdir.resolve("nodes").toString)
     g.edges.write.mode(SaveMode.Overwrite).partitionBy("batch")
-      .parquet(tmp.resolve("edges").toString)
-    // atomic swap: readers see either the old or the new graph, never a mix
-    val old = Paths.get(dir + ".old-" + java.util.UUID.randomUUID())
-    if (Files.exists(target)) Files.move(target, old,
+      .parquet(vdir.resolve("edges").toString)
+    // commit = one atomic rename of the pointer file; readers resolving
+    // CURRENT see the old or the new version, never a mix, never neither
+    val tmpPtr = Paths.get(dir, Pointer + ".tmp-" + version)
+    Files.write(tmpPtr, version.getBytes("UTF-8"))
+    Files.move(tmpPtr, Paths.get(dir, Pointer),
       StandardCopyOption.ATOMIC_MOVE)
-    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
-    if (Files.exists(old)) deleteRecursively(old)
+    gc(dir)
+  }
+
+  /** Sweep non-current version dirs and stale pointer temps — leftovers of
+    * crashed writers. Safe to run any time; never touches the live version.
+    */
+  def gc(dir: String): Unit = currentVersion(dir).foreach { cur =>
+    val stream = Files.list(Paths.get(dir))
+    try stream.forEach { p =>
+      val n = p.getFileName.toString
+      if ((n.startsWith("v-") && n != cur) || n.startsWith(Pointer + ".tmp-"))
+        deleteRecursively(p)
+    } finally stream.close()
   }
 
   def load(spark: SparkSession, dir: String): GraphTables = {
     import spark.implicits._
+    val cd = currentDir(dir)
     GraphTables(
-      spark.read.parquet(s"$dir/nodes").as[NodeRow],
-      spark.read.parquet(s"$dir/edges").as[EdgeRow])
+      spark.read.parquet(s"$cd/nodes").as[NodeRow],
+      spark.read.parquet(s"$cd/edges").as[EdgeRow])
   }
 
   /** A19 at rest: drop the batch's node/edge partitions — pure metadata.
+    * Edits the live version in place (a partition drop is idempotent and
+    * self-consistent, so it doesn't need the version-swap protocol).
     * NB: edges *into* the dropped batch from other batches still need the
     * semi-join pass of [[GraphOps.dropBatch]] if cross-batch edges exist;
     * ingest writes edges under their own batch, so same-batch drops are
@@ -46,7 +80,7 @@ object GraphStore {
     */
   def dropBatchAtRest(dir: String, batch: String): Unit =
     Seq("nodes", "edges").foreach { rel =>
-      val p = Paths.get(dir, rel, s"batch=$batch")
+      val p = Paths.get(currentDir(dir), rel, s"batch=$batch")
       if (Files.exists(p)) deleteRecursively(p)
     }
 

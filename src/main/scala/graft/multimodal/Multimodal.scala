@@ -83,10 +83,35 @@ object Multimodal {
     * pure arithmetic on the payload length, so DuckDB reproduces it.
     */
   val defs: Seq[QueryDef] = Seq(
-    QueryDef.rowsOnly("mm4_audio_windows") { (s, d) =>
+    QueryDef.sql(
+      "mm4_audio_windows",
+      // the fake DSP is pure byte arithmetic, so DuckDB reproduces it:
+      // 64-byte windows, per-window byte mean. The corpus text is ASCII
+      // (verified at every SF), so ascii(substring(text, j, 1)) IS byte j;
+      // a non-ASCII corpus would need a blob-indexing oracle instead.
+      s"""WITH b AS (
+         |  SELECT doc_id, text, octet_length(encode(text)) AS n
+         |  FROM documents WHERE doc_id % 3 = 1),
+         |wi AS (
+         |  SELECT doc_id, text, n, unnest(generate_series(0,
+         |    CAST(ceil(n / 64.0) AS BIGINT) - 1)) AS wi
+         |  FROM b),
+         |w AS (
+         |  SELECT doc_id, CAST(wi AS INT) AS window_idx,
+         |    CAST(least(64, n - wi * 64) AS INT) AS n_bytes,
+         |    list_transform(generate_series(wi * 64 + 1, least((wi + 1) * 64, n)),
+         |      j -> ascii(substring(text, j, 1))) AS bs
+         |  FROM wi)
+         |SELECT doc_id, window_idx, n_bytes,
+         |  ${graft.Det.duckPortableRound(
+             "CAST(list_sum(bs) AS DOUBLE) / CAST(n_bytes AS DOUBLE)", 6)}
+         |    AS mean_byte
+         |FROM w ORDER BY doc_id, window_idx""".stripMargin) { (s, d) =>
       audioWindows(s, payloadTable(s, d)
         .filter(col("doc_id") % 3 === 1)) // the "audio" slice
         .toDF()
+        .select(col("doc_id"), col("window_idx"), col("n_bytes"),
+          graft.Det.portableRound(col("mean_byte"), 6).as("mean_byte"))
         .orderBy("doc_id", "window_idx")
     },
     QueryDef.sql(

@@ -488,6 +488,49 @@ object RelationalQueries {
         .orderBy("c_custkey")
     },
     QueryDef.sql(
+      "w5b_global_rank_scalable",
+      // SAME oracle as w5: the scale path must reproduce exact window
+      // semantics, graded against DuckDB's real ntile/percent_rank
+      s"""SELECT c_custkey,
+         |  CAST(ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS INT) AS quartile,
+         |  ${Det.duckPortableRound(
+             "percent_rank() OVER (ORDER BY c_acctbal, c_custkey)", 6)} AS pr
+         |FROM customer ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      // W5 at scale: a global `Window.orderBy` funnels every row through ONE
+      // task. This is the distributed form — range-partitioned sort (parallel
+      // exchange) + zipWithIndex (one count job for partition offsets, then a
+      // narrow map), so no single-partition stage anywhere. ntile/percent_rank
+      // are then pure arithmetic on (rank, N). The sort key includes the
+      // unique c_custkey, so ranks are tie-free and deterministic.
+      import s.implicits._
+      val base = Tables.customer(s, d)
+        .select(col("c_custkey").cast("long").as("c_custkey"),
+          col("c_acctbal"))
+      val n = base.count()
+      val ranked = base
+        .repartitionByRange(col("c_acctbal"), col("c_custkey"))
+        .sortWithinPartitions("c_acctbal", "c_custkey")
+        .select("c_custkey")
+        .rdd.zipWithIndex()
+        .map { case (row, i) => (row.getLong(0), i + 1) }
+        .toDF("c_custkey", "rank")
+      // exact ntile(k): first N%k buckets take ceil(N/k) rows, the rest floor
+      val k = 4L
+      val q = lit(n / k)
+      val rem = lit(n % k)
+      val big = rem * (q + 1) // rows covered by the size-(q+1) buckets
+      // floor() because Spark's `/` on longs is double division
+      val quartile = when(col("rank") <= big,
+          floor((col("rank") - 1) / (q + 1)))
+        .otherwise(rem + floor((col("rank") - big - 1) / q)) + 1
+      ranked.select(col("c_custkey"),
+          quartile.cast("int").as("quartile"),
+          Det.portableRound(
+            (col("rank") - 1).cast("double") / lit((n - 1).toDouble), 6)
+            .as("pr"))
+        .orderBy("c_custkey")
+    },
+    QueryDef.sql(
       "w6_range_frame",
       // events-in-the-last-hour per user: a RANGE frame over event time,
       // expressed on the epoch-microsecond axis so both engines use the

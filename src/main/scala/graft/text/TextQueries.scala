@@ -31,6 +31,11 @@ object TextQueries {
   // One md5 per shingle instead of SEEDS md5s — 16× fewer digest calls on
   // the ingest-side hot path; P = 2^31-1 keeps a_k·h < 2^63.
   private val P = 2147483647L
+  // posting-list cap for the n-gram Jaccard join: shingles appearing in more
+  // documents than this are dropped before the self-join (each contributes
+  // DF² join rows). 5 exercises the cap at test scale; production would size
+  // it as a small multiple of the expected dup-cluster width (e.g. 1000).
+  private val JaccardDfCap = 5
   private def hashA(k: Int): Long = 2L * k + 1
   private def hashB(k: Int): Long = 12345L * k + 1
 
@@ -123,7 +128,9 @@ object TextQueries {
     // ------------------------------------------------- L2c n-gram Jaccard
     QueryDef.sql(
       "l2c_ngram_jaccard",
-      s"""WITH sh AS ($duckShingles),
+      s"""WITH sh0 AS ($duckShingles),
+         |hot AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) > $JaccardDfCap),
+         |sh AS (SELECT * FROM sh0 ANTI JOIN hot USING (s)),
          |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
          |pairs AS (
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
@@ -138,8 +145,18 @@ object TextQueries {
          |WHERE CAST(shared AS DOUBLE) / CAST(sa.n + sb.n - shared AS DOUBLE)
          |      >= 0.1
          |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
-      // inverted-index join on shared shingles — never all-pairs
-      val sh = shingles(s, d)
+      // inverted-index join on shared shingles — never all-pairs. A stopword
+      // shingle shared by k docs contributes k² join rows, so without a DF
+      // cap one common trigram turns the self-join quadratic at corpus
+      // scale; posting lists are capped first (the standard near-dup-
+      // pipeline guard), and Jaccard is computed over the capped shingle
+      // space on both engines. The hot set is tiny by construction
+      // (only shingles with DF > cap) — broadcast anti-join, no extra
+      // shuffle of the full shingle stream.
+      val sh0 = shingles(s, d)
+      val hot = sh0.groupBy("s").agg(count(lit(1)).as("df"))
+        .filter(col("df") > JaccardDfCap).select("s")
+      val sh = sh0.join(broadcast(hot), Seq("s"), "left_anti")
       val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val pairs = sh.select(col("doc_id").as("doc_a"), col("s"))
         .join(sh.select(col("doc_id").as("doc_b"), col("s")), "s")

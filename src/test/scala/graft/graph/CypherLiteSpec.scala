@@ -48,6 +48,12 @@ class CypherLiteSpec extends SparkSpec {
       "MATCH (m:X)-[*1..3]->(c) RETURN").isLeft)
   }
 
+  test("unknown property keys are rejected, not coerced to a name match") {
+    val r = CypherLite.run(g, "MATCH (m:Subject {frobnitz: 'x'}) RETURN m")
+    assert(r.isLeft, r.toString)
+    assert(r.swap.toOption.get.contains("unsupported property: frobnitz"))
+  }
+
   test("case-insensitive keywords and whitespace tolerance") {
     val df = CypherLite.run(g,
       "  match ( m :Subject )  return m  ").toOption.get

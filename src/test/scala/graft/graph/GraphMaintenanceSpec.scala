@@ -54,7 +54,7 @@ class GraphMaintenanceSpec extends SparkSpec {
       g.edges.repartition(16).as(g.edges.encoder))
     GraphStore.save(fragmented, dir)
     def parquetFiles(rel: String) = {
-      val p = java.nio.file.Paths.get(dir, rel)
+      val p = java.nio.file.Paths.get(GraphStore.currentDir(dir), rel)
       java.nio.file.Files.walk(p).filter(_.toString.endsWith(".parquet"))
         .count()
     }
@@ -65,6 +65,28 @@ class GraphMaintenanceSpec extends SparkSpec {
     val back = GraphStore.load(spark, dir)
     assert(back.nodes.count() == g.nodes.count())
     assert(back.edges.count() == g.edges.count())
+  }
+
+  test("crashed writer leaves previous version live; gc sweeps orphans") {
+    val dir = java.nio.file.Files.createTempDirectory("gstore4")
+      .resolve("graph").toString
+    GraphStore.save(g, dir)
+    val live = GraphStore.currentDir(dir)
+    // simulate a writer that crashed AFTER writing data but BEFORE the
+    // pointer rename: an orphan version dir + a stale pointer temp
+    val orphan = java.nio.file.Paths.get(dir, "v-orphan-crashed")
+    java.nio.file.Files.createDirectories(orphan.resolve("nodes"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "CURRENT.tmp-v-orphan-crashed"),
+      "v-orphan-crashed".getBytes("UTF-8"))
+    // the committed version is untouched and still resolves
+    assert(GraphStore.currentDir(dir) == live)
+    assert(GraphStore.load(spark, dir).nodes.count() == g.nodes.count())
+    GraphStore.gc(dir)
+    assert(!java.nio.file.Files.exists(orphan))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "CURRENT.tmp-v-orphan-crashed")))
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(live)))
   }
 
   test("linkDocsTo connects roots to shared dimension nodes (A17)") {

@@ -66,6 +66,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("Sort") && !p.contains("rangepartitioning"), p.take(600))
   }
 
+  test("l2c caps posting lists with a broadcast anti-join before the self-join") {
+    val p = plan("l2c_ngram_jaccard")
+    // the hot-shingle exclusion list must be broadcast and anti-joined
+    // BEFORE the inverted-index self-join (the quadratic-blowup guard)
+    assert(p.contains("LeftAnti"), "no anti-join in plan: " + p.take(800))
+    assert(p.contains("Broadcast"), p.take(800))
+  }
+
+  test("w5b global rank runs without a single-partition window (W5 scale path)") {
+    val p = plan("w5b_global_rank_scalable")
+    assert(!p.contains("Window"), p.take(800))
+    // the rank substrate is a range-partitioned (parallel) sort
+    assert(p.contains("rangepartitioning"), p.take(800))
+  }
+
   test("every registered query has distinct name and runnable plan") {
     val names = SparkEntry.allDefs.map(_.name)
     assert(names.distinct.size == names.size)
