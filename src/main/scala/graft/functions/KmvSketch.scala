@@ -32,16 +32,20 @@ final class KmvBuffer(val k: Int) {
   }
 
   /** Standard KMV estimator: (k-1) / (kth-min as a fraction of hash space);
-    * exact count when fewer than k values seen.
+    * exact count when fewer than k values seen. Hashes live in [0, 2^60)
+    * (see [[KmvSketch]]), so the fraction divides by 2^60.
     */
   def estimate: Long =
     if (values.size < k) values.size.toLong
     else {
-      // map signed longs onto [0,1): (h - Long.Min) / 2^64
-      val kth = (values.last().toDouble - Long.MinValue.toDouble) /
-        math.pow(2.0, 64)
+      val kth = values.last().toDouble / KmvBuffer.HashSpace
       math.round((k - 1) / kth)
     }
+}
+
+object KmvBuffer {
+  /** 2^60 as an (exactly representable) double. */
+  val HashSpace: Double = 1152921504606846976.0
 }
 
 /** Custom `TypedImperativeAggregate` (the machinery tier below typed
@@ -71,22 +75,36 @@ case class KmvSketch(
         case u: UTF8String => u.toString
         case other         => other.toString
       }
-      buf.add(fnvHash(s))
+      buf.add(portableHash(s))
     }
     buf
   }
 
-  /** FNV-1a alone has weak avalanche on short keys, which biases the order
-    * statistics the estimator depends on — finish with a murmur3-style
-    * mixer for uniformity.
+  @transient private lazy val md5Local
+      : java.lang.ThreadLocal[java.security.MessageDigest] =
+    java.lang.ThreadLocal.withInitial(() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
+  /** The repo-wide engine-portable hash (value of the first 15 hex digits
+    * of md5, a uniform 60-bit integer — `graft.text.PortableHash`), computed
+    * here on raw digest bytes. Using the shared hash makes the SKETCH ITSELF
+    * oracle-checkable: DuckDB reproduces the exact estimate, not just its
+    * error band. A production deployment that doesn't need cross-engine
+    * determinism would swap in xxhash64 at this seam.
     */
-  private def fnvHash(s: String): Long = {
-    var h = graft.graph.GraphModel.fnv64(s)
-    h ^= h >>> 33
-    h *= 0xff51afd7ed558ccdL
-    h ^= h >>> 33
-    h *= 0xc4ceb9fe1a85ec53L
-    h ^= h >>> 33
+  private def portableHash(s: String): Long = {
+    val md = md5Local.get()
+    md.reset()
+    val b = md.digest(s.getBytes("UTF-8"))
+    var h = 0L
+    var j = 0
+    while (j < 15) { // 15 hex nibbles = high 60 bits of the first 8 bytes
+      val nib =
+        if (j % 2 == 0) (b(j / 2) >> 4) & 0xf
+        else b(j / 2) & 0xf
+      h = (h << 4) | nib
+      j += 1
+    }
     h
   }
 

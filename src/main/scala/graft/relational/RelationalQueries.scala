@@ -286,9 +286,30 @@ object RelationalQueries {
         .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
         .orderBy("l_returnflag")
     },
-    QueryDef.rowsOnly("g4b_kmv_sketch") { (s, d) =>
-      // custom TypedImperativeAggregate KMV sketch (same rows-only class as
-      // any sketch); accuracy asserted against exact counts in the suite
+    QueryDef.sql(
+      "g4b_kmv_sketch",
+      // the KMV sketch hashes with the repo's portable md5-60-bit hash, so
+      // its EXACT estimate is reproducible in DuckDB: per group, take the
+      // 1024 smallest hashes of the distinct keys and apply the estimator
+      // (k-1)/(kth-min / 2^60); exact count below k
+      """WITH h AS (
+        |  SELECT DISTINCT l_returnflag,
+        |    CAST(concat('0x', substring(md5(CAST(l_partkey AS VARCHAR)),
+        |      1, 15)) AS BIGINT) AS hv
+        |  FROM lineitem WHERE l_partkey IS NOT NULL),
+        |r AS (
+        |  SELECT l_returnflag, hv,
+        |    row_number() OVER (PARTITION BY l_returnflag ORDER BY hv) AS rn,
+        |    count(*) OVER (PARTITION BY l_returnflag) AS nd
+        |  FROM h)
+        |SELECT l_returnflag,
+        |  CASE WHEN nd < 1024 THEN nd
+        |       ELSE CAST(floor(CAST(1023 AS DOUBLE) /
+        |         (CAST(hv AS DOUBLE) / CAST(1152921504606846976 AS DOUBLE))
+        |         + 0.5) AS BIGINT) END AS kmv_parts
+        |FROM r WHERE rn = least(nd, 1024)
+        |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      // custom TypedImperativeAggregate KMV sketch, partial+final mergeable
       graft.functions.KmvSketch.register(s)
       Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
       s.sql(
@@ -376,6 +397,26 @@ object RelationalQueries {
       // seeded Bernoulli sample: deterministic within Spark, but sampling
       // algorithms differ across engines → rows-only check
       Tables.lineitem(s, d).sample(withReplacement = false, 0.1, seed = 42L)
+        .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    },
+    QueryDef.sql(
+      "o5b_hash_sample",
+      // content-addressed ~10% sample: hash of the row key, keep bucket 0.
+      // Unlike RNG sampling this is stable across engines, runs, partition
+      // layouts, and re-ingests — the property train/test splits and
+      // repeatable corpus subsets need at 100 TB — so it's fully
+      // oracle-checkable
+      s"""SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n
+         |FROM lineitem
+         |WHERE ${graft.text.PortableHash.duck(
+             "concat(CAST(l_orderkey AS VARCHAR), ':'," +
+               " CAST(l_linenumber AS VARCHAR))")} % 10 = 0
+         |GROUP BY l_returnflag
+         |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(graft.text.PortableHash.spark(
+          concat_ws(":", col("l_orderkey"), col("l_linenumber"))) % 10 === 0)
         .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
         .orderBy("l_returnflag")
     },
