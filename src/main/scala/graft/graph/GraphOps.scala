@@ -252,16 +252,23 @@ object GraphOps {
     Graph(vertices, edgesRdd.coalesce(p))
   }
 
-  /** Out/in/total degree per node (Q9). */
+  /** Out/in/total degree per node (Q9).
+    *
+    * Pure DataFrame aggregation — degree counting is not iterative, so the
+    * GraphX round-trip (row→RDD encode, vertex/edge co-partitioning) would
+    * be pure overhead; two partial+final groupBys and one join is the plan
+    * that survives a 100-TB edge table. Left joins because vertices with no
+    * edges must surface with degree 0, not vanish.
+    */
   def degrees(spark: SparkSession, g: GraphTables): DataFrame = {
-    import spark.implicits._
-    val gx = toGraphX(g)
-    val degs = gx.outDegrees.fullOuterJoin(gx.inDegrees).map {
-      case (id, (out, in)) => (id, out.getOrElse(0), in.getOrElse(0))
-    }.toDF("id", "out_degree", "in_degree")
-    // left join: GraphX degree RDDs omit vertices with no edges at all, and
-    // isolated nodes must surface with degree 0, not vanish
-    g.nodes.toDF().join(degs, Seq("id"), "left_outer")
+    val edges = g.edges.toDF()
+    val out = edges.groupBy(col("src").as("id"))
+      .agg(count(lit(1)).cast("int").as("out_degree"))
+    val in = edges.groupBy(col("dst").as("id"))
+      .agg(count(lit(1)).cast("int").as("in_degree"))
+    g.nodes.toDF()
+      .join(out, Seq("id"), "left_outer")
+      .join(in, Seq("id"), "left_outer")
       .select(col("label"), col("name"),
         coalesce(col("out_degree"), lit(0)).as("out_degree"),
         coalesce(col("in_degree"), lit(0)).as("in_degree"),

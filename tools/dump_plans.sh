@@ -4,15 +4,13 @@
 set -e
 cd "$(dirname "$0")/.."
 cat > /tmp/DumpPlans.scala << 'EOF'
-val s2 = org.apache.spark.sql.SparkSession.builder().master("local[8]")
-  .config("spark.sql.shuffle.partitions","8")
-  .config("spark.sql.session.timeZone","UTC")
-  .config("spark.sql.legacy.parquet.nanosAsLong","true")
-  .config("spark.ui.enabled","false").getOrCreate()
+// single line: the REPL evaluates statement-per-line
+val s2 = org.apache.spark.sql.SparkSession.builder().master("local[8]").config("spark.sql.shuffle.partitions","8").config("spark.sql.session.timeZone","UTC").config("spark.sql.legacy.parquet.nanosAsLong","true").config("spark.ui.enabled","false").getOrCreate()
 s2.sparkContext.setLogLevel("ERROR")
 val names = Seq("g2_agg_pricing_summary", "j2_join_broadcast_dims",
-  "j3_join_fact_fact", "o3_topk", "l2_minhash_lsh", "l3_cosine_topk",
-  "j9_asof_join", "t4_session_window")
+  "j3_join_fact_fact", "o3_topk", "l2_minhash_lsh", "l2c_ngram_jaccard",
+  "l3_cosine_topk", "j9_asof_join", "t4_session_window",
+  "w5b_global_rank_scalable", "graphp_degrees", "o5b_hash_sample")
 val sb = new StringBuilder
 sb.append("# PLANS -- formatted physical plans of headline queries (sf0.1, local[8])\n\n")
 sb.append("Generated from `df.queryExecution.explainString(FormattedMode)` after execution\n(AQE final plans). Regenerate with `tools/dump_plans.sh`.\n")
