@@ -423,6 +423,128 @@ object TextQueries {
           "bit_xor(CAST(conv(substring(md5(tok), 1, 15), 16, 10) AS BIGINT))")
           .as("fp"), count(lit(1)).as("n_uniq_tokens"))
         .orderBy("doc_id")
+    },
+    // ------------------------------------------------ L10 TF-IDF top terms
+    QueryDef.sql(
+      "l10_tfidf_topterms",
+      // ln() is bit-identical between the JVM and DuckDB (verified over the
+      // full df range), so log-idf scores hash-match after micro-rounding
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         |  FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+         |       WHERE len(term) > 0 GROUP BY 1, 2),
+         |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+         |       WHERE len(term) > 0 GROUP BY 1),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |scored AS (
+         |  SELECT doc_id, term,
+         |    CAST(tf AS DOUBLE) *
+         |      ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) AS tfidf
+         |  FROM tf JOIN df USING (term) CROSS JOIN n),
+         |ranked AS (
+         |  SELECT doc_id, term, tfidf, row_number() OVER (
+         |    PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rnk
+         |  FROM scored)
+         |SELECT doc_id, CAST(rnk AS INT) AS rnk, term,
+         |  ${graft.Det.duckPortableRound("tfidf", 6)} AS tfidf
+         |FROM ranked WHERE rnk <= 3
+         |ORDER BY doc_id, rnk""".stripMargin) { (s, d) =>
+      // keyword extraction / quality slicing primitive: top-3 terms per doc
+      // by TF-IDF. All shuffles key on term or doc_id; the doc count joins
+      // in as a broadcast scalar (no driver round-trip), and the ranking
+      // window is PARTITIONED by doc — nothing global anywhere.
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .filter(length(col("term")) > 0)
+      val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df = toks.select("doc_id", "term").distinct()
+        .groupBy("term").agg(count(lit(1)).as("df"))
+      val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("tfidf").desc, col("term"))
+      tf.join(df, "term")
+        .crossJoin(broadcast(nDocs))
+        .withColumn("tfidf", col("tf").cast("double") *
+          log(col("n_docs").cast("double") / col("df").cast("double")))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("doc_id"), col("rnk"), col("term"),
+          graft.Det.portableRound(col("tfidf"), 6).as("tfidf"))
+        .orderBy("doc_id", "rnk")
+    },
+    // --------------------------------------- L11 stratified corpus sampling
+    QueryDef.sql(
+      "l11_stratified_sample",
+      // per-language mixture weights via the content-addressed hash — the
+      // deterministic form of sampleBy, reproducible across engines/runs
+      s"""SELECT lang, CAST(count(*) AS BIGINT) AS n_total,
+         |  CAST(count(*) FILTER (
+         |    ${PortableHash.duck("CAST(doc_id AS VARCHAR)")} % 100 <
+         |    CASE WHEN lang = 'en' THEN 50 ELSE 20 END) AS BIGINT)
+         |    AS n_sampled
+         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+      val keep = PortableHash.spark(col("doc_id").cast("string")) % 100 <
+        when(col("lang") === "en", 50).otherwise(20)
+      Tables.documents(s, d)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(keep, 1L).otherwise(0L)).as("n_sampled"))
+        .orderBy("lang")
+    },
+    // ------------------------------------- L12 train/eval contamination
+    QueryDef.sql(
+      "l12_contamination_check",
+      // eval docs sharing any 3-shingle with the train split — the leak
+      // check a training pipeline runs before holding out an eval set
+      s"""WITH sh AS ($duckShingles),
+         |sp AS (SELECT doc_id, lang,
+         |  (${PortableHash.duck("CAST(doc_id AS VARCHAR)")} % 10 = 0)
+         |    AS is_eval FROM documents),
+         |contaminated AS (
+         |  SELECT DISTINCT a.doc_id
+         |  FROM sh a JOIN sp sa ON a.doc_id = sa.doc_id AND sa.is_eval
+         |  WHERE EXISTS (
+         |    SELECT 1 FROM sh b JOIN sp sb
+         |      ON b.doc_id = sb.doc_id AND NOT sb.is_eval
+         |    WHERE b.s = a.s))
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_eval,
+         |  CAST(count(*) FILTER (doc_id IN
+         |    (SELECT doc_id FROM contaminated)) AS BIGINT) AS n_contaminated
+         |FROM sp WHERE is_eval GROUP BY lang
+         |ORDER BY lang""".stripMargin) { (s, d) =>
+      // semi-join on the shingle inverted index: output is bounded by the
+      // eval side (never quadratic, unlike a pair join); skewed shingle
+      // keys are AQE's skew-join case
+      val sh = shingles(s, d)
+      val sp = Tables.documents(s, d).select(col("doc_id"), col("lang"),
+        (PortableHash.spark(col("doc_id").cast("string")) % 10 === 0)
+          .as("is_eval"))
+      val evalSh = sh.join(sp.filter(col("is_eval")).select("doc_id"),
+        "doc_id")
+      val trainSh = sh.join(sp.filter(!col("is_eval")).select("doc_id"),
+        "doc_id").select("s")
+      val contaminated = evalSh.join(trainSh, Seq("s"), "left_semi")
+        .select("doc_id").distinct().withColumn("c", lit(1L))
+      sp.filter(col("is_eval"))
+        .join(contaminated, Seq("doc_id"), "left_outer")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_eval"),
+          sum(coalesce(col("c"), lit(0L))).as("n_contaminated"))
+        .orderBy("lang")
+    },
+    // --------------------------------------- L13 n-gram heavy hitters
+    QueryDef.sql(
+      "l13_ngram_heavy_hitters",
+      // corpus-level top-20 3-shingles by document frequency — the stat
+      // behind stopword-shingle caps like l2c's
+      s"""SELECT s AS shingle, CAST(count(*) AS BIGINT) AS df
+         |FROM ($duckShingles) t
+         |GROUP BY s ORDER BY df DESC, shingle LIMIT 20""".stripMargin) {
+      (s, d) =>
+        shingles(s, d).groupBy("s").agg(count(lit(1)).as("df"))
+          .select(col("s").as("shingle"), col("df"))
+          .orderBy(col("df").desc, col("shingle")).limit(20)
     }
   )
 
