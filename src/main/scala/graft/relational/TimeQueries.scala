@@ -184,6 +184,29 @@ object TimeQueries {
         .filter(col("kind") === 1)
         .select(col("event_id").as("purchase_id"), col("asof_view_id"))
         .orderBy("purchase_id")
+    },
+    QueryDef.sql(
+      "t8_stream_stream_join",
+      // Batch twin of StreamingOps.streamStreamJoin (T8): each purchase
+      // joined to the same user's views within the preceding 30 minutes.
+      // withWatermark is a no-op under batch execution, so this runs the
+      // EXACT production join (same code path) and the oracle checks its
+      // event-time-bound semantics; state eviction is asserted separately
+      // in StreamingSpec.
+      """WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS pts
+        |           FROM events WHERE event_type = 'purchase'),
+        |     v AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS vts
+        |           FROM events WHERE event_type = 'view')
+        |SELECT p.event_id AS purchase_id, v.event_id AS view_id,
+        |       p.user_id AS user_id
+        |FROM p JOIN v ON p.user_id = v.user_id
+        |  AND v.vts <= p.pts AND v.vts >= p.pts - INTERVAL 30 MINUTE
+        |ORDER BY purchase_id, view_id""".stripMargin) { (s, d) =>
+      val e = Tables.events(s, d)
+      graft.streaming.StreamingOps.streamStreamJoin(
+          views = e.filter(col("event_type") === "view"),
+          purchases = e.filter(col("event_type") === "purchase"))
+        .orderBy("purchase_id", "view_id")
     }
   )
 }
