@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 
 import java.sql.Timestamp
 
@@ -116,4 +116,46 @@ object StreamingOps {
     q.stop()
     spark.table(name)
   }
+
+  /** Incremental catch-up run (`Trigger.AvailableNow`): drain everything
+    * currently available in the source, then terminate. With a persistent
+    * checkpoint this is the production shape for scheduled incremental
+    * jobs over a growing 100-TB lake — each invocation resumes from the
+    * checkpointed offsets, processes only new files, and exits; no
+    * always-on cluster, no reprocessing.
+    */
+  def drainAvailable(spark: SparkSession, streaming: DataFrame,
+      outDir: String, checkpoint: String): DataFrame = {
+    val q = streaming.writeStream
+      .format("parquet").option("path", outDir)
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.read.parquet(outDir)
+  }
+
+  /** Idempotent per-batch write — the unit of the foreachBatch
+    * exactly-once pattern. The output path is a pure function of the
+    * batch id and the write is an atomic directory overwrite, so a batch
+    * replayed after a failure (Structured Streaming's at-least-once
+    * foreachBatch contract) rewrites the same directory instead of
+    * appending duplicates. Readers see `batch_id=N` as a partition column.
+    */
+  def writeBatchIdempotent(batch: DataFrame, batchId: Long,
+      outDir: String): Unit =
+    batch.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+
+  /** Exactly-once parquet sink: checkpointed offsets + idempotent
+    * per-batch overwrite ([[writeBatchIdempotent]]). End-to-end
+    * exactly-once without a transactional sink format.
+    */
+  def foreachBatchExactlyOnce(streaming: DataFrame, outDir: String,
+      checkpoint: String): StreamingQuery =
+    streaming.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeBatchIdempotent(batch, batchId, outDir)
+      }
+      .start()
 }
