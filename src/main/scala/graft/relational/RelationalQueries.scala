@@ -19,6 +19,47 @@ import org.apache.spark.sql.functions._
 object RelationalQueries {
   import Det.{centSum, duckCentSum}
 
+  /** Max rows for which an unpartitioned `Window.orderBy` is acceptable: one
+    * task sorting ~4M narrow rows is a few hundred MB. Every registered
+    * query using a global window gates on this and falls back to the
+    * two-pass `globalNtilePctRank` kernel above the bound.
+    */
+  val GlobalWindowMaxRows: Long = 4L * 1000 * 1000
+
+  /** Distributed exact global ntile(4)/percent_rank over
+    * (c_acctbal, c_custkey): range-partitioned sort (parallel exchange) +
+    * zipWithIndex (one count job for partition offsets, then a narrow map),
+    * so no single-partition stage anywhere. ntile/percent_rank are then pure
+    * arithmetic on (rank, N). The sort key includes the unique c_custkey, so
+    * ranks are tie-free and deterministic.
+    */
+  private def globalNtilePctRank(s: SparkSession, base: DataFrame,
+      n: Long): DataFrame = {
+    import s.implicits._
+    val ranked = base
+      .repartitionByRange(col("c_acctbal"), col("c_custkey"))
+      .sortWithinPartitions("c_acctbal", "c_custkey")
+      .select("c_custkey")
+      .rdd.zipWithIndex()
+      .map { case (row, i) => (row.getLong(0), i + 1) }
+      .toDF("c_custkey", "rank")
+    // exact ntile(k): first N%k buckets take ceil(N/k) rows, the rest floor
+    val k = 4L
+    val q = lit(n / k)
+    val rem = lit(n % k)
+    val big = rem * (q + 1) // rows covered by the size-(q+1) buckets
+    // floor() because Spark's `/` on longs is double division
+    val quartile = when(col("rank") <= big,
+        floor((col("rank") - 1) / (q + 1)))
+      .otherwise(rem + floor((col("rank") - big - 1) / q)) + 1
+    ranked.select(col("c_custkey"),
+        quartile.cast("int").as("quartile"),
+        Det.portableRound(
+          (col("rank") - 1).cast("double") / lit((n - 1).toDouble), 6)
+          .as("pr"))
+      .orderBy("c_custkey")
+  }
+
   val defs: Seq[QueryDef] = Seq(
     // ---------------------------------------------------------- scans (S)
     QueryDef.sql(
@@ -522,11 +563,21 @@ object RelationalQueries {
          |  ${Det.duckPortableRound(
              "percent_rank() OVER (ORDER BY c_acctbal, c_custkey)", 6)} AS pr
          |FROM customer ORDER BY c_custkey""".stripMargin) { (s, d) =>
-      val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
-      Tables.customer(s, d)
-        .select(col("c_custkey"), ntile(4).over(w).as("quartile"),
-          Det.portableRound(percent_rank().over(w), 6).as("pr"))
-        .orderBy("c_custkey")
+      // Size-gated: a global `Window.orderBy` funnels every row through one
+      // task, which is fine for a sub-`GlobalWindowMaxRows` result (one task
+      // sorting a few hundred MB) and catastrophic beyond it. The gate makes
+      // the bound explicit — above it the EXACT same semantics come from the
+      // distributed two-pass kernel (w5b's plan).
+      val base = Tables.customer(s, d)
+        .select(col("c_custkey").cast("long").as("c_custkey"),
+          col("c_acctbal"))
+      val n = base.count()
+      if (n <= GlobalWindowMaxRows) {
+        val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
+        base.select(col("c_custkey"), ntile(4).over(w).as("quartile"),
+            Det.portableRound(percent_rank().over(w), 6).as("pr"))
+          .orderBy("c_custkey")
+      } else globalNtilePctRank(s, base, n)
     },
     QueryDef.sql(
       "w5b_global_rank_scalable",
@@ -537,39 +588,10 @@ object RelationalQueries {
          |  ${Det.duckPortableRound(
              "percent_rank() OVER (ORDER BY c_acctbal, c_custkey)", 6)} AS pr
          |FROM customer ORDER BY c_custkey""".stripMargin) { (s, d) =>
-      // W5 at scale: a global `Window.orderBy` funnels every row through ONE
-      // task. This is the distributed form — range-partitioned sort (parallel
-      // exchange) + zipWithIndex (one count job for partition offsets, then a
-      // narrow map), so no single-partition stage anywhere. ntile/percent_rank
-      // are then pure arithmetic on (rank, N). The sort key includes the
-      // unique c_custkey, so ranks are tie-free and deterministic.
-      import s.implicits._
       val base = Tables.customer(s, d)
         .select(col("c_custkey").cast("long").as("c_custkey"),
           col("c_acctbal"))
-      val n = base.count()
-      val ranked = base
-        .repartitionByRange(col("c_acctbal"), col("c_custkey"))
-        .sortWithinPartitions("c_acctbal", "c_custkey")
-        .select("c_custkey")
-        .rdd.zipWithIndex()
-        .map { case (row, i) => (row.getLong(0), i + 1) }
-        .toDF("c_custkey", "rank")
-      // exact ntile(k): first N%k buckets take ceil(N/k) rows, the rest floor
-      val k = 4L
-      val q = lit(n / k)
-      val rem = lit(n % k)
-      val big = rem * (q + 1) // rows covered by the size-(q+1) buckets
-      // floor() because Spark's `/` on longs is double division
-      val quartile = when(col("rank") <= big,
-          floor((col("rank") - 1) / (q + 1)))
-        .otherwise(rem + floor((col("rank") - big - 1) / q)) + 1
-      ranked.select(col("c_custkey"),
-          quartile.cast("int").as("quartile"),
-          Det.portableRound(
-            (col("rank") - 1).cast("double") / lit((n - 1).toDouble), 6)
-            .as("pr"))
-        .orderBy("c_custkey")
+      globalNtilePctRank(s, base, base.count())
     },
     QueryDef.sql(
       "w6_range_frame",

@@ -36,6 +36,12 @@ object TextQueries {
   // DF² join rows). 5 exercises the cap at test scale; production would size
   // it as a small multiple of the expected dup-cluster width (e.g. 1000).
   private val JaccardDfCap = 5
+  // contamination-check DF cap: shingles present in more documents than this
+  // match essentially everything (stopword trigrams) and carry zero
+  // decontamination signal, while making one semi-join key drag most of the
+  // corpus through the shuffle. Dropped up front on BOTH engines; production
+  // would size it as a small fraction of corpus size.
+  private val ContamDfCap = 20
   private def hashA(k: Int): Long = 2L * k + 1
   private def hashB(k: Int): Long = 12345L * k + 1
 
@@ -497,7 +503,9 @@ object TextQueries {
       "l12_contamination_check",
       // eval docs sharing any 3-shingle with the train split — the leak
       // check a training pipeline runs before holding out an eval set
-      s"""WITH sh AS ($duckShingles),
+      s"""WITH sh0 AS ($duckShingles),
+         |hot AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) > $ContamDfCap),
+         |sh AS (SELECT * FROM sh0 ANTI JOIN hot USING (s)),
          |sp AS (SELECT doc_id, lang,
          |  (${PortableHash.duck("CAST(doc_id AS VARCHAR)")} % 10 = 0)
          |    AS is_eval FROM documents),
@@ -514,9 +522,14 @@ object TextQueries {
          |FROM sp WHERE is_eval GROUP BY lang
          |ORDER BY lang""".stripMargin) { (s, d) =>
       // semi-join on the shingle inverted index: output is bounded by the
-      // eval side (never quadratic, unlike a pair join); skewed shingle
-      // keys are AQE's skew-join case
-      val sh = shingles(s, d)
+      // eval side (never quadratic, unlike a pair join). High-DF stopword
+      // shingles are dropped BEFORE the join (l2c's cap pattern, broadcast
+      // anti-join) so no single key carries the corpus; residual skew is
+      // AQE's skew-join case.
+      val sh0 = shingles(s, d)
+      val hot = sh0.groupBy("s").agg(count(lit(1)).as("df"))
+        .filter(col("df") > ContamDfCap).select("s")
+      val sh = sh0.join(broadcast(hot), Seq("s"), "left_anti")
       val sp = Tables.documents(s, d).select(col("doc_id"), col("lang"),
         (PortableHash.spark(col("doc_id").cast("string")) % 10 === 0)
           .as("is_eval"))

@@ -74,6 +74,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("Broadcast"), p.take(800))
   }
 
+  test("l12 caps hot shingles with a broadcast anti-join before the semi-join") {
+    val p = plan("l12_contamination_check")
+    assert(p.contains("LeftAnti"), "no anti-join in plan: " + p.take(800))
+    assert(p.contains("Broadcast"), p.take(800))
+    assert(p.contains("LeftSemi"), p.take(800))
+  }
+
   test("w5b global rank runs without a single-partition window (W5 scale path)") {
     val p = plan("w5b_global_rank_scalable")
     assert(!p.contains("Window"), p.take(800))
