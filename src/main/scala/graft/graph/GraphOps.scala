@@ -23,7 +23,11 @@ object GraphOps {
     val newEdges = incoming.edges
       .join(existing.edges.select(edgeKey.map(col): _*), edgeKey, "left_anti")
       .as(existing.edges.encoder)
-    GraphTables(existing.nodes.union(newNodes), existing.edges.union(newEdges))
+    // by-name union: a graph loaded from the partitioned store carries its
+    // partition column (`batch`) LAST, so positional union would silently
+    // misalign columns between a loaded graph and a freshly-built one
+    GraphTables(existing.nodes.unionByName(newNodes),
+      existing.edges.unionByName(newEdges))
   }
 
   /** Tag-predicate cascade delete (Q8/A19; `deleteneo.py:10-12`): drop the
@@ -138,9 +142,11 @@ object GraphOps {
     * `MATCH (m) WHERE …` form).
     */
   def neighborhoodWhere(g: GraphTables,
-      pred: org.apache.spark.sql.Column, k: Int): DataFrame = {
+      pred: org.apache.spark.sql.Column, k: Int,
+      relFilter: org.apache.spark.sql.Column =
+        col("relType").startsWith("HAS_")): DataFrame = {
     val roots = g.nodes.filter(pred).select(col("id").as("root_id"))
-    val hops = kHop(g, roots, k).filter(col("depth") > 0)
+    val hops = kHop(g, roots, k, relFilter).filter(col("depth") > 0)
     val rootNodes = g.nodes.select(col("id").as("root_id"),
       col("name").as("root_name"))
     val connected = g.nodes.select(col("id").as("node_id"),

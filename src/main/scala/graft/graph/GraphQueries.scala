@@ -59,7 +59,17 @@ object GraphQueries {
     QueryDef.rowsOnly("graph_flagship_neighborhood") { (s, _) =>
       flagship(s)
     },
-    QueryDef.rowsOnly("s3_text_lines") { (s, _) =>
+    QueryDef.sql(
+      "s3_text_lines",
+      // the oracle re-reads the same XML corpus with DuckDB's read_text —
+      // the one non-parquet source the oracle can still see
+      """SELECT tag, count(*) AS n_lines FROM (
+        |  SELECT regexp_extract(line, '<([a-zA-Z_]+)[ >]', 1) AS tag
+        |  FROM (SELECT unnest(string_split(content, chr(10))) AS line
+        |        FROM read_text('/root/reference/boeing_service_bulletin_*.xml'))
+        |  WHERE trim(line) != '')
+        |WHERE tag != ''
+        |GROUP BY tag ORDER BY tag""".stripMargin) { (s, _) =>
       // S3 line-oriented text source (reference `xml2neo.py:69-70`): the
       // legacy generation's scan path, kept as a first-class source
       s.read.text(xmlFiles: _*)

@@ -72,6 +72,9 @@ object ParquetGraph {
   def chain(s: SparkSession, d: String): GraphTables =
     cached(s, d, "chain")(buildChain(s, d))
 
+  def cliques(s: SparkSession, d: String): GraphTables =
+    cached(s, d, "cliques")(buildCliques(s, d))
+
   /** Region → nation → customer → order tree. Order nodes/edges carry their
     * own batch tag so the cascade-delete twin can drop exactly that layer.
     */
@@ -118,6 +121,32 @@ object ParquetGraph {
       col("n_name"), "base").as[NodeRow]
     val edges = edgeDf(linked, col("n_nationkey") + NationBase,
       col("nxt") + NationBase, "HAS_NEXT", "base").as[EdgeRow]
+    GraphTables(nodes, edges)
+  }
+
+  /** Per-region 3-clique layer: the three lowest-keyed nations of each
+    * region fully connected pairwise. Gives the triangle-count kernel a
+    * fixture whose expected output IS SQL-derivable — exactly one triangle
+    * per region, touching exactly its three members.
+    */
+  private def buildCliques(s: SparkSession, d: String): GraphTables = {
+    import s.implicits._
+    val nation = Tables.nation(s, d)
+    val w = Window.partitionBy("n_regionkey").orderBy("n_nationkey")
+    val top3 = nation.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("n_regionkey").as("rk"),
+        (col("n_nationkey") + NationBase).as("id"), col("rn"))
+    // renamed-column self-join on the using-column `rk` (qualified refs
+    // would trip the ambiguous-self-join detector)
+    val a = top3.select(col("rk"), col("id").as("src"), col("rn").as("ra"))
+    val b = top3.select(col("rk"), col("id").as("dst"), col("rn").as("rb"))
+    val pairs = a.join(b, Seq("rk")).filter(col("ra") < col("rb"))
+    val nodes = nodeDf(nation, col("n_nationkey") + NationBase, "Nation",
+      col("n_name"), "base").as[NodeRow]
+    val edges = pairs.select(col("src"), col("dst"),
+        lit("CLIQUE").as("relType"), lit("").as("docnbr"),
+        lit("base").as("batch")).as[EdgeRow]
     GraphTables(nodes, edges)
   }
 
@@ -289,6 +318,75 @@ object ParquetGraph {
         CypherLite.run(hierarchy(s, d),
           "MATCH (m:Region)-[*1..1]->(connected) RETURN m, connected")
           .fold(err => throw new IllegalArgumentException(err), identity)
+    },
+
+    // Q9 pagerank twin: on a directed cycle every vertex has in/out degree 1,
+    // so PageRank's fixed-point iteration keeps all ranks IDENTICAL at every
+    // step regardless of iteration count (rank_{k+1} = 0.15 + 0.85·rank_k for
+    // every vertex simultaneously). The derivable invariant is uniformity:
+    // each nation's rank divided by its region's max rank is exactly 1.0 —
+    // division of bit-identical doubles, no rounding tolerance needed.
+    QueryDef.sql(
+      "graphp_pagerank",
+      """SELECT r_name AS region, CAST(count(*) AS BIGINT) AS n_nations,
+        |  CAST(1 AS DOUBLE) AS min_ratio, CAST(1 AS DOUBLE) AS max_ratio
+        |FROM region JOIN nation ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY region""".stripMargin) { (s, d) =>
+      val pr = GraphOps.pageRank(s, chain(s, d), iters = 10)
+      val regionOf = Tables.nation(s, d)
+        .join(Tables.region(s, d),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_name").as("name"), col("r_name").as("region"))
+      val w = Window.partitionBy("region")
+      pr.join(regionOf, "name")
+        .withColumn("ratio", col("rank") / max("rank").over(w))
+        .groupBy("region")
+        .agg(count(lit(1)).as("n_nations"), min("ratio").as("min_ratio"),
+          max("ratio").as("max_ratio"))
+        .orderBy("region")
+    },
+
+    // Q9 triangle-count twin on the clique layer: exactly one triangle per
+    // region, touching exactly its three clique members.
+    QueryDef.sql(
+      "graphp_triangles",
+      """SELECT n_name AS name,
+        |  CAST(CASE WHEN row_number() OVER (PARTITION BY n_regionkey
+        |    ORDER BY n_nationkey) <= 3 THEN 1 ELSE 0 END AS INT) AS triangles
+        |FROM nation ORDER BY name""".stripMargin) { (s, d) =>
+      GraphOps.triangleCounts(s, cliques(s, d))
+        .select(col("name"), col("triangles").cast("int").as("triangles"))
+        .orderBy("name")
+    },
+
+    // B6 CypherLite twin: relType-constrained variable hops. The hop bound
+    // is 2 but the expansion is restricted to HAS_CUSTOMER edges, so depth 2
+    // finds nothing (orders hang off customers via HAS_ORDER) — proving the
+    // type filter actually pruned the traversal, not just the output.
+    QueryDef.sql(
+      "graphp_cypher_reltype",
+      """SELECT n_name AS m_name, 1 AS depth, 'Customer' AS c_label,
+        |  CAST(c_custkey AS VARCHAR) AS c_name, '' AS c_content
+        |FROM nation JOIN customer ON c_nationkey = n_nationkey
+        |ORDER BY m_name, depth, c_label, c_name, c_content""".stripMargin) {
+      (s, d) =>
+        CypherLite.run(hierarchy(s, d),
+          "MATCH (m:Nation)-[:HAS_CUSTOMER*1..2]->(connected) " +
+            "RETURN m, connected")
+          .fold(err => throw new IllegalArgumentException(err), identity)
+    },
+
+    // B6 CypherLite twin: WHERE comparisons on the matched node, graded
+    // against the same range predicate in SQL (binary string collation on
+    // both engines).
+    QueryDef.sql(
+      "graphp_cypher_where",
+      """SELECT 'Nation' AS m_label, n_name AS m_name, '' AS m_content
+        |FROM nation WHERE n_name >= 'E' AND n_name < 'P'
+        |ORDER BY m_label, m_name, m_content""".stripMargin) { (s, d) =>
+      CypherLite.run(hierarchy(s, d),
+        "MATCH (m:Nation) WHERE m.name >= 'E' AND m.name < 'P' RETURN m")
+        .fold(err => throw new IllegalArgumentException(err), identity)
     },
 
     // Q7/A11 upsert twin: MERGE of the graph into itself is an exact no-op.

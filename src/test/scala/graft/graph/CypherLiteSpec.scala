@@ -59,4 +59,35 @@ class CypherLiteSpec extends SparkSpec {
       "  match ( m :Subject )  return m  ").toOption.get
     assert(df.count() == 3)
   }
+
+  test("relType-constrained hops prune the traversal, not just the output") {
+    val typed = CypherLite.run(g,
+      "MATCH (m:Boeing_Service_Bulletin)-[:HAS_SUMMARY*1..2]->(connected) " +
+        "RETURN m, connected").toOption.get.collect()
+    assert(typed.nonEmpty)
+    // depth 1 must be only SUMMARY children; depth 2 exists only if a
+    // summary itself has a HAS_SUMMARY child (it doesn't in this corpus)
+    assert(typed.filter(_.getAs[Int]("depth") == 1)
+      .forall(_.getAs[String]("c_label") == "Summary"))
+    assert(typed.forall(_.getAs[Int]("depth") == 1))
+  }
+
+  test("WHERE comparisons filter the matched node") {
+    val all = CypherLite.run(g, "MATCH (m:Step) RETURN m").toOption.get.count()
+    val some = CypherLite.run(g,
+      "MATCH (m:Step) WHERE m.docnbr >= '737-00-1028' AND m.docnbr <> 'x' " +
+        "RETURN m").toOption.get
+    assert(some.count() > 0 && some.count() <= all)
+    val none = CypherLite.run(g,
+      "MATCH (m:Step) WHERE m.docnbr < '0' RETURN m").toOption.get
+    assert(none.count() == 0)
+  }
+
+  test("WHERE on an unknown property or foreign variable is rejected") {
+    val r = CypherLite.run(g, "MATCH (m:Step) WHERE m.frob = 'x' RETURN m")
+    assert(r.isLeft && r.swap.toOption.get.contains("unsupported property"))
+    val r2 = CypherLite.run(g,
+      "MATCH (m:Step) WHERE q.name = 'x' RETURN m")
+    assert(r2.isLeft, r2.toString)
+  }
 }
