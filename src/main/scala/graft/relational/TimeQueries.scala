@@ -75,6 +75,30 @@ object TimeQueries {
         .orderBy("user_id", "s_start")
     },
     QueryDef.sql(
+      "t5_dedup_batch",
+      // keyed keep-first dedup — the batch shape of the stateful streaming
+      // dedup (T5): one survivor per (user_id, event_type), earliest by
+      // (ts, event_id). The id checksum verifies WHICH rows survived, not
+      // just how many.
+      """WITH ranked AS (
+        |  SELECT event_type, event_id,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+        |  FROM events)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_first,
+        |  CAST(sum(event_id) AS BIGINT) AS id_checksum
+        |FROM ranked WHERE rn = 1
+        |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_first"), sum("event_id").as("id_checksum"))
+        .orderBy("event_type")
+    },
+    QueryDef.sql(
       "t6_funnel_batch",
       // conversion funnel view → click → purchase, strictly ordered by the
       // user's first event of each type; the batch shape of what the

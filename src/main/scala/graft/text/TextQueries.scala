@@ -558,6 +558,133 @@ object TextQueries {
         shingles(s, d).groupBy("s").agg(count(lit(1)).as("df"))
           .select(col("s").as("shingle"), col("df"))
           .orderBy(col("df").desc, col("shingle")).limit(20)
+    },
+    // --------------------------------------- L14 within-doc repetition ratio
+    QueryDef.sql(
+      "l14_repetition",
+      // repeated-3-gram fraction per document — the degenerate-generation-
+      // loop signal a training pipeline scores before filtering
+      s"""WITH g AS (
+         |  SELECT doc_id, list_transform(generate_series(1, len(l) - 2),
+         |    i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]) AS grams
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+         |  WHERE len(l) >= 3)
+         |SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_grams,
+         |  ${graft.Det.duckPortableRound(
+           "CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE)" +
+             " / CAST(len(grams) AS DOUBLE)", 6)} AS repetition
+         |FROM g ORDER BY doc_id""".stripMargin) { (s, d) =>
+      // pure per-row expressions — zero shuffles, the ideal 100-TB shape
+      Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 3)
+        .withColumn("grams", expr(
+          "transform(sequence(0, size(toks) - 3)," +
+            " i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))"))
+        .select(col("doc_id"),
+          size(col("grams")).cast("long").as("n_grams"),
+          graft.Det.portableRound(
+            (size(col("grams")) - size(array_distinct(col("grams"))))
+              .cast("double") / size(col("grams")).cast("double"), 6)
+            .as("repetition"))
+        .orderBy("doc_id")
+    },
+    // ------------------------------------------- L15 denylist term scrub
+    QueryDef.sql(
+      "l15_denylist_scrub",
+      // blocked-term removal with an audit count — the filtering pass a
+      // pipeline runs for safety/compliance term lists; the cleaned text is
+      // checksummed so the oracle verifies the rewrite, not just the count
+      """SELECT doc_id,
+        |  CAST(len(list_filter(l, t -> t IN ('customer', 'spark')))
+        |    AS BIGINT) AS n_blocked,
+        |  md5(array_to_string(
+        |    list_filter(l, t -> t NOT IN ('customer', 'spark')), ' '))
+        |    AS clean_md5
+        |FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"),
+          expr("CAST(size(filter(toks, t -> t IN ('customer', 'spark')))" +
+            " AS BIGINT)").as("n_blocked"),
+          md5(expr(
+            "array_join(filter(toks, t -> t NOT IN ('customer', 'spark'))," +
+              " ' ')")).as("clean_md5"))
+        .orderBy("doc_id")
+    },
+    // ------------------------------------- L16 token-budget mixture sample
+    QueryDef.sql(
+      "l16_token_budget_mix",
+      // mixture construction: fill a fixed per-language token budget with a
+      // content-addressed (hash-ordered) prefix of each language's docs —
+      // deterministic and partition-layout-independent, the property that
+      // makes the sample reproducible across cluster sizes
+      s"""WITH t AS (
+         |  SELECT lang, doc_id,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+         |    ${PortableHash.duck("CAST(doc_id AS VARCHAR)")} AS h
+         |  FROM documents),
+         |c AS (
+         |  SELECT lang, n_toks, sum(n_toks)
+         |    OVER (PARTITION BY lang ORDER BY h, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM t)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_toks) AS BIGINT) AS n_tokens
+         |FROM c WHERE cum <= 2000 GROUP BY lang ORDER BY lang""".stripMargin) {
+      (s, d) =>
+        // window is PARTITIONED by lang — parallel across languages, no
+        // global sort; budget fill is an exact integer cumulative sum
+        val w = Window.partitionBy("lang").orderBy("h", "doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.documents(s, d)
+          .select(col("lang"), col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("n_toks"),
+            PortableHash.spark(col("doc_id").cast("string")).as("h"))
+          .withColumn("cum", sum("n_toks").over(w))
+          .filter(col("cum") <= 2000)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("n_tokens"))
+          .orderBy("lang")
+    },
+    // --------------------------------------- L17 int8 embedding quantization
+    QueryDef.sql(
+      "l17_embedding_quantize",
+      // symmetric per-vector int8 quantization roundtrip: checksum of the
+      // quantized codes (exact integer) + max reconstruction error. Both
+      // engines evaluate the identical IEEE-double element formula, so even
+      // the error agrees bit-for-bit before rounding; floor(x+0.5) is the
+      // portable half-up round (plain round() disagrees between engines).
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |s AS (SELECT vec_id, v,
+         |  list_max(list_transform(v, x -> abs(x))) / CAST(127 AS DOUBLE)
+         |    AS scale FROM e)
+         |SELECT vec_id,
+         |  CAST(CASE WHEN scale = 0 THEN 0 ELSE
+         |    list_sum(list_transform(v,
+         |      x -> CAST(floor(x / scale + 0.5) AS BIGINT))) END
+         |    AS BIGINT) AS q_sum,
+         |  ${graft.Det.duckPortableRound(
+           "CASE WHEN scale = 0 THEN CAST(0 AS DOUBLE) ELSE " +
+             "list_max(list_transform(v, " +
+             "x -> abs(x - floor(x / scale + 0.5) * scale))) END", 6)}
+         |    AS max_abs_err
+         |FROM s ORDER BY vec_id""".stripMargin) { (s, d) =>
+      Tables.embeddings(s, d)
+        .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
+        .withColumn("scale",
+          expr("array_max(transform(v, x -> abs(x))) / CAST(127 AS DOUBLE)"))
+        .select(col("vec_id"),
+          expr("CAST(CASE WHEN scale = 0 THEN 0 ELSE " +
+            "aggregate(transform(v, x -> CAST(floor(x / scale + 0.5) AS BIGINT))," +
+            " CAST(0 AS BIGINT), (a, b) -> a + b) END AS BIGINT)").as("q_sum"),
+          graft.Det.portableRound(
+            expr("CASE WHEN scale = 0 THEN CAST(0 AS DOUBLE) ELSE " +
+              "array_max(transform(v, x -> abs(x - floor(x / scale + 0.5) * scale))) END"),
+            6).as("max_abs_err"))
+        .orderBy("vec_id")
     }
   )
 
