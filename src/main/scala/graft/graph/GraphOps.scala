@@ -87,16 +87,22 @@ object GraphOps {
       // using-column join (not dataset-qualified columns): the frontier's
       // lineage already contains the edge attributes, and qualified refs
       // would trip Spark's ambiguous-self-join detection
-      frontier = frontier.select(col("root_id"), col("node_id").as("src"))
+      val expanded = frontier.select(col("root_id"), col("node_id").as("src"))
         .join(edges, Seq("src"))
         .select(col("root_id"), col("dst").as("node_id"),
           lit(depth).as("depth"))
         .distinct()
+      if (depth < k) {
         // eager materialization: truncates the per-iteration plan/lineage
-        // growth (SURVEY.md §4.3) and makes the emptiness probe free
-        .localCheckpoint()
-      exhausted = frontier.isEmpty
-      if (!exhausted) acc = acc.unionByName(frontier)
+        // growth (SURVEY.md §4.3) and makes the emptiness probe free. The
+        // FINAL hop skips both — its result is consumed exactly once by the
+        // closing aggregate, so the checkpoint job would be pure overhead.
+        frontier = expanded.localCheckpoint()
+        exhausted = frontier.isEmpty
+        if (!exhausted) acc = acc.unionByName(frontier)
+      } else {
+        acc = acc.unionByName(expanded)
+      }
     }
     acc.groupBy("root_id", "node_id").agg(min("depth").as("depth"))
   }
@@ -240,7 +246,27 @@ object GraphOps {
     * scheduling overhead every superstep, which dwarfs compute on small
     * graphs (and a 100-TB graph would pass a higher explicit parallelism).
     */
-  def toGraphX(g: GraphTables, numPartitions: Int = 0): Graph[String, String] = {
+  /** One GraphX conversion per (cached) GraphTables instance: the analytics
+    * family (CC, pagerank, LPA, triangles, shortest paths, BFS) all convert
+    * the same session-cached graph, and the row→RDD encode + co-partition
+    * is the dominant fixed cost on small graphs. Keyed by identity — the
+    * shared instances come from the GraphQueries/ParquetGraph caches.
+    */
+  private val gxCache = new java.util.concurrent.ConcurrentHashMap[
+    (GraphTables, Int), Graph[String, String]]()
+
+  def toGraphX(g: GraphTables, numPartitions: Int = 0): Graph[String, String] =
+    gxCache.computeIfAbsent((g, numPartitions), _ => {
+      // Graph() assigns MEMORY_ONLY storage at construction; counting both
+      // sides materializes it so no query pays the conversion twice
+      val gx = buildGraphX(g, numPartitions)
+      gx.vertices.count()
+      gx.edges.count()
+      gx
+    })
+
+  private def buildGraphX(g: GraphTables, numPartitions: Int)
+      : Graph[String, String] = {
     val p =
       if (numPartitions > 0) numPartitions
       else {
