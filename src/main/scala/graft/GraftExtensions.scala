@@ -21,5 +21,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[functions.DotProduct].getName, "graft_dot"),
       (children: Seq[Expression]) =>
         functions.DotProduct(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_hamming"),
+      new ExpressionInfo(classOf[functions.HammingDistance].getName,
+        "graft_hamming"),
+      (children: Seq[Expression]) =>
+        functions.HammingDistance(children(0), children(1))))
   }
 }

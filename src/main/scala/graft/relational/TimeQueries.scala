@@ -231,6 +231,26 @@ object TimeQueries {
           views = e.filter(col("event_type") === "view"),
           purchases = e.filter(col("event_type") === "purchase"))
         .orderBy("purchase_id", "view_id")
+    },
+    QueryDef.sql(
+      "t8b_stream_stream_left_join",
+      // Batch twin of the OUTER interval join: purchases with no qualifying
+      // view survive null-padded. NULLS FIRST pinned explicitly — the
+      // engines' default null sort orders differ.
+      """WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS pts
+        |           FROM events WHERE event_type = 'purchase'),
+        |     v AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS vts
+        |           FROM events WHERE event_type = 'view')
+        |SELECT p.event_id AS purchase_id, v.event_id AS view_id,
+        |       p.user_id AS user_id
+        |FROM p LEFT JOIN v ON p.user_id = v.user_id
+        |  AND v.vts <= p.pts AND v.vts >= p.pts - INTERVAL 30 MINUTE
+        |ORDER BY purchase_id, view_id NULLS FIRST""".stripMargin) { (s, d) =>
+      val e = Tables.events(s, d)
+      graft.streaming.StreamingOps.streamStreamJoinLeftOuter(
+          views = e.filter(col("event_type") === "view"),
+          purchases = e.filter(col("event_type") === "purchase"))
+        .orderBy(col("purchase_id"), col("view_id").asc_nulls_first)
     }
   )
 }

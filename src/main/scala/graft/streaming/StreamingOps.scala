@@ -105,6 +105,28 @@ object StreamingOps {
       .select(col("purchase_id"), col("view_id"), col("p_user").as("user_id"))
   }
 
+  /** T8 outer form: every purchase emits exactly once — matched rows as
+    * soon as both sides arrive, unmatched ones null-padded only when the
+    * watermark proves no qualifying view can still arrive. The emission
+    * trigger IS the state eviction, which is why the outer join needs the
+    * same watermark bounds as the inner one to run unbounded.
+    */
+  def streamStreamJoinLeftOuter(views: DataFrame, purchases: DataFrame)
+      : DataFrame = {
+    val v = views.withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("view_id"))
+    val p = purchases.withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+    p.join(v,
+      col("p_user") === col("v_user") &&
+        col("v_ts") <= col("p_ts") &&
+        col("v_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES"),
+      "left_outer")
+      .select(col("purchase_id"), col("view_id"), col("p_user").as("user_id"))
+  }
+
   /** Run a streaming frame to completion against a memory sink and return
     * the materialized result (local test/verify harness; S7).
     */

@@ -102,16 +102,41 @@ object TextQueries {
     },
     // ------------------------------------------------------------ L2b SimHash
     QueryDef.sql("l2b_simhash", duckSimhashSql) { (s, d) =>
-      val toks = Tables.documents(s, d)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-        .withColumn("h", PortableHash.spark(col("tok")))
-      val sumCols = (0 until SIMBITS).map(j =>
-        sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1)
-          .otherwise(-1)).as(s"s$j"))
-      val sums = toks.groupBy("doc_id").agg(sumCols.head, sumCols.tail: _*)
-      val fp = (0 until SIMBITS).map(j =>
-        when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
-      sums.select(col("doc_id"), fp.as("simhash")).orderBy("doc_id")
+      simhashDf(s, d).orderBy("doc_id")
+    },
+    // ------------------------------- L2b2 SimHash near-dup (banded verify)
+    QueryDef.sql(
+      "l2b2_simhash_neardup",
+      // near-dup pairs at Hamming distance ≤ 3 over the 32-bit simhash. The
+      // oracle derives the same pairs by brute force; the engine only meets
+      // candidates inside a band bucket (see comment on the Spark side).
+      s"""WITH fp AS ($duckSimhashCore),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    bit_count(xor(a.simhash, b.simhash)) AS hamming
+         |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, CAST(hamming AS INT) AS hamming
+         |FROM pairs WHERE hamming <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+      // 4 bands × 8 bits: a pair within Hamming distance 3 differs in at
+      // most 3 bit positions, so by pigeonhole at least one band matches
+      // exactly — the band equi-join has FULL recall at this threshold and
+      // never goes all-pairs. The verify step is the codegen'd
+      // `graft_hamming` (popcount-of-xor) native expression.
+      graft.functions.HammingDistance.register(s)
+      val fps = simhashDf(s, d)
+      def banded(idCol: String, fpCol: String): DataFrame =
+        fps.select(col("doc_id").as(idCol), col("simhash").as(fpCol))
+          .withColumn("band", explode(expr(
+            s"transform(sequence(0, 3)," +
+              s" b -> concat(b, ':', shiftright($fpCol, b * 8) % 256))")))
+      banded("doc_a", "fp_a").join(banded("doc_b", "fp_b"), Seq("band"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "fp_a", "doc_b", "fp_b").distinct()
+        .withColumn("hamming", expr("graft_hamming(fp_a, fp_b)"))
+        .filter(col("hamming") <= 3)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
     },
     // ------------------------------------ L2f deduplicated corpus output
     QueryDef.sql("l2f_dedup_output", duckDedupOutputSql) { (s, d) =>
@@ -783,7 +808,23 @@ object TextQueries {
        |FROM reach GROUP BY start ORDER BY doc_id""".stripMargin
 
   /** DuckDB mirror of the 32-bit SimHash. */
-  private lazy val duckSimhashSql: String = {
+  /** (doc_id, 32-bit simhash) — shared by the fingerprint query and the
+    * banded near-dup pair search.
+    */
+  private def simhashDf(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .withColumn("h", PortableHash.spark(col("tok")))
+    val sumCols = (0 until SIMBITS).map(j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1)
+        .otherwise(-1)).as(s"s$j"))
+    val sums = toks.groupBy("doc_id").agg(sumCols.head, sumCols.tail: _*)
+    val fp = (0 until SIMBITS).map(j =>
+      when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
+    sums.select(col("doc_id"), fp.as("simhash"))
+  }
+
+  private lazy val duckSimhashCore: String = {
     val h = PortableHash.duck("tok")
     val sums = (0 until SIMBITS).map(j =>
       s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j")
@@ -798,8 +839,11 @@ object TextQueries {
        |  $sums
        |FROM toks GROUP BY doc_id)
        |SELECT doc_id, CAST($fp AS BIGINT) AS simhash
-       |FROM sums ORDER BY doc_id""".stripMargin
+       |FROM sums""".stripMargin
   }
+
+  private lazy val duckSimhashSql: String =
+    duckSimhashCore + "\nORDER BY doc_id"
 
   private lazy val duckLangIdSql: String = {
     val hitCols = LangId.stopwords.map { case (lang, words) =>

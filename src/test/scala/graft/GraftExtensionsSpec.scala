@@ -43,4 +43,23 @@ class GraftExtensionsSpec extends AnyFunSuite {
           org.apache.spark.sql.types.DoubleType)))
     assert(e.eval(null) == 32.0)
   }
+
+  test("graft_hamming evaluates identically interpreted and via codegen") {
+    val s = SparkSpec.session
+    graft.functions.HammingDistance.register(s)
+    // 0b1011 vs 0b0110 → xor 0b1101 → 3 bits
+    val got = s.sql("SELECT graft_hamming(11L, 6L) AS h")
+      .collect().head.getInt(0)
+    assert(got == 3)
+    val e = graft.functions.HammingDistance(
+      org.apache.spark.sql.catalyst.expressions.Literal(11L),
+      org.apache.spark.sql.catalyst.expressions.Literal(6L))
+    assert(e.eval(null) == 3)
+    // type rejection, not coercion surprises
+    assert(graft.functions.HammingDistance(
+      org.apache.spark.sql.catalyst.expressions.Literal(1),
+      org.apache.spark.sql.catalyst.expressions.Literal(2L))
+      .checkInputDataTypes() !=
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess)
+  }
 }

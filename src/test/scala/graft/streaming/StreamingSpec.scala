@@ -200,6 +200,40 @@ class StreamingSpec extends SparkSpec {
       "cross-user join leaked")
   }
 
+  test("stream-stream LEFT OUTER join null-pads on watermark eviction (T8+)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[EventRow]
+    val purchases = MemoryStream[EventRow]
+    val joined = StreamingOps.streamStreamJoinLeftOuter(
+      views.toDF(), purchases.toDF())
+    val q = joined.writeStream.format("memory").queryName("t8s_left")
+      .outputMode(OutputMode.Append()).start()
+    views.addData(EventRow(10L, ts(0), 1L, "view", 0.0))
+    purchases.addData(
+      EventRow(20L, ts(10), 1L, "purchase", 5.0), // matches view 10
+      EventRow(21L, ts(12), 2L, "purchase", 5.0)) // no view for user 2
+    q.processAllAvailable()
+    // before the watermark passes ts(12)+30min, purchase 21 must NOT have
+    // emitted null-padded: a qualifying view could still arrive
+    val early = spark.table("t8s_left").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+    assert(!early.contains((21L, -1L)),
+      s"null-padded row emitted before eviction: ${early.toSeq}")
+    // push both watermarks far past every bound → state evicts → the
+    // unmatched purchase emits exactly once, null-padded
+    views.addData(EventRow(19L, ts(59, 50), 3L, "view", 0.0))
+    purchases.addData(EventRow(29L, ts(59, 55), 3L, "purchase", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("t8s_left").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toSeq
+    assert(got.contains((20L, 10L)), s"matched pair missing: $got")
+    assert(got.count(_ == (21L, -1L)) == 1,
+      s"unmatched purchase should emit null-padded exactly once: $got")
+  }
+
   test("streaming file source over events parquet works end-to-end (S6)") {
     val schema = Tables.events(spark, sf("sf0.001")).schema
     // file streaming source needs a plain-schema dir; stage a µs-normalized
