@@ -268,6 +268,23 @@ object RelationalQueries {
           col("nation_a") < col("nation_b"))
         .select("nation_a", "nation_b").orderBy("nation_a", "nation_b")
     },
+    QueryDef.sql(
+      "j13_null_safe_join",
+      // null-safe equality (<=>): NULL keys match each OTHER instead of
+      // nothing — the join form dimension backfills need when the key is
+      // optional
+      """SELECT a.n_nationkey AS a_key, b.n_nationkey AS b_key
+        |FROM (SELECT n_nationkey, nullif(n_regionkey, 0) AS rk FROM nation) a
+        |JOIN (SELECT n_nationkey, nullif(n_regionkey, 0) AS rk FROM nation) b
+        |  ON a.rk IS NOT DISTINCT FROM b.rk
+        |ORDER BY a_key, b_key""".stripMargin) { (s, d) =>
+      val a = Tables.nation(s, d).select(col("n_nationkey").as("a_key"),
+        expr("nullif(n_regionkey, 0)").as("a_rk"))
+      val b = Tables.nation(s, d).select(col("n_nationkey").as("b_key"),
+        expr("nullif(n_regionkey, 0)").as("b_rk"))
+      a.join(b, col("a_rk") <=> col("b_rk"))
+        .select("a_key", "b_key").orderBy("a_key", "b_key")
+    },
     // ---------------------------------------------------- aggregations (G)
     QueryDef.sql(
       "g1_group_nest",
@@ -392,6 +409,30 @@ object RelationalQueries {
             |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
             |ORDER BY o_orderstatus ASC NULLS FIRST,
             |         o_orderpriority ASC NULLS FIRST""".stripMargin)
+    },
+    QueryDef.sql(
+      "g6c_grouping_sets",
+      // explicit GROUPING SETS with grouping_id, the general form rollup and
+      // cube specialize; the id disambiguates "NULL key" from "aggregated
+      // over this key"
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority)
+        |    AS INT) AS gid,
+        |  count(*) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY gid, o_orderstatus NULLS FIRST,
+        |         o_orderpriority NULLS FIRST""".stripMargin) { (s, d) =>
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      s.sql(
+        """SELECT o_orderstatus, o_orderpriority,
+          |  CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority)
+          |    AS INT) AS gid,
+          |  count(*) AS n
+          |FROM orders
+          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+          |ORDER BY gid, o_orderstatus ASC NULLS FIRST,
+          |         o_orderpriority ASC NULLS FIRST""".stripMargin)
     },
     QueryDef.sql(
       "g7_string_agg",
@@ -592,6 +633,29 @@ object RelationalQueries {
         .select(col("c_custkey").cast("long").as("c_custkey"),
           col("c_acctbal"))
       globalNtilePctRank(s, base, base.count())
+    },
+    QueryDef.sql(
+      "w7_nth_value",
+      // first/nth/last value over the full partition — explicit ROWS frame,
+      // because the default RANGE..CURRENT ROW frame makes nth/last
+      // prefix-dependent
+      """SELECT s_suppkey,
+        |  first_value(s_name) OVER w AS top_name,
+        |  nth_value(s_name, 2) OVER w AS second_name,
+        |  last_value(s_name) OVER w AS bottom_name
+        |FROM supplier
+        |WINDOW w AS (PARTITION BY s_nationkey
+        |  ORDER BY s_acctbal DESC, s_suppkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY s_suppkey""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("s_nationkey")
+        .orderBy(col("s_acctbal").desc, col("s_suppkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.supplier(s, d).select(col("s_suppkey"),
+          first(col("s_name")).over(w).as("top_name"),
+          nth_value(col("s_name"), 2).over(w).as("second_name"),
+          last(col("s_name")).over(w).as("bottom_name"))
+        .orderBy("s_suppkey")
     },
     QueryDef.sql(
       "w6_range_frame",
@@ -918,6 +982,26 @@ object RelationalQueries {
         substring(col("n_name"), 1, 6).as("l6"),
         expr("right(n_name, 2)").as("r2"))
         .orderBy("n_nationkey")
+    },
+    QueryDef.sql(
+      "f16_explode_outer",
+      // explode_outer (X3 generator with outer semantics): rows whose array
+      // is empty survive with a NULL element instead of vanishing — the
+      // count pair distinguishes the two
+      """SELECT d.doc_id, CAST(count(u.ztok) AS BIGINT) AS n_hits,
+        |  CAST(count(*) AS BIGINT) AS n_rows
+        |FROM (SELECT doc_id,
+        |        list_filter(string_split(text, ' '), t -> t = 'vector') AS zs
+        |      FROM documents) d
+        |LEFT JOIN LATERAL (SELECT unnest(d.zs) AS ztok) u ON true
+        |GROUP BY d.doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          expr("filter(split(text, ' '), t -> t = 'vector')").as("zs"))
+        .select(col("doc_id"), explode_outer(col("zs")).as("ztok"))
+        .groupBy("doc_id")
+        .agg(count(col("ztok")).as("n_hits"), count(lit(1)).as("n_rows"))
+        .orderBy("doc_id")
     },
     QueryDef.sql(
       "f13_json",
