@@ -77,4 +77,22 @@ object Graft {
   /** The deduplicated corpus slice counts (canonical docs only). */
   def dedupOutput(spark: SparkSession, sfDir: String): DataFrame =
     SparkEntry.queries("l2f_dedup_output")(spark, sfDir)
+
+  /** SimHash near-duplicate pairs (Hamming ≤ 3) via the banded search and
+    * the codegen'd `graft_hamming` verify.
+    */
+  def simhashNearDups(spark: SparkSession, sfDir: String): DataFrame =
+    SparkEntry.queries("l2b2_simhash_neardup")(spark, sfDir)
+
+  /** Train/eval contamination report (shared-shingle semi-join). */
+  def contaminationCheck(spark: SparkSession, sfDir: String): DataFrame =
+    SparkEntry.queries("l12_contamination_check")(spark, sfDir)
+
+  /** Deterministic per-language token-budget mixture fill. */
+  def tokenBudgetMix(spark: SparkSession, sfDir: String): DataFrame =
+    SparkEntry.queries("l16_token_budget_mix")(spark, sfDir)
+
+  /** Int8 symmetric quantization roundtrip report over the embeddings. */
+  def quantizeEmbeddings(spark: SparkSession, sfDir: String): DataFrame =
+    SparkEntry.queries("l17_embedding_quantize")(spark, sfDir)
 }

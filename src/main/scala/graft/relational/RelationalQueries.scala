@@ -475,6 +475,50 @@ object RelationalQueries {
             coalesce(col("5-LOW"), lit(0L)).as("low"))
           .orderBy("o_orderstatus")
     },
+    QueryDef.sql(
+      "g11_unpivot",
+      // unpivot = stack(): wide per-status counts back to (status, metric,
+      // n) rows; stated as UNION ALL so the oracle stays portable
+      """WITH w AS (
+        |  SELECT o_orderstatus,
+        |    count(*) FILTER (o_orderpriority = '1-URGENT') AS urgent,
+        |    count(*) FILTER (o_orderpriority = '5-LOW') AS low
+        |  FROM orders GROUP BY o_orderstatus)
+        |SELECT o_orderstatus, metric, n FROM (
+        |  SELECT o_orderstatus, 'urgent' AS metric, urgent AS n FROM w
+        |  UNION ALL
+        |  SELECT o_orderstatus, 'low', low FROM w)
+        |ORDER BY o_orderstatus, metric""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_orderstatus")
+        .pivot("o_orderpriority", Seq("1-URGENT", "5-LOW"))
+        .agg(count(lit(1)))
+        .select(col("o_orderstatus"),
+          coalesce(col("1-URGENT"), lit(0L)).as("urgent"),
+          coalesce(col("5-LOW"), lit(0L)).as("low"))
+        .selectExpr("o_orderstatus",
+          "stack(2, 'urgent', urgent, 'low', low) AS (metric, n)")
+        .orderBy("o_orderstatus", "metric")
+    },
+    QueryDef.sql(
+      "w8_locf_forward_fill",
+      // last-observation-carried-forward: each event carries the user's most
+      // recent purchase value (gap filling via IGNORE NULLS) — the classic
+      // time-series imputation step
+      """SELECT event_id,
+        |  last_value(CASE WHEN event_type = 'purchase' THEN value END
+        |    IGNORE NULLS) OVER (PARTITION BY user_id
+        |      ORDER BY CAST(ts AS TIMESTAMP), event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_value
+        |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .select(col("event_id"),
+          last(when(col("event_type") === "purchase", col("value")),
+            ignoreNulls = true).over(w).as("locf_value"))
+        .orderBy("event_id")
+    },
     QueryDef.rowsOnly("o5_sampled_scan") { (s, d) =>
       // seeded Bernoulli sample: deterministic within Spark, but sampling
       // algorithms differ across engines → rows-only check

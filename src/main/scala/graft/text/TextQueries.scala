@@ -123,6 +123,11 @@ object TextQueries {
       // exactly — the band equi-join has FULL recall at this threshold and
       // never goes all-pairs. The verify step is the codegen'd
       // `graft_hamming` (popcount-of-xor) native expression.
+      // Production sizing: 8-bit bands give only 256 buckets per band, so a
+      // billion-doc corpus would pack ~4M docs per bucket and the bucket
+      // join degrades toward quadratic. The same code scales by widening the
+      // fingerprint (SIMBITS=64) and bands to 16 bits (65536 buckets/band),
+      // keeping the pigeonhole guarantee at the same threshold.
       graft.functions.HammingDistance.register(s)
       val fps = simhashDf(s, d)
       def banded(idCol: String, fpCol: String): DataFrame =
