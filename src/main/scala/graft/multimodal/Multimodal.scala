@@ -169,6 +169,42 @@ object Multimodal {
         .agg(count(lit(1)).as("n"), sum("n_bytes").as("total_bytes"),
           max("width").as("max_w"), max("height").as("max_h"))
         .orderBy("kind")
+    },
+    QueryDef.sql(
+      "mm5_tile_grid",
+      // 16×16 patch grid per "image": one row per tile with its pixel
+      // rectangle (edge tiles clamped) — the fan-out a ViT-style patch
+      // extractor runs, bounded by metadata, no driver loop
+      """WITH m AS (SELECT doc_id,
+        |    octet_length(encode(text)) % 64 + 16 AS width,
+        |    (octet_length(encode(text)) // 7) % 64 + 16 AS height
+        |  FROM documents WHERE octet_length(encode(text)) % 3 = 0),
+        |g AS (SELECT doc_id, width, height,
+        |    CAST(ceil(width / CAST(16 AS DOUBLE)) AS INT) AS tx,
+        |    CAST(ceil(height / CAST(16 AS DOUBLE)) AS INT) AS ty FROM m)
+        |SELECT doc_id, CAST(tile_id AS INT) AS tile_id,
+        |  CAST(tile_id % tx AS INT) AS tile_x,
+        |  CAST(tile_id // tx AS INT) AS tile_y,
+        |  CAST(least(16, width - (tile_id % tx) * 16) AS INT) AS tile_w,
+        |  CAST(least(16, height - (tile_id // tx) * 16) AS INT) AS tile_h
+        |FROM g CROSS JOIN generate_series(0, 63) t(tile_id)
+        |WHERE tile_id < tx * ty
+        |ORDER BY doc_id, tile_id""".stripMargin) { (s, d) =>
+      decodeAll(s, payloadTable(s, d)).toDF()
+        .filter(col("kind") === "image")
+        .select(col("doc_id"), col("width"), col("height"),
+          ceil(col("width") / 16.0).cast("int").as("tx"),
+          ceil(col("height") / 16.0).cast("int").as("ty"))
+        .select(col("doc_id"), col("width"), col("height"), col("tx"),
+          explode(sequence(lit(0), col("tx") * col("ty") - 1)).as("tile_id"))
+        .select(col("doc_id"), col("tile_id").cast("int").as("tile_id"),
+          expr("CAST(tile_id % tx AS INT)").as("tile_x"),
+          expr("CAST(tile_id div tx AS INT)").as("tile_y"),
+          expr("CAST(least(16, width - (tile_id % tx) * 16) AS INT)")
+            .as("tile_w"),
+          expr("CAST(least(16, height - (tile_id div tx) * 16) AS INT)")
+            .as("tile_h"))
+        .orderBy("doc_id", "tile_id")
     }
   )
 }

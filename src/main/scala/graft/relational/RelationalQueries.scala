@@ -1028,6 +1028,50 @@ object RelationalQueries {
         .orderBy("n_nationkey")
     },
     QueryDef.sql(
+      "f8b_date_parts",
+      // calendar navigation: month bucket (trunc → DATE on both engines),
+      // month end, quarter, month arithmetic with end-clamping, day diff
+      """SELECT o_orderkey,
+        |  date_trunc('month', o_orderdate) AS month_start,
+        |  last_day(o_orderdate) AS month_end,
+        |  CAST(quarter(o_orderdate) AS INT) AS q,
+        |  CAST(o_orderdate + INTERVAL 2 MONTH AS DATE) AS plus2,
+        |  CAST(date_diff('day', o_orderdate, DATE '1995-01-01') AS INT)
+        |    AS days_to_95
+        |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      Tables.orders(s, d).select(col("o_orderkey"),
+          trunc(col("o_orderdate"), "MM").as("month_start"),
+          last_day(col("o_orderdate")).as("month_end"),
+          quarter(col("o_orderdate")).as("q"),
+          add_months(col("o_orderdate"), 2).as("plus2"),
+          datediff(lit(java.sql.Date.valueOf("1995-01-01")),
+            col("o_orderdate")).as("days_to_95"))
+        .orderBy("o_orderkey")
+    },
+    QueryDef.sql(
+      "f17_array_quantifiers",
+      // higher-order quantifiers over token arrays: exists / forall /
+      // aggregate fold / first position (0 when absent on both engines)
+      """SELECT doc_id,
+        |  len(list_filter(l, t -> t = 'vector')) > 0 AS has_vector,
+        |  len(list_filter(l, t -> len(t) > 8)) = 0 AS all_short,
+        |  CAST(list_sum(list_transform(l, t -> len(t))) AS BIGINT)
+        |    AS total_chars,
+        |  CAST(coalesce(list_position(l, 'spark'), 0) AS INT) AS first_spark
+        |FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"),
+          expr("exists(toks, t -> t = 'vector')").as("has_vector"),
+          expr("forall(toks, t -> length(t) <= 8)").as("all_short"),
+          expr("CAST(aggregate(toks, 0L, (a, t) -> a + length(t)) AS BIGINT)")
+            .as("total_chars"),
+          expr("CAST(array_position(toks, 'spark') AS INT)")
+            .as("first_spark"))
+        .orderBy("doc_id")
+    },
+    QueryDef.sql(
       "f16_explode_outer",
       // explode_outer (X3 generator with outer semantics): rows whose array
       // is empty survive with a NULL element instead of vanishing — the
