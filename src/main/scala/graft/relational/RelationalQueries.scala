@@ -255,6 +255,44 @@ object RelationalQueries {
         .orderBy("bucket")
     },
     QueryDef.sql(
+      "j8b_range_join_banded",
+      // fact-fact interval×point range join in its SCALABLE form: j8's
+      // BroadcastNestedLoopJoin needs one broadcastable side; here neither
+      // side is assumed small, so each interval explodes to the month bands
+      // it covers and the join becomes a shuffled EQUI-join on the band key
+      // plus a residual range filter — every day lands in exactly one band,
+      // so no distinct is needed and the pattern holds at any scale
+      """WITH li_daily AS (
+        |  SELECT l_shipdate AS d, count(*) AS n FROM lineitem GROUP BY 1),
+        |o AS (
+        |  SELECT o_orderkey, o_orderdate,
+        |    CAST(o_orderdate + INTERVAL 90 DAY AS DATE) AS o_end
+        |  FROM orders
+        |  WHERE o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1995-03-31')
+        |SELECT o.o_orderkey, CAST(coalesce(sum(n), 0) AS BIGINT) AS n_shipped
+        |FROM o LEFT JOIN li_daily
+        |  ON d >= o_orderdate AND d <= o_end
+        |GROUP BY o.o_orderkey ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val days = Tables.lineitem(s, d)
+        .groupBy(col("l_shipdate").as("d")).agg(count(lit(1)).as("n"))
+        .withColumn("m", trunc(col("d"), "MM"))
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate").between("1995-01-01", "1995-03-31"))
+        .select(col("o_orderkey"), col("o_orderdate"),
+          date_add(col("o_orderdate"), 90).as("o_end"))
+      val banded = o.withColumn("m", explode(expr(
+        "sequence(trunc(o_orderdate, 'MM'), trunc(o_end, 'MM')," +
+          " interval 1 month)")))
+      val counts = banded.join(days, Seq("m"))
+        .filter(col("d") >= col("o_orderdate") && col("d") <= col("o_end"))
+        .groupBy("o_orderkey").agg(sum("n").as("n_shipped"))
+      o.select("o_orderkey")
+        .join(counts, Seq("o_orderkey"), "left_outer")
+        .select(col("o_orderkey"),
+          coalesce(col("n_shipped"), lit(0L)).as("n_shipped"))
+        .orderBy("o_orderkey")
+    },
+    QueryDef.sql(
       "j10_self_join",
       """SELECT a.n_name AS nation_a, b.n_name AS nation_b
         |FROM nation a JOIN nation b
@@ -984,6 +1022,29 @@ object RelationalQueries {
           element_at(col("m"), "source").as("m_source"),
           array_join(array_sort(map_keys(col("m"))), ",").as("m_keys"),
           size(col("m")).as("m_size"))
+        .orderBy("doc_id")
+    },
+    QueryDef.sql(
+      "f12b_map_transform",
+      // map rewrite chain — transform_values then map_filter — serialized
+      // as sorted k=v entries; the oracle derives the surviving entries
+      // directly from the base columns (DuckDB's concat_ws skips the NULL
+      // CASE arms, and 'chars' < 'id' gives the sorted order for free)
+      """SELECT doc_id, concat_ws(',',
+        |  CASE WHEN n_chars * 2 >= 10 THEN 'chars=' ||
+        |    CAST(n_chars * 2 AS VARCHAR) END,
+        |  CASE WHEN doc_id * 2 >= 10 THEN 'id=' ||
+        |    CAST(doc_id * 2 AS VARCHAR) END) AS entries
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("m", map_from_arrays(
+          array(lit("chars"), lit("id")),
+          array(col("n_chars"), col("doc_id"))))
+        .withColumn("m2", expr("transform_values(m, (k, v) -> v * 2)"))
+        .withColumn("mf", expr("map_filter(m2, (k, v) -> v >= 10)"))
+        .select(col("doc_id"), expr(
+          "array_join(transform(array_sort(map_keys(mf))," +
+            " k -> concat(k, '=', element_at(mf, k))), ',')").as("entries"))
         .orderBy("doc_id")
     },
     QueryDef.sql(
