@@ -33,8 +33,8 @@ object RelationalQueries {
     * arithmetic on (rank, N). The sort key includes the unique c_custkey, so
     * ranks are tie-free and deterministic.
     */
-  private def globalNtilePctRank(s: SparkSession, base: DataFrame,
-      n: Long): DataFrame = {
+  private[relational] def globalNtilePctRank(s: SparkSession,
+      base: DataFrame, n: Long): DataFrame = {
     import s.implicits._
     val ranked = base
       .repartitionByRange(col("c_acctbal"), col("c_custkey"))
@@ -54,9 +54,11 @@ object RelationalQueries {
       .otherwise(rem + floor((col("rank") - big - 1) / q)) + 1
     ranked.select(col("c_custkey"),
         quartile.cast("int").as("quartile"),
+        // max(n-1, 1): a single-row input has rank-1 = 0, and dividing by 1
+        // yields percent_rank's defined value 0.0 instead of 0/0 = NaN
         Det.portableRound(
-          (col("rank") - 1).cast("double") / lit((n - 1).toDouble), 6)
-          .as("pr"))
+          (col("rank") - 1).cast("double") / lit(math.max(n - 1, 1).toDouble),
+          6).as("pr"))
       .orderBy("c_custkey")
   }
 
@@ -834,6 +836,43 @@ object RelationalQueries {
         .except(Tables.orders(s, d).filter(col("o_orderstatus") === "O")
           .select(col("o_custkey").as("custkey")))
         .orderBy("custkey")
+    },
+    QueryDef.sql(
+      "u5_intersect_all",
+      // bag semantics: multiplicity = min of the two sides' counts
+      """SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |INTERSECT ALL
+        |SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '5-LOW'
+        |ORDER BY custkey""".stripMargin) { (s, d) =>
+      val o = Tables.orders(s, d)
+      o.filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").as("custkey"))
+        .intersectAll(o.filter(col("o_orderpriority") === "5-LOW")
+          .select(col("o_custkey").as("custkey")))
+        .orderBy("custkey")
+    },
+    QueryDef.sql(
+      "u6_except_all",
+      // bag semantics: multiplicity = left count minus right count
+      """SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+        |EXCEPT ALL
+        |SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |ORDER BY custkey""".stripMargin) { (s, d) =>
+      val o = Tables.orders(s, d)
+      o.filter(col("o_orderstatus") === "O")
+        .select(col("o_custkey").as("custkey"))
+        .exceptAll(o.filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_custkey").as("custkey")))
+        .orderBy("custkey")
+    },
+    QueryDef.sql(
+      "o2b_limit_offset",
+      // pagination: deterministic only over a total order, which the unique
+      // sort key provides
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_orderkey LIMIT 7 OFFSET 10""".stripMargin) { (s, d) =>
+      Tables.orders(s, d).select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey").offset(10).limit(7)
     },
     // ------------------------------------------------- scalar functions (F)
     QueryDef.sql(
