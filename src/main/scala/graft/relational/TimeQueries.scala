@@ -75,6 +75,38 @@ object TimeQueries {
         .orderBy("user_id", "s_start")
     },
     QueryDef.sql(
+      "t4b_sessionize",
+      // per-event session assignment (gaps-and-islands): a session break is
+      // a >30-minute gap; the running sum of breaks is the user's session
+      // sequence number. Computed on the epoch-microsecond axis so both
+      // engines compare identical integers.
+      """WITH e AS (SELECT event_id, user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |m AS (SELECT event_id, user_id, us,
+        |  CASE WHEN lag(us) OVER (PARTITION BY user_id
+        |      ORDER BY us, event_id) IS NULL
+        |    OR us - lag(us) OVER (PARTITION BY user_id
+        |      ORDER BY us, event_id) > 1800000000
+        |  THEN 1 ELSE 0 END AS is_new FROM e)
+        |SELECT event_id, user_id,
+        |  CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT)
+        |    AS session_seq
+        |FROM m ORDER BY event_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val lagUs = lag(col("us"), 1).over(w)
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("is_new",
+          when(lagUs.isNull || (col("us") - lagUs) > 1800000000L, 1)
+            .otherwise(0))
+        .select(col("event_id"), col("user_id"),
+          sum("is_new").over(cum).cast("int").as("session_seq"))
+        .orderBy("event_id")
+    },
+    QueryDef.sql(
       "t5_dedup_batch",
       // keyed keep-first dedup — the batch shape of the stateful streaming
       // dedup (T5): one survivor per (user_id, event_type), earliest by
