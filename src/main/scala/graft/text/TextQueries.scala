@@ -42,6 +42,10 @@ object TextQueries {
   // corpus through the shuffle. Dropped up front on BOTH engines; production
   // would size it as a small fraction of corpus size.
   private val ContamDfCap = 20
+  // IVF coarse quantizer: K cells, NPROBE probed per query. Test-scale
+  // values; production sizes K ≈ sqrt(N) and tunes NPROBE for recall.
+  private val IvfK = 8
+  private val IvfProbe = 2
   private def hashA(k: Int): Long = 2L * k + 1
   private def hashB(k: Int): Long = 12345L * k + 1
 
@@ -715,6 +719,180 @@ object TextQueries {
               "array_max(transform(v, x -> abs(x - floor(x / scale + 0.5) * scale))) END"),
             6).as("max_abs_err"))
         .orderBy("vec_id")
+    },
+    // ----------------------------------------------- L18 IVF-style ANN index
+    QueryDef.sql(
+      "l18_ivf_ann",
+      // IVF-flat over the embedding table: K coarse centroids (chosen
+      // deterministically by content hash — the seed step of k-means), every
+      // vector assigned to its nearest centroid, queries probe the NPROBE
+      // nearest cells and rank candidates only inside them. Similarities are
+      // portably rounded BEFORE every argmax/window so tie-breaks (then by
+      // id) agree across engines.
+      s"""WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+         |    sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+         |      x -> x * x))) AS nrm
+         |  FROM embeddings),
+         |c AS (SELECT vec_id AS cent_id, emb AS ce, nrm AS cn FROM n
+         |  ORDER BY ${PortableHash.duck("CAST(vec_id AS VARCHAR)")}, vec_id
+         |  LIMIT $IvfK),
+         |a0 AS (SELECT n.vec_id, c.cent_id, n.emb, n.nrm,
+         |    ${graft.Det.duckPortableRound(
+             "list_sum(list_transform(generate_series(1, len(n.emb))," +
+               " i -> n.emb[i] * c.ce[i])) / (n.nrm * c.cn)", 6)} AS csim
+         |  FROM n, c),
+         |asg AS (SELECT vec_id, cent_id, emb, nrm FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY csim DESC, cent_id) AS arn FROM a0) WHERE arn = 1),
+         |q AS (SELECT vec_id AS q_id, emb AS qe, nrm AS qn FROM n
+         |  WHERE vec_id < 10),
+         |p0 AS (SELECT q.q_id, c.cent_id, q.qe, q.qn,
+         |    ${graft.Det.duckPortableRound(
+             "list_sum(list_transform(generate_series(1, len(q.qe))," +
+               " i -> q.qe[i] * c.ce[i])) / (q.qn * c.cn)", 6)} AS psim
+         |  FROM q, c),
+         |probe AS (SELECT q_id, cent_id, qe, qn FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY psim DESC, cent_id) AS prn FROM p0)
+         |  WHERE prn <= $IvfProbe),
+         |s0 AS (SELECT pr.q_id, a.vec_id AS neighbor_id,
+         |    ${graft.Det.duckPortableRound(
+             "list_sum(list_transform(generate_series(1, len(pr.qe))," +
+               " i -> pr.qe[i] * a.emb[i])) / (pr.qn * a.nrm)", 6)} AS sim
+         |  FROM probe pr JOIN asg a
+         |    ON pr.cent_id = a.cent_id AND a.vec_id <> pr.q_id),
+         |r AS (SELECT q_id, neighbor_id, sim, CAST(row_number() OVER
+         |    (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS INT) AS rn
+         |  FROM s0)
+         |SELECT q_id, neighbor_id, sim, rn FROM r WHERE rn <= 3
+         |ORDER BY q_id, rn""".stripMargin) { (s, d) =>
+      // 100-TB shape: centroids are O(K) → broadcast to both the assignment
+      // and probe cross joins (no shuffle); the only big shuffle is the
+      // candidate equi-join on cent_id — i.e. the corpus is re-partitioned
+      // by IVF cell exactly once, and each query touches NPROBE cells
+      // instead of the whole corpus (l3's brute force is the recall=1.0
+      // twin, l4 the hash-bucket variant; this is the trained-index shape).
+      graft.functions.DotProduct.register(s)
+      val n = Tables.embeddings(s, d).select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+        .withColumn("nrm", sqrt(expr("graft_dot(emb, emb)")))
+      val cents = n
+        .withColumn("h", PortableHash.spark(col("vec_id").cast("string")))
+        .orderBy("h", "vec_id").limit(IvfK)
+        .select(col("vec_id").as("cent_id"), col("emb").as("ce"),
+          col("nrm").as("cn"))
+      val csim = graft.Det.portableRound(
+        expr("graft_dot(emb, ce)") / (col("nrm") * col("cn")), 6)
+      val aw = Window.partitionBy("vec_id")
+        .orderBy(col("csim").desc, col("cent_id"))
+      val asg = n.crossJoin(broadcast(cents))
+        .withColumn("csim", csim)
+        .withColumn("arn", row_number().over(aw))
+        .filter(col("arn") === 1)
+        .select("vec_id", "cent_id", "emb", "nrm")
+      val q = n.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("emb").as("qe"),
+          col("nrm").as("qn"))
+      val psim = graft.Det.portableRound(
+        expr("graft_dot(qe, ce)") / (col("qn") * col("cn")), 6)
+      val pw = Window.partitionBy("q_id")
+        .orderBy(col("psim").desc, col("cent_id"))
+      val probe = q.crossJoin(broadcast(cents))
+        .withColumn("psim", psim)
+        .withColumn("prn", row_number().over(pw))
+        .filter(col("prn") <= IvfProbe)
+        .select("q_id", "cent_id", "qe", "qn")
+      val sim = graft.Det.portableRound(
+        expr("graft_dot(qe, emb)") / (col("qn") * col("nrm")), 6)
+      val rw = Window.partitionBy("q_id")
+        .orderBy(col("sim").desc, col("neighbor_id"))
+      probe.join(asg, Seq("cent_id"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("neighbor_id"), sim.as("sim"))
+        .withColumn("rn", row_number().over(rw))
+        .filter(col("rn") <= 3)
+        .orderBy("q_id", "rn")
+    },
+    // ------------------------------------------- L20 per-doc token entropy
+    QueryDef.sql(
+      "l20_word_entropy",
+      // Shannon entropy of the word distribution per document — the
+      // gibberish/boilerplate signal (low entropy = repetitive template,
+      // high = diverse text). H = log2(T) − (Σ c·log2(c))/T computed from
+      // ONE group-by; the inner Σ is floored to integer micro-units per
+      // term and summed as BIGINT, so it is order-independent on both
+      // engines (double addition order is not).
+      s"""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+         |  FROM documents),
+         |cnt AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY doc_id, w),
+         |agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS t,
+         |    CAST(sum(CAST(floor(CAST(c AS DOUBLE) *
+         |      log2(CAST(c AS DOUBLE)) * 1000000 + 0.5) AS BIGINT))
+         |      AS BIGINT) AS s_us
+         |  FROM cnt GROUP BY doc_id)
+         |SELECT doc_id, t AS n_tokens,
+         |  ${graft.Det.duckPortableRound(
+             "log2(CAST(t AS DOUBLE)) - (CAST(s_us AS DOUBLE) / 1000000)" +
+               " / CAST(t AS DOUBLE)", 6)} AS entropy
+         |FROM agg ORDER BY doc_id""".stripMargin) { (s, d) =>
+      // two shuffles, both keyed by doc_id (+word) — fully parallel, no
+      // global state; the entropy identity avoids a per-doc total join
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum("c").as("t"),
+          sum(floor(col("c").cast("double") *
+              log2(col("c").cast("double")) * 1000000 + 0.5).cast("long"))
+            .as("s_us"))
+        .select(col("doc_id"), col("t").as("n_tokens"),
+          graft.Det.portableRound(
+            log2(col("t").cast("double")) -
+              (col("s_us").cast("double") / 1000000) / col("t").cast("double"),
+            6).as("entropy"))
+        .orderBy("doc_id")
+    },
+    // --------------------------------------- L21 bloom-filter decontamination
+    QueryDef.sql(
+      "l21_bloom_decontam",
+      // same leak semantics as l12 (eval doc sharing any 3-shingle with the
+      // train split) but reported as the contaminated doc ids; the oracle is
+      // the EXACT semi-join — the engine's bloom prefilter only prunes
+      // candidates and can never change the answer (a false positive is
+      // re-checked by the exact join; a true negative matches nothing).
+      s"""WITH sh AS ($duckShingles),
+         |sp AS (SELECT doc_id,
+         |  (${PortableHash.duck("CAST(doc_id AS VARCHAR)")} % 10 = 0)
+         |    AS is_eval FROM documents),
+         |tr AS (SELECT DISTINCT s FROM sh a JOIN sp b
+         |  ON a.doc_id = b.doc_id AND NOT b.is_eval)
+         |SELECT DISTINCT a.doc_id AS doc_id FROM sh a JOIN sp b
+         |  ON a.doc_id = b.doc_id AND b.is_eval
+         |WHERE EXISTS (SELECT 1 FROM tr WHERE tr.s = a.s)
+         |ORDER BY a.doc_id""".stripMargin) { (s, d) =>
+      // 100-TB shape: the eval split is the small bounded side → its shingle
+      // set compresses into a driver-built bloom filter that ships with the
+      // task closure and prefilters the HUGE train side map-side, before any
+      // shuffle. OSS Spark has no codegen bloom-membership function, so this
+      // one filter is a closure udf — acceptable because it guards the
+      // shuffle, not the hot inner loop, and the exact semi-join after it
+      // keeps the result oracle-exact.
+      val sh = shingles(s, d)
+      val sp = Tables.documents(s, d).select(col("doc_id"),
+        (PortableHash.spark(col("doc_id").cast("string")) % 10 === 0)
+          .as("is_eval"))
+      val evalSh = sh.join(sp.filter(col("is_eval")).select("doc_id"),
+        "doc_id")
+      val bf = evalSh.select("s").distinct()
+        .stat.bloomFilter("s", 10000L, 0.03)
+      val mightMatch = udf((x: String) => x != null && bf.mightContain(x))
+      val candTrain = sh
+        .join(sp.filter(!col("is_eval")).select("doc_id"), "doc_id")
+        .filter(mightMatch(col("s")))
+        .select("s")
+      evalSh.join(candTrain, Seq("s"), "left_semi")
+        .select("doc_id").distinct()
+        .orderBy("doc_id")
     }
   )
 

@@ -90,6 +90,30 @@ class TextOpsSpec extends SparkSpec {
     assert(math.abs(top.getAs[Double]("sim") - 1.0) < 1e-6)
   }
 
+  test("IVF ANN: exact sims, full result set, recall@3 beats random probing") {
+    val dir = sf("sf0.01")
+    val ivf = SparkEntry.queries("l18_ivf_ann")(spark, dir).collect()
+    // brute-force ground truth over the same 10 queries
+    val bf = SparkEntry.queries("l3_cosine_topk")(spark, dir)
+      .filter(col("q_id") < 10 && col("rn") <= 3).collect()
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))
+    val bfSims = bf.map(r => key(r) -> r.getAs[Double]("sim")).toMap
+    // 3 candidates for every query (probed cells never run dry here)
+    assert(ivf.length == 30)
+    // an IVF hit is a real vector scored exactly — where a reported pair is
+    // also in the exact top-3, the similarity must agree to the rounding
+    ivf.foreach { r =>
+      bfSims.get(key(r)).foreach { s =>
+        assert(math.abs(s - r.getAs[Double]("sim")) < 1e-9)
+      }
+    }
+    // recall: probing 2 of 8 cells blindly would find ~25% of true
+    // neighbors; the coarse quantizer must do better than chance
+    val recall = ivf.map(key).count(bfSims.contains).toDouble / bf.length
+    assert(recall >= 0.3, s"recall@3 $recall below 0.3")
+  }
+
   test("langid heuristic picks the language with most stopword hits") {
     withDocs(docs(1L -> "the cat and the dog of the town",
       2L -> "der hund und die katze ist hier")) { dir =>
