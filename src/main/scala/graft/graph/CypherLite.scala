@@ -16,7 +16,7 @@ import org.apache.spark.sql.functions._
   * {{{
   *   MATCH (m[:Label] [{prop: 'value'[, ...]}]) [-[[:REL_TYPE]*1..K]->(connected)]
   *   [WHERE m.prop <op> 'value' [AND ...]]        op ∈ {=, <>, <, <=, >, >=}
-  *   RETURN m[, connected] [LIMIT n]
+  *   RETURN m[, connected | , count(connected)] [LIMIT n]
   * }}}
   * Plus the maintenance form `MATCH (n) WHERE n.<tag> = true DETACH DELETE n`
   * (the reference's `deleteneo.py:10-12`), which maps to [[GraphOps.dropBatch]].
@@ -32,6 +32,7 @@ object CypherLite {
       hops: Int,
       conds: Seq[Cond],
       returnConnected: Boolean,
+      returnCount: Boolean,
       limit: Option[Int]) extends Statement
   final case class DetachDelete(tag: String) extends Statement
 
@@ -40,7 +41,7 @@ object CypherLite {
       """(?:\{\s*([^}]*)\s*\})?\s*\)\s*""" +
       """(?:-\s*\[\s*(?::\s*(\w+)\s*)?\*\s*1\s*\.\.\s*(\d+)\s*\]\s*->\s*\(\s*(\w+)\s*\)\s*)?""" +
       """(?:WHERE\s+(.*?)\s*)?""" +
-      """RETURN\s+(\w+)(?:\s*,\s*(\w+))?\s*(?:LIMIT\s+(\d+))?\s*;?\s*""").r
+      """RETURN\s+(\w+)(?:\s*,\s*(?:count\s*\(\s*(\w+)\s*\)|(\w+)))?\s*(?:LIMIT\s+(\d+))?\s*;?\s*""").r
 
   private val DeleteRe =
     """(?is)\s*MATCH\s*\(\s*(\w+)\s*\)\s*WHERE\s+\1\.(\w+)\s*=\s*true\s+DETACH\s+DELETE\s+\1\s*;?\s*""".r
@@ -54,7 +55,7 @@ object CypherLite {
   def parse(query: String): Either[String, Statement] = query match {
     case DeleteRe(_, tag) => Right(DetachDelete(tag))
     case MatchRe(m, label, propsStr, relType, hopsStr, connVar, whereStr,
-        ret1, ret2, limitStr) =>
+        ret1, countVar, ret2, limitStr) =>
       val props = Option(propsStr).toSeq
         .flatMap(s => PropRe.findAllMatchIn(s)
           .map(p => p.group(1) -> p.group(2))).toMap
@@ -78,12 +79,17 @@ object CypherLite {
         Left("hop pattern requires a connected variable")
       else if (Option(ret1).isEmpty)
         Left("RETURN clause required")
+      else if (Option(countVar).isDefined &&
+          !Option(connVar).contains(countVar))
+        Left(s"count() may only aggregate the connected variable" +
+          s"${Option(connVar).fold("")(v => s" '$v'")}, got '$countVar'")
       else condsE.map { conds =>
         val wantsConnected = Option(ret2).isDefined ||
           (Option(connVar).isDefined && Option(ret1).contains(connVar))
         MatchReturn(Option(label), props, Option(relType),
           if (Option(connVar).isDefined) math.max(hops, 1) else 0,
-          conds, wantsConnected, Option(limitStr).map(_.toInt))
+          conds, wantsConnected, Option(countVar).isDefined,
+          Option(limitStr).map(_.toInt))
       }
     case _ => Left(s"unsupported query shape: ${query.take(120)}")
   }
@@ -112,7 +118,7 @@ object CypherLite {
         Right(after.nodes.groupBy("batch")
           .agg(count(lit(1)).as("n_nodes")).orderBy("batch").toDF())
       case MatchReturn(label, props, relType, hops, conds, wantsConnected,
-          limit) =>
+          wantsCount, limit) =>
         // unknown keys are rejected, not silently coerced to a name match —
         // a plausible-but-wrong answer is worse than an error to the
         // LLM-emitted-query caller this front end serves
@@ -120,13 +126,13 @@ object CypherLite {
           case Some(k) => Left(s"unsupported property: $k " +
             s"(supported: ${SupportedProps.toSeq.sorted.mkString(", ")})")
           case None => Right(runMatch(g, label, props, relType, hops, conds,
-            wantsConnected, limit))
+            wantsConnected, wantsCount, limit))
         }
     }
 
   private def runMatch(g: GraphTables, label: Option[String],
       props: Map[String, String], relType: Option[String], hops: Int,
-      conds: Seq[Cond], wantsConnected: Boolean,
+      conds: Seq[Cond], wantsConnected: Boolean, wantsCount: Boolean,
       limit: Option[Int]): DataFrame = {
         val pred = (label.map(col("label") === _).toSeq ++
           props.map { case (k, v) => col(k) === v } ++
@@ -147,7 +153,14 @@ object CypherLite {
             val roots = g.nodes.filter(pred)
               .select(col("id").as("root_id"), col("label").as("m_label"),
                 col("name").as("root_name_key"))
-            if (wantsConnected)
+            if (wantsCount)
+              // RETURN m, count(connected): aggregate the expansion per
+              // root — a group-by on the root key, parallel across roots
+              neigh.withColumnRenamed("root_name", "m_name")
+                .groupBy("m_name")
+                .agg(count(lit(1)).as("n_connected"))
+                .orderBy("m_name")
+            else if (wantsConnected)
               neigh.withColumnRenamed("root_name", "m_name")
                 .select("m_name", "depth", "c_label", "c_name", "c_content")
                 .orderBy("m_name", "depth", "c_label", "c_name", "c_content")

@@ -389,6 +389,24 @@ object ParquetGraph {
         .fold(err => throw new IllegalArgumentException(err), identity)
     },
 
+    // B6 CypherLite twin: RETURN m, count(connected) — the aggregate form an
+    // LLM emits for "how many X under Y". Depth 2 from each region reaches
+    // its nations (HAS_NATION) and their customers (HAS_CUSTOMER), so the
+    // count is nations + customers per region, derived relationally.
+    QueryDef.sql(
+      "graphp_cypher_count",
+      """WITH conn AS (
+        |  SELECT r_name FROM region JOIN nation ON n_regionkey = r_regionkey
+        |  UNION ALL
+        |  SELECT r_name FROM region JOIN nation ON n_regionkey = r_regionkey
+        |    JOIN customer ON c_nationkey = n_nationkey)
+        |SELECT r_name AS m_name, CAST(count(*) AS BIGINT) AS n_connected
+        |FROM conn GROUP BY r_name ORDER BY m_name""".stripMargin) { (s, d) =>
+      CypherLite.run(hierarchy(s, d),
+        "MATCH (m:Region)-[*1..2]->(connected) RETURN m, count(connected)")
+        .fold(err => throw new IllegalArgumentException(err), identity)
+    },
+
     // Q7/A11 upsert twin: MERGE of the graph into itself is an exact no-op.
     QueryDef.sql(
       "graphp_upsert",

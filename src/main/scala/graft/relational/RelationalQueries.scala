@@ -609,6 +609,70 @@ object RelationalQueries {
               .as("qty_stddev"))
           .orderBy("l_returnflag")
     },
+    QueryDef.sql(
+      "g12_regression",
+      // grouped least-squares fit (price ~ quantity) — the classic
+      // map-side-combinable second-moment aggregate: each partition folds
+      // (n, Σx, Σy, Σxy, Σx²) and merge is exact, so the plan is
+      // partial+final with no data movement beyond the group key
+      s"""SELECT l_returnflag,
+         |  ${Det.duckPortableRound(
+           "regr_slope(l_extendedprice, l_quantity)", 4)} AS slope,
+         |  ${Det.duckPortableRound(
+           "regr_intercept(l_extendedprice, l_quantity)", 4)} AS intercept,
+         |  ${Det.duckPortableRound(
+           "regr_r2(l_extendedprice, l_quantity)", 6)} AS r2,
+         |  CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
+         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) {
+      (s, d) =>
+        Tables.lineitem(s, d).groupBy("l_returnflag")
+          .agg(
+            Det.portableRound(
+              regr_slope(col("l_extendedprice"), col("l_quantity")), 4)
+              .as("slope"),
+            Det.portableRound(
+              regr_intercept(col("l_extendedprice"), col("l_quantity")), 4)
+              .as("intercept"),
+            Det.portableRound(
+              regr_r2(col("l_extendedprice"), col("l_quantity")), 6)
+              .as("r2"),
+            regr_count(col("l_extendedprice"), col("l_quantity")).as("n"))
+          .orderBy("l_returnflag")
+    },
+    QueryDef.sql(
+      "g13_sampled_quantiles",
+      // quantile ESTIMATION from a content-addressed 10% sample — the
+      // 100-TB pattern when exact percentiles (full sort per group) are too
+      // expensive: the sample is deterministic (hash of the row key, never
+      // RNG or partition order), so the estimate itself is oracle-exact
+      s"""WITH s AS (SELECT l_returnflag, l_extendedprice FROM lineitem
+         |  WHERE ${graft.text.PortableHash.duck(
+           "concat(CAST(l_orderkey AS VARCHAR), ':'," +
+             " CAST(l_linenumber AS VARCHAR))")} % 10 = 0)
+         |SELECT l_returnflag,
+         |  CAST(count(*) AS BIGINT) AS n_sample,
+         |  ${Det.duckPortableRound("quantile_cont(l_extendedprice, 0.5)", 4)}
+         |    AS est_median,
+         |  ${Det.duckPortableRound("quantile_cont(l_extendedprice, 0.9)", 4)}
+         |    AS est_p90,
+         |  ${Det.duckPortableRound("quantile_cont(l_extendedprice, 0.99)", 4)}
+         |    AS est_p99
+         |FROM s GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) {
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .filter(graft.text.PortableHash.spark(
+            concat(col("l_orderkey").cast("string"), lit(":"),
+              col("l_linenumber").cast("string"))) % 10 === 0)
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n_sample"),
+            Det.portableRound(expr("percentile(l_extendedprice, 0.5)"), 4)
+              .as("est_median"),
+            Det.portableRound(expr("percentile(l_extendedprice, 0.9)"), 4)
+              .as("est_p90"),
+            Det.portableRound(expr("percentile(l_extendedprice, 0.99)"), 4)
+              .as("est_p99"))
+          .orderBy("l_returnflag")
+    },
     // --------------------------------------------------------- windows (W)
     QueryDef.sql(
       "w1_rank_topn",

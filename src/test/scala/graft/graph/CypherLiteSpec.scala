@@ -83,6 +83,26 @@ class CypherLiteSpec extends SparkSpec {
     assert(none.count() == 0)
   }
 
+  test("RETURN m, count(connected) aggregates the expansion per root") {
+    val counted = CypherLite.run(g,
+      "MATCH (m:Boeing_Service_Bulletin)-[*1..3]->(connected) " +
+        "RETURN m, count(connected)").toOption.get
+    val rowTotal = CypherLite.run(g,
+      "MATCH (m:Boeing_Service_Bulletin)-[*1..3]->(connected) " +
+        "RETURN m, connected").toOption.get.count()
+    assert(counted.columns.toSeq == Seq("m_name", "n_connected"))
+    val sums = counted.agg(sum("n_connected")).collect().head.getLong(0)
+    assert(sums == rowTotal) // per-root counts partition the row form
+  }
+
+  test("count() of anything but the connected variable is rejected") {
+    val r = CypherLite.run(g,
+      "MATCH (m:Step)-[*1..1]->(c) RETURN m, count(m)")
+    assert(r.isLeft && r.swap.toOption.get.contains("count()"))
+    val r2 = CypherLite.run(g, "MATCH (m:Step) RETURN m, count(c)")
+    assert(r2.isLeft, r2.toString)
+  }
+
   test("WHERE on an unknown property or foreign variable is rejected") {
     val r = CypherLite.run(g, "MATCH (m:Step) WHERE m.frob = 'x' RETURN m")
     assert(r.isLeft && r.swap.toOption.get.contains("unsupported property"))
