@@ -1,7 +1,7 @@
 package graft.graph
 
 import org.apache.spark.graphx.{Edge, Graph, VertexId}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Graph query/maintenance operators over the nodes/edges relations
@@ -352,6 +352,37 @@ object GraphOps {
       .flatMap { case (id, spmap) =>
         spmap.map { case (lm, d) => (id, lm, d) }
       }.toDF("id", "landmark", "distance")
+  }
+
+  /** Min-sum weighted distance from roots via Pregel — Dijkstra's
+    * relaxation as a bulk-synchronous fixpoint (Bellman-Ford style: no
+    * priority queue, because at scale the whole frontier relaxes in
+    * parallel each superstep). `weight` is a Column over the edge relation
+    * (`src`, `dst`, `relType`, ...), so callers derive weights from domain
+    * data; non-negative weights converge in ≤ longest-shortest-path-hops
+    * supersteps, bounded by `maxIterations`.
+    */
+  def weightedDistances(spark: SparkSession, g: GraphTables,
+      rootIds: Set[Long], weight: Column, maxIterations: Int = 30)
+      : DataFrame = {
+    import spark.implicits._
+    val verts = g.nodes.toDF().select(col("id")).as[Long].rdd
+      .map(id => (id: VertexId,
+        if (rootIds.contains(id)) 0.0 else Double.PositiveInfinity))
+    val edges = g.edges.toDF()
+      .select(col("src"), col("dst"), weight.cast("double").as("w"))
+      .as[(Long, Long, Double)].rdd
+      .map { case (s0, d0, w0) => Edge(s0, d0, w0) }
+    val res = Graph(verts, edges).pregel(
+      Double.PositiveInfinity, maxIterations)(
+      (_, attr, msg) => math.min(attr, msg),
+      t =>
+        if (t.srcAttr + t.attr < t.dstAttr)
+          Iterator((t.dstId, t.srcAttr + t.attr))
+        else Iterator.empty,
+      (a, b) => math.min(a, b))
+    res.vertices.filter(_._2 < Double.PositiveInfinity)
+      .toDF("id", "distance")
   }
 
   /** Unbounded BFS depth from roots via Pregel (J11 unbounded form) —

@@ -291,6 +291,35 @@ object ParquetGraph {
         .orderBy("name")
     },
 
+    // Q9 weighted-shortest-path twin: min-sum distances from each region's
+    // first nation around its directed cycle, edge weight derived from the
+    // destination key (dst % 7 + 1). The path to every node is unique and
+    // positive-weighted, so the Pregel fixpoint must equal the per-region
+    // running sum of weights in nationkey order.
+    QueryDef.sql(
+      "graphp_weighted_paths",
+      """WITH pos AS (SELECT n_name, n_nationkey, n_regionkey,
+        |    row_number() OVER (PARTITION BY n_regionkey
+        |      ORDER BY n_nationkey) AS rn
+        |  FROM nation)
+        |SELECT n_name AS name, CAST(
+        |    sum(CASE WHEN rn = 1 THEN 0 ELSE n_nationkey % 7 + 1 END)
+        |      OVER (PARTITION BY n_regionkey ORDER BY n_nationkey
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |  AS BIGINT) AS distance
+        |FROM pos ORDER BY name""".stripMargin) { (s, d) =>
+      val roots = Tables.nation(s, d)
+        .groupBy("n_regionkey").agg(min("n_nationkey").as("k"))
+        .select((col("k") + NationBase).as("id"))
+        .collect().map(_.getLong(0)).toSet // ≤ |regions| rows — bounded
+      GraphOps.weightedDistances(s, chain(s, d), roots,
+        (col("dst") - NationBase) % 7 + 1)
+        .join(nationNames(s, d), "id")
+        .select(col("n_name").as("name"),
+          col("distance").cast("long").as("distance"))
+        .orderBy("name")
+    },
+
     // Q4+Q5 neighborhood+nest twin: the reference's (m, connected) nested
     // serving contract (`first-graph.py:168-176`) over region roots.
     QueryDef.sql(
