@@ -587,6 +587,38 @@ object RelationalQueries {
         .orderBy("l_returnflag")
     },
     QueryDef.sql(
+      "o7_zorder_layout",
+      // Morton (z-order) clustering key: interleave the low 16 bits of two
+      // dimensions, bucket by the high z bits, and report each bucket's
+      // min/max range on BOTH dimensions — the stat a lakehouse layout
+      // optimizer checks to confirm z-ordering yields tight per-file ranges
+      // (⇒ min/max skipping works on either predicate dimension). Pure
+      // integer bit arithmetic — identical on both engines.
+      """WITH z AS (SELECT o_custkey AS x, o_orderkey % 65536 AS y,
+        |    list_sum(list_transform(generate_series(0, 15), i ->
+        |      (((o_custkey >> i) & 1) << (2 * i))
+        |      + ((((o_orderkey % 65536) >> i) & 1) << (2 * i + 1))))
+        |      AS zval
+        |  FROM orders)
+        |SELECT CAST(zval >> 18 AS BIGINT) AS zbucket,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(min(x) AS BIGINT) AS min_x, CAST(max(x) AS BIGINT) AS max_x,
+        |  CAST(min(y) AS BIGINT) AS min_y, CAST(max(y) AS BIGINT) AS max_y
+        |FROM z GROUP BY zbucket ORDER BY zbucket""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .select(col("o_custkey").as("x"),
+          (col("o_orderkey") % 65536).as("y"))
+        .withColumn("zval", expr(
+          "aggregate(sequence(0, 15), CAST(0 AS BIGINT), (a, i) -> a" +
+            " + shiftleft(shiftright(x, i) & 1, 2 * i)" +
+            " + shiftleft(shiftright(y, i) & 1, 2 * i + 1))"))
+        .groupBy(shiftright(col("zval"), 18).as("zbucket"))
+        .agg(count(lit(1)).as("n"),
+          min("x").as("min_x"), max("x").as("max_x"),
+          min("y").as("min_y"), max("y").as("max_y"))
+        .orderBy("zbucket")
+    },
+    QueryDef.sql(
       "g9_stats_percentiles",
       s"""SELECT l_returnflag,
          |  quantile_cont(l_quantity, 0.5) AS med_qty,

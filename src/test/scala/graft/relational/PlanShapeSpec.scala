@@ -81,6 +81,24 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("LeftSemi"), p.take(800))
   }
 
+  test("l18 IVF broadcasts the centroid table into both cross joins") {
+    val p = plan("l18_ivf_ann")
+    // K centroids are broadcast — assignment and probe never shuffle the
+    // vector corpus; a SortMergeJoin against the centroids would mean the
+    // coarse quantizer lost its O(K) broadcast shape
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+  }
+
+  test("l21 bloom prefilter runs before the exact semi-join") {
+    val p = plan("l21_bloom_decontam")
+    // the udf bloom-membership filter must sit on the train-side scan,
+    // upstream of the shuffle; the exact semi-join then seals correctness
+    assert(p.contains("LeftSemi"), p.take(800))
+    assert(p.contains("UDF"), "bloom prefilter missing: " + p.take(800))
+  }
+
   test("w5b global rank runs without a single-partition window (W5 scale path)") {
     val p = plan("w5b_global_rank_scalable")
     assert(!p.contains("Window"), p.take(800))
