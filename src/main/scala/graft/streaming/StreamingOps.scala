@@ -168,6 +168,77 @@ object StreamingOps {
       outDir: String): Unit =
     batch.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
 
+  /** One merge step of incremental aggregate maintenance: fold a
+    * micro-batch's PARTIAL per-user aggregate into the stored result table,
+    * writing the merged state to a version directory derived from the batch
+    * id. Replaying batch N (foreachBatch's at-least-once contract) re-reads
+    * version N−1 — still on disk — and overwrites version N with the same
+    * bytes, so the merge is idempotent without a transactional format.
+    * The merge joins ON THE GROUP KEY: the stored table never rescans the
+    * source, and the batch side is aggregated before the join — at 100 TB
+    * each increment costs O(batch + |distinct keys touched|), not O(lake).
+    */
+  def mergeAggBatch(batch: DataFrame, batchId: Long, stateDir: String)
+      : Unit = {
+    val spark = batch.sparkSession
+    val partial = batch.groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), sum("value").as("total_value"))
+    // newest committed version BELOW this batch id — on replay the state
+    // may already hold v=batchId (possibly from an interrupted write), and
+    // merging from it would double-count
+    val prevV = versions(stateDir).filter(_ < batchId) match {
+      case Nil => None
+      case vs => Some(vs.max)
+    }
+    val merged = prevV match {
+      case None => partial
+      case Some(v) =>
+        val prev = spark.read.parquet(s"$stateDir/v=$v")
+          .select(col("user_id"), col("n_events").as("p_n"),
+            col("total_value").as("p_t"))
+        prev.join(partial, Seq("user_id"), "full_outer")
+          .select(col("user_id"),
+            (coalesce(col("p_n"), lit(0L)) +
+              coalesce(col("n_events"), lit(0L))).as("n_events"),
+            (coalesce(col("p_t"), lit(0.0)) +
+              coalesce(col("total_value"), lit(0.0))).as("total_value"))
+    }
+    merged.write.mode("overwrite").parquet(s"$stateDir/v=$batchId")
+  }
+
+  private def versions(stateDir: String): List[Long] = {
+    val d = new java.io.File(stateDir)
+    Option(d.listFiles()).toSeq.flatten
+      .flatMap(f => f.getName match {
+        // a version counts only once its _SUCCESS marker exists — a crash
+        // mid-write leaves a partial directory that must never be read or
+        // merged from
+        case s if s.startsWith("v=") &&
+            new java.io.File(f, "_SUCCESS").exists() =>
+          Some(s.drop(2).toLong)
+        case _ => None
+      }).toList
+  }
+
+  /** The maintained view after all processed batches (latest version). */
+  def readAggState(spark: SparkSession, stateDir: String): DataFrame =
+    versions(stateDir) match {
+      case Nil => spark.emptyDataFrame
+      case vs => spark.read.parquet(s"$stateDir/v=${vs.max}")
+    }
+
+  /** Incrementally-maintained per-user aggregate view over a stream —
+    * checkpointed offsets + [[mergeAggBatch]] per micro-batch.
+    */
+  def incrementalAgg(streaming: DataFrame, stateDir: String,
+      checkpoint: String): StreamingQuery =
+    streaming.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        mergeAggBatch(batch, batchId, stateDir)
+      }
+      .start()
+
   /** Exactly-once parquet sink: checkpointed offsets + idempotent
     * per-batch overwrite ([[writeBatchIdempotent]]). End-to-end
     * exactly-once without a transactional sink format.

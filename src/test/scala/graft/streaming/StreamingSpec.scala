@@ -298,4 +298,38 @@ class StreamingSpec extends SparkSpec {
       "replayed batch must overwrite, not append")
     assert(read().select("event_id").distinct().count() == eventsFixture.size)
   }
+
+  test("incremental aggregate maintenance equals full recompute; replay-safe") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("ivm").toString
+    val mem = MemoryStream[EventRow]
+    val q = StreamingOps.incrementalAgg(mem.toDF(), s"$dir/state",
+      s"$dir/ckpt")
+    // three micro-batches, overlapping user keys
+    eventsFixture.grouped(2).foreach { chunk =>
+      mem.addData(chunk)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val got = StreamingOps.readAggState(spark, s"$dir/state")
+      .orderBy("user_id").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"),
+        r.getAs[Double]("total_value")))
+    val want = eventsFixture.toDF().groupBy("user_id")
+      .agg(count(lit(1)).as("n"), sum("value").as("t"))
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == want.toSeq,
+      s"incremental view diverged: ${got.toSeq} vs ${want.toSeq}")
+    // at-least-once replay of the LAST batch: merging it again with the
+    // same batch id must regenerate the same version, not double-count
+    val lastChunk = eventsFixture.grouped(2).toSeq.last
+    StreamingOps.mergeAggBatch(lastChunk.toDF(), 2L, s"$dir/state")
+    val replayed = StreamingOps.readAggState(spark, s"$dir/state")
+      .orderBy("user_id").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"),
+        r.getAs[Double]("total_value")))
+    assert(replayed.toSeq == want.toSeq, "replay double-counted")
+  }
 }
