@@ -65,6 +65,12 @@ object Graft {
     GraphOps.connectedComponents(spark, g)
   def degrees(spark: SparkSession, g: GraphTables): DataFrame =
     GraphOps.degrees(spark, g)
+  /** Min-sum weighted shortest distances from `rootIds`; `weight` is a
+    * Column over the edge relation (src, dst, relType, …).
+    */
+  def weightedDistances(spark: SparkSession, g: GraphTables,
+      rootIds: Set[Long], weight: org.apache.spark.sql.Column): DataFrame =
+    GraphOps.weightedDistances(spark, g, rootIds, weight)
 
   // ------------------------------------------------------------ corpus ops
   /** Near-duplicate clusters of a documents table (doc_id, text, …):
@@ -95,4 +101,22 @@ object Graft {
   /** Int8 symmetric quantization roundtrip report over the embeddings. */
   def quantizeEmbeddings(spark: SparkSession, sfDir: String): DataFrame =
     SparkEntry.queries("l17_embedding_quantize")(spark, sfDir)
+
+  /** IVF-style approximate nearest neighbors over the embeddings table. */
+  def ivfAnn(spark: SparkSession, sfDir: String): DataFrame =
+    SparkEntry.queries("l18_ivf_ann")(spark, sfDir)
+
+  /** Fixed-token-budget training-batch assignment per document. */
+  def sequencePacking(spark: SparkSession, sfDir: String): DataFrame =
+    SparkEntry.queries("l19_sequence_packing")(spark, sfDir)
+
+  // ------------------------------------------------------------- streaming
+  /** Incrementally-maintained per-user aggregate view (exactly-once via
+    * replay-idempotent versioned merges); read it back with
+    * [[streaming.StreamingOps.readAggState]].
+    */
+  def incrementalAgg(streaming: DataFrame, stateDir: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    graft.streaming.StreamingOps.incrementalAgg(streaming, stateDir,
+      checkpoint)
 }

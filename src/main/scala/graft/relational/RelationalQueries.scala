@@ -559,6 +559,63 @@ object RelationalQueries {
             ignoreNulls = true).over(w).as("locf_value"))
         .orderBy("event_id")
     },
+    QueryDef.sql(
+      "w9_running_distinct",
+      // running COUNT(DISTINCT event_type) per user — no engine supports
+      // DISTINCT aggregates over a window frame directly, so it rewrites as
+      // first-occurrence flag (rank within (user, type) = 1) + running sum:
+      // two windows, both PARTITIONED by user, nothing global
+      """WITH f AS (SELECT event_id, user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |    CASE WHEN row_number() OVER (PARTITION BY user_id, event_type
+        |      ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) = 1
+        |    THEN 1 ELSE 0 END AS first_seen
+        |  FROM events)
+        |SELECT event_id, user_id,
+        |  CAST(sum(first_seen) OVER (PARTITION BY user_id
+        |    ORDER BY us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT)
+        |    AS n_distinct_types
+        |FROM f ORDER BY event_id""".stripMargin) { (s, d) =>
+      val wf = Window.partitionBy("user_id", "event_type")
+        .orderBy(col("us"), col("event_id"))
+      val wr = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("first_seen",
+          when(row_number().over(wf) === 1, 1).otherwise(0))
+        .select(col("event_id"), col("user_id"),
+          sum("first_seen").over(wr).cast("int").as("n_distinct_types"))
+        .orderBy("event_id")
+    },
+    QueryDef.sql(
+      "f18_url_parse",
+      // URL component extraction (host/path/query param). The URL is
+      // constructed from row data so the op is exercised deterministically;
+      // Spark's parse_url is mirrored by anchored regexps in the oracle
+      """WITH u AS (SELECT doc_id,
+        |    'https://' || source || '.example.com/' || lang || '/doc-'
+        |      || CAST(doc_id AS VARCHAR) || '?q=' || CAST(n_chars AS VARCHAR)
+        |      AS url
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_extract(url, '^https://([^/]+)/', 1) AS host,
+        |  regexp_extract(url, '^https://[^/]+(/[^?]*)', 1) AS path,
+        |  regexp_extract(url, 'q=([^&]*)', 1) AS q
+        |FROM u ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          concat(lit("https://"), col("source"), lit(".example.com/"),
+            col("lang"), lit("/doc-"), col("doc_id").cast("string"),
+            lit("?q="), col("n_chars").cast("string")).as("url"))
+        .select(col("doc_id"),
+          expr("parse_url(url, 'HOST')").as("host"),
+          expr("parse_url(url, 'PATH')").as("path"),
+          expr("parse_url(url, 'QUERY', 'q')").as("q"))
+        .orderBy("doc_id")
+    },
     QueryDef.rowsOnly("o5_sampled_scan") { (s, d) =>
       // seeded Bernoulli sample: deterministic within Spark, but sampling
       // algorithms differ across engines → rows-only check

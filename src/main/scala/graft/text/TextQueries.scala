@@ -682,6 +682,37 @@ object TextQueries {
           .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("n_tokens"))
           .orderBy("lang")
     },
+    // ------------------------------------------- L19 sequence batch packing
+    QueryDef.sql(
+      "l19_sequence_packing",
+      // pack documents into fixed token-budget training batches: within each
+      // language, documents fill batches in content-hash order and a doc's
+      // batch index is its preceding cumulative token count divided by the
+      // budget. The deterministic distributed form of sequence packing — no
+      // sequential first-fit state, just a per-lang window — so batch
+      // assignment is reproducible across runs and partition layouts.
+      s"""WITH t AS (SELECT doc_id, lang,
+         |    len(string_split(text, ' ')) AS n_toks,
+         |    ${PortableHash.duck("CAST(doc_id AS VARCHAR)")} AS h
+         |  FROM documents),
+         |c AS (SELECT doc_id, lang, n_toks,
+         |    coalesce(sum(n_toks) OVER (PARTITION BY lang ORDER BY h, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+         |  FROM t)
+         |SELECT doc_id, lang, CAST(n_toks AS BIGINT) AS n_toks,
+         |  CAST(floor(before / 512) AS BIGINT) AS batch_idx
+         |FROM c ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("lang").orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          size(split(col("text"), " ")).cast("long").as("n_toks"),
+          PortableHash.spark(col("doc_id").cast("string")).as("h"))
+        .withColumn("before", coalesce(sum("n_toks").over(w), lit(0L)))
+        .select(col("doc_id"), col("lang"), col("n_toks"),
+          floor(col("before") / 512).cast("long").as("batch_idx"))
+        .orderBy("doc_id")
+    },
     // --------------------------------------- L17 int8 embedding quantization
     QueryDef.sql(
       "l17_embedding_quantize",
