@@ -436,6 +436,86 @@ object ParquetGraph {
         .fold(err => throw new IllegalArgumentException(err), identity)
     },
 
+    // A10 append twin: upserting a DISJOINT layer (one Meta node per region
+    // + a HAS_META edge) exercises the pure-append branch of the MERGE —
+    // every incoming row survives the anti-join. Graded on the combined
+    // node-by-label + edge-by-relType census.
+    QueryDef.sql(
+      "graphp_append",
+      """SELECT entity, n FROM (
+        |  SELECT 'node:Region' AS entity, CAST(count(*) AS BIGINT) AS n
+        |    FROM region
+        |  UNION ALL SELECT 'node:Nation', count(*) FROM nation
+        |  UNION ALL SELECT 'node:Customer', count(*) FROM customer
+        |  UNION ALL SELECT 'node:Order', count(*) FROM orders
+        |  UNION ALL SELECT 'node:Meta', count(*) FROM region
+        |  UNION ALL SELECT 'edge:HAS_NATION', count(*) FROM nation
+        |  UNION ALL SELECT 'edge:HAS_CUSTOMER', count(*) FROM customer
+        |  UNION ALL SELECT 'edge:HAS_ORDER', count(*) FROM orders
+        |  UNION ALL SELECT 'edge:HAS_META', count(*) FROM region)
+        |ORDER BY entity""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val MetaBase = 5000000000L
+      val region = Tables.region(s, d)
+      val metaNodes = region.select(
+          (col("r_regionkey") + MetaBase).cast("long").as("id"),
+          lit("Meta").as("label"),
+          concat(lit("meta-"), col("r_name")).as("name"),
+          lit("").as("content"), lit("").as("docnbr"),
+          lit("meta").as("batch"),
+          typedLit(Seq.empty[Int]).as("path")).as[NodeRow]
+      val metaEdges = region.select(
+          (col("r_regionkey") + RegionBase).cast("long").as("src"),
+          (col("r_regionkey") + MetaBase).cast("long").as("dst"),
+          lit("HAS_META").as("relType"), lit("").as("docnbr"),
+          lit("meta").as("batch")).as[EdgeRow]
+      val appended = GraphOps.upsert(hierarchy(s, d),
+        GraphTables(metaNodes, metaEdges))
+      appended.nodes.groupBy("label")
+        .agg(count(lit(1)).as("n"))
+        .select(concat(lit("node:"), col("label")).as("entity"), col("n"))
+        .unionByName(appended.edges.groupBy("relType")
+          .agg(count(lit(1)).as("n"))
+          .select(concat(lit("edge:"), col("relType")).as("entity"),
+            col("n")))
+        .orderBy("entity")
+    },
+
+    // Q2 expand twin: single-hop typed expansion from every nation —
+    // per-nation out-neighbor count along HAS_CUSTOMER.
+    QueryDef.sql(
+      "graphp_expand",
+      """SELECT n_name AS name, CAST(count(c_custkey) AS BIGINT) AS n_out
+        |FROM nation LEFT JOIN customer ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY name""".stripMargin) { (s, d) =>
+      val g = hierarchy(s, d)
+      val nations = g.nodes.filter(col("label") === "Nation")
+      val out = GraphOps.expand(g, nations.select("id"),
+        Some("HAS_CUSTOMER"))
+        .groupBy("from_id").agg(count(lit(1)).as("n_out"))
+      nations.select(col("id").as("from_id"), col("name"))
+        .join(out, Seq("from_id"), "left_outer")
+        .select(col("name"), coalesce(col("n_out"), lit(0L)).as("n_out"))
+        .orderBy("name")
+    },
+
+    // A18 content-update (SET) twin: update content for nations below 'K',
+    // leave the rest untouched; graded on the full (name, content) relation.
+    QueryDef.sql(
+      "graphp_set_content",
+      """SELECT n_name AS name,
+        |  CASE WHEN n_name < 'K' THEN 'upd:' || n_name ELSE '' END AS content
+        |FROM nation ORDER BY name""".stripMargin) { (s, d) =>
+      val g = hierarchy(s, d)
+      val updates = g.nodes
+        .filter(col("label") === "Nation" && col("name") < "K")
+        .select(col("id"), concat(lit("upd:"), col("name")).as("new_content"))
+      GraphOps.updateContent(g, updates).nodes
+        .filter(col("label") === "Nation")
+        .select(col("name"), col("content"))
+        .orderBy("name")
+    },
+
     // Q7/A11 upsert twin: MERGE of the graph into itself is an exact no-op.
     QueryDef.sql(
       "graphp_upsert",
