@@ -616,6 +616,25 @@ object RelationalQueries {
           expr("parse_url(url, 'QUERY', 'q')").as("q"))
         .orderBy("doc_id")
     },
+    QueryDef.sql(
+      "f19_bit_ops",
+      // bitwise scalar + aggregate surface: popcount per key and the
+      // AND/OR/XOR folds per group — order-independent integer folds, the
+      // same mergeable-aggregate shape as sum (partial+final, no sort)
+      """SELECT o_orderpriority,
+        |  CAST(sum(bit_count(o_orderkey)) AS BIGINT) AS total_pop,
+        |  CAST(bit_and(o_orderkey) AS BIGINT) AS key_and,
+        |  CAST(bit_or(o_orderkey) AS BIGINT) AS key_or,
+        |  CAST(bit_xor(o_orderkey) AS BIGINT) AS key_xor
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      Tables.orders(s, d).groupBy("o_orderpriority")
+        .agg(sum(bit_count(col("o_orderkey")).cast("long")).as("total_pop"),
+          expr("bit_and(o_orderkey)").as("key_and"),
+          expr("bit_or(o_orderkey)").as("key_or"),
+          expr("bit_xor(o_orderkey)").as("key_xor"))
+        .orderBy("o_orderpriority")
+    },
     QueryDef.rowsOnly("o5_sampled_scan") { (s, d) =>
       // seeded Bernoulli sample: deterministic within Spark, but sampling
       // algorithms differ across engines → rows-only check
