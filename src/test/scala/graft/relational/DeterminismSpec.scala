@@ -18,7 +18,12 @@ class DeterminismSpec extends SparkSpec {
     "l2_minhash_lsh",         // hash mins across partitions
     "x2_centroid_udaf",       // custom aggregator partial/merge
     "t4_session_window",      // session assembly across partitions
-    "j9_asof_join")           // window over unioned streams
+    "j9_asof_join",           // window over unioned streams
+    "l18_ivf_ann",            // FP sims drive argmax cell assignment
+    "l19_sequence_packing",   // batch index from cumulative-sum window
+    "l20_word_entropy",       // integer-µunit inner sum must not reorder
+    "g12_regression",         // second-moment merges
+    "w9_running_distinct")    // first-occurrence flags across partitions
 
   for (name <- sensitive)
     test(s"$name is identical under 3-way and 13-way shuffle") {
