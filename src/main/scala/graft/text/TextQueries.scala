@@ -682,6 +682,39 @@ object TextQueries {
           .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("n_tokens"))
           .orderBy("lang")
     },
+    // ------------------------------------------- L22 incremental-ingest dedup
+    QueryDef.sql(
+      "l22_incremental_dedup",
+      // dedup a NEW batch against the existing corpus — the shape every
+      // incremental crawl ingest runs: content-hash anti-join, new side
+      // small, corpus side huge. The corpus side reduces to distinct hashes
+      // before the join (one column through the shuffle, never the texts);
+      // at 100 TB the hash set is also the natural bloom/bucket candidate.
+      s"""WITH sp AS (SELECT doc_id, lang, md5(text) AS h,
+         |    (${PortableHash.duck("CAST(doc_id AS VARCHAR)")} % 5 = 0)
+         |      AS is_new FROM documents),
+         |corpus AS (SELECT DISTINCT h FROM sp WHERE NOT is_new)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_new,
+         |  CAST(count(*) FILTER (h IN (SELECT h FROM corpus)) AS BIGINT)
+         |    AS n_dropped,
+         |  CAST(count(*) FILTER (h NOT IN (SELECT h FROM corpus)) AS BIGINT)
+         |    AS n_ingested
+         |FROM sp WHERE is_new GROUP BY lang ORDER BY lang""".stripMargin) {
+      (s, d) =>
+        val sp = Tables.documents(s, d).select(col("doc_id"), col("lang"),
+          md5(col("text")).as("h"),
+          (PortableHash.spark(col("doc_id").cast("string")) % 5 === 0)
+            .as("is_new"))
+        val corpus = sp.filter(!col("is_new")).select("h").distinct()
+          .withColumn("seen", lit(1L))
+        sp.filter(col("is_new"))
+          .join(corpus, Seq("h"), "left_outer")
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_new"),
+            sum(coalesce(col("seen"), lit(0L))).as("n_dropped"),
+            sum(when(col("seen").isNull, 1L).otherwise(0L)).as("n_ingested"))
+          .orderBy("lang")
+    },
     // ------------------------------------------- L19 sequence batch packing
     QueryDef.sql(
       "l19_sequence_packing",
