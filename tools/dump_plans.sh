@@ -14,7 +14,8 @@ val names = Seq("g2_agg_pricing_summary", "j2_join_broadcast_dims",
   "l12_contamination_check", "l2b2_simhash_neardup", "l16_token_budget_mix",
   "l17_embedding_quantize", "t5_dedup_batch", "l18_ivf_ann",
   "l21_bloom_decontam", "g12_regression", "g13_sampled_quantiles",
-  "t4b_sessionize", "l20_word_entropy")
+  "t4b_sessionize", "l20_word_entropy", "w9_running_distinct",
+  "l22_incremental_dedup", "l19_sequence_packing")
 val sb = new StringBuilder
 sb.append("# PLANS -- formatted physical plans of headline queries (sf0.1, local[8])\n\n")
 sb.append("Generated from `df.queryExecution.explainString(FormattedMode)` after execution\n(AQE final plans). Regenerate with `tools/dump_plans.sh`.\n")
