@@ -283,6 +283,28 @@ object TimeQueries {
           views = e.filter(col("event_type") === "view"),
           purchases = e.filter(col("event_type") === "purchase"))
         .orderBy(col("purchase_id"), col("view_id").asc_nulls_first)
+    },
+    QueryDef.sql(
+      "t8c_stream_stream_full_join",
+      // Batch twin of the FULL OUTER interval join: both unconverted views
+      // and view-less purchases survive null-padded. Runs the EXACT
+      // production streaming join in batch mode.
+      """WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS pts
+        |           FROM events WHERE event_type = 'purchase'),
+        |     v AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS vts
+        |           FROM events WHERE event_type = 'view')
+        |SELECT p.event_id AS purchase_id, v.event_id AS view_id,
+        |       coalesce(p.user_id, v.user_id) AS user_id
+        |FROM p FULL JOIN v ON p.user_id = v.user_id
+        |  AND v.vts <= p.pts AND v.vts >= p.pts - INTERVAL 30 MINUTE
+        |ORDER BY purchase_id NULLS FIRST, view_id NULLS FIRST""".stripMargin) {
+      (s, d) =>
+        val e = Tables.events(s, d)
+        graft.streaming.StreamingOps.streamStreamJoinFullOuter(
+            views = e.filter(col("event_type") === "view"),
+            purchases = e.filter(col("event_type") === "purchase"))
+          .orderBy(col("purchase_id").asc_nulls_first,
+            col("view_id").asc_nulls_first)
     }
   )
 }

@@ -127,6 +127,29 @@ object StreamingOps {
       .select(col("purchase_id"), col("view_id"), col("p_user").as("user_id"))
   }
 
+  /** T8 full-outer form: BOTH sides null-pad once the watermark proves no
+    * qualifying partner can still arrive — purchases without a preceding
+    * view AND views that never converted, in one stream. Same interval
+    * bounds as the inner join; state eviction on either side is what emits
+    * its unmatched rows, so the join runs unbounded.
+    */
+  def streamStreamJoinFullOuter(views: DataFrame, purchases: DataFrame)
+      : DataFrame = {
+    val v = views.withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("view_id"))
+    val p = purchases.withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+    p.join(v,
+      col("p_user") === col("v_user") &&
+        col("v_ts") <= col("p_ts") &&
+        col("v_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES"),
+      "full_outer")
+      .select(col("purchase_id"), col("view_id"),
+        coalesce(col("p_user"), col("v_user")).as("user_id"))
+  }
+
   /** Run a streaming frame to completion against a memory sink and return
     * the materialized result (local test/verify harness; S7).
     */

@@ -234,6 +234,42 @@ class StreamingSpec extends SparkSpec {
       s"unmatched purchase should emit null-padded exactly once: $got")
   }
 
+  test("stream-stream FULL OUTER join null-pads both sides on eviction (T8+)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[EventRow]
+    val purchases = MemoryStream[EventRow]
+    val joined = StreamingOps.streamStreamJoinFullOuter(
+      views.toDF(), purchases.toDF())
+    val q = joined.writeStream.format("memory").queryName("t8s_full")
+      .outputMode(OutputMode.Append()).start()
+    views.addData(
+      EventRow(10L, ts(0), 1L, "view", 0.0),  // converts (purchase 20)
+      EventRow(12L, ts(5), 4L, "view", 0.0))  // never converts
+    purchases.addData(
+      EventRow(20L, ts(10), 1L, "purchase", 5.0), // matches view 10
+      EventRow(21L, ts(12), 2L, "purchase", 5.0)) // no view for user 2
+    q.processAllAvailable()
+    def rows() = spark.table("t8s_full").collect()
+      .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1))).toSeq
+    // nothing null-padded while a partner could still arrive
+    assert(!rows().exists(p => p._1 == -1L || p._2 == -1L),
+      s"null-padded before eviction: ${rows()}")
+    // advance both watermarks past every bound → state evicts → BOTH
+    // unmatched rows emit null-padded, each exactly once
+    views.addData(EventRow(19L, ts(59, 50), 3L, "view", 0.0))
+    purchases.addData(EventRow(29L, ts(59, 55), 3L, "purchase", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = rows()
+    assert(got.contains((20L, 10L)), s"matched pair missing: $got")
+    assert(got.count(_ == (21L, -1L)) == 1,
+      s"unmatched purchase should null-pad exactly once: $got")
+    assert(got.count(_ == (-1L, 12L)) == 1,
+      s"unconverted view should null-pad exactly once: $got")
+  }
+
   test("streaming file source over events parquet works end-to-end (S6)") {
     val schema = Tables.events(spark, sf("sf0.001")).schema
     // file streaming source needs a plain-schema dir; stage a µs-normalized
