@@ -499,6 +499,25 @@ object ParquetGraph {
         .orderBy("name")
     },
 
+    // Q2 expand twin, "in" direction: every customer's in-neighbors along
+    // HAS_CUSTOMER are exactly its nation — the reversed-edge code path,
+    // graded per nation.
+    QueryDef.sql(
+      "graphp_expand_in",
+      """SELECT n_name AS name, CAST(count(*) AS BIGINT) AS n_in
+        |FROM nation JOIN customer ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY name""".stripMargin) { (s, d) =>
+      val g = hierarchy(s, d)
+      val customers = g.nodes.filter(col("label") === "Customer")
+      GraphOps.expand(g, customers.select("id"), Some("HAS_CUSTOMER"),
+          direction = "in")
+        .join(nationNames(s, d)
+          .withColumnRenamed("id", "to_id"), "to_id")
+        .groupBy(col("n_name").as("name"))
+        .agg(count(lit(1)).as("n_in"))
+        .orderBy("name")
+    },
+
     // A18 content-update (SET) twin: update content for nations below 'K',
     // leave the rest untouched; graded on the full (name, content) relation.
     QueryDef.sql(
