@@ -242,6 +242,45 @@ object TimeQueries {
         .orderBy("purchase_id")
     },
     QueryDef.sql(
+      "j9b_asof_forward",
+      // forward as-of: for each purchase, the EARLIEST view by the same
+      // user at or after it (time-to-next-engagement attribution). Same
+      // union+window single-shuffle pattern as j9, with the frame looking
+      // forward; purchases sort before equal-timestamp views (kind 0 < 1)
+      // so an exactly-simultaneous view still counts as "after".
+      """WITH u AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS uts, 1 AS kind, event_id,
+        |         event_id AS view_id
+        |  FROM events WHERE event_type = 'view'
+        |  UNION ALL
+        |  SELECT user_id, CAST(ts AS TIMESTAMP), 0, event_id, NULL
+        |  FROM events WHERE event_type = 'purchase'),
+        |w AS (SELECT user_id, kind, event_id,
+        |  first_value(view_id IGNORE NULLS) OVER (PARTITION BY user_id
+        |    ORDER BY uts, kind, event_id
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        |    AS next_view_id
+        |  FROM u)
+        |SELECT event_id AS purchase_id, next_view_id
+        |FROM w WHERE kind = 0 ORDER BY purchase_id""".stripMargin) { (s, d) =>
+      val e = Tables.events(s, d)
+      val views = e.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("uts"), lit(1).as("kind"),
+          col("event_id"), col("event_id").as("view_id"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("uts"), lit(0).as("kind"),
+          col("event_id"), lit(null).cast("long").as("view_id"))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("uts"), col("kind"), col("event_id"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      views.unionByName(purchases)
+        .withColumn("next_view_id",
+          first(col("view_id"), ignoreNulls = true).over(w))
+        .filter(col("kind") === 0)
+        .select(col("event_id").as("purchase_id"), col("next_view_id"))
+        .orderBy("purchase_id")
+    },
+    QueryDef.sql(
       "t8_stream_stream_join",
       // Batch twin of StreamingOps.streamStreamJoin (T8): each purchase
       // joined to the same user's views within the preceding 30 minutes.
