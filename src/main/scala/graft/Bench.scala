@@ -31,20 +31,29 @@ object Bench {
       n.join(org.apache.spark.sql.functions.broadcast(r),
           n("n_regionkey") === r("r_regionkey"))
         .groupBy("r_name").count().collect()
-    } catch { case _: Throwable => () }
+    } catch { case scala.util.control.NonFatal(_) => () }
+    val wall0 = System.nanoTime()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).count(); true } catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}")
-            false
-        }
-      val secs = (System.nanoTime() - t0) / 1e9
-      // failed queries report NEGATIVE elapsed so consumers can't mistake
-      // a crash for a fast run
-      name -> (if (ok) secs else -secs)
+      // min of two back-to-back runs: a one-off GC/JIT stall (which lands on
+      // an arbitrary query in a 174-query sweep) can't masquerade as a
+      // regression — only a slowdown that reproduces twice is reported
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      try {
+        val first = once()
+        name -> math.min(first, once())
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          // failed queries report NEGATIVE elapsed so consumers can't
+          // mistake a crash for a fast run
+          name -> -1.0
+      }
     }
+    val wallSecs = (System.nanoTime() - wall0) / 1e9
     // ONE line, kept well under the driver's ~4 KB capture window: seconds
     // rounded to ms, and only the 20 slowest queries listed individually
     // (the rest sit at the ~0.2s session-overhead floor; total + count
@@ -56,13 +65,15 @@ object Bench {
     val failed = results.filter(_._2 < 0).map("\"" + _._1 + "\"")
       .mkString("[", ",", "]")
     val total = results.map(t => math.abs(t._2)).sum
+    // "value" = sum of per-query minima (the comparable signal);
+    // "wall" = elapsed for the whole two-pass sweep (capacity figure)
     val line =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","wall":${r3(wallSecs)},"runs_per_query":2,"n_queries":${results.size},"queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
     println(line)
     // belt-and-braces: the same line on disk, in case stdout gets wrapped
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_last.json"),
       (line + "\n").getBytes("UTF-8"))
-    catch { case _: Throwable => () }
+    catch { case scala.util.control.NonFatal(_) => () }
     spark.stop()
   }
 }

@@ -8,16 +8,21 @@ import org.apache.spark.sql.functions._
   * match a node by label and/or property equality, optionally expand a
   * bounded number of hops downward (optionally constrained to one
   * relationship type, as the schema prompt's typed relationships invite),
-  * filter the matched node with simple WHERE comparisons, return the matched
-  * node and its connected nodes. The serving shell can hand queries of this
-  * shape straight to the engine — no Neo4j.
+  * filter the matched node with WHERE comparisons (AND/OR, no parens),
+  * return the matched node, a property projection of it, its connected
+  * nodes, or a per-root count, with optional ORDER BY and LIMIT. The
+  * serving shell can hand queries of this shape straight to the engine —
+  * no Neo4j.
   *
   * Grammar (case-insensitive keywords):
   * {{{
   *   MATCH (m[:Label] [{prop: 'value'[, ...]}]) [-[[:REL_TYPE]*1..K]->(connected)]
-  *   [WHERE m.prop <op> 'value' [AND ...]]        op ∈ {=, <>, <, <=, >, >=}
-  *   RETURN m[, connected | , count(connected)] [LIMIT n]
+  *   [WHERE m.prop <op> 'value' [AND|OR ...]]     op ∈ {=, <>, <, <=, >, >=}
+  *   RETURN m | m.prop[, m.prop ...] | m, connected | m, count(connected)
+  *   [ORDER BY m.prop [ASC|DESC]] [LIMIT n]
   * }}}
+  * WHERE mixes AND and OR without parentheses; standard precedence (AND
+  * binds tighter) applies — the clause is evaluated as an OR of AND-groups.
   * Plus the maintenance form `MATCH (n) WHERE n.<tag> = true DETACH DELETE n`
   * (the reference's `deleteneo.py:10-12`), which maps to [[GraphOps.dropBatch]].
   */
@@ -25,14 +30,22 @@ object CypherLite {
 
   sealed trait Statement
   final case class Cond(prop: String, op: String, value: String)
+
+  sealed trait RetItem
+  case object RetVar extends RetItem // the whole matched node
+  final case class RetProp(prop: String) extends RetItem // m.prop
+  case object RetConnected extends RetItem
+  case object RetCount extends RetItem // count(connected)
+
   final case class MatchReturn(
       label: Option[String],
       props: Map[String, String],
       relType: Option[String],
       hops: Int,
-      conds: Seq[Cond],
-      returnConnected: Boolean,
-      returnCount: Boolean,
+      // WHERE in disjunctive normal form: OR of AND-groups
+      conds: Seq[Seq[Cond]],
+      items: Seq[RetItem],
+      orderBy: Option[(String, Boolean)], // (prop, descending)
       limit: Option[Int]) extends Statement
   final case class DetachDelete(tag: String) extends Statement
 
@@ -41,61 +54,105 @@ object CypherLite {
       """(?:\{\s*([^}]*)\s*\})?\s*\)\s*""" +
       """(?:-\s*\[\s*(?::\s*(\w+)\s*)?\*\s*1\s*\.\.\s*(\d+)\s*\]\s*->\s*\(\s*(\w+)\s*\)\s*)?""" +
       """(?:WHERE\s+(.*?)\s*)?""" +
-      """RETURN\s+(\w+)(?:\s*,\s*(?:count\s*\(\s*(\w+)\s*\)|(\w+)))?\s*(?:LIMIT\s+(\d+))?\s*;?\s*""").r
+      """RETURN\s+(.+?)\s*""" +
+      """(?:ORDER\s+BY\s+(\w+)\s*\.\s*(\w+)\s*(?:(ASC|DESC)\s*)?)?""" +
+      """(?:LIMIT\s+(\d+))?\s*;?\s*""").r
 
   private val DeleteRe =
     """(?is)\s*MATCH\s*\(\s*(\w+)\s*\)\s*WHERE\s+\1\.(\w+)\s*=\s*true\s+DETACH\s+DELETE\s+\1\s*;?\s*""".r
 
   private val PropRe = """(\w+)\s*:\s*'([^']*)'""".r
 
-  // one `var.prop <op> 'value'` comparison; conjunctions split on AND first
+  // one `var.prop <op> 'value'` comparison; the WHERE clause splits on OR
+  // then AND before these are matched
   private val CondRe =
     """(?is)\s*(\w+)\s*\.\s*(\w+)\s*(<>|<=|>=|=|<|>)\s*'([^']*)'\s*""".r
+
+  private val CountRe = """(?is)\s*count\s*\(\s*(\w+)\s*\)\s*""".r
+  private val VarPropRe = """(?is)\s*(\w+)\s*\.\s*(\w+)\s*""".r
+  private val VarRe = """(?is)\s*(\w+)\s*""".r
 
   def parse(query: String): Either[String, Statement] = query match {
     case DeleteRe(_, tag) => Right(DetachDelete(tag))
     case MatchRe(m, label, propsStr, relType, hopsStr, connVar, whereStr,
-        ret1, countVar, ret2, limitStr) =>
+        retStr, obVar, obProp, obDir, limitStr) =>
       val props = Option(propsStr).toSeq
         .flatMap(s => PropRe.findAllMatchIn(s)
           .map(p => p.group(1) -> p.group(2))).toMap
       val hops = Option(hopsStr).map(_.toInt).getOrElse(0)
-      val condsE: Either[String, Seq[Cond]] =
+      val conn = Option(connVar)
+      val condsE: Either[String, Seq[Seq[Cond]]] =
         Option(whereStr).map(_.trim).filter(_.nonEmpty) match {
           case None => Right(Seq.empty)
           case Some(w) =>
-            val parts = w.split("(?i)\\s+AND\\s+").toSeq
-            val parsed = parts.map {
-              case CondRe(v, prop, op, value) if v == m =>
-                Right(Cond(prop, op, value))
-              case CondRe(v, _, _, _) =>
-                Left(s"WHERE may only reference the matched variable '$m', got '$v'")
-              case other => Left(s"unsupported WHERE condition: ${other.take(80)}")
+            // standard precedence without parens: OR of AND-groups
+            val groups = w.split("(?i)\\s+OR\\s+").toSeq
+              .map(_.split("(?i)\\s+AND\\s+").toSeq)
+            val parsed = groups.map { parts =>
+              val cs = parts.map {
+                case CondRe(v, prop, op, value) if v == m =>
+                  Right(Cond(prop, op, value))
+                case CondRe(v, _, _, _) =>
+                  Left(s"WHERE may only reference the matched variable '$m', got '$v'")
+                case other =>
+                  Left(s"unsupported WHERE condition: ${other.take(80)}")
+              }
+              cs.collectFirst { case Left(e) => Left(e) }
+                .getOrElse(Right(cs.collect { case Right(c) => c }))
             }
             parsed.collectFirst { case Left(e) => Left(e) }
-              .getOrElse(Right(parsed.collect { case Right(c) => c }))
+              .getOrElse(Right(parsed.collect { case Right(g) => g }))
         }
-      if (hops > 0 && Option(connVar).isEmpty)
-        Left("hop pattern requires a connected variable")
-      else if (Option(ret1).isEmpty)
-        Left("RETURN clause required")
-      else if (Option(countVar).isDefined &&
-          !Option(connVar).contains(countVar))
-        Left(s"count() may only aggregate the connected variable" +
-          s"${Option(connVar).fold("")(v => s" '$v'")}, got '$countVar'")
-      else condsE.map { conds =>
-        val wantsConnected = Option(ret2).isDefined ||
-          (Option(connVar).isDefined && Option(ret1).contains(connVar))
-        MatchReturn(Option(label), props, Option(relType),
-          if (Option(connVar).isDefined) math.max(hops, 1) else 0,
-          conds, wantsConnected, Option(countVar).isDefined,
-          Option(limitStr).map(_.toInt))
+      val itemsE: Either[String, Seq[RetItem]] = {
+        val parts = retStr.split(",").toSeq
+        val parsed = parts.map {
+          case CountRe(v) if conn.contains(v) => Right(RetCount)
+          case CountRe(v) => Left(s"count() may only aggregate the " +
+            s"connected variable${conn.fold("")(c => s" '$c'")}, got '$v'")
+          case VarPropRe(v, p) if v == m => Right(RetProp(p))
+          case VarPropRe(v, p) => Left(
+            s"property projection may only reference '$m', got '$v.$p'")
+          case VarRe(v) if v == m => Right(RetVar)
+          case VarRe(v) if conn.contains(v) => Right(RetConnected)
+          case other => Left(s"unsupported RETURN item: ${other.take(40)}")
+        }
+        parsed.collectFirst { case Left(e) => Left(e) }
+          .getOrElse(Right(parsed.collect { case Right(i) => i }))
       }
+      val orderByE: Either[String, Option[(String, Boolean)]] =
+        (Option(obVar), Option(obProp)) match {
+          case (None, _) => Right(None)
+          case (Some(v), Some(p)) if v == m =>
+            Right(Some((p, Option(obDir).exists(_.equalsIgnoreCase("DESC")))))
+          case (Some(v), _) =>
+            Left(s"ORDER BY may only reference '$m', got '$v'")
+        }
+      if (hops > 0 && conn.isEmpty)
+        Left("hop pattern requires a connected variable")
+      else
+        for {
+          conds <- condsE
+          items <- itemsE
+          ob <- orderByE
+          _ <- if (items.contains(RetConnected) && conn.isEmpty)
+            Left("RETURN of the connected variable requires a hop pattern")
+          else Right(())
+          _ <- if (items.count(_ == RetCount) > 0 && items.size > 2)
+            Left("count(connected) may only be combined with the matched variable")
+          else Right(())
+        } yield MatchReturn(Option(label), props, Option(relType),
+          if (conn.isDefined) math.max(hops, 1) else 0,
+          conds, items, ob, Option(limitStr).map(_.toInt))
     case _ => Left(s"unsupported query shape: ${query.take(120)}")
   }
 
   /** Node properties a MATCH pattern or WHERE clause may filter on. */
   private val SupportedProps = Set("name", "content", "docnbr")
+
+  /** Properties a RETURN projection / ORDER BY may reference (filterable
+    * props plus the label, which is not a filter — MATCH (m:Label) is).
+    */
+  private val ProjectableProps = SupportedProps + "label"
 
   private def condCol(c: Cond): Column = c.op match {
     case "=" => col(c.prop) === c.value
@@ -107,8 +164,8 @@ object CypherLite {
   }
 
   /** Execute against the graph; returns (m_label, m_name[, depth, c_label,
-    * c_name, c_content]) rows, mirroring the reference's (m, connected)
-    * contract (`first-graph.py:168`).
+    * c_name, c_content]) rows — or the requested `m_<prop>` projection —
+    * mirroring the reference's (m, connected) contract (`first-graph.py:168`).
     */
   def run(g: GraphTables, query: String): Either[String, DataFrame] =
     parse(query).flatMap {
@@ -117,57 +174,106 @@ object CypherLite {
         val after = GraphOps.dropBatch(g, tag)
         Right(after.nodes.groupBy("batch")
           .agg(count(lit(1)).as("n_nodes")).orderBy("batch").toDF())
-      case MatchReturn(label, props, relType, hops, conds, wantsConnected,
-          wantsCount, limit) =>
+      case MatchReturn(label, props, relType, hops, conds, items, orderBy,
+          limit) =>
         // unknown keys are rejected, not silently coerced to a name match —
         // a plausible-but-wrong answer is worse than an error to the
         // LLM-emitted-query caller this front end serves
-        (props.keys ++ conds.map(_.prop)).find(!SupportedProps(_)) match {
-          case Some(k) => Left(s"unsupported property: $k " +
-            s"(supported: ${SupportedProps.toSeq.sorted.mkString(", ")})")
-          case None => Right(runMatch(g, label, props, relType, hops, conds,
-            wantsConnected, wantsCount, limit))
-        }
+        val filterProps = props.keys ++ conds.flatten.map(_.prop)
+        val projProps = items.collect { case RetProp(p) => p } ++
+          orderBy.map(_._1)
+        // ORDER BY must name a projected property: with LIMIT an unsortable
+        // key would silently change WHICH rows come back, which is exactly
+        // the plausible-but-wrong failure this front end refuses to serve
+        val outProps: Set[String] =
+          if (hops == 0) items.flatMap {
+            case RetVar => Seq("label", "name", "content")
+            case RetProp(p) => Seq(p)
+            case _ => Seq.empty
+          }.toSet
+          else if (items.contains(RetCount) || items.contains(RetConnected))
+            Set("name")
+          else Set("label", "name")
+        filterProps.find(!SupportedProps(_))
+          .map(k => Left(s"unsupported property: $k " +
+            s"(supported: ${SupportedProps.toSeq.sorted.mkString(", ")})"))
+          .orElse(projProps.find(!ProjectableProps(_))
+            .map(k => Left(s"unsupported projection property: $k " +
+              s"(supported: ${ProjectableProps.toSeq.sorted.mkString(", ")})")))
+          .orElse(orderBy.map(_._1).filterNot(outProps)
+            .map(k => Left(s"ORDER BY key '$k' must be among the returned " +
+              s"properties (${outProps.toSeq.sorted.mkString(", ")})")))
+          .getOrElse(Right(runMatch(g, label, props, relType, hops, conds,
+            items, orderBy, limit)))
     }
 
   private def runMatch(g: GraphTables, label: Option[String],
       props: Map[String, String], relType: Option[String], hops: Int,
-      conds: Seq[Cond], wantsConnected: Boolean, wantsCount: Boolean,
-      limit: Option[Int]): DataFrame = {
-        val pred = (label.map(col("label") === _).toSeq ++
-          props.map { case (k, v) => col(k) === v } ++
-          conds.map(condCol))
-          .reduceOption(_ && _).getOrElse(lit(true))
-        // untyped hops follow all downward containment edges; a typed hop
-        // pattern restricts the expansion to exactly that relationship
-        val relFilter = relType.map(col("relType") === _)
-          .getOrElse(col("relType").startsWith("HAS_"))
-        val base =
-          if (hops == 0)
-            g.nodes.filter(pred)
-              .select(col("label").as("m_label"), col("name").as("m_name"),
-                col("content").as("m_content"))
-              .orderBy("m_label", "m_name", "m_content")
-          else {
-            val neigh = GraphOps.neighborhoodWhere(g, pred, hops, relFilter)
-            val roots = g.nodes.filter(pred)
-              .select(col("id").as("root_id"), col("label").as("m_label"),
-                col("name").as("root_name_key"))
-            if (wantsCount)
-              // RETURN m, count(connected): aggregate the expansion per
-              // root — a group-by on the root key, parallel across roots
-              neigh.withColumnRenamed("root_name", "m_name")
-                .groupBy("m_name")
-                .agg(count(lit(1)).as("n_connected"))
-                .orderBy("m_name")
-            else if (wantsConnected)
-              neigh.withColumnRenamed("root_name", "m_name")
-                .select("m_name", "depth", "c_label", "c_name", "c_content")
-                .orderBy("m_name", "depth", "c_label", "c_name", "c_content")
-            else
-              roots.select(col("m_label"), col("root_name_key").as("m_name"))
-                .orderBy("m_label", "m_name")
-          }
-        limit.map(base.limit).getOrElse(base)
+      conds: Seq[Seq[Cond]], items: Seq[RetItem],
+      orderBy: Option[(String, Boolean)], limit: Option[Int]): DataFrame = {
+    val andGroups = conds.map(_.map(condCol).reduceOption(_ && _)
+      .getOrElse(lit(true)))
+    val pred = (label.map(col("label") === _).toSeq ++
+      props.map { case (k, v) => col(k) === v } ++
+      andGroups.reduceOption(_ || _).toSeq)
+      .reduceOption(_ && _).getOrElse(lit(true))
+    // untyped hops follow all downward containment edges; a typed hop
+    // pattern restricts the expansion to exactly that relationship
+    val relFilter = relType.map(col("relType") === _)
+      .getOrElse(col("relType").startsWith("HAS_"))
+    val wantsConnected = items.contains(RetConnected)
+    val wantsCount = items.contains(RetCount)
+    // deterministic output order: the requested ORDER BY key first (mapped
+    // onto its output column), then every remaining projected column as a
+    // tiebreak — results must be stable for the oracle hash-compare and for
+    // any caller diffing runs
+    def ordered(df: DataFrame, cols: Seq[String]): DataFrame = {
+      val keyed = orderBy match {
+        case Some((p, desc)) =>
+          val out = s"m_$p"
+          // ORDER BY on a column that wasn't projected sorts on the base
+          // column name only when present; otherwise fall back to projected
+          if (cols.contains(out)) {
+            val key = if (desc) col(out).desc else col(out).asc
+            df.orderBy(key +: cols.filterNot(_ == out).map(col): _*)
+          } else df.orderBy(cols.map(col): _*)
+        case None => df.orderBy(cols.map(col): _*)
+      }
+      keyed
+    }
+    val base =
+      if (hops == 0) {
+        val matched = g.nodes.filter(pred)
+        // RETURN m → the full (label, name, content) node image;
+        // RETURN m.prop[, ...] → exactly those properties
+        val outCols =
+          if (items == Seq(RetVar) || items.isEmpty)
+            Seq("label", "name", "content")
+          else items.collect {
+            case RetVar => Seq("label", "name", "content")
+            case RetProp(p) => Seq(p)
+          }.flatten.distinct
+        val named = outCols.map(c => col(c).as(s"m_$c"))
+        ordered(matched.select(named: _*).toDF(), outCols.map("m_" + _))
+      } else {
+        val neigh = GraphOps.neighborhoodWhere(g, pred, hops, relFilter)
+        val roots = g.nodes.filter(pred)
+          .select(col("id").as("root_id"), col("label").as("m_label"),
+            col("name").as("root_name_key"))
+        if (wantsCount)
+          // RETURN m, count(connected): aggregate the expansion per
+          // root — a group-by on the root key, parallel across roots
+          ordered(neigh.withColumnRenamed("root_name", "m_name")
+            .groupBy("m_name")
+            .agg(count(lit(1)).as("n_connected")), Seq("m_name"))
+        else if (wantsConnected)
+          ordered(neigh.withColumnRenamed("root_name", "m_name")
+            .select("m_name", "depth", "c_label", "c_name", "c_content"),
+            Seq("m_name", "depth", "c_label", "c_name", "c_content"))
+        else
+          ordered(roots.select(col("m_label"),
+            col("root_name_key").as("m_name")), Seq("m_label", "m_name"))
+      }
+    limit.map(base.limit).getOrElse(base)
   }
 }

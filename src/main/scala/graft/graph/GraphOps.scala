@@ -107,11 +107,27 @@ object GraphOps {
     acc.groupBy("root_id", "node_id").agg(min("depth").as("depth"))
   }
 
+  /** Flush cadence for [[reachable]]'s visited-set checkpoint: the anti-join
+    * tolerates a visited set up to this many frontiers stale (a node
+    * re-discovered inside the window is re-expanded at most once before the
+    * next flush absorbs it), so the O(|visited|) materialization runs every
+    * few iterations instead of every iteration.
+    */
+  val VisitedCheckpointEvery: Int = 4
+
   /** Unbounded reachability (transitive closure from roots), safe on CYCLIC
     * graphs: each iteration expands only the nodes not already visited
     * (anti-join against the accumulated set), so the loop reaches a
-    * fixpoint in at most diameter iterations regardless of cycles.
+    * fixpoint in ~diameter iterations regardless of cycles.
     * `maxIterations` is a backstop, not the termination mechanism.
+    *
+    * Only the (small) frontier is checkpointed per iteration; the
+    * accumulated visited set — O(|V|) and the dominant materialization cost
+    * on a deep graph — is re-checkpointed only every
+    * [[VisitedCheckpointEvery]] iterations, with discovered frontiers
+    * buffered in between. Staleness is benign: the anti-join against the
+    * last flushed set can only keep MORE rows (possible re-visits inside
+    * the window), never drop one, and the flush dedupes with `distinct`.
     */
   def reachable(g: GraphTables, rootIds: DataFrame,
       relFilter: org.apache.spark.sql.Column =
@@ -121,8 +137,15 @@ object GraphOps {
     var visited = rootIds.select(col("root_id"),
       col("root_id").as("node_id")).localCheckpoint()
     var frontier = visited
+    var pending = List.empty[DataFrame]
+    def flush(): Unit = if (pending.nonEmpty) {
+      visited = pending.foldLeft(visited)(_ unionByName _)
+        .distinct().localCheckpoint()
+      pending = Nil
+    }
     var depth = 0
-    while (depth < maxIterations && !frontier.isEmpty) {
+    var done = false
+    while (depth < maxIterations && !done) {
       depth += 1
       frontier = frontier.select(col("root_id"), col("node_id").as("src"))
         .join(edges, Seq("src"))
@@ -130,9 +153,13 @@ object GraphOps {
         .distinct()
         .join(visited, Seq("root_id", "node_id"), "left_anti")
         .localCheckpoint()
-      if (!frontier.isEmpty)
-        visited = visited.unionByName(frontier).localCheckpoint()
+      done = frontier.isEmpty
+      if (!done) {
+        pending ::= frontier
+        if (pending.size >= VisitedCheckpointEvery) flush()
+      }
     }
+    flush()
     visited
   }
 
@@ -255,7 +282,23 @@ object GraphOps {
   private val gxCache = new java.util.concurrent.ConcurrentHashMap[
     (GraphTables, Int), Graph[String, String]]()
 
-  def toGraphX(g: GraphTables, numPartitions: Int = 0): Graph[String, String] =
+  /** Drop cache entries keyed to stopped SparkSessions: their MEMORY_ONLY
+    * blocks died with the context, so a hit would hand back a dead Graph,
+    * and the stale keys would pin driver memory across sessions in a
+    * long-lived embedding process. Swept on every access — the entry count
+    * is small (a handful of fixture graphs per session), so the sweep is a
+    * few pointer reads.
+    */
+  private def sweepStopped(): Unit = {
+    val it = gxCache.entrySet().iterator()
+    while (it.hasNext) {
+      if (it.next().getKey._1.nodes.sparkSession.sparkContext.isStopped)
+        it.remove()
+    }
+  }
+
+  def toGraphX(g: GraphTables, numPartitions: Int = 0): Graph[String, String] = {
+    sweepStopped()
     gxCache.computeIfAbsent((g, numPartitions), _ => {
       // Graph() assigns MEMORY_ONLY storage at construction; counting both
       // sides materializes it so no query pays the conversion twice
@@ -264,6 +307,7 @@ object GraphOps {
       gx.edges.count()
       gx
     })
+  }
 
   private def buildGraphX(g: GraphTables, numPartitions: Int)
       : Graph[String, String] = {

@@ -35,7 +35,11 @@ object GraphQueries {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[SparkSession, GraphTables]()
 
-  def graph(s: SparkSession): GraphTables =
+  def graph(s: SparkSession): GraphTables = {
+    // evict entries keyed to stopped sessions (cached blocks died with the
+    // context; stale keys would leak across sessions in a long-lived JVM)
+    val it = cache.keySet().iterator()
+    while (it.hasNext) if (it.next().sparkContext.isStopped) it.remove()
     cache.computeIfAbsent(s, (sp: SparkSession) => {
       val g = XmlIngest.ingest(sp, XmlGlob, Batch)
       val cached = GraphTables(g.nodes.cache(), g.edges.cache())
@@ -43,6 +47,7 @@ object GraphQueries {
       cached.edges.count()
       cached
     })
+  }
 
   /** The reference's flagship read path (§3.1): match the service bulletin
     * root by its document number, expand 3 hops downward, nest connected

@@ -57,7 +57,12 @@ object ParquetGraph {
     (SparkSession, String, String), GraphTables]()
 
   private def cached(s: SparkSession, d: String, kind: String)(
-      build: => GraphTables): GraphTables =
+      build: => GraphTables): GraphTables = {
+    // evict entries keyed to stopped sessions — their cached blocks died
+    // with the context, and the keys would otherwise accumulate forever in
+    // a long-lived process that opens/closes sessions
+    val it = cache.keySet().iterator()
+    while (it.hasNext) if (it.next()._1.sparkContext.isStopped) it.remove()
     cache.computeIfAbsent((s, d, kind), _ => {
       val g = build
       val m = GraphTables(g.nodes.cache(), g.edges.cache())
@@ -65,6 +70,7 @@ object ParquetGraph {
       m.edges.count()
       m
     })
+  }
 
   def hierarchy(s: SparkSession, d: String): GraphTables =
     cached(s, d, "hierarchy")(buildHierarchy(s, d))
@@ -74,6 +80,9 @@ object ParquetGraph {
 
   def cliques(s: SparkSession, d: String): GraphTables =
     cached(s, d, "cliques")(buildCliques(s, d))
+
+  def docTree(s: SparkSession, d: String): GraphTables =
+    cached(s, d, "doctree")(buildDocTree(s, d))
 
   /** Region → nation → customer → order tree. Order nodes/edges carry their
     * own batch tag so the cascade-delete twin can drop exactly that layer.
@@ -147,6 +156,35 @@ object ParquetGraph {
     val edges = pairs.select(col("src"), col("dst"),
         lit("CLIQUE").as("relType"), lit("").as("docnbr"),
         lit("base").as("batch")).as[EdgeRow]
+    GraphTables(nodes, edges)
+  }
+
+  /** Region→nation tree with the DOCUMENT columns populated (the other
+    * fixtures leave content/path/docnbr blank): each nation node carries
+    * content = its name, path = [n_nationkey] (document order), and
+    * docnbr = its region's name — so [[GraphOps.subtreeText]]'s
+    * path-ordered concatenation is independently derivable in SQL as
+    * `string_agg(n_name, ' ' ORDER BY n_nationkey)`.
+    */
+  private def buildDocTree(s: SparkSession, d: String): GraphTables = {
+    import s.implicits._
+    val region = Tables.region(s, d)
+    val nation = Tables.nation(s, d).join(region,
+      col("n_regionkey") === col("r_regionkey"))
+    val rootNodes = region.select(
+      (col("r_regionkey") + RegionBase).cast("long").as("id"),
+      lit("Region").as("label"), col("r_name").cast("string").as("name"),
+      lit("").as("content"), col("r_name").cast("string").as("docnbr"),
+      lit("base").as("batch"), typedLit(Seq.empty[Int]).as("path"))
+    val childNodes = nation.select(
+      (col("n_nationkey") + NationBase).cast("long").as("id"),
+      lit("Nation").as("label"), col("n_name").cast("string").as("name"),
+      col("n_name").cast("string").as("content"),
+      col("r_name").cast("string").as("docnbr"), lit("base").as("batch"),
+      array(col("n_nationkey").cast("int")).as("path"))
+    val nodes = rootNodes.unionByName(childNodes).as[NodeRow]
+    val edges = edgeDf(nation, col("n_regionkey") + RegionBase,
+      col("n_nationkey") + NationBase, "HAS_NATION", "base").as[EdgeRow]
     GraphTables(nodes, edges)
   }
 
@@ -570,6 +608,97 @@ object ParquetGraph {
           g2.edges.groupBy(concat(lit("edge:"), col("relType")).as("item"))
             .agg(count(lit(1)).as("n")))
         .orderBy("item")
+    },
+
+    // Q9 label-propagation twin on the clique layer — the last GraphX
+    // family to gain an oracle. LPA's per-step tie-breaks inside a clique
+    // are not deterministic, but two invariants ARE derivable: (1) labels
+    // only ever travel along edges, so a clique member's final community is
+    // one of its OWN region's three clique ids — mapping the community back
+    // to its region must give the member's own region; (2) isolated
+    // vertices (region rank > 3) receive no messages and keep their initial
+    // label, their own id. Both graded relationally; the nondeterministic
+    // part (WHICH clique member wins) is projected to NULL.
+    QueryDef.sql(
+      "graphp_label_propagation",
+      """WITH ranked AS (
+        |  SELECT n_name, n_nationkey, n_regionkey,
+        |    row_number() OVER (PARTITION BY n_regionkey
+        |      ORDER BY n_nationkey) AS rn
+        |  FROM nation)
+        |SELECT n_name AS name, CAST(n_regionkey AS BIGINT) AS community_region,
+        |  CASE WHEN rn <= 3 THEN CAST(NULL AS BOOLEAN) ELSE TRUE END AS kept_own
+        |FROM ranked ORDER BY name""".stripMargin) { (s, d) =>
+      val lpa = GraphOps.labelPropagation(s, cliques(s, d), iters = 5)
+      val nations = Tables.nation(s, d)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("n_regionkey").orderBy("n_nationkey")))
+        .select((col("n_nationkey") + NationBase).as("id"),
+          col("n_name"), col("rn"))
+      val communityRegion = Tables.nation(s, d)
+        .select((col("n_nationkey") + NationBase).as("community"),
+          col("n_regionkey").cast("long").as("community_region"))
+      lpa.join(nations, "id")
+        .join(communityRegion, "community")
+        .select(col("n_name").as("name"), col("community_region"),
+          when(col("rn") <= 3, lit(null).cast("boolean"))
+            .otherwise(col("community") === col("id")).as("kept_own"))
+        .orderBy("name")
+    },
+
+    // Q6 subtree-text twin: path-ordered descendant concatenation over the
+    // docTree fixture, whose synthetic path/content make document order
+    // independently derivable (= nationkey order within the region).
+    QueryDef.sql(
+      "graphp_subtree_text",
+      """SELECT CAST(1000000000 + r_regionkey AS BIGINT) AS root_id,
+        |  r_name AS docnbr,
+        |  string_agg(n_name, ' ' ORDER BY n_nationkey) AS subtree_text
+        |FROM region JOIN nation ON n_regionkey = r_regionkey
+        |WHERE r_name = (SELECT min(r_name) FROM region)
+        |GROUP BY 1, 2 ORDER BY root_id""".stripMargin) { (s, d) =>
+      val rootName = Tables.region(s, d)
+        .agg(min("r_name")).collect()(0).getString(0) // 1 row — bounded
+      GraphOps.subtreeText(docTree(s, d), "Region", rootName)
+        .orderBy("root_id")
+    },
+
+    // B6 CypherLite twin: RETURN m.<prop> property projection — the
+    // narrow-select form an LLM emits for "list the names of …".
+    QueryDef.sql(
+      "graphp_cypher_return_prop",
+      """SELECT n_name AS m_name, 'Nation' AS m_label
+        |FROM nation WHERE n_name >= 'E' AND n_name < 'P'
+        |ORDER BY m_name, m_label""".stripMargin) { (s, d) =>
+      CypherLite.run(hierarchy(s, d),
+        "MATCH (m:Nation) WHERE m.name >= 'E' AND m.name < 'P' " +
+          "RETURN m.name, m.label")
+        .fold(err => throw new IllegalArgumentException(err), identity)
+    },
+
+    // B6 CypherLite twin: ORDER BY … DESC LIMIT — the top-k form. The sort
+    // key must drive WHICH rows survive the limit on both engines.
+    QueryDef.sql(
+      "graphp_cypher_order_by",
+      """SELECT n_name AS m_name FROM nation
+        |ORDER BY m_name DESC LIMIT 10""".stripMargin) { (s, d) =>
+      CypherLite.run(hierarchy(s, d),
+        "MATCH (m:Nation) RETURN m.name ORDER BY m.name DESC LIMIT 10")
+        .fold(err => throw new IllegalArgumentException(err), identity)
+    },
+
+    // B6 CypherLite twin: OR + AND precedence in WHERE (AND binds tighter),
+    // graded against the explicitly parenthesized SQL equivalent.
+    QueryDef.sql(
+      "graphp_cypher_or",
+      """SELECT 'Nation' AS m_label, n_name AS m_name, '' AS m_content
+        |FROM nation
+        |WHERE n_name < 'C' OR (n_name >= 'U' AND n_name <> 'UNITED STATES')
+        |ORDER BY m_label, m_name, m_content""".stripMargin) { (s, d) =>
+      CypherLite.run(hierarchy(s, d),
+        "MATCH (m:Nation) WHERE m.name < 'C' OR m.name >= 'U' " +
+          "AND m.name <> 'UNITED STATES' RETURN m")
+        .fold(err => throw new IllegalArgumentException(err), identity)
     },
 
     // B9 viz-export twin: (src name, relType, dst name) renderer feed.

@@ -79,6 +79,42 @@ object Multimodal {
       }
   }
 
+  /** Frame sampling for "video" media: one row per sampled frame with a
+    * deterministic frame fingerprint — the shape a real frame-decode
+    * fan-out produces (explode bounded by metadata, no driver loop).
+    * Input: decoded metadata with (doc_id, kind, n_frames).
+    */
+  def frameSample(meta: DataFrame): DataFrame =
+    meta.filter(col("kind") === "video")
+      .select(col("doc_id"),
+        explode(sequence(lit(1), col("n_frames"))).as("frame_idx"))
+      .select(col("doc_id"), col("frame_idx"),
+        expr("CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), ':'," +
+          " CAST(frame_idx AS STRING))), 1, 15), 16, 10) AS BIGINT)")
+          .as("frame_fp"))
+      .orderBy("doc_id", "frame_idx")
+
+  /** 16×16 patch grid per "image": one row per tile with its pixel
+    * rectangle (edge tiles clamped) — the fan-out a ViT-style patch
+    * extractor runs, bounded by metadata, no driver loop.
+    * Input: decoded metadata with (doc_id, kind, width, height).
+    */
+  def tileGrid(meta: DataFrame): DataFrame =
+    meta.filter(col("kind") === "image")
+      .select(col("doc_id"), col("width"), col("height"),
+        ceil(col("width") / 16.0).cast("int").as("tx"),
+        ceil(col("height") / 16.0).cast("int").as("ty"))
+      .select(col("doc_id"), col("width"), col("height"), col("tx"),
+        explode(sequence(lit(0), col("tx") * col("ty") - 1)).as("tile_id"))
+      .select(col("doc_id"), col("tile_id").cast("int").as("tile_id"),
+        expr("CAST(tile_id % tx AS INT)").as("tile_x"),
+        expr("CAST(tile_id div tx AS INT)").as("tile_y"),
+        expr("CAST(least(16, width - (tile_id % tx) * 16) AS INT)")
+          .as("tile_w"),
+        expr("CAST(least(16, height - (tile_id div tx) * 16) AS INT)")
+          .as("tile_h"))
+      .orderBy("doc_id", "tile_id")
+
   /** The decode pipeline as an oracle-checkable query: the fake codec is
     * pure arithmetic on the payload length, so DuckDB reproduces it.
     */
@@ -141,15 +177,7 @@ object Multimodal {
         |CROSS JOIN generate_series(1, 10) t(frame_idx)
         |WHERE frame_idx <= n_frames
         |ORDER BY doc_id, frame_idx""".stripMargin) { (s, d) =>
-      decodeAll(s, payloadTable(s, d)).toDF()
-        .filter(col("kind") === "video")
-        .select(col("doc_id"),
-          explode(sequence(lit(1), col("n_frames"))).as("frame_idx"))
-        .select(col("doc_id"), col("frame_idx"),
-          expr("CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), ':'," +
-            " CAST(frame_idx AS STRING))), 1, 15), 16, 10) AS BIGINT)")
-            .as("frame_fp"))
-        .orderBy("doc_id", "frame_idx")
+      frameSample(decodeAll(s, payloadTable(s, d)).toDF())
     },
     QueryDef.sql(
       "mm2_media_stats",

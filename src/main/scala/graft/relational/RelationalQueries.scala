@@ -862,19 +862,25 @@ object RelationalQueries {
          |FROM customer ORDER BY c_custkey""".stripMargin) { (s, d) =>
       // Size-gated: a global `Window.orderBy` funnels every row through one
       // task, which is fine for a sub-`GlobalWindowMaxRows` result (one task
-      // sorting a few hundred MB) and catastrophic beyond it. The gate makes
-      // the bound explicit — above it the EXACT same semantics come from the
-      // distributed two-pass kernel (w5b's plan).
+      // sorting a few hundred MB) and catastrophic beyond it. The gate reads
+      // the optimizer's size estimate (parquet footer bytes, pruned to the
+      // two selected columns) — zero extra jobs, unlike a count(). The
+      // estimate treats every 8 compressed bytes as a row, which OVERSTATES
+      // rows, so estimation error only ever pushes toward the scale path —
+      // above the gate the EXACT same semantics come from the distributed
+      // two-pass kernel (w5b's plan), which derives its own exact n.
       val base = Tables.customer(s, d)
         .select(col("c_custkey").cast("long").as("c_custkey"),
           col("c_acctbal"))
-      val n = base.count()
-      if (n <= GlobalWindowMaxRows) {
+      val stats = base.queryExecution.optimizedPlan.stats
+      val estRows = stats.rowCount.map(_.toLong)
+        .getOrElse(stats.sizeInBytes.toLong / 8L)
+      if (estRows <= GlobalWindowMaxRows) {
         val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
         base.select(col("c_custkey"), ntile(4).over(w).as("quartile"),
             Det.portableRound(percent_rank().over(w), 6).as("pr"))
           .orderBy("c_custkey")
-      } else globalNtilePctRank(s, base, n)
+      } else globalNtilePctRank(s, base, base.count())
     },
     QueryDef.sql(
       "w5b_global_rank_scalable",

@@ -209,7 +209,7 @@ object StreamingOps {
     // newest committed version BELOW this batch id — on replay the state
     // may already hold v=batchId (possibly from an interrupted write), and
     // merging from it would double-count
-    val prevV = versions(stateDir).filter(_ < batchId) match {
+    val prevV = versions(spark, stateDir).filter(_ < batchId) match {
       case Nil => None
       case vs => Some(vs.max)
     }
@@ -227,26 +227,64 @@ object StreamingOps {
               coalesce(col("total_value"), lit(0.0))).as("total_value"))
     }
     merged.write.mode("overwrite").parquet(s"$stateDir/v=$batchId")
+    // prune AFTER the new version committed: a replay of THIS batch re-reads
+    // prevV, so prevV and v=batchId must survive; anything older is a dead
+    // full-key-set snapshot that would otherwise accumulate one per
+    // micro-batch forever
+    val fs = fileSystem(spark, stateDir)
+    versions(spark, stateDir)
+      .filter(_ < prevV.getOrElse(batchId))
+      .foreach(v => fs.delete(
+        new org.apache.hadoop.fs.Path(s"$stateDir/v=$v"), true))
   }
 
-  private def versions(stateDir: String): List[Long] = {
-    val d = new java.io.File(stateDir)
-    Option(d.listFiles()).toSeq.flatten
-      .flatMap(f => f.getName match {
-        // a version counts only once its _SUCCESS marker exists — a crash
-        // mid-write leaves a partial directory that must never be read or
-        // merged from
-        case s if s.startsWith("v=") &&
-            new java.io.File(f, "_SUCCESS").exists() =>
-          Some(s.drop(2).toLong)
-        case _ => None
-      }).toList
+  private def fileSystem(spark: SparkSession, dir: String)
+      : org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Committed state versions under `stateDir`, resolved through Hadoop's
+    * FileSystem API so the state may live on HDFS/S3/local alike (a
+    * java.io.File listing would silently see no versions on a remote store
+    * and drop all prior history from the merge).
+    */
+  private def versions(spark: SparkSession, stateDir: String): List[Long] = {
+    val path = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = fileSystem(spark, stateDir)
+    if (!fs.exists(path)) Nil
+    else fs.listStatus(path).toList.flatMap { st =>
+      val name = st.getPath.getName
+      // a version counts only once its _SUCCESS marker exists — a crash
+      // mid-write leaves a partial directory that must never be read or
+      // merged from
+      if (st.isDirectory && name.startsWith("v=") &&
+          fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
+        scala.util.Try(name.drop(2).toLong).toOption
+      else None
+    }
   }
 
-  /** The maintained view after all processed batches (latest version). */
+  /** Schema of the maintained per-user aggregate view ([[mergeAggBatch]]'s
+    * output and [[readAggState]]'s result, including the no-data case).
+    */
+  val AggStateSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("n_events",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("total_value",
+        org.apache.spark.sql.types.DoubleType)))
+
+  /** The maintained view after all processed batches (latest version).
+    * Before any batch commits this is an EMPTY frame with [[AggStateSchema]]
+    * — not a zero-column frame — so callers selecting the documented
+    * columns get an empty result instead of an AnalysisException.
+    */
   def readAggState(spark: SparkSession, stateDir: String): DataFrame =
-    versions(stateDir) match {
-      case Nil => spark.emptyDataFrame
+    versions(spark, stateDir) match {
+      case Nil => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], AggStateSchema)
       case vs => spark.read.parquet(s"$stateDir/v=${vs.max}")
     }
 

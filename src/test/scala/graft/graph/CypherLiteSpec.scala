@@ -110,4 +110,44 @@ class CypherLiteSpec extends SparkSpec {
       "MATCH (m:Step) WHERE q.name = 'x' RETURN m")
     assert(r2.isLeft, r2.toString)
   }
+
+  test("RETURN m.prop projects exactly the requested properties") {
+    val df = CypherLite.run(g,
+      "MATCH (m:Step) RETURN m.name, m.docnbr").toOption.get
+    assert(df.columns.toSeq == Seq("m_name", "m_docnbr"))
+    val full = CypherLite.run(g, "MATCH (m:Step) RETURN m").toOption.get
+    assert(df.count() == full.count())
+  }
+
+  test("ORDER BY DESC with LIMIT picks the top of the requested order") {
+    val top = CypherLite.run(g,
+      "MATCH (m:Step) RETURN m.name ORDER BY m.name DESC LIMIT 3")
+      .toOption.get.collect().map(_.getString(0)).toSeq
+    val all = CypherLite.run(g, "MATCH (m:Step) RETURN m.name")
+      .toOption.get.collect().map(_.getString(0)).toSeq
+    assert(top == all.sorted.reverse.take(3))
+  }
+
+  test("ORDER BY on an unprojected property is rejected (not misapplied)") {
+    val r = CypherLite.run(g,
+      "MATCH (m:Step) RETURN m.name ORDER BY m.content LIMIT 2")
+    assert(r.isLeft && r.swap.toOption.get.contains("ORDER BY"), r.toString)
+  }
+
+  test("OR in WHERE unions the branches; AND binds tighter than OR") {
+    val both = CypherLite.run(g,
+      "MATCH (m) WHERE m.name = 'number' OR m.name = 'title' RETURN m")
+      .toOption.get
+    val left = CypherLite.run(g,
+      "MATCH (m) WHERE m.name = 'number' RETURN m").toOption.get.count()
+    val right = CypherLite.run(g,
+      "MATCH (m) WHERE m.name = 'title' RETURN m").toOption.get.count()
+    assert(both.count() == left + right)
+    // A OR B AND C must parse as A OR (B AND C): the AND-group is
+    // self-contradictory, so the result is exactly branch A
+    val prec = CypherLite.run(g,
+      "MATCH (m) WHERE m.name = 'number' OR m.name = 'title' " +
+        "AND m.name = 'nope' RETURN m").toOption.get
+    assert(prec.count() == left)
+  }
 }

@@ -367,5 +367,20 @@ class StreamingSpec extends SparkSpec {
       .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"),
         r.getAs[Double]("total_value")))
     assert(replayed.toSeq == want.toSeq, "replay double-counted")
+    // version snapshots must not accumulate forever: only the last two
+    // committed versions (current + the one a replay would re-read)
+    // survive a commit
+    val kept = new java.io.File(s"$dir/state").listFiles()
+      .map(_.getName).filter(_.startsWith("v=")).sorted.toSeq
+    assert(kept == Seq("v=1", "v=2"),
+      s"old state versions must be pruned, found $kept")
+  }
+
+  test("readAggState before any commit returns the documented empty schema") {
+    val dir = java.nio.file.Files.createTempDirectory("ivm_empty").toString
+    val df = StreamingOps.readAggState(spark, s"$dir/state")
+    assert(df.schema == StreamingOps.AggStateSchema)
+    // the documented columns must be selectable (no AnalysisException)
+    assert(df.select("user_id", "n_events", "total_value").count() == 0)
   }
 }
