@@ -44,7 +44,17 @@ object Bench {
       }
       try {
         val first = once()
-        name -> math.min(first, once())
+        // each run is caught separately: a flake on the SECOND run must not
+        // discard the first run's real measurement as a failure
+        val second =
+          try Some(once())
+          catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] $name flaked on run 2: " +
+                s"${e.getMessage}")
+              None
+          }
+        name -> second.fold(first)(math.min(first, _))
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
@@ -64,7 +74,9 @@ object Bench {
       .mkString("{", ",", "}")
     val failed = results.filter(_._2 < 0).map("\"" + _._1 + "\"")
       .mkString("[", ",", "]")
-    val total = results.map(t => math.abs(t._2)).sum
+    // failures are EXCLUDED from total (not counted as a fake 1.0s): the
+    // `failed` list carries that signal; total stays a pure time sum
+    val total = results.filter(_._2 >= 0).map(_._2).sum
     // "value" = sum of per-query minima (the comparable signal);
     // "wall" = elapsed for the whole two-pass sweep (capacity figure)
     val line =

@@ -18,9 +18,16 @@ import org.apache.spark.sql.functions._
   * {{{
   *   MATCH (m[:Label] [{prop: 'value'[, ...]}]) [-[[:REL_TYPE]*1..K]->(connected)]
   *   [WHERE m.prop <op> 'value' [AND|OR ...]]     op ∈ {=, <>, <, <=, >, >=}
-  *   RETURN m | m.prop[, m.prop ...] | m, connected | m, count(connected)
+  *   RETURN m | m.prop[, m.prop ...] | m, connected | m.prop, connected
+  *          | m, count(connected) | m.prop[, m.prop ...], count(connected)
   *   [ORDER BY m.prop [ASC|DESC]] [LIMIT n]
   * }}}
+  * Property projections are honored on hop patterns too: `RETURN m.prop,
+  * count(connected)` groups the expansion by the requested property values
+  * (Cypher's grouping rule — every non-aggregate RETURN item is a grouping
+  * key), and `MATCH (m)-[*1..k]->(c) RETURN m[.prop]` returns only roots
+  * for which the pattern actually matches (≥1 node reachable within k
+  * hops), per Cypher's existence semantics.
   * WHERE mixes AND and OR without parentheses; standard precedence (AND
   * binds tighter) applies — the clause is evaluated as an OR of AND-groups.
   * Plus the maintenance form `MATCH (n) WHERE n.<tag> = true DETACH DELETE n`
@@ -137,8 +144,19 @@ object CypherLite {
           _ <- if (items.contains(RetConnected) && conn.isEmpty)
             Left("RETURN of the connected variable requires a hop pattern")
           else Right(())
-          _ <- if (items.count(_ == RetCount) > 0 && items.size > 2)
-            Left("count(connected) may only be combined with the matched variable")
+          _ <- if (items.count(_ == RetCount) > 1)
+            Left("at most one count(connected) per query")
+          else Right(())
+          _ <- if (items.contains(RetCount) && items.contains(RetConnected))
+            Left("count(connected) cannot be combined with returning the " +
+              "connected variable itself")
+          else Right(())
+          // Cypher's grouping rule: every non-aggregate RETURN item is a
+          // grouping key, so a bare count() with nothing to group by is a
+          // different query (global count) than this front end serves
+          _ <- if (items.contains(RetCount) && !items.exists(i =>
+              i == RetVar || i.isInstanceOf[RetProp]))
+            Left("count(connected) requires a grouping item (m or m.prop)")
           else Right(())
         } yield MatchReturn(Option(label), props, Option(relType),
           if (conn.isDefined) math.max(hops, 1) else 0,
@@ -179,20 +197,28 @@ object CypherLite {
         // unknown keys are rejected, not silently coerced to a name match —
         // a plausible-but-wrong answer is worse than an error to the
         // LLM-emitted-query caller this front end serves
+        val retProps = items.collect { case RetProp(p) => p }
         val filterProps = props.keys ++ conds.flatten.map(_.prop)
-        val projProps = items.collect { case RetProp(p) => p } ++
-          orderBy.map(_._1)
+        val projProps = retProps ++ orderBy.map(_._1)
         // ORDER BY must name a projected property: with LIMIT an unsortable
         // key would silently change WHICH rows come back, which is exactly
-        // the plausible-but-wrong failure this front end refuses to serve
+        // the plausible-but-wrong failure this front end refuses to serve.
+        // Must mirror runMatch's per-branch output columns exactly —
+        // ordered() fails loudly if the two ever drift.
         val outProps: Set[String] =
           if (hops == 0) items.flatMap {
             case RetVar => Seq("label", "name", "content")
             case RetProp(p) => Seq(p)
             case _ => Seq.empty
           }.toSet
-          else if (items.contains(RetCount) || items.contains(RetConnected))
-            Set("name")
+          else if (items.contains(RetCount)) items.flatMap {
+            case RetVar => Seq("name")
+            case RetProp(p) => Seq(p)
+            case _ => Seq.empty
+          }.toSet
+          else if (items.contains(RetConnected))
+            (if (retProps.nonEmpty) retProps else Seq("name")).toSet
+          else if (retProps.nonEmpty) retProps.toSet
           else Set("label", "name")
         filterProps.find(!SupportedProps(_))
           .map(k => Left(s"unsupported property: $k " +
@@ -227,20 +253,22 @@ object CypherLite {
     // onto its output column), then every remaining projected column as a
     // tiebreak — results must be stable for the oracle hash-compare and for
     // any caller diffing runs
-    def ordered(df: DataFrame, cols: Seq[String]): DataFrame = {
-      val keyed = orderBy match {
+    def ordered(df: DataFrame, cols: Seq[String]): DataFrame =
+      orderBy match {
         case Some((p, desc)) =>
           val out = s"m_$p"
-          // ORDER BY on a column that wasn't projected sorts on the base
-          // column name only when present; otherwise fall back to projected
-          if (cols.contains(out)) {
-            val key = if (desc) col(out).desc else col(out).asc
-            df.orderBy(key +: cols.filterNot(_ == out).map(col): _*)
-          } else df.orderBy(cols.map(col): _*)
+          // run() validated the ORDER BY key against the projected props;
+          // if the two ever drift, fail loudly — silently reordering (with
+          // LIMIT, silently changing WHICH rows survive) is the
+          // plausible-but-wrong failure this front end refuses to serve
+          require(cols.contains(out),
+            s"ORDER BY key '$p' missing from projected columns " +
+              s"(${cols.mkString(", ")}): run() validation and ordered() " +
+              "drifted — fix outProps/runMatch in lockstep")
+          val key = if (desc) col(out).desc else col(out).asc
+          df.orderBy(key +: cols.filterNot(_ == out).map(col): _*)
         case None => df.orderBy(cols.map(col): _*)
       }
-      keyed
-    }
     val base =
       if (hops == 0) {
         val matched = g.nodes.filter(pred)
@@ -256,23 +284,48 @@ object CypherLite {
         val named = outCols.map(c => col(c).as(s"m_$c"))
         ordered(matched.select(named: _*).toDF(), outCols.map("m_" + _))
       } else {
-        val neigh = GraphOps.neighborhoodWhere(g, pred, hops, relFilter)
-        val roots = g.nodes.filter(pred)
-          .select(col("id").as("root_id"), col("label").as("m_label"),
-            col("name").as("root_name_key"))
-        if (wantsCount)
-          // RETURN m, count(connected): aggregate the expansion per
-          // root — a group-by on the root key, parallel across roots
-          ordered(neigh.withColumnRenamed("root_name", "m_name")
-            .groupBy("m_name")
-            .agg(count(lit(1)).as("n_connected")), Seq("m_name"))
-        else if (wantsConnected)
-          ordered(neigh.withColumnRenamed("root_name", "m_name")
-            .select("m_name", "depth", "c_label", "c_name", "c_content"),
-            Seq("m_name", "depth", "c_label", "c_name", "c_content"))
-        else
-          ordered(roots.select(col("m_label"),
-            col("root_name_key").as("m_name")), Seq("m_label", "m_name"))
+        val retProps = items.collect { case RetProp(p) => p }
+        val neigh = GraphOps.neighborhoodWhereKeyed(g, pred, hops, relFilter)
+        // the root columns the RETURN list asks for, m_-prefixed; joined
+        // back by root id only when the request goes beyond the root's
+        // name (which the expansion already carries)
+        def withRootCols(keys: Seq[String]): DataFrame =
+          if (keys == Seq("name")) neigh.withColumnRenamed("root_name", "m_name")
+          else neigh.drop("root_name").join(
+            g.nodes.filter(pred).select(
+              col("id").as("root_id") +:
+                keys.map(p => col(p).as(s"m_$p")): _*),
+            "root_id")
+        if (wantsCount) {
+          // RETURN …, count(connected): Cypher's grouping rule — every
+          // non-aggregate item is a grouping key (RetVar contributes the
+          // node's name). A group-by on the root keys, parallel across roots.
+          val keys = items.flatMap {
+            case RetVar => Seq("name")
+            case RetProp(p) => Seq(p)
+            case _ => Seq.empty
+          }.distinct
+          val out = keys.map("m_" + _)
+          ordered(withRootCols(keys).groupBy(out.map(col): _*)
+            .agg(count(lit(1)).as("n_connected")), out)
+        } else if (wantsConnected) {
+          val keys = if (retProps.nonEmpty) retProps.distinct else Seq("name")
+          val out = keys.map("m_" + _) ++
+            Seq("depth", "c_label", "c_name", "c_content")
+          ordered(withRootCols(keys).select(out.map(col): _*), out)
+        } else {
+          // RETURN m[.prop] with a hop pattern: per Cypher semantics the
+          // pattern must MATCH — roots with nothing reachable within k hops
+          // are not matches, hence the semi-join on the expansion
+          val keys = if (retProps.nonEmpty) retProps.distinct
+            else Seq("label", "name")
+          val out = keys.map("m_" + _)
+          val roots = g.nodes.filter(pred).select(
+            col("id").as("root_id") +: keys.map(p => col(p).as(s"m_$p")): _*)
+          ordered(roots.join(neigh.select("root_id").distinct(),
+              Seq("root_id"), "left_semi")
+            .select(out.map(col): _*), out)
+        }
       }
     limit.map(base.limit).getOrElse(base)
   }

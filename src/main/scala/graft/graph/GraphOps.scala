@@ -177,6 +177,17 @@ object GraphOps {
   def neighborhoodWhere(g: GraphTables,
       pred: org.apache.spark.sql.Column, k: Int,
       relFilter: org.apache.spark.sql.Column =
+        col("relType").startsWith("HAS_")): DataFrame =
+    neighborhoodWhereKeyed(g, pred, k, relFilter)
+      .select("root_name", "depth", "c_label", "c_name", "c_content")
+
+  /** [[neighborhoodWhere]] keeping the root's node id, so callers can join
+    * back arbitrary root properties (CypherLite's `RETURN m.prop` on hop
+    * patterns) instead of being limited to the root's name.
+    */
+  def neighborhoodWhereKeyed(g: GraphTables,
+      pred: org.apache.spark.sql.Column, k: Int,
+      relFilter: org.apache.spark.sql.Column =
         col("relType").startsWith("HAS_")): DataFrame = {
     val roots = g.nodes.filter(pred).select(col("id").as("root_id"))
     val hops = kHop(g, roots, k, relFilter).filter(col("depth") > 0)
@@ -186,7 +197,8 @@ object GraphOps {
       col("label").as("c_label"), col("name").as("c_name"),
       col("content").as("c_content"))
     hops.join(rootNodes, "root_id").join(connected, "node_id")
-      .select("root_name", "depth", "c_label", "c_name", "c_content")
+      .select("root_id", "root_name", "depth", "c_label", "c_name",
+        "c_content")
   }
 
   /** Group connected rows under the matched node's name (Q5/B5/G1;

@@ -701,6 +701,36 @@ object ParquetGraph {
         .fold(err => throw new IllegalArgumentException(err), identity)
     },
 
+    // B6 CypherLite twin: RETURN m.prop under a hop pattern — the
+    // projection must be honored AND the pattern must actually match
+    // (Cypher existence semantics). TPC-H leaves ~1/3 of customers
+    // order-less, so the EXISTS prunes for real.
+    QueryDef.sql(
+      "graphp_cypher_hop_prop",
+      """SELECT CAST(c_custkey AS VARCHAR) AS m_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY m_name""".stripMargin) { (s, d) =>
+      CypherLite.run(hierarchy(s, d),
+        "MATCH (m:Customer)-[:HAS_ORDER*1..1]->(c) RETURN m.name")
+        .fold(err => throw new IllegalArgumentException(err), identity)
+    },
+
+    // B6 CypherLite twin: count(connected) grouped by a RETURN property —
+    // Cypher's grouping rule makes every non-aggregate item a key, so
+    // grouping five regions by their shared label collapses them into ONE
+    // row whose count is the whole 2-hop expansion (nations + customers).
+    QueryDef.sql(
+      "graphp_cypher_count_by_prop",
+      """SELECT 'Region' AS m_label,
+        |  CAST((SELECT count(*) FROM nation) +
+        |       (SELECT count(*) FROM customer) AS BIGINT) AS n_connected""".stripMargin) {
+      (s, d) =>
+        CypherLite.run(hierarchy(s, d),
+          "MATCH (m:Region)-[*1..2]->(connected) " +
+            "RETURN m.label, count(connected)")
+          .fold(err => throw new IllegalArgumentException(err), identity)
+    },
+
     // B9 viz-export twin: (src name, relType, dst name) renderer feed.
     QueryDef.sql(
       "graphp_viz_export",

@@ -865,16 +865,19 @@ object RelationalQueries {
       // sorting a few hundred MB) and catastrophic beyond it. The gate reads
       // the optimizer's size estimate (parquet footer bytes, pruned to the
       // two selected columns) — zero extra jobs, unlike a count(). The
-      // estimate treats every 8 compressed bytes as a row, which OVERSTATES
-      // rows, so estimation error only ever pushes toward the scale path —
-      // above the gate the EXACT same semantics come from the distributed
-      // two-pass kernel (w5b's plan), which derives its own exact n.
+      // estimate treats every 2 compressed bytes as a row: dictionary/RLE
+      // encoding can push a well-encoded key+decimal column pair below
+      // 8 B/row, so the divisor must sit under any plausible encoding for
+      // the estimate to provably OVERSTATE rows — estimation error then
+      // only ever pushes toward the scale path. Above the gate the EXACT
+      // same semantics come from the distributed two-pass kernel (w5b's
+      // plan), which derives its own exact n.
       val base = Tables.customer(s, d)
         .select(col("c_custkey").cast("long").as("c_custkey"),
           col("c_acctbal"))
       val stats = base.queryExecution.optimizedPlan.stats
       val estRows = stats.rowCount.map(_.toLong)
-        .getOrElse(stats.sizeInBytes.toLong / 8L)
+        .getOrElse(stats.sizeInBytes.toLong / 2L)
       if (estRows <= GlobalWindowMaxRows) {
         val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
         base.select(col("c_custkey"), ntile(4).over(w).as("quartile"),

@@ -150,4 +150,55 @@ class CypherLiteSpec extends SparkSpec {
         "AND m.name = 'nope' RETURN m").toOption.get
     assert(prec.count() == left)
   }
+
+  test("RETURN m.prop with a hop pattern projects the prop AND requires " +
+      "the pattern to match") {
+    val projected = CypherLite.run(g,
+      "MATCH (m:Boeing_Service_Bulletin)-[*1..1]->(c) RETURN m.docnbr")
+      .toOption.get
+    assert(projected.columns.toSeq == Seq("m_docnbr"))
+    // existence semantics: only roots with ≥1 reachable node are matches —
+    // a Step with no outgoing HAS_ edges must NOT appear
+    val roots = CypherLite.run(g,
+      "MATCH (m:Step)-[*1..1]->(c) RETURN m.docnbr").toOption.get.count()
+    val withChild = GraphOps.neighborhoodWhereKeyed(
+        g, col("label") === "Step", 1)
+      .select("root_id").distinct().count()
+    val allSteps = CypherLite.run(g, "MATCH (m:Step) RETURN m")
+      .toOption.get.count()
+    assert(roots == withChild && roots < allSteps,
+      s"roots=$roots withChild=$withChild allSteps=$allSteps")
+  }
+
+  test("RETURN m.prop, count(connected) groups by the requested property") {
+    // grouping by the shared label collapses every root into one group
+    // whose count is the total row-form expansion — Cypher's grouping rule
+    val grouped = CypherLite.run(g,
+      "MATCH (m:Boeing_Service_Bulletin)-[*1..2]->(connected) " +
+        "RETURN m.label, count(connected)").toOption.get.collect()
+    val rowTotal = CypherLite.run(g,
+      "MATCH (m:Boeing_Service_Bulletin)-[*1..2]->(connected) " +
+        "RETURN m, connected").toOption.get.count()
+    assert(grouped.map(_.getAs[Long]("n_connected")).sum == rowTotal)
+    assert(grouped.forall(_.getAs[String]("m_label")
+      == "Boeing_Service_Bulletin"))
+  }
+
+  test("RETURN m.prop, connected carries the requested root property") {
+    val df = CypherLite.run(g,
+      "MATCH (m:Boeing_Service_Bulletin)-[*1..1]->(connected) " +
+        "RETURN m.docnbr, connected").toOption.get
+    assert(df.columns.toSeq ==
+      Seq("m_docnbr", "depth", "c_label", "c_name", "c_content"))
+    assert(df.count() == CypherLite.run(g,
+      "MATCH (m:Boeing_Service_Bulletin)-[*1..1]->(connected) " +
+        "RETURN m, connected").toOption.get.count())
+  }
+
+  test("bare count(connected) without a grouping item is rejected") {
+    val r = CypherLite.parse(
+      "MATCH (m:Step)-[*1..1]->(c) RETURN count(c)")
+    assert(r.isLeft && r.swap.toOption.get.contains("grouping item"),
+      r.toString)
+  }
 }
