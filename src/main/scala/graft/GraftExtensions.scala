@@ -27,5 +27,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_hamming"),
       (children: Seq[Expression]) =>
         functions.HammingDistance(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_nfc"),
+      new ExpressionInfo(classOf[functions.NfcNormalize].getName,
+        "graft_nfc"),
+      (children: Seq[Expression]) =>
+        functions.NfcNormalize(children.head)))
   }
 }

@@ -46,6 +46,15 @@ object TextQueries {
   // values; production sizes K ≈ sqrt(N) and tunes NPROBE for recall.
   private val IvfK = 8
   private val IvfProbe = 2
+  // L23 chunking: C-token chunks every S tokens (C−S tokens of overlap)
+  private val ChunkSize = 32
+  private val ChunkStride = 24
+  // L24 PII patterns, restricted to the RE2 ∩ java.util.regex common
+  // dialect (simple classes + bounded quantifiers; no lookaround, no
+  // backrefs, no \b) so Spark and DuckDB match identically
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val Ipv4Re = "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"
+  private val PhoneRe = "\\+\\d{1,2}-\\d{3}-\\d{4}"
   private def hashA(k: Int): Long = 2L * k + 1
   private def hashB(k: Int): Long = 12345L * k + 1
 
@@ -957,6 +966,149 @@ object TextQueries {
       evalSh.join(candTrain, Seq("s"), "left_semi")
         .select("doc_id").distinct()
         .orderBy("doc_id")
+    },
+
+    // ------------------------------------------- L23 chunking with overlap
+    // Fixed-size token chunks with stride < size (the training-example
+    // packing front end: each chunk overlaps the previous by C−S tokens so
+    // no context is lost at boundaries). Pure per-row explode — fan-out is
+    // bounded by ~n_tokens/S, no shuffle except the presentation sort, so
+    // it streams at any corpus size.
+    QueryDef.sql(
+      "l23_chunk_overlap",
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS l
+         |  FROM documents),
+         |c AS (SELECT doc_id, l,
+         |    unnest(generate_series(1, len(l), $ChunkStride)) AS st
+         |  FROM t)
+         |SELECT doc_id, CAST((st - 1) / $ChunkStride AS INT) AS chunk_idx,
+         |  CAST(len(list_slice(l, st, st + ${ChunkSize - 1})) AS INT)
+         |    AS n_toks,
+         |  ${PortableHash.duck(
+             s"array_to_string(list_slice(l, st, st + ${ChunkSize - 1}), ' ')")}
+         |    AS chunk_hash
+         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"),
+          posexplode(sequence(lit(0), size(col("toks")) - 1,
+            lit(ChunkStride))), col("toks"))
+        .select(col("doc_id"), col("pos").as("chunk_idx"),
+          slice(col("toks"), col("col") + 1, lit(ChunkSize)).as("chunk"))
+        .select(col("doc_id"), col("chunk_idx"),
+          size(col("chunk")).as("n_toks"),
+          PortableHash.spark(array_join(col("chunk"), " ")).as("chunk_hash"))
+        .orderBy("doc_id", "chunk_idx")
+    },
+
+    // ------------------------------------------------------ L24 PII scrub
+    // Regex masking of emails / IPv4s / phone numbers with an audit count
+    // per class — the redaction pass every published training corpus needs.
+    // The synthetic docs carry no PII, so both engines append the SAME
+    // deterministic contact tail per row first; the scrub then operates on
+    // genuine matches and the oracle hashes the scrubbed text. Patterns
+    // stay in the RE2 ∩ java.util.regex common dialect (no lookaround, no
+    // backrefs) so both engines replace identically; per-row work only —
+    // zero shuffle beyond the presentation sort.
+    QueryDef.sql(
+      "l24_pii_scrub",
+      s"""WITH aug AS (SELECT doc_id,
+         |    text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+         |    '@mail.example.com or user' || CAST(doc_id AS VARCHAR) ||
+         |    '@backup.org from 10.' || CAST(doc_id % 200 AS VARCHAR) ||
+         |    '.0.7 call +1-555-' ||
+         |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(t, '$EmailRe')) AS BIGINT) AS n_email,
+         |  CAST(len(regexp_extract_all(t, '$Ipv4Re')) AS BIGINT) AS n_ip,
+         |  CAST(len(regexp_extract_all(t, '$PhoneRe')) AS BIGINT) AS n_phone,
+         |  ${PortableHash.duck(
+             s"regexp_replace(regexp_replace(regexp_replace(t, '$EmailRe'," +
+               s" '<EMAIL>', 'g'), '$PhoneRe', '<PHONE>', 'g'), '$Ipv4Re'," +
+               s" '<IP>', 'g')")} AS scrub_hash
+         |FROM aug ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val aug = Tables.documents(s, d).select(col("doc_id"),
+        concat(col("text"), lit(" contact user"),
+          col("doc_id").cast("string"), lit("@mail.example.com or user"),
+          col("doc_id").cast("string"), lit("@backup.org from 10."),
+          (col("doc_id") % 200).cast("string"), lit(".0.7 call +1-555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")).as("t"))
+      aug.select(col("doc_id"),
+        regexp_count(col("t"), lit(EmailRe)).cast("long").as("n_email"),
+        regexp_count(col("t"), lit(Ipv4Re)).cast("long").as("n_ip"),
+        regexp_count(col("t"), lit(PhoneRe)).cast("long").as("n_phone"),
+        PortableHash.spark(
+          regexp_replace(regexp_replace(regexp_replace(col("t"),
+            EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>"), Ipv4Re, "<IP>"))
+          .as("scrub_hash"))
+        .orderBy("doc_id")
+    },
+
+    // ------------------------------------------- L25 text normalization
+    // Unicode NFC (via the native `graft_nfc` codegen expression — Spark
+    // has no built-in; DuckDB's `nfc_normalize` is the oracle) + lowercase
+    // + whitespace collapse + trim. Both engines first append the SAME
+    // messy tail (upper-cased echo, tabs, a combining-accent sequence) so
+    // every cleanup step, including the NFC fold of `e`+U+0301 → `é`,
+    // operates on rows where it genuinely fires; the codepoint-length
+    // column proves the fold happened (2 codepoints → 1). Per-row
+    // expressions inside whole-stage codegen — zero shuffle.
+    QueryDef.sql(
+      "l25_normalize_text",
+      s"""WITH aug AS (SELECT doc_id,
+         |    '  ' || upper(substr(text, 1, 40)) || chr(9) || text ||
+         |    ' cafe' || chr(769) || '  ' AS t
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(length(trim(regexp_replace(lower(nfc_normalize(t)),
+         |    '\\s+', ' ', 'g'))) AS BIGINT) AS n_chars_norm,
+         |  ${PortableHash.duck(
+             "trim(regexp_replace(lower(nfc_normalize(t)), '\\s+', ' '," +
+               " 'g'))")} AS norm_hash
+         |FROM aug ORDER BY doc_id""".stripMargin) { (s, d) =>
+      graft.functions.NfcNormalize.register(s)
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          concat(lit("  "), upper(substring(col("text"), 1, 40)), lit("\t"),
+            col("text"), lit(" café  ")).as("t"))
+        .select(col("doc_id"),
+          trim(regexp_replace(lower(expr("graft_nfc(t)")), "\\s+", " "))
+            .as("norm"))
+        .select(col("doc_id"),
+          length(col("norm")).cast("long").as("n_chars_norm"),
+          PortableHash.spark(col("norm")).as("norm_hash"))
+        .orderBy("doc_id")
+    },
+
+    // ------------------------------------------ L26 train/val/test split
+    // Content-addressed split assignment: bucket = portable_hash(doc_id)
+    // mod 100 → 90/5/5. The assignment is a pure function of the row, so
+    // it is identical across engines, runs, partition layouts, and
+    // cluster sizes — re-shuffling the corpus can never move a document
+    // between splits (the property that keeps eval sets stable as the
+    // corpus grows). One hash + one group-by; no global state.
+    QueryDef.sql(
+      "l26_split_assign",
+      s"""SELECT CASE
+         |    WHEN ${PortableHash.duck("CAST(doc_id AS VARCHAR)")} % 100 < 90
+         |      THEN 'train'
+         |    WHEN ${PortableHash.duck("CAST(doc_id AS VARCHAR)")} % 100 < 95
+         |      THEN 'val'
+         |    ELSE 'test' END AS split,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+         |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+         |FROM documents GROUP BY split ORDER BY split""".stripMargin) {
+      (s, d) =>
+        val bucket = PortableHash.spark(col("doc_id").cast("string")) % 100
+        Tables.documents(s, d)
+          .select(when(bucket < 90, "train").when(bucket < 95, "val")
+            .otherwise("test").as("split"), col("n_chars"), col("lang"))
+          .groupBy("split")
+          .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars"),
+            countDistinct("lang").as("n_langs"))
+          .orderBy("split")
     }
   )
 
