@@ -1046,6 +1046,93 @@ object RelationalQueries {
           .select(col("o_custkey").as("custkey")))
         .orderBy("custkey")
     },
+
+    // U7 MERGE (upsert): source = balance bump for nations 0-4 plus one
+    // synthetic new customer per region; "matched update / not matched
+    // insert" via MergeOps.mergeInto (anti-join + union — one shuffle,
+    // never a full-table rewrite). Graded on the per-nation census of the
+    // merged table.
+    QueryDef.sql(
+      "u7_merge_upsert",
+      s"""WITH src AS (
+         |  SELECT c_custkey, c_nationkey, c_acctbal + 100 AS c_acctbal
+         |  FROM customer WHERE c_nationkey < 5
+         |  UNION ALL
+         |  SELECT 1000000 + r_regionkey, CAST(r_regionkey AS INT),
+         |    CAST(0 AS DOUBLE)
+         |  FROM region),
+         |merged AS (
+         |  SELECT c_custkey, c_nationkey, c_acctbal FROM src
+         |  UNION ALL
+         |  SELECT t.c_custkey, t.c_nationkey, t.c_acctbal FROM customer t
+         |  WHERE NOT EXISTS (SELECT 1 FROM src WHERE src.c_custkey = t.c_custkey))
+         |SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+         |  CAST(count(*) AS BIGINT) AS n_customers,
+         |  ${graft.Det.duckCentSum("c_acctbal", 2)} AS total_bal
+         |FROM merged GROUP BY nationkey ORDER BY nationkey""".stripMargin) {
+      (s, d) =>
+        val target = Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+        val updates = target.filter(col("c_nationkey") < 5)
+          .withColumn("c_acctbal", col("c_acctbal") + 100)
+        val inserts = Tables.region(s, d).select(
+          (col("r_regionkey") + 1000000L).cast("long").as("c_custkey"),
+          col("r_regionkey").cast("int").as("c_nationkey"),
+          lit(0.0).as("c_acctbal"))
+        val merged = MergeOps.mergeInto(target,
+          updates.unionByName(inserts), Seq("c_custkey"))
+        merged.groupBy(col("c_nationkey").cast("long").as("nationkey"))
+          .agg(count(lit(1)).as("n_customers"),
+            graft.Det.centSum(col("c_acctbal"), 2).as("total_bal"))
+          .orderBy("nationkey")
+    },
+
+    // U8 CDC diff: tag every key as insert/delete/update/unchanged between
+    // two snapshots — old = customer, new = the U7 merge result minus every
+    // 97th customer, so all four tags genuinely occur. ONE full-outer join
+    // on the key; non-key columns compared as a null-safe struct (no hash,
+    // so no collision can mislabel an update). Graded on the tag census.
+    QueryDef.sql(
+      "u8_cdc_diff",
+      """WITH src AS (
+        |  SELECT c_custkey, c_nationkey, c_acctbal + 100 AS c_acctbal
+        |  FROM customer WHERE c_nationkey < 5
+        |  UNION ALL
+        |  SELECT 1000000 + r_regionkey, CAST(r_regionkey AS INT),
+        |    CAST(0 AS DOUBLE)
+        |  FROM region),
+        |merged AS (
+        |  SELECT c_custkey, c_nationkey, c_acctbal FROM src
+        |  UNION ALL
+        |  SELECT t.c_custkey, t.c_nationkey, t.c_acctbal FROM customer t
+        |  WHERE NOT EXISTS (SELECT 1 FROM src WHERE src.c_custkey = t.c_custkey)),
+        |new_t AS (SELECT * FROM merged WHERE c_custkey % 97 <> 0),
+        |diff AS (
+        |  SELECT CASE WHEN o.c_custkey IS NULL THEN 'insert'
+        |              WHEN n.c_custkey IS NULL THEN 'delete'
+        |              WHEN o.c_nationkey IS DISTINCT FROM n.c_nationkey
+        |                OR o.c_acctbal IS DISTINCT FROM n.c_acctbal
+        |                THEN 'update'
+        |              ELSE 'unchanged' END AS op
+        |  FROM customer o FULL OUTER JOIN new_t n
+        |    ON o.c_custkey = n.c_custkey)
+        |SELECT op, CAST(count(*) AS BIGINT) AS n
+        |FROM diff GROUP BY op ORDER BY op""".stripMargin) { (s, d) =>
+      val target = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+      val updates = target.filter(col("c_nationkey") < 5)
+        .withColumn("c_acctbal", col("c_acctbal") + 100)
+      val inserts = Tables.region(s, d).select(
+        (col("r_regionkey") + 1000000L).cast("long").as("c_custkey"),
+        col("r_regionkey").cast("int").as("c_nationkey"),
+        lit(0.0).as("c_acctbal"))
+      val newSnap = MergeOps.mergeInto(target,
+        updates.unionByName(inserts), Seq("c_custkey"))
+        .filter(col("c_custkey") % 97 =!= 0)
+      MergeOps.cdcDiff(target, newSnap, Seq("c_custkey"))
+        .groupBy("op").agg(count(lit(1)).as("n"))
+        .orderBy("op")
+    },
     QueryDef.sql(
       "o2b_limit_offset",
       // pagination: deterministic only over a total order, which the unique
