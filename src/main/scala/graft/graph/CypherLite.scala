@@ -8,18 +8,20 @@ import org.apache.spark.sql.functions._
   * match a node by label and/or property equality, optionally expand a
   * bounded number of hops downward (optionally constrained to one
   * relationship type, as the schema prompt's typed relationships invite),
-  * filter the matched node with WHERE comparisons (AND/OR, no parens),
-  * return the matched node, a property projection of it, its connected
-  * nodes, or a per-root count, with optional ORDER BY and LIMIT. The
-  * serving shell can hand queries of this shape straight to the engine —
-  * no Neo4j.
+  * filter the matched node AND/OR the connected node with WHERE
+  * comparisons (AND/OR, no parens), return the matched node, a property
+  * projection of it, its connected nodes (whole or property-projected),
+  * or a per-root count, with optional ORDER BY and LIMIT. The serving
+  * shell can hand queries of this shape straight to the engine — no Neo4j.
   *
-  * Grammar (case-insensitive keywords):
+  * Grammar (case-insensitive keywords; `c` is the hop pattern's connected
+  * variable):
   * {{{
-  *   MATCH (m[:Label] [{prop: 'value'[, ...]}]) [-[[:REL_TYPE]*1..K]->(connected)]
-  *   [WHERE m.prop <op> 'value' [AND|OR ...]]     op ∈ {=, <>, <, <=, >, >=}
-  *   RETURN m | m.prop[, m.prop ...] | m, connected | m.prop, connected
-  *          | m, count(connected) | m.prop[, m.prop ...], count(connected)
+  *   MATCH (m[:Label] [{prop: 'value'[, ...]}]) [-[[:REL_TYPE]*1..K]->(c)]
+  *   [WHERE (m|c).prop <op> 'value' [AND|OR ...]] op ∈ {=, <>, <, <=, >, >=}
+  *   RETURN m | m.prop[, m.prop ...] | m, c | m.prop, c
+  *          | m.prop[, ...], c.prop[, ...] | c.prop[, ...]
+  *          | m, count(c) | m.prop[, m.prop ...], count(c)
   *   [ORDER BY m.prop [ASC|DESC]] [LIMIT n]
   * }}}
   * Property projections are honored on hop patterns too: `RETURN m.prop,
@@ -27,7 +29,12 @@ import org.apache.spark.sql.functions._
   * (Cypher's grouping rule — every non-aggregate RETURN item is a grouping
   * key), and `MATCH (m)-[*1..k]->(c) RETURN m[.prop]` returns only roots
   * for which the pattern actually matches (≥1 node reachable within k
-  * hops), per Cypher's existence semantics.
+  * hops), per Cypher's existence semantics. WHERE conditions on the
+  * CONNECTED variable filter the (m, c) pattern bindings themselves —
+  * `WHERE c.name < '2' RETURN m.name` keeps exactly the roots with a
+  * matching connected node (≡ SQL EXISTS), `RETURN m.name, count(c)`
+  * counts only the matching bindings, and `RETURN m.name, c.content`
+  * projects one row per surviving binding.
   * WHERE mixes AND and OR without parentheses; standard precedence (AND
   * binds tighter) applies — the clause is evaluated as an OR of AND-groups.
   * Plus the maintenance form `MATCH (n) WHERE n.<tag> = true DETACH DELETE n`
@@ -36,12 +43,17 @@ import org.apache.spark.sql.functions._
 object CypherLite {
 
   sealed trait Statement
-  final case class Cond(prop: String, op: String, value: String)
+  /** One comparison; `onConn` = it references the hop pattern's connected
+    * variable rather than the matched one.
+    */
+  final case class Cond(prop: String, op: String, value: String,
+      onConn: Boolean = false)
 
   sealed trait RetItem
   case object RetVar extends RetItem // the whole matched node
   final case class RetProp(prop: String) extends RetItem // m.prop
   case object RetConnected extends RetItem
+  final case class RetConnProp(prop: String) extends RetItem // c.prop
   case object RetCount extends RetItem // count(connected)
 
   final case class MatchReturn(
@@ -99,8 +111,12 @@ object CypherLite {
               val cs = parts.map {
                 case CondRe(v, prop, op, value) if v == m =>
                   Right(Cond(prop, op, value))
+                case CondRe(v, prop, op, value) if conn.contains(v) =>
+                  Right(Cond(prop, op, value, onConn = true))
                 case CondRe(v, _, _, _) =>
-                  Left(s"WHERE may only reference the matched variable '$m', got '$v'")
+                  Left(s"WHERE may only reference the matched variable '$m'" +
+                    conn.fold("")(c => s" or the connected variable '$c'") +
+                    s", got '$v'")
                 case other =>
                   Left(s"unsupported WHERE condition: ${other.take(80)}")
               }
@@ -117,8 +133,10 @@ object CypherLite {
           case CountRe(v) => Left(s"count() may only aggregate the " +
             s"connected variable${conn.fold("")(c => s" '$c'")}, got '$v'")
           case VarPropRe(v, p) if v == m => Right(RetProp(p))
+          case VarPropRe(v, p) if conn.contains(v) => Right(RetConnProp(p))
           case VarPropRe(v, p) => Left(
-            s"property projection may only reference '$m', got '$v.$p'")
+            s"property projection may only reference '$m'" +
+              conn.fold("")(c => s" or '$c'") + s", got '$v.$p'")
           case VarRe(v) if v == m => Right(RetVar)
           case VarRe(v) if conn.contains(v) => Right(RetConnected)
           case other => Left(s"unsupported RETURN item: ${other.take(40)}")
@@ -144,12 +162,21 @@ object CypherLite {
           _ <- if (items.contains(RetConnected) && conn.isEmpty)
             Left("RETURN of the connected variable requires a hop pattern")
           else Right(())
+          _ <- if (conds.flatten.exists(_.onConn) && conn.isEmpty)
+            Left("WHERE on the connected variable requires a hop pattern")
+          else Right(())
           _ <- if (items.count(_ == RetCount) > 1)
             Left("at most one count(connected) per query")
           else Right(())
-          _ <- if (items.contains(RetCount) && items.contains(RetConnected))
+          _ <- if (items.contains(RetCount) && (items.contains(RetConnected)
+              || items.exists(_.isInstanceOf[RetConnProp])))
             Left("count(connected) cannot be combined with returning the " +
-              "connected variable itself")
+              "connected variable or its properties")
+          else Right(())
+          _ <- if (items.contains(RetConnected) &&
+              items.exists(_.isInstanceOf[RetConnProp]))
+            Left("return either the connected variable or its properties, " +
+              "not both")
           else Right(())
           // Cypher's grouping rule: every non-aggregate RETURN item is a
           // grouping key, so a bare count() with nothing to group by is a
@@ -172,13 +199,21 @@ object CypherLite {
     */
   private val ProjectableProps = SupportedProps + "label"
 
-  private def condCol(c: Cond): Column = c.op match {
-    case "=" => col(c.prop) === c.value
-    case "<>" => col(c.prop) =!= c.value
-    case "<" => col(c.prop) < c.value
-    case "<=" => col(c.prop) <= c.value
-    case ">" => col(c.prop) > c.value
-    case ">=" => col(c.prop) >= c.value
+  /** Properties of the CONNECTED variable a WHERE or RETURN may reference —
+    * the node image the hop expansion carries (`c_label`/`c_name`/
+    * `c_content`). The connected pattern has no label syntax (`(c)` is
+    * bare), so `c.label = '…'` is how a query narrows the connected node's
+    * type — Cypher's `(c:Label)` spelled as a property comparison.
+    */
+  private val ConnectedProps = Set("name", "content", "label")
+
+  private def condCol(c: Cond, target: Column): Column = c.op match {
+    case "=" => target === c.value
+    case "<>" => target =!= c.value
+    case "<" => target < c.value
+    case "<=" => target <= c.value
+    case ">" => target > c.value
+    case ">=" => target >= c.value
   }
 
   /** Execute against the graph; returns (m_label, m_name[, depth, c_label,
@@ -198,7 +233,9 @@ object CypherLite {
         // a plausible-but-wrong answer is worse than an error to the
         // LLM-emitted-query caller this front end serves
         val retProps = items.collect { case RetProp(p) => p }
-        val filterProps = props.keys ++ conds.flatten.map(_.prop)
+        val connRetProps = items.collect { case RetConnProp(p) => p }
+        val (connConds, mConds) = conds.flatten.partition(_.onConn)
+        val filterProps = props.keys ++ mConds.map(_.prop)
         val projProps = retProps ++ orderBy.map(_._1)
         // ORDER BY must name a projected property: with LIMIT an unsortable
         // key would silently change WHICH rows come back, which is exactly
@@ -218,11 +255,16 @@ object CypherLite {
           }.toSet
           else if (items.contains(RetConnected))
             (if (retProps.nonEmpty) retProps else Seq("name")).toSet
-          else if (retProps.nonEmpty) retProps.toSet
+          else if (retProps.nonEmpty || connRetProps.nonEmpty)
+            retProps.toSet // c-prop-only RETURN → no m ORDER BY keys
           else Set("label", "name")
         filterProps.find(!SupportedProps(_))
           .map(k => Left(s"unsupported property: $k " +
             s"(supported: ${SupportedProps.toSeq.sorted.mkString(", ")})"))
+          .orElse((connConds.map(_.prop) ++ connRetProps)
+            .find(!ConnectedProps(_))
+            .map(k => Left(s"unsupported connected-node property: $k " +
+              s"(supported: ${ConnectedProps.toSeq.sorted.mkString(", ")})")))
           .orElse(projProps.find(!ProjectableProps(_))
             .map(k => Left(s"unsupported projection property: $k " +
               s"(supported: ${ProjectableProps.toSeq.sorted.mkString(", ")})")))
@@ -237,12 +279,24 @@ object CypherLite {
       props: Map[String, String], relType: Option[String], hops: Int,
       conds: Seq[Seq[Cond]], items: Seq[RetItem],
       orderBy: Option[(String, Boolean)], limit: Option[Int]): DataFrame = {
-    val andGroups = conds.map(_.map(condCol).reduceOption(_ && _)
-      .getOrElse(lit(true)))
-    val pred = (label.map(col("label") === _).toSeq ++
-      props.map { case (k, v) => col(k) === v } ++
-      andGroups.reduceOption(_ || _).toSeq)
+    // the WHERE DNF, evaluated against a caller-chosen column mapping: bare
+    // node columns on the m-only fast path, m_/c_-prefixed binding columns
+    // when a clause references the connected variable
+    def dnf(colOf: Cond => Column): Column =
+      conds.map(_.map(c => condCol(c, colOf(c))).reduceOption(_ && _)
+        .getOrElse(lit(true)))
+        .reduceOption(_ || _).getOrElse(lit(true))
+    val hasConnCond = conds.flatten.exists(_.onConn)
+    val basePred = (label.map(col("label") === _).toSeq ++
+      props.map { case (k, v) => col(k) === v })
       .reduceOption(_ && _).getOrElse(lit(true))
+    // m-only WHERE pushes down to the root scan; a clause touching the
+    // connected variable must instead filter the (m, c) bindings after
+    // expansion (Cypher filters the whole pattern match) — an m-cond
+    // OR-mixed with a c-cond can keep a root the m-cond alone would drop
+    val pred =
+      if (hasConnCond) basePred
+      else basePred && dnf(c => col(c.prop))
     // untyped hops follow all downward containment edges; a typed hop
     // pattern restricts the expansion to exactly that relationship
     val relFilter = relType.map(col("relType") === _)
@@ -285,17 +339,32 @@ object CypherLite {
         ordered(matched.select(named: _*).toDF(), outCols.map("m_" + _))
       } else {
         val retProps = items.collect { case RetProp(p) => p }
+        val connRetProps = items.collect { case RetConnProp(p) => p }
         val neigh = GraphOps.neighborhoodWhereKeyed(g, pred, hops, relFilter)
-        // the root columns the RETURN list asks for, m_-prefixed; joined
-        // back by root id only when the request goes beyond the root's
-        // name (which the expansion already carries)
-        def withRootCols(keys: Seq[String]): DataFrame =
-          if (keys == Seq("name")) neigh.withColumnRenamed("root_name", "m_name")
-          else neigh.drop("root_name").join(
-            g.nodes.filter(pred).select(
-              col("id").as("root_id") +:
-                keys.map(p => col(p).as(s"m_$p")): _*),
-            "root_id")
+        // m properties the binding filter needs beyond what RETURN asks for
+        val mCondProps =
+          if (hasConnCond) conds.flatten.filterNot(_.onConn).map(_.prop)
+          else Seq.empty[String]
+        // the root columns the RETURN list (and, with a connected-variable
+        // WHERE, the binding filter) asks for, m_-prefixed; joined back by
+        // root id only when the request goes beyond the root's name (which
+        // the expansion already carries). With a connected-variable WHERE
+        // the full DNF is applied here, per (m, c) binding.
+        def withRootCols(keys0: Seq[String]): DataFrame = {
+          val keys = (keys0 ++ mCondProps).distinct
+          val df =
+            if (keys == Seq("name"))
+              neigh.withColumnRenamed("root_name", "m_name")
+            else neigh.drop("root_name").join(
+              g.nodes.filter(pred).select(
+                col("id").as("root_id") +:
+                  keys.map(p => col(p).as(s"m_$p")): _*),
+              "root_id")
+          if (hasConnCond)
+            df.filter(dnf(c =>
+              col(if (c.onConn) s"c_${c.prop}" else s"m_${c.prop}")))
+          else df
+        }
         if (wantsCount) {
           // RETURN …, count(connected): Cypher's grouping rule — every
           // non-aggregate item is a grouping key (RetVar contributes the
@@ -313,16 +382,27 @@ object CypherLite {
           val out = keys.map("m_" + _) ++
             Seq("depth", "c_label", "c_name", "c_content")
           ordered(withRootCols(keys).select(out.map(col): _*), out)
+        } else if (connRetProps.nonEmpty) {
+          // RETURN [m.prop, ...,] c.prop[, ...]: one row per surviving
+          // (m, c) binding, exactly the requested columns — the expansion
+          // already dedupes to min depth per (root, node) pair, so each
+          // binding appears once; equal projected values from DISTINCT
+          // bindings stay distinct rows (Cypher's bag semantics)
+          val keys = retProps.distinct
+          val out = keys.map("m_" + _) ++ connRetProps.distinct.map("c_" + _)
+          ordered(withRootCols(keys).select(out.map(col): _*), out)
         } else {
           // RETURN m[.prop] with a hop pattern: per Cypher semantics the
           // pattern must MATCH — roots with nothing reachable within k hops
-          // are not matches, hence the semi-join on the expansion
+          // (or, under a connected-variable WHERE, with no binding passing
+          // it) are not matches, hence the semi-join on the expansion
           val keys = if (retProps.nonEmpty) retProps.distinct
             else Seq("label", "name")
           val out = keys.map("m_" + _)
+          val matched = if (hasConnCond) withRootCols(Seq.empty) else neigh
           val roots = g.nodes.filter(pred).select(
             col("id").as("root_id") +: keys.map(p => col(p).as(s"m_$p")): _*)
-          ordered(roots.join(neigh.select("root_id").distinct(),
+          ordered(roots.join(matched.select("root_id").distinct(),
               Seq("root_id"), "left_semi")
             .select(out.map(col): _*), out)
         }

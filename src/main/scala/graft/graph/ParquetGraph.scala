@@ -731,6 +731,56 @@ object ParquetGraph {
           .fold(err => throw new IllegalArgumentException(err), identity)
     },
 
+    // B6 CypherLite twin: WHERE on the CONNECTED variable with RETURN m —
+    // Cypher existence semantics over the filtered bindings, graded against
+    // the SQL EXISTS formulation. Customer node names are custkeys as
+    // strings, so the lexicographic band ['100','101') selects keys 100 and
+    // 1000-1009 — ~11 of 1500 customers at sf0.01, sparse enough that most
+    // nations genuinely prune (the EXISTS does real work on both engines).
+    QueryDef.sql(
+      "graphp_cypher_conn_where",
+      """SELECT n_name AS m_name FROM nation
+        |WHERE EXISTS (SELECT 1 FROM customer
+        |  WHERE c_nationkey = n_nationkey
+        |    AND CAST(c_custkey AS VARCHAR) >= '100'
+        |    AND CAST(c_custkey AS VARCHAR) < '101')
+        |ORDER BY m_name""".stripMargin) { (s, d) =>
+      CypherLite.run(hierarchy(s, d),
+        "MATCH (m:Nation)-[:HAS_CUSTOMER*1..1]->(c) " +
+          "WHERE c.name >= '100' AND c.name < '101' RETURN m.name")
+        .fold(err => throw new IllegalArgumentException(err), identity)
+    },
+
+    // B6 CypherLite twin: mixed m/c property projection under a
+    // connected-variable WHERE — one row per surviving (m, c) binding.
+    QueryDef.sql(
+      "graphp_cypher_conn_ret",
+      """SELECT r_name AS m_name, n_name AS c_name
+        |FROM region JOIN nation ON n_regionkey = r_regionkey
+        |WHERE n_name >= 'E' AND n_name < 'P'
+        |ORDER BY m_name, c_name""".stripMargin) { (s, d) =>
+      CypherLite.run(hierarchy(s, d),
+        "MATCH (m:Region)-[*1..1]->(c) " +
+          "WHERE c.name >= 'E' AND c.name < 'P' RETURN m.name, c.name")
+        .fold(err => throw new IllegalArgumentException(err), identity)
+    },
+
+    // B6 CypherLite twin: count(c) restricted by a connected-variable WHERE
+    // on the node's LABEL — `c.label = '…'` is how a query narrows the
+    // bare connected pattern's type, here counting only the depth-2
+    // customers out of each region's 2-hop expansion.
+    QueryDef.sql(
+      "graphp_cypher_conn_count",
+      """SELECT r_name AS m_name, CAST(count(*) AS BIGINT) AS n_connected
+        |FROM region JOIN nation ON n_regionkey = r_regionkey
+        |JOIN customer ON c_nationkey = n_nationkey
+        |GROUP BY r_name ORDER BY m_name""".stripMargin) { (s, d) =>
+      CypherLite.run(hierarchy(s, d),
+        "MATCH (m:Region)-[*1..2]->(c) WHERE c.label = 'Customer' " +
+          "RETURN m.name, count(c)")
+        .fold(err => throw new IllegalArgumentException(err), identity)
+    },
+
     // B9 viz-export twin: (src name, relType, dst name) renderer feed.
     QueryDef.sql(
       "graphp_viz_export",

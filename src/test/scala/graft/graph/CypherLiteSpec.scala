@@ -201,4 +201,74 @@ class CypherLiteSpec extends SparkSpec {
     assert(r.isLeft && r.swap.toOption.get.contains("grouping item"),
       r.toString)
   }
+
+  test("WHERE on the connected node filters bindings with existence " +
+      "semantics for RETURN m") {
+    // only bulletins with ≥1 Summary child within 2 hops survive
+    val withSummary = CypherLite.run(g,
+      "MATCH (m:Boeing_Service_Bulletin)-[*1..2]->(c) " +
+        "WHERE c.label = 'Summary' RETURN m.docnbr").toOption.get
+    val direct = GraphOps.neighborhoodWhereKeyed(g,
+        col("label") === "Boeing_Service_Bulletin", 2)
+      .filter(col("c_label") === "Summary")
+      .select("root_id").distinct().count()
+    assert(withSummary.count() == direct && direct > 0)
+    // an impossible connected filter prunes every root
+    val none = CypherLite.run(g,
+      "MATCH (m:Boeing_Service_Bulletin)-[*1..2]->(c) " +
+        "WHERE c.label = 'NoSuchLabel' RETURN m.docnbr").toOption.get
+    assert(none.count() == 0)
+  }
+
+  test("RETURN m.prop, c.prop projects one row per surviving binding") {
+    val df = CypherLite.run(g,
+      "MATCH (m:Boeing_Service_Bulletin)-[*1..2]->(c) " +
+        "WHERE c.label = 'Summary' RETURN m.docnbr, c.content")
+      .toOption.get
+    assert(df.columns.toSeq == Seq("m_docnbr", "c_content"))
+    val direct = GraphOps.neighborhoodWhereKeyed(g,
+        col("label") === "Boeing_Service_Bulletin", 2)
+      .filter(col("c_label") === "Summary").count()
+    assert(df.count() == direct && direct > 0)
+  }
+
+  test("count(c) under a connected WHERE counts only matching bindings") {
+    val counted = CypherLite.run(g,
+      "MATCH (m:Boeing_Service_Bulletin)-[*1..3]->(c) " +
+        "WHERE c.label = 'Step' RETURN m.docnbr, count(c)").toOption.get
+    val rowTotal = GraphOps.neighborhoodWhereKeyed(g,
+        col("label") === "Boeing_Service_Bulletin", 3)
+      .filter(col("c_label") === "Step").count()
+    assert(counted.agg(sum("n_connected")).collect().head.getLong(0)
+      == rowTotal && rowTotal > 0)
+  }
+
+  test("m-cond OR c-cond keeps roots where EITHER side matches") {
+    // the m-branch alone matches every bulletin, so a root whose connected
+    // filter fails must still survive via the m branch — the OR cannot be
+    // split into a root filter AND a binding filter
+    val either = CypherLite.run(g,
+      "MATCH (m:Boeing_Service_Bulletin)-[*1..1]->(c) " +
+        "WHERE m.docnbr >= '0' OR c.label = 'NoSuchLabel' RETURN m.docnbr")
+      .toOption.get.count()
+    val all = CypherLite.run(g,
+      "MATCH (m:Boeing_Service_Bulletin)-[*1..1]->(c) RETURN m.docnbr")
+      .toOption.get.count()
+    assert(either == all && all > 0)
+  }
+
+  test("connected references without a hop pattern are rejected") {
+    val r = CypherLite.run(g,
+      "MATCH (m:Step) WHERE c.name = 'x' RETURN m")
+    assert(r.isLeft, r.toString)
+    val r2 = CypherLite.parse("MATCH (m:Step) RETURN m.name, c.content")
+    assert(r2.isLeft, r2.toString)
+  }
+
+  test("unsupported connected-node properties are rejected") {
+    val r = CypherLite.run(g,
+      "MATCH (m:Step)-[*1..1]->(c) WHERE c.docnbr = 'x' RETURN m")
+    assert(r.isLeft &&
+      r.swap.toOption.get.contains("connected-node property"), r.toString)
+  }
 }
