@@ -242,10 +242,14 @@ object GraphOps {
       relType: String, batch: String): GraphTables = {
     val spark = g.nodes.sparkSession
     import spark.implicits._
-    val nodeIdUdf = udf((name: String) =>
-      GraphModel.nodeId(targetLabel, name, "", ""))
+    // native codegen expression, not a closure UDF: the id is computed for
+    // every mapping row, and this is the one place a large-scale relink
+    // would otherwise box strings per row outside whole-stage codegen
+    graft.functions.NodeId.register(spark)
+    val idCol = expr(s"graft_node_id('${targetLabel.replace("'", "''")}', " +
+      "target_name, '', '', '')")
     val dimNodes = mapping.select(col("target_name")).distinct()
-      .select(nodeIdUdf(col("target_name")).as("id"),
+      .select(idCol.as("id"),
         lit(targetLabel).as("label"), col("target_name").as("name"),
         lit("").as("content"), lit("").as("docnbr"), lit(batch).as("batch"),
         typedLit(Seq.empty[Int]).as("path"))
@@ -256,7 +260,7 @@ object GraphOps {
       .select(col("id").as("root_id"), col("docnbr"))
     val newEdges = mapping.join(roots, "docnbr")
       .select(col("root_id").as("src"),
-        nodeIdUdf(col("target_name")).as("dst"),
+        idCol.as("dst"),
         lit(relType).as("relType"), col("docnbr"), lit(batch).as("batch"))
       .as[EdgeRow]
     upsert(g, GraphTables(dimNodes, newEdges))
