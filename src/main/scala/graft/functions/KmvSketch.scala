@@ -142,10 +142,13 @@ case class KmvSketch(
 }
 
 object KmvSketch {
-  /** Register `graft_kmv_distinct(col)` on the session (idempotent). */
-  def register(spark: SparkSession): Unit =
+  /** Register `graft_kmv_distinct(col)` on the session (idempotent).
+    * `k` sizes the sketch: rel. std error ≈ 1/sqrt(k-2), buffer = 8k bytes.
+    */
+  def register(spark: SparkSession, name: String = "graft_kmv_distinct",
+      k: Int = 1024): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_kmv_distinct",
-      exprs => KmvSketch(exprs.head).toAggregateExpression(),
+      name,
+      exprs => KmvSketch(exprs.head, k = k).toAggregateExpression(),
       "internal")
 }

@@ -62,6 +62,31 @@ object RelationalQueries {
       .orderBy("c_custkey")
   }
 
+  /** DuckDB mirror of the KMV sketch at sketch size `k`: the sketch hashes
+    * with the repo's portable md5-60-bit hash, so its EXACT estimate is
+    * reproducible — per group, take the k smallest hashes of the distinct
+    * keys and apply the estimator (k-1)/(kth-min / 2^60); exact count
+    * below k.
+    */
+  private def kmvOracleSql(k: Int): String =
+    s"""WITH h AS (
+       |  SELECT DISTINCT l_returnflag,
+       |    CAST(concat('0x', substring(md5(CAST(l_partkey AS VARCHAR)),
+       |      1, 15)) AS BIGINT) AS hv
+       |  FROM lineitem WHERE l_partkey IS NOT NULL),
+       |r AS (
+       |  SELECT l_returnflag, hv,
+       |    row_number() OVER (PARTITION BY l_returnflag ORDER BY hv) AS rn,
+       |    count(*) OVER (PARTITION BY l_returnflag) AS nd
+       |  FROM h)
+       |SELECT l_returnflag,
+       |  CASE WHEN nd < $k THEN nd
+       |       ELSE CAST(floor(CAST(${k - 1} AS DOUBLE) /
+       |         (CAST(hv AS DOUBLE) / CAST(1152921504606846976 AS DOUBLE))
+       |         + 0.5) AS BIGINT) END AS kmv_parts
+       |FROM r WHERE rn = least(nd, $k)
+       |ORDER BY l_returnflag""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     // ---------------------------------------------------------- scans (S)
     QueryDef.sql(
@@ -384,34 +409,25 @@ object RelationalQueries {
         .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
         .orderBy("l_returnflag")
     },
-    QueryDef.sql(
-      "g4b_kmv_sketch",
-      // the KMV sketch hashes with the repo's portable md5-60-bit hash, so
-      // its EXACT estimate is reproducible in DuckDB: per group, take the
-      // 1024 smallest hashes of the distinct keys and apply the estimator
-      // (k-1)/(kth-min / 2^60); exact count below k
-      """WITH h AS (
-        |  SELECT DISTINCT l_returnflag,
-        |    CAST(concat('0x', substring(md5(CAST(l_partkey AS VARCHAR)),
-        |      1, 15)) AS BIGINT) AS hv
-        |  FROM lineitem WHERE l_partkey IS NOT NULL),
-        |r AS (
-        |  SELECT l_returnflag, hv,
-        |    row_number() OVER (PARTITION BY l_returnflag ORDER BY hv) AS rn,
-        |    count(*) OVER (PARTITION BY l_returnflag) AS nd
-        |  FROM h)
-        |SELECT l_returnflag,
-        |  CASE WHEN nd < 1024 THEN nd
-        |       ELSE CAST(floor(CAST(1023 AS DOUBLE) /
-        |         (CAST(hv AS DOUBLE) / CAST(1152921504606846976 AS DOUBLE))
-        |         + 0.5) AS BIGINT) END AS kmv_parts
-        |FROM r WHERE rn = least(nd, 1024)
-        |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    QueryDef.sql("g4b_kmv_sketch", kmvOracleSql(1024)) { (s, d) =>
       // custom TypedImperativeAggregate KMV sketch, partial+final mergeable
       graft.functions.KmvSketch.register(s)
       Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
       s.sql(
         """SELECT l_returnflag, graft_kmv_distinct(l_partkey) AS kmv_parts
+          |FROM lineitem GROUP BY l_returnflag
+          |ORDER BY l_returnflag""".stripMargin)
+    },
+    // production-knob twin (round-7 directive 3): the sketch at k=4096
+    // (rel. std error ≈ 1.6%, 32 KB buffer) through the same oracle —
+    // estimator parity is k-independent because both engines derive the
+    // estimate from the same portable kth-min hash
+    QueryDef.sql("g4b_prod_knobs", kmvOracleSql(4096)) { (s, d) =>
+      graft.functions.KmvSketch.register(s, "graft_kmv_distinct_4096", 4096)
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+      s.sql(
+        """SELECT l_returnflag,
+          |  graft_kmv_distinct_4096(l_partkey) AS kmv_parts
           |FROM lineitem GROUP BY l_returnflag
           |ORDER BY l_returnflag""".stripMargin)
     },

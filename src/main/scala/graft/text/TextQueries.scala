@@ -23,19 +23,50 @@ object PortableHash {
   * bucket joins instead of all-pairs cross joins wherever the semantics
   * allow — and mirrored in DuckDB SQL for the correctness oracle.
   */
+/** Sizing knobs of the near-dup family. Every knob appears in BOTH the
+  * Spark pipeline and its generated DuckDB oracle SQL, so oracle parity is
+  * provable at any setting — `KnobMatrixSpec` and the `*_prod_knobs`
+  * registry entries run the same comparisons at [[DedupKnobs.Production]]
+  * that the regular entries run at [[DedupKnobs.Test]].
+  */
+final case class DedupKnobs(
+    seeds: Int,        // minhash signature length
+    bands: Int,        // minhash LSH bands (seeds/bands rows per band)
+    simBits: Int,      // simhash fingerprint width
+    jaccardDfCap: Int  // n-gram posting-list cap before the pair join
+) {
+  require(seeds % bands == 0, "seeds must divide evenly into bands")
+  require(simBits % 4 == 0 && simBits <= 64, "simhash is 4 banded longs")
+  /** SimHash band width. Band count is FIXED at 4: a pair within Hamming
+    * distance 3 differs in ≤3 bit positions, so by pigeonhole at least one
+    * of 4 bands matches exactly — full recall at the ≤3 threshold. Scaling
+    * is done by widening the bands (8→16 bits = 256→65536 buckets/band),
+    * never by adding bands, which would lower the distance guarantee.
+    */
+  def simBandBits: Int = simBits / 4
+}
+
+object DedupKnobs {
+  /** Small values that exercise every mechanism (caps trip, bands collide)
+    * at sf0.001-0.1 corpus scale.
+    */
+  val Test = DedupKnobs(seeds = 16, bands = 4, simBits = 32, jaccardDfCap = 5)
+  /** Documented production defaults for a billion-doc corpus: 32 minhashes
+    * in 8 bands (4-row bands ⇒ candidate threshold ≈ 0.56 Jaccard), 64-bit
+    * simhash in 4×16-bit bands (65536 buckets/band keeps the band join
+    * sub-quadratic), posting lists capped at DF 1000 (a small multiple of
+    * the expected dup-cluster width).
+    */
+  val Production =
+    DedupKnobs(seeds = 32, bands = 8, simBits = 64, jaccardDfCap = 1000)
+}
+
 object TextQueries {
-  private val SEEDS  = 16 // minhash signature length
-  private val BANDS  = 4  // LSH bands (4 rows per band)
-  private val SIMBITS = 32
+  import DedupKnobs.{Test => TK}
   // universal hash family over one base md5 hash: h_k = (a_k·h + b_k) mod P.
   // One md5 per shingle instead of SEEDS md5s — 16× fewer digest calls on
   // the ingest-side hot path; P = 2^31-1 keeps a_k·h < 2^63.
   private val P = 2147483647L
-  // posting-list cap for the n-gram Jaccard join: shingles appearing in more
-  // documents than this are dropped before the self-join (each contributes
-  // DF² join rows). 5 exercises the cap at test scale; production would size
-  // it as a small multiple of the expected dup-cluster width (e.g. 1000).
-  private val JaccardDfCap = 5
   // contamination-check DF cap: shingles present in more documents than this
   // match essentially everything (stopword trigrams) and carry zero
   // decontamination signal, while making one semi-join key drag most of the
@@ -93,8 +124,24 @@ object TextQueries {
         .orderBy("lang")
     },
     // -------------------------------------------------- L2 MinHash+LSH dedup
-    QueryDef.sql("l2_minhash_lsh", duckMinhashSql) { (s, d) =>
+    QueryDef.sql("l2_minhash_lsh", duckMinhashSql()) { (s, d) =>
       minhashPairs(s, d).orderBy("doc_a", "doc_b")
+    },
+    // ------------------- production-knob twins of the near-dup family:
+    // identical pipelines at DedupKnobs.Production, run through the same
+    // oracle harness — proving parity is knob-independent, not an artifact
+    // of the small test constants (round-7 directive 3)
+    QueryDef.sql("l2_prod_knobs", duckMinhashSql(DedupKnobs.Production)) {
+      (s, d) =>
+        minhashPairs(s, d, DedupKnobs.Production).orderBy("doc_a", "doc_b")
+    },
+    QueryDef.sql("l2b2_prod_knobs",
+      duckSimhashPairsSql(DedupKnobs.Production)) { (s, d) =>
+      simhashPairs(s, d, DedupKnobs.Production)
+    },
+    QueryDef.sql("l2c_prod_knobs",
+      duckNgramJaccardSql(DedupKnobs.Production)) { (s, d) =>
+      ngramJaccard(s, d, DedupKnobs.Production)
     },
     // ------------------------------------- L2e duplicate clustering (CC)
     QueryDef.sql("l2e_dup_clusters", duckDupClustersSql) { (s, d) =>
@@ -118,43 +165,8 @@ object TextQueries {
       simhashDf(s, d).orderBy("doc_id")
     },
     // ------------------------------- L2b2 SimHash near-dup (banded verify)
-    QueryDef.sql(
-      "l2b2_simhash_neardup",
-      // near-dup pairs at Hamming distance ≤ 3 over the 32-bit simhash. The
-      // oracle derives the same pairs by brute force; the engine only meets
-      // candidates inside a band bucket (see comment on the Spark side).
-      s"""WITH fp AS ($duckSimhashCore),
-         |pairs AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |    bit_count(xor(a.simhash, b.simhash)) AS hamming
-         |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id)
-         |SELECT doc_a, doc_b, CAST(hamming AS INT) AS hamming
-         |FROM pairs WHERE hamming <= 3
-         |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
-      // 4 bands × 8 bits: a pair within Hamming distance 3 differs in at
-      // most 3 bit positions, so by pigeonhole at least one band matches
-      // exactly — the band equi-join has FULL recall at this threshold and
-      // never goes all-pairs. The verify step is the codegen'd
-      // `graft_hamming` (popcount-of-xor) native expression.
-      // Production sizing: 8-bit bands give only 256 buckets per band, so a
-      // billion-doc corpus would pack ~4M docs per bucket and the bucket
-      // join degrades toward quadratic. The same code scales by widening the
-      // fingerprint (SIMBITS=64) and bands to 16 bits (65536 buckets/band),
-      // keeping the pigeonhole guarantee at the same threshold.
-      graft.functions.HammingDistance.register(s)
-      val fps = simhashDf(s, d)
-      def banded(idCol: String, fpCol: String): DataFrame =
-        fps.select(col("doc_id").as(idCol), col("simhash").as(fpCol))
-          .withColumn("band", explode(expr(
-            s"transform(sequence(0, 3)," +
-              s" b -> concat(b, ':', shiftright($fpCol, b * 8) % 256))")))
-      banded("doc_a", "fp_a").join(banded("doc_b", "fp_b"), Seq("band"))
-        .filter(col("doc_a") < col("doc_b"))
-        .select("doc_a", "fp_a", "doc_b", "fp_b").distinct()
-        .withColumn("hamming", expr("graft_hamming(fp_a, fp_b)"))
-        .filter(col("hamming") <= 3)
-        .select("doc_a", "doc_b", "hamming")
-        .orderBy("doc_a", "doc_b")
+    QueryDef.sql("l2b2_simhash_neardup", duckSimhashPairsSql()) { (s, d) =>
+      simhashPairs(s, d, TK)
     },
     // ------------------------------------ L2f deduplicated corpus output
     QueryDef.sql("l2f_dedup_output", duckDedupOutputSql) { (s, d) =>
@@ -175,53 +187,8 @@ object TextQueries {
         .orderBy("lang")
     },
     // ------------------------------------------------- L2c n-gram Jaccard
-    QueryDef.sql(
-      "l2c_ngram_jaccard",
-      s"""WITH sh0 AS ($duckShingles),
-         |hot AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) > $JaccardDfCap),
-         |sh AS (SELECT * FROM sh0 ANTI JOIN hot USING (s)),
-         |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-         |pairs AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
-         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-         |  GROUP BY a.doc_id, b.doc_id)
-         |SELECT doc_a, doc_b,
-         |  ${graft.Det.duckPortableRound(
-            "CAST(shared AS DOUBLE) / CAST(sa.n + sb.n - shared AS DOUBLE)",
-            6)} AS jaccard
-         |FROM pairs JOIN sz sa ON doc_a = sa.doc_id
-         |           JOIN sz sb ON doc_b = sb.doc_id
-         |WHERE CAST(shared AS DOUBLE) / CAST(sa.n + sb.n - shared AS DOUBLE)
-         |      >= 0.1
-         |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
-      // inverted-index join on shared shingles — never all-pairs. A stopword
-      // shingle shared by k docs contributes k² join rows, so without a DF
-      // cap one common trigram turns the self-join quadratic at corpus
-      // scale; posting lists are capped first (the standard near-dup-
-      // pipeline guard), and Jaccard is computed over the capped shingle
-      // space on both engines. The hot set is tiny by construction
-      // (only shingles with DF > cap) — broadcast anti-join, no extra
-      // shuffle of the full shingle stream.
-      val sh0 = shingles(s, d)
-      val hot = sh0.groupBy("s").agg(count(lit(1)).as("df"))
-        .filter(col("df") > JaccardDfCap).select("s")
-      val sh = sh0.join(broadcast(hot), Seq("s"), "left_anti")
-      val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val pairs = sh.select(col("doc_id").as("doc_a"), col("s"))
-        .join(sh.select(col("doc_id").as("doc_b"), col("s")), "s")
-        .filter(col("doc_a") < col("doc_b"))
-        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
-      val jac = col("shared").cast("double") /
-        (col("na") + col("nb") - col("shared")).cast("double")
-      pairs
-        .join(sz.select(col("doc_id"), col("n").as("na")),
-          col("doc_a") === col("doc_id")).drop("doc_id")
-        .join(sz.select(col("doc_id"), col("n").as("nb")),
-          col("doc_b") === col("doc_id")).drop("doc_id")
-        .filter(jac >= 0.1)
-        .select(col("doc_a"), col("doc_b"),
-          graft.Det.portableRound(jac, 6).as("jaccard"))
-        .orderBy("doc_a", "doc_b")
+    QueryDef.sql("l2c_ngram_jaccard", duckNgramJaccardSql()) { (s, d) =>
+      ngramJaccard(s, d, TK)
     },
     // ------------------------------------ L2d embedding-cosine near-dup
     QueryDef.sql(
@@ -1115,16 +1082,17 @@ object TextQueries {
   /** Spark side of the MinHash+LSH candidate-pair pipeline (shared by the
     * pair query and duplicate clustering).
     */
-  private def minhashPairs(s: SparkSession, d: String): DataFrame = {
+  private def minhashPairs(s: SparkSession, d: String,
+      kn: DedupKnobs = TK): DataFrame = {
     val sh = shingles(s, d)
       .select(col("doc_id"), (PortableHash.spark(col("s")) % P).as("hb"))
-    val minCols = (0 until SEEDS).map(k =>
+    val minCols = (0 until kn.seeds).map(k =>
       min((lit(hashA(k)) * col("hb") + hashB(k)) % P).as(s"h$k"))
     val sig = sh.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
-    val rowsPerBand = SEEDS / BANDS
+    val rowsPerBand = kn.seeds / kn.bands
     // one band-key array + posexplode, NOT a union of per-band selects: a
     // union re-runs the whole scan+hash+aggregate pipeline per band
-    val bandKeys = array((0 until BANDS).map { b =>
+    val bandKeys = array((0 until kn.bands).map { b =>
       md5(concat_ws("_", (0 until rowsPerBand).map(r =>
         col(s"h${b * rowsPerBand + r}").cast("string")): _*))
     }: _*)
@@ -1144,11 +1112,11 @@ object TextQueries {
   }
 
   /** Shared DuckDB CTE chain ending in a `pairs(doc_a, doc_b)` relation. */
-  private lazy val duckPairsCtes: String = {
-    val mins = (0 until SEEDS).map(k =>
+  private def duckPairsCtes(kn: DedupKnobs = TK): String = {
+    val mins = (0 until kn.seeds).map(k =>
       s"min((${hashA(k)} * hb + ${hashB(k)}) % $P) AS h$k").mkString(",\n  ")
-    val rowsPerBand = SEEDS / BANDS
-    val bands = (0 until BANDS).map { b =>
+    val rowsPerBand = kn.seeds / kn.bands
+    val bands = (0 until kn.bands).map { b =>
       val key = (0 until rowsPerBand)
         .map(r => s"CAST(h${b * rowsPerBand + r} AS VARCHAR)")
         .mkString("concat_ws('_', ", ", ", ")")
@@ -1170,15 +1138,15 @@ object TextQueries {
   /** DuckDB mirror of the MinHash+LSH pipeline, generated from the same
     * SEEDS/BANDS constants as the Spark side.
     */
-  private lazy val duckMinhashSql: String =
-    s"""WITH $duckPairsCtes
+  private def duckMinhashSql(kn: DedupKnobs = TK): String =
+    s"""WITH ${duckPairsCtes(kn)}
        |SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b""".stripMargin
 
   /** DuckDB mirror of the dedup output: canonical docs joined back to the
     * corpus, grouped by language.
     */
   private lazy val duckDedupOutputSql: String =
-    s"""WITH RECURSIVE $duckPairsCtes,
+    s"""WITH RECURSIVE ${duckPairsCtes()},
        |bi AS (SELECT doc_a AS s, doc_b AS t FROM pairs
        |       UNION ALL SELECT doc_b, doc_a FROM pairs),
        |reach(start, node) AS (
@@ -1195,7 +1163,7 @@ object TextQueries {
     * candidate pairs via a recursive CTE, cluster id = min reachable doc.
     */
   private lazy val duckDupClustersSql: String =
-    s"""WITH RECURSIVE $duckPairsCtes,
+    s"""WITH RECURSIVE ${duckPairsCtes()},
        |bi AS (SELECT doc_a AS s, doc_b AS t FROM pairs
        |       UNION ALL SELECT doc_b, doc_a FROM pairs),
        |reach(start, node) AS (
@@ -1210,25 +1178,32 @@ object TextQueries {
   /** (doc_id, 32-bit simhash) — shared by the fingerprint query and the
     * banded near-dup pair search.
     */
-  private def simhashDf(s: SparkSession, d: String): DataFrame = {
+  private def simhashDf(s: SparkSession, d: String,
+      kn: DedupKnobs = TK): DataFrame = {
     val toks = Tables.documents(s, d)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .withColumn("h", PortableHash.spark(col("tok")))
-    val sumCols = (0 until SIMBITS).map(j =>
+    val sumCols = (0 until kn.simBits).map(j =>
       sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1)
         .otherwise(-1)).as(s"s$j"))
     val sums = toks.groupBy("doc_id").agg(sumCols.head, sumCols.tail: _*)
-    val fp = (0 until SIMBITS).map(j =>
+    // the bit terms are summed low-to-high, so every partial sum fits in a
+    // long even at simBits=64 (positives total ≤ 2^63-1 before the final
+    // sign-bit term, which is Long.MinValue) — no ANSI overflow
+    val fp = (0 until kn.simBits).map(j =>
       when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
     sums.select(col("doc_id"), fp.as("simhash"))
   }
 
-  private lazy val duckSimhashCore: String = {
+  private def duckSimhashCore(kn: DedupKnobs = TK): String = {
     val h = PortableHash.duck("tok")
-    val sums = (0 until SIMBITS).map(j =>
+    val sums = (0 until kn.simBits).map(j =>
       s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j")
       .mkString(",\n  ")
-    val fp = (0 until SIMBITS).map(j =>
+    // left-assoc addition in the same low-to-high order as the Spark side:
+    // partial sums never exceed BIGINT range even with the 2^63 sign term
+    // (interpolated as the negative literal -9223372036854775808)
+    val fp = (0 until kn.simBits).map(j =>
       s"(CASE WHEN s$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)")
       .mkString(" + ")
     s"""WITH toks AS (SELECT doc_id, $h AS h
@@ -1242,7 +1217,109 @@ object TextQueries {
   }
 
   private lazy val duckSimhashSql: String =
-    duckSimhashCore + "\nORDER BY doc_id"
+    duckSimhashCore() + "\nORDER BY doc_id"
+
+  /** SimHash near-dup pairs at Hamming ≤ 3, banded candidate search.
+    *
+    * 4 bands of `simBandBits` bits each: a pair within Hamming distance 3
+    * differs in ≤3 bit positions, so by pigeonhole at least one band
+    * matches exactly — the band equi-join has FULL recall at this
+    * threshold and never goes all-pairs. The verify step is the codegen'd
+    * `graft_hamming` (popcount-of-xor) native expression. Production
+    * sizing: 8-bit bands give only 256 buckets per band, so a billion-doc
+    * corpus would pack ~4M docs per bucket and the bucket join degrades
+    * toward quadratic; [[DedupKnobs.Production]] widens the fingerprint to
+    * 64 bits and bands to 16 bits (65536 buckets/band), keeping the
+    * pigeonhole guarantee at the same threshold. The band key masks with
+    * `& (2^W - 1)` rather than `%` so the sign bit of a 64-bit fingerprint
+    * can't produce negative band values.
+    */
+  private def simhashPairs(s: SparkSession, d: String,
+      kn: DedupKnobs): DataFrame = {
+    graft.functions.HammingDistance.register(s)
+    val w = kn.simBandBits
+    val mask = (1L << w) - 1L
+    val fps = simhashDf(s, d, kn)
+    def banded(idCol: String, fpCol: String): DataFrame =
+      fps.select(col("doc_id").as(idCol), col("simhash").as(fpCol))
+        .withColumn("band", explode(expr(
+          s"transform(sequence(0, 3)," +
+            s" b -> concat(b, ':', shiftright($fpCol, b * $w) & $mask))")))
+    banded("doc_a", "fp_a").join(banded("doc_b", "fp_b"), Seq("band"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "fp_a", "doc_b", "fp_b").distinct()
+      .withColumn("hamming", expr("graft_hamming(fp_a, fp_b)"))
+      .filter(col("hamming") <= 3)
+      .select("doc_a", "doc_b", "hamming")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Oracle for [[simhashPairs]]: near-dup pairs at Hamming ≤ 3 derived by
+    * brute force over all pairs (the engine only meets candidates inside a
+    * band bucket — same result set, sub-quadratic plan).
+    */
+  private def duckSimhashPairsSql(kn: DedupKnobs = TK): String =
+    s"""WITH fp AS (${duckSimhashCore(kn)}),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    bit_count(xor(a.simhash, b.simhash)) AS hamming
+       |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, CAST(hamming AS INT) AS hamming
+       |FROM pairs WHERE hamming <= 3
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** N-gram Jaccard similarity over an inverted-index join on shared
+    * shingles — never all-pairs. A stopword shingle shared by k docs
+    * contributes k² join rows, so without a DF cap one common trigram
+    * turns the self-join quadratic at corpus scale; posting lists are
+    * capped first (the standard near-dup-pipeline guard), and Jaccard is
+    * computed over the capped shingle space on both engines. The hot set
+    * is tiny by construction (only shingles with DF > cap) — broadcast
+    * anti-join, no extra shuffle of the full shingle stream.
+    */
+  private def ngramJaccard(s: SparkSession, d: String,
+      kn: DedupKnobs): DataFrame = {
+    val sh0 = shingles(s, d)
+    val hot = sh0.groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") > kn.jaccardDfCap).select("s")
+    val sh = sh0.join(broadcast(hot), Seq("s"), "left_anti")
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val pairs = sh.select(col("doc_id").as("doc_a"), col("s"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("s")), "s")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
+    val jac = col("shared").cast("double") /
+      (col("na") + col("nb") - col("shared")).cast("double")
+    pairs
+      .join(sz.select(col("doc_id"), col("n").as("na")),
+        col("doc_a") === col("doc_id")).drop("doc_id")
+      .join(sz.select(col("doc_id"), col("n").as("nb")),
+        col("doc_b") === col("doc_id")).drop("doc_id")
+      .filter(jac >= 0.1)
+      .select(col("doc_a"), col("doc_b"),
+        graft.Det.portableRound(jac, 6).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private def duckNgramJaccardSql(kn: DedupKnobs = TK): String =
+    s"""WITH sh0 AS ($duckShingles),
+       |hot AS (SELECT s FROM sh0 GROUP BY s
+       |        HAVING count(*) > ${kn.jaccardDfCap}),
+       |sh AS (SELECT * FROM sh0 ANTI JOIN hot USING (s)),
+       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id)
+       |SELECT doc_a, doc_b,
+       |  ${graft.Det.duckPortableRound(
+          "CAST(shared AS DOUBLE) / CAST(sa.n + sb.n - shared AS DOUBLE)",
+          6)} AS jaccard
+       |FROM pairs JOIN sz sa ON doc_a = sa.doc_id
+       |           JOIN sz sb ON doc_b = sb.doc_id
+       |WHERE CAST(shared AS DOUBLE) / CAST(sa.n + sb.n - shared AS DOUBLE)
+       |      >= 0.1
+       |ORDER BY doc_a, doc_b""".stripMargin
 
   private lazy val duckLangIdSql: String = {
     val hitCols = LangId.stopwords.map { case (lang, words) =>
