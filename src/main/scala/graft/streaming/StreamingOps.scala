@@ -21,6 +21,13 @@ final case class UserState(n_events: Long, total_value: Double)
 final case class UserSnapshot(user_id: Long, n_events: Long,
     total_value: Double)
 
+/** State of an open per-user session for [[StreamingOps.sessionTotalsWithTimeout]]. */
+final case class SessionState(n_events: Long, last_ts_ms: Long)
+/** Emitted session row: `closed = false` while the session is live (Update
+  * mode progress), `true` exactly once when the event-time timeout fires.
+  */
+final case class SessionTotal(user_id: Long, n_events: Long, closed: Boolean)
+
 /** Structured-Streaming operator surface (SURVEY.md §2.C T1-T8). Each
   * transform takes a (possibly streaming) events DataFrame and returns the
   * transformed frame — the same plans run in batch mode, which is how the
@@ -75,6 +82,45 @@ object StreamingOps {
             prev.total_value + batch.map(_.value).sum)
           state.update(next)
           UserSnapshot(userId, next.n_events, next.total_value)
+      }
+  }
+
+  /** T6 with `EventTimeTimeout`: per-user session counters whose state is
+    * EVICTED by the engine when no event arrives within `gapMinutes` of the
+    * user's last event (measured in event time against the watermark).
+    * This is what bounds the state store on an unbounded stream: without a
+    * timeout, one state entry per ever-seen key lives forever — at 100 TB
+    * that's the difference between a state store sized by ACTIVE keys and
+    * one sized by ALL keys in history. The timeout invocation both emits
+    * the final `closed = true` row and removes the state, so a returning
+    * key starts a fresh session (asserted in StreamingSpec).
+    */
+  def sessionTotalsWithTimeout(spark: SparkSession,
+      events: Dataset[EventRow], gapMinutes: Int = 30)
+      : Dataset[SessionTotal] = {
+    import spark.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
+    events.withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[SessionState, SessionTotal](
+        GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[EventRow],
+            state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            // watermark passed last_ts + gap: close the session and DROP
+            // the state — `remove()` is the eviction under test
+            val fin = state.get
+            state.remove()
+            SessionTotal(userId, fin.n_events, closed = true)
+          } else {
+            val batch = rows.toSeq
+            val prev = state.getOption.getOrElse(SessionState(0L, 0L))
+            val next = SessionState(prev.n_events + batch.size,
+              math.max(prev.last_ts_ms, batch.map(_.ts.getTime).max))
+            state.update(next)
+            state.setTimeoutTimestamp(next.last_ts_ms + gapMs)
+            SessionTotal(userId, next.n_events, closed = false)
+          }
       }
   }
 

@@ -131,6 +131,46 @@ class StreamingSpec extends SparkSpec {
     assert(math.abs(last.getAs[Double]("total_value") - 3.5) < 1e-9)
   }
 
+  test("EventTimeTimeout evicts per-key state and emits the close (T6)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventRow]
+    val q = StreamingOps
+      .sessionTotalsWithTimeout(spark, mem.toDS())
+      .writeStream.format("memory").queryName("t6_timeout_stream")
+      .outputMode(OutputMode.Update()).start()
+    // batch 1: users 7 and 8 open sessions at 00:00; user 7's timeout is
+    // armed at 00:30 (last event + 30-min gap)
+    mem.addData(EventRow(1L, ts(0), 7L, "view", 1.0),
+      EventRow(2L, ts(0), 8L, "view", 1.0))
+    q.processAllAvailable()
+    // batch 2: user 8 keeps going at 00:50 → after this batch the
+    // watermark advances to 00:40, past user 7's 00:30 timeout
+    mem.addData(EventRow(3L, ts(50), 8L, "view", 1.0))
+    q.processAllAvailable()
+    // batch 3: any traffic triggers the timeout sweep against the new
+    // watermark — user 7 must be closed with its pre-timeout count
+    mem.addData(EventRow(4L, ts(51), 8L, "view", 1.0))
+    q.processAllAvailable()
+    val closed = spark.table("t6_timeout_stream")
+      .filter(col("closed") && col("user_id") === 7L).collect()
+    assert(closed.length == 1, s"expected one close row: ${closed.toSeq}")
+    assert(closed.head.getAs[Long]("n_events") == 1L)
+    // batch 4: user 7 returns — a fresh session proves the state was
+    // REMOVED, not just flagged (n_events restarts at 1, not 2)
+    mem.addData(EventRow(5L, ts(52), 7L, "view", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val reopened = spark.table("t6_timeout_stream")
+      .filter(!col("closed") && col("user_id") === 7L)
+      .orderBy(col("n_events").desc).collect()
+    assert(reopened.head.getAs[Long]("n_events") == 1L,
+      s"state survived the timeout: ${reopened.toSeq}")
+    // user 8 never timed out: no close row for it
+    assert(spark.table("t6_timeout_stream")
+      .filter(col("closed") && col("user_id") === 8L).isEmpty)
+  }
+
   test("stream-static join enriches events with the customer dim (T8)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
