@@ -17,7 +17,7 @@ import org.apache.spark.sql.functions._
   * Grammar (case-insensitive keywords; `c` is the hop pattern's connected
   * variable):
   * {{{
-  *   MATCH (m[:Label] [{prop: 'value'[, ...]}]) [-[[:REL_TYPE]*1..K]->(c)]
+  *   MATCH (m[:Label] [{prop: 'value'[, ...]}]) [-[[:REL_TYPE]*1..K]->(c[:Label])]
   *   [WHERE (m|c).prop <op> 'value' [AND|OR ...]] op ∈ {=, <>, <, <=, >, >=}
   *   RETURN m | m.prop[, m.prop ...] | m, c | m.prop, c
   *          | m.prop[, ...], c.prop[, ...] | c.prop[, ...]
@@ -71,7 +71,7 @@ object CypherLite {
   private val MatchRe =
     ("""(?is)\s*MATCH\s*\(\s*(\w+)\s*(?::\s*(\w+))?\s*""" +
       """(?:\{\s*([^}]*)\s*\})?\s*\)\s*""" +
-      """(?:-\s*\[\s*(?::\s*(\w+)\s*)?\*\s*1\s*\.\.\s*(\d+)\s*\]\s*->\s*\(\s*(\w+)\s*\)\s*)?""" +
+      """(?:-\s*\[\s*(?::\s*(\w+)\s*)?\*\s*1\s*\.\.\s*(\d+)\s*\]\s*->\s*\(\s*(\w+)\s*(?::\s*(\w+))?\s*\)\s*)?""" +
       """(?:WHERE\s+(.*?)\s*)?""" +
       """RETURN\s+(.+?)\s*""" +
       """(?:ORDER\s+BY\s+(\w+)\s*\.\s*(\w+)\s*(?:(ASC|DESC)\s*)?)?""" +
@@ -93,8 +93,8 @@ object CypherLite {
 
   def parse(query: String): Either[String, Statement] = query match {
     case DeleteRe(_, tag) => Right(DetachDelete(tag))
-    case MatchRe(m, label, propsStr, relType, hopsStr, connVar, whereStr,
-        retStr, obVar, obProp, obDir, limitStr) =>
+    case MatchRe(m, label, propsStr, relType, hopsStr, connVar, connLabel,
+        whereStr, retStr, obVar, obProp, obDir, limitStr) =>
       val props = Option(propsStr).toSeq
         .flatMap(s => PropRe.findAllMatchIn(s)
           .map(p => p.group(1) -> p.group(2))).toMap
@@ -178,6 +178,15 @@ object CypherLite {
             Left("return either the connected variable or its properties, " +
               "not both")
           else Right(())
+          // same whole-node-vs-projection rule for the MATCHED side: the
+          // connected-property branch projects exactly the named columns,
+          // so a bare `m` alongside `c.prop` has nowhere to go — reject it
+          // rather than silently dropping the m item
+          _ <- if (items.contains(RetVar) &&
+              items.exists(_.isInstanceOf[RetConnProp]))
+            Left("RETURN of the whole matched node cannot be combined with " +
+              "connected-node properties — project m.prop explicitly")
+          else Right(())
           // Cypher's grouping rule: every non-aggregate RETURN item is a
           // grouping key, so a bare count() with nothing to group by is a
           // different query (global count) than this front end serves
@@ -185,9 +194,21 @@ object CypherLite {
               i == RetVar || i.isInstanceOf[RetProp]))
             Left("count(connected) requires a grouping item (m or m.prop)")
           else Right(())
-        } yield MatchReturn(Option(label), props, Option(relType),
-          if (conn.isDefined) math.max(hops, 1) else 0,
-          conds, items, ob, Option(limitStr).map(_.toInt))
+        } yield {
+          // `(c:Label)` sugar (the schema prompt's typed patterns,
+          // `first-graph.py:63-136`): desugars to `c.label = 'Label'`,
+          // AND-distributed into EVERY OR-group so the label constraint
+          // conjoins with the whole WHERE clause, not just its last branch
+          val condsWithSugar = Option(connLabel) match {
+            case None => conds
+            case Some(l) =>
+              val c = Cond("label", "=", l, onConn = true)
+              if (conds.isEmpty) Seq(Seq(c)) else conds.map(_ :+ c)
+          }
+          MatchReturn(Option(label), props, Option(relType),
+            if (conn.isDefined) math.max(hops, 1) else 0,
+            condsWithSugar, items, ob, Option(limitStr).map(_.toInt))
+        }
     case _ => Left(s"unsupported query shape: ${query.take(120)}")
   }
 
@@ -201,9 +222,10 @@ object CypherLite {
 
   /** Properties of the CONNECTED variable a WHERE or RETURN may reference —
     * the node image the hop expansion carries (`c_label`/`c_name`/
-    * `c_content`). The connected pattern has no label syntax (`(c)` is
-    * bare), so `c.label = '…'` is how a query narrows the connected node's
-    * type — Cypher's `(c:Label)` spelled as a property comparison.
+    * `c_content`). A query narrows the connected node's type either as
+    * Cypher's `(c:Label)` pattern sugar or as the equivalent
+    * `c.label = '…'` comparison (the parser desugars the former into the
+    * latter).
     */
   private val ConnectedProps = Set("name", "content", "label")
 

@@ -781,6 +781,24 @@ object ParquetGraph {
         .fold(err => throw new IllegalArgumentException(err), identity)
     },
 
+    // B6 CypherLite twin: `(c:Label)` pattern sugar combined with an OR'd
+    // WHERE. The label constraint must AND-distribute into BOTH OR-groups:
+    // customer names are digit strings, which sort before every letter, so
+    // `c.name < 'B'` alone matches ALL customers — if the sugar attached to
+    // only one branch, each region's count would jump by its customer
+    // population and the hash would miss.
+    QueryDef.sql(
+      "graphp_cypher_conn_label",
+      """SELECT r_name AS m_name, CAST(count(*) AS BIGINT) AS n_connected
+        |FROM region JOIN nation ON n_regionkey = r_regionkey
+        |WHERE n_name >= 'E' OR n_name < 'B'
+        |GROUP BY r_name ORDER BY m_name""".stripMargin) { (s, d) =>
+      CypherLite.run(hierarchy(s, d),
+        "MATCH (m:Region)-[*1..2]->(c:Nation) " +
+          "WHERE c.name >= 'E' OR c.name < 'B' RETURN m.name, count(c)")
+        .fold(err => throw new IllegalArgumentException(err), identity)
+    },
+
     // B9 viz-export twin: (src name, relType, dst name) renderer feed.
     QueryDef.sql(
       "graphp_viz_export",

@@ -271,4 +271,41 @@ class CypherLiteSpec extends SparkSpec {
     assert(r.isLeft &&
       r.swap.toOption.get.contains("connected-node property"), r.toString)
   }
+
+  test("(c:Label) pattern sugar equals the c.label comparison") {
+    val sugar = CypherLite.run(g,
+      "MATCH (m:Boeing_Service_Bulletin)-[*1..2]->(c:Summary) " +
+        "RETURN m.docnbr").toOption.get.collect().toSeq
+    val spelled = CypherLite.run(g,
+      "MATCH (m:Boeing_Service_Bulletin)-[*1..2]->(c) " +
+        "WHERE c.label = 'Summary' RETURN m.docnbr")
+      .toOption.get.collect().toSeq
+    assert(sugar == spelled && sugar.nonEmpty)
+  }
+
+  test("(c:Label) sugar AND-distributes into every WHERE OR-group") {
+    // the c.name branch alone matches nothing, so only bindings satisfying
+    // (name-cond AND label) OR (docnbr-cond AND label) survive — if the
+    // sugar attached to just one OR-group, the unlabeled branch would leak
+    // non-Summary bindings into the count
+    val sugared = CypherLite.run(g,
+      "MATCH (m:Boeing_Service_Bulletin)-[*1..2]->(c:Summary) " +
+        "WHERE c.name = 'zzz_no_such' OR m.docnbr >= '0' " +
+        "RETURN m.docnbr, count(c)").toOption.get.collect().toSeq
+    // the same DNF spelled through the parser's AND/OR precedence
+    // (AND binds tighter): (name AND label) OR (docnbr AND label)
+    val spelled = CypherLite.run(g,
+      "MATCH (m:Boeing_Service_Bulletin)-[*1..2]->(c) " +
+        "WHERE c.name = 'zzz_no_such' AND c.label = 'Summary' " +
+        "OR m.docnbr >= '0' AND c.label = 'Summary' " +
+        "RETURN m.docnbr, count(c)").toOption.get.collect().toSeq
+    assert(sugared == spelled && sugared.nonEmpty)
+  }
+
+  test("RETURN m alongside c.prop is rejected, not silently dropped") {
+    val r = CypherLite.parse(
+      "MATCH (m:Step)-[*1..1]->(c) RETURN m, c.content")
+    assert(r.isLeft &&
+      r.swap.toOption.get.contains("whole matched node"), r.toString)
+  }
 }
