@@ -244,11 +244,18 @@ object GraphOps {
     import spark.implicits._
     // native codegen expression, not a closure UDF: the id is computed for
     // every mapping row, and this is the one place a large-scale relink
-    // would otherwise box strings per row outside whole-stage codegen
+    // would otherwise box strings per row outside whole-stage codegen.
+    // Invoked via call_function with Column arguments (no SQL-text
+    // assembly), so a label containing quote or backslash characters needs
+    // no escaping.
     graft.functions.NodeId.register(spark)
-    val idCol = expr(s"graft_node_id('${targetLabel.replace("'", "''")}', " +
-      "target_name, '', '', '')")
-    val dimNodes = mapping.select(col("target_name")).distinct()
+    val idCol = call_function("graft_node_id",
+      lit(targetLabel), col("target_name"), lit(""), lit(""), lit(""))
+    // a null target key identifies no dimension node: such rows are dropped
+    // HERE, explicitly — the id expression would null-propagate them into
+    // null node ids and edge dsts downstream
+    val keyed = mapping.filter(col("target_name").isNotNull)
+    val dimNodes = keyed.select(col("target_name")).distinct()
       .select(idCol.as("id"),
         lit(targetLabel).as("label"), col("target_name").as("name"),
         lit("").as("content"), lit("").as("docnbr"), lit(batch).as("batch"),
@@ -258,7 +265,7 @@ object GraphOps {
       .filter(col("path") === typedLit(Seq.empty[Int]) &&
         col("docnbr") =!= "")
       .select(col("id").as("root_id"), col("docnbr"))
-    val newEdges = mapping.join(roots, "docnbr")
+    val newEdges = keyed.join(roots, "docnbr")
       .select(col("root_id").as("src"),
         idCol.as("dst"),
         lit(relType).as("relType"), col("docnbr"), lit(batch).as("batch"))

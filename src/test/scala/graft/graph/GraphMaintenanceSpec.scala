@@ -107,6 +107,25 @@ class GraphMaintenanceSpec extends SparkSpec {
     assert(again.edges.count() == linked.edges.count())
   }
 
+  test("linkDocsTo drops null target keys and survives quoted labels") {
+    import spark.implicits._
+    // a null target identifies no dimension node — the row is dropped
+    // explicitly rather than null-propagating into null node/edge ids
+    val mapping = Seq(
+      ("737-00-1028", Some("N737BA")), ("737-00-1029", None))
+      .toDF("docnbr", "target_name")
+    // label with a quote and a backslash: the id expression is built via
+    // the Column API, so no SQL-text escaping is involved
+    val label = """Op'er\ator"""
+    val linked = GraphOps.linkDocsTo(g, mapping, label, "APPLIES_TO", "b1")
+    val dims = linked.nodes.filter(col("label") === label)
+    assert(dims.count() == 1)
+    assert(dims.collect().head.name == "N737BA")
+    assert(linked.edges.filter(col("relType") === "APPLIES_TO").count() == 1)
+    assert(linked.nodes.filter(col("id").isNull).isEmpty)
+    assert(linked.edges.filter(col("dst").isNull).isEmpty)
+  }
+
   test("streaming incremental ingest converges to the batch graph") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
