@@ -33,9 +33,24 @@ object Bench {
         .groupBy("r_name").count().collect()
     } catch { case scala.util.control.NonFatal(_) => () }
     val wall0 = System.nanoTime()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // The sweep order is SHUFFLED (seed printed in the JSON line, settable
+    // via SPARK_GRAFT_BENCH_SEED for exact reproduction): a name-sorted
+    // order pins any environment stall window to the same alphabetical
+    // neighborhood every round, so the same queries keep absorbing the
+    // noise round after round (the r6 driver run manufactured two phantom
+    // regressions exactly this way). Back-to-back min-of-2 is kept — the
+    // pairs stay adjacent so the second run keeps its warm codegen cache
+    // (1-entry-per-plan cache holds ~100 plans; separating the pairs by a
+    // full 195-query sweep was measured 20%+ slower from re-compilation
+    // alone). The stall failure mode min-of-2 CANNOT cancel is handled by
+    // the targeted post-sweep reruns below.
+    val seed = sys.env.get("SPARK_GRAFT_BENCH_SEED").map(_.toLong)
+      .getOrElse(System.nanoTime())
+    val rnd = new scala.util.Random(seed)
+    val results = rnd.shuffle(SparkEntry.queries.toSeq.sortBy(_._1))
+      .map { case (name, fn) =>
       // min of two back-to-back runs: a one-off GC/JIT stall (which lands on
-      // an arbitrary query in a 174-query sweep) can't masquerade as a
+      // an arbitrary query in a ~195-query sweep) can't masquerade as a
       // regression — only a slowdown that reproduces twice is reported
       def once(): Double = {
         val t0 = System.nanoTime()
@@ -69,35 +84,103 @@ object Bench {
           (name, -1.0, Option.empty[Double])
       }
     }
+    // Targeted re-measure against the previous run's minima: a reading
+    // >3× the same query's prior value is far likelier a sustained stall
+    // window — which back-to-back min-of-2 CANNOT cancel, since both runs
+    // sit inside it (r6: l21 read 4.99s at spread 1.02 and re-measured at
+    // 0.95s) — than a real regression of untouched code. One extra sample
+    // taken AFTER the sweep sits outside the window and lets the min
+    // recover; a true regression reproduces and keeps the reading. Queries
+    // absent from the prior map were at or below its smallest listed
+    // value, which therefore serves as their conservative prior.
+    val prior: Map[String, Double] = {
+      def parse(txt: String): Map[String, Double] =
+        """"([A-Za-z0-9_]+)":([0-9]+\.?[0-9]*)""".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      def tryRead(p: String): Option[String] =
+        try Some(new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(p)), "UTF-8"))
+        catch { case scala.util.control.NonFatal(_) => None }
+      // full per-query file from the previous bench run if present, else
+      // the top-20 embedded in the last stdout line's disk copy. A prior
+      // from a DIFFERENT scale factor would mistrigger (or miss) the 3x
+      // rule wholesale, so files recording another sf are discarded.
+      val sfTag = "\"sf\":\"" + sfDir + "\""
+      tryRead("bench_queries.json").filter(_.contains(sfTag)).map { txt =>
+        val i = txt.indexOf("\"queries\":")
+        val j = if (i < 0) -1 else txt.indexOf('}', i)
+        if (j < 0) Map.empty[String, Double] else parse(txt.substring(i, j))
+      }
+        .orElse(tryRead("bench_last.json").filter(_.contains(sfTag))
+          .map { txt =>
+            val i = txt.indexOf("\"queries\":")
+            val j = if (i < 0) -1 else txt.indexOf('}', i)
+            if (j < 0) Map.empty[String, Double]
+            else parse(txt.substring(i, j))
+          })
+        .getOrElse(Map.empty)
+    }
+    val priorFloor = if (prior.nonEmpty) prior.values.min else 0.0
+    // bounded: a systemically-shifted environment (or a stale prior that
+    // slipped the sf guard) must not silently double the sweep
+    val MaxReruns = 30
+    var reruns = 0
+    val settled = results.map { case r @ (name, v, spread) =>
+      val p = prior.getOrElse(name, priorFloor)
+      if (prior.nonEmpty && v > 3 * p && v > 0 && reruns < MaxReruns)
+        try {
+          val t0 = System.nanoTime()
+          SparkEntry.queries(name)(spark, sfDir).count()
+          val again = (System.nanoTime() - t0) / 1e9
+          reruns += 1
+          System.err.println(f"[bench] $name rerun (prior $p%.3f): " +
+            f"$v%.3f -> ${math.min(v, again)}%.3f")
+          // spread recomputed over all three samples so a recovered stall
+          // self-reports as noise instead of hiding behind a ~1.0 pair
+          val maxSample = math.max(spread.map(_ * v).getOrElse(v), again)
+          (name, math.min(v, again),
+            Some(maxSample / math.max(math.min(v, again), 1e-3)))
+        } catch { case scala.util.control.NonFatal(_) => r }
+      else r
+    }
     val wallSecs = (System.nanoTime() - wall0) / 1e9
     // ONE line, kept well under the driver's ~4 KB capture window: seconds
     // rounded to ms, and only the 20 slowest queries listed individually
     // (the rest sit at the ~0.2s session-overhead floor; total + count
     // carry the rest of the signal). Double.toString is locale-independent.
     def r3(v: Double): String = (math.round(v * 1000) / 1000.0).toString
-    val top = results.sortBy(t => -math.abs(t._2)).take(20)
+    val top = settled.sortBy(t => -math.abs(t._2)).take(20)
     val qs = top.map { case (k, v, _) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     // spread for the 20 slowest PLUS the 10 noisiest — a fast query with a
     // wild ratio (pure fixed-overhead wobble) must surface even when it
     // doesn't crack the slow list; both stay bounded for the ~4 KB window
-    val noisiest = results.filter(_._3.isDefined).sortBy(-_._3.get).take(10)
+    val noisiest = settled.filter(_._3.isDefined).sortBy(-_._3.get).take(10)
     val spreadJson = (top ++ noisiest).map(t => (t._1, t._3))
       .distinct.collect { case (k, Some(s)) => "\"" + k + "\":" + r3(s) }
       .mkString("{", ",", "}")
-    val failed = results.filter(_._2 < 0).map("\"" + _._1 + "\"")
+    val failed = settled.filter(_._2 < 0).map("\"" + _._1 + "\"")
       .mkString("[", ",", "]")
     // failures are EXCLUDED from total (not counted as a fake 1.0s): the
     // `failed` list carries that signal; total stays a pure time sum
-    val total = results.filter(_._2 >= 0).map(_._2).sum
+    val total = settled.filter(_._2 >= 0).map(_._2).sum
     // "value" = sum of per-query minima (the comparable signal);
-    // "wall" = elapsed for the whole two-pass sweep (capacity figure)
+    // "wall" = elapsed for the whole sweep incl. reruns (capacity figure)
     val line =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","wall":${r3(wallSecs)},"runs_per_query":2,"n_queries":${results.size},"queries":$qs,"spread":$spreadJson,"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","wall":${r3(wallSecs)},"runs_per_query":2,"order_seed":$seed,"n_queries":${settled.size},"reruns":$reruns,"queries":$qs,"spread":$spreadJson,"failed":$failed,"sf":"$sfDir"}"""
     println(line)
     // belt-and-braces: the same line on disk, in case stdout gets wrapped
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_last.json"),
       (line + "\n").getBytes("UTF-8"))
+    catch { case scala.util.control.NonFatal(_) => () }
+    // full per-query minima for the NEXT run's 3x-prior rerun targeting
+    // (the stdout line only carries the top 20); tagged with the sf so a
+    // run at another scale can't consume it as its prior
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_queries.json"),
+      ("{\"sf\":\"" + sfDir + "\",\"queries\":" +
+        settled.map { case (k, v, _) => "\"" + k + "\":" + r3(v) }
+          .mkString("{", ",", "}") + "}\n").getBytes("UTF-8"))
     catch { case scala.util.control.NonFatal(_) => () }
     spark.stop()
   }
