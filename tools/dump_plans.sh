@@ -15,7 +15,8 @@ val names = Seq("g2_agg_pricing_summary", "j2_join_broadcast_dims",
   "l17_embedding_quantize", "t5_dedup_batch", "l18_ivf_ann",
   "l21_bloom_decontam", "g12_regression", "g13_sampled_quantiles",
   "t4b_sessionize", "l20_word_entropy", "w9_running_distinct",
-  "l22_incremental_dedup", "l19_sequence_packing")
+  "l22_incremental_dedup", "l19_sequence_packing", "l2_prod_knobs",
+  "l2b2_prod_knobs", "l2c_prod_knobs", "graphp_cypher_conn_label")
 val sb = new StringBuilder
 sb.append("# PLANS -- formatted physical plans of headline queries (sf0.1, local[8])\n\n")
 sb.append("Generated from `df.queryExecution.explainString(FormattedMode)` after execution\n(AQE final plans). Regenerate with `tools/dump_plans.sh`.\n")
@@ -28,6 +29,7 @@ for (n <- names) {
   sb.append(txt.linesIterator.take(60).map(_.take(200)).mkString("\n"))
   sb.append("\n```\n")
 }
+sb.append("\n## Hub-skew task balance (HubSkewSpec, round 7)\n\n2.2M-edge graph, one hub src holding 18% of edges, kHop(k=2)+reachable at\n32 shuffle partitions: skew-split OFF -> hub join stage max/median task\nshuffle-read 4.72 (max 2,566,831 B vs median 543,329 B over 32 tasks);\nskew-split ON -> the hub partition is split into 4 extra tasks (36 total)\nand every heavy stage lands at max/median <= 1.04 (e.g. max 561,664 B vs\nmedian 542,138 B). Asserted both directions in HubSkewSpec on every run.\n")
 java.nio.file.Files.writeString(
   java.nio.file.Paths.get("PLANS.md"), sb.toString)
 println("WROTE_PLANS")
