@@ -124,6 +124,41 @@ object StreamingOps {
       }
   }
 
+  /** T6 flatMap form, the Append-mode production shape: a session emits
+    * NOTHING while open and exactly one row when the event-time timeout
+    * closes it — the pattern for feeding a downstream append-only sink
+    * (parquet lake, Kafka) where per-batch progress rows would be
+    * duplicates. `flatMapGroupsWithState` is the API tier above
+    * `mapGroupsWithState`: zero-or-more output rows per invocation, with
+    * the output mode declared at the operator. State eviction is identical
+    * to [[sessionTotalsWithTimeout]] — bounded by ACTIVE keys.
+    */
+  def closedSessions(spark: SparkSession, events: Dataset[EventRow],
+      gapMinutes: Int = 30): Dataset[SessionTotal] = {
+    import spark.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
+    events.withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionTotal](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[EventRow],
+            state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val fin = state.get
+            state.remove()
+            Iterator.single(SessionTotal(userId, fin.n_events, closed = true))
+          } else {
+            val batch = rows.toSeq
+            val prev = state.getOption.getOrElse(SessionState(0L, 0L))
+            val next = SessionState(prev.n_events + batch.size,
+              math.max(prev.last_ts_ms, batch.map(_.ts.getTime).max))
+            state.update(next)
+            state.setTimeoutTimestamp(next.last_ts_ms + gapMs)
+            Iterator.empty
+          }
+      }
+  }
+
   /** T8: stream-static enrichment join against the customer dimension. */
   def streamStaticJoin(events: DataFrame, userDim: DataFrame): DataFrame =
     events.join(broadcast(userDim), events("user_id") === userDim("c_custkey"))

@@ -1076,6 +1076,131 @@ object TextQueries {
           .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars"),
             countDistinct("lang").as("n_langs"))
           .orderBy("split")
+    },
+
+    // ------------------------------------ L27 cross-slice n-gram overlap
+    // Between-source leakage diagnostic: shared distinct shingles per
+    // source pair. The key move is deduplicating to (source, shingle)
+    // BEFORE the self-join — posting lists are bounded by the number of
+    // sources, not documents, so a universal shingle costs sources² join
+    // rows, not docs². At a corpus with thousands of sources the same DF
+    // cap as l2c applies; with the test corpus's 20 sources it is not
+    // needed.
+    QueryDef.sql(
+      "l27_source_overlap",
+      s"""WITH sh AS ($duckShingles),
+         |ss AS (SELECT DISTINCT d.source, sh.s
+         |       FROM sh JOIN documents d USING (doc_id))
+         |SELECT a.source AS src_a, b.source AS src_b,
+         |  CAST(count(*) AS BIGINT) AS n_shared
+         |FROM ss a JOIN ss b ON a.s = b.s AND a.source < b.source
+         |GROUP BY src_a, src_b HAVING count(*) >= 5
+         |ORDER BY src_a, src_b""".stripMargin) { (s, d) =>
+      val ss = shingles(s, d)
+        .join(Tables.documents(s, d).select("doc_id", "source"), "doc_id")
+        .select(col("source"), col("s")).distinct()
+      ss.select(col("source").as("src_a"), col("s"))
+        .join(ss.select(col("source").as("src_b"), col("s")), "s")
+        .filter(col("src_a") < col("src_b"))
+        .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 5)
+        .orderBy("src_a", "src_b")
+    },
+
+    // -------------------------------------- L28 nearest-centroid assign
+    // Label-centroid assignment (the IVF training step made first-class,
+    // and the standard embedding-space confusion diagnostic): per-label
+    // centroids from fixed-point-quantized embeddings, each vector
+    // assigned to the max-inner-product centroid, reported as a
+    // (label, assigned) confusion matrix. All cross-row aggregation is
+    // over exact integers (milli-unit quantization), so the result is
+    // order-independent and hash-checkable — the one double division per
+    // (vector, centroid) happens on exact inputs in both engines. Scale
+    // shape: the centroid table is K×D rows (broadcast); the score join
+    // fans each vector row out only K ways.
+    QueryDef.sql(
+      "l28_centroid_assign",
+      """WITH q AS (
+        |  SELECT vec_id, label, i,
+        |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000 + 0.5)
+        |      AS BIGINT) AS q
+        |  FROM embeddings, generate_series(1, 64) t(i)),
+        |c AS (SELECT label AS clabel, i, CAST(sum(q) AS BIGINT) AS cq
+        |      FROM q GROUP BY clabel, i),
+        |cn AS (SELECT label AS clabel, count(*) AS nl
+        |       FROM embeddings GROUP BY clabel),
+        |sc AS (
+        |  SELECT q.vec_id, q.label, c.clabel,
+        |    CAST(sum(q.q * c.cq) AS DOUBLE) / max(cn.nl) AS score
+        |  FROM q JOIN c USING (i) JOIN cn ON c.clabel = cn.clabel
+        |  GROUP BY q.vec_id, q.label, c.clabel),
+        |r AS (SELECT label, clabel,
+        |    row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY score DESC, clabel) AS rn
+        |  FROM sc)
+        |SELECT label, clabel AS assigned, CAST(count(*) AS BIGINT) AS n
+        |FROM r WHERE rn = 1
+        |GROUP BY label, assigned ORDER BY label, assigned""".stripMargin) {
+      (s, d) =>
+        val q = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("label"),
+            posexplode(col("embedding")))
+          .select(col("vec_id"), col("label"), col("pos").as("i"),
+            floor(col("col").cast("double") * 1000 + 0.5).cast("long")
+              .as("q"))
+        val c = q.groupBy(col("label").as("clabel"), col("i"))
+          .agg(sum("q").as("cq"))
+        val cn = Tables.embeddings(s, d)
+          .groupBy(col("label").as("clabel"))
+          .agg(count(lit(1)).as("nl"))
+        val sc = q.join(broadcast(c), "i")
+          .join(broadcast(cn), "clabel")
+          .groupBy("vec_id", "label", "clabel")
+          .agg((sum(col("q") * col("cq")).cast("double") / max("nl"))
+            .as("score"))
+        val w = Window.partitionBy("vec_id")
+          .orderBy(col("score").desc, col("clabel"))
+        sc.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .groupBy(col("label"), col("clabel").as("assigned"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy("label", "assigned")
+    },
+
+    // --------------------------------------- L29 shingle novelty vs ref
+    // Novelty of each slice against a reference corpus (source 'src0'):
+    // the fraction of a slice's shingle occurrences unseen in the
+    // reference — the standard freshness/diversity check before mixing a
+    // new source into training data. The reference set is deduplicated
+    // before the join, and the ratio is one division over exact integer
+    // sums, so the double is engine-identical.
+    QueryDef.sql(
+      "l29_shingle_novelty",
+      s"""WITH sh AS ($duckShingles),
+         |ws AS (SELECT d.source, sh.s
+         |       FROM sh JOIN documents d USING (doc_id)),
+         |ref AS (SELECT DISTINCT s FROM ws WHERE source = 'src0')
+         |SELECT ws.source, CAST(count(*) AS BIGINT) AS n_shingles,
+         |  CAST(sum(CASE WHEN r.s IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_novel,
+         |  ${graft.Det.duckPortableRound(
+          "CAST(sum(CASE WHEN r.s IS NULL THEN 1 ELSE 0 END) AS DOUBLE)" +
+            " / CAST(count(*) AS DOUBLE)", 6)} AS novelty
+         |FROM ws LEFT JOIN ref r ON ws.s = r.s
+         |GROUP BY ws.source ORDER BY ws.source""".stripMargin) { (s, d) =>
+      val ws = shingles(s, d)
+        .join(Tables.documents(s, d).select("doc_id", "source"), "doc_id")
+        .select(col("source"), col("s"))
+      val ref = ws.filter(col("source") === "src0")
+        .select(col("s")).distinct().withColumn("in_ref", lit(1))
+      ws.join(ref, Seq("s"), "left_outer")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("in_ref").isNull, 1L).otherwise(0L)).as("n_novel"))
+        .select(col("source"), col("n_shingles"), col("n_novel"),
+          graft.Det.portableRound(
+            col("n_novel").cast("double") / col("n_shingles").cast("double"),
+            6).as("novelty"))
+        .orderBy("source")
     }
   )
 

@@ -171,6 +171,33 @@ class StreamingSpec extends SparkSpec {
       .filter(col("closed") && col("user_id") === 8L).isEmpty)
   }
 
+  test("flatMapGroupsWithState emits only on session close (T6 append)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventRow]
+    val q = StreamingOps
+      .closedSessions(spark, mem.toDS())
+      .writeStream.format("memory").queryName("t6_closed_stream")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData(EventRow(1L, ts(0), 7L, "view", 1.0),
+      EventRow(2L, ts(5), 7L, "view", 1.0),
+      EventRow(3L, ts(0), 8L, "view", 1.0))
+    q.processAllAvailable()
+    // both sessions still open: an append-only consumer has seen NOTHING
+    assert(spark.table("t6_closed_stream").isEmpty)
+    // user 8 keeps going; watermark advances past user 7's 00:35 timeout
+    mem.addData(EventRow(4L, ts(50), 8L, "view", 1.0))
+    q.processAllAvailable()
+    mem.addData(EventRow(5L, ts(51), 8L, "view", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("t6_closed_stream").collect()
+    assert(out.length == 1, s"exactly one closed session: ${out.toSeq}")
+    assert(out.head.getAs[Long]("user_id") == 7L)
+    assert(out.head.getAs[Long]("n_events") == 2L)
+    assert(out.head.getAs[Boolean]("closed"))
+  }
+
   test("stream-static join enriches events with the customer dim (T8)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
