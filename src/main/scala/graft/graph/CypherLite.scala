@@ -22,7 +22,7 @@ import org.apache.spark.sql.functions._
   *   RETURN m | m.prop[, m.prop ...] | m, c | m.prop, c
   *          | m.prop[, ...], c.prop[, ...] | c.prop[, ...]
   *          | m, count(c) | m.prop[, m.prop ...], count(c)
-  *   [ORDER BY m.prop [ASC|DESC]] [LIMIT n]
+  *   [ORDER BY m.prop | count(c) [ASC|DESC]] [LIMIT n]
   * }}}
   * Property projections are honored on hop patterns too: `RETURN m.prop,
   * count(connected)` groups the expansion by the requested property values
@@ -74,7 +74,7 @@ object CypherLite {
       """(?:-\s*\[\s*(?::\s*(\w+)\s*)?\*\s*1\s*\.\.\s*(\d+)\s*\]\s*->\s*\(\s*(\w+)\s*(?::\s*(\w+))?\s*\)\s*)?""" +
       """(?:WHERE\s+(.*?)\s*)?""" +
       """RETURN\s+(.+?)\s*""" +
-      """(?:ORDER\s+BY\s+(\w+)\s*\.\s*(\w+)\s*(?:(ASC|DESC)\s*)?)?""" +
+      """(?:ORDER\s+BY\s+(?:(\w+)\s*\.\s*(\w+)|count\s*\(\s*(\w+)\s*\))\s*(?:(ASC|DESC)\s*)?)?""" +
       """(?:LIMIT\s+(\d+))?\s*;?\s*""").r
 
   private val DeleteRe =
@@ -94,7 +94,7 @@ object CypherLite {
   def parse(query: String): Either[String, Statement] = query match {
     case DeleteRe(_, tag) => Right(DetachDelete(tag))
     case MatchRe(m, label, propsStr, relType, hopsStr, connVar, connLabel,
-        whereStr, retStr, obVar, obProp, obDir, limitStr) =>
+        whereStr, retStr, obVar, obProp, obCountVar, obDir, limitStr) =>
       val props = Option(propsStr).toSeq
         .flatMap(s => PropRe.findAllMatchIn(s)
           .map(p => p.group(1) -> p.group(2))).toMap
@@ -145,12 +145,19 @@ object CypherLite {
           .getOrElse(Right(parsed.collect { case Right(i) => i }))
       }
       val orderByE: Either[String, Option[(String, Boolean)]] =
-        (Option(obVar), Option(obProp)) match {
-          case (None, _) => Right(None)
-          case (Some(v), Some(p)) if v == m =>
+        (Option(obVar), Option(obProp), Option(obCountVar)) match {
+          case (None, _, None) => Right(None)
+          case (Some(v), Some(p), _) if v == m =>
             Right(Some((p, Option(obDir).exists(_.equalsIgnoreCase("DESC")))))
-          case (Some(v), _) =>
+          case (Some(v), _, _) =>
             Left(s"ORDER BY may only reference '$m', got '$v'")
+          // ORDER BY count(c): sort groups by the aggregate (top-k groups)
+          case (None, _, Some(v)) if conn.contains(v) =>
+            Right(Some((CountKey,
+              Option(obDir).exists(_.equalsIgnoreCase("DESC")))))
+          case (None, _, Some(v)) =>
+            Left(s"ORDER BY count() may only aggregate the connected " +
+              s"variable${conn.fold("")(c => s" '$c'")}, got '$v'")
         }
       if (hops > 0 && conn.isEmpty)
         Left("hop pattern requires a connected variable")
@@ -194,6 +201,9 @@ object CypherLite {
               i == RetVar || i.isInstanceOf[RetProp]))
             Left("count(connected) requires a grouping item (m or m.prop)")
           else Right(())
+          _ <- if (ob.exists(_._1 == CountKey) && !items.contains(RetCount))
+            Left("ORDER BY count() requires count(connected) in RETURN")
+          else Right(())
         } yield {
           // `(c:Label)` sugar (the schema prompt's typed patterns,
           // `first-graph.py:63-136`): desugars to `c.label = 'Label'`,
@@ -211,6 +221,11 @@ object CypherLite {
         }
     case _ => Left(s"unsupported query shape: ${query.take(120)}")
   }
+
+  /** Reserved ORDER BY key meaning "sort by count(connected)" — cannot
+    * collide with a property name (parens are not word characters).
+    */
+  private val CountKey = "count(connected)"
 
   /** Node properties a MATCH pattern or WHERE clause may filter on. */
   private val SupportedProps = Set("name", "content", "docnbr")
@@ -258,7 +273,10 @@ object CypherLite {
         val connRetProps = items.collect { case RetConnProp(p) => p }
         val (connConds, mConds) = conds.flatten.partition(_.onConn)
         val filterProps = props.keys ++ mConds.map(_.prop)
-        val projProps = retProps ++ orderBy.map(_._1)
+        // the count pseudo-key orders by the aggregate column, not an m
+        // property — exempt from the property-name validations below
+        val obProps = orderBy.map(_._1).filterNot(_ == CountKey)
+        val projProps = retProps ++ obProps
         // ORDER BY must name a projected property: with LIMIT an unsortable
         // key would silently change WHICH rows come back, which is exactly
         // the plausible-but-wrong failure this front end refuses to serve.
@@ -290,7 +308,7 @@ object CypherLite {
           .orElse(projProps.find(!ProjectableProps(_))
             .map(k => Left(s"unsupported projection property: $k " +
               s"(supported: ${ProjectableProps.toSeq.sorted.mkString(", ")})")))
-          .orElse(orderBy.map(_._1).filterNot(outProps)
+          .orElse(obProps.filterNot(outProps)
             .map(k => Left(s"ORDER BY key '$k' must be among the returned " +
               s"properties (${outProps.toSeq.sorted.mkString(", ")})")))
           .getOrElse(Right(runMatch(g, label, props, relType, hops, conds,
@@ -332,12 +350,13 @@ object CypherLite {
     def ordered(df: DataFrame, cols: Seq[String]): DataFrame =
       orderBy match {
         case Some((p, desc)) =>
-          val out = s"m_$p"
+          // the count pseudo-key sorts by the aggregate output column
+          val out = if (p == CountKey) "n_connected" else s"m_$p"
           // run() validated the ORDER BY key against the projected props;
           // if the two ever drift, fail loudly — silently reordering (with
           // LIMIT, silently changing WHICH rows survive) is the
           // plausible-but-wrong failure this front end refuses to serve
-          require(cols.contains(out),
+          require(cols.contains(out) || df.columns.contains(out),
             s"ORDER BY key '$p' missing from projected columns " +
               s"(${cols.mkString(", ")}): run() validation and ordered() " +
               "drifted — fix outProps/runMatch in lockstep")

@@ -799,6 +799,23 @@ object ParquetGraph {
         .fold(err => throw new IllegalArgumentException(err), identity)
     },
 
+    // B6 CypherLite twin: ORDER BY count(c) DESC LIMIT — top-k groups by
+    // the aggregate ("which nations have the most customers"), the classic
+    // analytics shape an LLM emits against the schema prompt. Ties on the
+    // count are broken by the grouping key (both engines sort
+    // (n_connected DESC, m_name)), so LIMIT keeps a deterministic set.
+    QueryDef.sql(
+      "graphp_cypher_topk_groups",
+      """SELECT n_name AS m_name, CAST(count(*) AS BIGINT) AS n_connected
+        |FROM nation JOIN customer ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_connected DESC, m_name LIMIT 5""".stripMargin) {
+      (s, d) =>
+        CypherLite.run(hierarchy(s, d),
+          "MATCH (m:Nation)-[:HAS_CUSTOMER*1..1]->(c) " +
+            "RETURN m.name, count(c) ORDER BY count(c) DESC LIMIT 5")
+          .fold(err => throw new IllegalArgumentException(err), identity)
+    },
+
     // B9 viz-export twin: (src name, relType, dst name) renderer feed.
     QueryDef.sql(
       "graphp_viz_export",

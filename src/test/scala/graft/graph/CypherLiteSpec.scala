@@ -302,6 +302,32 @@ class CypherLiteSpec extends SparkSpec {
     assert(sugared == spelled && sugared.nonEmpty)
   }
 
+  test("ORDER BY count(c) sorts groups by the aggregate") {
+    val df = CypherLite.run(g,
+      "MATCH (m:Boeing_Service_Bulletin)-[*1..3]->(c) " +
+        "RETURN m.docnbr, count(c) ORDER BY count(c) DESC LIMIT 2")
+      .toOption.get
+    val counts = df.collect().map(_.getAs[Long]("n_connected")).toSeq
+    assert(counts.length == 2 && counts == counts.sorted.reverse)
+    // the top group really is the max over ALL groups, not just the limit
+    val all = CypherLite.run(g,
+      "MATCH (m:Boeing_Service_Bulletin)-[*1..3]->(c) " +
+        "RETURN m.docnbr, count(c)").toOption.get
+      .collect().map(_.getAs[Long]("n_connected")).max
+    assert(counts.head == all)
+  }
+
+  test("ORDER BY count of the wrong variable or without RETURN count " +
+      "is rejected") {
+    val r = CypherLite.parse(
+      "MATCH (m:Step)-[*1..1]->(c) RETURN m.name, count(c) ORDER BY count(x)")
+    assert(r.isLeft, r.toString)
+    val r2 = CypherLite.parse(
+      "MATCH (m:Step)-[*1..1]->(c) RETURN m.name ORDER BY count(c)")
+    assert(r2.isLeft &&
+      r2.swap.toOption.get.contains("requires count(connected)"), r2.toString)
+  }
+
   test("RETURN m alongside c.prop is rejected, not silently dropped") {
     val r = CypherLite.parse(
       "MATCH (m:Step)-[*1..1]->(c) RETURN m, c.content")
