@@ -535,8 +535,10 @@ object TextQueries {
       // eval side (never quadratic, unlike a pair join). High-DF stopword
       // shingles are dropped BEFORE the join (l2c's cap pattern, broadcast
       // anti-join) so no single key carries the corpus; residual skew is
-      // AQE's skew-join case.
-      val sh0 = shingles(s, d)
+      // AQE's skew-join case. The shingle frontend feeds the hot-set agg
+      // and both split sides — materialized once (ngramJaccard's pattern)
+      // instead of re-scanning the corpus per consumer.
+      val sh0 = shingles(s, d).localCheckpoint()
       val hot = sh0.groupBy("s").agg(count(lit(1)).as("df"))
         .filter(col("df") > ContamDfCap).select("s")
       val sh = sh0.join(broadcast(hot), Seq("s"), "left_anti")
@@ -1096,9 +1098,11 @@ object TextQueries {
          |FROM ss a JOIN ss b ON a.s = b.s AND a.source < b.source
          |GROUP BY src_a, src_b HAVING count(*) >= 5
          |ORDER BY src_a, src_b""".stripMargin) { (s, d) =>
+      // materialized once: both sides of the pair join read this relation,
+      // and the subtrees don't canonicalize to a ReusedExchange
       val ss = shingles(s, d)
         .join(Tables.documents(s, d).select("doc_id", "source"), "doc_id")
-        .select(col("source"), col("s")).distinct()
+        .select(col("source"), col("s")).distinct().localCheckpoint()
       ss.select(col("source").as("src_a"), col("s"))
         .join(ss.select(col("source").as("src_b"), col("s")), "s")
         .filter(col("src_a") < col("src_b"))
@@ -1187,9 +1191,11 @@ object TextQueries {
             " / CAST(count(*) AS DOUBLE)", 6)} AS novelty
          |FROM ws LEFT JOIN ref r ON ws.s = r.s
          |GROUP BY ws.source ORDER BY ws.source""".stripMargin) { (s, d) =>
+      // materialized once: the reference set and the slice totals both
+      // consume this relation
       val ws = shingles(s, d)
         .join(Tables.documents(s, d).select("doc_id", "source"), "doc_id")
-        .select(col("source"), col("s"))
+        .select(col("source"), col("s")).localCheckpoint()
       val ref = ws.filter(col("source") === "src0")
         .select(col("s")).distinct().withColumn("in_ref", lit(1))
       ws.join(ref, Seq("s"), "left_outer")
@@ -1404,7 +1410,13 @@ object TextQueries {
     */
   private def ngramJaccard(s: SparkSession, d: String,
       kn: DedupKnobs): DataFrame = {
-    val sh0 = shingles(s, d)
+    // the shingle relation feeds the hot-set aggregate, the per-doc size
+    // aggregate, and BOTH sides of the pair join; those consumers'
+    // exchanges don't canonicalize equal, so without materialization the
+    // scan+split+explode+distinct frontend re-executes up to 8× (measured:
+    // 8 parquet scans in one executed plan, 7.4s cold at sf0.1 → 2.9s
+    // with the checkpoint). Same move as minhashPairs' bands.
+    val sh0 = shingles(s, d).localCheckpoint()
     val hot = sh0.groupBy("s").agg(count(lit(1)).as("df"))
       .filter(col("df") > kn.jaccardDfCap).select("s")
     val sh = sh0.join(broadcast(hot), Seq("s"), "left_anti")
