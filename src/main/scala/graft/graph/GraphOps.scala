@@ -473,4 +473,44 @@ object GraphOps {
       .map { case (id, d) => (id, d.toInt) }
       .toDF("id", "depth")
   }
+
+  /** Adamic-Adar link prediction over the undirected view of the edges
+    * (Q9 analytics breadth — the "which nodes should be connected" query a
+    * Neo4j deployment would answer with GDS, the serving layer the
+    * reference delegates to via `first-graph.py:29-36`). For every pair
+    * (a, b) with at least one common neighbor z: score = Σ_z 1 / ln(deg z).
+    *
+    * Pure DataFrame joins, and candidates are generated through the
+    * common-neighbor self-join keyed on z — a pair only ever meets inside
+    * z's adjacency bucket, never via an all-pairs product. Hub guard for
+    * 100 TB: a degree-d node emits d² candidate rows, so neighbor lists
+    * wider than `maxDegree` are dropped before the self-join (their terms
+    * carry ~1/ln(d) ≈ 0 signal — the standard production LP cutoff, same
+    * rationale as the n-gram DF cap in TextQueries).
+    *
+    * The per-pair sum quantizes each term to integer micro-units before
+    * aggregating (Det.centSum discipline): float addition is not
+    * associative, so a raw double sum would depend on partitioning; the
+    * long sum is exact in any order and any engine.
+    */
+  def adamicAdar(spark: SparkSession, g: GraphTables,
+      maxDegree: Int = 1000): DataFrame = {
+    val e = g.edges.toDF().select(col("src"), col("dst"))
+    val adjacency = e.select(col("src").as("u"), col("dst").as("v"))
+      .unionByName(e.select(col("dst").as("u"), col("src").as("v")))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    val deg = adjacency.groupBy("u").agg(count(lit(1)).as("deg"))
+    val adj = adjacency.select(col("u").as("z"), col("v").as("n"))
+      .join(deg.select(col("u").as("z"), col("deg")), "z")
+      .filter(col("deg") <= maxDegree)
+    val term = floor(lit(1000000.0) / log(col("deg").cast("double")) +
+      lit(0.5)).cast("long")
+    val a = adj.select(col("z"), col("n").as("a"), col("deg"))
+    val b = adj.select(col("z").as("z2"), col("n").as("b"))
+    a.join(b, col("z") === col("z2") && col("a") < col("b"))
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("n_common"),
+        (sum(term).cast("double") / lit(1000000.0)).as("aa_score"))
+  }
 }

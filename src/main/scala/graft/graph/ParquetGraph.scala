@@ -84,6 +84,19 @@ object ParquetGraph {
   def docTree(s: SparkSession, d: String): GraphTables =
     cached(s, d, "doctree")(buildDocTree(s, d))
 
+  /** Chain ∪ cliques over the nation nodes: per-region directed cycle plus
+    * the 3-clique among each region's lowest-keyed nations. Clique members
+    * have undirected degree 4, the rest degree 2, so the Adamic-Adar twin
+    * sees non-uniform neighbor weights and a mix of 1- and 2-common-
+    * neighbor pairs — not a constant-score fixture.
+    */
+  def linkPred(s: SparkSession, d: String): GraphTables =
+    cached(s, d, "linkpred") {
+      val ch = buildChain(s, d)
+      val cl = buildCliques(s, d)
+      GraphTables(ch.nodes, ch.edges.unionByName(cl.edges))
+    }
+
   /** Region → nation → customer → order tree. Order nodes/edges carry their
     * own batch tag so the cascade-delete twin can drop exactly that layer.
     */
@@ -424,6 +437,54 @@ object ParquetGraph {
       GraphOps.triangleCounts(s, cliques(s, d))
         .select(col("name"), col("triangles").cast("int").as("triangles"))
         .orderBy("name")
+    },
+
+    // Q9 Adamic-Adar link-prediction twin on the chain∪cliques layer. The
+    // oracle re-derives the same undirected adjacency from the nation table
+    // (window lead for the cycle, row_number self-join for the cliques) and
+    // scores pairs independently; micro-unit quantization (Det discipline)
+    // makes the Σ 1/ln(deg) sum order-independent on both engines.
+    QueryDef.sql(
+      "graphp_link_predict",
+      """WITH ch AS (
+        |  SELECT n_nationkey AS src,
+        |    coalesce(lead(n_nationkey) OVER w,
+        |      min(n_nationkey) OVER (PARTITION BY n_regionkey)) AS dst
+        |  FROM nation
+        |  WINDOW w AS (PARTITION BY n_regionkey ORDER BY n_nationkey)),
+        |t3 AS (
+        |  SELECT n_regionkey AS rk, n_nationkey AS id, row_number() OVER
+        |    (PARTITION BY n_regionkey ORDER BY n_nationkey) AS rn
+        |  FROM nation),
+        |cl AS (SELECT a.id AS src, b.id AS dst FROM t3 a
+        |       JOIN t3 b ON a.rk = b.rk AND a.rn < b.rn
+        |       WHERE a.rn <= 3 AND b.rn <= 3),
+        |e AS (SELECT src, dst FROM ch UNION ALL SELECT src, dst FROM cl),
+        |und AS (SELECT DISTINCT u, v FROM (
+        |  SELECT src AS u, dst AS v FROM e
+        |  UNION ALL SELECT dst, src FROM e) WHERE u <> v),
+        |deg AS (SELECT u, count(*) AS deg FROM und GROUP BY u),
+        |adj AS (SELECT und.u AS z, und.v AS n, deg.deg FROM und
+        |        JOIN deg USING (u)),
+        |pairs AS (
+        |  SELECT a.n AS ia, b.n AS ib, count(*) AS n_common,
+        |    CAST(sum(CAST(floor(CAST(1000000 AS DOUBLE) /
+        |        ln(CAST(a.deg AS DOUBLE)) + 0.5) AS BIGINT)) AS DOUBLE) /
+        |      CAST(1000000 AS DOUBLE) AS aa_score
+        |  FROM adj a JOIN adj b ON a.z = b.z AND a.n < b.n
+        |  GROUP BY a.n, b.n)
+        |SELECT na.n_name AS name_a, nb.n_name AS name_b, n_common, aa_score
+        |FROM pairs JOIN nation na ON ia = na.n_nationkey
+        |           JOIN nation nb ON ib = nb.n_nationkey
+        |ORDER BY name_a, name_b""".stripMargin) { (s, d) =>
+      val names = nationNames(s, d)
+      GraphOps.adamicAdar(s, linkPred(s, d))
+        .join(names.select(col("id").as("a"), col("n_name").as("name_a")),
+          "a")
+        .join(names.select(col("id").as("b"), col("n_name").as("name_b")),
+          "b")
+        .select("name_a", "name_b", "n_common", "aa_score")
+        .orderBy("name_a", "name_b")
     },
 
     // B6 CypherLite twin: relType-constrained variable hops. The hop bound

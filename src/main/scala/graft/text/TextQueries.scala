@@ -1207,6 +1207,179 @@ object TextQueries {
             col("n_novel").cast("double") / col("n_shingles").cast("double"),
             6).as("novelty"))
         .orderBy("source")
+    },
+
+    // ------------------------------- L30 cross-doc duplicated-span fraction
+    // Substring-dedup signal (Lee et al. 2022, "Deduplicating Training
+    // Data Makes Language Models Better"): the fraction of a document's
+    // 8-token windows that also occur verbatim in ANOTHER document —
+    // positional (every window counts, unlike the distinct shingle
+    // frontend), so a doc that is 80% boilerplate scores 0.8 even when
+    // the repeated span is one long run. Windows travel as 60-bit hashes:
+    // the DF aggregate and the join back shuffle a long key, never the
+    // window text — the 100 TB shape of suffix-style dedup.
+    QueryDef.sql(
+      "l30_dup_spans",
+      s"""WITH ws AS (
+         |  SELECT doc_id, ${PortableHash.duck("w")} AS wh
+         |  FROM (SELECT doc_id, unnest(list_transform(
+         |      generate_series(1, len(l) - 7),
+         |      i -> array_to_string(l[i:i+7], ' '))) AS w
+         |    FROM (SELECT doc_id, string_split(text, ' ') AS l
+         |          FROM documents)
+         |    WHERE len(l) >= 8) t),
+         |df AS (SELECT wh, count(DISTINCT doc_id) AS df FROM ws GROUP BY wh)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+         |  CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_dup_windows,
+         |  ${graft.Det.duckPortableRound(
+          "CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)" +
+            " / CAST(count(*) AS DOUBLE)", 6)} AS dup_frac
+         |FROM ws JOIN df USING (wh)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      // window relation feeds the DF aggregate and the join back — same
+      // multi-consumer materialization policy as minhashPairs/ngramJaccard
+      val ws = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 8)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(toks) - 8)," +
+            " i -> array_join(slice(toks, i + 1, 8), ' '))")).as("w"))
+        .select(col("doc_id"), PortableHash.spark(col("w")).as("wh"))
+        .localCheckpoint()
+      val df = ws.groupBy("wh").agg(countDistinct(col("doc_id")).as("df"))
+      ws.join(df, "wh")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_windows"),
+          sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup_windows"))
+        .select(col("doc_id"), col("n_windows"), col("n_dup_windows"),
+          graft.Det.portableRound(col("n_dup_windows").cast("double") /
+            col("n_windows").cast("double"), 6).as("dup_frac"))
+        .orderBy("doc_id")
+    },
+
+    // ------------------------------------------- L31 ANN recall@k vs exact
+    // Index-quality gate for the ANN scale path: recall@3 of the
+    // sign-LSH-bucketed search (the l4 plan) against the exact brute-force
+    // top-3 — the metric that decides whether the bucketing is good
+    // enough to replace the exact join at 100 TB. The exact side
+    // broadcasts the bounded query set (20 rows); the ANN side meets
+    // candidates only inside a bucket. Both sides and the intersection
+    // are derived identically in DuckDB.
+    QueryDef.sql(
+      "l31_ann_recall",
+      """WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+        |    sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+        |      x -> x * x))) AS nrm,
+        |    list_sum(list_transform(generate_series(1, 8),
+        |      i -> CASE WHEN embedding[i] > 0 THEN 1 << (i - 1) ELSE 0 END))
+        |      AS bucket
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, emb AS qe, nrm AS qn, bucket FROM n
+        |  WHERE vec_id < 20),
+        |ex AS (SELECT q_id, neighbor_id FROM (
+        |  SELECT q_id, n.vec_id AS neighbor_id, row_number() OVER
+        |      (PARTITION BY q_id ORDER BY
+        |        floor(list_sum(list_transform(generate_series(1, len(qe)),
+        |          i -> qe[i] * emb[i])) / (qn * nrm) * 1000000 + 0.5)
+        |        / CAST(1000000 AS DOUBLE) DESC, n.vec_id) AS rn
+        |  FROM q JOIN n ON n.vec_id <> q.q_id) WHERE rn <= 3),
+        |ann AS (SELECT q_id, neighbor_id FROM (
+        |  SELECT q_id, n.vec_id AS neighbor_id, row_number() OVER
+        |      (PARTITION BY q_id ORDER BY
+        |        floor(list_sum(list_transform(generate_series(1, len(qe)),
+        |          i -> qe[i] * emb[i])) / (qn * nrm) * 1000000 + 0.5)
+        |        / CAST(1000000 AS DOUBLE) DESC, n.vec_id) AS rn
+        |  FROM q JOIN n ON q.bucket = n.bucket AND n.vec_id <> q.q_id)
+        |  WHERE rn <= 3)
+        |SELECT ex.q_id, CAST(count(*) AS BIGINT) AS n_exact,
+        |  CAST(count(ann.neighbor_id) AS BIGINT) AS n_hit,
+        |  floor(CAST(count(ann.neighbor_id) AS DOUBLE) /
+        |    CAST(count(*) AS DOUBLE) * 1000000 + 0.5)
+        |    / CAST(1000000 AS DOUBLE) AS recall
+        |FROM ex LEFT JOIN ann USING (q_id, neighbor_id)
+        |GROUP BY ex.q_id ORDER BY q_id""".stripMargin) { (s, d) =>
+      val n = Tables.embeddings(s, d).select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"),
+          expr("aggregate(transform(sequence(1, 8)," +
+            " i -> IF(element_at(embedding, i) > CAST(0.0 AS FLOAT)," +
+            " shiftleft(1, i - 1), 0)), 0, (a, v) -> a + v)").as("bucket"))
+        .withColumn("nrm",
+          sqrt(expr("aggregate(transform(emb, x -> x * x)," +
+            " CAST(0.0 AS DOUBLE), (a, v) -> a + v)")))
+        .localCheckpoint()
+      val q = n.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("emb").as("qe"),
+          col("nrm").as("qn"), col("bucket").as("qbucket"))
+      val sim = graft.Det.portableRound(
+        expr("aggregate(zip_with(qe, emb, (x, y) -> x * y)," +
+          " CAST(0.0 AS DOUBLE), (a, v) -> a + v)") / (col("qn") * col("nrm")),
+        6)
+      val w = Window.partitionBy("q_id")
+        .orderBy(col("sim").desc, col("neighbor_id"))
+      def top3(joined: DataFrame): DataFrame = joined
+        .select(col("q_id"), col("vec_id").as("neighbor_id"), sim.as("sim"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("q_id", "neighbor_id")
+      val ex = top3(broadcast(q).join(n, col("vec_id") =!= col("q_id")))
+      val ann = top3(q.join(n, col("qbucket") === col("bucket") &&
+          col("vec_id") =!= col("q_id")))
+        .withColumn("hit", lit(1))
+      ex.join(ann, Seq("q_id", "neighbor_id"), "left_outer")
+        .groupBy("q_id")
+        .agg(count(lit(1)).as("n_exact"), count(col("hit")).as("n_hit"))
+        .select(col("q_id"), col("n_exact"), col("n_hit"),
+          graft.Det.portableRound(col("n_hit").cast("double") /
+            col("n_exact").cast("double"), 6).as("recall"))
+        .orderBy("q_id")
+    },
+
+    // ------------------------------------------------ L32 Gopher rule gate
+    // Rule-based quality filter in the Gopher/MassiveText style (Rae et
+    // al. 2021 §A1.1): per-document structural rules, each surfaced as its
+    // own flag so downstream slicing can ask WHY a doc was dropped, plus
+    // the conjunctive keep decision. Pure per-row expressions — zero
+    // shuffle, embarrassingly parallel at any scale. Thresholds are the
+    // test-corpus values; production tunes per source (COVERAGE.md
+    // "Scale knobs").
+    QueryDef.sql(
+      "l32_gopher_rules",
+      """SELECT doc_id,
+        |  (len(string_split(text, ' ')) BETWEEN 10 AND 300) AS ok_len,
+        |  (CAST(length(replace(text, ' ', '')) AS DOUBLE) /
+        |     CAST(len(string_split(text, ' ')) AS DOUBLE)
+        |     BETWEEN 3.0 AND 10.0) AS ok_word_len,
+        |  (len(list_filter(string_split(text, ' '),
+        |     t -> t IN ('the', 'a', 'of', 'and', 'to'))) >= 2) AS ok_stop,
+        |  (CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS DOUBLE) <=
+        |     0.1 * CAST(length(text) AS DOUBLE)) AS ok_symbol,
+        |  ((len(string_split(text, ' ')) BETWEEN 10 AND 300) AND
+        |   (CAST(length(replace(text, ' ', '')) AS DOUBLE) /
+        |      CAST(len(string_split(text, ' ')) AS DOUBLE)
+        |      BETWEEN 3.0 AND 10.0) AND
+        |   (len(list_filter(string_split(text, ' '),
+        |      t -> t IN ('the', 'a', 'of', 'and', 'to'))) >= 2) AND
+        |   (CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS DOUBLE) <=
+        |      0.1 * CAST(length(text) AS DOUBLE))) AS keep
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val nWords = size(split(col("text"), " "))
+      val meanWordLen =
+        length(regexp_replace(col("text"), " ", "")).cast("double") /
+          nWords.cast("double")
+      val stopHits = expr("size(filter(split(text, ' ')," +
+        " t -> t IN ('the', 'a', 'of', 'and', 'to')))")
+      val symbolOk =
+        expr("size(regexp_extract_all(text, '[^a-zA-Z0-9 ]', 0))")
+          .cast("double") <= lit(0.1) * length(col("text")).cast("double")
+      val okLen = nWords.between(10, 300)
+      val okWordLen = meanWordLen.between(3.0, 10.0)
+      val okStop = stopHits >= 2
+      Tables.documents(s, d).select(col("doc_id"),
+          okLen.as("ok_len"), okWordLen.as("ok_word_len"),
+          okStop.as("ok_stop"), symbolOk.as("ok_symbol"),
+          (okLen && okWordLen && okStop && symbolOk).as("keep"))
+        .orderBy("doc_id")
     }
   )
 
