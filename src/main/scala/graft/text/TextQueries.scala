@@ -1380,6 +1380,105 @@ object TextQueries {
           okStop.as("ok_stop"), symbolOk.as("ok_symbol"),
           (okLen && okWordLen && okStop && symbolOk).as("keep"))
         .orderBy("doc_id")
+    },
+
+    // ----------------------------------------- L33 Zipf slope per source
+    // Corpus-health diagnostic: the log-log slope of the ranked token
+    // frequency curve per source (natural text ≈ −1; synthetic/templated
+    // text flattens toward 0). Frequencies rank per source (the window is
+    // PARTITIONED — nothing global), and the least-squares fit runs over
+    // micro-unit-quantized ln values so every cross-row sum is an exact
+    // integer — the regression is engine- and partitioning-independent.
+    QueryDef.sql(
+      "l33_zipf_slope",
+      """WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |f AS (SELECT source, tok, count(*) AS freq FROM t GROUP BY 1, 2),
+        |r AS (SELECT source, freq, row_number() OVER (PARTITION BY source
+        |    ORDER BY freq DESC, tok) AS rnk FROM f),
+        |q AS (SELECT source,
+        |    CAST(floor(ln(CAST(rnk AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+        |      AS xq,
+        |    CAST(floor(ln(CAST(freq AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+        |      AS yq
+        |  FROM r WHERE rnk <= 20),
+        |a AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(xq) AS BIGINT) AS sx, CAST(sum(yq) AS BIGINT) AS sy,
+        |    CAST(sum(xq * yq) AS BIGINT) AS sxy,
+        |    CAST(sum(xq * xq) AS BIGINT) AS sxx
+        |  FROM q GROUP BY source)
+        |SELECT source, n AS n_terms,
+        |  floor(CAST(n * sxy - sx * sy AS DOUBLE) /
+        |      CAST(n * sxx - sx * sx AS DOUBLE) * 1000000 + 0.5)
+        |    / CAST(1000000 AS DOUBLE) AS zipf_slope
+        |FROM a ORDER BY source""".stripMargin) { (s, d) =>
+      val toks = Tables.documents(s, d)
+        .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      val f = toks.groupBy("source", "tok").agg(count(lit(1)).as("freq"))
+      val w = Window.partitionBy("source")
+        .orderBy(col("freq").desc, col("tok"))
+      def q(c: Column): Column =
+        floor(log(c.cast("double")) * lit(1000000.0) + lit(0.5)).cast("long")
+      val a = f.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 20)
+        .select(col("source"), q(col("rnk")).as("xq"), q(col("freq")).as("yq"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"), sum("xq").as("sx"), sum("yq").as("sy"),
+          sum(col("xq") * col("yq")).as("sxy"),
+          sum(col("xq") * col("xq")).as("sxx"))
+      a.select(col("source"), col("n").as("n_terms"),
+          graft.Det.portableRound(
+            (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+              (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"),
+            6).as("zipf_slope"))
+        .orderBy("source")
+    },
+
+    // -------------------------------- L34 LSH candidates + exact verify
+    // The COMPLETE production near-dup pipeline in one operator: MinHash
+    // LSH proposes candidates (recall side, sub-quadratic band join — the
+    // l2 plan), then an exact Jaccard over the full shingle sets filters
+    // them (precision side) — only candidate pairs ever reach the verify
+    // join, so the expensive exact comparison runs on O(candidates), not
+    // O(n²). This candidates→verify shape is what ships at 100 TB.
+    QueryDef.sql(
+      "l34_verified_neardup",
+      s"""WITH ${duckPairsCtes()},
+         |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |shared AS (
+         |  SELECT p.doc_a, p.doc_b, count(*) AS shared
+         |  FROM pairs p
+         |  JOIN sh a ON a.doc_id = p.doc_a
+         |  JOIN sh b ON b.doc_id = p.doc_b AND b.s = a.s
+         |  GROUP BY p.doc_a, p.doc_b)
+         |SELECT doc_a, doc_b,
+         |  ${graft.Det.duckPortableRound(
+          "CAST(shared AS DOUBLE) / CAST(sa.n + sb.n - shared AS DOUBLE)",
+          6)} AS jaccard
+         |FROM shared JOIN sz sa ON doc_a = sa.doc_id
+         |            JOIN sz sb ON doc_b = sb.doc_id
+         |WHERE CAST(shared AS DOUBLE) / CAST(sa.n + sb.n - shared AS DOUBLE)
+         |      >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+      val sh = shingles(s, d).localCheckpoint()
+      val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val pairs = minhashPairs(s, d)
+      val shared = pairs
+        .join(sh.select(col("doc_id").as("doc_a"), col("s")), Seq("doc_a"))
+        .join(sh.select(col("doc_id").as("doc_b"), col("s")),
+          Seq("doc_b", "s"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
+      val jac = col("shared").cast("double") /
+        (col("na") + col("nb") - col("shared")).cast("double")
+      shared
+        .join(sz.select(col("doc_id").as("doc_a"), col("n").as("na")),
+          Seq("doc_a"))
+        .join(sz.select(col("doc_id").as("doc_b"), col("n").as("nb")),
+          Seq("doc_b"))
+        .filter(jac >= 0.5)
+        .select(col("doc_a"), col("doc_b"),
+          graft.Det.portableRound(jac, 6).as("jaccard"))
+        .orderBy("doc_a", "doc_b")
     }
   )
 
