@@ -350,6 +350,30 @@ object RelationalQueries {
       a.join(b, col("a_rk") <=> col("b_rk"))
         .select("a_key", "b_key").orderBy("a_key", "b_key")
     },
+    QueryDef.sql(
+      "j14_lateral_topk",
+      // LATERAL correlated derived table — the "top-k related rows per
+      // driving row" SQL surface. Catalyst decorrelates the LATERAL into
+      // a ranked window join (DomainJoin rewrite), so despite the
+      // per-row subquery syntax the physical plan is one shuffle + one
+      // partitioned rank — no nested-loop re-execution per customer.
+      """SELECT c_custkey, t.o_orderkey, t.o_totalprice
+        |FROM customer, LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_custkey = c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        |ORDER BY c_custkey, t.o_totalprice DESC, t.o_orderkey""".stripMargin) {
+      (s, d) =>
+        Tables.customer(s, d).createOrReplaceTempView("customer")
+        Tables.orders(s, d).createOrReplaceTempView("orders")
+        s.sql(
+          """SELECT c_custkey, t.o_orderkey, t.o_totalprice
+            |FROM customer JOIN LATERAL (
+            |  SELECT o_orderkey, o_totalprice FROM orders
+            |  WHERE o_custkey = c_custkey
+            |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+            |ORDER BY c_custkey, t.o_totalprice DESC, t.o_orderkey""".stripMargin)
+    },
     // ---------------------------------------------------- aggregations (G)
     QueryDef.sql(
       "g1_group_nest",
