@@ -474,6 +474,47 @@ object GraphOps {
       .toDF("id", "depth")
   }
 
+  /** k-core of the undirected view of the edges: the maximal subgraph in
+    * which every node has degree ≥ k (Q9 analytics breadth — the standard
+    * "dense enough to matter" community filter). Iterative peeling as a
+    * bulk-synchronous fixpoint: each round removes ALL nodes below k
+    * simultaneously and recomputes degrees — O(peeling-depth) rounds, not
+    * O(removed-nodes), which is the shape that survives a 100 TB edge
+    * list (each round is two shuffles: the degree aggregate and the
+    * edge-endpoint semi-join). The per-round `localCheckpoint` +
+    * `isEmpty` termination probe follows the same lineage discipline as
+    * [[reachable]].
+    *
+    * Returns the surviving node ids (empty when the k-core is empty).
+    */
+  def kCore(spark: SparkSession, g: GraphTables, k: Int,
+      maxIterations: Int = 64): DataFrame = {
+    val e0 = g.edges.toDF().select(col("src"), col("dst"))
+    var edges = e0.select(col("src").as("u"), col("dst").as("v"))
+      .unionByName(e0.select(col("dst").as("u"), col("src").as("v")))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+    var iters = 0
+    var done = false
+    while (iters < maxIterations && !done) {
+      iters += 1
+      val deg = edges.groupBy("u").agg(count(lit(1)).as("deg"))
+      val doomed = deg.filter(col("deg") < k).select("u")
+      if (doomed.isEmpty) done = true
+      else {
+        // drop every edge touching a peeled node; both endpoints checked
+        // with semi-join-shaped anti-joins (never a collect of the doomed)
+        edges = edges
+          .join(doomed, Seq("u"), "left_anti")
+          .join(doomed.select(col("u").as("v")), Seq("v"), "left_anti")
+          .select("u", "v")
+          .localCheckpoint()
+      }
+    }
+    edges.select(col("u").as("id")).distinct()
+  }
+
   /** Adamic-Adar link prediction over the undirected view of the edges
     * (Q9 analytics breadth — the "which nodes should be connected" query a
     * Neo4j deployment would answer with GDS, the serving layer the

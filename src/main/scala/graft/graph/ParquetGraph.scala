@@ -84,6 +84,20 @@ object ParquetGraph {
   def docTree(s: SparkSession, d: String): GraphTables =
     cached(s, d, "doctree")(buildDocTree(s, d))
 
+  /** Hierarchy ∪ chain: the containment tree with the per-region nation
+    * cycle layered on top. Gives k-core a fixture with a genuine peeling
+    * CASCADE: orders are degree-1 leaves, and removing them drops
+    * customers to degree 1, so the 2-core is reached only after two
+    * peeling rounds — exactly the iterative behavior the kernel exists
+    * for — and its membership (nations + regions) is closed-form in SQL.
+    */
+  def hierChain(s: SparkSession, d: String): GraphTables =
+    cached(s, d, "hierchain") {
+      val h = buildHierarchy(s, d)
+      val c = buildChain(s, d)
+      GraphTables(h.nodes, h.edges.unionByName(c.edges))
+    }
+
   /** Chain ∪ cliques over the nation nodes: per-region directed cycle plus
     * the 3-clique among each region's lowest-keyed nations. Clique members
     * have undirected degree 4, the rest degree 2, so the Adamic-Adar twin
@@ -437,6 +451,25 @@ object ParquetGraph {
       GraphOps.triangleCounts(s, cliques(s, d))
         .select(col("name"), col("triangles").cast("int").as("triangles"))
         .orderBy("name")
+    },
+
+    // Q9 k-core twin on the hierarchy∪chain layer. The 2-core requires a
+    // peeling CASCADE (orders are degree-1 leaves; their removal drops
+    // customers to degree 1, removed the NEXT round), and its membership
+    // is closed-form: the nation cycle + region hubs survive, everything
+    // below a nation peels.
+    QueryDef.sql(
+      "graphp_kcore",
+      """SELECT label, name FROM (
+        |  SELECT 'Nation' AS label, n_name AS name FROM nation
+        |  UNION ALL
+        |  SELECT 'Region', r_name FROM region)
+        |ORDER BY label, name""".stripMargin) { (s, d) =>
+      val g = hierChain(s, d)
+      GraphOps.kCore(s, g, 2)
+        .join(g.nodes.toDF(), "id")
+        .select(col("label"), col("name"))
+        .orderBy("label", "name")
     },
 
     // Q9 Adamic-Adar link-prediction twin on the chain∪cliques layer. The
