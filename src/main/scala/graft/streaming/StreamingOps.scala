@@ -28,6 +28,36 @@ final case class SessionState(n_events: Long, last_ts_ms: Long)
   */
 final case class SessionTotal(user_id: Long, n_events: Long, closed: Boolean)
 
+/** [[org.apache.spark.sql.streaming.StatefulProcessor]] backing
+  * [[StreamingOps.runningUserTotalsTws]]: one named `ValueState` holding
+  * the per-user [[UserState]], updated per input batch, snapshot emitted
+  * per invocation (Update-mode semantics, same contract as the
+  * `mapGroupsWithState` twin it modernizes).
+  */
+class RunningTotalsProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, EventRow, UserSnapshot] {
+  @transient private var totals:
+      org.apache.spark.sql.streaming.ValueState[UserState] = _
+
+  override def init(outputMode: OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    totals = getHandle.getValueState[UserState]("totals",
+      org.apache.spark.sql.Encoders.product[UserState],
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+  override def handleInputRows(userId: Long, rows: Iterator[EventRow],
+      timerValues: org.apache.spark.sql.streaming.TimerValues)
+      : Iterator[UserSnapshot] = {
+    val prev = if (totals.exists()) totals.get() else UserState(0L, 0.0)
+    val batch = rows.toSeq
+    val next = UserState(prev.n_events + batch.size,
+      prev.total_value + batch.map(_.value).sum)
+    totals.update(next)
+    Iterator.single(UserSnapshot(userId, next.n_events, next.total_value))
+  }
+}
+
 /** Structured-Streaming operator surface (SURVEY.md §2.C T1-T8). Each
   * transform takes a (possibly streaming) events DataFrame and returns the
   * transformed frame — the same plans run in batch mode, which is how the
@@ -83,6 +113,25 @@ object StreamingOps {
           state.update(next)
           UserSnapshot(userId, next.n_events, next.total_value)
       }
+  }
+
+  /** T6 on the `transformWithState` API (Spark 4's successor to
+    * `mapGroupsWithState`): the same per-user running counters, expressed
+    * as a [[StatefulProcessor]] with a named, composable `ValueState`.
+    * The new API is the forward path for arbitrary state at scale — state
+    * variables are schema'd individually (so the store can evolve them),
+    * TTL is declarative per state variable instead of hand-rolled timeout
+    * bookkeeping, and it REQUIRES the RocksDB state store provider, the
+    * backend sized for 100 TB key cardinality (the caller/spec sets
+    * `spark.sql.streaming.stateStore.providerClass`).
+    */
+  def runningUserTotalsTws(spark: SparkSession, events: Dataset[EventRow])
+      : Dataset[UserSnapshot] = {
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new RunningTotalsProcessor(),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
   }
 
   /** T6 with `EventTimeTimeout`: per-user session counters whose state is

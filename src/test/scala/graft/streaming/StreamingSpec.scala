@@ -131,6 +131,47 @@ class StreamingSpec extends SparkSpec {
     assert(math.abs(last.getAs[Double]("total_value") - 3.5) < 1e-9)
   }
 
+  test("transformWithState matches mapGroupsWithState across batches (T6+)") {
+    // Spark 4's StatefulProcessor API; requires the RocksDB state store —
+    // the same backend the scale-posture test pins for the legacy API
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prev =
+      spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    try {
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val mem = MemoryStream[EventRow]
+      val q = StreamingOps
+        .runningUserTotalsTws(spark, mem.toDS())
+        .writeStream.format("memory").queryName("t6_tws_stream")
+        .outputMode(OutputMode.Update()).start()
+      mem.addData(EventRow(1L, ts(0), 7L, "view", 1.0),
+        EventRow(2L, ts(0), 8L, "view", 4.0))
+      q.processAllAvailable()
+      mem.addData(EventRow(3L, ts(1), 7L, "view", 2.5))
+      q.processAllAvailable()
+      q.stop()
+      // state accumulated ACROSS batches, per key
+      val last7 = spark.table("t6_tws_stream")
+        .filter(col("user_id") === 7L)
+        .orderBy(col("n_events").desc).collect().head
+      assert(last7.getAs[Long]("n_events") == 2L)
+      assert(math.abs(last7.getAs[Double]("total_value") - 3.5) < 1e-9)
+      val last8 = spark.table("t6_tws_stream")
+        .filter(col("user_id") === 8L).collect().head
+      assert(last8.getAs[Long]("n_events") == 1L)
+      assert(math.abs(last8.getAs[Double]("total_value") - 4.0) < 1e-9)
+    } finally {
+      prev match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("EventTimeTimeout evicts per-key state and emits the close (T6)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
