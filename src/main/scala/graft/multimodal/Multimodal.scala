@@ -36,6 +36,52 @@ object Multimodal {
     }
   }
 
+  /** 60-bit average-hash perceptual fingerprint (the aHash member of the
+    * pHash family, DCT stubbed like the rest of the codec): byte stream
+    * split into 60 balanced segments, bit j set iff segment j's mean byte
+    * exceeds the global mean. All-integer comparison (cross-multiplied, no
+    * division) so the oracle reproduces it bit-for-bit. 60 bits — not 64 —
+    * keeps every `1 << j` term positive in both engines, sidestepping the
+    * sign-bit literal dance the 64-bit SimHash needs.
+    */
+  def aHash(bytes: Array[Byte]): Long = {
+    val n = bytes.length
+    val segSum = new Array[Long](60)
+    val segCnt = new Array[Long](60)
+    var tot = 0L
+    var p = 0
+    while (p < n) {
+      val j = (p * 60) / n
+      val b = (bytes(p) & 0xff).toLong
+      segSum(j) += b
+      segCnt(j) += 1
+      tot += b
+      p += 1
+    }
+    var fp = 0L
+    var j = 0
+    while (j < 60) {
+      if (segSum(j) * n > tot * segCnt(j)) fp |= (1L << j)
+      j += 1
+    }
+    fp
+  }
+
+  /** Per-partition perceptual hashing of "image" payloads — same codec
+    * seam as [[decodeAll]] (a real pHash decodes pixels + DCT here).
+    */
+  def phashes(s: SparkSession, payloads: DataFrame): DataFrame = {
+    import s.implicits._
+    payloads.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.collect {
+          case (id, bytes) if bytes.length % 3 == 0 => (id, aHash(bytes))
+        }
+      }
+      .toDF("doc_id", "phash")
+  }
+
   /** documents → (doc_id, payload binary) — the "raw media" table shape.
     * Payload is the UTF-8 encoding of `text` standing in for media bytes.
     */
@@ -233,6 +279,70 @@ object Multimodal {
           expr("CAST(least(16, height - (tile_id div tx) * 16) AS INT)")
             .as("tile_h"))
         .orderBy("doc_id", "tile_id")
+    },
+    QueryDef.sql(
+      "mm6_phash",
+      // per-image 60-bit perceptual fingerprint — the oracle recomputes
+      // every bit from the bytes independently, so a hash match here is
+      // bit-exact evidence for the whole aHash pipeline
+      s"""WITH $duckPhashCtes
+         |SELECT doc_id, phash FROM fp ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+        phashes(s, payloadTable(s, d)).orderBy("doc_id")
+    },
+    QueryDef.sql(
+      "mm7_phash_neardup",
+      // perceptual near-dup pairs over the "image" slice: aHash in the
+      // codec seam, then the SAME banded-Hamming machinery as the SimHash
+      // text path. Test knobs: 10 bands × 6 bits ⇒ full recall at Hamming
+      // ≤ 9 by pigeonhole (the synthetic corpus's closest image pair sits
+      // at Hamming 8); production widens bands and tightens the threshold
+      // exactly as DedupKnobs documents for SimHash — 64 buckets/band is a
+      // test value, never a billion-image setting. The oracle recomputes
+      // the hash from bytes and brute-forces all image pairs — same
+      // answer, sub-quadratic engine plan.
+      s"""WITH $duckPhashCtes,
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    bit_count(xor(a.phash, b.phash)) AS hamming
+         |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, CAST(hamming AS INT) AS hamming
+         |FROM p WHERE hamming <= 9 ORDER BY doc_a, doc_b""".stripMargin) {
+      (s, d) =>
+        graft.functions.HammingDistance.register(s)
+        val fps = phashes(s, payloadTable(s, d)).localCheckpoint()
+        def banded(idCol: String, fpCol: String): DataFrame =
+          fps.select(col("doc_id").as(idCol), col("phash").as(fpCol))
+            .withColumn("band", explode(expr(
+              s"transform(sequence(0, 9)," +
+                s" b -> concat(b, ':', shiftright($fpCol, b * 6) & 63))")))
+        banded("doc_a", "fp_a").join(banded("doc_b", "fp_b"), Seq("band"))
+          .filter(col("doc_a") < col("doc_b"))
+          .select("doc_a", "fp_a", "doc_b", "fp_b").distinct()
+          .withColumn("hamming", expr("graft_hamming(fp_a, fp_b)"))
+          .filter(col("hamming") <= 9)
+          .select("doc_a", "doc_b", "hamming")
+          .orderBy("doc_a", "doc_b")
     }
   )
+
+  /** DuckDB CTE chain ending in `fp(doc_id, phash)` — the byte-level
+    * mirror of [[aHash]] over the "image" slice.
+    */
+  private def duckPhashCtes: String =
+    """img AS (SELECT doc_id, text, octet_length(encode(text)) AS n
+      |  FROM documents WHERE octet_length(encode(text)) % 3 = 0),
+      |by AS (SELECT doc_id, n, unnest(generate_series(1, n)) AS i, text
+      |  FROM img),
+      |bv AS (SELECT doc_id, n, i,
+      |    ascii(substring(text, CAST(i AS INT), 1)) AS b FROM by),
+      |seg AS (SELECT doc_id, n, ((i - 1) * 60) // n AS j,
+      |    CAST(sum(b) AS BIGINT) AS ss, count(*) AS sc
+      |  FROM bv GROUP BY 1, 2, 3),
+      |tot AS (SELECT doc_id, CAST(sum(b) AS BIGINT) AS tb
+      |  FROM bv GROUP BY doc_id),
+      |fp AS (SELECT s.doc_id,
+      |    CAST(sum(CASE WHEN s.ss * s.n > t.tb * s.sc
+      |      THEN CAST(1 AS BIGINT) << CAST(s.j AS INT)
+      |      ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS phash
+      |  FROM seg s JOIN tot t USING (doc_id) GROUP BY s.doc_id)""".stripMargin
 }
