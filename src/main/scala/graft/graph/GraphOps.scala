@@ -421,6 +421,18 @@ object GraphOps {
       }.toDF("id", "landmark", "distance")
   }
 
+  /** Strongly connected components via GraphX (Q9 DIRECTED analytics —
+    * `connectedComponents` ignores edge direction; SCC is the form that
+    * finds mutual-reachability groups, e.g. cycles in a link graph).
+    * Component id = min vertex id of the SCC, GraphX's convention.
+    */
+  def stronglyConnected(spark: SparkSession, g: GraphTables,
+      iters: Int = 10): DataFrame = {
+    import spark.implicits._
+    org.apache.spark.graphx.lib.StronglyConnectedComponents
+      .run(toGraphX(g), iters).vertices.toDF("id", "component")
+  }
+
   /** Min-sum weighted distance from roots via Pregel — Dijkstra's
     * relaxation as a bulk-synchronous fixpoint (Bellman-Ford style: no
     * priority queue, because at scale the whole frontier relaxes in

@@ -472,6 +472,30 @@ object ParquetGraph {
         .orderBy("label", "name")
     },
 
+    // Q9 SCC twin on the hierarchy∪chain layer: each region's nation cycle
+    // is one strongly connected component (mutual reachability around the
+    // directed cycle), while the tree edges above/below are acyclic — so
+    // restricted to nations, the SCC id is closed-form: the min nation id
+    // of the region. Undirected CC would collapse everything to one blob;
+    // SCC proving the cycles separate is the directed-analytics evidence.
+    QueryDef.sql(
+      "graphp_scc",
+      """SELECT n.n_name AS name, m.n_name AS scc
+        |FROM nation n
+        |JOIN (SELECT n_regionkey AS rk, min(n_nationkey) AS mk
+        |      FROM nation GROUP BY 1) g ON n.n_regionkey = g.rk
+        |JOIN nation m ON m.n_nationkey = g.mk
+        |ORDER BY name""".stripMargin) { (s, d) =>
+      val g = hierChain(s, d)
+      val nations = g.nodes.toDF().filter(col("label") === "Nation")
+      GraphOps.stronglyConnected(s, g)
+        .join(nations.select(col("id"), col("name")), "id")
+        .join(nations.select(col("id").as("component"),
+          col("name").as("scc")), "component")
+        .select("name", "scc")
+        .orderBy("name")
+    },
+
     // Q9 Adamic-Adar link-prediction twin on the chain∪cliques layer. The
     // oracle re-derives the same undirected adjacency from the nation table
     // (window lead for the cycle, row_number self-join for the cliques) and

@@ -675,6 +675,34 @@ object RelationalQueries {
           expr("bit_xor(o_orderkey)").as("key_xor"))
         .orderBy("o_orderpriority")
     },
+    QueryDef.sql(
+      "f20_try_functions",
+      // ANSI-safe error-handling scalar surface: under ANSI SQL semantics
+      // a bad cast / division by zero / out-of-range index ABORTS the
+      // query; the try_* family yields NULL instead — the form a lake
+      // pipeline needs when one malformed row must not kill a 100 TB job.
+      // Restricted to forms both engines can express (overflow-sensitive
+      // try_add/try_multiply have no DuckDB mirror).
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 7 = 0 THEN NULL
+        |       ELSE o_totalprice / CAST(o_orderkey % 7 AS DOUBLE) END
+        |    AS safe_div,
+        |  TRY_CAST(o_orderpriority AS INTEGER) AS bad_cast,
+        |  TRY_CAST(substring(o_orderpriority, 1, 1) AS INTEGER) AS ok_cast,
+        |  string_split(o_orderpriority, '-')[3] AS oob_elem
+        |FROM orders WHERE o_orderkey < 200
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      Tables.orders(s, d).filter(col("o_orderkey") < 200)
+        .select(col("o_orderkey"),
+          expr("try_divide(o_totalprice, CAST(o_orderkey % 7 AS DOUBLE))")
+            .as("safe_div"),
+          expr("try_cast(o_orderpriority AS INT)").as("bad_cast"),
+          expr("try_cast(substring(o_orderpriority, 1, 1) AS INT)")
+            .as("ok_cast"),
+          expr("try_element_at(split(o_orderpriority, '-'), 3)")
+            .as("oob_elem"))
+        .orderBy("o_orderkey")
+    },
     QueryDef.rowsOnly("o5_sampled_scan") { (s, d) =>
       // seeded Bernoulli sample: deterministic within Spark, but sampling
       // algorithms differ across engines → rows-only check

@@ -1479,6 +1479,40 @@ object TextQueries {
         .select(col("doc_a"), col("doc_b"),
           graft.Det.portableRound(jac, 6).as("jaccard"))
         .orderBy("doc_a", "doc_b")
+    },
+
+    // -------------------------------- L35 weighted curriculum interleave
+    // Deterministic training-batch ordering: weighted round-robin across
+    // sources — item k of a weight-w source is emitted at virtual time
+    // k/w, so a weight-3 source appears 3× as often, evenly spread, and
+    // the schedule is identical on every run/engine (content-addressed
+    // within-source order, integer-exact virtual times via the micro-unit
+    // trick). The global sort is bounded by LIMIT → TakeOrderedAndProject,
+    // never a full-corpus sort at scale.
+    QueryDef.sql(
+      "l35_curriculum_interleave",
+      s"""WITH w AS (SELECT doc_id, source,
+         |    CAST(substring(source, 4) AS INT) % 3 + 1 AS wt,
+         |    row_number() OVER (PARTITION BY source ORDER BY
+         |      ${PortableHash.duck("CAST(doc_id AS VARCHAR)")}, doc_id)
+         |      AS r
+         |  FROM documents)
+         |SELECT CAST((r * 1000000) // wt AS BIGINT) AS vtime,
+         |  source, doc_id, CAST(r AS BIGINT) AS r
+         |FROM w ORDER BY vtime, source, r LIMIT 100""".stripMargin) {
+      (s, d) =>
+        val w = Window.partitionBy("source")
+          .orderBy(PortableHash.spark(col("doc_id").cast("string")),
+            col("doc_id"))
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            (substring(col("source"), 4, 10).cast("int") % 3 + 1).as("wt"))
+          .withColumn("r", row_number().over(w).cast("long"))
+          // `div`, not `/`: both engines' `/` would go through DOUBLE
+          .select(expr("r * 1000000 div wt").as("vtime"),
+            col("source"), col("doc_id"), col("r"))
+          .orderBy("vtime", "source", "r")
+          .limit(100)
     }
   )
 
