@@ -58,6 +58,49 @@ class RunningTotalsProcessor
   }
 }
 
+/** Event-time-timer sessionization on the `transformWithState` API — the
+  * modern twin of [[StreamingOps.sessionTotalsWithTimeout]]. Instead of
+  * `GroupStateTimeout` bookkeeping, the processor registers an explicit
+  * per-key timer at `last_event + gap` (re-armed on every batch by deleting
+  * the stale timer — timers are a SET per key, not a single slot) and
+  * evicts state in `handleExpiredTimer` when the watermark passes it. Same
+  * bounded-by-ACTIVE-keys state guarantee, now with first-class timers.
+  */
+class SessionTimerProcessor(gapMs: Long)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, EventRow, SessionTotal] {
+  @transient private var session:
+      org.apache.spark.sql.streaming.ValueState[SessionState] = _
+
+  override def init(outputMode: OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    session = getHandle.getValueState[SessionState]("session",
+      org.apache.spark.sql.Encoders.product[SessionState],
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+  override def handleInputRows(userId: Long, rows: Iterator[EventRow],
+      timerValues: org.apache.spark.sql.streaming.TimerValues)
+      : Iterator[SessionTotal] = {
+    val batch = rows.toSeq
+    val prev = if (session.exists()) session.get() else SessionState(0L, 0L)
+    val next = SessionState(prev.n_events + batch.size,
+      math.max(prev.last_ts_ms, batch.map(_.ts.getTime).max))
+    session.update(next)
+    getHandle.listTimers().foreach(t => getHandle.deleteTimer(t))
+    getHandle.registerTimer(next.last_ts_ms + gapMs)
+    Iterator.single(SessionTotal(userId, next.n_events, closed = false))
+  }
+
+  override def handleExpiredTimer(userId: Long,
+      timerValues: org.apache.spark.sql.streaming.TimerValues,
+      expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+      : Iterator[SessionTotal] = {
+    val fin = session.get()
+    session.clear()
+    Iterator.single(SessionTotal(userId, fin.n_events, closed = true))
+  }
+}
+
 /** Structured-Streaming operator surface (SURVEY.md §2.C T1-T8). Each
   * transform takes a (possibly streaming) events DataFrame and returns the
   * transformed frame — the same plans run in batch mode, which is how the
@@ -131,6 +174,21 @@ object StreamingOps {
     events.groupByKey(_.user_id)
       .transformWithState(new RunningTotalsProcessor(),
         org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
+  /** T6+ timer form of [[sessionTotalsWithTimeout]] on `transformWithState`
+    * ([[SessionTimerProcessor]]): explicit per-key event-time timers drive
+    * the session close + state eviction.
+    */
+  def sessionTotalsWithTimer(spark: SparkSession, events: Dataset[EventRow],
+      gapMinutes: Int = 30): Dataset[SessionTotal] = {
+    import spark.implicits._
+    events.withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new SessionTimerProcessor(gapMinutes * 60L * 1000L),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
         OutputMode.Update())
   }
 

@@ -172,6 +172,56 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState event-time timer closes sessions and evicts (T6+)") {
+    // the timer-API twin of the EventTimeTimeout scenario below: same
+    // traffic, same expected closes, state eviction via handleExpiredTimer
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prev =
+      spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    try {
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val mem = MemoryStream[EventRow]
+      val q = StreamingOps
+        .sessionTotalsWithTimer(spark, mem.toDS())
+        .writeStream.format("memory").queryName("t6_timer_stream")
+        .outputMode(OutputMode.Update()).start()
+      mem.addData(EventRow(1L, ts(0), 7L, "view", 1.0),
+        EventRow(2L, ts(0), 8L, "view", 1.0))
+      q.processAllAvailable()
+      // user 8 keeps going at 00:50 → watermark reaches 00:40, past user
+      // 7's timer at 00:30; the expiry sweep runs against the new watermark
+      mem.addData(EventRow(3L, ts(50), 8L, "view", 1.0))
+      q.processAllAvailable()
+      mem.addData(EventRow(4L, ts(51), 8L, "view", 1.0))
+      q.processAllAvailable()
+      val closed = spark.table("t6_timer_stream")
+        .filter(col("closed") && col("user_id") === 7L).collect()
+      assert(closed.length == 1, s"expected one close row: ${closed.toSeq}")
+      assert(closed.head.getAs[Long]("n_events") == 1L)
+      // user 7 returns — state was evicted, so the session restarts at 1
+      mem.addData(EventRow(5L, ts(52), 7L, "view", 1.0))
+      q.processAllAvailable()
+      q.stop()
+      val reopened = spark.table("t6_timer_stream")
+        .filter(!col("closed") && col("user_id") === 7L)
+        .orderBy(col("n_events").desc).collect()
+      assert(reopened.head.getAs[Long]("n_events") == 1L,
+        s"state survived the timer expiry: ${reopened.toSeq}")
+      // user 8's timer kept re-arming: no close row for it
+      assert(spark.table("t6_timer_stream")
+        .filter(col("closed") && col("user_id") === 8L).isEmpty)
+    } finally {
+      prev match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("EventTimeTimeout evicts per-key state and emits the close (T6)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
