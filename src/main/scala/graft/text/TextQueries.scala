@@ -1513,6 +1513,46 @@ object TextQueries {
             col("source"), col("doc_id"), col("r"))
           .orderBy("vtime", "source", "r")
           .limit(100)
+    },
+
+    // ------------------------------------ L36 cosine similarity histogram
+    // Embedding-space health diagnostic: the distribution of pairwise
+    // cosine similarities from a bounded probe set (50 rows, broadcast)
+    // against the full collection, bucketed to one decile. A collapsed
+    // space piles into the top buckets; a healthy one spreads — the cheap
+    // check run before trusting ANN recall numbers. Probe side is
+    // broadcast; the full side streams — no shuffle of the big relation.
+    QueryDef.sql(
+      "l36_cosine_histogram",
+      """WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+        |    sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+        |      x -> x * x))) AS nrm
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, emb AS qe, nrm AS qn FROM n
+        |  WHERE vec_id < 50),
+        |s AS (SELECT CAST(floor((floor(list_sum(list_transform(
+        |      generate_series(1, len(qe)), i -> qe[i] * emb[i]))
+        |      / (qn * nrm) * 1000000 + 0.5) / CAST(1000000 AS DOUBLE))
+        |      * 10) AS INT) AS bucket
+        |  FROM q JOIN n ON n.vec_id <> q.q_id)
+        |SELECT bucket, CAST(count(*) AS BIGINT) AS n_pairs
+        |FROM s GROUP BY bucket ORDER BY bucket""".stripMargin) { (s, d) =>
+      val n = Tables.embeddings(s, d).select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+        .withColumn("nrm",
+          sqrt(expr("aggregate(transform(emb, x -> x * x)," +
+            " CAST(0.0 AS DOUBLE), (a, v) -> a + v)")))
+      val q = n.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("q_id"), col("emb").as("qe"),
+          col("nrm").as("qn"))
+      val sim = graft.Det.portableRound(
+        expr("aggregate(zip_with(qe, emb, (x, y) -> x * y)," +
+          " CAST(0.0 AS DOUBLE), (a, v) -> a + v)") / (col("qn") * col("nrm")),
+        6)
+      broadcast(q).join(n, col("vec_id") =!= col("q_id"))
+        .select(floor(sim * 10).cast("int").as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n_pairs"))
+        .orderBy("bucket")
     }
   )
 
