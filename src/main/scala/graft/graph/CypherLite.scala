@@ -17,7 +17,7 @@ import org.apache.spark.sql.functions._
   * Grammar (case-insensitive keywords; `c` is the hop pattern's connected
   * variable):
   * {{{
-  *   MATCH (m[:Label] [{prop: 'value'[, ...]}]) [-[[:REL_TYPE]*1..K]->(c[:Label])]
+  *   MATCH (m[:Label] [{prop: 'value'[, ...]}]) [-[[:REL_TYPE]*1..K]->(c[:Label] [{prop: 'value'[, ...]}])]
   *   [WHERE (m|c).prop <op> 'value' [AND|OR ...]] op ∈ {=, <>, <, <=, >, >=}
   *   RETURN m | m.prop[, m.prop ...] | m, c | m.prop, c
   *          | m.prop[, ...], c.prop[, ...] | c.prop[, ...]
@@ -71,7 +71,7 @@ object CypherLite {
   private val MatchRe =
     ("""(?is)\s*MATCH\s*\(\s*(\w+)\s*(?::\s*(\w+))?\s*""" +
       """(?:\{\s*([^}]*)\s*\})?\s*\)\s*""" +
-      """(?:-\s*\[\s*(?::\s*(\w+)\s*)?\*\s*1\s*\.\.\s*(\d+)\s*\]\s*->\s*\(\s*(\w+)\s*(?::\s*(\w+))?\s*\)\s*)?""" +
+      """(?:-\s*\[\s*(?::\s*(\w+)\s*)?\*\s*1\s*\.\.\s*(\d+)\s*\]\s*->\s*\(\s*(\w+)\s*(?::\s*(\w+))?\s*(?:\{\s*([^}]*)\s*\})?\s*\)\s*)?""" +
       """(?:WHERE\s+(.*?)\s*)?""" +
       """RETURN\s+(.+?)\s*""" +
       """(?:ORDER\s+BY\s+(?:(\w+)\s*\.\s*(\w+)|count\s*\(\s*(\w+)\s*\))\s*(?:(ASC|DESC)\s*)?)?""" +
@@ -94,7 +94,8 @@ object CypherLite {
   def parse(query: String): Either[String, Statement] = query match {
     case DeleteRe(_, tag) => Right(DetachDelete(tag))
     case MatchRe(m, label, propsStr, relType, hopsStr, connVar, connLabel,
-        whereStr, retStr, obVar, obProp, obCountVar, obDir, limitStr) =>
+        connPropsStr, whereStr, retStr, obVar, obProp, obCountVar, obDir,
+        limitStr) =>
       val props = Option(propsStr).toSeq
         .flatMap(s => PropRe.findAllMatchIn(s)
           .map(p => p.group(1) -> p.group(2))).toMap
@@ -205,16 +206,21 @@ object CypherLite {
             Left("ORDER BY count() requires count(connected) in RETURN")
           else Right(())
         } yield {
-          // `(c:Label)` sugar (the schema prompt's typed patterns,
-          // `first-graph.py:63-136`): desugars to `c.label = 'Label'`,
-          // AND-distributed into EVERY OR-group so the label constraint
-          // conjoins with the whole WHERE clause, not just its last branch
-          val condsWithSugar = Option(connLabel) match {
-            case None => conds
-            case Some(l) =>
-              val c = Cond("label", "=", l, onConn = true)
-              if (conds.isEmpty) Seq(Seq(c)) else conds.map(_ :+ c)
-          }
+          // `(c:Label)` and `(c {prop: 'v'})` sugar (the schema prompt's
+          // typed patterns, `first-graph.py:63-136`): desugars to
+          // `c.label = 'Label'` / `c.prop = 'v'` equality conditions,
+          // AND-distributed into EVERY OR-group so the constraints
+          // conjoin with the whole WHERE clause, not just its last branch
+          val sugar =
+            Option(connLabel).map(l =>
+              Cond("label", "=", l, onConn = true)).toSeq ++
+            Option(connPropsStr).toSeq.flatMap(s =>
+              PropRe.findAllMatchIn(s).map(p =>
+                Cond(p.group(1), "=", p.group(2), onConn = true)))
+          val condsWithSugar =
+            if (sugar.isEmpty) conds
+            else if (conds.isEmpty) Seq(sugar)
+            else conds.map(_ ++ sugar)
           MatchReturn(Option(label), props, Option(relType),
             if (conn.isDefined) math.max(hops, 1) else 0,
             condsWithSugar, items, ob, Option(limitStr).map(_.toInt))

@@ -883,6 +883,21 @@ object ParquetGraph {
         .fold(err => throw new IllegalArgumentException(err), identity)
     },
 
+    // B6 CypherLite twin: inline property map on the CONNECTED pattern —
+    // `(c:Nation {name: '…'})` — the Cypher-idiomatic anchor form LLMs
+    // emit constantly; desugars to AND-distributed equality conditions.
+    QueryDef.sql(
+      "graphp_cypher_conn_props",
+      """SELECT r_name AS m_name, n_name AS c_name
+        |FROM region JOIN nation ON n_regionkey = r_regionkey
+        |WHERE n_name = 'NATION_7'
+        |ORDER BY m_name, c_name""".stripMargin) { (s, d) =>
+      CypherLite.run(hierarchy(s, d),
+        "MATCH (m:Region)-[*1..1]->(c:Nation {name: 'NATION_7'}) " +
+          "RETURN m.name, c.name")
+        .fold(err => throw new IllegalArgumentException(err), identity)
+    },
+
     // B6 CypherLite twin: count(c) restricted by a connected-variable WHERE
     // on the node's LABEL — `c.label = '…'` is how a query narrows the
     // bare connected pattern's type, here counting only the depth-2
