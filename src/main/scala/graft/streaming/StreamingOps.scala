@@ -101,6 +101,57 @@ class SessionTimerProcessor(gapMs: Long)
   }
 }
 
+/** Per-user profile emitted by [[UserProfileProcessor]]: running count per
+  * event type plus the user's most recent event ids (bounded window).
+  */
+final case class UserProfile(user_id: Long, event_type: String,
+    n_type: Long, recent_ids: Seq[Long])
+
+/** Composable-state-variable demo on `transformWithState`: a MapState
+  * (event-type → running count) and a ListState (last-N event ids, bounded
+  * by truncating on every batch) side by side in ONE processor — the
+  * state-store layout the old GroupState API forces into a single
+  * monolithic case class. Each variable is schema'd and evolved
+  * independently by the store; the bounded list is what keeps per-key
+  * state O(N) on an unbounded stream.
+  */
+class UserProfileProcessor(keepLast: Int)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, EventRow, UserProfile] {
+  @transient private var typeCounts:
+      org.apache.spark.sql.streaming.MapState[String, Long] = _
+  @transient private var recent:
+      org.apache.spark.sql.streaming.ListState[Long] = _
+
+  override def init(outputMode: OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+    val ttl = org.apache.spark.sql.streaming.TTLConfig.NONE
+    typeCounts = getHandle.getMapState[String, Long]("type_counts",
+      org.apache.spark.sql.Encoders.STRING,
+      org.apache.spark.sql.Encoders.scalaLong, ttl)
+    recent = getHandle.getListState[Long]("recent",
+      org.apache.spark.sql.Encoders.scalaLong, ttl)
+  }
+
+  override def handleInputRows(userId: Long, rows: Iterator[EventRow],
+      timerValues: org.apache.spark.sql.streaming.TimerValues)
+      : Iterator[UserProfile] = {
+    val batch = rows.toSeq
+    batch.groupBy(_.event_type).foreach { case (t, evs) =>
+      val prev = if (typeCounts.containsKey(t)) typeCounts.getValue(t) else 0L
+      typeCounts.updateValue(t, prev + evs.size)
+    }
+    // bounded recent-ids window: append then truncate to the newest N
+    val ids = (recent.get().toSeq ++
+      batch.sortBy(e => (e.ts.getTime, e.event_id)).map(_.event_id))
+      .takeRight(keepLast)
+    recent.put(ids.toArray)
+    val snapshot = ids
+    batch.map(_.event_type).distinct.sorted.iterator.map(t =>
+      UserProfile(userId, t, typeCounts.getValue(t), snapshot))
+  }
+}
+
 /** Structured-Streaming operator surface (SURVEY.md §2.C T1-T8). Each
   * transform takes a (possibly streaming) events DataFrame and returns the
   * transformed frame — the same plans run in batch mode, which is how the
@@ -173,6 +224,16 @@ object StreamingOps {
     import spark.implicits._
     events.groupByKey(_.user_id)
       .transformWithState(new RunningTotalsProcessor(),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
+  /** T6+ MapState/ListState per-user profile ([[UserProfileProcessor]]). */
+  def userProfiles(spark: SparkSession, events: Dataset[EventRow],
+      keepLast: Int = 3): Dataset[UserProfile] = {
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new UserProfileProcessor(keepLast),
         org.apache.spark.sql.streaming.TimeMode.None(),
         OutputMode.Update())
   }

@@ -172,6 +172,47 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState MapState/ListState keep independent per-key state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prev =
+      spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    try {
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val mem = MemoryStream[EventRow]
+      val q = StreamingOps
+        .userProfiles(spark, mem.toDS())
+        .writeStream.format("memory").queryName("t6_profile_stream")
+        .outputMode(OutputMode.Update()).start()
+      mem.addData(EventRow(1L, ts(0), 7L, "view", 1.0),
+        EventRow(2L, ts(1), 7L, "click", 1.0))
+      q.processAllAvailable()
+      mem.addData(EventRow(3L, ts(2), 7L, "view", 1.0),
+        EventRow(4L, ts(3), 7L, "view", 1.0))
+      q.processAllAvailable()
+      q.stop()
+      val rows = spark.table("t6_profile_stream")
+        .filter(col("user_id") === 7L).collect()
+        .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("n_type"),
+          r.getAs[scala.collection.Seq[Long]]("recent_ids").toSeq))
+      // batch 2 emits only the types it saw: view with the MapState count
+      // accumulated across batches, and the ListState truncated to last 3
+      val viewRows = rows.filter(_._1 == "view").sortBy(_._2)
+      assert(viewRows.map(_._2).toSeq == Seq(1L, 3L))
+      assert(viewRows.last._3 == Seq(2L, 3L, 4L))
+      // click count untouched by batch 2 (still 1, from batch 1's row)
+      assert(rows.filter(_._1 == "click").map(_._2).toSeq == Seq(1L))
+    } finally {
+      prev match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("transformWithState event-time timer closes sessions and evicts (T6+)") {
     // the timer-API twin of the EventTimeTimeout scenario below: same
     // traffic, same expected closes, state eviction via handleExpiredTimer
