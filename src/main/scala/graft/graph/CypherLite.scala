@@ -22,7 +22,7 @@ import org.apache.spark.sql.functions._
   *   RETURN m | m.prop[, m.prop ...] | m, c | m.prop, c
   *          | m.prop[, ...], c.prop[, ...] | c.prop[, ...]
   *          | m, count(c) | m.prop[, m.prop ...], count(c)
-  *   [ORDER BY m.prop | count(c) [ASC|DESC]] [LIMIT n]
+  *   [ORDER BY m.prop | count(c) [ASC|DESC]] [SKIP n] [LIMIT n]
   * }}}
   * Property projections are honored on hop patterns too: `RETURN m.prop,
   * count(connected)` groups the expansion by the requested property values
@@ -65,6 +65,7 @@ object CypherLite {
       conds: Seq[Seq[Cond]],
       items: Seq[RetItem],
       orderBy: Option[(String, Boolean)], // (prop, descending)
+      skip: Option[Int],
       limit: Option[Int]) extends Statement
   final case class DetachDelete(tag: String) extends Statement
 
@@ -75,6 +76,7 @@ object CypherLite {
       """(?:WHERE\s+(.*?)\s*)?""" +
       """RETURN\s+(.+?)\s*""" +
       """(?:ORDER\s+BY\s+(?:(\w+)\s*\.\s*(\w+)|count\s*\(\s*(\w+)\s*\))\s*(?:(ASC|DESC)\s*)?)?""" +
+      """(?:SKIP\s+(\d+)\s*)?""" +
       """(?:LIMIT\s+(\d+))?\s*;?\s*""").r
 
   private val DeleteRe =
@@ -95,7 +97,7 @@ object CypherLite {
     case DeleteRe(_, tag) => Right(DetachDelete(tag))
     case MatchRe(m, label, propsStr, relType, hopsStr, connVar, connLabel,
         connPropsStr, whereStr, retStr, obVar, obProp, obCountVar, obDir,
-        limitStr) =>
+        skipStr, limitStr) =>
       val props = Option(propsStr).toSeq
         .flatMap(s => PropRe.findAllMatchIn(s)
           .map(p => p.group(1) -> p.group(2))).toMap
@@ -205,6 +207,11 @@ object CypherLite {
           _ <- if (ob.exists(_._1 == CountKey) && !items.contains(RetCount))
             Left("ORDER BY count() requires count(connected) in RETURN")
           else Right(())
+          // unordered pagination returns arbitrary rows — the plausible-
+          // but-wrong class this front end refuses to serve
+          _ <- if (skipStr != null && ob.isEmpty)
+            Left("SKIP requires ORDER BY")
+          else Right(())
         } yield {
           // `(c:Label)` and `(c {prop: 'v'})` sugar (the schema prompt's
           // typed patterns, `first-graph.py:63-136`): desugars to
@@ -223,7 +230,8 @@ object CypherLite {
             else conds.map(_ ++ sugar)
           MatchReturn(Option(label), props, Option(relType),
             if (conn.isDefined) math.max(hops, 1) else 0,
-            condsWithSugar, items, ob, Option(limitStr).map(_.toInt))
+            condsWithSugar, items, ob, Option(skipStr).map(_.toInt),
+            Option(limitStr).map(_.toInt))
         }
     case _ => Left(s"unsupported query shape: ${query.take(120)}")
   }
@@ -271,7 +279,7 @@ object CypherLite {
         Right(after.nodes.groupBy("batch")
           .agg(count(lit(1)).as("n_nodes")).orderBy("batch").toDF())
       case MatchReturn(label, props, relType, hops, conds, items, orderBy,
-          limit) =>
+          skip, limit) =>
         // unknown keys are rejected, not silently coerced to a name match —
         // a plausible-but-wrong answer is worse than an error to the
         // LLM-emitted-query caller this front end serves
@@ -318,13 +326,14 @@ object CypherLite {
             .map(k => Left(s"ORDER BY key '$k' must be among the returned " +
               s"properties (${outProps.toSeq.sorted.mkString(", ")})")))
           .getOrElse(Right(runMatch(g, label, props, relType, hops, conds,
-            items, orderBy, limit)))
+            items, orderBy, skip, limit)))
     }
 
   private def runMatch(g: GraphTables, label: Option[String],
       props: Map[String, String], relType: Option[String], hops: Int,
       conds: Seq[Seq[Cond]], items: Seq[RetItem],
-      orderBy: Option[(String, Boolean)], limit: Option[Int]): DataFrame = {
+      orderBy: Option[(String, Boolean)], skip: Option[Int],
+      limit: Option[Int]): DataFrame = {
     // the WHERE DNF, evaluated against a caller-chosen column mapping: bare
     // node columns on the m-only fast path, m_/c_-prefixed binding columns
     // when a clause references the connected variable
@@ -454,6 +463,9 @@ object CypherLite {
             .select(out.map(col): _*), out)
         }
       }
-    limit.map(base.limit).getOrElse(base)
+    // Cypher pagination: SKIP drops the first n of the ordered rows, LIMIT
+    // caps what remains (Dataset.offset composes with limit exactly so)
+    val skipped = skip.map(base.offset).getOrElse(base)
+    limit.map(skipped.limit).getOrElse(skipped)
   }
 }

@@ -805,6 +805,17 @@ object ParquetGraph {
         .fold(err => throw new IllegalArgumentException(err), identity)
     },
 
+    // B6 CypherLite twin: SKIP + LIMIT pagination — page 2 of the ordered
+    // nation listing; the front end rejects SKIP without ORDER BY.
+    QueryDef.sql(
+      "graphp_cypher_skip",
+      """SELECT n_name AS m_name FROM nation
+        |ORDER BY m_name DESC LIMIT 10 OFFSET 5""".stripMargin) { (s, d) =>
+      CypherLite.run(hierarchy(s, d),
+        "MATCH (m:Nation) RETURN m.name ORDER BY m.name DESC SKIP 5 LIMIT 10")
+        .fold(err => throw new IllegalArgumentException(err), identity)
+    },
+
     // B6 CypherLite twin: OR + AND precedence in WHERE (AND binds tighter),
     // graded against the explicitly parenthesized SQL equivalent.
     QueryDef.sql(

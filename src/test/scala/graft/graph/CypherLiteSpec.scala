@@ -334,4 +334,22 @@ class CypherLiteSpec extends SparkSpec {
     assert(r.isLeft &&
       r.swap.toOption.get.contains("whole matched node"), r.toString)
   }
+
+  test("SKIP without ORDER BY is rejected (unordered pagination)") {
+    val r = CypherLite.parse("MATCH (m:Step) RETURN m.name SKIP 5 LIMIT 10")
+    assert(r.isLeft && r.swap.toOption.get.contains("SKIP"), r.toString)
+    assert(CypherLite.parse(
+      "MATCH (m:Step) RETURN m.name ORDER BY m.name SKIP 5 LIMIT 10").isRight)
+  }
+
+  test("connected property-map sugar equals the WHERE equality form") {
+    val viaMap = CypherLite.run(g,
+      "MATCH (m:Boeing_Service_Bulletin)-[*1..2]->(c {label: 'Summary'}) " +
+        "RETURN m.docnbr").fold(e => fail(e), identity).collect().toSeq
+    val viaWhere = CypherLite.run(g,
+      "MATCH (m:Boeing_Service_Bulletin)-[*1..2]->(c) " +
+        "WHERE c.label = 'Summary' RETURN m.docnbr")
+      .fold(e => fail(e), identity).collect().toSeq
+    assert(viaMap == viaWhere && viaMap.nonEmpty)
+  }
 }
