@@ -703,6 +703,47 @@ object RelationalQueries {
             .as("oob_elem"))
         .orderBy("o_orderkey")
     },
+    QueryDef.sql(
+      "dq1_constraint_audit",
+      // the dbt-test / Great-Expectations audit battery as ONE relation:
+      // each check is an independent aggregate over its own table, so at
+      // scale they parallelize as separate stages and the union is free
+      // (no shuffle joins between checks). A lake pipeline runs exactly
+      // this shape after every load.
+      """SELECT 'pk_orders_unique' AS check_name,
+        |  CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+        |    AS n_violations
+        |FROM orders
+        |UNION ALL
+        |SELECT 'fk_orders_customer', CAST(count(*) AS BIGINT)
+        |FROM orders ANTI JOIN customer ON o_custkey = c_custkey
+        |UNION ALL
+        |SELECT 'not_null_orderdate', CAST(count(*) AS BIGINT)
+        |FROM orders WHERE o_orderdate IS NULL
+        |UNION ALL
+        |SELECT 'domain_orderstatus', CAST(count(*) AS BIGINT)
+        |FROM orders WHERE o_orderstatus NOT IN ('F', 'O', 'P')
+        |ORDER BY check_name""".stripMargin) { (s, d) =>
+      val orders = Tables.orders(s, d)
+      val pk = orders.agg((count(lit(1)) -
+        countDistinct(col("o_orderkey"))).as("n_violations"))
+        .select(lit("pk_orders_unique").as("check_name"), col("n_violations"))
+      val fk = orders.join(Tables.customer(s, d),
+          col("o_custkey") === col("c_custkey"), "left_anti")
+        .agg(count(lit(1)).as("n_violations"))
+        .select(lit("fk_orders_customer").as("check_name"),
+          col("n_violations"))
+      val nn = orders.filter(col("o_orderdate").isNull)
+        .agg(count(lit(1)).as("n_violations"))
+        .select(lit("not_null_orderdate").as("check_name"),
+          col("n_violations"))
+      val dom = orders.filter(!col("o_orderstatus").isin("F", "O", "P"))
+        .agg(count(lit(1)).as("n_violations"))
+        .select(lit("domain_orderstatus").as("check_name"),
+          col("n_violations"))
+      pk.unionByName(fk).unionByName(nn).unionByName(dom)
+        .orderBy("check_name")
+    },
     QueryDef.rowsOnly("o5_sampled_scan") { (s, d) =>
       // seeded Bernoulli sample: deterministic within Spark, but sampling
       // algorithms differ across engines → rows-only check
