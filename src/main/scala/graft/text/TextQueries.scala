@@ -86,8 +86,16 @@ object TextQueries {
   private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private val Ipv4Re = "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"
   private val PhoneRe = "\\+\\d{1,2}-\\d{3}-\\d{4}"
-  private def hashA(k: Int): Long = 2L * k + 1
-  private def hashB(k: Int): Long = 12345L * k + 1
+  // Per-seed multipliers must be WELL SPREAD over [1, P): the naive
+  // a_k = 2k+1 family is lattice-correlated across seeds (order statistics
+  // of a·x mod P barely change between small consecutive multipliers), and
+  // DedupScaleSpec measured its pair-miss rate at ~8e-4 where independent
+  // seeds give ~4e-10 — a real recall bug at corpus scale, invisible at
+  // sf0.01. Knuth's multiplier spreads consecutive k to distant odd
+  // multipliers; the DuckDB oracle SQL is generated from these same
+  // functions, so parity is maintained by construction.
+  private def hashA(k: Int): Long = (2654435761L * (2 * k + 1)) % P
+  private def hashB(k: Int): Long = (1779033703L * (k + 1) + 12345L) % P
 
   /** doc → distinct word-3-shingle rows; the shared frontend of the
     * near-dup family. 0-based in Spark, mirrored 1-based in DuckDB.
