@@ -1523,6 +1523,58 @@ object TextQueries {
           .limit(100)
     },
 
+    // ---------------------------------------- L37 composed corpus pipeline
+    // The L-ops as ONE pipeline — quality gate (l32's rules) → exact dedup
+    // (canonical = min doc_id per content hash) → split assignment (l26's
+    // content-addressed buckets) → per-(lang, split) corpus stats. This is
+    // the actual shape of a training-data build: each stage is a
+    // relational transform, so Catalyst fuses the gate into the scan,
+    // the dedup is one hash shuffle, and the split adds zero shuffles
+    // (per-row hash). One oracle checks the whole composition.
+    QueryDef.sql(
+      "l37_corpus_pipeline",
+      s"""WITH kept AS (
+         |  SELECT doc_id, text, lang FROM documents
+         |  WHERE (len(string_split(text, ' ')) BETWEEN 10 AND 300)
+         |    AND (CAST(length(replace(text, ' ', '')) AS DOUBLE) /
+         |         CAST(len(string_split(text, ' ')) AS DOUBLE)
+         |         BETWEEN 3.0 AND 10.0)),
+         |canon AS (
+         |  SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(text)),
+         |assigned AS (
+         |  SELECT lang, CASE
+         |      WHEN ${PortableHash.duck("CAST(k.doc_id AS VARCHAR)")} % 100
+         |        < 90 THEN 'train'
+         |      WHEN ${PortableHash.duck("CAST(k.doc_id AS VARCHAR)")} % 100
+         |        < 95 THEN 'val'
+         |      ELSE 'test' END AS split,
+         |    len(string_split(text, ' ')) AS n_toks
+         |  FROM kept k JOIN canon USING (doc_id))
+         |SELECT lang, split, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_toks) AS BIGINT) AS n_tokens
+         |FROM assigned GROUP BY lang, split ORDER BY lang, split""".stripMargin) {
+      (s, d) =>
+        val nWords = size(split(col("text"), " "))
+        val meanWordLen =
+          length(regexp_replace(col("text"), " ", "")).cast("double") /
+            nWords.cast("double")
+        val kept = Tables.documents(s, d)
+          .filter(nWords.between(10, 300) && meanWordLen.between(3.0, 10.0))
+          .select(col("doc_id"), col("text"), col("lang"))
+        val canon = kept.groupBy(md5(col("text")))
+          .agg(min(col("doc_id")).as("doc_id"))
+          .select("doc_id")
+        val bucket = PortableHash.spark(col("doc_id").cast("string")) % 100
+        kept.join(canon, "doc_id")
+          .select(col("lang"),
+            when(bucket < 90, "train").when(bucket < 95, "val")
+              .otherwise("test").as("split"),
+            size(split(col("text"), " ")).as("n_toks"))
+          .groupBy("lang", "split")
+          .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("n_tokens"))
+          .orderBy("lang", "split")
+    },
+
     // ------------------------------------ L36 cosine similarity histogram
     // Embedding-space health diagnostic: the distribution of pairwise
     // cosine similarities from a bounded probe set (50 rows, broadcast)
