@@ -19,7 +19,8 @@ val names = Seq("g2_agg_pricing_summary", "j2_join_broadcast_dims",
   "l2b2_prod_knobs", "l2c_prod_knobs", "graphp_cypher_conn_label",
   "l30_dup_spans", "l31_ann_recall", "l33_zipf_slope",
   "l34_verified_neardup", "graphp_link_predict", "graphp_kcore",
-  "mm7_phash_neardup", "l35_curriculum_interleave", "j14_lateral_topk")
+  "mm7_phash_neardup", "l35_curriculum_interleave", "j14_lateral_topk",
+  "l37_corpus_pipeline")
 val sb = new StringBuilder
 sb.append("# PLANS -- formatted physical plans of headline queries (sf0.1, local[8])\n\n")
 sb.append("Generated from `df.queryExecution.explainString(FormattedMode)` after execution\n(AQE final plans). Regenerate with `tools/dump_plans.sh`.\n")
