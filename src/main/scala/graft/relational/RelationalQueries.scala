@@ -704,6 +704,26 @@ object RelationalQueries {
         .orderBy("o_orderkey")
     },
     QueryDef.sql(
+      "g14_filtered_aggs",
+      // FILTER-clause conditional aggregation + boolean aggregates: one
+      // pass computes every conditional slice (no self-joins, no CASE
+      // pyramids) — partial+final mergeable like any sum
+      """SELECT o_orderpriority,
+        |  CAST(count(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS n_f,
+        |  CAST(count(*) FILTER (o_totalprice > 150000) AS BIGINT) AS n_big,
+        |  bool_and(o_totalprice > 0) AS all_positive,
+        |  bool_or(o_orderstatus = 'P') AS any_pending
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      Tables.orders(s, d).groupBy("o_orderpriority")
+        .agg(
+          count(when(col("o_orderstatus") === "F", 1)).as("n_f"),
+          count(when(col("o_totalprice") > 150000, 1)).as("n_big"),
+          expr("bool_and(o_totalprice > 0)").as("all_positive"),
+          expr("bool_or(o_orderstatus = 'P')").as("any_pending"))
+        .orderBy("o_orderpriority")
+    },
+    QueryDef.sql(
       "dq1_constraint_audit",
       // the dbt-test / Great-Expectations audit battery as ONE relation:
       // each check is an independent aggregate over its own table, so at
