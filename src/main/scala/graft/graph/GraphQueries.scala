@@ -149,24 +149,6 @@ object GraphQueries {
       GraphOps.pageRank(s, graph(s), iters = 10)
         .orderBy(col("rank").desc, col("label"), col("name")).limit(10)
     },
-    QueryDef.rowsOnly("graph_kcore") { (s, _) =>
-      // the SB graph is a tree plus shared Airplane/LineNumber dims — its
-      // densest core comes from those shared dimension nodes; oracle-exact
-      // membership is proven on the parquet twin (graphp_kcore)
-      GraphOps.kCore(s, graph(s), 2)
-        .join(graph(s).nodes.toDF(), "id")
-        .groupBy("label").agg(count(lit(1)).as("n_core_nodes"))
-        .orderBy("label")
-    },
-    QueryDef.rowsOnly("graph_scc") { (s, _) =>
-      // containment + reverse edges make every parent-child pair mutually
-      // reachable, so SCCs reflect the bidirectional document skeleton;
-      // exact membership is proven on the parquet twin (graphp_scc)
-      GraphOps.stronglyConnected(s, graph(s))
-        .groupBy("component").agg(count(lit(1)).as("size"))
-        .groupBy("size").agg(count(lit(1)).as("n_components"))
-        .orderBy("size")
-    },
     QueryDef.rowsOnly("graph_cypher_surface") { (s, _) =>
       // the Cypher-subset front end answering the reference's query class
       CypherLite.run(graph(s),
