@@ -302,20 +302,18 @@ object TextQueries {
       // sign-of-first-8-dims bucket: candidates meet only within a bucket,
       // so the join shuffles by bucket key instead of cross-joining — the
       // same shape an IVF index gives at 100 TB.
+      graft.functions.DotProduct.register(s)
       val n = Tables.embeddings(s, d).select(col("vec_id"),
           expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"),
           expr("aggregate(transform(sequence(1, 8)," +
             " i -> IF(element_at(embedding, i) > CAST(0.0 AS FLOAT)," +
             " shiftleft(1, i - 1), 0)), 0, (a, v) -> a + v)").as("bucket"))
-        .withColumn("nrm",
-          sqrt(expr("aggregate(transform(emb, x -> x * x)," +
-            " CAST(0.0 AS DOUBLE), (a, v) -> a + v)")))
+        .withColumn("nrm", sqrt(expr("graft_dot(emb, emb)")))
       val q = n.filter(col("vec_id") < 20)
         .select(col("vec_id").as("q_id"), col("emb").as("qe"),
           col("nrm").as("qn"), col("bucket").as("qbucket"))
       val sim = graft.Det.portableRound(
-        expr("aggregate(zip_with(qe, emb, (x, y) -> x * y)," +
-          " CAST(0.0 AS DOUBLE), (a, v) -> a + v)") / (col("qn") * col("nrm")),
+        expr("graft_dot(qe, emb)") / (col("qn") * col("nrm")),
         6)
       val w = Window.partitionBy("q_id")
         .orderBy(col("sim").desc, col("neighbor_id"))
@@ -1307,21 +1305,19 @@ object TextQueries {
         |    / CAST(1000000 AS DOUBLE) AS recall
         |FROM ex LEFT JOIN ann USING (q_id, neighbor_id)
         |GROUP BY ex.q_id ORDER BY q_id""".stripMargin) { (s, d) =>
+      graft.functions.DotProduct.register(s)
       val n = Tables.embeddings(s, d).select(col("vec_id"),
           expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"),
           expr("aggregate(transform(sequence(1, 8)," +
             " i -> IF(element_at(embedding, i) > CAST(0.0 AS FLOAT)," +
             " shiftleft(1, i - 1), 0)), 0, (a, v) -> a + v)").as("bucket"))
-        .withColumn("nrm",
-          sqrt(expr("aggregate(transform(emb, x -> x * x)," +
-            " CAST(0.0 AS DOUBLE), (a, v) -> a + v)")))
+        .withColumn("nrm", sqrt(expr("graft_dot(emb, emb)")))
         .localCheckpoint()
       val q = n.filter(col("vec_id") < 20)
         .select(col("vec_id").as("q_id"), col("emb").as("qe"),
           col("nrm").as("qn"), col("bucket").as("qbucket"))
       val sim = graft.Det.portableRound(
-        expr("aggregate(zip_with(qe, emb, (x, y) -> x * y)," +
-          " CAST(0.0 AS DOUBLE), (a, v) -> a + v)") / (col("qn") * col("nrm")),
+        expr("graft_dot(qe, emb)") / (col("qn") * col("nrm")),
         6)
       val w = Window.partitionBy("q_id")
         .orderBy(col("sim").desc, col("neighbor_id"))
@@ -1597,17 +1593,15 @@ object TextQueries {
         |  FROM q JOIN n ON n.vec_id <> q.q_id)
         |SELECT bucket, CAST(count(*) AS BIGINT) AS n_pairs
         |FROM s GROUP BY bucket ORDER BY bucket""".stripMargin) { (s, d) =>
+      graft.functions.DotProduct.register(s)
       val n = Tables.embeddings(s, d).select(col("vec_id"),
           expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
-        .withColumn("nrm",
-          sqrt(expr("aggregate(transform(emb, x -> x * x)," +
-            " CAST(0.0 AS DOUBLE), (a, v) -> a + v)")))
+        .withColumn("nrm", sqrt(expr("graft_dot(emb, emb)")))
       val q = n.filter(col("vec_id") < 50)
         .select(col("vec_id").as("q_id"), col("emb").as("qe"),
           col("nrm").as("qn"))
       val sim = graft.Det.portableRound(
-        expr("aggregate(zip_with(qe, emb, (x, y) -> x * y)," +
-          " CAST(0.0 AS DOUBLE), (a, v) -> a + v)") / (col("qn") * col("nrm")),
+        expr("graft_dot(qe, emb)") / (col("qn") * col("nrm")),
         6)
       broadcast(q).join(n, col("vec_id") =!= col("q_id"))
         .select(floor(sim * 10).cast("int").as("bucket"))
