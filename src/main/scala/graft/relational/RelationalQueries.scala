@@ -704,6 +704,28 @@ object RelationalQueries {
         .orderBy("o_orderkey")
     },
     QueryDef.sql(
+      "f21_variant",
+      // Spark 4's VARIANT type: parse_json once into the binary variant
+      // encoding, then typed variant_get path extraction — the
+      // semi-structured scale path (shredded access, no per-query string
+      // re-parsing the way get_json_object does). DuckDB mirrors the
+      // SEMANTICS via its JSON type; the values compare as extracted
+      // primitives.
+      """SELECT event_type,
+        |  CAST(sum(CAST(props ->> '$.k' AS INTEGER)) AS BIGINT) AS sum_k,
+        |  CAST(count(*) FILTER (CAST(props ->> '$.k' AS INTEGER) > 50)
+        |    AS BIGINT) AS n_big
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) {
+      (s, d) =>
+        Tables.events(s, d)
+          .select(col("event_type"),
+            expr("variant_get(parse_json(props), '$.k', 'int')").as("k"))
+          .groupBy("event_type")
+          .agg(sum(col("k").cast("long")).as("sum_k"),
+            count(when(col("k") > 50, 1)).as("n_big"))
+          .orderBy("event_type")
+    },
+    QueryDef.sql(
       "g14_filtered_aggs",
       // FILTER-clause conditional aggregation + boolean aggregates: one
       // pass computes every conditional slice (no self-joins, no CASE
