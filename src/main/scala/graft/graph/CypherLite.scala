@@ -18,7 +18,8 @@ import org.apache.spark.sql.functions._
   * variable):
   * {{{
   *   MATCH (m[:Label] [{prop: 'value'[, ...]}]) [-[[:REL_TYPE]*1..K]->(c[:Label] [{prop: 'value'[, ...]}])]
-  *   [WHERE (m|c).prop <op> 'value' [AND|OR ...]] op ∈ {=, <>, <, <=, >, >=}
+  *   [WHERE (m|c).prop <op> 'value' [AND|OR ...]]
+  *     op ∈ {=, <>, <, <=, >, >=, STARTS WITH, ENDS WITH, CONTAINS}
   *   RETURN m | m.prop[, m.prop ...] | m, c | m.prop, c
   *          | m.prop[, ...], c.prop[, ...] | c.prop[, ...]
   *          | m, count(c) | m.prop[, m.prop ...], count(c)
@@ -87,7 +88,9 @@ object CypherLite {
   // one `var.prop <op> 'value'` comparison; the WHERE clause splits on OR
   // then AND before these are matched
   private val CondRe =
-    """(?is)\s*(\w+)\s*\.\s*(\w+)\s*(<>|<=|>=|=|<|>)\s*'([^']*)'\s*""".r
+    ("""(?is)\s*(\w+)\s*\.\s*(\w+)\s*""" +
+      """(<>|<=|>=|=|<|>|STARTS\s+WITH|ENDS\s+WITH|CONTAINS)""" +
+      """\s*'([^']*)'\s*""").r
 
   private val CountRe = """(?is)\s*count\s*\(\s*(\w+)\s*\)\s*""".r
   private val VarPropRe = """(?is)\s*(\w+)\s*\.\s*(\w+)\s*""".r
@@ -112,10 +115,15 @@ object CypherLite {
               .map(_.split("(?i)\\s+AND\\s+").toSeq)
             val parsed = groups.map { parts =>
               val cs = parts.map {
+                // ops normalize to canonical form: the (?i) regex captures
+                // `starts   with` etc., condCol matches the literal
                 case CondRe(v, prop, op, value) if v == m =>
-                  Right(Cond(prop, op, value))
+                  Right(Cond(prop,
+                    op.toUpperCase.replaceAll("\\s+", " "), value))
                 case CondRe(v, prop, op, value) if conn.contains(v) =>
-                  Right(Cond(prop, op, value, onConn = true))
+                  Right(Cond(prop,
+                    op.toUpperCase.replaceAll("\\s+", " "), value,
+                    onConn = true))
                 case CondRe(v, _, _, _) =>
                   Left(s"WHERE may only reference the matched variable '$m'" +
                     conn.fold("")(c => s" or the connected variable '$c'") +
@@ -265,6 +273,13 @@ object CypherLite {
     case "<=" => target <= c.value
     case ">" => target > c.value
     case ">=" => target >= c.value
+    // Cypher string predicates (the schema prompt's free-text properties
+    // invite these from the LLM constantly). Literal-prefix/suffix/infix
+    // matching — startsWith compiles to a sargable LIKE 'v%' Catalyst can
+    // push into the scan
+    case "STARTS WITH" => target.startsWith(c.value)
+    case "ENDS WITH" => target.endsWith(c.value)
+    case "CONTAINS" => target.contains(c.value)
   }
 
   /** Execute against the graph; returns (m_label, m_name[, depth, c_label,

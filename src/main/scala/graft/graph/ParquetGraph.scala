@@ -816,6 +816,21 @@ object ParquetGraph {
         .fold(err => throw new IllegalArgumentException(err), identity)
     },
 
+    // B6 CypherLite twin: Cypher string predicates — STARTS WITH compiles
+    // to a sargable prefix (LIKE 'v%'), CONTAINS to an infix match; the
+    // oracle grades both against DuckDB's LIKE forms.
+    QueryDef.sql(
+      "graphp_cypher_string_ops",
+      """SELECT 'Nation' AS m_label, n_name AS m_name, '' AS m_content
+        |FROM nation
+        |WHERE n_name LIKE 'NATION_1%' AND n_name LIKE '%2%'
+        |ORDER BY m_label, m_name, m_content""".stripMargin) { (s, d) =>
+      CypherLite.run(hierarchy(s, d),
+        "MATCH (m:Nation) WHERE m.name STARTS WITH 'NATION_1' " +
+          "AND m.name CONTAINS '2' RETURN m")
+        .fold(err => throw new IllegalArgumentException(err), identity)
+    },
+
     // B6 CypherLite twin: OR + AND precedence in WHERE (AND binds tighter),
     // graded against the explicitly parenthesized SQL equivalent.
     QueryDef.sql(

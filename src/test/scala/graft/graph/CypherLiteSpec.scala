@@ -335,6 +335,20 @@ class CypherLiteSpec extends SparkSpec {
       r.swap.toOption.get.contains("whole matched node"), r.toString)
   }
 
+  test("string predicates match case-insensitively on the keyword") {
+    val a = CypherLite.run(g,
+      "MATCH (m:Step) WHERE m.name starts with 'ste' RETURN m.name")
+      .fold(e => fail(e), identity).collect().toSeq
+    val b = CypherLite.run(g,
+      "MATCH (m:Step) WHERE m.name STARTS WITH 'ste' RETURN m.name")
+      .fold(e => fail(e), identity).collect().toSeq
+    assert(a == b)
+    // ENDS WITH compiles too (may be empty on this corpus — parse is the
+    // point; the oracle twin covers value correctness)
+    assert(CypherLite.parse(
+      "MATCH (m:Step) WHERE m.name ENDS WITH 'x' RETURN m").isRight)
+  }
+
   test("SKIP without ORDER BY is rejected (unordered pagination)") {
     val r = CypherLite.parse("MATCH (m:Step) RETURN m.name SKIP 5 LIMIT 10")
     assert(r.isLeft && r.swap.toOption.get.contains("SKIP"), r.toString)
