@@ -17,14 +17,25 @@ import org.apache.spark.sql.functions._
   * Grammar (case-insensitive keywords; `c` is the hop pattern's connected
   * variable):
   * {{{
-  *   MATCH (m[:Label] [{prop: 'value'[, ...]}]) [-[[:REL_TYPE]*1..K]->(c[:Label] [{prop: 'value'[, ...]}])]
+  *   MATCH (m[:Label] [{prop: 'value'[, ...]}])
+  *     [ [OPTIONAL MATCH (m)] -[[:REL_TYPE]*1..K]->(c[:Label] [{prop: 'value'[, ...]}]) ]
   *   [WHERE (m|c).prop <op> 'value' [AND|OR ...]]
   *     op ∈ {=, <>, <, <=, >, >=, STARTS WITH, ENDS WITH, CONTAINS}
-  *   RETURN m | m.prop[, m.prop ...] | m, c | m.prop, c
+  *   RETURN [DISTINCT] m | m.prop[, m.prop ...] | m, c | m.prop, c
   *          | m.prop[, ...], c.prop[, ...] | c.prop[, ...]
-  *          | m, count(c) | m.prop[, m.prop ...], count(c)
+  *          | m, count([DISTINCT] c) | m.prop[, m.prop ...], count([DISTINCT] c)
   *   [ORDER BY m.prop | count(c) [ASC|DESC]] [SKIP n] [LIMIT n]
   * }}}
+  * `OPTIONAL MATCH` makes the hop pattern left-outer (Cypher's optional
+  * semantics): every root matching the first MATCH pattern is returned,
+  * with the connected columns null when no binding exists. A WHERE clause
+  * on an optional query filters the PATTERN BINDINGS (Cypher attaches the
+  * WHERE to the OPTIONAL MATCH clause it follows) — a root none of whose
+  * bindings survive still returns one row with null connected columns, and
+  * `count(c)` counts only surviving bindings (0 when none).
+  * `RETURN DISTINCT` dedupes the projected rows (Cypher's bag → set
+  * projection); `count(DISTINCT c)` counts distinct connected NODES (by
+  * node identity) rather than (m, c) bindings.
   * Property projections are honored on hop patterns too: `RETURN m.prop,
   * count(connected)` groups the expansion by the requested property values
   * (Cypher's grouping rule — every non-aggregate RETURN item is a grouping
@@ -55,7 +66,8 @@ object CypherLite {
   final case class RetProp(prop: String) extends RetItem // m.prop
   case object RetConnected extends RetItem
   final case class RetConnProp(prop: String) extends RetItem // c.prop
-  case object RetCount extends RetItem // count(connected)
+  // count([DISTINCT] connected); distinct counts connected NODES not bindings
+  final case class RetCount(distinct: Boolean) extends RetItem
 
   final case class MatchReturn(
       label: Option[String],
@@ -67,16 +79,19 @@ object CypherLite {
       items: Seq[RetItem],
       orderBy: Option[(String, Boolean)], // (prop, descending)
       skip: Option[Int],
-      limit: Option[Int]) extends Statement
+      limit: Option[Int],
+      optional: Boolean = false, // OPTIONAL MATCH hop: left-outer expansion
+      distinct: Boolean = false) extends Statement // RETURN DISTINCT
   final case class DetachDelete(tag: String) extends Statement
 
   private val MatchRe =
     ("""(?is)\s*MATCH\s*\(\s*(\w+)\s*(?::\s*(\w+))?\s*""" +
       """(?:\{\s*([^}]*)\s*\})?\s*\)\s*""" +
-      """(?:-\s*\[\s*(?::\s*(\w+)\s*)?\*\s*1\s*\.\.\s*(\d+)\s*\]\s*->\s*\(\s*(\w+)\s*(?::\s*(\w+))?\s*(?:\{\s*([^}]*)\s*\})?\s*\)\s*)?""" +
+      """(?:(?:OPTIONAL\s+MATCH\s*\(\s*(\w+)\s*\)\s*)?""" +
+      """-\s*\[\s*(?::\s*(\w+)\s*)?\*\s*1\s*\.\.\s*(\d+)\s*\]\s*->\s*\(\s*(\w+)\s*(?::\s*(\w+))?\s*(?:\{\s*([^}]*)\s*\})?\s*\)\s*)?""" +
       """(?:WHERE\s+(.*?)\s*)?""" +
-      """RETURN\s+(.+?)\s*""" +
-      """(?:ORDER\s+BY\s+(?:(\w+)\s*\.\s*(\w+)|count\s*\(\s*(\w+)\s*\))\s*(?:(ASC|DESC)\s*)?)?""" +
+      """RETURN\s+(DISTINCT\s+)?(.+?)\s*""" +
+      """(?:ORDER\s+BY\s+(?:(\w+)\s*\.\s*(\w+)|count\s*\(\s*(?:DISTINCT\s+)?(\w+)\s*\))\s*(?:(ASC|DESC)\s*)?)?""" +
       """(?:SKIP\s+(\d+)\s*)?""" +
       """(?:LIMIT\s+(\d+))?\s*;?\s*""").r
 
@@ -92,20 +107,23 @@ object CypherLite {
       """(<>|<=|>=|=|<|>|STARTS\s+WITH|ENDS\s+WITH|CONTAINS)""" +
       """\s*'([^']*)'\s*""").r
 
-  private val CountRe = """(?is)\s*count\s*\(\s*(\w+)\s*\)\s*""".r
+  private val CountRe =
+    """(?is)\s*count\s*\(\s*(DISTINCT\s+)?(\w+)\s*\)\s*""".r
   private val VarPropRe = """(?is)\s*(\w+)\s*\.\s*(\w+)\s*""".r
   private val VarRe = """(?is)\s*(\w+)\s*""".r
 
   def parse(query: String): Either[String, Statement] = query match {
     case DeleteRe(_, tag) => Right(DetachDelete(tag))
-    case MatchRe(m, label, propsStr, relType, hopsStr, connVar, connLabel,
-        connPropsStr, whereStr, retStr, obVar, obProp, obCountVar, obDir,
-        skipStr, limitStr) =>
+    case MatchRe(m, label, propsStr, optVar, relType, hopsStr, connVar,
+        connLabel, connPropsStr, whereStr, distinctKw, retStr, obVar, obProp,
+        obCountVar, obDir, skipStr, limitStr) =>
       val props = Option(propsStr).toSeq
         .flatMap(s => PropRe.findAllMatchIn(s)
           .map(p => p.group(1) -> p.group(2))).toMap
       val hops = Option(hopsStr).map(_.toInt).getOrElse(0)
       val conn = Option(connVar)
+      val optional = optVar != null
+      val retDistinct = distinctKw != null
       val condsE: Either[String, Seq[Seq[Cond]]] =
         Option(whereStr).map(_.trim).filter(_.nonEmpty) match {
           case None => Right(Seq.empty)
@@ -116,13 +134,15 @@ object CypherLite {
             val parsed = groups.map { parts =>
               val cs = parts.map {
                 // ops normalize to canonical form: the (?i) regex captures
-                // `starts   with` etc., condCol matches the literal
+                // `starts   with` etc., condCol matches the literal.
+                // Locale.ROOT: the default locale would turn WITH into
+                // WİTH (dotted capital I) under tr/az and miss every case
                 case CondRe(v, prop, op, value) if v == m =>
-                  Right(Cond(prop,
-                    op.toUpperCase.replaceAll("\\s+", " "), value))
+                  Right(Cond(prop, op.toUpperCase(java.util.Locale.ROOT)
+                    .replaceAll("\\s+", " "), value))
                 case CondRe(v, prop, op, value) if conn.contains(v) =>
-                  Right(Cond(prop,
-                    op.toUpperCase.replaceAll("\\s+", " "), value,
+                  Right(Cond(prop, op.toUpperCase(java.util.Locale.ROOT)
+                    .replaceAll("\\s+", " "), value,
                     onConn = true))
                 case CondRe(v, _, _, _) =>
                   Left(s"WHERE may only reference the matched variable '$m'" +
@@ -140,8 +160,8 @@ object CypherLite {
       val itemsE: Either[String, Seq[RetItem]] = {
         val parts = retStr.split(",").toSeq
         val parsed = parts.map {
-          case CountRe(v) if conn.contains(v) => Right(RetCount)
-          case CountRe(v) => Left(s"count() may only aggregate the " +
+          case CountRe(dk, v) if conn.contains(v) => Right(RetCount(dk != null))
+          case CountRe(_, v) => Left(s"count() may only aggregate the " +
             s"connected variable${conn.fold("")(c => s" '$c'")}, got '$v'")
           case VarPropRe(v, p) if v == m => Right(RetProp(p))
           case VarPropRe(v, p) if conn.contains(v) => Right(RetConnProp(p))
@@ -172,6 +192,9 @@ object CypherLite {
         }
       if (hops > 0 && conn.isEmpty)
         Left("hop pattern requires a connected variable")
+      else if (optional && optVar != m)
+        Left(s"OPTIONAL MATCH must re-anchor the matched variable '$m', " +
+          s"got '$optVar'")
       else
         for {
           conds <- condsE
@@ -183,10 +206,11 @@ object CypherLite {
           _ <- if (conds.flatten.exists(_.onConn) && conn.isEmpty)
             Left("WHERE on the connected variable requires a hop pattern")
           else Right(())
-          _ <- if (items.count(_ == RetCount) > 1)
+          _ <- if (items.count(_.isInstanceOf[RetCount]) > 1)
             Left("at most one count(connected) per query")
           else Right(())
-          _ <- if (items.contains(RetCount) && (items.contains(RetConnected)
+          _ <- if (items.exists(_.isInstanceOf[RetCount]) &&
+              (items.contains(RetConnected)
               || items.exists(_.isInstanceOf[RetConnProp])))
             Left("count(connected) cannot be combined with returning the " +
               "connected variable or its properties")
@@ -208,11 +232,12 @@ object CypherLite {
           // Cypher's grouping rule: every non-aggregate RETURN item is a
           // grouping key, so a bare count() with nothing to group by is a
           // different query (global count) than this front end serves
-          _ <- if (items.contains(RetCount) && !items.exists(i =>
+          _ <- if (items.exists(_.isInstanceOf[RetCount]) && !items.exists(i =>
               i == RetVar || i.isInstanceOf[RetProp]))
             Left("count(connected) requires a grouping item (m or m.prop)")
           else Right(())
-          _ <- if (ob.exists(_._1 == CountKey) && !items.contains(RetCount))
+          _ <- if (ob.exists(_._1 == CountKey) &&
+              !items.exists(_.isInstanceOf[RetCount]))
             Left("ORDER BY count() requires count(connected) in RETURN")
           else Right(())
           // unordered pagination returns arbitrary rows — the plausible-
@@ -239,7 +264,7 @@ object CypherLite {
           MatchReturn(Option(label), props, Option(relType),
             if (conn.isDefined) math.max(hops, 1) else 0,
             condsWithSugar, items, ob, Option(skipStr).map(_.toInt),
-            Option(limitStr).map(_.toInt))
+            Option(limitStr).map(_.toInt), optional, retDistinct)
         }
     case _ => Left(s"unsupported query shape: ${query.take(120)}")
   }
@@ -280,6 +305,10 @@ object CypherLite {
     case "STARTS WITH" => target.startsWith(c.value)
     case "ENDS WITH" => target.endsWith(c.value)
     case "CONTAINS" => target.contains(c.value)
+    // unreachable when parse() normalized the op (CondRe only admits the
+    // forms above) — but fail with a named error, never a bare MatchError
+    case other => throw new IllegalArgumentException(
+      s"unsupported comparison operator: $other")
   }
 
   /** Execute against the graph; returns (m_label, m_name[, depth, c_label,
@@ -294,12 +323,13 @@ object CypherLite {
         Right(after.nodes.groupBy("batch")
           .agg(count(lit(1)).as("n_nodes")).orderBy("batch").toDF())
       case MatchReturn(label, props, relType, hops, conds, items, orderBy,
-          skip, limit) =>
+          skip, limit, optional, distinct) =>
         // unknown keys are rejected, not silently coerced to a name match —
         // a plausible-but-wrong answer is worse than an error to the
         // LLM-emitted-query caller this front end serves
         val retProps = items.collect { case RetProp(p) => p }
         val connRetProps = items.collect { case RetConnProp(p) => p }
+        val hasCount = items.exists(_.isInstanceOf[RetCount])
         val (connConds, mConds) = conds.flatten.partition(_.onConn)
         val filterProps = props.keys ++ mConds.map(_.prop)
         // the count pseudo-key orders by the aggregate column, not an m
@@ -317,7 +347,7 @@ object CypherLite {
             case RetProp(p) => Seq(p)
             case _ => Seq.empty
           }.toSet
-          else if (items.contains(RetCount)) items.flatMap {
+          else if (hasCount) items.flatMap {
             case RetVar => Seq("name")
             case RetProp(p) => Seq(p)
             case _ => Seq.empty
@@ -341,14 +371,14 @@ object CypherLite {
             .map(k => Left(s"ORDER BY key '$k' must be among the returned " +
               s"properties (${outProps.toSeq.sorted.mkString(", ")})")))
           .getOrElse(Right(runMatch(g, label, props, relType, hops, conds,
-            items, orderBy, skip, limit)))
+            items, orderBy, skip, limit, optional, distinct)))
     }
 
   private def runMatch(g: GraphTables, label: Option[String],
       props: Map[String, String], relType: Option[String], hops: Int,
       conds: Seq[Seq[Cond]], items: Seq[RetItem],
       orderBy: Option[(String, Boolean)], skip: Option[Int],
-      limit: Option[Int]): DataFrame = {
+      limit: Option[Int], optional: Boolean, distinct: Boolean): DataFrame = {
     // the WHERE DNF, evaluated against a caller-chosen column mapping: bare
     // node columns on the m-only fast path, m_/c_-prefixed binding columns
     // when a clause references the connected variable
@@ -363,16 +393,24 @@ object CypherLite {
     // m-only WHERE pushes down to the root scan; a clause touching the
     // connected variable must instead filter the (m, c) bindings after
     // expansion (Cypher filters the whole pattern match) — an m-cond
-    // OR-mixed with a c-cond can keep a root the m-cond alone would drop
+    // OR-mixed with a c-cond can keep a root the m-cond alone would drop.
+    // Under OPTIONAL MATCH the WHERE belongs to the optional clause, so
+    // even pure-m conds filter bindings, never roots (Cypher: a root
+    // failing the optional WHERE still returns, with null connected cols)
+    val bindingWhere = hasConnCond || (optional && conds.nonEmpty)
     val pred =
-      if (hasConnCond) basePred
+      if (bindingWhere || optional) basePred
       else basePred && dnf(c => col(c.prop))
+    // RETURN DISTINCT: Cypher's bag → set projection, applied to the
+    // projected columns before ordering (a no-op after groupBy aggregates)
+    def maybeDistinct(df: DataFrame): DataFrame =
+      if (distinct) df.distinct() else df
     // untyped hops follow all downward containment edges; a typed hop
     // pattern restricts the expansion to exactly that relationship
     val relFilter = relType.map(col("relType") === _)
       .getOrElse(col("relType").startsWith("HAS_"))
     val wantsConnected = items.contains(RetConnected)
-    val wantsCount = items.contains(RetCount)
+    val wantsCount = items.exists(_.isInstanceOf[RetCount])
     // deterministic output order: the requested ORDER BY key first (mapped
     // onto its output column), then every remaining projected column as a
     // tiebreak — results must be stable for the oracle hash-compare and for
@@ -407,20 +445,27 @@ object CypherLite {
             case RetProp(p) => Seq(p)
           }.flatten.distinct
         val named = outCols.map(c => col(c).as(s"m_$c"))
-        ordered(matched.select(named: _*).toDF(), outCols.map("m_" + _))
+        ordered(maybeDistinct(matched.select(named: _*).toDF()),
+          outCols.map("m_" + _))
       } else {
         val retProps = items.collect { case RetProp(p) => p }
         val connRetProps = items.collect { case RetConnProp(p) => p }
+        // count(DISTINCT c) counts distinct connected NODES by identity
+        // (c_id); plain count(c) counts surviving (m, c) bindings
+        val countCol = items.collectFirst {
+          case RetCount(true) => countDistinct(col("c_id"))
+          case RetCount(false) => count(col("c_id"))
+        }
         val neigh = GraphOps.neighborhoodWhereKeyed(g, pred, hops, relFilter)
         // m properties the binding filter needs beyond what RETURN asks for
         val mCondProps =
-          if (hasConnCond) conds.flatten.filterNot(_.onConn).map(_.prop)
+          if (bindingWhere) conds.flatten.filterNot(_.onConn).map(_.prop)
           else Seq.empty[String]
-        // the root columns the RETURN list (and, with a connected-variable
+        // the root columns the RETURN list (and, with a binding-level
         // WHERE, the binding filter) asks for, m_-prefixed; joined back by
         // root id only when the request goes beyond the root's name (which
-        // the expansion already carries). With a connected-variable WHERE
-        // the full DNF is applied here, per (m, c) binding.
+        // the expansion already carries). With a binding-level WHERE the
+        // full DNF is applied here, per (m, c) binding.
         def withRootCols(keys0: Seq[String]): DataFrame = {
           val keys = (keys0 ++ mCondProps).distinct
           val df =
@@ -431,10 +476,22 @@ object CypherLite {
                 col("id").as("root_id") +:
                   keys.map(p => col(p).as(s"m_$p")): _*),
               "root_id")
-          if (hasConnCond)
+          if (bindingWhere)
             df.filter(dnf(c =>
               col(if (c.onConn) s"c_${c.prop}" else s"m_${c.prop}")))
           else df
+        }
+        // OPTIONAL MATCH: left-outer expansion — every root matching the
+        // MATCH pattern survives; the surviving bindings (post-WHERE) are
+        // left-joined back on root id, so unmatched roots carry null
+        // connected columns (and count 0 bindings)
+        def leftJoined(keys: Seq[String], connCols: Seq[String]): DataFrame = {
+          val bindings = withRootCols(Seq.empty)
+            .select((Seq("root_id") ++ connCols).map(col): _*)
+          g.nodes.filter(pred).select(
+              col("id").as("root_id") +:
+                keys.map(p => col(p).as(s"m_$p")): _*)
+            .join(bindings, Seq("root_id"), "left")
         }
         if (wantsCount) {
           // RETURN …, count(connected): Cypher's grouping rule — every
@@ -446,36 +503,53 @@ object CypherLite {
             case _ => Seq.empty
           }.distinct
           val out = keys.map("m_" + _)
-          ordered(withRootCols(keys).groupBy(out.map(col): _*)
-            .agg(count(lit(1)).as("n_connected")), out)
+          val grouped =
+            if (optional) leftJoined(keys, Seq("c_id"))
+            else withRootCols(keys)
+          ordered(grouped.groupBy(out.map(col): _*)
+            .agg(countCol.get.as("n_connected")), out)
         } else if (wantsConnected) {
           val keys = if (retProps.nonEmpty) retProps.distinct else Seq("name")
           val out = keys.map("m_" + _) ++
             Seq("depth", "c_label", "c_name", "c_content")
-          ordered(withRootCols(keys).select(out.map(col): _*), out)
+          val rows =
+            if (optional)
+              leftJoined(keys, Seq("depth", "c_label", "c_name", "c_content"))
+            else withRootCols(keys)
+          ordered(maybeDistinct(rows.select(out.map(col): _*)), out)
         } else if (connRetProps.nonEmpty) {
           // RETURN [m.prop, ...,] c.prop[, ...]: one row per surviving
           // (m, c) binding, exactly the requested columns — the expansion
           // already dedupes to min depth per (root, node) pair, so each
           // binding appears once; equal projected values from DISTINCT
-          // bindings stay distinct rows (Cypher's bag semantics)
+          // bindings stay distinct rows (Cypher's bag semantics) unless
+          // RETURN DISTINCT collapses them
           val keys = retProps.distinct
-          val out = keys.map("m_" + _) ++ connRetProps.distinct.map("c_" + _)
-          ordered(withRootCols(keys).select(out.map(col): _*), out)
+          val cCols = connRetProps.distinct.map("c_" + _)
+          val out = keys.map("m_" + _) ++ cCols
+          val rows =
+            if (optional) leftJoined(keys, cCols) else withRootCols(keys)
+          ordered(maybeDistinct(rows.select(out.map(col): _*)), out)
         } else {
           // RETURN m[.prop] with a hop pattern: per Cypher semantics the
           // pattern must MATCH — roots with nothing reachable within k hops
           // (or, under a connected-variable WHERE, with no binding passing
-          // it) are not matches, hence the semi-join on the expansion
+          // it) are not matches, hence the semi-join on the expansion. An
+          // OPTIONAL pattern never filters: every root returns as-is.
           val keys = if (retProps.nonEmpty) retProps.distinct
             else Seq("label", "name")
           val out = keys.map("m_" + _)
-          val matched = if (hasConnCond) withRootCols(Seq.empty) else neigh
           val roots = g.nodes.filter(pred).select(
             col("id").as("root_id") +: keys.map(p => col(p).as(s"m_$p")): _*)
-          ordered(roots.join(matched.select("root_id").distinct(),
-              Seq("root_id"), "left_semi")
-            .select(out.map(col): _*), out)
+          val kept =
+            if (optional) roots
+            else {
+              val matched =
+                if (bindingWhere) withRootCols(Seq.empty) else neigh
+              roots.join(matched.select("root_id").distinct(),
+                Seq("root_id"), "left_semi")
+            }
+          ordered(maybeDistinct(kept.select(out.map(col): _*)), out)
         }
       }
     // Cypher pagination: SKIP drops the first n of the ordered rows, LIMIT

@@ -183,7 +183,9 @@ object GraphOps {
 
   /** [[neighborhoodWhere]] keeping the root's node id, so callers can join
     * back arbitrary root properties (CypherLite's `RETURN m.prop` on hop
-    * patterns) instead of being limited to the root's name.
+    * patterns) instead of being limited to the root's name. Also carries
+    * the connected node's id as `c_id` — the node-identity key Cypher's
+    * `count(DISTINCT c)` aggregates over.
     */
   def neighborhoodWhereKeyed(g: GraphTables,
       pred: org.apache.spark.sql.Column, k: Int,
@@ -197,8 +199,9 @@ object GraphOps {
       col("label").as("c_label"), col("name").as("c_name"),
       col("content").as("c_content"))
     hops.join(rootNodes, "root_id").join(connected, "node_id")
-      .select("root_id", "root_name", "depth", "c_label", "c_name",
-        "c_content")
+      .select(col("root_id"), col("root_name"), col("depth"),
+        col("node_id").as("c_id"), col("c_label"), col("c_name"),
+        col("c_content"))
   }
 
   /** Group connected rows under the matched node's name (Q5/B5/G1;

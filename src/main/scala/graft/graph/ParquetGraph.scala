@@ -818,12 +818,14 @@ object ParquetGraph {
 
     // B6 CypherLite twin: Cypher string predicates — STARTS WITH compiles
     // to a sargable prefix (LIKE 'v%'), CONTAINS to an infix match; the
-    // oracle grades both against DuckDB's LIKE forms.
+    // oracle grades both against DuckDB's LIKE forms. The underscore is
+    // ESCAPE'd — bare `_` is a single-char LIKE wildcard, and the oracle
+    // must assert the LITERAL prefix STARTS WITH matches, not a lookalike.
     QueryDef.sql(
       "graphp_cypher_string_ops",
       """SELECT 'Nation' AS m_label, n_name AS m_name, '' AS m_content
         |FROM nation
-        |WHERE n_name LIKE 'NATION_1%' AND n_name LIKE '%2%'
+        |WHERE n_name LIKE 'NATION\_1%' ESCAPE '\' AND n_name LIKE '%2%'
         |ORDER BY m_label, m_name, m_content""".stripMargin) { (s, d) =>
       CypherLite.run(hierarchy(s, d),
         "MATCH (m:Nation) WHERE m.name STARTS WITH 'NATION_1' " +
@@ -973,6 +975,83 @@ object ParquetGraph {
           "MATCH (m:Nation)-[:HAS_CUSTOMER*1..1]->(c) " +
             "RETURN m.name, count(c) ORDER BY count(c) DESC LIMIT 5")
           .fold(err => throw new IllegalArgumentException(err), identity)
+    },
+
+    // B6 CypherLite twin: OPTIONAL MATCH — the left-outer hop expansion at
+    // volume. The synthetic corpus gives every customer at least one order,
+    // so the optional pattern is made to prune via the binding WHERE: a
+    // customer none of whose orderkeys end in '7' (~1/3 of them at any SF,
+    // 0.9^orders each) returns one row with a NULL connected column, the
+    // rest one row per surviving binding. Graded against the SQL LEFT JOIN
+    // with the predicate in the ON clause — the Cypher-semantics reading.
+    QueryDef.sql(
+      "graphp_cypher_optional",
+      """SELECT CAST(c_custkey AS VARCHAR) AS m_name,
+        |  CAST(o_orderkey AS VARCHAR) AS c_name
+        |FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+        |  AND CAST(o_orderkey AS VARCHAR) LIKE '%7'
+        |ORDER BY m_name, c_name""".stripMargin) { (s, d) =>
+      CypherLite.run(hierarchy(s, d),
+        "MATCH (m:Customer) OPTIONAL MATCH (m)-[:HAS_ORDER*1..1]->(c) " +
+          "WHERE c.name ENDS WITH '7' RETURN m.name, c.name")
+        .fold(err => throw new IllegalArgumentException(err), identity)
+    },
+
+    // B6 CypherLite twin: WHERE under OPTIONAL MATCH filters the pattern
+    // BINDINGS, not the roots (Cypher attaches the WHERE to the OPTIONAL
+    // MATCH clause): exactly one nation matches, so one region keeps its
+    // binding and the other four return with a NULL connected column —
+    // the inner-join reading would return one row total and hash-miss.
+    QueryDef.sql(
+      "graphp_cypher_optional_where",
+      """SELECT r_name AS m_name, n_name AS c_name
+        |FROM region LEFT JOIN nation
+        |  ON n_regionkey = r_regionkey AND n_name = 'NATION_13'
+        |ORDER BY m_name, c_name""".stripMargin) { (s, d) =>
+      CypherLite.run(hierarchy(s, d),
+        "MATCH (m:Region) OPTIONAL MATCH (m)-[*1..1]->(c) " +
+          "WHERE c.name = 'NATION_13' RETURN m.name, c.name")
+        .fold(err => throw new IllegalArgumentException(err), identity)
+    },
+
+    // B6 CypherLite twin: RETURN DISTINCT — bag → set projection. On the
+    // clique layer each region's rank-2 and rank-3 nations are reached
+    // from 1 and 2 sources respectively (15 directed bindings, 10 distinct
+    // targets), so DISTINCT collapses rows for real; without it the twin
+    // would hash-miss with 5 duplicate rows.
+    QueryDef.sql(
+      "graphp_cypher_distinct",
+      """WITH t3 AS (
+        |  SELECT n_regionkey AS rk, n_name, row_number() OVER
+        |    (PARTITION BY n_regionkey ORDER BY n_nationkey) AS rn
+        |  FROM nation)
+        |SELECT DISTINCT b.n_name AS c_name
+        |FROM t3 a JOIN t3 b ON a.rk = b.rk AND a.rn < b.rn
+        |WHERE a.rn <= 3 AND b.rn <= 3
+        |ORDER BY c_name""".stripMargin) { (s, d) =>
+      CypherLite.run(linkPred(s, d),
+        "MATCH (m:Nation)-[:CLIQUE*1..1]->(c) RETURN DISTINCT c.name")
+        .fold(err => throw new IllegalArgumentException(err), identity)
+    },
+
+    // B6 CypherLite twin: count(DISTINCT c) — counts distinct connected
+    // NODES by identity, not (m, c) bindings. Same clique fixture: 15
+    // bindings but 10 distinct targets; a plain-count implementation of
+    // the DISTINCT form would answer 15 and hash-miss.
+    QueryDef.sql(
+      "graphp_cypher_count_distinct",
+      """WITH t3 AS (
+        |  SELECT n_regionkey AS rk, n_nationkey AS id, row_number() OVER
+        |    (PARTITION BY n_regionkey ORDER BY n_nationkey) AS rn
+        |  FROM nation)
+        |SELECT 'Nation' AS m_label,
+        |  CAST(count(DISTINCT b.id) AS BIGINT) AS n_connected
+        |FROM t3 a JOIN t3 b ON a.rk = b.rk AND a.rn < b.rn
+        |WHERE a.rn <= 3 AND b.rn <= 3""".stripMargin) { (s, d) =>
+      CypherLite.run(linkPred(s, d),
+        "MATCH (m:Nation)-[:CLIQUE*1..1]->(c) " +
+          "RETURN m.label, count(DISTINCT c)")
+        .fold(err => throw new IllegalArgumentException(err), identity)
     },
 
     // B9 viz-export twin: (src name, relType, dst name) renderer feed.

@@ -356,6 +356,103 @@ class CypherLiteSpec extends SparkSpec {
       "MATCH (m:Step) RETURN m.name ORDER BY m.name SKIP 5 LIMIT 10").isRight)
   }
 
+  test("OPTIONAL MATCH keeps every root, with null connected columns " +
+      "when the pattern finds nothing") {
+    // Steps mostly have no outgoing HAS_ edges — the inner form prunes
+    // them, the optional form must keep them with nulls
+    val optional = CypherLite.run(g,
+      "MATCH (m:Step) OPTIONAL MATCH (m)-[*1..1]->(c) " +
+        "RETURN m.name, c.name").fold(e => fail(e), identity)
+    val allSteps = CypherLite.run(g, "MATCH (m:Step) RETURN m")
+      .toOption.get.count()
+    val inner = CypherLite.run(g,
+      "MATCH (m:Step)-[*1..1]->(c) RETURN m.name, c.name")
+      .toOption.get.count()
+    val matchedRoots = GraphOps.neighborhoodWhereKeyed(
+        g, col("label") === "Step", 1)
+      .select("root_id").distinct().count()
+    assert(optional.count() == inner + (allSteps - matchedRoots))
+    val nullRows = optional.filter(col("c_name").isNull).count()
+    assert(nullRows == allSteps - matchedRoots && nullRows > 0)
+  }
+
+  test("WHERE under OPTIONAL MATCH filters bindings, never roots") {
+    // an impossible connected filter: the inner form returns 0 roots, the
+    // optional form returns EVERY root, all with null connected columns
+    val optional = CypherLite.run(g,
+      "MATCH (m:Boeing_Service_Bulletin) OPTIONAL MATCH (m)-[*1..2]->(c) " +
+        "WHERE c.label = 'NoSuchLabel' RETURN m.docnbr, c.name")
+      .fold(e => fail(e), identity)
+    val allRoots = CypherLite.run(g,
+      "MATCH (m:Boeing_Service_Bulletin) RETURN m").toOption.get.count()
+    assert(optional.count() == allRoots && allRoots > 0)
+    assert(optional.filter(col("c_name").isNotNull).count() == 0)
+  }
+
+  test("count(c) under OPTIONAL MATCH answers 0 for unmatched roots") {
+    // impossible binding filter: every root still groups (left join), each
+    // counting 0 surviving bindings — the inner form would return no rows
+    val counted = CypherLite.run(g,
+      "MATCH (m:Boeing_Service_Bulletin) OPTIONAL MATCH (m)-[*1..2]->(c) " +
+        "WHERE c.label = 'NoSuchLabel' RETURN m.docnbr, count(c)")
+      .fold(e => fail(e), identity)
+    val allRoots = CypherLite.run(g,
+      "MATCH (m:Boeing_Service_Bulletin) RETURN m").toOption.get.count()
+    assert(counted.count() == allRoots && allRoots > 0)
+    assert(counted.filter(col("n_connected") =!= 0).count() == 0)
+    // and with a satisfiable pattern the per-group counts match the inner
+    // aggregate where it HAS bindings
+    val opt = CypherLite.run(g,
+      "MATCH (m:Boeing_Service_Bulletin) OPTIONAL MATCH (m)-[*1..2]->(c) " +
+        "RETURN m.docnbr, count(c)").fold(e => fail(e), identity)
+    val inner = CypherLite.run(g,
+      "MATCH (m:Boeing_Service_Bulletin)-[*1..2]->(c) " +
+        "RETURN m.docnbr, count(c)").fold(e => fail(e), identity)
+    val optRows = opt.collect().map(r =>
+      r.getAs[String]("m_docnbr") -> r.getAs[Long]("n_connected")).toMap
+    val innerRows = inner.collect().map(r =>
+      r.getAs[String]("m_docnbr") -> r.getAs[Long]("n_connected")).toMap
+    // groups with bindings agree exactly; optional adds only zero-groups
+    assert(innerRows.forall { case (k, v) => optRows.get(k).contains(v) })
+    assert((optRows.keySet -- innerRows.keySet)
+      .forall(k => optRows(k) == 0L))
+  }
+
+  test("OPTIONAL MATCH re-anchoring a foreign variable is rejected") {
+    val r = CypherLite.parse(
+      "MATCH (m:Step) OPTIONAL MATCH (q)-[*1..1]->(c) RETURN m.name, c.name")
+    assert(r.isLeft && r.swap.toOption.get.contains("re-anchor"), r.toString)
+  }
+
+  test("RETURN DISTINCT dedupes the projected rows") {
+    val bag = CypherLite.run(g,
+      "MATCH (m:Boeing_Service_Bulletin)-[*1..2]->(c) RETURN c.label")
+      .fold(e => fail(e), identity)
+    val set = CypherLite.run(g,
+      "MATCH (m:Boeing_Service_Bulletin)-[*1..2]->(c) " +
+        "RETURN DISTINCT c.label").fold(e => fail(e), identity)
+    assert(set.count() < bag.count() && set.count() > 0)
+    assert(set.count() == bag.distinct().count())
+  }
+
+  test("count(DISTINCT c) counts nodes, not bindings") {
+    // two bulletin roots share subtree labels but not nodes; grouping by
+    // the shared label makes bindings exceed distinct nodes exactly when
+    // two roots reach the same node — on this corpus roots are disjoint
+    // subtrees, so distinct == plain count per root but the DISTINCT form
+    // must still parse and aggregate by node identity
+    val distinctCnt = CypherLite.run(g,
+      "MATCH (m:Boeing_Service_Bulletin)-[*1..2]->(c) " +
+        "RETURN m.docnbr, count(DISTINCT c)").fold(e => fail(e), identity)
+    val plainCnt = CypherLite.run(g,
+      "MATCH (m:Boeing_Service_Bulletin)-[*1..2]->(c) " +
+        "RETURN m.docnbr, count(c)").fold(e => fail(e), identity)
+    assert(distinctCnt.collect().toSeq == plainCnt.collect().toSeq)
+    // the node-identity semantics (bindings > distinct nodes) is proven
+    // relationally by the graphp_cypher_count_distinct oracle twin (15
+    // clique bindings, 10 distinct targets)
+  }
+
   test("connected property-map sugar equals the WHERE equality form") {
     val viaMap = CypherLite.run(g,
       "MATCH (m:Boeing_Service_Bulletin)-[*1..2]->(c {label: 'Summary'}) " +
