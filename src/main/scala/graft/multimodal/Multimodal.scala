@@ -12,11 +12,15 @@ final case class MediaMeta(doc_id: Long, kind: String, n_bytes: Long,
   * columns + typed metadata, with decode/feature-extract running batched
   * per partition — the Scala analogue of a `mapInPandas` batch UDF.
   *
-  * The actual codec call is STUBBED (no image/audio libraries in this
-  * environment): [[FakeCodec.decode]] derives deterministic dimensions from
-  * the payload bytes. The Spark-side contract — binary column, schema,
-  * partition-batched execution, typed output — is real and tested; swapping
-  * in a real decoder touches only the codec seam.
+  * The IMAGE path is real end-to-end: [[bmpTable]] renders each "image"
+  * document as an actual 24-bit BMP payload and the perceptual-hash
+  * queries (mm6/mm7) run [[Bmp.decode]] — a genuine header/pixel-layout
+  * parse — then hash the decoded 8×8 luma grid ([[Bmp.aHash64]]).
+  * Audio DSP and video frame decode remain STUBBED (no codec libraries in
+  * this environment): [[FakeCodec.decode]] derives deterministic metadata
+  * from payload bytes, and swapping in a real decoder touches only that
+  * seam — the Spark-side contract (binary column, schema, partition-
+  * batched execution, typed output) is identical.
   */
 object Multimodal {
 
@@ -36,48 +40,45 @@ object Multimodal {
     }
   }
 
-  /** 60-bit average-hash perceptual fingerprint (the aHash member of the
-    * pHash family, DCT stubbed like the rest of the codec): byte stream
-    * split into 60 balanced segments, bit j set iff segment j's mean byte
-    * exceeds the global mean. All-integer comparison (cross-multiplied, no
-    * division) so the oracle reproduces it bit-for-bit. 60 bits — not 64 —
-    * keeps every `1 << j` term positive in both engines, sidestepping the
-    * sign-bit literal dance the 64-bit SimHash needs.
+  /** The "image" slice of the corpus rendered as REAL BMP files: each
+    * document whose text-byte length n is a positive multiple of 3 (the
+    * same slice [[FakeCodec]] labels "image") becomes a grayscale
+    * (n%24+8)×((n/7)%24+8) 24-bit BMP whose pixel at logical position p
+    * is text byte p mod n. The generator is trivially mirrorable in SQL —
+    * which is exactly what lets the oracle grade a REAL decode: DuckDB
+    * recomputes the hash from the generator formula, Spark recovers the
+    * same pixels by parsing the actual BMP byte layout. Any decoder bug
+    * (row order, padding, channel order, header offsets) hash-misses.
+    * Empty documents are excluded on BOTH sides (a 0-byte payload has no
+    * pixels — and the SQL mirror's generate_series would silently drop
+    * the row while a naive engine side emitted fp=0).
     */
-  def aHash(bytes: Array[Byte]): Long = {
-    val n = bytes.length
-    val segSum = new Array[Long](60)
-    val segCnt = new Array[Long](60)
-    var tot = 0L
-    var p = 0
-    while (p < n) {
-      val j = (p * 60) / n
-      val b = (bytes(p) & 0xff).toLong
-      segSum(j) += b
-      segCnt(j) += 1
-      tot += b
-      p += 1
-    }
-    var fp = 0L
-    var j = 0
-    while (j < 60) {
-      if (segSum(j) * n > tot * segCnt(j)) fp |= (1L << j)
-      j += 1
-    }
-    fp
+  def bmpTable(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("tb"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.collect { case (id, t) if t.length > 0 && t.length % 3 == 0 =>
+          val n = t.length
+          (id, Bmp.encode(n % 24 + 8, (n / 7) % 24 + 8,
+            p => t(p % n) & 0xff))
+        }
+      }
+      .toDF("doc_id", "payload")
   }
 
-  /** Per-partition perceptual hashing of "image" payloads — same codec
-    * seam as [[decodeAll]] (a real pHash decodes pixels + DCT here).
+  /** Per-partition perceptual hashing of image payloads: a REAL codec
+    * parse ([[Bmp.decode]]) then the classic 8×8-luma average hash over
+    * the DECODED pixels. One decoder context per partition — the batch
+    * shape a `mapInPandas` image pipeline uses.
     */
   def phashes(s: SparkSession, payloads: DataFrame): DataFrame = {
     import s.implicits._
     payloads.select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
-        rows.collect {
-          case (id, bytes) if bytes.length % 3 == 0 => (id, aHash(bytes))
-        }
+        rows.map { case (id, bytes) => (id, Bmp.aHash64(Bmp.decode(bytes))) }
       }
       .toDF("doc_id", "phash")
   }
@@ -282,67 +283,93 @@ object Multimodal {
     },
     QueryDef.sql(
       "mm6_phash",
-      // per-image 60-bit perceptual fingerprint — the oracle recomputes
-      // every bit from the bytes independently, so a hash match here is
-      // bit-exact evidence for the whole aHash pipeline
+      // per-image 64-bit aHash over REAL decoded pixels: the engine parses
+      // the actual BMP byte layout and hashes the decoded 8×8 luma grid;
+      // the oracle recomputes every bit from the image GENERATOR formula
+      // (pixel p = text byte p mod n), never seeing the BMP — so a hash
+      // match is bit-exact evidence that decode recovered the true pixels
+      // (any row-order/padding/channel/offset bug hash-misses)
       s"""WITH $duckPhashCtes
-         |SELECT doc_id, phash FROM fp ORDER BY doc_id""".stripMargin) {
+         |SELECT doc_id, phash FROM ph ORDER BY doc_id""".stripMargin) {
       (s, d) =>
-        phashes(s, payloadTable(s, d)).orderBy("doc_id")
+        phashes(s, bmpTable(s, d)).orderBy("doc_id")
     },
     QueryDef.sql(
       "mm7_phash_neardup",
-      // perceptual near-dup pairs over the "image" slice: aHash in the
-      // codec seam, then the SAME banded-Hamming machinery as the SimHash
-      // text path. Test knobs: 10 bands × 6 bits ⇒ full recall at Hamming
-      // ≤ 9 by pigeonhole (the synthetic corpus's closest image pair sits
-      // at Hamming 8); production widens bands and tightens the threshold
-      // exactly as DedupKnobs documents for SimHash — 64 buckets/band is a
-      // test value, never a billion-image setting. The oracle recomputes
-      // the hash from bytes and brute-forces all image pairs — same
-      // answer, sub-quadratic engine plan.
+      // perceptual near-dup pairs over REAL decoded pixels: BMP decode +
+      // 8×8-luma aHash in the codec seam, then the SAME banded-Hamming
+      // machinery as the SimHash text path. Test knobs: 16 bands × 4
+      // bits ⇒ full recall at Hamming ≤ 15 by pigeonhole (the corpus's
+      // text near-dups land at Hamming 13-15 as pixels: differing image
+      // dims wrap the shared bytes differently, so pixel similarity is
+      // softer than byte similarity); production widens bands and
+      // tightens the threshold exactly as DedupKnobs documents for
+      // SimHash — 16 buckets/band is a test value, never a billion-image
+      // setting. The oracle recomputes the hash from the generator
+      // formula and brute-forces all image pairs — same answer,
+      // sub-quadratic engine plan.
       s"""WITH $duckPhashCtes,
          |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |    bit_count(xor(a.phash, b.phash)) AS hamming
-         |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id)
+         |  FROM ph a JOIN ph b ON a.doc_id < b.doc_id)
          |SELECT doc_a, doc_b, CAST(hamming AS INT) AS hamming
-         |FROM p WHERE hamming <= 9 ORDER BY doc_a, doc_b""".stripMargin) {
+         |FROM p WHERE hamming <= 15 ORDER BY doc_a, doc_b""".stripMargin) {
       (s, d) =>
         graft.functions.HammingDistance.register(s)
-        val fps = phashes(s, payloadTable(s, d)).localCheckpoint()
+        val fps = phashes(s, bmpTable(s, d)).localCheckpoint()
         def banded(idCol: String, fpCol: String): DataFrame =
           fps.select(col("doc_id").as(idCol), col("phash").as(fpCol))
             .withColumn("band", explode(expr(
-              s"transform(sequence(0, 9)," +
-                s" b -> concat(b, ':', shiftright($fpCol, b * 6) & 63))")))
+              s"transform(sequence(0, 15)," +
+                s" b -> concat(b, ':', shiftright($fpCol, b * 4) & 15))")))
         banded("doc_a", "fp_a").join(banded("doc_b", "fp_b"), Seq("band"))
           .filter(col("doc_a") < col("doc_b"))
           .select("doc_a", "fp_a", "doc_b", "fp_b").distinct()
           .withColumn("hamming", expr("graft_hamming(fp_a, fp_b)"))
-          .filter(col("hamming") <= 9)
+          .filter(col("hamming") <= 15)
           .select("doc_a", "doc_b", "hamming")
           .orderBy("doc_a", "doc_b")
     }
   )
 
-  /** DuckDB CTE chain ending in `fp(doc_id, phash)` — the byte-level
-    * mirror of [[aHash]] over the "image" slice.
+  /** DuckDB CTE chain ending in `ph(doc_id, phash)` — the GENERATOR-level
+    * mirror of decode + [[Bmp.aHash64]] over the image slice: luma at
+    * position p is text byte p mod n (the [[bmpTable]] formula; gray BT.601
+    * luma = the byte itself since the weights sum to 1000), cell k =
+    * (y·8/h)·8 + x·8/w, bit k set iff cellSum·n > totSum·cellCnt.
+    * The 64-bit fingerprint is assembled from 32-bit halves combined with
+    * an explicit signed fold — DuckDB raises on `1::BIGINT << 63`, and the
+    * `k % 32` inside each branch keeps every shift ≤ 31 even if the
+    * vectorized CASE evaluates both arms.
     */
   private def duckPhashCtes: String =
     """img AS (SELECT doc_id, text, octet_length(encode(text)) AS n
-      |  FROM documents WHERE octet_length(encode(text)) % 3 = 0),
-      |by AS (SELECT doc_id, n, unnest(generate_series(1, n)) AS i, text
-      |  FROM img),
-      |bv AS (SELECT doc_id, n, i,
-      |    ascii(substring(text, CAST(i AS INT), 1)) AS b FROM by),
-      |seg AS (SELECT doc_id, n, ((i - 1) * 60) // n AS j,
-      |    CAST(sum(b) AS BIGINT) AS ss, count(*) AS sc
-      |  FROM bv GROUP BY 1, 2, 3),
-      |tot AS (SELECT doc_id, CAST(sum(b) AS BIGINT) AS tb
-      |  FROM bv GROUP BY doc_id),
-      |fp AS (SELECT s.doc_id,
-      |    CAST(sum(CASE WHEN s.ss * s.n > t.tb * s.sc
-      |      THEN CAST(1 AS BIGINT) << CAST(s.j AS INT)
-      |      ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS phash
-      |  FROM seg s JOIN tot t USING (doc_id) GROUP BY s.doc_id)""".stripMargin
+      |  FROM documents
+      |  WHERE octet_length(encode(text)) % 3 = 0
+      |    AND octet_length(encode(text)) > 0),
+      |dim AS (SELECT doc_id, text, n,
+      |    n % 24 + 8 AS w, (n // 7) % 24 + 8 AS h FROM img),
+      |px AS (SELECT doc_id, text, n, w, h, w * h AS wh,
+      |    unnest(generate_series(0, w * h - 1)) AS p FROM dim),
+      |lum AS (SELECT doc_id, wh,
+      |    ((p // w) * 8 // h) * 8 + ((p % w) * 8 // w) AS k,
+      |    ascii(substring(text, CAST(p % n AS INT) + 1, 1)) AS v FROM px),
+      |cell AS (SELECT doc_id, k, CAST(sum(v) AS BIGINT) AS cs,
+      |    count(*) AS cc, max(wh) AS wh FROM lum GROUP BY doc_id, k),
+      |tot AS (SELECT doc_id, CAST(sum(v) AS BIGINT) AS ts
+      |  FROM lum GROUP BY doc_id),
+      |bits AS (SELECT c.doc_id, c.k FROM cell c JOIN tot t USING (doc_id)
+      |  WHERE c.cs * c.wh > t.ts * c.cc),
+      |halves AS (SELECT i.doc_id,
+      |    CAST(coalesce(sum(CASE WHEN b.k < 32
+      |      THEN CAST(1 AS BIGINT) << CAST(b.k % 32 AS INT)
+      |      ELSE CAST(0 AS BIGINT) END), 0) AS BIGINT) AS lo,
+      |    CAST(coalesce(sum(CASE WHEN b.k >= 32
+      |      THEN CAST(1 AS BIGINT) << CAST(b.k % 32 AS INT)
+      |      ELSE CAST(0 AS BIGINT) END), 0) AS BIGINT) AS hi
+      |  FROM img i LEFT JOIN bits b USING (doc_id) GROUP BY i.doc_id),
+      |ph AS (SELECT doc_id,
+      |    (CASE WHEN hi >= 2147483648 THEN hi - 4294967296 ELSE hi END)
+      |      * 4294967296 + lo AS phash
+      |  FROM halves)""".stripMargin
 }
