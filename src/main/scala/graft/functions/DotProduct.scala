@@ -13,6 +13,16 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * primitive loop inside whole-stage codegen; the interpreted path mirrors
   * it exactly, so results are bit-identical to the sequential left-fold the
   * DuckDB oracle computes.
+  *
+  * Semantics (deliberately NOT the `aggregate(zip_with(...))` fold it
+  * replaced, which returns NULL on any length mismatch or null element):
+  *  - mismatched lengths THROW — a dimension mismatch in an embedding
+  *    join is a data bug, and truncate-to-min would silently score it;
+  *  - a NULL array slot contributes 0.0 (`ArrayData.getDouble` reads the
+  *    primitive region; unset slots are zero) — the sparse-friendly
+  *    convention, kept branch-free so the codegen loop stays tight. The
+  *    embeddings tables are dense and non-null; callers with genuinely
+  *    nullable slots must pre-coalesce.
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -32,7 +42,10 @@ case class DotProduct(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements())
+      throw new IllegalArgumentException(
+        s"graft_dot: dimension mismatch ($n vs ${y.numElements()})")
     var s = 0.0
     var i = 0
     while (i < n) {
@@ -49,7 +62,12 @@ case class DotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val sum = ctx.freshName("sum")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "graft_dot: dimension mismatch (" + $n + " vs " +
+         |      $b.numElements() + ")");
+         |}
          |double $sum = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  $sum += $a.getDouble($i) * $b.getDouble($i);

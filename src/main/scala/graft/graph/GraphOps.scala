@@ -501,6 +501,11 @@ object GraphOps {
     * [[reachable]].
     *
     * Returns the surviving node ids (empty when the k-core is empty).
+    * Throws if `maxIterations` rounds exhaust BEFORE the peeling fixpoint:
+    * the remainder would be a superset still containing sub-k nodes, and a
+    * caller cannot tell that truncated answer from a true k-core — fail
+    * loudly instead (mirroring how [[reachable]] treats its backstop; the
+    * default bound far exceeds any real peeling depth).
     */
   def kCore(spark: SparkSession, g: GraphTables, k: Int,
       maxIterations: Int = 64): DataFrame = {
@@ -527,6 +532,9 @@ object GraphOps {
           .localCheckpoint()
       }
     }
+    if (!done) throw new IllegalStateException(
+      s"kCore(k=$k) did not converge within $maxIterations peeling rounds " +
+        "— the remainder still contains sub-k nodes; raise maxIterations")
     edges.select(col("u").as("id")).distinct()
   }
 

@@ -44,6 +44,30 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(e.eval(null) == 32.0)
   }
 
+  test("graft_dot throws on dimension mismatch in both paths — never a " +
+      "silent truncate-to-min score") {
+    val s = SparkSpec.session
+    graft.functions.DotProduct.register(s)
+    import s.implicits._
+    val codegenErr = intercept[Exception] {
+      Seq((Array(1.0, 2.0, 3.0), Array(4.0, 5.0)))
+        .toDF("a", "b").selectExpr("graft_dot(a, b) AS d").collect()
+    }
+    assert(codegenErr.getMessage.contains("dimension mismatch") ||
+      Option(codegenErr.getCause)
+        .exists(_.getMessage.contains("dimension mismatch")))
+    val e = graft.functions.DotProduct(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Seq(1.0, 2.0),
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType)),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Seq(1.0),
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType)))
+    intercept[IllegalArgumentException] { e.eval(null) }
+  }
+
   test("graft_hamming evaluates identically interpreted and via codegen") {
     val s = SparkSpec.session
     graft.functions.HammingDistance.register(s)

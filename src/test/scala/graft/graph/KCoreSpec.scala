@@ -44,4 +44,15 @@ class KCoreSpec extends SparkSpec {
     val g = mkGraph(Seq(1L -> 2L, 2L -> 1L, 1L -> 2L))
     assert(core(g, 2) == Set.empty[Long])
   }
+
+  test("exhausting maxIterations before the fixpoint throws, never " +
+      "returns a truncated superset") {
+    // triTail's 2-core needs two peeling rounds; with the bound at 1 the
+    // remainder still holds sub-k node 4 — the caller must get an error,
+    // not a plausible-but-wrong \"core\"
+    val e = intercept[IllegalStateException] {
+      GraphOps.kCore(spark, triTail, 2, maxIterations = 1).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
 }
