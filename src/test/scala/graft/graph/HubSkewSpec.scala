@@ -92,6 +92,56 @@ class HubSkewSpec extends SparkSpec {
         s"stage ${st.stageId} imbalanced with skew split ON: ${st.render}")
     }
   }
+
+  test("kCore peeling through the hub graph: AQE keeps the anti-join " +
+      "rounds balanced") {
+    // 2-core shape on this fixture: the 300k pure hub-fanout leaves
+    // (degree 1) peel in round 1; everything in the background mesh
+    // (degree ~19 sources / ~9 sinks) survives, so the kernel runs real
+    // multi-round anti-joins with the hub key present throughout
+    val (rows, on) = measure(spark, skewOn = true) {
+      GraphOps.kCore(spark, graph, 2).count()
+    }
+    // independent census: a node is in the 2-core iff it keeps degree ≥ 2
+    // after the degree-1 leaves (hub-only targets) drop — compute directly
+    val und = graph.edges.toDF().select(col("src").as("u"), col("dst").as("v"))
+      .unionByName(graph.edges.toDF()
+        .select(col("dst").as("u"), col("src").as("v")))
+      .distinct()
+    val deg1 = und.groupBy("u").agg(count(lit(1)).as("deg"))
+      .filter(col("deg") < 2).select("u")
+    val survivors = und.join(deg1, Seq("u"), "left_anti")
+      .join(deg1.select(col("u").as("v")), Seq("v"), "left_anti")
+      .groupBy("u").agg(count(lit(1)).as("deg"))
+      .filter(col("deg") >= 2).count()
+    assert(rows == survivors, s"kCore size $rows vs direct census $survivors")
+    info(s"skew-ON heavy stages (bytes): ${on.map(_.render).mkString("; ")}")
+    on.foreach { st =>
+      assert(st.ratio <= BalancedRatio,
+        s"stage ${st.stageId} imbalanced with skew split ON: ${st.render}")
+    }
+  }
+
+  test("adamicAdar's maxDegree cap makes the hub a no-op: balanced even " +
+      "with the skew optimizer OFF") {
+    // the hub (undirected degree 400k) would emit 1.6e11 candidate pairs
+    // through the z-keyed self-join; the cap drops its adjacency list
+    // BEFORE the join, so no skew-handling is needed downstream — the
+    // sharper claim: the plan is balanced with AQE's skew split disabled
+    val (pairs, off) = measure(spark, skewOn = false) {
+      GraphOps.adamicAdar(spark, graph, maxDegree = 1000).count()
+    }
+    // the hub never acts as a z (its list is capped away), but it still
+    // scores as a pair ENDPOINT through small-degree z lists that contain
+    // it — the cap removes the explosion, not the node
+    assert(pairs > 0L, "degree cap emptied the result entirely")
+    info(s"skew-OFF heavy stages (bytes): ${off.map(_.render).mkString("; ")}")
+    off.foreach { st =>
+      assert(st.ratio <= BalancedRatio,
+        s"stage ${st.stageId} imbalanced despite the degree cap: " +
+          st.render)
+    }
+  }
 }
 
 object HubSkewSpec {

@@ -342,6 +342,169 @@ class StreamingSpec extends SparkSpec {
     assert(got.collect().head.getAs[String]("c_mktsegment").nonEmpty)
   }
 
+  /** Runs `body` with the RocksDB state store pinned (the backend every
+    * `transformWithState` op requires), restoring the prior provider.
+    */
+  private def withRocksDb[A](body: => A): A = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+        "state.RocksDBStateStoreProvider")
+      body
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set(key, p)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
+  test("transformWithState ValueState survives kill-and-resume from the " +
+      "RocksDB checkpoint, exactly-once") {
+    // stop the query mid-stream, enqueue MORE data while it is down, then
+    // restart from the SAME checkpoint: the per-user counters must resume
+    // from the checkpointed RocksDB state (not recount batch A), and the
+    // down-time data must be processed exactly once
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDb {
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("tws_resume_ckpt").toString
+      val mem = MemoryStream[EventRow]
+      // the memory sink refuses checkpoint recovery; foreachBatch is the
+      // recoverable sink shape — each RUN writes its update rows to its
+      // own directory, so post-restart output is directly observable
+      def start(outDir: String) = StreamingOps
+        .runningUserTotalsTws(spark, mem.toDS())
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Update())
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[UserSnapshot], id: Long) =>
+            batch.write.mode("append").parquet(s"$outDir/b=$id"): Unit
+        }.start()
+      val dirA = java.nio.file.Files
+        .createTempDirectory("tws_resume_a").toString
+      val dirB = java.nio.file.Files
+        .createTempDirectory("tws_resume_b").toString
+      val q1 = start(dirA)
+      mem.addData(EventRow(1L, ts(0), 7L, "view", 1.0),
+        EventRow(2L, ts(0), 7L, "view", 2.0),
+        EventRow(3L, ts(0), 8L, "view", 4.0))
+      q1.processAllAvailable()
+      q1.stop() // the kill: recovery below runs purely off the checkpoint
+      // arrives while the query is DOWN
+      mem.addData(EventRow(4L, ts(1), 7L, "view", 0.5),
+        EventRow(5L, ts(1), 9L, "view", 9.0))
+      val q2 = start(dirB)
+      q2.processAllAvailable()
+      q2.stop()
+      val resumed = spark.read.parquet(s"$dirB/*").collect()
+        .map(r => r.getAs[Long]("user_id") ->
+          (r.getAs[Long]("n_events"), r.getAs[Double]("total_value"))).toMap
+      // user 7: state 2/3.0 recovered from RocksDB + one new event — a
+      // from-scratch recount would say (1, 0.5), a replay of batch A
+      // would say (4, 3.5)
+      assert(resumed(7L) == (3L, 3.5),
+        s"user 7 state after resume: ${resumed.get(7L)}")
+      // user 9 first seen after the restart
+      assert(resumed(9L) == (1L, 9.0))
+      // user 8 had no post-restart events: Update mode re-emits nothing
+      // for it, and batch A's rows were NOT re-processed into the new run
+      assert(!resumed.contains(8L),
+        s"batch A re-emitted after resume: ${resumed.get(8L)}")
+    }
+  }
+
+  test("transformWithState timers survive kill-and-resume: a timer armed " +
+      "before the kill fires after the restart") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDb {
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("timer_resume_ckpt").toString
+      val mem = MemoryStream[EventRow]
+      def start(outDir: String) = StreamingOps
+        .sessionTotalsWithTimer(spark, mem.toDS())
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Update())
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[SessionTotal], id: Long) =>
+            batch.write.mode("append").parquet(s"$outDir/b=$id"): Unit
+        }.start()
+      val dirA = java.nio.file.Files
+        .createTempDirectory("timer_resume_a").toString
+      val dirB = java.nio.file.Files
+        .createTempDirectory("timer_resume_b").toString
+      val q1 = start(dirA)
+      // user 7's session: 2 events, timer armed at 00:30 (gap 30m)
+      mem.addData(EventRow(1L, ts(0), 7L, "view", 1.0),
+        EventRow(2L, ts(0, 30), 7L, "view", 1.0))
+      q1.processAllAvailable()
+      q1.stop()
+      // watermark-advancing traffic from ANOTHER user lands while down;
+      // after restart the watermark sweep must find user 7's RECOVERED
+      // timer and close the session with the RECOVERED count
+      mem.addData(EventRow(3L, ts(50), 8L, "view", 1.0))
+      val q2 = start(dirB)
+      q2.processAllAvailable()
+      mem.addData(EventRow(4L, ts(51), 8L, "view", 1.0))
+      q2.processAllAvailable()
+      q2.stop()
+      val closed = spark.read.parquet(s"$dirB/*")
+        .filter(col("closed") && col("user_id") === 7L).collect()
+      assert(closed.length == 1,
+        s"expected exactly one close for user 7: ${closed.toSeq}")
+      assert(closed.head.getAs[Long]("n_events") == 2L,
+        "close row must carry the pre-kill session count")
+    }
+  }
+
+  test("transformWithState MapState/ListState survive kill-and-resume") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDb {
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("profile_resume_ckpt").toString
+      val mem = MemoryStream[EventRow]
+      def start(outDir: String) = StreamingOps
+        .userProfiles(spark, mem.toDS(), keepLast = 3)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Update())
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[UserProfile], id: Long) =>
+            batch.write.mode("append").parquet(s"$outDir/b=$id"): Unit
+        }.start()
+      val dirA = java.nio.file.Files
+        .createTempDirectory("profile_resume_a").toString
+      val dirB = java.nio.file.Files
+        .createTempDirectory("profile_resume_b").toString
+      val q1 = start(dirA)
+      mem.addData(EventRow(1L, ts(0), 7L, "view", 1.0),
+        EventRow(2L, ts(1), 7L, "click", 1.0))
+      q1.processAllAvailable()
+      q1.stop()
+      mem.addData(EventRow(3L, ts(2), 7L, "view", 1.0))
+      val q2 = start(dirB)
+      q2.processAllAvailable()
+      q2.stop()
+      val rows = spark.read.parquet(s"$dirB/*")
+        .filter(col("user_id") === 7L).collect()
+      val viewRow = rows.find(_.getAs[String]("event_type") == "view").get
+      // MapState: view count accumulated ACROSS the restart (1 + 1)
+      assert(viewRow.getAs[Long]("n_type") == 2L,
+        s"MapState lost across resume: ${rows.toSeq}")
+      // ListState: the bounded recent-ids window still holds the pre-kill
+      // event ids alongside the new one
+      assert(viewRow.getSeq[Long](viewRow.fieldIndex("recent_ids")).toSeq
+        == Seq(1L, 2L, 3L),
+        s"ListState lost across resume: ${rows.toSeq}")
+    }
+  }
+
   test("stateful ops run on the RocksDB state store (scale-posture)") {
     // HDFS-backed in-memory state breaks down at large key cardinality;
     // RocksDB is the 100-TB state backend — prove the ops run on it
