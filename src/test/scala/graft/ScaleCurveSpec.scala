@@ -1,0 +1,134 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.graph.{EdgeRow, GraphOps, GraphTables, NodeRow}
+
+/** Scaling-curve evidence for the heavy dedup/graph family (round-7
+  * directive 3): every plan is ARGUED scale-safe, this measures it. The
+  * sf0.01 documents corpus is replicated 10× with token-salted content —
+  * each copy keeps the original intra-copy near-dup structure exactly,
+  * while cross-copy shingle/window sets are DISJOINT, so the true output
+  * (and the work of any sub-quadratic plan) grows linearly with the
+  * corpus. Wall-time at 10× must stay under a generous linear bound; a
+  * quadratic term (an all-pairs join hiding under the sf0.1 constant)
+  * would show up as ~100× and fail loudly.
+  *
+  * The bound is [[ScaleCurveSpec.MaxRatio]]·max(t1, floor): fixed session
+  * overhead dominates the 1× runs at this corpus size, so the floor keeps
+  * a 0.3s→3s reading from being misread as super-linear. Observed ratios
+  * land well inside the bound (see PLANS.md round-8 notes).
+  */
+class ScaleCurveSpec extends SparkSpec {
+  import ScaleCurveSpec._
+
+  /** 1× and 10× corpora written through the SAME pipeline (identical file
+    * layout policy), each a directory holding only documents.parquet —
+    * the sole table the heavy family reads.
+    */
+  private lazy val (dir1x, dir10x): (String, String) = {
+    val docs = spark.read.parquet(sf("sf0.01") + "/documents.parquet")
+    def replicate(copies: Int, out: String): String = {
+      (0 until copies).map { k =>
+        docs.select(
+          (col("doc_id") + lit(k.toLong * 1000000000L)).as("doc_id"),
+          // token-salting: suffix every token with the copy index, so
+          // copy k's shingles never collide with copy j's — no synthetic
+          // cross-copy near-dups inflating the output super-linearly
+          (if (k == 0) col("text")
+           else regexp_replace(col("text"), "(\\S+)", "$1~" + k)).as("text"),
+          col("lang"), col("source"), col("n_chars"))
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$out/documents.parquet")
+      out
+    }
+    (replicate(1,
+        java.nio.file.Files.createTempDirectory("scale1x").toString),
+      replicate(10,
+        java.nio.file.Files.createTempDirectory("scale10x").toString))
+  }
+
+  private def timed(body: => Unit): Double = {
+    val t0 = System.nanoTime()
+    body
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  private def assertLinear(name: String, t1: Double, t10: Double): Unit = {
+    val ratio = t10 / math.max(t1, OverheadFloorSec)
+    info(f"$name: 1x=${t1}%.2fs 10x=${t10}%.2fs ratio=$ratio%.1f " +
+      f"(bound $MaxRatio%.0f)")
+    assert(ratio <= MaxRatio,
+      f"$name scaled super-linearly: 1x=$t1%.2fs 10x=$t10%.2fs " +
+        f"ratio=$ratio%.1f > $MaxRatio%.0f — a quadratic term is hiding " +
+        "in this plan")
+  }
+
+  for (q <- Seq("l2_minhash_lsh", "l2c_ngram_jaccard", "l30_dup_spans",
+      "l34_verified_neardup")) {
+    test(s"$q wall-time grows ~linearly from 1x to 10x corpus") {
+      val run = SparkEntry.queries(q)
+      run(spark, dir1x).count() // warm-up: JIT + codegen + footer caches
+      val t1 = timed(run(spark, dir1x).count())
+      val t10 = timed(run(spark, dir10x).count())
+      assertLinear(q, t1, t10)
+    }
+  }
+
+  test("kCore wall-time grows ~linearly on a 10x hub graph") {
+    def hubGraph(mult: Int): GraphTables = {
+      import spark.implicits._
+      val hubEdges = 40000L * mult
+      val bgEdges = 180000L * mult
+      val hub = spark.range(1L, hubEdges + 1L)
+        .select(lit(0L).as("src"), col("id").as("dst"))
+      val bg = spark.range(bgEdges).select(
+        (lit(1L) + pmod(hash(col("id")), lit(10000 * mult)).cast("long"))
+          .as("src"),
+        (lit(hubEdges + 1L) +
+          pmod(hash(col("id") * 7L), lit(20000 * mult)).cast("long"))
+          .as("dst"))
+      val edges = hub.unionByName(bg)
+        .select(col("src"), col("dst"), lit("HAS_CHILD").as("relType"),
+          lit("s").as("docnbr"), lit("b0").as("batch"))
+        .as[EdgeRow]
+      GraphTables(spark.emptyDataset[NodeRow], edges)
+    }
+    val g1 = hubGraph(1)
+    val g10 = hubGraph(10)
+    GraphOps.kCore(spark, g1, 2).count() // warm-up
+    val t1 = timed(GraphOps.kCore(spark, g1, 2).count())
+    val t10 = timed(GraphOps.kCore(spark, g10, 2).count())
+    assertLinear("kCore(hub)", t1, t10)
+  }
+
+  test("10x replica preserves per-copy output: minhash pairs are exactly " +
+      "10x the 1x pairs, none crossing copies") {
+    // the fairness precondition of the curve: if token-salting leaked
+    // cross-copy near-dups, the OUTPUT itself would grow quadratically
+    // and the wall-time bound would be testing the wrong thing
+    val run = SparkEntry.queries("l2_minhash_lsh")
+    val p1 = run(spark, dir1x).count()
+    val p10 = run(spark, dir10x)
+    assert(p10.count() == 10L * p1,
+      s"expected exactly 10x the pairs, got ${p10.count()} vs $p1")
+    assert(p10.filter(
+        col("doc_a").divide(1000000000L).cast("long") =!=
+          col("doc_b").divide(1000000000L).cast("long")).count() == 0L,
+      "cross-copy near-dup pairs leaked into the 10x corpus")
+  }
+}
+
+object ScaleCurveSpec {
+  /** Generous linear-growth bound for a 10× corpus (judge-prescribed ~15;
+    * linear work + fixed overhead lands far below it, a quadratic term
+    * lands far above).
+    */
+  val MaxRatio = 15.0
+
+  /** Fixed per-query session overhead floor: 1× readings at this corpus
+    * size are mostly planning/launch cost, so tiny denominators would
+    * turn noise into a fake super-linear verdict.
+    */
+  val OverheadFloorSec = 0.4
+}
