@@ -18,14 +18,32 @@ import org.apache.spark.sql.functions._
   * variable):
   * {{{
   *   MATCH (m[:Label] [{prop: 'value'[, ...]}])
-  *     [ [OPTIONAL MATCH (m)] -[[:REL_TYPE]*1..K]->(c[:Label] [{prop: 'value'[, ...]}]) ]
-  *   [WHERE (m|c).prop <op> 'value' [AND|OR ...]]
+  *     [ [OPTIONAL MATCH (m)] -[[:REL_TYPE][*1..K]]->(c[:Label] [{prop: 'value'[, ...]}]) ]
+  *   [WHERE (m|c).prop <op> ('value'|number) [AND|OR ...]
+  *    | [NOT] (m)-[[:REL_TYPE][*1..K]]->([:Label])]
   *     op ∈ {=, <>, <, <=, >, >=, STARTS WITH, ENDS WITH, CONTAINS}
   *   RETURN [DISTINCT] m | m.prop[, m.prop ...] | m, c | m.prop, c
   *          | m.prop[, ...], c.prop[, ...] | c.prop[, ...]
   *          | m, count([DISTINCT] c) | m.prop[, m.prop ...], count([DISTINCT] c)
+  *          | m[.prop[, ...]], collect([DISTINCT] c.prop)
   *   [ORDER BY m.prop | count(c) [ASC|DESC]] [SKIP n] [LIMIT n]
   * }}}
+  * A hop pattern without an explicit range (`-[:HAS_ORDER]->`, the most
+  * common LLM emission) is the single-hop form `*1..1`. An UNQUOTED numeric
+  * literal compares numerically: the property value is cast to double and
+  * non-numeric values drop out (Cypher's string-vs-number comparison is
+  * null, which filters the row — same observable behavior).
+  * `WHERE [NOT] (m)-[...]->([:Label])` is Cypher's pattern-existence
+  * predicate ("roots with/without such a connection"): a semi-join (anti-
+  * join under NOT) of the roots against the hop expansion — never a
+  * per-root subquery. It must be the entire WHERE clause and the query
+  * must not also bind a connected variable in MATCH.
+  * `collect([DISTINCT] c.prop)` aggregates the surviving bindings' property
+  * values per root group (Cypher's list aggregation), returned as the
+  * SORTED comma-joined string column `collected` (the engine's
+  * deterministic nest serialization — same contract as
+  * [[GraphOps.nestByRoot]]; a raw list would be shuffle-order-dependent).
+  * Zero surviving bindings collect to the empty string (Cypher's `[]`).
   * `OPTIONAL MATCH` makes the hop pattern left-outer (Cypher's optional
   * semantics): every root matching the first MATCH pattern is returned,
   * with the connected columns null when no binding exists. A WHERE clause
@@ -56,10 +74,18 @@ object CypherLite {
 
   sealed trait Statement
   /** One comparison; `onConn` = it references the hop pattern's connected
-    * variable rather than the matched one.
+    * variable rather than the matched one; `numeric` = the literal was
+    * unquoted, so the comparison is numeric (property cast to double).
     */
   final case class Cond(prop: String, op: String, value: String,
-      onConn: Boolean = false)
+      onConn: Boolean = false, numeric: Boolean = false)
+
+  /** Pattern-existence predicate `WHERE [NOT] (m)-[[:REL][*1..K]]->([:Label])`:
+    * keep exactly the roots with (without, under NOT) a node reachable
+    * within `hops` typed edges, optionally constrained to a target label.
+    */
+  final case class ExistsPat(negated: Boolean, relType: Option[String],
+      hops: Int, connLabel: Option[String])
 
   sealed trait RetItem
   case object RetVar extends RetItem // the whole matched node
@@ -68,6 +94,8 @@ object CypherLite {
   final case class RetConnProp(prop: String) extends RetItem // c.prop
   // count([DISTINCT] connected); distinct counts connected NODES not bindings
   final case class RetCount(distinct: Boolean) extends RetItem
+  // collect([DISTINCT] c.prop): per-group sorted comma-joined list
+  final case class RetCollect(prop: String, distinct: Boolean) extends RetItem
 
   final case class MatchReturn(
       label: Option[String],
@@ -81,14 +109,16 @@ object CypherLite {
       skip: Option[Int],
       limit: Option[Int],
       optional: Boolean = false, // OPTIONAL MATCH hop: left-outer expansion
-      distinct: Boolean = false) extends Statement // RETURN DISTINCT
+      distinct: Boolean = false, // RETURN DISTINCT
+      // WHERE [NOT] (m)-[...]->(...): semi/anti-join existence filter
+      existsPat: Option[ExistsPat] = None) extends Statement
   final case class DetachDelete(tag: String) extends Statement
 
   private val MatchRe =
     ("""(?is)\s*MATCH\s*\(\s*(\w+)\s*(?::\s*(\w+))?\s*""" +
       """(?:\{\s*([^}]*)\s*\})?\s*\)\s*""" +
       """(?:(?:OPTIONAL\s+MATCH\s*\(\s*(\w+)\s*\)\s*)?""" +
-      """-\s*\[\s*(?::\s*(\w+)\s*)?\*\s*1\s*\.\.\s*(\d+)\s*\]\s*->\s*\(\s*(\w+)\s*(?::\s*(\w+))?\s*(?:\{\s*([^}]*)\s*\})?\s*\)\s*)?""" +
+      """-\s*\[\s*(?::\s*(\w+)\s*)?(?:\*\s*1\s*\.\.\s*(\d+)\s*)?\]\s*->\s*\(\s*(\w+)\s*(?::\s*(\w+))?\s*(?:\{\s*([^}]*)\s*\})?\s*\)\s*)?""" +
       """(?:WHERE\s+(.*?)\s*)?""" +
       """RETURN\s+(DISTINCT\s+)?(.+?)\s*""" +
       """(?:ORDER\s+BY\s+(?:(\w+)\s*\.\s*(\w+)|count\s*\(\s*(?:DISTINCT\s+)?(\w+)\s*\))\s*(?:(ASC|DESC)\s*)?)?""" +
@@ -100,15 +130,29 @@ object CypherLite {
 
   private val PropRe = """(\w+)\s*:\s*'([^']*)'""".r
 
-  // one `var.prop <op> 'value'` comparison; the WHERE clause splits on OR
-  // then AND before these are matched
+  // one `var.prop <op> ('value'|number)` comparison; the WHERE clause
+  // splits on OR then AND before these are matched. The literal is either
+  // quoted (string comparison) or a bare numeric (numeric comparison).
   private val CondRe =
     ("""(?is)\s*(\w+)\s*\.\s*(\w+)\s*""" +
       """(<>|<=|>=|=|<|>|STARTS\s+WITH|ENDS\s+WITH|CONTAINS)""" +
-      """\s*'([^']*)'\s*""").r
+      """\s*(?:'([^']*)'|(-?\d+(?:\.\d+)?))\s*""").r
+
+  // WHERE [NOT] (m)-[[:REL][*1..K]]->([:Label]) — the pattern-existence
+  // predicate, admitted only as the ENTIRE WHERE clause (mixing it into
+  // AND/OR groups would need EXISTS columns in the DNF; the standalone
+  // form is what LLMs emit for "roots with/without a connection")
+  private val ExistsRe =
+    ("""(?is)\s*(NOT\s+)?\(\s*(\w+)\s*\)\s*""" +
+      """-\s*\[\s*(?::\s*(\w+)\s*)?(?:\*\s*1\s*\.\.\s*(\d+)\s*)?\]\s*->""" +
+      """\s*\(\s*(?::\s*(\w+)\s*)?\)\s*""").r
 
   private val CountRe =
     """(?is)\s*count\s*\(\s*(DISTINCT\s+)?(\w+)\s*\)\s*""".r
+  private val CollectRe =
+    """(?is)\s*collect\s*\(\s*(DISTINCT\s+)?(\w+)\s*\.\s*(\w+)\s*\)\s*""".r
+  private val CollectBareRe =
+    """(?is)\s*collect\s*\(\s*(?:DISTINCT\s+)?(\w+)\s*\)\s*""".r
   private val VarPropRe = """(?is)\s*(\w+)\s*\.\s*(\w+)\s*""".r
   private val VarRe = """(?is)\s*(\w+)\s*""".r
 
@@ -124,27 +168,52 @@ object CypherLite {
       val conn = Option(connVar)
       val optional = optVar != null
       val retDistinct = distinctKw != null
-      val condsE: Either[String, Seq[Seq[Cond]]] =
+      // a WHERE clause is EITHER a comparison DNF or a single pattern-
+      // existence predicate — the existence form is checked first against
+      // the whole clause (its parens/brackets would shred under the
+      // AND/OR split)
+      val whereE: Either[String, (Seq[Seq[Cond]], Option[ExistsPat])] =
         Option(whereStr).map(_.trim).filter(_.nonEmpty) match {
-          case None => Right(Seq.empty)
+          case None => Right((Seq.empty, None))
+          case Some(ExistsRe(notKw, v, relT, hopsK, connLab)) if v == m =>
+            if (conn.isDefined)
+              Left("a pattern-existence WHERE cannot be combined with a " +
+                "hop pattern in MATCH — filter the bound pattern with " +
+                "comparisons instead")
+            else
+              Right((Seq.empty, Some(ExistsPat(notKw != null, Option(relT),
+                Option(hopsK).map(_.toInt).getOrElse(1), Option(connLab)))))
+          case Some(ExistsRe(_, v, _, _, _)) =>
+            Left(s"pattern-existence WHERE must anchor the matched " +
+              s"variable '$m', got '$v'")
           case Some(w) =>
             // standard precedence without parens: OR of AND-groups
             val groups = w.split("(?i)\\s+OR\\s+").toSeq
               .map(_.split("(?i)\\s+AND\\s+").toSeq)
+            // the literal is group 4 (quoted) or group 5 (bare numeric);
+            // string predicates (STARTS WITH &c.) over a numeric literal
+            // are a type error, not a silent string coercion
+            def mk(prop: String, op0: String, str: String, num: String,
+                onConn: Boolean): Either[String, Cond] = {
+              // ops normalize to canonical form: the (?i) regex captures
+              // `starts   with` etc., condCol matches the literal.
+              // Locale.ROOT: the default locale would turn WITH into
+              // WİTH (dotted capital I) under tr/az and miss every case
+              val op = op0.toUpperCase(java.util.Locale.ROOT)
+                .replaceAll("\\s+", " ")
+              if (num != null && !ComparisonOps(op))
+                Left(s"$op requires a quoted string literal, got $num")
+              else if (num != null)
+                Right(Cond(prop, op, num, onConn, numeric = true))
+              else Right(Cond(prop, op, str, onConn))
+            }
             val parsed = groups.map { parts =>
               val cs = parts.map {
-                // ops normalize to canonical form: the (?i) regex captures
-                // `starts   with` etc., condCol matches the literal.
-                // Locale.ROOT: the default locale would turn WITH into
-                // WİTH (dotted capital I) under tr/az and miss every case
-                case CondRe(v, prop, op, value) if v == m =>
-                  Right(Cond(prop, op.toUpperCase(java.util.Locale.ROOT)
-                    .replaceAll("\\s+", " "), value))
-                case CondRe(v, prop, op, value) if conn.contains(v) =>
-                  Right(Cond(prop, op.toUpperCase(java.util.Locale.ROOT)
-                    .replaceAll("\\s+", " "), value,
-                    onConn = true))
-                case CondRe(v, _, _, _) =>
+                case CondRe(v, prop, op, str, num) if v == m =>
+                  mk(prop, op, str, num, onConn = false)
+                case CondRe(v, prop, op, str, num) if conn.contains(v) =>
+                  mk(prop, op, str, num, onConn = true)
+                case CondRe(v, _, _, _, _) =>
                   Left(s"WHERE may only reference the matched variable '$m'" +
                     conn.fold("")(c => s" or the connected variable '$c'") +
                     s", got '$v'")
@@ -155,14 +224,23 @@ object CypherLite {
                 .getOrElse(Right(cs.collect { case Right(c) => c }))
             }
             parsed.collectFirst { case Left(e) => Left(e) }
-              .getOrElse(Right(parsed.collect { case Right(g) => g }))
+              .getOrElse(Right((parsed.collect { case Right(g) => g }, None)))
         }
       val itemsE: Either[String, Seq[RetItem]] = {
+        // collect(c.prop) contains the split character nowhere (prop refs
+        // are single identifiers), so the comma split stays safe
         val parts = retStr.split(",").toSeq
         val parsed = parts.map {
           case CountRe(dk, v) if conn.contains(v) => Right(RetCount(dk != null))
           case CountRe(_, v) => Left(s"count() may only aggregate the " +
             s"connected variable${conn.fold("")(c => s" '$c'")}, got '$v'")
+          case CollectRe(dk, v, p) if conn.contains(v) =>
+            Right(RetCollect(p, dk != null))
+          case CollectRe(_, v, p) => Left(s"collect() may only aggregate " +
+            s"the connected variable${conn.fold("")(c => s" '$c'")}, " +
+            s"got '$v.$p'")
+          case CollectBareRe(v) => Left(s"collect($v) of a whole node is " +
+            s"not supported — project a property: collect($v.name)")
           case VarPropRe(v, p) if v == m => Right(RetProp(p))
           case VarPropRe(v, p) if conn.contains(v) => Right(RetConnProp(p))
           case VarPropRe(v, p) => Left(
@@ -197,22 +275,28 @@ object CypherLite {
           s"got '$optVar'")
       else
         for {
-          conds <- condsE
+          whereParsed <- whereE
+          (conds, existsPat) = whereParsed
           items <- itemsE
           ob <- orderByE
+          isAgg = (i: RetItem) =>
+            i.isInstanceOf[RetCount] || i.isInstanceOf[RetCollect]
           _ <- if (items.contains(RetConnected) && conn.isEmpty)
             Left("RETURN of the connected variable requires a hop pattern")
+          else Right(())
+          _ <- if (items.exists(_.isInstanceOf[RetCollect]) && conn.isEmpty)
+            Left("collect() requires a hop pattern")
           else Right(())
           _ <- if (conds.flatten.exists(_.onConn) && conn.isEmpty)
             Left("WHERE on the connected variable requires a hop pattern")
           else Right(())
-          _ <- if (items.count(_.isInstanceOf[RetCount]) > 1)
-            Left("at most one count(connected) per query")
+          _ <- if (items.count(isAgg) > 1)
+            Left("at most one aggregate (count or collect) per query")
           else Right(())
-          _ <- if (items.exists(_.isInstanceOf[RetCount]) &&
+          _ <- if (items.exists(isAgg) &&
               (items.contains(RetConnected)
               || items.exists(_.isInstanceOf[RetConnProp])))
-            Left("count(connected) cannot be combined with returning the " +
+            Left("an aggregate cannot be combined with returning the " +
               "connected variable or its properties")
           else Right(())
           _ <- if (items.contains(RetConnected) &&
@@ -230,11 +314,12 @@ object CypherLite {
               "connected-node properties — project m.prop explicitly")
           else Right(())
           // Cypher's grouping rule: every non-aggregate RETURN item is a
-          // grouping key, so a bare count() with nothing to group by is a
-          // different query (global count) than this front end serves
-          _ <- if (items.exists(_.isInstanceOf[RetCount]) && !items.exists(i =>
+          // grouping key, so a bare count()/collect() with nothing to group
+          // by is a different query (global aggregate) than this front end
+          // serves
+          _ <- if (items.exists(isAgg) && !items.exists(i =>
               i == RetVar || i.isInstanceOf[RetProp]))
-            Left("count(connected) requires a grouping item (m or m.prop)")
+            Left("an aggregate requires a grouping item (m or m.prop)")
           else Right(())
           _ <- if (ob.exists(_._1 == CountKey) &&
               !items.exists(_.isInstanceOf[RetCount]))
@@ -264,7 +349,7 @@ object CypherLite {
           MatchReturn(Option(label), props, Option(relType),
             if (conn.isDefined) math.max(hops, 1) else 0,
             condsWithSugar, items, ob, Option(skipStr).map(_.toInt),
-            Option(limitStr).map(_.toInt), optional, retDistinct)
+            Option(limitStr).map(_.toInt), optional, retDistinct, existsPat)
         }
     case _ => Left(s"unsupported query shape: ${query.take(120)}")
   }
@@ -291,13 +376,23 @@ object CypherLite {
     */
   private val ConnectedProps = Set("name", "content", "label")
 
-  private def condCol(c: Cond, target: Column): Column = c.op match {
-    case "=" => target === c.value
-    case "<>" => target =!= c.value
-    case "<" => target < c.value
-    case "<=" => target <= c.value
-    case ">" => target > c.value
-    case ">=" => target >= c.value
+  /** Ops meaningful over a numeric literal (the string predicates are not). */
+  private val ComparisonOps = Set("=", "<>", "<", "<=", ">", ">=")
+
+  private def condCol(c: Cond, target0: Column): Column = {
+    // unquoted literal → numeric comparison: the property try_casts to
+    // double and non-numeric values become null, so the comparison is null
+    // and the row drops — observably identical to Cypher's string-vs-number
+    // null (a plain cast would THROW under ANSI mode instead of dropping)
+    val target = if (c.numeric) target0.try_cast("double") else target0
+    def v: Any = if (c.numeric) c.value.toDouble else c.value
+    c.op match {
+    case "=" => target === v
+    case "<>" => target =!= v
+    case "<" => target < v
+    case "<=" => target <= v
+    case ">" => target > v
+    case ">=" => target >= v
     // Cypher string predicates (the schema prompt's free-text properties
     // invite these from the LLM constantly). Literal-prefix/suffix/infix
     // matching — startsWith compiles to a sargable LIKE 'v%' Catalyst can
@@ -309,6 +404,7 @@ object CypherLite {
     // forms above) — but fail with a named error, never a bare MatchError
     case other => throw new IllegalArgumentException(
       s"unsupported comparison operator: $other")
+    }
   }
 
   /** Execute against the graph; returns (m_label, m_name[, depth, c_label,
@@ -323,13 +419,15 @@ object CypherLite {
         Right(after.nodes.groupBy("batch")
           .agg(count(lit(1)).as("n_nodes")).orderBy("batch").toDF())
       case MatchReturn(label, props, relType, hops, conds, items, orderBy,
-          skip, limit, optional, distinct) =>
+          skip, limit, optional, distinct, existsPat) =>
         // unknown keys are rejected, not silently coerced to a name match —
         // a plausible-but-wrong answer is worse than an error to the
         // LLM-emitted-query caller this front end serves
         val retProps = items.collect { case RetProp(p) => p }
         val connRetProps = items.collect { case RetConnProp(p) => p }
-        val hasCount = items.exists(_.isInstanceOf[RetCount])
+        val hasCount = items.exists(i => i.isInstanceOf[RetCount] ||
+          i.isInstanceOf[RetCollect])
+        val collectProps = items.collect { case RetCollect(p, _) => p }
         val (connConds, mConds) = conds.flatten.partition(_.onConn)
         val filterProps = props.keys ++ mConds.map(_.prop)
         // the count pseudo-key orders by the aggregate column, not an m
@@ -360,7 +458,7 @@ object CypherLite {
         filterProps.find(!SupportedProps(_))
           .map(k => Left(s"unsupported property: $k " +
             s"(supported: ${SupportedProps.toSeq.sorted.mkString(", ")})"))
-          .orElse((connConds.map(_.prop) ++ connRetProps)
+          .orElse((connConds.map(_.prop) ++ connRetProps ++ collectProps)
             .find(!ConnectedProps(_))
             .map(k => Left(s"unsupported connected-node property: $k " +
               s"(supported: ${ConnectedProps.toSeq.sorted.mkString(", ")})")))
@@ -371,14 +469,15 @@ object CypherLite {
             .map(k => Left(s"ORDER BY key '$k' must be among the returned " +
               s"properties (${outProps.toSeq.sorted.mkString(", ")})")))
           .getOrElse(Right(runMatch(g, label, props, relType, hops, conds,
-            items, orderBy, skip, limit, optional, distinct)))
+            items, orderBy, skip, limit, optional, distinct, existsPat)))
     }
 
   private def runMatch(g: GraphTables, label: Option[String],
       props: Map[String, String], relType: Option[String], hops: Int,
       conds: Seq[Seq[Cond]], items: Seq[RetItem],
       orderBy: Option[(String, Boolean)], skip: Option[Int],
-      limit: Option[Int], optional: Boolean, distinct: Boolean): DataFrame = {
+      limit: Option[Int], optional: Boolean, distinct: Boolean,
+      existsPat: Option[ExistsPat]): DataFrame = {
     // the WHERE DNF, evaluated against a caller-chosen column mapping: bare
     // node columns on the m-only fast path, m_/c_-prefixed binding columns
     // when a clause references the connected variable
@@ -410,7 +509,10 @@ object CypherLite {
     val relFilter = relType.map(col("relType") === _)
       .getOrElse(col("relType").startsWith("HAS_"))
     val wantsConnected = items.contains(RetConnected)
-    val wantsCount = items.exists(_.isInstanceOf[RetCount])
+    // count() and collect() take the same grouped-by-root-keys plan shape;
+    // only the aggregate expression differs
+    val wantsAgg = items.exists(i =>
+      i.isInstanceOf[RetCount] || i.isInstanceOf[RetCollect])
     // deterministic output order: the requested ORDER BY key first (mapped
     // onto its output column), then every remaining projected column as a
     // tiebreak — results must be stable for the oracle hash-compare and for
@@ -434,7 +536,21 @@ object CypherLite {
       }
     val base =
       if (hops == 0) {
-        val matched = g.nodes.filter(pred)
+        val matched0 = g.nodes.filter(pred).toDF()
+        // WHERE [NOT] (m)-[...]->([:Label]): semi-join (anti-join under
+        // NOT) of the roots against the hop expansion — one distributed
+        // join, never a per-root probe. The target-label constraint
+        // filters the expansion's node image before the existence check.
+        val matched = existsPat.fold(matched0) { ep =>
+          val epRel = ep.relType.map(col("relType") === _)
+            .getOrElse(col("relType").startsWith("HAS_"))
+          val reach = GraphOps.neighborhoodWhereKeyed(g, pred, ep.hops, epRel)
+          val hit = ep.connLabel.fold(reach)(l =>
+              reach.filter(col("c_label") === l))
+            .select(col("root_id").as("id")).distinct()
+          matched0.join(hit, Seq("id"),
+            if (ep.negated) "left_anti" else "left_semi")
+        }
         // RETURN m → the full (label, name, content) node image;
         // RETURN m.prop[, ...] → exactly those properties
         val outCols =
@@ -451,11 +567,24 @@ object CypherLite {
         val retProps = items.collect { case RetProp(p) => p }
         val connRetProps = items.collect { case RetConnProp(p) => p }
         // count(DISTINCT c) counts distinct connected NODES by identity
-        // (c_id); plain count(c) counts surviving (m, c) bindings
-        val countCol = items.collectFirst {
-          case RetCount(true) => countDistinct(col("c_id"))
-          case RetCount(false) => count(col("c_id"))
+        // (c_id); plain count(c) counts surviving (m, c) bindings;
+        // collect([DISTINCT] c.prop) gathers the bindings' property values
+        // into the sorted comma-joined `collected` string (collect_list
+        // skips the left-join nulls of an unmatched OPTIONAL root, so zero
+        // bindings serialize to "" — Cypher's empty list)
+        val aggCol = items.collectFirst {
+          case RetCount(true) => countDistinct(col("c_id")).as("n_connected")
+          case RetCount(false) => count(col("c_id")).as("n_connected")
+          case RetCollect(p, dk) =>
+            val vals = collect_list(col(s"c_$p"))
+            array_join(array_sort(if (dk) array_distinct(vals) else vals),
+              ",").as("collected")
         }
+        // the binding column the aggregate consumes (left-joined under
+        // OPTIONAL): node identity for count, the property for collect
+        val aggConnCol = items.collectFirst {
+          case RetCollect(p, _) => s"c_$p"
+        }.getOrElse("c_id")
         val neigh = GraphOps.neighborhoodWhereKeyed(g, pred, hops, relFilter)
         // m properties the binding filter needs beyond what RETURN asks for
         val mCondProps =
@@ -493,8 +622,8 @@ object CypherLite {
                 keys.map(p => col(p).as(s"m_$p")): _*)
             .join(bindings, Seq("root_id"), "left")
         }
-        if (wantsCount) {
-          // RETURN …, count(connected): Cypher's grouping rule — every
+        if (wantsAgg) {
+          // RETURN …, count(…)/collect(…): Cypher's grouping rule — every
           // non-aggregate item is a grouping key (RetVar contributes the
           // node's name). A group-by on the root keys, parallel across roots.
           val keys = items.flatMap {
@@ -504,10 +633,10 @@ object CypherLite {
           }.distinct
           val out = keys.map("m_" + _)
           val grouped =
-            if (optional) leftJoined(keys, Seq("c_id"))
+            if (optional) leftJoined(keys, Seq(aggConnCol))
             else withRootCols(keys)
           ordered(grouped.groupBy(out.map(col): _*)
-            .agg(countCol.get.as("n_connected")), out)
+            .agg(aggCol.get), out)
         } else if (wantsConnected) {
           val keys = if (retProps.nonEmpty) retProps.distinct else Seq("name")
           val out = keys.map("m_" + _) ++

@@ -1054,6 +1054,102 @@ object ParquetGraph {
         .fold(err => throw new IllegalArgumentException(err), identity)
     },
 
+    // B6 CypherLite twin: UNQUOTED numeric literal — the comparison is
+    // numeric, not lexicographic, and non-numeric names drop (try_cast
+    // null). The unlabeled MATCH sweeps ALL node types: region/nation
+    // names ('REGION_x') are non-numeric and must vanish, customer/order
+    // names are their numeric keys. A lexicographic regression would admit
+    // '100', '1000', … and hash-miss; an ANSI-cast regression would throw.
+    QueryDef.sql(
+      "graphp_cypher_numeric",
+      """SELECT 'Customer' AS m_label, CAST(c_custkey AS VARCHAR) AS m_name
+        |FROM customer WHERE c_custkey <= 12.5
+        |UNION ALL
+        |SELECT 'Order', CAST(o_orderkey AS VARCHAR)
+        |FROM orders WHERE o_orderkey <= 12.5
+        |ORDER BY m_label, m_name""".stripMargin) { (s, d) =>
+      CypherLite.run(hierarchy(s, d),
+        "MATCH (m) WHERE m.name <= 12.5 RETURN m.label, m.name")
+        .fold(err => throw new IllegalArgumentException(err), identity)
+    },
+
+    // B6 CypherLite twin: pattern-existence WHERE (semi-join). Only the
+    // clique pairs (a.rn < b.rn, both ≤ 3) give a nation an OUTGOING
+    // CLIQUE edge, so the predicate keeps exactly the sub-top-rank clique
+    // members — derivable as the DISTINCT sources of the pair relation.
+    QueryDef.sql(
+      "graphp_cypher_exists",
+      """WITH t3 AS (
+        |  SELECT n_regionkey AS rk, n_name, row_number() OVER
+        |    (PARTITION BY n_regionkey ORDER BY n_nationkey) AS rn
+        |  FROM nation)
+        |SELECT DISTINCT a.n_name AS m_name
+        |FROM t3 a JOIN t3 b ON a.rk = b.rk AND a.rn < b.rn
+        |WHERE a.rn <= 3 AND b.rn <= 3
+        |ORDER BY m_name""".stripMargin) { (s, d) =>
+      CypherLite.run(linkPred(s, d),
+        "MATCH (m:Nation) WHERE (m)-[:CLIQUE]->() RETURN m.name")
+        .fold(err => throw new IllegalArgumentException(err), identity)
+    },
+
+    // B6 CypherLite twin: NEGATED existence (anti-join) — the complement
+    // of graphp_cypher_exists within the label's roots. An implementation
+    // that confused bindings with roots (or dropped the anti side) would
+    // return the wrong complement and hash-miss.
+    QueryDef.sql(
+      "graphp_cypher_not_exists",
+      """WITH t3 AS (
+        |  SELECT n_regionkey AS rk, n_name, row_number() OVER
+        |    (PARTITION BY n_regionkey ORDER BY n_nationkey) AS rn
+        |  FROM nation),
+        |src AS (
+        |  SELECT DISTINCT a.rk, a.rn
+        |  FROM t3 a JOIN t3 b ON a.rk = b.rk AND a.rn < b.rn
+        |  WHERE a.rn <= 3 AND b.rn <= 3)
+        |SELECT t3.n_name AS m_name FROM t3
+        |WHERE NOT EXISTS (SELECT 1 FROM src
+        |  WHERE src.rk = t3.rk AND src.rn = t3.rn)
+        |ORDER BY m_name""".stripMargin) { (s, d) =>
+      CypherLite.run(linkPred(s, d),
+        "MATCH (m:Nation) WHERE NOT (m)-[:CLIQUE]->() RETURN m.name")
+        .fold(err => throw new IllegalArgumentException(err), identity)
+    },
+
+    // B6 CypherLite twin: collect(c.name) — Cypher's list aggregation as
+    // the engine's sorted comma-joined nest serialization. The RANGELESS
+    // hop (`-[]->`) also grades the single-hop sugar at the relational
+    // level: regions collect exactly their nations.
+    QueryDef.sql(
+      "graphp_cypher_collect",
+      """SELECT r_name AS m_name,
+        |  string_agg(n_name, ',' ORDER BY n_name) AS collected
+        |FROM region JOIN nation ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY m_name""".stripMargin) { (s, d) =>
+      CypherLite.run(hierarchy(s, d),
+        "MATCH (m:Region)-[]->(c) RETURN m.name, collect(c.name)")
+        .fold(err => throw new IllegalArgumentException(err), identity)
+    },
+
+    // B6 CypherLite twin: collect(DISTINCT c.name) — grouping by the
+    // shared label folds all 15 clique bindings into ONE group whose 10
+    // distinct target names must dedupe before sorting; a bag-collect
+    // implementation would serialize 15 entries and hash-miss.
+    QueryDef.sql(
+      "graphp_cypher_collect_distinct",
+      """WITH t3 AS (
+        |  SELECT n_regionkey AS rk, n_name, row_number() OVER
+        |    (PARTITION BY n_regionkey ORDER BY n_nationkey) AS rn
+        |  FROM nation)
+        |SELECT 'Nation' AS m_label,
+        |  string_agg(DISTINCT b.n_name, ',' ORDER BY b.n_name) AS collected
+        |FROM t3 a JOIN t3 b ON a.rk = b.rk AND a.rn < b.rn
+        |WHERE a.rn <= 3 AND b.rn <= 3""".stripMargin) { (s, d) =>
+      CypherLite.run(linkPred(s, d),
+        "MATCH (m:Nation)-[:CLIQUE]->(c) " +
+          "RETURN m.label, collect(DISTINCT c.name)")
+        .fold(err => throw new IllegalArgumentException(err), identity)
+    },
+
     // B9 viz-export twin: (src name, relType, dst name) renderer feed.
     QueryDef.sql(
       "graphp_viz_export",

@@ -453,6 +453,154 @@ class CypherLiteSpec extends SparkSpec {
     // clique bindings, 10 distinct targets)
   }
 
+  // three nodes whose names sort differently as strings and as numbers
+  // ("10" < "9" lexicographically) plus one non-numeric name — the fixture
+  // that tells a numeric comparison from a string comparison
+  lazy val numG: GraphTables = {
+    import spark.implicits._
+    GraphTables(
+      Seq(NodeRow(1, "Doc", "10", "", "", "b", Nil),
+        NodeRow(2, "Doc", "9", "", "", "b", Nil),
+        NodeRow(3, "Doc", "ALPHA", "", "", "b", Nil)).toDS(),
+      Seq.empty[EdgeRow].toDS())
+  }
+
+  test("an unquoted literal compares numerically, not lexicographically") {
+    val above = CypherLite.run(numG,
+      "MATCH (m:Doc) WHERE m.name > 9.5 RETURN m.name")
+      .fold(e => fail(e), identity).collect().map(_.getString(0)).toSeq
+    assert(above == Seq("10")) // string compare would answer "ALPHA", "9"
+    val below = CypherLite.run(numG,
+      "MATCH (m:Doc) WHERE m.name < 9.5 RETURN m.name")
+      .fold(e => fail(e), identity).collect().map(_.getString(0)).toSeq
+    // the non-numeric name casts to null and drops — Cypher's
+    // string-vs-number comparison is null, same observable behavior
+    assert(below == Seq("9"))
+    val eq = CypherLite.run(numG,
+      "MATCH (m:Doc) WHERE m.name = 10 RETURN m.name")
+      .fold(e => fail(e), identity).collect().map(_.getString(0)).toSeq
+    assert(eq == Seq("10"))
+  }
+
+  test("string predicates over a numeric literal are a type error") {
+    val r = CypherLite.parse(
+      "MATCH (m:Doc) WHERE m.name STARTS WITH 5 RETURN m")
+    assert(r.isLeft &&
+      r.swap.toOption.get.contains("quoted string literal"), r.toString)
+  }
+
+  test("a hop pattern without a range is the single-hop form *1..1") {
+    val bare = CypherLite.run(g,
+      "MATCH (m:Boeing_Service_Bulletin)-[:HAS_SUMMARY]->(c) " +
+        "RETURN m.docnbr, c.content").fold(e => fail(e), identity)
+    val ranged = CypherLite.run(g,
+      "MATCH (m:Boeing_Service_Bulletin)-[:HAS_SUMMARY*1..1]->(c) " +
+        "RETURN m.docnbr, c.content").fold(e => fail(e), identity)
+    assert(bare.collect().toSeq == ranged.collect().toSeq)
+    assert(bare.count() > 0)
+  }
+
+  test("WHERE NOT (m)-[...]->() keeps exactly the roots with no match") {
+    // Steps mostly have no outgoing HAS_ edges: positive + negative
+    // existence must partition the Step roots
+    val without = CypherLite.run(g,
+      "MATCH (m:Step) WHERE NOT (m)-[]->() RETURN m.name")
+      .fold(e => fail(e), identity).count()
+    val withEdge = CypherLite.run(g,
+      "MATCH (m:Step) WHERE (m)-[]->() RETURN m.name")
+      .fold(e => fail(e), identity).count()
+    val allSteps = CypherLite.run(g, "MATCH (m:Step) RETURN m")
+      .toOption.get.count()
+    val matchedRoots = GraphOps.neighborhoodWhereKeyed(
+        g, col("label") === "Step", 1)
+      .select("root_id").distinct().count()
+    assert(withEdge == matchedRoots && withEdge > 0)
+    assert(without == allSteps - matchedRoots && without > 0)
+  }
+
+  test("existence predicate honors the target label and hop range") {
+    val viaExists = CypherLite.run(g,
+      "MATCH (m:Boeing_Service_Bulletin) WHERE (m)-[*1..2]->(:Summary) " +
+        "RETURN m.docnbr").fold(e => fail(e), identity).collect().toSeq
+    // must equal the bound-pattern existence form (hop + connected WHERE)
+    val viaPattern = CypherLite.run(g,
+      "MATCH (m:Boeing_Service_Bulletin)-[*1..2]->(c) " +
+        "WHERE c.label = 'Summary' RETURN m.docnbr")
+      .fold(e => fail(e), identity).collect().toSeq
+    assert(viaExists == viaPattern && viaExists.nonEmpty)
+    // NOT form is the complement within the label's roots
+    val not = CypherLite.run(g,
+      "MATCH (m:Boeing_Service_Bulletin) WHERE NOT (m)-[*1..2]->(:Summary) " +
+        "RETURN m.docnbr").fold(e => fail(e), identity).count()
+    val all = CypherLite.run(g,
+      "MATCH (m:Boeing_Service_Bulletin) RETURN m").toOption.get.count()
+    assert(not == all - viaExists.size)
+  }
+
+  test("existence predicate with a MATCH hop pattern or foreign anchor " +
+      "is rejected") {
+    val r = CypherLite.parse(
+      "MATCH (m:Step)-[*1..1]->(c) WHERE NOT (m)-[]->() RETURN m.name")
+    assert(r.isLeft &&
+      r.swap.toOption.get.contains("cannot be combined"), r.toString)
+    val r2 = CypherLite.parse(
+      "MATCH (m:Step) WHERE NOT (q)-[]->() RETURN m.name")
+    assert(r2.isLeft && r2.swap.toOption.get.contains("anchor"), r2.toString)
+  }
+
+  test("collect(c.prop) gathers the bindings sorted per root group") {
+    val collected = CypherLite.run(g,
+      "MATCH (m:Boeing_Service_Bulletin)-[*1..2]->(c) " +
+        "RETURN m.docnbr, collect(c.label)").fold(e => fail(e), identity)
+    assert(collected.columns.toSeq == Seq("m_docnbr", "collected"))
+    val expected = GraphOps.neighborhoodWhereKeyed(g,
+        col("label") === "Boeing_Service_Bulletin", 2)
+      .join(g.nodes.toDF().select(col("id").as("root_id"),
+        col("docnbr").as("m_docnbr")), "root_id")
+      .groupBy("m_docnbr")
+      .agg(array_join(array_sort(collect_list(col("c_label"))), ",")
+        .as("collected"))
+      .orderBy("m_docnbr")
+    assert(collected.collect().toSeq == expected.collect().toSeq)
+    assert(collected.count() > 0)
+  }
+
+  test("collect(DISTINCT c.prop) dedupes values; zero bindings collect " +
+      "to the empty string under OPTIONAL MATCH") {
+    val distinctLabels = CypherLite.run(g,
+      "MATCH (m:Boeing_Service_Bulletin)-[*1..2]->(c) " +
+        "RETURN m.docnbr, collect(DISTINCT c.label)")
+      .fold(e => fail(e), identity).collect()
+    distinctLabels.foreach { r =>
+      val parts = r.getAs[String]("collected").split(",").toSeq
+      assert(parts == parts.distinct && parts == parts.sorted)
+    }
+    // impossible binding filter under OPTIONAL: every root collects []
+    val empty = CypherLite.run(g,
+      "MATCH (m:Boeing_Service_Bulletin) OPTIONAL MATCH (m)-[*1..2]->(c) " +
+        "WHERE c.label = 'NoSuchLabel' RETURN m.docnbr, collect(c.name)")
+      .fold(e => fail(e), identity)
+    val allRoots = CypherLite.run(g,
+      "MATCH (m:Boeing_Service_Bulletin) RETURN m").toOption.get.count()
+    assert(empty.count() == allRoots)
+    assert(empty.filter(col("collected") =!= "").count() == 0)
+  }
+
+  test("collect of a whole node, without grouping, or alongside count " +
+      "is rejected") {
+    val r = CypherLite.parse(
+      "MATCH (m:Step)-[*1..1]->(c) RETURN m.name, collect(c)")
+    assert(r.isLeft &&
+      r.swap.toOption.get.contains("project a property"), r.toString)
+    val r2 = CypherLite.parse(
+      "MATCH (m:Step)-[*1..1]->(c) RETURN collect(c.name)")
+    assert(r2.isLeft && r2.swap.toOption.get.contains("grouping"), r2.toString)
+    val r3 = CypherLite.parse(
+      "MATCH (m:Step)-[*1..1]->(c) RETURN m.name, count(c), collect(c.name)")
+    assert(r3.isLeft &&
+      r3.swap.toOption.get.contains("at most one aggregate"), r3.toString)
+  }
+
   test("connected property-map sugar equals the WHERE equality form") {
     val viaMap = CypherLite.run(g,
       "MATCH (m:Boeing_Service_Bulletin)-[*1..2]->(c {label: 'Summary'}) " +
