@@ -1607,6 +1607,150 @@ object TextQueries {
         .select(floor(sim * 10).cast("int").as("bucket"))
         .groupBy("bucket").agg(count(lit(1)).as("n_pairs"))
         .orderBy("bucket")
+    },
+
+    // ------------------------------------- L38 bigram-LM perplexity score
+    // CCNet-style quality filter: train a word-bigram LM with add-one
+    // smoothing ON the corpus itself, score each doc by its average
+    // negative log-likelihood (low = fluent/common, high = garbled/rare —
+    // the standard perplexity-filter signal). Two count aggregations
+    // (bigram, context) + one count-keyed join back to the doc bigrams —
+    // every shuffle keys on a word or word-pair, never on a doc pair, and
+    // the vocabulary scalar joins in as a broadcast single row. Each
+    // per-bigram NLL term is quantized to integer micro-units BEFORE the
+    // per-doc sum (the l33 discipline): integer sums are order-independent
+    // where a double sum would drift across partitionings and engines.
+    QueryDef.sql(
+      "l38_lm_perplexity",
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |bg AS (
+        |  SELECT doc_id, l[i] AS w1, l[i + 1] AS w2
+        |  FROM (SELECT doc_id, l, unnest(generate_series(1, len(l) - 1)) AS i
+        |        FROM toks WHERE len(l) >= 2) t),
+        |cbg AS (SELECT w1, w2, count(*) AS c_bg FROM bg GROUP BY 1, 2),
+        |cug AS (SELECT w1, count(*) AS c_ug FROM bg GROUP BY 1),
+        |v AS (SELECT count(DISTINCT w1) AS v FROM bg),
+        |scored AS (
+        |  SELECT bg.doc_id,
+        |    CAST(floor(ln(CAST(c_ug + v AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+        |    - CAST(floor(ln(CAST(c_bg + 1 AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+        |      AS nll_micro
+        |  FROM bg JOIN cbg USING (w1, w2) JOIN cug USING (w1) CROSS JOIN v)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  floor(CAST(sum(nll_micro) AS DOUBLE) / count(*) + 0.5)
+        |    / CAST(1000000 AS DOUBLE) AS avg_nll
+        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("l"))
+        .filter(size(col("l")) >= 2)
+      val bg = toks.select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(l) - 2)," +
+            " i -> struct(l[i] AS w1, l[i + 1] AS w2))")).as("p"))
+        .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      val cbg = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c_bg"))
+      val cug = bg.groupBy("w1").agg(count(lit(1)).as("c_ug"))
+      val v = bg.agg(countDistinct(col("w1")).as("v"))
+      def q6(c: Column): Column =
+        floor(log(c.cast("double")) * lit(1000000.0) + lit(0.5)).cast("long")
+      // add-one smoothing: P(w2|w1) = (c_bg + 1) / (c_ug + V); every
+      // observed bigram is in the training counts, so c_bg ≥ 1 always
+      bg.join(cbg, Seq("w1", "w2")).join(cug, Seq("w1"))
+        .crossJoin(broadcast(v))
+        .select(col("doc_id"),
+          (q6(col("c_ug") + col("v")) - q6(col("c_bg") + lit(1)))
+            .as("nll_micro"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), sum("nll_micro").as("sm"))
+        .select(col("doc_id"), col("n_bigrams"),
+          (floor(col("sm").cast("double") / col("n_bigrams") + lit(0.5)) /
+            lit(1000000.0)).as("avg_nll"))
+        .orderBy("doc_id")
+    },
+
+    // ----------------------------------------- L39 per-domain document cap
+    // Domain balancing (the Dolma/FineWeb "cap each source" step): rank
+    // each source's documents by a quality key (length desc, id tiebreak)
+    // and cap the source at 5 — reported as per-source kept/dropped
+    // counts plus the admission threshold. The ranking window PARTITIONS
+    // by source, so no global sort exists anywhere; at 100 TB the shuffle
+    // is one hash exchange on the (bounded-cardinality) domain key.
+    QueryDef.sql(
+      "l39_domain_cap",
+      """WITH ranked AS (
+        |  SELECT source, n_chars, row_number() OVER (
+        |    PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rnk
+        |  FROM documents)
+        |SELECT source,
+        |  CAST(count(*) FILTER (WHERE rnk <= 5) AS BIGINT) AS n_kept,
+        |  CAST(count(*) FILTER (WHERE rnk > 5) AS BIGINT) AS n_dropped,
+        |  CAST(min(n_chars) FILTER (WHERE rnk <= 5) AS BIGINT)
+        |    AS min_kept_chars
+        |FROM ranked GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("source")
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("source"), col("n_chars"), col("doc_id"))
+        .withColumn("rnk", row_number().over(w))
+        .groupBy("source")
+        .agg(sum(when(col("rnk") <= 5, 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("rnk") > 5, 1L).otherwise(0L)).as("n_dropped"),
+          min(when(col("rnk") <= 5, col("n_chars"))).as("min_kept_chars"))
+        .orderBy("source")
+    },
+
+    // -------------------------------------- L40 slice distribution drift
+    // Per-source KL divergence of the unigram distribution against the
+    // whole corpus — the drift monitor a pipeline runs when a new crawl
+    // slice lands (a spiked KL means the slice's vocabulary departs from
+    // the mix the model was tuned on). KL(p_src ‖ p_corpus) decomposes
+    // over integer counts: Σ c_sw·(q(ln c_sw) − q(ln c_w)) + N_s·(q(ln N)
+    // − q(ln N_s)), every log micro-quantized (q) so the sums are
+    // integers — order-independent and engine-portable; the only division
+    // happens once per source at the end. Shuffles key on token then
+    // source; corpus totals join as a broadcast single row.
+    QueryDef.sql(
+      "l40_slice_drift",
+      """WITH toks AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |sc AS (SELECT source, tok, count(*) AS c_sw FROM toks GROUP BY 1, 2),
+        |gc AS (SELECT tok, CAST(sum(c_sw) AS BIGINT) AS c_w
+        |       FROM sc GROUP BY 1),
+        |ns AS (SELECT source, CAST(sum(c_sw) AS BIGINT) AS n_s
+        |       FROM sc GROUP BY 1),
+        |n AS (SELECT CAST(sum(c_sw) AS BIGINT) AS n FROM sc),
+        |agg AS (
+        |  SELECT sc.source, CAST(sum(c_sw *
+        |    (CAST(floor(ln(CAST(c_sw AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+        |     - CAST(floor(ln(CAST(c_w AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)))
+        |    AS BIGINT) AS st
+        |  FROM sc JOIN gc USING (tok) GROUP BY sc.source)
+        |SELECT agg.source, n_s AS n_tokens,
+        |  floor((CAST(st AS DOUBLE) + CAST(n_s AS DOUBLE) *
+        |    (CAST(floor(ln(CAST(n AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+        |     - CAST(floor(ln(CAST(n_s AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)))
+        |    / CAST(n_s AS DOUBLE) + 0.5) / CAST(1000000 AS DOUBLE) AS kl
+        |FROM agg JOIN ns USING (source) CROSS JOIN n
+        |ORDER BY agg.source""".stripMargin) { (s, d) =>
+      def q6(c: Column): Column =
+        floor(log(c.cast("double")) * lit(1000000.0) + lit(0.5)).cast("long")
+      val toks = Tables.documents(s, d)
+        .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      val sc = toks.groupBy("source", "tok").agg(count(lit(1)).as("c_sw"))
+      val gc = sc.groupBy("tok").agg(sum("c_sw").as("c_w"))
+      val ns = sc.groupBy("source").agg(sum("c_sw").as("n_s"))
+      val n = sc.agg(sum("c_sw").as("n"))
+      val agg = sc.join(gc, "tok")
+        .select(col("source"),
+          (col("c_sw") * (q6(col("c_sw")) - q6(col("c_w")))).as("t"))
+        .groupBy("source").agg(sum("t").as("st"))
+      agg.join(ns, "source").crossJoin(broadcast(n))
+        .select(col("source"), col("n_s").as("n_tokens"),
+          (floor((col("st").cast("double") + col("n_s").cast("double") *
+            (q6(col("n")) - q6(col("n_s")))) / col("n_s").cast("double") +
+            lit(0.5)) / lit(1000000.0)).as("kl"))
+        .orderBy("source")
     }
   )
 

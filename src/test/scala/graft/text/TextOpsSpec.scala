@@ -123,4 +123,60 @@ class TextOpsSpec extends SparkSpec {
       assert(got(2L) == "de")
     }
   }
+
+  test("LM perplexity scores common-bigram docs below rare-bigram docs") {
+    // doc 1 cycles one bigram pair (high training counts → low NLL);
+    // doc 2 is all first-occurrence bigrams (count 1 → high NLL)
+    withDocs(docs(
+      1L -> "x y x y x y x y x y x y x y x y",
+      2L -> "q w e r t z u i o p a s d f g h")) { dir =>
+      val got = SparkEntry.queries("l38_lm_perplexity")(spark, dir)
+        .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      assert(got(1L) < got(2L),
+        s"common-bigram doc must score lower NLL: $got")
+      assert(got.values.forall(_ > 0.0)) // smoothed probs are < 1
+    }
+  }
+
+  test("domain cap keeps exactly 5 per source at the length threshold") {
+    // 7 docs, lengths strictly decreasing with doc_id — the 5 longest are
+    // kept and the admission threshold is the 5th length
+    val rows = (1L to 7L).map(i => i -> ("w " * (20 - i.toInt)).trim)
+    withDocs(docs(rows: _*)) { dir =>
+      val r = SparkEntry.queries("l39_domain_cap")(spark, dir)
+        .collect().head
+      assert(r.getAs[Long]("n_kept") == 5L)
+      assert(r.getAs[Long]("n_dropped") == 2L)
+      val fifthLen = ("w " * 15).trim.length.toLong
+      assert(r.getAs[Long]("min_kept_chars") == fifthLen)
+    }
+  }
+
+  test("slice drift: a source matching the corpus mix scores ~0, a " +
+      "disjoint-vocabulary slice scores high") {
+    import spark.implicits._
+    def srcDocs(rows: (Long, String, String)*) =
+      rows.toDF("doc_id", "text", "source")
+        .withColumn("lang", lit("en"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+    // two sources with IDENTICAL distributions: each IS the corpus mix,
+    // so KL must vanish up to micro-quantization noise
+    withDocs(srcDocs((1L, "a a b c", "sA"), (2L, "a a b c", "sB"))) { dir =>
+      val kl = SparkEntry.queries("l40_slice_drift")(spark, dir)
+        .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+      assert(math.abs(kl("sA")) < 1e-4 && math.abs(kl("sB")) < 1e-4,
+        kl.toString)
+    }
+    // a small slice whose vocabulary the corpus has never seen: its
+    // tokens are corpus-rare, so KL(slice ‖ corpus) ≈ ln(N/(2·c_w)) ≫ 0
+    // while the dominant slice stays near the mix it defines
+    val dominant = ("a b " * 8).trim
+    withDocs(srcDocs((1L, dominant, "sA"), (2L, "qq ww", "sC"))) { dir =>
+      val kl = SparkEntry.queries("l40_slice_drift")(spark, dir)
+        .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+      assert(kl("sC") > 1.0, kl.toString)
+      assert(kl("sA") < 0.2, kl.toString)
+      assert(kl("sC") > kl("sA") + 0.8, kl.toString)
+    }
+  }
 }
