@@ -19,15 +19,29 @@ import org.apache.spark.sql.functions._
   * {{{
   *   MATCH (m[:Label] [{prop: 'value'[, ...]}])
   *     [ [OPTIONAL MATCH (m)] -[[:REL_TYPE][*1..K]]->(c[:Label] [{prop: 'value'[, ...]}]) ]
-  *   [WHERE (m|c).prop <op> ('value'|number) [AND|OR ...]
+  *   [WHERE (m|c).prop <op> ('value'|number|['v'[, ...]]) [AND|OR ...]
   *    | [NOT] (m)-[[:REL_TYPE][*1..K]]->([:Label])]
-  *     op ∈ {=, <>, <, <=, >, >=, STARTS WITH, ENDS WITH, CONTAINS}
+  *     op ∈ {=, <>, <, <=, >, >=, STARTS WITH, ENDS WITH, CONTAINS, IN}
+  *   [WITH (m|m.prop)[, m.prop ...], count([DISTINCT] c|*) AS alias
+  *    [WHERE alias <cmp> number]]
   *   RETURN [DISTINCT] m | m.prop[, m.prop ...] | m, c | m.prop, c
   *          | m.prop[, ...], c.prop[, ...] | c.prop[, ...]
-  *          | m, count([DISTINCT] c) | m.prop[, m.prop ...], count([DISTINCT] c)
+  *          | m, count([DISTINCT] c|*) | m.prop[, ...], count([DISTINCT] c|*)
   *          | m[.prop[, ...]], collect([DISTINCT] c.prop)
-  *   [ORDER BY m.prop | count(c) [ASC|DESC]] [SKIP n] [LIMIT n]
+  *          | (after WITH) m.prop[, ...], alias
+  *   [ORDER BY m.prop | count(c|*) | alias [ASC|DESC]] [SKIP n] [LIMIT n]
   * }}}
+  * `WITH <keys>, count(…) AS alias WHERE alias <op> n` is Cypher's
+  * aggregate-then-filter pipeline (SQL's HAVING): grouping is by node
+  * IDENTITY when the WITH binds `m` (two roots sharing every projected
+  * value keep separate counts) and by the bound properties otherwise; the
+  * alias becomes the output column and may key ORDER BY. `count(*)`
+  * counts result ROWS — under OPTIONAL MATCH an unmatched root's null row
+  * counts 1 where `count(c)` answers 0, and without a hop pattern
+  * `RETURN m.prop, count(*)` is the grouped node census. `IN` takes a
+  * bracketed all-string or all-numeric list (numeric lists compare
+  * through the same try_cast lens as scalar numerics; `IN []` matches
+  * nothing).
   * A hop pattern without an explicit range (`-[:HAS_ORDER]->`, the most
   * common LLM emission) is the single-hop form `*1..1`. An UNQUOTED numeric
   * literal compares numerically: the property value is cast to double and
@@ -78,7 +92,10 @@ object CypherLite {
     * unquoted, so the comparison is numeric (property cast to double).
     */
   final case class Cond(prop: String, op: String, value: String,
-      onConn: Boolean = false, numeric: Boolean = false)
+      onConn: Boolean = false, numeric: Boolean = false,
+      // IN-list elements (op == "IN"); `numeric` = the list was unquoted
+      // numerics, so membership compares numerically
+      values: Seq[String] = Seq.empty)
 
   /** Pattern-existence predicate `WHERE [NOT] (m)-[[:REL][*1..K]]->([:Label])`:
     * keep exactly the roots with (without, under NOT) a node reachable
@@ -92,10 +109,24 @@ object CypherLite {
   final case class RetProp(prop: String) extends RetItem // m.prop
   case object RetConnected extends RetItem
   final case class RetConnProp(prop: String) extends RetItem // c.prop
-  // count([DISTINCT] connected); distinct counts connected NODES not bindings
-  final case class RetCount(distinct: Boolean) extends RetItem
+  // count([DISTINCT] connected) — distinct counts connected NODES not
+  // bindings; count(*) (star) counts RESULT ROWS, which under OPTIONAL
+  // MATCH includes the null row of an unmatched root (Cypher: count(*) is
+  // 1 where count(c) is 0) and without a hop pattern counts matched nodes
+  // per group (the hop-less `RETURN m.prop, count(*)` analytics form)
+  final case class RetCount(distinct: Boolean, star: Boolean = false)
+    extends RetItem
   // collect([DISTINCT] c.prop): per-group sorted comma-joined list
   final case class RetCollect(prop: String, distinct: Boolean) extends RetItem
+
+  /** `WITH <keys>, count(…) AS <alias> [WHERE <alias> <op> <num>]` — the
+    * aggregate-then-filter (HAVING) pipeline stage. `groupIdentity` = the
+    * WITH clause bound the whole matched variable, so grouping is by node
+    * IDENTITY (two roots sharing a projected name stay separate groups);
+    * otherwise grouping is by the bound properties (Cypher's rule).
+    */
+  final case class WithSpec(groupIdentity: Boolean, alias: String,
+      having: Option[(String, Double)])
 
   final case class MatchReturn(
       label: Option[String],
@@ -111,32 +142,72 @@ object CypherLite {
       optional: Boolean = false, // OPTIONAL MATCH hop: left-outer expansion
       distinct: Boolean = false, // RETURN DISTINCT
       // WHERE [NOT] (m)-[...]->(...): semi/anti-join existence filter
-      existsPat: Option[ExistsPat] = None) extends Statement
+      existsPat: Option[ExistsPat] = None,
+      // WITH … WHERE …: aggregate alias + post-aggregation filter
+      withSpec: Option[WithSpec] = None) extends Statement
   final case class DetachDelete(tag: String) extends Statement
 
-  private val MatchRe =
-    ("""(?is)\s*MATCH\s*\(\s*(\w+)\s*(?::\s*(\w+))?\s*""" +
+  // the shared MATCH-pattern prefix (matched node, optional hop pattern,
+  // optional pattern-level WHERE) — both statement regexes build on it,
+  // so the pattern grammar can never drift between the plain and the
+  // WITH-pipeline forms. 10 capture groups.
+  private val PatFrag =
+    """(?is)\s*MATCH\s*\(\s*(\w+)\s*(?::\s*(\w+))?\s*""" +
       """(?:\{\s*([^}]*)\s*\})?\s*\)\s*""" +
       """(?:(?:OPTIONAL\s+MATCH\s*\(\s*(\w+)\s*\)\s*)?""" +
       """-\s*\[\s*(?::\s*(\w+)\s*)?(?:\*\s*1\s*\.\.\s*(\d+)\s*)?\]\s*->\s*\(\s*(\w+)\s*(?::\s*(\w+))?\s*(?:\{\s*([^}]*)\s*\})?\s*\)\s*)?""" +
-      """(?:WHERE\s+(.*?)\s*)?""" +
+      """(?:WHERE\s+(.*?)\s*)?"""
+
+  private val MatchRe =
+    (PatFrag +
       """RETURN\s+(DISTINCT\s+)?(.+?)\s*""" +
-      """(?:ORDER\s+BY\s+(?:(\w+)\s*\.\s*(\w+)|count\s*\(\s*(?:DISTINCT\s+)?(\w+)\s*\))\s*(?:(ASC|DESC)\s*)?)?""" +
+      """(?:ORDER\s+BY\s+(?:(\w+)\s*\.\s*(\w+)|count\s*\(\s*(?:DISTINCT\s+)?(\w+|\*)\s*\))\s*(?:(ASC|DESC)\s*)?)?""" +
       """(?:SKIP\s+(\d+)\s*)?""" +
       """(?:LIMIT\s+(\d+))?\s*;?\s*""").r
+
+  // MATCH … WITH <keys>, count(…) AS <alias> [WHERE <alias> <op> <num>]
+  // RETURN … — Cypher's aggregate-then-filter pipeline (SQL's HAVING),
+  // the form LLMs emit for every "X with more than N Y" prompt. The WITH
+  // item list is matched STRUCTURALLY (grouping items then one aliased
+  // count, the canonical emission order): a `STARTS WITH`/`ENDS WITH`
+  // comparison or a literal containing the word "with" cannot be mistaken
+  // for the clause keyword, because what follows it never parses as an
+  // item list — the regex backtracks to the real WITH or fails to the
+  // plain-MATCH form.
+  private val WithRe =
+    (PatFrag +
+      """WITH\s+((?:\w+(?:\s*\.\s*\w+)?\s*,\s*)+""" +
+      """count\s*\(\s*(?:DISTINCT\s+)?(?:\*|\w+)\s*\)\s+AS\s+\w+)\s+""" +
+      """(?:WHERE\s+(\w+)\s*(<>|<=|>=|=|<|>)\s*(-?\d+(?:\.\d+)?)\s*)?""" +
+      """RETURN\s+(DISTINCT\s+)?(.+?)\s*""" +
+      """(?:ORDER\s+BY\s+(?:(\w+)\s*\.\s*(\w+)|(\w+))\s*(?:(ASC|DESC)\s*)?)?""" +
+      """(?:SKIP\s+(\d+)\s*)?""" +
+      """(?:LIMIT\s+(\d+))?\s*;?\s*""").r
+
+  // one WITH item: the grouping variable/property or the aliased count
+  private val WithCountRe =
+    """(?is)\s*count\s*\(\s*(DISTINCT\s+)?(\*|\w+)\s*\)\s+AS\s+(\w+)\s*""".r
 
   private val DeleteRe =
     """(?is)\s*MATCH\s*\(\s*(\w+)\s*\)\s*WHERE\s+\1\.(\w+)\s*=\s*true\s+DETACH\s+DELETE\s+\1\s*;?\s*""".r
 
   private val PropRe = """(\w+)\s*:\s*'([^']*)'""".r
 
-  // one `var.prop <op> ('value'|number)` comparison; the WHERE clause
-  // splits on OR then AND before these are matched. The literal is either
-  // quoted (string comparison) or a bare numeric (numeric comparison).
+  // one `var.prop <op> ('value'|number|['v', ...])` comparison; the WHERE
+  // clause splits on OR then AND before these are matched. The literal is
+  // either quoted (string comparison), a bare numeric (numeric
+  // comparison), or — for IN — a bracketed list of one or the other.
   private val CondRe =
     ("""(?is)\s*(\w+)\s*\.\s*(\w+)\s*""" +
-      """(<>|<=|>=|=|<|>|STARTS\s+WITH|ENDS\s+WITH|CONTAINS)""" +
-      """\s*(?:'([^']*)'|(-?\d+(?:\.\d+)?))\s*""").r
+      """(<>|<=|>=|=|<|>|STARTS\s+WITH|ENDS\s+WITH|CONTAINS|IN)""" +
+      """\s*(?:'([^']*)'|(-?\d+(?:\.\d+)?)|\[([^\]]*)\])\s*""").r
+
+  // one element of an IN list, after the comma split: quoted string or
+  // bare numeric (a piece matching neither — e.g. a quoted string that
+  // itself contained a comma and got shredded — is a parse ERROR, never a
+  // silent partial match)
+  private val ListStrRe = """(?s)\s*'([^']*)'\s*""".r
+  private val ListNumRe = """\s*(-?\d+(?:\.\d+)?)\s*""".r
 
   // WHERE [NOT] (m)-[[:REL][*1..K]]->([:Label]) — the pattern-existence
   // predicate, admitted only as the ENTIRE WHERE clause (mixing it into
@@ -148,7 +219,7 @@ object CypherLite {
       """\s*\(\s*(?::\s*(\w+)\s*)?\)\s*""").r
 
   private val CountRe =
-    """(?is)\s*count\s*\(\s*(DISTINCT\s+)?(\w+)\s*\)\s*""".r
+    """(?is)\s*count\s*\(\s*(DISTINCT\s+)?(\*|\w+)\s*\)\s*""".r
   private val CollectRe =
     """(?is)\s*collect\s*\(\s*(DISTINCT\s+)?(\w+)\s*\.\s*(\w+)\s*\)\s*""".r
   private val CollectBareRe =
@@ -156,8 +227,228 @@ object CypherLite {
   private val VarPropRe = """(?is)\s*(\w+)\s*\.\s*(\w+)\s*""".r
   private val VarRe = """(?is)\s*(\w+)\s*""".r
 
+  /** Parse a pattern-level WHERE clause shared by the plain and the WITH
+    * statement forms: either a comparison DNF (OR of AND-groups, standard
+    * precedence without parens) or a single pattern-existence predicate.
+    */
+  private def parseWhereClause(m: String, conn: Option[String],
+      whereStr: String): Either[String, (Seq[Seq[Cond]], Option[ExistsPat])] =
+    Option(whereStr).map(_.trim).filter(_.nonEmpty) match {
+      case None => Right((Seq.empty, None))
+      case Some(ExistsRe(notKw, v, relT, hopsK, connLab)) if v == m =>
+        if (conn.isDefined)
+          Left("a pattern-existence WHERE cannot be combined with a " +
+            "hop pattern in MATCH — filter the bound pattern with " +
+            "comparisons instead")
+        else
+          Right((Seq.empty, Some(ExistsPat(notKw != null, Option(relT),
+            Option(hopsK).map(_.toInt).getOrElse(1), Option(connLab)))))
+      case Some(ExistsRe(_, v, _, _, _)) =>
+        Left(s"pattern-existence WHERE must anchor the matched " +
+          s"variable '$m', got '$v'")
+      case Some(w) =>
+        // standard precedence without parens: OR of AND-groups
+        val groups = w.split("(?i)\\s+OR\\s+").toSeq
+          .map(_.split("(?i)\\s+AND\\s+").toSeq)
+        // the literal is group 4 (quoted), group 5 (bare numeric), or
+        // group 6 (bracketed IN list); string predicates (STARTS WITH
+        // &c.) over a numeric literal are a type error, not a silent
+        // string coercion
+        def mk(prop: String, op0: String, str: String, num: String,
+            listStr: String, onConn: Boolean): Either[String, Cond] = {
+          // ops normalize to canonical form: the (?i) regex captures
+          // `starts   with` etc., condCol matches the literal.
+          // Locale.ROOT: the default locale would turn WITH into
+          // WİTH (dotted capital I) under tr/az and miss every case
+          val op = op0.toUpperCase(java.util.Locale.ROOT)
+            .replaceAll("\\s+", " ")
+          if (op == "IN") {
+            if (listStr == null)
+              Left("IN requires a bracketed list: IN ['a', 'b'] or IN [1, 2]")
+            else {
+              // empty list is valid Cypher (`IN []` matches nothing);
+              // elements split on commas — a quoted element containing a
+              // comma shreds into unparseable pieces and errors loudly
+              val pieces =
+                if (listStr.trim.isEmpty) Seq.empty[String]
+                else listStr.split(",", -1).toSeq
+              val parsed = pieces.map {
+                case ListStrRe(s) => Right((s, false))
+                case ListNumRe(n) => Right((n, true))
+                case bad => Left("unparseable IN-list element: " +
+                  s"'${bad.trim.take(40)}'")
+              }
+              parsed.collectFirst { case Left(e) => Left(e) }.getOrElse {
+                val elems = parsed.collect { case Right(e) => e }
+                if (elems.map(_._2).distinct.sizeIs > 1)
+                  Left("IN list must be all-string or all-numeric")
+                else Right(Cond(prop, "IN", "", onConn,
+                  numeric = elems.headOption.exists(_._2),
+                  values = elems.map(_._1)))
+              }
+            }
+          }
+          else if (listStr != null)
+            Left(s"a bracketed list is only valid with IN, got $op")
+          else if (num != null && !ComparisonOps(op))
+            Left(s"$op requires a quoted string literal, got $num")
+          else if (num != null)
+            Right(Cond(prop, op, num, onConn, numeric = true))
+          else Right(Cond(prop, op, str, onConn))
+        }
+        val parsed = groups.map { parts =>
+          val cs = parts.map {
+            case CondRe(v, prop, op, str, num, list) if v == m =>
+              mk(prop, op, str, num, list, onConn = false)
+            case CondRe(v, prop, op, str, num, list) if conn.contains(v) =>
+              mk(prop, op, str, num, list, onConn = true)
+            case CondRe(v, _, _, _, _, _) =>
+              Left(s"WHERE may only reference the matched variable '$m'" +
+                conn.fold("")(c => s" or the connected variable '$c'") +
+                s", got '$v'")
+            case other =>
+              Left(s"unsupported WHERE condition: ${other.take(80)}")
+          }
+          cs.collectFirst { case Left(e) => Left(e) }
+            .getOrElse(Right(cs.collect { case Right(c) => c }))
+        }
+        parsed.collectFirst { case Left(e) => Left(e) }
+          .getOrElse(Right((parsed.collect { case Right(g) => g }, None)))
+    }
+
+  /** `(c:Label)` / `(c {prop: 'v'})` pattern sugar: desugars to equality
+    * conditions on the connected variable, AND-distributed into EVERY
+    * OR-group so the constraints conjoin with the whole WHERE clause.
+    */
+  private def connSugar(connLabel: String, connPropsStr: String,
+      conds: Seq[Seq[Cond]]): Seq[Seq[Cond]] = {
+    val sugar =
+      Option(connLabel).map(l =>
+        Cond("label", "=", l, onConn = true)).toSeq ++
+      Option(connPropsStr).toSeq.flatMap(s =>
+        PropRe.findAllMatchIn(s).map(p =>
+          Cond(p.group(1), "=", p.group(2), onConn = true)))
+    if (sugar.isEmpty) conds
+    else if (conds.isEmpty) Seq(sugar)
+    else conds.map(_ ++ sugar)
+  }
+
   def parse(query: String): Either[String, Statement] = query match {
     case DeleteRe(_, tag) => Right(DetachDelete(tag))
+    case WithRe(m, label, propsStr, optVar, relType, hopsStr, connVar,
+        connLabel, connPropsStr, whereStr, withItems, havVar, havOp, havNum,
+        distinctKw, retStr, obVar, obProp, obBare, obDir, skipStr,
+        limitStr) =>
+      val conn = Option(connVar)
+      val optional = optVar != null
+      if (conn.isEmpty)
+        Left("WITH requires a hop pattern binding a connected variable")
+      else if (optional && optVar != m)
+        Left(s"OPTIONAL MATCH must re-anchor the matched variable '$m', " +
+          s"got '$optVar'")
+      else {
+        val props = Option(propsStr).toSeq
+          .flatMap(s => PropRe.findAllMatchIn(s)
+            .map(p => p.group(1) -> p.group(2))).toMap
+        val hops = math.max(Option(hopsStr).map(_.toInt).getOrElse(0), 1)
+        // WITH items: grouping keys then the aliased count (the regex
+        // enforces this shape — that is also what disambiguates the WITH
+        // keyword from a STARTS WITH comparison)
+        val wparts = withItems.split(",").toSeq
+        val countE: Either[String, (Boolean, Boolean, String)] =
+          wparts.last match {
+            case WithCountRe(dk, "*", alias) =>
+              if (dk != null) Left("count(DISTINCT *) is not supported")
+              else Right((false, true, alias))
+            case WithCountRe(dk, v, alias) if conn.contains(v) =>
+              Right((dk != null, false, alias))
+            case WithCountRe(_, v, _) =>
+              Left(s"WITH count() may only aggregate the connected " +
+                s"variable '${conn.get}' or *, got '$v'")
+            case other => Left("the last WITH item must be the aliased " +
+              s"count, got '${other.trim.take(40)}'")
+          }
+        val keysE: Either[String, (Boolean, Seq[String])] = {
+          val parsed = wparts.init.map {
+            case VarRe(v) if v == m => Right(None)
+            case VarPropRe(v, p) if v == m => Right(Some(p))
+            case other => Left("unsupported WITH grouping item: " +
+              s"'${other.trim.take(40)}' (use $m or $m.<prop>)")
+          }
+          parsed.collectFirst { case Left(e) => Left(e) }.getOrElse {
+            val opts = parsed.collect { case Right(o) => o }
+            Right((opts.contains(None), opts.flatten.distinct))
+          }
+        }
+        for {
+          c <- countE
+          (dkFlag, star, alias) = c
+          kk <- keysE
+          (groupIdentity, groupProps) = kk
+          whereParsed <- parseWhereClause(m, conn, whereStr)
+          conds <- whereParsed match {
+            case (cs, None) => Right(cs)
+            case (_, Some(_)) => Left("a pattern-existence WHERE cannot " +
+              "be combined with WITH")
+          }
+          _ <- if (havVar != null && havVar != alias)
+            Left(s"the WHERE after WITH may only filter the aggregate " +
+              s"alias '$alias', got '$havVar'")
+          else Right(())
+          items <- {
+            val parsed = retStr.split(",").toSeq.map {
+              case VarPropRe(v, p) if v == m => Right(RetProp(p))
+              case VarRe(v) if v == alias => Right(RetCount(dkFlag, star))
+              case VarRe(v) if v == m =>
+                Left("RETURN of the whole matched node after WITH is not " +
+                  s"supported — project $m.<prop> and the alias '$alias'")
+              case other => Left("unsupported RETURN item after WITH: " +
+                s"'${other.trim.take(40)}' (use $m.<prop> or '$alias')")
+            }
+            parsed.collectFirst { case Left(e) => Left(e) }
+              .getOrElse(Right(parsed.collect { case Right(i) => i }))
+          }
+          retProps = items.collect { case RetProp(p) => p }
+          _ <- if (items.count(_.isInstanceOf[RetCount]) != 1)
+            Left(s"RETURN after WITH must include the aggregate alias " +
+              s"'$alias' exactly once")
+          else Right(())
+          _ <- if (retProps.isEmpty)
+            Left("RETURN after WITH needs at least one grouping property " +
+              s"($m.<prop>)")
+          else Right(())
+          // without identity grouping the projection must BE the grouping
+          // — projecting fewer keys than were grouped on silently changes
+          // row multiplicity, projecting more is not well-defined
+          _ <- if (!groupIdentity && retProps.toSet != groupProps.toSet)
+            Left("RETURN properties must match the WITH grouping " +
+              s"properties (${groupProps.sorted.mkString(", ")})")
+          else Right(())
+          ob <- {
+            val desc = Option(obDir).exists(_.equalsIgnoreCase("DESC"))
+            (Option(obVar), Option(obProp), Option(obBare)) match {
+              case (None, _, None) => Right(None)
+              case (Some(v), Some(p), _) if v == m => Right(Some((p, desc)))
+              case (Some(v), _, _) =>
+                Left(s"ORDER BY may only reference '$m' or the alias " +
+                  s"'$alias', got '$v'")
+              case (None, _, Some(b)) if b == alias =>
+                Right(Some((CountKey, desc)))
+              case (None, _, Some(b)) =>
+                Left(s"ORDER BY key '$b' is neither an $m property nor " +
+                  s"the alias '$alias'")
+            }
+          }
+          _ <- if (skipStr != null && ob.isEmpty)
+            Left("SKIP requires ORDER BY")
+          else Right(())
+        } yield MatchReturn(Option(label), props, Option(relType), hops,
+          connSugar(connLabel, connPropsStr, conds), items, ob,
+          Option(skipStr).map(_.toInt), Option(limitStr).map(_.toInt),
+          optional, distinctKw != null, None,
+          Some(WithSpec(groupIdentity, alias,
+            Option(havVar).map(_ => (havOp, havNum.toDouble)))))
+      }
     case MatchRe(m, label, propsStr, optVar, relType, hopsStr, connVar,
         connLabel, connPropsStr, whereStr, distinctKw, retStr, obVar, obProp,
         obCountVar, obDir, skipStr, limitStr) =>
@@ -173,67 +464,22 @@ object CypherLite {
       // the whole clause (its parens/brackets would shred under the
       // AND/OR split)
       val whereE: Either[String, (Seq[Seq[Cond]], Option[ExistsPat])] =
-        Option(whereStr).map(_.trim).filter(_.nonEmpty) match {
-          case None => Right((Seq.empty, None))
-          case Some(ExistsRe(notKw, v, relT, hopsK, connLab)) if v == m =>
-            if (conn.isDefined)
-              Left("a pattern-existence WHERE cannot be combined with a " +
-                "hop pattern in MATCH — filter the bound pattern with " +
-                "comparisons instead")
-            else
-              Right((Seq.empty, Some(ExistsPat(notKw != null, Option(relT),
-                Option(hopsK).map(_.toInt).getOrElse(1), Option(connLab)))))
-          case Some(ExistsRe(_, v, _, _, _)) =>
-            Left(s"pattern-existence WHERE must anchor the matched " +
-              s"variable '$m', got '$v'")
-          case Some(w) =>
-            // standard precedence without parens: OR of AND-groups
-            val groups = w.split("(?i)\\s+OR\\s+").toSeq
-              .map(_.split("(?i)\\s+AND\\s+").toSeq)
-            // the literal is group 4 (quoted) or group 5 (bare numeric);
-            // string predicates (STARTS WITH &c.) over a numeric literal
-            // are a type error, not a silent string coercion
-            def mk(prop: String, op0: String, str: String, num: String,
-                onConn: Boolean): Either[String, Cond] = {
-              // ops normalize to canonical form: the (?i) regex captures
-              // `starts   with` etc., condCol matches the literal.
-              // Locale.ROOT: the default locale would turn WITH into
-              // WİTH (dotted capital I) under tr/az and miss every case
-              val op = op0.toUpperCase(java.util.Locale.ROOT)
-                .replaceAll("\\s+", " ")
-              if (num != null && !ComparisonOps(op))
-                Left(s"$op requires a quoted string literal, got $num")
-              else if (num != null)
-                Right(Cond(prop, op, num, onConn, numeric = true))
-              else Right(Cond(prop, op, str, onConn))
-            }
-            val parsed = groups.map { parts =>
-              val cs = parts.map {
-                case CondRe(v, prop, op, str, num) if v == m =>
-                  mk(prop, op, str, num, onConn = false)
-                case CondRe(v, prop, op, str, num) if conn.contains(v) =>
-                  mk(prop, op, str, num, onConn = true)
-                case CondRe(v, _, _, _, _) =>
-                  Left(s"WHERE may only reference the matched variable '$m'" +
-                    conn.fold("")(c => s" or the connected variable '$c'") +
-                    s", got '$v'")
-                case other =>
-                  Left(s"unsupported WHERE condition: ${other.take(80)}")
-              }
-              cs.collectFirst { case Left(e) => Left(e) }
-                .getOrElse(Right(cs.collect { case Right(c) => c }))
-            }
-            parsed.collectFirst { case Left(e) => Left(e) }
-              .getOrElse(Right((parsed.collect { case Right(g) => g }, None)))
-        }
+        parseWhereClause(m, conn, whereStr)
       val itemsE: Either[String, Seq[RetItem]] = {
         // collect(c.prop) contains the split character nowhere (prop refs
         // are single identifiers), so the comma split stays safe
         val parts = retStr.split(",").toSeq
         val parsed = parts.map {
+          case CountRe(dk, "*") =>
+            // count(*) counts result ROWS: bindings under a hop pattern
+            // (incl. the null row of an unmatched OPTIONAL root), matched
+            // nodes per group without one
+            if (dk != null) Left("count(DISTINCT *) is not supported")
+            else Right(RetCount(distinct = false, star = true))
           case CountRe(dk, v) if conn.contains(v) => Right(RetCount(dk != null))
           case CountRe(_, v) => Left(s"count() may only aggregate the " +
-            s"connected variable${conn.fold("")(c => s" '$c'")}, got '$v'")
+            s"connected variable${conn.fold("")(c => s" '$c'")} or *, " +
+            s"got '$v'")
           case CollectRe(dk, v, p) if conn.contains(v) =>
             Right(RetCollect(p, dk != null))
           case CollectRe(_, v, p) => Left(s"collect() may only aggregate " +
@@ -260,13 +506,15 @@ object CypherLite {
             Right(Some((p, Option(obDir).exists(_.equalsIgnoreCase("DESC")))))
           case (Some(v), _, _) =>
             Left(s"ORDER BY may only reference '$m', got '$v'")
-          // ORDER BY count(c): sort groups by the aggregate (top-k groups)
-          case (None, _, Some(v)) if conn.contains(v) =>
+          // ORDER BY count(c)/count(*): sort groups by the aggregate
+          // (top-k groups); validated below against RETURN having the
+          // matching count item
+          case (None, _, Some(v)) if conn.contains(v) || v == "*" =>
             Right(Some((CountKey,
               Option(obDir).exists(_.equalsIgnoreCase("DESC")))))
           case (None, _, Some(v)) =>
             Left(s"ORDER BY count() may only aggregate the connected " +
-              s"variable${conn.fold("")(c => s" '$c'")}, got '$v'")
+              s"variable${conn.fold("")(c => s" '$c'")} or *, got '$v'")
         }
       if (hops > 0 && conn.isEmpty)
         Left("hop pattern requires a connected variable")
@@ -321,6 +569,13 @@ object CypherLite {
               i == RetVar || i.isInstanceOf[RetProp]))
             Left("an aggregate requires a grouping item (m or m.prop)")
           else Right(())
+          // hop-less count(*) groups matched nodes by projected property
+          // values; grouping by the whole node would count 1 per node
+          _ <- if (conn.isEmpty && items.exists(_.isInstanceOf[RetCount]) &&
+              items.contains(RetVar))
+            Left("hop-less count(*) groups by projected properties — " +
+              "use m.prop, not the whole node")
+          else Right(())
           _ <- if (ob.exists(_._1 == CountKey) &&
               !items.exists(_.isInstanceOf[RetCount]))
             Left("ORDER BY count() requires count(connected) in RETURN")
@@ -332,23 +587,11 @@ object CypherLite {
           else Right(())
         } yield {
           // `(c:Label)` and `(c {prop: 'v'})` sugar (the schema prompt's
-          // typed patterns, `first-graph.py:63-136`): desugars to
-          // `c.label = 'Label'` / `c.prop = 'v'` equality conditions,
-          // AND-distributed into EVERY OR-group so the constraints
-          // conjoin with the whole WHERE clause, not just its last branch
-          val sugar =
-            Option(connLabel).map(l =>
-              Cond("label", "=", l, onConn = true)).toSeq ++
-            Option(connPropsStr).toSeq.flatMap(s =>
-              PropRe.findAllMatchIn(s).map(p =>
-                Cond(p.group(1), "=", p.group(2), onConn = true)))
-          val condsWithSugar =
-            if (sugar.isEmpty) conds
-            else if (conds.isEmpty) Seq(sugar)
-            else conds.map(_ ++ sugar)
+          // typed patterns, `first-graph.py:63-136`)
           MatchReturn(Option(label), props, Option(relType),
             if (conn.isDefined) math.max(hops, 1) else 0,
-            condsWithSugar, items, ob, Option(skipStr).map(_.toInt),
+            connSugar(connLabel, connPropsStr, conds), items, ob,
+            Option(skipStr).map(_.toInt),
             Option(limitStr).map(_.toInt), optional, retDistinct, existsPat)
         }
     case _ => Left(s"unsupported query shape: ${query.take(120)}")
@@ -379,6 +622,18 @@ object CypherLite {
   /** Ops meaningful over a numeric literal (the string predicates are not). */
   private val ComparisonOps = Set("=", "<>", "<", "<=", ">", ">=")
 
+  /** One numeric comparison column (the WHERE-after-WITH filter). */
+  private def numCmp(c: Column, op: String, v: Double): Column = op match {
+    case "=" => c === v
+    case "<>" => c =!= v
+    case "<" => c < v
+    case "<=" => c <= v
+    case ">" => c > v
+    case ">=" => c >= v
+    case other => throw new IllegalArgumentException(
+      s"unsupported comparison operator: $other")
+  }
+
   private def condCol(c: Cond, target0: Column): Column = {
     // unquoted literal → numeric comparison: the property try_casts to
     // double and non-numeric values become null, so the comparison is null
@@ -400,6 +655,12 @@ object CypherLite {
     case "STARTS WITH" => target.startsWith(c.value)
     case "ENDS WITH" => target.endsWith(c.value)
     case "CONTAINS" => target.contains(c.value)
+    // IN list membership; `IN []` matches nothing (Cypher). Numeric lists
+    // compare through the same try_cast-to-double lens as scalar numerics.
+    case "IN" =>
+      if (c.values.isEmpty) lit(false)
+      else if (c.numeric) target.isin(c.values.map(_.toDouble): _*)
+      else target.isin(c.values: _*)
     // unreachable when parse() normalized the op (CondRe only admits the
     // forms above) — but fail with a named error, never a bare MatchError
     case other => throw new IllegalArgumentException(
@@ -419,7 +680,7 @@ object CypherLite {
         Right(after.nodes.groupBy("batch")
           .agg(count(lit(1)).as("n_nodes")).orderBy("batch").toDF())
       case MatchReturn(label, props, relType, hops, conds, items, orderBy,
-          skip, limit, optional, distinct, existsPat) =>
+          skip, limit, optional, distinct, existsPat, withSpec) =>
         // unknown keys are rejected, not silently coerced to a name match —
         // a plausible-but-wrong answer is worse than an error to the
         // LLM-emitted-query caller this front end serves
@@ -469,7 +730,8 @@ object CypherLite {
             .map(k => Left(s"ORDER BY key '$k' must be among the returned " +
               s"properties (${outProps.toSeq.sorted.mkString(", ")})")))
           .getOrElse(Right(runMatch(g, label, props, relType, hops, conds,
-            items, orderBy, skip, limit, optional, distinct, existsPat)))
+            items, orderBy, skip, limit, optional, distinct, existsPat,
+            withSpec)))
     }
 
   private def runMatch(g: GraphTables, label: Option[String],
@@ -477,7 +739,13 @@ object CypherLite {
       conds: Seq[Seq[Cond]], items: Seq[RetItem],
       orderBy: Option[(String, Boolean)], skip: Option[Int],
       limit: Option[Int], optional: Boolean, distinct: Boolean,
-      existsPat: Option[ExistsPat]): DataFrame = {
+      existsPat: Option[ExistsPat],
+      withSpec: Option[WithSpec]): DataFrame = {
+    // the aggregate's output column: the WITH alias when one was bound,
+    // else the fixed contract names
+    val aggOut = withSpec.map(_.alias).getOrElse(
+      if (items.exists(_.isInstanceOf[RetCollect])) "collected"
+      else "n_connected")
     // the WHERE DNF, evaluated against a caller-chosen column mapping: bare
     // node columns on the m-only fast path, m_/c_-prefixed binding columns
     // when a clause references the connected variable
@@ -521,7 +789,7 @@ object CypherLite {
       orderBy match {
         case Some((p, desc)) =>
           // the count pseudo-key sorts by the aggregate output column
-          val out = if (p == CountKey) "n_connected" else s"m_$p"
+          val out = if (p == CountKey) aggOut else s"m_$p"
           // run() validated the ORDER BY key against the projected props;
           // if the two ever drift, fail loudly — silently reordering (with
           // LIMIT, silently changing WHICH rows survive) is the
@@ -551,18 +819,29 @@ object CypherLite {
           matched0.join(hit, Seq("id"),
             if (ep.negated) "left_anti" else "left_semi")
         }
-        // RETURN m → the full (label, name, content) node image;
-        // RETURN m.prop[, ...] → exactly those properties
-        val outCols =
-          if (items == Seq(RetVar) || items.isEmpty)
-            Seq("label", "name", "content")
-          else items.collect {
-            case RetVar => Seq("label", "name", "content")
-            case RetProp(p) => Seq(p)
-          }.flatten.distinct
-        val named = outCols.map(c => col(c).as(s"m_$c"))
-        ordered(maybeDistinct(matched.select(named: _*).toDF()),
-          outCols.map("m_" + _))
+        if (items.exists(_.isInstanceOf[RetCount])) {
+          // hop-less `RETURN m.prop[, ...], count(*)`: group the matched
+          // nodes by the projected property values and count members —
+          // one hash aggregate, partial+final, no join anywhere
+          val keys = items.collect { case RetProp(p) => p }.distinct
+          val agged = matched.groupBy(keys.map(col): _*)
+            .agg(count(lit(1)).as(aggOut))
+            .select(keys.map(p => col(p).as(s"m_$p")) :+ col(aggOut): _*)
+          ordered(agged, keys.map("m_" + _))
+        } else {
+          // RETURN m → the full (label, name, content) node image;
+          // RETURN m.prop[, ...] → exactly those properties
+          val outCols =
+            if (items == Seq(RetVar) || items.isEmpty)
+              Seq("label", "name", "content")
+            else items.collect {
+              case RetVar => Seq("label", "name", "content")
+              case RetProp(p) => Seq(p)
+            }.flatten.distinct
+          val named = outCols.map(c => col(c).as(s"m_$c"))
+          ordered(maybeDistinct(matched.select(named: _*).toDF()),
+            outCols.map("m_" + _))
+        }
       } else {
         val retProps = items.collect { case RetProp(p) => p }
         val connRetProps = items.collect { case RetConnProp(p) => p }
@@ -573,12 +852,15 @@ object CypherLite {
         // skips the left-join nulls of an unmatched OPTIONAL root, so zero
         // bindings serialize to "" — Cypher's empty list)
         val aggCol = items.collectFirst {
-          case RetCount(true) => countDistinct(col("c_id")).as("n_connected")
-          case RetCount(false) => count(col("c_id")).as("n_connected")
+          // count(*): rows, not bindings — an unmatched OPTIONAL root's
+          // null row counts 1 (Cypher semantics)
+          case RetCount(_, true) => count(lit(1)).as(aggOut)
+          case RetCount(true, _) => countDistinct(col("c_id")).as(aggOut)
+          case RetCount(false, _) => count(col("c_id")).as(aggOut)
           case RetCollect(p, dk) =>
             val vals = collect_list(col(s"c_$p"))
             array_join(array_sort(if (dk) array_distinct(vals) else vals),
-              ",").as("collected")
+              ",").as(aggOut)
         }
         // the binding column the aggregate consumes (left-joined under
         // OPTIONAL): node identity for count, the property for collect
@@ -635,8 +917,21 @@ object CypherLite {
           val grouped =
             if (optional) leftJoined(keys, Seq(aggConnCol))
             else withRootCols(keys)
-          ordered(grouped.groupBy(out.map(col): _*)
-            .agg(aggCol.get), out)
+          // WITH m, …: group by node IDENTITY (root_id), so two roots that
+          // share every projected property value keep separate counts; the
+          // id is dropped at projection (Cypher's WITH-then-RETURN shape)
+          val groupCols =
+            if (withSpec.exists(_.groupIdentity))
+              col("root_id") +: out.map(col)
+            else out.map(col)
+          val agged = grouped.groupBy(groupCols: _*).agg(aggCol.get)
+          // the WHERE after WITH: a numeric filter on the aggregate —
+          // Spark's HAVING, applied post-aggregation
+          val havinged = withSpec.flatMap(_.having).fold(agged) {
+            case (op, v) => agged.filter(numCmp(col(aggOut), op, v))
+          }
+          ordered(maybeDistinct(
+            havinged.select((out :+ aggOut).map(col): _*)), out)
         } else if (wantsConnected) {
           val keys = if (retProps.nonEmpty) retProps.distinct else Seq("name")
           val out = keys.map("m_" + _) ++

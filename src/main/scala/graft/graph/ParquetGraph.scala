@@ -1150,6 +1150,75 @@ object ParquetGraph {
         .fold(err => throw new IllegalArgumentException(err), identity)
     },
 
+    // B6 CypherLite twin: WITH … WHERE — Cypher's aggregate-then-filter
+    // pipeline (SQL's HAVING), the "nations with at least 60 customers"
+    // shape LLMs emit for every threshold prompt. 60 splits the sf0.01
+    // distribution 12/13, so the HAVING prunes for real; the alias `n_cust`
+    // must surface as the output column on both engines.
+    QueryDef.sql(
+      "graphp_cypher_with_having",
+      """SELECT n_name AS m_name, CAST(count(*) AS BIGINT) AS n_cust
+        |FROM nation JOIN customer ON c_nationkey = n_nationkey
+        |GROUP BY n_name HAVING count(*) >= 60
+        |ORDER BY n_cust DESC, m_name""".stripMargin) { (s, d) =>
+      CypherLite.run(hierarchy(s, d),
+        "MATCH (m:Nation)-[:HAS_CUSTOMER*1..1]->(c) " +
+          "WITH m, count(c) AS n_cust WHERE n_cust >= 60 " +
+          "RETURN m.name, n_cust ORDER BY n_cust DESC")
+        .fold(err => throw new IllegalArgumentException(err), identity)
+    },
+
+    // B6 CypherLite twin: count(*) vs count(c) under OPTIONAL MATCH —
+    // count(*) counts result ROWS, so a customer with no order ending in
+    // '7' answers 1 (its null row) where count(c) answers 0. The SQL
+    // LEFT JOIN + count(*) has exactly this semantics; grading against it
+    // catches an implementation that aliased count(*) to count(c).
+    QueryDef.sql(
+      "graphp_cypher_count_star",
+      """SELECT CAST(c_custkey AS VARCHAR) AS m_name,
+        |  CAST(count(*) AS BIGINT) AS n_connected
+        |FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+        |  AND CAST(o_orderkey AS VARCHAR) LIKE '%7'
+        |GROUP BY c_custkey ORDER BY m_name""".stripMargin) { (s, d) =>
+      CypherLite.run(hierarchy(s, d),
+        "MATCH (m:Customer) OPTIONAL MATCH (m)-[:HAS_ORDER*1..1]->(c) " +
+          "WHERE c.name ENDS WITH '7' RETURN m.name, count(*)")
+        .fold(err => throw new IllegalArgumentException(err), identity)
+    },
+
+    // B6 CypherLite twin: hop-less `RETURN m.prop, count(*)` — the node
+    // census by label, one hash aggregate over the whole node relation
+    // (partial+final, no join). The oracle derives each label's count from
+    // its base table independently.
+    QueryDef.sql(
+      "graphp_cypher_global_count",
+      """SELECT l AS m_label, CAST(n AS BIGINT) AS n_connected FROM (
+        |  SELECT 'Region' AS l, (SELECT count(*) FROM region) AS n
+        |  UNION ALL SELECT 'Nation', (SELECT count(*) FROM nation)
+        |  UNION ALL SELECT 'Customer', (SELECT count(*) FROM customer)
+        |  UNION ALL SELECT 'Order', (SELECT count(*) FROM orders))
+        |ORDER BY m_label""".stripMargin) { (s, d) =>
+      CypherLite.run(hierarchy(s, d),
+        "MATCH (m) RETURN m.label, count(*)")
+        .fold(err => throw new IllegalArgumentException(err), identity)
+    },
+
+    // B6 CypherLite twin: IN-list membership — two present names, one
+    // absent (the absent element must not leak a row; DuckDB's IN is the
+    // direct mirror). Sargable: the isin compiles to an In filter pushed
+    // to the node scan.
+    QueryDef.sql(
+      "graphp_cypher_in",
+      """SELECT 'Nation' AS m_label, n_name AS m_name, '' AS m_content
+        |FROM nation
+        |WHERE n_name IN ('NATION_3', 'NATION_17', 'NO_SUCH')
+        |ORDER BY m_label, m_name, m_content""".stripMargin) { (s, d) =>
+      CypherLite.run(hierarchy(s, d),
+        "MATCH (m:Nation) WHERE m.name IN ['NATION_3', 'NATION_17', " +
+          "'NO_SUCH'] RETURN m")
+        .fold(err => throw new IllegalArgumentException(err), identity)
+    },
+
     // B9 viz-export twin: (src name, relType, dst name) renderer feed.
     QueryDef.sql(
       "graphp_viz_export",

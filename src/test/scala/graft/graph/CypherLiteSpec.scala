@@ -611,4 +611,171 @@ class CypherLiteSpec extends SparkSpec {
       .fold(e => fail(e), identity).collect().toSeq
     assert(viaMap == viaWhere && viaMap.nonEmpty)
   }
+
+  test("WITH … WHERE filters groups by the aggregate (HAVING)") {
+    val plain = CypherLite.run(g,
+      "MATCH (m:Boeing_Service_Bulletin)-[*1..2]->(c) " +
+        "RETURN m.docnbr, count(c)").fold(e => fail(e), identity)
+      .collect().map(r =>
+        r.getAs[String]("m_docnbr") -> r.getAs[Long]("n_connected")).toMap
+    // a threshold that genuinely splits the groups
+    val counts = plain.values.toSeq.sorted
+    val k = counts(counts.size / 2).max(counts.head + 1)
+    assert(plain.values.exists(_ < k) && plain.values.exists(_ >= k))
+    val having = CypherLite.run(g,
+      s"MATCH (m:Boeing_Service_Bulletin)-[*1..2]->(c) " +
+        s"WITH m, count(c) AS n WHERE n >= $k RETURN m.docnbr, n")
+      .fold(e => fail(e), identity)
+    assert(having.columns.toSeq == Seq("m_docnbr", "n"))
+    val got = having.collect().map(r =>
+      r.getAs[String]("m_docnbr") -> r.getAs[Long]("n")).toMap
+    assert(got == plain.filter(_._2 >= k))
+    // property grouping (WITH m.docnbr) equals identity grouping here:
+    // docnbr is unique per root on this corpus
+    val viaProp = CypherLite.run(g,
+      s"MATCH (m:Boeing_Service_Bulletin)-[*1..2]->(c) " +
+        s"WITH m.docnbr, count(c) AS n WHERE n >= $k RETURN m.docnbr, n")
+      .fold(e => fail(e), identity).collect().map(r =>
+        r.getAs[String]("m_docnbr") -> r.getAs[Long]("n")).toMap
+    assert(viaProp == got)
+  }
+
+  test("WITH pipeline: ORDER BY the alias, LIMIT keeps the top group") {
+    val plain = CypherLite.run(g,
+      "MATCH (m:Boeing_Service_Bulletin)-[*1..2]->(c) " +
+        "RETURN m.docnbr, count(c)").fold(e => fail(e), identity)
+      .collect().map(r =>
+        r.getAs[String]("m_docnbr") -> r.getAs[Long]("n_connected")).toMap
+    val top = CypherLite.run(g,
+      "MATCH (m:Boeing_Service_Bulletin)-[*1..2]->(c) " +
+        "WITH m, count(c) AS n WHERE n >= 0 RETURN m.docnbr, n " +
+        "ORDER BY n DESC LIMIT 1").fold(e => fail(e), identity).collect()
+    assert(top.length == 1)
+    assert(top.head.getAs[Long]("n") == plain.values.max)
+  }
+
+  test("a STARTS WITH comparison inside a WITH query is not mistaken " +
+      "for the clause keyword") {
+    val viaWith = CypherLite.run(g,
+      "MATCH (m:Boeing_Service_Bulletin)-[*1..2]->(c) " +
+        "WHERE c.label STARTS WITH 'S' " +
+        "WITH m, count(c) AS n WHERE n >= 1 RETURN m.docnbr, n")
+      .fold(e => fail(e), identity).collect().map(r =>
+        r.getAs[String]("m_docnbr") -> r.getAs[Long]("n")).toMap
+    val inner = CypherLite.run(g,
+      "MATCH (m:Boeing_Service_Bulletin)-[*1..2]->(c) " +
+        "WHERE c.label STARTS WITH 'S' RETURN m.docnbr, count(c)")
+      .fold(e => fail(e), identity).collect().map(r =>
+        r.getAs[String]("m_docnbr") -> r.getAs[Long]("n_connected")).toMap
+    assert(viaWith == inner.filter(_._2 >= 1) && viaWith.nonEmpty)
+  }
+
+  test("malformed WITH pipelines are rejected with named errors") {
+    // the HAVING filter may only reference the aggregate alias
+    val r1 = CypherLite.parse(
+      "MATCH (m:Step)-[*1..1]->(c) WITH m, count(c) AS n " +
+        "WHERE x >= 2 RETURN m.name, n")
+    assert(r1.isLeft && r1.swap.toOption.get.contains("alias"), r1.toString)
+    // RETURN must carry the alias through
+    val r2 = CypherLite.parse(
+      "MATCH (m:Step)-[*1..1]->(c) WITH m, count(c) AS n " +
+        "WHERE n >= 2 RETURN m.name")
+    assert(r2.isLeft && r2.swap.toOption.get.contains("exactly once"),
+      r2.toString)
+    // non-identity grouping must project exactly the grouped properties
+    val r3 = CypherLite.parse(
+      "MATCH (m:Step)-[*1..1]->(c) WITH m.name, count(c) AS n " +
+        "RETURN m.label, n")
+    assert(r3.isLeft && r3.swap.toOption.get.contains("grouping"),
+      r3.toString)
+    // the count must aggregate the bound connected variable
+    val r4 = CypherLite.parse(
+      "MATCH (m:Step)-[*1..1]->(c) WITH m, count(q) AS n RETURN m.name, n")
+    assert(r4.isLeft && r4.swap.toOption.get.contains("connected"),
+      r4.toString)
+    // WITH without a hop pattern has nothing to aggregate
+    val r5 = CypherLite.parse(
+      "MATCH (m:Step) WITH m, count(c) AS n RETURN m.name, n")
+    assert(r5.isLeft && r5.swap.toOption.get.contains("hop pattern"),
+      r5.toString)
+  }
+
+  test("count(*) counts rows: 1 for an unmatched OPTIONAL root where " +
+      "count(c) answers 0") {
+    val star = CypherLite.run(g,
+      "MATCH (m:Boeing_Service_Bulletin) OPTIONAL MATCH (m)-[*1..2]->(c) " +
+        "WHERE c.label = 'NoSuchLabel' RETURN m.docnbr, count(*)")
+      .fold(e => fail(e), identity)
+    val allRoots = CypherLite.run(g,
+      "MATCH (m:Boeing_Service_Bulletin) RETURN m").toOption.get.count()
+    assert(star.count() == allRoots && allRoots > 0)
+    assert(star.filter(col("n_connected") =!= 1).count() == 0)
+    // with real bindings, count(*) equals count(c) (no null rows)
+    val starInner = CypherLite.run(g,
+      "MATCH (m:Boeing_Service_Bulletin)-[*1..2]->(c) " +
+        "RETURN m.docnbr, count(*)").fold(e => fail(e), identity).collect()
+    val plainInner = CypherLite.run(g,
+      "MATCH (m:Boeing_Service_Bulletin)-[*1..2]->(c) " +
+        "RETURN m.docnbr, count(c)").fold(e => fail(e), identity).collect()
+    assert(starInner.map(_.toSeq).toSeq == plainInner.map(_.toSeq).toSeq)
+  }
+
+  test("hop-less RETURN m.prop, count(*) groups the matched nodes") {
+    val viaCypher = CypherLite.run(g,
+      "MATCH (m) RETURN m.label, count(*)").fold(e => fail(e), identity)
+      .collect().map(r =>
+        r.getAs[String]("m_label") -> r.getAs[Long]("n_connected")).toMap
+    val direct = g.nodes.groupBy("label").count().collect()
+      .map(r => r.getAs[String]("label") -> r.getAs[Long]("count")).toMap
+    assert(viaCypher == direct && viaCypher.nonEmpty)
+    // grouping by the whole node is rejected (each group would count 1)
+    val r = CypherLite.parse("MATCH (m:Step) RETURN m, count(*)")
+    assert(r.isLeft && r.swap.toOption.get.contains("m.prop"), r.toString)
+    // count(DISTINCT *) is not a thing
+    val r2 = CypherLite.parse(
+      "MATCH (m:Step) RETURN m.label, count(DISTINCT *)")
+    assert(r2.isLeft, r2.toString)
+  }
+
+  test("IN lists: string membership, numeric membership, empty list") {
+    val strIn = CypherLite.run(numG,
+      "MATCH (m:Doc) WHERE m.name IN ['10', 'ALPHA', 'absent'] " +
+        "RETURN m.name").fold(e => fail(e), identity)
+      .collect().map(_.getString(0)).toSet
+    assert(strIn == Set("10", "ALPHA"))
+    // numeric list: compares through try_cast(double) — 'ALPHA' drops,
+    // and '10' matches the numeric 10 (not a string compare)
+    val numIn = CypherLite.run(numG,
+      "MATCH (m:Doc) WHERE m.name IN [9, 10] RETURN m.name")
+      .fold(e => fail(e), identity).collect().map(_.getString(0)).toSet
+    assert(numIn == Set("9", "10"))
+    // IN [] matches nothing (Cypher), not everything
+    val empty = CypherLite.run(numG,
+      "MATCH (m:Doc) WHERE m.name IN [] RETURN m.name")
+      .fold(e => fail(e), identity)
+    assert(empty.count() == 0)
+    // IN composes with the DNF like any other condition
+    val ored = CypherLite.run(numG,
+      "MATCH (m:Doc) WHERE m.name IN ['9'] OR m.name = 'ALPHA' " +
+        "RETURN m.name").fold(e => fail(e), identity)
+      .collect().map(_.getString(0)).toSet
+    assert(ored == Set("9", "ALPHA"))
+  }
+
+  test("malformed IN lists are rejected with named errors") {
+    val mixed = CypherLite.parse(
+      "MATCH (m:Doc) WHERE m.name IN ['a', 2] RETURN m.name")
+    assert(mixed.isLeft &&
+      mixed.swap.toOption.get.contains("all-string or all-numeric"),
+      mixed.toString)
+    val notIn = CypherLite.parse(
+      "MATCH (m:Doc) WHERE m.name = ['a'] RETURN m.name")
+    assert(notIn.isLeft &&
+      notIn.swap.toOption.get.contains("only valid with IN"),
+      notIn.toString)
+    val bare = CypherLite.parse(
+      "MATCH (m:Doc) WHERE m.name IN 'a' RETURN m.name")
+    assert(bare.isLeft &&
+      bare.swap.toOption.get.contains("bracketed list"), bare.toString)
+  }
 }
