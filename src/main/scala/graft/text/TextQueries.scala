@@ -1751,6 +1751,95 @@ object TextQueries {
             (q6(col("n")) - q6(col("n_s")))) / col("n_s").cast("double") +
             lit(0.5)) / lit(1000000.0)).as("kl"))
         .orderBy("source")
+    },
+
+    // ---------------------------------------- L41 semantic dedup (SemDeDup)
+    // The cluster-then-prune semantic dedup of Abbas et al. 2023
+    // (arXiv:2303.09540): assign every vector to its nearest centroid
+    // (the l28 integer-quantized argmax — K×D centroid table BROADCASTS),
+    // then compare pairs ONLY within a cluster and drop every vector with
+    // a higher-similarity-than-τ neighbor of smaller vec_id (the min-id
+    // representative rule: deterministic in one pass, where the paper's
+    // greedy sweep is sequential). Reported as per-cluster total/dropped/
+    // kept counts. Shuffles key on the cluster id alone; the quadratic
+    // pair search is bounded by cluster size — the SemDeDup contract is
+    // that k grows with N to keep clusters bounded (and a skewed cluster
+    // is exactly what the AQE skew split handles). τ = 0.4 sits 6e-4 from
+    // the nearest pair similarity at sf0.01 (1.1e-4 at sf0.1), and both
+    // engines fold the dot sequentially, so the double compare is stable.
+    QueryDef.sql(
+      "l41_semdedup",
+      """WITH q AS (
+        |  SELECT vec_id, label, i,
+        |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000 + 0.5)
+        |      AS BIGINT) AS q
+        |  FROM embeddings, generate_series(1, 64) t(i)),
+        |c AS (SELECT label AS clabel, i, CAST(sum(q) AS BIGINT) AS cq
+        |      FROM q GROUP BY clabel, i),
+        |cn AS (SELECT label AS clabel, count(*) AS nl
+        |       FROM embeddings GROUP BY clabel),
+        |sc AS (
+        |  SELECT q.vec_id, c.clabel,
+        |    CAST(sum(q.q * c.cq) AS DOUBLE) / max(cn.nl) AS score
+        |  FROM q JOIN c USING (i) JOIN cn ON c.clabel = cn.clabel
+        |  GROUP BY q.vec_id, c.clabel),
+        |r AS (SELECT vec_id, clabel, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY score DESC, clabel) AS rn FROM sc),
+        |asg AS (SELECT vec_id, clabel AS assigned FROM r WHERE rn = 1),
+        |n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+        |  sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+        |    x -> x * x))) AS nrm FROM embeddings),
+        |dropped AS (
+        |  SELECT DISTINCT y.vec_id
+        |  FROM asg x JOIN asg y
+        |    ON x.assigned = y.assigned AND x.vec_id < y.vec_id
+        |  JOIN n a ON a.vec_id = x.vec_id
+        |  JOIN n b ON b.vec_id = y.vec_id
+        |  WHERE list_sum(list_transform(generate_series(1, len(a.emb)),
+        |      i -> a.emb[i] * b.emb[i])) / (a.nrm * b.nrm) > 0.4)
+        |SELECT assigned, CAST(count(*) AS BIGINT) AS n_total,
+        |  CAST(count(d.vec_id) AS BIGINT) AS n_dropped,
+        |  CAST(count(*) - count(d.vec_id) AS BIGINT) AS n_kept
+        |FROM asg LEFT JOIN dropped d ON d.vec_id = asg.vec_id
+        |GROUP BY assigned ORDER BY assigned""".stripMargin) { (s, d) =>
+      graft.functions.DotProduct.register(s)
+      val emb = Tables.embeddings(s, d)
+      val q = emb.select(col("vec_id"), col("label"),
+          posexplode(col("embedding")))
+        .select(col("vec_id"), col("label"), col("pos").as("i"),
+          floor(col("col").cast("double") * 1000 + 0.5).cast("long")
+            .as("q"))
+      val cdf = q.groupBy(col("label").as("clabel"), col("i"))
+        .agg(sum("q").as("cq"))
+      val cn = emb.groupBy(col("label").as("clabel"))
+        .agg(count(lit(1)).as("nl"))
+      val scored = q.join(broadcast(cdf), "i").join(broadcast(cn), "clabel")
+        .groupBy("vec_id", "clabel")
+        .agg((sum(col("q") * col("cq")).cast("double") / max("nl"))
+          .as("score"))
+      val w = Window.partitionBy("vec_id")
+        .orderBy(col("score").desc, col("clabel"))
+      val asg = scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("clabel").as("assigned"))
+      val n = emb.select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+        .withColumn("nrm", sqrt(expr("graft_dot(emb, emb)")))
+      val withVec = asg.join(n, "vec_id")
+      val lhs = withVec.select(col("assigned"), col("vec_id").as("va"),
+        col("emb").as("ea"), col("nrm").as("na"))
+      val rhs = withVec.select(col("assigned").as("assigned_b"),
+        col("vec_id").as("vb"), col("emb").as("eb"), col("nrm").as("nb"))
+      val dropped = lhs.join(rhs,
+          col("assigned") === col("assigned_b") && col("va") < col("vb"))
+        .filter(expr("graft_dot(ea, eb)") / (col("na") * col("nb")) > 0.4)
+        .select(col("vb").as("vec_id")).distinct()
+      asg.join(dropped.withColumn("hit", lit(1)), Seq("vec_id"), "left")
+        .groupBy("assigned")
+        .agg(count(lit(1)).as("n_total"),
+          count(col("hit")).as("n_dropped"),
+          (count(lit(1)) - count(col("hit"))).as("n_kept"))
+        .orderBy("assigned")
     }
   )
 

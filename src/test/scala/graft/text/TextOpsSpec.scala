@@ -179,4 +179,31 @@ class TextOpsSpec extends SparkSpec {
       assert(kl("sC") > kl("sA") + 0.8, kl.toString)
     }
   }
+
+  test("semdedup keeps the min-id representative per similarity group " +
+      "and never compares across clusters") {
+    val dir = java.nio.file.Files.createTempDirectory("semdedup").toString
+    // cluster 0: v1 == v2 (cos 1), v3 near v1 (cos ≈ .99) — both drop to
+    // the min-id representative v1. cluster 1: two ORTHOGONAL vectors —
+    // same cluster, similarity 0, both kept (the threshold does the
+    // pruning, not the clustering). v4/v5 are also dissimilar to v1-v3,
+    // so any cross-cluster comparison would change nothing here — the
+    // cluster isolation is what keeps the pair search sub-quadratic, and
+    // the within-cluster zero-similarity pair proves pruning ≠ bucketing.
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f), 0),
+      (2L, Array(1.0f, 0.0f, 0.0f, 0.0f), 0),
+      (3L, Array(0.9f, 0.1f, 0.0f, 0.0f), 0),
+      (4L, Array(0.0f, 1.0f, 0.0f, 0.0f), 1),
+      (5L, Array(0.0f, 0.0f, 1.0f, 0.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    emb.coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/embeddings.parquet")
+    val got = SparkEntry.queries("l41_semdedup")(spark, dir)
+      .collect().map(r => r.getInt(0) ->
+        (r.getAs[Long]("n_total"), r.getAs[Long]("n_dropped"),
+          r.getAs[Long]("n_kept"))).toMap
+    assert(got(0) == ((3L, 2L, 1L)), got.toString)
+    assert(got(1) == ((2L, 0L, 2L)), got.toString)
+  }
 }
