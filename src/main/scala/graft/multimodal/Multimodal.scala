@@ -16,11 +16,16 @@ final case class MediaMeta(doc_id: Long, kind: String, n_bytes: Long,
   * document as an actual 24-bit BMP payload and the perceptual-hash
   * queries (mm6/mm7) run [[Bmp.decode]] — a genuine header/pixel-layout
   * parse — then hash the decoded 8×8 luma grid ([[Bmp.aHash64]]).
-  * Audio DSP and video frame decode remain STUBBED (no codec libraries in
-  * this environment): [[FakeCodec.decode]] derives deterministic metadata
-  * from payload bytes, and swapping in a real decoder touches only that
-  * seam — the Spark-side contract (binary column, schema, partition-
-  * batched execution, typed output) is identical.
+  * The AUDIO path is real too: [[wavTable]] renders the audio slice as
+  * actual RIFF/WAVE 16-bit PCM files and [[audioWindows]] (mm4) computes
+  * its windowed statistics over samples parsed by [[Wav.decode]] — a
+  * genuine chunk walk with fmt validation and sign-extended
+  * little-endian samples. Video frame decode remains STUBBED (no codec
+  * libraries in this environment): [[FakeCodec.decode]] derives
+  * deterministic metadata from payload bytes, and swapping in a real
+  * decoder touches only that seam — the Spark-side contract (binary
+  * column, schema, partition-batched execution, typed output) is
+  * identical.
   */
 object Multimodal {
 
@@ -103,13 +108,44 @@ object Multimodal {
       }
   }
 
-  /** Windowed "audio" feature extraction: chunk the payload into fixed-size
-    * windows and compute per-window byte statistics — the batch shape of a
-    * spectrogram/MFCC pass, with the DSP stubbed to byte averages. Runs in
-    * `mapPartitions` so a real DSP context initializes once per partition.
+  /** The "audio" slice of the corpus rendered as REAL RIFF/WAVE files:
+    * each document in the mm4 slice becomes a mono 16-bit PCM WAV whose
+    * sample k is `(textByte(k) - 128) * 256` — byte-derived, so the SQL
+    * oracle can recompute every sample from the text without parsing the
+    * container, which is exactly what lets it grade a REAL decode (any
+    * [[Wav.decode]] bug in chunk offsets, endianness, or sign extension
+    * hash-misses). Same construction as [[bmpTable]] for images.
+    */
+  def wavTable(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("tb"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, t) =>
+          val samples = new Array[Short](t.length)
+          var i = 0
+          while (i < t.length) {
+            samples(i) = (((t(i) & 0xff) - 128) * 256).toShort
+            i += 1
+          }
+          (id, Wav.encode(8000, samples))
+        }
+      }
+      .toDF("doc_id", "payload")
+  }
+
+  /** Windowed audio feature extraction over a REAL codec parse: decode
+    * the RIFF/WAVE payload ([[Wav.decode]]), chunk the PCM samples into
+    * fixed-size windows, and compute the per-window mean and RMS energy —
+    * the batch shape of a spectrogram/MFCC pass, with the statistics over
+    * DECODED SAMPLES. Runs in `mapPartitions` so a real DSP context
+    * initializes once per partition. The per-window integer sums (sum,
+    * sum of squares) stay exact; the division and sqrt happen once per
+    * window.
     */
   final case class AudioWindow(doc_id: Long, window_idx: Int,
-      n_bytes: Int, mean_byte: Double)
+      n_samples: Int, mean_sample: Double, rms: Double)
 
   def audioWindows(s: SparkSession, payloads: DataFrame,
       windowSize: Int = 64): org.apache.spark.sql.Dataset[AudioWindow] = {
@@ -118,9 +154,19 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.flatMap { case (id, bytes) =>
-          bytes.grouped(windowSize).zipWithIndex.map { case (w, i) =>
-            AudioWindow(id, i, w.length,
-              w.map(b => (b & 0xff).toDouble).sum / w.length)
+          val audio = Wav.decode(bytes)
+          audio.samples.grouped(windowSize).zipWithIndex.map {
+            case (w, i) =>
+              var sum = 0L
+              var sumSq = 0L
+              var k = 0
+              while (k < w.length) {
+                val v = w(k).toLong
+                sum += v; sumSq += v * v; k += 1
+              }
+              AudioWindow(id, i, w.length,
+                sum.toDouble / w.length,
+                math.sqrt(sumSq.toDouble / w.length))
           }
         }
       }
@@ -168,10 +214,14 @@ object Multimodal {
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql(
       "mm4_audio_windows",
-      // the fake DSP is pure byte arithmetic, so DuckDB reproduces it:
-      // 64-byte windows, per-window byte mean. The corpus text is ASCII
-      // (verified at every SF), so ascii(substring(text, j, 1)) IS byte j;
-      // a non-ASCII corpus would need a blob-indexing oracle instead.
+      // REAL codec grading: the engine parses actual RIFF/WAVE payloads
+      // (Wav.decode) while the oracle recomputes each 16-bit sample from
+      // the generator formula `(byte - 128) * 256` on the raw text — the
+      // container never reaches DuckDB, so any chunk-walk/endianness/sign
+      // bug on the Spark side hash-misses. 64-sample windows, per-window
+      // mean + RMS; integer sums exact, one division/sqrt per window.
+      // The corpus text is ASCII (verified at every SF), so
+      // ascii(substring(text, j, 1)) IS byte j.
       s"""WITH b AS (
          |  SELECT doc_id, text, octet_length(encode(text)) AS n
          |  FROM documents WHERE doc_id % 3 = 1),
@@ -181,20 +231,25 @@ object Multimodal {
          |  FROM b),
          |w AS (
          |  SELECT doc_id, CAST(wi AS INT) AS window_idx,
-         |    CAST(least(64, n - wi * 64) AS INT) AS n_bytes,
+         |    CAST(least(64, n - wi * 64) AS INT) AS n_samples,
          |    list_transform(generate_series(wi * 64 + 1, least((wi + 1) * 64, n)),
-         |      j -> ascii(substring(text, j, 1))) AS bs
+         |      j -> (ascii(substring(text, j, 1)) - 128) * 256) AS ss
          |  FROM wi)
-         |SELECT doc_id, window_idx, n_bytes,
+         |SELECT doc_id, window_idx, n_samples,
          |  ${graft.Det.duckPortableRound(
-             "CAST(list_sum(bs) AS DOUBLE) / CAST(n_bytes AS DOUBLE)", 6)}
-         |    AS mean_byte
+             "CAST(list_sum(ss) AS DOUBLE) / CAST(n_samples AS DOUBLE)", 6)}
+         |    AS mean_sample,
+         |  ${graft.Det.duckPortableRound(
+             "sqrt(CAST(list_sum(list_transform(ss, x -> x * x)) AS DOUBLE)" +
+               " / CAST(n_samples AS DOUBLE))", 6)}
+         |    AS rms
          |FROM w ORDER BY doc_id, window_idx""".stripMargin) { (s, d) =>
-      audioWindows(s, payloadTable(s, d)
+      audioWindows(s, wavTable(s, d)
         .filter(col("doc_id") % 3 === 1)) // the "audio" slice
         .toDF()
-        .select(col("doc_id"), col("window_idx"), col("n_bytes"),
-          graft.Det.portableRound(col("mean_byte"), 6).as("mean_byte"))
+        .select(col("doc_id"), col("window_idx"), col("n_samples"),
+          graft.Det.portableRound(col("mean_sample"), 6).as("mean_sample"),
+          graft.Det.portableRound(col("rms"), 6).as("rms"))
         .orderBy("doc_id", "window_idx")
     },
     QueryDef.sql(

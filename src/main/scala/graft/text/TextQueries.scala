@@ -1644,10 +1644,15 @@ object TextQueries {
       val toks = Tables.documents(s, d)
         .select(col("doc_id"), split(col("text"), " ").as("l"))
         .filter(size(col("l")) >= 2)
+      // four consumers (bigram counts, context counts, vocabulary, the
+      // scoring join) — materialize the tokenized relation ONCE instead
+      // of re-running the scan+split+explode per consumer (the l30
+      // shared-relation discipline; at scale this persists to local disk)
       val bg = toks.select(col("doc_id"), explode(expr(
           "transform(sequence(0, size(l) - 2)," +
             " i -> struct(l[i] AS w1, l[i + 1] AS w2))")).as("p"))
         .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+        .localCheckpoint()
       val cbg = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c_bg"))
       val cug = bg.groupBy("w1").agg(count(lit(1)).as("c_ug"))
       val v = bg.agg(countDistinct(col("w1")).as("v"))
@@ -1737,7 +1742,11 @@ object TextQueries {
         floor(log(c.cast("double")) * lit(1000000.0) + lit(0.5)).cast("long")
       val toks = Tables.documents(s, d)
         .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      // (source, token) counts feed four consumers (global counts, source
+      // totals, corpus total, the KL join) — materialize once; this is
+      // also the relation every later shuffle keys off
       val sc = toks.groupBy("source", "tok").agg(count(lit(1)).as("c_sw"))
+        .localCheckpoint()
       val gc = sc.groupBy("tok").agg(sum("c_sw").as("c_w"))
       val ns = sc.groupBy("source").agg(sum("c_sw").as("n_s"))
       val n = sc.agg(sum("c_sw").as("n"))
@@ -1819,9 +1828,12 @@ object TextQueries {
           .as("score"))
       val w = Window.partitionBy("vec_id")
         .orderBy(col("score").desc, col("clabel"))
+      // three consumers (both pair sides + the final census) of a
+      // window-over-fanout relation — materialize the assignment once
       val asg = scored.withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .select(col("vec_id"), col("clabel").as("assigned"))
+        .localCheckpoint()
       val n = emb.select(col("vec_id"),
           expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
         .withColumn("nrm", sqrt(expr("graft_dot(emb, emb)")))

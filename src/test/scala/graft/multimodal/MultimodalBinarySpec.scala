@@ -50,16 +50,61 @@ class MultimodalBinarySpec extends SparkSpec {
     meta.foreach(m => assert(m == expected(m.doc_id), m.toString))
   }
 
-  test("mm4 audio windows treat bytes as unsigned raw data, not text") {
-    val w = Multimodal.audioWindows(spark, spark.read.parquet(binDir),
+  test("mm4 audio windows run over DECODED PCM samples: signed 16-bit " +
+      "little-endian, through a real RIFF chunk walk") {
+    import spark.implicits._
+    // 200 samples sweeping -32768, -32512, … (steps of 256): values that
+    // only come out right if the decoder sign-extends little-endian int16
+    val samples = Array.tabulate(200)(i => ((i - 128) * 256).toShort)
+    val wav = Wav.encode(8000, samples)
+    val dir = java.nio.file.Files.createTempDirectory("graft-wav").toString
+    Seq((3L, wav)).toDF("doc_id", "payload")
+      .write.mode("overwrite").parquet(dir)
+    val w = Multimodal.audioWindows(spark, spark.read.parquet(dir),
         windowSize = 64)
       .collect().filter(_.doc_id == 3L).sortBy(_.window_idx)
     assert(w.length == 4) // ceil(200 / 64)
-    assert(w.map(_.n_bytes).toSeq == Seq(64, 64, 64, 8))
-    // window 0 = bytes 0..63 → mean 31.5; window 2 covers 128..191, which
-    // only comes out 159.5 if bytes ≥ 0x80 read as unsigned
-    assert(math.abs(w(0).mean_byte - 31.5) < 1e-9)
-    assert(math.abs(w(2).mean_byte - 159.5) < 1e-9)
+    assert(w.map(_.n_samples).toSeq == Seq(64, 64, 64, 8))
+    // window 0 = samples (0-128..63-128)*256 → mean (-96.5)*256; a
+    // decoder reading unsigned or big-endian lands far away
+    assert(math.abs(w(0).mean_sample - (-96.5 * 256)) < 1e-9)
+    assert(math.abs(w(2).mean_sample - (31.5 * 256)) < 1e-9)
+    // RMS of window 2 (values 0..63 minus 128 → 0*256..63*256 shifted):
+    // exact integer sum of squares
+    val w2 = (128 until 192).map(i => ((i - 128) * 256).toLong)
+    val exp = math.sqrt(w2.map(v => v * v).sum.toDouble / 64)
+    assert(math.abs(w(2).rms - exp) < 1e-9)
+  }
+
+  test("Wav codec: round-trip identity, foreign chunks skipped, " +
+      "malformed payloads fail loudly") {
+    val samples = Array.tabulate(777)(i => ((i * 37 - 9000) % 32768).toShort)
+    val enc = Wav.encode(44100, samples)
+    val dec = Wav.decode(enc)
+    assert(dec.sampleRate == 44100)
+    assert(dec.samples.toSeq == samples.toSeq)
+    // a LIST chunk (odd-sized, to exercise the RIFF pad byte) inserted
+    // BEFORE fmt/data: a header-offset decoder breaks, a chunk walker
+    // doesn't
+    val extra = Array[Byte]('L', 'I', 'S', 'T', 5, 0, 0, 0, 1, 2, 3, 4, 5, 0)
+    val withChunk = {
+      val b = java.nio.ByteBuffer.allocate(enc.length + extra.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put(enc, 0, 12) // RIFF header + WAVE form
+      b.put(extra)
+      b.put(enc, 12, enc.length - 12)
+      b.array()
+    }
+    val dec2 = Wav.decode(withChunk)
+    assert(dec2.samples.toSeq == samples.toSeq)
+    // truncation and non-RIFF payloads are named errors, not garbage
+    intercept[IllegalArgumentException](Wav.decode(enc.take(20)))
+    intercept[IllegalArgumentException](
+      Wav.decode("not audio at all".getBytes("US-ASCII")))
+    // stereo is rejected (the contract is mono PCM 16-bit)
+    val stereo = enc.clone()
+    stereo(22) = 2 // channels field inside fmt
+    intercept[IllegalArgumentException](Wav.decode(stereo))
   }
 
   test("mm3/mm5 fan-outs run off binary-decoded metadata") {
