@@ -12,18 +12,23 @@ final case class MediaMeta(doc_id: Long, kind: String, n_bytes: Long,
   * columns + typed metadata, with decode/feature-extract running batched
   * per partition — the Scala analogue of a `mapInPandas` batch UDF.
   *
-  * The IMAGE path is real end-to-end: [[bmpTable]] renders each "image"
-  * document as an actual 24-bit BMP payload and the perceptual-hash
-  * queries (mm6/mm7) run [[Bmp.decode]] — a genuine header/pixel-layout
-  * parse — then hash the decoded 8×8 luma grid ([[Bmp.aHash64]]).
-  * The AUDIO path is real too: [[wavTable]] renders the audio slice as
-  * actual RIFF/WAVE 16-bit PCM files and [[audioWindows]] (mm4) computes
-  * its windowed statistics over samples parsed by [[Wav.decode]] — a
-  * genuine chunk walk with fmt validation and sign-extended
-  * little-endian samples. Video frame decode remains STUBBED (no codec
-  * libraries in this environment): [[FakeCodec.decode]] derives
-  * deterministic metadata from payload bytes, and swapping in a real
-  * decoder touches only that seam — the Spark-side contract (binary
+  * All three MEDIA payload paths run REAL codecs end-to-end:
+  *  - IMAGE: [[bmpTable]] renders each "image" document as an actual
+  *    24-bit BMP and the perceptual-hash queries (mm6/mm7) run
+  *    [[Bmp.decode]] — a genuine header/pixel-layout parse — then hash
+  *    the decoded 8×8 luma grid ([[Bmp.aHash64]]).
+  *  - AUDIO: [[wavTable]] renders the audio slice as actual RIFF/WAVE
+  *    16-bit PCM files and [[audioWindows]] (mm4) computes its windowed
+  *    statistics over samples parsed by [[Wav.decode]] — a genuine chunk
+  *    walk with fmt validation and sign-extended little-endian samples.
+  *  - VIDEO: [[aviTable]] renders the video slice as actual
+  *    uncompressed-DIB AVI files and [[frameStats]] (mm8) samples and
+  *    averages frames parsed by [[Avi.decode]] — a genuine nested
+  *    RIFF/LIST walk collecting 00db frame chunks.
+  * Only the METADATA decode (mm1/mm2) remains the documented stub seam:
+  * [[FakeCodec.decode]] derives deterministic metadata from payload
+  * bytes, standing in for a codec-library probe; swapping in a real
+  * prober touches only that function — the Spark-side contract (binary
   * column, schema, partition-batched execution, typed output) is
   * identical.
   */
@@ -167,6 +172,64 @@ object Multimodal {
               AudioWindow(id, i, w.length,
                 sum.toDouble / w.length,
                 math.sqrt(sumSq.toDouble / w.length))
+          }
+        }
+      }
+  }
+
+  /** The "video" slice of the corpus rendered as REAL AVI files: each
+    * document whose byte length n satisfies n % 3 == 2 (the slice
+    * [[FakeCodec]] labels "video") becomes an uncompressed-DIB AVI of
+    * (n%10+1) grayscale (n%16+8)×((n/3)%16+8) frames, where frame f's
+    * pixel at logical position p is text byte (p + f·7919) mod n. The
+    * generator is trivially mirrorable in SQL, which is what lets the
+    * oracle grade a REAL container parse: DuckDB recomputes every frame
+    * statistic from the formula, Spark recovers the same pixels by
+    * walking the actual nested RIFF/LIST structure ([[Avi.decode]]).
+    */
+  def aviTable(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("tb"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.collect { case (id, t) if t.length % 3 == 2 =>
+          val n = t.length
+          val w = n % 16 + 8
+          val h = (n / 3) % 16 + 8
+          val nf = n % 10 + 1
+          val frames = Array.tabulate(nf)(f =>
+            Array.tabulate(w * h)(p => t((p + f * 7919) % n) & 0xff))
+          (id, Avi.encode(w, h, frames))
+        }
+      }
+      .toDF("doc_id", "payload")
+  }
+
+  /** Per-sampled-frame statistics over a REAL container parse: decode the
+    * AVI ([[Avi.decode]]), keep every `stride`-th frame (the frame-sample
+    * step a video pipeline runs before feature extraction), and compute
+    * each kept frame's mean luma — integer pixel sum, one division per
+    * frame. One decoder context per partition.
+    */
+  final case class FrameStat(doc_id: Long, frame_idx: Int, n_px: Int,
+      mean_luma: Double)
+
+  def frameStats(s: SparkSession, payloads: DataFrame,
+      stride: Int = 3): Dataset[FrameStat] = {
+    import s.implicits._
+    payloads.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          val video = Avi.decode(bytes)
+          val npx = video.width * video.height
+          video.frames.iterator.zipWithIndex.collect {
+            case (fr, fi) if fi % stride == 0 =>
+              var sm = 0L
+              var p = 0
+              while (p < fr.length) { sm += fr(p); p += 1 }
+              FrameStat(id, fi, npx, sm.toDouble / npx)
           }
         }
       }
@@ -384,6 +447,40 @@ object Multimodal {
           .filter(col("hamming") <= 15)
           .select("doc_a", "doc_b", "hamming")
           .orderBy("doc_a", "doc_b")
+    },
+    QueryDef.sql(
+      "mm8_frame_decode",
+      // REAL container grading for video: the engine walks actual AVI
+      // files (nested RIFF LISTs, strf validation, 00db DIB frames) while
+      // the oracle recomputes every sampled frame's mean luma from the
+      // frame GENERATOR formula (pixel p of frame f = text byte
+      // (p + f·7919) mod n; gray BT.601 luma = the byte itself) — the
+      // container never reaches DuckDB, so any bug in the LIST walk,
+      // frame chunk collection, or bottom-up row layout hash-misses.
+      // Every 3rd frame is kept (the sampling step), mean over an exact
+      // integer pixel sum, one division per frame.
+      s"""WITH v AS (
+         |  SELECT doc_id, text, octet_length(encode(text)) AS n
+         |  FROM documents WHERE octet_length(encode(text)) % 3 = 2),
+         |m AS (SELECT doc_id, text, n, n % 16 + 8 AS w,
+         |    (n // 3) % 16 + 8 AS h, n % 10 + 1 AS nf FROM v),
+         |f AS (SELECT doc_id, text, n, w, h,
+         |    unnest(generate_series(0, nf - 1)) AS fi FROM m),
+         |px AS (
+         |  SELECT doc_id, CAST(fi AS INT) AS frame_idx,
+         |    CAST(w * h AS INT) AS n_px,
+         |    list_sum(list_transform(generate_series(0, w * h - 1),
+         |      p -> ascii(substring(text,
+         |        CAST((p + fi * 7919) % n AS INT) + 1, 1)))) AS sm
+         |  FROM f WHERE fi % 3 = 0)
+         |SELECT doc_id, frame_idx, n_px,
+         |  ${graft.Det.duckPortableRound(
+             "CAST(sm AS DOUBLE) / CAST(n_px AS DOUBLE)", 6)} AS mean_luma
+         |FROM px ORDER BY doc_id, frame_idx""".stripMargin) { (s, d) =>
+      frameStats(s, aviTable(s, d)).toDF()
+        .select(col("doc_id"), col("frame_idx"), col("n_px"),
+          graft.Det.portableRound(col("mean_luma"), 6).as("mean_luma"))
+        .orderBy("doc_id", "frame_idx")
     }
   )
 

@@ -107,6 +107,52 @@ class MultimodalBinarySpec extends SparkSpec {
     intercept[IllegalArgumentException](Wav.decode(stereo))
   }
 
+  test("Avi codec: frame round-trip, top-level JUNK skipped, " +
+      "compressed variants rejected") {
+    // an ASYMMETRIC frame: pixel value = logical position, so any
+    // row-order / bottom-up confusion in the DIB parse scrambles it
+    val w = 11; val h = 5 // odd width exercises the 4-byte row padding
+    val f0 = Array.tabulate(w * h)(p => p % 256)
+    val f1 = Array.tabulate(w * h)(p => (255 - p) % 256)
+    val enc = Avi.encode(w, h, Array(f0, f1))
+    val dec = Avi.decode(enc)
+    assert(dec.width == w && dec.height == h && dec.frames.length == 2)
+    assert(dec.frames(0).toSeq == f0.toSeq)
+    assert(dec.frames(1).toSeq == f1.toSeq)
+    // a JUNK chunk inserted between the RIFF form type and LIST hdrl:
+    // real writers pad with JUNK; a fixed-offset parser breaks here
+    val junk = Array[Byte]('J', 'U', 'N', 'K', 6, 0, 0, 0, 9, 9, 9, 9, 9, 9)
+    val withJunk = enc.take(12) ++ junk ++ enc.drop(12)
+    assert(Avi.decode(withJunk).frames(1).toSeq == f1.toSeq)
+    // compressed or non-24-bit DIBs are named errors, not misreads:
+    // the compression dword sits 24 bytes into the strf chunk
+    val strfAt = enc.indexOfSlice("strf".getBytes("US-ASCII"))
+    assert(strfAt > 0)
+    val compressed = enc.clone()
+    compressed(strfAt + 24) = 1 // BI_RLE8
+    intercept[IllegalArgumentException](Avi.decode(compressed))
+    intercept[IllegalArgumentException](Avi.decode(enc.take(40)))
+    intercept[IllegalArgumentException](
+      Avi.decode("RIFFxxxxWAVE".getBytes("US-ASCII")))
+  }
+
+  test("mm8 frame stats run over decoded AVI frames with the sampling " +
+      "stride") {
+    import spark.implicits._
+    val w = 9; val h = 4
+    // 7 frames of constant luma = 10*frame_idx: stride 3 keeps frames
+    // 0, 3, 6 with means 0, 30, 60
+    val frames = Array.tabulate(7)(f => Array.fill(w * h)(f * 10))
+    val dir = java.nio.file.Files.createTempDirectory("graft-avi").toString
+    Seq((42L, Avi.encode(w, h, frames))).toDF("doc_id", "payload")
+      .write.mode("overwrite").parquet(dir)
+    val got = Multimodal.frameStats(spark, spark.read.parquet(dir))
+      .collect().sortBy(_.frame_idx)
+    assert(got.map(_.frame_idx).toSeq == Seq(0, 3, 6))
+    assert(got.forall(_.n_px == w * h))
+    assert(got.map(_.mean_luma).toSeq == Seq(0.0, 30.0, 60.0))
+  }
+
   test("mm3/mm5 fan-outs run off binary-decoded metadata") {
     val meta = Multimodal.decodeAll(spark, spark.read.parquet(binDir)).toDF()
     val vidFrames = meta.filter(col("kind") === "video")
