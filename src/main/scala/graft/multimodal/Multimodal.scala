@@ -481,6 +481,63 @@ object Multimodal {
         .select(col("doc_id"), col("frame_idx"), col("n_px"),
           graft.Det.portableRound(col("mean_luma"), 6).as("mean_luma"))
         .orderBy("doc_id", "frame_idx")
+    },
+    QueryDef.sql(
+      "mm9_probe_meta",
+      // REAL metadata probing (the ffprobe step): magic-byte sniff, then
+      // the container's OWN header fields — BMP dims from the info
+      // header, WAV rate/samples from fmt + data chunk sizes, AVI
+      // dims/frame-count from avih — with media payloads never read.
+      // The oracle recomputes every field (including each container's
+      // exact encoded byte size) from the generator formulas; a probe
+      // reading the wrong header offset hash-misses. Slices overlap (a
+      // doc can be both the image and the audio slice), so the output
+      // keys on (doc_id, kind).
+      """WITH img AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS n FROM documents
+        |  WHERE octet_length(encode(text)) % 3 = 0
+        |    AND octet_length(encode(text)) > 0),
+        |aud AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS n FROM documents
+        |  WHERE doc_id % 3 = 1),
+        |vid AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS n FROM documents
+        |  WHERE octet_length(encode(text)) % 3 = 2),
+        |u AS (
+        |  SELECT doc_id, 'image' AS kind,
+        |    CAST(54 + 4 * ((3 * (n % 24 + 8) + 3) // 4)
+        |      * ((n // 7) % 24 + 8) AS BIGINT) AS n_bytes,
+        |    CAST(n % 24 + 8 AS INT) AS width,
+        |    CAST((n // 7) % 24 + 8 AS INT) AS height,
+        |    CAST(1 AS INT) AS n_frames, CAST(-1 AS INT) AS sample_rate,
+        |    CAST(-1 AS BIGINT) AS n_samples
+        |  FROM img
+        |  UNION ALL
+        |  SELECT doc_id, 'audio', CAST(44 + 2 * n AS BIGINT),
+        |    CAST(-1 AS INT), CAST(-1 AS INT), CAST(-1 AS INT),
+        |    CAST(8000 AS INT), CAST(n AS BIGINT)
+        |  FROM aud
+        |  UNION ALL
+        |  SELECT doc_id, 'video',
+        |    CAST(224 + (n % 10 + 1) * (8 + 4 * ((3 * (n % 16 + 8) + 3) // 4)
+        |      * ((n // 3) % 16 + 8)) AS BIGINT),
+        |    CAST(n % 16 + 8 AS INT), CAST((n // 3) % 16 + 8 AS INT),
+        |    CAST(n % 10 + 1 AS INT), CAST(-1 AS INT), CAST(-1 AS BIGINT)
+        |  FROM vid)
+        |SELECT doc_id, kind, n_bytes, width, height, n_frames,
+        |  sample_rate, n_samples
+        |FROM u ORDER BY doc_id, kind""".stripMargin) { (s, d) =>
+      import s.implicits._
+      bmpTable(s, d)
+        .unionByName(wavTable(s, d).filter(col("doc_id") % 3 === 1))
+        .unionByName(aviTable(s, d))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { rows =>
+          // one sniffing context per partition, headers only
+          rows.map { case (id, bytes) => Probe.probe(id, bytes) }
+        }
+        .toDF()
+        .orderBy("doc_id", "kind")
     }
   )
 

@@ -153,6 +153,33 @@ class MultimodalBinarySpec extends SparkSpec {
     assert(got.map(_.mean_luma).toSeq == Seq(0.0, 30.0, 60.0))
   }
 
+  test("Probe reads each container's OWN header fields, never guesses") {
+    val bmp = Bmp.encode(13, 7, p => p % 256)
+    val pb = Probe.probe(1L, bmp)
+    assert(pb.kind == "image" && pb.width == 13 && pb.height == 7 &&
+      pb.n_frames == 1 && pb.n_bytes == bmp.length)
+    val wav = Wav.encode(22050, Array.tabulate(321)(_.toShort))
+    val pw = Probe.probe(2L, wav)
+    assert(pw.kind == "audio" && pw.sample_rate == 22050 &&
+      pw.n_samples == 321 && pw.n_bytes == wav.length)
+    assert(pw.width == -1 && pw.n_frames == -1)
+    val avi = Avi.encode(9, 4, Array.fill(5)(Array.fill(36)(7)))
+    val pv = Probe.probe(3L, avi)
+    assert(pv.kind == "video" && pv.width == 9 && pv.height == 4 &&
+      pv.n_frames == 5 && pv.n_bytes == avi.length)
+    // foreign payloads are total-function 'unknown', never an exception:
+    // an ingest sweep must survive the first file it cannot place
+    Seq(png, bad, sweep, Array.empty[Byte]).zipWithIndex.foreach {
+      case (p, i) =>
+        val u = Probe.probe(100L + i, p)
+        assert(u.kind == "unknown" && u.n_bytes == p.length, u.toString)
+    }
+    // a RIFF form the probe does not know is unknown too, not misread
+    val odd = "RIFF".getBytes("US-ASCII") ++ Array[Byte](4, 0, 0, 0) ++
+      "ACON".getBytes("US-ASCII")
+    assert(Probe.probe(200L, odd).kind == "unknown")
+  }
+
   test("mm3/mm5 fan-outs run off binary-decoded metadata") {
     val meta = Multimodal.decodeAll(spark, spark.read.parquet(binDir)).toDF()
     val vidFrames = meta.filter(col("kind") === "video")
