@@ -30,6 +30,12 @@ import org.apache.spark.sql.functions._
   *          | m[.prop[, ...]], collect([DISTINCT] c.prop)
   *          | (after WITH) m.prop[, ...], alias
   *   [ORDER BY m.prop | count(c|*) | alias [ASC|DESC]] [SKIP n] [LIMIT n]
+  *
+  *   // two-step chain (bound middle variable):
+  *   MATCH (a[:L1] [{…}])-[[:R1][*1..K]]->(b[:L2] [{…}])-[[:R2][*1..K]]->(c[:L3] [{…}])
+  *   [WHERE (a|b|c).prop <op> lit [AND|OR ...]]
+  *   RETURN [DISTINCT] (a|b|c).prop[, ...]
+  *   [ORDER BY (a|b|c).prop [ASC|DESC]] [SKIP n] [LIMIT n]
   * }}}
   * `WITH <keys>, count(…) AS alias WHERE alias <op> n` is Cypher's
   * aggregate-then-filter pipeline (SQL's HAVING): grouping is by node
@@ -147,6 +153,34 @@ object CypherLite {
       withSpec: Option[WithSpec] = None) extends Statement
   final case class DetachDelete(tag: String) extends Statement
 
+  /** One node of a chain pattern: variable name, optional label, inline
+    * property map.
+    */
+  final case class ChainNode(v: String, label: Option[String],
+      props: Map[String, String])
+
+  /** `MATCH (a)-[r1]->(b)-[r2]->(c)` — the two-step chain pattern with a
+    * BOUND middle variable (LLMs emit this for every "X of Y of Z"
+    * prompt). Executed as two frontier expansions joined on the middle
+    * node's identity — never a per-row traversal. Bindings are distinct
+    * (a, b, c) node triples (path-existence semantics — the engine's
+    * expansion dedupes (root, node) pairs to min depth, so a pair
+    * reachable along several paths binds once).
+    *
+    *  - `conds`: DNF of (node index 0/1/2, comparison)
+    *  - `items`: projections as (node index, prop)
+    *  - `orderBy`: (node index, prop, descending)
+    */
+  final case class ChainReturn(
+      nodes: Seq[ChainNode],
+      rels: Seq[(Option[String], Int)], // (relType, max hops) per step
+      conds: Seq[Seq[(Int, Cond)]],
+      items: Seq[(Int, String)],
+      orderBy: Option[(Int, String, Boolean)],
+      skip: Option[Int],
+      limit: Option[Int],
+      distinct: Boolean) extends Statement
+
   // the shared MATCH-pattern prefix (matched node, optional hop pattern,
   // optional pattern-level WHERE) — both statement regexes build on it,
   // so the pattern grammar can never drift between the plain and the
@@ -187,6 +221,22 @@ object CypherLite {
   // one WITH item: the grouping variable/property or the aliased count
   private val WithCountRe =
     """(?is)\s*count\s*\(\s*(DISTINCT\s+)?(\*|\w+)\s*\)\s+AS\s+(\w+)\s*""".r
+
+  // MATCH (a)-[r1]->(b)-[r2]->(c) …: the two-step chain. The second hop
+  // arrow right after the middle node's paren is what distinguishes this
+  // from the single-hop forms (whose regexes require WHERE/WITH/RETURN
+  // there, so neither can swallow a chain).
+  private val ChainRe =
+    ("""(?is)\s*MATCH\s*\(\s*(\w+)\s*(?::\s*(\w+))?\s*(?:\{\s*([^}]*)\s*\})?\s*\)\s*""" +
+      """-\s*\[\s*(?::\s*(\w+)\s*)?(?:\*\s*1\s*\.\.\s*(\d+)\s*)?\]\s*->\s*""" +
+      """\(\s*(\w+)\s*(?::\s*(\w+))?\s*(?:\{\s*([^}]*)\s*\})?\s*\)\s*""" +
+      """-\s*\[\s*(?::\s*(\w+)\s*)?(?:\*\s*1\s*\.\.\s*(\d+)\s*)?\]\s*->\s*""" +
+      """\(\s*(\w+)\s*(?::\s*(\w+))?\s*(?:\{\s*([^}]*)\s*\})?\s*\)\s*""" +
+      """(?:WHERE\s+(.*?)\s*)?""" +
+      """RETURN\s+(DISTINCT\s+)?(.+?)\s*""" +
+      """(?:ORDER\s+BY\s+(\w+)\s*\.\s*(\w+)\s*(?:(ASC|DESC)\s*)?)?""" +
+      """(?:SKIP\s+(\d+)\s*)?""" +
+      """(?:LIMIT\s+(\d+))?\s*;?\s*""").r
 
   private val DeleteRe =
     """(?is)\s*MATCH\s*\(\s*(\w+)\s*\)\s*WHERE\s+\1\.(\w+)\s*=\s*true\s+DETACH\s+DELETE\s+\1\s*;?\s*""".r
@@ -250,58 +300,12 @@ object CypherLite {
         // standard precedence without parens: OR of AND-groups
         val groups = w.split("(?i)\\s+OR\\s+").toSeq
           .map(_.split("(?i)\\s+AND\\s+").toSeq)
-        // the literal is group 4 (quoted), group 5 (bare numeric), or
-        // group 6 (bracketed IN list); string predicates (STARTS WITH
-        // &c.) over a numeric literal are a type error, not a silent
-        // string coercion
-        def mk(prop: String, op0: String, str: String, num: String,
-            listStr: String, onConn: Boolean): Either[String, Cond] = {
-          // ops normalize to canonical form: the (?i) regex captures
-          // `starts   with` etc., condCol matches the literal.
-          // Locale.ROOT: the default locale would turn WITH into
-          // WİTH (dotted capital I) under tr/az and miss every case
-          val op = op0.toUpperCase(java.util.Locale.ROOT)
-            .replaceAll("\\s+", " ")
-          if (op == "IN") {
-            if (listStr == null)
-              Left("IN requires a bracketed list: IN ['a', 'b'] or IN [1, 2]")
-            else {
-              // empty list is valid Cypher (`IN []` matches nothing);
-              // elements split on commas — a quoted element containing a
-              // comma shreds into unparseable pieces and errors loudly
-              val pieces =
-                if (listStr.trim.isEmpty) Seq.empty[String]
-                else listStr.split(",", -1).toSeq
-              val parsed = pieces.map {
-                case ListStrRe(s) => Right((s, false))
-                case ListNumRe(n) => Right((n, true))
-                case bad => Left("unparseable IN-list element: " +
-                  s"'${bad.trim.take(40)}'")
-              }
-              parsed.collectFirst { case Left(e) => Left(e) }.getOrElse {
-                val elems = parsed.collect { case Right(e) => e }
-                if (elems.map(_._2).distinct.sizeIs > 1)
-                  Left("IN list must be all-string or all-numeric")
-                else Right(Cond(prop, "IN", "", onConn,
-                  numeric = elems.headOption.exists(_._2),
-                  values = elems.map(_._1)))
-              }
-            }
-          }
-          else if (listStr != null)
-            Left(s"a bracketed list is only valid with IN, got $op")
-          else if (num != null && !ComparisonOps(op))
-            Left(s"$op requires a quoted string literal, got $num")
-          else if (num != null)
-            Right(Cond(prop, op, num, onConn, numeric = true))
-          else Right(Cond(prop, op, str, onConn))
-        }
         val parsed = groups.map { parts =>
           val cs = parts.map {
             case CondRe(v, prop, op, str, num, list) if v == m =>
-              mk(prop, op, str, num, list, onConn = false)
+              mkCond(prop, op, str, num, list)
             case CondRe(v, prop, op, str, num, list) if conn.contains(v) =>
-              mk(prop, op, str, num, list, onConn = true)
+              mkCond(prop, op, str, num, list).map(_.copy(onConn = true))
             case CondRe(v, _, _, _, _, _) =>
               Left(s"WHERE may only reference the matched variable '$m'" +
                 conn.fold("")(c => s" or the connected variable '$c'") +
@@ -315,6 +319,52 @@ object CypherLite {
         parsed.collectFirst { case Left(e) => Left(e) }
           .getOrElse(Right((parsed.collect { case Right(g) => g }, None)))
     }
+
+  /** One comparison from its regex pieces — the literal is either quoted
+    * (string comparison), a bare numeric, or a bracketed IN list; string
+    * predicates (STARTS WITH &c.) over a numeric literal are a type
+    * error, not a silent string coercion. Ops normalize to canonical form
+    * under Locale.ROOT (the default locale would turn WITH into WİTH
+    * under tr/az and miss every case).
+    */
+  private def mkCond(prop: String, op0: String, str: String, num: String,
+      listStr: String): Either[String, Cond] = {
+    val op = op0.toUpperCase(java.util.Locale.ROOT)
+      .replaceAll("\\s+", " ")
+    if (op == "IN") {
+      if (listStr == null)
+        Left("IN requires a bracketed list: IN ['a', 'b'] or IN [1, 2]")
+      else {
+        // empty list is valid Cypher (`IN []` matches nothing); elements
+        // split on commas — a quoted element containing a comma shreds
+        // into unparseable pieces and errors loudly
+        val pieces =
+          if (listStr.trim.isEmpty) Seq.empty[String]
+          else listStr.split(",", -1).toSeq
+        val parsed = pieces.map {
+          case ListStrRe(s) => Right((s, false))
+          case ListNumRe(n) => Right((n, true))
+          case bad => Left("unparseable IN-list element: " +
+            s"'${bad.trim.take(40)}'")
+        }
+        parsed.collectFirst { case Left(e) => Left(e) }.getOrElse {
+          val elems = parsed.collect { case Right(e) => e }
+          if (elems.map(_._2).distinct.sizeIs > 1)
+            Left("IN list must be all-string or all-numeric")
+          else Right(Cond(prop, "IN", "",
+            numeric = elems.headOption.exists(_._2),
+            values = elems.map(_._1)))
+        }
+      }
+    }
+    else if (listStr != null)
+      Left(s"a bracketed list is only valid with IN, got $op")
+    else if (num != null && !ComparisonOps(op))
+      Left(s"$op requires a quoted string literal, got $num")
+    else if (num != null)
+      Right(Cond(prop, op, num, numeric = true))
+    else Right(Cond(prop, op, str))
+  }
 
   /** `(c:Label)` / `(c {prop: 'v'})` pattern sugar: desugars to equality
     * conditions on the connected variable, AND-distributed into EVERY
@@ -335,6 +385,82 @@ object CypherLite {
 
   def parse(query: String): Either[String, Statement] = query match {
     case DeleteRe(_, tag) => Right(DetachDelete(tag))
+    case ChainRe(v1, l1, p1, r1, k1, v2, l2, p2, r2, k2, v3, l3, p3,
+        whereStr, distinctKw, retStr, obVar, obProp, obDir, skipStr,
+        limitStr) =>
+      val nodes = Seq((v1, l1, p1), (v2, l2, p2), (v3, l3, p3)).map {
+        case (v, l, ps) => ChainNode(v, Option(l),
+          Option(ps).toSeq.flatMap(s => PropRe.findAllMatchIn(s)
+            .map(p => p.group(1) -> p.group(2))).toMap)
+      }
+      val varIdx = nodes.map(_.v).zipWithIndex.toMap
+      val rels = Seq(
+        (Option(r1), Option(k1).map(_.toInt).getOrElse(1)),
+        (Option(r2), Option(k2).map(_.toInt).getOrElse(1)))
+      val condsE: Either[String, Seq[Seq[(Int, Cond)]]] =
+        Option(whereStr).map(_.trim).filter(_.nonEmpty) match {
+          case None => Right(Seq.empty)
+          case Some(w) =>
+            val groups = w.split("(?i)\\s+OR\\s+").toSeq
+              .map(_.split("(?i)\\s+AND\\s+").toSeq)
+            val parsed = groups.map { parts =>
+              val cs = parts.map {
+                case CondRe(v, prop, op, str, num, list)
+                    if varIdx.contains(v) =>
+                  mkCond(prop, op, str, num, list).map(varIdx(v) -> _)
+                case CondRe(v, _, _, _, _, _) =>
+                  Left(s"WHERE may only reference the chain variables " +
+                    s"${nodes.map(_.v).mkString(", ")}, got '$v'")
+                case other =>
+                  Left(s"unsupported WHERE condition: ${other.take(80)}")
+              }
+              cs.collectFirst { case Left(e) => Left(e) }
+                .getOrElse(Right(cs.collect { case Right(c) => c }))
+            }
+            parsed.collectFirst { case Left(e) => Left(e) }
+              .getOrElse(Right(parsed.collect { case Right(g) => g }))
+        }
+      val itemsE: Either[String, Seq[(Int, String)]] = {
+        val parsed = retStr.split(",").toSeq.map {
+          case VarPropRe(v, p) if varIdx.contains(v) =>
+            Right(varIdx(v) -> p)
+          case other => Left("a chain RETURN projects properties " +
+            s"(${nodes.map(_.v + ".<prop>").mkString(", ")}), got " +
+            s"'${other.trim.take(40)}'")
+        }
+        parsed.collectFirst { case Left(e) => Left(e) }
+          .getOrElse(Right(parsed.collect { case Right(i) => i }))
+      }
+      for {
+        _ <- if (nodes.map(_.v).distinct.size != 3)
+          Left("chain variables must be distinct, got " +
+            nodes.map(_.v).mkString(", "))
+        else Right(())
+        conds <- condsE
+        items <- itemsE
+        _ <- if (items.isEmpty) Left("RETURN needs at least one item")
+        else Right(())
+        ob <- (Option(obVar), Option(obProp)) match {
+          case (None, _) => Right(None)
+          case (Some(v), Some(p)) if varIdx.contains(v) =>
+            Right(Some((varIdx(v), p,
+              Option(obDir).exists(_.equalsIgnoreCase("DESC")))))
+          case (Some(v), _) =>
+            Left(s"ORDER BY may only reference the chain variables, " +
+              s"got '$v'")
+        }
+        _ <- ob match {
+          case Some((i, p, _)) if !items.contains((i, p)) =>
+            Left(s"ORDER BY key '${nodes(i).v}.$p' must be among the " +
+              "returned properties")
+          case _ => Right(())
+        }
+        _ <- if (skipStr != null && ob.isEmpty)
+          Left("SKIP requires ORDER BY")
+        else Right(())
+      } yield ChainReturn(nodes, rels, conds, items, ob,
+        Option(skipStr).map(_.toInt), Option(limitStr).map(_.toInt),
+        distinctKw != null)
     case WithRe(m, label, propsStr, optVar, relType, hopsStr, connVar,
         connLabel, connPropsStr, whereStr, withItems, havVar, havOp, havNum,
         distinctKw, retStr, obVar, obProp, obBare, obDir, skipStr,
@@ -622,6 +748,62 @@ object CypherLite {
   /** Ops meaningful over a numeric literal (the string predicates are not). */
   private val ComparisonOps = Set("=", "<>", "<", "<=", ">", ">=")
 
+  /** Execute a two-step chain: two frontier expansions (one per hop
+    * step) joined on the middle node's identity, then one node-side join
+    * per variable for exactly the properties the query touches. The
+    * middle variable's constraints ride the SECOND expansion's root
+    * predicate (so the id-join enforces them on both sides); the tail's
+    * constraints are a semi-join against the filtered node relation.
+    * Pure-single-variable WHERE conjuncts reference one side's columns
+    * only, so Catalyst pushes them below the joins — no hand-scheduling.
+    */
+  private def runChain(g: GraphTables, ch: ChainReturn): DataFrame = {
+    def pred(n: ChainNode): Column =
+      (n.label.map(col("label") === _).toSeq ++
+        n.props.map { case (k, v) => col(k) === v })
+        .reduceOption(_ && _).getOrElse(lit(true))
+    def relF(r: (Option[String], Int)): Column =
+      r._1.map(col("relType") === _)
+        .getOrElse(col("relType").startsWith("HAS_"))
+    val ab = GraphOps.neighborhoodWhereKeyed(g, pred(ch.nodes(0)),
+        ch.rels(0)._2, relF(ch.rels(0)))
+      .select(col("root_id").as("id0"), col("c_id").as("id1"))
+    val bc = GraphOps.neighborhoodWhereKeyed(g, pred(ch.nodes(1)),
+        ch.rels(1)._2, relF(ch.rels(1)))
+      .select(col("root_id").as("id1"), col("c_id").as("id2"))
+    val tailOk = g.nodes.filter(pred(ch.nodes(2)))
+      .select(col("id").as("id2"))
+    val triples = ab.join(bc, "id1").join(tailOk, Seq("id2"), "left_semi")
+    // node-side columns per variable: exactly what RETURN/WHERE/ORDER BY
+    // touch, named <var>_<prop>
+    def neededProps(i: Int): Seq[String] =
+      (ch.items.collect { case (j, p) if j == i => p } ++
+        ch.conds.flatten.collect { case (j, cd) if j == i => cd.prop } ++
+        ch.orderBy.toSeq.collect { case (j, p, _) if j == i => p }).distinct
+    val joined = (0 to 2).foldLeft(triples) { (df, i) =>
+      val props = neededProps(i)
+      if (props.isEmpty) df
+      else df.join(g.nodes.select(col("id").as(s"id$i") +:
+        props.map(p => col(p).as(s"${ch.nodes(i).v}_$p")): _*), s"id$i")
+    }
+    val filt = ch.conds.map(_.map { case (i, cd) =>
+        condCol(cd, col(s"${ch.nodes(i).v}_${cd.prop}"))
+      }.reduceOption(_ && _).getOrElse(lit(true)))
+      .reduceOption(_ || _).getOrElse(lit(true))
+    val out = ch.items.map { case (i, p) => s"${ch.nodes(i).v}_$p" }.distinct
+    val projected = joined.filter(filt).select(out.map(col): _*)
+    val deduped = if (ch.distinct) projected.distinct() else projected
+    val ordered = ch.orderBy match {
+      case Some((i, p, desc)) =>
+        val key = s"${ch.nodes(i).v}_$p"
+        val head = if (desc) col(key).desc else col(key).asc
+        deduped.orderBy(head +: out.filterNot(_ == key).map(col): _*)
+      case None => deduped.orderBy(out.map(col): _*)
+    }
+    val skipped = ch.skip.map(ordered.offset).getOrElse(ordered)
+    ch.limit.map(skipped.limit).getOrElse(skipped)
+  }
+
   /** One numeric comparison column (the WHERE-after-WITH filter). */
   private def numCmp(c: Column, op: String, v: Double): Column = op match {
     case "=" => c === v
@@ -674,6 +856,16 @@ object CypherLite {
     */
   def run(g: GraphTables, query: String): Either[String, DataFrame] =
     parse(query).flatMap {
+      case ch: ChainReturn =>
+        ch.nodes.flatMap(_.props.keys).find(!SupportedProps(_))
+          .map(k => Left(s"unsupported property: $k " +
+            s"(supported: ${SupportedProps.toSeq.sorted.mkString(", ")})"))
+          .orElse((ch.conds.flatten.map(_._2.prop) ++ ch.items.map(_._2)
+              ++ ch.orderBy.map(_._2).toSeq)
+            .find(!ProjectableProps(_))
+            .map(k => Left(s"unsupported projection property: $k " +
+              s"(supported: ${ProjectableProps.toSeq.sorted.mkString(", ")})")))
+          .getOrElse(Right(runChain(g, ch)))
       case DetachDelete(tag) =>
         // the reference's boolean tag ≙ our batch lineage column
         val after = GraphOps.dropBatch(g, tag)

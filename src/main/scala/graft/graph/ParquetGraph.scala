@@ -1219,6 +1219,49 @@ object ParquetGraph {
         .fold(err => throw new IllegalArgumentException(err), identity)
     },
 
+    // B6 CypherLite twin: the two-step chain pattern with a bound middle
+    // variable — "customers of nations of regions", the canonical "X of
+    // Y of Z" LLM emission. Two frontier expansions joined on the middle
+    // node id; the tail WHERE prunes ~90% of bindings so the filter does
+    // real work. Output columns carry the QUERY's variable names.
+    QueryDef.sql(
+      "graphp_cypher_chain",
+      """SELECT r_name AS r_name, n_name AS n_name,
+        |  CAST(c_custkey AS VARCHAR) AS cu_name
+        |FROM region JOIN nation ON n_regionkey = r_regionkey
+        |JOIN customer ON c_nationkey = n_nationkey
+        |WHERE CAST(c_custkey AS VARCHAR) LIKE '%7'
+        |ORDER BY r_name, n_name, cu_name""".stripMargin) { (s, d) =>
+      CypherLite.run(hierarchy(s, d),
+        "MATCH (r:Region)-[:HAS_NATION]->(n:Nation)" +
+          "-[:HAS_CUSTOMER]->(cu:Customer) " +
+          "WHERE cu.name ENDS WITH '7' RETURN r.name, n.name, cu.name")
+        .fold(err => throw new IllegalArgumentException(err), identity)
+    },
+
+    // B6 CypherLite twin: chain with a RANGED second step and an
+    // unconstrained tail — `(r)-[*1..1]->(n:Nation)-[*1..2]->(x)` reaches
+    // customers at depth 1 and orders at depth 2, so RETURN DISTINCT
+    // collapses the fan-out to (region, label) pairs. An implementation
+    // that ran the ranged step as exactly-2-hops (or leaked bag
+    // duplicates through DISTINCT) answers differently and hash-misses.
+    QueryDef.sql(
+      "graphp_cypher_chain_ranged",
+      """SELECT DISTINCT r_name AS r_name, 'Customer' AS x_label
+        |FROM region JOIN nation ON n_regionkey = r_regionkey
+        |JOIN customer ON c_nationkey = n_nationkey
+        |UNION
+        |SELECT DISTINCT r_name, 'Order'
+        |FROM region JOIN nation ON n_regionkey = r_regionkey
+        |JOIN customer ON c_nationkey = n_nationkey
+        |JOIN orders ON o_custkey = c_custkey
+        |ORDER BY r_name, x_label""".stripMargin) { (s, d) =>
+      CypherLite.run(hierarchy(s, d),
+        "MATCH (r:Region)-[*1..1]->(n:Nation)-[*1..2]->(x) " +
+          "RETURN DISTINCT r.name, x.label")
+        .fold(err => throw new IllegalArgumentException(err), identity)
+    },
+
     // B9 viz-export twin: (src name, relType, dst name) renderer feed.
     QueryDef.sql(
       "graphp_viz_export",

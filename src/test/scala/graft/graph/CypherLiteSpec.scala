@@ -762,6 +762,60 @@ class CypherLiteSpec extends SparkSpec {
     assert(ored == Set("9", "ALPHA"))
   }
 
+  test("chain pattern binds the middle variable: (a)->(b)->(c) equals " +
+      "the depth-2 expansion on a containment tree") {
+    val chain = CypherLite.run(g,
+      "MATCH (a:Boeing_Service_Bulletin)-[*1..1]->(b)-[*1..1]->(c) " +
+        "RETURN a.docnbr, c.name").fold(e => fail(e), identity)
+    // on a tree, paths of exactly two HAS_ edges reach exactly the
+    // depth-2 nodes of the 2-hop expansion
+    val depth2 = GraphOps.neighborhoodWhereKeyed(g,
+        col("label") === "Boeing_Service_Bulletin", 2)
+      .filter(col("depth") === 2).count()
+    assert(chain.count() == depth2 && depth2 > 0)
+  }
+
+  test("chain WHERE filters any variable; OR spans variables") {
+    val all = CypherLite.run(g,
+      "MATCH (a:Boeing_Service_Bulletin)-[*1..1]->(b)-[*1..1]->(c) " +
+        "RETURN b.label, c.label").fold(e => fail(e), identity).collect()
+    val mid = CypherLite.run(g,
+      "MATCH (a:Boeing_Service_Bulletin)-[*1..1]->(b)-[*1..1]->(c) " +
+        "WHERE b.label = 'Summary' RETURN b.label, c.label")
+      .fold(e => fail(e), identity).collect()
+    assert(mid.nonEmpty && mid.length < all.length)
+    assert(mid.forall(_.getString(0) == "Summary"))
+    // the OR's second branch must add rows the first alone misses: pick
+    // a c-label that occurs under non-Summary middles too
+    val cLabel = all.filter(_.getString(0) != "Summary")
+      .map(_.getString(1)).headOption.getOrElse(fail("fixture too flat"))
+    val ored = CypherLite.run(g,
+      "MATCH (a:Boeing_Service_Bulletin)-[*1..1]->(b)-[*1..1]->(c) " +
+        s"WHERE b.label = 'Summary' OR c.label = '$cLabel' " +
+        "RETURN b.label, c.label").fold(e => fail(e), identity).collect()
+    val expect = all.count(r =>
+      r.getString(0) == "Summary" || r.getString(1) == cLabel)
+    assert(ored.length == expect && ored.length > mid.length)
+  }
+
+  test("chain rejections: duplicate variables, foreign WHERE/RETURN " +
+      "vars, unordered SKIP") {
+    val dup = CypherLite.parse(
+      "MATCH (a:X)-[*1..1]->(a)-[*1..1]->(c) RETURN a.name")
+    assert(dup.isLeft && dup.swap.toOption.get.contains("distinct"),
+      dup.toString)
+    val foreign = CypherLite.parse(
+      "MATCH (a:X)-[*1..1]->(b)-[*1..1]->(c) WHERE q.name = 'x' " +
+        "RETURN a.name")
+    assert(foreign.isLeft &&
+      foreign.swap.toOption.get.contains("chain variables"),
+      foreign.toString)
+    val skip = CypherLite.parse(
+      "MATCH (a:X)-[*1..1]->(b)-[*1..1]->(c) RETURN a.name SKIP 2")
+    assert(skip.isLeft && skip.swap.toOption.get.contains("ORDER BY"),
+      skip.toString)
+  }
+
   test("malformed IN lists are rejected with named errors") {
     val mixed = CypherLite.parse(
       "MATCH (m:Doc) WHERE m.name IN ['a', 2] RETURN m.name")
