@@ -768,12 +768,19 @@ object CypherLite {
     val ab = GraphOps.neighborhoodWhereKeyed(g, pred(ch.nodes(0)),
         ch.rels(0)._2, relF(ch.rels(0)))
       .select(col("root_id").as("id0"), col("c_id").as("id1"))
-    val bc = GraphOps.neighborhoodWhereKeyed(g, pred(ch.nodes(1)),
-        ch.rels(1)._2, relF(ch.rels(1)))
-      .select(col("root_id").as("id1"), col("c_id").as("id2"))
+    // the second expansion's frontier is the set of middles the FIRST
+    // step actually reached (∩ the middle constraints) — not every node
+    // matching the middle's label. On a selective head pattern this
+    // shrinks the second traversal by orders of magnitude.
+    val bOk = g.nodes.filter(pred(ch.nodes(1))).select(col("id").as("id1"))
+    val abf = ab.join(bOk, Seq("id1"), "left_semi")
+    val bRoots = abf.select(col("id1").as("root_id")).distinct()
+    val bc = GraphOps.kHop(g, bRoots, ch.rels(1)._2, relF(ch.rels(1)))
+      .filter(col("depth") > 0)
+      .select(col("root_id").as("id1"), col("node_id").as("id2"))
     val tailOk = g.nodes.filter(pred(ch.nodes(2)))
       .select(col("id").as("id2"))
-    val triples = ab.join(bc, "id1").join(tailOk, Seq("id2"), "left_semi")
+    val triples = abf.join(bc, "id1").join(tailOk, Seq("id2"), "left_semi")
     // node-side columns per variable: exactly what RETURN/WHERE/ORDER BY
     // touch, named <var>_<prop>
     def neededProps(i: Int): Seq[String] =
