@@ -64,8 +64,11 @@ class ScaleCurveSpec extends SparkSpec {
         "in this plan")
   }
 
+  // l38/l40 (round 8): token-salting keeps each copy's bigram/unigram
+  // vocabulary disjoint, so the word-keyed shuffles grow linearly in
+  // keys — exactly the property the curve must confirm
   for (q <- Seq("l2_minhash_lsh", "l2c_ngram_jaccard", "l30_dup_spans",
-      "l34_verified_neardup")) {
+      "l34_verified_neardup", "l38_lm_perplexity", "l40_slice_drift")) {
     test(s"$q wall-time grows ~linearly from 1x to 10x corpus") {
       val run = SparkEntry.queries(q)
       run(spark, dir1x).count() // warm-up: JIT + codegen + footer caches
