@@ -179,7 +179,11 @@ object CypherLite {
       orderBy: Option[(Int, String, Boolean)],
       skip: Option[Int],
       limit: Option[Int],
-      distinct: Boolean) extends Statement
+      distinct: Boolean,
+      // count([DISTINCT] v) over the chain bindings, grouped by `items`
+      // (Cypher's grouping rule); output column `n_<var>`. ORDER BY
+      // count(v) is encoded as orderBy index -1 with the count column.
+      countVar: Option[(Int, Boolean)] = None) extends Statement
 
   // the shared MATCH-pattern prefix (matched node, optional hop pattern,
   // optional pattern-level WHERE) — both statement regexes build on it,
@@ -234,7 +238,7 @@ object CypherLite {
       """\(\s*(\w+)\s*(?::\s*(\w+))?\s*(?:\{\s*([^}]*)\s*\})?\s*\)\s*""" +
       """(?:WHERE\s+(.*?)\s*)?""" +
       """RETURN\s+(DISTINCT\s+)?(.+?)\s*""" +
-      """(?:ORDER\s+BY\s+(\w+)\s*\.\s*(\w+)\s*(?:(ASC|DESC)\s*)?)?""" +
+      """(?:ORDER\s+BY\s+(?:(\w+)\s*\.\s*(\w+)|count\s*\(\s*(?:DISTINCT\s+)?(\w+)\s*\))\s*(?:(ASC|DESC)\s*)?)?""" +
       """(?:SKIP\s+(\d+)\s*)?""" +
       """(?:LIMIT\s+(\d+))?\s*;?\s*""").r
 
@@ -386,8 +390,8 @@ object CypherLite {
   def parse(query: String): Either[String, Statement] = query match {
     case DeleteRe(_, tag) => Right(DetachDelete(tag))
     case ChainRe(v1, l1, p1, r1, k1, v2, l2, p2, r2, k2, v3, l3, p3,
-        whereStr, distinctKw, retStr, obVar, obProp, obDir, skipStr,
-        limitStr) =>
+        whereStr, distinctKw, retStr, obVar, obProp, obCountVar, obDir,
+        skipStr, limitStr) =>
       val nodes = Seq((v1, l1, p1), (v2, l2, p2), (v3, l3, p3)).map {
         case (v, l, ps) => ChainNode(v, Option(l),
           Option(ps).toSeq.flatMap(s => PropRe.findAllMatchIn(s)
@@ -420,16 +424,25 @@ object CypherLite {
             parsed.collectFirst { case Left(e) => Left(e) }
               .getOrElse(Right(parsed.collect { case Right(g) => g }))
         }
-      val itemsE: Either[String, Seq[(Int, String)]] = {
+      // RETURN items: property projections plus at most one
+      // count([DISTINCT] v) aggregate over the bindings
+      val itemsE: Either[String,
+          (Seq[(Int, String)], Seq[(Int, Boolean)])] = {
         val parsed = retStr.split(",").toSeq.map {
           case VarPropRe(v, p) if varIdx.contains(v) =>
-            Right(varIdx(v) -> p)
+            Right(Left(varIdx(v) -> p))
+          case CountRe(dk, v) if varIdx.contains(v) =>
+            Right(Right(varIdx(v) -> (dk != null)))
+          case CountRe(_, v) => Left(s"count() may only aggregate a " +
+            s"chain variable (${nodes.map(_.v).mkString(", ")}), got '$v'")
           case other => Left("a chain RETURN projects properties " +
-            s"(${nodes.map(_.v + ".<prop>").mkString(", ")}), got " +
-            s"'${other.trim.take(40)}'")
+            s"(${nodes.map(_.v + ".<prop>").mkString(", ")}) or " +
+            s"count(<var>), got '${other.trim.take(40)}'")
         }
         parsed.collectFirst { case Left(e) => Left(e) }
-          .getOrElse(Right(parsed.collect { case Right(i) => i }))
+          .getOrElse(Right((
+            parsed.collect { case Right(Left(i)) => i },
+            parsed.collect { case Right(Right(c)) => c })))
       }
       for {
         _ <- if (nodes.map(_.v).distinct.size != 3)
@@ -437,20 +450,34 @@ object CypherLite {
             nodes.map(_.v).mkString(", "))
         else Right(())
         conds <- condsE
-        items <- itemsE
-        _ <- if (items.isEmpty) Left("RETURN needs at least one item")
+        parsedItems <- itemsE
+        (items, counts) = parsedItems
+        _ <- if (counts.size > 1)
+          Left("at most one count() per chain query")
         else Right(())
-        ob <- (Option(obVar), Option(obProp)) match {
-          case (None, _) => Right(None)
-          case (Some(v), Some(p)) if varIdx.contains(v) =>
-            Right(Some((varIdx(v), p,
-              Option(obDir).exists(_.equalsIgnoreCase("DESC")))))
-          case (Some(v), _) =>
+        _ <- if (items.isEmpty)
+          Left(if (counts.nonEmpty)
+            "a chain count() requires a grouping property"
+          else "RETURN needs at least one item")
+        else Right(())
+        desc = Option(obDir).exists(_.equalsIgnoreCase("DESC"))
+        ob <- (Option(obVar), Option(obProp), Option(obCountVar)) match {
+          case (None, _, None) => Right(None)
+          case (Some(v), Some(p), _) if varIdx.contains(v) =>
+            Right(Some((varIdx(v), p, desc)))
+          case (Some(v), _, _) =>
             Left(s"ORDER BY may only reference the chain variables, " +
               s"got '$v'")
+          // ORDER BY count(v): sort groups by the aggregate — encoded
+          // with index -1, resolved to the count column in runChain
+          case (None, _, Some(v))
+              if counts.exists(c => c._1 == varIdx.getOrElse(v, -2)) =>
+            Right(Some((-1, "count", desc)))
+          case (None, _, Some(v)) =>
+            Left(s"ORDER BY count($v) requires count($v) in RETURN")
         }
         _ <- ob match {
-          case Some((i, p, _)) if !items.contains((i, p)) =>
+          case Some((i, p, _)) if i >= 0 && !items.contains((i, p)) =>
             Left(s"ORDER BY key '${nodes(i).v}.$p' must be among the " +
               "returned properties")
           case _ => Right(())
@@ -460,7 +487,7 @@ object CypherLite {
         else Right(())
       } yield ChainReturn(nodes, rels, conds, items, ob,
         Option(skipStr).map(_.toInt), Option(limitStr).map(_.toInt),
-        distinctKw != null)
+        distinctKw != null, counts.headOption)
     case WithRe(m, label, propsStr, optVar, relType, hopsStr, connVar,
         connLabel, connPropsStr, whereStr, withItems, havVar, havOp, havNum,
         distinctKw, retStr, obVar, obProp, obBare, obDir, skipStr,
@@ -798,11 +825,25 @@ object CypherLite {
       }.reduceOption(_ && _).getOrElse(lit(true)))
       .reduceOption(_ || _).getOrElse(lit(true))
     val out = ch.items.map { case (i, p) => s"${ch.nodes(i).v}_$p" }.distinct
-    val projected = joined.filter(filt).select(out.map(col): _*)
-    val deduped = if (ch.distinct) projected.distinct() else projected
+    val filtered = joined.filter(filt)
+    val deduped = ch.countVar match {
+      case Some((ci, dk)) =>
+        // count([DISTINCT] v) grouped by the projected properties
+        // (Cypher's grouping rule); bindings are distinct triples, so a
+        // plain count tallies bindings and DISTINCT tallies distinct
+        // nodes of the counted variable per group
+        val cc = if (dk) countDistinct(col(s"id$ci"))
+          else count(col(s"id$ci"))
+        filtered.groupBy(out.map(col): _*)
+          .agg(cc.as(s"n_${ch.nodes(ci).v}"))
+      case None =>
+        val projected = filtered.select(out.map(col): _*)
+        if (ch.distinct) projected.distinct() else projected
+    }
     val ordered = ch.orderBy match {
       case Some((i, p, desc)) =>
-        val key = s"${ch.nodes(i).v}_$p"
+        val key = if (i < 0) s"n_${ch.nodes(ch.countVar.get._1).v}"
+          else s"${ch.nodes(i).v}_$p"
         val head = if (desc) col(key).desc else col(key).asc
         deduped.orderBy(head +: out.filterNot(_ == key).map(col): _*)
       case None => deduped.orderBy(out.map(col): _*)
@@ -868,7 +909,8 @@ object CypherLite {
           .map(k => Left(s"unsupported property: $k " +
             s"(supported: ${SupportedProps.toSeq.sorted.mkString(", ")})"))
           .orElse((ch.conds.flatten.map(_._2.prop) ++ ch.items.map(_._2)
-              ++ ch.orderBy.map(_._2).toSeq)
+              // index -1 = the ORDER BY count(v) pseudo-key, not a prop
+              ++ ch.orderBy.filter(_._1 >= 0).map(_._2).toSeq)
             .find(!ProjectableProps(_))
             .map(k => Left(s"unsupported projection property: $k " +
               s"(supported: ${ProjectableProps.toSeq.sorted.mkString(", ")})")))

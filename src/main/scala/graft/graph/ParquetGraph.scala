@@ -1262,6 +1262,24 @@ object ParquetGraph {
         .fold(err => throw new IllegalArgumentException(err), identity)
     },
 
+    // B6 CypherLite twin: aggregate over the chain — "top nations by
+    // customer count" through the full region→nation→customer pattern,
+    // grouped by the middle variable's property with ORDER BY the
+    // aggregate (ties broken by the grouping key on both engines).
+    QueryDef.sql(
+      "graphp_cypher_chain_count",
+      """SELECT n_name AS n_name, CAST(count(*) AS BIGINT) AS n_cu
+        |FROM region JOIN nation ON n_regionkey = r_regionkey
+        |JOIN customer ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_cu DESC, n_name LIMIT 5""".stripMargin) {
+      (s, d) =>
+        CypherLite.run(hierarchy(s, d),
+          "MATCH (r:Region)-[:HAS_NATION]->(n:Nation)" +
+            "-[:HAS_CUSTOMER]->(cu:Customer) " +
+            "RETURN n.name, count(cu) ORDER BY count(cu) DESC LIMIT 5")
+          .fold(err => throw new IllegalArgumentException(err), identity)
+    },
+
     // B9 viz-export twin: (src name, relType, dst name) renderer feed.
     QueryDef.sql(
       "graphp_viz_export",

@@ -798,6 +798,30 @@ class CypherLiteSpec extends SparkSpec {
     assert(ored.length == expect && ored.length > mid.length)
   }
 
+  test("chain count() tallies bindings per group; DISTINCT tallies " +
+      "distinct nodes of the counted variable") {
+    val triples = CypherLite.run(g,
+      "MATCH (a:Boeing_Service_Bulletin)-[*1..1]->(b)-[*1..1]->(c) " +
+        "RETURN a.docnbr, b.label, c.label").fold(e => fail(e), identity)
+      .collect()
+    val plain = CypherLite.run(g,
+      "MATCH (a:Boeing_Service_Bulletin)-[*1..1]->(b)-[*1..1]->(c) " +
+        "RETURN a.docnbr, count(c)").fold(e => fail(e), identity)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val byRoot = triples.groupBy(_.getString(0))
+    assert(plain == byRoot.view.mapValues(_.length.toLong).toMap)
+    // count(DISTINCT b): middles with at least one child, per root
+    val distinctMid = CypherLite.run(g,
+      "MATCH (a:Boeing_Service_Bulletin)-[*1..1]->(b)-[*1..1]->(c) " +
+        "RETURN a.docnbr, count(DISTINCT b)").fold(e => fail(e), identity)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // on the corpus every root has more bindings than distinct middles
+    assert(distinctMid.keySet == plain.keySet)
+    assert(distinctMid.forall { case (k, v) => v <= plain(k) })
+    assert(distinctMid.exists { case (k, v) => v < plain(k) },
+      s"fixture too flat to distinguish DISTINCT: $distinctMid vs $plain")
+  }
+
   test("chain rejections: duplicate variables, foreign WHERE/RETURN " +
       "vars, unordered SKIP") {
     val dup = CypherLite.parse(
