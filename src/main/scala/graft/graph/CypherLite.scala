@@ -7,7 +7,9 @@ import org.apache.spark.sql.functions._
   * actually emits against its schema prompt (`first-graph.py:63-144`):
   * match a node by label and/or property equality, optionally expand a
   * bounded number of hops downward (optionally constrained to one
-  * relationship type, as the schema prompt's typed relationships invite),
+  * relationship type — or an alternation `:A|B` of several, Cypher's
+  * multi-type pattern — as the schema prompt's typed relationships
+  * invite),
   * filter the matched node AND/OR the connected node with WHERE
   * comparisons (AND/OR, no parens), return the matched node, a property
   * projection of it, its connected nodes (whole or property-projected),
@@ -18,7 +20,7 @@ import org.apache.spark.sql.functions._
   * variable):
   * {{{
   *   MATCH (m[:Label] [{prop: 'value'[, ...]}])
-  *     [ [OPTIONAL MATCH (m)] -[[:REL_TYPE][*1..K]]->(c[:Label] [{prop: 'value'[, ...]}]) ]
+  *     [ [OPTIONAL MATCH (m)] -[[:REL_TYPE[|REL_TYPE2...]][*1..K]]->(c[:Label] [{prop: 'value'[, ...]}]) ]
   *   [WHERE (m|c).prop <op> ('value'|number|['v'[, ...]]) [AND|OR ...]
   *    | [NOT] (m)-[[:REL_TYPE][*1..K]]->([:Label])]
   *     op ∈ {=, <>, <, <=, >, >=, STARTS WITH, ENDS WITH, CONTAINS, IN}
@@ -193,7 +195,7 @@ object CypherLite {
     """(?is)\s*MATCH\s*\(\s*(\w+)\s*(?::\s*(\w+))?\s*""" +
       """(?:\{\s*([^}]*)\s*\})?\s*\)\s*""" +
       """(?:(?:OPTIONAL\s+MATCH\s*\(\s*(\w+)\s*\)\s*)?""" +
-      """-\s*\[\s*(?::\s*(\w+)\s*)?(?:\*\s*1\s*\.\.\s*(\d+)\s*)?\]\s*->\s*\(\s*(\w+)\s*(?::\s*(\w+))?\s*(?:\{\s*([^}]*)\s*\})?\s*\)\s*)?""" +
+      """-\s*\[\s*(?::\s*(\w+(?:\s*\|\s*\w+)*)\s*)?(?:\*\s*1\s*\.\.\s*(\d+)\s*)?\]\s*->\s*\(\s*(\w+)\s*(?::\s*(\w+))?\s*(?:\{\s*([^}]*)\s*\})?\s*\)\s*)?""" +
       """(?:WHERE\s+(.*?)\s*)?"""
 
   private val MatchRe =
@@ -232,9 +234,9 @@ object CypherLite {
   // there, so neither can swallow a chain).
   private val ChainRe =
     ("""(?is)\s*MATCH\s*\(\s*(\w+)\s*(?::\s*(\w+))?\s*(?:\{\s*([^}]*)\s*\})?\s*\)\s*""" +
-      """-\s*\[\s*(?::\s*(\w+)\s*)?(?:\*\s*1\s*\.\.\s*(\d+)\s*)?\]\s*->\s*""" +
+      """-\s*\[\s*(?::\s*(\w+(?:\s*\|\s*\w+)*)\s*)?(?:\*\s*1\s*\.\.\s*(\d+)\s*)?\]\s*->\s*""" +
       """\(\s*(\w+)\s*(?::\s*(\w+))?\s*(?:\{\s*([^}]*)\s*\})?\s*\)\s*""" +
-      """-\s*\[\s*(?::\s*(\w+)\s*)?(?:\*\s*1\s*\.\.\s*(\d+)\s*)?\]\s*->\s*""" +
+      """-\s*\[\s*(?::\s*(\w+(?:\s*\|\s*\w+)*)\s*)?(?:\*\s*1\s*\.\.\s*(\d+)\s*)?\]\s*->\s*""" +
       """\(\s*(\w+)\s*(?::\s*(\w+))?\s*(?:\{\s*([^}]*)\s*\})?\s*\)\s*""" +
       """(?:WHERE\s+(.*?)\s*)?""" +
       """RETURN\s+(DISTINCT\s+)?(.+?)\s*""" +
@@ -269,7 +271,7 @@ object CypherLite {
   // form is what LLMs emit for "roots with/without a connection")
   private val ExistsRe =
     ("""(?is)\s*(NOT\s+)?\(\s*(\w+)\s*\)\s*""" +
-      """-\s*\[\s*(?::\s*(\w+)\s*)?(?:\*\s*1\s*\.\.\s*(\d+)\s*)?\]\s*->""" +
+      """-\s*\[\s*(?::\s*(\w+(?:\s*\|\s*\w+)*)\s*)?(?:\*\s*1\s*\.\.\s*(\d+)\s*)?\]\s*->""" +
       """\s*\(\s*(?::\s*(\w+)\s*)?\)\s*""").r
 
   private val CountRe =
@@ -789,9 +791,7 @@ object CypherLite {
       (n.label.map(col("label") === _).toSeq ++
         n.props.map { case (k, v) => col(k) === v })
         .reduceOption(_ && _).getOrElse(lit(true))
-    def relF(r: (Option[String], Int)): Column =
-      r._1.map(col("relType") === _)
-        .getOrElse(col("relType").startsWith("HAS_"))
+    def relF(r: (Option[String], Int)): Column = relColOf(r._1)
     val ab = GraphOps.neighborhoodWhereKeyed(g, pred(ch.nodes(0)),
         ch.rels(0)._2, relF(ch.rels(0)))
       .select(col("root_id").as("id0"), col("c_id").as("id1"))
@@ -863,6 +863,20 @@ object CypherLite {
     case other => throw new IllegalArgumentException(
       s"unsupported comparison operator: $other")
   }
+
+  /** Edge filter for a hop pattern's relationship constraint: a single
+    * type is an equality, the alternation form `:A|B` (Cypher's
+    * multi-type relationship pattern) is set membership over the listed
+    * types, and an untyped pattern follows all downward containment
+    * (`HAS_*`) edges. Both compile to sargable predicates on the edge
+    * relation's `relType` column, pushed below the expansion's joins.
+    */
+  private def relColOf(relType: Option[String]): Column =
+    relType.map { s =>
+      val ts = s.split("\\|").map(_.trim).toSeq
+      if (ts.sizeIs == 1) col("relType") === ts.head
+      else col("relType").isin(ts: _*)
+    }.getOrElse(col("relType").startsWith("HAS_"))
 
   private def condCol(c: Cond, target0: Column): Column = {
     // unquoted literal → numeric comparison: the property try_casts to
@@ -1014,9 +1028,8 @@ object CypherLite {
     def maybeDistinct(df: DataFrame): DataFrame =
       if (distinct) df.distinct() else df
     // untyped hops follow all downward containment edges; a typed hop
-    // pattern restricts the expansion to exactly that relationship
-    val relFilter = relType.map(col("relType") === _)
-      .getOrElse(col("relType").startsWith("HAS_"))
+    // pattern restricts the expansion to exactly those relationships
+    val relFilter = relColOf(relType)
     val wantsConnected = items.contains(RetConnected)
     // count() and collect() take the same grouped-by-root-keys plan shape;
     // only the aggregate expression differs
@@ -1051,8 +1064,7 @@ object CypherLite {
         // join, never a per-root probe. The target-label constraint
         // filters the expansion's node image before the existence check.
         val matched = existsPat.fold(matched0) { ep =>
-          val epRel = ep.relType.map(col("relType") === _)
-            .getOrElse(col("relType").startsWith("HAS_"))
+          val epRel = relColOf(ep.relType)
           val reach = GraphOps.neighborhoodWhereKeyed(g, pred, ep.hops, epRel)
           val hit = ep.connLabel.fold(reach)(l =>
               reach.filter(col("c_label") === l))

@@ -561,6 +561,37 @@ object ParquetGraph {
           .fold(err => throw new IllegalArgumentException(err), identity)
     },
 
+    // C10 CypherLite twin: multi-type relationship alternation `:A|B`. On
+    // the hierarchy∪chain graph a nation's 2-hop frontier along
+    // HAS_CUSTOMER|HAS_NEXT is its own customers, its successor nation,
+    // the successor's customers, and the successor's successor (regions
+    // hold 5 nations, so next² never wraps back to the root) — while the
+    // HAS_ORDER layer under every customer stays untouched, proving the
+    // alternation restricts the traversal itself. Derived relationally
+    // from the same lead()-with-wraparound window that builds the chain.
+    QueryDef.sql(
+      "graphp_cypher_multi_rel",
+      """WITH nx AS (
+        |  SELECT n_nationkey AS k, n_name,
+        |    coalesce(lead(n_nationkey) OVER (PARTITION BY n_regionkey
+        |        ORDER BY n_nationkey),
+        |      min(n_nationkey) OVER (PARTITION BY n_regionkey)) AS nxt
+        |  FROM nation),
+        |cc AS (SELECT c_nationkey AS k, count(*) AS nc
+        |  FROM customer GROUP BY 1)
+        |SELECT nx.n_name AS m_name,
+        |  CAST(coalesce(c1.nc, 0) + coalesce(c2.nc, 0) + 2 AS BIGINT)
+        |    AS n_connected
+        |FROM nx
+        |LEFT JOIN cc c1 ON c1.k = nx.k
+        |LEFT JOIN cc c2 ON c2.k = nx.nxt
+        |ORDER BY m_name""".stripMargin) { (s, d) =>
+      CypherLite.run(hierChain(s, d),
+        "MATCH (m:Nation)-[:HAS_CUSTOMER|HAS_NEXT*1..2]->(connected) " +
+          "RETURN m.name, count(connected)")
+        .fold(err => throw new IllegalArgumentException(err), identity)
+    },
+
     // B6 CypherLite twin: WHERE comparisons on the matched node, graded
     // against the same range predicate in SQL (binary string collation on
     // both engines).

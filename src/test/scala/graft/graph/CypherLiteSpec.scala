@@ -72,6 +72,29 @@ class CypherLiteSpec extends SparkSpec {
     assert(typed.forall(_.getAs[Int]("depth") == 1))
   }
 
+  test("multi-type relationship alternation :A|B unions the typed traversals") {
+    def rows(q: String): Set[(String, String, Int)] =
+      CypherLite.run(g, q).fold(e => fail(e), identity)
+        .select("m_name", "c_name", "depth").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    val both = rows(
+      "MATCH (m:Boeing_Service_Bulletin)-[:HAS_SUMMARY|HAS_HEADER*1..2]->(c)" +
+        " RETURN m, c")
+    val summary = rows(
+      "MATCH (m:Boeing_Service_Bulletin)-[:HAS_SUMMARY*1..2]->(c) " +
+        "RETURN m, c")
+    val header = rows(
+      "MATCH (m:Boeing_Service_Bulletin)-[:HAS_HEADER*1..2]->(c) " +
+        "RETURN m, c")
+    assert(summary.nonEmpty && header.nonEmpty)
+    // depth 1 has no mixed-type paths, so the alternation IS the union
+    // there; deeper, it may additionally reach mixed-type frontiers the
+    // single-type runs cannot — superset, never less
+    assert(both.filter(_._3 == 1) ==
+      (summary ++ header).filter(_._3 == 1))
+    assert((summary ++ header).subsetOf(both))
+  }
+
   test("WHERE comparisons filter the matched node") {
     val all = CypherLite.run(g, "MATCH (m:Step) RETURN m").toOption.get.count()
     val some = CypherLite.run(g,
