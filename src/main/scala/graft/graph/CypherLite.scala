@@ -24,6 +24,7 @@ import org.apache.spark.sql.functions._
   *   [WHERE (m|c).prop <op> ('value'|number|['v'[, ...]]) [AND|OR ...]
   *    | [NOT] (m)-[[:REL_TYPE][*1..K]]->([:Label])]
   *     op ∈ {=, <>, <, <=, >, >=, STARTS WITH, ENDS WITH, CONTAINS, IN}
+  *     | (m|c).prop IS [NOT] NULL
   *   [WITH (m|m.prop)[, m.prop ...], count([DISTINCT] c|*) AS alias
   *    [WHERE alias <cmp> number]]
   *   RETURN [DISTINCT] m | m.prop[, m.prop ...] | m, c | m.prop, c
@@ -258,6 +259,11 @@ object CypherLite {
       """(<>|<=|>=|=|<|>|STARTS\s+WITH|ENDS\s+WITH|CONTAINS|IN)""" +
       """\s*(?:'([^']*)'|(-?\d+(?:\.\d+)?)|\[([^\]]*)\])\s*""").r
 
+  // `var.prop IS [NOT] NULL` — Cypher's null test (a missing property is
+  // null; this engine's node schema is fixed, so it tests column nullness)
+  private val NullCondRe =
+    """(?is)\s*(\w+)\s*\.\s*(\w+)\s+IS\s+(NOT\s+)?NULL\s*""".r
+
   // one element of an IN list, after the comma split: quoted string or
   // bare numeric (a piece matching neither — e.g. a quoted string that
   // itself contained a comma and got shredded — is a parse ERROR, never a
@@ -308,6 +314,13 @@ object CypherLite {
           .map(_.split("(?i)\\s+AND\\s+").toSeq)
         val parsed = groups.map { parts =>
           val cs = parts.map {
+            case NullCondRe(v, prop, notKw) if v == m =>
+              Right(Cond(prop,
+                if (notKw != null) "IS NOT NULL" else "IS NULL", ""))
+            case NullCondRe(v, prop, notKw) if conn.contains(v) =>
+              Right(Cond(prop,
+                if (notKw != null) "IS NOT NULL" else "IS NULL", "",
+                onConn = true))
             case CondRe(v, prop, op, str, num, list) if v == m =>
               mkCond(prop, op, str, num, list)
             case CondRe(v, prop, op, str, num, list) if conn.contains(v) =>
@@ -411,6 +424,9 @@ object CypherLite {
               .map(_.split("(?i)\\s+AND\\s+").toSeq)
             val parsed = groups.map { parts =>
               val cs = parts.map {
+                case NullCondRe(v, prop, notKw) if varIdx.contains(v) =>
+                  Right(varIdx(v) -> Cond(prop,
+                    if (notKw != null) "IS NOT NULL" else "IS NULL", ""))
                 case CondRe(v, prop, op, str, num, list)
                     if varIdx.contains(v) =>
                   mkCond(prop, op, str, num, list).map(varIdx(v) -> _)
@@ -896,6 +912,10 @@ object CypherLite {
     // invite these from the LLM constantly). Literal-prefix/suffix/infix
     // matching — startsWith compiles to a sargable LIKE 'v%' Catalyst can
     // push into the scan
+    // Cypher's null test; never try_cast-wrapped (c.numeric is false for
+    // these ops — there is no literal)
+    case "IS NULL" => target0.isNull
+    case "IS NOT NULL" => target0.isNotNull
     case "STARTS WITH" => target.startsWith(c.value)
     case "ENDS WITH" => target.endsWith(c.value)
     case "CONTAINS" => target.contains(c.value)

@@ -104,6 +104,26 @@ object ParquetGraph {
     * sees non-uniform neighbor weights and a mix of 1- and 2-common-
     * neighbor pairs — not a constant-score fixture.
     */
+  /** Nation nodes whose content is NULL for odd keys (every other fixture
+    * fills content with the non-null empty string) — the null-bearing
+    * fixture the IS [NOT] NULL twin grades on. Edge-less: the null test is
+    * a node predicate.
+    */
+  def nullableContent(s: SparkSession, d: String): GraphTables =
+    cached(s, d, "nullable") {
+      import s.implicits._
+      val nation = Tables.nation(s, d)
+      val nodes = nation.select(
+        (col("n_nationkey") + NationBase).cast("long").as("id"),
+        lit("Nation").as("label"),
+        col("n_name").cast("string").as("name"),
+        when(col("n_nationkey") % 2 === 1, lit(null).cast("string"))
+          .otherwise(col("n_name")).as("content"),
+        lit("").as("docnbr"), lit("base").as("batch"),
+        typedLit(Seq.empty[Int]).as("path")).as[NodeRow]
+      GraphTables(nodes, s.emptyDataset[EdgeRow])
+    }
+
   def linkPred(s: SparkSession, d: String): GraphTables =
     cached(s, d, "linkpred") {
       val ch = buildChain(s, d)
@@ -589,6 +609,22 @@ object ParquetGraph {
       CypherLite.run(hierChain(s, d),
         "MATCH (m:Nation)-[:HAS_CUSTOMER|HAS_NEXT*1..2]->(connected) " +
           "RETURN m.name, count(connected)")
+        .fold(err => throw new IllegalArgumentException(err), identity)
+    },
+
+    // C10 CypherLite twin: IS [NOT] NULL null tests, both polarities in
+    // one DNF clause over the null-bearing fixture (odd nationkeys carry
+    // NULL content). An implementation that treated NULL like an empty
+    // string would flip every odd-key row's branch.
+    QueryDef.sql(
+      "graphp_cypher_is_null",
+      """SELECT n_name AS m_name FROM nation
+        |WHERE n_nationkey % 2 = 0 AND n_name >= 'J'
+        |   OR n_nationkey % 2 = 1 AND n_name < 'J'
+        |ORDER BY m_name""".stripMargin) { (s, d) =>
+      CypherLite.run(nullableContent(s, d),
+        "MATCH (m:Nation) WHERE m.content IS NOT NULL AND m.name >= 'J' " +
+          "OR m.content IS NULL AND m.name < 'J' RETURN m.name")
         .fold(err => throw new IllegalArgumentException(err), identity)
     },
 

@@ -95,6 +95,20 @@ class CypherLiteSpec extends SparkSpec {
     assert((summary ++ header).subsetOf(both))
   }
 
+  test("IS NULL / IS NOT NULL partition the nodes by content nullness") {
+    val total = CypherLite.run(g, "MATCH (m) RETURN m").toOption.get.count()
+    val isNull = CypherLite.run(g,
+      "MATCH (m) WHERE m.content IS NULL RETURN m").toOption.get.count()
+    val notNull = CypherLite.run(g,
+      "MATCH (m) WHERE m.content IS NOT NULL RETURN m").toOption.get.count()
+    assert(isNull + notNull == total)
+    // and on the connected variable it filters bindings, parsing as onConn
+    val conn = CypherLite.run(g,
+      "MATCH (m:Boeing_Service_Bulletin)-[*1..1]->(c) " +
+        "WHERE c.content IS NOT NULL RETURN m.docnbr, c.name")
+    assert(conn.isRight, conn.toString)
+  }
+
   test("WHERE comparisons filter the matched node") {
     val all = CypherLite.run(g, "MATCH (m:Step) RETURN m").toOption.get.count()
     val some = CypherLite.run(g,
