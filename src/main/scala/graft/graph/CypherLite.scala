@@ -31,7 +31,9 @@ import org.apache.spark.sql.functions._
   *          | m.prop[, ...], c.prop[, ...] | c.prop[, ...]
   *          | m, count([DISTINCT] c|*) | m.prop[, ...], count([DISTINCT] c|*)
   *          | m[.prop[, ...]], collect([DISTINCT] c.prop)
+  *          | m[.prop[, ...]], (sum|avg|min|max)(c.prop)
   *          | (after WITH) m.prop[, ...], alias
+  *     every property/aggregate RETURN item may take `AS alias`
   *   [ORDER BY m.prop | count(c|*) | alias [ASC|DESC]] [SKIP n] [LIMIT n]
   *
   *   // two-step chain (bound middle variable):
@@ -67,6 +69,15 @@ import org.apache.spark.sql.functions._
   * deterministic nest serialization — same contract as
   * [[GraphOps.nestByRoot]]; a raw list would be shuffle-order-dependent).
   * Zero surviving bindings collect to the empty string (Cypher's `[]`).
+  * `sum/avg(c.prop)` aggregate numerically through the same try_cast lens
+  * as numeric comparisons (non-numeric values become null and drop out —
+  * Cypher's rule; a sum over zero surviving values is 0, Neo4j's sum);
+  * `min/max(c.prop)` keep the property's native string collation. Every
+  * property or aggregate RETURN item may take `AS alias`: ordering and
+  * dedup run on the canonical output columns and the rename happens last,
+  * so an alias can never change WHICH rows come back — and `ORDER BY
+  * <alias>` resolves through the item it names (an aggregate alias sorts
+  * groups by the aggregate, the `ORDER BY cnt DESC` staple).
   * `OPTIONAL MATCH` makes the hop pattern left-outer (Cypher's optional
   * semantics): every root matching the first MATCH pattern is returned,
   * with the connected columns null when no binding exists. A WHERE clause
@@ -127,6 +138,11 @@ object CypherLite {
     extends RetItem
   // collect([DISTINCT] c.prop): per-group sorted comma-joined list
   final case class RetCollect(prop: String, distinct: Boolean) extends RetItem
+  // sum/avg/min/max(c.prop) over the surviving bindings: sum/avg compare
+  // numerically (try_cast to double; non-numeric values become null and
+  // drop out — Cypher's rule — and a sum over zero values is 0); min/max
+  // order by the property's native string collation
+  final case class RetAggProp(fn: String, prop: String) extends RetItem
 
   /** `WITH <keys>, count(…) AS <alias> [WHERE <alias> <op> <num>]` — the
     * aggregate-then-filter (HAVING) pipeline stage. `groupIdentity` = the
@@ -153,7 +169,11 @@ object CypherLite {
       // WHERE [NOT] (m)-[...]->(...): semi/anti-join existence filter
       existsPat: Option[ExistsPat] = None,
       // WITH … WHERE …: aggregate alias + post-aggregation filter
-      withSpec: Option[WithSpec] = None) extends Statement
+      withSpec: Option[WithSpec] = None,
+      // `RETURN <item> AS <alias>`: canonical output column → requested
+      // name, applied as a final rename (ordering/dedup run on canonical
+      // columns, so aliasing never changes WHICH rows come back)
+      aliases: Map[String, String] = Map.empty) extends Statement
   final case class DetachDelete(tag: String) extends Statement
 
   /** One node of a chain pattern: variable name, optional label, inline
@@ -202,7 +222,7 @@ object CypherLite {
   private val MatchRe =
     (PatFrag +
       """RETURN\s+(DISTINCT\s+)?(.+?)\s*""" +
-      """(?:ORDER\s+BY\s+(?:(\w+)\s*\.\s*(\w+)|count\s*\(\s*(?:DISTINCT\s+)?(\w+|\*)\s*\))\s*(?:(ASC|DESC)\s*)?)?""" +
+      """(?:ORDER\s+BY\s+(?:(\w+)\s*\.\s*(\w+)|count\s*\(\s*(?:DISTINCT\s+)?(\w+|\*)\s*\)|(\w+))\s*(?:(ASC|DESC)\s*)?)?""" +
       """(?:SKIP\s+(\d+)\s*)?""" +
       """(?:LIMIT\s+(\d+))?\s*;?\s*""").r
 
@@ -282,6 +302,11 @@ object CypherLite {
 
   private val CountRe =
     """(?is)\s*count\s*\(\s*(DISTINCT\s+)?(\*|\w+)\s*\)\s*""".r
+  // sum/avg/min/max(c.prop) — the property aggregates
+  private val AggRe =
+    """(?is)\s*(sum|avg|min|max)\s*\(\s*(\w+)\s*\.\s*(\w+)\s*\)\s*""".r
+  // `<item> AS <alias>` — the trailing alias on one RETURN item
+  private val AsItemRe = """(?is)(.*?)\s+AS\s+(\w+)\s*""".r
   private val CollectRe =
     """(?is)\s*collect\s*\(\s*(DISTINCT\s+)?(\w+)\s*\.\s*(\w+)\s*\)\s*""".r
   private val CollectBareRe =
@@ -622,7 +647,7 @@ object CypherLite {
       }
     case MatchRe(m, label, propsStr, optVar, relType, hopsStr, connVar,
         connLabel, connPropsStr, whereStr, distinctKw, retStr, obVar, obProp,
-        obCountVar, obDir, skipStr, limitStr) =>
+        obCountVar, obBare, obDir, skipStr, limitStr) =>
       val props = Option(propsStr).toSeq
         .flatMap(s => PropRe.findAllMatchIn(s)
           .map(p => p.group(1) -> p.group(2))).toMap
@@ -636,57 +661,110 @@ object CypherLite {
       // AND/OR split)
       val whereE: Either[String, (Seq[Seq[Cond]], Option[ExistsPat])] =
         parseWhereClause(m, conn, whereStr)
-      val itemsE: Either[String, Seq[RetItem]] = {
+      // one RETURN item (its trailing `AS alias`, if any, already stripped)
+      def parseOne(part: String): Either[String, RetItem] = part match {
+        case CountRe(dk, "*") =>
+          // count(*) counts result ROWS: bindings under a hop pattern
+          // (incl. the null row of an unmatched OPTIONAL root), matched
+          // nodes per group without one
+          if (dk != null) Left("count(DISTINCT *) is not supported")
+          else Right(RetCount(distinct = false, star = true))
+        case CountRe(dk, v) if conn.contains(v) => Right(RetCount(dk != null))
+        case CountRe(_, v) => Left(s"count() may only aggregate the " +
+          s"connected variable${conn.fold("")(c => s" '$c'")} or *, " +
+          s"got '$v'")
+        case CollectRe(dk, v, p) if conn.contains(v) =>
+          Right(RetCollect(p, dk != null))
+        case CollectRe(_, v, p) => Left(s"collect() may only aggregate " +
+          s"the connected variable${conn.fold("")(c => s" '$c'")}, " +
+          s"got '$v.$p'")
+        case CollectBareRe(v) => Left(s"collect($v) of a whole node is " +
+          s"not supported — project a property: collect($v.name)")
+        case AggRe(fn, v, p) if conn.contains(v) =>
+          Right(RetAggProp(fn.toLowerCase(java.util.Locale.ROOT), p))
+        case AggRe(fn, v, p) => Left(s"$fn() may only aggregate the " +
+          s"connected variable${conn.fold("")(c => s" '$c'")}, got '$v.$p'")
+        case VarPropRe(v, p) if v == m => Right(RetProp(p))
+        case VarPropRe(v, p) if conn.contains(v) => Right(RetConnProp(p))
+        case VarPropRe(v, p) => Left(
+          s"property projection may only reference '$m'" +
+            conn.fold("")(c => s" or '$c'") + s", got '$v.$p'")
+        case VarRe(v) if v == m => Right(RetVar)
+        case VarRe(v) if conn.contains(v) => Right(RetConnected)
+        case other => Left(s"unsupported RETURN item: ${other.take(40)}")
+      }
+      /** The canonical output column an item lands in before any alias
+        * rename — the name the run-side branches produce. Whole-node items
+        * expand to several columns, so they cannot be aliased (None).
+        */
+      def canonOf(i: RetItem): Option[String] = i match {
+        case RetProp(p) => Some(s"m_$p")
+        case RetConnProp(p) => Some(s"c_$p")
+        case RetCount(_, _) => Some("n_connected")
+        case RetCollect(_, _) => Some("collected")
+        case RetAggProp(fn, p) => Some(s"${fn}_$p")
+        case _ => None
+      }
+      val itemsE: Either[String, (Seq[RetItem], Seq[(RetItem, String)])] = {
         // collect(c.prop) contains the split character nowhere (prop refs
         // are single identifiers), so the comma split stays safe
         val parts = retStr.split(",").toSeq
         val parsed = parts.map {
-          case CountRe(dk, "*") =>
-            // count(*) counts result ROWS: bindings under a hop pattern
-            // (incl. the null row of an unmatched OPTIONAL root), matched
-            // nodes per group without one
-            if (dk != null) Left("count(DISTINCT *) is not supported")
-            else Right(RetCount(distinct = false, star = true))
-          case CountRe(dk, v) if conn.contains(v) => Right(RetCount(dk != null))
-          case CountRe(_, v) => Left(s"count() may only aggregate the " +
-            s"connected variable${conn.fold("")(c => s" '$c'")} or *, " +
-            s"got '$v'")
-          case CollectRe(dk, v, p) if conn.contains(v) =>
-            Right(RetCollect(p, dk != null))
-          case CollectRe(_, v, p) => Left(s"collect() may only aggregate " +
-            s"the connected variable${conn.fold("")(c => s" '$c'")}, " +
-            s"got '$v.$p'")
-          case CollectBareRe(v) => Left(s"collect($v) of a whole node is " +
-            s"not supported — project a property: collect($v.name)")
-          case VarPropRe(v, p) if v == m => Right(RetProp(p))
-          case VarPropRe(v, p) if conn.contains(v) => Right(RetConnProp(p))
-          case VarPropRe(v, p) => Left(
-            s"property projection may only reference '$m'" +
-              conn.fold("")(c => s" or '$c'") + s", got '$v.$p'")
-          case VarRe(v) if v == m => Right(RetVar)
-          case VarRe(v) if conn.contains(v) => Right(RetConnected)
-          case other => Left(s"unsupported RETURN item: ${other.take(40)}")
+          case AsItemRe(body, alias) => parseOne(body).map(i => (i, Some(alias)))
+          case p => parseOne(p).map(i => (i, None))
         }
-        parsed.collectFirst { case Left(e) => Left(e) }
-          .getOrElse(Right(parsed.collect { case Right(i) => i }))
+        parsed.collectFirst { case Left(e) => Left(e) }.getOrElse {
+          val pairs = parsed.collect { case Right(x) => x }
+          val aliased = pairs.collect { case (i, Some(a)) => (i, a) }
+          val canons = aliased.map { case (i, _) => canonOf(i) }
+          val plains = pairs.collect { case (i, None) => i }.flatMap(canonOf)
+          val dupCanon = canons.flatten
+            .diff(canons.flatten.distinct) ++ canons.flatten.intersect(plains)
+          val dupAlias = aliased.map(_._2).diff(aliased.map(_._2).distinct)
+          if (canons.contains(None))
+            Left("AS may only alias a property or aggregate item, not a " +
+              "whole node — project properties instead")
+          else if (dupCanon.nonEmpty)
+            Left("the same item cannot be projected twice under different " +
+              s"names (${dupCanon.distinct.mkString(", ")})")
+          else if (dupAlias.nonEmpty)
+            Left(s"duplicate alias: ${dupAlias.distinct.mkString(", ")}")
+          else Right((pairs.map(_._1), aliased))
+        }
       }
-      val orderByE: Either[String, Option[(String, Boolean)]] =
-        (Option(obVar), Option(obProp), Option(obCountVar)) match {
-          case (None, _, None) => Right(None)
-          case (Some(v), Some(p), _) if v == m =>
-            Right(Some((p, Option(obDir).exists(_.equalsIgnoreCase("DESC")))))
-          case (Some(v), _, _) =>
+      def orderByE(aliased: Seq[(RetItem, String)]):
+          Either[String, Option[(String, Boolean)]] = {
+        val desc = Option(obDir).exists(_.equalsIgnoreCase("DESC"))
+        (Option(obVar), Option(obProp), Option(obCountVar),
+            Option(obBare)) match {
+          case (None, _, None, None) => Right(None)
+          case (Some(v), Some(p), _, _) if v == m => Right(Some((p, desc)))
+          case (Some(v), _, _, _) =>
             Left(s"ORDER BY may only reference '$m', got '$v'")
           // ORDER BY count(c)/count(*): sort groups by the aggregate
           // (top-k groups); validated below against RETURN having the
           // matching count item
-          case (None, _, Some(v)) if conn.contains(v) || v == "*" =>
-            Right(Some((CountKey,
-              Option(obDir).exists(_.equalsIgnoreCase("DESC")))))
-          case (None, _, Some(v)) =>
+          case (None, _, Some(v), _) if conn.contains(v) || v == "*" =>
+            Right(Some((CountKey, desc)))
+          case (None, _, Some(v), _) =>
             Left(s"ORDER BY count() may only aggregate the connected " +
               s"variable${conn.fold("")(c => s" '$c'")} or *, got '$v'")
+          // ORDER BY <alias>: resolve through the RETURN item it names —
+          // an m-property alias sorts by that property, an aggregate alias
+          // sorts by the aggregate (the count pseudo-key maps onto
+          // whatever aggregate column the query produces)
+          case (None, _, None, Some(b)) =>
+            aliased.find(_._2 == b).map(_._1) match {
+              case Some(RetProp(p)) => Right(Some((p, desc)))
+              case Some(_: RetCount) | Some(_: RetCollect)
+                 | Some(_: RetAggProp) => Right(Some((CountKey, desc)))
+              case Some(_) => Left("ORDER BY on a connected-node alias " +
+                s"is not supported ('$b')")
+              case None => Left(s"ORDER BY key '$b' is not an alias bound " +
+                "in RETURN")
+            }
         }
+      }
       if (hops > 0 && conn.isEmpty)
         Left("hop pattern requires a connected variable")
       else if (optional && optVar != m)
@@ -696,21 +774,25 @@ object CypherLite {
         for {
           whereParsed <- whereE
           (conds, existsPat) = whereParsed
-          items <- itemsE
-          ob <- orderByE
+          parsedItems <- itemsE
+          (items, aliasPairs) = parsedItems
+          ob <- orderByE(aliasPairs)
           isAgg = (i: RetItem) =>
-            i.isInstanceOf[RetCount] || i.isInstanceOf[RetCollect]
+            i.isInstanceOf[RetCount] || i.isInstanceOf[RetCollect] ||
+              i.isInstanceOf[RetAggProp]
           _ <- if (items.contains(RetConnected) && conn.isEmpty)
             Left("RETURN of the connected variable requires a hop pattern")
           else Right(())
-          _ <- if (items.exists(_.isInstanceOf[RetCollect]) && conn.isEmpty)
-            Left("collect() requires a hop pattern")
+          _ <- if (items.exists(i => i.isInstanceOf[RetCollect] ||
+              i.isInstanceOf[RetAggProp]) && conn.isEmpty)
+            Left("collect()/sum()/avg()/min()/max() require a hop pattern")
           else Right(())
           _ <- if (conds.flatten.exists(_.onConn) && conn.isEmpty)
             Left("WHERE on the connected variable requires a hop pattern")
           else Right(())
           _ <- if (items.count(isAgg) > 1)
-            Left("at most one aggregate (count or collect) per query")
+            Left("at most one aggregate (count, collect, sum, avg, min, " +
+              "max) per query")
           else Right(())
           _ <- if (items.exists(isAgg) &&
               (items.contains(RetConnected)
@@ -747,7 +829,10 @@ object CypherLite {
             Left("hop-less count(*) groups by projected properties — " +
               "use m.prop, not the whole node")
           else Right(())
-          _ <- if (ob.exists(_._1 == CountKey) &&
+          // only the EXPLICIT `ORDER BY count(…)` syntax demands a count
+          // item; an aggregate alias resolved to the count pseudo-key
+          // exists by construction
+          _ <- if (obCountVar != null &&
               !items.exists(_.isInstanceOf[RetCount]))
             Left("ORDER BY count() requires count(connected) in RETURN")
           else Right(())
@@ -763,7 +848,10 @@ object CypherLite {
             if (conn.isDefined) math.max(hops, 1) else 0,
             connSugar(connLabel, connPropsStr, conds), items, ob,
             Option(skipStr).map(_.toInt),
-            Option(limitStr).map(_.toInt), optional, retDistinct, existsPat)
+            Option(limitStr).map(_.toInt), optional, retDistinct, existsPat,
+            aliases =
+              aliasPairs.flatMap { case (i, a) => canonOf(i).map(_ -> a) }
+                .toMap)
         }
     case _ => Left(s"unsupported query shape: ${query.take(120)}")
   }
@@ -955,15 +1043,16 @@ object CypherLite {
         Right(after.nodes.groupBy("batch")
           .agg(count(lit(1)).as("n_nodes")).orderBy("batch").toDF())
       case MatchReturn(label, props, relType, hops, conds, items, orderBy,
-          skip, limit, optional, distinct, existsPat, withSpec) =>
+          skip, limit, optional, distinct, existsPat, withSpec, aliases) =>
         // unknown keys are rejected, not silently coerced to a name match —
         // a plausible-but-wrong answer is worse than an error to the
         // LLM-emitted-query caller this front end serves
         val retProps = items.collect { case RetProp(p) => p }
         val connRetProps = items.collect { case RetConnProp(p) => p }
         val hasCount = items.exists(i => i.isInstanceOf[RetCount] ||
-          i.isInstanceOf[RetCollect])
-        val collectProps = items.collect { case RetCollect(p, _) => p }
+          i.isInstanceOf[RetCollect] || i.isInstanceOf[RetAggProp])
+        val collectProps = items.collect { case RetCollect(p, _) => p } ++
+          items.collect { case RetAggProp(_, p) => p }
         val (connConds, mConds) = conds.flatten.partition(_.onConn)
         val filterProps = props.keys ++ mConds.map(_.prop)
         // the count pseudo-key orders by the aggregate column, not an m
@@ -1006,7 +1095,7 @@ object CypherLite {
               s"properties (${outProps.toSeq.sorted.mkString(", ")})")))
           .getOrElse(Right(runMatch(g, label, props, relType, hops, conds,
             items, orderBy, skip, limit, optional, distinct, existsPat,
-            withSpec)))
+            withSpec, aliases)))
     }
 
   private def runMatch(g: GraphTables, label: Option[String],
@@ -1015,12 +1104,14 @@ object CypherLite {
       orderBy: Option[(String, Boolean)], skip: Option[Int],
       limit: Option[Int], optional: Boolean, distinct: Boolean,
       existsPat: Option[ExistsPat],
-      withSpec: Option[WithSpec]): DataFrame = {
+      withSpec: Option[WithSpec],
+      aliases: Map[String, String] = Map.empty): DataFrame = {
     // the aggregate's output column: the WITH alias when one was bound,
-    // else the fixed contract names
-    val aggOut = withSpec.map(_.alias).getOrElse(
-      if (items.exists(_.isInstanceOf[RetCollect])) "collected"
-      else "n_connected")
+    // else the fixed contract names (AS aliases rename at the very end)
+    val aggOut = withSpec.map(_.alias).getOrElse(items.collectFirst {
+      case _: RetCollect => "collected"
+      case RetAggProp(fn, p) => s"${fn}_$p"
+    }.getOrElse("n_connected"))
     // the WHERE DNF, evaluated against a caller-chosen column mapping: bare
     // node columns on the m-only fast path, m_/c_-prefixed binding columns
     // when a clause references the connected variable
@@ -1051,10 +1142,11 @@ object CypherLite {
     // pattern restricts the expansion to exactly those relationships
     val relFilter = relColOf(relType)
     val wantsConnected = items.contains(RetConnected)
-    // count() and collect() take the same grouped-by-root-keys plan shape;
-    // only the aggregate expression differs
+    // count(), collect(), and the property aggregates take the same
+    // grouped-by-root-keys plan shape; only the aggregate expression differs
     val wantsAgg = items.exists(i =>
-      i.isInstanceOf[RetCount] || i.isInstanceOf[RetCollect])
+      i.isInstanceOf[RetCount] || i.isInstanceOf[RetCollect] ||
+        i.isInstanceOf[RetAggProp])
     // deterministic output order: the requested ORDER BY key first (mapped
     // onto its output column), then every remaining projected column as a
     // tiebreak — results must be stable for the oracle hash-compare and for
@@ -1134,11 +1226,25 @@ object CypherLite {
             val vals = collect_list(col(s"c_$p"))
             array_join(array_sort(if (dk) array_distinct(vals) else vals),
               ",").as(aggOut)
+          // sum/avg numeric via try_cast (non-numeric → null, dropped by
+          // the aggregate — Cypher's rule); a sum over zero surviving
+          // values is 0, not null (Neo4j's sum; an unmatched OPTIONAL
+          // root or an all-non-numeric group answers 0). min/max keep the
+          // property's native string collation and answer null for an
+          // unmatched OPTIONAL root.
+          case RetAggProp("sum", p) =>
+            coalesce(sum(col(s"c_$p").try_cast("double")), lit(0d)).as(aggOut)
+          case RetAggProp("avg", p) =>
+            avg(col(s"c_$p").try_cast("double")).as(aggOut)
+          case RetAggProp("min", p) => min(col(s"c_$p")).as(aggOut)
+          case RetAggProp("max", p) => max(col(s"c_$p")).as(aggOut)
         }
         // the binding column the aggregate consumes (left-joined under
-        // OPTIONAL): node identity for count, the property for collect
+        // OPTIONAL): node identity for count, the property for
+        // collect/sum/avg/min/max
         val aggConnCol = items.collectFirst {
           case RetCollect(p, _) => s"c_$p"
+          case RetAggProp(_, p) => s"c_$p"
         }.getOrElse("c_id")
         val neigh = GraphOps.neighborhoodWhereKeyed(g, pred, hops, relFilter)
         // m properties the binding filter needs beyond what RETURN asks for
@@ -1252,6 +1358,20 @@ object CypherLite {
     // Cypher pagination: SKIP drops the first n of the ordered rows, LIMIT
     // caps what remains (Dataset.offset composes with limit exactly so)
     val skipped = skip.map(base.offset).getOrElse(base)
-    limit.map(skipped.limit).getOrElse(skipped)
+    val limited = limit.map(skipped.limit).getOrElse(skipped)
+    // `AS` aliases: a final rename of each item's canonical output column —
+    // ordering and dedup already ran on canonical names, so an alias can
+    // never change WHICH rows come back, only what they are called
+    aliases.foldLeft(limited) { case (df, (from, to)) =>
+      if (from == to) df
+      else {
+        require(df.columns.contains(from),
+          s"alias source column '$from' missing from the projection — " +
+            "parse-time item validation and runMatch drifted")
+        require(!df.columns.contains(to),
+          s"alias '$to' collides with another output column")
+        df.withColumnRenamed(from, to)
+      }
+    }
   }
 }

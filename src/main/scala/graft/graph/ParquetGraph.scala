@@ -628,6 +628,39 @@ object ParquetGraph {
         .fold(err => throw new IllegalArgumentException(err), identity)
     },
 
+    // C10 CypherLite twin: AS aliases on RETURN items + ORDER BY the
+    // aggregate alias (the `ORDER BY cnt DESC` staple). Ordering runs on
+    // the canonical columns before the rename, so the twin also proves an
+    // alias cannot change which rows survive the LIMIT (count ties at the
+    // cut are broken by the grouping key on both engines).
+    QueryDef.sql(
+      "graphp_cypher_alias",
+      """SELECT n_name AS nation, CAST(count(*) AS BIGINT) AS n_customers
+        |FROM nation JOIN customer ON c_nationkey = n_nationkey
+        |GROUP BY n_name
+        |ORDER BY n_customers DESC, nation LIMIT 7""".stripMargin) { (s, d) =>
+      CypherLite.run(hierarchy(s, d),
+        "MATCH (m:Nation)-[:HAS_CUSTOMER]->(c) " +
+          "RETURN m.name AS nation, count(c) AS n_customers " +
+          "ORDER BY n_customers DESC LIMIT 7")
+        .fold(err => throw new IllegalArgumentException(err), identity)
+    },
+
+    // C10 CypherLite twin: sum(c.prop) — customers are NAMED by their
+    // custkey, so the numeric aggregate sums real keys per nation through
+    // the try_cast lens (the same lens numeric WHERE literals use).
+    QueryDef.sql(
+      "graphp_cypher_sum",
+      """SELECT n_name AS m_name,
+        |  CAST(sum(c_custkey) AS DOUBLE) AS total_key
+        |FROM nation JOIN customer ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY m_name""".stripMargin) { (s, d) =>
+      CypherLite.run(hierarchy(s, d),
+        "MATCH (m:Nation)-[:HAS_CUSTOMER]->(c) " +
+          "RETURN m.name, sum(c.name) AS total_key ORDER BY m.name")
+        .fold(err => throw new IllegalArgumentException(err), identity)
+    },
+
     // B6 CypherLite twin: WHERE comparisons on the matched node, graded
     // against the same range predicate in SQL (binary string collation on
     // both engines).

@@ -109,6 +109,61 @@ class CypherLiteSpec extends SparkSpec {
     assert(conn.isRight, conn.toString)
   }
 
+  test("AS aliases rename output columns without changing rows") {
+    val aliased = CypherLite.run(g,
+      "MATCH (m:Step) RETURN m.name AS step_name " +
+        "ORDER BY step_name DESC LIMIT 3").fold(e => fail(e), identity)
+    assert(aliased.columns.toSeq == Seq("step_name"))
+    val canonical = CypherLite.run(g,
+      "MATCH (m:Step) RETURN m.name ORDER BY m.name DESC LIMIT 3")
+      .fold(e => fail(e), identity)
+    assert(aliased.collect().map(_.getString(0)).toSeq ==
+      canonical.collect().map(_.getString(0)).toSeq)
+    // count alias + ORDER BY alias — the `ORDER BY cnt DESC` staple
+    val counted = CypherLite.run(g,
+      "MATCH (m:Boeing_Service_Bulletin)-[*1..2]->(c) " +
+        "RETURN m.docnbr AS doc, count(c) AS cnt ORDER BY cnt DESC")
+      .fold(e => fail(e), identity)
+    assert(counted.columns.toSeq == Seq("doc", "cnt"))
+    val counts = counted.collect().map(_.getAs[Long]("cnt")).toSeq
+    assert(counts == counts.sorted.reverse && counts.nonEmpty)
+  }
+
+  test("alias misuse is rejected at parse time") {
+    assert(CypherLite.run(g,
+      "MATCH (m:Step) RETURN m AS whole").isLeft)
+    assert(CypherLite.run(g,
+      "MATCH (m:Step) RETURN m.name AS a, m.docnbr AS a").isLeft)
+    assert(CypherLite.run(g,
+      "MATCH (m:Step) RETURN m.name AS a, m.name AS b").isLeft)
+    assert(CypherLite.run(g,
+      "MATCH (m:Step) RETURN m.name ORDER BY nope").isLeft)
+  }
+
+  test("property aggregates sum/avg/min/max over the connected bindings") {
+    // names under a bulletin are tag names (non-numeric): sum is 0 by
+    // Cypher's drop-non-numerics rule, min/max order by string collation
+    val agg = CypherLite.run(g,
+      "MATCH (m:Boeing_Service_Bulletin)-[*1..1]->(c) " +
+        "RETURN m.docnbr, sum(c.name) AS total").fold(e => fail(e), identity)
+    assert(agg.columns.toSeq == Seq("m_docnbr", "total"))
+    assert(agg.collect().forall(_.getAs[Double]("total") == 0.0))
+    val mx = CypherLite.run(g,
+      "MATCH (m:Boeing_Service_Bulletin)-[*1..1]->(c) " +
+        "RETURN m.docnbr, max(c.name)").fold(e => fail(e), identity)
+    assert(mx.columns.toSeq == Seq("m_docnbr", "max_name"))
+    val direct = CypherLite.run(g,
+      "MATCH (m:Boeing_Service_Bulletin)-[*1..1]->(c) " +
+        "RETURN m.docnbr, c.name").fold(e => fail(e), identity)
+      .collect().groupBy(_.getString(0))
+      .map { case (k, rs) => k -> rs.map(_.getString(1)).max }
+    assert(mx.collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap == direct)
+    // aggregates of the matched variable stay rejected
+    assert(CypherLite.run(g,
+      "MATCH (m:Step)-[*1..1]->(c) RETURN m.name, sum(m.name)").isLeft)
+  }
+
   test("WHERE comparisons filter the matched node") {
     val all = CypherLite.run(g, "MATCH (m:Step) RETURN m").toOption.get.count()
     val some = CypherLite.run(g,
