@@ -1852,6 +1852,84 @@ object TextQueries {
           count(col("hit")).as("n_dropped"),
           (count(lit(1)) - count(col("hit"))).as("n_kept"))
         .orderBy("assigned")
+    },
+
+    // --------------------------- L42 temperature-resampled language mix
+    // The α-temperature resampling of multilingual pretraining (mC4 /
+    // XLM-R, α = 0.3): sampling probability p_l ∝ share_l^α flattens the
+    // head languages and boosts the tail. Reports, per language: raw doc
+    // count, corpus share, resampled probability, the integer document
+    // target for a 1000-doc budget, and the boost factor p_l/share_l. The
+    // whole computation is one partial+final count per language followed
+    // by arithmetic over a ≤|languages|-row relation — at 100 TB only the
+    // count scan grows; everything after it is constant-size (the
+    // language census broadcasts). Doubles are safe here: the cross-row
+    // sum spans ≤|languages| pow() values (no volume summation), far
+    // inside the oracle's 1e-9 rounding; the integer target is pinned
+    // exactly via floor(x + 0.5) on both engines.
+    QueryDef.sql(
+      "l42_temperature_mix",
+      """WITH c AS (SELECT lang, count(*) AS n_docs FROM documents
+        |           GROUP BY lang),
+        |t AS (SELECT CAST(sum(n_docs) AS DOUBLE) AS n FROM c),
+        |w AS (SELECT lang, n_docs,
+        |        CAST(n_docs AS DOUBLE) / n AS share,
+        |        pow(CAST(n_docs AS DOUBLE) / n, 0.3) AS wt
+        |      FROM c CROSS JOIN t),
+        |z AS (SELECT CAST(sum(wt) AS DOUBLE) AS zz FROM w)
+        |SELECT lang, CAST(n_docs AS BIGINT) AS n_docs, share,
+        |  wt / zz AS p_sample,
+        |  CAST(floor(1000 * wt / zz + 0.5) AS BIGINT) AS target_docs,
+        |  (wt / zz) / share AS boost
+        |FROM w CROSS JOIN z ORDER BY lang""".stripMargin) { (s, d) =>
+      val c = Tables.documents(s, d).groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"))
+      val t = c.agg(sum("n_docs").cast("double").as("n"))
+      val w = c.crossJoin(broadcast(t))
+        .withColumn("share", col("n_docs").cast("double") / col("n"))
+        .withColumn("wt", pow(col("share"), lit(0.3)))
+      val z = w.agg(sum("wt").as("zz"))
+      w.crossJoin(broadcast(z))
+        .select(col("lang"), col("n_docs"), col("share"),
+          (col("wt") / col("zz")).as("p_sample"),
+          floor(lit(1000) * col("wt") / col("zz") + lit(0.5)).cast("long")
+            .as("target_docs"),
+          (col("wt") / col("zz") / col("share")).as("boost"))
+        .orderBy("lang")
+    },
+
+    // ------------------------------ L43 BPE first-merge pair frequencies
+    // The inner loop of BPE vocabulary induction: adjacent character-pair
+    // frequencies weighted by word frequency — the top pair IS the first
+    // merge the tokenizer learns. The scale trick is the real one from
+    // the BPE literature: aggregate the corpus to DISTINCT words first
+    // (a relation orders of magnitude smaller than the token stream),
+    // then fan out each word's length-1 adjacent pairs weighted by its
+    // count. Overlapping occurrences count per position ('aaa' → 'aa'
+    // twice), exactly as the merge step would. One shuffle to the word
+    // census, one to the pair totals; top-20 via TakeOrdered with the
+    // pair string as the deterministic tiebreak.
+    QueryDef.sql(
+      "l43_bpe_pair_merge",
+      """WITH wds AS (
+        |  SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+        |wf AS (SELECT word, count(*) AS f FROM wds
+        |       WHERE length(word) >= 2 GROUP BY word),
+        |p AS (SELECT unnest(list_transform(range(1, length(word)),
+        |        i -> substr(word, CAST(i AS INT), 2))) AS pair, f
+        |      FROM wf)
+        |SELECT pair, CAST(sum(f) AS BIGINT) AS freq
+        |FROM p GROUP BY pair
+        |ORDER BY freq DESC, pair LIMIT 20""".stripMargin) { (s, d) =>
+      val wf = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .filter(length(col("word")) >= 2)
+        .groupBy("word").agg(count(lit(1)).as("f"))
+      wf.select(explode(expr(
+          "transform(sequence(1, length(word) - 1)," +
+            " i -> substring(word, i, 2))")).as("pair"), col("f"))
+        .groupBy("pair").agg(sum("f").as("freq"))
+        .orderBy(col("freq").desc, col("pair")).limit(20)
     }
   )
 

@@ -180,6 +180,39 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("temperature mix flattens the head language and boosts the tail") {
+    import spark.implicits._
+    val rows = (1L to 9L).map(i => (i, "hello world", "en")) :+
+      ((10L, "bonjour monde", "fr"))
+    val df = rows.toDF("doc_id", "text", "lang")
+      .withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    withDocs(df) { dir =>
+      val got = SparkEntry.queries("l42_temperature_mix")(spark, dir)
+        .collect().map(r => r.getString(0) -> r).toMap
+      // α < 1 moves both languages toward uniform: en sampled below its
+      // 90% share, fr above its 10%
+      assert(got("en").getAs[Double]("boost") < 1.0)
+      assert(got("fr").getAs[Double]("boost") > 1.0)
+      val pSum = got.values.map(_.getAs[Double]("p_sample")).sum
+      assert(math.abs(pSum - 1.0) < 1e-9)
+      val targets = got.values.map(_.getAs[Long]("target_docs")).sum
+      assert(math.abs(targets - 1000L) <= 1) // floor(+0.5) per language
+    }
+  }
+
+  test("bpe pair merge counts overlapping pairs weighted by word frequency") {
+    withDocs(docs(1L -> "low low lower", 2L -> "aaa")) { dir =>
+      val got = SparkEntry.queries("l43_bpe_pair_merge")(spark, dir)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      // low×2 + lower×1 → lo/ow = 3; lower alone → we/er = 1;
+      // 'aaa' → the overlapping 'aa' pair counts per POSITION (2)
+      assert(got("lo") == 3L && got("ow") == 3L, got.toString)
+      assert(got("we") == 1L && got("er") == 1L)
+      assert(got("aa") == 2L)
+    }
+  }
+
   test("semdedup keeps the min-id representative per similarity group " +
       "and never compares across clusters") {
     val dir = java.nio.file.Files.createTempDirectory("semdedup").toString
