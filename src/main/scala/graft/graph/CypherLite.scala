@@ -36,6 +36,13 @@ import org.apache.spark.sql.functions._
   *     every property/aggregate RETURN item may take `AS alias`
   *   [ORDER BY m.prop | count(c|*) | alias [ASC|DESC]] [SKIP n] [LIMIT n]
   *
+  *   // shortest path between endpoint patterns (one row per connected
+  *   // (a, b) pair at its minimum length; `*` = unbounded fixpoint,
+  *   // `*1..K` bounded, no range = single hop):
+  *   MATCH p = shortestPath((a[:L1] [{…}])-[[:REL][*[1..K]]]->(b[:L2] [{…}]))
+  *   RETURN (a|b).prop[, ...][, length(p)]
+  *   [ORDER BY (a|b).prop | length(p) [ASC|DESC]] [LIMIT n]
+  *
   *   // two-step chain (bound middle variable):
   *   MATCH (a[:L1] [{…}])-[[:R1][*1..K]]->(b[:L2] [{…}])-[[:R2][*1..K]]->(c[:L3] [{…}])
   *   [WHERE (a|b|c).prop <op> lit [AND|OR ...]]
@@ -176,6 +183,25 @@ object CypherLite {
       aliases: Map[String, String] = Map.empty) extends Statement
   final case class DetachDelete(tag: String) extends Statement
 
+  /** `MATCH p = shortestPath((a…)-[[:REL][*[1..K]]]->(b…)) RETURN …` —
+    * one row per (a, b) endpoint pair that a directed path connects, at
+    * the MINIMUM path length. No range on the relationship = single hop
+    * (Cypher's rule); a bare `*` = unbounded (the BFS fixpoint kernel —
+    * Neo4j's default shortestPath semantics); `*1..K` bounds the search.
+    * RETURN projects endpoint properties and/or `length(p)`. A root's
+    * cycle back to itself is no path (Neo4j: shortestPath with identical
+    * endpoints finds nothing).
+    */
+  final case class ShortestPathReturn(
+      pathVar: String,
+      aVar: String, aLabel: Option[String], aProps: Map[String, String],
+      relType: Option[String],
+      bound: Option[Int], // None = unbounded `*`
+      bVar: String, bLabel: Option[String], bProps: Map[String, String],
+      items: Seq[(String, String)], // (var, prop); (pathVar, "length")
+      orderBy: Option[(String, String, Boolean)],
+      limit: Option[Int]) extends Statement
+
   /** One node of a chain pattern: variable name, optional label, inline
     * property map.
     */
@@ -267,6 +293,21 @@ object CypherLite {
 
   private val DeleteRe =
     """(?is)\s*MATCH\s*\(\s*(\w+)\s*\)\s*WHERE\s+\1\.(\w+)\s*=\s*true\s+DETACH\s+DELETE\s+\1\s*;?\s*""".r
+
+  // MATCH p = shortestPath((a…)-[…]->(b…)) RETURN … — the path-length
+  // query form. The rel fragment distinguishes no-star (single hop) from
+  // bare `*` (unbounded) from `*1..K` (bounded).
+  private val ShortestPathRe =
+    ("""(?is)\s*MATCH\s+(\w+)\s*=\s*shortestPath\s*\(\s*""" +
+      """\(\s*(\w+)\s*(?::\s*(\w+))?\s*(?:\{\s*([^}]*)\s*\})?\s*\)\s*""" +
+      """-\s*\[\s*(?::\s*(\w+(?:\s*\|\s*\w+)*)\s*)?(?:(\*)\s*(?:1\s*\.\.\s*(\d+)\s*)?)?\]\s*->\s*""" +
+      """\(\s*(\w+)\s*(?::\s*(\w+))?\s*(?:\{\s*([^}]*)\s*\})?\s*\)\s*\)\s*""" +
+      """RETURN\s+(.+?)\s*""" +
+      """(?:ORDER\s+BY\s+(?:(\w+)\s*\.\s*(\w+)|length\s*\(\s*(\w+)\s*\))\s*(?:(ASC|DESC)\s*)?)?""" +
+      """(?:LIMIT\s+(\d+))?\s*;?\s*""").r
+
+  // `length(p)` — the path-length RETURN item
+  private val LengthRe = """(?is)\s*length\s*\(\s*(\w+)\s*\)\s*""".r
 
   private val PropRe = """(\w+)\s*:\s*'([^']*)'""".r
 
@@ -429,6 +470,58 @@ object CypherLite {
 
   def parse(query: String): Either[String, Statement] = query match {
     case DeleteRe(_, tag) => Right(DetachDelete(tag))
+    case ShortestPathRe(pathVar, aVar, aLabel, aPropsStr, relT, star,
+        boundK, bVar, bLabel, bPropsStr, retStr, obVar, obProp, obLenVar,
+        obDir, limitStr) =>
+      def propsOf(s: String): Map[String, String] =
+        Option(s).toSeq.flatMap(x => PropRe.findAllMatchIn(x)
+          .map(p => p.group(1) -> p.group(2))).toMap
+      val bound =
+        if (star == null) Some(1) // no range: single-hop paths (Cypher)
+        else Option(boundK).map(_.toInt) // `*` alone: unbounded fixpoint
+      val itemsE: Either[String, Seq[(String, String)]] = {
+        val parsed = retStr.split(",").toSeq.map {
+          case LengthRe(v) if v == pathVar => Right((pathVar, "length"))
+          case LengthRe(v) => Left(s"length() may only take the path " +
+            s"variable '$pathVar', got '$v'")
+          case VarPropRe(v, p) if v == aVar || v == bVar => Right((v, p))
+          case other => Left("a shortestPath RETURN projects endpoint " +
+            s"properties ($aVar.<prop>, $bVar.<prop>) or length($pathVar), " +
+            s"got '${other.trim.take(40)}'")
+        }
+        parsed.collectFirst { case Left(e) => Left(e) }
+          .getOrElse(Right(parsed.collect { case Right(i) => i }))
+      }
+      for {
+        _ <- if (Seq(pathVar, aVar, bVar).distinct.size != 3)
+          Left("shortestPath variables must be distinct, got " +
+            s"$pathVar, $aVar, $bVar")
+        else Right(())
+        items <- itemsE
+        _ <- if (items.isEmpty) Left("RETURN needs at least one item")
+        else Right(())
+        desc = Option(obDir).exists(_.equalsIgnoreCase("DESC"))
+        ob <- (Option(obVar), Option(obProp), Option(obLenVar)) match {
+          case (None, _, None) => Right(None)
+          case (Some(v), Some(p), _) if v == aVar || v == bVar =>
+            if (items.contains((v, p))) Right(Some((v, p, desc)))
+            else Left(s"ORDER BY key '$v.$p' must be among the returned " +
+              "properties")
+          case (Some(v), _, _) =>
+            Left(s"ORDER BY may only reference '$aVar', '$bVar' or " +
+              s"length($pathVar), got '$v'")
+          case (None, _, Some(v)) if v == pathVar =>
+            if (items.contains((pathVar, "length")))
+              Right(Some((pathVar, "length", desc)))
+            else Left(s"ORDER BY length($pathVar) requires " +
+              s"length($pathVar) in RETURN")
+          case (None, _, Some(v)) =>
+            Left(s"length() may only take the path variable '$pathVar', " +
+              s"got '$v'")
+        }
+      } yield ShortestPathReturn(pathVar, aVar, Option(aLabel),
+        propsOf(aPropsStr), Option(relT), bound, bVar, Option(bLabel),
+        propsOf(bPropsStr), items, ob, Option(limitStr).map(_.toInt))
     case ChainRe(v1, l1, p1, r1, k1, v2, l2, p2, r2, k2, v3, l3, p3,
         whereStr, distinctKw, retStr, obVar, obProp, obCountVar, obDir,
         skipStr, limitStr) =>
@@ -956,6 +1049,56 @@ object CypherLite {
     ch.limit.map(skipped.limit).getOrElse(skipped)
   }
 
+  /** Execute a shortestPath query: a multi-root BFS — [[GraphOps.kHop]]
+    * when the search is bounded (its min-depth dedup IS the shortest
+    * length), [[GraphOps.shortestDepths]]' anti-join fixpoint when
+    * unbounded — then one node-side join per endpoint for exactly the
+    * properties the query touches (the target join also enforces the b
+    * pattern's label/property constraints). Never a per-pair search: all
+    * (a, b) pairs resolve in one distributed traversal.
+    */
+  private def runShortestPath(g: GraphTables,
+      sp: ShortestPathReturn): DataFrame = {
+    def pred(label: Option[String], props: Map[String, String]): Column =
+      (label.map(col("label") === _).toSeq ++
+        props.map { case (k, v) => col(k) === v })
+        .reduceOption(_ && _).getOrElse(lit(true))
+    val roots = g.nodes.filter(pred(sp.aLabel, sp.aProps))
+    val rootIds = roots.select(col("id").as("root_id"))
+    val rel = relColOf(sp.relType)
+    val depths = sp.bound match {
+      case Some(k) => GraphOps.kHop(g, rootIds, k, rel)
+        .filter(col("depth") > 0)
+      case None => GraphOps.shortestDepths(g, rootIds, rel)
+    }
+    def wanted(v: String): Seq[String] = sp.items.collect {
+      case (`v`, p) if !(v == sp.pathVar) => p
+    }.distinct
+    val aCols = wanted(sp.aVar)
+    val bCols = wanted(sp.bVar)
+    val withA =
+      if (aCols.isEmpty) depths
+      else depths.join(roots.select(col("id").as("root_id") +:
+        aCols.map(p => col(p).as(s"${sp.aVar}_$p")): _*), "root_id")
+    val withB = withA.join(
+      g.nodes.filter(pred(sp.bLabel, sp.bProps))
+        .select(col("id").as("node_id") +:
+          bCols.map(p => col(p).as(s"${sp.bVar}_$p")): _*), "node_id")
+    def colOf(v: String, p: String): String =
+      if (v == sp.pathVar) "path_len" else s"${v}_$p"
+    val outCols = sp.items.map { case (v, p) => colOf(v, p) }.distinct
+    val projected = withB.withColumn("path_len", col("depth").cast("int"))
+      .select(outCols.map(col): _*)
+    val ordered = sp.orderBy match {
+      case Some((v, p, desc)) =>
+        val key = colOf(v, p)
+        val head = if (desc) col(key).desc else col(key).asc
+        projected.orderBy(head +: outCols.filterNot(_ == key).map(col): _*)
+      case None => projected.orderBy(outCols.map(col): _*)
+    }
+    sp.limit.map(ordered.limit).getOrElse(ordered)
+  }
+
   /** One numeric comparison column (the WHERE-after-WITH filter). */
   private def numCmp(c: Column, op: String, v: Double): Column = op match {
     case "=" => c === v
@@ -1037,6 +1180,16 @@ object CypherLite {
             .map(k => Left(s"unsupported projection property: $k " +
               s"(supported: ${ProjectableProps.toSeq.sorted.mkString(", ")})")))
           .getOrElse(Right(runChain(g, ch)))
+      case sp: ShortestPathReturn =>
+        (sp.aProps.keys ++ sp.bProps.keys).find(!SupportedProps(_))
+          .map(k => Left(s"unsupported property: $k " +
+            s"(supported: ${SupportedProps.toSeq.sorted.mkString(", ")})"))
+          .orElse(sp.items.collect {
+              case (v, p) if !(v == sp.pathVar && p == "length") => p
+            }.find(!ProjectableProps(_))
+            .map(k => Left(s"unsupported projection property: $k " +
+              s"(supported: ${ProjectableProps.toSeq.sorted.mkString(", ")})")))
+          .getOrElse(Right(runShortestPath(g, sp)))
       case DetachDelete(tag) =>
         // the reference's boolean tag ≙ our batch lineage column
         val after = GraphOps.dropBatch(g, tag)

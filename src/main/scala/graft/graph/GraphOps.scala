@@ -163,6 +163,54 @@ object GraphOps {
     visited
   }
 
+  /** Exact minimum-depth BFS from many roots simultaneously — the
+    * shortestPath kernel behind CypherLite's `MATCH p = shortestPath(…)`
+    * (the reference serves that form through Neo4j, `first-graph.py:29-36`).
+    * Same anti-join fixpoint as [[reachable]] (cycle-safe, ~diameter
+    * rounds, only the frontier materialized per round), but each pair
+    * keeps its discovery depth. The visited set flushes on the
+    * [[VisitedCheckpointEvery]] cadence; a pair re-discovered inside the
+    * stale window re-enters at a LARGER depth, so the closing
+    * min-aggregate — not the anti-join — owns depth correctness, exactly
+    * as [[kHop]]'s does. A root's path back to itself around a cycle is
+    * excluded (the pair dedupes to its depth-0 self-row, dropped last).
+    */
+  def shortestDepths(g: GraphTables, rootIds: DataFrame,
+      relFilter: org.apache.spark.sql.Column =
+        col("relType").startsWith("HAS_"),
+      maxIterations: Int = 64): DataFrame = {
+    val edges = g.edges.filter(relFilter).select(col("src"), col("dst")).toDF()
+    var visited = rootIds.select(col("root_id"),
+      col("root_id").as("node_id"), lit(0).as("depth")).localCheckpoint()
+    var frontier = visited
+    var pending = List.empty[DataFrame]
+    def flush(): Unit = if (pending.nonEmpty) {
+      visited = pending.foldLeft(visited)(_ unionByName _).localCheckpoint()
+      pending = Nil
+    }
+    var depth = 0
+    var done = false
+    while (depth < maxIterations && !done) {
+      depth += 1
+      frontier = frontier.select(col("root_id"), col("node_id").as("src"))
+        .join(edges, Seq("src"))
+        .select(col("root_id"), col("dst").as("node_id"))
+        .distinct()
+        .join(visited.select("root_id", "node_id"),
+          Seq("root_id", "node_id"), "left_anti")
+        .select(col("root_id"), col("node_id"), lit(depth).as("depth"))
+        .localCheckpoint()
+      done = frontier.isEmpty
+      if (!done) {
+        pending ::= frontier
+        if (pending.size >= VisitedCheckpointEvery) flush()
+      }
+    }
+    flush()
+    visited.groupBy("root_id", "node_id").agg(min("depth").as("depth"))
+      .filter(col("depth") > 0)
+  }
+
   /** Matched node + its ≤k-hop downward neighborhood as (m, connected) rows
     * (Q4; result contract `first-graph.py:168`).
     */

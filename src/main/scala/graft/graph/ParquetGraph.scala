@@ -661,6 +661,34 @@ object ParquetGraph {
         .fold(err => throw new IllegalArgumentException(err), identity)
     },
 
+    // C10 CypherLite twin: `MATCH p = shortestPath(…)` with the unbounded
+    // `*` form, on the cyclic chain layer — distance from NATION_0 to each
+    // nation in its region is the position gap around the directed cycle
+    // ((pos_b − pos_a) mod region size, closed-form from the same
+    // lead()-window that builds the chain). Nations in other regions are
+    // unreachable and must be absent; the root's cycle back to itself is
+    // no path. An implementation whose BFS double-counts revisits or
+    // stops early would shift every wrap-around distance.
+    QueryDef.sql(
+      "graphp_cypher_shortest_path",
+      """WITH r AS (SELECT n_name, n_regionkey,
+        |    row_number() OVER (PARTITION BY n_regionkey
+        |      ORDER BY n_nationkey) AS pos,
+        |    count(*) OVER (PARTITION BY n_regionkey) AS k
+        |  FROM nation),
+        |a AS (SELECT * FROM r WHERE n_name = 'NATION_0')
+        |SELECT b.n_name AS b_name,
+        |  CAST((((b.pos - a.pos) % b.k) + b.k) % b.k AS INT) AS path_len
+        |FROM r b JOIN a ON b.n_regionkey = a.n_regionkey
+        |WHERE b.n_name <> a.n_name
+        |ORDER BY b_name""".stripMargin) { (s, d) =>
+      CypherLite.run(chain(s, d),
+        "MATCH p = shortestPath((a:Nation {name: 'NATION_0'})" +
+          "-[:HAS_NEXT*]->(b:Nation)) " +
+          "RETURN b.name, length(p) ORDER BY b.name")
+        .fold(err => throw new IllegalArgumentException(err), identity)
+    },
+
     // B6 CypherLite twin: WHERE comparisons on the matched node, graded
     // against the same range predicate in SQL (binary string collation on
     // both engines).

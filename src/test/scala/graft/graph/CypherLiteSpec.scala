@@ -164,6 +164,36 @@ class CypherLiteSpec extends SparkSpec {
       "MATCH (m:Step)-[*1..1]->(c) RETURN m.name, sum(m.name)").isLeft)
   }
 
+  test("shortestPath returns min path lengths for every connected pair") {
+    val sp = CypherLite.run(g,
+      "MATCH p = shortestPath((a:Boeing_Service_Bulletin)-[*]->(b:Step)) " +
+        "RETURN a.docnbr, b.name, length(p)").fold(e => fail(e), identity)
+    assert(sp.columns.toSeq == Seq("a_docnbr", "b_name", "path_len"))
+    // the unbounded form must agree with the bounded expansion's min
+    // depths at a depth no path in this corpus exceeds
+    val direct = GraphOps.neighborhoodWhere(g,
+        col("label") === "Boeing_Service_Bulletin", 10)
+      .filter(col("c_label") === "Step")
+    assert(sp.count() == direct.count() && sp.count() > 0)
+    assert(sp.agg(max("path_len")).collect().head.getInt(0) ==
+      direct.agg(max("depth")).collect().head.getInt(0))
+    // no range = single-hop paths only: steps are nested deeper, so none
+    val oneHop = CypherLite.run(g,
+      "MATCH p = shortestPath((a:Boeing_Service_Bulletin)-[]->(b:Step)) " +
+        "RETURN a.docnbr, length(p)").fold(e => fail(e), identity)
+    assert(oneHop.count() == 0)
+  }
+
+  test("shortestPath misuse is rejected at parse time") {
+    assert(CypherLite.run(g, // shadowed path variable
+      "MATCH a = shortestPath((a:X)-[*]->(b:Y)) RETURN length(a)").isLeft)
+    assert(CypherLite.run(g, // length() of a non-path variable
+      "MATCH p = shortestPath((a:X)-[*]->(b:Y)) RETURN length(a)").isLeft)
+    assert(CypherLite.run(g, // ORDER BY length without projecting it
+      "MATCH p = shortestPath((a:X)-[*]->(b:Y)) RETURN a.name " +
+        "ORDER BY length(p)").isLeft)
+  }
+
   test("WHERE comparisons filter the matched node") {
     val all = CypherLite.run(g, "MATCH (m:Step) RETURN m").toOption.get.count()
     val some = CypherLite.run(g,
