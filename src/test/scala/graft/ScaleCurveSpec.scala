@@ -67,8 +67,12 @@ class ScaleCurveSpec extends SparkSpec {
   // l38/l40 (round 8): token-salting keeps each copy's bigram/unigram
   // vocabulary disjoint, so the word-keyed shuffles grow linearly in
   // keys — exactly the property the curve must confirm
+  // l43 (round 8): the pair fan-out runs over the DISTINCT-word census,
+  // which the salted copies grow linearly — the curve confirms the
+  // dedup-before-expand shape holds
   for (q <- Seq("l2_minhash_lsh", "l2c_ngram_jaccard", "l30_dup_spans",
-      "l34_verified_neardup", "l38_lm_perplexity", "l40_slice_drift")) {
+      "l34_verified_neardup", "l38_lm_perplexity", "l40_slice_drift",
+      "l43_bpe_pair_merge")) {
     test(s"$q wall-time grows ~linearly from 1x to 10x corpus") {
       val run = SparkEntry.queries(q)
       run(spark, dir1x).count() // warm-up: JIT + codegen + footer caches
