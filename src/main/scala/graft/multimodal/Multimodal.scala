@@ -79,18 +79,43 @@ object Multimodal {
   }
 
   /** Per-partition perceptual hashing of image payloads: a REAL codec
-    * parse ([[Bmp.decode]]) then the classic 8×8-luma average hash over
-    * the DECODED pixels. One decoder context per partition — the batch
-    * shape a `mapInPandas` image pipeline uses.
+    * parse (BMP by default; pass [[Png.decode]] for PNG payloads) then
+    * the classic 8×8-luma average hash over the DECODED pixels. One
+    * decoder context per partition — the batch shape a `mapInPandas`
+    * image pipeline uses.
     */
-  def phashes(s: SparkSession, payloads: DataFrame): DataFrame = {
+  def phashes(s: SparkSession, payloads: DataFrame,
+      decoder: Array[Byte] => Bmp.Image = Bmp.decode): DataFrame = {
     import s.implicits._
     payloads.select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
-        rows.map { case (id, bytes) => (id, Bmp.aHash64(Bmp.decode(bytes))) }
+        rows.map { case (id, bytes) => (id, Bmp.aHash64(decoder(bytes))) }
       }
       .toDF("doc_id", "phash")
+  }
+
+  /** The `% 3 == 1` document slice rendered as REAL 8-bit grayscale PNGs:
+    * a (n%21+8)×((n/5)%21+8) image whose pixel at logical position p is
+    * text byte p mod n — same mirrorable-generator discipline as
+    * [[bmpTable]], but the engine-side parse now crosses a DEFLATE
+    * stream, CRC-verified chunks, and the five scanline filters
+    * ([[Png]]). The encoder cycles filter types per row, so the oracle
+    * hash-compare grades every unfilter path, Paeth included.
+    */
+  def pngTable(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("tb"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.collect { case (id, t) if t.length > 0 && t.length % 3 == 1 =>
+          val n = t.length
+          (id, Png.encode(n % 21 + 8, (n / 5) % 21 + 8,
+            p => t(p % n) & 0xff))
+        }
+      }
+      .toDF("doc_id", "payload")
   }
 
   /** documents → (doc_id, payload binary) — the "raw media" table shape.
@@ -538,6 +563,21 @@ object Multimodal {
         }
         .toDF()
         .orderBy("doc_id", "kind")
+    },
+    QueryDef.sql(
+      "mm10_png_phash",
+      // per-image aHash over REAL decoded PNG pixels: unlike mm6's flat
+      // BMP layout, the engine-side parse crosses a DEFLATE stream
+      // (java.util.zip), CRC-verified chunks, and the five scanline
+      // prediction filters (the encoder cycles filter types per row).
+      // The oracle recomputes every bit from the GENERATOR formula
+      // (pixel p = text byte p mod n) — the PNG container never reaches
+      // DuckDB, so a hash match is bit-exact evidence the inflate +
+      // unfilter chain (Paeth included) recovered the true pixels.
+      s"""WITH ${duckPhashCtesFor(1, "n % 21 + 8", "(n // 5) % 21 + 8")}
+         |SELECT doc_id, phash FROM ph ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+        phashes(s, pngTable(s, d), Png.decode).orderBy("doc_id")
     }
   )
 
@@ -551,13 +591,23 @@ object Multimodal {
     * `k % 32` inside each branch keeps every shift ≤ 31 even if the
     * vectorized CASE evaluates both arms.
     */
-  private def duckPhashCtes: String =
-    """img AS (SELECT doc_id, text, octet_length(encode(text)) AS n
+  private def duckPhashCtes: String = duckPhashCtesFor(0,
+    "n % 24 + 8", "(n // 7) % 24 + 8")
+
+  /** The SQL mirror of generator → aHash for one image slice: slice
+    * selector (`octet_length % 3 = mod`) and dimension formulas are the
+    * only degrees of freedom between the BMP and PNG fixtures — the hash
+    * pipeline (cell mapping, integer cross-multiplied threshold, two-half
+    * bit assembly) is shared verbatim.
+    */
+  private def duckPhashCtesFor(mod: Int, wExpr: String,
+      hExpr: String): String =
+    s"""img AS (SELECT doc_id, text, octet_length(encode(text)) AS n
       |  FROM documents
-      |  WHERE octet_length(encode(text)) % 3 = 0
+      |  WHERE octet_length(encode(text)) % 3 = $mod
       |    AND octet_length(encode(text)) > 0),
       |dim AS (SELECT doc_id, text, n,
-      |    n % 24 + 8 AS w, (n // 7) % 24 + 8 AS h FROM img),
+      |    $wExpr AS w, $hExpr AS h FROM img),
       |px AS (SELECT doc_id, text, n, w, h, w * h AS wh,
       |    unnest(generate_series(0, w * h - 1)) AS p FROM dim),
       |lum AS (SELECT doc_id, wh,
