@@ -24,7 +24,8 @@ import org.apache.spark.sql.functions._
   *   [WHERE (m|c).prop <op> ('value'|number|['v'[, ...]]) [AND|OR ...]
   *    | [NOT] (m)-[[:REL_TYPE][*1..K]]->([:Label])]
   *     op ∈ {=, <>, <, <=, >, >=, STARTS WITH, ENDS WITH, CONTAINS, IN}
-  *     | (m|c).prop IS [NOT] NULL
+  *     | (m|c).prop IS [NOT] NULL; any comparison may carry a NOT prefix
+  *     (negated after evaluation — NOT null stays null, Cypher's rule)
   *   [WITH (m|m.prop)[, m.prop ...], count([DISTINCT] c|*) AS alias
   *    [WHERE alias <cmp> number]]
   *   RETURN [DISTINCT] m | m.prop[, m.prop ...] | m, c | m.prop, c
@@ -122,7 +123,11 @@ object CypherLite {
       onConn: Boolean = false, numeric: Boolean = false,
       // IN-list elements (op == "IN"); `numeric` = the list was unquoted
       // numerics, so membership compares numerically
-      values: Seq[String] = Seq.empty)
+      values: Seq[String] = Seq.empty,
+      // `NOT <comparison>`: the comparison column is negated AFTER
+      // evaluation, so a null comparison stays null (Cypher: NOT null is
+      // null — the row drops either way)
+      negated: Boolean = false)
 
   /** Pattern-existence predicate `WHERE [NOT] (m)-[[:REL][*1..K]]->([:Label])`:
     * keep exactly the roots with (without, under NOT) a node reachable
@@ -325,6 +330,11 @@ object CypherLite {
   private val NullCondRe =
     """(?is)\s*(\w+)\s*\.\s*(\w+)\s+IS\s+(NOT\s+)?NULL\s*""".r
 
+  // `NOT <comparison>` — the negation prefix on one AND-part. Matched
+  // AFTER the whole-clause pattern-existence check, so `NOT (m)-[…]->()`
+  // never reaches it (that form carries parens, which CondRe rejects).
+  private val NotCondRe = """(?is)\s*NOT\s+(.*)""".r
+
   // one element of an IN list, after the comma split: quoted string or
   // bare numeric (a piece matching neither — e.g. a quoted string that
   // itself contained a comma and got shredded — is a parse ERROR, never a
@@ -378,19 +388,22 @@ object CypherLite {
         // standard precedence without parens: OR of AND-groups
         val groups = w.split("(?i)\\s+OR\\s+").toSeq
           .map(_.split("(?i)\\s+AND\\s+").toSeq)
-        val parsed = groups.map { parts =>
-          val cs = parts.map {
+        def onePart(part: String, neg: Boolean): Either[String, Cond] =
+          part match {
+            case NotCondRe(inner) => onePart(inner, !neg)
             case NullCondRe(v, prop, notKw) if v == m =>
               Right(Cond(prop,
-                if (notKw != null) "IS NOT NULL" else "IS NULL", ""))
+                if (notKw != null) "IS NOT NULL" else "IS NULL", "",
+                negated = neg))
             case NullCondRe(v, prop, notKw) if conn.contains(v) =>
               Right(Cond(prop,
                 if (notKw != null) "IS NOT NULL" else "IS NULL", "",
-                onConn = true))
+                onConn = true, negated = neg))
             case CondRe(v, prop, op, str, num, list) if v == m =>
-              mkCond(prop, op, str, num, list)
+              mkCond(prop, op, str, num, list).map(_.copy(negated = neg))
             case CondRe(v, prop, op, str, num, list) if conn.contains(v) =>
-              mkCond(prop, op, str, num, list).map(_.copy(onConn = true))
+              mkCond(prop, op, str, num, list)
+                .map(_.copy(onConn = true, negated = neg))
             case CondRe(v, _, _, _, _, _) =>
               Left(s"WHERE may only reference the matched variable '$m'" +
                 conn.fold("")(c => s" or the connected variable '$c'") +
@@ -398,6 +411,8 @@ object CypherLite {
             case other =>
               Left(s"unsupported WHERE condition: ${other.take(80)}")
           }
+        val parsed = groups.map { parts =>
+          val cs = parts.map(p => onePart(p, neg = false))
           cs.collectFirst { case Left(e) => Left(e) }
             .getOrElse(Right(cs.collect { case Right(c) => c }))
         }
@@ -540,20 +555,25 @@ object CypherLite {
           case Some(w) =>
             val groups = w.split("(?i)\\s+OR\\s+").toSeq
               .map(_.split("(?i)\\s+AND\\s+").toSeq)
+            def onePart(part: String,
+                neg: Boolean): Either[String, (Int, Cond)] = part match {
+              case NotCondRe(inner) => onePart(inner, !neg)
+              case NullCondRe(v, prop, notKw) if varIdx.contains(v) =>
+                Right(varIdx(v) -> Cond(prop,
+                  if (notKw != null) "IS NOT NULL" else "IS NULL", "",
+                  negated = neg))
+              case CondRe(v, prop, op, str, num, list)
+                  if varIdx.contains(v) =>
+                mkCond(prop, op, str, num, list)
+                  .map(c => varIdx(v) -> c.copy(negated = neg))
+              case CondRe(v, _, _, _, _, _) =>
+                Left(s"WHERE may only reference the chain variables " +
+                  s"${nodes.map(_.v).mkString(", ")}, got '$v'")
+              case other =>
+                Left(s"unsupported WHERE condition: ${other.take(80)}")
+            }
             val parsed = groups.map { parts =>
-              val cs = parts.map {
-                case NullCondRe(v, prop, notKw) if varIdx.contains(v) =>
-                  Right(varIdx(v) -> Cond(prop,
-                    if (notKw != null) "IS NOT NULL" else "IS NULL", ""))
-                case CondRe(v, prop, op, str, num, list)
-                    if varIdx.contains(v) =>
-                  mkCond(prop, op, str, num, list).map(varIdx(v) -> _)
-                case CondRe(v, _, _, _, _, _) =>
-                  Left(s"WHERE may only reference the chain variables " +
-                    s"${nodes.map(_.v).mkString(", ")}, got '$v'")
-                case other =>
-                  Left(s"unsupported WHERE condition: ${other.take(80)}")
-              }
+              val cs = parts.map(p => onePart(p, neg = false))
               cs.collectFirst { case Left(e) => Left(e) }
                 .getOrElse(Right(cs.collect { case Right(c) => c }))
             }
@@ -1131,6 +1151,14 @@ object CypherLite {
     // and the row drops — observably identical to Cypher's string-vs-number
     // null (a plain cast would THROW under ANSI mode instead of dropping)
     val target = if (c.numeric) target0.try_cast("double") else target0
+    // `NOT <cmp>`: negate AFTER evaluation — Spark's ! of null is null,
+    // matching Cypher (NOT null is null; the row drops either way)
+    val base = condColBase(c, target0, target)
+    if (c.negated) !base else base
+  }
+
+  private def condColBase(c: Cond, target0: Column,
+      target: Column): Column = {
     def v: Any = if (c.numeric) c.value.toDouble else c.value
     c.op match {
     case "=" => target === v

@@ -689,6 +689,20 @@ object ParquetGraph {
         .fold(err => throw new IllegalArgumentException(err), identity)
     },
 
+    // C10 CypherLite twin: the NOT prefix on comparisons, mixed into an
+    // AND group — negation applies per comparison (after evaluation),
+    // not to the whole clause.
+    QueryDef.sql(
+      "graphp_cypher_not",
+      """SELECT n_name AS m_name FROM nation
+        |WHERE NOT (n_name < 'NATION_2') AND NOT (n_name = 'NATION_5')
+        |ORDER BY m_name""".stripMargin) { (s, d) =>
+      CypherLite.run(hierarchy(s, d),
+        "MATCH (m:Nation) WHERE NOT m.name < 'NATION_2' " +
+          "AND NOT m.name = 'NATION_5' RETURN m.name")
+        .fold(err => throw new IllegalArgumentException(err), identity)
+    },
+
     // B6 CypherLite twin: WHERE comparisons on the matched node, graded
     // against the same range predicate in SQL (binary string collation on
     // both engines).

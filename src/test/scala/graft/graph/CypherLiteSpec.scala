@@ -194,6 +194,29 @@ class CypherLiteSpec extends SparkSpec {
         "ORDER BY length(p)").isLeft)
   }
 
+  test("NOT prefix negates one comparison, with null-propagating semantics") {
+    val all = CypherLite.run(g, "MATCH (m:Step) RETURN m")
+      .toOption.get.count()
+    val eq = CypherLite.run(g,
+      "MATCH (m:Step) WHERE m.docnbr = '737-00-1028' RETURN m")
+      .toOption.get.count()
+    val not = CypherLite.run(g,
+      "MATCH (m:Step) WHERE NOT m.docnbr = '737-00-1028' RETURN m")
+      .toOption.get.count()
+    assert(eq > 0 && not > 0 && eq + not == all) // docnbr is never null here
+    // double negation cancels
+    val notNot = CypherLite.run(g,
+      "MATCH (m:Step) WHERE NOT NOT m.docnbr = '737-00-1028' RETURN m")
+      .toOption.get.count()
+    assert(notNot == eq)
+    // NOT over a numeric comparison of a NON-numeric property: the
+    // comparison is null, NOT null stays null, the row still drops —
+    // NOT must not resurrect null-comparison rows
+    val numericNot = CypherLite.run(g,
+      "MATCH (m:Step) WHERE NOT m.name > 5 RETURN m").toOption.get.count()
+    assert(numericNot == 0)
+  }
+
   test("WHERE comparisons filter the matched node") {
     val all = CypherLite.run(g, "MATCH (m:Step) RETURN m").toOption.get.count()
     val some = CypherLite.run(g,
