@@ -21,6 +21,9 @@ import org.apache.spark.sql.functions._
   * {{{
   *   MATCH (m[:Label] [{prop: 'value'[, ...]}])
   *     [ [OPTIONAL MATCH (m)] -[[:REL_TYPE[|REL_TYPE2...]][*1..K]]->(c[:Label] [{prop: 'value'[, ...]}]) ]
+  *     // the hop pattern may also point INWARD (`<-[…]-`, traversal over
+  *     // reversed edges) or be UNDIRECTED (`-[…]-`, each hop follows an
+  *     // edge either way); arrows on both ends are a parse error
   *   [WHERE (m|c).prop <op> ('value'|number|['v'[, ...]]) [AND|OR ...]
   *    | [NOT] (m)-[[:REL_TYPE][*1..K]]->([:Label])]
   *     op ∈ {=, <>, <, <=, >, >=, STARTS WITH, ENDS WITH, CONTAINS, IN}
@@ -185,7 +188,13 @@ object CypherLite {
       // `RETURN <item> AS <alias>`: canonical output column → requested
       // name, applied as a final rename (ordering/dedup run on canonical
       // columns, so aliasing never changes WHICH rows come back)
-      aliases: Map[String, String] = Map.empty) extends Statement
+      aliases: Map[String, String] = Map.empty,
+      // hop-pattern direction: "out" (-[]->), "in" (<-[]-), or "both"
+      // (-[]-, Cypher's undirected pattern — each step may follow an edge
+      // either way). Executed by reorienting the edge relation fed to the
+      // SAME expansion kernel, so every downstream shape (agg, optional,
+      // distinct) is direction-agnostic.
+      direction: String = "out") extends Statement
   final case class DetachDelete(tag: String) extends Statement
 
   /** `MATCH p = shortestPath((a…)-[[:REL][*[1..K]]]->(b…)) RETURN …` —
@@ -247,7 +256,7 @@ object CypherLite {
     """(?is)\s*MATCH\s*\(\s*(\w+)\s*(?::\s*(\w+))?\s*""" +
       """(?:\{\s*([^}]*)\s*\})?\s*\)\s*""" +
       """(?:(?:OPTIONAL\s+MATCH\s*\(\s*(\w+)\s*\)\s*)?""" +
-      """-\s*\[\s*(?::\s*(\w+(?:\s*\|\s*\w+)*)\s*)?(?:\*\s*1\s*\.\.\s*(\d+)\s*)?\]\s*->\s*\(\s*(\w+)\s*(?::\s*(\w+))?\s*(?:\{\s*([^}]*)\s*\})?\s*\)\s*)?""" +
+      """(?:<)?-\s*\[\s*(?::\s*(\w+(?:\s*\|\s*\w+)*)\s*)?(?:\*\s*1\s*\.\.\s*(\d+)\s*)?\]\s*-\s*(?:>)?\s*\(\s*(\w+)\s*(?::\s*(\w+))?\s*(?:\{\s*([^}]*)\s*\})?\s*\)\s*)?""" +
       """(?:WHERE\s+(.*?)\s*)?"""
 
   private val MatchRe =
@@ -364,6 +373,37 @@ object CypherLite {
     """(?is)\s*collect\s*\(\s*(?:DISTINCT\s+)?(\w+)\s*\)\s*""".r
   private val VarPropRe = """(?is)\s*(\w+)\s*\.\s*(\w+)\s*""".r
   private val VarRe = """(?is)\s*(\w+)\s*""".r
+
+  /** Hop-pattern direction, detected from the query text rather than
+    * capture groups (the shared pattern fragment already saturates
+    * Scala's 22-binding unapply limit): `-[]->` is outgoing, `<-[]-`
+    * incoming, `-[]-` undirected (Cypher's three forms); arrows on both
+    * ends are a parse error, as in Cypher. Sound because the single-hop
+    * statement forms bind at most ONE relationship pattern (chains and
+    * shortestPath have their own regexes) and a pattern-existence WHERE —
+    * the only other arrow carrier — cannot co-occur with a hop pattern.
+    * Quoted string literals are blanked first so an arrow-shaped literal
+    * can never masquerade as pattern syntax.
+    */
+  private val InArrowRe = """<\s*-\s*\[""".r
+  private val OutArrowRe = """\]\s*-\s*>""".r
+
+  private def parseDirection(query: String,
+      hasHop: Boolean): Either[String, String] = {
+    if (!hasHop) Right("out")
+    else {
+      val blanked = query.replaceAll("'[^']*'", "''")
+      val hasIn = InArrowRe.findFirstIn(blanked).isDefined
+      val hasOut = OutArrowRe.findFirstIn(blanked).isDefined
+      (hasIn, hasOut) match {
+        case (true, true) =>
+          Left("a relationship pattern cannot point both ways (<-[…]->)")
+        case (true, false) => Right("in")
+        case (false, true) => Right("out")
+        case (false, false) => Right("both")
+      }
+    }
+  }
 
   /** Parse a pattern-level WHERE clause shared by the plain and the WITH
     * statement forms: either a comparison DNF (OR of AND-groups, standard
@@ -690,6 +730,7 @@ object CypherLite {
           }
         }
         for {
+          dir <- parseDirection(query, conn.isDefined)
           c <- countE
           (dkFlag, star, alias) = c
           kk <- keysE
@@ -756,7 +797,8 @@ object CypherLite {
           Option(skipStr).map(_.toInt), Option(limitStr).map(_.toInt),
           optional, distinctKw != null, None,
           Some(WithSpec(groupIdentity, alias,
-            Option(havVar).map(_ => (havOp, havNum.toDouble)))))
+            Option(havVar).map(_ => (havOp, havNum.toDouble)))),
+          direction = dir)
       }
     case MatchRe(m, label, propsStr, optVar, relType, hopsStr, connVar,
         connLabel, connPropsStr, whereStr, distinctKw, retStr, obVar, obProp,
@@ -885,6 +927,7 @@ object CypherLite {
           s"got '$optVar'")
       else
         for {
+          dir <- parseDirection(query, conn.isDefined)
           whereParsed <- whereE
           (conds, existsPat) = whereParsed
           parsedItems <- itemsE
@@ -964,7 +1007,8 @@ object CypherLite {
             Option(limitStr).map(_.toInt), optional, retDistinct, existsPat,
             aliases =
               aliasPairs.flatMap { case (i, a) => canonOf(i).map(_ -> a) }
-                .toMap)
+                .toMap,
+            direction = dir)
         }
     case _ => Left(s"unsupported query shape: ${query.take(120)}")
   }
@@ -1224,7 +1268,8 @@ object CypherLite {
         Right(after.nodes.groupBy("batch")
           .agg(count(lit(1)).as("n_nodes")).orderBy("batch").toDF())
       case MatchReturn(label, props, relType, hops, conds, items, orderBy,
-          skip, limit, optional, distinct, existsPat, withSpec, aliases) =>
+          skip, limit, optional, distinct, existsPat, withSpec, aliases,
+          direction) =>
         // unknown keys are rejected, not silently coerced to a name match —
         // a plausible-but-wrong answer is worse than an error to the
         // LLM-emitted-query caller this front end serves
@@ -1276,17 +1321,43 @@ object CypherLite {
               s"properties (${outProps.toSeq.sorted.mkString(", ")})")))
           .getOrElse(Right(runMatch(g, label, props, relType, hops, conds,
             items, orderBy, skip, limit, optional, distinct, existsPat,
-            withSpec, aliases)))
+            withSpec, aliases, direction)))
     }
 
-  private def runMatch(g: GraphTables, label: Option[String],
+  /** The edge relation with src/dst swapped — the `<-[]-` traversal
+    * substrate. A pure projection over the cached edge dataset: no
+    * shuffle, no extra scan; relType/lineage columns ride along unchanged
+    * so typed filters and batch semantics work identically in reverse.
+    */
+  private def reversedEdges(
+      g: GraphTables): org.apache.spark.sql.Dataset[EdgeRow] = {
+    import g.edges.sparkSession.implicits._
+    g.edges.select(col("dst").as("src"), col("src").as("dst"),
+      col("relType"), col("docnbr"), col("batch")).as[EdgeRow]
+  }
+
+  private def runMatch(g0: GraphTables, label: Option[String],
       props: Map[String, String], relType: Option[String], hops: Int,
       conds: Seq[Seq[Cond]], items: Seq[RetItem],
       orderBy: Option[(String, Boolean)], skip: Option[Int],
       limit: Option[Int], optional: Boolean, distinct: Boolean,
       existsPat: Option[ExistsPat],
       withSpec: Option[WithSpec],
-      aliases: Map[String, String] = Map.empty): DataFrame = {
+      aliases: Map[String, String] = Map.empty,
+      direction: String = "out"): DataFrame = {
+    // direction is executed by reorienting the edge relation fed to the
+    // expansion kernel — a projection, no extra shuffle: `<-[]-` swaps
+    // src/dst, the undirected `-[]-` unions both orientations (each hop
+    // may then follow an edge either way; the kernel's min-depth dedup
+    // keeps one binding per (root, node) pair and depth 0 still excludes
+    // the root itself). The WHERE pattern-existence predicate keeps its
+    // own explicit `->` syntax and always sees the original orientation.
+    val g = direction match {
+      case "out" => g0
+      case "in" => GraphTables(g0.nodes, reversedEdges(g0))
+      case _ =>
+        GraphTables(g0.nodes, g0.edges.unionByName(reversedEdges(g0)))
+    }
     // the aggregate's output column: the WITH alias when one was bound,
     // else the fixed contract names (AS aliases rename at the very end)
     val aggOut = withSpec.map(_.alias).getOrElse(items.collectFirst {
@@ -1358,7 +1429,7 @@ object CypherLite {
         // filters the expansion's node image before the existence check.
         val matched = existsPat.fold(matched0) { ep =>
           val epRel = relColOf(ep.relType)
-          val reach = GraphOps.neighborhoodWhereKeyed(g, pred, ep.hops, epRel)
+          val reach = GraphOps.neighborhoodWhereKeyed(g0, pred, ep.hops, epRel)
           val hit = ep.connLabel.fold(reach)(l =>
               reach.filter(col("c_label") === l))
             .select(col("root_id").as("id")).distinct()

@@ -703,6 +703,50 @@ object ParquetGraph {
         .fold(err => throw new IllegalArgumentException(err), identity)
     },
 
+    // C10 CypherLite twin: incoming direction `<-[]-` — the expansion runs
+    // over the REVERSED edge relation, so a nation's in-neighbor via
+    // HAS_NATION is its region. Graded against the plain child→parent join.
+    QueryDef.sql(
+      "graphp_cypher_incoming",
+      """SELECT n_name AS m_name, r_name AS c_name
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY m_name, c_name""".stripMargin) { (s, d) =>
+      CypherLite.run(hierarchy(s, d),
+        "MATCH (m:Nation)<-[:HAS_NATION]-(c) RETURN m.name, c.name " +
+          "ORDER BY m.name")
+        .fold(err => throw new IllegalArgumentException(err), identity)
+    },
+
+    // C10 CypherLite twin: incoming MULTI-hop `<-[*1..2]-` — every
+    // customer's reverse 2-hop neighborhood is exactly {its nation, its
+    // region}, so the count is the constant 2 (proving the reversed
+    // traversal actually chains across depths).
+    QueryDef.sql(
+      "graphp_cypher_incoming_deep",
+      """SELECT CAST(c_custkey AS VARCHAR) AS m_name, 2 AS cnt
+        |FROM customer WHERE CAST(c_custkey AS VARCHAR) < '100'
+        |ORDER BY m_name""".stripMargin) { (s, d) =>
+      CypherLite.run(hierarchy(s, d),
+        "MATCH (m:Customer)<-[*1..2]-(c) WHERE m.name < '100' " +
+          "RETURN m.name, count(c) AS cnt ORDER BY m.name")
+        .fold(err => throw new IllegalArgumentException(err), identity)
+    },
+
+    // C10 CypherLite twin: undirected `-[]-` — one hop either way from a
+    // nation reaches its region (reverse HAS_NATION) plus its customers
+    // (forward HAS_CUSTOMER); zero-customer nations still answer 1.
+    QueryDef.sql(
+      "graphp_cypher_undirected",
+      """SELECT n_name AS m_name,
+        |  (SELECT count(*) FROM customer
+        |   WHERE c_nationkey = n_nationkey) + 1 AS cnt
+        |FROM nation ORDER BY m_name""".stripMargin) { (s, d) =>
+      CypherLite.run(hierarchy(s, d),
+        "MATCH (m:Nation)-[]-(c) RETURN m.name, count(c) AS cnt " +
+          "ORDER BY m.name")
+        .fold(err => throw new IllegalArgumentException(err), identity)
+    },
+
     // B6 CypherLite twin: WHERE comparisons on the matched node, graded
     // against the same range predicate in SQL (binary string collation on
     // both engines).

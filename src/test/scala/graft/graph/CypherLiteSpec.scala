@@ -194,6 +194,37 @@ class CypherLiteSpec extends SparkSpec {
         "ORDER BY length(p)").isLeft)
   }
 
+  test("incoming direction <-[]- binds exactly the transposed outgoing pairs") {
+    val down = CypherLite.run(g,
+      "MATCH (m:Boeing_Service_Bulletin)-[*1..1]->(c) " +
+        "RETURN m.name, c.name").toOption.get
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // (child)<-[]-(parent:BSB): same bindings with the roles swapped
+    val up = CypherLite.run(g,
+      "MATCH (m)<-[*1..1]-(c:Boeing_Service_Bulletin) " +
+        "RETURN m.name, c.name").toOption.get
+      .collect().map(r => (r.getString(1), r.getString(0))).toSet
+    assert(down.nonEmpty && down == up)
+  }
+
+  test("undirected -[]- unions both orientations; both arrows rejected") {
+    def n(q: String): Long = CypherLite.run(g, q).toOption.get.count()
+    val out = n("MATCH (m:Step)-[]->(c) RETURN m.name, c.name")
+    val in = n("MATCH (m:Step)<-[]-(c) RETURN m.name, c.name")
+    val both = n("MATCH (m:Step)-[]-(c) RETURN m.name, c.name")
+    // the containment layer is a tree: no (m, c) pair is reachable in both
+    // directions at one hop, so undirected = in + out exactly
+    assert(in > 0 && out > 0 && both == in + out)
+    assert(CypherLite.run(g, "MATCH (m:Step)<-[]->(c) RETURN m").isLeft)
+  }
+
+  test("an arrow-shaped string literal cannot flip the detected direction") {
+    val df = CypherLite.run(g,
+      "MATCH (m:Step)-[]->(c) WHERE c.name = '<-[x' RETURN m.name, c.name")
+    assert(df.isRight, df.toString) // parsed as OUTGOING, not both-ways
+    assert(df.toOption.get.count() == 0)
+  }
+
   test("NOT prefix negates one comparison, with null-propagating semantics") {
     val all = CypherLite.run(g, "MATCH (m:Step) RETURN m")
       .toOption.get.count()
