@@ -20,25 +20,33 @@ import org.apache.spark.sql.functions._
   * variable):
   * {{{
   *   MATCH (m[:Label] [{prop: 'value'[, ...]}])
-  *     [ [OPTIONAL MATCH (m)] -[[:REL_TYPE[|REL_TYPE2...]][*1..K]]->(c[:Label] [{prop: 'value'[, ...]}]) ]
+  *     [ [OPTIONAL MATCH (m)] -[[r][:REL_TYPE[|REL_TYPE2...]][*1..K]]->(c[:Label] [{prop: 'value'[, ...]}]) ]
   *     // the hop pattern may also point INWARD (`<-[…]-`, traversal over
   *     // reversed edges) or be UNDIRECTED (`-[…]-`, each hop follows an
-  *     // edge either way); arrows on both ends are a parse error
+  *     // edge either way); arrows on both ends are a parse error.
+  *     // `r` binds the relationship (single-hop only — on a var-length
+  *     // pattern Cypher's r is a LIST, which type()/count() would
+  *     // misread, so the combination is rejected)
   *   [WHERE (m|c).prop <op> ('value'|number|['v'[, ...]]) [AND|OR ...]
+  *    | type(r) <op> ('value'|['v'[, ...]])
   *    | [NOT] (m)-[[:REL_TYPE][*1..K]]->([:Label])]
   *     op ∈ {=, <>, <, <=, >, >=, STARTS WITH, ENDS WITH, CONTAINS, IN}
   *     | (m|c).prop IS [NOT] NULL; any comparison may carry a NOT prefix
   *     (negated after evaluation — NOT null stays null, Cypher's rule)
-  *   [WITH (m|m.prop)[, m.prop ...], count([DISTINCT] c|*) AS alias
+  *   [WITH (m|m.prop)[, m.prop ...], count([DISTINCT] c|r|*) AS alias
   *    [WHERE alias <cmp> number]]
   *   RETURN [DISTINCT] m | m.prop[, m.prop ...] | m, c | m.prop, c
   *          | m.prop[, ...], c.prop[, ...] | c.prop[, ...]
+  *          | [m.prop[, ...],] type(r)[, c.prop[, ...]]
   *          | m, count([DISTINCT] c|*) | m.prop[, ...], count([DISTINCT] c|*)
+  *          | [m[.prop[, ...]],] type(r), count([DISTINCT] c|r|*)
   *          | m[.prop[, ...]], collect([DISTINCT] c.prop)
   *          | m[.prop[, ...]], (sum|avg|min|max)(c.prop)
   *          | (after WITH) m.prop[, ...], alias
-  *     every property/aggregate RETURN item may take `AS alias`
-  *   [ORDER BY m.prop | count(c|*) | alias [ASC|DESC]] [SKIP n] [LIMIT n]
+  *     every property/aggregate RETURN item (incl. type(r)) may take
+  *     `AS alias`
+  *   [ORDER BY m.prop | count(c|*) | type(r) | alias [ASC|DESC]]
+  *   [SKIP n] [LIMIT n]
   *
   *   // shortest path between endpoint patterns (one row per connected
   *   // (a, b) pair at its minimum length; `*` = unbounded fixpoint,
@@ -89,6 +97,20 @@ import org.apache.spark.sql.functions._
   * so an alias can never change WHICH rows come back — and `ORDER BY
   * <alias>` resolves through the item it names (an aggregate alias sorts
   * groups by the aggregate, the `ORDER BY cnt DESC` staple).
+  * A hop pattern may bind a RELATIONSHIP variable (`-[r]->`, `-[r:T]->`):
+  * the expansion switches to a one-row-per-EDGE bindings relation
+  * (Cypher's bag semantics — parallel relationships bind separately,
+  * where the default kernel's min-depth dedup would collapse them)
+  * carrying the traversed edge's type as the `r_type` output column.
+  * `type(r)` projects it (`RETURN type(r), count(*)` is the schema
+  * census — grouping keys per Cypher's rule), `WHERE type(r) <op> …`
+  * filters bindings by it, `count(r)` counts traversed relationships
+  * (≡ `count(DISTINCT r)`: each binding IS a distinct edge), and
+  * `ORDER BY type(r)` sorts by it when projected. An untyped `-[r]->`
+  * still follows the downward containment relation (HAS_*) — binding a
+  * variable never widens WHICH edges are traversed, only what the query
+  * can say about them. On an incoming (`<-[r]-`) or undirected pattern
+  * type(r) answers the TRUE stored type of the traversed edge.
   * `OPTIONAL MATCH` makes the hop pattern left-outer (Cypher's optional
   * semantics): every root matching the first MATCH pattern is returned,
   * with the connected columns null when no binding exists. A WHERE clause
@@ -130,7 +152,12 @@ object CypherLite {
       // `NOT <comparison>`: the comparison column is negated AFTER
       // evaluation, so a null comparison stays null (Cypher: NOT null is
       // null — the row drops either way)
-      negated: Boolean = false)
+      negated: Boolean = false,
+      // `type(r) <op> literal`: the comparison targets the traversed
+      // edge's type (the bindings' `r_type` column), not a node property;
+      // prop is empty and onConn rides true so the binding-level filter
+      // path engages
+      onRel: Boolean = false)
 
   /** Pattern-existence predicate `WHERE [NOT] (m)-[[:REL][*1..K]]->([:Label])`:
     * keep exactly the roots with (without, under NOT) a node reachable
@@ -158,6 +185,12 @@ object CypherLite {
   // drop out — Cypher's rule — and a sum over zero values is 0); min/max
   // order by the property's native string collation
   final case class RetAggProp(fn: String, prop: String) extends RetItem
+  // type(r) — the traversed relationship's type (output column `r_type`).
+  // Only valid when the hop pattern binds a relationship variable, which
+  // in turn forces the single-hop form (Cypher: type() is undefined on a
+  // variable-length binding). Acts as a grouping key under aggregates
+  // (the `RETURN type(r), count(*)` schema-census staple).
+  case object RetRelType extends RetItem
 
   /** `WITH <keys>, count(…) AS <alias> [WHERE <alias> <op> <num>]` — the
     * aggregate-then-filter (HAVING) pipeline stage. `groupIdentity` = the
@@ -194,7 +227,12 @@ object CypherLite {
       // either way). Executed by reorienting the edge relation fed to the
       // SAME expansion kernel, so every downstream shape (agg, optional,
       // distinct) is direction-agnostic.
-      direction: String = "out") extends Statement
+      direction: String = "out",
+      // `-[r]->` bound a relationship variable: the expansion switches to
+      // the single-hop typed-bindings substrate (one row per EDGE, not per
+      // min-depth-deduped (root, node) pair — Cypher's true bag semantics)
+      // carrying the edge's type as `r_type`
+      relVar: Option[String] = None) extends Statement
   final case class DetachDelete(tag: String) extends Statement
 
   /** `MATCH p = shortestPath((a…)-[[:REL][*[1..K]]]->(b…)) RETURN …` —
@@ -256,13 +294,13 @@ object CypherLite {
     """(?is)\s*MATCH\s*\(\s*(\w+)\s*(?::\s*(\w+))?\s*""" +
       """(?:\{\s*([^}]*)\s*\})?\s*\)\s*""" +
       """(?:(?:OPTIONAL\s+MATCH\s*\(\s*(\w+)\s*\)\s*)?""" +
-      """(?:<)?-\s*\[\s*(?::\s*(\w+(?:\s*\|\s*\w+)*)\s*)?(?:\*\s*1\s*\.\.\s*(\d+)\s*)?\]\s*-\s*(?:>)?\s*\(\s*(\w+)\s*(?::\s*(\w+))?\s*(?:\{\s*([^}]*)\s*\})?\s*\)\s*)?""" +
+      """(?:<)?-\s*\[\s*(?:[A-Za-z_]\w*\s*)?(?::\s*(\w+(?:\s*\|\s*\w+)*)\s*)?(?:\*\s*1\s*\.\.\s*(\d+)\s*)?\]\s*-\s*(?:>)?\s*\(\s*(\w+)\s*(?::\s*(\w+))?\s*(?:\{\s*([^}]*)\s*\})?\s*\)\s*)?""" +
       """(?:WHERE\s+(.*?)\s*)?"""
 
   private val MatchRe =
     (PatFrag +
       """RETURN\s+(DISTINCT\s+)?(.+?)\s*""" +
-      """(?:ORDER\s+BY\s+(?:(\w+)\s*\.\s*(\w+)|count\s*\(\s*(?:DISTINCT\s+)?(\w+|\*)\s*\)|(\w+))\s*(?:(ASC|DESC)\s*)?)?""" +
+      """(?:ORDER\s+BY\s+(?:(\w+)\s*\.\s*(\w+)|count\s*\(\s*(?:DISTINCT\s+)?(\w+|\*)\s*\)|type\s*\(\s*(\w+)\s*\)|(\w+))\s*(?:(ASC|DESC)\s*)?)?""" +
       """(?:SKIP\s+(\d+)\s*)?""" +
       """(?:LIMIT\s+(\d+))?\s*;?\s*""").r
 
@@ -362,6 +400,13 @@ object CypherLite {
 
   private val CountRe =
     """(?is)\s*count\s*\(\s*(DISTINCT\s+)?(\*|\w+)\s*\)\s*""".r
+  // `type(r)` — the relationship-type projection (RETURN item)
+  private val TypeRe = """(?is)\s*type\s*\(\s*(\w+)\s*\)\s*""".r
+  // `type(r) <op> literal` — the relationship-type comparison (WHERE)
+  private val TypeCondRe =
+    ("""(?is)\s*type\s*\(\s*(\w+)\s*\)\s*""" +
+      """(<>|<=|>=|=|<|>|STARTS\s+WITH|ENDS\s+WITH|CONTAINS|IN)""" +
+      """\s*(?:'([^']*)'|(-?\d+(?:\.\d+)?)|\[([^\]]*)\])\s*""").r
   // sum/avg/min/max(c.prop) — the property aggregates
   private val AggRe =
     """(?is)\s*(sum|avg|min|max)\s*\(\s*(\w+)\s*\.\s*(\w+)\s*\)\s*""".r
@@ -405,12 +450,32 @@ object CypherLite {
     }
   }
 
+  /** The hop pattern's bound relationship variable (`-[r]->` / `-[r:T]->`),
+    * detected from the query text for the same capture-group-budget reason
+    * as [[parseDirection]]. Sound for the single-hop statement forms: their
+    * only bracket carriers are the ONE hop pattern (first, textually) and
+    * IN-list literals, whose elements are quoted strings (blanked first) or
+    * numerics — neither starts with an identifier character. A
+    * pattern-existence WHERE never co-occurs with a hop pattern, and its
+    * own regex admits no variable, so a var inside it fails the query with
+    * a named error before this attribution could matter.
+    */
+  private val RelVarRe = """\[\s*([A-Za-z_]\w*)""".r
+
+  private def parseRelVar(query: String, hasHop: Boolean): Option[String] =
+    if (!hasHop) None
+    else RelVarRe.findFirstMatchIn(query.replaceAll("'[^']*'", "''"))
+      .map(_.group(1))
+
   /** Parse a pattern-level WHERE clause shared by the plain and the WITH
     * statement forms: either a comparison DNF (OR of AND-groups, standard
     * precedence without parens) or a single pattern-existence predicate.
+    * `relVar` admits `type(r) <op> literal` comparisons (a binding-level
+    * condition carried on the [[RelTypeProp]] sentinel).
     */
   private def parseWhereClause(m: String, conn: Option[String],
-      whereStr: String): Either[String, (Seq[Seq[Cond]], Option[ExistsPat])] =
+      whereStr: String, relVar: Option[String] = None):
+      Either[String, (Seq[Seq[Cond]], Option[ExistsPat])] =
     Option(whereStr).map(_.trim).filter(_.nonEmpty) match {
       case None => Right((Seq.empty, None))
       case Some(ExistsRe(notKw, v, relT, hopsK, connLab)) if v == m =>
@@ -448,6 +513,17 @@ object CypherLite {
               Left(s"WHERE may only reference the matched variable '$m'" +
                 conn.fold("")(c => s" or the connected variable '$c'") +
                 s", got '$v'")
+            // type(r) <op> literal: a binding-level condition on the
+            // traversed edge's type — onRel routes it to the bindings'
+            // `r_type` column (onConn rides true so the binding-level
+            // filter path engages)
+            case TypeCondRe(v, op, str, num, list) if relVar.contains(v) =>
+              mkCond("", op, str, num, list)
+                .map(_.copy(onConn = true, negated = neg, onRel = true))
+            case TypeCondRe(v, _, _, _, _) =>
+              Left("WHERE type() may only reference the bound " +
+                s"relationship variable" +
+                relVar.fold("")(r => s" '$r'") + s", got '$v'")
             case other =>
               Left(s"unsupported WHERE condition: ${other.take(80)}")
           }
@@ -703,6 +779,7 @@ object CypherLite {
         // WITH items: grouping keys then the aliased count (the regex
         // enforces this shape — that is also what disambiguates the WITH
         // keyword from a STARTS WITH comparison)
+        val relVar = parseRelVar(query, conn.isDefined)
         val wparts = withItems.split(",").toSeq
         val countE: Either[String, (Boolean, Boolean, String)] =
           wparts.last match {
@@ -711,9 +788,15 @@ object CypherLite {
               else Right((false, true, alias))
             case WithCountRe(dk, v, alias) if conn.contains(v) =>
               Right((dk != null, false, alias))
+            // count(r): one row per traversed EDGE on the typed-bindings
+            // substrate, so plain and DISTINCT counts coincide
+            case WithCountRe(_, v, alias) if relVar.contains(v) =>
+              Right((false, false, alias))
             case WithCountRe(_, v, _) =>
               Left(s"WITH count() may only aggregate the connected " +
-                s"variable '${conn.get}' or *, got '$v'")
+                s"variable '${conn.get}'" +
+                relVar.fold("")(r => s", the relationship variable '$r',") +
+                s" or *, got '$v'")
             case other => Left("the last WITH item must be the aliased " +
               s"count, got '${other.trim.take(40)}'")
           }
@@ -731,11 +814,15 @@ object CypherLite {
         }
         for {
           dir <- parseDirection(query, conn.isDefined)
+          _ <- if (relVar.isDefined && hopsStr != null)
+            Left(s"a relationship variable ('${relVar.get}') cannot bind " +
+              "a variable-length pattern — drop the range or the variable")
+          else Right(())
           c <- countE
           (dkFlag, star, alias) = c
           kk <- keysE
           (groupIdentity, groupProps) = kk
-          whereParsed <- parseWhereClause(m, conn, whereStr)
+          whereParsed <- parseWhereClause(m, conn, whereStr, relVar)
           conds <- whereParsed match {
             case (cs, None) => Right(cs)
             case (_, Some(_)) => Left("a pattern-existence WHERE cannot " +
@@ -798,16 +885,17 @@ object CypherLite {
           optional, distinctKw != null, None,
           Some(WithSpec(groupIdentity, alias,
             Option(havVar).map(_ => (havOp, havNum.toDouble)))),
-          direction = dir)
+          direction = dir, relVar = relVar)
       }
     case MatchRe(m, label, propsStr, optVar, relType, hopsStr, connVar,
         connLabel, connPropsStr, whereStr, distinctKw, retStr, obVar, obProp,
-        obCountVar, obBare, obDir, skipStr, limitStr) =>
+        obCountVar, obTypeVar, obBare, obDir, skipStr, limitStr) =>
       val props = Option(propsStr).toSeq
         .flatMap(s => PropRe.findAllMatchIn(s)
           .map(p => p.group(1) -> p.group(2))).toMap
       val hops = Option(hopsStr).map(_.toInt).getOrElse(0)
       val conn = Option(connVar)
+      val relVar = parseRelVar(query, conn.isDefined)
       val optional = optVar != null
       val retDistinct = distinctKw != null
       // a WHERE clause is EITHER a comparison DNF or a single pattern-
@@ -815,7 +903,7 @@ object CypherLite {
       // the whole clause (its parens/brackets would shred under the
       // AND/OR split)
       val whereE: Either[String, (Seq[Seq[Cond]], Option[ExistsPat])] =
-        parseWhereClause(m, conn, whereStr)
+        parseWhereClause(m, conn, whereStr, relVar)
       // one RETURN item (its trailing `AS alias`, if any, already stripped)
       def parseOne(part: String): Either[String, RetItem] = part match {
         case CountRe(dk, "*") =>
@@ -825,9 +913,19 @@ object CypherLite {
           if (dk != null) Left("count(DISTINCT *) is not supported")
           else Right(RetCount(distinct = false, star = true))
         case CountRe(dk, v) if conn.contains(v) => Right(RetCount(dk != null))
+        // count([DISTINCT] r): relationships traversed — with a bound rel
+        // var the bindings relation is one row per EDGE, so plain and
+        // DISTINCT counts coincide (each row IS a distinct relationship)
+        case CountRe(_, v) if relVar.contains(v) =>
+          Right(RetCount(distinct = false))
         case CountRe(_, v) => Left(s"count() may only aggregate the " +
-          s"connected variable${conn.fold("")(c => s" '$c'")} or *, " +
-          s"got '$v'")
+          s"connected variable${conn.fold("")(c => s" '$c'")}" +
+          relVar.fold("")(r => s", the relationship variable '$r',") +
+          s" or *, got '$v'")
+        case TypeRe(v) if relVar.contains(v) => Right(RetRelType)
+        case TypeRe(v) => Left("type() may only reference the bound " +
+          "relationship variable" + relVar.fold("")(r => s" '$r'") +
+          s", got '$v'")
         case CollectRe(dk, v, p) if conn.contains(v) =>
           Right(RetCollect(p, dk != null))
         case CollectRe(_, v, p) => Left(s"collect() may only aggregate " +
@@ -858,6 +956,7 @@ object CypherLite {
         case RetCount(_, _) => Some("n_connected")
         case RetCollect(_, _) => Some("collected")
         case RetAggProp(fn, p) => Some(s"${fn}_$p")
+        case RetRelType => Some("r_type")
         case _ => None
       }
       val itemsE: Either[String, (Seq[RetItem], Seq[(RetItem, String)])] = {
@@ -891,28 +990,37 @@ object CypherLite {
           Either[String, Option[(String, Boolean)]] = {
         val desc = Option(obDir).exists(_.equalsIgnoreCase("DESC"))
         (Option(obVar), Option(obProp), Option(obCountVar),
-            Option(obBare)) match {
-          case (None, _, None, None) => Right(None)
-          case (Some(v), Some(p), _, _) if v == m => Right(Some((p, desc)))
-          case (Some(v), _, _, _) =>
+            Option(obTypeVar), Option(obBare)) match {
+          case (None, _, None, None, None) => Right(None)
+          case (Some(v), Some(p), _, _, _) if v == m => Right(Some((p, desc)))
+          case (Some(v), _, _, _, _) =>
             Left(s"ORDER BY may only reference '$m', got '$v'")
           // ORDER BY count(c)/count(*): sort groups by the aggregate
           // (top-k groups); validated below against RETURN having the
           // matching count item
-          case (None, _, Some(v), _) if conn.contains(v) || v == "*" =>
+          case (None, _, Some(v), _, _) if conn.contains(v) || v == "*" =>
             Right(Some((CountKey, desc)))
-          case (None, _, Some(v), _) =>
+          case (None, _, Some(v), _, _) =>
             Left(s"ORDER BY count() may only aggregate the connected " +
               s"variable${conn.fold("")(c => s" '$c'")} or *, got '$v'")
+          // ORDER BY type(r): sort by the relationship-type column
+          // (validated below against RETURN projecting type(r))
+          case (None, _, None, Some(v), _) if relVar.contains(v) =>
+            Right(Some((RelTypeKey, desc)))
+          case (None, _, None, Some(v), _) =>
+            Left("ORDER BY type() may only reference the bound " +
+              "relationship variable" + relVar.fold("")(r => s" '$r'") +
+              s", got '$v'")
           // ORDER BY <alias>: resolve through the RETURN item it names —
           // an m-property alias sorts by that property, an aggregate alias
           // sorts by the aggregate (the count pseudo-key maps onto
           // whatever aggregate column the query produces)
-          case (None, _, None, Some(b)) =>
+          case (None, _, None, None, Some(b)) =>
             aliased.find(_._2 == b).map(_._1) match {
               case Some(RetProp(p)) => Right(Some((p, desc)))
               case Some(_: RetCount) | Some(_: RetCollect)
                  | Some(_: RetAggProp) => Right(Some((CountKey, desc)))
+              case Some(RetRelType) => Right(Some((RelTypeKey, desc)))
               case Some(_) => Left("ORDER BY on a connected-node alias " +
                 s"is not supported ('$b')")
               case None => Left(s"ORDER BY key '$b' is not an alias bound " +
@@ -970,13 +1078,30 @@ object CypherLite {
             Left("RETURN of the whole matched node cannot be combined with " +
               "connected-node properties — project m.prop explicitly")
           else Right(())
+          // a relationship variable forces the single-hop form: on a
+          // var-length pattern the variable binds a LIST of relationships
+          // (Cypher), which type()/count() as implemented here would
+          // silently misread — reject rather than guess
+          _ <- if (relVar.isDefined && hopsStr != null)
+            Left(s"a relationship variable ('${relVar.get}') cannot bind " +
+              "a variable-length pattern — drop the range or the variable")
+          else Right(())
+          // type(r) alongside the whole matched node has nowhere to go in
+          // the m-only projection branch (mirror of the c.prop rule above);
+          // alongside the whole connected node it rides the binding columns
+          _ <- if (items.contains(RetRelType) && items.contains(RetVar) &&
+              !items.contains(RetConnected))
+            Left("RETURN of the whole matched node cannot be combined with " +
+              "type() — project m.prop explicitly")
+          else Right(())
           // Cypher's grouping rule: every non-aggregate RETURN item is a
           // grouping key, so a bare count()/collect() with nothing to group
           // by is a different query (global aggregate) than this front end
-          // serves
+          // serves; type(r) is a valid grouping key (the schema census)
           _ <- if (items.exists(isAgg) && !items.exists(i =>
-              i == RetVar || i.isInstanceOf[RetProp]))
-            Left("an aggregate requires a grouping item (m or m.prop)")
+              i == RetVar || i.isInstanceOf[RetProp] || i == RetRelType))
+            Left("an aggregate requires a grouping item (m, m.prop, or " +
+              "type(r))")
           else Right(())
           // hop-less count(*) groups matched nodes by projected property
           // values; grouping by the whole node would count 1 per node
@@ -991,6 +1116,13 @@ object CypherLite {
           _ <- if (obCountVar != null &&
               !items.exists(_.isInstanceOf[RetCount]))
             Left("ORDER BY count() requires count(connected) in RETURN")
+          else Right(())
+          // ORDER BY type(r) must name a projected column, same as every
+          // other ORDER BY key (with LIMIT an unprojected sort key would
+          // silently change WHICH rows come back)
+          _ <- if (obTypeVar != null && !items.contains(RetRelType))
+            Left("ORDER BY type() requires type(" +
+              relVar.getOrElse("r") + ") in RETURN")
           else Right(())
           // unordered pagination returns arbitrary rows — the plausible-
           // but-wrong class this front end refuses to serve
@@ -1008,7 +1140,7 @@ object CypherLite {
             aliases =
               aliasPairs.flatMap { case (i, a) => canonOf(i).map(_ -> a) }
                 .toMap,
-            direction = dir)
+            direction = dir, relVar = relVar)
         }
     case _ => Left(s"unsupported query shape: ${query.take(120)}")
   }
@@ -1017,6 +1149,11 @@ object CypherLite {
     * collide with a property name (parens are not word characters).
     */
   private val CountKey = "count(connected)"
+
+  /** Reserved ORDER BY key meaning "sort by type(r)" — same
+    * parens-can't-collide trick as [[CountKey]].
+    */
+  private val RelTypeKey = "type(r)"
 
   /** Node properties a MATCH pattern or WHERE clause may filter on. */
   private val SupportedProps = Set("name", "content", "docnbr")
@@ -1269,7 +1406,7 @@ object CypherLite {
           .agg(count(lit(1)).as("n_nodes")).orderBy("batch").toDF())
       case MatchReturn(label, props, relType, hops, conds, items, orderBy,
           skip, limit, optional, distinct, existsPat, withSpec, aliases,
-          direction) =>
+          direction, relVar) =>
         // unknown keys are rejected, not silently coerced to a name match —
         // a plausible-but-wrong answer is worse than an error to the
         // LLM-emitted-query caller this front end serves
@@ -1279,11 +1416,16 @@ object CypherLite {
           i.isInstanceOf[RetCollect] || i.isInstanceOf[RetAggProp])
         val collectProps = items.collect { case RetCollect(p, _) => p } ++
           items.collect { case RetAggProp(_, p) => p }
-        val (connConds, mConds) = conds.flatten.partition(_.onConn)
+        // type(r) conds (onRel) target the bindings' r_type column, not a
+        // node property — exempt from the connected-prop name check
+        val (connConds, mConds) =
+          conds.flatten.filterNot(_.onRel).partition(_.onConn)
         val filterProps = props.keys ++ mConds.map(_.prop)
-        // the count pseudo-key orders by the aggregate column, not an m
-        // property — exempt from the property-name validations below
-        val obProps = orderBy.map(_._1).filterNot(_ == CountKey)
+        // the count and type(r) pseudo-keys order by the aggregate /
+        // relationship-type column, not an m property — exempt from the
+        // property-name validations below
+        val obProps = orderBy.map(_._1)
+          .filterNot(k => k == CountKey || k == RelTypeKey)
         val projProps = retProps ++ obProps
         // ORDER BY must name a projected property: with LIMIT an unsortable
         // key would silently change WHICH rows come back, which is exactly
@@ -1321,7 +1463,7 @@ object CypherLite {
               s"properties (${outProps.toSeq.sorted.mkString(", ")})")))
           .getOrElse(Right(runMatch(g, label, props, relType, hops, conds,
             items, orderBy, skip, limit, optional, distinct, existsPat,
-            withSpec, aliases, direction)))
+            withSpec, aliases, direction, relVar.isDefined)))
     }
 
   /** The edge relation with src/dst swapped — the `<-[]-` traversal
@@ -1336,6 +1478,33 @@ object CypherLite {
       col("relType"), col("docnbr"), col("batch")).as[EdgeRow]
   }
 
+  /** Single-hop expansion carrying the traversed edge's type (`r_type`) —
+    * the substrate for a bound relationship variable (`-[r]->`). Same
+    * column contract as [[GraphOps.neighborhoodWhereKeyed]] plus `r_type`,
+    * but one row per EDGE rather than per min-depth-deduped (root, node)
+    * pair — Cypher's bag semantics, where parallel relationships bind
+    * separately. Only the single-hop form may bind a variable (type() is
+    * undefined on a var-length binding), so this is a plain three-way
+    * join — roots ⋈ edges ⋈ nodes — with no fixpoint; direction
+    * reorientation composes exactly as for the kernel (the reversed edge
+    * relation keeps `relType`, so type(r) answers the TRUE type of an
+    * incoming edge).
+    */
+  private def typedBindings(g: GraphTables, pred: Column,
+      relFilter: Column): DataFrame = {
+    val roots = g.nodes.filter(pred).select(col("id").as("root_id"),
+      col("name").as("root_name"))
+    val es = g.edges.filter(relFilter).select(col("src").as("root_id"),
+      col("dst").as("c_id"), col("relType").as("r_type"))
+    val connected = g.nodes.select(col("id").as("c_id"),
+      col("label").as("c_label"), col("name").as("c_name"),
+      col("content").as("c_content"))
+    roots.join(es, "root_id").join(connected, "c_id")
+      .select(col("root_id"), col("root_name"), lit(1).as("depth"),
+        col("c_id"), col("c_label"), col("c_name"), col("c_content"),
+        col("r_type"))
+  }
+
   private def runMatch(g0: GraphTables, label: Option[String],
       props: Map[String, String], relType: Option[String], hops: Int,
       conds: Seq[Seq[Cond]], items: Seq[RetItem],
@@ -1344,7 +1513,8 @@ object CypherLite {
       existsPat: Option[ExistsPat],
       withSpec: Option[WithSpec],
       aliases: Map[String, String] = Map.empty,
-      direction: String = "out"): DataFrame = {
+      direction: String = "out",
+      hasRelVar: Boolean = false): DataFrame = {
     // direction is executed by reorienting the edge relation fed to the
     // expansion kernel — a projection, no extra shuffle: `<-[]-` swaps
     // src/dst, the undirected `-[]-` unions both orientations (each hop
@@ -1406,8 +1576,11 @@ object CypherLite {
     def ordered(df: DataFrame, cols: Seq[String]): DataFrame =
       orderBy match {
         case Some((p, desc)) =>
-          // the count pseudo-key sorts by the aggregate output column
-          val out = if (p == CountKey) aggOut else s"m_$p"
+          // the count pseudo-key sorts by the aggregate output column,
+          // the type(r) pseudo-key by the relationship-type column
+          val out = if (p == CountKey) aggOut
+            else if (p == RelTypeKey) "r_type"
+            else s"m_$p"
           // run() validated the ORDER BY key against the projected props;
           // if the two ever drift, fail loudly — silently reordering (with
           // LIMIT, silently changing WHICH rows survive) is the
@@ -1498,10 +1671,21 @@ object CypherLite {
           case RetCollect(p, _) => s"c_$p"
           case RetAggProp(_, p) => s"c_$p"
         }.getOrElse("c_id")
-        val neigh = GraphOps.neighborhoodWhereKeyed(g, pred, hops, relFilter)
+        // a bound relationship variable switches the expansion to the
+        // single-hop typed-bindings substrate: one row per EDGE (Cypher's
+        // true bag semantics — the kernel's min-depth dedup would collapse
+        // parallel relationships) carrying the edge's type as `r_type`
+        val neigh =
+          if (hasRelVar) typedBindings(g, pred, relFilter)
+          else GraphOps.neighborhoodWhereKeyed(g, pred, hops, relFilter)
+        // binding columns the RETURN projection asks for beyond the node
+        // image: the traversed edge's type when the query touches type(r)
+        val relCols =
+          if (items.contains(RetRelType)) Seq("r_type") else Seq.empty
         // m properties the binding filter needs beyond what RETURN asks for
         val mCondProps =
-          if (bindingWhere) conds.flatten.filterNot(_.onConn).map(_.prop)
+          if (bindingWhere)
+            conds.flatten.filterNot(c => c.onConn || c.onRel).map(_.prop)
           else Seq.empty[String]
         // the root columns the RETURN list (and, with a binding-level
         // WHERE, the binding filter) asks for, m_-prefixed; joined back by
@@ -1520,7 +1704,9 @@ object CypherLite {
               "root_id")
           if (bindingWhere)
             df.filter(dnf(c =>
-              col(if (c.onConn) s"c_${c.prop}" else s"m_${c.prop}")))
+              col(if (c.onRel) "r_type"
+                else if (c.onConn) s"c_${c.prop}"
+                else s"m_${c.prop}")))
           else df
         }
         // OPTIONAL MATCH: left-outer expansion — every root matching the
@@ -1544,9 +1730,12 @@ object CypherLite {
             case RetProp(p) => Seq(p)
             case _ => Seq.empty
           }.distinct
-          val out = keys.map("m_" + _)
+          // type(r) is a grouping key too (the schema census `RETURN
+          // type(r), count(*)`); it lives on the binding side, so under
+          // OPTIONAL it rides the left join with the aggregate column
+          val out = keys.map("m_" + _) ++ relCols
           val grouped =
-            if (optional) leftJoined(keys, Seq(aggConnCol))
+            if (optional) leftJoined(keys, relCols :+ aggConnCol)
             else withRootCols(keys)
           // WITH m, …: group by node IDENTITY (root_id), so two roots that
           // share every projected property value keep separate counts; the
@@ -1565,22 +1754,23 @@ object CypherLite {
             havinged.select((out :+ aggOut).map(col): _*)), out)
         } else if (wantsConnected) {
           val keys = if (retProps.nonEmpty) retProps.distinct else Seq("name")
-          val out = keys.map("m_" + _) ++
-            Seq("depth", "c_label", "c_name", "c_content")
+          val connSide =
+            relCols ++ Seq("depth", "c_label", "c_name", "c_content")
+          val out = keys.map("m_" + _) ++ connSide
           val rows =
-            if (optional)
-              leftJoined(keys, Seq("depth", "c_label", "c_name", "c_content"))
+            if (optional) leftJoined(keys, connSide)
             else withRootCols(keys)
           ordered(maybeDistinct(rows.select(out.map(col): _*)), out)
-        } else if (connRetProps.nonEmpty) {
-          // RETURN [m.prop, ...,] c.prop[, ...]: one row per surviving
-          // (m, c) binding, exactly the requested columns — the expansion
-          // already dedupes to min depth per (root, node) pair, so each
-          // binding appears once; equal projected values from DISTINCT
-          // bindings stay distinct rows (Cypher's bag semantics) unless
-          // RETURN DISTINCT collapses them
+        } else if (connRetProps.nonEmpty || relCols.nonEmpty) {
+          // RETURN [m.prop, ...,] [type(r),] c.prop[, ...]: one row per
+          // surviving (m, c) binding, exactly the requested columns — the
+          // expansion already dedupes to min depth per (root, node) pair
+          // (one row per EDGE with a bound rel variable), so each binding
+          // appears once; equal projected values from DISTINCT bindings
+          // stay distinct rows (Cypher's bag semantics) unless RETURN
+          // DISTINCT collapses them
           val keys = retProps.distinct
-          val cCols = connRetProps.distinct.map("c_" + _)
+          val cCols = relCols ++ connRetProps.distinct.map("c_" + _)
           val out = keys.map("m_" + _) ++ cCols
           val rows =
             if (optional) leftJoined(keys, cCols) else withRootCols(keys)

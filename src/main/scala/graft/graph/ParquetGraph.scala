@@ -747,6 +747,54 @@ object ParquetGraph {
         .fold(err => throw new IllegalArgumentException(err), identity)
     },
 
+    // C10 CypherLite twin: relationship variable + type(r) — the schema
+    // census `MATCH (m)-[r]->(c) RETURN type(r), count(*)`, the first
+    // query LLMs emit when exploring an unknown graph. One row per edge
+    // type with its frequency; graded against per-table row counts.
+    QueryDef.sql(
+      "graphp_cypher_type_census",
+      """SELECT * FROM (
+        |  SELECT 'HAS_NATION' AS r_type,
+        |         (SELECT count(*) FROM nation) AS cnt
+        |  UNION ALL
+        |  SELECT 'HAS_CUSTOMER', (SELECT count(*) FROM customer)
+        |  UNION ALL
+        |  SELECT 'HAS_ORDER', (SELECT count(*) FROM orders)
+        |) ORDER BY cnt DESC, r_type""".stripMargin) { (s, d) =>
+      CypherLite.run(hierarchy(s, d),
+        "MATCH (m)-[r]->(c) RETURN type(r), count(*) AS cnt " +
+          "ORDER BY count(*) DESC")
+        .fold(err => throw new IllegalArgumentException(err), identity)
+    },
+
+    // C10 CypherLite twin: WHERE type(r) — the comparison targets the
+    // traversed edge's type (bindings-level filter on `r_type`), so an
+    // untyped pattern restricted to HAS_NATION counts nations per region.
+    QueryDef.sql(
+      "graphp_cypher_where_type",
+      """SELECT r_name AS m_name, count(*) AS n_nations
+        |FROM region JOIN nation ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY m_name""".stripMargin) { (s, d) =>
+      CypherLite.run(hierarchy(s, d),
+        "MATCH (m)-[r]->(c) WHERE type(r) = 'HAS_NATION' " +
+          "RETURN m.name, count(r) AS n_nations ORDER BY m.name")
+        .fold(err => throw new IllegalArgumentException(err), identity)
+    },
+
+    // C10 CypherLite twin: type(r) as a plain projection riding the
+    // binding columns alongside both endpoints' properties.
+    QueryDef.sql(
+      "graphp_cypher_type_proj",
+      """SELECT DISTINCT r_name AS m_name, 'HAS_NATION' AS r_type,
+        |       n_name AS c_name
+        |FROM region JOIN nation ON n_regionkey = r_regionkey
+        |ORDER BY m_name, r_type, c_name""".stripMargin) { (s, d) =>
+      CypherLite.run(hierarchy(s, d),
+        "MATCH (m:Region)-[r]->(c:Nation) " +
+          "RETURN DISTINCT m.name, type(r), c.name ORDER BY m.name")
+        .fold(err => throw new IllegalArgumentException(err), identity)
+    },
+
     // B6 CypherLite twin: WHERE comparisons on the matched node, graded
     // against the same range predicate in SQL (binary string collation on
     // both engines).

@@ -218,6 +218,73 @@ class CypherLiteSpec extends SparkSpec {
     assert(CypherLite.run(g, "MATCH (m:Step)<-[]->(c) RETURN m").isLeft)
   }
 
+  test("type(r) census equals groupBy over the edge relation") {
+    val df = CypherLite.run(g,
+      "MATCH (m)-[r]->(c) RETURN type(r) AS t, count(*) AS cnt " +
+        "ORDER BY count(*) DESC").toOption.get
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    // an untyped hop follows the downward containment relation (HAS_*) —
+    // the corpus ALSO materializes reverse/link edges (includes,
+    // IS_PART_OF, …), which an untyped traversal deliberately skips
+    val direct = g.edges.filter(col("relType").startsWith("HAS_"))
+      .groupBy("relType").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(df.nonEmpty && df == direct)
+  }
+
+  test("count(r) equals count(c) on a single-hop pattern (no parallel edges)") {
+    val viaR = CypherLite.run(g,
+      "MATCH (m:Boeing_Service_Bulletin)-[r]->(c) " +
+        "RETURN m.name, count(r) AS n ORDER BY m.name").toOption.get.collect()
+    val viaC = CypherLite.run(g,
+      "MATCH (m:Boeing_Service_Bulletin)-[*1..1]->(c) " +
+        "RETURN m.name, count(c) AS n ORDER BY m.name").toOption.get.collect()
+    assert(viaR.nonEmpty)
+    assert(viaR.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      viaC.map(r => (r.getString(0), r.getLong(1))).toSeq)
+  }
+
+  test("WHERE type(r) filters bindings like the typed pattern form") {
+    val someType = g.edges.select("relType").distinct()
+      .orderBy("relType").head().getString(0)
+    val viaWhere = CypherLite.run(g,
+      s"MATCH (m)-[r]->(c) WHERE type(r) = '$someType' " +
+        "RETURN m.name, c.name").toOption.get
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val viaPattern = CypherLite.run(g,
+      s"MATCH (m)-[:$someType]->(c) RETURN m.name, c.name").toOption.get
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(viaWhere.nonEmpty && viaWhere == viaPattern)
+  }
+
+  test("type(r) on an incoming pattern answers the TRUE edge type") {
+    val in = CypherLite.run(g,
+      "MATCH (m:Step)<-[r]-(c) RETURN DISTINCT type(r) AS t ORDER BY t")
+      .toOption.get.collect().map(_.getString(0)).toSet
+    // the reversed traversal must report the original relType values, not
+    // invent reversed ones (untyped hops follow HAS_* containment only)
+    val expected = g.edges.filter(col("relType").startsWith("HAS_"))
+      .join(
+        g.nodes.filter(col("label") === "Step").select(col("id").as("dst")),
+        "dst")
+      .select("relType").distinct().collect().map(_.getString(0)).toSet
+    assert(in.nonEmpty && in == expected)
+  }
+
+  test("relationship-variable rejections are named errors") {
+    // var-length + variable: type()/count() would silently misread a list
+    val r1 = CypherLite.run(g, "MATCH (m)-[r*1..2]->(c) RETURN type(r)")
+    assert(r1.isLeft && r1.swap.toOption.get.contains("variable-length"))
+    // type() of a variable the pattern never bound
+    assert(CypherLite.run(g,
+      "MATCH (m)-[]->(c) RETURN type(r), count(*)").isLeft)
+    // whole node + type(r) has nowhere to carry the binding column
+    assert(CypherLite.run(g, "MATCH (m)-[r]->(c) RETURN m, type(r)").isLeft)
+    // ORDER BY type(r) must be projected
+    assert(CypherLite.run(g,
+      "MATCH (m)-[r]->(c) RETURN m.name ORDER BY type(r)").isLeft)
+  }
+
   test("an arrow-shaped string literal cannot flip the detected direction") {
     val df = CypherLite.run(g,
       "MATCH (m:Step)-[]->(c) WHERE c.name = '<-[x' RETURN m.name, c.name")
