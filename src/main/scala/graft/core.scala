@@ -36,16 +36,26 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame     = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame   = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects. Read it as raw nanosecond longs and truncate to
-    * microseconds with integer division (`div` — a double division would
-    * lose precision above 2^53). Truncation matches the DuckDB oracle's
-    * `CAST(ts AS TIMESTAMP)` exactly.
+  /** `events.ts` arrives in either of two physical layouts across driver
+    * corpus generations: parquet TIMESTAMP(NANOS) — which Spark's
+    * vectorized reader rejects, so it is read as raw nanosecond longs and
+    * truncated to microseconds with integer division (`div`; a double
+    * division would lose precision above 2^53) — or a native
+    * microsecond timestamp (read as TIMESTAMP_NTZ when the file is not
+    * UTC-adjusted). Both normalize to the session-zone TIMESTAMP type the
+    * downstream operators and the DuckDB oracle's `CAST(ts AS TIMESTAMP)`
+    * expect; the session zone is pinned to UTC, so the NTZ cast is
+    * value-preserving.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val df = table(s, d, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame =
     table(s, d, "documents")

@@ -28,6 +28,7 @@ import org.apache.spark.sql.functions._
   *     // pattern Cypher's r is a LIST, which type()/count() would
   *     // misread, so the combination is rejected)
   *   [WHERE (m|c).prop <op> ('value'|number|['v'[, ...]]) [AND|OR ...]
+  *    | (m|c).prop <op> (m|c).prop      // cross-variable comparison
   *    | type(r) <op> ('value'|['v'[, ...]])
   *    | [NOT] (m)-[[:REL_TYPE][*1..K]]->([:Label])]
   *     op ∈ {=, <>, <, <=, >, >=, STARTS WITH, ENDS WITH, CONTAINS, IN}
@@ -60,6 +61,11 @@ import org.apache.spark.sql.functions._
   *   [WHERE (a|b|c).prop <op> lit [AND|OR ...]]
   *   RETURN [DISTINCT] (a|b|c).prop[, ...]
   *   [ORDER BY (a|b|c).prop [ASC|DESC]] [SKIP n] [LIMIT n]
+  *
+  *   // whole-query union (all branches must return the same columns;
+  *   // UNION dedupes, UNION ALL keeps the bag, mixing forms rejected;
+  *   // branch-level ORDER BY/SKIP/LIMIT rejected as in Cypher):
+  *   <query> UNION [ALL] <query> [UNION [ALL] <query> ...]
   * }}}
   * `WITH <keys>, count(…) AS alias WHERE alias <op> n` is Cypher's
   * aggregate-then-filter pipeline (SQL's HAVING): grouping is by node
@@ -82,6 +88,13 @@ import org.apache.spark.sql.functions._
   * join under NOT) of the roots against the hop expansion — never a
   * per-root subquery. It must be the entire WHERE clause and the query
   * must not also bind a connected variable in MATCH.
+  * A comparison may also be CROSS-VARIABLE (`WHERE c.name < m.name`,
+  * Cypher's property-to-property predicate): both sides reference bound
+  * pattern variables and the comparison runs column-to-column per (m, c)
+  * binding in the property's native string collation — one vectorized
+  * filter over the expansion, never a per-root probe. A side referencing
+  * the connected variable routes the whole clause to the binding-level
+  * filter path, same as a literal comparison on `c` would.
   * `collect([DISTINCT] c.prop)` aggregates the surviving bindings' property
   * values per root group (Cypher's list aggregation), returned as the
   * SORTED comma-joined string column `collected` (the engine's
@@ -157,7 +170,16 @@ object CypherLite {
       // edge's type (the bindings' `r_type` column), not a node property;
       // prop is empty and onConn rides true so the binding-level filter
       // path engages
-      onRel: Boolean = false)
+      onRel: Boolean = false,
+      // cross-VARIABLE comparison `v1.p1 <op> v2.p2` (Cypher's property-
+      // to-property predicate — "connected nodes whose name sorts before
+      // the root's"): the RHS is another bound variable's property, not a
+      // literal. (prop, onConn) describe the LHS as usual; (crossProp,
+      // crossOnConn) describe the RHS. Always a native string-collation
+      // comparison (node properties are strings in this model); IN and
+      // numeric forms don't arise (CrossCondRe admits neither).
+      crossProp: Option[String] = None,
+      crossOnConn: Boolean = false)
 
   /** Pattern-existence predicate `WHERE [NOT] (m)-[[:REL][*1..K]]->([:Label])`:
     * keep exactly the roots with (without, under NOT) a node reachable
@@ -377,6 +399,14 @@ object CypherLite {
   private val NullCondRe =
     """(?is)\s*(\w+)\s*\.\s*(\w+)\s+IS\s+(NOT\s+)?NULL\s*""".r
 
+  // `v1.p1 <op> v2.p2` — the cross-variable comparison (both sides bound
+  // pattern variables; no literal). Matched AFTER CondRe, whose literal
+  // alternatives cannot match a var.prop RHS, so the two never collide.
+  private val CrossCondRe =
+    ("""(?is)\s*(\w+)\s*\.\s*(\w+)\s*""" +
+      """(<>|<=|>=|=|<|>|STARTS\s+WITH|ENDS\s+WITH|CONTAINS)""" +
+      """\s*(\w+)\s*\.\s*(\w+)\s*""").r
+
   // `NOT <comparison>` — the negation prefix on one AND-part. Matched
   // AFTER the whole-clause pattern-existence check, so `NOT (m)-[…]->()`
   // never reaches it (that form carries parens, which CondRe rejects).
@@ -513,6 +543,21 @@ object CypherLite {
               Left(s"WHERE may only reference the matched variable '$m'" +
                 conn.fold("")(c => s" or the connected variable '$c'") +
                 s", got '$v'")
+            // v1.p1 <op> v2.p2 — both sides bound variables: a binding-
+            // level column-to-column comparison (native string collation)
+            case CrossCondRe(v1, p1, op, v2, p2)
+                if (v1 == m || conn.contains(v1)) &&
+                  (v2 == m || conn.contains(v2)) =>
+              Right(Cond(p1,
+                op.toUpperCase(java.util.Locale.ROOT)
+                  .replaceAll("\\s+", " "), "",
+                onConn = conn.contains(v1), negated = neg,
+                crossProp = Some(p2), crossOnConn = conn.contains(v2)))
+            case CrossCondRe(v1, _, _, v2, _) =>
+              Left("a cross-variable WHERE may only reference the matched " +
+                s"variable '$m'" +
+                conn.fold("")(c => s" or the connected variable '$c'") +
+                s", got '$v1' and '$v2'")
             // type(r) <op> literal: a binding-level condition on the
             // traversed edge's type — onRel routes it to the bindings'
             // `r_type` column (onConn rides true so the binding-level
@@ -1326,7 +1371,8 @@ object CypherLite {
       else col("relType").isin(ts: _*)
     }.getOrElse(col("relType").startsWith("HAS_"))
 
-  private def condCol(c: Cond, target0: Column): Column = {
+  private def condCol(c: Cond, target0: Column,
+      rhs: Option[Column] = None): Column = {
     // unquoted literal → numeric comparison: the property try_casts to
     // double and non-numeric values become null, so the comparison is null
     // and the row drops — observably identical to Cypher's string-vs-number
@@ -1334,13 +1380,16 @@ object CypherLite {
     val target = if (c.numeric) target0.try_cast("double") else target0
     // `NOT <cmp>`: negate AFTER evaluation — Spark's ! of null is null,
     // matching Cypher (NOT null is null; the row drops either way)
-    val base = condColBase(c, target0, target)
+    val base = condColBase(c, target0, target, rhs)
     if (c.negated) !base else base
   }
 
   private def condColBase(c: Cond, target0: Column,
-      target: Column): Column = {
-    def v: Any = if (c.numeric) c.value.toDouble else c.value
+      target: Column, rhs: Option[Column]): Column = {
+    // cross-variable conds compare against the RHS property COLUMN; all
+    // others against the parsed literal (never both — CrossCondRe admits
+    // no literal, CondRe no var.prop RHS)
+    def v: Any = rhs.getOrElse(if (c.numeric) c.value.toDouble else c.value)
     c.op match {
     case "=" => target === v
     case "<>" => target =!= v
@@ -1356,9 +1405,12 @@ object CypherLite {
     // these ops — there is no literal)
     case "IS NULL" => target0.isNull
     case "IS NOT NULL" => target0.isNotNull
-    case "STARTS WITH" => target.startsWith(c.value)
-    case "ENDS WITH" => target.endsWith(c.value)
-    case "CONTAINS" => target.contains(c.value)
+    case "STARTS WITH" =>
+      rhs.fold(target.startsWith(c.value))(target.startsWith)
+    case "ENDS WITH" =>
+      rhs.fold(target.endsWith(c.value))(target.endsWith)
+    case "CONTAINS" =>
+      rhs.fold(target.contains(c.value))(r => target.contains(r))
     // IN list membership; `IN []` matches nothing (Cypher). Numeric lists
     // compare through the same try_cast-to-double lens as scalar numerics.
     case "IN" =>
@@ -1376,7 +1428,96 @@ object CypherLite {
     * c_name, c_content]) rows — or the requested `m_<prop>` projection —
     * mirroring the reference's (m, connected) contract (`first-graph.py:168`).
     */
-  def run(g: GraphTables, query: String): Either[String, DataFrame] =
+  def run(g: GraphTables, query: String): Either[String, DataFrame] = {
+    val toks = UnionTokRe.findAllMatchIn(blankQuoted(query)).toSeq
+    if (toks.isEmpty) runSingle(g, query)
+    else runUnion(g, query, toks)
+  }
+
+  // `UNION [ALL]` tokens, located on the length-preserving quote-blanked
+  // text so a literal containing the word can never split a query
+  private val UnionTokRe = """(?i)\bUNION\b(\s+ALL\b)?""".r
+
+  /** Length-preserving string-literal blanking: every character inside a
+    * quoted literal becomes a space, so token positions found on the
+    * blanked text index directly into the original.
+    */
+  private def blankQuoted(q: String): String = {
+    val sb = new StringBuilder(q)
+    var in = false
+    var i = 0
+    while (i < q.length) {
+      val ch = q.charAt(i)
+      if (ch == '\'') in = !in
+      else if (in) sb.setCharAt(i, ' ')
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** Top-level `UNION [ALL]` (Cypher's whole-query set/bag union). Every
+    * branch must return the same output columns in the same order
+    * (Cypher's rule); `UNION` dedupes the combined rows, `UNION ALL`
+    * keeps the bag, and mixing the two forms is rejected (Neo4j's
+    * "invalid combination" error). ORDER BY / SKIP / LIMIT inside a
+    * branch is rejected the way Neo4j rejects it — a trailing ORDER BY
+    * would otherwise bind to the LAST branch and silently mean something
+    * other than the global sort the caller intended. The combined result
+    * is returned in the engine's deterministic all-column order; each
+    * branch is one distributed plan and the union is a no-shuffle
+    * concatenation (plus one hash dedup exchange under set semantics).
+    */
+  private def runUnion(g: GraphTables, query: String,
+      toks: Seq[scala.util.matching.Regex.Match])
+      : Either[String, DataFrame] = {
+    val alls = toks.map(_.group(1) != null)
+    if (alls.distinct.sizeIs > 1)
+      Left("invalid combination of UNION and UNION ALL in one query")
+    else {
+      val bounds = (0 +: toks.map(_.end))
+        .zip(toks.map(_.start) :+ query.length)
+      val branches = bounds.map { case (a, b) => query.substring(a, b) }
+      val parsed = branches.map(parse)
+      parsed.collectFirst { case Left(e) => Left(e) }.getOrElse {
+        val stmts = parsed.collect { case Right(s) => s }
+        val paged = stmts.exists {
+          case m: MatchReturn =>
+            m.orderBy.isDefined || m.skip.isDefined || m.limit.isDefined
+          case c: ChainReturn =>
+            c.orderBy.isDefined || c.skip.isDefined || c.limit.isDefined
+          case sp: ShortestPathReturn =>
+            sp.orderBy.isDefined || sp.limit.isDefined
+          case _ => false
+        }
+        if (stmts.exists(_.isInstanceOf[DetachDelete]))
+          Left("DETACH DELETE cannot appear in a UNION")
+        else if (paged)
+          Left("ORDER BY / SKIP / LIMIT inside a UNION branch is not " +
+            "supported (as in Cypher); the union is returned in its " +
+            "deterministic all-column order")
+        else {
+          val ran = branches.map(b => runSingle(g, b))
+          ran.collectFirst { case Left(e) => Left(e) }.getOrElse {
+            val dfs = ran.collect { case Right(df) => df }
+            val cols = dfs.head.columns.toSeq
+            dfs.find(_.columns.toSeq != cols) match {
+              case Some(bad) =>
+                Left("all UNION branches must return the same columns: " +
+                  s"(${cols.mkString(", ")}) vs " +
+                  s"(${bad.columns.mkString(", ")})")
+              case None =>
+                val combined = dfs.reduce(_ unionByName _)
+                val merged = if (alls.head) combined else combined.distinct()
+                Right(merged.orderBy(cols.map(col): _*))
+            }
+          }
+        }
+      }
+    }
+  }
+
+  private def runSingle(g: GraphTables,
+      query: String): Either[String, DataFrame] =
     parse(query).flatMap {
       case ch: ChainReturn =>
         ch.nodes.flatMap(_.props.keys).find(!SupportedProps(_))
@@ -1536,12 +1677,18 @@ object CypherLite {
     }.getOrElse("n_connected"))
     // the WHERE DNF, evaluated against a caller-chosen column mapping: bare
     // node columns on the m-only fast path, m_/c_-prefixed binding columns
-    // when a clause references the connected variable
-    def dnf(colOf: Cond => Column): Column =
-      conds.map(_.map(c => condCol(c, colOf(c))).reduceOption(_ && _)
+    // when a clause references the connected variable. `rhsOf` maps a
+    // cross-variable cond's RHS (crossProp, crossOnConn) into the same
+    // namespace.
+    def dnf(colOf: Cond => Column,
+        rhsOf: Cond => Option[Column]): Column =
+      conds.map(_.map(c => condCol(c, colOf(c), rhsOf(c)))
+        .reduceOption(_ && _)
         .getOrElse(lit(true)))
         .reduceOption(_ || _).getOrElse(lit(true))
-    val hasConnCond = conds.flatten.exists(_.onConn)
+    // a cond touches the connected variable on EITHER side of the
+    // comparison → the clause must filter bindings, not roots
+    val hasConnCond = conds.flatten.exists(c => c.onConn || c.crossOnConn)
     val basePred = (label.map(col("label") === _).toSeq ++
       props.map { case (k, v) => col(k) === v })
       .reduceOption(_ && _).getOrElse(lit(true))
@@ -1555,7 +1702,7 @@ object CypherLite {
     val bindingWhere = hasConnCond || (optional && conds.nonEmpty)
     val pred =
       if (bindingWhere || optional) basePred
-      else basePred && dnf(c => col(c.prop))
+      else basePred && dnf(c => col(c.prop), c => c.crossProp.map(col))
     // RETURN DISTINCT: Cypher's bag → set projection, applied to the
     // projected columns before ordering (a no-op after groupBy aggregates)
     def maybeDistinct(df: DataFrame): DataFrame =
@@ -1682,10 +1829,16 @@ object CypherLite {
         // image: the traversed edge's type when the query touches type(r)
         val relCols =
           if (items.contains(RetRelType)) Seq("r_type") else Seq.empty
-        // m properties the binding filter needs beyond what RETURN asks for
+        // m properties the binding filter needs beyond what RETURN asks
+        // for — a cross-variable cond contributes its m-side property from
+        // WHICHEVER side of the comparison it sits on
         val mCondProps =
           if (bindingWhere)
-            conds.flatten.filterNot(c => c.onConn || c.onRel).map(_.prop)
+            conds.flatten.filterNot(c => c.onConn || c.onRel).map(_.prop) ++
+              conds.flatten.collect {
+                case c if c.crossProp.isDefined && !c.crossOnConn =>
+                  c.crossProp.get
+              }
           else Seq.empty[String]
         // the root columns the RETURN list (and, with a binding-level
         // WHERE, the binding filter) asks for, m_-prefixed; joined back by
@@ -1703,10 +1856,12 @@ object CypherLite {
                   keys.map(p => col(p).as(s"m_$p")): _*),
               "root_id")
           if (bindingWhere)
-            df.filter(dnf(c =>
-              col(if (c.onRel) "r_type"
+            df.filter(dnf(
+              c => col(if (c.onRel) "r_type"
                 else if (c.onConn) s"c_${c.prop}"
-                else s"m_${c.prop}")))
+                else s"m_${c.prop}"),
+              c => c.crossProp.map(p =>
+                col(if (c.crossOnConn) s"c_$p" else s"m_$p"))))
           else df
         }
         // OPTIONAL MATCH: left-outer expansion — every root matching the

@@ -1288,6 +1288,76 @@ object ParquetGraph {
         .fold(err => throw new IllegalArgumentException(err), identity)
     },
 
+    // B6 CypherLite twin: whole-query UNION — set semantics dedupe the
+    // branches' combined rows. The branches overlap for real: nations
+    // before 'C' ∪ nations containing '2' share NATION_2x members, so a
+    // bag-semantics regression would keep the duplicates and hash-miss.
+    QueryDef.sql(
+      "graphp_cypher_union",
+      """SELECT n_name AS m_name FROM nation WHERE n_name < 'NATION_2'
+        |UNION
+        |SELECT n_name AS m_name FROM nation WHERE n_name LIKE '%2%'
+        |ORDER BY m_name""".stripMargin) { (s, d) =>
+      CypherLite.run(hierarchy(s, d),
+        "MATCH (m:Nation) WHERE m.name < 'NATION_2' RETURN m.name " +
+          "UNION MATCH (m:Nation) WHERE m.name CONTAINS '2' RETURN m.name")
+        .fold(err => throw new IllegalArgumentException(err), identity)
+    },
+
+    // B6 CypherLite twin: UNION ALL — bag semantics keep every branch row.
+    // Region names appear in both branches, so the result holds each
+    // twice; a set-semantics regression would collapse them and hash-miss.
+    QueryDef.sql(
+      "graphp_cypher_union_all",
+      """SELECT r_name AS m_name FROM region
+        |UNION ALL
+        |SELECT r_name AS m_name FROM region
+        |ORDER BY m_name""".stripMargin) { (s, d) =>
+      CypherLite.run(hierarchy(s, d),
+        "MATCH (m:Region) RETURN m.name " +
+          "UNION ALL MATCH (m:Region) RETURN m.name")
+        .fold(err => throw new IllegalArgumentException(err), identity)
+    },
+
+    // B6 CypherLite twin: CROSS-VARIABLE comparison `c.name < m.name` —
+    // both sides of the WHERE are bound pattern variables, compared
+    // column-to-column per (m, c) binding. On the per-region nation cycle
+    // the qualifying edges are exactly those whose successor's name sorts
+    // lexicographically before the source's (wrap-around edges plus the
+    // NATION_1x-before-NATION_9 string-order inversions) — a literal-RHS
+    // misparse would match nothing and hash-miss.
+    QueryDef.sql(
+      "graphp_cypher_crossvar",
+      """WITH linked AS (
+        |  SELECT n_name,
+        |    coalesce(
+        |      lead(n_name) OVER w,
+        |      first_value(n_name) OVER w) AS nxt
+        |  FROM nation
+        |  WINDOW w AS (PARTITION BY n_regionkey ORDER BY n_nationkey))
+        |SELECT n_name AS m_name, nxt AS c_name FROM linked
+        |WHERE nxt < n_name ORDER BY m_name, c_name""".stripMargin) { (s, d) =>
+      CypherLite.run(chain(s, d),
+        "MATCH (m:Nation)-[:HAS_NEXT*1..1]->(c:Nation) " +
+          "WHERE c.name < m.name RETURN m.name, c.name")
+        .fold(err => throw new IllegalArgumentException(err), identity)
+    },
+
+    // B6 CypherLite twin: cross-variable comparison on the ROOT fast path
+    // (`m.content = m.name`, no hop pattern) over the null-bearing
+    // fixture — odd-keyed nations carry NULL content, the comparison is
+    // null, and the row drops (Cypher's null rule); even keys compare
+    // equal and survive. Exercises the pushed-down root-scan DNF with a
+    // column RHS.
+    QueryDef.sql(
+      "graphp_cypher_crossvar_root",
+      """SELECT n_name AS m_name FROM nation
+        |WHERE n_nationkey % 2 = 0 ORDER BY m_name""".stripMargin) { (s, d) =>
+      CypherLite.run(nullableContent(s, d),
+        "MATCH (m:Nation) WHERE m.content = m.name RETURN m.name")
+        .fold(err => throw new IllegalArgumentException(err), identity)
+    },
+
     // B6 CypherLite twin: UNQUOTED numeric literal — the comparison is
     // numeric, not lexicographic, and non-numeric names drop (try_cast
     // null). The unlabeled MATCH sweeps ALL node types: region/nation

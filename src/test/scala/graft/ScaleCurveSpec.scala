@@ -54,6 +54,14 @@ class ScaleCurveSpec extends SparkSpec {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Min of two timed runs — the same noise discipline as Bench.scala's
+    * min-of-2: a GC pause or a concurrent suite's CPU burst inflates ONE
+    * reading, and the min discards it. A genuine quadratic term inflates
+    * BOTH runs and still fails the bound.
+    */
+  private def timedMin2(body: => Unit): Double =
+    math.min(timed(body), timed(body))
+
   private def assertLinear(name: String, t1: Double, t10: Double): Unit = {
     val ratio = t10 / math.max(t1, OverheadFloorSec)
     info(f"$name: 1x=${t1}%.2fs 10x=${t10}%.2fs ratio=$ratio%.1f " +
@@ -76,8 +84,8 @@ class ScaleCurveSpec extends SparkSpec {
     test(s"$q wall-time grows ~linearly from 1x to 10x corpus") {
       val run = SparkEntry.queries(q)
       run(spark, dir1x).count() // warm-up: JIT + codegen + footer caches
-      val t1 = timed(run(spark, dir1x).count())
-      val t10 = timed(run(spark, dir10x).count())
+      val t1 = timedMin2(run(spark, dir1x).count())
+      val t10 = timedMin2(run(spark, dir10x).count())
       assertLinear(q, t1, t10)
     }
   }
@@ -104,8 +112,8 @@ class ScaleCurveSpec extends SparkSpec {
     val g1 = hubGraph(1)
     val g10 = hubGraph(10)
     GraphOps.kCore(spark, g1, 2).count() // warm-up
-    val t1 = timed(GraphOps.kCore(spark, g1, 2).count())
-    val t10 = timed(GraphOps.kCore(spark, g10, 2).count())
+    val t1 = timedMin2(GraphOps.kCore(spark, g1, 2).count())
+    val t10 = timedMin2(GraphOps.kCore(spark, g10, 2).count())
     assertLinear("kCore(hub)", t1, t10)
   }
 

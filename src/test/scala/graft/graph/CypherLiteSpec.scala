@@ -1099,4 +1099,87 @@ class CypherLiteSpec extends SparkSpec {
     assert(bare.isLeft &&
       bare.swap.toOption.get.contains("bracketed list"), bare.toString)
   }
+
+  test("cross-variable WHERE filters bindings column-to-column") {
+    // c.name > m.name keeps exactly the bindings whose connected node's
+    // raw tag sorts after the root's — derive the expected set from the
+    // unfiltered expansion; both outcomes occur, so the filter is
+    // discriminating
+    val got = CypherLite.run(g,
+      "MATCH (m:Boeing_Service_Bulletin)-[*1..2]->(c) " +
+        "WHERE c.name > m.name RETURN m.name, c")
+      .fold(e => fail(e), identity)
+      .select("m_name", "c_name").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    val all = CypherLite.run(g,
+      "MATCH (m:Boeing_Service_Bulletin)-[*1..2]->(c) RETURN m.name, c")
+      .fold(e => fail(e), identity)
+      .select("m_name", "c_name").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    val want = all.filter { case (mn, cn) => cn > mn }
+    assert(got.nonEmpty && got != all && got == want,
+      s"got=${got.size} all=${all.size} want=${want.size}")
+  }
+
+  test("cross-variable WHERE on the root fast path: m.prop vs m.prop") {
+    val got = CypherLite.run(g,
+      "MATCH (m) WHERE m.content < m.name RETURN m.name")
+      .fold(e => fail(e), identity).collect().map(_.getString(0)).toSet
+    val want = g.nodes.filter(col("content") < col("name"))
+      .select("name").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(got == want && got.nonEmpty, s"got=$got")
+    // NOT negates after evaluation (both columns non-null in this corpus,
+    // so the halves partition the distinct-name space observed per node)
+    val not = CypherLite.run(g,
+      "MATCH (m) WHERE NOT m.content < m.name RETURN m.name")
+      .fold(e => fail(e), identity).collect().map(_.getString(0)).toSet
+    val wantNot = g.nodes.filter(!(col("content") < col("name")))
+      .select("name").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(not == wantNot, "NOT complement drifted")
+  }
+
+  test("cross-variable WHERE with a foreign variable is rejected") {
+    val r = CypherLite.parse(
+      "MATCH (m:Doc)-[*1..1]->(c) WHERE c.name = x.name RETURN m.name")
+    assert(r.isLeft &&
+      r.swap.toOption.get.contains("cross-variable"), r.toString)
+  }
+
+  test("UNION dedupes branch rows; UNION ALL keeps the bag") {
+    val set = CypherLite.run(g,
+      "MATCH (m:Subject) RETURN m.name UNION MATCH (m:Subject) " +
+        "RETURN m.name").fold(e => fail(e), identity)
+    val bag = CypherLite.run(g,
+      "MATCH (m:Subject) RETURN m.name UNION ALL MATCH (m:Subject) " +
+        "RETURN m.name").fold(e => fail(e), identity)
+    val distinctSubjects =
+      g.nodes.filter(col("label") === "Subject")
+        .select("name").distinct().count()
+    assert(set.count() == distinctSubjects, "UNION must dedupe")
+    assert(bag.count() == 2 * 3, "UNION ALL must keep both branches' rows")
+    // a literal containing the word keeps the query unsplit
+    val literal = CypherLite.run(g,
+      "MATCH (m:Subject {name: 'UNION ALL'}) RETURN m.name")
+    assert(literal.isRight && literal.toOption.get.count() == 0)
+  }
+
+  test("UNION rejections: mixed forms, mismatched columns, paging, " +
+      "DETACH DELETE") {
+    def err(q: String): String =
+      CypherLite.run(g, q).swap.toOption
+        .getOrElse(fail(s"expected rejection: $q"))
+    assert(err("MATCH (m:Subject) RETURN m.name UNION MATCH (m:Step) " +
+      "RETURN m.name UNION ALL MATCH (m:Task) RETURN m.name")
+      .contains("invalid combination"))
+    assert(err("MATCH (m:Subject) RETURN m.name UNION MATCH (m:Step) " +
+      "RETURN m.label").contains("same columns"))
+    assert(err("MATCH (m:Subject) RETURN m.name UNION MATCH (m:Step) " +
+      "RETURN m.name ORDER BY m.name LIMIT 3")
+      .contains("ORDER BY / SKIP / LIMIT"))
+    assert(err("MATCH (m:Subject) RETURN m.name UNION MATCH (n) " +
+      "WHERE n.b1 = true DETACH DELETE n")
+      .contains("DETACH DELETE"))
+  }
 }
