@@ -46,7 +46,9 @@ import org.apache.spark.sql.functions._
   *          | (after WITH) m.prop[, ...], alias
   *     every property/aggregate RETURN item (incl. type(r)) may take
   *     `AS alias`
-  *   [ORDER BY m.prop | count(c|*) | type(r) | alias [ASC|DESC]]
+  *   [ORDER BY key [ASC|DESC] [, key [ASC|DESC] ...]]
+  *     key ∈ {m.prop, c.prop, count(c|*), type(r), alias} — a key LIST,
+  *     most-significant first; every key must be projected in RETURN
   *   [SKIP n] [LIMIT n]
   *
   *   // shortest path between endpoint patterns (one row per connected
@@ -231,7 +233,10 @@ object CypherLite {
       // WHERE in disjunctive normal form: OR of AND-groups
       conds: Seq[Seq[Cond]],
       items: Seq[RetItem],
-      orderBy: Option[(String, Boolean)], // (prop, descending)
+      // ORDER BY keys in query order, most-significant first; each is an
+      // m-property name or the CountKey/RelTypeKey pseudo-key, paired
+      // with its descending flag. Empty = no ORDER BY.
+      orderBy: Seq[(String, Boolean)],
       skip: Option[Int],
       limit: Option[Int],
       optional: Boolean = false, // OPTIONAL MATCH hop: left-outer expansion
@@ -319,10 +324,19 @@ object CypherLite {
       """(?:<)?-\s*\[\s*(?:[A-Za-z_]\w*\s*)?(?::\s*(\w+(?:\s*\|\s*\w+)*)\s*)?(?:\*\s*1\s*\.\.\s*(\d+)\s*)?\]\s*-\s*(?:>)?\s*\(\s*(\w+)\s*(?::\s*(\w+))?\s*(?:\{\s*([^}]*)\s*\})?\s*\)\s*)?""" +
       """(?:WHERE\s+(.*?)\s*)?"""
 
+  // one ORDER BY item (property ref, count(...), type(...), or a bare
+  // alias, each with an optional direction) — used non-capturing inside
+  // the statement regexes so the whole comma-separated clause lands in
+  // ONE group, then re-parsed item-by-item (the per-alternative capture
+  // approach cannot express a key LIST without exploding the group
+  // budget past Scala's 22-binding unapply limit)
+  private val ObItemFrag =
+    """(?:\w+\s*\.\s*\w+|count\s*\(\s*(?:DISTINCT\s+)?(?:\w+|\*)\s*\)|type\s*\(\s*\w+\s*\)|\w+)(?:\s+(?:ASC|DESC))?"""
+
   private val MatchRe =
     (PatFrag +
       """RETURN\s+(DISTINCT\s+)?(.+?)\s*""" +
-      """(?:ORDER\s+BY\s+(?:(\w+)\s*\.\s*(\w+)|count\s*\(\s*(?:DISTINCT\s+)?(\w+|\*)\s*\)|type\s*\(\s*(\w+)\s*\)|(\w+))\s*(?:(ASC|DESC)\s*)?)?""" +
+      s"""(?:ORDER\\s+BY\\s+($ObItemFrag(?:\\s*,\\s*$ObItemFrag)*)\\s*)?""" +
       """(?:SKIP\s+(\d+)\s*)?""" +
       """(?:LIMIT\s+(\d+))?\s*;?\s*""").r
 
@@ -341,7 +355,7 @@ object CypherLite {
       """count\s*\(\s*(?:DISTINCT\s+)?(?:\*|\w+)\s*\)\s+AS\s+\w+)\s+""" +
       """(?:WHERE\s+(\w+)\s*(<>|<=|>=|=|<|>)\s*(-?\d+(?:\.\d+)?)\s*)?""" +
       """RETURN\s+(DISTINCT\s+)?(.+?)\s*""" +
-      """(?:ORDER\s+BY\s+(?:(\w+)\s*\.\s*(\w+)|(\w+))\s*(?:(ASC|DESC)\s*)?)?""" +
+      s"""(?:ORDER\\s+BY\\s+($ObItemFrag(?:\\s*,\\s*$ObItemFrag)*)\\s*)?""" +
       """(?:SKIP\s+(\d+)\s*)?""" +
       """(?:LIMIT\s+(\d+))?\s*;?\s*""").r
 
@@ -427,6 +441,19 @@ object CypherLite {
     ("""(?is)\s*(NOT\s+)?\(\s*(\w+)\s*\)\s*""" +
       """-\s*\[\s*(?::\s*(\w+(?:\s*\|\s*\w+)*)\s*)?(?:\*\s*1\s*\.\.\s*(\d+)\s*)?\]\s*->""" +
       """\s*\(\s*(?::\s*(\w+)\s*)?\)\s*""").r
+
+  // one ORDER BY item after the comma split: key then optional direction.
+  // Bare-word directions cannot be mistaken for an alias: the (\w+) key is
+  // greedy, so `ORDER BY desc` reads as an alias named desc (as in
+  // Cypher) while `ORDER BY x desc` reads direction.
+  private val ObPropItemRe =
+    """(?is)\s*(\w+)\s*\.\s*(\w+)(?:\s+(ASC|DESC))?\s*""".r
+  private val ObCountItemRe =
+    """(?is)\s*count\s*\(\s*(?:DISTINCT\s+)?(\w+|\*)\s*\)(?:\s+(ASC|DESC))?\s*""".r
+  private val ObTypeItemRe =
+    """(?is)\s*type\s*\(\s*(\w+)\s*\)(?:\s+(ASC|DESC))?\s*""".r
+  private val ObBareItemRe =
+    """(?is)\s*(\w+)(?:\s+(ASC|DESC))?\s*""".r
 
   private val CountRe =
     """(?is)\s*count\s*\(\s*(DISTINCT\s+)?(\*|\w+)\s*\)\s*""".r
@@ -807,8 +834,7 @@ object CypherLite {
         distinctKw != null, counts.headOption)
     case WithRe(m, label, propsStr, optVar, relType, hopsStr, connVar,
         connLabel, connPropsStr, whereStr, withItems, havVar, havOp, havNum,
-        distinctKw, retStr, obVar, obProp, obBare, obDir, skipStr,
-        limitStr) =>
+        distinctKw, retStr, obClause, skipStr, limitStr) =>
       val conn = Option(connVar)
       val optional = optVar != null
       if (conn.isEmpty)
@@ -907,18 +933,30 @@ object CypherLite {
               s"properties (${groupProps.sorted.mkString(", ")})")
           else Right(())
           ob <- {
-            val desc = Option(obDir).exists(_.equalsIgnoreCase("DESC"))
-            (Option(obVar), Option(obProp), Option(obBare)) match {
-              case (None, _, None) => Right(None)
-              case (Some(v), Some(p), _) if v == m => Right(Some((p, desc)))
-              case (Some(v), _, _) =>
-                Left(s"ORDER BY may only reference '$m' or the alias " +
-                  s"'$alias', got '$v'")
-              case (None, _, Some(b)) if b == alias =>
-                Right(Some((CountKey, desc)))
-              case (None, _, Some(b)) =>
-                Left(s"ORDER BY key '$b' is neither an $m property nor " +
-                  s"the alias '$alias'")
+            // key list, most-significant first: m properties and/or the
+            // aggregate alias (which sorts by the aggregate column)
+            def one(part: String): Either[String, (String, Boolean)] = {
+              def d(s: String) = s != null && s.equalsIgnoreCase("DESC")
+              part match {
+                case ObPropItemRe(v, p, dir) if v == m => Right((p, d(dir)))
+                case ObPropItemRe(v, _, _) =>
+                  Left(s"ORDER BY may only reference '$m' or the alias " +
+                    s"'$alias', got '$v'")
+                case ObBareItemRe(b, dir) if b == alias =>
+                  Right((CountKey, d(dir)))
+                case ObBareItemRe(b, _) =>
+                  Left(s"ORDER BY key '$b' is neither an $m property nor " +
+                    s"the alias '$alias'")
+                case other =>
+                  Left(s"unsupported ORDER BY item: ${other.trim.take(40)}")
+              }
+            }
+            Option(obClause) match {
+              case None => Right(Seq.empty[(String, Boolean)])
+              case Some(cl) =>
+                val parsed = cl.split(",").toSeq.map(one)
+                parsed.collectFirst { case Left(e) => Left(e) }
+                  .getOrElse(Right(parsed.collect { case Right(k) => k }))
             }
           }
           _ <- if (skipStr != null && ob.isEmpty)
@@ -933,8 +971,8 @@ object CypherLite {
           direction = dir, relVar = relVar)
       }
     case MatchRe(m, label, propsStr, optVar, relType, hopsStr, connVar,
-        connLabel, connPropsStr, whereStr, distinctKw, retStr, obVar, obProp,
-        obCountVar, obTypeVar, obBare, obDir, skipStr, limitStr) =>
+        connLabel, connPropsStr, whereStr, distinctKw, retStr, obClause,
+        skipStr, limitStr) =>
       val props = Option(propsStr).toSeq
         .flatMap(s => PropRe.findAllMatchIn(s)
           .map(p => p.group(1) -> p.group(2))).toMap
@@ -1031,46 +1069,83 @@ object CypherLite {
           else Right((pairs.map(_._1), aliased))
         }
       }
-      def orderByE(aliased: Seq[(RetItem, String)]):
-          Either[String, Option[(String, Boolean)]] = {
-        val desc = Option(obDir).exists(_.equalsIgnoreCase("DESC"))
-        (Option(obVar), Option(obProp), Option(obCountVar),
-            Option(obTypeVar), Option(obBare)) match {
-          case (None, _, None, None, None) => Right(None)
-          case (Some(v), Some(p), _, _, _) if v == m => Right(Some((p, desc)))
-          case (Some(v), _, _, _, _) =>
-            Left(s"ORDER BY may only reference '$m', got '$v'")
-          // ORDER BY count(c)/count(*): sort groups by the aggregate
-          // (top-k groups); validated below against RETURN having the
-          // matching count item
-          case (None, _, Some(v), _, _) if conn.contains(v) || v == "*" =>
-            Right(Some((CountKey, desc)))
-          case (None, _, Some(v), _, _) =>
-            Left(s"ORDER BY count() may only aggregate the connected " +
-              s"variable${conn.fold("")(c => s" '$c'")} or *, got '$v'")
-          // ORDER BY type(r): sort by the relationship-type column
-          // (validated below against RETURN projecting type(r))
-          case (None, _, None, Some(v), _) if relVar.contains(v) =>
-            Right(Some((RelTypeKey, desc)))
-          case (None, _, None, Some(v), _) =>
-            Left("ORDER BY type() may only reference the bound " +
-              "relationship variable" + relVar.fold("")(r => s" '$r'") +
-              s", got '$v'")
-          // ORDER BY <alias>: resolve through the RETURN item it names —
-          // an m-property alias sorts by that property, an aggregate alias
-          // sorts by the aggregate (the count pseudo-key maps onto
-          // whatever aggregate column the query produces)
-          case (None, _, None, None, Some(b)) =>
-            aliased.find(_._2 == b).map(_._1) match {
-              case Some(RetProp(p)) => Right(Some((p, desc)))
-              case Some(_: RetCount) | Some(_: RetCollect)
-                 | Some(_: RetAggProp) => Right(Some((CountKey, desc)))
-              case Some(RetRelType) => Right(Some((RelTypeKey, desc)))
-              case Some(_) => Left("ORDER BY on a connected-node alias " +
-                s"is not supported ('$b')")
-              case None => Left(s"ORDER BY key '$b' is not an alias bound " +
-                "in RETURN")
-            }
+      /** The ORDER BY clause as a key LIST, most-significant first: each
+        * comma-separated item resolves to an m-property or a pseudo-key
+        * exactly as the single-key form did, with its own direction.
+        * Returns the resolved keys plus whether the clause used the
+        * explicit count(…)/type(…) syntax (those forms demand the
+        * matching RETURN item — an alias resolves by construction).
+        */
+      def orderByE(items: Seq[RetItem], aliased: Seq[(RetItem, String)]):
+          Either[String, Seq[(String, Boolean)]] = {
+        def one(part: String): Either[String, (String, Boolean)] = {
+          def d(s: String) = s != null && s.equalsIgnoreCase("DESC")
+          part match {
+            case ObPropItemRe(v, p, dir) if v == m => Right((p, d(dir)))
+            // ORDER BY c.prop: sort by a projected connected-node column
+            // (encoded as the "c:" pseudo-key — a colon cannot collide
+            // with a property name). The column must be projected, either
+            // explicitly (RETURN …, c.prop) or via the whole connected
+            // node, for the same LIMIT-stability reason as every key.
+            case ObPropItemRe(v, p, dir) if conn.contains(v) =>
+              val projected = items.contains(RetConnProp(p)) ||
+                (items.contains(RetConnected) && ConnectedProps(p))
+              if (!projected)
+                Left(s"ORDER BY key '$v.$p' must be among the returned " +
+                  "connected-node properties")
+              else Right((ConnKeyPrefix + p, d(dir)))
+            case ObPropItemRe(v, _, _) =>
+              Left(s"ORDER BY may only reference '$m'" +
+                conn.fold("")(c => s" or '$c'") + s", got '$v'")
+            // ORDER BY count(c)/count(*): sort groups by the aggregate
+            // (top-k groups); demands a count item in RETURN
+            case ObCountItemRe(v, dir) if conn.contains(v) || v == "*" =>
+              if (!items.exists(_.isInstanceOf[RetCount]))
+                Left("ORDER BY count() requires count(connected) in RETURN")
+              else Right((CountKey, d(dir)))
+            case ObCountItemRe(v, _) =>
+              Left(s"ORDER BY count() may only aggregate the connected " +
+                s"variable${conn.fold("")(c => s" '$c'")} or *, got '$v'")
+            // ORDER BY type(r): sort by the relationship-type column —
+            // must be projected (with LIMIT an unprojected sort key would
+            // silently change WHICH rows come back)
+            case ObTypeItemRe(v, dir) if relVar.contains(v) =>
+              if (!items.contains(RetRelType))
+                Left("ORDER BY type() requires type(" +
+                  relVar.getOrElse("r") + ") in RETURN")
+              else Right((RelTypeKey, d(dir)))
+            case ObTypeItemRe(v, _) =>
+              Left("ORDER BY type() may only reference the bound " +
+                "relationship variable" + relVar.fold("")(r => s" '$r'") +
+                s", got '$v'")
+            // ORDER BY <alias>: resolve through the RETURN item it names —
+            // an m-property alias sorts by that property, an aggregate
+            // alias by the aggregate column
+            case ObBareItemRe(b, dir) =>
+              aliased.find(_._2 == b).map(_._1) match {
+                case Some(RetProp(p)) => Right((p, d(dir)))
+                case Some(_: RetCount) | Some(_: RetCollect)
+                   | Some(_: RetAggProp) => Right((CountKey, d(dir)))
+                case Some(RetRelType) => Right((RelTypeKey, d(dir)))
+                case Some(RetConnProp(p)) =>
+                  Right((ConnKeyPrefix + p, d(dir)))
+                case Some(_) => Left("ORDER BY on this alias kind is " +
+                  s"not supported ('$b')")
+                case None => Left(s"ORDER BY key '$b' is not an alias " +
+                  "bound in RETURN")
+              }
+            case other =>
+              Left(s"unsupported ORDER BY item: ${other.trim.take(40)}")
+          }
+        }
+        Option(obClause) match {
+          case None => Right(Seq.empty)
+          case Some(clause) =>
+            // parens hold no commas and ORDER BY admits no string
+            // literals, so the comma split is safe
+            val parsed = clause.split(",").toSeq.map(one)
+            parsed.collectFirst { case Left(e) => Left(e) }
+              .getOrElse(Right(parsed.collect { case Right(k) => k }))
         }
       }
       if (hops > 0 && conn.isEmpty)
@@ -1085,7 +1160,7 @@ object CypherLite {
           (conds, existsPat) = whereParsed
           parsedItems <- itemsE
           (items, aliasPairs) = parsedItems
-          ob <- orderByE(aliasPairs)
+          ob <- orderByE(items, aliasPairs)
           isAgg = (i: RetItem) =>
             i.isInstanceOf[RetCount] || i.isInstanceOf[RetCollect] ||
               i.isInstanceOf[RetAggProp]
@@ -1155,20 +1230,8 @@ object CypherLite {
             Left("hop-less count(*) groups by projected properties — " +
               "use m.prop, not the whole node")
           else Right(())
-          // only the EXPLICIT `ORDER BY count(…)` syntax demands a count
-          // item; an aggregate alias resolved to the count pseudo-key
-          // exists by construction
-          _ <- if (obCountVar != null &&
-              !items.exists(_.isInstanceOf[RetCount]))
-            Left("ORDER BY count() requires count(connected) in RETURN")
-          else Right(())
-          // ORDER BY type(r) must name a projected column, same as every
-          // other ORDER BY key (with LIMIT an unprojected sort key would
-          // silently change WHICH rows come back)
-          _ <- if (obTypeVar != null && !items.contains(RetRelType))
-            Left("ORDER BY type() requires type(" +
-              relVar.getOrElse("r") + ") in RETURN")
-          else Right(())
+          // (the explicit ORDER BY count()/type() RETURN-item demands are
+          // enforced per-key inside orderByE)
           // unordered pagination returns arbitrary rows — the plausible-
           // but-wrong class this front end refuses to serve
           _ <- if (skipStr != null && ob.isEmpty)
@@ -1199,6 +1262,12 @@ object CypherLite {
     * parens-can't-collide trick as [[CountKey]].
     */
   private val RelTypeKey = "type(r)"
+
+  /** ORDER BY key prefix marking a CONNECTED-node property (`c.prop`) —
+    * a colon cannot appear in a property name, so the namespace cannot
+    * collide with m-property keys.
+    */
+  private val ConnKeyPrefix = "c:"
 
   /** Node properties a MATCH pattern or WHERE clause may filter on. */
   private val SupportedProps = Set("name", "content", "docnbr")
@@ -1482,7 +1551,7 @@ object CypherLite {
         val stmts = parsed.collect { case Right(s) => s }
         val paged = stmts.exists {
           case m: MatchReturn =>
-            m.orderBy.isDefined || m.skip.isDefined || m.limit.isDefined
+            m.orderBy.nonEmpty || m.skip.isDefined || m.limit.isDefined
           case c: ChainReturn =>
             c.orderBy.isDefined || c.skip.isDefined || c.limit.isDefined
           case sp: ShortestPathReturn =>
@@ -1565,8 +1634,12 @@ object CypherLite {
         // the count and type(r) pseudo-keys order by the aggregate /
         // relationship-type column, not an m property — exempt from the
         // property-name validations below
-        val obProps = orderBy.map(_._1)
-          .filterNot(k => k == CountKey || k == RelTypeKey)
+        // connected-prop keys (the "c:" namespace) were validated against
+        // the projected items at parse time; only m-property keys go
+        // through the outProps check below
+        val obProps = orderBy.map(_._1).distinct
+          .filterNot(k => k == CountKey || k == RelTypeKey ||
+            k.startsWith(ConnKeyPrefix))
         val projProps = retProps ++ obProps
         // ORDER BY must name a projected property: with LIMIT an unsortable
         // key would silently change WHICH rows come back, which is exactly
@@ -1599,7 +1672,7 @@ object CypherLite {
           .orElse(projProps.find(!ProjectableProps(_))
             .map(k => Left(s"unsupported projection property: $k " +
               s"(supported: ${ProjectableProps.toSeq.sorted.mkString(", ")})")))
-          .orElse(obProps.filterNot(outProps)
+          .orElse(obProps.filterNot(outProps).headOption
             .map(k => Left(s"ORDER BY key '$k' must be among the returned " +
               s"properties (${outProps.toSeq.sorted.mkString(", ")})")))
           .getOrElse(Right(runMatch(g, label, props, relType, hops, conds,
@@ -1649,7 +1722,7 @@ object CypherLite {
   private def runMatch(g0: GraphTables, label: Option[String],
       props: Map[String, String], relType: Option[String], hops: Int,
       conds: Seq[Seq[Cond]], items: Seq[RetItem],
-      orderBy: Option[(String, Boolean)], skip: Option[Int],
+      orderBy: Seq[(String, Boolean)], skip: Option[Int],
       limit: Option[Int], optional: Boolean, distinct: Boolean,
       existsPat: Option[ExistsPat],
       withSpec: Option[WithSpec],
@@ -1716,29 +1789,35 @@ object CypherLite {
     val wantsAgg = items.exists(i =>
       i.isInstanceOf[RetCount] || i.isInstanceOf[RetCollect] ||
         i.isInstanceOf[RetAggProp])
-    // deterministic output order: the requested ORDER BY key first (mapped
-    // onto its output column), then every remaining projected column as a
-    // tiebreak — results must be stable for the oracle hash-compare and for
-    // any caller diffing runs
+    // deterministic output order: the requested ORDER BY keys first, in
+    // query order (each mapped onto its output column), then every
+    // remaining projected column as a tiebreak — results must be stable
+    // for the oracle hash-compare and for any caller diffing runs
     def ordered(df: DataFrame, cols: Seq[String]): DataFrame =
-      orderBy match {
-        case Some((p, desc)) =>
-          // the count pseudo-key sorts by the aggregate output column,
-          // the type(r) pseudo-key by the relationship-type column
-          val out = if (p == CountKey) aggOut
-            else if (p == RelTypeKey) "r_type"
-            else s"m_$p"
-          // run() validated the ORDER BY key against the projected props;
-          // if the two ever drift, fail loudly — silently reordering (with
-          // LIMIT, silently changing WHICH rows survive) is the
-          // plausible-but-wrong failure this front end refuses to serve
+      if (orderBy.isEmpty) df.orderBy(cols.map(col): _*)
+      else {
+        // the count pseudo-key sorts by the aggregate output column,
+        // the type(r) pseudo-key by the relationship-type column
+        def outCol(p: String): String =
+          if (p == CountKey) aggOut
+          else if (p == RelTypeKey) "r_type"
+          else if (p.startsWith(ConnKeyPrefix))
+            s"c_${p.stripPrefix(ConnKeyPrefix)}"
+          else s"m_$p"
+        val outs = orderBy.map { case (p, _) => outCol(p) }
+        // run() validated every ORDER BY key against the projected props;
+        // if the two ever drift, fail loudly — silently reordering (with
+        // LIMIT, silently changing WHICH rows survive) is the
+        // plausible-but-wrong failure this front end refuses to serve
+        outs.foreach(out =>
           require(cols.contains(out) || df.columns.contains(out),
-            s"ORDER BY key '$p' missing from projected columns " +
+            s"ORDER BY key '$out' missing from projected columns " +
               s"(${cols.mkString(", ")}): run() validation and ordered() " +
-              "drifted — fix outProps/runMatch in lockstep")
-          val key = if (desc) col(out).desc else col(out).asc
-          df.orderBy(key +: cols.filterNot(_ == out).map(col): _*)
-        case None => df.orderBy(cols.map(col): _*)
+              "drifted — fix outProps/runMatch in lockstep"))
+        val keys = orderBy.map { case (p, desc) =>
+          if (desc) col(outCol(p)).desc else col(outCol(p)).asc
+        }
+        df.orderBy(keys ++ cols.filterNot(outs.contains).map(col): _*)
       }
     val base =
       if (hops == 0) {

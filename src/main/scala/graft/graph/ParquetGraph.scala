@@ -1288,6 +1288,23 @@ object ParquetGraph {
         .fold(err => throw new IllegalArgumentException(err), identity)
     },
 
+    // B6 CypherLite twin: MULTI-KEY ORDER BY with mixed significance —
+    // LIMIT 7 crosses a region boundary (5 nations each), so the first
+    // key picks the last region and the SECOND key decides which two of
+    // the next region's nations survive; an implementation that dropped
+    // or reordered the secondary key would keep different rows and
+    // hash-miss.
+    QueryDef.sql(
+      "graphp_cypher_multikey_order",
+      """SELECT r_name AS m_name, n_name AS c_name
+        |FROM region JOIN nation ON n_regionkey = r_regionkey
+        |ORDER BY m_name DESC, c_name DESC LIMIT 7""".stripMargin) { (s, d) =>
+      CypherLite.run(hierarchy(s, d),
+        "MATCH (m:Region)-[:HAS_NATION*1..1]->(c) RETURN m.name, c.name " +
+          "ORDER BY m.name DESC, c.name DESC LIMIT 7")
+        .fold(err => throw new IllegalArgumentException(err), identity)
+    },
+
     // B6 CypherLite twin: whole-query UNION — set semantics dedupe the
     // branches' combined rows. The branches overlap for real: nations
     // before 'C' ∪ nations containing '2' share NATION_2x members, so a

@@ -1147,6 +1147,34 @@ class CypherLiteSpec extends SparkSpec {
       r.swap.toOption.get.contains("cross-variable"), r.toString)
   }
 
+  test("multi-key ORDER BY sorts by each key in query order") {
+    val df = CypherLite.run(g,
+      "MATCH (m:Step)-[*1..1]->(c) RETURN m.name, c.name " +
+        "ORDER BY m.name ASC, c.name DESC").fold(e => fail(e), identity)
+    val got = df.select("m_name", "c_name").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    val want = got.sortBy { case (mn, cn) => (mn, Desc(cn)) }
+    assert(got == want && got.nonEmpty, s"got=$got")
+    // the aggregate pipeline: count as the primary key, property tiebreak
+    val agg = CypherLite.run(g,
+      "MATCH (m:Task)-[*1..1]->(c) WITH m.name, count(c) AS n " +
+        "RETURN m.name, n ORDER BY n DESC, m.name ASC")
+      .fold(e => fail(e), identity)
+    val gotA = agg.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val wantA = gotA.sortBy { case (mn, n) => (-n, mn) }
+    assert(gotA == wantA && gotA.nonEmpty, s"got=$gotA")
+    // every key must still name a projected property
+    val bad = CypherLite.run(g,
+      "MATCH (m:Step) RETURN m.name ORDER BY m.name, m.label")
+    assert(bad.isLeft &&
+      bad.swap.toOption.get.contains("must be among"), bad.toString)
+  }
+
+  /** Inverted-ordering wrapper: sorts descending under sortBy. */
+  private case class Desc(s: String) extends Ordered[Desc] {
+    def compare(that: Desc): Int = that.s.compareTo(s)
+  }
+
   test("UNION dedupes branch rows; UNION ALL keeps the bag") {
     val set = CypherLite.run(g,
       "MATCH (m:Subject) RETURN m.name UNION MATCH (m:Subject) " +
