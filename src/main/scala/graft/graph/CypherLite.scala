@@ -31,7 +31,8 @@ import org.apache.spark.sql.functions._
   *    | (m|c).prop <op> (m|c).prop      // cross-variable comparison
   *    | type(r) <op> ('value'|['v'[, ...]])
   *    | [NOT] (m)-[[:REL_TYPE][*1..K]]->([:Label])]
-  *     op ∈ {=, <>, <, <=, >, >=, STARTS WITH, ENDS WITH, CONTAINS, IN}
+  *     op ∈ {=, <>, <, <=, >, >=, =~, STARTS WITH, ENDS WITH, CONTAINS, IN}
+  *     (`=~ 'regex'` matches the WHOLE string, Neo4j's rule)
   *     | (m|c).prop IS [NOT] NULL; any comparison may carry a NOT prefix
   *     (negated after evaluation — NOT null stays null, Cypher's rule)
   *   [WITH (m|m.prop)[, m.prop ...], count([DISTINCT] c|r|*) AS alias
@@ -405,7 +406,7 @@ object CypherLite {
   // comparison), or — for IN — a bracketed list of one or the other.
   private val CondRe =
     ("""(?is)\s*(\w+)\s*\.\s*(\w+)\s*""" +
-      """(<>|<=|>=|=|<|>|STARTS\s+WITH|ENDS\s+WITH|CONTAINS|IN)""" +
+      """(<>|<=|>=|=~|=|<|>|STARTS\s+WITH|ENDS\s+WITH|CONTAINS|IN)""" +
       """\s*(?:'([^']*)'|(-?\d+(?:\.\d+)?)|\[([^\]]*)\])\s*""").r
 
   // `var.prop IS [NOT] NULL` — Cypher's null test (a missing property is
@@ -1474,6 +1475,12 @@ object CypherLite {
     // these ops — there is no literal)
     case "IS NULL" => target0.isNull
     case "IS NOT NULL" => target0.isNotNull
+    // Cypher regex predicate: `=~` matches the WHOLE string (Neo4j's
+    // rule), unlike SQL rlike's substring semantics — the pattern is
+    // wrapped in a non-capturing whole-string anchor. Always a string
+    // comparison (a numeric literal was rejected at parse time; the
+    // cross-variable form admits no `=~`).
+    case "=~" => target0.rlike("^(?:" + c.value + ")$")
     case "STARTS WITH" =>
       rhs.fold(target.startsWith(c.value))(target.startsWith)
     case "ENDS WITH" =>

@@ -1288,6 +1288,20 @@ object ParquetGraph {
         .fold(err => throw new IllegalArgumentException(err), identity)
     },
 
+    // B6 CypherLite twin: `=~` regex predicate — Cypher's WHOLE-string
+    // match. 'NATION_.' full-matches exactly the ten single-digit
+    // nations; a substring-semantics (bare rlike) regression would also
+    // match every two-digit nation's prefix and return 25 rows.
+    QueryDef.sql(
+      "graphp_cypher_regex",
+      """SELECT n_name AS m_name FROM nation
+        |WHERE regexp_full_match(n_name, 'NATION_.')
+        |ORDER BY m_name""".stripMargin) { (s, d) =>
+      CypherLite.run(hierarchy(s, d),
+        "MATCH (m:Nation) WHERE m.name =~ 'NATION_.' RETURN m.name")
+        .fold(err => throw new IllegalArgumentException(err), identity)
+    },
+
     // B6 CypherLite twin: MULTI-KEY ORDER BY with mixed significance —
     // LIMIT 7 crosses a region boundary (5 nations each), so the first
     // key picks the last region and the SECOND key decides which two of

@@ -1175,6 +1175,25 @@ class CypherLiteSpec extends SparkSpec {
     def compare(that: Desc): Int = that.s.compareTo(s)
   }
 
+  test("=~ regex matches the whole string, not a substring") {
+    val full = CypherLite.run(g,
+      "MATCH (m) WHERE m.name =~ 's.*' RETURN m.name")
+      .fold(e => fail(e), identity).collect().map(_.getString(0)).toSet
+    val want = g.nodes.filter(col("name").rlike("^(?:s.*)$"))
+      .select("name").distinct().collect().map(_.getString(0)).toSet
+    assert(full == want && full.nonEmpty, s"got=$full")
+    // 'ubject' is a substring of 'subject' but not a full match
+    val sub = CypherLite.run(g,
+      "MATCH (m) WHERE m.name =~ 'ubject' RETURN m.name")
+      .fold(e => fail(e), identity)
+    assert(sub.count() == 0, "=~ must anchor the whole string")
+    // numeric literal with =~ is a type error, not a coercion
+    val num = CypherLite.parse(
+      "MATCH (m) WHERE m.name =~ 12 RETURN m.name")
+    assert(num.isLeft &&
+      num.swap.toOption.get.contains("quoted string"), num.toString)
+  }
+
   test("UNION dedupes branch rows; UNION ALL keeps the bag") {
     val set = CypherLite.run(g,
       "MATCH (m:Subject) RETURN m.name UNION MATCH (m:Subject) " +
