@@ -32,7 +32,9 @@ import org.apache.spark.sql.functions._
   *    | type(r) <op> ('value'|['v'[, ...]])
   *    | [NOT] (m)-[[:REL_TYPE][*1..K]]->([:Label])]
   *     op ∈ {=, <>, <, <=, >, >=, =~, STARTS WITH, ENDS WITH, CONTAINS, IN}
-  *     (`=~ 'regex'` matches the WHOLE string, Neo4j's rule)
+  *     (`=~ 'regex'` matches the WHOLE string, Neo4j's rule); the LHS
+  *     property may wrap in toLower(...)/toUpper(...) (string literals
+  *     and lists only — the case-insensitive-match staple)
   *     | (m|c).prop IS [NOT] NULL; any comparison may carry a NOT prefix
   *     (negated after evaluation — NOT null stays null, Cypher's rule)
   *   [WITH (m|m.prop)[, m.prop ...], count([DISTINCT] c|r|*) AS alias
@@ -148,8 +150,12 @@ import org.apache.spark.sql.functions._
   * matching connected node (≡ SQL EXISTS), `RETURN m.name, count(c)`
   * counts only the matching bindings, and `RETURN m.name, c.content`
   * projects one row per surviving binding.
-  * WHERE mixes AND and OR without parentheses; standard precedence (AND
-  * binds tighter) applies — the clause is evaluated as an OR of AND-groups.
+  * WHERE mixes AND and OR at standard precedence (AND binds tighter) and
+  * admits PARENTHESIZED groups and `NOT (...)` over whole groups: the
+  * clause is parsed to a boolean tree, negation is pushed to the leaves
+  * by De Morgan (exact in Cypher's three-valued logic, so null-dropping
+  * semantics survive), and the tree is distributed into the engine's OR
+  * of AND-groups — parentheses cost nothing at runtime.
   * Plus the maintenance form `MATCH (n) WHERE n.<tag> = true DETACH DELETE n`
   * (the reference's `deleteneo.py:10-12`), which maps to [[GraphOps.dropBatch]].
   */
@@ -182,7 +188,13 @@ object CypherLite {
       // comparison (node properties are strings in this model); IN and
       // numeric forms don't arise (CrossCondRe admits neither).
       crossProp: Option[String] = None,
-      crossOnConn: Boolean = false)
+      crossOnConn: Boolean = false,
+      // `toLower(v.prop)` / `toUpper(v.prop)` case-fold wrapper on the
+      // LHS (normalized to "tolower"/"toupper"): the property column is
+      // folded BEFORE the comparison — Cypher's case-insensitive-match
+      // staple. Only valid with string literals/lists (a numeric
+      // comparison through a case fold is a parse error, not a coercion).
+      fn: Option[String] = None)
 
   /** Pattern-existence predicate `WHERE [NOT] (m)-[[:REL][*1..K]]->([:Label])`:
     * keep exactly the roots with (without, under NOT) a node reachable
@@ -400,12 +412,15 @@ object CypherLite {
 
   private val PropRe = """(\w+)\s*:\s*'([^']*)'""".r
 
-  // one `var.prop <op> ('value'|number|['v', ...])` comparison; the WHERE
-  // clause splits on OR then AND before these are matched. The literal is
-  // either quoted (string comparison), a bare numeric (numeric
-  // comparison), or — for IN — a bracketed list of one or the other.
+  // one `[toLower|toUpper(]var.prop[)] <op> ('value'|number|['v', ...])`
+  // comparison, matched as one atom by the boolean tokenizer. The literal
+  // is either quoted (string comparison), a bare numeric (numeric
+  // comparison), or — for IN — a bracketed list of one or the other. The
+  // optional case-fold wrapper (groups 1 + 4; presence validated as a
+  // pair in mkCondFn — regexes can't express the conditional) is Cypher's
+  // toLower/toUpper scalar on the LHS, the case-insensitive-match staple.
   private val CondRe =
-    ("""(?is)\s*(\w+)\s*\.\s*(\w+)\s*""" +
+    ("""(?is)\s*(?:(toLower|toUpper)\s*\(\s*)?(\w+)\s*\.\s*(\w+)\s*(\))?\s*""" +
       """(<>|<=|>=|=~|=|<|>|STARTS\s+WITH|ENDS\s+WITH|CONTAINS|IN)""" +
       """\s*(?:'([^']*)'|(-?\d+(?:\.\d+)?)|\[([^\]]*)\])\s*""").r
 
@@ -525,9 +540,161 @@ object CypherLite {
     else RelVarRe.findFirstMatchIn(query.replaceAll("'[^']*'", "''"))
       .map(_.group(1))
 
+  // ---- boolean WHERE structure: parentheses, NOT groups, AND/OR ----
+  // The clause is tokenized (atoms = single comparisons, recognized by
+  // the same regexes the flat path uses; structure = parens + keywords),
+  // parsed with standard precedence (NOT > AND > OR), negation is pushed
+  // to the atoms by De Morgan — EXACT in Kleene three-valued logic, so
+  // Cypher's null-dropping WHERE semantics survive the rewrite — and the
+  // tree is distributed into the engine's existing DNF (OR of AND-groups
+  // of possibly-negated atoms). Downstream execution is untouched: parens
+  // cost nothing at runtime.
+  private sealed trait WTok
+  private case object TLParen extends WTok
+  private case object TRParen extends WTok
+  private case object TAnd extends WTok
+  private case object TOr extends WTok
+  private case object TNot extends WTok
+  private final case class TAtom(text: String) extends WTok
+
+  private sealed trait BoolExpr
+  private final case class BAtom(text: String, neg: Boolean) extends BoolExpr
+  private final case class BAnd(l: BoolExpr, r: BoolExpr) extends BoolExpr
+  private final case class BOr(l: BoolExpr, r: BoolExpr) extends BoolExpr
+  private final case class BNot(e: BoolExpr) extends BoolExpr
+
+  // AND/OR/NOT at a word boundary (`\b` keeps a variable named NOTE from
+  // reading as NOT E)
+  private val BoolKwRe = """(?is)\s*(AND|OR|NOT)\b""".r
+  private val LParenRe = """(?s)\s*\(""".r
+  private val RParenRe = """(?s)\s*\)""".r
+  // one comparison atom, attempted at the current position in this order
+  // (NullCond before Cond so IS NULL never half-matches; Cond before
+  // CrossCond — a literal RHS and a var.prop RHS cannot collide)
+  private def atomPrefixRes = Seq(NullCondRe, CondRe, CrossCondRe, TypeCondRe)
+
+  /** Tokenize a WHERE clause into boolean structure + comparison atoms.
+    * Structure (keywords, parens) is detected on the length-preserving
+    * quote-blanked text so literals can never masquerade as syntax; each
+    * atom is matched as a PREFIX of the original text at the same offset,
+    * so its quoted literal survives intact.
+    */
+  private def tokenizeWhere(w: String): Either[String, Vector[WTok]] = {
+    val blanked = blankQuoted(w)
+    val out = Vector.newBuilder[WTok]
+    var pos = 0
+    var err: Option[String] = None
+    while (pos < w.length && err.isEmpty) {
+      val restB = blanked.substring(pos)
+      if (restB.trim.isEmpty) pos = w.length
+      else BoolKwRe.findPrefixMatchOf(restB) match {
+        case Some(km) =>
+          out += (km.group(1).toUpperCase(java.util.Locale.ROOT) match {
+            case "AND" => TAnd
+            case "OR" => TOr
+            case _ => TNot
+          })
+          pos += km.end
+        case None =>
+          LParenRe.findPrefixMatchOf(restB) match {
+            case Some(pm) => out += TLParen; pos += pm.end
+            case None => RParenRe.findPrefixMatchOf(restB) match {
+              case Some(pm) => out += TRParen; pos += pm.end
+              case None =>
+                val rest = w.substring(pos)
+                atomPrefixRes.iterator
+                  .flatMap(_.findPrefixMatchOf(rest)).take(1).toList match {
+                  case am :: _ =>
+                    out += TAtom(rest.substring(0, am.end))
+                    pos += am.end
+                  case Nil =>
+                    err = Some("unsupported WHERE condition at: '" +
+                      rest.trim.take(60) + "'")
+                }
+            }
+          }
+      }
+    }
+    err.toLeft(out.result())
+  }
+
+  /** Recursive-descent parse of the token stream: expr := term (OR term)*;
+    * term := factor (AND factor)*; factor := NOT factor | (expr) | atom.
+    */
+  private def parseBoolExpr(toks: Vector[WTok])
+      : Either[String, BoolExpr] = {
+    var i = 0
+    def peek: Option[WTok] = if (i < toks.length) Some(toks(i)) else None
+    def factor(): Either[String, BoolExpr] = peek match {
+      case Some(TNot) => i += 1; factor().map(BNot(_))
+      case Some(TLParen) =>
+        i += 1
+        expr().flatMap { e =>
+          if (peek.contains(TRParen)) { i += 1; Right(e) }
+          else Left("unbalanced parentheses in WHERE")
+        }
+      case Some(TAtom(t)) => i += 1; Right(BAtom(t, neg = false))
+      case other => Left("expected a comparison in WHERE, got " +
+        other.fold("end of clause")(_.toString))
+    }
+    def term(): Either[String, BoolExpr] = factor().flatMap { l =>
+      var acc: Either[String, BoolExpr] = Right(l)
+      while (acc.isRight && peek.contains(TAnd)) {
+        i += 1
+        acc = for { a <- acc; r <- factor() } yield BAnd(a, r)
+      }
+      acc
+    }
+    def expr(): Either[String, BoolExpr] = term().flatMap { l =>
+      var acc: Either[String, BoolExpr] = Right(l)
+      while (acc.isRight && peek.contains(TOr)) {
+        i += 1
+        acc = for { a <- acc; r <- term() } yield BOr(a, r)
+      }
+      acc
+    }
+    expr().flatMap { e =>
+      if (i < toks.length)
+        Left(s"trailing tokens in WHERE after a complete expression")
+      else Right(e)
+    }
+  }
+
+  /** Tree → DNF of (atom text, negated) with NOT pushed to the leaves by
+    * De Morgan (exact in three-valued logic). The group-count cap keeps a
+    * pathological alternation from exploding the plan — real LLM queries
+    * sit at a handful of groups.
+    */
+  private def boolToDnf(e: BoolExpr): Seq[Seq[(String, Boolean)]] =
+    e match {
+      case BAtom(t, n) => Seq(Seq((t, n)))
+      case BNot(BAtom(t, n)) => Seq(Seq((t, !n)))
+      case BNot(BNot(x)) => boolToDnf(x)
+      case BNot(BAnd(a, b)) => boolToDnf(BNot(a)) ++ boolToDnf(BNot(b))
+      case BNot(BOr(a, b)) => boolToDnf(BAnd(BNot(a), BNot(b)))
+      case BOr(a, b) => boolToDnf(a) ++ boolToDnf(b)
+      case BAnd(a, b) =>
+        for { x <- boolToDnf(a); y <- boolToDnf(b) } yield x ++ y
+    }
+
+  /** Parse a WHERE clause's boolean structure to the engine's DNF of
+    * (atom text, negated) pairs — parentheses and NOT groups included.
+    */
+  private def parseBoolDnf(w: String)
+      : Either[String, Seq[Seq[(String, Boolean)]]] =
+    for {
+      toks <- tokenizeWhere(w)
+      tree <- parseBoolExpr(toks)
+      dnf = boolToDnf(tree)
+      _ <- if (dnf.sizeIs > 64)
+        Left("WHERE clause expands to more than 64 OR-groups")
+      else Right(())
+    } yield dnf
+
   /** Parse a pattern-level WHERE clause shared by the plain and the WITH
     * statement forms: either a comparison DNF (OR of AND-groups, standard
-    * precedence without parens) or a single pattern-existence predicate.
+    * precedence with optional parentheses and NOT groups) or a single
+    * pattern-existence predicate.
     * `relVar` admits `type(r) <op> literal` comparisons (a binding-level
     * condition carried on the [[RelTypeProp]] sentinel).
     */
@@ -548,9 +715,8 @@ object CypherLite {
         Left(s"pattern-existence WHERE must anchor the matched " +
           s"variable '$m', got '$v'")
       case Some(w) =>
-        // standard precedence without parens: OR of AND-groups
-        val groups = w.split("(?i)\\s+OR\\s+").toSeq
-          .map(_.split("(?i)\\s+AND\\s+").toSeq)
+        // boolean structure (parens, NOT groups, AND/OR at standard
+        // precedence) parsed to the engine's DNF of negated atoms
         def onePart(part: String, neg: Boolean): Either[String, Cond] =
           part match {
             case NotCondRe(inner) => onePart(inner, !neg)
@@ -562,12 +728,15 @@ object CypherLite {
               Right(Cond(prop,
                 if (notKw != null) "IS NOT NULL" else "IS NULL", "",
                 onConn = true, negated = neg))
-            case CondRe(v, prop, op, str, num, list) if v == m =>
-              mkCond(prop, op, str, num, list).map(_.copy(negated = neg))
-            case CondRe(v, prop, op, str, num, list) if conn.contains(v) =>
-              mkCond(prop, op, str, num, list)
+            case CondRe(fnKw, v, prop, close, op, str, num, list)
+                if v == m =>
+              mkCondFn(fnKw, close, prop, op, str, num, list)
+                .map(_.copy(negated = neg))
+            case CondRe(fnKw, v, prop, close, op, str, num, list)
+                if conn.contains(v) =>
+              mkCondFn(fnKw, close, prop, op, str, num, list)
                 .map(_.copy(onConn = true, negated = neg))
-            case CondRe(v, _, _, _, _, _) =>
+            case CondRe(_, v, _, _, _, _, _, _) =>
               Left(s"WHERE may only reference the matched variable '$m'" +
                 conn.fold("")(c => s" or the connected variable '$c'") +
                 s", got '$v'")
@@ -600,13 +769,15 @@ object CypherLite {
             case other =>
               Left(s"unsupported WHERE condition: ${other.take(80)}")
           }
-        val parsed = groups.map { parts =>
-          val cs = parts.map(p => onePart(p, neg = false))
-          cs.collectFirst { case Left(e) => Left(e) }
-            .getOrElse(Right(cs.collect { case Right(c) => c }))
+        parseBoolDnf(w).flatMap { groups =>
+          val parsed = groups.map { parts =>
+            val cs = parts.map { case (p, neg) => onePart(p, neg) }
+            cs.collectFirst { case Left(e) => Left(e) }
+              .getOrElse(Right(cs.collect { case Right(c) => c }))
+          }
+          parsed.collectFirst { case Left(e) => Left(e) }
+            .getOrElse(Right((parsed.collect { case Right(g) => g }, None)))
         }
-        parsed.collectFirst { case Left(e) => Left(e) }
-          .getOrElse(Right((parsed.collect { case Right(g) => g }, None)))
     }
 
   /** One comparison from its regex pieces — the literal is either quoted
@@ -654,6 +825,25 @@ object CypherLite {
       Right(Cond(prop, op, num, numeric = true))
     else Right(Cond(prop, op, str))
   }
+
+  /** [[mkCond]] plus the optional toLower/toUpper LHS wrapper from
+    * [[CondRe]]'s paired groups: the open (fn keyword) and close paren
+    * must appear together, and a case fold over a NUMERIC comparison
+    * (bare literal or numeric IN list) is a type error — Cypher's
+    * toLower/toUpper are string → string.
+    */
+  private def mkCondFn(fnKw: String, close: String, prop: String,
+      op: String, str: String, num: String, list: String)
+      : Either[String, Cond] =
+    if ((fnKw != null) != (close != null))
+      Left("unbalanced parentheses in a toLower/toUpper(...) wrapper")
+    else mkCond(prop, op, str, num, list).flatMap { c =>
+      val fn = Option(fnKw).map(_.toLowerCase(java.util.Locale.ROOT))
+      if (fn.isDefined && c.numeric)
+        Left("toLower/toUpper(...) compares against quoted strings, " +
+          s"got a numeric literal")
+      else Right(c.copy(fn = fn))
+    }
 
   /** `(c:Label)` / `(c {prop: 'v'})` pattern sugar: desugars to equality
     * conditions on the connected variable, AND-distributed into EVERY
@@ -742,8 +932,6 @@ object CypherLite {
         Option(whereStr).map(_.trim).filter(_.nonEmpty) match {
           case None => Right(Seq.empty)
           case Some(w) =>
-            val groups = w.split("(?i)\\s+OR\\s+").toSeq
-              .map(_.split("(?i)\\s+AND\\s+").toSeq)
             def onePart(part: String,
                 neg: Boolean): Either[String, (Int, Cond)] = part match {
               case NotCondRe(inner) => onePart(inner, !neg)
@@ -751,23 +939,25 @@ object CypherLite {
                 Right(varIdx(v) -> Cond(prop,
                   if (notKw != null) "IS NOT NULL" else "IS NULL", "",
                   negated = neg))
-              case CondRe(v, prop, op, str, num, list)
+              case CondRe(fnKw, v, prop, close, op, str, num, list)
                   if varIdx.contains(v) =>
-                mkCond(prop, op, str, num, list)
+                mkCondFn(fnKw, close, prop, op, str, num, list)
                   .map(c => varIdx(v) -> c.copy(negated = neg))
-              case CondRe(v, _, _, _, _, _) =>
+              case CondRe(_, v, _, _, _, _, _, _) =>
                 Left(s"WHERE may only reference the chain variables " +
                   s"${nodes.map(_.v).mkString(", ")}, got '$v'")
               case other =>
                 Left(s"unsupported WHERE condition: ${other.take(80)}")
             }
-            val parsed = groups.map { parts =>
-              val cs = parts.map(p => onePart(p, neg = false))
-              cs.collectFirst { case Left(e) => Left(e) }
-                .getOrElse(Right(cs.collect { case Right(c) => c }))
+            parseBoolDnf(w).flatMap { groups =>
+              val parsed = groups.map { parts =>
+                val cs = parts.map { case (p, neg) => onePart(p, neg) }
+                cs.collectFirst { case Left(e) => Left(e) }
+                  .getOrElse(Right(cs.collect { case Right(c) => c }))
+              }
+              parsed.collectFirst { case Left(e) => Left(e) }
+                .getOrElse(Right(parsed.collect { case Right(g) => g }))
             }
-            parsed.collectFirst { case Left(e) => Left(e) }
-              .getOrElse(Right(parsed.collect { case Right(g) => g }))
         }
       // RETURN items: property projections plus at most one
       // count([DISTINCT] v) aggregate over the bindings
@@ -1441,8 +1631,17 @@ object CypherLite {
       else col("relType").isin(ts: _*)
     }.getOrElse(col("relType").startsWith("HAS_"))
 
-  private def condCol(c: Cond, target0: Column,
+  private def condCol(c: Cond, targetRaw: Column,
       rhs: Option[Column] = None): Column = {
+    // toLower/toUpper LHS wrapper: fold the property column BEFORE the
+    // comparison (null folds to null — a missing property still drops).
+    // Codegen-native lower()/upper(), so the predicate stays sargable
+    // enough for Catalyst to keep it in the scan-side filter.
+    val target0 = c.fn match {
+      case Some("tolower") => lower(targetRaw)
+      case Some("toupper") => upper(targetRaw)
+      case _ => targetRaw
+    }
     // unquoted literal → numeric comparison: the property try_casts to
     // double and non-numeric values become null, so the comparison is null
     // and the row drops — observably identical to Cypher's string-vs-number

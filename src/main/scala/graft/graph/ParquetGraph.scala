@@ -1389,6 +1389,60 @@ object ParquetGraph {
         .fold(err => throw new IllegalArgumentException(err), identity)
     },
 
+    // B6 CypherLite twin: PARENTHESIZED WHERE groups — (ends-1 OR ends-2)
+    // AND starts-NATION_1 keeps {NATION_1, NATION_11, NATION_12}. The
+    // unparenthesized precedence reading (AND binds tighter) would also
+    // keep NATION_21 and hash-miss — the witness that parens bind.
+    QueryDef.sql(
+      "graphp_cypher_parens",
+      """SELECT n_name AS m_name FROM nation
+        |WHERE (n_name LIKE '%1' OR n_name LIKE '%2')
+        |  AND n_name LIKE 'NATION\_1%' ESCAPE '\'
+        |ORDER BY m_name""".stripMargin) { (s, d) =>
+      CypherLite.run(hierarchy(s, d),
+        "MATCH (m:Nation) WHERE (m.name ENDS WITH '1' OR " +
+          "m.name ENDS WITH '2') AND m.name STARTS WITH 'NATION_1' " +
+          "RETURN m.name ORDER BY m.name")
+        .fold(err => throw new IllegalArgumentException(err), identity)
+    },
+
+    // B6 CypherLite twin: toLower/toUpper WHERE wrappers — Cypher's
+    // case-insensitive-match staple. Node names are upper-case
+    // 'NATION_k', so BOTH lower-case comparisons match only through the
+    // fold (an implementation that dropped the wrapper, or folded the
+    // literal instead, returns zero rows or the wrong band); the
+    // toUpper conjunct grades the second wrapper through the same atom.
+    QueryDef.sql(
+      "graphp_cypher_casefold",
+      """SELECT n_name AS m_name FROM nation
+        |WHERE (lower(n_name) LIKE '%nation\_1%' ESCAPE '\'
+        |  AND upper(n_name) LIKE '%3')
+        |  OR lower(n_name) = 'nation_2'
+        |ORDER BY m_name""".stripMargin) { (s, d) =>
+      CypherLite.run(hierarchy(s, d),
+        "MATCH (m:Nation) WHERE (toLower(m.name) CONTAINS 'nation_1' " +
+          "AND toUpper(m.name) ENDS WITH '3') OR " +
+          "toLower(m.name) = 'nation_2' RETURN m.name ORDER BY m.name")
+        .fold(err => throw new IllegalArgumentException(err), identity)
+    },
+
+    // B6 CypherLite twin: NOT over a parenthesized group — De Morgan
+    // pushed to the atoms (exact in three-valued logic). Names containing
+    // '1' but NOT ending in '1' or '2': a reading that negated only the
+    // first disjunct (or dropped the conjunction) changes the row set.
+    QueryDef.sql(
+      "graphp_cypher_not_group",
+      """SELECT n_name AS m_name FROM nation
+        |WHERE NOT (n_name LIKE '%1' OR n_name LIKE '%2')
+        |  AND n_name LIKE '%1%'
+        |ORDER BY m_name""".stripMargin) { (s, d) =>
+      CypherLite.run(hierarchy(s, d),
+        "MATCH (m:Nation) WHERE NOT (m.name ENDS WITH '1' OR " +
+          "m.name ENDS WITH '2') AND m.name CONTAINS '1' " +
+          "RETURN m.name ORDER BY m.name")
+        .fold(err => throw new IllegalArgumentException(err), identity)
+    },
+
     // B6 CypherLite twin: UNQUOTED numeric literal — the comparison is
     // numeric, not lexicographic, and non-numeric names drop (try_cast
     // null). The unlabeled MATCH sweeps ALL node types: region/nation

@@ -1229,4 +1229,106 @@ class CypherLiteSpec extends SparkSpec {
       "WHERE n.b1 = true DETACH DELETE n")
       .contains("DETACH DELETE"))
   }
+
+  // four nodes whose names split differently under (a OR b) AND c versus
+  // the unparenthesized a OR (b AND c) — B1 is the witness row
+  lazy val parenG: GraphTables = {
+    import spark.implicits._
+    GraphTables(
+      Seq(NodeRow(1, "Doc", "A1", "", "", "b", Nil),
+        NodeRow(2, "Doc", "A2", "", "", "b", Nil),
+        NodeRow(3, "Doc", "B1", "", "", "b", Nil),
+        NodeRow(4, "Doc", "C3", "", "", "b", Nil)).toDS(),
+      Seq.empty[EdgeRow].toDS())
+  }
+
+  private def parenNames(q: String): Set[String] =
+    CypherLite.run(parenG, q).fold(e => fail(e), identity)
+      .collect().map(_.getString(0)).toSet
+
+  test("parenthesized WHERE groups override AND/OR precedence") {
+    // (ends 1 OR ends 2) AND starts A -> {A1, A2}; the unparenthesized
+    // reading keeps B1 too — the fixture's witness that parens bind
+    assert(parenNames("MATCH (m:Doc) WHERE (m.name ENDS WITH '1' OR " +
+      "m.name ENDS WITH '2') AND m.name STARTS WITH 'A' RETURN m.name")
+      == Set("A1", "A2"))
+    assert(parenNames("MATCH (m:Doc) WHERE m.name ENDS WITH '1' OR " +
+      "m.name ENDS WITH '2' AND m.name STARTS WITH 'A' RETURN m.name")
+      == Set("A1", "B1", "A2"))
+    // nesting and a NOT atom inside a group
+    assert(parenNames("MATCH (m:Doc) WHERE ((NOT m.name = 'A1') AND " +
+      "(m.name STARTS WITH 'A' OR m.name STARTS WITH 'B')) " +
+      "RETURN m.name") == Set("A2", "B1"))
+  }
+
+  test("NOT over a parenthesized group applies De Morgan exactly") {
+    assert(parenNames("MATCH (m:Doc) WHERE NOT (m.name ENDS WITH '1' " +
+      "OR m.name ENDS WITH '2') RETURN m.name") == Set("C3"))
+    // ¬(a AND b) = ¬a OR ¬b
+    assert(parenNames("MATCH (m:Doc) WHERE NOT (m.name STARTS WITH 'A' " +
+      "AND m.name ENDS WITH '1') RETURN m.name") == Set("A2", "B1", "C3"))
+    // double negation cancels
+    assert(parenNames("MATCH (m:Doc) WHERE NOT (NOT (m.name = 'A1')) " +
+      "RETURN m.name") == Set("A1"))
+  }
+
+  // mixed-case names: the fixture where a case fold changes the row set
+  lazy val caseG: GraphTables = {
+    import spark.implicits._
+    GraphTables(
+      Seq(NodeRow(1, "Doc", "Foo", "", "", "b", Nil),
+        NodeRow(2, "Doc", "FOO", "", "", "b", Nil),
+        NodeRow(3, "Doc", "foo", "", "", "b", Nil),
+        NodeRow(4, "Doc", "bar", "", "", "b", Nil)).toDS(),
+      Seq.empty[EdgeRow].toDS())
+  }
+
+  test("toLower/toUpper WHERE wrappers fold the property, not the literal") {
+    def names(q: String): Set[String] =
+      CypherLite.run(caseG, q).fold(e => fail(e), identity)
+        .collect().map(_.getString(0)).toSet
+    assert(names("MATCH (m:Doc) WHERE toLower(m.name) = 'foo' " +
+      "RETURN m.name") == Set("Foo", "FOO", "foo"))
+    assert(names("MATCH (m:Doc) WHERE toUpper(m.name) = 'FOO' " +
+      "RETURN m.name") == Set("Foo", "FOO", "foo"))
+    assert(names("MATCH (m:Doc) WHERE m.name = 'foo' RETURN m.name")
+      == Set("foo"))
+    // IN lists fold too; NOT composes after the fold
+    assert(names("MATCH (m:Doc) WHERE toUpper(m.name) IN ['FOO'] " +
+      "RETURN m.name") == Set("Foo", "FOO", "foo"))
+    assert(names("MATCH (m:Doc) WHERE NOT toLower(m.name) = 'foo' " +
+      "RETURN m.name") == Set("bar"))
+  }
+
+  test("case-fold wrapper rejections: numeric literal, unbalanced parens") {
+    val num = CypherLite.parse(
+      "MATCH (m:Doc) WHERE toLower(m.name) > 5 RETURN m.name")
+    assert(num.isLeft &&
+      num.swap.toOption.get.contains("numeric"), num.toString)
+    val unb = CypherLite.parse(
+      "MATCH (m:Doc) WHERE toLower(m.name = 'x' RETURN m.name")
+    assert(unb.isLeft, unb.toString)
+  }
+
+  test("parens in a chain WHERE and malformed parens rejected") {
+    // chain path shares the boolean parser
+    val chain = CypherLite.run(g,
+      "MATCH (a:Boeing_Service_Bulletin)-[]->(b)-[]->(c) " +
+        "WHERE (b.label = 'Summary' OR b.label = 'References') AND " +
+        "NOT (c.label = 'Paragraph') RETURN a.name, b.label, c.label")
+    assert(chain.isRight, chain.toString)
+    val rows = chain.toOption.get.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { r =>
+      Set("Summary", "References").contains(r.getAs[String]("b_label")) &&
+        r.getAs[String]("c_label") != "Paragraph"
+    })
+    val bad = CypherLite.parse(
+      "MATCH (m:Doc) WHERE (m.name = 'A1' RETURN m.name")
+    assert(bad.isLeft &&
+      bad.swap.toOption.get.contains("parenthes"), bad.toString)
+    val trailing = CypherLite.parse(
+      "MATCH (m:Doc) WHERE m.name = 'A1') RETURN m.name")
+    assert(trailing.isLeft, trailing.toString)
+  }
 }
