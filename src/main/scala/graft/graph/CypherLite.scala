@@ -46,6 +46,10 @@ import org.apache.spark.sql.functions._
   *          | [m[.prop[, ...]],] type(r), count([DISTINCT] c|r|*)
   *          | m[.prop[, ...]], collect([DISTINCT] c.prop)
   *          | m[.prop[, ...]], (sum|avg|min|max)(c.prop)
+  *          | m[.prop[, ...]], coalesce(c.prop, 'default')   // null →
+  *            default applied before DISTINCT/ORDER BY (OPTIONAL staple)
+  *          | labels(m|c)   // ≡ the label column under `m_labels`/
+  *            `c_labels` (single-label model: the list IS the label)
   *          | (after WITH) m.prop[, ...], alias
   *     every property/aggregate RETURN item (incl. type(r)) may take
   *     `AS alias`
@@ -222,6 +226,18 @@ object CypherLite {
   // drop out — Cypher's rule — and a sum over zero values is 0); min/max
   // order by the property's native string collation
   final case class RetAggProp(fn: String, prop: String) extends RetItem
+  // coalesce(c.prop, 'default') — the OPTIONAL MATCH staple: an unmatched
+  // root's null connected column answers the default instead. Plumbs as a
+  // connected-property projection (canonical column `c_<prop>`) with the
+  // default applied BEFORE DISTINCT/ORDER BY (Cypher operates on the
+  // returned values, not the raw binding).
+  final case class RetCoalesce(prop: String, default: String)
+    extends RetItem
+  // labels(v) — Cypher's label-list accessor. One label per node in this
+  // model, so the list serializes to the label itself (the engine's
+  // deterministic list serialization, same contract as collect());
+  // canonical output column `m_labels`/`c_labels`.
+  final case class RetLabels(onConn: Boolean) extends RetItem
   // type(r) — the traversed relationship's type (output column `r_type`).
   // Only valid when the hop pattern binds a relationship variable, which
   // in turn forces the single-hop form (Cypher: type() is undefined on a
@@ -489,6 +505,11 @@ object CypherLite {
     """(?is)\s*collect\s*\(\s*(DISTINCT\s+)?(\w+)\s*\.\s*(\w+)\s*\)\s*""".r
   private val CollectBareRe =
     """(?is)\s*collect\s*\(\s*(?:DISTINCT\s+)?(\w+)\s*\)\s*""".r
+  // coalesce(v.prop, 'default') — the OPTIONAL MATCH null-default staple
+  private val CoalesceRe =
+    """(?is)\s*coalesce\s*\(\s*(\w+)\s*\.\s*(\w+)\s*,\s*'([^']*)'\s*\)\s*""".r
+  // labels(v) — the label-list accessor
+  private val LabelsRe = """(?is)\s*labels\s*\(\s*(\w+)\s*\)\s*""".r
   private val VarPropRe = """(?is)\s*(\w+)\s*\.\s*(\w+)\s*""".r
   private val VarRe = """(?is)\s*(\w+)\s*""".r
 
@@ -1211,6 +1232,16 @@ object CypherLite {
           Right(RetAggProp(fn.toLowerCase(java.util.Locale.ROOT), p))
         case AggRe(fn, v, p) => Left(s"$fn() may only aggregate the " +
           s"connected variable${conn.fold("")(c => s" '$c'")}, got '$v.$p'")
+        case CoalesceRe(v, p, d) if conn.contains(v) =>
+          Right(RetCoalesce(p, d))
+        case CoalesceRe(v, p, _) => Left("coalesce() may only default " +
+          "the connected variable's property" +
+          conn.fold("")(c => s" ('$c.<prop>')") + s", got '$v.$p'")
+        case LabelsRe(v) if v == m => Right(RetLabels(onConn = false))
+        case LabelsRe(v) if conn.contains(v) =>
+          Right(RetLabels(onConn = true))
+        case LabelsRe(v) => Left(s"labels() may only reference '$m'" +
+          conn.fold("")(c => s" or '$c'") + s", got '$v'")
         case VarPropRe(v, p) if v == m => Right(RetProp(p))
         case VarPropRe(v, p) if conn.contains(v) => Right(RetConnProp(p))
         case VarPropRe(v, p) => Left(
@@ -1227,6 +1258,7 @@ object CypherLite {
       def canonOf(i: RetItem): Option[String] = i match {
         case RetProp(p) => Some(s"m_$p")
         case RetConnProp(p) => Some(s"c_$p")
+        case RetCoalesce(p, _) => Some(s"c_$p")
         case RetCount(_, _) => Some("n_connected")
         case RetCollect(_, _) => Some("collected")
         case RetAggProp(fn, p) => Some(s"${fn}_$p")
@@ -1234,15 +1266,24 @@ object CypherLite {
         case _ => None
       }
       val itemsE: Either[String, (Seq[RetItem], Seq[(RetItem, String)])] = {
-        // collect(c.prop) contains the split character nowhere (prop refs
-        // are single identifiers), so the comma split stays safe
-        val parts = retStr.split(",").toSeq
+        // top-level commas only: coalesce(c.prop, 'x') carries its own
+        val parts = splitTopLevel(retStr)
         val parsed = parts.map {
           case AsItemRe(body, alias) => parseOne(body).map(i => (i, Some(alias)))
           case p => parseOne(p).map(i => (i, None))
         }
         parsed.collectFirst { case Left(e) => Left(e) }.getOrElse {
-          val pairs = parsed.collect { case Right(x) => x }
+          // labels(v) desugars HERE to the label-property projection under
+          // its Cypher-named output column (`m_labels`/`c_labels`, or the
+          // explicit AS alias) — execution never sees RetLabels, so every
+          // downstream branch (grouping keys, DISTINCT, ORDER BY) treats
+          // it exactly as the label column
+          val pairs = parsed.collect { case Right(x) => x }.map {
+            case (RetLabels(on), a) =>
+              (if (on) RetConnProp("label") else RetProp("label"),
+                a.orElse(Some(if (on) "c_labels" else "m_labels")))
+            case x => x
+          }
           val aliased = pairs.collect { case (i, Some(a)) => (i, a) }
           val canons = aliased.map { case (i, _) => canonOf(i) }
           val plains = pairs.collect { case (i, None) => i }.flatMap(canonOf)
@@ -1730,6 +1771,29 @@ object CypherLite {
     sb.toString
   }
 
+  /** Split a RETURN item list on TOP-LEVEL commas only: a comma inside a
+    * function's parens (coalesce's argument separator) or a quoted
+    * literal never splits. Depth and quoting tracked on the
+    * length-preserving blanked text, substrings cut from the original.
+    */
+  private def splitTopLevel(s: String): Seq[String] = {
+    val blanked = blankQuoted(s)
+    val cuts = Seq.newBuilder[Int]
+    var depth = 0
+    var i = 0
+    while (i < s.length) {
+      blanked.charAt(i) match {
+        case '(' | '[' => depth += 1
+        case ')' | ']' => depth -= 1
+        case ',' if depth == 0 => cuts += i
+        case _ => ()
+      }
+      i += 1
+    }
+    val bounds = (-1 +: cuts.result()) :+ s.length
+    bounds.sliding(2).map { case Seq(a, b) => s.substring(a + 1, b) }.toSeq
+  }
+
   /** Top-level `UNION [ALL]` (Cypher's whole-query set/bag union). Every
     * branch must return the same output columns in the same order
     * (Cypher's rule); `UNION` dedupes the combined rows, `UNION ALL`
@@ -1827,9 +1891,22 @@ object CypherLite {
         // a plausible-but-wrong answer is worse than an error to the
         // LLM-emitted-query caller this front end serves
         val retProps = items.collect { case RetProp(p) => p }
-        val connRetProps = items.collect { case RetConnProp(p) => p }
+        val connRetProps = items.collect {
+          case RetConnProp(p) => p
+          case RetCoalesce(p, _) => p
+        }
         val hasCount = items.exists(i => i.isInstanceOf[RetCount] ||
           i.isInstanceOf[RetCollect] || i.isInstanceOf[RetAggProp])
+        // coalesce() plumbs as a c-prop projection; the whole-node and
+        // aggregate branches never apply its default, so the combinations
+        // are rejected rather than silently dropped
+        val coalesceGuard: Option[Left[String, Nothing]] =
+          if (items.exists(_.isInstanceOf[RetCoalesce]) &&
+            (items.contains(RetConnected) || hasCount))
+            Some(Left("coalesce() cannot combine with a whole-node " +
+              "connected projection or an aggregate — project the " +
+              "property directly"))
+          else None
         val collectProps = items.collect { case RetCollect(p, _) => p } ++
           items.collect { case RetAggProp(_, p) => p }
         // type(r) conds (onRel) target the bindings' r_type column, not a
@@ -1868,9 +1945,10 @@ object CypherLite {
           else if (retProps.nonEmpty || connRetProps.nonEmpty)
             retProps.toSet // c-prop-only RETURN → no m ORDER BY keys
           else Set("label", "name")
-        filterProps.find(!SupportedProps(_))
-          .map(k => Left(s"unsupported property: $k " +
-            s"(supported: ${SupportedProps.toSeq.sorted.mkString(", ")})"))
+        coalesceGuard
+          .orElse(filterProps.find(!SupportedProps(_))
+            .map(k => Left(s"unsupported property: $k " +
+              s"(supported: ${SupportedProps.toSeq.sorted.mkString(", ")})")))
           .orElse((connConds.map(_.prop) ++ connRetProps ++ collectProps)
             .find(!ConnectedProps(_))
             .map(k => Left(s"unsupported connected-node property: $k " +
@@ -2066,7 +2144,18 @@ object CypherLite {
         }
       } else {
         val retProps = items.collect { case RetProp(p) => p }
-        val connRetProps = items.collect { case RetConnProp(p) => p }
+        val connRetProps = items.collect {
+          case RetConnProp(p) => p
+          case RetCoalesce(p, _) => p
+        }
+        // coalesce defaults applied to the projected binding columns
+        // BEFORE DISTINCT/ORDER BY (Cypher operates on returned values)
+        val coalesceDefaults =
+          items.collect { case RetCoalesce(p, d) => (s"c_$p", d) }
+        def applyDefaults(df: DataFrame): DataFrame =
+          coalesceDefaults.foldLeft(df) { case (acc, (c, d)) =>
+            acc.withColumn(c, coalesce(col(c), lit(d)))
+          }
         // count(DISTINCT c) counts distinct connected NODES by identity
         // (c_id); plain count(c) counts surviving (m, c) bindings;
         // collect([DISTINCT] c.prop) gathers the bindings' property values
@@ -2214,7 +2303,8 @@ object CypherLite {
           val out = keys.map("m_" + _) ++ cCols
           val rows =
             if (optional) leftJoined(keys, cCols) else withRootCols(keys)
-          ordered(maybeDistinct(rows.select(out.map(col): _*)), out)
+          ordered(maybeDistinct(
+            applyDefaults(rows.select(out.map(col): _*))), out)
         } else {
           // RETURN m[.prop] with a hop pattern: per Cypher semantics the
           // pattern must MATCH — roots with nothing reachable within k hops

@@ -1443,6 +1443,39 @@ object ParquetGraph {
         .fold(err => throw new IllegalArgumentException(err), identity)
     },
 
+    // B6 CypherLite twin: coalesce(c.prop, 'default') under OPTIONAL
+    // MATCH — the null-default staple. One nation matches the binding
+    // WHERE, so four regions answer the default and one the real name; an
+    // implementation that coalesced after DISTINCT/ORDER (or dropped the
+    // default) changes values or order. The AS alias must surface too.
+    QueryDef.sql(
+      "graphp_cypher_coalesce",
+      """SELECT r_name AS m_name, coalesce(n_name, 'none') AS who
+        |FROM region LEFT JOIN nation
+        |  ON n_regionkey = r_regionkey AND n_name = 'NATION_13'
+        |ORDER BY m_name""".stripMargin) { (s, d) =>
+      CypherLite.run(hierarchy(s, d),
+        "MATCH (m:Region) OPTIONAL MATCH (m)-[*1..1]->(c) " +
+          "WHERE c.name = 'NATION_13' " +
+          "RETURN m.name, coalesce(c.name, 'none') AS who " +
+          "ORDER BY m.name")
+        .fold(err => throw new IllegalArgumentException(err), identity)
+    },
+
+    // B6 CypherLite twin: labels(c) — Cypher's label-list accessor; the
+    // single-label model serializes the list to the label itself under
+    // the Cypher-named `c_labels` column (m_name + constant 'Nation'
+    // per binding over the region→nation hop).
+    QueryDef.sql(
+      "graphp_cypher_labels",
+      """SELECT r_name AS m_name, 'Nation' AS c_labels
+        |FROM region JOIN nation ON n_regionkey = r_regionkey
+        |ORDER BY m_name""".stripMargin) { (s, d) =>
+      CypherLite.run(hierarchy(s, d),
+        "MATCH (m:Region)-[]->(c) RETURN m.name, labels(c)")
+        .fold(err => throw new IllegalArgumentException(err), identity)
+    },
+
     // B6 CypherLite twin: UNQUOTED numeric literal — the comparison is
     // numeric, not lexicographic, and non-numeric names drop (try_cast
     // null). The unlabeled MATCH sweeps ALL node types: region/nation

@@ -1310,6 +1310,43 @@ class CypherLiteSpec extends SparkSpec {
     assert(unb.isLeft, unb.toString)
   }
 
+  test("coalesce(c.prop, 'default') fills unmatched OPTIONAL roots") {
+    // no SB node has a HAS_NOSUCH child: every root answers the default
+    val df = CypherLite.run(g,
+      "MATCH (m:Boeing_Service_Bulletin) OPTIONAL MATCH " +
+        "(m)-[:HAS_NOSUCH]->(c) RETURN m.name, " +
+        "coalesce(c.name, 'missing') AS who").toOption.get
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[String]("who") == "missing"))
+    // matched bindings keep the real value
+    val mixed = CypherLite.run(g,
+      "MATCH (m:Boeing_Service_Bulletin) OPTIONAL MATCH " +
+        "(m)-[:HAS_SUMMARY]->(c) RETURN m.name, " +
+        "coalesce(c.name, 'missing') AS who").toOption.get.collect()
+    assert(mixed.exists(_.getAs[String]("who") != "missing"))
+    // guards: whole-node combination and aggregates are rejected loudly
+    assert(CypherLite.run(g, "MATCH (m:Step) OPTIONAL MATCH (m)-[]->(c) " +
+      "RETURN m.name, c, coalesce(c.name, 'x')").isLeft)
+    assert(CypherLite.run(g, "MATCH (m:Step) OPTIONAL MATCH (m)-[]->(c) " +
+      "RETURN m.name, coalesce(c.name, 'x'), count(c)").isLeft)
+    // coalesce may only default the connected variable
+    assert(CypherLite.run(g, "MATCH (m:Step) " +
+      "RETURN coalesce(m.name, 'x')").isLeft)
+  }
+
+  test("labels() projects the label under Cypher's column name") {
+    val dfm = CypherLite.run(g,
+      "MATCH (m:Step) RETURN labels(m)").toOption.get
+    assert(dfm.columns.toSeq == Seq("m_labels"))
+    assert(dfm.collect().forall(_.getString(0) == "Step"))
+    val dfc = CypherLite.run(g,
+      "MATCH (m:Boeing_Service_Bulletin)-[:HAS_SUMMARY]->(c) " +
+        "RETURN m.name, labels(c) AS kind").toOption.get
+    assert(dfc.columns.contains("kind"))
+    assert(dfc.collect().forall(_.getAs[String]("kind") == "Summary"))
+  }
+
   test("parens in a chain WHERE and malformed parens rejected") {
     // chain path shares the boolean parser
     val chain = CypherLite.run(g,
