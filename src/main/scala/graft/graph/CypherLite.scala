@@ -35,7 +35,9 @@ import org.apache.spark.sql.functions._
   *     (`=~ 'regex'` matches the WHOLE string, Neo4j's rule); the LHS
   *     property may wrap in toLower(...)/toUpper(...) (string literals
   *     and lists only — the case-insensitive-match staple)
-  *     | (m|c).prop IS [NOT] NULL; any comparison may carry a NOT prefix
+  *     | (m|c).prop IS [NOT] NULL | exists((m|c).prop)   // the legacy
+  *     pre-Neo4j-4.x property-existence form, ≡ IS NOT NULL
+  *     ; any comparison may carry a NOT prefix
   *     (negated after evaluation — NOT null stays null, Cypher's rule)
   *   [WITH (m|m.prop)[, m.prop ...], count([DISTINCT] c|r|*) AS alias
   *    [WHERE alias <cmp> number]]
@@ -46,6 +48,20 @@ import org.apache.spark.sql.functions._
   *          | [m[.prop[, ...]],] type(r), count([DISTINCT] c|r|*)
   *          | m[.prop[, ...]], collect([DISTINCT] c.prop)
   *          | m[.prop[, ...]], (sum|avg|min|max)(c.prop)
+  *          // GLOBAL aggregate form — EVERY RETURN item is an aggregate,
+  *          // so per Cypher's grouping rule there are no grouping keys and
+  *          // the answer is ONE summary row ("how many X are there" — the
+  *          // single most common LLM emission):
+  *          |   count([DISTINCT] m|c|r) | count(*)
+  *            | (sum|avg|min|max)((m|c).prop) | collect([DISTINCT] (m|c).prop)
+  *            [, <another aggregate> ...]     // several aggregates may
+  *            // combine in one row (RETURN count(n), min(n.name)); m-side
+  *            // property aggregates are hop-less, c-side ones require the
+  *            // hop pattern, and count(m)/count(DISTINCT m) over a hop
+  *            // pattern count bindings / distinct matched roots. Two
+  *            // aggregates of the same kind get positionally-suffixed
+  *            // output columns (n_connected, n_connected_2) — alias with
+  *            // AS for stable names
   *          | m[.prop[, ...]], coalesce(c.prop, 'default')   // null →
   *            default applied before DISTINCT/ORDER BY (OPTIONAL staple)
   *          | labels(m|c)   // ≡ the label column under `m_labels`/
@@ -226,6 +242,21 @@ object CypherLite {
   // drop out — Cypher's rule — and a sum over zero values is 0); min/max
   // order by the property's native string collation
   final case class RetAggProp(fn: String, prop: String) extends RetItem
+  // count([DISTINCT] m) — the MATCHED-variable count, valid only in the
+  // GLOBAL aggregate form (every RETURN item an aggregate → one row).
+  // Hop-less it counts matched nodes (DISTINCT is a no-op: node identity
+  // is already unique); over a hop pattern count(m) counts bindings and
+  // count(DISTINCT m) counts distinct matched roots ("how many X have an
+  // R" — the semi-join cardinality).
+  final case class RetCountRoot(distinct: Boolean) extends RetItem
+  // sum/avg/min/max(m.prop) — global aggregates over the MATCHED nodes
+  // (hop-less only; with a hop pattern aggregate the connected variable).
+  // Same numeric/collation lenses as the c-side [[RetAggProp]].
+  final case class RetAggRootProp(fn: String, prop: String) extends RetItem
+  // collect([DISTINCT] m.prop) — global sorted comma-joined list over the
+  // matched nodes (hop-less only), same serialization as [[RetCollect]]
+  final case class RetCollectRoot(prop: String, distinct: Boolean)
+    extends RetItem
   // coalesce(c.prop, 'default') — the OPTIONAL MATCH staple: an unmatched
   // root's null connected column answers the default instead. Plumbs as a
   // connected-property projection (canonical column `c_<prop>`) with the
@@ -445,6 +476,14 @@ object CypherLite {
   private val NullCondRe =
     """(?is)\s*(\w+)\s*\.\s*(\w+)\s+IS\s+(NOT\s+)?NULL\s*""".r
 
+  // `exists(var.prop)` — legacy Cypher's property-existence predicate
+  // (deprecated in Neo4j 4.x in favor of IS NOT NULL, but the pre-4.x
+  // corpus LLMs trained on emits it constantly). Desugars to the same
+  // IS NOT NULL condition; `NOT exists(…)` composes through the normal
+  // negation path.
+  private val ExistsFnRe =
+    """(?is)\s*exists\s*\(\s*(\w+)\s*\.\s*(\w+)\s*\)\s*""".r
+
   // `v1.p1 <op> v2.p2` — the cross-variable comparison (both sides bound
   // pattern variables; no literal). Matched AFTER CondRe, whose literal
   // alternatives cannot match a var.prop RHS, so the two never collide.
@@ -590,9 +629,11 @@ object CypherLite {
   private val LParenRe = """(?s)\s*\(""".r
   private val RParenRe = """(?s)\s*\)""".r
   // one comparison atom, attempted at the current position in this order
-  // (NullCond before Cond so IS NULL never half-matches; Cond before
+  // (NullCond before Cond so IS NULL never half-matches; ExistsFn before
+  // Cond — `exists(` cannot be a property reference; Cond before
   // CrossCond — a literal RHS and a var.prop RHS cannot collide)
-  private def atomPrefixRes = Seq(NullCondRe, CondRe, CrossCondRe, TypeCondRe)
+  private def atomPrefixRes =
+    Seq(NullCondRe, ExistsFnRe, CondRe, CrossCondRe, TypeCondRe)
 
   /** Tokenize a WHERE clause into boolean structure + comparison atoms.
     * Structure (keywords, parens) is detected on the length-preserving
@@ -749,6 +790,16 @@ object CypherLite {
               Right(Cond(prop,
                 if (notKw != null) "IS NOT NULL" else "IS NULL", "",
                 onConn = true, negated = neg))
+            // legacy exists(v.prop) ≡ v.prop IS NOT NULL
+            case ExistsFnRe(v, prop) if v == m =>
+              Right(Cond(prop, "IS NOT NULL", "", negated = neg))
+            case ExistsFnRe(v, prop) if conn.contains(v) =>
+              Right(Cond(prop, "IS NOT NULL", "", onConn = true,
+                negated = neg))
+            case ExistsFnRe(v, _) =>
+              Left(s"exists() may only test the matched variable '$m'" +
+                conn.fold("")(c => s" or the connected variable '$c'") +
+                s", got '$v'")
             case CondRe(fnKw, v, prop, close, op, str, num, list)
                 if v == m =>
               mkCondFn(fnKw, close, prop, op, str, num, list)
@@ -959,6 +1010,10 @@ object CypherLite {
               case NullCondRe(v, prop, notKw) if varIdx.contains(v) =>
                 Right(varIdx(v) -> Cond(prop,
                   if (notKw != null) "IS NOT NULL" else "IS NULL", "",
+                  negated = neg))
+              // legacy exists(v.prop) ≡ v.prop IS NOT NULL
+              case ExistsFnRe(v, prop) if varIdx.contains(v) =>
+                Right(varIdx(v) -> Cond(prop, "IS NOT NULL", "",
                   negated = neg))
               case CondRe(fnKw, v, prop, close, op, str, num, list)
                   if varIdx.contains(v) =>
@@ -1213,8 +1268,12 @@ object CypherLite {
         // DISTINCT counts coincide (each row IS a distinct relationship)
         case CountRe(_, v) if relVar.contains(v) =>
           Right(RetCount(distinct = false))
+        // count([DISTINCT] m): the global matched-variable count (the
+        // "how many X" staple) — validated below to the all-aggregate form
+        case CountRe(dk, v) if v == m => Right(RetCountRoot(dk != null))
         case CountRe(_, v) => Left(s"count() may only aggregate the " +
-          s"connected variable${conn.fold("")(c => s" '$c'")}" +
+          s"matched variable '$m'" +
+          conn.fold("")(c => s", the connected variable '$c'") +
           relVar.fold("")(r => s", the relationship variable '$r',") +
           s" or *, got '$v'")
         case TypeRe(v) if relVar.contains(v) => Right(RetRelType)
@@ -1223,15 +1282,23 @@ object CypherLite {
           s", got '$v'")
         case CollectRe(dk, v, p) if conn.contains(v) =>
           Right(RetCollect(p, dk != null))
+        // collect([DISTINCT] m.prop): the global matched-side list
+        case CollectRe(dk, v, p) if v == m => Right(RetCollectRoot(p, dk != null))
         case CollectRe(_, v, p) => Left(s"collect() may only aggregate " +
-          s"the connected variable${conn.fold("")(c => s" '$c'")}, " +
-          s"got '$v.$p'")
+          s"the matched variable '$m'" +
+          conn.fold("")(c => s" or the connected variable '$c'") +
+          s", got '$v.$p'")
         case CollectBareRe(v) => Left(s"collect($v) of a whole node is " +
           s"not supported — project a property: collect($v.name)")
         case AggRe(fn, v, p) if conn.contains(v) =>
           Right(RetAggProp(fn.toLowerCase(java.util.Locale.ROOT), p))
+        // sum/avg/min/max(m.prop): the global matched-side aggregate
+        case AggRe(fn, v, p) if v == m =>
+          Right(RetAggRootProp(fn.toLowerCase(java.util.Locale.ROOT), p))
         case AggRe(fn, v, p) => Left(s"$fn() may only aggregate the " +
-          s"connected variable${conn.fold("")(c => s" '$c'")}, got '$v.$p'")
+          s"matched variable '$m'" +
+          conn.fold("")(c => s" or the connected variable '$c'") +
+          s", got '$v.$p'")
         case CoalesceRe(v, p, d) if conn.contains(v) =>
           Right(RetCoalesce(p, d))
         case CoalesceRe(v, p, _) => Left("coalesce() may only default " +
@@ -1260,12 +1327,19 @@ object CypherLite {
         case RetConnProp(p) => Some(s"c_$p")
         case RetCoalesce(p, _) => Some(s"c_$p")
         case RetCount(_, _) => Some("n_connected")
+        case RetCountRoot(_) => Some("n_matched")
         case RetCollect(_, _) => Some("collected")
+        case RetCollectRoot(_, _) => Some("collected")
         case RetAggProp(fn, p) => Some(s"${fn}_$p")
+        // m- and c-side property aggregates share the `<fn>_<prop>`
+        // namespace; a query projecting both on the SAME (fn, prop) is
+        // rejected by the duplicate-canonical check (alias one with AS)
+        case RetAggRootProp(fn, p) => Some(s"${fn}_$p")
         case RetRelType => Some("r_type")
         case _ => None
       }
-      val itemsE: Either[String, (Seq[RetItem], Seq[(RetItem, String)])] = {
+      val itemsE: Either[String,
+          (Seq[RetItem], Seq[(RetItem, String)], Map[String, String])] = {
         // top-level commas only: coalesce(c.prop, 'x') carries its own
         val parts = splitTopLevel(retStr)
         val parsed = parts.map {
@@ -1285,20 +1359,41 @@ object CypherLite {
             case x => x
           }
           val aliased = pairs.collect { case (i, Some(a)) => (i, a) }
-          val canons = aliased.map { case (i, _) => canonOf(i) }
-          val plains = pairs.collect { case (i, None) => i }.flatMap(canonOf)
-          val dupCanon = canons.flatten
-            .diff(canons.flatten.distinct) ++ canons.flatten.intersect(plains)
           val dupAlias = aliased.map(_._2).diff(aliased.map(_._2).distinct)
-          if (canons.contains(None))
-            Left("AS may only alias a property or aggregate item, not a " +
-              "whole node — project properties instead")
-          else if (dupCanon.nonEmpty)
-            Left("the same item cannot be projected twice under different " +
-              s"names (${dupCanon.distinct.mkString(", ")})")
-          else if (dupAlias.nonEmpty)
+          val isAggI = (i: RetItem) =>
+            i.isInstanceOf[RetCount] || i.isInstanceOf[RetCollect] ||
+              i.isInstanceOf[RetAggProp] || i.isInstanceOf[RetCountRoot] ||
+              i.isInstanceOf[RetAggRootProp] ||
+              i.isInstanceOf[RetCollectRoot]
+          val global = pairs.nonEmpty && pairs.forall(p => isAggI(p._1))
+          if (dupAlias.nonEmpty)
             Left(s"duplicate alias: ${dupAlias.distinct.mkString(", ")}")
-          else Right((pairs.map(_._1), aliased))
+          else if (global) {
+            // GLOBAL form: canonical names assigned positionally with a
+            // dedup suffix (count(c) and count(DISTINCT c) are different
+            // aggregates on the same canonical column), so each item —
+            // duplicate kinds included — renames independently under AS
+            val names = globalCanonNames(pairs.map(_._1))
+            val aliasMap = pairs.zip(names).collect {
+              case ((_, Some(a)), n) => n -> a
+            }.toMap
+            Right((pairs.map(_._1), aliased, aliasMap))
+          } else {
+            val canons = aliased.map { case (i, _) => canonOf(i) }
+            val plains = pairs.collect { case (i, None) => i }.flatMap(canonOf)
+            val dupCanon = canons.flatten
+              .diff(canons.flatten.distinct) ++
+              canons.flatten.intersect(plains)
+            if (canons.contains(None))
+              Left("AS may only alias a property or aggregate item, not a " +
+                "whole node — project properties instead")
+            else if (dupCanon.nonEmpty)
+              Left("the same item cannot be projected twice under " +
+                s"different names (${dupCanon.distinct.mkString(", ")})")
+            else Right((pairs.map(_._1), aliased,
+              aliased.flatMap { case (i, a) => canonOf(i).map(_ -> a) }
+                .toMap))
+          }
         }
       }
       /** The ORDER BY clause as a key LIST, most-significant first: each
@@ -1391,11 +1486,21 @@ object CypherLite {
           whereParsed <- whereE
           (conds, existsPat) = whereParsed
           parsedItems <- itemsE
-          (items, aliasPairs) = parsedItems
+          (items, aliasPairs, aliasMap) = parsedItems
           ob <- orderByE(items, aliasPairs)
           isAgg = (i: RetItem) =>
             i.isInstanceOf[RetCount] || i.isInstanceOf[RetCollect] ||
-              i.isInstanceOf[RetAggProp]
+              i.isInstanceOf[RetAggProp] || i.isInstanceOf[RetCountRoot] ||
+              i.isInstanceOf[RetAggRootProp] ||
+              i.isInstanceOf[RetCollectRoot]
+          isRootAgg = (i: RetItem) =>
+            i.isInstanceOf[RetCountRoot] ||
+              i.isInstanceOf[RetAggRootProp] ||
+              i.isInstanceOf[RetCollectRoot]
+          // GLOBAL aggregate form: EVERY RETURN item is an aggregate, so
+          // Cypher's grouping rule leaves no grouping keys and the answer
+          // is one summary row ("how many X are there")
+          isGlobal = items.nonEmpty && items.forall(isAgg)
           _ <- if (items.contains(RetConnected) && conn.isEmpty)
             Left("RETURN of the connected variable requires a hop pattern")
           else Right(())
@@ -1403,10 +1508,28 @@ object CypherLite {
               i.isInstanceOf[RetAggProp]) && conn.isEmpty)
             Left("collect()/sum()/avg()/min()/max() require a hop pattern")
           else Right(())
+          // m-side aggregates are the hop-less global form; mixing them
+          // with non-aggregate items would silently group (Cypher's rule),
+          // which is a different query than the global one the user wrote
+          _ <- if (items.exists(isRootAgg) && !isGlobal)
+            Left(s"count($m)/sum($m.prop)/collect($m.prop) are global " +
+              "aggregates — every RETURN item must then be an aggregate " +
+              "(project properties to group instead)")
+          else Right(())
+          _ <- if (items.exists(i => i.isInstanceOf[RetAggRootProp] ||
+              i.isInstanceOf[RetCollectRoot]) && conn.isDefined)
+            Left("with a hop pattern, property aggregates apply to the " +
+              s"connected variable ('${conn.get}.<prop>') — " +
+              s"m-side sum/avg/min/max/collect are hop-less")
+          else Right(())
+          // a single global row admits no ordering or pagination offset
+          _ <- if (isGlobal && ob.nonEmpty)
+            Left("ORDER BY over a single global aggregate row — remove it")
+          else Right(())
           _ <- if (conds.flatten.exists(_.onConn) && conn.isEmpty)
             Left("WHERE on the connected variable requires a hop pattern")
           else Right(())
-          _ <- if (items.count(isAgg) > 1)
+          _ <- if (items.count(isAgg) > 1 && !isGlobal)
             Left("at most one aggregate (count, collect, sum, avg, min, " +
               "max) per query")
           else Right(())
@@ -1447,10 +1570,10 @@ object CypherLite {
               "type() — project m.prop explicitly")
           else Right(())
           // Cypher's grouping rule: every non-aggregate RETURN item is a
-          // grouping key, so a bare count()/collect() with nothing to group
-          // by is a different query (global aggregate) than this front end
-          // serves; type(r) is a valid grouping key (the schema census)
-          _ <- if (items.exists(isAgg) && !items.exists(i =>
+          // grouping key; with NO non-aggregate items the query is the
+          // GLOBAL form (one summary row) — that's isGlobal, handled by
+          // its own branch. A mix that groups only by type(r) stays valid.
+          _ <- if (items.exists(isAgg) && !isGlobal && !items.exists(i =>
               i == RetVar || i.isInstanceOf[RetProp] || i == RetRelType))
             Left("an aggregate requires a grouping item (m, m.prop, or " +
               "type(r))")
@@ -1477,12 +1600,36 @@ object CypherLite {
             connSugar(connLabel, connPropsStr, conds), items, ob,
             Option(skipStr).map(_.toInt),
             Option(limitStr).map(_.toInt), optional, retDistinct, existsPat,
-            aliases =
-              aliasPairs.flatMap { case (i, a) => canonOf(i).map(_ -> a) }
-                .toMap,
+            aliases = aliasMap,
             direction = dir, relVar = relVar)
         }
     case _ => Left(s"unsupported query shape: ${query.take(120)}")
+  }
+
+  /** Canonical output columns for the GLOBAL aggregate form, in item
+    * order: each item's canonical name, deduplicated positionally with a
+    * `_2`/`_3` suffix when a later aggregate lands on an occupied name
+    * (count(c) and count(DISTINCT c) are DIFFERENT aggregates sharing the
+    * `n_connected` canonical — each needs its own column so `AS` can
+    * rename them independently). Parse-time naming and the run-side
+    * aggregate projection both call this, so they cannot drift.
+    */
+  private def globalCanonNames(items: Seq[RetItem]): Seq[String] = {
+    val seen = scala.collection.mutable.Map.empty[String, Int]
+    items.map { i =>
+      val base = i match {
+        case _: RetCount => "n_connected"
+        case _: RetCountRoot => "n_matched"
+        case _: RetCollect => "collected"
+        case _: RetCollectRoot => "collected"
+        case RetAggProp(fn, p) => s"${fn}_$p"
+        case RetAggRootProp(fn, p) => s"${fn}_$p"
+        case _ => "item" // unreachable: callers filtered to aggregates
+      }
+      val n = seen.getOrElse(base, 0) + 1
+      seen(base) = n
+      if (n == 1) base else s"${base}_$n"
+    }
   }
 
   /** Reserved ORDER BY key meaning "sort by count(connected)" — cannot
@@ -1896,7 +2043,9 @@ object CypherLite {
           case RetCoalesce(p, _) => p
         }
         val hasCount = items.exists(i => i.isInstanceOf[RetCount] ||
-          i.isInstanceOf[RetCollect] || i.isInstanceOf[RetAggProp])
+          i.isInstanceOf[RetCollect] || i.isInstanceOf[RetAggProp] ||
+          i.isInstanceOf[RetCountRoot] || i.isInstanceOf[RetAggRootProp] ||
+          i.isInstanceOf[RetCollectRoot])
         // coalesce() plumbs as a c-prop projection; the whole-node and
         // aggregate branches never apply its default, so the combinations
         // are rejected rather than silently dropped
@@ -1909,6 +2058,11 @@ object CypherLite {
           else None
         val collectProps = items.collect { case RetCollect(p, _) => p } ++
           items.collect { case RetAggProp(_, p) => p }
+        // m-side global property aggregates read MATCHED-node columns —
+        // validated against the projectable set, not the connected one
+        val rootAggProps =
+          items.collect { case RetAggRootProp(_, p) => p } ++
+            items.collect { case RetCollectRoot(p, _) => p }
         // type(r) conds (onRel) target the bindings' r_type column, not a
         // node property — exempt from the connected-prop name check
         val (connConds, mConds) =
@@ -1923,7 +2077,7 @@ object CypherLite {
         val obProps = orderBy.map(_._1).distinct
           .filterNot(k => k == CountKey || k == RelTypeKey ||
             k.startsWith(ConnKeyPrefix))
-        val projProps = retProps ++ obProps
+        val projProps = retProps ++ obProps ++ rootAggProps
         // ORDER BY must name a projected property: with LIMIT an unsortable
         // key would silently change WHICH rows come back, which is exactly
         // the plausible-but-wrong failure this front end refuses to serve.
@@ -2073,6 +2227,19 @@ object CypherLite {
     val wantsAgg = items.exists(i =>
       i.isInstanceOf[RetCount] || i.isInstanceOf[RetCollect] ||
         i.isInstanceOf[RetAggProp])
+    // GLOBAL form: every item an aggregate → no grouping keys, one summary
+    // row out of one partial+final hash aggregate (parse() validated the
+    // combination rules)
+    val globalAgg = items.nonEmpty && items.forall(i =>
+      i.isInstanceOf[RetCount] || i.isInstanceOf[RetCollect] ||
+        i.isInstanceOf[RetAggProp] || i.isInstanceOf[RetCountRoot] ||
+        i.isInstanceOf[RetAggRootProp] || i.isInstanceOf[RetCollectRoot])
+    // the engine's deterministic list serialization (sorted comma-join —
+    // a raw collect_list would be shuffle-order-dependent)
+    def collectCol(src: Column, dk: Boolean): Column = {
+      val vals = collect_list(src)
+      array_join(array_sort(if (dk) array_distinct(vals) else vals), ",")
+    }
     // deterministic output order: the requested ORDER BY keys first, in
     // query order (each mapped onto its output column), then every
     // remaining projected column as a tiebreak — results must be stable
@@ -2119,7 +2286,30 @@ object CypherLite {
           matched0.join(hit, Seq("id"),
             if (ep.negated) "left_anti" else "left_semi")
         }
-        if (items.exists(_.isInstanceOf[RetCount])) {
+        if (globalAgg) {
+          // hop-less GLOBAL aggregates ("how many X are there"): one hash
+          // aggregate over the matched nodes, no grouping keys, one row —
+          // partial+final, no join, no sort. Aggregating an EMPTY match
+          // still answers one row (count 0, min/max null — Cypher's rule).
+          val aggs = items.zip(globalCanonNames(items)).map {
+            case (i, nm) =>
+              (i match {
+                case RetCount(_, _) => count(lit(1)) // count(*)
+                case RetCountRoot(dk) =>
+                  if (dk) countDistinct(col("id")) else count(col("id"))
+                case RetAggRootProp("sum", p) =>
+                  coalesce(sum(col(p).try_cast("double")), lit(0d))
+                case RetAggRootProp("avg", p) =>
+                  avg(col(p).try_cast("double"))
+                case RetAggRootProp("min", p) => min(col(p))
+                case RetAggRootProp("max", p) => max(col(p))
+                case RetCollectRoot(p, dk) => collectCol(col(p), dk)
+                case other => throw new IllegalArgumentException(
+                  s"unsupported global aggregate item: $other")
+              }).as(nm)
+          }
+          matched.agg(aggs.head, aggs.tail: _*)
+        } else if (items.exists(_.isInstanceOf[RetCount])) {
           // hop-less `RETURN m.prop[, ...], count(*)`: group the matched
           // nodes by the projected property values and count members —
           // one hash aggregate, partial+final, no join anywhere
@@ -2250,7 +2440,44 @@ object CypherLite {
                 keys.map(p => col(p).as(s"m_$p")): _*)
             .join(bindings, Seq("root_id"), "left")
         }
-        if (wantsAgg) {
+        if (globalAgg) {
+          // GLOBAL aggregates over the hop bindings ("how many Y under all
+          // X"): one hash aggregate over the expansion, no grouping keys,
+          // one row. count(c) counts bindings, count(DISTINCT c) distinct
+          // connected nodes, count(DISTINCT m) distinct matched roots (the
+          // semi-join cardinality of "how many X have such a connection"),
+          // count(r) on the typed-bindings substrate counts edges.
+          val neededConn = items.flatMap {
+            case RetCount(_, star) => if (star) Seq.empty else Seq("c_id")
+            case RetCollect(p, _) => Seq(s"c_$p")
+            case RetAggProp(_, p) => Seq(s"c_$p")
+            case _ => Seq.empty
+          }.distinct
+          val rows =
+            if (optional) leftJoined(Seq.empty, neededConn)
+            else withRootCols(Seq.empty)
+          val aggs = items.zip(globalCanonNames(items)).map {
+            case (i, nm) =>
+              (i match {
+                case RetCount(_, true) => count(lit(1))
+                case RetCount(true, _) => countDistinct(col("c_id"))
+                case RetCount(false, _) => count(col("c_id"))
+                case RetCountRoot(dk) =>
+                  if (dk) countDistinct(col("root_id"))
+                  else count(col("root_id"))
+                case RetCollect(p, dk) => collectCol(col(s"c_$p"), dk)
+                case RetAggProp("sum", p) =>
+                  coalesce(sum(col(s"c_$p").try_cast("double")), lit(0d))
+                case RetAggProp("avg", p) =>
+                  avg(col(s"c_$p").try_cast("double"))
+                case RetAggProp("min", p) => min(col(s"c_$p"))
+                case RetAggProp("max", p) => max(col(s"c_$p"))
+                case other => throw new IllegalArgumentException(
+                  s"unsupported global aggregate item: $other")
+              }).as(nm)
+          }
+          rows.agg(aggs.head, aggs.tail: _*)
+        } else if (wantsAgg) {
           // RETURN …, count(…)/collect(…): Cypher's grouping rule — every
           // non-aggregate item is a grouping key (RetVar contributes the
           // node's name). A group-by on the root keys, parallel across roots.

@@ -628,6 +628,21 @@ object ParquetGraph {
         .fold(err => throw new IllegalArgumentException(err), identity)
     },
 
+    // C10 CypherLite twin: legacy `exists(m.prop)` (pre-Neo4j-4.x
+    // property-existence, still what older-corpus LLMs emit) — desugars to
+    // IS NOT NULL; the NOT form composes through the negation path. Same
+    // null-bearing fixture as the IS NULL twin, opposite clause shape.
+    QueryDef.sql(
+      "graphp_cypher_exists_fn",
+      """SELECT n_name AS m_name FROM nation
+        |WHERE n_nationkey % 2 = 0 OR n_name >= 'T'
+        |ORDER BY m_name""".stripMargin) { (s, d) =>
+      CypherLite.run(nullableContent(s, d),
+        "MATCH (m:Nation) WHERE exists(m.content) OR " +
+          "NOT exists(m.content) AND m.name >= 'T' RETURN m.name")
+        .fold(err => throw new IllegalArgumentException(err), identity)
+    },
+
     // C10 CypherLite twin: AS aliases on RETURN items + ORDER BY the
     // aggregate alias (the `ORDER BY cnt DESC` staple). Ordering runs on
     // the canonical columns before the rename, so the twin also proves an
@@ -1285,6 +1300,53 @@ object ParquetGraph {
       CypherLite.run(linkPred(s, d),
         "MATCH (m:Nation)-[:CLIQUE*1..1]->(c) " +
           "RETURN m.label, count(DISTINCT c)")
+        .fold(err => throw new IllegalArgumentException(err), identity)
+    },
+
+    // B6 CypherLite twin: the GLOBAL aggregate form — every RETURN item an
+    // aggregate, no grouping keys, ONE summary row ("how many X are
+    // there", the single most common LLM Cypher emission). The WHERE
+    // filters before aggregating; min/max keep string collation.
+    QueryDef.sql(
+      "graphp_cypher_global_agg",
+      """SELECT CAST(count(*) AS BIGINT) AS n_nations,
+        |  min(n_name) AS first_name, max(n_name) AS last_name
+        |FROM nation WHERE n_name LIKE '%1%'""".stripMargin) { (s, d) =>
+      CypherLite.run(hierarchy(s, d),
+        "MATCH (m:Nation) WHERE m.name CONTAINS '1' " +
+          "RETURN count(m) AS n_nations, min(m.name) AS first_name, " +
+          "max(m.name) AS last_name")
+        .fold(err => throw new IllegalArgumentException(err), identity)
+    },
+
+    // B6 CypherLite twin: GLOBAL aggregates over a hop pattern — count(c)
+    // counts bindings (nations at depth 1 + customers at depth 2, each
+    // once under min-depth dedup), count(DISTINCT m) counts matched roots
+    // with ≥1 binding (the semi-join cardinality).
+    QueryDef.sql(
+      "graphp_cypher_global_hop",
+      """SELECT
+        |  CAST((SELECT count(*) FROM nation) +
+        |       (SELECT count(*) FROM customer) AS BIGINT) AS n_bindings,
+        |  CAST((SELECT count(DISTINCT n_regionkey) FROM nation)
+        |    AS BIGINT) AS n_regions""".stripMargin) { (s, d) =>
+      CypherLite.run(hierarchy(s, d),
+        "MATCH (m:Region)-[*1..2]->(c) RETURN count(c) AS n_bindings, " +
+          "count(DISTINCT m) AS n_regions")
+        .fold(err => throw new IllegalArgumentException(err), identity)
+    },
+
+    // B6 CypherLite twin: global count(r) — the total-relationship census
+    // on the typed-bindings substrate (one row per EDGE). The hierarchy's
+    // edge count is exactly |nation| + |customer| + |orders|.
+    QueryDef.sql(
+      "graphp_cypher_global_edges",
+      """SELECT CAST((SELECT count(*) FROM nation) +
+        |  (SELECT count(*) FROM customer) +
+        |  (SELECT count(*) FROM orders) AS BIGINT) AS n_edges
+        |""".stripMargin) { (s, d) =>
+      CypherLite.run(hierarchy(s, d),
+        "MATCH (m)-[r]->(c) RETURN count(r) AS n_edges")
         .fold(err => throw new IllegalArgumentException(err), identity)
     },
 

@@ -339,11 +339,17 @@ class CypherLiteSpec extends SparkSpec {
   }
 
   test("count() of anything but the connected variable is rejected") {
+    // count(m) mixed with a non-aggregate item: the global form demands
+    // all-aggregate RETURN items
     val r = CypherLite.run(g,
       "MATCH (m:Step)-[*1..1]->(c) RETURN m, count(m)")
-    assert(r.isLeft && r.swap.toOption.get.contains("count()"))
+    assert(r.isLeft && r.swap.toOption.get.contains("global"), r.toString)
     val r2 = CypherLite.run(g, "MATCH (m:Step) RETURN m, count(c)")
     assert(r2.isLeft, r2.toString)
+    // a variable bound nowhere in the pattern
+    val r3 = CypherLite.run(g, "MATCH (m:Step) RETURN count(zzz)")
+    assert(r3.isLeft && r3.swap.toOption.get.contains("count()"),
+      r3.toString)
   }
 
   test("WHERE on an unknown property or foreign variable is rejected") {
@@ -438,11 +444,13 @@ class CypherLiteSpec extends SparkSpec {
         "RETURN m, connected").toOption.get.count())
   }
 
-  test("bare count(connected) without a grouping item is rejected") {
-    val r = CypherLite.parse(
+  test("bare count(connected) is the global binding count") {
+    val rows = CypherLite.run(g,
       "MATCH (m:Step)-[*1..1]->(c) RETURN count(c)")
-    assert(r.isLeft && r.swap.toOption.get.contains("grouping item"),
-      r.toString)
+      .fold(e => fail(e), identity).collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[Long]("n_connected") ==
+      GraphOps.neighborhoodWhereKeyed(g, col("label") === "Step", 1).count())
   }
 
   test("WHERE on the connected node filters bindings with existence " +
@@ -835,9 +843,15 @@ class CypherLiteSpec extends SparkSpec {
       "MATCH (m:Step)-[*1..1]->(c) RETURN m.name, collect(c)")
     assert(r.isLeft &&
       r.swap.toOption.get.contains("project a property"), r.toString)
-    val r2 = CypherLite.parse(
+    // bare collect(c.name) is now the GLOBAL list — one row, all bindings
+    val r2 = CypherLite.run(g,
       "MATCH (m:Step)-[*1..1]->(c) RETURN collect(c.name)")
-    assert(r2.isLeft && r2.swap.toOption.get.contains("grouping"), r2.toString)
+      .fold(e => fail(e), identity).collect()
+    assert(r2.length == 1)
+    val expected = GraphOps
+      .neighborhoodWhereKeyed(g, col("label") === "Step", 1)
+      .select("c_name").collect().map(_.getString(0)).sorted.mkString(",")
+    assert(r2.head.getAs[String]("collected") == expected)
     val r3 = CypherLite.parse(
       "MATCH (m:Step)-[*1..1]->(c) RETURN m.name, count(c), collect(c.name)")
     assert(r3.isLeft &&
@@ -1367,5 +1381,114 @@ class CypherLiteSpec extends SparkSpec {
     val trailing = CypherLite.parse(
       "MATCH (m:Doc) WHERE m.name = 'A1') RETURN m.name")
     assert(trailing.isLeft, trailing.toString)
+  }
+
+  test("legacy exists(v.prop) desugars to IS NOT NULL") {
+    val all = CypherLite.run(g,
+      "MATCH (m:Step) WHERE exists(m.name) RETURN m.name")
+      .fold(e => fail(e), identity).count()
+    assert(all == g.nodes.filter(col("label") === "Step").count())
+    val none = CypherLite.run(g,
+      "MATCH (m:Step) WHERE NOT exists(m.name) RETURN m.name")
+      .fold(e => fail(e), identity).count()
+    assert(none == 0)
+    // composes with other conditions and the connected variable
+    val conn = CypherLite.run(g,
+      "MATCH (m:Boeing_Service_Bulletin)-[*1..2]->(c) " +
+        "WHERE exists(c.name) RETURN m.name, c.name")
+    assert(conn.isRight, conn.toString)
+    // a foreign variable is rejected by name
+    val bad = CypherLite.run(g,
+      "MATCH (m:Step) WHERE exists(zzz.name) RETURN m.name")
+    assert(bad.isLeft && bad.swap.toOption.get.contains("exists()"),
+      bad.toString)
+  }
+
+  test("global count(m) answers the hop-less census in one row") {
+    val n = CypherLite.run(g, "MATCH (m:Step) RETURN count(m)")
+      .fold(e => fail(e), identity).collect()
+    assert(n.length == 1)
+    assert(n.head.getAs[Long]("n_matched") ==
+      g.nodes.filter(col("label") === "Step").count())
+    // count(*) and count(DISTINCT m) agree with count(m) on nodes (node
+    // identity is already distinct)
+    val trio = CypherLite.run(g,
+      "MATCH (m:Step) RETURN count(m) AS a, count(DISTINCT m) AS b")
+      .fold(e => fail(e), identity).collect().head
+    assert(trio.getAs[Long]("a") == trio.getAs[Long]("b"))
+    val star = CypherLite.run(g, "MATCH (m:Step) RETURN count(*) AS n")
+      .fold(e => fail(e), identity).collect().head
+    assert(star.getAs[Long]("n") == n.head.getAs[Long]("n_matched"))
+  }
+
+  test("global aggregates combine in one summary row") {
+    val row = CypherLite.run(g,
+      "MATCH (m:Step) RETURN count(m) AS n, min(m.name) AS lo, " +
+        "max(m.name) AS hi, collect(m.name) AS all_names")
+      .fold(e => fail(e), identity).collect().head
+    val names = g.nodes.filter(col("label") === "Step")
+      .select("name").collect().map(_.getString(0)).sorted
+    assert(row.getAs[Long]("n") == names.length)
+    assert(row.getAs[String]("lo") == names.head)
+    assert(row.getAs[String]("hi") == names.last)
+    assert(row.getAs[String]("all_names") == names.mkString(","))
+  }
+
+  test("global aggregates over a hop pattern count bindings and roots") {
+    val row = CypherLite.run(g,
+      "MATCH (m:Boeing_Service_Bulletin)-[*1..3]->(c) " +
+        "RETURN count(c) AS bindings, count(DISTINCT c) AS nodes, " +
+        "count(DISTINCT m) AS roots")
+      .fold(e => fail(e), identity).collect().head
+    val direct = GraphOps.neighborhoodWhereKeyed(g,
+      col("label") === "Boeing_Service_Bulletin", 3)
+    assert(row.getAs[Long]("bindings") == direct.count())
+    assert(row.getAs[Long]("nodes") ==
+      direct.select("c_id").distinct().count())
+    assert(row.getAs[Long]("roots") ==
+      direct.select("root_id").distinct().count())
+  }
+
+  test("global count over an empty match still answers one zero row") {
+    val row = CypherLite.run(g,
+      "MATCH (m:Step {name: 'no-such-node'}) RETURN count(m)")
+      .fold(e => fail(e), identity).collect()
+    assert(row.length == 1)
+    assert(row.head.getAs[Long]("n_matched") == 0L)
+  }
+
+  test("global WHERE filters before aggregating") {
+    val all = CypherLite.run(g, "MATCH (m:Step) RETURN count(m)")
+      .fold(e => fail(e), identity).collect().head.getAs[Long]("n_matched")
+    val some = CypherLite.run(g,
+      "MATCH (m:Step) WHERE m.name CONTAINS 'step' RETURN count(m)")
+      .fold(e => fail(e), identity).collect().head.getAs[Long]("n_matched")
+    assert(some <= all)
+    val direct = g.nodes.filter(col("label") === "Step")
+      .filter(col("name").contains("step")).count()
+    assert(some == direct)
+  }
+
+  test("global-aggregate misuse is rejected with named errors") {
+    // mixing a global aggregate with a non-aggregate item would silently
+    // become a grouped query — rejected
+    val mixed = CypherLite.parse("MATCH (m:Step) RETURN count(m), m.name")
+    assert(mixed.isLeft &&
+      mixed.swap.toOption.get.contains("global"), mixed.toString)
+    // ORDER BY over the single global row
+    val ob = CypherLite.parse(
+      "MATCH (m:Step) RETURN count(m) ORDER BY count(m)")
+    assert(ob.isLeft, ob.toString)
+    // m-side property aggregate under a hop pattern
+    val hopAgg = CypherLite.parse(
+      "MATCH (m:Step)-[*1..2]->(c) RETURN min(m.name)")
+    assert(hopAgg.isLeft &&
+      hopAgg.swap.toOption.get.contains("connected"), hopAgg.toString)
+    // duplicate aggregate kinds get positionally-suffixed columns
+    val dup = CypherLite.run(g,
+      "MATCH (m:Step)-[*1..2]->(c) RETURN count(c), count(DISTINCT c)")
+      .fold(e => fail(e), identity)
+    assert(dup.columns.toSeq == Seq("n_connected", "n_connected_2"),
+      dup.columns.toSeq.toString)
   }
 }
