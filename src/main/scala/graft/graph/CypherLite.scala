@@ -81,11 +81,12 @@ import org.apache.spark.sql.functions._
   *   RETURN (a|b).prop[, ...][, length(p)]
   *   [ORDER BY (a|b).prop | length(p) [ASC|DESC]] [LIMIT n]
   *
-  *   // two-step chain (bound middle variable):
-  *   MATCH (a[:L1] [{…}])-[[:R1][*1..K]]->(b[:L2] [{…}])-[[:R2][*1..K]]->(c[:L3] [{…}])
-  *   [WHERE (a|b|c).prop <op> lit [AND|OR ...]]
-  *   RETURN [DISTINCT] (a|b|c).prop[, ...]
-  *   [ORDER BY (a|b|c).prop [ASC|DESC]] [SKIP n] [LIMIT n]
+  *   // N-step chain (≥2 steps, bound intermediate variables — "W of X
+  *   // of Y of Z" over a deep hierarchy):
+  *   MATCH (a[:L1] [{…}])-[[:R1][*1..K]]->(b[:L2] [{…}])-[[:R2][*1..K]]->(c[:L3] [{…}])[-[[:R][*1..K]]->(d…) ...]
+  *   [WHERE (a|b|c|…).prop <op> lit [AND|OR ...]]
+  *   RETURN [DISTINCT] (a|b|c|…).prop[, ...]
+  *   [ORDER BY (a|b|c|…).prop [ASC|DESC]] [SKIP n] [LIMIT n]
   *
   *   // whole-query union (all branches must return the same columns;
   *   // UNION dedupes, UNION ALL keeps the bag, mixing forms rejected;
@@ -347,11 +348,12 @@ object CypherLite {
   final case class ChainNode(v: String, label: Option[String],
       props: Map[String, String])
 
-  /** `MATCH (a)-[r1]->(b)-[r2]->(c)` — the two-step chain pattern with a
-    * BOUND middle variable (LLMs emit this for every "X of Y of Z"
-    * prompt). Executed as two frontier expansions joined on the middle
-    * node's identity — never a per-row traversal. Bindings are distinct
-    * (a, b, c) node triples (path-existence semantics — the engine's
+  /** `MATCH (a)-[r1]->(b)-[r2]->(c)[-[r3]->(d) …]` — the N-step chain
+    * pattern with BOUND intermediate variables (LLMs emit this for every
+    * "X of Y of Z" prompt; ≥3 steps arrive via the iterative scanner).
+    * Executed as one frontier expansion per step joined on the shared
+    * variable's node identity — never a per-row traversal. Bindings are
+    * distinct node tuples (path-existence semantics — the engine's
     * expansion dedupes (root, node) pairs to min depth, so a pair
     * reachable along several paths binds once).
     *
@@ -936,6 +938,9 @@ object CypherLite {
 
   def parse(query: String): Either[String, Statement] = query match {
     case DeleteRe(_, tag) => Right(DetachDelete(tag))
+    // ≥3 relationship segments: the N-step chain scanner (regexes cannot
+    // express a repeated group) — checked before the fixed-arity forms
+    case q if looksMultiChain(q) => parseMultiChain(q)
     case ShortestPathRe(pathVar, aVar, aLabel, aPropsStr, relT, star,
         boundK, bVar, bLabel, bPropsStr, retStr, obVar, obProp, obLenVar,
         obDir, limitStr) =>
@@ -996,109 +1001,11 @@ object CypherLite {
           Option(ps).toSeq.flatMap(s => PropRe.findAllMatchIn(s)
             .map(p => p.group(1) -> p.group(2))).toMap)
       }
-      val varIdx = nodes.map(_.v).zipWithIndex.toMap
       val rels = Seq(
         (Option(r1), Option(k1).map(_.toInt).getOrElse(1)),
         (Option(r2), Option(k2).map(_.toInt).getOrElse(1)))
-      val condsE: Either[String, Seq[Seq[(Int, Cond)]]] =
-        Option(whereStr).map(_.trim).filter(_.nonEmpty) match {
-          case None => Right(Seq.empty)
-          case Some(w) =>
-            def onePart(part: String,
-                neg: Boolean): Either[String, (Int, Cond)] = part match {
-              case NotCondRe(inner) => onePart(inner, !neg)
-              case NullCondRe(v, prop, notKw) if varIdx.contains(v) =>
-                Right(varIdx(v) -> Cond(prop,
-                  if (notKw != null) "IS NOT NULL" else "IS NULL", "",
-                  negated = neg))
-              // legacy exists(v.prop) ≡ v.prop IS NOT NULL
-              case ExistsFnRe(v, prop) if varIdx.contains(v) =>
-                Right(varIdx(v) -> Cond(prop, "IS NOT NULL", "",
-                  negated = neg))
-              case CondRe(fnKw, v, prop, close, op, str, num, list)
-                  if varIdx.contains(v) =>
-                mkCondFn(fnKw, close, prop, op, str, num, list)
-                  .map(c => varIdx(v) -> c.copy(negated = neg))
-              case CondRe(_, v, _, _, _, _, _, _) =>
-                Left(s"WHERE may only reference the chain variables " +
-                  s"${nodes.map(_.v).mkString(", ")}, got '$v'")
-              case other =>
-                Left(s"unsupported WHERE condition: ${other.take(80)}")
-            }
-            parseBoolDnf(w).flatMap { groups =>
-              val parsed = groups.map { parts =>
-                val cs = parts.map { case (p, neg) => onePart(p, neg) }
-                cs.collectFirst { case Left(e) => Left(e) }
-                  .getOrElse(Right(cs.collect { case Right(c) => c }))
-              }
-              parsed.collectFirst { case Left(e) => Left(e) }
-                .getOrElse(Right(parsed.collect { case Right(g) => g }))
-            }
-        }
-      // RETURN items: property projections plus at most one
-      // count([DISTINCT] v) aggregate over the bindings
-      val itemsE: Either[String,
-          (Seq[(Int, String)], Seq[(Int, Boolean)])] = {
-        val parsed = retStr.split(",").toSeq.map {
-          case VarPropRe(v, p) if varIdx.contains(v) =>
-            Right(Left(varIdx(v) -> p))
-          case CountRe(dk, v) if varIdx.contains(v) =>
-            Right(Right(varIdx(v) -> (dk != null)))
-          case CountRe(_, v) => Left(s"count() may only aggregate a " +
-            s"chain variable (${nodes.map(_.v).mkString(", ")}), got '$v'")
-          case other => Left("a chain RETURN projects properties " +
-            s"(${nodes.map(_.v + ".<prop>").mkString(", ")}) or " +
-            s"count(<var>), got '${other.trim.take(40)}'")
-        }
-        parsed.collectFirst { case Left(e) => Left(e) }
-          .getOrElse(Right((
-            parsed.collect { case Right(Left(i)) => i },
-            parsed.collect { case Right(Right(c)) => c })))
-      }
-      for {
-        _ <- if (nodes.map(_.v).distinct.size != 3)
-          Left("chain variables must be distinct, got " +
-            nodes.map(_.v).mkString(", "))
-        else Right(())
-        conds <- condsE
-        parsedItems <- itemsE
-        (items, counts) = parsedItems
-        _ <- if (counts.size > 1)
-          Left("at most one count() per chain query")
-        else Right(())
-        _ <- if (items.isEmpty)
-          Left(if (counts.nonEmpty)
-            "a chain count() requires a grouping property"
-          else "RETURN needs at least one item")
-        else Right(())
-        desc = Option(obDir).exists(_.equalsIgnoreCase("DESC"))
-        ob <- (Option(obVar), Option(obProp), Option(obCountVar)) match {
-          case (None, _, None) => Right(None)
-          case (Some(v), Some(p), _) if varIdx.contains(v) =>
-            Right(Some((varIdx(v), p, desc)))
-          case (Some(v), _, _) =>
-            Left(s"ORDER BY may only reference the chain variables, " +
-              s"got '$v'")
-          // ORDER BY count(v): sort groups by the aggregate — encoded
-          // with index -1, resolved to the count column in runChain
-          case (None, _, Some(v))
-              if counts.exists(c => c._1 == varIdx.getOrElse(v, -2)) =>
-            Right(Some((-1, "count", desc)))
-          case (None, _, Some(v)) =>
-            Left(s"ORDER BY count($v) requires count($v) in RETURN")
-        }
-        _ <- ob match {
-          case Some((i, p, _)) if i >= 0 && !items.contains((i, p)) =>
-            Left(s"ORDER BY key '${nodes(i).v}.$p' must be among the " +
-              "returned properties")
-          case _ => Right(())
-        }
-        _ <- if (skipStr != null && ob.isEmpty)
-          Left("SKIP requires ORDER BY")
-        else Right(())
-      } yield ChainReturn(nodes, rels, conds, items, ob,
-        Option(skipStr).map(_.toInt), Option(limitStr).map(_.toInt),
-        distinctKw != null, counts.headOption)
+      buildChainStmt(nodes, rels, whereStr, distinctKw, retStr, obVar,
+        obProp, obCountVar, obDir, skipStr, limitStr)
     case WithRe(m, label, propsStr, optVar, relType, hopsStr, connVar,
         connLabel, connPropsStr, whereStr, withItems, havVar, havOp, havNum,
         distinctKw, retStr, obClause, skipStr, limitStr) =>
@@ -1606,6 +1513,201 @@ object CypherLite {
     case _ => Left(s"unsupported query shape: ${query.take(120)}")
   }
 
+  // ---- N-step chains (≥3 relationship segments) ----
+  // The two-step ChainRe regex cannot express a REPEATED group, so longer
+  // chains — `(a)-[:R1]->(b)-[:R2]->(c)-[:R3]->(d)...`, what an LLM emits
+  // for "W of X of Y of Z" over a deep containment hierarchy — are scanned
+  // iteratively: one node pattern, then (relationship segment, node
+  // pattern)*, then the same tail grammar (WHERE/RETURN/ORDER BY/SKIP/
+  // LIMIT) the two-step form uses. Both roads land in [[buildChainStmt]],
+  // so chain semantics cannot drift with length.
+  private val NodePatPrefixRe =
+    """(?s)\s*\(\s*(\w+)\s*(?::\s*(\w+))?\s*(?:\{\s*([^}]*)\s*\})?\s*\)""".r
+  private val RelPatPrefixRe =
+    """(?s)\s*-\s*\[\s*(?::\s*(\w+(?:\s*\|\s*\w+)*)\s*)?(?:\*\s*1\s*\.\.\s*(\d+)\s*)?\]\s*-\s*>""".r
+  private val MatchPrefixRe = """(?is)\s*MATCH\b""".r
+  private val ChainTailRe =
+    ("""(?is)\s*(?:WHERE\s+(.*?)\s*)?""" +
+      """RETURN\s+(DISTINCT\s+)?(.+?)\s*""" +
+      """(?:ORDER\s+BY\s+(?:(\w+)\s*\.\s*(\w+)|count\s*\(\s*(?:DISTINCT\s+)?(\w+)\s*\))\s*(?:(ASC|DESC)\s*)?)?""" +
+      """(?:SKIP\s+(\d+)\s*)?""" +
+      """(?:LIMIT\s+(\d+))?\s*;?\s*""").r
+  private val ArrowSegRe = """\]\s*-\s*>""".r
+
+  /** A query is routed to the N-step scanner when its (quote-blanked) text
+    * opens with MATCH and carries ≥3 outgoing relationship segments —
+    * more than any single-hop/two-step/existence form can produce.
+    */
+  private def looksMultiChain(q: String): Boolean = {
+    val blanked = blankQuoted(q)
+    MatchPrefixRe.findPrefixMatchOf(blanked).isDefined &&
+      ArrowSegRe.findAllMatchIn(blanked).size >= 3 &&
+      !blanked.toLowerCase(java.util.Locale.ROOT).contains("shortestpath")
+  }
+
+  private def parseMultiChain(query: String): Either[String, Statement] = {
+    def propsOf(s: String): Map[String, String] =
+      Option(s).toSeq.flatMap(x => PropRe.findAllMatchIn(x)
+        .map(p => p.group(1) -> p.group(2))).toMap
+    val mk = MatchPrefixRe.findPrefixMatchOf(query).get // guarded by caller
+    var pos = mk.end
+    NodePatPrefixRe.findPrefixMatchOf(query.substring(pos)) match {
+      case None =>
+        Left("expected a node pattern after MATCH, got: '" +
+          query.substring(pos).trim.take(40) + "'")
+      case Some(nm0) =>
+        val nodesB = Seq.newBuilder[ChainNode]
+        val relsB = Seq.newBuilder[(Option[String], Int)]
+        nodesB += ChainNode(nm0.group(1), Option(nm0.group(2)),
+          propsOf(nm0.group(3)))
+        pos += nm0.end
+        var err: Option[String] = None
+        var done = false
+        while (!done && err.isEmpty) {
+          RelPatPrefixRe.findPrefixMatchOf(query.substring(pos)) match {
+            case None => done = true
+            case Some(rm) =>
+              val relPos = pos + rm.end
+              NodePatPrefixRe.findPrefixMatchOf(
+                  query.substring(relPos)) match {
+                case None =>
+                  err = Some("expected a node pattern after the " +
+                    "relationship segment, got: '" +
+                    query.substring(relPos).trim.take(40) + "'")
+                case Some(nm) =>
+                  relsB += ((Option(rm.group(1)),
+                    Option(rm.group(2)).map(_.toInt).getOrElse(1)))
+                  nodesB += ChainNode(nm.group(1), Option(nm.group(2)),
+                    propsOf(nm.group(3)))
+                  pos = relPos + nm.end
+              }
+          }
+        }
+        err.toLeft(()).flatMap { _ =>
+          query.substring(pos) match {
+            case ChainTailRe(whereStr, distinctKw, retStr, obVar, obProp,
+                obCountVar, obDir, skipStr, limitStr) =>
+              buildChainStmt(nodesB.result(), relsB.result(), whereStr,
+                distinctKw, retStr, obVar, obProp, obCountVar, obDir,
+                skipStr, limitStr)
+            case rest =>
+              Left("unsupported chain tail: '" + rest.trim.take(60) + "'")
+          }
+        }
+    }
+  }
+
+  /** Shared builder for chain statements — the two-step regex form and the
+    * N-step scanner both land here with the same capture shapes (nullable
+    * strings mirroring the regex groups).
+    */
+  private def buildChainStmt(nodes: Seq[ChainNode],
+      rels: Seq[(Option[String], Int)], whereStr: String,
+      distinctKw: String, retStr: String, obVar: String, obProp: String,
+      obCountVar: String, obDir: String, skipStr: String,
+      limitStr: String): Either[String, Statement] = {
+      val varIdx = nodes.map(_.v).zipWithIndex.toMap
+      val condsE: Either[String, Seq[Seq[(Int, Cond)]]] =
+        Option(whereStr).map(_.trim).filter(_.nonEmpty) match {
+          case None => Right(Seq.empty)
+          case Some(w) =>
+            def onePart(part: String,
+                neg: Boolean): Either[String, (Int, Cond)] = part match {
+              case NotCondRe(inner) => onePart(inner, !neg)
+              case NullCondRe(v, prop, notKw) if varIdx.contains(v) =>
+                Right(varIdx(v) -> Cond(prop,
+                  if (notKw != null) "IS NOT NULL" else "IS NULL", "",
+                  negated = neg))
+              // legacy exists(v.prop) ≡ v.prop IS NOT NULL
+              case ExistsFnRe(v, prop) if varIdx.contains(v) =>
+                Right(varIdx(v) -> Cond(prop, "IS NOT NULL", "",
+                  negated = neg))
+              case CondRe(fnKw, v, prop, close, op, str, num, list)
+                  if varIdx.contains(v) =>
+                mkCondFn(fnKw, close, prop, op, str, num, list)
+                  .map(c => varIdx(v) -> c.copy(negated = neg))
+              case CondRe(_, v, _, _, _, _, _, _) =>
+                Left(s"WHERE may only reference the chain variables " +
+                  s"${nodes.map(_.v).mkString(", ")}, got '$v'")
+              case other =>
+                Left(s"unsupported WHERE condition: ${other.take(80)}")
+            }
+            parseBoolDnf(w).flatMap { groups =>
+              val parsed = groups.map { parts =>
+                val cs = parts.map { case (p, neg) => onePart(p, neg) }
+                cs.collectFirst { case Left(e) => Left(e) }
+                  .getOrElse(Right(cs.collect { case Right(c) => c }))
+              }
+              parsed.collectFirst { case Left(e) => Left(e) }
+                .getOrElse(Right(parsed.collect { case Right(g) => g }))
+            }
+        }
+      // RETURN items: property projections plus at most one
+      // count([DISTINCT] v) aggregate over the bindings
+      val itemsE: Either[String,
+          (Seq[(Int, String)], Seq[(Int, Boolean)])] = {
+        val parsed = retStr.split(",").toSeq.map {
+          case VarPropRe(v, p) if varIdx.contains(v) =>
+            Right(Left(varIdx(v) -> p))
+          case CountRe(dk, v) if varIdx.contains(v) =>
+            Right(Right(varIdx(v) -> (dk != null)))
+          case CountRe(_, v) => Left(s"count() may only aggregate a " +
+            s"chain variable (${nodes.map(_.v).mkString(", ")}), got '$v'")
+          case other => Left("a chain RETURN projects properties " +
+            s"(${nodes.map(_.v + ".<prop>").mkString(", ")}) or " +
+            s"count(<var>), got '${other.trim.take(40)}'")
+        }
+        parsed.collectFirst { case Left(e) => Left(e) }
+          .getOrElse(Right((
+            parsed.collect { case Right(Left(i)) => i },
+            parsed.collect { case Right(Right(c)) => c })))
+      }
+      for {
+        _ <- if (nodes.map(_.v).distinct.size != nodes.size)
+          Left("chain variables must be distinct, got " +
+            nodes.map(_.v).mkString(", "))
+        else Right(())
+        conds <- condsE
+        parsedItems <- itemsE
+        (items, counts) = parsedItems
+        _ <- if (counts.size > 1)
+          Left("at most one count() per chain query")
+        else Right(())
+        _ <- if (items.isEmpty)
+          Left(if (counts.nonEmpty)
+            "a chain count() requires a grouping property"
+          else "RETURN needs at least one item")
+        else Right(())
+        desc = Option(obDir).exists(_.equalsIgnoreCase("DESC"))
+        ob <- (Option(obVar), Option(obProp), Option(obCountVar)) match {
+          case (None, _, None) => Right(None)
+          case (Some(v), Some(p), _) if varIdx.contains(v) =>
+            Right(Some((varIdx(v), p, desc)))
+          case (Some(v), _, _) =>
+            Left(s"ORDER BY may only reference the chain variables, " +
+              s"got '$v'")
+          // ORDER BY count(v): sort groups by the aggregate — encoded
+          // with index -1, resolved to the count column in runChain
+          case (None, _, Some(v))
+              if counts.exists(c => c._1 == varIdx.getOrElse(v, -2)) =>
+            Right(Some((-1, "count", desc)))
+          case (None, _, Some(v)) =>
+            Left(s"ORDER BY count($v) requires count($v) in RETURN")
+        }
+        _ <- ob match {
+          case Some((i, p, _)) if i >= 0 && !items.contains((i, p)) =>
+            Left(s"ORDER BY key '${nodes(i).v}.$p' must be among the " +
+              "returned properties")
+          case _ => Right(())
+        }
+        _ <- if (skipStr != null && ob.isEmpty)
+          Left("SKIP requires ORDER BY")
+        else Right(())
+      } yield ChainReturn(nodes, rels, conds, items, ob,
+        Option(skipStr).map(_.toInt), Option(limitStr).map(_.toInt),
+        distinctKw != null, counts.headOption)
+  }
+
   /** Canonical output columns for the GLOBAL aggregate form, in item
     * order: each item's canonical name, deduplicated positionally with a
     * `_2`/`_3` suffix when a later aggregate lands on an occupied name
@@ -1668,12 +1770,12 @@ object CypherLite {
   /** Ops meaningful over a numeric literal (the string predicates are not). */
   private val ComparisonOps = Set("=", "<>", "<", "<=", ">", ">=")
 
-  /** Execute a two-step chain: two frontier expansions (one per hop
-    * step) joined on the middle node's identity, then one node-side join
-    * per variable for exactly the properties the query touches. The
-    * middle variable's constraints ride the SECOND expansion's root
-    * predicate (so the id-join enforces them on both sides); the tail's
-    * constraints are a semi-join against the filtered node relation.
+  /** Execute an N-step chain: one frontier expansion per hop step,
+    * joined on each shared variable's identity, then one node-side join
+    * per variable for exactly the properties the query touches. Each
+    * intermediate variable's constraints gate BOTH the id-join and the
+    * next expansion's frontier; the tail's constraints are a semi-join
+    * against the filtered node relation.
     * Pure-single-variable WHERE conjuncts reference one side's columns
     * only, so Catalyst pushes them below the joins — no hand-scheduling.
     */
@@ -1683,29 +1785,35 @@ object CypherLite {
         n.props.map { case (k, v) => col(k) === v })
         .reduceOption(_ && _).getOrElse(lit(true))
     def relF(r: (Option[String], Int)): Column = relColOf(r._1)
-    val ab = GraphOps.neighborhoodWhereKeyed(g, pred(ch.nodes(0)),
+    // step 0 expands from the HEAD pattern; each later step's frontier is
+    // the set of nodes the previous step actually reached (∩ that node
+    // pattern's constraints) — never every node matching the label. On a
+    // selective head pattern this shrinks each traversal by orders of
+    // magnitude, and the shape generalizes to any chain length: one
+    // distributed expansion per step, joined on the shared variable's id.
+    val n = ch.nodes.size
+    var acc = GraphOps.neighborhoodWhereKeyed(g, pred(ch.nodes(0)),
         ch.rels(0)._2, relF(ch.rels(0)))
       .select(col("root_id").as("id0"), col("c_id").as("id1"))
-    // the second expansion's frontier is the set of middles the FIRST
-    // step actually reached (∩ the middle constraints) — not every node
-    // matching the middle's label. On a selective head pattern this
-    // shrinks the second traversal by orders of magnitude.
-    val bOk = g.nodes.filter(pred(ch.nodes(1))).select(col("id").as("id1"))
-    val abf = ab.join(bOk, Seq("id1"), "left_semi")
-    val bRoots = abf.select(col("id1").as("root_id")).distinct()
-    val bc = GraphOps.kHop(g, bRoots, ch.rels(1)._2, relF(ch.rels(1)))
-      .filter(col("depth") > 0)
-      .select(col("root_id").as("id1"), col("node_id").as("id2"))
-    val tailOk = g.nodes.filter(pred(ch.nodes(2)))
-      .select(col("id").as("id2"))
-    val triples = abf.join(bc, "id1").join(tailOk, Seq("id2"), "left_semi")
+    for (i <- 1 until n - 1) {
+      val ok = g.nodes.filter(pred(ch.nodes(i))).select(col("id").as(s"id$i"))
+      acc = acc.join(ok, Seq(s"id$i"), "left_semi")
+      val frontier = acc.select(col(s"id$i").as("root_id")).distinct()
+      val exp = GraphOps.kHop(g, frontier, ch.rels(i)._2, relF(ch.rels(i)))
+        .filter(col("depth") > 0)
+        .select(col("root_id").as(s"id$i"), col("node_id").as(s"id${i + 1}"))
+      acc = acc.join(exp, s"id$i")
+    }
+    val tailOk = g.nodes.filter(pred(ch.nodes(n - 1)))
+      .select(col("id").as(s"id${n - 1}"))
+    val triples = acc.join(tailOk, Seq(s"id${n - 1}"), "left_semi")
     // node-side columns per variable: exactly what RETURN/WHERE/ORDER BY
     // touch, named <var>_<prop>
     def neededProps(i: Int): Seq[String] =
       (ch.items.collect { case (j, p) if j == i => p } ++
         ch.conds.flatten.collect { case (j, cd) if j == i => cd.prop } ++
         ch.orderBy.toSeq.collect { case (j, p, _) if j == i => p }).distinct
-    val joined = (0 to 2).foldLeft(triples) { (df, i) =>
+    val joined = ch.nodes.indices.foldLeft(triples) { (df, i) =>
       val props = neededProps(i)
       if (props.isEmpty) df
       else df.join(g.nodes.select(col("id").as(s"id$i") +:

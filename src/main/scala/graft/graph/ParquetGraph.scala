@@ -1746,6 +1746,27 @@ object ParquetGraph {
         .fold(err => throw new IllegalArgumentException(err), identity)
     },
 
+    // B6 CypherLite twin: a THREE-step chain spanning the full
+    // region→nation→customer→order hierarchy ("orders of customers in
+    // nations of each region" — the N-step scanner path; the two-step
+    // regex cannot parse this). The middle WHERE prunes the second
+    // frontier, and count(o) tallies order bindings per region.
+    QueryDef.sql(
+      "graphp_cypher_chain3",
+      """SELECT r_name AS r_name, CAST(count(*) AS BIGINT) AS n_o
+        |FROM region JOIN nation ON n_regionkey = r_regionkey
+        |JOIN customer ON c_nationkey = n_nationkey
+        |JOIN orders ON o_custkey = c_custkey
+        |WHERE n_name LIKE '%1%'
+        |GROUP BY r_name ORDER BY r_name""".stripMargin) { (s, d) =>
+      CypherLite.run(hierarchy(s, d),
+        "MATCH (r:Region)-[:HAS_NATION]->(n:Nation)" +
+          "-[:HAS_CUSTOMER]->(cu:Customer)-[:HAS_ORDER]->(o:Order) " +
+          "WHERE n.name CONTAINS '1' " +
+          "RETURN r.name, count(o) ORDER BY r.name")
+        .fold(err => throw new IllegalArgumentException(err), identity)
+    },
+
     // B6 CypherLite twin: aggregate over the chain — "top nations by
     // customer count" through the full region→nation→customer pattern,
     // grouped by the middle variable's property with ORDER BY the

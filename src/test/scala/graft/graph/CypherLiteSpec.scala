@@ -1383,6 +1383,60 @@ class CypherLiteSpec extends SparkSpec {
     assert(trailing.isLeft, trailing.toString)
   }
 
+  test("N-step chains: three hops equal the manual edge-join composition") {
+    val df = CypherLite.run(g,
+      "MATCH (a:Boeing_Service_Bulletin)-[]->(b)-[]->(c)-[]->(d) " +
+        "RETURN DISTINCT a.name, d.label")
+      .fold(e => fail(e), identity)
+    // independent derivation: three distinct single-hop edge joins
+    val e = g.edges.toDF.filter(col("relType").startsWith("HAS_"))
+    val s1 = e.select(col("src").as("a"), col("dst").as("b")).distinct()
+    val s2 = e.select(col("src").as("b"), col("dst").as("c")).distinct()
+    val s3 = e.select(col("src").as("c"), col("dst").as("d")).distinct()
+    val roots = g.nodes.filter(col("label") === "Boeing_Service_Bulletin")
+      .select(col("id").as("a"), col("name").as("a_name"))
+    val manual = roots.join(s1, "a").join(s2, "b").join(s3, "c")
+      .join(g.nodes.select(col("id").as("d"), col("label").as("d_label")),
+        "d")
+      .select("a_name", "d_label").distinct()
+    assert(df.count() == manual.count())
+    assert(df.collect().map(r => (r.getString(0), r.getString(1))).toSet ==
+      manual.collect().map(r => (r.getString(0), r.getString(1))).toSet)
+  }
+
+  test("N-step chain WHERE on an inner variable prunes the frontier") {
+    val all = CypherLite.run(g,
+      "MATCH (a:Boeing_Service_Bulletin)-[]->(b)-[]->(c)-[]->(d) " +
+        "RETURN DISTINCT a.name, c.label, d.label")
+      .fold(e => fail(e), identity)
+    val pruned = CypherLite.run(g,
+      "MATCH (a:Boeing_Service_Bulletin)-[]->(b)-[]->(c)-[]->(d) " +
+        "WHERE c.label = 'Section' RETURN DISTINCT a.name, c.label, d.label")
+      .fold(e => fail(e), identity)
+    assert(all.count() > 0)
+    assert(pruned.count() > 0)
+    assert(pruned.count() < all.count())
+    assert(pruned.collect().forall(_.getAs[String]("c_label") == "Section"))
+    // count over the chain grouped by the head variable
+    val counted = CypherLite.run(g,
+      "MATCH (a:Boeing_Service_Bulletin)-[]->(b)-[]->(c)-[]->(d) " +
+        "RETURN a.name, count(d)")
+      .fold(e => fail(e), identity)
+    assert(counted.columns.toSeq == Seq("a_name", "n_d"))
+  }
+
+  test("N-step chain rejections keep their named errors") {
+    // duplicate variable across four nodes
+    val dup = CypherLite.parse(
+      "MATCH (a:X)-[]->(b)-[]->(c)-[]->(b) RETURN a.name")
+    assert(dup.isLeft && dup.swap.toOption.get.contains("distinct"),
+      dup.toString)
+    // malformed tail after a well-formed pattern
+    val bad = CypherLite.parse(
+      "MATCH (a:X)-[]->(b)-[]->(c)-[]->(d) FROBNICATE a.name")
+    assert(bad.isLeft, bad.toString)
+  }
+
   test("legacy exists(v.prop) desugars to IS NOT NULL") {
     val all = CypherLite.run(g,
       "MATCH (m:Step) WHERE exists(m.name) RETURN m.name")
