@@ -88,6 +88,15 @@ import org.apache.spark.sql.functions._
   *   RETURN [DISTINCT] (a|b|c|…).prop[, ...]
   *   [ORDER BY (a|b|c|…).prop [ASC|DESC]] [SKIP n] [LIMIT n]
   *
+  *   // two INDEPENDENT node patterns (Cypher's cartesian composition —
+  *   // the entity-comparison form: "find pairs of X and Y where ...");
+  *   // a cross-variable equality makes the product an equi-join under
+  *   // Catalyst, anything else stays a label-filtered nested loop:
+  *   MATCH (a[:L1] [{…}]) MATCH (b[:L2] [{…}])
+  *   [WHERE (a|b).prop <op> (lit | (a|b).prop) [AND|OR ...]]
+  *   RETURN [DISTINCT] (a|b).prop[, ...]
+  *   [ORDER BY (a|b).prop [ASC|DESC]] [SKIP n] [LIMIT n]
+  *
   *   // whole-query union (all branches must return the same columns;
   *   // UNION dedupes, UNION ALL keeps the bag, mixing forms rejected;
   *   // branch-level ORDER BY/SKIP/LIMIT rejected as in Cypher):
@@ -348,6 +357,27 @@ object CypherLite {
   final case class ChainNode(v: String, label: Option[String],
       props: Map[String, String])
 
+  /** `MATCH (a…) MATCH (b…) [WHERE …] RETURN …` — two INDEPENDENT node
+    * patterns (Cypher's cartesian composition; LLMs emit it to COMPARE two
+    * entities). Bindings are the cross product of the two filtered node
+    * sets constrained by WHERE: a cross-variable EQUALITY turns the
+    * product into an equi-join under Catalyst's predicate pushdown, any
+    * other predicate stays a label-filtered nested-loop join — exactly
+    * Cypher's semantics, one distributed join either way.
+    *
+    *  - `conds`: DNF of (node index 0/1, comparison); a cross-variable
+    *    comparison carries the RHS property in `crossProp` and the RHS
+    *    node index in `crossOnConn` (true = the second variable)
+    */
+  final case class DualMatchReturn(
+      nodes: Seq[ChainNode],
+      conds: Seq[Seq[(Int, Cond)]],
+      items: Seq[(Int, String)],
+      orderBy: Option[(Int, String, Boolean)],
+      skip: Option[Int],
+      limit: Option[Int],
+      distinct: Boolean) extends Statement
+
   /** `MATCH (a)-[r1]->(b)-[r2]->(c)[-[r3]->(d) …]` — the N-step chain
     * pattern with BOUND intermediate variables (LLMs emit this for every
     * "X of Y of Z" prompt; ≥3 steps arrive via the iterative scanner).
@@ -443,6 +473,19 @@ object CypherLite {
 
   private val DeleteRe =
     """(?is)\s*MATCH\s*\(\s*(\w+)\s*\)\s*WHERE\s+\1\.(\w+)\s*=\s*true\s+DETACH\s+DELETE\s+\1\s*;?\s*""".r
+
+  // MATCH (a…) MATCH (b…) … — two independent node patterns (no hop). The
+  // second MATCH keyword right after the first pattern's paren is what
+  // distinguishes this from every other form (whose regexes require
+  // WHERE/WITH/RETURN or a relationship segment there).
+  private val DualMatchRe =
+    ("""(?is)\s*MATCH\s*\(\s*(\w+)\s*(?::\s*(\w+))?\s*(?:\{\s*([^}]*)\s*\})?\s*\)\s*""" +
+      """MATCH\s*\(\s*(\w+)\s*(?::\s*(\w+))?\s*(?:\{\s*([^}]*)\s*\})?\s*\)\s*""" +
+      """(?:WHERE\s+(.*?)\s*)?""" +
+      """RETURN\s+(DISTINCT\s+)?(.+?)\s*""" +
+      """(?:ORDER\s+BY\s+(\w+)\s*\.\s*(\w+)\s*(?:(ASC|DESC)\s*)?)?""" +
+      """(?:SKIP\s+(\d+)\s*)?""" +
+      """(?:LIMIT\s+(\d+))?\s*;?\s*""").r
 
   // MATCH p = shortestPath((a…)-[…]->(b…)) RETURN … — the path-length
   // query form. The rel fragment distinguishes no-star (single hop) from
@@ -941,6 +984,97 @@ object CypherLite {
     // ≥3 relationship segments: the N-step chain scanner (regexes cannot
     // express a repeated group) — checked before the fixed-arity forms
     case q if looksMultiChain(q) => parseMultiChain(q)
+    case DualMatchRe(aVar, aLabel, aPropsStr, bVar, bLabel, bPropsStr,
+        whereStr, distinctKw, retStr, obVar, obProp, obDir, skipStr,
+        limitStr) =>
+      def propsOf(s: String): Map[String, String] =
+        Option(s).toSeq.flatMap(x => PropRe.findAllMatchIn(x)
+          .map(p => p.group(1) -> p.group(2))).toMap
+      val nodes = Seq(ChainNode(aVar, Option(aLabel), propsOf(aPropsStr)),
+        ChainNode(bVar, Option(bLabel), propsOf(bPropsStr)))
+      val varIdx = nodes.map(_.v).zipWithIndex.toMap
+      val condsE: Either[String, Seq[Seq[(Int, Cond)]]] =
+        Option(whereStr).map(_.trim).filter(_.nonEmpty) match {
+          case None => Right(Seq.empty)
+          case Some(w) =>
+            def onePart(part: String,
+                neg: Boolean): Either[String, (Int, Cond)] = part match {
+              case NotCondRe(inner) => onePart(inner, !neg)
+              case NullCondRe(v, prop, notKw) if varIdx.contains(v) =>
+                Right(varIdx(v) -> Cond(prop,
+                  if (notKw != null) "IS NOT NULL" else "IS NULL", "",
+                  negated = neg))
+              case ExistsFnRe(v, prop) if varIdx.contains(v) =>
+                Right(varIdx(v) -> Cond(prop, "IS NOT NULL", "",
+                  negated = neg))
+              case CondRe(fnKw, v, prop, close, op, str, num, list)
+                  if varIdx.contains(v) =>
+                mkCondFn(fnKw, close, prop, op, str, num, list)
+                  .map(c => varIdx(v) -> c.copy(negated = neg))
+              // cross-variable comparison — the POINT of the dual pattern
+              // ("pairs where a.name < b.name"); RHS node index rides
+              // crossOnConn (true = the second variable)
+              case CrossCondRe(v1, p1, op, v2, p2)
+                  if varIdx.contains(v1) && varIdx.contains(v2) =>
+                Right(varIdx(v1) -> Cond(p1,
+                  op.toUpperCase(java.util.Locale.ROOT)
+                    .replaceAll("\\s+", " "), "",
+                  negated = neg, crossProp = Some(p2),
+                  crossOnConn = varIdx(v2) == 1))
+              case CondRe(_, v, _, _, _, _, _, _) =>
+                Left(s"WHERE may only reference the matched variables " +
+                  s"${nodes.map(_.v).mkString(", ")}, got '$v'")
+              case other =>
+                Left(s"unsupported WHERE condition: ${other.take(80)}")
+            }
+            parseBoolDnf(w).flatMap { groups =>
+              val parsed = groups.map { parts =>
+                val cs = parts.map { case (p, neg) => onePart(p, neg) }
+                cs.collectFirst { case Left(e) => Left(e) }
+                  .getOrElse(Right(cs.collect { case Right(c) => c }))
+              }
+              parsed.collectFirst { case Left(e) => Left(e) }
+                .getOrElse(Right(parsed.collect { case Right(g) => g }))
+            }
+        }
+      val itemsE: Either[String, Seq[(Int, String)]] = {
+        val parsed = retStr.split(",").toSeq.map {
+          case VarPropRe(v, p) if varIdx.contains(v) =>
+            Right(varIdx(v) -> p)
+          case other => Left("a multi-MATCH RETURN projects properties (" +
+            nodes.map(_.v + ".<prop>").mkString(", ") + "), got '" +
+            other.trim.take(40) + "'")
+        }
+        parsed.collectFirst { case Left(e) => Left(e) }
+          .getOrElse(Right(parsed.collect { case Right(i) => i }))
+      }
+      for {
+        _ <- if (nodes.map(_.v).distinct.size != 2)
+          Left("MATCH variables must be distinct, got " +
+            nodes.map(_.v).mkString(", "))
+        else Right(())
+        conds <- condsE
+        items <- itemsE
+        _ <- if (items.isEmpty) Left("RETURN needs at least one item")
+        else Right(())
+        desc = Option(obDir).exists(_.equalsIgnoreCase("DESC"))
+        ob <- (Option(obVar), Option(obProp)) match {
+          case (None, _) => Right(None)
+          case (Some(v), Some(p)) if varIdx.contains(v) =>
+            if (items.contains((varIdx(v), p)))
+              Right(Some((varIdx(v), p, desc)))
+            else Left(s"ORDER BY key '$v.$p' must be among the returned " +
+              "properties")
+          case (Some(v), _) =>
+            Left(s"ORDER BY may only reference " +
+              s"${nodes.map(_.v).mkString(", ")}, got '$v'")
+        }
+        _ <- if (skipStr != null && ob.isEmpty)
+          Left("SKIP requires ORDER BY")
+        else Right(())
+      } yield DualMatchReturn(nodes, conds, items, ob,
+        Option(skipStr).map(_.toInt), Option(limitStr).map(_.toInt),
+        distinctKw != null)
     case ShortestPathRe(pathVar, aVar, aLabel, aPropsStr, relT, star,
         boundK, bVar, bLabel, bPropsStr, retStr, obVar, obProp, obLenVar,
         obDir, limitStr) =>
@@ -1851,6 +1985,53 @@ object CypherLite {
     ch.limit.map(skipped.limit).getOrElse(skipped)
   }
 
+  /** Execute a dual-MATCH query: filter each node pattern's set down to
+    * exactly the columns the query touches, cross-join, and apply the
+    * WHERE DNF. Catalyst pushes a cross-variable equality into the join
+    * condition (one shuffled equi-join); anything else runs as a
+    * broadcast nested-loop over the label-filtered sides — Cypher's
+    * cartesian semantics, never a driver-side loop.
+    */
+  private def runDualMatch(g: GraphTables,
+      dm: DualMatchReturn): DataFrame = {
+    def pred(n: ChainNode): Column =
+      (n.label.map(col("label") === _).toSeq ++
+        n.props.map { case (k, v) => col(k) === v })
+        .reduceOption(_ && _).getOrElse(lit(true))
+    def neededProps(i: Int): Seq[String] =
+      (dm.items.collect { case (j, p) if j == i => p } ++
+        dm.conds.flatten.collect { case (j, c) if j == i => c.prop } ++
+        dm.conds.flatten.collect {
+          case (_, c) if c.crossProp.isDefined &&
+            (if (c.crossOnConn) 1 else 0) == i => c.crossProp.get
+        } ++
+        dm.orderBy.toSeq.collect { case (j, p, _) if j == i => p }).distinct
+    val sides = dm.nodes.zipWithIndex.map { case (nd, i) =>
+      g.nodes.filter(pred(nd)).select(
+        col("id").as(s"id$i") +:
+          neededProps(i).map(p => col(p).as(s"${nd.v}_$p")): _*)
+    }
+    val joined = sides(0).crossJoin(sides(1))
+    val filt = dm.conds.map(_.map { case (i, c) =>
+        condCol(c, col(s"${dm.nodes(i).v}_${c.prop}"),
+          c.crossProp.map(p =>
+            col(s"${dm.nodes(if (c.crossOnConn) 1 else 0).v}_$p")))
+      }.reduceOption(_ && _).getOrElse(lit(true)))
+      .reduceOption(_ || _).getOrElse(lit(true))
+    val out = dm.items.map { case (i, p) => s"${dm.nodes(i).v}_$p" }.distinct
+    val projected = joined.filter(filt).select(out.map(col): _*)
+    val deduped = if (dm.distinct) projected.distinct() else projected
+    val ordered = dm.orderBy match {
+      case Some((i, p, desc)) =>
+        val key = s"${dm.nodes(i).v}_$p"
+        val head = if (desc) col(key).desc else col(key).asc
+        deduped.orderBy(head +: out.filterNot(_ == key).map(col): _*)
+      case None => deduped.orderBy(out.map(col): _*)
+    }
+    val skipped = dm.skip.map(ordered.offset).getOrElse(ordered)
+    dm.limit.map(skipped.limit).getOrElse(skipped)
+  }
+
   /** Execute a shortestPath query: a multi-root BFS — [[GraphOps.kHop]]
     * when the search is bounded (its min-depth dedup IS the shortest
     * length), [[GraphOps.shortestDepths]]' anti-join fixpoint when
@@ -2079,6 +2260,8 @@ object CypherLite {
             m.orderBy.nonEmpty || m.skip.isDefined || m.limit.isDefined
           case c: ChainReturn =>
             c.orderBy.isDefined || c.skip.isDefined || c.limit.isDefined
+          case dm: DualMatchReturn =>
+            dm.orderBy.isDefined || dm.skip.isDefined || dm.limit.isDefined
           case sp: ShortestPathReturn =>
             sp.orderBy.isDefined || sp.limit.isDefined
           case _ => false
@@ -2124,6 +2307,17 @@ object CypherLite {
             .map(k => Left(s"unsupported projection property: $k " +
               s"(supported: ${ProjectableProps.toSeq.sorted.mkString(", ")})")))
           .getOrElse(Right(runChain(g, ch)))
+      case dm: DualMatchReturn =>
+        dm.nodes.flatMap(_.props.keys).find(!SupportedProps(_))
+          .map(k => Left(s"unsupported property: $k " +
+            s"(supported: ${SupportedProps.toSeq.sorted.mkString(", ")})"))
+          .orElse((dm.conds.flatten.flatMap { case (_, c) =>
+              Seq(c.prop) ++ c.crossProp.toSeq
+            } ++ dm.items.map(_._2) ++ dm.orderBy.map(_._2).toSeq)
+            .find(!ProjectableProps(_))
+            .map(k => Left(s"unsupported projection property: $k " +
+              s"(supported: ${ProjectableProps.toSeq.sorted.mkString(", ")})")))
+          .getOrElse(Right(runDualMatch(g, dm)))
       case sp: ShortestPathReturn =>
         (sp.aProps.keys ++ sp.bProps.keys).find(!SupportedProps(_))
           .map(k => Left(s"unsupported property: $k " +

@@ -1746,6 +1746,25 @@ object ParquetGraph {
         .fold(err => throw new IllegalArgumentException(err), identity)
     },
 
+    // B6 CypherLite twin: two INDEPENDENT MATCH patterns (Cypher's
+    // cartesian composition — the entity-comparison form). The
+    // cross-variable `<` makes ordered nation pairs; the literal filter
+    // on `a` prunes one side before the join. Catalyst turns the
+    // cross-join + predicate into one distributed join — never a
+    // driver-side loop.
+    QueryDef.sql(
+      "graphp_cypher_dual_match",
+      """SELECT a.n_name AS a_name, b.n_name AS b_name
+        |FROM nation a, nation b
+        |WHERE a.n_name < b.n_name AND a.n_name LIKE '%2%'
+        |ORDER BY a_name, b_name""".stripMargin) { (s, d) =>
+      CypherLite.run(hierarchy(s, d),
+        "MATCH (a:Nation) MATCH (b:Nation) " +
+          "WHERE a.name < b.name AND a.name CONTAINS '2' " +
+          "RETURN a.name, b.name ORDER BY a.name")
+        .fold(err => throw new IllegalArgumentException(err), identity)
+    },
+
     // B6 CypherLite twin: a THREE-step chain spanning the full
     // region→nation→customer→order hierarchy ("orders of customers in
     // nations of each region" — the N-step scanner path; the two-step

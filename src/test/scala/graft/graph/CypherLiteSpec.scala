@@ -1425,6 +1425,42 @@ class CypherLiteSpec extends SparkSpec {
     assert(counted.columns.toSeq == Seq("a_name", "n_d"))
   }
 
+  test("dual MATCH is the cartesian composition constrained by WHERE") {
+    // pairs of Steps whose names differ — cross product minus diagonal
+    val pairs = CypherLite.run(g,
+      "MATCH (a:Step) MATCH (b:Step) WHERE a.name < b.name " +
+        "RETURN a.name, b.name")
+      .fold(e => fail(e), identity)
+    val names = g.nodes.filter(col("label") === "Step")
+      .select("name").collect().map(_.getString(0))
+    val expected = (for {
+      x <- names; y <- names if x < y
+    } yield (x, y)).toSet
+    assert(pairs.collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet == expected)
+    // a cross-variable EQUALITY becomes an equi-join, not a cartesian
+    val eq = CypherLite.run(g,
+      "MATCH (a:Step) MATCH (b:Subject) WHERE a.name = b.name " +
+        "RETURN a.name, b.name").fold(e => fail(e), identity)
+    val plan = eq.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(400))
+  }
+
+  test("dual MATCH rejections keep their named errors") {
+    val dup = CypherLite.parse(
+      "MATCH (a:Step) MATCH (a:Step) RETURN a.name")
+    assert(dup.isLeft && dup.swap.toOption.get.contains("distinct"),
+      dup.toString)
+    val foreign = CypherLite.run(g,
+      "MATCH (a:Step) MATCH (b:Step) WHERE c.name = 'x' RETURN a.name")
+    assert(foreign.isLeft, foreign.toString)
+    val unprojected = CypherLite.parse(
+      "MATCH (a:Step) MATCH (b:Step) RETURN a.name ORDER BY b.name")
+    assert(unprojected.isLeft &&
+      unprojected.swap.toOption.get.contains("ORDER BY"),
+      unprojected.toString)
+  }
+
   test("N-step chain rejections keep their named errors") {
     // duplicate variable across four nodes
     val dup = CypherLite.parse(
