@@ -186,8 +186,16 @@ import org.apache.spark.sql.functions._
   * by De Morgan (exact in Cypher's three-valued logic, so null-dropping
   * semantics survive), and the tree is distributed into the engine's OR
   * of AND-groups — parentheses cost nothing at runtime.
-  * Plus the maintenance form `MATCH (n) WHERE n.<tag> = true DETACH DELETE n`
-  * (the reference's `deleteneo.py:10-12`), which maps to [[GraphOps.dropBatch]].
+  * Plus the maintenance forms (the WRITE surface — run through
+  * [[runWrite]], which returns the mutated graph alongside the summary):
+  *  - `MATCH (n) WHERE n.<tag> = true DETACH DELETE n` (the reference's
+  *    `deleteneo.py:10-12`) → [[GraphOps.dropBatch]];
+  *  - `MATCH (m[:Label] [{…}]) [WHERE …] SET m.content = 'value'` →
+  *    [[GraphOps.updateContent]] (A18's join-update; only `content` is
+  *    writable — name/label are node identity);
+  *  - `CREATE (n:Label {name: '…'[, content: '…'][, docnbr: '…']})` →
+  *    [[GraphOps.upsert]] with the deterministic id (match-or-create:
+  *    re-running the same CREATE is a no-op).
   */
 object CypherLite {
 
@@ -332,6 +340,28 @@ object CypherLite {
       relVar: Option[String] = None) extends Statement
   final case class DetachDelete(tag: String) extends Statement
 
+  /** `MATCH (m[:Label] [{…}]) [WHERE …] SET m.content = 'value'` — the
+    * front-end form of the content-update kernel (reference A18 /
+    * `first-graph.py`'s py2neo SET path): one join-update over the
+    * matched set, mapped to [[GraphOps.updateContent]]. Only the
+    * `content` property is writable (the engine's node identity hashes
+    * name/label, so rewriting those would be an upsert, not a SET).
+    */
+  final case class SetContent(label: Option[String],
+      props: Map[String, String], conds: Seq[Seq[Cond]],
+      value: String) extends Statement
+
+  /** `CREATE (n:Label {name: '…'[, content: '…'][, docnbr: '…']})` — the
+    * front-end form of the MERGE upsert (A11/A12): a deterministic-id
+    * node built from the literal property map, left-anti-joined into the
+    * graph, so re-running the same CREATE is idempotent (match-or-create,
+    * the reference's py2neo merge semantics rather than Neo4j's
+    * always-append CREATE — the semantics this engine's identity model
+    * supports).
+    */
+  final case class CreateNode(label: String,
+      props: Map[String, String]) extends Statement
+
   /** `MATCH p = shortestPath((a…)-[[:REL][*[1..K]]]->(b…)) RETURN …` —
     * one row per (a, b) endpoint pair that a directed path connects, at
     * the MINIMUM path length. No range on the relationship = single hop
@@ -473,6 +503,20 @@ object CypherLite {
 
   private val DeleteRe =
     """(?is)\s*MATCH\s*\(\s*(\w+)\s*\)\s*WHERE\s+\1\.(\w+)\s*=\s*true\s+DETACH\s+DELETE\s+\1\s*;?\s*""".r
+
+  // MATCH (m…) [WHERE …] SET m.content = '…' — the write form; the SET
+  // keyword after the pattern (where every read form requires
+  // WHERE/WITH/RETURN or a relationship segment) disambiguates it.
+  private val SetRe =
+    ("""(?is)\s*MATCH\s*\(\s*(\w+)\s*(?::\s*(\w+))?\s*(?:\{\s*([^}]*)\s*\})?\s*\)\s*""" +
+      """(?:WHERE\s+(.*?)\s*)?""" +
+      """SET\s+(\w+)\s*\.\s*(\w+)\s*=\s*'([^']*)'\s*;?\s*""").r
+
+  // CREATE (n:Label {prop: '…', …}) — the literal node-creation form; a
+  // property map is REQUIRED (a node without a name has no identity in
+  // this engine's deterministic-id model)
+  private val CreateRe =
+    """(?is)\s*CREATE\s*\(\s*(\w+)\s*:\s*(\w+)\s*\{\s*([^}]*)\s*\}\s*\)\s*;?\s*""".r
 
   // MATCH (a…) MATCH (b…) … — two independent node patterns (no hop). The
   // second MATCH keyword right after the first pattern's paren is what
@@ -981,6 +1025,40 @@ object CypherLite {
 
   def parse(query: String): Either[String, Statement] = query match {
     case DeleteRe(_, tag) => Right(DetachDelete(tag))
+    case SetRe(m, label, propsStr, whereStr, setVar, setProp, value) =>
+      val props = Option(propsStr).toSeq
+        .flatMap(s => PropRe.findAllMatchIn(s)
+          .map(p => p.group(1) -> p.group(2))).toMap
+      for {
+        _ <- if (setVar != m)
+          Left(s"SET may only write the matched variable '$m', " +
+            s"got '$setVar'")
+        else Right(())
+        _ <- if (setProp != "content")
+          Left("only the content property is writable (name/label are " +
+            "part of the node identity — use CREATE to mint a new node)")
+        else Right(())
+        whereParsed <- parseWhereClause(m, None, whereStr)
+        conds <- whereParsed match {
+          case (cs, None) => Right(cs)
+          case (_, Some(_)) => Left("a pattern-existence WHERE cannot " +
+            "gate a SET — filter with comparisons instead")
+        }
+      } yield SetContent(Option(label), props, conds, value)
+    case CreateRe(v, label, propsStr) =>
+      val props = PropRe.findAllMatchIn(propsStr)
+        .map(p => p.group(1) -> p.group(2)).toMap
+      val allowed = Set("name", "content", "docnbr")
+      for {
+        _ <- props.keys.find(!allowed(_)).map(k =>
+          Left(s"unsupported CREATE property: $k " +
+            s"(supported: ${allowed.toSeq.sorted.mkString(", ")})"))
+          .getOrElse(Right(()))
+        _ <- if (!props.contains("name"))
+          Left("CREATE requires a name property — node identity hashes " +
+            "(label, name, content, docnbr)")
+        else Right(())
+      } yield CreateNode(label, props)
     // ≥3 relationship segments: the N-step chain scanner (regexes cannot
     // express a repeated group) — checked before the fixed-arity forms
     case q if looksMultiChain(q) => parseMultiChain(q)
@@ -1925,22 +2003,50 @@ object CypherLite {
     // selective head pattern this shrinks each traversal by orders of
     // magnitude, and the shape generalizes to any chain length: one
     // distributed expansion per step, joined on the shared variable's id.
+    // A single-hop step (k = 1, the overwhelmingly common form) is ONE
+    // equi-join against the typed edge relation — the var-length kernel's
+    // per-step distinct + min-depth aggregate would be two extra shuffles
+    // buying nothing at k = 1 (parallel relationships collapse via the
+    // pair-dedup, same binding set as the kernel's (root, node) dedup).
     val n = ch.nodes.size
-    var acc = GraphOps.neighborhoodWhereKeyed(g, pred(ch.nodes(0)),
-        ch.rels(0)._2, relF(ch.rels(0)))
-      .select(col("root_id").as("id0"), col("c_id").as("id1"))
+    def constrained(i: Int): Boolean =
+      ch.nodes(i).label.isDefined || ch.nodes(i).props.nonEmpty
+    def edgePairs(i: Int): DataFrame =
+      g.edges.filter(relF(ch.rels(i)))
+        .select(col("src").as(s"id$i"), col("dst").as(s"id${i + 1}"))
+        .dropDuplicates(s"id$i", s"id${i + 1}")
+    var acc =
+      if (ch.rels(0)._2 == 1)
+        g.nodes.filter(pred(ch.nodes(0))).select(col("id").as("id0"))
+          .join(edgePairs(0), "id0")
+      else GraphOps.neighborhoodWhereKeyed(g, pred(ch.nodes(0)),
+          ch.rels(0)._2, relF(ch.rels(0)))
+        .select(col("root_id").as("id0"), col("c_id").as("id1"))
     for (i <- 1 until n - 1) {
-      val ok = g.nodes.filter(pred(ch.nodes(i))).select(col("id").as(s"id$i"))
-      acc = acc.join(ok, Seq(s"id$i"), "left_semi")
-      val frontier = acc.select(col(s"id$i").as("root_id")).distinct()
-      val exp = GraphOps.kHop(g, frontier, ch.rels(i)._2, relF(ch.rels(i)))
-        .filter(col("depth") > 0)
-        .select(col("root_id").as(s"id$i"), col("node_id").as(s"id${i + 1}"))
-      acc = acc.join(exp, s"id$i")
+      // the node-set semi-join only runs when the pattern actually
+      // constrains the variable (the graph maintains referential
+      // integrity, so an unconstrained semi-join would be a no-op shuffle)
+      if (constrained(i)) {
+        val ok = g.nodes.filter(pred(ch.nodes(i)))
+          .select(col("id").as(s"id$i"))
+        acc = acc.join(ok, Seq(s"id$i"), "left_semi")
+      }
+      if (ch.rels(i)._2 == 1) acc = acc.join(edgePairs(i), s"id$i")
+      else {
+        val frontier = acc.select(col(s"id$i").as("root_id")).distinct()
+        val exp = GraphOps.kHop(g, frontier, ch.rels(i)._2, relF(ch.rels(i)))
+          .filter(col("depth") > 0)
+          .select(col("root_id").as(s"id$i"),
+            col("node_id").as(s"id${i + 1}"))
+        acc = acc.join(exp, s"id$i")
+      }
     }
-    val tailOk = g.nodes.filter(pred(ch.nodes(n - 1)))
-      .select(col("id").as(s"id${n - 1}"))
-    val triples = acc.join(tailOk, Seq(s"id${n - 1}"), "left_semi")
+    val triples =
+      if (constrained(n - 1)) {
+        val tailOk = g.nodes.filter(pred(ch.nodes(n - 1)))
+          .select(col("id").as(s"id${n - 1}"))
+        acc.join(tailOk, Seq(s"id${n - 1}"), "left_semi")
+      } else acc
     // node-side columns per variable: exactly what RETURN/WHERE/ORDER BY
     // touch, named <var>_<prop>
     def neededProps(i: Int): Seq[String] =
@@ -1984,6 +2090,71 @@ object CypherLite {
     val skipped = ch.skip.map(ordered.offset).getOrElse(ordered)
     ch.limit.map(skipped.limit).getOrElse(skipped)
   }
+
+  /** Execute a WRITE statement (SET / CREATE / DETACH DELETE), returning
+    * BOTH the mutated graph and the summary relation [[run]] would
+    * answer. The graph relations are immutable datasets, so the input
+    * graph is untouched — callers persist the returned [[GraphTables]]
+    * (e.g. via GraphStore.save) to make the write durable.
+    */
+  def runWrite(g: GraphTables,
+      query: String): Either[String, (GraphTables, DataFrame)] =
+    parse(query).flatMap {
+      case s @ (_: SetContent | _: CreateNode) => execWrite(g, s)
+      case DetachDelete(tag) =>
+        val after = GraphOps.dropBatch(g, tag)
+        Right((after, after.nodes.groupBy("batch")
+          .agg(count(lit(1)).as("n_nodes")).orderBy("batch").toDF()))
+      case _ => Left("not a write statement — use run() for reads")
+    }
+
+  private def execWrite(g: GraphTables,
+      stmt: Statement): Either[String, (GraphTables, DataFrame)] =
+    stmt match {
+      case SetContent(label, props, conds, value) =>
+        (props.keys ++ conds.flatten.map(_.prop)).find(!SupportedProps(_))
+          .map(k => Left(s"unsupported property: $k " +
+            s"(supported: ${SupportedProps.toSeq.sorted.mkString(", ")})"))
+          .getOrElse {
+            val whereCol = conds
+              .map(_.map(c => condCol(c, col(c.prop)))
+                .reduceOption(_ && _).getOrElse(lit(true)))
+              .reduceOption(_ || _).getOrElse(lit(true))
+            val pred = (label.map(col("label") === _).toSeq ++
+              props.map { case (k, v) => col(k) === v })
+              .reduceOption(_ && _).getOrElse(lit(true)) && whereCol
+            val targets = g.nodes.filter(pred).select(col("id"))
+            val after = GraphOps.updateContent(g,
+              targets.select(col("id"), lit(value).as("new_content")))
+            // summary: the updated nodes as the reference's SET result set
+            val summary = after.nodes.toDF()
+              .join(targets, Seq("id"), "left_semi")
+              .select(col("label").as("m_label"), col("name").as("m_name"),
+                col("content").as("m_content"))
+              .orderBy("m_label", "m_name", "m_content")
+            Right((after, summary))
+          }
+      case CreateNode(label, props) =>
+        val spark = g.nodes.sparkSession
+        import spark.implicits._
+        val name = props("name") // presence validated at parse time
+        val content = props.getOrElse("content", "")
+        val docnbr = props.getOrElse("docnbr", "")
+        val id = GraphModel.nodeId(label, name, content, docnbr)
+        val incoming = GraphTables(
+          Seq(NodeRow(id, label, name, content, docnbr, "cypher",
+            Seq.empty)).toDS(),
+          spark.emptyDataset[EdgeRow])
+        // match-or-create: the anti-join drops the row when the identical
+        // node already exists — re-running the CREATE is a no-op
+        val after = GraphOps.upsert(g, incoming)
+        val summary = after.nodes.toDF().filter(col("id") === id)
+          .select(col("label").as("m_label"), col("name").as("m_name"),
+            col("content").as("m_content"))
+          .orderBy("m_label", "m_name", "m_content")
+        Right((after, summary))
+      case other => Left(s"not a write statement: $other")
+    }
 
   /** Execute a dual-MATCH query: filter each node pattern's set down to
     * exactly the columns the query touches, cross-join, and apply the
@@ -2266,8 +2437,10 @@ object CypherLite {
             sp.orderBy.isDefined || sp.limit.isDefined
           case _ => false
         }
-        if (stmts.exists(_.isInstanceOf[DetachDelete]))
-          Left("DETACH DELETE cannot appear in a UNION")
+        if (stmts.exists(s => s.isInstanceOf[DetachDelete] ||
+            s.isInstanceOf[SetContent] || s.isInstanceOf[CreateNode]))
+          Left("a write statement (DETACH DELETE / SET / CREATE) cannot " +
+            "appear in a UNION")
         else if (paged)
           Left("ORDER BY / SKIP / LIMIT inside a UNION branch is not " +
             "supported (as in Cypher); the union is returned in its " +
@@ -2333,6 +2506,8 @@ object CypherLite {
         val after = GraphOps.dropBatch(g, tag)
         Right(after.nodes.groupBy("batch")
           .agg(count(lit(1)).as("n_nodes")).orderBy("batch").toDF())
+      case sc: SetContent => execWrite(g, sc).map(_._2)
+      case cn: CreateNode => execWrite(g, cn).map(_._2)
       case MatchReturn(label, props, relType, hops, conds, items, orderBy,
           skip, limit, optional, distinct, existsPat, withSpec, aliases,
           direction, relVar) =>

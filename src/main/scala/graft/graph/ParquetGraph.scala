@@ -1746,6 +1746,35 @@ object ParquetGraph {
         .fold(err => throw new IllegalArgumentException(err), identity)
     },
 
+    // C10 CypherLite twin: the WRITE surface's SET form — the front-end
+    // road to the same A18 join-update kernel graphp_set_content grades
+    // directly. The summary is the updated result set; the WHERE prunes
+    // the matched nodes before the update.
+    QueryDef.sql(
+      "graphp_cypher_set",
+      """SELECT 'Nation' AS m_label, n_name AS m_name,
+        |  'audited' AS m_content
+        |FROM nation WHERE n_name LIKE '%1%'
+        |ORDER BY m_label, m_name, m_content""".stripMargin) { (s, d) =>
+      CypherLite.runWrite(hierarchy(s, d),
+        "MATCH (m:Nation) WHERE m.name CONTAINS '1' " +
+          "SET m.content = 'audited'")
+        .fold(err => throw new IllegalArgumentException(err), _._2)
+    },
+
+    // C10 CypherLite twin: the WRITE surface's CREATE form — a
+    // deterministic-id node upserted via the A11 MERGE kernel; the
+    // summary is the created node's image (exactly one row, whatever the
+    // graph's size, and idempotent under re-runs).
+    QueryDef.sql(
+      "graphp_cypher_create",
+      """SELECT 'Meta' AS m_label, 'audit-note' AS m_name,
+        |  'round8' AS m_content""".stripMargin) { (s, d) =>
+      CypherLite.runWrite(hierarchy(s, d),
+        "CREATE (n:Meta {name: 'audit-note', content: 'round8'})")
+        .fold(err => throw new IllegalArgumentException(err), _._2)
+    },
+
     // B6 CypherLite twin: two INDEPENDENT MATCH patterns (Cypher's
     // cartesian composition — the entity-comparison form). The
     // cross-variable `<` makes ordered nation pairs; the literal filter

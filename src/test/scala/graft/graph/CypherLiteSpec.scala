@@ -1425,6 +1425,64 @@ class CypherLiteSpec extends SparkSpec {
     assert(counted.columns.toSeq == Seq("a_name", "n_d"))
   }
 
+  test("SET m.content updates exactly the matched nodes") {
+    val (after, summary) = CypherLite.runWrite(g,
+      "MATCH (m:Step) SET m.content = 'reviewed'")
+      .fold(e => fail(e), identity)
+    val nSteps = g.nodes.filter(col("label") === "Step").count()
+    assert(summary.count() == nSteps)
+    assert(summary.collect().forall(
+      _.getAs[String]("m_content") == "reviewed"))
+    // untouched labels keep their content; the input graph is immutable
+    assert(after.nodes.filter(col("label") === "Step")
+      .filter(col("content") =!= "reviewed").count() == 0)
+    assert(after.nodes.filter(col("label") =!= "Step").count() ==
+      g.nodes.filter(col("label") =!= "Step").count())
+    assert(g.nodes.filter(col("label") === "Step")
+      .filter(col("content") === "reviewed").count() == 0)
+    // WHERE prunes the write set
+    val (_, some) = CypherLite.runWrite(g,
+      "MATCH (m:Step) WHERE m.name CONTAINS 'step' " +
+        "SET m.content = 'partial'").fold(e => fail(e), identity)
+    assert(some.count() <= nSteps)
+  }
+
+  test("CREATE mints a deterministic node; re-running is a no-op") {
+    val q = "CREATE (n:Note {name: 'todo-1', content: 'check torque'})"
+    val (after1, s1) = CypherLite.runWrite(g, q).fold(e => fail(e), identity)
+    assert(s1.collect().map(r => (r.getString(0), r.getString(1),
+      r.getString(2))).toSeq == Seq(("Note", "todo-1", "check torque")))
+    assert(after1.nodes.count() == g.nodes.count() + 1)
+    val (after2, _) = CypherLite.runWrite(after1, q)
+      .fold(e => fail(e), identity)
+    assert(after2.nodes.count() == after1.nodes.count())
+    // read path sees only the summary
+    val viaRun = CypherLite.run(g, q).fold(e => fail(e), identity)
+    assert(viaRun.count() == 1)
+  }
+
+  test("write-surface rejections keep their named errors") {
+    val badProp = CypherLite.parse(
+      "MATCH (m:Step) SET m.name = 'x'")
+    assert(badProp.isLeft &&
+      badProp.swap.toOption.get.contains("content"), badProp.toString)
+    val badVar = CypherLite.parse(
+      "MATCH (m:Step) SET other.content = 'x'")
+    assert(badVar.isLeft &&
+      badVar.swap.toOption.get.contains("matched variable"), badVar.toString)
+    val noName = CypherLite.parse("CREATE (n:Note {content: 'x'})")
+    assert(noName.isLeft &&
+      noName.swap.toOption.get.contains("name"), noName.toString)
+    val badCreateProp = CypherLite.parse(
+      "CREATE (n:Note {name: 'x', frob: 'y'})")
+    assert(badCreateProp.isLeft &&
+      badCreateProp.swap.toOption.get.contains("frob"), badCreateProp.toString)
+    // runWrite refuses read statements
+    val read = CypherLite.runWrite(g, "MATCH (m:Step) RETURN m")
+    assert(read.isLeft &&
+      read.swap.toOption.get.contains("write"), read.toString)
+  }
+
   test("dual MATCH is the cartesian composition constrained by WHERE") {
     // pairs of Steps whose names differ — cross product minus diagonal
     val pairs = CypherLite.run(g,
