@@ -53,6 +53,7 @@ import org.apache.spark.sql.functions._
   *          // the answer is ONE summary row ("how many X are there" — the
   *          // single most common LLM emission):
   *          |   count([DISTINCT] m|c|r) | count(*)
+  *            | count([DISTINCT] (m|c).prop)
   *            | (sum|avg|min|max)((m|c).prop) | collect([DISTINCT] (m|c).prop)
   *            [, <another aggregate> ...]     // several aggregates may
   *            // combine in one row (RETURN count(n), min(n.name)); m-side
@@ -260,6 +261,14 @@ object CypherLite {
   // drop out — Cypher's rule — and a sum over zero values is 0); min/max
   // order by the property's native string collation
   final case class RetAggProp(fn: String, prop: String) extends RetItem
+  // count([DISTINCT] (m|c).prop) — counts the variable's non-null
+  // PROPERTY VALUES over the surviving bindings rather than the bindings
+  // themselves; DISTINCT counts distinct values ("how many kinds of X" —
+  // `RETURN m.name, count(DISTINCT c.label)`). c-side valid grouped or
+  // global (hop pattern required); m-side valid in the hop-less global
+  // form only. Output column `n_<prop>`.
+  final case class RetCountProp(distinct: Boolean, prop: String,
+      onConn: Boolean) extends RetItem
   // count([DISTINCT] m) — the MATCHED-variable count, valid only in the
   // GLOBAL aggregate form (every RETURN item an aggregate → one row).
   // Hop-less it counts matched nodes (DISTINCT is a no-op: node identity
@@ -617,6 +626,10 @@ object CypherLite {
 
   private val CountRe =
     """(?is)\s*count\s*\(\s*(DISTINCT\s+)?(\*|\w+)\s*\)\s*""".r
+  // count([DISTINCT] v.prop) — property-value count (CountRe's bare-word
+  // operand cannot match the dotted form, so the two never collide)
+  private val CountPropRe =
+    """(?is)\s*count\s*\(\s*(DISTINCT\s+)?(\w+)\s*\.\s*(\w+)\s*\)\s*""".r
   // `type(r)` — the relationship-type projection (RETURN item)
   private val TypeRe = """(?is)\s*type\s*\(\s*(\w+)\s*\)\s*""".r
   // `type(r) <op> literal` — the relationship-type comparison (WHERE)
@@ -1381,6 +1394,13 @@ object CypherLite {
           // nodes per group without one
           if (dk != null) Left("count(DISTINCT *) is not supported")
           else Right(RetCount(distinct = false, star = true))
+        case CountPropRe(dk, v, pr) if conn.contains(v) =>
+          Right(RetCountProp(dk != null, pr, onConn = true))
+        case CountPropRe(dk, v, pr) if v == m =>
+          Right(RetCountProp(dk != null, pr, onConn = false))
+        case CountPropRe(_, v, pr) => Left("count() of a property may " +
+          s"only reference '$m'" + conn.fold("")(c => s" or '$c'") +
+          s", got '$v.$pr'")
         case CountRe(dk, v) if conn.contains(v) => Right(RetCount(dk != null))
         // count([DISTINCT] r): relationships traversed — with a bound rel
         // var the bindings relation is one row per EDGE, so plain and
@@ -1447,6 +1467,7 @@ object CypherLite {
         case RetCoalesce(p, _) => Some(s"c_$p")
         case RetCount(_, _) => Some("n_connected")
         case RetCountRoot(_) => Some("n_matched")
+        case RetCountProp(_, p, _) => Some(s"n_$p")
         case RetCollect(_, _) => Some("collected")
         case RetCollectRoot(_, _) => Some("collected")
         case RetAggProp(fn, p) => Some(s"${fn}_$p")
@@ -1571,7 +1592,8 @@ object CypherLite {
               aliased.find(_._2 == b).map(_._1) match {
                 case Some(RetProp(p)) => Right((p, d(dir)))
                 case Some(_: RetCount) | Some(_: RetCollect)
-                   | Some(_: RetAggProp) => Right((CountKey, d(dir)))
+                   | Some(_: RetAggProp) | Some(_: RetCountProp) =>
+                  Right((CountKey, d(dir)))
                 case Some(RetRelType) => Right((RelTypeKey, d(dir)))
                 case Some(RetConnProp(p)) =>
                   Right((ConnKeyPrefix + p, d(dir)))
@@ -1611,11 +1633,14 @@ object CypherLite {
             i.isInstanceOf[RetCount] || i.isInstanceOf[RetCollect] ||
               i.isInstanceOf[RetAggProp] || i.isInstanceOf[RetCountRoot] ||
               i.isInstanceOf[RetAggRootProp] ||
-              i.isInstanceOf[RetCollectRoot]
-          isRootAgg = (i: RetItem) =>
-            i.isInstanceOf[RetCountRoot] ||
-              i.isInstanceOf[RetAggRootProp] ||
-              i.isInstanceOf[RetCollectRoot]
+              i.isInstanceOf[RetCollectRoot] ||
+              i.isInstanceOf[RetCountProp]
+          isRootAgg = (i: RetItem) => i match {
+            case _: RetCountRoot | _: RetAggRootProp |
+                 _: RetCollectRoot => true
+            case RetCountProp(_, _, onConn) => !onConn
+            case _ => false
+          }
           // GLOBAL aggregate form: EVERY RETURN item is an aggregate, so
           // Cypher's grouping rule leaves no grouping keys and the answer
           // is one summary row ("how many X are there")
@@ -1636,7 +1661,9 @@ object CypherLite {
               "(project properties to group instead)")
           else Right(())
           _ <- if (items.exists(i => i.isInstanceOf[RetAggRootProp] ||
-              i.isInstanceOf[RetCollectRoot]) && conn.isDefined)
+              i.isInstanceOf[RetCollectRoot] ||
+              (i match { case RetCountProp(_, _, false) => true
+                case _ => false })) && conn.isDefined)
             Left("with a hop pattern, property aggregates apply to the " +
               s"connected variable ('${conn.get}.<prop>') — " +
               s"m-side sum/avg/min/max/collect are hop-less")
@@ -1934,6 +1961,7 @@ object CypherLite {
       val base = i match {
         case _: RetCount => "n_connected"
         case _: RetCountRoot => "n_matched"
+        case RetCountProp(_, p, _) => s"n_$p"
         case _: RetCollect => "collected"
         case _: RetCollectRoot => "collected"
         case RetAggProp(fn, p) => s"${fn}_$p"
@@ -2534,12 +2562,14 @@ object CypherLite {
               "property directly"))
           else None
         val collectProps = items.collect { case RetCollect(p, _) => p } ++
-          items.collect { case RetAggProp(_, p) => p }
+          items.collect { case RetAggProp(_, p) => p } ++
+          items.collect { case RetCountProp(_, p, true) => p }
         // m-side global property aggregates read MATCHED-node columns —
         // validated against the projectable set, not the connected one
         val rootAggProps =
           items.collect { case RetAggRootProp(_, p) => p } ++
-            items.collect { case RetCollectRoot(p, _) => p }
+            items.collect { case RetCollectRoot(p, _) => p } ++
+            items.collect { case RetCountProp(_, p, false) => p }
         // type(r) conds (onRel) target the bindings' r_type column, not a
         // node property — exempt from the connected-prop name check
         val (connConds, mConds) =
@@ -2662,6 +2692,7 @@ object CypherLite {
     val aggOut = withSpec.map(_.alias).getOrElse(items.collectFirst {
       case _: RetCollect => "collected"
       case RetAggProp(fn, p) => s"${fn}_$p"
+      case RetCountProp(_, p, _) => s"n_$p"
     }.getOrElse("n_connected"))
     // the WHERE DNF, evaluated against a caller-chosen column mapping: bare
     // node columns on the m-only fast path, m_/c_-prefixed binding columns
@@ -2703,14 +2734,15 @@ object CypherLite {
     // grouped-by-root-keys plan shape; only the aggregate expression differs
     val wantsAgg = items.exists(i =>
       i.isInstanceOf[RetCount] || i.isInstanceOf[RetCollect] ||
-        i.isInstanceOf[RetAggProp])
+        i.isInstanceOf[RetAggProp] || i.isInstanceOf[RetCountProp])
     // GLOBAL form: every item an aggregate → no grouping keys, one summary
     // row out of one partial+final hash aggregate (parse() validated the
     // combination rules)
     val globalAgg = items.nonEmpty && items.forall(i =>
       i.isInstanceOf[RetCount] || i.isInstanceOf[RetCollect] ||
         i.isInstanceOf[RetAggProp] || i.isInstanceOf[RetCountRoot] ||
-        i.isInstanceOf[RetAggRootProp] || i.isInstanceOf[RetCollectRoot])
+        i.isInstanceOf[RetAggRootProp] || i.isInstanceOf[RetCollectRoot] ||
+        i.isInstanceOf[RetCountProp])
     // the engine's deterministic list serialization (sorted comma-join —
     // a raw collect_list would be shuffle-order-dependent)
     def collectCol(src: Column, dk: Boolean): Column = {
@@ -2774,6 +2806,8 @@ object CypherLite {
                 case RetCount(_, _) => count(lit(1)) // count(*)
                 case RetCountRoot(dk) =>
                   if (dk) countDistinct(col("id")) else count(col("id"))
+                case RetCountProp(dk, p, _) =>
+                  if (dk) countDistinct(col(p)) else count(col(p))
                 case RetAggRootProp("sum", p) =>
                   coalesce(sum(col(p).try_cast("double")), lit(0d))
                 case RetAggRootProp("avg", p) =>
@@ -2835,6 +2869,12 @@ object CypherLite {
           case RetCount(_, true) => count(lit(1)).as(aggOut)
           case RetCount(true, _) => countDistinct(col("c_id")).as(aggOut)
           case RetCount(false, _) => count(col("c_id")).as(aggOut)
+          // count([DISTINCT] c.prop): non-null property VALUES (count
+          // skips nulls, so an unmatched OPTIONAL root answers 0)
+          case RetCountProp(true, p, true) =>
+            countDistinct(col(s"c_$p")).as(aggOut)
+          case RetCountProp(false, p, true) =>
+            count(col(s"c_$p")).as(aggOut)
           case RetCollect(p, dk) =>
             val vals = collect_list(col(s"c_$p"))
             array_join(array_sort(if (dk) array_distinct(vals) else vals),
@@ -2858,6 +2898,7 @@ object CypherLite {
         val aggConnCol = items.collectFirst {
           case RetCollect(p, _) => s"c_$p"
           case RetAggProp(_, p) => s"c_$p"
+          case RetCountProp(_, p, true) => s"c_$p"
         }.getOrElse("c_id")
         // a bound relationship variable switches the expansion to the
         // single-hop typed-bindings substrate: one row per EDGE (Cypher's
@@ -2928,6 +2969,7 @@ object CypherLite {
             case RetCount(_, star) => if (star) Seq.empty else Seq("c_id")
             case RetCollect(p, _) => Seq(s"c_$p")
             case RetAggProp(_, p) => Seq(s"c_$p")
+            case RetCountProp(_, p, true) => Seq(s"c_$p")
             case _ => Seq.empty
           }.distinct
           val rows =
@@ -2942,6 +2984,9 @@ object CypherLite {
                 case RetCountRoot(dk) =>
                   if (dk) countDistinct(col("root_id"))
                   else count(col("root_id"))
+                case RetCountProp(dk, p, true) =>
+                  if (dk) countDistinct(col(s"c_$p"))
+                  else count(col(s"c_$p"))
                 case RetCollect(p, dk) => collectCol(col(s"c_$p"), dk)
                 case RetAggProp("sum", p) =>
                   coalesce(sum(col(s"c_$p").try_cast("double")), lit(0d))

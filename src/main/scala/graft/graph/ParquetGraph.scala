@@ -1746,6 +1746,21 @@ object ParquetGraph {
         .fold(err => throw new IllegalArgumentException(err), identity)
     },
 
+    // C10 CypherLite twin: count(DISTINCT c.prop) — property-VALUE
+    // counting per group ("how many kinds of X under Y"). Depth 2 from a
+    // region reaches nations and customers, so the distinct label count
+    // is exactly 2 while the plain value count is the binding count — a
+    // bindings-counting regression would answer the same number twice.
+    QueryDef.sql(
+      "graphp_cypher_count_prop",
+      """SELECT r_name AS m_name, CAST(2 AS BIGINT) AS kinds
+        |FROM region ORDER BY m_name""".stripMargin) { (s, d) =>
+      CypherLite.run(hierarchy(s, d),
+        "MATCH (m:Region)-[*1..2]->(c) " +
+          "RETURN m.name, count(DISTINCT c.label) AS kinds ORDER BY m.name")
+        .fold(err => throw new IllegalArgumentException(err), identity)
+    },
+
     // C10 CypherLite twin: the WRITE surface's SET form — the front-end
     // road to the same A18 join-update kernel graphp_set_content grades
     // directly. The summary is the updated result set; the WHERE prunes

@@ -1425,6 +1425,43 @@ class CypherLiteSpec extends SparkSpec {
     assert(counted.columns.toSeq == Seq("a_name", "n_d"))
   }
 
+  test("count([DISTINCT] c.prop) counts property values, not bindings") {
+    val kindsDf = CypherLite.run(g,
+      "MATCH (m:Boeing_Service_Bulletin)-[*1..2]->(c) " +
+        "RETURN m.name, count(DISTINCT c.label) AS kinds")
+      .fold(e => fail(e), identity)
+    val valsDf = CypherLite.run(g,
+      "MATCH (m:Boeing_Service_Bulletin)-[*1..2]->(c) " +
+        "RETURN m.name, count(c.label) AS vals")
+      .fold(e => fail(e), identity)
+    val direct = GraphOps.neighborhoodWhereKeyed(g,
+      col("label") === "Boeing_Service_Bulletin", 2)
+    val perRoot = direct.groupBy("root_name")
+      .agg(countDistinct(col("c_label")).as("k"),
+        count(col("c_label")).as("v"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    kindsDf.collect().foreach { r =>
+      val (k, v) = perRoot(r.getAs[String]("m_name"))
+      assert(r.getAs[Long]("kinds") == k)
+      assert(k <= v)
+    }
+    valsDf.collect().foreach { r =>
+      assert(r.getAs[Long]("vals") == perRoot(r.getAs[String]("m_name"))._2)
+    }
+    // global form, m-side: distinct labels across the whole graph
+    val global = CypherLite.run(g,
+      "MATCH (m) RETURN count(DISTINCT m.label) AS n_labels")
+      .fold(e => fail(e), identity).collect().head
+    assert(global.getAs[Long]("n_labels") ==
+      g.nodes.select("label").distinct().count())
+    // m-side property count under a hop pattern is rejected
+    val bad = CypherLite.parse(
+      "MATCH (m:Step)-[*1..1]->(c) RETURN count(m.name)")
+    assert(bad.isLeft && bad.swap.toOption.get.contains("connected"),
+      bad.toString)
+  }
+
   test("SET m.content updates exactly the matched nodes") {
     val (after, summary) = CypherLite.runWrite(g,
       "MATCH (m:Step) SET m.content = 'reviewed'")
@@ -1517,6 +1554,23 @@ class CypherLiteSpec extends SparkSpec {
     assert(unprojected.isLeft &&
       unprojected.swap.toOption.get.contains("ORDER BY"),
       unprojected.toString)
+  }
+
+  test("single-hop chain steps take the direct edge-join fast path") {
+    // all-k=1 chain: no var-length kernel anywhere in the plan — the
+    // kernel's eager localCheckpoint materializes as an ExistingRDD scan,
+    // so its absence proves the fast path engaged
+    val fast = CypherLite.run(g,
+      "MATCH (a:Boeing_Service_Bulletin)-[]->(b)-[]->(c)-[]->(d) " +
+        "RETURN DISTINCT a.name, d.label").fold(e => fail(e), identity)
+    val fastPlan = fast.queryExecution.executedPlan.toString
+    assert(!fastPlan.contains("ExistingRDD"), fastPlan.take(400))
+    // a ranged step still routes through the var-length kernel
+    val ranged = CypherLite.run(g,
+      "MATCH (a:Boeing_Service_Bulletin)-[]->(b)-[*1..2]->(c) " +
+        "RETURN DISTINCT a.name, c.label").fold(e => fail(e), identity)
+    assert(ranged.queryExecution.executedPlan.toString
+      .contains("ExistingRDD"))
   }
 
   test("N-step chain rejections keep their named errors") {
