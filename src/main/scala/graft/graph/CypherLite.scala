@@ -1591,9 +1591,11 @@ object CypherLite {
             case ObBareItemRe(b, dir) =>
               aliased.find(_._2 == b).map(_._1) match {
                 case Some(RetProp(p)) => Right((p, d(dir)))
-                case Some(_: RetCount) | Some(_: RetCollect)
-                   | Some(_: RetAggProp) | Some(_: RetCountProp) =>
-                  Right((CountKey, d(dir)))
+                case Some(i @ (_: RetCount | _: RetCollect
+                   | _: RetAggProp | _: RetCountProp)) =>
+                  // each aggregate sorts by ITS canonical column (several
+                  // may coexist), carried via the agg: pseudo-namespace
+                  Right((AggKeyPrefix + canonOf(i).getOrElse(""), d(dir)))
                 case Some(RetRelType) => Right((RelTypeKey, d(dir)))
                 case Some(RetConnProp(p)) =>
                   Right((ConnKeyPrefix + p, d(dir)))
@@ -1674,10 +1676,6 @@ object CypherLite {
           else Right(())
           _ <- if (conds.flatten.exists(_.onConn) && conn.isEmpty)
             Left("WHERE on the connected variable requires a hop pattern")
-          else Right(())
-          _ <- if (items.count(isAgg) > 1 && !isGlobal)
-            Left("at most one aggregate (count, collect, sum, avg, min, " +
-              "max) per query")
           else Right(())
           _ <- if (items.exists(isAgg) &&
               (items.contains(RetConnected)
@@ -1989,6 +1987,12 @@ object CypherLite {
     * collide with m-property keys.
     */
   private val ConnKeyPrefix = "c:"
+
+  /** ORDER BY key prefix naming one AGGREGATE's canonical output column
+    * directly (an alias of a specific aggregate when several coexist) —
+    * a colon keeps the namespace collision-free, as with [[ConnKeyPrefix]].
+    */
+  private val AggKeyPrefix = "agg:"
 
   /** Node properties a MATCH pattern or WHERE clause may filter on. */
   private val SupportedProps = Set("name", "content", "docnbr")
@@ -2583,7 +2587,7 @@ object CypherLite {
         // through the outProps check below
         val obProps = orderBy.map(_._1).distinct
           .filterNot(k => k == CountKey || k == RelTypeKey ||
-            k.startsWith(ConnKeyPrefix))
+            k.startsWith(ConnKeyPrefix) || k.startsWith(AggKeyPrefix))
         val projProps = retProps ++ obProps ++ rootAggProps
         // ORDER BY must name a projected property: with LIMIT an unsortable
         // key would silently change WHICH rows come back, which is exactly
@@ -2689,11 +2693,23 @@ object CypherLite {
     }
     // the aggregate's output column: the WITH alias when one was bound,
     // else the fixed contract names (AS aliases rename at the very end)
-    val aggOut = withSpec.map(_.alias).getOrElse(items.collectFirst {
-      case _: RetCollect => "collected"
-      case RetAggProp(fn, p) => s"${fn}_$p"
-      case RetCountProp(_, p, _) => s"n_$p"
-    }.getOrElse("n_connected"))
+    val aggItems = items.filter(i =>
+      i.isInstanceOf[RetCount] || i.isInstanceOf[RetCollect] ||
+        i.isInstanceOf[RetAggProp] || i.isInstanceOf[RetCountProp])
+    // canonical output columns, one per aggregate, in item order (the
+    // WITH pipeline binds its single aggregate to the alias instead);
+    // duplicate-canonical combinations were rejected at parse time, so
+    // these equal each item's canonical name
+    val aggNames = withSpec.map(ws => Seq(ws.alias))
+      .getOrElse(globalCanonNames(aggItems))
+    // the first aggregate's column — the HAVING filter target and the
+    // name single-aggregate callers see
+    val aggOut = aggNames.headOption.getOrElse("n_connected")
+    // ORDER BY count() resolves to the FIRST count-kind aggregate
+    val countOut = aggItems.zip(aggNames).collectFirst {
+      case (i, nm) if i.isInstanceOf[RetCount] ||
+        i.isInstanceOf[RetCountProp] => nm
+    }.getOrElse(aggOut)
     // the WHERE DNF, evaluated against a caller-chosen column mapping: bare
     // node columns on the m-only fast path, m_/c_-prefixed binding columns
     // when a clause references the connected variable. `rhsOf` maps a
@@ -2759,8 +2775,9 @@ object CypherLite {
         // the count pseudo-key sorts by the aggregate output column,
         // the type(r) pseudo-key by the relationship-type column
         def outCol(p: String): String =
-          if (p == CountKey) aggOut
+          if (p == CountKey) countOut
           else if (p == RelTypeKey) "r_type"
+          else if (p.startsWith(AggKeyPrefix)) p.stripPrefix(AggKeyPrefix)
           else if (p.startsWith(ConnKeyPrefix))
             s"c_${p.stripPrefix(ConnKeyPrefix)}"
           else s"m_$p"
@@ -2857,49 +2874,48 @@ object CypherLite {
           coalesceDefaults.foldLeft(df) { case (acc, (c, d)) =>
             acc.withColumn(c, coalesce(col(c), lit(d)))
           }
-        // count(DISTINCT c) counts distinct connected NODES by identity
-        // (c_id); plain count(c) counts surviving (m, c) bindings;
-        // collect([DISTINCT] c.prop) gathers the bindings' property values
-        // into the sorted comma-joined `collected` string (collect_list
-        // skips the left-join nulls of an unmatched OPTIONAL root, so zero
-        // bindings serialize to "" — Cypher's empty list)
-        val aggCol = items.collectFirst {
-          // count(*): rows, not bindings — an unmatched OPTIONAL root's
-          // null row counts 1 (Cypher semantics)
-          case RetCount(_, true) => count(lit(1)).as(aggOut)
-          case RetCount(true, _) => countDistinct(col("c_id")).as(aggOut)
-          case RetCount(false, _) => count(col("c_id")).as(aggOut)
-          // count([DISTINCT] c.prop): non-null property VALUES (count
-          // skips nulls, so an unmatched OPTIONAL root answers 0)
-          case RetCountProp(true, p, true) =>
-            countDistinct(col(s"c_$p")).as(aggOut)
-          case RetCountProp(false, p, true) =>
-            count(col(s"c_$p")).as(aggOut)
-          case RetCollect(p, dk) =>
-            val vals = collect_list(col(s"c_$p"))
-            array_join(array_sort(if (dk) array_distinct(vals) else vals),
-              ",").as(aggOut)
-          // sum/avg numeric via try_cast (non-numeric → null, dropped by
-          // the aggregate — Cypher's rule); a sum over zero surviving
-          // values is 0, not null (Neo4j's sum; an unmatched OPTIONAL
-          // root or an all-non-numeric group answers 0). min/max keep the
-          // property's native string collation and answer null for an
-          // unmatched OPTIONAL root.
-          case RetAggProp("sum", p) =>
-            coalesce(sum(col(s"c_$p").try_cast("double")), lit(0d)).as(aggOut)
-          case RetAggProp("avg", p) =>
-            avg(col(s"c_$p").try_cast("double")).as(aggOut)
-          case RetAggProp("min", p) => min(col(s"c_$p")).as(aggOut)
-          case RetAggProp("max", p) => max(col(s"c_$p")).as(aggOut)
+        // one expression per aggregate item, named canonically, all
+        // evaluated in ONE hash aggregate (partial+final). Semantics per
+        // kind: count(DISTINCT c) counts distinct connected NODES by
+        // identity (c_id); plain count(c) counts surviving (m, c)
+        // bindings; count(*) counts rows (an unmatched OPTIONAL root's
+        // null row counts 1 — Cypher); count([DISTINCT] c.prop) counts
+        // non-null property VALUES; collect([DISTINCT] c.prop) gathers
+        // the bindings' values into the sorted comma-joined `collected`
+        // string (collect_list skips left-join nulls, so zero bindings
+        // serialize to "" — Cypher's empty list); sum/avg go numeric via
+        // try_cast (non-numeric → null, dropped — Cypher's rule; a sum
+        // over zero surviving values is 0, Neo4j's sum); min/max keep the
+        // property's native string collation and answer null for an
+        // unmatched OPTIONAL root.
+        val aggCols = aggItems.zip(aggNames).map { case (i, nm) =>
+          (i match {
+            case RetCount(_, true) => count(lit(1))
+            case RetCount(true, _) => countDistinct(col("c_id"))
+            case RetCount(false, _) => count(col("c_id"))
+            case RetCountProp(true, p, _) => countDistinct(col(s"c_$p"))
+            case RetCountProp(false, p, _) => count(col(s"c_$p"))
+            case RetCollect(p, dk) => collectCol(col(s"c_$p"), dk)
+            case RetAggProp("sum", p) =>
+              coalesce(sum(col(s"c_$p").try_cast("double")), lit(0d))
+            case RetAggProp("avg", p) =>
+              avg(col(s"c_$p").try_cast("double"))
+            case RetAggProp("min", p) => min(col(s"c_$p"))
+            case RetAggProp("max", p) => max(col(s"c_$p"))
+            case other => throw new IllegalArgumentException(
+              s"unsupported aggregate item: $other")
+          }).as(nm)
         }
-        // the binding column the aggregate consumes (left-joined under
-        // OPTIONAL): node identity for count, the property for
-        // collect/sum/avg/min/max
-        val aggConnCol = items.collectFirst {
-          case RetCollect(p, _) => s"c_$p"
-          case RetAggProp(_, p) => s"c_$p"
-          case RetCountProp(_, p, true) => s"c_$p"
-        }.getOrElse("c_id")
+        // the binding columns the aggregates consume (left-joined under
+        // OPTIONAL): node identity for counts, the property for the rest
+        val aggConnCols = aggItems.flatMap {
+          case RetCount(_, true) => Seq.empty[String]
+          case _: RetCount => Seq("c_id")
+          case RetCollect(p, _) => Seq(s"c_$p")
+          case RetAggProp(_, p) => Seq(s"c_$p")
+          case RetCountProp(_, p, true) => Seq(s"c_$p")
+          case _ => Seq.empty[String]
+        }.distinct
         // a bound relationship variable switches the expansion to the
         // single-hop typed-bindings substrate: one row per EDGE (Cypher's
         // true bag semantics — the kernel's min-depth dedup would collapse
@@ -3013,7 +3029,7 @@ object CypherLite {
           // OPTIONAL it rides the left join with the aggregate column
           val out = keys.map("m_" + _) ++ relCols
           val grouped =
-            if (optional) leftJoined(keys, relCols :+ aggConnCol)
+            if (optional) leftJoined(keys, relCols ++ aggConnCols)
             else withRootCols(keys)
           // WITH m, …: group by node IDENTITY (root_id), so two roots that
           // share every projected property value keep separate counts; the
@@ -3022,14 +3038,15 @@ object CypherLite {
             if (withSpec.exists(_.groupIdentity))
               col("root_id") +: out.map(col)
             else out.map(col)
-          val agged = grouped.groupBy(groupCols: _*).agg(aggCol.get)
+          val agged = grouped.groupBy(groupCols: _*)
+            .agg(aggCols.head, aggCols.tail: _*)
           // the WHERE after WITH: a numeric filter on the aggregate —
           // Spark's HAVING, applied post-aggregation
           val havinged = withSpec.flatMap(_.having).fold(agged) {
             case (op, v) => agged.filter(numCmp(col(aggOut), op, v))
           }
           ordered(maybeDistinct(
-            havinged.select((out :+ aggOut).map(col): _*)), out)
+            havinged.select((out ++ aggNames).map(col): _*)), out)
         } else if (wantsConnected) {
           val keys = if (retProps.nonEmpty) retProps.distinct else Seq("name")
           val connSide =

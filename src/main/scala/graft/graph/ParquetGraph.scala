@@ -1746,6 +1746,26 @@ object ParquetGraph {
         .fold(err => throw new IllegalArgumentException(err), identity)
     },
 
+    // C10 CypherLite twin: SEVERAL aggregates in one grouped query (the
+    // LLM staple `RETURN x, count(y), min(y), sum(y)`), all evaluated in
+    // one partial+final hash aggregate, ORDER BY an aliased aggregate.
+    // min(c.name) keeps STRING collation ('10' < '9'), which the oracle
+    // mirrors with a VARCHAR cast — a numeric-min regression hash-misses.
+    QueryDef.sql(
+      "graphp_cypher_multi_agg",
+      """SELECT n_name AS m_name, CAST(count(*) AS BIGINT) AS n_cu,
+        |  min(CAST(c_custkey AS VARCHAR)) AS lo,
+        |  CAST(sum(c_custkey) AS DOUBLE) AS total
+        |FROM nation JOIN customer ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_cu DESC, m_name LIMIT 7""".stripMargin) {
+      (s, d) =>
+      CypherLite.run(hierarchy(s, d),
+        "MATCH (m:Nation)-[:HAS_CUSTOMER]->(c) " +
+          "RETURN m.name, count(c) AS n_cu, min(c.name) AS lo, " +
+          "sum(c.name) AS total ORDER BY n_cu DESC LIMIT 7")
+        .fold(err => throw new IllegalArgumentException(err), identity)
+    },
+
     // C10 CypherLite twin: count(DISTINCT c.prop) — property-VALUE
     // counting per group ("how many kinds of X under Y"). Depth 2 from a
     // region reaches nations and customers, so the distinct label count

@@ -852,10 +852,12 @@ class CypherLiteSpec extends SparkSpec {
       .neighborhoodWhereKeyed(g, col("label") === "Step", 1)
       .select("c_name").collect().map(_.getString(0)).sorted.mkString(",")
     assert(r2.head.getAs[String]("collected") == expected)
-    val r3 = CypherLite.parse(
+    // several aggregates now combine in one grouped query
+    val multi = CypherLite.run(g,
       "MATCH (m:Step)-[*1..1]->(c) RETURN m.name, count(c), collect(c.name)")
-    assert(r3.isLeft &&
-      r3.swap.toOption.get.contains("at most one aggregate"), r3.toString)
+      .fold(e => fail(e), identity)
+    assert(multi.columns.toSeq == Seq("m_name", "n_connected", "collected"),
+      multi.columns.toSeq.toString)
   }
 
   test("connected property-map sugar equals the WHERE equality form") {
@@ -1423,6 +1425,34 @@ class CypherLiteSpec extends SparkSpec {
         "RETURN a.name, count(d)")
       .fold(e => fail(e), identity)
     assert(counted.columns.toSeq == Seq("a_name", "n_d"))
+  }
+
+  test("several aggregates evaluate in one grouped pass") {
+    val df = CypherLite.run(g,
+      "MATCH (m:Boeing_Service_Bulletin)-[*1..2]->(c) " +
+        "RETURN m.name, count(c) AS n, count(DISTINCT c.label) AS kinds, " +
+        "min(c.name) AS lo ORDER BY n DESC")
+      .fold(e => fail(e), identity)
+    assert(df.columns.toSeq == Seq("m_name", "n", "kinds", "lo"))
+    val direct = GraphOps.neighborhoodWhereKeyed(g,
+      col("label") === "Boeing_Service_Bulletin", 2)
+      .groupBy("root_name")
+      .agg(count(col("c_id")).as("n"),
+        countDistinct(col("c_label")).as("kinds"),
+        min(col("c_name")).as("lo"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getString(3))).toMap
+    val rows = df.collect()
+    rows.foreach { r =>
+      val (n, k, lo) = direct(r.getAs[String]("m_name"))
+      assert(r.getAs[Long]("n") == n)
+      assert(r.getAs[Long]("kinds") == k)
+      assert(r.getAs[String]("lo") == lo)
+    }
+    // ORDER BY the aliased aggregate actually ordered the groups
+    val ns = rows.map(_.getAs[Long]("n")).toSeq
+    assert(ns == ns.sortBy(-_))
   }
 
   test("count([DISTINCT] c.prop) counts property values, not bindings") {
