@@ -39,8 +39,10 @@ import org.apache.spark.sql.functions._
   *     pre-Neo4j-4.x property-existence form, ≡ IS NOT NULL
   *     ; any comparison may carry a NOT prefix
   *     (negated after evaluation — NOT null stays null, Cypher's rule)
-  *   [WITH (m|m.prop)[, m.prop ...], count([DISTINCT] c|r|*) AS alias
-  *    [WHERE alias <cmp> number]]
+  *   [WITH (m|m.prop)[, m.prop ...],
+  *    (count([DISTINCT] c|r|*|c.prop) | (sum|avg|min|max)(c.prop)) AS alias
+  *    [WHERE alias <cmp> number]]   // numeric HAVING — count/sum/avg
+  *    aliases only (min/max keep string collation)
   *   RETURN [DISTINCT] m | m.prop[, m.prop ...] | m, c | m.prop, c
   *          | m.prop[, ...], c.prop[, ...] | c.prop[, ...]
   *          | [m.prop[, ...],] type(r)[, c.prop[, ...]]
@@ -483,16 +485,23 @@ object CypherLite {
   private val WithRe =
     (PatFrag +
       """WITH\s+((?:\w+(?:\s*\.\s*\w+)?\s*,\s*)+""" +
-      """count\s*\(\s*(?:DISTINCT\s+)?(?:\*|\w+)\s*\)\s+AS\s+\w+)\s+""" +
+      """(?:count|sum|avg|min|max)\s*\(\s*(?:DISTINCT\s+)?""" +
+      """(?:\*|\w+(?:\s*\.\s*\w+)?)\s*\)\s+AS\s+\w+)\s+""" +
       """(?:WHERE\s+(\w+)\s*(<>|<=|>=|=|<|>)\s*(-?\d+(?:\.\d+)?)\s*)?""" +
       """RETURN\s+(DISTINCT\s+)?(.+?)\s*""" +
       s"""(?:ORDER\\s+BY\\s+($ObItemFrag(?:\\s*,\\s*$ObItemFrag)*)\\s*)?""" +
       """(?:SKIP\s+(\d+)\s*)?""" +
       """(?:LIMIT\s+(\d+))?\s*;?\s*""").r
 
-  // one WITH item: the grouping variable/property or the aliased count
+  // one WITH item: the grouping variable/property or the aliased aggregate
   private val WithCountRe =
     """(?is)\s*count\s*\(\s*(DISTINCT\s+)?(\*|\w+)\s*\)\s+AS\s+(\w+)\s*""".r
+  // count([DISTINCT] c.prop) AS alias — property-value count
+  private val WithCountPropRe =
+    """(?is)\s*count\s*\(\s*(DISTINCT\s+)?(\w+)\s*\.\s*(\w+)\s*\)\s+AS\s+(\w+)\s*""".r
+  // sum/avg/min/max(c.prop) AS alias — the numeric/collation aggregates
+  private val WithAggPropRe =
+    """(?is)\s*(sum|avg|min|max)\s*\(\s*(\w+)\s*\.\s*(\w+)\s*\)\s+AS\s+(\w+)\s*""".r
 
   // MATCH (a)-[r1]->(b)-[r2]->(c) …: the two-step chain. The second hop
   // arrow right after the middle node's paren is what distinguishes this
@@ -1251,24 +1260,38 @@ object CypherLite {
         // keyword from a STARTS WITH comparison)
         val relVar = parseRelVar(query, conn.isDefined)
         val wparts = withItems.split(",").toSeq
-        val countE: Either[String, (Boolean, Boolean, String)] =
+        val aggE: Either[String, (RetItem, String)] =
           wparts.last match {
             case WithCountRe(dk, "*", alias) =>
               if (dk != null) Left("count(DISTINCT *) is not supported")
-              else Right((false, true, alias))
+              else Right((RetCount(distinct = false, star = true), alias))
             case WithCountRe(dk, v, alias) if conn.contains(v) =>
-              Right((dk != null, false, alias))
+              Right((RetCount(dk != null), alias))
             // count(r): one row per traversed EDGE on the typed-bindings
             // substrate, so plain and DISTINCT counts coincide
             case WithCountRe(_, v, alias) if relVar.contains(v) =>
-              Right((false, false, alias))
+              Right((RetCount(distinct = false), alias))
             case WithCountRe(_, v, _) =>
               Left(s"WITH count() may only aggregate the connected " +
                 s"variable '${conn.get}'" +
                 relVar.fold("")(r => s", the relationship variable '$r',") +
                 s" or *, got '$v'")
+            // count([DISTINCT] c.prop): property-VALUE counting
+            case WithCountPropRe(dk, v, pr, alias) if conn.contains(v) =>
+              Right((RetCountProp(dk != null, pr, onConn = true), alias))
+            case WithCountPropRe(_, v, pr, _) =>
+              Left(s"WITH count() of a property may only reference " +
+                s"'${conn.get}', got '$v.$pr'")
+            // sum/avg (numeric via try_cast) and min/max (string
+            // collation) over the bindings' property values
+            case WithAggPropRe(fn, v, pr, alias) if conn.contains(v) =>
+              Right((RetAggProp(fn.toLowerCase(java.util.Locale.ROOT), pr),
+                alias))
+            case WithAggPropRe(fn, v, pr, _) =>
+              Left(s"WITH $fn() may only aggregate the connected " +
+                s"variable '${conn.get}', got '$v.$pr'")
             case other => Left("the last WITH item must be the aliased " +
-              s"count, got '${other.trim.take(40)}'")
+              s"aggregate, got '${other.trim.take(40)}'")
           }
         val keysE: Either[String, (Boolean, Seq[String])] = {
           val parsed = wparts.init.map {
@@ -1288,8 +1311,8 @@ object CypherLite {
             Left(s"a relationship variable ('${relVar.get}') cannot bind " +
               "a variable-length pattern — drop the range or the variable")
           else Right(())
-          c <- countE
-          (dkFlag, star, alias) = c
+          c <- aggE
+          (aggItem, alias) = c
           kk <- keysE
           (groupIdentity, groupProps) = kk
           whereParsed <- parseWhereClause(m, conn, whereStr, relVar)
@@ -1302,10 +1325,20 @@ object CypherLite {
             Left(s"the WHERE after WITH may only filter the aggregate " +
               s"alias '$alias', got '$havVar'")
           else Right(())
+          // the WHERE after WITH compares numerically — meaningful for
+          // count/sum/avg; a min/max alias keeps string collation, so a
+          // numeric filter over it would silently compare garbage
+          _ <- if (havVar != null && (aggItem match {
+              case RetAggProp("min", _) | RetAggProp("max", _) => true
+              case _ => false
+            }))
+            Left("the WHERE after WITH compares numerically — filter a " +
+              "count/sum/avg alias, not min/max")
+          else Right(())
           items <- {
             val parsed = retStr.split(",").toSeq.map {
               case VarPropRe(v, p) if v == m => Right(RetProp(p))
-              case VarRe(v) if v == alias => Right(RetCount(dkFlag, star))
+              case VarRe(v) if v == alias => Right(aggItem)
               case VarRe(v) if v == m =>
                 Left("RETURN of the whole matched node after WITH is not " +
                   s"supported — project $m.<prop> and the alias '$alias'")
@@ -1316,7 +1349,7 @@ object CypherLite {
               .getOrElse(Right(parsed.collect { case Right(i) => i }))
           }
           retProps = items.collect { case RetProp(p) => p }
-          _ <- if (items.count(_.isInstanceOf[RetCount]) != 1)
+          _ <- if (items.count(_ == aggItem) != 1)
             Left(s"RETURN after WITH must include the aggregate alias " +
               s"'$alias' exactly once")
           else Right(())

@@ -1746,6 +1746,23 @@ object ParquetGraph {
         .fold(err => throw new IllegalArgumentException(err), identity)
     },
 
+    // C10 CypherLite twin: WITH … sum(c.prop) … WHERE — the numeric
+    // HAVING pipeline over an aggregate other than count ("nations whose
+    // total X exceeds N"). Identity grouping, the alias keys the ORDER BY,
+    // and the threshold actually splits the distribution at sf0.01.
+    QueryDef.sql(
+      "graphp_cypher_with_sum",
+      """SELECT n_name AS m_name, CAST(sum(c_custkey) AS DOUBLE) AS total
+        |FROM nation JOIN customer ON c_nationkey = n_nationkey
+        |GROUP BY n_name HAVING sum(c_custkey) > 45000
+        |ORDER BY total DESC, m_name""".stripMargin) { (s, d) =>
+      CypherLite.run(hierarchy(s, d),
+        "MATCH (m:Nation)-[:HAS_CUSTOMER]->(c) " +
+          "WITH m, sum(c.name) AS total WHERE total > 45000 " +
+          "RETURN m.name, total ORDER BY total DESC")
+        .fold(err => throw new IllegalArgumentException(err), identity)
+    },
+
     // C10 CypherLite twin: SEVERAL aggregates in one grouped query (the
     // LLM staple `RETURN x, count(y), min(y), sum(y)`), all evaluated in
     // one partial+final hash aggregate, ORDER BY an aliased aggregate.

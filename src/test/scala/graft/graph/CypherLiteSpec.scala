@@ -1427,6 +1427,33 @@ class CypherLiteSpec extends SparkSpec {
     assert(counted.columns.toSeq == Seq("a_name", "n_d"))
   }
 
+  test("WITH pipelines aggregate beyond count: sum/min and property counts") {
+    // sum over the bindings with a numeric HAVING
+    val sums = CypherLite.run(g,
+      "MATCH (m:Boeing_Service_Bulletin)-[*1..2]->(c) " +
+        "WITH m, count(DISTINCT c.label) AS kinds WHERE kinds >= 2 " +
+        "RETURN m.name, kinds").fold(e => fail(e), identity)
+    // WITH m groups by node IDENTITY — several bulletins share a name,
+    // so the direct derivation must group by root_id, not root_name
+    val direct = GraphOps.neighborhoodWhereKeyed(g,
+      col("label") === "Boeing_Service_Bulletin", 2)
+      .groupBy("root_id").agg(countDistinct(col("c_label")).as("k"))
+      .filter(col("k") >= 2).count()
+    assert(sums.count() == direct)
+    // min keeps string collation and is projectable via its alias
+    val mins = CypherLite.run(g,
+      "MATCH (m:Boeing_Service_Bulletin)-[*1..1]->(c) " +
+        "WITH m, min(c.name) AS lo RETURN m.name, lo")
+    assert(mins.isRight, mins.toString)
+    // …but a numeric HAVING over a min/max alias is rejected
+    val badHaving = CypherLite.parse(
+      "MATCH (m:Step)-[*1..1]->(c) WITH m, min(c.name) AS lo " +
+        "WHERE lo > 3 RETURN m.name, lo")
+    assert(badHaving.isLeft &&
+      badHaving.swap.toOption.get.contains("count/sum/avg"),
+      badHaving.toString)
+  }
+
   test("several aggregates evaluate in one grouped pass") {
     val df = CypherLite.run(g,
       "MATCH (m:Boeing_Service_Bulletin)-[*1..2]->(c) " +
