@@ -65,6 +65,12 @@ import org.apache.spark.sql.functions._
   *            // aggregates of the same kind get positionally-suffixed
   *            // output columns (n_connected, n_connected_2) — alias with
   *            // AS for stable names
+  *          | (m | m.prop[, ...]), size((m)-[[:REL][*1..K]]->([:Label]))
+  *            [AS alias]   // the degree EXPRESSION — one row per matched
+  *            // root (identity semantics, zero-degree roots included;
+  *            // desugars to the OPTIONAL expansion + identity-grouped
+  *            // count, with the WHERE kept on the ROOT scan); output
+  *            // column `degree` unless aliased
   *          | m[.prop[, ...]], coalesce(c.prop, 'default')   // null →
   *            default applied before DISTINCT/ORDER BY (OPTIONAL staple)
   *          | labels(m|c)   // ≡ the label column under `m_labels`/
@@ -348,7 +354,12 @@ object CypherLite {
       // the single-hop typed-bindings substrate (one row per EDGE, not per
       // min-depth-deduped (root, node) pair — Cypher's true bag semantics)
       // carrying the edge's type as `r_type`
-      relVar: Option[String] = None) extends Statement
+      relVar: Option[String] = None,
+      // conditions that ALWAYS filter the ROOT scan, even under an
+      // OPTIONAL pattern (where `conds` filters bindings): the size()
+      // desugar puts the user's first-MATCH WHERE here, since that WHERE
+      // was attached to the plain MATCH, not the synthetic optional hop
+      rootConds: Seq[Seq[Cond]] = Seq.empty) extends Statement
   final case class DetachDelete(tag: String) extends Statement
 
   /** `MATCH (m[:Label] [{…}]) [WHERE …] SET m.content = 'value'` — the
@@ -535,6 +546,22 @@ object CypherLite {
   // this engine's deterministic-id model)
   private val CreateRe =
     """(?is)\s*CREATE\s*\(\s*(\w+)\s*:\s*(\w+)\s*\{\s*([^}]*)\s*\}\s*\)\s*;?\s*""".r
+
+  // MATCH (m…) [WHERE …] RETURN <m items>, size((m)-[:R]->([:L])) — the
+  // degree EXPRESSION ("each X and its number of Y"). size() is not an
+  // aggregate in Cypher: every matched root answers one row, zero-degree
+  // roots included — desugared to the OPTIONAL-expansion + identity-
+  // grouped count pipeline, with the user's WHERE kept on the ROOT scan
+  // (it was attached to the plain MATCH, not the synthetic optional hop).
+  private val SizeQueryRe =
+    ("""(?is)\s*MATCH\s*\(\s*(\w+)\s*(?::\s*(\w+))?\s*(?:\{\s*([^}]*)\s*\})?\s*\)\s*""" +
+      """(?:WHERE\s+(.*?)\s*)?""" +
+      """RETURN\s+(.*?),\s*size\s*\(\s*\(\s*(\w+)\s*\)\s*""" +
+      """-\s*\[\s*(?::\s*(\w+(?:\s*\|\s*\w+)*)\s*)?(?:\*\s*1\s*\.\.\s*(\d+)\s*)?\]\s*-\s*>\s*""" +
+      """\(\s*(?::\s*(\w+)\s*)?\)\s*\)\s*(?:AS\s+(\w+)\s*)?""" +
+      s"""(?:ORDER\\s+BY\\s+($ObItemFrag(?:\\s*,\\s*$ObItemFrag)*)\\s*)?""" +
+      """(?:SKIP\s+(\d+)\s*)?""" +
+      """(?:LIMIT\s+(\d+))?\s*;?\s*""").r
 
   // MATCH (a…) MATCH (b…) … — two independent node patterns (no hop). The
   // second MATCH keyword right after the first pattern's paren is what
@@ -1084,6 +1111,95 @@ object CypherLite {
     // ≥3 relationship segments: the N-step chain scanner (regexes cannot
     // express a repeated group) — checked before the fixed-arity forms
     case q if looksMultiChain(q) => parseMultiChain(q)
+    case SizeQueryRe(m, label, propsStr, whereStr, leadStr, sizeVar, relT,
+        hopsK, connLab, aliasStr, obClause, skipStr, limitStr) =>
+      val props = Option(propsStr).toSeq
+        .flatMap(s => PropRe.findAllMatchIn(s)
+          .map(p => p.group(1) -> p.group(2))).toMap
+      val sizeAlias = Option(aliasStr).getOrElse("degree")
+      // leading items: m / m.prop, each optionally AS-aliased
+      val leadE: Either[String, Seq[(RetItem, Option[String])]] = {
+        val parsed = splitTopLevel(leadStr).map { part =>
+          def one(body: String): Either[String, RetItem] = body match {
+            case VarPropRe(v, p) if v == m => Right(RetProp(p))
+            case VarRe(v) if v == m => Right(RetVar)
+            case other => Left("a size() query projects the matched " +
+              s"variable's properties ($m.<prop>) before the size item, " +
+              s"got '${other.trim.take(40)}'")
+          }
+          part match {
+            case AsItemRe(body, a) => one(body).map(i => (i, Some(a)))
+            case p => one(p).map(i => (i, None))
+          }
+        }
+        parsed.collectFirst { case Left(e) => Left(e) }
+          .getOrElse(Right(parsed.collect { case Right(x) => x }))
+      }
+      for {
+        _ <- if (sizeVar != m)
+          Left(s"size() may only anchor the matched variable '$m', " +
+            s"got '$sizeVar'")
+        else Right(())
+        whereParsed <- parseWhereClause(m, None, whereStr)
+        rootConds <- whereParsed match {
+          case (cs, None) => Right(cs)
+          case (_, Some(_)) => Left("a pattern-existence WHERE cannot " +
+            "be combined with size() — the size item IS the pattern")
+        }
+        lead <- leadE
+        _ <- if (lead.isEmpty) Left("RETURN needs at least one item " +
+          "before size()")
+        else Right(())
+        _ <- if (lead.exists(_._1 == RetVar) && lead.size > 1)
+          Left("project either the whole node or properties before " +
+            "size(), not both")
+        else Right(())
+        leadProps = lead.collect { case (RetProp(p), _) => p }
+        ob <- {
+          def d(x: String) = x != null && x.equalsIgnoreCase("DESC")
+          def one(part: String): Either[String, (String, Boolean)] =
+            part match {
+              case ObPropItemRe(v, p, dir) if v == m =>
+                if (!leadProps.contains(p) && !lead.exists(_._1 == RetVar))
+                  Left(s"ORDER BY key '$v.$p' must be among the returned " +
+                    "properties")
+                else Right((p, d(dir)))
+              case ObBareItemRe(b, dir) if b == sizeAlias =>
+                Right((CountKey, d(dir)))
+              case other => Left("a size() query orders by $m properties " +
+                s"or the size alias '$sizeAlias', got " +
+                s"'${other.trim.take(40)}'")
+            }
+          Option(obClause) match {
+            case None => Right(Seq.empty[(String, Boolean)])
+            case Some(cl) =>
+              val parsed = cl.split(",").toSeq.map(one)
+              parsed.collectFirst { case Left(e) => Left(e) }
+                .getOrElse(Right(parsed.collect { case Right(k) => k }))
+          }
+        }
+        _ <- if (skipStr != null && ob.isEmpty)
+          Left("SKIP requires ORDER BY")
+        else Right(())
+      } yield MatchReturn(Option(label), props, Option(relT),
+        Option(hopsK).map(_.toInt).getOrElse(1),
+        // the optional pattern's target-label constraint filters BINDINGS
+        // (a root with no :Label children answers 0)
+        Option(connLab).toSeq
+          .map(l => Seq(Cond("label", "=", l, onConn = true))),
+        lead.map(_._1) :+ RetCount(distinct = false), ob,
+        Option(skipStr).map(_.toInt), Option(limitStr).map(_.toInt),
+        optional = true, distinct = false, existsPat = None,
+        // identity grouping: size() is an expression, so two roots
+        // sharing every projected value still answer separate rows
+        withSpec = Some(WithSpec(groupIdentity = true, sizeAlias, None)),
+        aliases = lead.flatMap { case (i, a) =>
+          a.flatMap(al => (i match {
+            case RetProp(p) => Some(s"m_$p")
+            case _ => None
+          }).map(_ -> al))
+        }.toMap,
+        rootConds = rootConds)
     case DualMatchRe(aVar, aLabel, aPropsStr, bVar, bLabel, bPropsStr,
         whereStr, distinctKw, retStr, obVar, obProp, obDir, skipStr,
         limitStr) =>
@@ -2575,7 +2691,7 @@ object CypherLite {
       case cn: CreateNode => execWrite(g, cn).map(_._2)
       case MatchReturn(label, props, relType, hops, conds, items, orderBy,
           skip, limit, optional, distinct, existsPat, withSpec, aliases,
-          direction, relVar) =>
+          direction, relVar, rootConds) =>
         // unknown keys are rejected, not silently coerced to a name match —
         // a plausible-but-wrong answer is worse than an error to the
         // LLM-emitted-query caller this front end serves
@@ -2611,7 +2727,8 @@ object CypherLite {
         // node property — exempt from the connected-prop name check
         val (connConds, mConds) =
           conds.flatten.filterNot(_.onRel).partition(_.onConn)
-        val filterProps = props.keys ++ mConds.map(_.prop)
+        val filterProps = props.keys ++ mConds.map(_.prop) ++
+          rootConds.flatten.map(_.prop)
         // the count and type(r) pseudo-keys order by the aggregate /
         // relationship-type column, not an m property — exempt from the
         // property-name validations below
@@ -2659,7 +2776,7 @@ object CypherLite {
               s"properties (${outProps.toSeq.sorted.mkString(", ")})")))
           .getOrElse(Right(runMatch(g, label, props, relType, hops, conds,
             items, orderBy, skip, limit, optional, distinct, existsPat,
-            withSpec, aliases, direction, relVar.isDefined)))
+            withSpec, aliases, direction, relVar.isDefined, rootConds)))
     }
 
   /** The edge relation with src/dst swapped — the `<-[]-` traversal
@@ -2710,7 +2827,8 @@ object CypherLite {
       withSpec: Option[WithSpec],
       aliases: Map[String, String] = Map.empty,
       direction: String = "out",
-      hasRelVar: Boolean = false): DataFrame = {
+      hasRelVar: Boolean = false,
+      rootConds: Seq[Seq[Cond]] = Seq.empty): DataFrame = {
     // direction is executed by reorienting the edge relation fed to the
     // expansion kernel — a projection, no extra shuffle: `<-[]-` swaps
     // src/dst, the undirected `-[]-` unions both orientations (each hop
@@ -2757,9 +2875,15 @@ object CypherLite {
     // a cond touches the connected variable on EITHER side of the
     // comparison → the clause must filter bindings, not roots
     val hasConnCond = conds.flatten.exists(c => c.onConn || c.crossOnConn)
+    // rootConds ALWAYS gate the root scan (the size() desugar's
+    // first-MATCH WHERE), independent of the optional/binding routing
+    val rootWhereCol = rootConds
+      .map(_.map(c => condCol(c, col(c.prop)))
+        .reduceOption(_ && _).getOrElse(lit(true)))
+      .reduceOption(_ || _).getOrElse(lit(true))
     val basePred = (label.map(col("label") === _).toSeq ++
       props.map { case (k, v) => col(k) === v })
-      .reduceOption(_ && _).getOrElse(lit(true))
+      .reduceOption(_ && _).getOrElse(lit(true)) && rootWhereCol
     // m-only WHERE pushes down to the root scan; a clause touching the
     // connected variable must instead filter the (m, c) bindings after
     // expansion (Cypher filters the whole pattern match) — an m-cond

@@ -1746,6 +1746,25 @@ object ParquetGraph {
         .fold(err => throw new IllegalArgumentException(err), identity)
     },
 
+    // C10 CypherLite twin: size((m)-[:R]->()) — the degree expression
+    // ("each X and its number of Y"): one row per ROOT, zero-degree roots
+    // included (LEFT JOIN + count of the non-null side), the user WHERE
+    // filtering roots, ORDER BY the degree alias.
+    QueryDef.sql(
+      "graphp_cypher_size",
+      """SELECT n_name AS m_name,
+        |  CAST(count(c_custkey) AS BIGINT) AS degree
+        |FROM nation LEFT JOIN customer ON c_nationkey = n_nationkey
+        |WHERE n_name LIKE '%1%'
+        |GROUP BY n_name ORDER BY degree DESC, m_name""".stripMargin) {
+      (s, d) =>
+      CypherLite.run(hierarchy(s, d),
+        "MATCH (m:Nation) WHERE m.name CONTAINS '1' " +
+          "RETURN m.name, size((m)-[:HAS_CUSTOMER]->()) " +
+          "ORDER BY degree DESC")
+        .fold(err => throw new IllegalArgumentException(err), identity)
+    },
+
     // C10 CypherLite twin: WITH … sum(c.prop) … WHERE — the numeric
     // HAVING pipeline over an aggregate other than count ("nations whose
     // total X exceeds N"). Identity grouping, the alias keys the ORDER BY,

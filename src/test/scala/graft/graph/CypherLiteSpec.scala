@@ -1427,6 +1427,38 @@ class CypherLiteSpec extends SparkSpec {
     assert(counted.columns.toSeq == Seq("a_name", "n_d"))
   }
 
+  test("size((m)-[:R]->()) answers each root's degree, zeros included") {
+    val df = CypherLite.run(g,
+      "MATCH (m:Boeing_Service_Bulletin) " +
+        "RETURN m.name, size((m)-[:HAS_SUMMARY]->()) AS n_summaries")
+      .fold(e => fail(e), identity)
+    // every SB answers exactly one row (identity semantics)
+    assert(df.count() ==
+      g.nodes.filter(col("label") === "Boeing_Service_Bulletin").count())
+    assert(df.columns.toSeq == Seq("m_name", "n_summaries"))
+    assert(df.collect().forall(_.getAs[Long]("n_summaries") >= 0))
+    // a label no SB points at directly → all-zero degrees, rows kept
+    val zeros = CypherLite.run(g,
+      "MATCH (m:Boeing_Service_Bulletin) " +
+        "RETURN m.name, size((m)-[]->(:Paragraph))")
+      .fold(e => fail(e), identity)
+    assert(zeros.count() > 0)
+    assert(zeros.collect().forall(_.getAs[Long]("degree") == 0L))
+    // the WHERE filters ROOTS (not bindings): non-matching roots drop
+    val filtered = CypherLite.run(g,
+      "MATCH (m:Step) WHERE m.name CONTAINS 'step' " +
+        "RETURN m.name, size((m)-[]->()) ORDER BY degree DESC")
+      .fold(e => fail(e), identity)
+    assert(filtered.count() ==
+      g.nodes.filter(col("label") === "Step")
+        .filter(col("name").contains("step")).count())
+    // foreign anchor rejected
+    val bad = CypherLite.run(g,
+      "MATCH (m:Step) RETURN m.name, size((zzz)-[]->())")
+    assert(bad.isLeft && bad.swap.toOption.get.contains("size()"),
+      bad.toString)
+  }
+
   test("WITH pipelines aggregate beyond count: sum/min and property counts") {
     // sum over the bindings with a numeric HAVING
     val sums = CypherLite.run(g,
