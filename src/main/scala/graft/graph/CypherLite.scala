@@ -106,6 +106,10 @@ import org.apache.spark.sql.functions._
   *   RETURN [DISTINCT] (a|b).prop[, ...]
   *   [ORDER BY (a|b).prop [ASC|DESC]] [SKIP n] [LIMIT n]
   *
+  *   // list parameterization ("any of these") — every `= x` comparison
+  *   // in the body rewrites to IN-list membership before parsing:
+  *   UNWIND ['v1'[, ...]] AS x <any MATCH query comparing v.prop = x>
+  *
   *   // whole-query union (all branches must return the same columns;
   *   // UNION dedupes, UNION ALL keeps the bag, mixing forms rejected;
   *   // branch-level ORDER BY/SKIP/LIMIT rejected as in Cypher):
@@ -1072,8 +1076,42 @@ object CypherLite {
     else conds.map(_ ++ sugar)
   }
 
+  // UNWIND ['v', …] AS x <rest> — the list-parameterization prefix LLMs
+  // emit for "any of these" prompts. Desugared by rewriting every
+  // `= x` comparison in <rest> to `IN [list]` (positions located on the
+  // quote-blanked text so a literal can never be corrupted; `<= x` /
+  // `>= x` are protected by the lookbehind) and re-parsing. Duplicate
+  // list elements collapse (the engine's IN is set membership — the one
+  // observable difference from Cypher's bag UNWIND, documented here).
+  private val UnwindPrefixRe =
+    """(?is)\s*UNWIND\s*\[([^\]]*)\]\s+AS\s+(\w+)\s+(.*)""".r
+
+  private def rewriteUnwind(listStr: String, x: String,
+      rest: String): Either[String, String] = {
+    val blanked = blankQuoted(rest)
+    val re = ("""(?<![<>=!])=\s*""" +
+      java.util.regex.Pattern.quote(x) + """\b""").r
+    val ms = re.findAllMatchIn(blanked).toList
+    if (ms.isEmpty)
+      Left(s"the UNWIND variable '$x' is never compared with = in the " +
+        "query body")
+    else {
+      val sb = new StringBuilder
+      var prev = 0
+      ms.foreach { mm =>
+        sb.append(rest.substring(prev, mm.start))
+        sb.append(s"IN [$listStr]")
+        prev = mm.end
+      }
+      sb.append(rest.substring(prev))
+      Right(sb.toString)
+    }
+  }
+
   def parse(query: String): Either[String, Statement] = query match {
     case DeleteRe(_, tag) => Right(DetachDelete(tag))
+    case UnwindPrefixRe(listStr, x, rest) =>
+      rewriteUnwind(listStr, x, rest).flatMap(parse)
     case SetRe(m, label, propsStr, whereStr, setVar, setProp, value) =>
       val props = Option(propsStr).toSeq
         .flatMap(s => PropRe.findAllMatchIn(s)

@@ -1746,6 +1746,20 @@ object ParquetGraph {
         .fold(err => throw new IllegalArgumentException(err), identity)
     },
 
+    // C10 CypherLite twin: the UNWIND list-parameterization prefix — the
+    // "any of these" form, rewritten to IN membership; one listed name is
+    // absent, so the rewrite's set semantics are visible in the row count.
+    QueryDef.sql(
+      "graphp_cypher_unwind",
+      """SELECT n_name AS m_name FROM nation
+        |WHERE n_name IN ('NATION_3', 'NATION_7', 'NATION_93')
+        |ORDER BY m_name""".stripMargin) { (s, d) =>
+      CypherLite.run(hierarchy(s, d),
+        "UNWIND ['NATION_3', 'NATION_7', 'NATION_93'] AS x " +
+          "MATCH (m:Nation) WHERE m.name = x RETURN m.name ORDER BY m.name")
+        .fold(err => throw new IllegalArgumentException(err), identity)
+    },
+
     // C10 CypherLite twin: size((m)-[:R]->()) — the degree expression
     // ("each X and its number of Y"): one row per ROOT, zero-degree roots
     // included (LEFT JOIN + count of the non-null side), the user WHERE

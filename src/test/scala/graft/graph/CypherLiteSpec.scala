@@ -1427,6 +1427,29 @@ class CypherLiteSpec extends SparkSpec {
     assert(counted.columns.toSeq == Seq("a_name", "n_d"))
   }
 
+  test("UNWIND list prefix rewrites = x comparisons to IN membership") {
+    val names = g.nodes.filter(col("label") === "Step")
+      .select("name").collect().map(_.getString(0)).distinct.take(2).toSeq
+    val listTxt = names.map(n => s"'$n'").mkString(", ")
+    val df = CypherLite.run(g,
+      s"UNWIND [$listTxt] AS x " +
+        "MATCH (m:Step) WHERE m.name = x RETURN m.name")
+      .fold(e => fail(e), identity)
+    assert(df.count() ==
+      g.nodes.filter(col("label") === "Step")
+        .filter(col("name").isin(names: _*)).count())
+    // composes with other conds; <= x is NOT rewritten
+    val mixed = CypherLite.run(g,
+      s"UNWIND [$listTxt] AS x MATCH (m:Step) " +
+        "WHERE m.name = x AND m.name <= 'zzzz' RETURN m.name")
+    assert(mixed.isRight, mixed.toString)
+    // an unused UNWIND variable errors rather than silently dropping
+    val unused = CypherLite.run(g,
+      "UNWIND ['a'] AS x MATCH (m:Step) RETURN m.name")
+    assert(unused.isLeft &&
+      unused.swap.toOption.get.contains("UNWIND"), unused.toString)
+  }
+
   test("size((m)-[:R]->()) answers each root's degree, zeros included") {
     val df = CypherLite.run(g,
       "MATCH (m:Boeing_Service_Bulletin) " +
