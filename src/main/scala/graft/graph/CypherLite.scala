@@ -1192,6 +1192,10 @@ object CypherLite {
           Left("project either the whole node or properties before " +
             "size(), not both")
         else Right(())
+        _ <- if (lead.exists(p => p._1 == RetVar && p._2.isDefined))
+          Left("AS may only alias a property item, not a whole node — " +
+            "project properties instead")
+        else Right(())
         leadProps = lead.collect { case (RetProp(p), _) => p }
         ob <- {
           def d(x: String) = x != null && x.equalsIgnoreCase("DESC")
@@ -1310,6 +1314,11 @@ object CypherLite {
         conds <- condsE
         items <- itemsE
         _ <- if (items.isEmpty) Left("RETURN needs at least one item")
+        else Right(())
+        // a duplicate projection would silently collapse into one output
+        // column (the select dedups) — reject instead
+        _ <- if (items.distinct.size != items.size)
+          Left("the same item cannot be projected twice")
         else Right(())
         desc = Option(obDir).exists(_.equalsIgnoreCase("DESC"))
         ob <- (Option(obVar), Option(obProp)) match {
@@ -2331,12 +2340,17 @@ object CypherLite {
       stmt: Statement): Either[String, (GraphTables, DataFrame)] =
     stmt match {
       case SetContent(label, props, conds, value) =>
-        (props.keys ++ conds.flatten.map(_.prop)).find(!SupportedProps(_))
+        (props.keys ++ conds.flatten.map(_.prop) ++
+          conds.flatten.flatMap(_.crossProp)).find(!SupportedProps(_))
           .map(k => Left(s"unsupported property: $k " +
             s"(supported: ${SupportedProps.toSeq.sorted.mkString(", ")})"))
           .getOrElse {
+            // cross-variable conds (m.p1 <op> m.p2) compare column-to-
+            // column — the rhs argument must be threaded or the
+            // comparison would silently fall back to the empty literal
             val whereCol = conds
-              .map(_.map(c => condCol(c, col(c.prop)))
+              .map(_.map(c => condCol(c, col(c.prop),
+                  c.crossProp.map(col)))
                 .reduceOption(_ && _).getOrElse(lit(true)))
               .reduceOption(_ || _).getOrElse(lit(true))
             val pred = (label.map(col("label") === _).toSeq ++
@@ -2725,8 +2739,13 @@ object CypherLite {
         val after = GraphOps.dropBatch(g, tag)
         Right(after.nodes.groupBy("batch")
           .agg(count(lit(1)).as("n_nodes")).orderBy("batch").toDF())
-      case sc: SetContent => execWrite(g, sc).map(_._2)
-      case cn: CreateNode => execWrite(g, cn).map(_._2)
+      // SET/CREATE through the read API would compute a success summary
+      // from a mutated graph that is immediately DISCARDED — a phantom
+      // write. Reject with a pointer instead of pretending.
+      case _: SetContent | _: CreateNode =>
+        Left("SET/CREATE are write statements — use runWrite(), which " +
+          "returns the mutated graph alongside the summary (run() would " +
+          "discard the mutation)")
       case MatchReturn(label, props, relType, hops, conds, items, orderBy,
           skip, limit, optional, distinct, existsPat, withSpec, aliases,
           direction, relVar, rootConds) =>
@@ -2766,7 +2785,8 @@ object CypherLite {
         val (connConds, mConds) =
           conds.flatten.filterNot(_.onRel).partition(_.onConn)
         val filterProps = props.keys ++ mConds.map(_.prop) ++
-          rootConds.flatten.map(_.prop)
+          rootConds.flatten.map(_.prop) ++
+          rootConds.flatten.flatMap(_.crossProp)
         // the count and type(r) pseudo-keys order by the aggregate /
         // relationship-type column, not an m property — exempt from the
         // property-name validations below
@@ -2916,7 +2936,7 @@ object CypherLite {
     // rootConds ALWAYS gate the root scan (the size() desugar's
     // first-MATCH WHERE), independent of the optional/binding routing
     val rootWhereCol = rootConds
-      .map(_.map(c => condCol(c, col(c.prop)))
+      .map(_.map(c => condCol(c, col(c.prop), c.crossProp.map(col)))
         .reduceOption(_ && _).getOrElse(lit(true)))
       .reduceOption(_ || _).getOrElse(lit(true))
     val basePred = (label.map(col("label") === _).toSeq ++

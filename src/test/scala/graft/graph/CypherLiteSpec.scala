@@ -1605,9 +1605,38 @@ class CypherLiteSpec extends SparkSpec {
     val (after2, _) = CypherLite.runWrite(after1, q)
       .fold(e => fail(e), identity)
     assert(after2.nodes.count() == after1.nodes.count())
-    // read path sees only the summary
-    val viaRun = CypherLite.run(g, q).fold(e => fail(e), identity)
-    assert(viaRun.count() == 1)
+    // the read API refuses writes rather than discarding the mutation
+    val viaRun = CypherLite.run(g, q)
+    assert(viaRun.isLeft &&
+      viaRun.swap.toOption.get.contains("runWrite"), viaRun.toString)
+  }
+
+  test("cross-variable WHERE works in SET and size() paths") {
+    // SET gated by a column-to-column comparison: name = content holds
+    // for no Step (content differs), so nothing updates
+    val (_, none) = CypherLite.runWrite(g,
+      "MATCH (m:Step) WHERE m.name = m.content SET m.content = 'x'")
+      .fold(e => fail(e), identity)
+    val matching = g.nodes.filter(col("label") === "Step")
+      .filter(col("name") === col("content")).count()
+    assert(none.count() == matching)
+    // size() with a cross-variable root WHERE filters the right roots
+    val df = CypherLite.run(g,
+      "MATCH (m:Step) WHERE m.name <> m.content " +
+        "RETURN m.name, size((m)-[]->())")
+      .fold(e => fail(e), identity)
+    assert(df.count() == g.nodes.filter(col("label") === "Step")
+      .filter(col("name") =!= col("content")).count())
+    // dual-match duplicate projection is rejected, not collapsed
+    val dup = CypherLite.parse(
+      "MATCH (a:Step) MATCH (b:Step) RETURN a.name, a.name, b.name")
+    assert(dup.isLeft &&
+      dup.swap.toOption.get.contains("twice"), dup.toString)
+    // size(): AS on a whole-node lead item is rejected, not dropped
+    val badAlias = CypherLite.parse(
+      "MATCH (m:Step) RETURN m AS node, size((m)-[]->())")
+    assert(badAlias.isLeft &&
+      badAlias.swap.toOption.get.contains("alias"), badAlias.toString)
   }
 
   test("write-surface rejections keep their named errors") {
