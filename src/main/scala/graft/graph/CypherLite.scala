@@ -429,7 +429,8 @@ object CypherLite {
       nodes: Seq[ChainNode],
       conds: Seq[Seq[(Int, Cond)]],
       items: Seq[(Int, String)],
-      orderBy: Option[(Int, String, Boolean)],
+      // ORDER BY keys in query order, most-significant first
+      orderBy: Seq[(Int, String, Boolean)],
       skip: Option[Int],
       limit: Option[Int],
       distinct: Boolean) extends Statement
@@ -445,14 +446,15 @@ object CypherLite {
     *
     *  - `conds`: DNF of (node index 0/1/2, comparison)
     *  - `items`: projections as (node index, prop)
-    *  - `orderBy`: (node index, prop, descending)
+    *  - `orderBy`: key LIST in query order, most-significant first —
+    *    (node index, prop, descending); index -1 = the count pseudo-key
     */
   final case class ChainReturn(
       nodes: Seq[ChainNode],
       rels: Seq[(Option[String], Int)], // (relType, max hops) per step
       conds: Seq[Seq[(Int, Cond)]],
       items: Seq[(Int, String)],
-      orderBy: Option[(Int, String, Boolean)],
+      orderBy: Seq[(Int, String, Boolean)],
       skip: Option[Int],
       limit: Option[Int],
       distinct: Boolean,
@@ -530,7 +532,7 @@ object CypherLite {
       """\(\s*(\w+)\s*(?::\s*(\w+))?\s*(?:\{\s*([^}]*)\s*\})?\s*\)\s*""" +
       """(?:WHERE\s+(.*?)\s*)?""" +
       """RETURN\s+(DISTINCT\s+)?(.+?)\s*""" +
-      """(?:ORDER\s+BY\s+(?:(\w+)\s*\.\s*(\w+)|count\s*\(\s*(?:DISTINCT\s+)?(\w+)\s*\))\s*(?:(ASC|DESC)\s*)?)?""" +
+      s"""(?:ORDER\\s+BY\\s+($ObItemFrag(?:\\s*,\\s*$ObItemFrag)*)\\s*)?""" +
       """(?:SKIP\s+(\d+)\s*)?""" +
       """(?:LIMIT\s+(\d+))?\s*;?\s*""").r
 
@@ -576,7 +578,7 @@ object CypherLite {
       """MATCH\s*\(\s*(\w+)\s*(?::\s*(\w+))?\s*(?:\{\s*([^}]*)\s*\})?\s*\)\s*""" +
       """(?:WHERE\s+(.*?)\s*)?""" +
       """RETURN\s+(DISTINCT\s+)?(.+?)\s*""" +
-      """(?:ORDER\s+BY\s+(\w+)\s*\.\s*(\w+)\s*(?:(ASC|DESC)\s*)?)?""" +
+      s"""(?:ORDER\\s+BY\\s+($ObItemFrag(?:\\s*,\\s*$ObItemFrag)*)\\s*)?""" +
       """(?:SKIP\s+(\d+)\s*)?""" +
       """(?:LIMIT\s+(\d+))?\s*;?\s*""").r
 
@@ -1243,8 +1245,7 @@ object CypherLite {
         }.toMap,
         rootConds = rootConds)
     case DualMatchRe(aVar, aLabel, aPropsStr, bVar, bLabel, bPropsStr,
-        whereStr, distinctKw, retStr, obVar, obProp, obDir, skipStr,
-        limitStr) =>
+        whereStr, distinctKw, retStr, obClause, skipStr, limitStr) =>
       def propsOf(s: String): Map[String, String] =
         Option(s).toSeq.flatMap(x => PropRe.findAllMatchIn(x)
           .map(p => p.group(1) -> p.group(2))).toMap
@@ -1320,17 +1321,28 @@ object CypherLite {
         _ <- if (items.distinct.size != items.size)
           Left("the same item cannot be projected twice")
         else Right(())
-        desc = Option(obDir).exists(_.equalsIgnoreCase("DESC"))
-        ob <- (Option(obVar), Option(obProp)) match {
-          case (None, _) => Right(None)
-          case (Some(v), Some(p)) if varIdx.contains(v) =>
-            if (items.contains((varIdx(v), p)))
-              Right(Some((varIdx(v), p, desc)))
-            else Left(s"ORDER BY key '$v.$p' must be among the returned " +
-              "properties")
-          case (Some(v), _) =>
-            Left(s"ORDER BY may only reference " +
-              s"${nodes.map(_.v).mkString(", ")}, got '$v'")
+        ob <- {
+          def d(x: String) = x != null && x.equalsIgnoreCase("DESC")
+          def one(part: String): Either[String, (Int, String, Boolean)] =
+            part match {
+              case ObPropItemRe(v, p, dir) if varIdx.contains(v) =>
+                if (items.contains((varIdx(v), p)))
+                  Right((varIdx(v), p, d(dir)))
+                else Left(s"ORDER BY key '$v.$p' must be among the " +
+                  "returned properties")
+              case ObPropItemRe(v, _, _) =>
+                Left(s"ORDER BY may only reference " +
+                  s"${nodes.map(_.v).mkString(", ")}, got '$v'")
+              case other =>
+                Left(s"unsupported ORDER BY item: ${other.trim.take(40)}")
+            }
+          Option(obClause) match {
+            case None => Right(Seq.empty[(Int, String, Boolean)])
+            case Some(cl) =>
+              val parsed = cl.split(",").toSeq.map(one)
+              parsed.collectFirst { case Left(e) => Left(e) }
+                .getOrElse(Right(parsed.collect { case Right(k) => k }))
+          }
         }
         _ <- if (skipStr != null && ob.isEmpty)
           Left("SKIP requires ORDER BY")
@@ -1391,8 +1403,7 @@ object CypherLite {
         propsOf(aPropsStr), Option(relT), bound, bVar, Option(bLabel),
         propsOf(bPropsStr), items, ob, Option(limitStr).map(_.toInt))
     case ChainRe(v1, l1, p1, r1, k1, v2, l2, p2, r2, k2, v3, l3, p3,
-        whereStr, distinctKw, retStr, obVar, obProp, obCountVar, obDir,
-        skipStr, limitStr) =>
+        whereStr, distinctKw, retStr, obClause, skipStr, limitStr) =>
       val nodes = Seq((v1, l1, p1), (v2, l2, p2), (v3, l3, p3)).map {
         case (v, l, ps) => ChainNode(v, Option(l),
           Option(ps).toSeq.flatMap(s => PropRe.findAllMatchIn(s)
@@ -1401,8 +1412,8 @@ object CypherLite {
       val rels = Seq(
         (Option(r1), Option(k1).map(_.toInt).getOrElse(1)),
         (Option(r2), Option(k2).map(_.toInt).getOrElse(1)))
-      buildChainStmt(nodes, rels, whereStr, distinctKw, retStr, obVar,
-        obProp, obCountVar, obDir, skipStr, limitStr)
+      buildChainStmt(nodes, rels, whereStr, distinctKw, retStr, obClause,
+        skipStr, limitStr)
     case WithRe(m, label, propsStr, optVar, relType, hopsStr, connVar,
         connLabel, connPropsStr, whereStr, withItems, havVar, havOp, havNum,
         distinctKw, retStr, obClause, skipStr, limitStr) =>
@@ -1962,7 +1973,7 @@ object CypherLite {
   private val ChainTailRe =
     ("""(?is)\s*(?:WHERE\s+(.*?)\s*)?""" +
       """RETURN\s+(DISTINCT\s+)?(.+?)\s*""" +
-      """(?:ORDER\s+BY\s+(?:(\w+)\s*\.\s*(\w+)|count\s*\(\s*(?:DISTINCT\s+)?(\w+)\s*\))\s*(?:(ASC|DESC)\s*)?)?""" +
+      s"""(?:ORDER\\s+BY\\s+($ObItemFrag(?:\\s*,\\s*$ObItemFrag)*)\\s*)?""" +
       """(?:SKIP\s+(\d+)\s*)?""" +
       """(?:LIMIT\s+(\d+))?\s*;?\s*""").r
   private val ArrowSegRe = """\]\s*-\s*>""".r
@@ -2018,11 +2029,10 @@ object CypherLite {
         }
         err.toLeft(()).flatMap { _ =>
           query.substring(pos) match {
-            case ChainTailRe(whereStr, distinctKw, retStr, obVar, obProp,
-                obCountVar, obDir, skipStr, limitStr) =>
+            case ChainTailRe(whereStr, distinctKw, retStr, obClause,
+                skipStr, limitStr) =>
               buildChainStmt(nodesB.result(), relsB.result(), whereStr,
-                distinctKw, retStr, obVar, obProp, obCountVar, obDir,
-                skipStr, limitStr)
+                distinctKw, retStr, obClause, skipStr, limitStr)
             case rest =>
               Left("unsupported chain tail: '" + rest.trim.take(60) + "'")
           }
@@ -2036,9 +2046,8 @@ object CypherLite {
     */
   private def buildChainStmt(nodes: Seq[ChainNode],
       rels: Seq[(Option[String], Int)], whereStr: String,
-      distinctKw: String, retStr: String, obVar: String, obProp: String,
-      obCountVar: String, obDir: String, skipStr: String,
-      limitStr: String): Either[String, Statement] = {
+      distinctKw: String, retStr: String, obClause: String,
+      skipStr: String, limitStr: String): Either[String, Statement] = {
       val varIdx = nodes.map(_.v).zipWithIndex.toMap
       val condsE: Either[String, Seq[Seq[(Int, Cond)]]] =
         Option(whereStr).map(_.trim).filter(_.nonEmpty) match {
@@ -2111,27 +2120,36 @@ object CypherLite {
             "a chain count() requires a grouping property"
           else "RETURN needs at least one item")
         else Right(())
-        desc = Option(obDir).exists(_.equalsIgnoreCase("DESC"))
-        ob <- (Option(obVar), Option(obProp), Option(obCountVar)) match {
-          case (None, _, None) => Right(None)
-          case (Some(v), Some(p), _) if varIdx.contains(v) =>
-            Right(Some((varIdx(v), p, desc)))
-          case (Some(v), _, _) =>
-            Left(s"ORDER BY may only reference the chain variables, " +
-              s"got '$v'")
-          // ORDER BY count(v): sort groups by the aggregate — encoded
-          // with index -1, resolved to the count column in runChain
-          case (None, _, Some(v))
-              if counts.exists(c => c._1 == varIdx.getOrElse(v, -2)) =>
-            Right(Some((-1, "count", desc)))
-          case (None, _, Some(v)) =>
-            Left(s"ORDER BY count($v) requires count($v) in RETURN")
-        }
-        _ <- ob match {
-          case Some((i, p, _)) if i >= 0 && !items.contains((i, p)) =>
-            Left(s"ORDER BY key '${nodes(i).v}.$p' must be among the " +
-              "returned properties")
-          case _ => Right(())
+        // ORDER BY: a key LIST, most-significant first — chain-variable
+        // properties (each must be projected) and/or count(v) (index -1,
+        // resolved to the count column in runChain)
+        ob <- {
+          def d(x: String) = x != null && x.equalsIgnoreCase("DESC")
+          def one(part: String): Either[String, (Int, String, Boolean)] =
+            part match {
+              case ObPropItemRe(v, p, dir) if varIdx.contains(v) =>
+                if (!items.contains((varIdx(v), p)))
+                  Left(s"ORDER BY key '$v.$p' must be among the " +
+                    "returned properties")
+                else Right((varIdx(v), p, d(dir)))
+              case ObPropItemRe(v, _, _) =>
+                Left(s"ORDER BY may only reference the chain variables, " +
+                  s"got '$v'")
+              case ObCountItemRe(v, dir)
+                  if counts.exists(c => c._1 == varIdx.getOrElse(v, -2)) =>
+                Right((-1, "count", d(dir)))
+              case ObCountItemRe(v, _) =>
+                Left(s"ORDER BY count($v) requires count($v) in RETURN")
+              case other =>
+                Left(s"unsupported ORDER BY item: ${other.trim.take(40)}")
+            }
+          Option(obClause) match {
+            case None => Right(Seq.empty[(Int, String, Boolean)])
+            case Some(cl) =>
+              val parsed = cl.split(",").toSeq.map(one)
+              parsed.collectFirst { case Left(e) => Left(e) }
+                .getOrElse(Right(parsed.collect { case Right(k) => k }))
+          }
         }
         _ <- if (skipStr != null && ob.isEmpty)
           Left("SKIP requires ORDER BY")
@@ -2307,14 +2325,19 @@ object CypherLite {
         val projected = filtered.select(out.map(col): _*)
         if (ch.distinct) projected.distinct() else projected
     }
-    val ordered = ch.orderBy match {
-      case Some((i, p, desc)) =>
-        val key = if (i < 0) s"n_${ch.nodes(ch.countVar.get._1).v}"
-          else s"${ch.nodes(i).v}_$p"
-        val head = if (desc) col(key).desc else col(key).asc
-        deduped.orderBy(head +: out.filterNot(_ == key).map(col): _*)
-      case None => deduped.orderBy(out.map(col): _*)
-    }
+    val ordered =
+      if (ch.orderBy.isEmpty) deduped.orderBy(out.map(col): _*)
+      else {
+        def nameOf(k: (Int, String, Boolean)): String =
+          if (k._1 < 0) s"n_${ch.nodes(ch.countVar.get._1).v}"
+          else s"${ch.nodes(k._1).v}_${k._2}"
+        val names = ch.orderBy.map(nameOf)
+        val keys = ch.orderBy.map { k =>
+          if (k._3) col(nameOf(k)).desc else col(nameOf(k)).asc
+        }
+        deduped.orderBy(
+          keys ++ out.filterNot(names.contains).map(col): _*)
+      }
     val skipped = ch.skip.map(ordered.offset).getOrElse(ordered)
     ch.limit.map(skipped.limit).getOrElse(skipped)
   }
@@ -2425,13 +2448,18 @@ object CypherLite {
     val out = dm.items.map { case (i, p) => s"${dm.nodes(i).v}_$p" }.distinct
     val projected = joined.filter(filt).select(out.map(col): _*)
     val deduped = if (dm.distinct) projected.distinct() else projected
-    val ordered = dm.orderBy match {
-      case Some((i, p, desc)) =>
-        val key = s"${dm.nodes(i).v}_$p"
-        val head = if (desc) col(key).desc else col(key).asc
-        deduped.orderBy(head +: out.filterNot(_ == key).map(col): _*)
-      case None => deduped.orderBy(out.map(col): _*)
-    }
+    val ordered =
+      if (dm.orderBy.isEmpty) deduped.orderBy(out.map(col): _*)
+      else {
+        def nameOf(k: (Int, String, Boolean)): String =
+          s"${dm.nodes(k._1).v}_${k._2}"
+        val names = dm.orderBy.map(nameOf)
+        val keys = dm.orderBy.map { k =>
+          if (k._3) col(nameOf(k)).desc else col(nameOf(k)).asc
+        }
+        deduped.orderBy(
+          keys ++ out.filterNot(names.contains).map(col): _*)
+      }
     val skipped = dm.skip.map(ordered.offset).getOrElse(ordered)
     dm.limit.map(skipped.limit).getOrElse(skipped)
   }
@@ -2663,9 +2691,9 @@ object CypherLite {
           case m: MatchReturn =>
             m.orderBy.nonEmpty || m.skip.isDefined || m.limit.isDefined
           case c: ChainReturn =>
-            c.orderBy.isDefined || c.skip.isDefined || c.limit.isDefined
+            c.orderBy.nonEmpty || c.skip.isDefined || c.limit.isDefined
           case dm: DualMatchReturn =>
-            dm.orderBy.isDefined || dm.skip.isDefined || dm.limit.isDefined
+            dm.orderBy.nonEmpty || dm.skip.isDefined || dm.limit.isDefined
           case sp: ShortestPathReturn =>
             sp.orderBy.isDefined || sp.limit.isDefined
           case _ => false

@@ -1746,6 +1746,24 @@ object ParquetGraph {
         .fold(err => throw new IllegalArgumentException(err), identity)
     },
 
+    // C10 CypherLite twin: MULTI-KEY ORDER BY on a chain — LIMIT 7
+    // crosses a region boundary, so the second key decides which of the
+    // next region's nations survive (the same discriminating shape as
+    // the single-hop multikey twin, now through the chain path).
+    QueryDef.sql(
+      "graphp_cypher_chain_multikey",
+      """SELECT DISTINCT r_name AS r_name, n_name AS n_name
+        |FROM region JOIN nation ON n_regionkey = r_regionkey
+        |JOIN customer ON c_nationkey = n_nationkey
+        |ORDER BY r_name DESC, n_name DESC LIMIT 7""".stripMargin) {
+      (s, d) =>
+      CypherLite.run(hierarchy(s, d),
+        "MATCH (r:Region)-[:HAS_NATION]->(n:Nation)-[:HAS_CUSTOMER]->(cu) " +
+          "RETURN DISTINCT r.name, n.name " +
+          "ORDER BY r.name DESC, n.name DESC LIMIT 7")
+        .fold(err => throw new IllegalArgumentException(err), identity)
+    },
+
     // C10 CypherLite twin: the UNWIND list-parameterization prefix — the
     // "any of these" form, rewritten to IN membership; one listed name is
     // absent, so the rewrite's set semantics are visible in the row count.

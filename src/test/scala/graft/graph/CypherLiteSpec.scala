@@ -1714,6 +1714,33 @@ class CypherLiteSpec extends SparkSpec {
       .contains("ExistingRDD"))
   }
 
+  test("chain and dual-MATCH ORDER BY take key lists") {
+    val chain = CypherLite.run(g,
+      "MATCH (a:Boeing_Service_Bulletin)-[]->(b)-[]->(c) " +
+        "RETURN DISTINCT a.name, b.label, c.label " +
+        "ORDER BY b.label DESC, c.label ASC LIMIT 5")
+      .fold(e => fail(e), identity).collect()
+    assert(chain.nonEmpty)
+    val pairs = chain.map(r => (r.getAs[String]("b_label"),
+      r.getAs[String]("c_label"))).toSeq
+    // most-significant key descending, second ascending within ties
+    assert(pairs == pairs.sortBy { case (b, c) => (b, c) }(
+      Ordering.Tuple2(Ordering.String.reverse, Ordering.String)))
+    val dual = CypherLite.run(g,
+      "MATCH (x:Step) MATCH (y:Step) WHERE x.name < y.name " +
+        "RETURN x.name, y.name ORDER BY x.name DESC, y.name DESC LIMIT 3")
+      .fold(e => fail(e), identity).collect()
+    val dp = dual.map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(dp == dp.sortBy(identity)(Ordering.Tuple2(
+      Ordering.String.reverse, Ordering.String.reverse)))
+    // an unprojected key is still rejected per-key
+    val bad = CypherLite.parse(
+      "MATCH (a:X)-[]->(b)-[]->(c) RETURN a.name " +
+        "ORDER BY a.name, b.label")
+    assert(bad.isLeft && bad.swap.toOption.get.contains("ORDER BY"),
+      bad.toString)
+  }
+
   test("N-step chain rejections keep their named errors") {
     // duplicate variable across four nodes
     val dup = CypherLite.parse(
