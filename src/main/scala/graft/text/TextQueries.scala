@@ -1930,6 +1930,152 @@ object TextQueries {
             " i -> substring(word, i, 2))")).as("pair"), col("f"))
         .groupBy("pair").agg(sum("f").as("freq"))
         .orderBy(col("freq").desc, col("pair")).limit(20)
+    },
+
+    // ------------------------------------- L44 hard-negative mining (new r8)
+    // Contrastive-training prep: for each probe vector, the top-3 most
+    // cosine-similar vectors carrying a DIFFERENT label — the "hard
+    // negatives" a contrastive or reranker trainer pairs with each anchor.
+    // Same brute-force shape as l3 (bounded probe set BROADCASTS, the
+    // collection streams — one pass, no shuffle of the big side); at
+    // 100 TB the probe set is the training batch and the collection-side
+    // scan parallelizes per partition. The label inequality is applied
+    // BEFORE the top-k window, so negatives never crowd out of the frame.
+    // sim rounds through the portable 6-dp lens; the dot is the native
+    // codegen'd graft_dot fold, sequentially identical to DuckDB's
+    // list_sum fold.
+    QueryDef.sql(
+      "l44_hard_negatives",
+      """WITH n AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb,
+        |    sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+        |      x -> x * x))) AS nrm
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, label AS q_label, emb AS qe, nrm AS qn
+        |  FROM n WHERE vec_id < 10),
+        |p AS (SELECT q_id, q_label, vec_id AS neighbor_id, label AS n_label,
+        |    floor(list_sum(list_transform(generate_series(1, len(qe)),
+        |      i -> qe[i] * emb[i])) / (qn * nrm) * 1000000 + 0.5)
+        |      / CAST(1000000 AS DOUBLE) AS sim
+        |  FROM q, n WHERE label <> q_label),
+        |r AS (SELECT q_id, q_label, neighbor_id, n_label, sim,
+        |    CAST(row_number() OVER (PARTITION BY q_id
+        |      ORDER BY sim DESC, neighbor_id) AS INT) AS rn
+        |  FROM p)
+        |SELECT q_id, q_label, neighbor_id, n_label, sim, rn FROM r
+        |WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin) { (s, d) =>
+      graft.functions.DotProduct.register(s)
+      val n = Tables.embeddings(s, d).select(col("vec_id"), col("label"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+        .withColumn("nrm", sqrt(expr("graft_dot(emb, emb)")))
+      val q = n.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+          col("emb").as("qe"), col("nrm").as("qn"))
+      val sim = graft.Det.portableRound(
+        expr("graft_dot(qe, emb)") / (col("qn") * col("nrm")), 6)
+      val w = Window.partitionBy("q_id")
+        .orderBy(col("sim").desc, col("neighbor_id"))
+      n.crossJoin(broadcast(q))
+        .filter(col("label") =!= col("q_label"))
+        .select(col("q_id"), col("q_label"), col("vec_id").as("neighbor_id"),
+          col("label").as("n_label"), sim.as("sim"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .orderBy("q_id", "rn")
+    },
+
+    // ------------------------------------------ L45 head coverage (new r8)
+    // Tokenizer/vocabulary sizing evidence per slice: how much of each
+    // source's token mass the 10 most frequent word types cover, plus the
+    // type inventory size. A high head-coverage slice is repetitive
+    // boilerplate; a low one is lexically diverse — the standard signal
+    // for vocabulary sizing and slice weighting. One explode + one
+    // (source, type) count + one per-source window; the rank window
+    // partitions by source so no single reducer sees the whole vocab.
+    // Ties at the rank-10 boundary break on the type string in BOTH
+    // engines, so the cut is deterministic.
+    QueryDef.sql(
+      "l45_head_coverage",
+      """WITH toks AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |tc AS (SELECT source, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+        |r AS (SELECT source, tok, c, row_number() OVER
+        |    (PARTITION BY source ORDER BY c DESC, tok) AS rn
+        |  FROM tc),
+        |t AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |    CAST(count(*) AS BIGINT) AS n_types,
+        |    CAST(sum(CASE WHEN rn <= 10 THEN c ELSE 0 END) AS BIGINT)
+        |      AS head
+        |  FROM r GROUP BY source)
+        |SELECT source, n_tokens, n_types,
+        |  floor(CAST(head AS DOUBLE) / n_tokens * 1000000 + 0.5)
+        |    / CAST(1000000 AS DOUBLE) AS head_coverage
+        |FROM t ORDER BY source""".stripMargin) { (s, d) =>
+      val tc = Tables.documents(s, d)
+        .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy("source")
+        .orderBy(col("c").desc, col("tok"))
+      tc.withColumn("rn", row_number().over(w))
+        .groupBy("source")
+        .agg(sum("c").as("n_tokens"), count(lit(1)).as("n_types"),
+          sum(when(col("rn") <= 10, col("c")).otherwise(lit(0L)))
+            .as("head"))
+        .select(col("source"), col("n_tokens"), col("n_types"),
+          graft.Det.portableRound(
+            col("head").cast("double") / col("n_tokens"), 6)
+            .as("head_coverage"))
+        .orderBy("source")
+    },
+
+    // ------------------------------- L46 embedding dispersion (new r8)
+    // Cluster-cohesion audit of the embedding space WITHOUT a pairwise
+    // join: for each label, the mean squared distance over all unordered
+    // vector pairs via the moment identity
+    //   Σ_{i<j} ||xi−xj||² = (n·Σ||xi||² − ||Σxi||²) / 1
+    // computed on 1e3-quantized integer components, so every partial sum
+    // is exact BIGINT and map-side combinable — O(n·D) total where the
+    // naive form is O(n²·D). This is the scale-correct way to score
+    // cluster tightness (SemDeDup/k-means QA) on a 100 TB embedding
+    // table: one groupBy(label) pass, no self-join, no broadcast.
+    QueryDef.sql(
+      "l46_embedding_dispersion",
+      """WITH q AS (SELECT vec_id, label, i,
+        |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000 + 0.5)
+        |      AS BIGINT) AS q
+        |  FROM embeddings, generate_series(1, 64) t(i)),
+        |a AS (SELECT label, CAST(count(DISTINCT vec_id) AS BIGINT) AS n,
+        |    CAST(sum(q * q) AS BIGINT) AS s2
+        |  FROM q GROUP BY label),
+        |td AS (SELECT label, i, CAST(sum(q) AS BIGINT) AS td
+        |  FROM q GROUP BY label, i),
+        |b AS (SELECT label, CAST(sum(td * td) AS BIGINT) AS tt
+        |  FROM td GROUP BY label)
+        |SELECT label, n,
+        |  floor((CAST(n AS DOUBLE) * s2 - tt)
+        |      / (CAST(n AS DOUBLE) * (n - 1) / 2) / 1000000.0
+        |      * 1000000 + 0.5) / CAST(1000000 AS DOUBLE)
+        |    AS mean_pair_sqdist
+        |FROM a JOIN b USING (label) ORDER BY label""".stripMargin) {
+      (s, d) =>
+        val q = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("label"), posexplode(col("embedding")))
+          .select(col("vec_id"), col("label"),
+            col("pos").as("i"),
+            floor(col("col").cast("double") * 1000 + 0.5).cast("long")
+              .as("q"))
+        val a = q.groupBy("label")
+          .agg(countDistinct("vec_id").as("n"), sum(col("q") * col("q"))
+            .as("s2"))
+        val b = q.groupBy("label", "i").agg(sum("q").as("td"))
+          .groupBy("label").agg(sum(col("td") * col("td")).as("tt"))
+        a.join(b, "label")
+          .select(col("label"), col("n"),
+            graft.Det.portableRound(
+              (col("n").cast("double") * col("s2") - col("tt")) /
+                (col("n").cast("double") * (col("n") - 1) / 2) /
+                lit(1000000.0), 6).as("mean_pair_sqdist"))
+          .orderBy("label")
     }
   )
 

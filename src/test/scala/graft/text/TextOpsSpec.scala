@@ -239,4 +239,60 @@ class TextOpsSpec extends SparkSpec {
     assert(got(0) == ((3L, 2L, 1L)), got.toString)
     assert(got(1) == ((2L, 0L, 2L)), got.toString)
   }
+
+  test("hard negatives exclude same-label vectors and rank by similarity") {
+    val dir = java.nio.file.Files.createTempDirectory("hneg").toString
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f), 0), // the probe
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f), 0), // identical but SAME label
+      (2L, Array(0.9f, 0.1f, 0.0f, 0.0f), 1), // hardest negative
+      (3L, Array(0.0f, 1.0f, 0.0f, 0.0f), 1), // orthogonal
+      (4L, Array(0.5f, 0.5f, 0.0f, 0.0f), 2)) // middle
+      .toDF("vec_id", "embedding", "label")
+    emb.coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/embeddings.parquet")
+    val got = SparkEntry.queries("l44_hard_negatives")(spark, dir)
+      .filter(col("q_id") === 0).orderBy("rn").collect()
+      .map(r => (r.getAs[Int]("rn"), r.getAs[Long]("neighbor_id")))
+    // the same-label twin (vec 1) must never appear; order = sim desc
+    assert(got.toSeq == Seq((1, 2L), (2, 4L), (3, 3L)), got.mkString(","))
+  }
+
+  test("head coverage: hand-computed type census and top-10 mass") {
+    val dir = java.nio.file.Files.createTempDirectory("headcov").toString
+    // source B: type 'z' ×5 + 12 singleton types → 17 tokens, 13 types,
+    // top-10 = z(5) + 9 singletons = 14 → 14/17 = 0.823529
+    val singles = ('a' to 'l').mkString(" ")
+    Seq((1L, "z z z z z " + singles, "en", "B", 0L),
+      (2L, "a a a b", "en", "A", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("l45_head_coverage")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_types"),
+          r.getAs[Double]("head_coverage"))).toMap
+    assert(got("A") == ((4L, 2L, 1.0)), got.toString)
+    assert(got("B") == ((17L, 13L, 0.823529)), got.toString)
+  }
+
+  test("embedding dispersion matches the naive pairwise computation") {
+    val dir = java.nio.file.Files.createTempDirectory("disp").toString
+    // label 0: (1,0),(0,1),(1,1) → pair sq dists 2, 1, 1 → mean 4/3
+    // label 1: two identical vectors → 0
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f), 0),
+      (1L, Array(0.0f, 1.0f), 0),
+      (2L, Array(1.0f, 1.0f), 0),
+      (3L, Array(0.25f, 0.75f), 1),
+      (4L, Array(0.25f, 0.75f), 1))
+      .toDF("vec_id", "embedding", "label")
+    emb.coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/embeddings.parquet")
+    val got = SparkEntry.queries("l46_embedding_dispersion")(spark, dir)
+      .collect().map(r => r.getInt(0) ->
+        (r.getAs[Long]("n"), r.getAs[Double]("mean_pair_sqdist"))).toMap
+    assert(got(0) == ((3L, 1.333333)), got.toString)
+    assert(got(1) == ((2L, 0.0)), got.toString)
+  }
 }
