@@ -37,6 +37,11 @@ import org.apache.spark.sql.functions._
   *     and lists only — the case-insensitive-match staple)
   *     | (m|c).prop IS [NOT] NULL | exists((m|c).prop)   // the legacy
   *     pre-Neo4j-4.x property-existence form, ≡ IS NOT NULL
+  *     | [NOT] EXISTS { [MATCH] (m)-[[:REL][*1..K]]->([:Label]) }
+  *     // the modern (Neo4j 5.x) existential-subquery spelling of the
+  *     // pattern-existence predicate — normalized to the bare form, so
+  *     // both spellings land in the same semi/anti-join plan; like the
+  *     // bare form it must be the entire WHERE clause
   *     ; any comparison may carry a NOT prefix
   *     (negated after evaluation — NOT null stays null, Cypher's rule)
   *   [WITH (m|m.prop)[, m.prop ...],
@@ -85,7 +90,10 @@ import org.apache.spark.sql.functions._
   *
   *   // shortest path between endpoint patterns (one row per connected
   *   // (a, b) pair at its minimum length; `*` = unbounded fixpoint,
-  *   // `*1..K` bounded, no range = single hop):
+  *   // `*1..K` bounded, no range = single hop). `allShortestPaths` is
+  *   // accepted as a synonym: the engine projects endpoint properties
+  *   // and length(p) only, so all min-length paths between a pair
+  *   // collapse to the same output row by construction:
   *   MATCH p = shortestPath((a[:L1] [{…}])-[[:REL][*[1..K]]]->(b[:L2] [{…}]))
   *   RETURN (a|b).prop[, ...][, length(p)]
   *   [ORDER BY (a|b).prop | length(p) [ASC|DESC]] [LIMIT n]
@@ -208,7 +216,10 @@ import org.apache.spark.sql.functions._
   *    writable — name/label are node identity);
   *  - `CREATE (n:Label {name: '…'[, content: '…'][, docnbr: '…']})` →
   *    [[GraphOps.upsert]] with the deterministic id (match-or-create:
-  *    re-running the same CREATE is a no-op).
+  *    re-running the same CREATE is a no-op);
+  *  - `MERGE (n:Label {…})` — accepted as a synonym of CREATE: with
+  *    deterministic ids the upsert kernel IS match-or-create, which is
+  *    exactly MERGE's contract.
   */
 object CypherLite {
 
@@ -553,6 +564,23 @@ object CypherLite {
   private val CreateRe =
     """(?is)\s*CREATE\s*\(\s*(\w+)\s*:\s*(\w+)\s*\{\s*([^}]*)\s*\}\s*\)\s*;?\s*""".r
 
+  // MERGE (n:Label {prop: '…', …}) — Cypher's match-or-create. This
+  // engine's node ids are deterministic hashes of (label, name, content,
+  // docnbr) and CREATE already runs through the upsert kernel, so MERGE
+  // and CREATE coincide by construction: both are idempotent
+  // match-or-create. The separate keyword is accepted because it is what
+  // LLMs emit when the prompt says "add if missing".
+  private val MergeRe =
+    """(?is)\s*MERGE\s*\(\s*(\w+)\s*:\s*(\w+)\s*\{\s*([^}]*)\s*\}\s*\)\s*;?\s*""".r
+
+  // WHERE [NOT] EXISTS { [MATCH] (m)-[…]->([:Label]) } — the modern
+  // (Neo4j 5.x) existential-subquery spelling of the pattern-existence
+  // predicate. Normalized to the bare-pattern form before parsing, so
+  // both spellings land in the same semi/anti-join plan. Same
+  // restriction: it must be the entire WHERE clause.
+  private val ExistsBraceRe =
+    """(?is)\s*(NOT\s+)?EXISTS\s*\{\s*(?:MATCH\s+)?(.*?)\s*\}\s*""".r
+
   // MATCH (m…) [WHERE …] RETURN <m items>, size((m)-[:R]->([:L])) — the
   // degree EXPRESSION ("each X and its number of Y"). size() is not an
   // aggregate in Cypher: every matched root answers one row, zero-degree
@@ -586,7 +614,7 @@ object CypherLite {
   // query form. The rel fragment distinguishes no-star (single hop) from
   // bare `*` (unbounded) from `*1..K` (bounded).
   private val ShortestPathRe =
-    ("""(?is)\s*MATCH\s+(\w+)\s*=\s*shortestPath\s*\(\s*""" +
+    ("""(?is)\s*MATCH\s+(\w+)\s*=\s*(?:shortestPath|allShortestPaths)\s*\(\s*""" +
       """\(\s*(\w+)\s*(?::\s*(\w+))?\s*(?:\{\s*([^}]*)\s*\})?\s*\)\s*""" +
       """-\s*\[\s*(?::\s*(\w+(?:\s*\|\s*\w+)*)\s*)?(?:(\*)\s*(?:1\s*\.\.\s*(\d+)\s*)?)?\]\s*->\s*""" +
       """\(\s*(\w+)\s*(?::\s*(\w+))?\s*(?:\{\s*([^}]*)\s*\})?\s*\)\s*\)\s*""" +
@@ -907,7 +935,13 @@ object CypherLite {
   private def parseWhereClause(m: String, conn: Option[String],
       whereStr: String, relVar: Option[String] = None):
       Either[String, (Seq[Seq[Cond]], Option[ExistsPat])] =
-    Option(whereStr).map(_.trim).filter(_.nonEmpty) match {
+    Option(whereStr).map(_.trim).filter(_.nonEmpty).map {
+      // EXISTS { (m)-[…]->(…) } → the bare pattern-existence form (the
+      // NOT prefix survives the rewrite); everything else passes through
+      case ExistsBraceRe(notKw, inner) =>
+        (if (notKw != null) "NOT " else "") + inner
+      case s => s
+    } match {
       case None => Right((Seq.empty, None))
       case Some(ExistsRe(notKw, v, relT, hopsK, connLab)) if v == m =>
         if (conn.isDefined)
@@ -1110,6 +1144,26 @@ object CypherLite {
     }
   }
 
+  /** Shared body of CREATE/MERGE: validate the property map and build the
+    * match-or-create statement.
+    */
+  private def parseCreate(label: String,
+      propsStr: String): Either[String, Statement] = {
+    val props = PropRe.findAllMatchIn(propsStr)
+      .map(p => p.group(1) -> p.group(2)).toMap
+    val allowed = Set("name", "content", "docnbr")
+    for {
+      _ <- props.keys.find(!allowed(_)).map(k =>
+        Left(s"unsupported CREATE/MERGE property: $k " +
+          s"(supported: ${allowed.toSeq.sorted.mkString(", ")})"))
+        .getOrElse(Right(()))
+      _ <- if (!props.contains("name"))
+        Left("CREATE/MERGE requires a name property — node identity " +
+          "hashes (label, name, content, docnbr)")
+      else Right(())
+    } yield CreateNode(label, props)
+  }
+
   def parse(query: String): Either[String, Statement] = query match {
     case DeleteRe(_, tag) => Right(DetachDelete(tag))
     case UnwindPrefixRe(listStr, x, rest) =>
@@ -1134,20 +1188,11 @@ object CypherLite {
             "gate a SET — filter with comparisons instead")
         }
       } yield SetContent(Option(label), props, conds, value)
-    case CreateRe(v, label, propsStr) =>
-      val props = PropRe.findAllMatchIn(propsStr)
-        .map(p => p.group(1) -> p.group(2)).toMap
-      val allowed = Set("name", "content", "docnbr")
-      for {
-        _ <- props.keys.find(!allowed(_)).map(k =>
-          Left(s"unsupported CREATE property: $k " +
-            s"(supported: ${allowed.toSeq.sorted.mkString(", ")})"))
-          .getOrElse(Right(()))
-        _ <- if (!props.contains("name"))
-          Left("CREATE requires a name property — node identity hashes " +
-            "(label, name, content, docnbr)")
-        else Right(())
-      } yield CreateNode(label, props)
+    case CreateRe(v, label, propsStr) => parseCreate(label, propsStr)
+    // MERGE ≡ CREATE here: deterministic node ids make CREATE the
+    // match-or-create upsert already (A11/A12), which is exactly MERGE's
+    // contract — re-running either is a no-op
+    case MergeRe(v, label, propsStr) => parseCreate(label, propsStr)
     // ≥3 relationship segments: the N-step chain scanner (regexes cannot
     // express a repeated group) — checked before the fixed-arity forms
     case q if looksMultiChain(q) => parseMultiChain(q)

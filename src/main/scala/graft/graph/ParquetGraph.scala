@@ -1936,6 +1936,62 @@ object ParquetGraph {
           .fold(err => throw new IllegalArgumentException(err), identity)
     },
 
+    // C10 CypherLite twin (new r8): the MERGE write form — match-or-create
+    // through the same deterministic-id upsert kernel as CREATE (A11/A12);
+    // the summary is the merged node's image, one row whatever the graph's
+    // size, idempotent under re-runs.
+    QueryDef.sql(
+      "graphp_cypher_merge",
+      """SELECT 'Meta' AS m_label, 'merge-note' AS m_name,
+        |  'round8' AS m_content""".stripMargin) { (s, d) =>
+      CypherLite.runWrite(hierarchy(s, d),
+        "MERGE (n:Meta {name: 'merge-note', content: 'round8'})")
+        .fold(err => throw new IllegalArgumentException(err), _._2)
+    },
+
+    // B6 CypherLite twin (new r8): the modern EXISTS { … } existential-
+    // subquery spelling, normalized to the same semi-join plan as the
+    // bare pattern-existence predicate — here over a MULTI-hop target-
+    // label pattern on the full hierarchy (nations whose subtree reaches
+    // an Order within 2 hops).
+    QueryDef.sql(
+      "graphp_cypher_exists_brace",
+      """SELECT DISTINCT n_name AS m_name
+        |FROM nation JOIN customer ON c_nationkey = n_nationkey
+        |JOIN orders ON o_custkey = c_custkey
+        |ORDER BY m_name""".stripMargin) { (s, d) =>
+      CypherLite.run(hierarchy(s, d),
+        "MATCH (m:Nation) WHERE EXISTS { MATCH (m)-[*1..2]->(:Order) } " +
+          "RETURN m.name")
+        .fold(err => throw new IllegalArgumentException(err), identity)
+    },
+
+    // C10 CypherLite twin (new r8): allShortestPaths — endpoint-projection
+    // semantics make it coincide with shortestPath (one row per connected
+    // pair at min length); graded with a BOUNDED range on the cyclic
+    // chain so the frontier must stop exactly at depth 3 (wrap-around
+    // distances beyond the bound must be absent).
+    QueryDef.sql(
+      "graphp_cypher_allshortest",
+      """WITH r AS (SELECT n_name, n_regionkey,
+        |    row_number() OVER (PARTITION BY n_regionkey
+        |      ORDER BY n_nationkey) AS pos,
+        |    count(*) OVER (PARTITION BY n_regionkey) AS k
+        |  FROM nation),
+        |a AS (SELECT * FROM r WHERE n_name = 'NATION_1')
+        |SELECT b.n_name AS b_name,
+        |  CAST((((b.pos - a.pos) % b.k) + b.k) % b.k AS INT) AS path_len
+        |FROM r b JOIN a ON b.n_regionkey = a.n_regionkey
+        |WHERE b.n_name <> a.n_name
+        |  AND (((b.pos - a.pos) % b.k) + b.k) % b.k <= 3
+        |ORDER BY b_name""".stripMargin) { (s, d) =>
+      CypherLite.run(chain(s, d),
+        "MATCH p = allShortestPaths((a:Nation {name: 'NATION_1'})" +
+          "-[:HAS_NEXT*1..3]->(b:Nation)) " +
+          "RETURN b.name, length(p) ORDER BY b.name")
+        .fold(err => throw new IllegalArgumentException(err), identity)
+    },
+
     // B9 viz-export twin: (src name, relType, dst name) renderer feed.
     QueryDef.sql(
       "graphp_viz_export",

@@ -1861,4 +1861,64 @@ class CypherLiteSpec extends SparkSpec {
     assert(dup.columns.toSeq == Seq("n_connected", "n_connected_2"),
       dup.columns.toSeq.toString)
   }
+
+  test("MERGE is match-or-create: same node as CREATE, re-run is a no-op") {
+    val q = "MERGE (n:Note {name: 'todo-m', content: 'merge me'})"
+    val (after1, s1) = CypherLite.runWrite(g, q).fold(e => fail(e), identity)
+    assert(s1.collect().map(r => (r.getString(0), r.getString(1),
+      r.getString(2))).toSeq == Seq(("Note", "todo-m", "merge me")))
+    assert(after1.nodes.count() == g.nodes.count() + 1)
+    // MERGE again: matched, not re-created
+    val (after2, _) = CypherLite.runWrite(after1, q)
+      .fold(e => fail(e), identity)
+    assert(after2.nodes.count() == after1.nodes.count())
+    // CREATE of the same map hits the same deterministic id — still a no-op
+    val (after3, _) = CypherLite.runWrite(after2,
+      "CREATE (n:Note {name: 'todo-m', content: 'merge me'})")
+      .fold(e => fail(e), identity)
+    assert(after3.nodes.count() == after1.nodes.count())
+    // the read API refuses MERGE the same way it refuses CREATE
+    val viaRun = CypherLite.run(g, q)
+    assert(viaRun.isLeft &&
+      viaRun.swap.toOption.get.contains("runWrite"), viaRun.toString)
+    // a MERGE without a name property is rejected
+    assert(CypherLite.parse("MERGE (n:Note {content: 'x'})").isLeft)
+  }
+
+  test("EXISTS { } subquery spelling equals the bare pattern-existence") {
+    val brace = CypherLite.run(g,
+      "MATCH (m:Boeing_Service_Bulletin) " +
+        "WHERE EXISTS { (m)-[*1..2]->(:Summary) } " +
+        "RETURN m.docnbr").fold(e => fail(e), identity).collect().toSeq
+    val bare = CypherLite.run(g,
+      "MATCH (m:Boeing_Service_Bulletin) WHERE (m)-[*1..2]->(:Summary) " +
+        "RETURN m.docnbr").fold(e => fail(e), identity).collect().toSeq
+    assert(brace == bare && brace.nonEmpty)
+    // the MATCH-keyword and NOT variants
+    val notBrace = CypherLite.run(g,
+      "MATCH (m:Step) WHERE NOT EXISTS { MATCH (m)-[]->() } " +
+        "RETURN m.name").fold(e => fail(e), identity).count()
+    val notBare = CypherLite.run(g,
+      "MATCH (m:Step) WHERE NOT (m)-[]->() RETURN m.name")
+      .fold(e => fail(e), identity).count()
+    assert(notBrace == notBare && notBrace > 0)
+    // same whole-clause restriction as the bare form: a foreign anchor
+    // inside the braces is still rejected
+    assert(CypherLite.parse(
+      "MATCH (m:Step) WHERE EXISTS { (q)-[]->() } RETURN m.name").isLeft)
+  }
+
+  test("allShortestPaths accepts and equals shortestPath on endpoints") {
+    // the engine projects endpoint properties and length only, so all
+    // min-length paths collapse to the same (a, b, length) rows
+    val all = CypherLite.run(g,
+      "MATCH p = allShortestPaths((a:Boeing_Service_Bulletin)-[*]->(b:Step)) " +
+        "RETURN a.docnbr, b.name, length(p)")
+      .fold(e => fail(e), identity).collect().toSeq
+    val one = CypherLite.run(g,
+      "MATCH p = shortestPath((a:Boeing_Service_Bulletin)-[*]->(b:Step)) " +
+        "RETURN a.docnbr, b.name, length(p)")
+      .fold(e => fail(e), identity).collect().toSeq
+    assert(all == one && all.nonEmpty)
+  }
 }
