@@ -81,6 +81,15 @@ import org.apache.spark.sql.functions._
   *          | labels(m|c)   // ≡ the label column under `m_labels`/
   *            `c_labels` (single-label model: the list IS the label)
   *          | (after WITH) m.prop[, ...], alias
+  *          // scalar string functions over an m property, on the
+  *          // hop-less aggregate-free form (transformed BEFORE
+  *          // DISTINCT/ORDER BY — Cypher applies RETURN expressions
+  *          // first; output column `<fn>_<prop>` unless aliased;
+  *          // ORDER BY the alias sorts by the transformed value):
+  *          | toLower|toUpper|trim(m.prop) | size(m.prop)  // string len
+  *            | replace(m.prop, 'from', 'to')  // all occurrences
+  *            | substring(m.prop, start[, len])  // 0-BASED, Cypher's rule
+  *            | left|right(m.prop, n)
   *     every property/aggregate RETURN item (incl. type(r)) may take
   *     `AS alias`
   *   [ORDER BY key [ASC|DESC] [, key [ASC|DESC] ...]]
@@ -268,6 +277,16 @@ object CypherLite {
   sealed trait RetItem
   case object RetVar extends RetItem // the whole matched node
   final case class RetProp(prop: String) extends RetItem // m.prop
+  /** A scalar string function over an m-side property projection —
+    * `toLower/toUpper/trim/size/replace/substring/left/right(m.prop, …)`.
+    * Supported on the hop-less, aggregate-free projection form, where the
+    * transformed column is projected BEFORE DISTINCT/ORDER BY, so dedup
+    * and ordering see the transformed values (Cypher's rule). `fn` is
+    * Locale.ROOT-lowercased at parse time; `args` are the extra literal
+    * arguments in query order (already validated by the parse regex).
+    */
+  final case class RetPropFn(fn: String, prop: String,
+      args: Seq[String] = Seq.empty) extends RetItem
   case object RetConnected extends RetItem
   final case class RetConnProp(prop: String) extends RetItem // c.prop
   // count([DISTINCT] connected) — distinct counts connected NODES not
@@ -721,6 +740,20 @@ object CypherLite {
     """(?is)\s*coalesce\s*\(\s*(\w+)\s*\.\s*(\w+)\s*,\s*'([^']*)'\s*\)\s*""".r
   // labels(v) — the label-list accessor
   private val LabelsRe = """(?is)\s*labels\s*\(\s*(\w+)\s*\)\s*""".r
+  // scalar string functions over a property projection (RETURN items).
+  // `size(v.prop)` (string length) cannot collide with the degree
+  // expression `size((m)-[…]->())` — the dotted-property operand vs the
+  // parenthesized pattern operand are disjoint shapes.
+  private val ScalarFn1Re =
+    """(?is)\s*(toLower|toUpper|trim|size)\s*\(\s*(\w+)\s*\.\s*(\w+)\s*\)\s*""".r
+  private val ScalarReplaceRe =
+    """(?is)\s*replace\s*\(\s*(\w+)\s*\.\s*(\w+)\s*,\s*'([^']*)'\s*,\s*'([^']*)'\s*\)\s*""".r
+  // Cypher's substring(s, start[, length]) is 0-BASED (desugared to the
+  // 1-based SQL substring at execution)
+  private val ScalarSubstringRe =
+    """(?is)\s*substring\s*\(\s*(\w+)\s*\.\s*(\w+)\s*,\s*(\d+)\s*(?:,\s*(\d+)\s*)?\)\s*""".r
+  private val ScalarLeftRightRe =
+    """(?is)\s*(left|right)\s*\(\s*(\w+)\s*\.\s*(\w+)\s*,\s*(\d+)\s*\)\s*""".r
   private val VarPropRe = """(?is)\s*(\w+)\s*\.\s*(\w+)\s*""".r
   private val VarRe = """(?is)\s*(\w+)\s*""".r
 
@@ -1700,6 +1733,27 @@ object CypherLite {
           Right(RetLabels(onConn = true))
         case LabelsRe(v) => Left(s"labels() may only reference '$m'" +
           conn.fold("")(c => s" or '$c'") + s", got '$v'")
+        case ScalarFn1Re(fn, v, p) if v == m =>
+          Right(RetPropFn(fn.toLowerCase(java.util.Locale.ROOT), p))
+        case ScalarReplaceRe(v, p, from, to) if v == m =>
+          Right(RetPropFn("replace", p, Seq(from, to)))
+        case ScalarSubstringRe(v, p, start, len) if v == m =>
+          Right(RetPropFn("substring", p,
+            Seq(start) ++ Option(len).toSeq))
+        case ScalarLeftRightRe(fn, v, p, n) if v == m =>
+          Right(RetPropFn(fn.toLowerCase(java.util.Locale.ROOT), p, Seq(n)))
+        case ScalarFn1Re(fn, v, _) =>
+          Left(s"$fn() in RETURN may only transform the matched " +
+            s"variable '$m' on the hop-less form, got '$v'")
+        case ScalarReplaceRe(v, _, _, _) if v != m =>
+          Left("replace() in RETURN may only transform the matched " +
+            s"variable '$m' on the hop-less form, got '$v'")
+        case ScalarSubstringRe(v, _, _, _) if v != m =>
+          Left("substring() in RETURN may only transform the matched " +
+            s"variable '$m' on the hop-less form, got '$v'")
+        case ScalarLeftRightRe(fn, v, _, _) if v != m =>
+          Left(s"$fn() in RETURN may only transform the matched " +
+            s"variable '$m' on the hop-less form, got '$v'")
         case VarPropRe(v, p) if v == m => Right(RetProp(p))
         case VarPropRe(v, p) if conn.contains(v) => Right(RetConnProp(p))
         case VarPropRe(v, p) => Left(
@@ -1715,6 +1769,9 @@ object CypherLite {
         */
       def canonOf(i: RetItem): Option[String] = i match {
         case RetProp(p) => Some(s"m_$p")
+        // fn items land in `<fn>_<prop>` (no m_ prefix — the column holds
+        // a TRANSFORMED value, not the raw property)
+        case RetPropFn(fn, p, _) => Some(s"${fn}_$p")
         case RetConnProp(p) => Some(s"c_$p")
         case RetCoalesce(p, _) => Some(s"c_$p")
         case RetCount(_, _) => Some("n_connected")
@@ -1843,6 +1900,11 @@ object CypherLite {
             case ObBareItemRe(b, dir) =>
               aliased.find(_._2 == b).map(_._1) match {
                 case Some(RetProp(p)) => Right((p, d(dir)))
+                // a scalar-fn alias sorts by the TRANSFORMED column
+                // (projected before ordering), via the same canonical-
+                // column pseudo-namespace the aggregates use
+                case Some(i: RetPropFn) =>
+                  Right((AggKeyPrefix + canonOf(i).getOrElse(""), d(dir)))
                 case Some(i @ (_: RetCount | _: RetCollect
                    | _: RetAggProp | _: RetCountProp)) =>
                   // each aggregate sorts by ITS canonical column (several
@@ -1901,6 +1963,17 @@ object CypherLite {
           isGlobal = items.nonEmpty && items.forall(isAgg)
           _ <- if (items.contains(RetConnected) && conn.isEmpty)
             Left("RETURN of the connected variable requires a hop pattern")
+          else Right(())
+          // scalar functions transform the projection in the hop-less
+          // plain branch, where DISTINCT/ORDER BY then see the transformed
+          // values (Cypher's rule); under a hop pattern or mixed with
+          // aggregates they would need per-branch plumbing — rejected
+          // rather than silently transforming after dedup/ordering
+          _ <- if (items.exists(_.isInstanceOf[RetPropFn]) &&
+              (conn.isDefined || items.exists(isAgg)))
+            Left("scalar functions in RETURN are supported on the " +
+              "hop-less projection form only (no hop pattern, no " +
+              "aggregates)")
           else Right(())
           _ <- if (items.exists(i => i.isInstanceOf[RetCollect] ||
               i.isInstanceOf[RetAggProp]) && conn.isEmpty)
@@ -2578,6 +2651,34 @@ object CypherLite {
     * (`HAS_*`) edges. Both compile to sargable predicates on the edge
     * relation's `relType` column, pushed below the expansion's joins.
     */
+  /** The Spark column of one scalar-fn RETURN item ([[RetPropFn]]); args
+    * were validated by the parse regexes (digits / quote-free strings).
+    * Cypher semantics: `size()` is string length, `substring()` is
+    * 0-based (desugared to SQL's 1-based form), `replace()` replaces all
+    * occurrences; null in → null out for every function.
+    */
+  private def scalarCol(f: RetPropFn): Column = {
+    val c = col(f.prop)
+    f.fn match {
+      case "tolower" => lower(c)
+      case "toupper" => upper(c)
+      case "trim" => trim(c)
+      case "size" => length(c).cast("long")
+      case "replace" =>
+        expr(s"replace(${f.prop}, '${f.args(0)}', '${f.args(1)}')")
+      case "substring" =>
+        val start = f.args.head.toInt + 1
+        f.args.drop(1).headOption match {
+          case Some(len) => expr(s"substring(${f.prop}, $start, $len)")
+          case None => expr(s"substring(${f.prop}, $start)")
+        }
+      case "left" => expr(s"left(${f.prop}, ${f.args.head})")
+      case "right" => expr(s"right(${f.prop}, ${f.args.head})")
+      case other => throw new IllegalArgumentException(
+        s"unknown scalar fn: $other (parse/exec drifted)")
+    }
+  }
+
   private def relColOf(relType: Option[String]): Column =
     relType.map { s =>
       val ts = s.split("\\|").map(_.trim).toSeq
@@ -2869,7 +2970,9 @@ object CypherLite {
         val obProps = orderBy.map(_._1).distinct
           .filterNot(k => k == CountKey || k == RelTypeKey ||
             k.startsWith(ConnKeyPrefix) || k.startsWith(AggKeyPrefix))
-        val projProps = retProps ++ obProps ++ rootAggProps
+        // scalar-fn items read the raw property column before transforming
+        val fnProps = items.collect { case RetPropFn(_, p, _) => p }
+        val projProps = retProps ++ obProps ++ rootAggProps ++ fnProps
         // ORDER BY must name a projected property: with LIMIT an unsortable
         // key would silently change WHICH rows come back, which is exactly
         // the plausible-but-wrong failure this front end refuses to serve.
@@ -3136,17 +3239,28 @@ object CypherLite {
           ordered(agged, keys.map("m_" + _))
         } else {
           // RETURN m → the full (label, name, content) node image;
-          // RETURN m.prop[, ...] → exactly those properties
-          val outCols =
+          // RETURN m.prop[, ...] → exactly those properties; scalar-fn
+          // items project the TRANSFORMED column here, so the DISTINCT
+          // and ORDER BY below operate on transformed values (Cypher
+          // applies RETURN expressions before dedup/ordering)
+          val pairsOut: Seq[(String, Column)] =
             if (items == Seq(RetVar) || items.isEmpty)
-              Seq("label", "name", "content")
-            else items.collect {
-              case RetVar => Seq("label", "name", "content")
-              case RetProp(p) => Seq(p)
-            }.flatten.distinct
-          val named = outCols.map(c => col(c).as(s"m_$c"))
-          ordered(maybeDistinct(matched.select(named: _*).toDF()),
-            outCols.map("m_" + _))
+              Seq("label", "name", "content").map(c => (s"m_$c", col(c)))
+            else {
+              val seen = scala.collection.mutable.LinkedHashMap
+                .empty[String, Column]
+              items.flatMap {
+                case RetVar =>
+                  Seq("label", "name", "content").map(c => (s"m_$c", col(c)))
+                case RetProp(p) => Seq((s"m_$p", col(p)))
+                case f: RetPropFn => Seq((s"${f.fn}_${f.prop}", scalarCol(f)))
+                case _ => Seq.empty
+              }.foreach { case (n, c) => seen.getOrElseUpdate(n, c) }
+              seen.toSeq
+            }
+          ordered(maybeDistinct(matched.select(
+              pairsOut.map { case (n, c) => c.as(n) }: _*).toDF()),
+            pairsOut.map(_._1))
         }
       } else {
         val retProps = items.collect { case RetProp(p) => p }

@@ -1992,6 +1992,25 @@ object ParquetGraph {
         .fold(err => throw new IllegalArgumentException(err), identity)
     },
 
+    // B6 CypherLite twin (new r8): scalar string functions in RETURN —
+    // toLower/size/replace/substring transform the projection BEFORE
+    // ordering (ORDER BY the fn alias sorts by the transformed value);
+    // substring is 0-BASED per Cypher, graded against DuckDB's 1-based
+    // substr, so an off-by-one in the desugar hash-misses.
+    QueryDef.sql(
+      "graphp_cypher_scalar_fns",
+      """SELECT lower(n_name) AS lname,
+        |  CAST(length(n_name) AS BIGINT) AS size_name,
+        |  replace(n_name, 'NATION', 'N') AS short_name,
+        |  substr(n_name, 1, 6) AS prefix6
+        |FROM nation ORDER BY lname""".stripMargin) { (s, d) =>
+      CypherLite.run(hierarchy(s, d),
+        "MATCH (m:Nation) RETURN toLower(m.name) AS lname, size(m.name), " +
+          "replace(m.name, 'NATION', 'N') AS short_name, " +
+          "substring(m.name, 0, 6) AS prefix6 ORDER BY lname")
+        .fold(err => throw new IllegalArgumentException(err), identity)
+    },
+
     // B9 viz-export twin: (src name, relType, dst name) renderer feed.
     QueryDef.sql(
       "graphp_viz_export",

@@ -1908,6 +1908,52 @@ class CypherLiteSpec extends SparkSpec {
       "MATCH (m:Step) WHERE EXISTS { (q)-[]->() } RETURN m.name").isLeft)
   }
 
+  test("scalar functions in RETURN transform before DISTINCT and ORDER BY") {
+    // toLower + size on the hop-less projection form
+    val df = CypherLite.run(g,
+      "MATCH (m:Subject) RETURN toLower(m.name) AS lname, size(m.name)")
+      .fold(e => fail(e), identity)
+    assert(df.columns.toSeq == Seq("lname", "size_name"))
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val lname = r.getAs[String]("lname")
+      assert(lname == lname.toLowerCase)
+      assert(r.getAs[Long]("size_name") == lname.length.toLong)
+    }
+    // DISTINCT dedupes TRANSFORMED values: project a constant transform
+    // (replace everything via left(…, 1) over a shared first char would
+    // be fixture-dependent — use substring(0, 0) = empty for all rows)
+    val collapsed = CypherLite.run(g,
+      "MATCH (m:Step) RETURN DISTINCT substring(m.name, 0, 0)")
+      .fold(e => fail(e), identity).collect()
+    assert(collapsed.length == 1 && collapsed.head.getString(0) == "")
+    // ORDER BY an fn alias sorts by the transformed value
+    val ordered = CypherLite.run(g,
+      "MATCH (m:Step) RETURN toUpper(m.name) AS uname " +
+        "ORDER BY uname DESC LIMIT 3")
+      .fold(e => fail(e), identity).collect().map(_.getString(0))
+    assert(ordered.toSeq == ordered.toSeq.sorted.reverse)
+    // replace + left/right/trim parse and compute
+    val rep = CypherLite.run(g,
+      "MATCH (m:Subject) RETURN replace(m.name, 'e', '_') AS r, " +
+        "left(m.name, 2) AS l, right(m.name, 2) AS rr, trim(m.name) AS t")
+      .fold(e => fail(e), identity).collect()
+    rep.foreach { r =>
+      assert(!r.getAs[String]("r").contains('e'))
+      assert(r.getAs[String]("l").length <= 2)
+      assert(r.getAs[String]("rr").length <= 2)
+    }
+    // rejected shapes: hop pattern, aggregates, connected variable
+    assert(CypherLite.parse(
+      "MATCH (m:Step)-[*1..1]->(c) RETURN toLower(m.name)").isLeft)
+    assert(CypherLite.parse(
+      "MATCH (m:Step) RETURN toLower(m.name), count(m)").isLeft)
+    val connFn = CypherLite.parse(
+      "MATCH (m:Step)-[*1..1]->(c) RETURN m.name, toLower(c.name)")
+    assert(connFn.isLeft, connFn.toString)
+  }
+
   test("allShortestPaths accepts and equals shortestPath on endpoints") {
     // the engine projects endpoint properties and length only, so all
     // min-length paths collapse to the same (a, b, length) rows
