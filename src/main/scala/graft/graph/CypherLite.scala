@@ -90,6 +90,12 @@ import org.apache.spark.sql.functions._
   *            | replace(m.prop, 'from', 'to')  // all occurrences
   *            | substring(m.prop, start[, len])  // 0-BASED, Cypher's rule
   *            | left|right(m.prop, n)
+  *          // searched CASE (same hop-less aggregate-free contract;
+  *          // first true WHEN wins, null comparisons fall through, no
+  *          // ELSE → null; output column `case_result` unless aliased;
+  *          // one CASE item per query):
+  *          | CASE WHEN m.prop <op> lit THEN 'v' [WHEN …]*
+  *            [ELSE 'v0'] END [AS alias]
   *     every property/aggregate RETURN item (incl. type(r)) may take
   *     `AS alias`
   *   [ORDER BY key [ASC|DESC] [, key [ASC|DESC] ...]]
@@ -287,6 +293,16 @@ object CypherLite {
     */
   final case class RetPropFn(fn: String, prop: String,
       args: Seq[String] = Seq.empty) extends RetItem
+  /** `CASE WHEN m.prop <op> lit THEN 'v' [WHEN …]* [ELSE 'v0'] END` — the
+    * searched CASE expression over matched-node comparisons (the
+    * categorization staple). Same hop-less aggregate-free contract as
+    * [[RetPropFn]]: evaluated at projection time, before DISTINCT/ORDER
+    * BY. No ELSE → null (Cypher's rule); WHEN predicates reuse the WHERE
+    * comparison machinery (null comparisons fall through to the next
+    * branch, as in Cypher).
+    */
+  final case class RetCase(branches: Seq[(Cond, String)],
+      default: Option[String]) extends RetItem
   case object RetConnected extends RetItem
   final case class RetConnProp(prop: String) extends RetItem // c.prop
   // count([DISTINCT] connected) — distinct counts connected NODES not
@@ -754,6 +770,13 @@ object CypherLite {
     """(?is)\s*substring\s*\(\s*(\w+)\s*\.\s*(\w+)\s*,\s*(\d+)\s*(?:,\s*(\d+)\s*)?\)\s*""".r
   private val ScalarLeftRightRe =
     """(?is)\s*(left|right)\s*\(\s*(\w+)\s*\.\s*(\w+)\s*,\s*(\d+)\s*\)\s*""".r
+  // searched CASE over matched-node comparisons (RETURN item). The WHEN
+  // chain is scanned by CaseWhenRe with a full-coverage check — leftover
+  // text between matches is a parse error, never a silently-dropped branch.
+  private val CaseRe =
+    """(?is)\s*CASE\s+(.+?)\s+(?:ELSE\s+'([^']*)'\s+)?END\s*""".r
+  private val CaseWhenRe =
+    """(?is)\s*WHEN\s+(.+?)\s+THEN\s+'([^']*)'\s*""".r
   private val VarPropRe = """(?is)\s*(\w+)\s*\.\s*(\w+)\s*""".r
   private val VarRe = """(?is)\s*(\w+)\s*""".r
 
@@ -1733,6 +1756,38 @@ object CypherLite {
           Right(RetLabels(onConn = true))
         case LabelsRe(v) => Left(s"labels() may only reference '$m'" +
           conn.fold("")(c => s" or '$c'") + s", got '$v'")
+        case CaseRe(whenChain, elseStr) =>
+          val ms = CaseWhenRe.findAllMatchIn(whenChain).toSeq
+          def contiguous = ms.headOption.exists(_.start == 0) &&
+            ms.sliding(2).forall {
+              case Seq(a, b) => a.end == b.start
+              case _ => true
+            } && ms.lastOption.exists(_.end == whenChain.length)
+          if (ms.isEmpty || !contiguous)
+            Left("malformed CASE: expected WHEN <comparison> THEN " +
+              s"'<value>' chain, got '${whenChain.take(60)}'")
+          else {
+            val parsedBranches = ms.map { w =>
+              (w.group(1) match {
+                case NullCondRe(v, prop, notKw) if v == m =>
+                  Right(Cond(prop,
+                    if (notKw != null) "IS NOT NULL" else "IS NULL", ""))
+                case CondRe(fnKw, v, prop, close, op, str, num, list)
+                    if v == m =>
+                  mkCondFn(fnKw, close, prop, op, str, num, list)
+                case CondRe(_, v, _, _, _, _, _, _) =>
+                  Left("CASE WHEN may only test the matched variable " +
+                    s"'$m', got '$v'")
+                case other =>
+                  Left("unsupported CASE WHEN comparison: " +
+                    s"${other.take(60)}")
+              }).map(_ -> w.group(2))
+            }
+            parsedBranches.collectFirst { case Left(e) => Left(e) }
+              .getOrElse(Right(RetCase(
+                parsedBranches.collect { case Right(b) => b },
+                Option(elseStr))))
+          }
         case ScalarFn1Re(fn, v, p) if v == m =>
           Right(RetPropFn(fn.toLowerCase(java.util.Locale.ROOT), p))
         case ScalarReplaceRe(v, p, from, to) if v == m =>
@@ -1772,6 +1827,9 @@ object CypherLite {
         // fn items land in `<fn>_<prop>` (no m_ prefix — the column holds
         // a TRANSFORMED value, not the raw property)
         case RetPropFn(fn, p, _) => Some(s"${fn}_$p")
+        // one CASE item per query (a second one would collide on the
+        // canonical name and is rejected by the duplicate-canonical check)
+        case RetCase(_, _) => Some("case_result")
         case RetConnProp(p) => Some(s"c_$p")
         case RetCoalesce(p, _) => Some(s"c_$p")
         case RetCount(_, _) => Some("n_connected")
@@ -1900,10 +1958,10 @@ object CypherLite {
             case ObBareItemRe(b, dir) =>
               aliased.find(_._2 == b).map(_._1) match {
                 case Some(RetProp(p)) => Right((p, d(dir)))
-                // a scalar-fn alias sorts by the TRANSFORMED column
+                // a scalar-fn/CASE alias sorts by the TRANSFORMED column
                 // (projected before ordering), via the same canonical-
                 // column pseudo-namespace the aggregates use
-                case Some(i: RetPropFn) =>
+                case Some(i @ (_: RetPropFn | _: RetCase)) =>
                   Right((AggKeyPrefix + canonOf(i).getOrElse(""), d(dir)))
                 case Some(i @ (_: RetCount | _: RetCollect
                    | _: RetAggProp | _: RetCountProp)) =>
@@ -1969,9 +2027,10 @@ object CypherLite {
           // values (Cypher's rule); under a hop pattern or mixed with
           // aggregates they would need per-branch plumbing — rejected
           // rather than silently transforming after dedup/ordering
-          _ <- if (items.exists(_.isInstanceOf[RetPropFn]) &&
+          _ <- if (items.exists(i => i.isInstanceOf[RetPropFn] ||
+              i.isInstanceOf[RetCase]) &&
               (conn.isDefined || items.exists(isAgg)))
-            Left("scalar functions in RETURN are supported on the " +
+            Left("scalar functions / CASE in RETURN are supported on the " +
               "hop-less projection form only (no hop pattern, no " +
               "aggregates)")
           else Right(())
@@ -2970,8 +3029,10 @@ object CypherLite {
         val obProps = orderBy.map(_._1).distinct
           .filterNot(k => k == CountKey || k == RelTypeKey ||
             k.startsWith(ConnKeyPrefix) || k.startsWith(AggKeyPrefix))
-        // scalar-fn items read the raw property column before transforming
-        val fnProps = items.collect { case RetPropFn(_, p, _) => p }
+        // scalar-fn/CASE items read raw property columns before
+        // transforming — validate those names like any projection
+        val fnProps = items.collect { case RetPropFn(_, p, _) => p } ++
+          items.collect { case RetCase(bs, _) => bs.map(_._1.prop) }.flatten
         val projProps = retProps ++ obProps ++ rootAggProps ++ fnProps
         // ORDER BY must name a projected property: with LIMIT an unsortable
         // key would silently change WHICH rows come back, which is exactly
@@ -3254,6 +3315,16 @@ object CypherLite {
                   Seq("label", "name", "content").map(c => (s"m_$c", col(c)))
                 case RetProp(p) => Seq((s"m_$p", col(p)))
                 case f: RetPropFn => Seq((s"${f.fn}_${f.prop}", scalarCol(f)))
+                case RetCase(bs, default) =>
+                  // fold the WHEN chain right-to-left so the first true
+                  // branch wins; a null comparison falls through (Cypher)
+                  val caseCol = bs.foldRight(
+                    default.map(lit(_)).getOrElse(lit(null).cast("string"))) {
+                    case ((cond, out), acc) =>
+                      when(condCol(cond, col(cond.prop)), lit(out))
+                        .otherwise(acc)
+                  }
+                  Seq(("case_result", caseCol))
                 case _ => Seq.empty
               }.foreach { case (n, c) => seen.getOrElseUpdate(n, c) }
               seen.toSeq

@@ -2011,6 +2011,26 @@ object ParquetGraph {
         .fold(err => throw new IllegalArgumentException(err), identity)
     },
 
+    // B6 CypherLite twin (new r8): searched CASE in RETURN — the
+    // categorization staple, first-true-WHEN-wins with an ELSE default;
+    // graded row-by-row against SQL CASE so branch-order or fall-through
+    // bugs hash-miss (names containing both '1' and '2' must take the
+    // FIRST branch).
+    QueryDef.sql(
+      "graphp_cypher_case",
+      """SELECT n_name AS m_name,
+        |  CASE WHEN n_name LIKE '%1%' THEN 'has-one'
+        |       WHEN n_name LIKE '%2%' THEN 'has-two'
+        |       ELSE 'rest' END AS bucket
+        |FROM nation ORDER BY m_name""".stripMargin) { (s, d) =>
+      CypherLite.run(hierarchy(s, d),
+        "MATCH (m:Nation) RETURN m.name, " +
+          "CASE WHEN m.name CONTAINS '1' THEN 'has-one' " +
+          "WHEN m.name CONTAINS '2' THEN 'has-two' " +
+          "ELSE 'rest' END AS bucket ORDER BY m.name")
+        .fold(err => throw new IllegalArgumentException(err), identity)
+    },
+
     // B9 viz-export twin: (src name, relType, dst name) renderer feed.
     QueryDef.sql(
       "graphp_viz_export",

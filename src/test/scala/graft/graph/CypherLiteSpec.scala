@@ -1954,6 +1954,39 @@ class CypherLiteSpec extends SparkSpec {
     assert(connFn.isLeft, connFn.toString)
   }
 
+  test("CASE expression in RETURN categorizes before DISTINCT/ORDER BY") {
+    val df = CypherLite.run(g,
+      "MATCH (m:Step) RETURN m.name, " +
+        "CASE WHEN m.name CONTAINS '1' THEN 'one' " +
+        "WHEN m.name CONTAINS '2' THEN 'two' ELSE 'other' END AS bucket")
+      .fold(e => fail(e), identity)
+    assert(df.columns.toSeq == Seq("m_name", "bucket"))
+    df.collect().foreach { r =>
+      val n = r.getAs[String]("m_name")
+      val b = r.getAs[String]("bucket")
+      // first-true-wins: a name with both '1' and '2' buckets as 'one'
+      val expect = if (n.contains('1')) "one"
+        else if (n.contains('2')) "two" else "other"
+      assert(b == expect, s"$n -> $b")
+    }
+    // no ELSE → null; DISTINCT sees the case output
+    val noElse = CypherLite.run(g,
+      "MATCH (m:Step) RETURN DISTINCT " +
+        "CASE WHEN m.name STARTS WITH 'zzz' THEN 'x' END")
+      .fold(e => fail(e), identity).collect()
+    assert(noElse.length == 1 && noElse.head.isNullAt(0))
+    // malformed chains and wrong variables are rejected, not misparsed
+    assert(CypherLite.parse(
+      "MATCH (m:Step) RETURN CASE WHEN THEN 'x' END").isLeft)
+    assert(CypherLite.parse(
+      "MATCH (m:Step)-[*1..1]->(c) RETURN m.name, " +
+        "CASE WHEN c.name = 'x' THEN 'y' END").isLeft)
+    // two CASE items collide on the canonical column — rejected
+    assert(CypherLite.parse(
+      "MATCH (m:Step) RETURN CASE WHEN m.name = 'a' THEN 'x' END AS a, " +
+        "CASE WHEN m.name = 'b' THEN 'y' END AS b").isLeft)
+  }
+
   test("allShortestPaths accepts and equals shortestPath on endpoints") {
     // the engine projects endpoint properties and length only, so all
     // min-length paths collapse to the same (a, b, length) rows
