@@ -498,6 +498,33 @@ object ParquetGraph {
     // restricted to nations, the SCC id is closed-form: the min nation id
     // of the region. Undirected CC would collapse everything to one blob;
     // SCC proving the cycles separate is the directed-analytics evidence.
+    // Q9 HITS twin (new r8) on the clique layer: each region's 3-member
+    // transitive tournament (1→2, 1→3, 2→3) has the CLOSED-FORM HITS
+    // fixpoint h ∝ (φ, 1, 0), a ∝ (0, 1, φ) with φ the golden ratio
+    // (dominant eigenvector of A·Aᵀ = [[2,1],[1,1]]⊕[0]); L1-normalized
+    // over the 5 identical cliques the per-rank constants are
+    // (1/φ)/5 = 0.123607 and (1/φ²)/5 = 0.076393 exactly (to 6dp).
+    // Non-clique nations must answer 0/0 — a kernel that dropped
+    // isolated nodes or mixed up edge direction hash-misses. 12
+    // iterations converge to ~1e-10, far inside the rounding margin.
+    QueryDef.sql(
+      "graphp_hits",
+      """WITH r AS (SELECT n_name, row_number() OVER
+        |    (PARTITION BY n_regionkey ORDER BY n_nationkey) AS rn
+        |  FROM nation)
+        |SELECT n_name AS name,
+        |  CAST(CASE WHEN rn = 1 THEN 0.123607 WHEN rn = 2 THEN 0.076393
+        |       ELSE 0.0 END AS DOUBLE) AS hub,
+        |  CAST(CASE WHEN rn = 3 THEN 0.123607 WHEN rn = 2 THEN 0.076393
+        |       ELSE 0.0 END AS DOUBLE) AS auth
+        |FROM r ORDER BY name""".stripMargin) { (s, d) =>
+      GraphOps.hits(s, cliques(s, d), iters = 12)
+        .select(col("name"),
+          graft.Det.portableRound(col("hub"), 6).as("hub"),
+          graft.Det.portableRound(col("auth"), 6).as("auth"))
+        .orderBy("name")
+    },
+
     QueryDef.sql(
       "graphp_scc",
       """SELECT n.n_name AS name, m.n_name AS scc
