@@ -87,6 +87,7 @@ import org.apache.spark.sql.functions._
   *          // first; output column `<fn>_<prop>` unless aliased;
   *          // ORDER BY the alias sorts by the transformed value):
   *          | toLower|toUpper|trim(m.prop) | size(m.prop)  // string len
+  *            | toInteger|toFloat(m.prop)  // null on non-numeric
   *            | replace(m.prop, 'from', 'to')  // all occurrences
   *            | substring(m.prop, start[, len])  // 0-BASED, Cypher's rule
   *            | left|right(m.prop, n)
@@ -761,7 +762,8 @@ object CypherLite {
   // expression `size((m)-[…]->())` — the dotted-property operand vs the
   // parenthesized pattern operand are disjoint shapes.
   private val ScalarFn1Re =
-    """(?is)\s*(toLower|toUpper|trim|size)\s*\(\s*(\w+)\s*\.\s*(\w+)\s*\)\s*""".r
+    ("""(?is)\s*(toLower|toUpper|trim|size|toInteger|toFloat)""" +
+      """\s*\(\s*(\w+)\s*\.\s*(\w+)\s*\)\s*""").r
   private val ScalarReplaceRe =
     """(?is)\s*replace\s*\(\s*(\w+)\s*\.\s*(\w+)\s*,\s*'([^']*)'\s*,\s*'([^']*)'\s*\)\s*""".r
   // Cypher's substring(s, start[, length]) is 0-BASED (desugared to the
@@ -2723,6 +2725,11 @@ object CypherLite {
       case "toupper" => upper(c)
       case "trim" => trim(c)
       case "size" => length(c).cast("long")
+      // Cypher's conversions answer null on a non-numeric string (the
+      // try_cast lens, same as numeric WHERE comparisons); toInteger
+      // truncates a fractional string toward zero as Neo4j does
+      case "tointeger" => c.try_cast("double").cast("long")
+      case "tofloat" => c.try_cast("double")
       case "replace" =>
         expr(s"replace(${f.prop}, '${f.args(0)}', '${f.args(1)}')")
       case "substring" =>

@@ -2058,6 +2058,23 @@ object ParquetGraph {
         .fold(err => throw new IllegalArgumentException(err), identity)
     },
 
+    // B6 CypherLite twin (new r8): toInteger/toFloat conversions — the
+    // try_cast lens (null on non-numeric, never a throw), graded against
+    // SQL CASTs of the numeric customer keys.
+    QueryDef.sql(
+      "graphp_cypher_to_number",
+      """SELECT CAST(c_custkey AS VARCHAR) AS m_name,
+        |  CAST(c_custkey AS BIGINT) AS int_name,
+        |  CAST(c_custkey AS DOUBLE) AS float_name
+        |FROM customer WHERE CAST(c_custkey AS VARCHAR) LIKE '1%'
+        |ORDER BY m_name""".stripMargin) { (s, d) =>
+      CypherLite.run(hierarchy(s, d),
+        "MATCH (m:Customer) WHERE m.name STARTS WITH '1' " +
+          "RETURN m.name, toInteger(m.name) AS int_name, " +
+          "toFloat(m.name) AS float_name ORDER BY m.name")
+        .fold(err => throw new IllegalArgumentException(err), identity)
+    },
+
     // B9 viz-export twin: (src name, relType, dst name) renderer feed.
     QueryDef.sql(
       "graphp_viz_export",
