@@ -521,6 +521,32 @@ object GraphOps {
       }.toDF("id", "landmark", "distance")
   }
 
+  /** Landmark-sampled harmonic centrality (Boldi & Vigna, "Axioms for
+    * centrality", 2014): `H(v) = Σ_l 1/d(v→l)` over a BOUNDED landmark
+    * set, distances along edge direction via the same GraphX
+    * ShortestPaths substrate as [[shortestPaths]]. Exact closeness needs
+    * all-pairs distances (O(V·E) state — never at 100 TB); the landmark
+    * sample is the standard scale approximation, and the landmark count
+    * bounds both state and rounds. Unreachable landmarks contribute 0
+    * (harmonic's defining advantage over closeness on disconnected
+    * graphs); the landmark itself (d = 0) contributes 0. Each 1/d term is
+    * quantized to integer micro-units BEFORE the per-vertex sum, so the
+    * result is independent of map iteration order and engine-portable.
+    */
+  def harmonicCentrality(spark: SparkSession, g: GraphTables,
+      landmarks: Seq[Long]): DataFrame = {
+    import spark.implicits._
+    val h = org.apache.spark.graphx.lib.ShortestPaths
+      .run(toGraphX(g), landmarks).vertices
+      .map { case (id, spmap) =>
+        (id, spmap.valuesIterator.filter(_ > 0)
+          .map(d => math.round(1000000.0 / d)).sum)
+      }.toDF("id", "micro")
+    g.nodes.toDF().join(h, Seq("id"), "left_outer")
+      .select(col("label"), col("name"),
+        (coalesce(col("micro"), lit(0L)) / lit(1000000.0)).as("harmonic"))
+  }
+
   /** Strongly connected components via GraphX (Q9 DIRECTED analytics —
     * `connectedComponents` ignores edge direction; SCC is the form that
     * finds mutual-reachability groups, e.g. cycles in a link graph).

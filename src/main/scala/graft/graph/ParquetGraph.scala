@@ -376,6 +376,34 @@ object ParquetGraph {
         .orderBy("name")
     },
 
+    // Q9 harmonic-centrality twin (new r8): landmark-sampled harmonic
+    // centrality on the cyclic chain with each region's FIRST nation as
+    // its landmark — around the directed cycle d(v→lm) is the wrap
+    // distance sz−rn+1, so H(v) = 1/(sz−rn+1) exactly (other regions'
+    // landmarks unreachable → 0; the landmark itself d=0 → 0). Grades
+    // unreachable-landmark handling and the micro-unit quantization.
+    QueryDef.sql(
+      "graphp_harmonic",
+      """WITH pos AS (
+        |  SELECT n_name, n_regionkey,
+        |    row_number() OVER (PARTITION BY n_regionkey
+        |      ORDER BY n_nationkey) AS rn,
+        |    count(*) OVER (PARTITION BY n_regionkey) AS sz
+        |  FROM nation)
+        |SELECT n_name AS name,
+        |  CAST(CASE WHEN rn = 1 THEN 0
+        |       ELSE round(1000000.0 / (sz - rn + 1)) END AS DOUBLE)
+        |    / CAST(1000000 AS DOUBLE) AS harmonic
+        |FROM pos ORDER BY name""".stripMargin) { (s, d) =>
+      val landmarks = Tables.nation(s, d)
+        .groupBy("n_regionkey").agg(min("n_nationkey").as("k"))
+        .select((col("k") + NationBase).as("id"))
+        .collect().map(_.getLong(0)).toSeq // ≤ |regions| rows — bounded
+      GraphOps.harmonicCentrality(s, chain(s, d), landmarks)
+        .select(col("name"), col("harmonic"))
+        .orderBy("name")
+    },
+
     // Q9 weighted-shortest-path twin: min-sum distances from each region's
     // first nation around its directed cycle, edge weight derived from the
     // destination key (dst % 7 + 1). The path to every node is unique and
