@@ -12,6 +12,7 @@ object SparkEntry {
 
   val allDefs: Seq[QueryDef] =
     relational.RelationalQueries.defs ++
+      relational.TpchQueries.defs ++
       relational.TimeQueries.defs ++
       text.TextQueries.defs ++
       multimodal.Multimodal.defs ++

@@ -106,6 +106,27 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("rangepartitioning"), p.take(800))
   }
 
+  test("tpch_q6's predicates and projection push into the parquet scan") {
+    val p = plan("tpch_q6")
+    assert(p.contains("PushedFilters:"), p.take(1200))
+    assert(p.contains("IsNotNull(l_shipdate)"), p.take(1200))
+    // only the 4 referenced columns are read, not the full lineitem row
+    assert(!p.contains("l_orderkey") && !p.contains("l_returnflag"),
+      p.take(1200))
+  }
+
+  test("tpch_q3's LIMIT fuses to TakeOrderedAndProject (no global sort)") {
+    val p = plan("tpch_q3")
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+  }
+
+  test("tpch_q5's fixed dims broadcast; facts never do") {
+    val df = SparkEntry.queries("tpch_q5")(spark, sf("sf0.001"))
+    df.collect() // AQE finalizes join strategies only after execution
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+  }
+
   test("every registered query has distinct name and runnable plan") {
     val names = SparkEntry.allDefs.map(_.name)
     assert(names.distinct.size == names.size)
