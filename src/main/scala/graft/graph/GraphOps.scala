@@ -547,6 +547,65 @@ object GraphOps {
         (coalesce(col("micro"), lit(0L)) / lit(1000000.0)).as("harmonic"))
   }
 
+  /** Personalized PageRank from a single source (Q9 analytics breadth —
+    * the "important relative to THIS node" ranking a Neo4j deployment
+    * answers with GDS; the recommendation primitive). GraphX
+    * `staticPersonalizedPageRank`: teleports always return to `src`, so
+    * mass decays with hop distance and vertices unreachable from the
+    * source hold rank exactly 0.0 (0.85·0 + no teleport = 0 in exact IEEE
+    * arithmetic — a hard zero, not an epsilon). Fixed-iteration Pregel on
+    * the distributed edge partition; iteration count bounds rounds, same
+    * scale shape as [[pageRank]].
+    */
+  def personalizedPageRank(spark: SparkSession, g: GraphTables, src: Long,
+      iters: Int = 20): DataFrame = {
+    import spark.implicits._
+    val ranks = toGraphX(g).staticPersonalizedPageRank(src, iters)
+      .vertices.toDF("id", "rank")
+    g.nodes.toDF().join(ranks, "id")
+      .select(col("id"), col("label"), col("name"), col("rank"))
+  }
+
+  /** Neighborhood Jaccard node similarity over the undirected view of the
+    * edges (Q9 analytics breadth — GDS `nodeSimilarity`, the entity-
+    * resolution / "users like this user" primitive):
+    * `J(a,b) = |N(a) ∩ N(b)| / |N(a) ∪ N(b)|` for every pair with at
+    * least one common neighbor.
+    *
+    * Same scale discipline as [[adamicAdar]]: candidate pairs are
+    * generated through the common-neighbor self-join keyed on z — a pair
+    * only ever meets inside z's adjacency bucket, never via an all-pairs
+    * product — and neighbor lists wider than `maxDegree` are dropped
+    * before the self-join (a degree-d hub emits d² candidate rows; its
+    * common-neighbor evidence is near-zero signal, the standard cutoff).
+    * The score itself is a ratio of exact integers (common / (deg a +
+    * deg b − common)), bit-identical in any engine and partitioning — no
+    * quantization needed.
+    */
+  def nodeSimilarity(spark: SparkSession, g: GraphTables,
+      maxDegree: Int = 1000): DataFrame = {
+    val e = g.edges.toDF().select(col("src"), col("dst"))
+    val und = e.select(col("src").as("u"), col("dst").as("v"))
+      .unionByName(e.select(col("dst").as("u"), col("src").as("v")))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    val deg = und.groupBy("u").agg(count(lit(1)).as("deg"))
+    val adj = und.select(col("u").as("z"), col("v").as("n"))
+      .join(deg.select(col("u").as("z"), col("deg").as("zdeg")), "z")
+      .filter(col("zdeg") <= maxDegree)
+    val a = adj.select(col("z"), col("n").as("a"))
+    val b = adj.select(col("z").as("z2"), col("n").as("b"))
+    a.join(b, col("z") === col("z2") && col("a") < col("b"))
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("n_common"))
+      .join(deg.select(col("u").as("a"), col("deg").as("deg_a")), "a")
+      .join(deg.select(col("u").as("b"), col("deg").as("deg_b")), "b")
+      .select(col("a"), col("b"), col("n_common"),
+        (col("n_common").cast("double") /
+          (col("deg_a") + col("deg_b") - col("n_common")))
+          .as("jaccard"))
+  }
+
   /** Strongly connected components via GraphX (Q9 DIRECTED analytics —
     * `connectedComponents` ignores edge direction; SCC is the form that
     * finds mutual-reachability groups, e.g. cycles in a link graph).

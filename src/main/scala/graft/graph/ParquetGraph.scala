@@ -404,6 +404,88 @@ object ParquetGraph {
         .orderBy("name")
     },
 
+    // Q9 personalized-PageRank twin (new r8): PPR from the globally
+    // min-keyed nation on the directed cycle layer. Finite-iteration rank
+    // VALUES aren't engine-portable, but two invariants are exact: (a)
+    // vertices outside the source's region are unreachable and hold rank
+    // EXACTLY 0.0 (teleport returns only to the source; 0.85·0 stays a
+    // hard IEEE zero), and (b) within the source's region mass decays
+    // strictly with wrap distance, so the rank ordering IS the distance
+    // ordering — graded as pos = rank_order ≡ row_number by nationkey
+    // (the source is the region's min key, so key order = hop order).
+    QueryDef.sql(
+      "graphp_ppr",
+      """SELECT n_name AS name,
+        |  CAST(CASE WHEN n_regionkey = (SELECT n_regionkey FROM nation
+        |                                WHERE n_nationkey =
+        |                                  (SELECT min(n_nationkey)
+        |                                   FROM nation))
+        |       THEN row_number() OVER (PARTITION BY n_regionkey
+        |                               ORDER BY n_nationkey)
+        |       ELSE 0 END AS INT) AS pos
+        |FROM nation ORDER BY name""".stripMargin) { (s, d) =>
+      val srcKey = Tables.nation(s, d)
+        .agg(min("n_nationkey")).collect()(0).getInt(0).toLong // 1 row
+      val pr = GraphOps.personalizedPageRank(s, chain(s, d),
+        NationBase + srcKey, iters = 20)
+      val regions = Tables.nation(s, d)
+        .select(col("n_name").as("name"), col("n_regionkey"))
+      val w = Window.partitionBy("n_regionkey").orderBy(col("rank").desc)
+      pr.join(regions, "name")
+        .select(col("name"),
+          when(col("rank") === 0.0, lit(0))
+            .otherwise(row_number().over(w)).cast("int").as("pos"))
+        .orderBy("name")
+    },
+
+    // Q9 node-similarity twin (new r8): neighborhood Jaccard on the
+    // chain∪cliques layer; the oracle re-derives the same undirected
+    // adjacency relationally (lead window + row_number self-join, the
+    // graphp_link_predict skeleton) and scores pairs directly —
+    // J = common/(deg_a + deg_b − common) is a ratio of small exact
+    // integers, bit-identical in both engines with no quantization.
+    QueryDef.sql(
+      "graphp_node_similarity",
+      """WITH ch AS (
+        |  SELECT n_nationkey AS src,
+        |    coalesce(lead(n_nationkey) OVER w,
+        |      min(n_nationkey) OVER (PARTITION BY n_regionkey)) AS dst
+        |  FROM nation
+        |  WINDOW w AS (PARTITION BY n_regionkey ORDER BY n_nationkey)),
+        |t3 AS (
+        |  SELECT n_regionkey AS rk, n_nationkey AS id, row_number() OVER
+        |    (PARTITION BY n_regionkey ORDER BY n_nationkey) AS rn
+        |  FROM nation),
+        |cl AS (SELECT a.id AS src, b.id AS dst FROM t3 a
+        |       JOIN t3 b ON a.rk = b.rk AND a.rn < b.rn
+        |       WHERE a.rn <= 3 AND b.rn <= 3),
+        |e AS (SELECT src, dst FROM ch UNION ALL SELECT src, dst FROM cl),
+        |und AS (SELECT DISTINCT u, v FROM (
+        |  SELECT src AS u, dst AS v FROM e
+        |  UNION ALL SELECT dst, src FROM e) WHERE u <> v),
+        |deg AS (SELECT u, count(*) AS deg FROM und GROUP BY u),
+        |pairs AS (
+        |  SELECT a.v AS ia, b.v AS ib, count(*) AS n_common
+        |  FROM und a JOIN und b ON a.u = b.u AND a.v < b.v
+        |  GROUP BY a.v, b.v)
+        |SELECT na.n_name AS name_a, nb.n_name AS name_b, n_common,
+        |  CAST(n_common AS DOUBLE)
+        |    / CAST(da.deg + db.deg - n_common AS DOUBLE) AS jaccard
+        |FROM pairs JOIN deg da ON ia = da.u
+        |           JOIN deg db ON ib = db.u
+        |           JOIN nation na ON ia = na.n_nationkey
+        |           JOIN nation nb ON ib = nb.n_nationkey
+        |ORDER BY name_a, name_b""".stripMargin) { (s, d) =>
+      val names = nationNames(s, d)
+      GraphOps.nodeSimilarity(s, linkPred(s, d))
+        .join(names.select(col("id").as("a"), col("n_name").as("name_a")),
+          "a")
+        .join(names.select(col("id").as("b"), col("n_name").as("name_b")),
+          "b")
+        .select("name_a", "name_b", "n_common", "jaccard")
+        .orderBy("name_a", "name_b")
+    },
+
     // Q9 weighted-shortest-path twin: min-sum distances from each region's
     // first nation around its directed cycle, edge weight derived from the
     // destination key (dst % 7 + 1). The path to every node is unique and
