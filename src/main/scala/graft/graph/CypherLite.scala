@@ -158,8 +158,17 @@ import org.apache.spark.sql.functions._
   * `WHERE [NOT] (m)-[...]->([:Label])` is Cypher's pattern-existence
   * predicate ("roots with/without such a connection"): a semi-join (anti-
   * join under NOT) of the roots against the hop expansion — never a
-  * per-root subquery. It must be the entire WHERE clause and the query
-  * must not also bind a connected variable in MATCH.
+  * per-root subquery. It may stand alone or AND-combine with comparison
+  * conditions (`WHERE m.prop = '…' AND NOT (m)-[:R]->()` — the
+  * comparisons filter the root scan, the pattern conjoins as the same
+  * semi/anti-join); a pattern term under OR is rejected, at most one
+  * pattern term per clause, and the query must not also bind a connected
+  * variable in MATCH. Consecutive MATCH clauses whose follow-up re-anchors
+  * the variable the previous pattern just bound (`MATCH (a)-[…]->(b)
+  * MATCH (b)-[…]->(c)`, Cypher's linear multi-clause composition) are
+  * spliced into the equivalent chain pattern at parse time — repeated
+  * labels/properties on the shared variable merge, conflicting labels
+  * error, OPTIONAL junctions and fresh-variable clauses are untouched.
   * A comparison may also be CROSS-VARIABLE (`WHERE c.name < m.name`,
   * Cypher's property-to-property predicate): both sides reference bound
   * pattern variables and the comparison runs column-to-column per (m, c)
@@ -983,39 +992,29 @@ object CypherLite {
       else Right(())
     } yield dnf
 
+  // textual signature of a pattern-existence term anywhere in a WHERE
+  // clause (checked on the quote-blanked text — `( v ) - [` arises in no
+  // comparison form)
+  private val PatTermRe = """\(\s*\w+\s*\)\s*-\s*\[""".r
+
   /** Parse a pattern-level WHERE clause shared by the plain and the WITH
-    * statement forms: either a comparison DNF (OR of AND-groups, standard
-    * precedence with optional parentheses and NOT groups) or a single
-    * pattern-existence predicate.
+    * statement forms: a comparison DNF (OR of AND-groups, standard
+    * precedence with optional parentheses and NOT groups), a
+    * pattern-existence predicate, or comparisons AND-combined with ONE
+    * pattern-existence predicate (`WHERE m.prop = '…' AND NOT
+    * (m)-[:R]->()` — the "X without a Y, filtered" staple; the pattern
+    * term conjoins as the same semi/anti-join, applied after the
+    * comparison filter). A pattern term under OR is rejected (it cannot
+    * ride the DNF's column space), as is more than one pattern term.
     * `relVar` admits `type(r) <op> literal` comparisons (a binding-level
     * condition carried on the [[RelTypeProp]] sentinel).
     */
   private def parseWhereClause(m: String, conn: Option[String],
       whereStr: String, relVar: Option[String] = None):
-      Either[String, (Seq[Seq[Cond]], Option[ExistsPat])] =
-    Option(whereStr).map(_.trim).filter(_.nonEmpty).map {
-      // EXISTS { (m)-[…]->(…) } → the bare pattern-existence form (the
-      // NOT prefix survives the rewrite); everything else passes through
-      case ExistsBraceRe(notKw, inner) =>
-        (if (notKw != null) "NOT " else "") + inner
-      case s => s
-    } match {
-      case None => Right((Seq.empty, None))
-      case Some(ExistsRe(notKw, v, relT, hopsK, connLab)) if v == m =>
-        if (conn.isDefined)
-          Left("a pattern-existence WHERE cannot be combined with a " +
-            "hop pattern in MATCH — filter the bound pattern with " +
-            "comparisons instead")
-        else
-          Right((Seq.empty, Some(ExistsPat(notKw != null, Option(relT),
-            Option(hopsK).map(_.toInt).getOrElse(1), Option(connLab)))))
-      case Some(ExistsRe(_, v, _, _, _)) =>
-        Left(s"pattern-existence WHERE must anchor the matched " +
-          s"variable '$m', got '$v'")
-      case Some(w) =>
-        // boolean structure (parens, NOT groups, AND/OR at standard
-        // precedence) parsed to the engine's DNF of negated atoms
-        def onePart(part: String, neg: Boolean): Either[String, Cond] =
+      Either[String, (Seq[Seq[Cond]], Option[ExistsPat])] = {
+    // boolean structure (parens, NOT groups, AND/OR at standard
+    // precedence) parsed to the engine's DNF of negated atoms
+    def onePart(part: String, neg: Boolean): Either[String, Cond] =
           part match {
             case NotCondRe(inner) => onePart(inner, !neg)
             case NullCondRe(v, prop, notKw) if v == m =>
@@ -1077,16 +1076,114 @@ object CypherLite {
             case other =>
               Left(s"unsupported WHERE condition: ${other.take(80)}")
           }
-        parseBoolDnf(w).flatMap { groups =>
-          val parsed = groups.map { parts =>
-            val cs = parts.map { case (p, neg) => onePart(p, neg) }
-            cs.collectFirst { case Left(e) => Left(e) }
-              .getOrElse(Right(cs.collect { case Right(c) => c }))
-          }
-          parsed.collectFirst { case Left(e) => Left(e) }
-            .getOrElse(Right((parsed.collect { case Right(g) => g }, None)))
+    def condDnf(w: String): Either[String, Seq[Seq[Cond]]] =
+      parseBoolDnf(w).flatMap { groups =>
+        val parsed = groups.map { parts =>
+          val cs = parts.map { case (p, neg) => onePart(p, neg) }
+          cs.collectFirst { case Left(e) => Left(e) }
+            .getOrElse(Right(cs.collect { case Right(c) => c }))
         }
+        parsed.collectFirst { case Left(e) => Left(e) }
+          .getOrElse(Right(parsed.collect { case Right(g) => g }))
+      }
+    // EXISTS { (m)-[…]->(…) } → the bare pattern-existence form (the NOT
+    // prefix survives the rewrite); everything else passes through
+    def debrace(s: String): String = s match {
+      case ExistsBraceRe(notKw, inner) =>
+        (if (notKw != null) "NOT " else "") + inner
+      case other => other
     }
+    def onePat(notKw: String, relT: String, hopsK: String,
+        connLab: String): Either[String, ExistsPat] =
+      if (conn.isDefined)
+        Left("a pattern-existence WHERE cannot be combined with a " +
+          "hop pattern in MATCH — filter the bound pattern with " +
+          "comparisons instead")
+      else
+        Right(ExistsPat(notKw != null, Option(relT),
+          Option(hopsK).map(_.toInt).getOrElse(1), Option(connLab)))
+    Option(whereStr).map(_.trim).filter(_.nonEmpty).map(debrace) match {
+      case None => Right((Seq.empty, None))
+      case Some(ExistsRe(notKw, v, relT, hopsK, connLab)) if v == m =>
+        onePat(notKw, relT, hopsK, connLab).map(ep => (Seq.empty, Some(ep)))
+      case Some(ExistsRe(_, v, _, _, _)) =>
+        Left(s"pattern-existence WHERE must anchor the matched " +
+          s"variable '$m', got '$v'")
+      case Some(w) if PatTermRe.findFirstIn(blankQuoted(w)).isDefined =>
+        // comparisons AND-combined with a pattern-existence term: split
+        // on TOP-LEVEL ANDs (depth tracked on the blanked text), peel the
+        // pattern term(s), conjoin the remainder as the usual DNF
+        val blanked = blankQuoted(w)
+        if (topLevelOr(blanked))
+          Left("a pattern-existence predicate may only combine with " +
+            "other conditions via AND — under OR it cannot ride the " +
+            "comparison filter's column space")
+        else {
+          val parts = splitTopLevelAnd(w, blanked).map(p => debrace(p.trim))
+          val (patParts, condParts) = parts.partition(p =>
+            PatTermRe.findFirstIn(blankQuoted(p)).isDefined)
+          val epsE: Either[String, Seq[ExistsPat]] = {
+            val es = patParts.map {
+              case ExistsRe(notKw, v, relT, hopsK, connLab) if v == m =>
+                onePat(notKw, relT, hopsK, connLab)
+              case ExistsRe(_, v, _, _, _) =>
+                Left(s"pattern-existence WHERE must anchor the matched " +
+                  s"variable '$m', got '$v'")
+              case bad =>
+                Left("unsupported pattern-existence conjunct: " +
+                  s"'${bad.take(60)}'")
+            }
+            es.collectFirst { case Left(e) => Left(e) }
+              .getOrElse(Right(es.collect { case Right(e) => e }))
+          }
+          epsE.flatMap { eps =>
+            if (eps.sizeIs > 1)
+              Left("at most one pattern-existence predicate per WHERE " +
+                "clause")
+            else if (condParts.isEmpty)
+              Right((Seq.empty, eps.headOption))
+            else condDnf(condParts.mkString(" AND "))
+              .map(cs => (cs, eps.headOption))
+          }
+        }
+      case Some(w) => condDnf(w).map(cs => (cs, None))
+    }
+  }
+
+  /** Split a WHERE clause on its TOP-LEVEL `AND` tokens only — an AND
+    * inside parentheses/brackets or a quoted literal never splits
+    * (`blanked` is the length-preserving quote-blanked text of `w`).
+    */
+  private def splitTopLevelAnd(w: String, blanked: String): Seq[String] = {
+    val cuts = Seq.newBuilder[(Int, Int)]
+    var depth = 0
+    """(?i)[()\[\]]|\bAND\b""".r.findAllMatchIn(blanked).foreach { mt =>
+      mt.matched match {
+        case "(" | "[" => depth += 1
+        case ")" | "]" => depth -= 1
+        case _ if depth == 0 => cuts += ((mt.start, mt.end))
+        case _ => ()
+      }
+    }
+    val bounds = ((0, 0) +: cuts.result()) :+ ((w.length, w.length))
+    bounds.sliding(2).map { case Seq((_, a), (b, _)) =>
+      w.substring(a, b)
+    }.toSeq
+  }
+
+  private def topLevelOr(blanked: String): Boolean = {
+    var depth = 0
+    var found = false
+    """(?i)[()\[\]]|\bX?OR\b""".r.findAllMatchIn(blanked).foreach { mt =>
+      mt.matched match {
+        case "(" | "[" => depth += 1
+        case ")" | "]" => depth -= 1
+        case _ if depth == 0 => found = true
+        case _ => ()
+      }
+    }
+    found
+  }
 
   /** One comparison from its regex pieces — the literal is either quoted
     * (string comparison), a bare numeric, or a bracketed IN list; string
@@ -1222,7 +1319,79 @@ object CypherLite {
     } yield CreateNode(label, props)
   }
 
-  def parse(query: String): Either[String, Statement] = query match {
+  def parse(query: String): Either[String, Statement] =
+    mergeConsecutiveMatches(query).flatMap(parseStmt)
+
+  // the previous clause's TRAILING node pattern and a follow-up MATCH's
+  // LEADING node pattern that continues into a relationship segment —
+  // the two ends of a linear multi-MATCH junction
+  private val TailNodePatRe =
+    """\(\s*(\w+)\s*(?::\s*(\w+))?\s*(?:\{\s*([^}]*)\s*\})?\s*\)\s*$""".r
+  private val HeadNodeContRe =
+    """^\s*\(\s*(\w+)\s*(?::\s*(\w+))?\s*(?:\{\s*([^}]*)\s*\})?\s*\)\s*(?=-)""".r
+  private val OptionalTailRe = """(?is)\bOPTIONAL\s*$""".r
+  private val MatchTokRe = """(?i)\bMATCH\b""".r
+
+  /** Cypher's multi-clause MATCH composition in its LINEAR form: a
+    * follow-up `MATCH (b)-[…]->(c)` whose head variable `b` is exactly
+    * the variable the previous pattern just bound joins on `b` — which is
+    * the single chain pattern `(a)-[…]->(b)-[…]->(c)` (the frontier-join
+    * plan the chain machinery already builds). Normalized by TEXTUAL
+    * splice before parsing, so both spellings flow through the same
+    * single/two-step/N-step machinery and their semantics cannot drift.
+    * (Chain joins are per-step frontier joins with no relationship-
+    * uniqueness constraint, which is precisely multi-MATCH semantics —
+    * the spellings are equivalent here, not merely similar.)
+    * Label/property constraints repeated on the shared variable merge; a
+    * CONFLICTING label is an error, not a silent pick. `OPTIONAL MATCH`
+    * junctions are left alone (optional semantics are per-clause), as are
+    * follow-up MATCHes on a fresh variable (the cartesian DualMatch form)
+    * and hop-less re-matches.
+    */
+  private def mergeConsecutiveMatches(q: String)
+      : Either[String, String] = {
+    val blanked = blankQuoted(q)
+    val junctions = MatchTokRe.findAllMatchIn(blanked).toList.drop(1)
+      .filterNot(mk =>
+        OptionalTailRe.findFirstIn(blanked.substring(0, mk.start)).isDefined)
+    val spliced = junctions.iterator.map { mk =>
+      (TailNodePatRe.findFirstMatchIn(blanked.substring(0, mk.start)),
+        HeadNodeContRe.findFirstMatchIn(blanked.substring(mk.end))) match {
+        case (Some(t), Some(h)) if t.group(1) == h.group(1) =>
+          val tLab = Option(t.group(2))
+          val hLab = Option(h.group(2))
+          if (tLab.isDefined && hLab.isDefined && tLab != hLab)
+            Some(Left(s"variable '${t.group(1)}' re-matched with a " +
+              s"conflicting label: ${tLab.get} vs ${hLab.get}"))
+          else {
+            // cut positions are computed on the length-preserving blanked
+            // text but the splice is cut from the ORIGINAL, so quoted
+            // property values survive intact
+            def grp(m: scala.util.matching.Regex.Match, off: Int)
+                : Option[String] =
+              Option(m.group(3)).map(_ => q.substring(off + m.start(3),
+                off + m.end(3)).trim).filter(_.nonEmpty)
+            val props = (grp(t, 0) ++ grp(h, mk.end)).toSeq
+            val merged = "(" + t.group(1) +
+              (tLab orElse hLab).fold("")(l => ":" + l) +
+              (if (props.isEmpty) "" else props.mkString(" {", ", ", "}")) +
+              ")"
+            Some(Right(q.substring(0, t.start) + merged +
+              q.substring(mk.end + h.end)))
+          }
+        case _ => None
+      }
+    }.collectFirst { case Some(r) => r }
+    spliced match {
+      case None => Right(q)
+      case Some(Left(e)) => Left(e)
+      // re-scan: a 3-clause query merges one junction per pass
+      case Some(Right(q2)) => mergeConsecutiveMatches(q2)
+    }
+  }
+
+  private def parseStmt(query: String): Either[String, Statement] =
+    query match {
     case DeleteRe(_, tag) => Right(DetachDelete(tag))
     case UnwindPrefixRe(listStr, x, rest) =>
       rewriteUnwind(listStr, x, rest).flatMap(parse)

@@ -2073,6 +2073,41 @@ object ParquetGraph {
           .fold(err => throw new IllegalArgumentException(err), identity)
     },
 
+    // C10 CypherLite twin (new r8): consecutive MATCH clauses sharing a
+    // variable — Cypher's multi-clause join composition in its linear
+    // form, spliced into the equivalent chain pattern at parse time (the
+    // same frontier-join plan as graphp_cypher_chain_count; this twin
+    // proves the multi-MATCH SPELLING reaches it).
+    QueryDef.sql(
+      "graphp_cypher_match_merge",
+      """SELECT r_name AS r_name, CAST(count(*) AS BIGINT) AS n_cu
+        |FROM region JOIN nation ON n_regionkey = r_regionkey
+        |JOIN customer ON c_nationkey = n_nationkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin) { (s, d) =>
+      CypherLite.run(hierarchy(s, d),
+        "MATCH (r:Region)-[:HAS_NATION]->(n:Nation) " +
+          "MATCH (n)-[:HAS_CUSTOMER]->(cu:Customer) " +
+          "RETURN r.name, count(cu) ORDER BY r.name")
+        .fold(err => throw new IllegalArgumentException(err), identity)
+    },
+
+    // C10 CypherLite twin (new r8): WHERE comparisons AND-combined with a
+    // pattern-existence predicate ("X matching a filter, with a Y") — the
+    // comparison filters the root scan and the pattern conjoins as the
+    // same semi-join, one distributed plan.
+    QueryDef.sql(
+      "graphp_cypher_exists_and",
+      """SELECT CAST(c_custkey AS VARCHAR) AS m_name
+        |FROM customer
+        |WHERE ends_with(CAST(c_custkey AS VARCHAR), '7')
+        |  AND EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY m_name""".stripMargin) { (s, d) =>
+      CypherLite.run(hierarchy(s, d),
+        "MATCH (m:Customer) WHERE m.name ENDS WITH '7' " +
+          "AND (m)-[:HAS_ORDER]->() RETURN m.name ORDER BY m.name")
+        .fold(err => throw new IllegalArgumentException(err), identity)
+    },
+
     // C10 CypherLite twin (new r8): the MERGE write form — match-or-create
     // through the same deterministic-id upsert kernel as CREATE (A11/A12);
     // the summary is the merged node's image, one row whatever the graph's

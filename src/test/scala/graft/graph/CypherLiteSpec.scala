@@ -1987,6 +1987,76 @@ class CypherLiteSpec extends SparkSpec {
         "CASE WHEN m.name = 'b' THEN 'y' END AS b").isLeft)
   }
 
+  test("consecutive MATCH sharing a variable ≡ the single chain pattern") {
+    def rows(q: String) = CypherLite.run(g, q)
+      .fold(e => fail(e), identity).collect().map(_.toSeq).toSet
+    val merged = rows(
+      "MATCH (a:Boeing_Service_Bulletin)-[]->(b) MATCH (b)-[]->(c) " +
+        "RETURN a.name, c.name")
+    val chain = rows(
+      "MATCH (a:Boeing_Service_Bulletin)-[]->(b)-[]->(c) " +
+        "RETURN a.name, c.name")
+    assert(merged == chain && merged.nonEmpty)
+    // hop-less first clause: MATCH (a:L) MATCH (a)-[]->(c) re-anchors the
+    // same variable — merges into the plain single-hop form
+    val rean = rows("MATCH (a:Subject) MATCH (a)-[]->(c) RETURN a.name")
+    val plain = rows("MATCH (a:Subject)-[]->(c) RETURN a.name")
+    assert(rean == plain)
+    // label repeated on the shared variable merges; conflicting errors
+    assert(rows("MATCH (a:Boeing_Service_Bulletin)-[]->(b:Subject) " +
+      "MATCH (b:Subject)-[]->(c) RETURN a.name, c.name") ==
+      rows("MATCH (a:Boeing_Service_Bulletin)-[]->(b:Subject)-[]->(c) " +
+        "RETURN a.name, c.name"))
+    val conflict = CypherLite.parse(
+      "MATCH (a:X)-[]->(b:Step) MATCH (b:Subject)-[]->(c) RETURN a.name")
+    assert(conflict.isLeft &&
+      conflict.swap.toOption.get.contains("conflicting label"))
+    // a fresh-variable follow-up is NOT merged (cartesian form untouched)
+    assert(CypherLite.run(g,
+      "MATCH (a:Subject) MATCH (b:Number) " +
+        "RETURN a.name, b.name").isRight)
+    // an OPTIONAL MATCH junction is left to optional semantics: roots
+    // without a binding survive with nulls (a chain merge would drop them)
+    val opt = CypherLite.run(g,
+      "MATCH (m:Step) OPTIONAL MATCH (m)-[*1..1]->(c) RETURN m, c")
+      .fold(e => fail(e), identity)
+    assert(opt.filter(col("c_name").isNull).count() > 0)
+  }
+
+  test("WHERE comparisons AND a pattern-existence term combine into one " +
+    "filtered semi-join") {
+    // distinct nodes can share a name in this corpus, so compare
+    // MULTISETS of projected names (sorted seqs), never sets
+    def names(q: String) = CypherLite.run(g, q)
+      .fold(e => fail(e), identity)
+      .collect().map(_.getAs[String]("m_name")).sorted.toSeq
+    val combined = names(
+      "MATCH (m:Step) WHERE m.name CONTAINS 'e' AND (m)-[]->() " +
+        "RETURN m.name")
+    val byFilter = names("MATCH (m:Step) WHERE m.name CONTAINS 'e' " +
+      "RETURN m.name")
+    val byPattern = names("MATCH (m:Step) WHERE (m)-[]->() RETURN m.name")
+    assert(combined.forall(byFilter.contains) &&
+      combined.forall(byPattern.contains) && combined.nonEmpty)
+    // NOT pattern conjunct partitions the filtered roots exactly
+    val notCombined = names(
+      "MATCH (m:Step) WHERE m.name CONTAINS 'e' AND NOT (m)-[]->() " +
+        "RETURN m.name")
+    assert((combined ++ notCombined).sorted == byFilter)
+    // the EXISTS{} spelling of the same conjunct
+    assert(names("MATCH (m:Step) WHERE m.name CONTAINS 'e' " +
+      "AND EXISTS { (m)-[]->() } RETURN m.name") == combined)
+    // a pattern term under OR cannot ride the comparison filter —
+    // rejected with a named error, never a silent drop
+    val orErr = CypherLite.parse(
+      "MATCH (m:Step) WHERE m.name CONTAINS 'e' OR (m)-[]->() " +
+        "RETURN m.name")
+    assert(orErr.isLeft && orErr.swap.toOption.get.contains("AND"))
+    assert(CypherLite.parse(
+      "MATCH (m:Step) WHERE (m)-[:A]->() AND (m)-[:B]->() " +
+        "RETURN m.name").isLeft)
+  }
+
   test("allShortestPaths accepts and equals shortestPath on endpoints") {
     // the engine projects endpoint properties and length only, so all
     // min-length paths collapse to the same (a, b, length) rows
