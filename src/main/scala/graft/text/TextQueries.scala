@@ -401,30 +401,10 @@ object TextQueries {
     // --------------------------------------------- L8 quality scoring
     QueryDef.sql(
       "l8_quality_score",
-      """SELECT doc_id, floor((
-        |  least(CAST(1.0 AS DOUBLE), CAST(len(string_split(text, ' ')) AS DOUBLE)
-        |    / CAST(200 AS DOUBLE)) * CAST(0.5 AS DOUBLE)
-        |  + (CAST(len(list_filter(string_split(text, ' '),
-        |      t -> t IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE)
-        |     / CAST(len(string_split(text, ' ')) AS DOUBLE)) * CAST(3.0 AS DOUBLE)
-        |  + (CAST(1.0 AS DOUBLE) - least(CAST(1.0 AS DOUBLE),
-        |      CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) * CAST(10.0 AS DOUBLE)
-        |        / CAST(length(text) AS DOUBLE))) * CAST(0.2 AS DOUBLE)
-        |  ) * 1000000 + 0.5) / CAST(1000000 AS DOUBLE) AS quality
-        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val nTok = size(split(col("text"), " ")).cast("double")
-      val nStop = expr("size(filter(split(text, ' ')," +
-        " t -> t IN ('the', 'a', 'of', 'and', 'to')))").cast("double")
-      val nPunct = expr("size(regexp_extract_all(text, '[.,!?;:]', 0))")
-        .cast("double")
-      val quality =
-        least(lit(1.0), nTok / lit(200.0)) * lit(0.5) +
-          (nStop / nTok) * lit(3.0) +
-          (lit(1.0) - least(lit(1.0),
-            nPunct * lit(10.0) / length(col("text")).cast("double"))) * lit(0.2)
+      s"""SELECT doc_id, $duckQualityExpr AS quality
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
       Tables.documents(s, d)
-        .select(col("doc_id"),
-          graft.Det.portableRound(quality, 6).as("quality"))
+        .select(col("doc_id"), qualityCol.as("quality"))
         .orderBy("doc_id")
     },
     // ------------------------------------------- L9 document fingerprinting
@@ -2076,8 +2056,91 @@ object TextQueries {
                 (col("n").cast("double") * (col("n") - 1) / 2) /
                 lit(1000000.0), 6).as("mean_pair_sqdist"))
           .orderBy("label")
+    },
+
+    // ------------------------ L47 quality-ranked canonical per dup cluster
+    // The production refinement of l2f: a real pipeline keeps the BEST
+    // member of each near-dup cluster (highest quality score), not the
+    // lowest-id one. Clusters from the same MinHash-LSH pairs + GraphX CC
+    // substrate as l2e/l2f; the per-cluster argmax is ONE partial+final
+    // hash aggregate over a lexicographic struct max — (quality, −doc_id),
+    // so ties on the micro-quantized quality break to the LOWEST id — with
+    // no per-cluster sort and no window shuffle, the shape that holds when
+    // clusters hold millions of members at 100 TB.
+    QueryDef.sql("l47_best_of_cluster", duckBestOfClusterSql) { (s, d) =>
+      import s.implicits._
+      val vertices = Tables.documents(s, d).select("doc_id").as[Long]
+        .rdd.map(id => (id, ()))
+      val edges = minhashPairs(s, d).as[(Long, Long)]
+        .rdd.map { case (a, b) => org.apache.spark.graphx.Edge(a, b, ()) }
+      val clusters = org.apache.spark.graphx.Graph(vertices, edges)
+        .connectedComponents().vertices.toDF("doc_id", "cluster_id")
+      val scored = Tables.documents(s, d)
+        .select(col("doc_id"), qualityCol.as("quality"))
+        .join(clusters, "doc_id")
+      scored
+        .groupBy("cluster_id")
+        .agg(max(struct(col("quality"), (-col("doc_id")).as("neg_id"),
+          col("doc_id").as("kept"))).as("best"))
+        .select(col("cluster_id"), col("best.kept").as("doc_id"),
+          col("best.quality").as("quality"))
+        .orderBy("cluster_id")
     }
   )
+
+  /** DuckDB mirror of quality-ranked canonical selection: cluster via the
+    * recursive-CTE closure (as duckDedupOutputSql), then the per-cluster
+    * pick by (quality DESC, doc_id ASC) — the same total order the Spark
+    * side's lexicographic struct max (quality, −doc_id) induces.
+    */
+  private lazy val duckBestOfClusterSql: String =
+    s"""WITH RECURSIVE ${duckPairsCtes()},
+       |bi AS (SELECT doc_a AS s, doc_b AS t FROM pairs
+       |       UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach(start, node) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT r.start, e.t FROM reach r JOIN bi e ON r.node = e.s),
+       |cl AS (SELECT start AS doc_id, min(node) AS cluster_id
+       |       FROM reach GROUP BY start),
+       |q AS (SELECT doc_id, $duckQualityExpr AS quality FROM documents),
+       |ranked AS (SELECT cl.cluster_id, cl.doc_id, q.quality,
+       |    row_number() OVER (PARTITION BY cl.cluster_id
+       |      ORDER BY q.quality DESC, cl.doc_id) AS rn
+       |  FROM cl JOIN q USING (doc_id))
+       |SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+       |  CAST(doc_id AS BIGINT) AS doc_id, quality
+       |FROM ranked WHERE rn = 1 ORDER BY cluster_id""".stripMargin
+
+  /** DuckDB mirror of [[qualityCol]] (shared by l8 and l47). */
+  private lazy val duckQualityExpr: String =
+    """floor((
+      |  least(CAST(1.0 AS DOUBLE), CAST(len(string_split(text, ' ')) AS DOUBLE)
+      |    / CAST(200 AS DOUBLE)) * CAST(0.5 AS DOUBLE)
+      |  + (CAST(len(list_filter(string_split(text, ' '),
+      |      t -> t IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE)
+      |     / CAST(len(string_split(text, ' ')) AS DOUBLE)) * CAST(3.0 AS DOUBLE)
+      |  + (CAST(1.0 AS DOUBLE) - least(CAST(1.0 AS DOUBLE),
+      |      CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) * CAST(10.0 AS DOUBLE)
+      |        / CAST(length(text) AS DOUBLE))) * CAST(0.2 AS DOUBLE)
+      |  ) * 1000000 + 0.5) / CAST(1000000 AS DOUBLE)""".stripMargin
+
+  /** The l8 quality score as a reusable column (exact micro-quantized
+    * combination of length, stopword-ratio, and punctuation terms).
+    */
+  private def qualityCol: org.apache.spark.sql.Column = {
+    val nTok = size(split(col("text"), " ")).cast("double")
+    val nStop = expr("size(filter(split(text, ' ')," +
+      " t -> t IN ('the', 'a', 'of', 'and', 'to')))").cast("double")
+    val nPunct = expr("size(regexp_extract_all(text, '[.,!?;:]', 0))")
+      .cast("double")
+    graft.Det.portableRound(
+      least(lit(1.0), nTok / lit(200.0)) * lit(0.5) +
+        (nStop / nTok) * lit(3.0) +
+        (lit(1.0) - least(lit(1.0),
+          nPunct * lit(10.0) / length(col("text")).cast("double"))) *
+          lit(0.2), 6)
+  }
 
   /** Spark side of the MinHash+LSH candidate-pair pipeline (shared by the
     * pair query and duplicate clustering).
