@@ -1320,7 +1320,32 @@ object CypherLite {
   }
 
   def parse(query: String): Either[String, Statement] =
-    mergeConsecutiveMatches(query).flatMap(parseStmt)
+    mergeConsecutiveMatches(stripPassthroughWith(query)).flatMap(parseStmt)
+
+  // `WITH a[, b …] MATCH` — a bare-variable pass-through WITH feeding a
+  // follow-up MATCH (the LLM staple `MATCH (a:L) WITH a MATCH (a)-[…]->`)
+  // carries no aggregate, alias, DISTINCT, or WHERE, so it is pure
+  // variable plumbing: dropped before the multi-MATCH splice. (Cypher's
+  // scope NARROWING — variables omitted from the WITH going out of
+  // scope — is not enforced; referencing a dropped variable later is
+  // accepted here where Neo4j errors.) Matched on the quote-blanked text
+  // so a literal containing ` WITH x MATCH` can never trigger it; the
+  // aggregate `WITH … count(…) AS x` form never matches (it is followed
+  // by WHERE/RETURN, not MATCH, and contains non-identifier tokens).
+  private val PassthroughWithRe =
+    """(?i)\bWITH\s+\w+(?:\s*,\s*\w+)*\s+(?=MATCH\b)""".r
+
+  private def stripPassthroughWith(q: String): String = {
+    val blanked = blankQuoted(q)
+    val ms = PassthroughWithRe.findAllMatchIn(blanked).toList
+    if (ms.isEmpty) q
+    else {
+      val sb = new StringBuilder
+      var pos = 0
+      ms.foreach { m => sb.append(q.substring(pos, m.start)); pos = m.end }
+      sb.append(q.substring(pos)).toString
+    }
+  }
 
   // the previous clause's TRAILING node pattern and a follow-up MATCH's
   // LEADING node pattern that continues into a relationship segment —

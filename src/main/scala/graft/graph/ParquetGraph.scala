@@ -2091,6 +2091,21 @@ object ParquetGraph {
         .fold(err => throw new IllegalArgumentException(err), identity)
     },
 
+    // C10 CypherLite twin (new r8): bare-variable pass-through WITH
+    // between MATCH clauses (`MATCH (r:Region) WITH r MATCH (r)-[…]->`) —
+    // pure variable plumbing dropped at parse time, so the spelling lands
+    // in the same spliced-chain plan as graphp_cypher_match_merge.
+    QueryDef.sql(
+      "graphp_cypher_with_match",
+      """SELECT r_name AS m_name, CAST(count(*) AS BIGINT) AS n_connected
+        |FROM region JOIN nation ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY m_name""".stripMargin) { (s, d) =>
+      CypherLite.run(hierarchy(s, d),
+        "MATCH (r:Region) WITH r MATCH (r)-[:HAS_NATION]->(n:Nation) " +
+          "RETURN r.name, count(n) ORDER BY r.name")
+        .fold(err => throw new IllegalArgumentException(err), identity)
+    },
+
     // C10 CypherLite twin (new r8): WHERE comparisons AND-combined with a
     // pattern-existence predicate ("X matching a filter, with a Y") — the
     // comparison filters the root scan and the pattern conjoins as the

@@ -2011,6 +2011,13 @@ class CypherLiteSpec extends SparkSpec {
       "MATCH (a:X)-[]->(b:Step) MATCH (b:Subject)-[]->(c) RETURN a.name")
     assert(conflict.isLeft &&
       conflict.swap.toOption.get.contains("conflicting label"))
+    // bare pass-through WITH between the clauses is pure plumbing
+    assert(rows("MATCH (a:Subject) WITH a MATCH (a)-[]->(c) " +
+      "RETURN a.name") == plain)
+    // the AGGREGATE With pipeline is untouched by the rewrite
+    assert(CypherLite.run(g,
+      "MATCH (m:Step)-[*1..1]->(c) WITH m, count(c) AS n WHERE n > 0 " +
+        "RETURN m.name, n").isRight)
     // a fresh-variable follow-up is NOT merged (cartesian form untouched)
     assert(CypherLite.run(g,
       "MATCH (a:Subject) MATCH (b:Number) " +
