@@ -445,51 +445,58 @@ object GraphOps {
 
   /** HITS hubs & authorities (Kleinberg, JACM 1999) as a bulk-synchronous
     * DataFrame power iteration: per superstep
-    * `auth ← Σ_{v→u} hub(v)` then `hub ← Σ_{v→u} auth(u)`, each
-    * L1-normalized so scores stay a distribution. Each half-step is one
-    * aggregate+join pair keyed on an edge endpoint — partial+final hash
-    * aggregates, map-side combinable, the same shuffle shape as the
-    * PageRank loop, so the 100-TB story is identical: wall-clock is
-    * bounded by the iteration count, no driver-side state beyond the loop
-    * counter. Lineage is cut once per round (`localCheckpoint` on the hub
-    * vector) so plan depth stays O(1) across iterations; the final auth
-    * vector is derived from the converged hubs (the fixpoint satisfies
-    * both equations). Nodes with no in-edges answer authority 0, no
-    * out-edges hub 0; an edgeless graph answers all-zero scores rather
-    * than dividing by zero.
+    * `auth ← Σ_{v→u} hub(v)` then `hub ← Σ_{v→u} auth(u)`. Each
+    * half-step is one aggregate+join pair keyed on an edge endpoint —
+    * partial+final hash aggregates, map-side combinable, the same shuffle
+    * shape as the PageRank loop, so the 100-TB story is identical:
+    * wall-clock is bounded by the iteration count, no driver-side state
+    * beyond the loop counter.
+    *
+    * The iteration is LINEAR (hub ← AᵀA·hub), so per-round L1
+    * normalization only rescales by a scalar — it is deferred to one
+    * final normalization, which halves the per-round shuffle count (no
+    * per-round total-agg + broadcast) and keeps zero-score vertices out
+    * of the loop entirely (restored by the closing left-outer join).
+    * Unnormalized magnitudes grow ~λ^iters for the dominant eigenvalue λ;
+    * with the default 12 rounds that is far inside double range for any
+    * λ < 1e25 — no real graph approaches it. Lineage is cut every few
+    * rounds (`localCheckpoint`) so plan depth stays O(1) across
+    * iterations; the final auth vector is derived from the converged hubs
+    * (the fixpoint satisfies both equations). Nodes with no in-edges
+    * answer authority 0, no out-edges hub 0; an edgeless graph answers
+    * all-zero scores rather than dividing by zero.
     */
   def hits(spark: SparkSession, g: GraphTables, iters: Int = 12)
       : DataFrame = {
     val edges = g.edges.toDF().select("src", "dst").localCheckpoint()
-    val ids = g.nodes.toDF().select("id").localCheckpoint()
+    val ids = g.nodes.toDF().select("id")
     def normalized(scores: DataFrame, c: String): DataFrame = {
       val tot = scores.agg(sum(col(c)).as("t"))
       scores.crossJoin(broadcast(tot))
         .select(col("id"),
           when(col("t") > 0, col(c) / col("t")).otherwise(lit(0.0)).as(c))
     }
-    def authOf(hub: DataFrame): DataFrame = {
-      val a0 = edges
-        .join(hub.select(col("id").as("src"), col("hub")), "src")
-        .groupBy(col("dst").as("id")).agg(sum("hub").as("auth"))
-      normalized(ids.join(a0, Seq("id"), "left_outer")
-        .select(col("id"), coalesce(col("auth"), lit(0.0)).as("auth")),
-        "auth")
-    }
-    var hub = ids.withColumn("hub", lit(1.0))
+    def authOf(hub: DataFrame): DataFrame = edges
+      .join(hub.select(col("id").as("src"), col("hub")), "src")
+      .groupBy(col("dst").as("id")).agg(sum("hub").as("auth"))
+    var hub = edges.select(col("src").as("id")).distinct()
+      .withColumn("hub", lit(1.0))
     var i = 0
     while (i < iters) {
-      val auth = authOf(hub)
-      val h0 = edges
-        .join(auth.select(col("id").as("dst"), col("auth")), "dst")
+      hub = edges
+        .join(authOf(hub).select(col("id").as("dst"), col("auth")), "dst")
         .groupBy(col("src").as("id")).agg(sum("auth").as("hub"))
-      hub = normalized(ids.join(h0, Seq("id"), "left_outer")
-        .select(col("id"), coalesce(col("hub"), lit(0.0)).as("hub")),
-        "hub").localCheckpoint()
       i += 1
+      if (i % 4 == 0 || i == iters) hub = hub.localCheckpoint()
     }
-    g.nodes.toDF().join(hub, "id").join(authOf(hub), "id")
-      .select(col("label"), col("name"), col("hub"), col("auth"))
+    val hubN = normalized(hub, "hub")
+    val authN = normalized(authOf(hubN), "auth")
+    g.nodes.toDF()
+      .join(hubN, Seq("id"), "left_outer")
+      .join(authN, Seq("id"), "left_outer")
+      .select(col("label"), col("name"),
+        coalesce(col("hub"), lit(0.0)).as("hub"),
+        coalesce(col("auth"), lit(0.0)).as("auth"))
   }
 
   /** Triangle count per vertex via GraphX (Q9 analytics breadth). */

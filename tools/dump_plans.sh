@@ -26,7 +26,10 @@ val names = Seq("g2_agg_pricing_summary", "j2_join_broadcast_dims",
   "graphp_cypher_multi_rel", "graphp_cypher_alias", "graphp_cypher_shortest_path",
   "l42_temperature_mix", "l43_bpe_pair_merge", "graphp_cypher_chain3",
   "graphp_cypher_multi_agg", "graphp_cypher_dual_match",
-  "graphp_cypher_global_hop", "graphp_cypher_size")
+  "graphp_cypher_global_hop", "graphp_cypher_size",
+  "tpch_q5", "tpch_q13", "tpch_q18", "l47_best_of_cluster",
+  "graphp_node_similarity", "graphp_harmonic", "graphp_ppr",
+  "graphp_cypher_match_merge", "graphp_cypher_exists_and")
 val sb = new StringBuilder
 sb.append("# PLANS -- formatted physical plans of headline queries (sf0.1, local[8])\n\n")
 sb.append("Generated from `df.queryExecution.explainString(FormattedMode)` after execution\n(AQE final plans). Regenerate with `tools/dump_plans.sh`.\n")
