@@ -71,7 +71,10 @@ import org.apache.spark.sql.functions._
   *            // output columns (n_connected, n_connected_2) — alias with
   *            // AS for stable names
   *          | (m | m.prop[, ...]), size((m)-[[:REL][*1..K]]->([:Label]))
-  *            [AS alias]   // the degree EXPRESSION — one row per matched
+  *            [AS alias]   // — or its Neo4j-5 spelling
+  *            `COUNT { [MATCH] (m)-[…]->(x[:Label]) }`, normalized onto
+  *            the size() path (an in-subquery WHERE is rejected)
+  *            // the degree EXPRESSION — one row per matched
   *            // root (identity semantics, zero-degree roots included;
   *            // desugars to the OPTIONAL expansion + identity-grouped
   *            // count, with the WHERE kept on the ROOT scan); output
@@ -1320,7 +1323,38 @@ object CypherLite {
   }
 
   def parse(query: String): Either[String, Statement] =
-    mergeConsecutiveMatches(stripPassthroughWith(query)).flatMap(parseStmt)
+    mergeConsecutiveMatches(
+      stripPassthroughWith(rewriteCountSubquery(query))).flatMap(parseStmt)
+
+  // `COUNT { (m)-[…]->(x[:Label]) }` — the Neo4j-5 COUNT subquery, the
+  // modern spelling of the degree expression (size(pattern) is deprecated
+  // there, so LLMs increasingly emit this form). Normalized to the
+  // engine's size() path: the inner pattern's target variable (if any) is
+  // dropped — COUNT{} counts pattern ROWS, exactly what the size()
+  // desugaring's identity-grouped binding count answers. Matched on the
+  // quote-blanked text; a WHERE inside the subquery does not match and
+  // falls through to a parse error rather than a silently-wrong count.
+  private val CountSubRe =
+    ("""(?i)\bCOUNT\s*\{\s*(?:MATCH\s+)?\(\s*(\w+)\s*\)\s*""" +
+      """(-\s*\[[^\]]*\]\s*-\s*>)\s*\(\s*\w*\s*(?::\s*(\w+))?\s*\)\s*\}""").r
+
+  private def rewriteCountSubquery(q: String): String = {
+    val blanked = blankQuoted(q)
+    val ms = CountSubRe.findAllMatchIn(blanked).toList
+    if (ms.isEmpty) q
+    else {
+      val sb = new StringBuilder
+      var pos = 0
+      ms.foreach { m =>
+        sb.append(q.substring(pos, m.start))
+        val rel = q.substring(m.start(2), m.end(2))
+        val lab = Option(m.group(3)).fold("")(l => ":" + l)
+        sb.append(s"size((${m.group(1)})$rel($lab))")
+        pos = m.end
+      }
+      sb.append(q.substring(pos)).toString
+    }
+  }
 
   // `WITH a[, b …] MATCH` — a bare-variable pass-through WITH feeding a
   // follow-up MATCH (the LLM staple `MATCH (a:L) WITH a MATCH (a)-[…]->`)

@@ -1934,6 +1934,23 @@ object ParquetGraph {
         .fold(err => throw new IllegalArgumentException(err), identity)
     },
 
+    // C10 CypherLite twin (new r8): the Neo4j-5 `COUNT { (m)-[…]->() }`
+    // subquery spelling of the degree expression, normalized onto the
+    // size() path — same one-row-per-root zero-inclusive semantics, here
+    // with an AS alias and a typed target label.
+    QueryDef.sql(
+      "graphp_cypher_count_sub",
+      """SELECT n_name AS m_name,
+        |  CAST(count(c_custkey) AS BIGINT) AS n_cust
+        |FROM nation LEFT JOIN customer ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY m_name""".stripMargin) { (s, d) =>
+      CypherLite.run(hierarchy(s, d),
+        "MATCH (m:Nation) RETURN m.name, " +
+          "COUNT { (m)-[:HAS_CUSTOMER]->(c:Customer) } AS n_cust " +
+          "ORDER BY m.name")
+        .fold(err => throw new IllegalArgumentException(err), identity)
+    },
+
     // C10 CypherLite twin: WITH … sum(c.prop) … WHERE — the numeric
     // HAVING pipeline over an aggregate other than count ("nations whose
     // total X exceeds N"). Identity grouping, the alias keys the ORDER BY,

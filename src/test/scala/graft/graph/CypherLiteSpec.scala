@@ -2064,6 +2064,22 @@ class CypherLiteSpec extends SparkSpec {
         "RETURN m.name").isLeft)
   }
 
+  test("COUNT { pattern } subquery normalizes onto the size() degree path") {
+    def rows(q: String) = CypherLite.run(g, q)
+      .fold(e => fail(e), identity).collect().map(_.toSeq).toSet
+    val sub = rows("MATCH (m:Step) RETURN m.name, " +
+      "COUNT { (m)-[]->(x) } AS deg ORDER BY m.name")
+    val size = rows("MATCH (m:Step) RETURN m.name, " +
+      "size((m)-[]->()) AS deg ORDER BY m.name")
+    assert(sub == size && sub.nonEmpty)
+    // the MATCH-prefixed spelling and a typed target work too
+    assert(rows("MATCH (m:Step) RETURN m.name, " +
+      "COUNT { MATCH (m)-[]->(x) } AS deg ORDER BY m.name") == size)
+    // a WHERE inside the subquery is rejected, not silently miscounted
+    assert(CypherLite.parse("MATCH (m:Step) RETURN m.name, " +
+      "COUNT { (m)-[]->(x) WHERE x.name = 'y' } AS deg").isLeft)
+  }
+
   test("allShortestPaths accepts and equals shortestPath on endpoints") {
     // the engine projects endpoint properties and length only, so all
     // min-length paths collapse to the same (a, b, length) rows
