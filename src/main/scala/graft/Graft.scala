@@ -71,6 +71,31 @@ object Graft {
   def weightedDistances(spark: SparkSession, g: GraphTables,
       rootIds: Set[Long], weight: org.apache.spark.sql.Column): DataFrame =
     GraphOps.weightedDistances(spark, g, rootIds, weight)
+  /** Personalized PageRank from one source (the recommendation ranking). */
+  def personalizedPageRank(spark: SparkSession, g: GraphTables, src: Long,
+      iters: Int = 20): DataFrame =
+    GraphOps.personalizedPageRank(spark, g, src, iters)
+  /** HITS hubs & authorities (L1-normalized). */
+  def hits(spark: SparkSession, g: GraphTables, iters: Int = 12): DataFrame =
+    GraphOps.hits(spark, g, iters)
+  /** Landmark-sampled harmonic centrality (Σ 1/d over the landmarks). */
+  def harmonicCentrality(spark: SparkSession, g: GraphTables,
+      landmarks: Seq[Long]): DataFrame =
+    GraphOps.harmonicCentrality(spark, g, landmarks)
+  /** Neighborhood-Jaccard node similarity (GDS nodeSimilarity shape). */
+  def nodeSimilarity(spark: SparkSession, g: GraphTables,
+      maxDegree: Int = 1000): DataFrame =
+    GraphOps.nodeSimilarity(spark, g, maxDegree)
+  /** k-core membership (bulk-synchronous peeling). */
+  def kCore(spark: SparkSession, g: GraphTables, k: Int): DataFrame =
+    GraphOps.kCore(spark, g, k)
+  /** Adamic-Adar link prediction over common neighbors. */
+  def linkPredict(spark: SparkSession, g: GraphTables,
+      maxDegree: Int = 1000): DataFrame =
+    GraphOps.adamicAdar(spark, g, maxDegree)
+  /** Strongly connected components (directed mutual reachability). */
+  def stronglyConnected(spark: SparkSession, g: GraphTables,
+      iters: Int = 10): DataFrame = GraphOps.stronglyConnected(spark, g, iters)
 
   // ------------------------------------------------------------ corpus ops
   /** Near-duplicate clusters of a documents table (doc_id, text, …):

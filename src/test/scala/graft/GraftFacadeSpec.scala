@@ -34,6 +34,17 @@ class GraftFacadeSpec extends SparkSpec {
     assert(Graft.load(spark, dir).nodes.count() == g.nodes.count())
     // analytics
     assert(Graft.pageRank(spark, g, 3).count() == g.nodes.count())
+    assert(Graft.hits(spark, g, 3).count() == g.nodes.count())
+    val root = g.nodes.filter(col("label") === "Boeing_Service_Bulletin")
+      .select("id").collect().head.getLong(0) // 1 flagship root
+    assert(Graft.personalizedPageRank(spark, g, root, 5)
+      .filter(col("rank") > 0).count() > 0)
+    assert(Graft.harmonicCentrality(spark, g, Seq(root))
+      .count() == g.nodes.count())
+    assert(Graft.nodeSimilarity(spark, g).count() > 0)
+    assert(Graft.stronglyConnected(spark, g).count() == g.nodes.count())
+    assert(Graft.kCore(spark, g, 1).count() > 0)
+    assert(Graft.linkPredict(spark, g).count() > 0)
     // corpus ops
     assert(Graft.dupClusters(spark, sf("sf0.001")).count() == 500)
   }
