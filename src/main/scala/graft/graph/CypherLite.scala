@@ -154,7 +154,10 @@ import org.apache.spark.sql.functions._
   * through the same try_cast lens as scalar numerics; `IN []` matches
   * nothing).
   * A hop pattern without an explicit range (`-[:HAS_ORDER]->`, the most
-  * common LLM emission) is the single-hop form `*1..1`. An UNQUOTED numeric
+  * common LLM emission) is the single-hop form `*1..1`; the GQL
+  * quantified-path spelling `-[:R]->{1,K}` (Neo4j 5.9+) normalizes to
+  * `-[:R*1..K]->` ({0,K}/{,K} would include the root and a deeper lower
+  * bound cannot ride the min-depth expansion — both rejected by name). An UNQUOTED numeric
   * literal compares numerically: the property value is cast to double and
   * non-numeric values drop out (Cypher's string-vs-number comparison is
   * null, which filters the row — same observable behavior).
@@ -1323,8 +1326,40 @@ object CypherLite {
   }
 
   def parse(query: String): Either[String, Statement] =
-    mergeConsecutiveMatches(
-      stripPassthroughWith(rewriteCountSubquery(query))).flatMap(parseStmt)
+    rewriteGqlQuantifier(query).flatMap(q =>
+      mergeConsecutiveMatches(
+        stripPassthroughWith(rewriteCountSubquery(q))).flatMap(parseStmt))
+
+  // `-[:R]->{1,K}` — the GQL quantified-path spelling (Neo4j 5.9+),
+  // normalized to the engine's `-[:R*1..K]->` range form. Only the
+  // 1-anchored form maps: `{2,3}` (min hops > 1) would need an exact-
+  // depth lower bound the min-depth expansion kernel cannot express, and
+  // `{0,K}`/`{,K}` (GQL's 0 lower bound) would include the root itself —
+  // both rejected by name rather than silently narrowed.
+  private val GqlQuantRe =
+    """(-\s*\[\s*([^\]*]*?)\s*\]\s*-\s*>)\s*\{\s*(\d*)\s*,\s*(\d+)\s*\}""".r
+
+  private def rewriteGqlQuantifier(q: String): Either[String, String] = {
+    val blanked = blankQuoted(q)
+    val ms = GqlQuantRe.findAllMatchIn(blanked).toList
+    val badMin = ms.find(m => m.group(3) != "1")
+    if (badMin.isDefined)
+      Left(s"quantified path {${badMin.get.group(3)},…}: only a lower " +
+        "bound of 1 is supported ({0,K} would include the root, a deeper " +
+        "lower bound cannot ride the min-depth expansion)")
+    else if (ms.isEmpty) Right(q)
+    else {
+      val sb = new StringBuilder
+      var pos = 0
+      ms.foreach { m =>
+        sb.append(q.substring(pos, m.start))
+        val inner = q.substring(m.start(2), m.end(2)).trim
+        sb.append(s"-[$inner*1..${m.group(4)}]->")
+        pos = m.end
+      }
+      Right(sb.append(q.substring(pos)).toString)
+    }
+  }
 
   // `COUNT { (m)-[…]->(x[:Label]) }` — the Neo4j-5 COUNT subquery, the
   // modern spelling of the degree expression (size(pattern) is deprecated

@@ -1951,6 +1951,24 @@ object ParquetGraph {
         .fold(err => throw new IllegalArgumentException(err), identity)
     },
 
+    // C10 CypherLite twin (new r8): the GQL quantified-path spelling
+    // `-[]->{1,2}` (Neo4j 5.9+), normalized to the *1..2 range form —
+    // a region's ≤2-hop frontier is its nations plus their customers.
+    QueryDef.sql(
+      "graphp_cypher_gql_range",
+      """SELECT r_name AS m_name,
+        |  CAST((SELECT count(*) FROM nation
+        |        WHERE n_regionkey = r_regionkey)
+        |     + (SELECT count(*) FROM customer JOIN nation
+        |          ON c_nationkey = n_nationkey
+        |        WHERE n_regionkey = r_regionkey) AS BIGINT) AS n_connected
+        |FROM region ORDER BY m_name""".stripMargin) { (s, d) =>
+      CypherLite.run(hierarchy(s, d),
+        "MATCH (m:Region)-[]->{1,2}(c) RETURN m.name, count(c) " +
+          "ORDER BY m.name")
+        .fold(err => throw new IllegalArgumentException(err), identity)
+    },
+
     // C10 CypherLite twin: WITH … sum(c.prop) … WHERE — the numeric
     // HAVING pipeline over an aggregate other than count ("nations whose
     // total X exceeds N"). Identity grouping, the alias keys the ORDER BY,

@@ -2080,6 +2080,28 @@ class CypherLiteSpec extends SparkSpec {
       "COUNT { (m)-[]->(x) WHERE x.name = 'y' } AS deg").isLeft)
   }
 
+  test("GQL quantified paths {1,K} normalize to the *1..K range form") {
+    def rows(q: String) = CypherLite.run(g, q)
+      .fold(e => fail(e), identity).collect().map(_.toSeq).toSet
+    val gql = rows("MATCH (m:Boeing_Service_Bulletin)-[]->{1,3}(c) " +
+      "RETURN m.name, count(c)")
+    val range = rows("MATCH (m:Boeing_Service_Bulletin)-[*1..3]->(c) " +
+      "RETURN m.name, count(c)")
+    assert(gql == range && gql.nonEmpty)
+    // typed form
+    assert(rows("MATCH (m:Boeing_Service_Bulletin)-[:HAS_SUMMARY]->{1,2}(c) " +
+      "RETURN m.name, count(c)") ==
+      rows("MATCH (m:Boeing_Service_Bulletin)-[:HAS_SUMMARY*1..2]->(c) " +
+        "RETURN m.name, count(c)"))
+    // a 0 or deeper lower bound cannot be expressed — rejected by name
+    val deep = CypherLite.parse(
+      "MATCH (m:Step)-[]->{2,3}(c) RETURN m.name, count(c)")
+    assert(deep.isLeft && deep.swap.toOption.get.contains("lower"))
+    val zero = CypherLite.parse(
+      "MATCH (m:Step)-[]->{,3}(c) RETURN m.name, count(c)")
+    assert(zero.isLeft && zero.swap.toOption.get.contains("lower"))
+  }
+
   test("allShortestPaths accepts and equals shortestPath on endpoints") {
     // the engine projects endpoint properties and length only, so all
     // min-length paths collapse to the same (a, b, length) rows
