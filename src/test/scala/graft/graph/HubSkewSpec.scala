@@ -142,6 +142,25 @@ class HubSkewSpec extends SparkSpec {
           st.render)
     }
   }
+
+  test("nodeSimilarity's hub cap keeps the common-neighbor self-join " +
+      "balanced with the skew optimizer OFF") {
+    // same z-keyed self-join substrate as adamicAdar, same claim: the
+    // degree cap drops the hub's 400k-wide adjacency list BEFORE the
+    // join, so the candidate space never explodes and no skew handling is
+    // needed downstream (its full Jaccard denominator deg still counts —
+    // the cap bounds who GENERATES pairs, not the score arithmetic)
+    val (pairs, off) = measure(spark, skewOn = false) {
+      GraphOps.nodeSimilarity(spark, graph, maxDegree = 1000).count()
+    }
+    assert(pairs > 0L, "degree cap emptied the result entirely")
+    info(s"skew-OFF heavy stages (bytes): ${off.map(_.render).mkString("; ")}")
+    off.foreach { st =>
+      assert(st.ratio <= BalancedRatio,
+        s"stage ${st.stageId} imbalanced despite the degree cap: " +
+          st.render)
+    }
+  }
 }
 
 object HubSkewSpec {
