@@ -175,6 +175,11 @@ import org.apache.spark.sql.functions._
   * spliced into the equivalent chain pattern at parse time — repeated
   * labels/properties on the shared variable merge, conflicting labels
   * error, OPTIONAL junctions and fresh-variable clauses are untouched.
+  * A comma-separated pattern list in one MATCH (`MATCH p1, p2`) rewrites
+  * to the same clause boundaries (Cypher's n-ary pattern list IS a
+  * clause-level join): linear lists chain-splice, the hop-less
+  * comma-cartesian lands in the dual-MATCH form, and a BRANCHING list
+  * (patterns sharing a root) is rejected rather than mis-joined.
   * A comparison may also be CROSS-VARIABLE (`WHERE c.name < m.name`,
   * Cypher's property-to-property predicate): both sides reference bound
   * pattern variables and the comparison runs column-to-column per (m, c)
@@ -1328,7 +1333,52 @@ object CypherLite {
   def parse(query: String): Either[String, Statement] =
     rewriteGqlQuantifier(query).flatMap(q =>
       mergeConsecutiveMatches(
-        stripPassthroughWith(rewriteCountSubquery(q))).flatMap(parseStmt))
+        stripPassthroughWith(rewriteCountSubquery(rewriteCommaPatterns(q))))
+        .flatMap(parseStmt))
+
+  /** Comma-separated patterns inside one MATCH clause (`MATCH
+    * (a)-[…]->(b), (b)-[…]->(c)`) are Cypher's n-ary pattern list — each
+    * comma is exactly a clause boundary (`MATCH p1, p2` ≡ `MATCH p1 MATCH
+    * p2`), so the comma rewrites to ` MATCH ` and the multi-MATCH splice
+    * takes it from there. The LINEAR form (each pattern re-anchoring the
+    * previous tail) lands in the chain plan; a BRANCHING form (patterns
+    * sharing a root, `(a)-[]->(b), (a)-[]->(c)`) does not splice and is
+    * rejected as unsupported rather than mis-joined. Only a depth-0 comma
+    * whose neighbors are `)` and `(` rewrites — commas in property maps /
+    * IN lists sit inside braces/brackets, and no RETURN/ORDER BY item
+    * ever ends with `)` AND is followed by a bare `(`.
+    */
+  private def rewriteCommaPatterns(q: String): String = {
+    val blanked = blankQuoted(q)
+    val cuts = Seq.newBuilder[Int]
+    var depth = 0
+    var i = 0
+    while (i < blanked.length) {
+      blanked.charAt(i) match {
+        case '(' | '[' | '{' => depth += 1
+        case ')' | ']' | '}' => depth -= 1
+        case ',' if depth == 0 =>
+          val prev = blanked.lastIndexWhere(!_.isWhitespace, i - 1)
+          val next = blanked.indexWhere(!_.isWhitespace, i + 1)
+          if (prev >= 0 && blanked.charAt(prev) == ')' &&
+              next >= 0 && blanked.charAt(next) == '(')
+            cuts += i
+        case _ => ()
+      }
+      i += 1
+    }
+    val cs = cuts.result()
+    if (cs.isEmpty) q
+    else {
+      val sb = new StringBuilder
+      var pos = 0
+      cs.foreach { c =>
+        sb.append(q.substring(pos, c)).append(" MATCH ")
+        pos = c + 1
+      }
+      sb.append(q.substring(pos)).toString
+    }
+  }
 
   // `-[:R]->{1,K}` — the GQL quantified-path spelling (Neo4j 5.9+),
   // normalized to the engine's `-[:R*1..K]->` range form. Only the

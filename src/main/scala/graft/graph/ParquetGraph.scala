@@ -1951,6 +1951,23 @@ object ParquetGraph {
         .fold(err => throw new IllegalArgumentException(err), identity)
     },
 
+    // C10 CypherLite twin (new r8): the comma-separated pattern list in
+    // one MATCH (`MATCH p1, p2` ≡ `MATCH p1 MATCH p2`) — the linear form
+    // rewrites to clause boundaries and splices into the chain plan.
+    QueryDef.sql(
+      "graphp_cypher_comma",
+      """SELECT n_name AS n_name, CAST(count(*) AS BIGINT) AS n_c
+        |FROM region JOIN nation ON n_regionkey = r_regionkey
+        |JOIN customer ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_c DESC, n_name LIMIT 5""".stripMargin) {
+      (s, d) =>
+        CypherLite.run(hierarchy(s, d),
+          "MATCH (r:Region)-[:HAS_NATION]->(n:Nation), " +
+            "(n)-[:HAS_CUSTOMER]->(c:Customer) " +
+            "RETURN n.name, count(c) ORDER BY count(c) DESC LIMIT 5")
+          .fold(err => throw new IllegalArgumentException(err), identity)
+    },
+
     // C10 CypherLite twin (new r8): the GQL quantified-path spelling
     // `-[]->{1,2}` (Neo4j 5.9+), normalized to the *1..2 range form —
     // a region's ≤2-hop frontier is its nations plus their customers.

@@ -2080,6 +2080,27 @@ class CypherLiteSpec extends SparkSpec {
       "COUNT { (m)-[]->(x) WHERE x.name = 'y' } AS deg").isLeft)
   }
 
+  test("comma-separated MATCH patterns rewrite to clause boundaries") {
+    def rows(q: String) = CypherLite.run(g, q)
+      .fold(e => fail(e), identity).collect().map(_.toSeq).toSet
+    // linear pattern list ≡ the chain
+    assert(rows("MATCH (a:Boeing_Service_Bulletin)-[]->(b), (b)-[]->(c) " +
+      "RETURN a.name, c.name") ==
+      rows("MATCH (a:Boeing_Service_Bulletin)-[]->(b)-[]->(c) " +
+        "RETURN a.name, c.name"))
+    // comma-cartesian of two hopless patterns ≡ the dual-MATCH form
+    assert(rows("MATCH (a:Subject), (b:Number) RETURN a.name, b.name") ==
+      rows("MATCH (a:Subject) MATCH (b:Number) RETURN a.name, b.name"))
+    // a BRANCHING pattern list (shared root) is rejected, not mis-joined
+    assert(CypherLite.parse(
+      "MATCH (a:Step)-[]->(b), (a)-[]->(c) RETURN a.name").isLeft)
+    // commas inside property maps / IN lists never split
+    assert(CypherLite.run(g,
+      "MATCH (m:Number {name: 'number', docnbr: ''}) RETURN m").isRight)
+    assert(CypherLite.run(g,
+      "MATCH (m:Step) WHERE m.name IN ['a', 'b'] RETURN m.name").isRight)
+  }
+
   test("GQL quantified paths {1,K} normalize to the *1..K range form") {
     def rows(q: String) = CypherLite.run(g, q)
       .fold(e => fail(e), identity).collect().map(_.toSeq).toSet
