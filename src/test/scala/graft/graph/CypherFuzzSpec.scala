@@ -1,0 +1,92 @@
+package graft.graph
+
+import graft.SparkSpec
+
+/** Robustness of the Cypher front end as a TOTAL function: the callers it
+  * serves feed it LLM-generated text, so for ANY input — well-formed,
+  * near-grammar, or garbage — `run()` must answer `Left(error)` or a
+  * `Right(df)` that collects, and never throw from the parser or the
+  * plan builder (a MatchError on query text is a denial-of-service shape
+  * for a serving layer). Inputs are deterministic recombinations of
+  * grammar fragments (seeded PRNG — reproducible, no wall-clock or
+  * global randomness), plus mutation: truncation at every prefix length
+  * and single-token deletion.
+  */
+class CypherFuzzSpec extends SparkSpec {
+
+  private lazy val g: GraphTables = {
+    import spark.implicits._
+    GraphTables(
+      Seq(NodeRow(1L, "Region", "r1", "", "", "base", Seq.empty),
+        NodeRow(2L, "Nation", "n1", "c", "", "base", Seq.empty),
+        NodeRow(3L, "Nation", "n2", "", "", "base", Seq.empty)).toDS(),
+      Seq(EdgeRow(1L, 2L, "HAS_NATION", "", "base"),
+        EdgeRow(2L, 3L, "HAS_NEXT", "", "base")).toDS())
+  }
+
+  private val heads = Seq("MATCH (m:Region)", "MATCH (m)",
+    "MATCH (m:Nation {name: 'n1'})", "OPTIONAL MATCH", "MATCH (m:Region),",
+    "MATCH (m:Region) WITH m MATCH (m)", "MATCH p = shortestPath((a:Region)",
+    "UNWIND ['n1'] AS x MATCH (m)", "MATCH")
+  private val hops = Seq("", "-[]->(c)", "-[:HAS_NATION]->(c)",
+    "-[*1..2]->(c)", "-[r]->(c)", "<-[]-(c)", "-[]-(c)", "-[]->{1,2}(c)",
+    "-[]->{0,2}(c)", "-[:A|B]->(c)", "-[]->(c:Nation)", "-[]->(c)-[]->(d)",
+    ", (c)-[]->(d)", "-[]->", "-[")
+  private val wheres = Seq("", " WHERE m.name = 'n1'",
+    " WHERE m.name CONTAINS", " WHERE (m)-[]->()",
+    " WHERE m.name = 'a' AND NOT (m)-[]->()", " WHERE toLower(m.name)",
+    " WHERE m.name IN ['a', 'b']", " WHERE c.name < m.name",
+    " WHERE type(r) = 'HAS_NATION'", " WHERE exists(m.name)",
+    " WHERE NOT EXISTS { (m)-[]->() }", " WHERE m.name =",
+    " WHERE m.name = 'a' OR (m)-[]->()")
+  private val rets = Seq(" RETURN m", " RETURN m.name", " RETURN DISTINCT c",
+    " RETURN m, count(c)", " RETURN count(*)", " RETURN collect(c.name)",
+    " RETURN m.name, COUNT { (m)-[]->(x) }", " RETURN type(r), count(r)",
+    " RETURN size((m)-[]->())", " RETURN toUpper(m.name)",
+    " RETURN CASE WHEN m.name = 'a' THEN 'x' END", " RETURN", "",
+    " RETURN m.name AS", " DETACH DELETE m", " SET m.content = 'v'")
+  private val tails = Seq("", " ORDER BY m.name", " ORDER BY count(c) DESC",
+    " LIMIT 2", " ORDER BY m.name SKIP 1 LIMIT 1", " UNION MATCH (m) RETURN m",
+    " LIMIT", " ORDER BY")
+
+  private def exercise(q: String): Unit =
+    try CypherLite.run(g, q) match {
+      case Right(df) => df.collect() // a Right must also EXECUTE cleanly
+      case Left(e) => assert(e.nonEmpty, s"empty error for: $q")
+    } catch {
+      case ex: Throwable =>
+        fail(s"run() threw ${ex.getClass.getSimpleName} on: $q\n$ex")
+    }
+
+  test("every fragment recombination answers Left or a collectable Right") {
+    val rnd = new scala.util.Random(42)
+    (1 to 400).foreach { _ =>
+      val q = heads(rnd.nextInt(heads.size)) + hops(rnd.nextInt(hops.size)) +
+        wheres(rnd.nextInt(wheres.size)) + rets(rnd.nextInt(rets.size)) +
+        tails(rnd.nextInt(tails.size))
+      exercise(q)
+    }
+  }
+
+  test("prefix truncations and token deletions never escape Either") {
+    val base = "MATCH (m:Region)-[:HAS_NATION*1..2]->(c:Nation) " +
+      "WHERE m.name = 'r1' AND NOT (c)-[]->() " +
+      "RETURN m.name, count(c) AS n ORDER BY n DESC LIMIT 2"
+    (1 to base.length).foreach(k => exercise(base.take(k)))
+    val toks = base.split(" ")
+    toks.indices.foreach { i =>
+      exercise((toks.take(i) ++ toks.drop(i + 1)).mkString(" "))
+    }
+  }
+
+  test("pathological inputs stay inside Either") {
+    Seq("", "   ", "garbage", "MATCH MATCH MATCH", "RETURN m",
+      "MATCH (m RETURN m", "MATCH (m:')-[", "MATCH (m) RETURN m; DROP x",
+      "MATCH (m) WHERE m.name = 'unterminated RETURN m",
+      "MATCH (m)" + "-[]->(c)" * 40 + " RETURN m",
+      "MATCH (m) WHERE " + Seq.fill(30)("m.name = 'a'").mkString(" OR ") +
+        " RETURN m",
+      "MATCH (a)-[]->(b) MATCH (b)-[]->(a) RETURN a.name, b.name",
+      "COUNT { MATCH (m) }", "MATCH (m) RETURN COUNT { }").foreach(exercise)
+  }
+}
