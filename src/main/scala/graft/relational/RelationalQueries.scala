@@ -746,6 +746,42 @@ object RelationalQueries {
         .orderBy("o_orderpriority")
     },
     QueryDef.sql(
+      "g15_exact_median",
+      // EXACT grouped median WITHOUT sorting rows: fixed-scale money
+      // quantizes to integer cents, so the kernel aggregates a
+      // (group, value) HISTOGRAM — cardinality bounded by the value
+      // DOMAIN, not the row count — and selects the middle order
+      // statistic(s) from per-group cumulative counts over the
+      // histogram. At 100 TB this shuffles |distinct values| rows where
+      // percentile/sort-based medians shuffle-and-sort ALL rows; the
+      // per-group window runs over the compressed histogram only. The
+      // (v1+v2)/2 average of the two middles is exact integer-cents
+      // arithmetic; DuckDB's independent native median() agrees inside
+      // the compare's 9-digit canon.
+      """SELECT o_orderpriority AS g, median(o_totalprice) AS med
+        |FROM orders GROUP BY o_orderpriority ORDER BY g""".stripMargin) {
+      (s, d) =>
+        val cents = Tables.orders(s, d)
+          .select(col("o_orderpriority").as("g"),
+            round(col("o_totalprice") * 100, 0).cast("long").as("v"))
+        val hist = cents.groupBy("g", "v").agg(count(lit(1)).as("c"))
+        val w = Window.partitionBy("g").orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = hist
+          .withColumn("hi", sum("c").over(w))
+          .withColumn("lo", col("hi") - col("c") + 1)
+          .join(cents.groupBy("g").agg(count(lit(1)).as("n")), "g")
+        // 1-indexed middle positions: equal when n is odd (the bare `/`
+        // on long columns is DOUBLE division — floor back to a position)
+        val m1 = ((col("n") + 1) / 2).cast("long")
+        val m2 = ((col("n") + 2) / 2).cast("long")
+        cum.groupBy("g")
+          .agg(((sum(when(col("lo") <= m1 && m1 <= col("hi"), col("v"))) +
+            sum(when(col("lo") <= m2 && m2 <= col("hi"), col("v"))))
+            .cast("double") / 200.0).as("med"))
+          .orderBy("g")
+    },
+    QueryDef.sql(
       "dq1_constraint_audit",
       // the dbt-test / Great-Expectations audit battery as ONE relation:
       // each check is an independent aggregate over its own table, so at
