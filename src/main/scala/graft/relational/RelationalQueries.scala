@@ -782,6 +782,37 @@ object RelationalQueries {
           .orderBy("g")
     },
     QueryDef.sql(
+      "g16_grouped_mode",
+      // EXACT grouped mode with a DETERMINISTIC tie-break (highest count,
+      // then smallest value) — native mode() is non-deterministic on ties
+      // in both engines, so the kernel selects from the same (group,
+      // value) HISTOGRAM g15 uses: cardinality bounded by the value
+      // domain (l_quantity has 50 distinct values), so the per-group
+      // ranking window runs over ≤|domain| rows per group no matter how
+      // many source rows exist. At 100 TB the only row-count-sized work
+      // is the partial+final histogram aggregate.
+      """WITH h AS (
+        |  SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS v,
+        |         count(*) AS c
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT g, v AS mode_v, CAST(c AS BIGINT) AS n_rows
+        |FROM (SELECT g, v, c,
+        |        row_number() OVER (PARTITION BY g
+        |                           ORDER BY c DESC, v ASC) AS rn
+        |      FROM h)
+        |WHERE rn = 1 ORDER BY g""".stripMargin) { (s, d) =>
+      val hist = Tables.lineitem(s, d)
+        .select(col("l_returnflag").as("g"),
+          col("l_quantity").cast("long").as("v"))
+        .groupBy("g", "v").agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy("g")
+        .orderBy(col("c").desc, col("v").asc)
+      hist.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("g"), col("v").as("mode_v"), col("c").as("n_rows"))
+        .orderBy("g")
+    },
+    QueryDef.sql(
       "dq1_constraint_audit",
       // the dbt-test / Great-Expectations audit battery as ONE relation:
       // each check is an independent aggregate over its own table, so at
