@@ -1141,6 +1141,23 @@ object RelationalQueries {
         .orderBy("s_suppkey")
     },
     QueryDef.sql(
+      "w10_cume_dist",
+      // cumulative distribution — rounds out the W-family's rank kernels
+      // (rank/dense_rank/percent_rank/ntile already covered). cume_dist
+      // is tie-stable by construction: its value depends only on the
+      // ORDER BY key comparison (#rows with key <= current / N), never
+      // on physical tie order, so supplier acctbal ties are safe. Same
+      // single-shuffle sort-within-partition plan as every W kernel.
+      """SELECT s_suppkey,
+        |  round(cume_dist() OVER (PARTITION BY s_nationkey
+        |    ORDER BY s_acctbal), 9) AS cd
+        |FROM supplier ORDER BY s_suppkey""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("s_nationkey").orderBy("s_acctbal")
+      Tables.supplier(s, d)
+        .select(col("s_suppkey"), round(cume_dist().over(w), 9).as("cd"))
+        .orderBy("s_suppkey")
+    },
+    QueryDef.sql(
       "w6_range_frame",
       // events-in-the-last-hour per user: a RANGE frame over event time,
       // expressed on the epoch-microsecond axis so both engines use the
