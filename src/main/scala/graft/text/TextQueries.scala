@@ -2085,6 +2085,56 @@ object TextQueries {
         .select(col("cluster_id"), col("best.kept").as("doc_id"),
           col("best.quality").as("quality"))
         .orderBy("cluster_id")
+    },
+    // ------------------------------- L48 shingle containment (asymmetric)
+    // Jaccard misses the quote/subset relationship: a short doc fully
+    // quoted inside a long one shares all ITS shingles but few of the
+    // long doc's, so |∩|/|∪| stays small while |∩|/min(|A|,|B|) → 1.
+    // Same DF-capped shingle substrate as l2c (posting-list pair join,
+    // never all-pairs; hot shingles broadcast-anti-joined away), one
+    // extra broadcast-sized size lookup per side — identical scale shape.
+    QueryDef.sql(
+      "l48_containment",
+      s"""WITH sh0 AS ($duckShingles),
+         |hot AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) > 1000),
+         |sh AS (SELECT * FROM sh0 ANTI JOIN hot USING (s)),
+         |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id)
+         |SELECT doc_a, doc_b,
+         |  ${graft.Det.duckPortableRound(
+            "CAST(shared AS DOUBLE) / CAST(least(sa.n, sb.n) AS DOUBLE)",
+            6)} AS containment,
+         |  CASE WHEN sa.n <= sb.n THEN doc_a ELSE doc_b END AS contained_doc
+         |FROM pairs JOIN sz sa ON doc_a = sa.doc_id
+         |           JOIN sz sb ON doc_b = sb.doc_id
+         |WHERE CAST(shared AS DOUBLE) / CAST(least(sa.n, sb.n) AS DOUBLE)
+         |      >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+      val sh0 = shingles(s, d).localCheckpoint()
+      val hot = sh0.groupBy("s").agg(count(lit(1)).as("df"))
+        .filter(col("df") > 1000).select("s")
+      val sh = sh0.join(broadcast(hot), Seq("s"), "left_anti")
+      val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val pairs = sh.select(col("doc_id").as("doc_a"), col("s"))
+        .join(sh.select(col("doc_id").as("doc_b"), col("s")), "s")
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
+      val cont = col("shared").cast("double") /
+        least(col("na"), col("nb")).cast("double")
+      pairs
+        .join(sz.select(col("doc_id"), col("n").as("na")),
+          col("doc_a") === col("doc_id")).drop("doc_id")
+        .join(sz.select(col("doc_id"), col("n").as("nb")),
+          col("doc_b") === col("doc_id")).drop("doc_id")
+        .filter(cont >= 0.5)
+        .select(col("doc_a"), col("doc_b"),
+          graft.Det.portableRound(cont, 6).as("containment"),
+          when(col("na") <= col("nb"), col("doc_a"))
+            .otherwise(col("doc_b")).as("contained_doc"))
+        .orderBy("doc_a", "doc_b")
     }
   )
 
