@@ -39,6 +39,106 @@ object TpchQueries {
 
   val defs: Seq[QueryDef] = Seq(
 
+    // Q1 pricing summary report: the canonical scan→8-aggregate rollup.
+    // All referenced columns exist verbatim; every money/rate aggregate
+    // uses the integer-cent discipline (sums at the column's decimal
+    // scale, averages as exact-sum/count) so the 8-way result is
+    // bit-identical across engines and partitionings. The charge product
+    // extprice·(1−disc)·(1+tax) carries ≤6 decimals → scale-6 cents; at
+    // 600k rows the long accumulator peaks ~6e16, far under 2^63.
+    QueryDef.sql(
+      "tpch_q1",
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${duckCentSum("l_quantity", 2)} AS sum_qty,
+         |  ${duckCentSum("l_extendedprice", 2)} AS sum_base_price,
+         |  ${duckCentSum("l_extendedprice * (1 - l_discount)", 4)} AS sum_disc_price,
+         |  ${duckCentSum("l_extendedprice * (1 - l_discount) * (1 + l_tax)", 6)} AS sum_charge,
+         |  ${Det.duckCentAvg("l_quantity", 2)} AS avg_qty,
+         |  ${Det.duckCentAvg("l_extendedprice", 2)} AS avg_price,
+         |  ${Det.duckCentAvg("l_discount", 2)} AS avg_disc,
+         |  count(*) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+      val discPrice = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= ts("2001-09-01"))
+        .select("l_returnflag", "l_linestatus", "l_quantity",
+          "l_extendedprice", "l_discount", "l_tax")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          centSum(col("l_quantity"), 2).as("sum_qty"),
+          centSum(col("l_extendedprice"), 2).as("sum_base_price"),
+          centSum(discPrice, 4).as("sum_disc_price"),
+          centSum(discPrice * (lit(1.0) + col("l_tax")), 6)
+            .as("sum_charge"),
+          Det.centAvg(col("l_quantity"), 2).as("avg_qty"),
+          Det.centAvg(col("l_extendedprice"), 2).as("avg_price"),
+          Det.centAvg(col("l_discount"), 2).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // Q2 minimum-cost supplier. Adaptation: no `partsupp` → the
+    // part-supplier cost relation is DERIVED from the fact table
+    // (ps_cost = min unit price ever charged by that supplier for that
+    // part), which preserves the point of Q2: a correlated scalar-min
+    // subquery over a shared relation, decorrelated into a per-part min
+    // joined back on exact equality (sound on doubles because both sides
+    // pick the min of the IDENTICAL value set — no re-arithmetic).
+    // The part filter pushes in FRONT of the per-part min: correlation is
+    // on p_partkey alone, so dropping whole parts early cannot change any
+    // surviving part's min.
+    QueryDef.sql(
+      "tpch_q2",
+      """WITH ps AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    min(l_extendedprice / l_quantity) AS ps_cost
+        |  FROM lineitem GROUP BY l_partkey, l_suppkey)
+        |SELECT s_acctbal, s_name, n_name, p_partkey, p_name
+        |FROM part, ps, supplier, nation, region
+        |WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+        |  AND p_size BETWEEN 10 AND 20 AND p_type = 'LARGE'
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'EUROPE'
+        |  AND ps_cost = (
+        |    SELECT min(ps_cost)
+        |    FROM ps ps2, supplier s2, nation n2, region r2
+        |    WHERE ps2.l_partkey = p_partkey AND s2.s_suppkey = ps2.l_suppkey
+        |      AND s2.s_nationkey = n2.n_nationkey
+        |      AND n2.n_regionkey = r2.r_regionkey AND r2.r_name = 'EUROPE')
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        |LIMIT 100""".stripMargin) { (s, d) =>
+      val euroSupp = broadcast(Tables.supplier(s, d)
+        .select("s_suppkey", "s_name", "s_acctbal", "s_nationkey")
+        .join(broadcast(Tables.nation(s, d)
+            .join(broadcast(Tables.region(s, d)
+                .filter(col("r_name") === "EUROPE").select("r_regionkey")),
+              col("n_regionkey") === col("r_regionkey"))
+            .select("n_nationkey", "n_name")),
+          col("s_nationkey") === col("n_nationkey")))
+      val targetParts = broadcast(Tables.part(s, d)
+        .filter(col("p_size").between(10, 20) && col("p_type") === "LARGE")
+        .select("p_partkey", "p_name"))
+      val euroPs = Tables.lineitem(s, d)
+        .select("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
+        .join(targetParts.select("p_partkey"),
+          col("l_partkey") === col("p_partkey"), "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(min(col("l_extendedprice") / col("l_quantity")).as("ps_cost"))
+        .join(euroSupp, col("l_suppkey") === col("s_suppkey"))
+      val minCost = euroPs.groupBy(col("l_partkey").as("min_pkey"))
+        .agg(min(col("ps_cost")).as("min_cost"))
+      euroPs
+        .join(minCost, col("l_partkey") === col("min_pkey") &&
+          col("ps_cost") === col("min_cost"))
+        .join(targetParts, col("l_partkey") === col("p_partkey"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name")
+        .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+          col("p_partkey")).limit(100)
+    },
+
     // Q3 shipping priority — BUILDING-segment orders still open at the
     // cutoff date, top 10 by open revenue. Adaptation: the projected
     // o_shippriority column does not exist → o_orderpriority stands in.
@@ -266,6 +366,48 @@ object TpchQueries {
         .orderBy("o_year")
     },
 
+    // Q9 product-type profit by nation and year. Adaptation: no
+    // `partsupp` supply cost → cost proxy 0.1·p_retailprice·l_quantity
+    // (retailprice has one decimal, quantity is whole → the proxy has ≤2
+    // decimals; the amount expression carries ≤4 → scale-4 cents exact).
+    // The 5-way join shape and the group-by-(nation, year) rollup — the
+    // point of Q9 — are intact; the LIKE filter rides the part dim.
+    QueryDef.sql(
+      "tpch_q9",
+      s"""SELECT nation, o_year,
+         |  ${duckCentSum("amount", 4)} AS sum_profit
+         |FROM (SELECT n_name AS nation,
+         |        CAST(year(o_orderdate) AS INT) AS o_year,
+         |        l_extendedprice * (1 - l_discount)
+         |          - CAST(0.1 AS DOUBLE) * p_retailprice * l_quantity
+         |          AS amount
+         |      FROM part, supplier, lineitem, orders, nation
+         |      WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+         |        AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+         |        AND p_name LIKE '%red%') profit
+         |GROUP BY nation, o_year
+         |ORDER BY nation, o_year DESC""".stripMargin) { (s, d) =>
+      val amount = col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
+        lit(0.1) * col("p_retailprice") * col("l_quantity")
+      Tables.lineitem(s, d)
+        .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+          "l_extendedprice", "l_discount")
+        .join(Tables.part(s, d).filter(col("p_name").like("%red%"))
+            .select("p_partkey", "p_retailprice"),
+          col("l_partkey") === col("p_partkey"))
+        .join(Tables.supplier(s, d).select("s_suppkey", "s_nationkey"),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.orders(s, d).select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.nation(s, d)
+            .select("n_nationkey", "n_name")),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"),
+          year(col("o_orderdate")).as("o_year"))
+        .agg(centSum(amount, 4).as("sum_profit"))
+        .orderBy(col("nation"), col("o_year").desc)
+    },
+
     // Q10 returned-item reporting: top 20 customers by revenue lost to
     // returns in a quarter. The projected address/phone/comment columns
     // don't exist; the join/agg/topk shape is intact, c_custkey tiebreaks.
@@ -299,6 +441,88 @@ object TpchQueries {
           .agg(revenue.as("revenue"))
           .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
           .orderBy(col("revenue").desc, col("c_custkey")).limit(20)
+    },
+
+    // Q11 important stock. Adaptation: no `partsupp` → a part's "value"
+    // is the discounted revenue its NATION_3-based suppliers shipped;
+    // the defining shape — a grouped sum gated by a SCALAR-SUBQUERY
+    // fraction of the same sum's grand total — is intact. Both the
+    // per-part values and the grand total are exact cent sums, so the
+    // `>` gate is engine- and partitioning-independent; the threshold
+    // multiply is one identical IEEE op on both sides.
+    QueryDef.sql(
+      "tpch_q11",
+      s"""WITH val AS (
+         |  SELECT l_partkey,
+         |    ${duckCentSum("l_extendedprice * (1 - l_discount)", 4)} AS value
+         |  FROM lineitem, supplier, nation
+         |  WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+         |    AND n_name = 'NATION_3'
+         |  GROUP BY l_partkey)
+         |SELECT l_partkey AS ps_partkey, value
+         |FROM val
+         |WHERE value > (
+         |  SELECT CAST(0.002 AS DOUBLE) *
+         |    ${duckCentSum("l_extendedprice * (1 - l_discount)", 4)}
+         |  FROM lineitem, supplier, nation
+         |  WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+         |    AND n_name = 'NATION_3')
+         |ORDER BY value DESC, ps_partkey""".stripMargin) { (s, d) =>
+      val n3Supp = broadcast(Tables.supplier(s, d)
+        .select("s_suppkey", "s_nationkey")
+        .join(broadcast(Tables.nation(s, d)
+            .filter(col("n_name") === "NATION_3").select("n_nationkey")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey"))
+      val n3Lines = Tables.lineitem(s, d)
+        .select("l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .join(n3Supp, col("l_suppkey") === col("s_suppkey"), "left_semi")
+      val values = n3Lines.groupBy("l_partkey")
+        .agg(revenue.as("value"))
+      // grand total re-aggregates the per-part cent sums — exact longs
+      // summed in any order equal the direct grand total, so this reuses
+      // `values` instead of scanning the fact twice
+      val threshold = values
+        .agg((lit(0.002) * centSum(col("value"), 4)).as("bound"))
+      values
+        .join(broadcast(threshold), col("value") > col("bound"))
+        .select(col("l_partkey").as("ps_partkey"), col("value"))
+        .orderBy(col("value").desc, col("ps_partkey"))
+    },
+
+    // Q12 shipping-lag classes. Adaptation: no l_shipmode / commit /
+    // receipt dates → the mode is DERIVED (SLOW = shipped >60 days after
+    // the order opened), and "late" rides the join as a timestamp-interval
+    // comparison. The point of Q12 — conditional CASE-sums over a
+    // fact⋈dim join keyed by a derived class — is intact.
+    QueryDef.sql(
+      "tpch_q12",
+      """SELECT CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |         THEN 'SLOW' ELSE 'FAST' END AS ship_mode,
+        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN 1 ELSE 0 END) AS high_line_count,
+        |  sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |      THEN 1 ELSE 0 END) AS low_line_count
+        |FROM orders, lineitem
+        |WHERE o_orderkey = l_orderkey
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val isHigh = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= ts("1996-01-01") &&
+          col("l_shipdate") < ts("1997-01-01"))
+        .select("l_orderkey", "l_shipdate")
+        .join(Tables.orders(s, d)
+            .select("o_orderkey", "o_orderdate", "o_orderpriority"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(when(col("l_shipdate") >
+            col("o_orderdate") + expr("INTERVAL 60 DAYS"), "SLOW")
+          .otherwise("FAST").as("ship_mode"))
+        .agg(
+          sum(when(isHigh, 1).otherwise(0)).as("high_line_count"),
+          sum(when(!isHigh, 1).otherwise(0)).as("low_line_count"))
+        .orderBy("ship_mode")
     },
 
     // Q13 customer order-count distribution: LEFT join with an extra
@@ -383,6 +607,41 @@ object TpchQueries {
         .orderBy("s_suppkey")
     },
 
+    // Q16 part-supplier relationship count. Adaptation: the supplier set
+    // per part comes from the fact table; the excluded-supplier NOT IN
+    // subquery targets negative balances (original: complaint comments).
+    // The point — a count(DISTINCT) rollup over a fact⋈dim join minus a
+    // null-safe anti-joined exclusion set — is intact. s_suppkey is
+    // never null, so NOT IN ≡ left-anti.
+    QueryDef.sql(
+      "tpch_q16",
+      """SELECT p_brand, p_type, p_size,
+        |  count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem, part
+        |WHERE p_partkey = l_partkey
+        |  AND p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+        |                        WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin) {
+      (s, d) =>
+        val targetParts = broadcast(Tables.part(s, d)
+          .filter(col("p_brand") =!= "Brand#1" && col("p_type") =!= "PROMO" &&
+            col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
+          .select("p_partkey", "p_brand", "p_type", "p_size"))
+        val badSupp = Tables.supplier(s, d)
+          .filter(col("s_acctbal") < 0).select("s_suppkey")
+        Tables.lineitem(s, d).select("l_partkey", "l_suppkey")
+          .join(targetParts, col("p_partkey") === col("l_partkey"))
+          .join(broadcast(badSupp),
+            col("l_suppkey") === col("s_suppkey"), "left_anti")
+          .groupBy("p_brand", "p_type", "p_size")
+          .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+          .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+            col("p_size"))
+    },
+
     // Q17 small-quantity-order revenue: lines under 20% of their part's
     // average quantity, for one brand. The correlated scalar subquery is
     // declared as a per-part aggregate joined back — the decorrelated
@@ -444,6 +703,149 @@ object TpchQueries {
             "o_totalprice")
           .agg(sum(col("l_quantity")).as("total_qty"))
           .orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(100)
+    },
+
+    // Q19 discounted-revenue under a DISJUNCTION of brand/size/quantity
+    // bands. Adaptation: the container and shipinstruct terms don't exist
+    // → each branch keeps its (brand equality, size band, quantity band)
+    // triple. The point of Q19 — an OR-of-ANDs predicate straddling a
+    // join, where the join key equality is the only common factor and the
+    // per-side conjuncts (brand/size on part, quantity on lineitem) must
+    // still prune their scans — is intact.
+    QueryDef.sql(
+      "tpch_q19",
+      s"""SELECT $duckRevenue AS revenue
+         |FROM lineitem, part
+         |WHERE p_partkey = l_partkey AND (
+         |     (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+         |      AND l_quantity BETWEEN 1 AND 11)
+         |  OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+         |      AND l_quantity BETWEEN 10 AND 20)
+         |  OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+         |      AND l_quantity BETWEEN 20 AND 30))""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+        .join(Tables.part(s, d).select("p_partkey", "p_brand", "p_size"),
+          col("p_partkey") === col("l_partkey") && (
+            (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+              col("l_quantity").between(1, 11)) ||
+            (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+              col("l_quantity").between(10, 20)) ||
+            (col("p_brand") === "Brand#34" && col("p_size").between(1, 15) &&
+              col("l_quantity").between(20, 30))))
+        .agg(revenue.as("revenue"))
+    },
+
+    // Q20 dominant suppliers of red parts. Adaptation: no partsupp
+    // availqty → "excess stock" becomes "shipped >30% of the part's 1996
+    // volume". The defining shape — an IN-subquery whose HAVING gate is
+    // itself a correlated scalar subquery, then a semi join up to the
+    // supplier dim — is intact. Quantity sums are whole-number doubles →
+    // exact; the 0.3 multiply is one identical IEEE op in both engines.
+    QueryDef.sql(
+      "tpch_q20",
+      """SELECT s_name, n_name
+        |FROM supplier, nation
+        |WHERE s_suppkey IN (
+        |    SELECT l_suppkey FROM lineitem l1, part
+        |    WHERE l1.l_partkey = p_partkey AND p_name LIKE 'red%'
+        |      AND l1.l_shipdate >= TIMESTAMP '1996-01-01'
+        |      AND l1.l_shipdate < TIMESTAMP '1997-01-01'
+        |    GROUP BY l_suppkey, l1.l_partkey
+        |    HAVING sum(l_quantity) > (
+        |      SELECT CAST(0.3 AS DOUBLE) * sum(l2.l_quantity)
+        |      FROM lineitem l2
+        |      WHERE l2.l_partkey = l1.l_partkey
+        |        AND l2.l_shipdate >= TIMESTAMP '1996-01-01'
+        |        AND l2.l_shipdate < TIMESTAMP '1997-01-01'))
+        |  AND s_nationkey = n_nationkey AND n_regionkey = 2
+        |ORDER BY s_name""".stripMargin) { (s, d) =>
+      val redL96 = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= ts("1996-01-01") &&
+          col("l_shipdate") < ts("1997-01-01"))
+        .select("l_partkey", "l_suppkey", "l_quantity")
+        .join(broadcast(Tables.part(s, d)
+            .filter(col("p_name").like("red%")).select("p_partkey")),
+          col("l_partkey") === col("p_partkey"), "left_semi")
+      val perSuppPart = redL96.groupBy("l_suppkey", "l_partkey")
+        .agg(sum(col("l_quantity")).as("sq"))
+      // per-part 1996 totals re-aggregate the (supp, part) partials —
+      // whole-number doubles sum exactly, so this equals a direct scan
+      val perPart = perSuppPart.groupBy(col("l_partkey").as("t_pkey"))
+        .agg((lit(0.3) * sum(col("sq"))).as("bound"))
+      val dominant = perSuppPart
+        .join(perPart, col("l_partkey") === col("t_pkey"))
+        .filter(col("sq") > col("bound"))
+        .select("l_suppkey")
+      Tables.supplier(s, d).select("s_suppkey", "s_name", "s_nationkey")
+        .join(dominant, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .join(broadcast(Tables.nation(s, d)
+            .filter(col("n_regionkey") === 2)
+            .select("n_nationkey", "n_name")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_name", "n_name")
+        .orderBy("s_name")
+    },
+
+    // Q21 suppliers who kept orders waiting. Adaptation: no commit /
+    // receipt dates → "late" = shipped >90 days after the order opened.
+    // The defining shape — a correlated EXISTS (another supplier touched
+    // the same order) AND NOT EXISTS (another supplier was ALSO late),
+    // both riding the order key with a supplier-inequality term — is
+    // intact: semi + anti joins carrying a non-equi conjunct. The late
+    // relation is built once and reused for both the probe and the anti
+    // side.
+    QueryDef.sql(
+      "tpch_q21",
+      """SELECT s_name, count(*) AS numwait
+        |FROM supplier, lineitem l1, orders, nation
+        |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+        |  AND o_orderstatus = 'F'
+        |  AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  JOIN orders o3 ON l3.l_orderkey = o3.o_orderkey
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_shipdate >
+        |                        o3.o_orderdate + INTERVAL 90 DAY)
+        |  AND s_nationkey = n_nationkey AND n_name = 'NATION_2'
+        |GROUP BY s_name ORDER BY numwait DESC, s_name
+        |LIMIT 100""".stripMargin) { (s, d) =>
+      val fOrders = Tables.orders(s, d)
+        .filter(col("o_orderstatus") === "F")
+        .select("o_orderkey", "o_orderdate")
+      // all late (order, supplier) pairs on F-status orders, built once
+      val late = Tables.lineitem(s, d)
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(fOrders, col("o_orderkey") === col("l_orderkey"))
+        .filter(col("l_shipdate") >
+          col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+      val allLines = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("l2_okey"),
+          col("l_suppkey").as("l2_skey"))
+      val lateOther = late
+        .select(col("l_orderkey").as("l3_okey"),
+          col("l_suppkey").as("l3_skey"))
+      late
+        .join(allLines, col("l2_okey") === col("l_orderkey") &&
+          col("l2_skey") =!= col("l_suppkey"), "left_semi")
+        .join(lateOther, col("l3_okey") === col("l_orderkey") &&
+          col("l3_skey") =!= col("l_suppkey"), "left_anti")
+        .join(broadcast(Tables.supplier(s, d)
+            .select("s_suppkey", "s_name", "s_nationkey")
+            .join(broadcast(Tables.nation(s, d)
+                .filter(col("n_name") === "NATION_2")
+                .select("n_nationkey")),
+              col("s_nationkey") === col("n_nationkey"))
+            .select("s_suppkey", "s_name")),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name")).limit(100)
     },
 
     // Q22 global sales opportunity: high-balance customers in a key set

@@ -127,6 +127,27 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p.take(800))
   }
 
+  test("tpch_q21's EXISTS/NOT-EXISTS compile to semi and anti joins") {
+    val p = plan("tpch_q21")
+    assert(p.contains("LeftSemi"), p.take(1500))
+    assert(p.contains("LeftAnti"), p.take(1500))
+  }
+
+  test("tpch_q19's per-side conjuncts of the disjunction prune the scans") {
+    val p = plan("tpch_q19")
+    // the OR straddles the join, but brand/size (part side) and quantity
+    // (lineitem side) each admit a derivable single-side filter — at
+    // minimum the IsNotNull guards and the extracted per-side OR must
+    // reach the scans as pushed filters
+    // (plan toString truncates long filter lists — match the stable
+    // prefixes of each side's pushed OR)
+    // part side: the brand/size OR reaches the part scan
+    assert(p.contains("Or(Or(And(EqualTo(p_brand"), p.take(4000))
+    // lineitem side: the quantity-band OR reaches the fact scan
+    assert(p.contains("Or(Or(And(GreaterThanOrEqual(l_quantity,1.0)"),
+      p.take(4000))
+  }
+
   test("every registered query has distinct name and runnable plan") {
     val names = SparkEntry.allDefs.map(_.name)
     assert(names.distinct.size == names.size)
