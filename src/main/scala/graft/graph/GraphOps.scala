@@ -509,6 +509,54 @@ object GraphOps {
       .select(col("label"), col("name"), col("triangles"))
   }
 
+  /** Local clustering coefficient: per node, the fraction of its distinct
+    * undirected neighbor pairs that are themselves connected —
+    * 2·T(v) / (deg(v)·(deg(v)−1)), 0 for deg < 2. Edge direction,
+    * multiplicity, and self-loops are all canonicalized away first
+    * (distinct (lo, hi) with lo < hi), so a multigraph input is scored as
+    * its simple undirected projection.
+    *
+    * Pure DataFrame triangle enumeration — the textbook distributed form:
+    * ordered wedges a<b<c from two canonical-edge joins, closed by a
+    * semi-join back onto the edge set, then each closed triple credits all
+    * three corners. All three joins key on node ids and shuffle-partition
+    * by them; nothing is collected. (Known skew caveat at 100 TB: a hub
+    * node fans out its wedge join — the standard mitigation is ordering
+    * endpoints by degree instead of id, which this kernel would adopt
+    * behind the same API; AQE skew-split handles the moderate case, as
+    * proven for the k-hop family in HubSkewSpec.)
+    */
+  def clusteringCoefficient(spark: SparkSession, g: GraphTables): DataFrame = {
+    val raw = g.edges.toDF().filter(col("src") =!= col("dst"))
+    val und = raw.select(
+        least(col("src"), col("dst")).as("lo"),
+        greatest(col("src"), col("dst")).as("hi"))
+      .distinct()
+      .localCheckpoint() // wedge join (×2), closure semi-join, degrees
+    val deg = und.select(col("lo").as("id"))
+      .unionAll(und.select(col("hi").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    val ab = und.select(col("lo").as("a"), col("hi").as("b"))
+    val bc = und.select(col("lo").as("b"), col("hi").as("c"))
+    val ac = und.select(col("lo").as("a"), col("hi").as("c"))
+    val tri = ab.join(bc, "b")
+      .join(ac, Seq("a", "c"), "left_semi")
+    val perNode = tri
+      .select(explode(array(col("a"), col("b"), col("c"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("triangles"))
+    g.nodes.toDF()
+      .join(deg, Seq("id"), "left_outer")
+      .join(perNode, Seq("id"), "left_outer")
+      .select(col("label"), col("name"),
+        coalesce(col("deg"), lit(0L)).cast("int").as("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"),
+        when(coalesce(col("deg"), lit(0L)) >= 2,
+          graft.Det.portableRound(
+            lit(2.0) * coalesce(col("triangles"), lit(0L)) /
+              (col("deg") * (col("deg") - lit(1L))).cast("double"), 6))
+          .otherwise(lit(0.0)).as("coeff"))
+  }
+
   /** Label propagation communities via GraphX (Q9). */
   def labelPropagation(spark: SparkSession, g: GraphTables, iters: Int = 5)
       : DataFrame = {

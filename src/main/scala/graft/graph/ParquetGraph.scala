@@ -84,6 +84,29 @@ object ParquetGraph {
   def docTree(s: SparkSession, d: String): GraphTables =
     cached(s, d, "doctree")(buildDocTree(s, d))
 
+  /** Cliques ∪ per-region star (hub = the region's lowest-keyed nation →
+    * every other nation). The union deliberately DUPLICATES the hub–n2 and
+    * hub–n3 edges (once as CLIQUE, once as STAR) and mixes orientations —
+    * the clustering-coefficient kernel must canonicalize to the simple
+    * undirected projection before counting. Closed form per region of m
+    * nations: hub has deg m−1 with exactly one closed neighbor pair
+    * (n2–n3) → coeff 2/((m−1)(m−2)); n2/n3 have deg 2 closed by each
+    * other → coeff 1; the rest are deg-1 leaves → coeff 0.
+    */
+  def cliqueStar(s: SparkSession, d: String): GraphTables =
+    cached(s, d, "cliquestar") {
+      import s.implicits._
+      val c = buildCliques(s, d)
+      val nation = Tables.nation(s, d)
+      val hubbed = nation.withColumn("hub",
+        min(col("n_nationkey")).over(
+          Window.partitionBy("n_regionkey")))
+        .filter(col("n_nationkey") =!= col("hub"))
+      val star = edgeDf(hubbed, col("hub") + NationBase,
+        col("n_nationkey") + NationBase, "STAR", "base").as[EdgeRow]
+      GraphTables(c.nodes, c.edges.unionByName(star))
+    }
+
   /** Hierarchy ∪ chain: the containment tree with the per-region nation
     * cycle layered on top. Gives k-core a fixture with a genuine peeling
     * CASCADE: orders are degree-1 leaves, and removing them drops
@@ -600,6 +623,35 @@ object ParquetGraph {
         .join(g.nodes.toDF(), "id")
         .select(col("label"), col("name"))
         .orderBy("label", "name")
+    },
+
+    // Q9 local-clustering-coefficient twin on the clique∪star layer
+    // (new r9). Closed form per region of m nations (see [[cliqueStar]]):
+    // the hub scores 2/((m−1)(m−2)) over degree m−1 with exactly 1
+    // triangle; the two non-hub clique members score 1.0 at degree 2;
+    // every other nation is a degree-1 star leaf scoring 0. Also proves
+    // the kernel's canonicalization: the fixture carries duplicate
+    // hub–n2/hub–n3 edges under two relTypes, which must not double-count.
+    QueryDef.sql(
+      "graphp_clustering",
+      s"""WITH m AS (SELECT n_regionkey AS rk, count(*) AS m
+         |           FROM nation GROUP BY 1),
+         |r AS (SELECT n_name, n_regionkey AS rk,
+         |    row_number() OVER (PARTITION BY n_regionkey
+         |      ORDER BY n_nationkey) AS rn
+         |  FROM nation)
+         |SELECT n_name AS name,
+         |  CAST(CASE WHEN rn = 1 THEN m - 1 WHEN rn <= 3 THEN 2
+         |    ELSE 1 END AS INT) AS degree,
+         |  CAST(CASE WHEN rn <= 3 THEN 1 ELSE 0 END AS BIGINT) AS triangles,
+         |  CASE WHEN rn = 1 THEN ${graft.Det.duckPortableRound(
+              "CAST(2 AS DOUBLE) / ((m - 1) * (m - 2))", 6)}
+         |    WHEN rn <= 3 THEN CAST(1 AS DOUBLE)
+         |    ELSE CAST(0 AS DOUBLE) END AS coeff
+         |FROM r JOIN m USING (rk) ORDER BY name""".stripMargin) { (s, d) =>
+      GraphOps.clusteringCoefficient(s, cliqueStar(s, d))
+        .select(col("name"), col("degree"), col("triangles"), col("coeff"))
+        .orderBy("name")
     },
 
     // Q9 SCC twin on the hierarchy∪chain layer: each region's nation cycle

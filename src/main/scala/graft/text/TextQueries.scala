@@ -2135,6 +2135,163 @@ object TextQueries {
           when(col("na") <= col("nb"), col("doc_a"))
             .otherwise(col("doc_b")).as("contained_doc"))
         .orderBy("doc_a", "doc_b")
+    },
+
+    // ------------------------------------------- L49 DSIR importance (r9)
+    // Data Selection via Importance Resampling (Xie et al. 2023, public):
+    // score every document by how much more likely its hashed-unigram
+    // features are under a TARGET slice's distribution than under the raw
+    // corpus, then keep the top fifth by weight. log w(d) =
+    // Σ_b c_d(b)·[ln p_tgt(b) − ln p_raw(b)] with add-one smoothing over
+    // B=256 hash buckets. Every ln is of an exact integer count and is
+    // quantized to micro-units BEFORE summing (the l38 discipline), so the
+    // per-doc weight is an exact integer in both engines. Scale: the
+    // bucket-weight table is ≤B rows → broadcast; per-doc scoring is one
+    // doc-keyed aggregate; the top-20% selection uses the w5b substrate
+    // (range-repartitioned sort + zipWithIndex), never a single-partition
+    // window. The target slice here is source='src0'; production swaps in
+    // the curated target corpus.
+    QueryDef.sql(
+      "l49_dsir_importance",
+      s"""WITH w AS (SELECT doc_id, source,
+         |    unnest(string_split(text, ' ')) AS w FROM documents),
+         |tk AS (SELECT doc_id, source,
+         |    ${PortableHash.duck("w")} % 256 AS b FROM w),
+         |cdb AS (SELECT doc_id, b, count(*) AS c FROM tk GROUP BY 1, 2),
+         |cr AS (SELECT b, count(*) AS c_r FROM tk GROUP BY 1),
+         |ct AS (SELECT b, count(*) AS c_t FROM tk
+         |       WHERE source = 'src0' GROUP BY 1),
+         |tot AS (SELECT count(*) AS t_r,
+         |    CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS t_t FROM tk),
+         |wt AS (SELECT cr.b,
+         |    CAST(floor(ln(CAST(coalesce(c_t, 0) + 1 AS DOUBLE))
+         |      * 1000000 + 0.5) AS BIGINT)
+         |  - CAST(floor(ln(CAST(t_t + 256 AS DOUBLE))
+         |      * 1000000 + 0.5) AS BIGINT)
+         |  - CAST(floor(ln(CAST(c_r + 1 AS DOUBLE))
+         |      * 1000000 + 0.5) AS BIGINT)
+         |  + CAST(floor(ln(CAST(t_r + 256 AS DOUBLE))
+         |      * 1000000 + 0.5) AS BIGINT) AS wm
+         |  FROM cr LEFT JOIN ct USING (b) CROSS JOIN tot),
+         |sc AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+         |    CAST(sum(c * wm) AS BIGINT) AS logw_micro
+         |  FROM cdb JOIN wt USING (b) GROUP BY doc_id),
+         |rk AS (SELECT *, row_number()
+         |    OVER (ORDER BY logw_micro DESC, doc_id) AS rn,
+         |    count(*) OVER () AS nn FROM sc)
+         |SELECT doc_id, n_tokens, logw_micro, rn * 5 <= nn AS selected
+         |FROM rk ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val tk = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          explode(split(col("text"), " ")).as("w"))
+        .select(col("doc_id"), col("source"),
+          pmod(PortableHash.spark(col("w")), lit(256L)).as("b"))
+        .localCheckpoint() // 4 consumers of the tokenized relation
+      val cdb = tk.groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
+      val cr = tk.groupBy("b").agg(count(lit(1)).as("c_r"))
+      val ct = tk.filter(col("source") === "src0")
+        .groupBy("b").agg(count(lit(1)).as("c_t"))
+      val tot = tk.agg(count(lit(1)).as("t_r"),
+        sum(when(col("source") === "src0", 1L).otherwise(0L)).as("t_t"))
+      def q6(c: Column): Column =
+        floor(log(c.cast("double")) * lit(1000000.0) + lit(0.5)).cast("long")
+      val wt = cr.join(ct, Seq("b"), "left_outer")
+        .crossJoin(broadcast(tot))
+        .select(col("b"),
+          (q6(coalesce(col("c_t"), lit(0L)) + lit(1)) -
+            q6(col("t_t") + lit(256)) -
+            q6(col("c_r") + lit(1)) +
+            q6(col("t_r") + lit(256))).as("wm"))
+      val sc = cdb.join(broadcast(wt), "b")
+        .groupBy("doc_id")
+        .agg(sum("c").as("n_tokens"),
+          sum(col("c") * col("wm")).as("logw_micro"))
+        .localCheckpoint() // reused by the rank pass and the final join
+      val n = sc.count()
+      val ranked = sc
+        .repartitionByRange(col("logw_micro").desc, col("doc_id"))
+        .sortWithinPartitions(col("logw_micro").desc, col("doc_id"))
+        .select("doc_id")
+        .rdd.zipWithIndex()
+        .map { case (r, i) => (r.getLong(0), i + 1) }
+        .toDF("doc_id", "rn")
+      sc.join(ranked, "doc_id")
+        .select(col("doc_id"), col("n_tokens"), col("logw_micro"),
+          (col("rn") * 5 <= lit(n)).as("selected"))
+        .orderBy("doc_id")
+    },
+
+    // ---------------------------------------- L50 CCNet buckets (new r9)
+    // CCNet-style (Wenzek et al. 2020, public) perplexity bucketing: score
+    // every document with the corpus-trained bigram LM (the l38 kernel,
+    // same integer-micro nll discipline), then split EACH LANGUAGE into
+    // head/middle/tail terciles by average nll — the standard
+    // quality-stratification step before sampling pretraining data.
+    // ntile(3) is rank-based with a (nll, doc_id) total order → the
+    // bucket boundary is deterministic in both engines. Scale: the window
+    // partitions by lang over the per-DOC score table (one row per doc,
+    // not per token); CCNet itself shards per language the same way —
+    // per-language data volume is the natural parallelism unit here.
+    QueryDef.sql(
+      "l50_ccnet_buckets",
+      """WITH toks AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS l
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, lang, l[i] AS w1, l[i + 1] AS w2
+        |  FROM (SELECT doc_id, lang, l,
+        |          unnest(generate_series(1, len(l) - 1)) AS i
+        |        FROM toks WHERE len(l) >= 2) t),
+        |cbg AS (SELECT w1, w2, count(*) AS c_bg FROM bg GROUP BY 1, 2),
+        |cug AS (SELECT w1, count(*) AS c_ug FROM bg GROUP BY 1),
+        |v AS (SELECT count(DISTINCT w1) AS v FROM bg),
+        |scored AS (
+        |  SELECT bg.doc_id, bg.lang,
+        |    CAST(floor(ln(CAST(c_ug + v AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+        |    - CAST(floor(ln(CAST(c_bg + 1 AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+        |      AS nll
+        |  FROM bg JOIN cbg USING (w1, w2) JOIN cug USING (w1) CROSS JOIN v),
+        |per AS (SELECT doc_id, lang,
+        |    CAST(floor(CAST(sum(nll) AS DOUBLE) / count(*) + 0.5) AS BIGINT)
+        |      AS nllq
+        |  FROM scored GROUP BY doc_id, lang),
+        |bk AS (SELECT doc_id, lang, nllq,
+        |    ntile(3) OVER (PARTITION BY lang ORDER BY nllq, doc_id) AS t
+        |  FROM per)
+        |SELECT doc_id, lang,
+        |  CASE t WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+        |    ELSE 'tail' END AS bucket
+        |FROM bk ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), split(col("text"), " ").as("l"))
+        .filter(size(col("l")) >= 2)
+      val bg = toks.select(col("doc_id"), col("lang"), explode(expr(
+          "transform(sequence(0, size(l) - 2)," +
+            " i -> struct(l[i] AS w1, l[i + 1] AS w2))")).as("p"))
+        .select(col("doc_id"), col("lang"),
+          col("p.w1").as("w1"), col("p.w2").as("w2"))
+        .localCheckpoint() // bigram counts, context counts, vocab, scoring
+      val cbg = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c_bg"))
+      val cug = bg.groupBy("w1").agg(count(lit(1)).as("c_ug"))
+      val v = bg.agg(countDistinct(col("w1")).as("v"))
+      def q6(c: Column): Column =
+        floor(log(c.cast("double")) * lit(1000000.0) + lit(0.5)).cast("long")
+      val per = bg.join(cbg, Seq("w1", "w2")).join(cug, Seq("w1"))
+        .crossJoin(broadcast(v))
+        .select(col("doc_id"), col("lang"),
+          (q6(col("c_ug") + col("v")) - q6(col("c_bg") + lit(1)))
+            .as("nll"))
+        .groupBy("doc_id", "lang")
+        .agg(floor(sum("nll").cast("double") / count(lit(1)) + lit(0.5))
+          .cast("long").as("nllq"))
+      val w = Window.partitionBy("lang").orderBy("nllq", "doc_id")
+      per.withColumn("t", ntile(3).over(w))
+        .select(col("doc_id"), col("lang"),
+          when(col("t") === 1, "head").when(col("t") === 2, "middle")
+            .otherwise("tail").as("bucket"))
+        .orderBy("doc_id")
     }
   )
 
