@@ -2151,77 +2151,15 @@ object TextQueries {
     // (range-repartitioned sort + zipWithIndex), never a single-partition
     // window. The target slice here is source='src0'; production swaps in
     // the curated target corpus.
-    QueryDef.sql(
-      "l49_dsir_importance",
-      s"""WITH w AS (SELECT doc_id, source,
-         |    unnest(string_split(text, ' ')) AS w FROM documents),
-         |tk AS (SELECT doc_id, source,
-         |    ${PortableHash.duck("w")} % 256 AS b FROM w),
-         |cdb AS (SELECT doc_id, b, count(*) AS c FROM tk GROUP BY 1, 2),
-         |cr AS (SELECT b, count(*) AS c_r FROM tk GROUP BY 1),
-         |ct AS (SELECT b, count(*) AS c_t FROM tk
-         |       WHERE source = 'src0' GROUP BY 1),
-         |tot AS (SELECT count(*) AS t_r,
-         |    CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)
-         |      AS BIGINT) AS t_t FROM tk),
-         |wt AS (SELECT cr.b,
-         |    CAST(floor(ln(CAST(coalesce(c_t, 0) + 1 AS DOUBLE))
-         |      * 1000000 + 0.5) AS BIGINT)
-         |  - CAST(floor(ln(CAST(t_t + 256 AS DOUBLE))
-         |      * 1000000 + 0.5) AS BIGINT)
-         |  - CAST(floor(ln(CAST(c_r + 1 AS DOUBLE))
-         |      * 1000000 + 0.5) AS BIGINT)
-         |  + CAST(floor(ln(CAST(t_r + 256 AS DOUBLE))
-         |      * 1000000 + 0.5) AS BIGINT) AS wm
-         |  FROM cr LEFT JOIN ct USING (b) CROSS JOIN tot),
-         |sc AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
-         |    CAST(sum(c * wm) AS BIGINT) AS logw_micro
-         |  FROM cdb JOIN wt USING (b) GROUP BY doc_id),
-         |rk AS (SELECT *, row_number()
-         |    OVER (ORDER BY logw_micro DESC, doc_id) AS rn,
-         |    count(*) OVER () AS nn FROM sc)
-         |SELECT doc_id, n_tokens, logw_micro, rn * 5 <= nn AS selected
-         |FROM rk ORDER BY doc_id""".stripMargin) { (s, d) =>
-      import s.implicits._
-      val tk = Tables.documents(s, d)
-        .select(col("doc_id"), col("source"),
-          explode(split(col("text"), " ")).as("w"))
-        .select(col("doc_id"), col("source"),
-          pmod(PortableHash.spark(col("w")), lit(256L)).as("b"))
-        .localCheckpoint() // 4 consumers of the tokenized relation
-      val cdb = tk.groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
-      val cr = tk.groupBy("b").agg(count(lit(1)).as("c_r"))
-      val ct = tk.filter(col("source") === "src0")
-        .groupBy("b").agg(count(lit(1)).as("c_t"))
-      val tot = tk.agg(count(lit(1)).as("t_r"),
-        sum(when(col("source") === "src0", 1L).otherwise(0L)).as("t_t"))
-      def q6(c: Column): Column =
-        floor(log(c.cast("double")) * lit(1000000.0) + lit(0.5)).cast("long")
-      val wt = cr.join(ct, Seq("b"), "left_outer")
-        .crossJoin(broadcast(tot))
-        .select(col("b"),
-          (q6(coalesce(col("c_t"), lit(0L)) + lit(1)) -
-            q6(col("t_t") + lit(256)) -
-            q6(col("c_r") + lit(1)) +
-            q6(col("t_r") + lit(256))).as("wm"))
-      val sc = cdb.join(broadcast(wt), "b")
-        .groupBy("doc_id")
-        .agg(sum("c").as("n_tokens"),
-          sum(col("c") * col("wm")).as("logw_micro"))
-        .localCheckpoint() // reused by the rank pass and the final join
-      val n = sc.count()
-      val ranked = sc
-        .repartitionByRange(col("logw_micro").desc, col("doc_id"))
-        .sortWithinPartitions(col("logw_micro").desc, col("doc_id"))
-        .select("doc_id")
-        .rdd.zipWithIndex()
-        .map { case (r, i) => (r.getLong(0), i + 1) }
-        .toDF("doc_id", "rn")
-      sc.join(ranked, "doc_id")
-        .select(col("doc_id"), col("n_tokens"), col("logw_micro"),
-          (col("rn") * 5 <= lit(n)).as("selected"))
-        .orderBy("doc_id")
-    },
+    dsirDef("l49_dsir_importance", buckets = 256, bigrams = false),
+
+    // l49 at production knobs (the KnobMatrix discipline: the SAME oracle
+    // comparison runs at the values a billion-doc corpus would use):
+    // 4096 hash buckets and BIGRAM features — DSIR's published setting
+    // uses hashed n-grams, and the wider weight table stays a broadcast
+    // (≤4096 rows). Feature sparsity changes the smoothing balance, so
+    // this is a genuinely different numeric path through the same kernel.
+    dsirDef("l49_prod_knobs", buckets = 4096, bigrams = true),
 
     // ---------------------------------------- L50 CCNet buckets (new r9)
     // CCNet-style (Wenzek et al. 2020, public) perplexity bucketing: score
@@ -2294,6 +2232,109 @@ object TextQueries {
         .orderBy("doc_id")
     }
   )
+
+  /** Shared builder for the l49 DSIR family — one knob set per registry
+    * entry, the SAME parameterization emitted into BOTH the Spark pipeline
+    * and its DuckDB oracle (the DedupKnobs discipline). `bigrams` switches
+    * the feature space from hashed unigrams to hashed adjacent bigrams
+    * (DSIR's published hashed-n-gram features); `buckets` is the feature
+    * hash width B. The weight table is ≤B rows → broadcast at any knob.
+    */
+  private def dsirDef(name: String, buckets: Int,
+      bigrams: Boolean): QueryDef = {
+    val duckFeatures =
+      if (!bigrams)
+        """SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+          |  FROM documents""".stripMargin
+      else
+        """SELECT doc_id, source, l[i] || ' ' || l[i + 1] AS w
+          |  FROM (SELECT doc_id, source, string_split(text, ' ') AS l,
+          |          unnest(generate_series(1,
+          |            len(string_split(text, ' ')) - 1)) AS i
+          |        FROM documents
+          |        WHERE len(string_split(text, ' ')) >= 2) t""".stripMargin
+    QueryDef.sql(
+      name,
+      s"""WITH w AS ($duckFeatures),
+         |tk AS (SELECT doc_id, source,
+         |    ${PortableHash.duck("w")} % $buckets AS b FROM w),
+         |cdb AS (SELECT doc_id, b, count(*) AS c FROM tk GROUP BY 1, 2),
+         |cr AS (SELECT b, count(*) AS c_r FROM tk GROUP BY 1),
+         |ct AS (SELECT b, count(*) AS c_t FROM tk
+         |       WHERE source = 'src0' GROUP BY 1),
+         |tot AS (SELECT count(*) AS t_r,
+         |    CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS t_t FROM tk),
+         |wt AS (SELECT cr.b,
+         |    CAST(floor(ln(CAST(coalesce(c_t, 0) + 1 AS DOUBLE))
+         |      * 1000000 + 0.5) AS BIGINT)
+         |  - CAST(floor(ln(CAST(t_t + $buckets AS DOUBLE))
+         |      * 1000000 + 0.5) AS BIGINT)
+         |  - CAST(floor(ln(CAST(c_r + 1 AS DOUBLE))
+         |      * 1000000 + 0.5) AS BIGINT)
+         |  + CAST(floor(ln(CAST(t_r + $buckets AS DOUBLE))
+         |      * 1000000 + 0.5) AS BIGINT) AS wm
+         |  FROM cr LEFT JOIN ct USING (b) CROSS JOIN tot),
+         |sc AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+         |    CAST(sum(c * wm) AS BIGINT) AS logw_micro
+         |  FROM cdb JOIN wt USING (b) GROUP BY doc_id),
+         |rk AS (SELECT *, row_number()
+         |    OVER (ORDER BY logw_micro DESC, doc_id) AS rn,
+         |    count(*) OVER () AS nn FROM sc)
+         |SELECT doc_id, n_tokens, logw_micro, rn * 5 <= nn AS selected
+         |FROM rk ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val feats =
+        if (!bigrams)
+          Tables.documents(s, d)
+            .select(col("doc_id"), col("source"),
+              explode(split(col("text"), " ")).as("w"))
+        else
+          Tables.documents(s, d)
+            .select(col("doc_id"), col("source"),
+              split(col("text"), " ").as("l"))
+            .filter(size(col("l")) >= 2)
+            .select(col("doc_id"), col("source"), explode(expr(
+              "transform(sequence(0, size(l) - 2)," +
+                " i -> concat(l[i], ' ', l[i + 1]))")).as("w"))
+      val tk = feats
+        .select(col("doc_id"), col("source"),
+          pmod(PortableHash.spark(col("w")), lit(buckets.toLong)).as("b"))
+        .localCheckpoint() // 4 consumers of the featurized relation
+      val cdb = tk.groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
+      val cr = tk.groupBy("b").agg(count(lit(1)).as("c_r"))
+      val ct = tk.filter(col("source") === "src0")
+        .groupBy("b").agg(count(lit(1)).as("c_t"))
+      val tot = tk.agg(count(lit(1)).as("t_r"),
+        sum(when(col("source") === "src0", 1L).otherwise(0L)).as("t_t"))
+      def q6(c: Column): Column =
+        floor(log(c.cast("double")) * lit(1000000.0) + lit(0.5)).cast("long")
+      val wt = cr.join(ct, Seq("b"), "left_outer")
+        .crossJoin(broadcast(tot))
+        .select(col("b"),
+          (q6(coalesce(col("c_t"), lit(0L)) + lit(1)) -
+            q6(col("t_t") + lit(buckets)) -
+            q6(col("c_r") + lit(1)) +
+            q6(col("t_r") + lit(buckets))).as("wm"))
+      val sc = cdb.join(broadcast(wt), "b")
+        .groupBy("doc_id")
+        .agg(sum("c").as("n_tokens"),
+          sum(col("c") * col("wm")).as("logw_micro"))
+        .localCheckpoint() // reused by the rank pass and the final join
+      val n = sc.count()
+      val ranked = sc
+        .repartitionByRange(col("logw_micro").desc, col("doc_id"))
+        .sortWithinPartitions(col("logw_micro").desc, col("doc_id"))
+        .select("doc_id")
+        .rdd.zipWithIndex()
+        .map { case (r, i) => (r.getLong(0), i + 1) }
+        .toDF("doc_id", "rn")
+      sc.join(ranked, "doc_id")
+        .select(col("doc_id"), col("n_tokens"), col("logw_micro"),
+          (col("rn") * 5 <= lit(n)).as("selected"))
+        .orderBy("doc_id")
+    }
+  }
 
   /** DuckDB mirror of quality-ranked canonical selection: cluster via the
     * recursive-CTE closure (as duckDedupOutputSql), then the per-cluster

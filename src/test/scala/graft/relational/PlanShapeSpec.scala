@@ -148,6 +148,39 @@ class PlanShapeSpec extends SparkSpec {
       p.take(4000))
   }
 
+  test("a selective build side injects a runtime bloom filter into the " +
+      "probe-side fact scan (100 TB posture)") {
+    // At cluster scale a fact⋈fact shuffle join with a selective filter on
+    // one side should NOT stream the full probe side through the exchange:
+    // Spark's InjectRuntimeFilter plants a bloom_filter_agg of the
+    // filtered build keys as a might_contain predicate on the probe scan.
+    // Verify the engine posture enables this — thresholds are lowered to
+    // make the tiny test corpus eligible; at real scale the defaults
+    // qualify the same plan.
+    val c = spark.conf
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> c.getOption(k))
+    try {
+      c.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      c.set("spark.sql.optimizer.runtime.bloomFilter." +
+        "applicationSideScanSizeThreshold", "1KB")
+      c.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val li = spark.read.parquet(sf("sf0.001") + "/lineitem.parquet")
+      val o = spark.read.parquet(sf("sf0.001") + "/orders.parquet")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val p = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy("o_orderpriority").count()
+        .queryExecution.optimizedPlan.toString
+      assert(p.contains("might_contain"), p.take(2000))
+      assert(p.contains("bloom_filter_agg"), p.take(2000))
+    } finally saved.foreach { case (k, v) =>
+      v.fold(c.unset(k))(c.set(k, _))
+    }
+  }
+
   test("every registered query has distinct name and runnable plan") {
     val names = SparkEntry.allDefs.map(_.name)
     assert(names.distinct.size == names.size)
