@@ -97,6 +97,42 @@ object TextQueries {
   private def hashA(k: Int): Long = (2654435761L * (2 * k + 1)) % P
   private def hashB(k: Int): Long = (1779033703L * (k + 1) + 12345L) % P
 
+  /** Plain-Scala twin of the minhash band pipeline, for the STREAMING
+    * ingest path ([[graft.streaming.StreamingDedup]]): a document's
+    * signature is per-row state-free work, so a stream computes it inline
+    * (no shuffle) and only the band-bucket membership is stateful. The
+    * formula is definitionally identical to [[minhashPairs]] — same
+    * tokenize/shingle front end, same md5-low-15-hex base hash, same
+    * (a_k·h + b_k) mod P family, same md5 band key — so the streaming
+    * candidate-pair set provably equals the batch kernel's on the same
+    * documents (asserted end-to-end in StreamingDedupSpec).
+    * Returns one (band, bandKey, signature) per band; empty for docs
+    * under 3 tokens (which the batch kernel also drops).
+    */
+  private[graft] def minhashBands(text: String,
+      kn: DedupKnobs = TK): Seq[(Int, String, Seq[Long])] = {
+    val toks = text.split(" ", -1)
+    if (toks.length < 3) return Seq.empty
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s: String): String = {
+      md.reset()
+      md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map("%02x".format(_)).mkString
+    }
+    val hbs = toks.sliding(3).map(_.mkString(" ")).toArray.distinct
+      .map(sh => java.lang.Long.parseLong(md5hex(sh).take(15), 16) % P)
+    val sig = (0 until kn.seeds).map { k =>
+      val (a, b) = (hashA(k), hashB(k))
+      hbs.iterator.map(h => (a * h + b) % P).min
+    }
+    val rowsPerBand = kn.seeds / kn.bands
+    (0 until kn.bands).map { b =>
+      val key = md5hex((0 until rowsPerBand)
+        .map(r => sig(b * rowsPerBand + r).toString).mkString("_"))
+      (b, key, sig)
+    }
+  }
+
   /** doc → distinct word-3-shingle rows; the shared frontend of the
     * near-dup family. 0-based in Spark, mirrored 1-based in DuckDB.
     */
