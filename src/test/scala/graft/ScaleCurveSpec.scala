@@ -117,6 +117,63 @@ class ScaleCurveSpec extends SparkSpec {
     assertLinear("kCore(hub)", t1, t10)
   }
 
+  /** Relational (TPC-H) curve corpora: FACTS (lineitem, orders) replicated
+    * 10× with disjoint order keys, DIMS (customer/supplier/part/nation/
+    * region) kept at 1× — exactly how a 100 TB corpus scales (facts grow,
+    * dimensions don't). Per-copy order keys are disjoint, so any
+    * order-keyed join's matches stay within a copy and the true output of
+    * the counting queries grows exactly 10×.
+    */
+  private lazy val (tpch1x, tpch10x): (String, String) = {
+    def replicate(copies: Int): String = {
+      val out = java.nio.file.Files
+        .createTempDirectory(s"scaletpch$copies").toString
+      val li = spark.read.parquet(sf("sf0.01") + "/lineitem.parquet")
+      val o = spark.read.parquet(sf("sf0.01") + "/orders.parquet")
+      (0 until copies).map(k => li.withColumn("l_orderkey",
+          col("l_orderkey") + lit(k.toLong * 1000000000L)))
+        .reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+      (0 until copies).map(k => o.withColumn("o_orderkey",
+          col("o_orderkey") + lit(k.toLong * 1000000000L)))
+        .reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$out/orders.parquet")
+      for (t <- Seq("customer", "supplier", "part", "nation", "region"))
+        spark.read.parquet(sf("sf0.01") + s"/$t.parquet")
+          .write.mode("overwrite").parquet(s"$out/$t.parquet")
+      out
+    }
+    (replicate(1), replicate(10))
+  }
+
+  // q21 (late-supplier EXISTS/NOT-EXISTS): both the semi and anti joins
+  // key on the order key, which the replicas keep disjoint per copy — the
+  // join work is linear in copies. q18 (HAVING-gated semi join): the big-
+  // order aggregate and the order-keyed joins scale the same way; its
+  // LIMIT 100 re-ranks over the 10x pool but bounds the result.
+  for (q <- Seq("tpch_q21", "tpch_q18")) {
+    test(s"$q wall-time grows ~linearly with 10x facts over fixed dims") {
+      val run = SparkEntry.queries(q)
+      run(spark, tpch1x).count() // warm-up: JIT + codegen + footer caches
+      val t1 = timedMin2(run(spark, tpch1x).count())
+      val t10 = timedMin2(run(spark, tpch10x).count())
+      assertLinear(q, t1, t10)
+    }
+  }
+
+  test("10x facts preserve per-copy output: q4's per-priority order " +
+      "counts are exactly 10x") {
+    // the fairness precondition of the relational curve: disjoint order
+    // keys must keep every correlated-EXISTS match inside its own copy
+    val run = SparkEntry.queries("tpch_q4")
+    val c1 = run(spark, tpch1x).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val c10 = run(spark, tpch10x).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(c1.nonEmpty && c10 == c1.map { case (k, v) => k -> v * 10 },
+      s"1x=$c1 10x=$c10")
+  }
+
   test("10x replica preserves per-copy output: minhash pairs are exactly " +
       "10x the 1x pairs, none crossing copies") {
     // the fairness precondition of the curve: if token-salting leaked
