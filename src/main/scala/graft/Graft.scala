@@ -96,6 +96,13 @@ object Graft {
   /** Strongly connected components (directed mutual reachability). */
   def stronglyConnected(spark: SparkSession, g: GraphTables,
       iters: Int = 10): DataFrame = GraphOps.stronglyConnected(spark, g, iters)
+  /** Landmark-sampled Brandes betweenness centrality. */
+  def betweenness(spark: SparkSession, g: GraphTables,
+      landmarks: Seq[Long]): DataFrame =
+    GraphOps.betweenness(spark, g, landmarks)
+  /** Local clustering coefficient (2T(v) / deg(v)(deg(v)−1)). */
+  def clusteringCoefficient(spark: SparkSession, g: GraphTables): DataFrame =
+    GraphOps.clusteringCoefficient(spark, g)
 
   // ------------------------------------------------------------ corpus ops
   /** Near-duplicate clusters of a documents table (doc_id, text, …):

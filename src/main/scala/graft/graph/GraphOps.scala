@@ -509,6 +509,90 @@ object GraphOps {
       .select(col("label"), col("name"), col("triangles"))
   }
 
+  /** Landmark-sampled betweenness centrality (Brandes 2001; sampling per
+    * Riondato-Kornaropoulos: restricting the source set to landmarks gives
+    * an unbiased scaled estimate, and is the only way betweenness is run
+    * at scale). Directed, unweighted, multiplicity-canonicalized.
+    *
+    * Two bulk-synchronous phases, both DataFrame joins keyed on
+    * (source, node) — shuffle-partitioned, nothing collected:
+    *  - FORWARD: multi-source BFS layering with exact path counts σ —
+    *    frontier ⋈ edges, anti-join the visited set, σ = Σ predecessor σ
+    *    (the kCore/reachable anti-join fixpoint discipline, lineage cut
+    *    per round).
+    *  - BACKWARD: dependency accumulation per descending depth level —
+    *    δ(v) = Σ_{w ∈ succ(v), depth(w)=depth(v)+1} σ(v)/σ(w)·(1+δ(w)),
+    *    one join per level, O(diameter-from-landmarks) rounds.
+    * betweenness(v) = Σ_sources δ_s(v) over non-source rows.
+    *
+    * σ values are exact integers; on unique-path fixtures every δ is an
+    * exact small integer, so the oracle twin compares closed-form doubles
+    * (see `graphp_betweenness`).
+    */
+  def betweenness(spark: SparkSession, g: GraphTables,
+      landmarks: Seq[Long], maxIterations: Int = 30): DataFrame = {
+    import spark.implicits._
+    val edges = g.edges.toDF().select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst")).distinct().localCheckpoint()
+    var frontier = landmarks.map(l => (l, l, 0, 1L))
+      .toDF("source", "node", "depth", "sigma").localCheckpoint()
+    var all = frontier
+    var depth = 0
+    var done = landmarks.isEmpty
+    while (!done && depth < maxIterations) {
+      depth += 1
+      val next = frontier.join(edges, col("node") === col("src"))
+        .select(col("source"), col("dst").as("node"), col("sigma"))
+        .join(all.select(col("source").as("vs"), col("node").as("vn")),
+          col("source") === col("vs") && col("node") === col("vn"),
+          "left_anti")
+        .groupBy("source", "node").agg(sum("sigma").as("sigma"))
+        .select(col("source"), col("node"), lit(depth).as("depth"),
+          col("sigma"))
+        .localCheckpoint()
+      done = next.isEmpty
+      if (!done) {
+        all = all.unionByName(next).localCheckpoint()
+        frontier = next
+      }
+    }
+    val maxD =
+      if (landmarks.isEmpty) 0
+      else all.agg(max("depth")).head.getInt(0)
+    // deepest layer has no successors on any shortest path → δ = 0
+    var delta = all.filter(col("depth") === maxD)
+      .select(col("source"), col("node"), lit(0.0).as("delta"))
+    var accum = delta.withColumn("depth", lit(maxD))
+    for (d <- (maxD - 1) to 0 by -1) {
+      val cur = all.filter(col("depth") === d)
+      val succ = all.filter(col("depth") === d + 1)
+        .select(col("source").as("ws"), col("node").as("wn"),
+          col("sigma").as("wsig"))
+      val contrib = cur.join(edges, col("node") === col("src"))
+        .join(succ, col("source") === col("ws") && col("dst") === col("wn"))
+        .join(delta.select(col("source").as("ds"), col("node").as("dn"),
+            col("delta").as("wdelta")),
+          col("ws") === col("ds") && col("wn") === col("dn"))
+        .groupBy("source", "node")
+        .agg(sum(col("sigma").cast("double") / col("wsig") *
+          (lit(1.0) + col("wdelta"))).as("dep"))
+      val curDelta = cur.select("source", "node")
+        .join(contrib, Seq("source", "node"), "left_outer")
+        .select(col("source"), col("node"),
+          coalesce(col("dep"), lit(0.0)).as("delta"))
+        .localCheckpoint()
+      delta = curDelta
+      accum = accum.unionByName(curDelta.withColumn("depth", lit(d)))
+    }
+    val bc = accum.filter(col("depth") >= 1)
+      .groupBy(col("node").as("id"))
+      .agg(sum("delta").as("raw"))
+    g.nodes.toDF().join(bc, Seq("id"), "left_outer")
+      .select(col("label"), col("name"),
+        graft.Det.portableRound(coalesce(col("raw"), lit(0.0)), 6)
+          .as("betweenness"))
+  }
+
   /** Local clustering coefficient: per node, the fraction of its distinct
     * undirected neighbor pairs that are themselves connected —
     * 2·T(v) / (deg(v)·(deg(v)−1)), 0 for deg < 2. Edge direction,

@@ -625,6 +625,34 @@ object ParquetGraph {
         .orderBy("label", "name")
     },
 
+    // Q9 betweenness twin on the cycle layer (new r9). Landmarks = each
+    // region's min-keyed nation (as graphp_harmonic). On a directed
+    // m-cycle, shortest paths are unique, so from the landmark the node at
+    // wrap distance k carries dependency δ = m−1−k (every strictly-farther
+    // target routes through it): with rn = 1-based key order, betweenness
+    // = m − rn for non-landmarks and 0 for the landmark (its own-source
+    // dependency is excluded by definition) — all exact small integers.
+    QueryDef.sql(
+      "graphp_betweenness",
+      """WITH pos AS (
+        |  SELECT n_name, n_regionkey,
+        |    row_number() OVER (PARTITION BY n_regionkey
+        |      ORDER BY n_nationkey) AS rn,
+        |    count(*) OVER (PARTITION BY n_regionkey) AS m
+        |  FROM nation)
+        |SELECT n_name AS name,
+        |  CAST(CASE WHEN rn = 1 THEN 0 ELSE m - rn END AS DOUBLE)
+        |    AS betweenness
+        |FROM pos ORDER BY name""".stripMargin) { (s, d) =>
+      val landmarks = Tables.nation(s, d)
+        .groupBy("n_regionkey").agg(min("n_nationkey").as("k"))
+        .select((col("k") + NationBase).as("id"))
+        .collect().map(_.getLong(0)).toSeq // ≤ |regions| rows — bounded
+      GraphOps.betweenness(s, chain(s, d), landmarks)
+        .select(col("name"), col("betweenness"))
+        .orderBy("name")
+    },
+
     // Q9 local-clustering-coefficient twin on the clique∪star layer
     // (new r9). Closed form per region of m nations (see [[cliqueStar]]):
     // the hub scores 2/((m−1)(m−2)) over degree m−1 with exactly 1
