@@ -812,6 +812,53 @@ object RelationalQueries {
         .select(col("g"), col("v").as("mode_v"), col("c").as("n_rows"))
         .orderBy("g")
     },
+
+    // G17 retention cohorts (new r9): the classic product-analytics
+    // rollup — users grouped by first-seen day, activity counted per
+    // 7-day offset from THEIR cohort day, retention as the exact ratio
+    // to cohort size. All shuffles key on user_id or the (cohort, offset)
+    // pair — linear at any event volume; the cohort-size side is
+    // |cohort days| rows → broadcast. The week offset is
+    // floor(daydiff / 7.0): one identical IEEE division + floor in both
+    // engines; the retention ratio divides exact integers once.
+    QueryDef.sql(
+      "g17_retention_cohorts",
+      """WITH e AS (
+        |  SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+        |  FROM events),
+        |first AS (
+        |  SELECT user_id, min(day) AS cohort_day FROM e GROUP BY user_id),
+        |act AS (
+        |  SELECT DISTINCT e.user_id, cohort_day,
+        |    CAST(floor(date_diff('day', cohort_day, day) / 7.0) AS INT)
+        |      AS week_offset
+        |  FROM e JOIN first ON e.user_id = first.user_id),
+        |sz AS (SELECT cohort_day, count(*) AS cohort_n
+        |       FROM first GROUP BY cohort_day)
+        |SELECT act.cohort_day, week_offset,
+        |  count(*) AS n_active,
+        |  CAST(count(*) AS DOUBLE) / cohort_n AS retention
+        |FROM act JOIN sz ON act.cohort_day = sz.cohort_day
+        |GROUP BY act.cohort_day, week_offset, cohort_n
+        |ORDER BY act.cohort_day, week_offset""".stripMargin) { (s, d) =>
+      val e = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+      val first = e.groupBy("user_id").agg(min("day").as("cohort_day"))
+      val act = e.join(first, "user_id")
+        .select(col("user_id"), col("cohort_day"),
+          floor(datediff(col("day"), col("cohort_day")) / lit(7.0))
+            .cast("int").as("week_offset"))
+        .distinct()
+      val sz = first.groupBy("cohort_day")
+        .agg(count(lit(1)).as("cohort_n"))
+      act.groupBy("cohort_day", "week_offset")
+        .agg(count(lit(1)).as("n_active"))
+        .join(broadcast(sz), "cohort_day")
+        .select(col("cohort_day"), col("week_offset"), col("n_active"),
+          (col("n_active").cast("double") / col("cohort_n"))
+            .as("retention"))
+        .orderBy("cohort_day", "week_offset")
+    },
     QueryDef.sql(
       "dq1_constraint_audit",
       // the dbt-test / Great-Expectations audit battery as ONE relation:
