@@ -128,6 +128,9 @@ object TpchQueries {
         .groupBy("l_partkey", "l_suppkey")
         .agg(min(col("l_extendedprice") / col("l_quantity")).as("ps_cost"))
         .join(euroSupp, col("l_suppkey") === col("s_suppkey"))
+        // consumed twice (per-part min + the equality join back) and small
+        // (≤ |filtered parts|·|suppliers| rows) — materialize once
+        .localCheckpoint()
       val minCost = euroPs.groupBy(col("l_partkey").as("min_pkey"))
         .agg(min(col("ps_cost")).as("min_cost"))
       euroPs
@@ -477,8 +480,11 @@ object TpchQueries {
       val n3Lines = Tables.lineitem(s, d)
         .select("l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
         .join(n3Supp, col("l_suppkey") === col("s_suppkey"), "left_semi")
+      // consumed twice (grand-total threshold + the gate) and ≤ |part|
+      // rows — materialize once instead of re-scanning the fact per side
       val values = n3Lines.groupBy("l_partkey")
         .agg(revenue.as("value"))
+        .localCheckpoint()
       // grand total re-aggregates the per-part cent sums — exact longs
       // summed in any order equal the direct grand total, so this reuses
       // `values` instead of scanning the fact twice
@@ -767,8 +773,11 @@ object TpchQueries {
         .join(broadcast(Tables.part(s, d)
             .filter(col("p_name").like("red%")).select("p_partkey")),
           col("l_partkey") === col("p_partkey"), "left_semi")
+      // consumed twice (per-part totals + the dominance filter) and small
+      // (≤ |supplier|·|red parts| rows) — materialize once
       val perSuppPart = redL96.groupBy("l_suppkey", "l_partkey")
         .agg(sum(col("l_quantity")).as("sq"))
+        .localCheckpoint()
       // per-part 1996 totals re-aggregate the (supp, part) partials —
       // whole-number doubles sum exactly, so this equals a direct scan
       val perPart = perSuppPart.groupBy(col("l_partkey").as("t_pkey"))
@@ -817,13 +826,17 @@ object TpchQueries {
       val fOrders = Tables.orders(s, d)
         .filter(col("o_orderstatus") === "F")
         .select("o_orderkey", "o_orderdate")
-      // all late (order, supplier) pairs on F-status orders, built once
+      // all late (order, supplier) pairs on F-status orders — consumed
+      // TWICE (probe side and anti side), so materialize once instead of
+      // re-running the lineitem⋈orders join per consumer (the l30
+      // shared-relation discipline; at scale this persists to local disk)
       val late = Tables.lineitem(s, d)
         .select("l_orderkey", "l_suppkey", "l_shipdate")
         .join(fOrders, col("o_orderkey") === col("l_orderkey"))
         .filter(col("l_shipdate") >
           col("o_orderdate") + expr("INTERVAL 90 DAYS"))
         .select("l_orderkey", "l_suppkey")
+        .localCheckpoint()
       val allLines = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("l2_okey"),
           col("l_suppkey").as("l2_skey"))
