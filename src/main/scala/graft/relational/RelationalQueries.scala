@@ -843,7 +843,10 @@ object RelationalQueries {
         |ORDER BY act.cohort_day, week_offset""".stripMargin) { (s, d) =>
       val e = Tables.events(s, d)
         .select(col("user_id"), to_date(col("ts")).as("day"))
+      // consumed twice (activity join + cohort sizes) and |users| rows —
+      // materialize once instead of re-scanning events per consumer
       val first = e.groupBy("user_id").agg(min("day").as("cohort_day"))
+        .localCheckpoint()
       val act = e.join(first, "user_id")
         .select(col("user_id"), col("cohort_day"),
           floor(datediff(col("day"), col("cohort_day")) / lit(7.0))
