@@ -1,6 +1,7 @@
 package graft.graph
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.{col, lit}
 
 /** Unit-level check of [[GraphOps.clusteringCoefficient]] (the oracle twin
   * `graphp_clustering` covers the clique∪star parquet fixture; this pins
@@ -41,6 +42,31 @@ class ClusteringCoefficientSpec extends SparkSpec {
     val c = coeffs(g)
     assert(c("n1") == ((3, 0L, 0.0)))
     assert(c("n2") == ((1, 0L, 0.0)))
+  }
+
+  test("degree-ordered orientation makes a 100k-leaf hub wedge-free " +
+      "(id-ordering would enumerate 5e9 wedges)") {
+    // the hub (id 0) is the LOWEST id but the HIGHEST degree: id-ordered
+    // wedges would fan out C(100000, 2) ≈ 5·10⁹ pairs from it; the
+    // degree-ordered kernel directs every edge leaf→hub, so the hub has
+    // zero out-edges and the whole run is a handful of linear shuffles.
+    // One triangle (0, 1, 2) is planted to prove counting still works
+    // when the hub IS a corner — found at its lowest-degree corner.
+    import spark.implicits._
+    val leaves = spark.range(1L, 100001L)
+      .select(lit(0L).as("src"), col("id").as("dst"),
+        lit("E").as("relType"), lit("").as("docnbr"), lit("base").as("batch"))
+      .as[EdgeRow]
+    val closing = Seq(EdgeRow(1L, 2L, "E", "", "base")).toDS()
+    val g = GraphTables(
+      Seq(0L, 1L, 2L).map(i =>
+        NodeRow(i, "N", s"n$i", "", "", "base", Seq.empty)).toDS(),
+      leaves.unionByName(closing))
+    val c = coeffs(g)
+    // hub: deg 100000, exactly the planted triangle → 2/(d(d−1))
+    assert(c("n0")._1 == 100000 && c("n0")._2 == 1L)
+    // leaves 1 and 2: neighbors {hub, each other}, closed → 1.0
+    assert(c("n1") == ((2, 1L, 1.0)) && c("n2") == ((2, 1L, 1.0)))
   }
 
   test("4-clique scores 1.0 everywhere (every wedge closed)") {
