@@ -89,6 +89,38 @@ class StreamingDedupSpec extends SparkSpec {
     }
   }
 
+  test("stream ≡ batch holds at PRODUCTION knobs too (32 seeds / 8 bands)") {
+    // the KnobMatrix discipline: the equality that matters must also hold
+    // at the values a real corpus would run, where band keys are built
+    // from different signature slices and collide differently
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+      .select("doc_id", "text").as[DocText].collect()
+    val want = SparkEntry.queries("l2_prod_knobs")(spark, sf("sf0.001"))
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    withRocksDb {
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("dedup_prod_ckpt").toString
+      val mem = MemoryStream[DocText]
+      val q = StreamingDedup
+        .nearDupPairs(spark, mem.toDS(), graft.text.DedupKnobs.Production)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .format("memory").queryName("dedup_prod_stream")
+        .outputMode(OutputMode.Update()).start()
+      mem.addData(docs.toIndexedSeq: _*)
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table("dedup_prod_stream")
+        .select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == want,
+        s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    }
+  }
+
   test("estimates are sane and re-delivered documents do not self-pair") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
