@@ -121,6 +121,35 @@ class StreamingDedupSpec extends SparkSpec {
     }
   }
 
+  test("hot-bucket cap: new docs still match capped members but stop " +
+      "growing the bucket") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDb {
+      val mem = MemoryStream[DocText]
+      // three exact-duplicate texts land in the same buckets; cap = 1
+      // admits only the first as a member
+      val q = StreamingDedup
+        .nearDupPairs(spark, mem.toDS(), maxBucket = 1)
+        .writeStream.format("memory").queryName("dedup_cap_stream")
+        .outputMode(OutputMode.Update()).start()
+      val text = "a b c d e f g h"
+      mem.addData(DocText(1L, text))
+      q.processAllAvailable()
+      mem.addData(DocText(2L, text))
+      q.processAllAvailable()
+      mem.addData(DocText(3L, text))
+      q.processAllAvailable()
+      q.stop()
+      val pairs = spark.table("dedup_cap_stream")
+        .select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // 2 and 3 each matched the sole member 1; the capped bucket never
+      // admitted 2, so the (2, 3) pair is deliberately not reported
+      assert(pairs == Set((1L, 2L), (1L, 3L)), pairs.toString)
+    }
+  }
+
   test("estimates are sane and re-delivered documents do not self-pair") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
