@@ -107,6 +107,46 @@ object RelationalQueries {
       Seq((1, "urgent"), (2, "high"), (3, "normal"))
         .toDF("prio_id", "prio_name").orderBy("prio_id")
     },
+    // S8/S9 JSON + CSV sources, proven by ROUND-TRIP: export a table
+    // through the format, read it back with an EXPLICIT schema (inference
+    // is sample-order-dependent — never at scale), and aggregate; the
+    // oracle computes the same aggregate off the parquet directly, so any
+    // value corruption in the writer/reader path (timestamp formatting,
+    // quoting, null encoding, float repr) hash-misses. Exact cent sums
+    // make the comparison byte-stable. Temp dir per run — the engine is
+    // the system under test, not the tmpfs.
+    QueryDef.sql(
+      "s8_json_roundtrip",
+      s"""SELECT o_orderpriority, count(*) AS n,
+         |  ${Det.duckCentSum("o_totalprice", 2)} AS total
+         |FROM orders GROUP BY o_orderpriority
+         |ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_json_rt").toString
+      val src = Tables.orders(s, d)
+      src.write.mode("overwrite").json(tmp)
+      s.read.schema(src.schema).json(tmp)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          Det.centSum(col("o_totalprice"), 2).as("total"))
+        .orderBy("o_orderpriority")
+    },
+    QueryDef.sql(
+      "s9_csv_roundtrip",
+      s"""SELECT o_orderstatus, count(*) AS n,
+         |  ${Det.duckCentSum("o_totalprice", 2)} AS total
+         |FROM orders GROUP BY o_orderstatus
+         |ORDER BY o_orderstatus""".stripMargin) { (s, d) =>
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_csv_rt").toString
+      val src = Tables.orders(s, d)
+      src.write.mode("overwrite").option("header", "true").csv(tmp)
+      s.read.schema(src.schema).option("header", "true").csv(tmp)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          Det.centSum(col("o_totalprice"), 2).as("total"))
+        .orderBy("o_orderstatus")
+    },
     // ------------------------------------------------ filters/predicates (P)
     QueryDef.sql(
       "p2_filter_eq",
