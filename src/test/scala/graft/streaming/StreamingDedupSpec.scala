@@ -2,6 +2,7 @@ package graft.streaming
 
 import graft.{SparkEntry, SparkSpec}
 import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.functions.{col, length, lit}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.OutputMode
 
@@ -147,6 +148,53 @@ class StreamingDedupSpec extends SparkSpec {
       // 2 and 3 each matched the sole member 1; the capped bucket never
       // admitted 2, so the (2, 3) pair is deliberately not reported
       assert(pairs == Set((1L, 2L), (1L, 3L)), pairs.toString)
+    }
+  }
+
+  test("adversarial text — multi-space runs, trailing spaces, unicode, " +
+      "sub-3-token docs — tokenizes identically on both paths") {
+    // the stream's plain-Scala tokenizer and the batch kernel's
+    // split(text, ' ') column must agree on EDGE text, not just the
+    // single-spaced corpus: consecutive spaces produce empty tokens,
+    // trailing spaces are kept (limit -1), unicode hashes byte-identically
+    // through md5(UTF-8), and <3-token docs drop out of both pipelines
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      DocText(1L, "alpha  betaé gamma delta epsilon zeta eta theta"),
+      DocText(2L, "alpha  betaé gamma delta epsilon zeta eta iota"),
+      DocText(3L, "alpha betaé gamma delta epsilon zeta eta theta"),
+      DocText(4L, "trailing spaces doc alpha  betaé gamma delta  "),
+      DocText(5L, "  leading spaces alpha  betaé gamma delta"),
+      DocText(6L, "two tokens"),
+      DocText(7L, ""),
+      DocText(8L, "alpha  betaé gamma delta epsilon zeta eta theta"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("dedup_adv_docs").toString
+    docs.toDF().select(col("doc_id"), col("text"),
+        lit("en").as("lang"), lit("src0").as("source"),
+        length(col("text")).as("n_chars"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val want = SparkEntry.queries("l2_minhash_lsh")(spark, dir)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the exact dup (1, 8) must be found; if tokenization diverged on the
+    // double space or the unicode byte, the batch side would also differ
+    // from itself — the SET equality below is the real assertion
+    assert(want.contains((1L, 8L)))
+    withRocksDb {
+      val mem = MemoryStream[DocText]
+      val q = StreamingDedup.nearDupPairs(spark, mem.toDS())
+        .writeStream.format("memory").queryName("dedup_adv_stream")
+        .outputMode(OutputMode.Update()).start()
+      mem.addData(docs: _*)
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table("dedup_adv_stream")
+        .select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == want,
+        s"missing=${want -- got} extra=${got -- want}")
     }
   }
 
