@@ -414,6 +414,48 @@ object RelationalQueries {
             |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
             |ORDER BY c_custkey, t.o_totalprice DESC, t.o_orderkey""".stripMargin)
     },
+    // J15 fuzzy (edit-distance) self-join — the ED-Join shape (Xiao et
+    // al. 2008, public): q-gram posting lists generate candidates, the
+    // COUNT FILTER prunes them (any pair within edit distance d shares at
+    // least max(|a|,|b|) − q + 1 − d·q grams — names here are ≥7 chars,
+    // so the bound is positive and recall is complete), and exact
+    // levenshtein verifies only the survivors. The oracle states the
+    // intended semantics as the all-pairs form — sound at |distinct
+    // names| scale; the Spark side is the sub-quadratic plan you'd run
+    // when the name column has millions of distinct values (posting
+    // lists shuffle on the gram key; production adds ED-Join's
+    // positional/prefix filters to thin hot grams further).
+    QueryDef.sql(
+      "j15_fuzzy_join",
+      """WITH n AS (SELECT DISTINCT p_name FROM part)
+        |SELECT a.p_name AS name_a, b.p_name AS name_b,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+        |FROM n a JOIN n b ON a.p_name < b.p_name
+        |WHERE levenshtein(a.p_name, b.p_name) <= 2
+        |ORDER BY name_a, name_b""".stripMargin) { (s, d) =>
+      val q = 2
+      val maxDist = 2
+      val names = Tables.part(s, d)
+        .select(col("p_name").as("name")).distinct()
+      val grams = names.select(col("name"), explode(expr(
+          s"transform(sequence(0, length(name) - $q)," +
+            s" i -> substring(name, i + 1, $q))")).as("g"))
+        .distinct()
+        .localCheckpoint() // both sides of the candidate join
+      val cand = grams.select(col("name").as("name_a"), col("g"))
+        .join(grams.select(col("name").as("name_b"), col("g")), "g")
+        .filter(col("name_a") < col("name_b"))
+        .groupBy("name_a", "name_b")
+        .agg(count(lit(1)).as("shared"))
+        // count filter: true d≤2 pairs share ≥ max(len)−q+1−d·q grams
+        .filter(col("shared") >= greatest(length(col("name_a")),
+          length(col("name_b"))) - lit(q - 1 + maxDist * q))
+      cand
+        .filter(levenshtein(col("name_a"), col("name_b")) <= maxDist)
+        .select(col("name_a"), col("name_b"),
+          levenshtein(col("name_a"), col("name_b")).cast("int").as("dist"))
+        .orderBy("name_a", "name_b")
+    },
     // ---------------------------------------------------- aggregations (G)
     QueryDef.sql(
       "g1_group_nest",
