@@ -132,6 +132,31 @@ object RelationalQueries {
         .orderBy("o_orderpriority")
     },
     QueryDef.sql(
+      "s10_orc_roundtrip",
+      s"""SELECT o_orderpriority, count(*) AS n,
+         |  ${Det.duckCentSum("o_totalprice", 2)} AS total,
+         |  min(o_orderdate) AS first_dt, max(o_orderdate) AS last_dt
+         |FROM orders GROUP BY o_orderpriority
+         |ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      // ORC is Spark's second native columnar format (predicate pushdown,
+      // vectorized reader, same writer semantics as parquet) — the same
+      // round-trip proof as S8/S9: any value corruption in the ORC
+      // writer/reader (timestamp encoding, decimal repr) hash-misses
+      // against the parquet-derived oracle. min/max over the date column
+      // exercises the type the two formats encode most differently.
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_orc_rt").toString
+      val src = Tables.orders(s, d)
+      src.write.mode("overwrite").orc(tmp)
+      s.read.schema(src.schema).orc(tmp)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          Det.centSum(col("o_totalprice"), 2).as("total"),
+          min(col("o_orderdate")).as("first_dt"),
+          max(col("o_orderdate")).as("last_dt"))
+        .orderBy("o_orderpriority")
+    },
+    QueryDef.sql(
       "s9_csv_roundtrip",
       s"""SELECT o_orderstatus, count(*) AS n,
          |  ${Det.duckCentSum("o_totalprice", 2)} AS total
@@ -984,6 +1009,63 @@ object RelationalQueries {
           col("n_violations"))
       pk.unionByName(fk).unionByName(nn).unionByName(dom)
         .orderBy("check_name")
+    },
+
+    // DQ2 column profiler (new r9) — the Deequ/SUMMARIZE-style dataset
+    // profile a pipeline runs before trusting a new drop: per column,
+    // null count, exact distinct count, and min/max rendered through a
+    // TYPE-AWARE exact formatter (fixed-scale doubles → integer cents,
+    // timestamps → dates, strings verbatim) so the cross-engine compare
+    // never touches float formatting. One pass per column over a
+    // column-pruned scan; each profile row is an independent partial+final
+    // aggregate, unioned — at cluster scale the per-column jobs
+    // parallelize trivially and each reads ONLY its column.
+    QueryDef.sql(
+      "dq2_profile",
+      {
+        def num(c: String) =
+          s"""SELECT '$c' AS col_name, count(*) - count($c) AS n_nulls,
+             |  count(DISTINCT $c) AS ndv,
+             |  CAST(CAST(round(min($c) * 100, 0) AS BIGINT) AS VARCHAR)
+             |    AS min_v,
+             |  CAST(CAST(round(max($c) * 100, 0) AS BIGINT) AS VARCHAR)
+             |    AS max_v
+             |FROM lineitem""".stripMargin
+        def str(c: String) =
+          s"""SELECT '$c', count(*) - count($c), count(DISTINCT $c),
+             |  min($c), max($c) FROM lineitem""".stripMargin
+        s"""${num("l_quantity")}
+           |UNION ALL ${num("l_extendedprice")}
+           |UNION ALL ${num("l_discount")}
+           |UNION ALL ${str("l_returnflag")}
+           |UNION ALL ${str("l_linestatus")}
+           |UNION ALL SELECT 'l_shipdate', count(*) - count(l_shipdate),
+           |  count(DISTINCT l_shipdate),
+           |  CAST(CAST(min(l_shipdate) AS DATE) AS VARCHAR),
+           |  CAST(CAST(max(l_shipdate) AS DATE) AS VARCHAR)
+           |FROM lineitem
+           |ORDER BY col_name""".stripMargin
+      }) { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      def prof(c: String, minR: Column, maxR: Column): DataFrame =
+        li.select(c).agg(
+          (count(lit(1)) - count(col(c))).as("n_nulls"),
+          countDistinct(col(c)).as("ndv"),
+          minR.as("min_v"), maxR.as("max_v"))
+          .select(lit(c).as("col_name"), col("n_nulls"), col("ndv"),
+            col("min_v"), col("max_v"))
+      def cents(e: Column) =
+        round(e * 100, 0).cast("long").cast("string")
+      val numCols = Seq("l_quantity", "l_extendedprice", "l_discount")
+        .map(c => prof(c, cents(min(col(c))), cents(max(col(c)))))
+      val strCols = Seq("l_returnflag", "l_linestatus")
+        .map(c => prof(c, min(col(c)), max(col(c))))
+      val dateCol = prof("l_shipdate",
+        min(col("l_shipdate")).cast("date").cast("string"),
+        max(col("l_shipdate")).cast("date").cast("string"))
+      (numCols ++ strCols :+ dateCol)
+        .reduce(_ unionByName _)
+        .orderBy("col_name")
     },
     QueryDef.rowsOnly("o5_sampled_scan") { (s, d) =>
       // seeded Bernoulli sample: deterministic within Spark, but sampling

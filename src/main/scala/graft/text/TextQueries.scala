@@ -2266,6 +2266,170 @@ object TextQueries {
           when(col("t") === 1, "head").when(col("t") === 2, "middle")
             .otherwise("tail").as("bucket"))
         .orderBy("doc_id")
+    },
+    // --------------------------------------------- L51 BM25 retrieval score
+    // Okapi BM25 (Robertson/Spärck Jones; the default lexical ranker of
+    // Lucene/Elasticsearch) over the corpus for a fixed query-term set —
+    // the retrieval half of a RAG pipeline. Scale discipline: an INVERTED
+    // INDEX shape — only documents containing a query term are ever
+    // scored (the tf relation is pre-filtered to the query terms before
+    // any join), the ≤|query| df table broadcasts, corpus-level constants
+    // (N, avgdl) ride in as a broadcast scalar. Per-(doc, term) scores are
+    // quantized to integer micro-units BEFORE the per-doc sum (the l38 ln
+    // discipline) so the fold is exact-integer and order-independent; the
+    // final top-10 is a TakeOrderedAndProject, never a global sort.
+    // Determinism note: both engines build idf and the tf normalizer from
+    // exact integers plus ONE shared double (avgdl = exact long sum /
+    // count), with identical association order, so the doubles are
+    // bit-identical before quantization.
+    QueryDef.sql(
+      "l51_bm25",
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         |  FROM documents),
+         |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks
+         |       WHERE len(term) > 0 GROUP BY 1),
+         |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(CAST(sum(dl) AS BIGINT) AS DOUBLE) / count(*) AS avgdl
+         |  FROM dl),
+         |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+         |  FROM toks WHERE term IN ('hash', 'join', 'merge') GROUP BY 1, 2),
+         |df AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+         |  FROM toks WHERE term IN ('hash', 'join', 'merge') GROUP BY 1),
+         |sc AS (SELECT tf.doc_id,
+         |    CAST(sum(CAST(floor(
+         |      ln(1 + (n_docs - df + 0.5) / (df + 0.5)) *
+         |      ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) *
+         |      1000000 + 0.5) AS BIGINT)) AS BIGINT) AS score_micro,
+         |    CAST(count(*) AS BIGINT) AS n_terms_hit
+         |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
+         |  CROSS JOIN stats GROUP BY 1)
+         |SELECT doc_id,
+         |  score_micro / CAST(1000000 AS DOUBLE) AS score, n_terms_hit
+         |FROM sc ORDER BY score_micro DESC, doc_id LIMIT 10""".stripMargin) {
+      (s, d) =>
+        // three consumers of the token relation (dl, tf, df) — materialize
+        // once (the l30/l38 shared-relation discipline)
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+          .localCheckpoint()
+        val qTerms = Seq("hash", "join", "merge")
+        val dl = toks.filter(length(col("term")) > 0)
+          .groupBy("doc_id").agg(count(lit(1)).as("dl"))
+        val stats = dl.agg(count(lit(1)).as("n_docs"),
+          (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
+        val tf = toks.filter(col("term").isin(qTerms: _*))
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val df = toks.filter(col("term").isin(qTerms: _*))
+          .select("doc_id", "term").distinct()
+          .groupBy("term").agg(count(lit(1)).as("df"))
+        // identical association order to the oracle SQL: (idf * tfn) * 1e6
+        val idf = log(lit(1.0) +
+          (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+        val tfn = (col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) *
+            (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+        tf.join(broadcast(df), "term").join(dl, "doc_id")
+          .crossJoin(broadcast(stats))
+          .select(col("doc_id"),
+            floor(idf * tfn * lit(1000000.0) + lit(0.5)).cast("long")
+              .as("sm"))
+          .groupBy("doc_id")
+          .agg(sum("sm").as("score_micro"),
+            count(lit(1)).as("n_terms_hit"))
+          .orderBy(col("score_micro").desc, col("doc_id"))
+          .select(col("doc_id"),
+            (col("score_micro") / lit(1000000.0)).as("score"),
+            col("n_terms_hit"))
+          .limit(10)
+    },
+    // ------------------------------------------------------- L52 SemDeDup
+    // SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    // embedding space, then near-dedup ONLY within clusters — the trick
+    // that makes semantic dedup sub-quadratic at corpus scale. Clusters
+    // here are the l28 nearest-centroid assignment (broadcast K×D integer
+    // centroid table, exact-integer argmax); within a cluster, a member is
+    // marked removed iff a LOWER-vec_id member of the same cluster sits at
+    // cosine ≥ 0.3 (keep-first-seen, the paper's "keep one representative"
+    // rule stated non-iteratively so it is engine-portable; the transitive
+    // connected-component form of grouping lives in l2e_dup_clusters).
+    // Scale: the only quadratic term is WITHIN a cluster — K is chosen so
+    // clusters stay bounded (the paper runs K ≈ √N); the pair join keys on
+    // cluster id, a skewed giant cluster is AQE's skew-join case, and the
+    // cosine hot loop is the codegen'd graft_dot.
+    QueryDef.sql(
+      "l52_semdedup",
+      """WITH q AS (
+        |  SELECT vec_id, label, i,
+        |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000 + 0.5)
+        |      AS BIGINT) AS q
+        |  FROM embeddings, generate_series(1, 64) t(i)),
+        |c AS (SELECT label AS clabel, i, CAST(sum(q) AS BIGINT) AS cq
+        |      FROM q GROUP BY 1, 2),
+        |cn AS (SELECT label AS clabel, count(*) AS nl
+        |       FROM embeddings GROUP BY 1),
+        |sc AS (SELECT q.vec_id, c.clabel,
+        |    CAST(sum(q.q * c.cq) AS DOUBLE) / max(cn.nl) AS score
+        |  FROM q JOIN c USING (i) JOIN cn ON c.clabel = cn.clabel
+        |  GROUP BY 1, 2),
+        |asg AS (SELECT vec_id, cluster FROM (
+        |    SELECT vec_id, clabel AS cluster, row_number() OVER (
+        |      PARTITION BY vec_id ORDER BY score DESC, clabel) AS rn
+        |    FROM sc) WHERE rn = 1),
+        |n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+        |    sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+        |      x -> x * x))) AS nrm
+        |  FROM embeddings),
+        |rm AS (SELECT DISTINCT cb.vec_id
+        |  FROM asg ca JOIN asg cb
+        |    ON ca.cluster = cb.cluster AND ca.vec_id < cb.vec_id
+        |  JOIN n a ON a.vec_id = ca.vec_id
+        |  JOIN n b ON b.vec_id = cb.vec_id
+        |  WHERE floor(list_sum(list_transform(generate_series(1, 64),
+        |      i -> a.emb[i] * b.emb[i])) / (a.nrm * b.nrm)
+        |      * 1000000 + 0.5) / CAST(1000000 AS DOUBLE) >= 0.3)
+        |SELECT asg.vec_id, cluster,
+        |  asg.vec_id IN (SELECT vec_id FROM rm) AS removed
+        |FROM asg ORDER BY vec_id""".stripMargin) { (s, d) =>
+      graft.functions.DotProduct.register(s)
+      val emb = Tables.embeddings(s, d)
+      val q = emb
+        .select(col("vec_id"), col("label"), posexplode(col("embedding")))
+        .select(col("vec_id"), col("label"), col("pos").as("i"),
+          floor(col("col").cast("double") * 1000 + 0.5).cast("long")
+            .as("q"))
+      val c = q.groupBy(col("label").as("clabel"), col("i"))
+        .agg(sum("q").as("cq"))
+      val cn = emb.groupBy(col("label").as("clabel"))
+        .agg(count(lit(1)).as("nl"))
+      val w = Window.partitionBy("vec_id")
+        .orderBy(col("score").desc, col("clabel"))
+      val asg = q.join(broadcast(c), "i").join(broadcast(cn), "clabel")
+        .groupBy("vec_id", "clabel")
+        .agg((sum(col("q") * col("cq")).cast("double") / max("nl"))
+          .as("score"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("vec_id"), col("clabel").as("cluster"))
+      val n = emb.select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+        .withColumn("nrm", sqrt(expr("graft_dot(emb, emb)")))
+      // two pair-join consumers of the assigned+normalized relation —
+      // materialize once
+      val m = asg.join(n, "vec_id").localCheckpoint()
+      val a = m.select(col("cluster"), col("vec_id").as("a_id"),
+        col("emb").as("a_emb"), col("nrm").as("a_nrm"))
+      val b = m.select(col("cluster"), col("vec_id").as("b_id"),
+        col("emb").as("b_emb"), col("nrm").as("b_nrm"))
+      val sim = graft.Det.portableRound(
+        expr("graft_dot(a_emb, b_emb)") / (col("a_nrm") * col("b_nrm")), 6)
+      val rm = a.join(b, "cluster").filter(col("a_id") < col("b_id"))
+        .filter(sim >= 0.3)
+        .select(col("b_id").as("vec_id")).distinct()
+        .withColumn("removed", lit(true))
+      asg.join(rm, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cluster"),
+          coalesce(col("removed"), lit(false)).as("removed"))
+        .orderBy("vec_id")
     }
   )
 
