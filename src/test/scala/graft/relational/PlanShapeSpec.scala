@@ -181,6 +181,28 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("l51 BM25: df broadcast, top-k fused, no cartesian scoring") {
+    val p = plan("l51_bm25")
+    // the inverted-index shape: candidate docs join the ≤|query|-row df
+    // table by broadcast, corpus constants ride a broadcast nested-loop
+    // scalar, and the final top-10 is TakeOrderedAndProject — the corpus
+    // is never globally sorted and never cross-joined against itself
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+  }
+
+  test("l52 SemDeDup: pair join keys on cluster id, never all-pairs") {
+    val p = plan("l52_semdedup")
+    // the scale argument IS this plan shape: the only quadratic term is
+    // within a cluster, so the pair join must be an equi-join on the
+    // cluster key (shuffled or broadcast), not a cartesian product
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+    assert(p.contains("SortMergeJoin [cluster") ||
+      p.contains("ShuffledHashJoin [cluster") ||
+      p.contains("BroadcastHashJoin [cluster"), p.take(1200))
+  }
+
   test("every registered query has distinct name and runnable plan") {
     val names = SparkEntry.allDefs.map(_.name)
     assert(names.distinct.size == names.size)
