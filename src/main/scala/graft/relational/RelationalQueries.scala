@@ -969,6 +969,62 @@ object RelationalQueries {
             .as("retention"))
         .orderBy("cohort_day", "week_offset")
     },
+    // G18 A/B experiment readout (new r9): the two-proportion z-test a
+    // product pipeline runs on every experiment — variant split by a
+    // deterministic user hash (user_id parity here), conversion = user
+    // ever made a high-value (>200) purchase — chosen so neither variant
+    // is degenerate at any driver SF (a 0% or 100% pooled rate has no
+    // defined z: its denominator is exactly 0). Shape: one user-keyed
+    // aggregation collapses events
+    // to a per-user conversion flag, then ONE conditional-aggregate pass
+    // folds both variants into a single row — no join between variants,
+    // no second scan. The z statistic is built from four exact integers
+    // with one shared association order, so the doubles are bit-identical
+    // across engines before the micro-round.
+    QueryDef.sql(
+      "g18_ab_test",
+      s"""WITH u AS (
+         |  SELECT user_id, user_id % 2 AS variant,
+         |    max(CASE WHEN event_type = 'purchase' AND value > 200
+         |      THEN 1 ELSE 0 END) AS conv
+         |  FROM events GROUP BY 1, 2),
+         |s AS (SELECT
+         |    CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n0,
+         |    CAST(sum(CASE WHEN variant = 0 THEN conv ELSE 0 END)
+         |      AS BIGINT) AS c0,
+         |    CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n1,
+         |    CAST(sum(CASE WHEN variant = 1 THEN conv ELSE 0 END)
+         |      AS BIGINT) AS c1
+         |  FROM u)
+         |SELECT n0, c0, n1, c1,
+         |  ${Det.duckPortableRound(
+             "(CAST(c0 AS DOUBLE) / n0 - CAST(c1 AS DOUBLE) / n1) / " +
+               "sqrt(((CAST(c0 + c1 AS DOUBLE) / (n0 + n1)) * " +
+               "(1 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))) * " +
+               "(1.0 / n0 + 1.0 / n1))", 6)} AS z
+         |FROM s""".stripMargin) { (s, d) =>
+      val u = Tables.events(s, d)
+        .groupBy(col("user_id"), (col("user_id") % 2).as("variant"))
+        .agg(max(when(col("event_type") === "purchase" &&
+          col("value") > 200, 1).otherwise(0)).as("conv"))
+      val agg = u.agg(
+        sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("variant") === 0, col("conv").cast("long"))
+          .otherwise(0L)).as("c0"),
+        sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("variant") === 1, col("conv").cast("long"))
+          .otherwise(0L)).as("c1"))
+      val pool = (col("c0") + col("c1")).cast("double") /
+        (col("n0") + col("n1"))
+      val z = (col("c0").cast("double") / col("n0") -
+        col("c1").cast("double") / col("n1")) /
+        sqrt((pool * (lit(1) - pool)) *
+          (lit(1.0) / col("n0") + lit(1.0) / col("n1")))
+      agg.select(col("n0"), col("c0"), col("n1"), col("c1"),
+        Det.portableRound(z, 6).as("z"))
+    },
     QueryDef.sql(
       "dq1_constraint_audit",
       // the dbt-test / Great-Expectations audit battery as ONE relation:

@@ -2430,6 +2430,86 @@ object TextQueries {
         .select(col("vec_id"), col("cluster"),
           coalesce(col("removed"), lit(false)).as("removed"))
         .orderBy("vec_id")
+    },
+    // ------------------------------------ L53 hashed linear text classifier
+    // fastText-style linear scoring (Joulin et al. 2016) — the shape every
+    // learned quality/toxicity/domain filter takes at corpus scale: hash
+    // tokens into B feature buckets, join a broadcast B-row weight table,
+    // sum weights per doc, threshold the logit. The weight table here is
+    // hash-derived (a stand-in for trained weights — the engine's job is
+    // the scoring plumbing, not training) in integer micro-units, so the
+    // per-doc fold is exact and order-independent. Scale: featurize is
+    // map-side, weights broadcast (B rows regardless of corpus size), one
+    // doc-keyed aggregation — same cost envelope as l49 scoring.
+    QueryDef.sql(
+      "l53_linear_classifier",
+      s"""WITH tk AS (
+         |  SELECT doc_id, ${PortableHash.duck("w")} % 512 AS b
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+         |        FROM documents) t WHERE len(w) > 0),
+         |wt AS (SELECT i AS b,
+         |    ${PortableHash.duck("'w:' || CAST(i AS VARCHAR)")} % 2001
+         |      - 1000 AS wm
+         |  FROM generate_series(0, 511) t(i)),
+         |sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |    CAST(sum(wm) AS BIGINT) AS logit_micro
+         |  FROM tk JOIN wt USING (b) GROUP BY 1)
+         |SELECT doc_id, n_tokens, logit_micro,
+         |  logit_micro > 0 AS accepted
+         |FROM sc ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val tk = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .select(col("doc_id"),
+          pmod(PortableHash.spark(col("w")), lit(512L)).as("b"))
+      val wt = s.range(0, 512).select(col("id").as("b"),
+        (pmod(PortableHash.spark(
+          concat(lit("w:"), col("id").cast("string"))), lit(2001L))
+          - lit(1000L)).as("wm"))
+      tk.join(broadcast(wt), "b")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"), sum("wm").as("logit_micro"))
+        .select(col("doc_id"), col("n_tokens"), col("logit_micro"),
+          (col("logit_micro") > 0).as("accepted"))
+        .orderBy("doc_id")
+    },
+    // ------------------------------- L54 random sign projection (JL / RP)
+    // Johnson–Lindenstrauss dimensionality reduction with an Achlioptas
+    // ±1 sign matrix (Achlioptas 2001) — the cheap first stage of
+    // embedding pipelines (pre-LSH, pre-clustering). The projection
+    // matrix is NEVER materialized: sign(i, j) is hash parity computed
+    // inside the per-row lambda, the input coordinates are quantized to
+    // exact integers, and the whole projection is a zero-shuffle map over
+    // the corpus (SQL higher-order functions, inside codegen) — the only
+    // exchange in the plan is the presentation sort. At 100 TB this is
+    // the ideal operator: embarrassingly parallel, no state, no join.
+    QueryDef.sql(
+      "l54_random_projection",
+      s"""WITH pr AS (
+         |  SELECT vec_id,
+         |    list_transform(generate_series(0, 7), j ->
+         |      list_sum(list_transform(generate_series(0, 63), i ->
+         |        CAST(floor(CAST(embedding[i + 1] AS DOUBLE) * 1000 + 0.5)
+         |          AS BIGINT) *
+         |        (CASE WHEN ${PortableHash.duck(
+                   "'r:' || CAST(i AS VARCHAR) || ':' || CAST(j AS VARCHAR)")}
+         |           % 2 = 0 THEN 1 ELSE -1 END)))) AS p
+         |  FROM embeddings)
+         |SELECT vec_id, CAST(j - 1 AS INT) AS dim, CAST(p[j] AS BIGINT) AS v
+         |FROM pr, generate_series(1, 8) t(j)
+         |ORDER BY vec_id, dim""".stripMargin) { (s, d) =>
+      val lam =
+        "transform(sequence(0, 7), j -> " +
+          "aggregate(sequence(0, size(embedding) - 1), 0L, (acc, i) -> " +
+          "acc + CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000 + 0.5) " +
+          "AS BIGINT) * (CASE WHEN pmod(CAST(conv(substring(md5(" +
+          "concat('r:', CAST(i AS STRING), ':', CAST(j AS STRING))" +
+          "), 1, 15), 16, 10) AS BIGINT), 2) = 0 THEN 1 ELSE -1 END)))"
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), posexplode(expr(lam)))
+        .select(col("vec_id"), col("pos").cast("int").as("dim"),
+          col("col").as("v"))
+        .orderBy("vec_id", "dim")
     }
   )
 
