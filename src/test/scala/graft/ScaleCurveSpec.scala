@@ -117,6 +117,80 @@ class ScaleCurveSpec extends SparkSpec {
     assertLinear("kCore(hub)", t1, t10)
   }
 
+  test("betweenness wall-time grows ~linearly: 10x cycle components, " +
+    "one landmark each") {
+    // landmark-sampled Brandes scales along BOTH axes at once in
+    // production: more graph AND proportionally more sampled landmarks.
+    // Fixture: disjoint directed 20-cycles (diameter fixed at 20, so the
+    // ROUND COUNT is identical at 1x and 10x), one landmark per cycle —
+    // per-round frontier rows and edge-join input both grow 10x, so a
+    // linear plan grows ~10x and a super-linear sigma/dependency join
+    // (e.g. one keyed only on node, not (source, node)) would blow past
+    // the bound.
+    def cycles(copies: Int): (GraphTables, Seq[Long]) = {
+      import spark.implicits._
+      val n = 20L
+      val edges = spark.range(copies * n)
+        .select((col("id") / n).cast("long").as("c"),
+          pmod(col("id"), lit(n)).as("i"))
+        .select((col("c") * 1000L + col("i")).as("src"),
+          (col("c") * 1000L + pmod(col("i") + 1L, lit(n))).as("dst"),
+          lit("HAS_CHILD").as("relType"), lit("s").as("docnbr"),
+          lit("b0").as("batch"))
+        .as[EdgeRow]
+      (GraphTables(spark.emptyDataset[NodeRow], edges),
+        (0 until copies).map(_ * 1000L))
+    }
+    val (g1, lm1) = cycles(100)
+    val (g10, lm10) = cycles(1000)
+    GraphOps.betweenness(spark, g1, lm1).count() // warm-up
+    val t1 = timedMin2(GraphOps.betweenness(spark, g1, lm1).count())
+    val t10 = timedMin2(GraphOps.betweenness(spark, g10, lm10).count())
+    assertLinear("betweenness(cycles)", t1, t10)
+  }
+
+  test("clusteringCoefficient wall-time grows ~linearly on a 10x " +
+    "triangle+star+background graph") {
+    // single-pass kernel, so the curve measures the WEDGE bound directly:
+    // disjoint triangles (1 wedge per corner), a hub star (0 wedges under
+    // degree-ordered orientation, any mult), and bounded-degree random
+    // background edges — total wedges grow linearly, so wall-time must
+    // too. An id-ordered orientation would enumerate the star's C(d,2)
+    // wedges and scale ~100x.
+    def triGraph(mult: Int): GraphTables = {
+      import spark.implicits._
+      val tri = 20000L * mult
+      val base = spark.range(tri)
+      val triEdges = base
+        .select((col("id") * 3L).as("a"), (col("id") * 3L + 1L).as("b"))
+        .unionAll(base.select((col("id") * 3L + 1L).as("a"),
+          (col("id") * 3L + 2L).as("b")))
+        .unionAll(base.select((col("id") * 3L).as("a"),
+          (col("id") * 3L + 2L).as("b")))
+      val hub = 8_000_000_000L
+      val star = spark.range(40000L * mult)
+        .select(lit(hub).as("a"), (col("id") + 9_000_000_000L).as("b"))
+      val bgN = 30000L * mult
+      val bg = spark.range(90000L * mult).select(
+        (lit(1_000_000_000L) + pmod(hash(col("id")), lit(bgN)).cast("long"))
+          .as("a"),
+        (lit(2_000_000_000L) +
+          pmod(hash(col("id") * 7L), lit(bgN)).cast("long")).as("b"))
+      val edges = triEdges.unionAll(star).unionAll(bg)
+        .select(col("a").as("src"), col("b").as("dst"),
+          lit("HAS_CHILD").as("relType"), lit("s").as("docnbr"),
+          lit("b0").as("batch"))
+        .as[EdgeRow]
+      GraphTables(spark.emptyDataset[NodeRow], edges)
+    }
+    val g1 = triGraph(1)
+    val g10 = triGraph(10)
+    GraphOps.clusteringCoefficient(spark, g1).count() // warm-up
+    val t1 = timedMin2(GraphOps.clusteringCoefficient(spark, g1).count())
+    val t10 = timedMin2(GraphOps.clusteringCoefficient(spark, g10).count())
+    assertLinear("clusteringCoefficient(tri+star)", t1, t10)
+  }
+
   /** Relational (TPC-H) curve corpora: FACTS (lineitem, orders) replicated
     * 10× with disjoint order keys, DIMS (customer/supplier/part/nation/
     * region) kept at 1× — exactly how a 100 TB corpus scales (facts grow,
