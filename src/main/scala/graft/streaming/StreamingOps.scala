@@ -101,6 +101,68 @@ class SessionTimerProcessor(gapMs: Long)
   }
 }
 
+/** One tracked counter of the [[SpaceSavingProcessor]] snapshot: `est` is
+  * an overestimate of the item's true count, `err` bounds the overshoot
+  * (true ∈ [est − err, est] — the SpaceSaving guarantee).
+  */
+final case class HeavyHitter(event_type: String, user_id: Long,
+    est: Long, err: Long)
+
+/** Streaming heavy hitters with BOUNDED state: the SpaceSaving sketch
+  * (Metwally et al. 2005) as a `transformWithState` processor — at most
+  * `capacity` counters per key live in the store no matter how many
+  * distinct items flow past, which is the only viable posture for a
+  * 100 TB/day stream (the exact form, batch twin `l13_heavy_hitters`,
+  * keeps one group per distinct item). Guarantees carried by the sketch:
+  * any item with true count > N/capacity is tracked, and for every
+  * tracked item est − err ≤ true ≤ est. Batch rows are pre-aggregated
+  * and merged in sorted item order, so the snapshot is deterministic for
+  * a given batch sequence; eviction ties break on (est, item id).
+  */
+class SpaceSavingProcessor(capacity: Int)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      String, EventRow, HeavyHitter] {
+  @transient private var counters:
+      org.apache.spark.sql.streaming.MapState[Long, (Long, Long)] = _
+
+  override def init(outputMode: OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    counters = getHandle.getMapState[Long, (Long, Long)]("counters",
+      org.apache.spark.sql.Encoders.scalaLong,
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong),
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+  override def handleInputRows(eventType: String, rows: Iterator[EventRow],
+      timerValues: org.apache.spark.sql.streaming.TimerValues)
+      : Iterator[HeavyHitter] = {
+    // one state scan per BATCH (≤ capacity entries), not per row
+    val cur = scala.collection.mutable.Map.empty[Long, (Long, Long)]
+    counters.iterator().foreach { case (k, v) => cur(k) = v }
+    rows.toSeq.groupBy(_.user_id).view.mapValues(_.size.toLong)
+      .toSeq.sortBy(_._1)
+      .foreach { case (u, c) =>
+        cur.get(u) match {
+          case Some((est, err)) => cur(u) = (est + c, err)
+          case None if cur.size < capacity => cur(u) = (c, 0L)
+          case None =>
+            // evict the min-est counter; the newcomer inherits its count
+            // as both floor and error bound (the SpaceSaving step)
+            val (mu, (mEst, _)) =
+              cur.minBy { case (k, (e, _)) => (e, k) }
+            cur -= mu
+            counters.removeKey(mu)
+            cur(u) = (mEst + c, mEst)
+        }
+      }
+    cur.foreach { case (k, v) => counters.updateValue(k, v) }
+    cur.toSeq.sortBy(_._1).iterator.map { case (u, (est, err)) =>
+      HeavyHitter(eventType, u, est, err)
+    }
+  }
+}
+
 /** Per-user profile emitted by [[UserProfileProcessor]]: running count per
   * event type plus the user's most recent event ids (bounded window).
   */
@@ -224,6 +286,19 @@ object StreamingOps {
     import spark.implicits._
     events.groupByKey(_.user_id)
       .transformWithState(new RunningTotalsProcessor(),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
+  /** T6+ bounded-state streaming heavy hitters per event type
+    * ([[SpaceSavingProcessor]]): at most `capacity` counters per key ever
+    * live in the state store.
+    */
+  def streamingHeavyHitters(spark: SparkSession, events: Dataset[EventRow],
+      capacity: Int): Dataset[HeavyHitter] = {
+    import spark.implicits._
+    events.groupByKey(_.event_type)
+      .transformWithState(new SpaceSavingProcessor(capacity),
         org.apache.spark.sql.streaming.TimeMode.None(),
         OutputMode.Update())
   }

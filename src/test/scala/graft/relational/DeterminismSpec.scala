@@ -23,7 +23,10 @@ class DeterminismSpec extends SparkSpec {
     "l19_sequence_packing",   // batch index from cumulative-sum window
     "l20_word_entropy",       // integer-µunit inner sum must not reorder
     "g12_regression",         // second-moment merges
-    "w9_running_distinct")    // first-occurrence flags across partitions
+    "w9_running_distinct",    // first-occurrence flags across partitions
+    "l51_bm25",               // micro-quantized per-term scores + top-k ties
+    "l52_semdedup",           // FP cosine gate decides the removed set
+    "g18_ab_test")            // z built from doubles off exact integers
 
   for (name <- sensitive)
     test(s"$name is identical under 3-way and 13-way shuffle") {
