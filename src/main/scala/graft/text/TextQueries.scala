@@ -2343,20 +2343,20 @@ object TextQueries {
             col("n_terms_hit"))
           .limit(10)
     },
-    // ------------------------------------------------------- L52 SemDeDup
-    // SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
-    // embedding space, then near-dedup ONLY within clusters — the trick
-    // that makes semantic dedup sub-quadratic at corpus scale. Clusters
-    // here are the l28 nearest-centroid assignment (broadcast K×D integer
-    // centroid table, exact-integer argmax); within a cluster, a member is
-    // marked removed iff a LOWER-vec_id member of the same cluster sits at
-    // cosine ≥ 0.3 (keep-first-seen, the paper's "keep one representative"
-    // rule stated non-iteratively so it is engine-portable; the transitive
-    // connected-component form of grouping lives in l2e_dup_clusters).
-    // Scale: the only quadratic term is WITHIN a cluster — K is chosen so
-    // clusters stay bounded (the paper runs K ≈ √N); the pair join keys on
-    // cluster id, a skewed giant cluster is AQE's skew-join case, and the
-    // cosine hot loop is the codegen'd graft_dot.
+    // -------------------------------------- L52 SemDeDup dedup OUTPUT
+    // The per-document output form of l41_semdedup (which reports the
+    // per-cluster census): same SemDeDup kernel (Abbas et al. 2023,
+    // arXiv:2303.09540 — l28 nearest-centroid clusters, near-dedup ONLY
+    // within clusters), but materializing the actionable relation a
+    // pipeline writes back: one (vec_id, cluster, removed) row per doc at
+    // τ = 0.3, removed iff a LOWER-vec_id member of the same cluster sits
+    // at/above τ (keep-first-seen stated non-iteratively so it is
+    // engine-portable; the l2-pairs vs l2f-dedup-output precedent — the
+    // transitive grouping form lives in l2e_dup_clusters). Scale: the
+    // only quadratic term is WITHIN a cluster — K is chosen so clusters
+    // stay bounded (the paper runs K ≈ √N); the pair join keys on cluster
+    // id, a skewed giant cluster is AQE's skew-join case, and the cosine
+    // hot loop is the codegen'd graft_dot.
     QueryDef.sql(
       "l52_semdedup",
       """WITH q AS (
