@@ -93,4 +93,40 @@ class ScaleLayoutSpec extends SparkSpec {
     val read = scan.metrics("numFiles").value
     assert(read < all, s"pruning read $read of $all files")
   }
+
+  test("dynamic partition overwrite replaces only the touched partitions") {
+    // the warehouse maintenance mode a daily pipeline runs: INSERT
+    // OVERWRITE of one day must not clobber the others. STATIC overwrite
+    // (the default) drops the whole table first — at 100 TB that is data
+    // loss in a partial failure window; dynamic mode scopes the swap to
+    // partitions present in the incoming batch.
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    val dir = java.nio.file.Files.createTempDirectory("events_dyn").toString
+    try {
+      val ev = Tables.events(spark, sf("sf0.001"))
+      ev.write.partitionBy("event_type").mode("overwrite").parquet(dir)
+      val before = spark.read.parquet(dir)
+        .groupBy("event_type").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      spark.conf.set(key, "dynamic")
+      // overwrite ONLY the click partition with a reduced slice
+      ev.filter(col("event_type") === "click" && col("user_id") % 2 === 0)
+        .write.partitionBy("event_type").mode("overwrite").parquet(dir)
+      val after = spark.read.parquet(dir)
+        .groupBy("event_type").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      // untouched partitions byte-for-byte intact…
+      (before.keySet - "click").foreach { t =>
+        assert(after(t) == before(t), s"partition $t clobbered")
+      }
+      // …and the touched one fully replaced, not appended
+      assert(after("click") < before("click"),
+        s"click partition not replaced: ${after("click")} vs " +
+          s"${before("click")}")
+    } finally prev match {
+      case Some(p) => spark.conf.set(key, p)
+      case None => spark.conf.unset(key)
+    }
+  }
 }
