@@ -119,6 +119,33 @@ final case class HeavyHitter(event_type: String, user_id: Long,
   * and merged in sorted item order, so the snapshot is deterministic for
   * a given batch sequence; eviction ties break on (est, item id).
   */
+/** The pure SpaceSaving merge step, factored out of the processor so its
+  * invariants are directly property-testable without a streaming harness
+  * (see SpaceSavingPropertySpec): given the current counter table and a
+  * batch's (item → occurrences), returns the next table of at most
+  * `capacity` counters. Deterministic: items merge in sorted order,
+  * eviction ties break on (est, item).
+  */
+object SpaceSaving {
+  def merge(cur: Map[Long, (Long, Long)], batch: Map[Long, Long],
+      capacity: Int): Map[Long, (Long, Long)] = {
+    val m = scala.collection.mutable.Map.empty[Long, (Long, Long)] ++ cur
+    batch.toSeq.sortBy(_._1).foreach { case (u, c) =>
+      m.get(u) match {
+        case Some((est, err)) => m(u) = (est + c, err)
+        case None if m.size < capacity => m(u) = (c, 0L)
+        case None =>
+          // evict the min-est counter; the newcomer inherits its count
+          // as both floor and error bound (the SpaceSaving step)
+          val (mu, (mEst, _)) = m.minBy { case (k, (e, _)) => (e, k) }
+          m -= mu
+          m(u) = (mEst + c, mEst)
+      }
+    }
+    m.toMap
+  }
+}
+
 class SpaceSavingProcessor(capacity: Int)
     extends org.apache.spark.sql.streaming.StatefulProcessor[
       String, EventRow, HeavyHitter] {
@@ -138,26 +165,13 @@ class SpaceSavingProcessor(capacity: Int)
       timerValues: org.apache.spark.sql.streaming.TimerValues)
       : Iterator[HeavyHitter] = {
     // one state scan per BATCH (≤ capacity entries), not per row
-    val cur = scala.collection.mutable.Map.empty[Long, (Long, Long)]
-    counters.iterator().foreach { case (k, v) => cur(k) = v }
-    rows.toSeq.groupBy(_.user_id).view.mapValues(_.size.toLong)
-      .toSeq.sortBy(_._1)
-      .foreach { case (u, c) =>
-        cur.get(u) match {
-          case Some((est, err)) => cur(u) = (est + c, err)
-          case None if cur.size < capacity => cur(u) = (c, 0L)
-          case None =>
-            // evict the min-est counter; the newcomer inherits its count
-            // as both floor and error bound (the SpaceSaving step)
-            val (mu, (mEst, _)) =
-              cur.minBy { case (k, (e, _)) => (e, k) }
-            cur -= mu
-            counters.removeKey(mu)
-            cur(u) = (mEst + c, mEst)
-        }
-      }
-    cur.foreach { case (k, v) => counters.updateValue(k, v) }
-    cur.toSeq.sortBy(_._1).iterator.map { case (u, (est, err)) =>
+    val cur = counters.iterator().toMap
+    val batch = rows.toSeq.groupBy(_.user_id).view
+      .mapValues(_.size.toLong).toMap
+    val next = SpaceSaving.merge(cur, batch, capacity)
+    (cur.keySet -- next.keySet).foreach(counters.removeKey)
+    next.foreach { case (k, v) => counters.updateValue(k, v) }
+    next.toSeq.sortBy(_._1).iterator.map { case (u, (est, err)) =>
       HeavyHitter(eventType, u, est, err)
     }
   }
