@@ -969,6 +969,67 @@ object RelationalQueries {
             .as("retention"))
         .orderBy("cohort_day", "week_offset")
     },
+    // G19 DDSketch quantiles (new r9): the mergeable relative-error
+    // quantile sketch of Masson et al. 2019 (VLDB) — the shape production
+    // latency/price monitoring runs at 100 TB, where exact per-group
+    // percentiles (g15's full value histogram) or even sampling (g13) are
+    // the wrong cost envelope. Values land in log-γ bins (γ = 101/99 →
+    // 1% relative error); the sketch IS the per-(group, bin) count table:
+    // merges are count sums (order-free, exactly mergeable across
+    // partitions/days), quantile lookup walks the ≤~250-bin cumulative
+    // histogram, never the data. Engine-portable by the ln discipline:
+    // bin = ceil(ln(x)/ln γ) over bit-identical ln, rank arithmetic is
+    // exact integers, and the γ-midpoint estimate micro-rounds away any
+    // last-ulp exp() divergence. QuantileSketchSpec asserts the 1%
+    // relative-error guarantee against exact percentiles.
+    QueryDef.sql(
+      "g19_ddsketch_quantiles",
+      s"""WITH b AS (
+         |  SELECT l_returnflag AS flag,
+         |    CAST(ceil(ln(l_extendedprice) /
+         |      ln(CAST(101 AS DOUBLE) / 99)) AS BIGINT) AS bin
+         |  FROM lineitem WHERE l_extendedprice > 0),
+         |h AS (SELECT flag, bin, CAST(count(*) AS BIGINT) AS c
+         |      FROM b GROUP BY 1, 2),
+         |n AS (SELECT flag, CAST(sum(c) AS BIGINT) AS n FROM h GROUP BY 1),
+         |cum AS (SELECT flag, bin, c,
+         |    CAST(sum(c) OVER (PARTITION BY flag ORDER BY bin) AS BIGINT)
+         |      AS cum
+         |  FROM h),
+         |ranks AS (SELECT flag, n, q,
+         |    CAST(floor(q * (n - 1)) AS BIGINT) + 1 AS rk
+         |  FROM n CROSS JOIN (SELECT unnest(
+         |    CAST([0.5, 0.9, 0.99] AS DOUBLE[])) AS q)),
+         |sel AS (SELECT r.flag, r.q, min(c.bin) AS bin, max(r.n) AS n
+         |  FROM ranks r JOIN cum c ON c.flag = r.flag AND c.cum >= r.rk
+         |  GROUP BY r.flag, r.q)
+         |SELECT flag, q, bin,
+         |  ${Det.duckPortableRound(
+             "exp(bin * ln(CAST(101 AS DOUBLE) / 99)) * 0.99", 4)} AS est,
+         |  n
+         |FROM sel ORDER BY flag, q""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val lnG = log(lit(101.0) / lit(99.0))
+      val b = Tables.lineitem(s, d).filter(col("l_extendedprice") > 0)
+        .select(col("l_returnflag").as("flag"),
+          ceil(log(col("l_extendedprice")) / lnG).cast("long").as("bin"))
+      val h = b.groupBy("flag", "bin").agg(count(lit(1)).as("c"))
+      val n = h.groupBy("flag").agg(sum("c").as("n"))
+      val cum = h.withColumn("cum",
+        sum("c").over(Window.partitionBy("flag").orderBy("bin")))
+      val ranks = n.crossJoin(broadcast(Seq(0.5, 0.9, 0.99).toDF("q")))
+        .withColumn("rk",
+          floor(col("q") * (col("n") - 1)).cast("long") + 1)
+      val sel = ranks.join(cum, Seq("flag"))
+        .filter(col("cum") >= col("rk"))
+        .groupBy("flag", "q")
+        .agg(min("bin").as("bin"), max("n").as("n"))
+      sel.select(col("flag"), col("q"), col("bin"),
+        Det.portableRound(exp(col("bin") * lnG) * lit(0.99), 4).as("est"),
+        col("n"))
+        .orderBy("flag", "q")
+    },
+
     // G18 A/B experiment readout (new r9): the two-proportion z-test a
     // product pipeline runs on every experiment — variant split by a
     // deterministic user hash (user_id parity here), conversion = user
