@@ -1211,6 +1211,38 @@ object RelationalQueries {
         .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
         .orderBy("l_returnflag")
     },
+    // O8 weighted sampling without replacement (new r9): Efraimidis &
+    // Spirakis 2006 (A-Res) — P(row in sample) ∝ its weight, the
+    // importance-sampling primitive behind quality-weighted corpus
+    // selection. Key insight made deterministic: rank rows by
+    // ln(u)/w where u is the CONTENT-ADDRESSED hash-uniform (never RNG —
+    // o5b's discipline), equivalent to the paper's u^(1/w) order;
+    // top-k of that ranking IS the weighted sample. One map + one
+    // TakeOrderedAndProject — no shuffle beyond the top-k, repeatable
+    // across engines/runs/partitionings, and mergeable (top-k of unions =
+    // union of top-ks re-topped, the distributed A-Res property).
+    QueryDef.sql(
+      "o8_weighted_sample",
+      s"""WITH s AS (SELECT o_orderkey, o_totalprice,
+         |    ln((${graft.text.PortableHash.duck(
+               "CAST(o_orderkey AS VARCHAR)")} % 1000000 + 0.5)
+         |      / CAST(1000000 AS DOUBLE)) / o_totalprice AS sc
+         |  FROM orders)
+         |SELECT o_orderkey, o_totalprice,
+         |  ${Det.duckPortableRound("sc", 9)} AS score
+         |FROM s ORDER BY sc DESC, o_orderkey LIMIT 20""".stripMargin) {
+      (s, d) =>
+        val u = (graft.text.PortableHash.spark(
+          col("o_orderkey").cast("string")) % 1000000 + lit(0.5)) /
+          lit(1000000.0)
+        Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_totalprice"),
+            (log(u) / col("o_totalprice")).as("sc"))
+          .orderBy(col("sc").desc, col("o_orderkey"))
+          .select(col("o_orderkey"), col("o_totalprice"),
+            Det.portableRound(col("sc"), 9).as("score"))
+          .limit(20)
+    },
     QueryDef.sql(
       "o7_zorder_layout",
       // Morton (z-order) clustering key: interleave the low 16 bits of two

@@ -26,7 +26,9 @@ class DeterminismSpec extends SparkSpec {
     "w9_running_distinct",    // first-occurrence flags across partitions
     "l51_bm25",               // micro-quantized per-term scores + top-k ties
     "l52_semdedup",           // FP cosine gate decides the removed set
-    "g18_ab_test")            // z built from doubles off exact integers
+    "g18_ab_test",            // z built from doubles off exact integers
+    "g19_ddsketch_quantiles", // ln-binning + exp estimate rendering
+    "o8_weighted_sample")     // FP ln(u)/w ranking decides the sample
 
   for (name <- sensitive)
     test(s"$name is identical under 3-way and 13-way shuffle") {
