@@ -57,6 +57,49 @@ class HeavyHitterStreamSpec extends SparkSpec {
     }
   }
 
+  test("sketch state survives kill-and-resume from the RocksDB checkpoint") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDb {
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("hh_resume_ckpt").toString
+      val mem = MemoryStream[EventRow]
+      // memory sink refuses checkpoint recovery; foreachBatch per-run
+      // output dirs make the post-restart snapshots directly observable
+      def start(outDir: String) = StreamingOps
+        .streamingHeavyHitters(spark, mem.toDS(), 8)
+        .writeStream.option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Update())
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[HeavyHitter], id: Long) =>
+            batch.write.mode("append").parquet(s"$outDir/b=$id"): Unit
+        }.start()
+      val dirA = java.nio.file.Files
+        .createTempDirectory("hh_resume_a").toString
+      val dirB = java.nio.file.Files
+        .createTempDirectory("hh_resume_b").toString
+      val q1 = start(dirA)
+      mem.addData((1 to 5).map(i =>
+        EventRow(i.toLong, ts(i), 42L, "view", 1.0)): _*)
+      q1.processAllAvailable()
+      q1.stop() // the kill: recovery below runs purely off the checkpoint
+      // arrives while the query is DOWN
+      mem.addData((6 to 8).map(i =>
+        EventRow(i.toLong, ts(i), 42L, "view", 1.0)): _*)
+      val q2 = start(dirB)
+      q2.processAllAvailable()
+      q2.stop()
+      // the resumed run's snapshot counts batch A's 5 events FROM STATE
+      // plus the down-time 3 exactly once — 8 total, not 3, not 13
+      val resumed = spark.read.parquet(s"$dirB/b=1")
+        .filter(col("user_id") === 42L).collect()
+      assert(resumed.length == 1 &&
+        resumed.head.getAs[Long]("est") == 8L &&
+        resumed.head.getAs[Long]("err") == 0L,
+        resumed.mkString(","))
+    }
+  }
+
   test("capped regime: bounds hold, heavies survive, state stays bounded") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
