@@ -203,6 +203,23 @@ class PlanShapeSpec extends SparkSpec {
       p.contains("BroadcastHashJoin [cluster"), p.take(1200))
   }
 
+  test("g19 sketch histogram aggregates partial+final; window runs on " +
+    "bins only") {
+    val p = plan("g19_ddsketch_quantiles")
+    // the sketch property in plan form: rows collapse to (group, bin)
+    // counts with a map-side partial BEFORE any exchange; everything
+    // downstream (cumsum window, rank join) touches only the ≤~250-bin
+    // histogram
+    assert(p.contains("partial_count"), p.take(1500))
+    assert(p.contains("Window"), p.take(1500))
+  }
+
+  test("o8 weighted sample fuses to TakeOrderedAndProject") {
+    val p = plan("o8_weighted_sample")
+    // the A-Res top-k must never globally sort the table
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+  }
+
   test("every registered query has distinct name and runnable plan") {
     val names = SparkEntry.allDefs.map(_.name)
     assert(names.distinct.size == names.size)
