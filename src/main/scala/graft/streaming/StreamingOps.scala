@@ -146,6 +146,72 @@ object SpaceSaving {
   }
 }
 
+/** One per-key quantile snapshot from [[DdSketchQuantilesProcessor]]. */
+final case class QuantileSnapshot(event_type: String, n: Long,
+    n_bins: Long, p50: Double, p95: Double)
+
+/** The pure DDSketch kernel shared by the streaming processor and its
+  * spec — SAME constants as the batch `g19_ddsketch_quantiles` query
+  * (γ = 101/99 → 1% relative error; `Math.log`/`Math.exp` are exactly
+  * the functions Spark's log/exp expressions codegen to, so scala-side
+  * and Column-side bins agree bit-for-bit).
+  */
+object DdSketchBins {
+  val lnGamma: Double = math.log(101.0 / 99.0)
+  def bin(x: Double): Long = math.ceil(math.log(x) / lnGamma).toLong
+  def estimate(bin: Long): Double = math.exp(bin * lnGamma) * 0.99
+  def merge(cur: Map[Long, Long], xs: Iterable[Double]): Map[Long, Long] =
+    xs.filter(_ > 0).foldLeft(cur) { (m, x) =>
+      val b = bin(x); m.updated(b, m.getOrElse(b, 0L) + 1L)
+    }
+  def quantile(bins: Map[Long, Long], q: Double): Double = {
+    val n = bins.values.sum
+    val rk = math.floor(q * (n - 1)).toLong + 1
+    var cum = 0L
+    bins.toSeq.sortBy(_._1).foreach { case (b, c) =>
+      cum += c
+      if (cum >= rk) return estimate(b)
+    }
+    estimate(bins.keys.max)
+  }
+}
+
+/** Streaming percentiles with BOUNDED state: the g19 DDSketch histogram
+  * per key inside `transformWithState` — state is the (bin → count)
+  * MapState, at most ~250 entries for any value range the fixture's
+  * magnitudes span, regardless of row count. Merges are count increments
+  * (the sketch's exact-merge property), so the per-batch snapshot equals
+  * the batch sketch over everything seen so far — asserted in
+  * StreamingQuantilesSpec, along with scala-vs-Column bin agreement.
+  */
+class DdSketchQuantilesProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      String, EventRow, QuantileSnapshot] {
+  @transient private var bins:
+      org.apache.spark.sql.streaming.MapState[Long, Long] = _
+
+  override def init(outputMode: OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    bins = getHandle.getMapState[Long, Long]("bins",
+      org.apache.spark.sql.Encoders.scalaLong,
+      org.apache.spark.sql.Encoders.scalaLong,
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+  override def handleInputRows(eventType: String, rows: Iterator[EventRow],
+      timerValues: org.apache.spark.sql.streaming.TimerValues)
+      : Iterator[QuantileSnapshot] = {
+    val cur = bins.iterator().toMap
+    val next = DdSketchBins.merge(cur, rows.map(_.value).toSeq)
+    (next.keySet -- cur.keySet).foreach(b => bins.updateValue(b, next(b)))
+    cur.keySet.foreach(b =>
+      if (next(b) != cur(b)) bins.updateValue(b, next(b)))
+    if (next.isEmpty) Iterator.empty
+    else Iterator.single(QuantileSnapshot(eventType, next.values.sum,
+      next.size.toLong, DdSketchBins.quantile(next, 0.5),
+      DdSketchBins.quantile(next, 0.95)))
+  }
+}
+
 class SpaceSavingProcessor(capacity: Int)
     extends org.apache.spark.sql.streaming.StatefulProcessor[
       String, EventRow, HeavyHitter] {
@@ -313,6 +379,19 @@ object StreamingOps {
     import spark.implicits._
     events.groupByKey(_.event_type)
       .transformWithState(new SpaceSavingProcessor(capacity),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
+  /** T6+ bounded-state streaming percentiles per event type
+    * ([[DdSketchQuantilesProcessor]]): the g19 DDSketch histogram as
+    * MapState — ~250 bins max regardless of stream length.
+    */
+  def streamingQuantiles(spark: SparkSession, events: Dataset[EventRow])
+      : Dataset[QuantileSnapshot] = {
+    import spark.implicits._
+    events.groupByKey(_.event_type)
+      .transformWithState(new DdSketchQuantilesProcessor(),
         org.apache.spark.sql.streaming.TimeMode.None(),
         OutputMode.Update())
   }
