@@ -2498,14 +2498,27 @@ object TextQueries {
          |SELECT vec_id, CAST(j - 1 AS INT) AS dim, CAST(p[j] AS BIGINT) AS v
          |FROM pr, generate_series(1, 8) t(j)
          |ORDER BY vec_id, dim""".stripMargin) { (s, d) =>
+      // the sign matrix is ROW-INVARIANT: fold it once, driver-side, into
+      // the expression as a 512-entry literal (the identical md5-parity
+      // formula the oracle computes in SQL) instead of re-hashing 512×
+      // per row — same values, the per-row work drops to 512 multiply-adds
+      // inside codegen. Still never shuffled, joined, or materialized as
+      // a relation.
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def sign(i: Int, j: Int): Long = {
+        val hex = md.digest(s"r:$i:$j".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(15)
+        if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1L else -1L
+      }
+      val signs = typedLit(
+        (0 until 8).flatMap(j => (0 until 64).map(i => sign(i, j))))
       val lam =
         "transform(sequence(0, 7), j -> " +
           "aggregate(sequence(0, size(embedding) - 1), 0L, (acc, i) -> " +
           "acc + CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000 + 0.5) " +
-          "AS BIGINT) * (CASE WHEN pmod(CAST(conv(substring(md5(" +
-          "concat('r:', CAST(i AS STRING), ':', CAST(j AS STRING))" +
-          "), 1, 15), 16, 10) AS BIGINT), 2) = 0 THEN 1 ELSE -1 END)))"
+          "AS BIGINT) * element_at(S, j * 64 + i + 1)))"
       Tables.embeddings(s, d)
+        .withColumn("S", signs)
         .select(col("vec_id"), posexplode(expr(lam)))
         .select(col("vec_id"), col("pos").cast("int").as("dim"),
           col("col").as("v"))
