@@ -34,7 +34,11 @@ object GraphStore {
       .map(v => Paths.get(dir, v).toString)
       .getOrElse(dir) // pre-pointer layout: data directly under dir
 
-  def save(g: GraphTables, dir: String): Unit = {
+  /** `keepVersions` retains that many superseded version dirs after the
+    * commit (time travel via [[loadVersion]]); the default keeps none —
+    * the original crash-sweep behavior.
+    */
+  def save(g: GraphTables, dir: String, keepVersions: Int = 0): Unit = {
     val version = "v-" + java.util.UUID.randomUUID()
     val vdir = Paths.get(dir, version)
     g.nodes.write.mode(SaveMode.Overwrite).partitionBy("batch")
@@ -47,19 +51,57 @@ object GraphStore {
     Files.write(tmpPtr, version.getBytes("UTF-8"))
     Files.move(tmpPtr, Paths.get(dir, Pointer),
       StandardCopyOption.ATOMIC_MOVE)
-    gc(dir)
+    gc(dir, keepVersions)
   }
 
-  /** Sweep non-current version dirs and stale pointer temps — leftovers of
-    * crashed writers. Safe to run any time; never touches the live version.
+  /** Sweep stale pointer temps and all but the newest `keepVersions`
+    * non-current version dirs (leftovers of crashed writers, plus the
+    * retained time-travel history). Safe to run any time; never touches
+    * the live version. `keepVersions = 0` is the crash-sweep default:
+    * only the live version survives.
     */
-  def gc(dir: String): Unit = currentVersion(dir).foreach { cur =>
-    val stream = Files.list(Paths.get(dir))
-    try stream.forEach { p =>
-      val n = p.getFileName.toString
-      if ((n.startsWith("v-") && n != cur) || n.startsWith(Pointer + ".tmp-"))
-        deleteRecursively(p)
-    } finally stream.close()
+  def gc(dir: String, keepVersions: Int = 0): Unit =
+    currentVersion(dir).foreach { cur =>
+      val old = scala.collection.mutable.ArrayBuffer.empty[Path]
+      val stream = Files.list(Paths.get(dir))
+      try stream.forEach { p =>
+        val n = p.getFileName.toString
+        if (n.startsWith(Pointer + ".tmp-")) deleteRecursively(p)
+        else if (n.startsWith("v-") && n != cur) old += p
+      } finally stream.close()
+      // retained versions: newest first by mtime (version names are
+      // UUIDs — creation order lives in the filesystem, not the name)
+      old.sortBy(p => -Files.getLastModifiedTime(p).toMillis)
+        .drop(keepVersions).foreach(deleteRecursively)
+    }
+
+  /** All readable versions, current first, then retained history newest
+    * first — the time-travel index.
+    */
+  def versionList(dir: String): Seq[String] =
+    currentVersion(dir).toSeq.flatMap { cur =>
+      val old = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+      val stream = Files.list(Paths.get(dir))
+      try stream.forEach { p =>
+        val n = p.getFileName.toString
+        if (n.startsWith("v-") && n != cur)
+          old += ((n, Files.getLastModifiedTime(p).toMillis))
+      } finally stream.close()
+      cur +: old.sortBy(-_._2).map(_._1).toSeq
+    }
+
+  /** Time-travel read of a retained version (any name from
+    * [[versionList]]) — the lakehouse "AS OF" primitive: readers pin a
+    * version and are isolated from every later commit and compaction.
+    */
+  def loadVersion(spark: SparkSession, dir: String, version: String)
+      : GraphTables = {
+    import spark.implicits._
+    val vd = Paths.get(dir, version)
+    require(Files.exists(vd), s"version $version not retained in $dir")
+    GraphTables(
+      spark.read.parquet(s"$vd/nodes").as[NodeRow],
+      spark.read.parquet(s"$vd/edges").as[EdgeRow])
   }
 
   def load(spark: SparkSession, dir: String): GraphTables = {

@@ -84,6 +84,26 @@ class IngestRobustnessSpec extends SparkSpec {
       "type-clash row")
   }
 
+  test("parquet schema evolution: mergeSchema unions generations, " +
+    "old rows null-fill") {
+    // a long-lived 100 TB table gains columns across drops; readers must
+    // see the union schema with nulls for pre-evolution rows — and the
+    // default (no mergeSchema) silently serves whichever file's schema
+    // wins, which is why evolved tables are ALWAYS read with mergeSchema
+    // (or an explicit schema)
+    val dir = java.nio.file.Files.createTempDirectory("evolve").toString
+    spark.range(10).selectExpr("id", "id * 2 AS a")
+      .write.parquet(s"$dir/gen=1")
+    spark.range(10, 15).selectExpr("id", "id * 2 AS a", "id * 3 AS b")
+      .write.parquet(s"$dir/gen=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSet == Set("id", "a", "b", "gen"))
+    assert(merged.count() == 15)
+    assert(merged.filter(col("b").isNull).count() == 10,
+      "pre-evolution rows must null-fill the new column")
+    assert(merged.filter(col("b") === col("id") * 3).count() == 5)
+  }
+
   test("FAILFAST refuses the drop outright (strict landing gate)") {
     val ex = intercept[org.apache.spark.SparkException] {
       spark.read.schema(dataSchema)
