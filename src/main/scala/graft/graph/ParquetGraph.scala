@@ -682,6 +682,37 @@ object ParquetGraph {
         .orderBy("name")
     },
 
+    // Q9 k-truss twin (new r9). 3-truss of the cliqueStar layer, closed
+    // form: every edge among a region's three lowest-keyed nations closes
+    // exactly one triangle (support 1 ≥ k−2 = 1) and survives; every
+    // star-only edge (hub → 4th..mth nation) closes none and peels away —
+    // and peeling them does not disturb the clique triangle, so the
+    // fixpoint is exactly the per-region 3-clique edge set. The fixture's
+    // duplicate hub edges and mixed orientations (see [[cliqueStar]])
+    // additionally prove the kernel canonicalizes before counting. Node
+    // id order is nationkey order, so lo/hi maps to rn order in the SQL.
+    QueryDef.sql(
+      "graphp_ktruss",
+      """WITH r AS (SELECT n_name, n_regionkey AS rk,
+        |    row_number() OVER (PARTITION BY n_regionkey
+        |      ORDER BY n_nationkey) AS rn,
+        |    count(*) OVER (PARTITION BY n_regionkey) AS m
+        |  FROM nation)
+        |SELECT a.n_name AS lo_name, b.n_name AS hi_name
+        |FROM r a JOIN r b ON a.rk = b.rk AND a.rn < b.rn
+        |WHERE b.rn <= 3 AND a.m >= 3
+        |ORDER BY lo_name, hi_name""".stripMargin) { (s, d) =>
+      val g = cliqueStar(s, d)
+      val t = GraphOps.kTruss(s, g, 3)
+      val names = g.nodes.toDF().select(col("id"), col("name"))
+      t.join(names.select(col("id").as("lo"), col("name").as("lo_name")),
+          "lo")
+        .join(names.select(col("id").as("hi"), col("name").as("hi_name")),
+          "hi")
+        .select(col("lo_name"), col("hi_name"))
+        .orderBy("lo_name", "hi_name")
+    },
+
     // Q9 SCC twin on the hierarchy∪chain layer: each region's nation cycle
     // is one strongly connected component (mutual reachability around the
     // directed cycle), while the tree edges above/below are acyclic — so
