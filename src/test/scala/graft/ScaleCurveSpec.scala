@@ -149,15 +149,11 @@ class ScaleCurveSpec extends SparkSpec {
     assertLinear("betweenness(cycles)", t1, t10)
   }
 
-  test("clusteringCoefficient wall-time grows ~linearly on a 10x " +
-    "triangle+star+background graph") {
-    // single-pass kernel, so the curve measures the WEDGE bound directly:
-    // disjoint triangles (1 wedge per corner), a hub star (0 wedges under
-    // degree-ordered orientation, any mult), and bounded-degree random
-    // background edges — total wedges grow linearly, so wall-time must
-    // too. An id-ordered orientation would enumerate the star's C(d,2)
-    // wedges and scale ~100x.
-    def triGraph(mult: Int): GraphTables = {
+  /** Disjoint triangles + hub star + bounded-degree random background —
+    * wedge count and truss structure both grow linearly with `mult`.
+    * Shared by the clusteringCoefficient and kTruss curves.
+    */
+  private def triGraph(mult: Int): GraphTables = {
       import spark.implicits._
       val tri = 20000L * mult
       val base = spark.range(tri)
@@ -182,13 +178,36 @@ class ScaleCurveSpec extends SparkSpec {
           lit("b0").as("batch"))
         .as[EdgeRow]
       GraphTables(spark.emptyDataset[NodeRow], edges)
-    }
+  }
+
+  test("clusteringCoefficient wall-time grows ~linearly on a 10x " +
+    "triangle+star+background graph") {
+    // single-pass kernel, so the curve measures the WEDGE bound directly:
+    // disjoint triangles (1 wedge per corner), a hub star (0 wedges under
+    // degree-ordered orientation, any mult), and bounded-degree random
+    // background edges — total wedges grow linearly, so wall-time must
+    // too. An id-ordered orientation would enumerate the star's C(d,2)
+    // wedges and scale ~100x.
     val g1 = triGraph(1)
     val g10 = triGraph(10)
     GraphOps.clusteringCoefficient(spark, g1).count() // warm-up
     val t1 = timedMin2(GraphOps.clusteringCoefficient(spark, g1).count())
     val t10 = timedMin2(GraphOps.clusteringCoefficient(spark, g10).count())
     assertLinear("clusteringCoefficient(tri+star)", t1, t10)
+  }
+
+  test("kTruss wall-time grows ~linearly on the same 10x graph") {
+    // the 3-truss of triGraph converges in a FIXED number of peeling
+    // rounds at any mult (round 1 drops every star/background edge —
+    // support 0 — round 2 confirms the fixpoint on the pure triangle
+    // bank), so the curve isolates the per-round wedge/support cost,
+    // which must scale with edges, not edge pairs
+    val g1 = triGraph(1)
+    val g10 = triGraph(10)
+    GraphOps.kTruss(spark, g1, 3).count() // warm-up
+    val t1 = timedMin2(GraphOps.kTruss(spark, g1, 3).count())
+    val t10 = timedMin2(GraphOps.kTruss(spark, g10, 3).count())
+    assertLinear("kTruss(tri+star)", t1, t10)
   }
 
   /** Relational (TPC-H) curve corpora: FACTS (lineitem, orders) replicated
