@@ -2,15 +2,17 @@ package graft.multimodal
 
 import java.nio.{ByteBuffer, ByteOrder}
 
-/** Minimal REAL image codec: 24-bit uncompressed (BI_RGB) Windows BMP.
+/** REAL image codec: 24-bit uncompressed (BI_RGB) Windows BMP.
   *
-  * This is the one genuinely decodable media format in the multimodal
-  * pipeline — [[decode]] parses the actual BITMAPFILEHEADER /
-  * BITMAPINFOHEADER byte layout (little-endian fields, bottom-up padded
-  * pixel rows, BGR channel order) and converts pixels to integer BT.601
-  * luma; [[encode]] writes the same layout. The perceptual-hash queries
-  * (mm6/mm7) hash DECODED PIXELS through this codec, not payload bytes.
-  * Audio DSP and video frame decode remain documented stubs ([[Multimodal]]).
+  * [[decode]] parses the actual BITMAPFILEHEADER / BITMAPINFOHEADER byte
+  * layout (little-endian fields, bottom-up padded pixel rows, BGR channel
+  * order) and converts pixels to integer BT.601 luma; [[encode]] writes
+  * the same layout. The perceptual-hash queries (mm6/mm7) hash DECODED
+  * PIXELS through this codec, not payload bytes. Its siblings decode for
+  * real too — [[Png]] (zlib inflate + all five filter types), [[Wav]]
+  * (RIFF PCM chunk walk), [[Avi]] (nested-LIST DIB frames); only the
+  * opaque-payload METADATA seam ([[Multimodal.FakeCodec]], mm1/mm2)
+  * remains the documented stub contract for arbitrary binaries.
   */
 object Bmp {
 
