@@ -2267,6 +2267,80 @@ object TextQueries {
             .otherwise("tail").as("bucket"))
         .orderBy("doc_id")
     },
+    // ------------------------------------------- L55 Heaps-law vocab growth
+    // The companion diagnostic to l33's Zipf slope: Heaps' law says
+    // vocabulary grows as D ≈ k·N^β (β ~ 0.4-0.8 for natural text);
+    // a β collapsing toward 0 flags template/duplicated content, β near 1
+    // flags noise — the corpus-health dashboard pair. Per source, walk
+    // docs in doc_id order, accumulate total tokens N and first-occurrence
+    // vocabulary D at each doc boundary, and fit ln D ~ ln N with the l33
+    // integer-quantized regression (exact-long sums, order-free).
+    // Scale: first-occurrence = min(doc_id) per (source, token) — one
+    // token-keyed shuffle; the cumulative walk windows over |docs| rows
+    // per source, never tokens.
+    QueryDef.sql(
+      "l55_heaps_slope",
+      """WITH t AS (SELECT source, doc_id,
+        |    unnest(string_split(text, ' ')) AS tok FROM documents),
+        |fo AS (SELECT source, tok, min(doc_id) AS doc_id
+        |       FROM t GROUP BY 1, 2),
+        |nd AS (SELECT source, doc_id, count(*) AS n_new
+        |       FROM fo GROUP BY 1, 2),
+        |pd AS (SELECT source, doc_id, count(*) AS n_toks
+        |       FROM t GROUP BY 1, 2),
+        |c AS (SELECT pd.source, pd.doc_id,
+        |    CAST(sum(pd.n_toks) OVER (PARTITION BY pd.source
+        |      ORDER BY pd.doc_id) AS BIGINT) AS cum_n,
+        |    CAST(sum(coalesce(nd.n_new, 0)) OVER (PARTITION BY pd.source
+        |      ORDER BY pd.doc_id) AS BIGINT) AS cum_d
+        |  FROM pd LEFT JOIN nd
+        |    ON pd.source = nd.source AND pd.doc_id = nd.doc_id),
+        |q AS (SELECT source,
+        |    CAST(floor(ln(CAST(cum_n AS DOUBLE)) * 1000000 + 0.5)
+        |      AS BIGINT) AS xq,
+        |    CAST(floor(ln(CAST(cum_d AS DOUBLE)) * 1000000 + 0.5)
+        |      AS BIGINT) AS yq
+        |  FROM c),
+        |a AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(xq) AS BIGINT) AS sx, CAST(sum(yq) AS BIGINT) AS sy,
+        |    CAST(sum(xq * yq) AS BIGINT) AS sxy,
+        |    CAST(sum(xq * xq) AS BIGINT) AS sxx
+        |  FROM q GROUP BY source)
+        |SELECT source, n AS n_points,
+        |  floor(CAST(n * sxy - sx * sy AS DOUBLE) /
+        |      CAST(n * sxx - sx * sx AS DOUBLE) * 1000000 + 0.5)
+        |    / CAST(1000000 AS DOUBLE) AS heaps_slope
+        |FROM a ORDER BY source""".stripMargin) { (s, d) =>
+      val t = Tables.documents(s, d)
+        .select(col("source"), col("doc_id"),
+          explode(split(col("text"), " ")).as("tok"))
+        .localCheckpoint() // two consumers: first-occurrence + per-doc
+      val nd = t.groupBy("source", "tok")
+        .agg(min("doc_id").as("doc_id"))
+        .groupBy("source", "doc_id").agg(count(lit(1)).as("n_new"))
+      val pd = t.groupBy("source", "doc_id").agg(count(lit(1)).as("n_toks"))
+      val w = Window.partitionBy("source").orderBy("doc_id")
+      def q(c: Column): Column =
+        floor(log(c.cast("double")) * lit(1000000.0) + lit(0.5)).cast("long")
+      val a = pd.join(nd, Seq("source", "doc_id"), "left_outer")
+        .select(col("source"), col("doc_id"), col("n_toks"),
+          coalesce(col("n_new"), lit(0L)).as("n_new"))
+        .select(col("source"),
+          sum("n_toks").over(w).as("cum_n"),
+          sum("n_new").over(w).as("cum_d"))
+        .select(col("source"), q(col("cum_n")).as("xq"),
+          q(col("cum_d")).as("yq"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"), sum("xq").as("sx"), sum("yq").as("sy"),
+          sum(col("xq") * col("yq")).as("sxy"),
+          sum(col("xq") * col("xq")).as("sxx"))
+      a.select(col("source"), col("n").as("n_points"),
+          graft.Det.portableRound(
+            (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+              (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"),
+            6).as("heaps_slope"))
+        .orderBy("source")
+    },
     // --------------------------------------------- L51 BM25 retrieval score
     // Okapi BM25 (Robertson/Spärck Jones; the default lexical ranker of
     // Lucene/Elasticsearch) over the corpus for a fixed query-term set —
