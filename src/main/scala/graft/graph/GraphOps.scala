@@ -521,9 +521,18 @@ object GraphOps {
     *    (the kCore/reachable anti-join fixpoint discipline, lineage cut
     *    per round).
     *  - BACKWARD: dependency accumulation per descending depth level —
-    *    δ(v) = Σ_{w ∈ succ(v), depth(w)=depth(v)+1} σ(v)/σ(w)·(1+δ(w)),
-    *    one join per level, O(diameter-from-landmarks) rounds.
-    * betweenness(v) = Σ_sources δ_s(v) over non-source rows.
+    *    δ(v) = Σ_{w ∈ succ(v), depth(w)=depth(v)+1} σ(v)/σ(w)·(1+δ(w)).
+    *    The shortest-path DAG (per-source successor pairs with the σ
+    *    ratio pre-divided) is materialized ONCE with a single self-join
+    *    of the layered BFS table on depth+1; each level then needs just
+    *    one join (level slice ⋈ previous δ, left-outer — absent δ is 0
+    *    by construction) + one aggregation, instead of re-joining
+    *    edges ⋈ layers ⋈ δ every round. O(diameter-from-landmarks)
+    *    rounds is inherent to Brandes; per-round work is now minimal.
+    * betweenness(v) = Σ_sources δ_s(v) over non-source rows. Throws if
+    * the forward BFS has not drained within `maxIterations` levels — a
+    * truncated layering is indistinguishable from a correct one (same
+    * fail-fast contract as kCore/kTruss).
     *
     * σ values are exact integers; on unique-path fixtures every δ is an
     * exact small integer, so the oracle twin compares closed-form doubles
@@ -556,37 +565,55 @@ object GraphOps {
         frontier = next
       }
     }
+    if (!done)
+      throw new IllegalStateException(
+        s"betweenness forward BFS still has a non-empty frontier after " +
+          s"$maxIterations levels — a truncated layering would yield " +
+          s"silently wrong sigma/delta; raise maxIterations")
     val maxD =
       if (landmarks.isEmpty) 0
       else all.agg(max("depth")).head.getInt(0)
-    // deepest layer has no successors on any shortest path → δ = 0
-    var delta = all.filter(col("depth") === maxD)
-      .select(col("source"), col("node"), lit(0.0).as("delta"))
-    var accum = delta.withColumn("depth", lit(maxD))
+    // shortest-path DAG, built once: for every (source, v) and successor w
+    // one level deeper on a shortest path, keep σ(v)/σ(w) pre-divided.
+    // Nodes absent here (no successors) have δ = 0 and contribute nothing
+    // to betweenness, so the backward loop never needs to materialize
+    // their zero rows.
+    val dag = all
+      .join(edges, col("node") === col("src"))
+      .join(all.select(col("source").as("ws"), col("node").as("wn"),
+          col("depth").as("wdepth"), col("sigma").as("wsig")),
+        col("source") === col("ws") && col("dst") === col("wn") &&
+          col("wdepth") === col("depth") + 1)
+      .select(col("source"), col("node"), col("depth"),
+        (col("sigma").cast("double") / col("wsig")).as("ratio"),
+        col("wn"))
+      .localCheckpoint()
+    // δ at the deepest layer is 0 everywhere → empty seed; a w missing
+    // from the running δ relation is a node with no successors (δ = 0),
+    // covered by the left-outer + coalesce below.
+    var delta = Seq.empty[(Long, Long, Double)].toDF("ds", "dn", "wdelta")
+    val levels = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     for (d <- (maxD - 1) to 0 by -1) {
-      val cur = all.filter(col("depth") === d)
-      val succ = all.filter(col("depth") === d + 1)
-        .select(col("source").as("ws"), col("node").as("wn"),
-          col("sigma").as("wsig"))
-      val contrib = cur.join(edges, col("node") === col("src"))
-        .join(succ, col("source") === col("ws") && col("dst") === col("wn"))
-        .join(delta.select(col("source").as("ds"), col("node").as("dn"),
-            col("delta").as("wdelta")),
-          col("ws") === col("ds") && col("wn") === col("dn"))
+      val curDelta = dag.filter(col("depth") === d)
+        .join(delta,
+          col("source") === col("ds") && col("wn") === col("dn"),
+          "left_outer")
         .groupBy("source", "node")
-        .agg(sum(col("sigma").cast("double") / col("wsig") *
-          (lit(1.0) + col("wdelta"))).as("dep"))
-      val curDelta = cur.select("source", "node")
-        .join(contrib, Seq("source", "node"), "left_outer")
-        .select(col("source"), col("node"),
-          coalesce(col("dep"), lit(0.0)).as("delta"))
+        .agg(sum(col("ratio") * (lit(1.0) + coalesce(col("wdelta"),
+          lit(0.0)))).as("delta"))
         .localCheckpoint()
-      delta = curDelta
-      accum = accum.unionByName(curDelta.withColumn("depth", lit(d)))
+      levels += curDelta.withColumn("depth", lit(d))
+      delta = curDelta.select(col("source").as("ds"), col("node").as("dn"),
+        col("delta").as("wdelta"))
     }
-    val bc = accum.filter(col("depth") >= 1)
-      .groupBy(col("node").as("id"))
-      .agg(sum("delta").as("raw"))
+    // all per-level δ slices are checkpointed; one flat union, no deep
+    // lineage. Zero-δ nodes are absent and drop out of the sum.
+    val bc = levels.reduceOption(_ unionByName _) match {
+      case None => Seq.empty[(Long, Double)].toDF("id", "raw")
+      case Some(acc) => acc.filter(col("depth") >= 1)
+        .groupBy(col("node").as("id"))
+        .agg(sum("delta").as("raw"))
+    }
     g.nodes.toDF().join(bc, Seq("id"), "left_outer")
       .select(col("label"), col("name"),
         graft.Det.portableRound(coalesce(col("raw"), lit(0.0)), 6)
@@ -669,6 +696,222 @@ object GraphOps {
     import spark.implicits._
     org.apache.spark.graphx.lib.LabelPropagation
       .run(toGraphX(g), iters).vertices.toDF("id", "community")
+  }
+
+  /** Louvain modularity communities (Blondel et al. 2008, public) — the
+    * GDS-staple community kernel next to [[labelPropagation]], as a
+    * DataFrame-native distributed variant (the Sotera/DGA shape):
+    *
+    *  - LOCAL MOVE rounds: every node scores joining each NEIGHBORING
+    *    community (gain ∝ k_{i,c} − k_i·Σtot_c/2m, Blondel eq. 2) via
+    *    joins keyed on node/community ids — a node only ever meets the
+    *    communities in its adjacency bucket, never an all-pairs product.
+    *    Synchronous parallel moves can oscillate, so (a) only one id
+    *    PARITY class moves per round (deterministic alternation, no RNG)
+    *    and (b) a round's tentative assignment is accepted ONLY if global
+    *    modularity strictly improves — evaluated in exact integer
+    *    arithmetic (Q·(2m)² = 2m·ΣΣin_c − ΣΣtot_c², decimal sums, no
+    *    float-order nondeterminism), so modularity is NON-DECREASING by
+    *    construction and convergence is a proof, not a hope. Ties break
+    *    toward the smallest community id — fully deterministic.
+    *  - COARSEN: converged communities collapse to super-nodes (groupBy
+    *    community pairs, weights summed, intra-weight as self-loops) and
+    *    the local phase reruns — the standard Louvain second phase.
+    *
+    * Rounds are bounded by `levels × maxRoundsPerLevel`; every join keys
+    * on node/community ids and shuffle-partitions — nothing is collected.
+    * The reported community id is the MINIMUM ORIGINAL member id, so the
+    * output is independent of which internal label won a merge (the same
+    * canonicalization LPA cannot offer — see `graphp_louvain` vs the
+    * invariant-graded `graphp_label_propagation`).
+    */
+  def louvain(spark: SparkSession, g: GraphTables, levels: Int = 3,
+      maxRoundsPerLevel: Int = 16): DataFrame = {
+    // simple undirected projection: weight 1 per distinct canonical edge
+    var edges = g.edges.toDF()
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("lo"),
+        greatest(col("src"), col("dst")).as("hi"))
+      .distinct()
+      .select(col("lo"), col("hi"), lit(1L).as("w"))
+      .localCheckpoint()
+    var nodes = g.nodes.toDF().select(col("id")).distinct().localCheckpoint()
+    // original node -> current-level super-node
+    var membership = nodes.select(col("id").as("orig"), col("id").as("node"))
+      .localCheckpoint()
+    var level = 0
+    var levelChanged = true
+    while (level < levels && levelChanged) {
+      level += 1
+      val (assignment, changed) = louvainLevel(nodes, edges,
+        maxRoundsPerLevel)
+      levelChanged = changed
+      if (changed) {
+        membership = membership
+          .join(assignment.select(col("id").as("node"), col("comm")), "node")
+          .select(col("orig"), col("comm").as("node"))
+          .localCheckpoint()
+        edges = edges
+          .join(assignment.select(col("id").as("lo"), col("comm").as("clo")),
+            "lo")
+          .join(assignment.select(col("id").as("hi"), col("comm").as("chi")),
+            "hi")
+          .select(least(col("clo"), col("chi")).as("lo"),
+            greatest(col("clo"), col("chi")).as("hi"), col("w"))
+          .groupBy("lo", "hi").agg(sum("w").as("w"))
+          .localCheckpoint()
+        nodes = assignment.select(col("comm").as("id")).distinct()
+          .localCheckpoint()
+      }
+    }
+    val rep = membership.groupBy(col("node"))
+      .agg(min("orig").as("community"))
+    val byOrig = membership.join(rep, "node")
+      .select(col("orig").as("id"), col("community"))
+    g.nodes.toDF().join(byOrig, Seq("id"), "left_outer")
+      .select(col("id"), col("label"), col("name"),
+        coalesce(col("community"), col("id")).as("community"))
+  }
+
+  /** One Louvain level: parity-alternating local moves under the exact
+    * modularity accept-guard. Returns (assignment id→comm, any move made).
+    */
+  private def louvainLevel(nodes: DataFrame, edges: DataFrame,
+      maxRounds: Int): (DataFrame, Boolean) = {
+    // adjacency rows (u, v, w) both directions; a condensed self-loop
+    // counts double (A_ii = 2w — the igraph/Blondel degree convention)
+    val plain = edges.filter(col("lo") =!= col("hi"))
+    val adjAll = plain
+      .select(col("lo").as("u"), col("hi").as("v"), col("w"))
+      .unionByName(plain.select(col("hi").as("u"), col("lo").as("v"),
+        col("w")))
+      .unionByName(edges.filter(col("lo") === col("hi"))
+        .select(col("lo").as("u"), col("hi").as("v"),
+          (col("w") * 2).as("w")))
+      .localCheckpoint()
+    val identity = nodes.select(col("id"), col("id").as("comm"))
+    val m2Row = adjAll.agg(sum("w")).head
+    if (m2Row.isNullAt(0) || m2Row.getLong(0) == 0L)
+      return (identity, false)
+    val m2 = m2Row.getLong(0)
+    val degAll = nodes
+      .join(adjAll.groupBy(col("u").as("id")).agg(sum("w").as("k")),
+        Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("k"), lit(0L)).as("k"))
+      .localCheckpoint()
+    // gain table excludes self rows: i's self-loop follows it into any
+    // community, contributing equally everywhere — cancels in the argmax
+    val adjN = adjAll.filter(col("u") =!= col("v")).localCheckpoint()
+    var assignment = identity.localCheckpoint()
+    var qnum = modularityNum(adjAll, degAll, assignment, m2)
+    var round = 0
+    var failStreak = 0
+    var anyChange = false
+    while (round < maxRounds && failStreak < 2) {
+      val commTot = assignment.join(degAll, "id")
+        .groupBy("comm").agg(sum("k").as("tot"))
+      // k_{i,c}: total link weight from i into community c
+      val links = adjN
+        .join(assignment.select(col("id").as("v"), col("comm").as("cand")),
+          "v")
+        .groupBy(col("u"), col("cand")).agg(sum("w").as("kic"))
+      val base = assignment.join(degAll, "id").join(commTot, "comm")
+      // staying score uses Σtot of the OWN community minus k_i (Blondel:
+      // the node is first removed from its community)
+      val ownLink = links.select(col("u").as("id"),
+        col("cand").as("comm"), col("kic").as("kOwn"))
+      val stay = base.join(ownLink, Seq("id", "comm"), "left_outer")
+        .select(col("id"), col("comm"),
+          (coalesce(col("kOwn"), lit(0L)).cast("double") -
+            col("k").cast("double") * (col("tot") - col("k")) /
+              lit(m2.toDouble)).as("stayScore"))
+      val cands = links.select(col("u").as("id"), col("cand"), col("kic"))
+        .join(assignment, "id")
+        .filter(col("cand") =!= col("comm"))
+        .join(commTot.select(col("comm").as("cand"), col("tot").as("ctot")),
+          "cand")
+        .join(degAll, "id")
+        .select(col("id"),
+          (col("kic").cast("double") -
+            col("k").cast("double") * col("ctot") / lit(m2.toDouble))
+            .as("score"),
+          col("cand"))
+      // argmax by score, ties to the SMALLEST community id (struct max on
+      // (score, -cand)) — deterministic under any partitioning
+      val best = cands.groupBy("id")
+        .agg(max(struct(col("score"), (-col("cand")).as("negc"),
+          col("cand"))).as("m"))
+        .select(col("id"), col("m.score").as("moveScore"),
+          col("m.cand").as("target"))
+      val tentative = stay.join(best, Seq("id"), "left_outer")
+        .select(col("id"),
+          when(pmod(col("id") + lit(round), lit(2)) === 0 &&
+              col("moveScore") > col("stayScore") + lit(1e-12),
+            col("target")).otherwise(col("comm")).as("comm"))
+        .localCheckpoint()
+      val qNew = modularityNum(adjAll, degAll, tentative, m2)
+      if (qNew.compareTo(qnum) > 0) {
+        assignment = tentative
+        qnum = qNew
+        failStreak = 0
+        anyChange = true
+      } else failStreak += 1
+      round += 1
+    }
+    (assignment, anyChange)
+  }
+
+  /** Exact integer modularity numerator Q·(2m)² = 2m·Σ_c Σin_c −
+    * Σ_c Σtot_c², as decimal sums (order-independent, engine-portable —
+    * the accept-guard must never flip on float summation order).
+    */
+  private def modularityNum(adjAll: DataFrame, degAll: DataFrame,
+      assignment: DataFrame, m2: Long): java.math.BigDecimal = {
+    val dec = "decimal(38,0)"
+    val intra = adjAll
+      .join(assignment.select(col("id").as("u"), col("comm").as("cu")), "u")
+      .join(assignment.select(col("id").as("v"), col("comm").as("cv")), "v")
+      .filter(col("cu") === col("cv"))
+      .agg(coalesce(sum(col("w").cast(dec)), lit(0).cast(dec)))
+      .head.getDecimal(0)
+    val tot2 = assignment.join(degAll, "id")
+      .groupBy("comm").agg(sum("k").as("tot"))
+      .agg(coalesce(sum(col("tot").cast("decimal(19,0)") *
+        col("tot").cast("decimal(19,0)")), lit(0).cast(dec)))
+      .head.getDecimal(0)
+    new java.math.BigDecimal(m2).multiply(intra).subtract(tot2)
+  }
+
+  /** Modularity Q of an (id, community) assignment over g's simple
+    * undirected projection — the spec-facing face of the exact
+    * accept-guard arithmetic (Q = Qnum/(2m)²).
+    */
+  def modularity(spark: SparkSession, g: GraphTables,
+      assignment: DataFrame): Double = {
+    val edges = g.edges.toDF()
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("lo"),
+        greatest(col("src"), col("dst")).as("hi"))
+      .distinct()
+      .select(col("lo"), col("hi"), lit(1L).as("w"))
+    val adjAll = edges
+      .select(col("lo").as("u"), col("hi").as("v"), col("w"))
+      .unionByName(edges.select(col("hi").as("u"), col("lo").as("v"),
+        col("w")))
+      .localCheckpoint()
+    val m2Row = adjAll.agg(sum("w")).head
+    if (m2Row.isNullAt(0) || m2Row.getLong(0) == 0L) return 0.0
+    val m2 = m2Row.getLong(0)
+    val nodes = g.nodes.toDF().select(col("id")).distinct()
+    val degAll = nodes
+      .join(adjAll.groupBy(col("u").as("id")).agg(sum("w").as("k")),
+        Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("k"), lit(0L)).as("k"))
+    val asg = assignment.select(col("id"), col("community").as("comm"))
+    modularityNum(adjAll, degAll, asg, m2)
+      .divide(new java.math.BigDecimal(m2).pow(2),
+        java.math.MathContext.DECIMAL64)
+      .doubleValue()
   }
 
   /** Single-source shortest path lengths to the given landmarks (Q9). */

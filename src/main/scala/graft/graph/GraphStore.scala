@@ -2,8 +2,9 @@ package graft.graph
 
 import org.apache.spark.sql.{SaveMode, SparkSession}
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.file.{Files, Path, Paths, StandardCopyOption, StandardOpenOption}
 import java.util.Comparator
+import java.util.concurrent.atomic.AtomicLong
 
 /** Graph-at-rest layout (SURVEY.md §4.4, S5): nodes/edges parquet
   * partitioned by `batch`, so
@@ -14,18 +15,61 @@ import java.util.Comparator
   *    atomically repointing a one-file `CURRENT` pointer — the minimal
   *    form of a lakehouse transaction log (§4.3). The commit is a single
   *    rename, so a crash at ANY step leaves the previous version fully
-  *    live; there is no window with no readable graph. Orphaned versions
-  *    from crashed writers are swept by the next successful save (or an
-  *    explicit [[gc]]).
+  *    live; there is no window with no readable graph.
+  *
+  * Commit protocol: after the pointer flip, the version name is appended
+  * to a `COMMITS` log. Only versions that appear in the log (or are the
+  * current pointer target) are COMMITTED; gc, [[versionList]] and
+  * [[loadVersion]] consider committed versions only, and any `v-*`
+  * directory outside that set is a crashed writer's torn snapshot and is
+  * swept unconditionally — a partial dir can never be preferentially
+  * retained as "newest history" or read back as a snapshot. History
+  * order is the log's append order (a total order independent of
+  * filesystem mtime, which copy/backup tooling can perturb); version
+  * names also embed a zero-padded epoch-millis + sequence prefix so the
+  * names themselves sort in creation order for humans and tools.
   */
 object GraphStore {
 
   private val Pointer = "CURRENT"
+  private val CommitLog = "COMMITS"
+  private val seq = new AtomicLong(0L)
 
   private def currentVersion(dir: String): Option[String] = {
     val p = Paths.get(dir, Pointer)
     if (Files.exists(p)) Some(new String(Files.readAllBytes(p), "UTF-8").trim)
     else None
+  }
+
+  /** Committed versions in commit order (oldest first). The current
+    * pointer target is always committed even if the post-flip log append
+    * was lost to a crash.
+    */
+  private def committedVersions(dir: String): Seq[String] = {
+    val p = Paths.get(dir, CommitLog)
+    val logged =
+      if (Files.exists(p))
+        new String(Files.readAllBytes(p), "UTF-8")
+          .split('\n').iterator.map(_.trim).filter(_.nonEmpty).toSeq.distinct
+      else Seq.empty
+    currentVersion(dir) match {
+      case Some(cur) if !logged.contains(cur) => logged :+ cur
+      case _                                  => logged
+    }
+  }
+
+  private def appendCommit(dir: String, version: String): Unit =
+    Files.write(Paths.get(dir, CommitLog), (version + "\n").getBytes("UTF-8"),
+      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+
+  /** Rewrite the commit log to exactly `versions` (commit order), via the
+    * same tmp-file + atomic-rename discipline as the pointer.
+    */
+  private def rewriteLog(dir: String, versions: Seq[String]): Unit = {
+    val tmp = Paths.get(dir, CommitLog + ".tmp")
+    Files.write(tmp, versions.mkString("", "\n", "\n").getBytes("UTF-8"))
+    Files.move(tmp, Paths.get(dir, CommitLog),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
   /** The live data directory readers and maintenance resolve through. */
@@ -34,12 +78,16 @@ object GraphStore {
       .map(v => Paths.get(dir, v).toString)
       .getOrElse(dir) // pre-pointer layout: data directly under dir
 
-  /** `keepVersions` retains that many superseded version dirs after the
-    * commit (time travel via [[loadVersion]]); the default keeps none —
-    * the original crash-sweep behavior.
+  /** `keepVersions` retains that many superseded COMMITTED version dirs
+    * after the commit (time travel via [[loadVersion]]); the default
+    * keeps none — the original crash-sweep behavior.
     */
   def save(g: GraphTables, dir: String, keepVersions: Int = 0): Unit = {
-    val version = "v-" + java.util.UUID.randomUUID()
+    // name embeds creation order (epoch millis + per-JVM sequence) so
+    // lexicographic sort ≡ creation order even within one millisecond;
+    // the UUID tail keeps cross-JVM uniqueness
+    val version = f"v-${System.currentTimeMillis()}%013d-${seq.incrementAndGet()}%06d-" +
+      java.util.UUID.randomUUID().toString.take(8)
     val vdir = Paths.get(dir, version)
     g.nodes.write.mode(SaveMode.Overwrite).partitionBy("batch")
       .parquet(vdir.resolve("nodes").toString)
@@ -51,54 +99,60 @@ object GraphStore {
     Files.write(tmpPtr, version.getBytes("UTF-8"))
     Files.move(tmpPtr, Paths.get(dir, Pointer),
       StandardCopyOption.ATOMIC_MOVE)
+    appendCommit(dir, version)
     gc(dir, keepVersions)
   }
 
-  /** Sweep stale pointer temps and all but the newest `keepVersions`
-    * non-current version dirs (leftovers of crashed writers, plus the
-    * retained time-travel history). Safe to run any time; never touches
-    * the live version. `keepVersions = 0` is the crash-sweep default:
-    * only the live version survives.
+  /** Sweep stale pointer temps, every NON-COMMITTED `v-*` dir (torn
+    * snapshots from crashed writers — swept unconditionally, whatever
+    * their mtime), and all but the newest `keepVersions` committed
+    * non-current versions. Safe to run any time; never touches the live
+    * version. `keepVersions = 0` is the crash-sweep default: only the
+    * live version survives.
     */
   def gc(dir: String, keepVersions: Int = 0): Unit =
     currentVersion(dir).foreach { cur =>
-      val old = scala.collection.mutable.ArrayBuffer.empty[Path]
+      val committed = committedVersions(dir).toSet
       val stream = Files.list(Paths.get(dir))
       try stream.forEach { p =>
         val n = p.getFileName.toString
         if (n.startsWith(Pointer + ".tmp-")) deleteRecursively(p)
-        else if (n.startsWith("v-") && n != cur) old += p
+        // a v-* dir the log never saw was never pointed to: torn snapshot
+        else if (n.startsWith("v-") && !committed.contains(n))
+          deleteRecursively(p)
       } finally stream.close()
-      // retained versions: newest first by mtime (version names are
-      // UUIDs — creation order lives in the filesystem, not the name)
-      old.sortBy(p => -Files.getLastModifiedTime(p).toMillis)
-        .drop(keepVersions).foreach(deleteRecursively)
+      // retained history: committed, existing, non-current — newest first
+      // by LOG ORDER (not mtime)
+      val history = committedVersions(dir).reverse
+        .filter(v => v != cur && Files.exists(Paths.get(dir, v)))
+      history.drop(keepVersions).foreach(v =>
+        deleteRecursively(Paths.get(dir, v)))
+      rewriteLog(dir, (cur +: history.take(keepVersions)).reverse)
     }
 
-  /** All readable versions, current first, then retained history newest
-    * first — the time-travel index.
+  /** All readable versions, current first, then retained committed
+    * history newest first (log order) — the time-travel index. Torn
+    * snapshots never appear here.
     */
   def versionList(dir: String): Seq[String] =
     currentVersion(dir).toSeq.flatMap { cur =>
-      val old = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
-      val stream = Files.list(Paths.get(dir))
-      try stream.forEach { p =>
-        val n = p.getFileName.toString
-        if (n.startsWith("v-") && n != cur)
-          old += ((n, Files.getLastModifiedTime(p).toMillis))
-      } finally stream.close()
-      cur +: old.sortBy(-_._2).map(_._1).toSeq
+      cur +: committedVersions(dir).reverse
+        .filter(v => v != cur && Files.exists(Paths.get(dir, v)))
     }
 
   /** Time-travel read of a retained version (any name from
     * [[versionList]]) — the lakehouse "AS OF" primitive: readers pin a
     * version and are isolated from every later commit and compaction.
+    * Refuses names outside the commit log: a torn snapshot is not
+    * readable history.
     */
   def loadVersion(spark: SparkSession, dir: String, version: String)
       : GraphTables = {
     import spark.implicits._
     val vd = Paths.get(dir, version)
     require(Files.exists(vd), s"version $version not retained in $dir")
+    require(committedVersions(dir).contains(version),
+      s"version $version was never committed in $dir (torn snapshot)")
     GraphTables(
       spark.read.parquet(s"$vd/nodes").as[NodeRow],
       spark.read.parquet(s"$vd/edges").as[EdgeRow])

@@ -443,8 +443,13 @@ object RelationalQueries {
     // al. 2008, public): q-gram posting lists generate candidates, the
     // COUNT FILTER prunes them (any pair within edit distance d shares at
     // least max(|a|,|b|) − q + 1 − d·q grams — names here are ≥7 chars,
-    // so the bound is positive and recall is complete), and exact
-    // levenshtein verifies only the survivors. The oracle states the
+    // so the bound is positive), and exact levenshtein verifies only the
+    // survivors. The bound holds for gram MULTISETS, so shared is the
+    // true multiset intersection: per-name gram counts (groupBy name,
+    // gram — repeats like 'aa' in 'aaa' keep their multiplicity), join
+    // on the gram key, Σ least(cnt_a, cnt_b) per pair. Recall is then
+    // complete for ANY input, including names with repeated grams that
+    // a distinct-gram count would wrongly prune. The oracle states the
     // intended semantics as the all-pairs form — sound at |distinct
     // names| scale; the Spark side is the sub-quadratic plan you'd run
     // when the name column has millions of distinct values (posting
@@ -465,13 +470,16 @@ object RelationalQueries {
       val grams = names.select(col("name"), explode(expr(
           s"transform(sequence(0, length(name) - $q)," +
             s" i -> substring(name, i + 1, $q))")).as("g"))
-        .distinct()
+        .groupBy("name", "g").agg(count(lit(1)).as("cnt"))
         .localCheckpoint() // both sides of the candidate join
-      val cand = grams.select(col("name").as("name_a"), col("g"))
-        .join(grams.select(col("name").as("name_b"), col("g")), "g")
+      val cand = grams
+        .select(col("name").as("name_a"), col("g"), col("cnt").as("cnt_a"))
+        .join(grams.select(col("name").as("name_b"), col("g"),
+          col("cnt").as("cnt_b")), "g")
         .filter(col("name_a") < col("name_b"))
         .groupBy("name_a", "name_b")
-        .agg(count(lit(1)).as("shared"))
+        // multiset intersection: Σ_g min(cnt_a, cnt_b)
+        .agg(sum(least(col("cnt_a"), col("cnt_b"))).as("shared"))
         // count filter: true d≤2 pairs share ≥ max(len)−q+1−d·q grams
         .filter(col("shared") >= greatest(length(col("name_a")),
           length(col("name_b"))) - lit(q - 1 + maxDist * q))

@@ -32,15 +32,24 @@ final case class DupPair(doc_a: Long, doc_b: Long, est_jaccard: Double)
 class BandBucketProcessor(seeds: Int, maxBucket: Int)
     extends StatefulProcessor[String, BandedDoc, DupPair] {
   @transient private var members: ListState[BandedDoc] = _
+  // doc_ids ever processed in this bucket — a SUPERSET of `members` once
+  // the cap hits. Re-delivery must be a no-op even for docs that arrived
+  // after the bucket was capped (compared-but-not-appended), so the
+  // "seen" check cannot be derived from capped membership. One Long per
+  // doc (no signature), so a hot bucket's seen-list stays cheap.
+  @transient private var seenIds: ListState[Long] = _
 
-  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
     members = getHandle.getListState[BandedDoc]("members",
       Encoders.product[BandedDoc], TTLConfig.NONE)
+    seenIds = getHandle.getListState[Long]("seen",
+      Encoders.scalaLong, TTLConfig.NONE)
+  }
 
   override def handleInputRows(bucket: String, rows: Iterator[BandedDoc],
       timerValues: TimerValues): Iterator[DupPair] = {
     val prior = members.get().toSeq
-    val seen = scala.collection.mutable.Set(prior.map(_.doc_id): _*)
+    val seen = scala.collection.mutable.Set(seenIds.get().toSeq: _*)
     // deterministic intra-batch order: a batch delivering several docs to
     // one bucket must pair them the same way regardless of upstream
     // partitioning (doc_id order ≡ "arrival" order for same-batch rows)
@@ -56,6 +65,7 @@ class BandBucketProcessor(seeds: Int, maxBucket: Int)
         out += DupPair(math.min(m.doc_id, d.doc_id),
           math.max(m.doc_id, d.doc_id), matching.toDouble / seeds)
       }
+      seenIds.appendValue(d.doc_id) // recorded even when the cap blocks
       if (current.size < maxBucket) {
         members.appendValue(d)
         current = current :+ d

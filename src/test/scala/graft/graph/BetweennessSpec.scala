@@ -48,4 +48,15 @@ class BetweennessSpec extends SparkSpec {
     val c = bc(diamond, Seq.empty)
     assert(c.values.forall(_ == 0.0) && c.size == 5)
   }
+
+  test("non-drained forward BFS throws instead of silently truncating") {
+    // diamond+tail needs 3 levels from node 1; cap at 2 → frontier still
+    // non-empty → must fail fast (same contract as kCore/kTruss), because
+    // a truncated layering yields wrong σ/δ indistinguishable from right
+    val e = intercept[IllegalStateException] {
+      GraphOps.betweenness(spark, diamond, Seq(1L), maxIterations = 2)
+        .collect()
+    }
+    assert(e.getMessage.contains("maxIterations"))
+  }
 }

@@ -41,4 +41,39 @@ class TimeTravelSpec extends SparkSpec {
       store)
     assert(GraphStore.versionList(store).length == 1)
   }
+
+  test("torn snapshot (crashed writer, pointer never flipped) is never " +
+      "listed, never loadable, and is swept even as the newest dir") {
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_torn").toString
+    val g = ParquetGraph.chain(spark, sf("sf0.001"))
+    val mat = GraphTables(
+      g.nodes.localCheckpoint(), g.edges.localCheckpoint())
+    GraphStore.save(mat, store)
+    GraphStore.save(mat, store, keepVersions = 2)
+    assert(GraphStore.versionList(store).length == 2)
+
+    // simulate a writer that crashed mid-save: a v-* dir with partial
+    // data and NO commit (pointer never flipped, log never appended) —
+    // and make it the NEWEST thing on disk, the exact case where
+    // mtime-ordered retention would prefer it
+    val torn = java.nio.file.Paths.get(store,
+      "v-9999999999999-999999-deadbeef")
+    java.nio.file.Files.createDirectories(torn.resolve("nodes"))
+    java.nio.file.Files.write(torn.resolve("nodes").resolve("part-torn"),
+      "partial".getBytes("UTF-8"))
+
+    // not committed → invisible to the time-travel index
+    assert(!GraphStore.versionList(store).exists(_.contains("deadbeef")))
+    // …and not readable as a snapshot
+    val e = intercept[IllegalArgumentException] {
+      GraphStore.loadVersion(spark, store, torn.getFileName.toString)
+    }
+    assert(e.getMessage.contains("never committed"))
+    // gc keeps the committed history (keepVersions budget is NOT spent on
+    // the torn dir) and sweeps the torn dir unconditionally
+    GraphStore.gc(store, keepVersions = 2)
+    assert(!java.nio.file.Files.exists(torn))
+    assert(GraphStore.versionList(store).length == 2)
+  }
 }

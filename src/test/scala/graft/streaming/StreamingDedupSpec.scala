@@ -141,7 +141,15 @@ class StreamingDedupSpec extends SparkSpec {
       q.processAllAvailable()
       mem.addData(DocText(3L, text))
       q.processAllAvailable()
+      val beforeRedeliver = spark.table("dedup_cap_stream").count()
+      // re-deliver a doc that arrived AFTER the cap hit (compared but
+      // never admitted as a member): still a no-op — seen-tracking is
+      // independent of capped membership
+      mem.addData(DocText(2L, text))
+      q.processAllAvailable()
       q.stop()
+      assert(spark.table("dedup_cap_stream").count() == beforeRedeliver,
+        "re-delivery of a capped-out doc re-emitted pairs")
       val pairs = spark.table("dedup_cap_stream")
         .select("doc_a", "doc_b").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
