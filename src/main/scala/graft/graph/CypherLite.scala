@@ -382,14 +382,17 @@ object CypherLite {
   // (the `RETURN type(r), count(*)` schema-census staple).
   case object RetRelType extends RetItem
 
-  /** `WITH <keys>, count(…) AS <alias> [WHERE <alias> <op> <num>]` — the
-    * aggregate-then-filter (HAVING) pipeline stage. `groupIdentity` = the
-    * WITH clause bound the whole matched variable, so grouping is by node
-    * IDENTITY (two roots sharing a projected name stay separate groups);
-    * otherwise grouping is by the bound properties (Cypher's rule).
+  /** `WITH <keys>, agg AS <alias>[, agg AS <alias> …] [WHERE <alias>
+    * <op> <num>]` — the aggregate-then-filter (HAVING) pipeline stage.
+    * `groupIdentity` = the WITH clause bound the whole matched variable,
+    * so grouping is by node IDENTITY (two roots sharing a projected name
+    * stay separate groups); otherwise grouping is by the bound properties
+    * (Cypher's rule). `aliases` is one name per aggregate item, in the
+    * order the aggregates appear among the RETURN items (the executor
+    * zips them positionally); `having` names WHICH alias it filters.
     */
-  final case class WithSpec(groupIdentity: Boolean, alias: String,
-      having: Option[(String, Double)])
+  final case class WithSpec(groupIdentity: Boolean, aliases: Seq[String],
+      having: Option[(String, String, Double)])
 
   final case class MatchReturn(
       label: Option[String],
@@ -566,11 +569,15 @@ object CypherLite {
   // for the clause keyword, because what follows it never parses as an
   // item list — the regex backtracks to the real WITH or fails to the
   // plain-MATCH form.
+  // one aliased WITH aggregate item (non-capturing): agg(arg) AS alias
+  private val WithAggFrag =
+    """(?:count|sum|avg|min|max)\s*\(\s*(?:DISTINCT\s+)?""" +
+      """(?:\*|\w+(?:\s*\.\s*\w+)?)\s*\)\s+AS\s+\w+"""
+
   private val WithRe =
     (PatFrag +
-      """WITH\s+((?:\w+(?:\s*\.\s*\w+)?\s*,\s*)+""" +
-      """(?:count|sum|avg|min|max)\s*\(\s*(?:DISTINCT\s+)?""" +
-      """(?:\*|\w+(?:\s*\.\s*\w+)?)\s*\)\s+AS\s+\w+)\s+""" +
+      s"""WITH\\s+((?:\\w+(?:\\s*\\.\\s*\\w+)?\\s*,\\s*)+""" +
+      s"""$WithAggFrag(?:\\s*,\\s*$WithAggFrag)*)\\s+""" +
       """(?:WHERE\s+(\w+)\s*(<>|<=|>=|=|<|>)\s*(-?\d+(?:\.\d+)?)\s*)?""" +
       """RETURN\s+(DISTINCT\s+)?(.+?)\s*""" +
       s"""(?:ORDER\\s+BY\\s+($ObItemFrag(?:\\s*,\\s*$ObItemFrag)*)\\s*)?""" +
@@ -1652,7 +1659,8 @@ object CypherLite {
         optional = true, distinct = false, existsPat = None,
         // identity grouping: size() is an expression, so two roots
         // sharing every projected value still answer separate rows
-        withSpec = Some(WithSpec(groupIdentity = true, sizeAlias, None)),
+        withSpec = Some(WithSpec(groupIdentity = true, Seq(sizeAlias),
+          None)),
         aliases = lead.flatMap { case (i, a) =>
           a.flatMap(al => (i match {
             case RetProp(p) => Some(s"m_$p")
@@ -1845,46 +1853,68 @@ object CypherLite {
           .flatMap(s => PropRe.findAllMatchIn(s)
             .map(p => p.group(1) -> p.group(2))).toMap
         val hops = math.max(Option(hopsStr).map(_.toInt).getOrElse(0), 1)
-        // WITH items: grouping keys then the aliased count (the regex
-        // enforces this shape — that is also what disambiguates the WITH
-        // keyword from a STARTS WITH comparison)
+        // WITH items: grouping keys then one or more aliased aggregates
+        // (the regex enforces this shape — that is also what
+        // disambiguates the WITH keyword from a STARTS WITH comparison).
+        // `WITH m, count(c) AS n, sum(c.v) AS s` computes every aggregate
+        // in ONE grouped pass — the same multi-aggregate path RETURN has.
         val relVar = parseRelVar(query, conn.isDefined)
         val wparts = withItems.split(",").toSeq
-        val aggE: Either[String, (RetItem, String)] =
-          wparts.last match {
-            case WithCountRe(dk, "*", alias) =>
-              if (dk != null) Left("count(DISTINCT *) is not supported")
-              else Right((RetCount(distinct = false, star = true), alias))
-            case WithCountRe(dk, v, alias) if conn.contains(v) =>
-              Right((RetCount(dk != null), alias))
-            // count(r): one row per traversed EDGE on the typed-bindings
-            // substrate, so plain and DISTINCT counts coincide
-            case WithCountRe(_, v, alias) if relVar.contains(v) =>
-              Right((RetCount(distinct = false), alias))
-            case WithCountRe(_, v, _) =>
-              Left(s"WITH count() may only aggregate the connected " +
-                s"variable '${conn.get}'" +
-                relVar.fold("")(r => s", the relationship variable '$r',") +
-                s" or *, got '$v'")
-            // count([DISTINCT] c.prop): property-VALUE counting
-            case WithCountPropRe(dk, v, pr, alias) if conn.contains(v) =>
-              Right((RetCountProp(dk != null, pr, onConn = true), alias))
-            case WithCountPropRe(_, v, pr, _) =>
-              Left(s"WITH count() of a property may only reference " +
-                s"'${conn.get}', got '$v.$pr'")
-            // sum/avg (numeric via try_cast) and min/max (string
-            // collation) over the bindings' property values
-            case WithAggPropRe(fn, v, pr, alias) if conn.contains(v) =>
-              Right((RetAggProp(fn.toLowerCase(java.util.Locale.ROOT), pr),
-                alias))
-            case WithAggPropRe(fn, v, pr, _) =>
-              Left(s"WITH $fn() may only aggregate the connected " +
-                s"variable '${conn.get}', got '$v.$pr'")
-            case other => Left("the last WITH item must be the aliased " +
-              s"aggregate, got '${other.trim.take(40)}'")
+        // an item that LOOKS like an aggregate parses as one (Some);
+        // grouping items answer None
+        def parseAgg(part: String)
+            : Option[Either[String, (RetItem, String)]] = part match {
+          case WithCountRe(dk, "*", alias) => Some(
+            if (dk != null) Left("count(DISTINCT *) is not supported")
+            else Right((RetCount(distinct = false, star = true), alias)))
+          case WithCountRe(dk, v, alias) if conn.contains(v) =>
+            Some(Right((RetCount(dk != null), alias)))
+          // count(r): one row per traversed EDGE on the typed-bindings
+          // substrate, so plain and DISTINCT counts coincide
+          case WithCountRe(_, v, alias) if relVar.contains(v) =>
+            Some(Right((RetCount(distinct = false), alias)))
+          case WithCountRe(_, v, _) =>
+            Some(Left(s"WITH count() may only aggregate the connected " +
+              s"variable '${conn.get}'" +
+              relVar.fold("")(r => s", the relationship variable '$r',") +
+              s" or *, got '$v'"))
+          // count([DISTINCT] c.prop): property-VALUE counting
+          case WithCountPropRe(dk, v, pr, alias) if conn.contains(v) =>
+            Some(Right((RetCountProp(dk != null, pr, onConn = true),
+              alias)))
+          case WithCountPropRe(_, v, pr, _) =>
+            Some(Left(s"WITH count() of a property may only reference " +
+              s"'${conn.get}', got '$v.$pr'"))
+          // sum/avg (numeric via try_cast) and min/max (string
+          // collation) over the bindings' property values
+          case WithAggPropRe(fn, v, pr, alias) if conn.contains(v) =>
+            Some(Right((RetAggProp(
+              fn.toLowerCase(java.util.Locale.ROOT), pr), alias)))
+          case WithAggPropRe(fn, v, pr, _) =>
+            Some(Left(s"WITH $fn() may only aggregate the connected " +
+              s"variable '${conn.get}', got '$v.$pr'"))
+          case _ => None
+        }
+        val tagged = wparts.map(p => (p, parseAgg(p)))
+        val (groupTagged, aggTagged) = tagged.span(_._2.isEmpty)
+        // every aggregate in WITH-clause order, each with its alias
+        val aggsE: Either[String, Seq[(RetItem, String)]] =
+          if (aggTagged.isEmpty)
+            Left("the last WITH item must be an aliased aggregate, got " +
+              s"'${wparts.last.trim.take(40)}'")
+          else aggTagged.collectFirst {
+            case (p, None) => Left("WITH grouping items must precede " +
+              s"the aggregates, got '${p.trim.take(40)}' after one")
+            case (_, Some(Left(e))) => Left(e)
+          }.getOrElse {
+            val as = aggTagged.collect { case (_, Some(Right(ia))) => ia }
+            val dup = as.groupBy(_._2).collectFirst {
+              case (a, g) if g.size > 1 => a }
+            dup.fold[Either[String, Seq[(RetItem, String)]]](Right(as))(a =>
+              Left(s"duplicate WITH aggregate alias '$a'"))
           }
         val keysE: Either[String, (Boolean, Seq[String])] = {
-          val parsed = wparts.init.map {
+          val parsed = groupTagged.map(_._1).map {
             case VarRe(v) if v == m => Right(None)
             case VarPropRe(v, p) if v == m => Right(Some(p))
             case other => Left("unsupported WITH grouping item: " +
@@ -1901,8 +1931,9 @@ object CypherLite {
             Left(s"a relationship variable ('${relVar.get}') cannot bind " +
               "a variable-length pattern — drop the range or the variable")
           else Right(())
-          c <- aggE
-          (aggItem, alias) = c
+          aggs <- aggsE
+          aliasMap = aggs.map { case (i, a) => a -> i }.toMap
+          aliasList = aggs.map(_._2)
           kk <- keysE
           (groupIdentity, groupProps) = kk
           whereParsed <- parseWhereClause(m, conn, whereStr, relVar)
@@ -1911,37 +1942,46 @@ object CypherLite {
             case (_, Some(_)) => Left("a pattern-existence WHERE cannot " +
               "be combined with WITH")
           }
-          _ <- if (havVar != null && havVar != alias)
-            Left(s"the WHERE after WITH may only filter the aggregate " +
-              s"alias '$alias', got '$havVar'")
+          _ <- if (havVar != null && !aliasMap.contains(havVar))
+            Left(s"the WHERE after WITH may only filter an aggregate " +
+              s"alias (${aliasList.mkString(", ")}), got '$havVar'")
           else Right(())
           // the WHERE after WITH compares numerically — meaningful for
           // count/sum/avg; a min/max alias keeps string collation, so a
           // numeric filter over it would silently compare garbage
-          _ <- if (havVar != null && (aggItem match {
+          _ <- if (havVar != null && (aliasMap(havVar) match {
               case RetAggProp("min", _) | RetAggProp("max", _) => true
               case _ => false
             }))
             Left("the WHERE after WITH compares numerically — filter a " +
               "count/sum/avg alias, not min/max")
           else Right(())
-          items <- {
-            val parsed = retStr.split(",").toSeq.map {
-              case VarPropRe(v, p) if v == m => Right(RetProp(p))
-              case VarRe(v) if v == alias => Right(aggItem)
+          // RETURN items; aggregate aliases resolve to their items, and
+          // their RETURN-position order becomes the WithSpec alias order
+          // (the executor zips aggregates with names positionally)
+          itemsAndOrder <- {
+            val parts = retStr.split(",").toSeq
+            val parsed = parts.map {
+              case VarRe(v) if aliasMap.contains(v) =>
+                Right((aliasMap(v), Some(v)))
+              case VarPropRe(v, p) if v == m => Right((RetProp(p), None))
               case VarRe(v) if v == m =>
                 Left("RETURN of the whole matched node after WITH is not " +
-                  s"supported — project $m.<prop> and the alias '$alias'")
+                  s"supported — project $m.<prop> and the aliases " +
+                  s"(${aliasList.mkString(", ")})")
               case other => Left("unsupported RETURN item after WITH: " +
-                s"'${other.trim.take(40)}' (use $m.<prop> or '$alias')")
+                s"'${other.trim.take(40)}' (use $m.<prop> or one of " +
+                s"${aliasList.mkString(", ")})")
             }
             parsed.collectFirst { case Left(e) => Left(e) }
               .getOrElse(Right(parsed.collect { case Right(i) => i }))
           }
+          items = itemsAndOrder.map(_._1)
+          retAliases = itemsAndOrder.flatMap(_._2)
           retProps = items.collect { case RetProp(p) => p }
-          _ <- if (items.count(_ == aggItem) != 1)
-            Left(s"RETURN after WITH must include the aggregate alias " +
-              s"'$alias' exactly once")
+          _ <- if (retAliases.sorted != aliasList.sorted)
+            Left("RETURN after WITH must include every aggregate alias " +
+              s"exactly once (${aliasList.mkString(", ")})")
           else Right(())
           _ <- if (retProps.isEmpty)
             Left("RETURN after WITH needs at least one grouping property " +
@@ -1955,20 +1995,20 @@ object CypherLite {
               s"properties (${groupProps.sorted.mkString(", ")})")
           else Right(())
           ob <- {
-            // key list, most-significant first: m properties and/or the
-            // aggregate alias (which sorts by the aggregate column)
+            // key list, most-significant first: m properties and/or any
+            // aggregate alias (each sorts by its own output column)
             def one(part: String): Either[String, (String, Boolean)] = {
               def d(s: String) = s != null && s.equalsIgnoreCase("DESC")
               part match {
                 case ObPropItemRe(v, p, dir) if v == m => Right((p, d(dir)))
                 case ObPropItemRe(v, _, _) =>
-                  Left(s"ORDER BY may only reference '$m' or the alias " +
-                    s"'$alias', got '$v'")
-                case ObBareItemRe(b, dir) if b == alias =>
-                  Right((CountKey, d(dir)))
+                  Left(s"ORDER BY may only reference '$m' or an alias " +
+                    s"(${aliasList.mkString(", ")}), got '$v'")
+                case ObBareItemRe(b, dir) if aliasMap.contains(b) =>
+                  Right((AggKeyPrefix + b, d(dir)))
                 case ObBareItemRe(b, _) =>
                   Left(s"ORDER BY key '$b' is neither an $m property nor " +
-                    s"the alias '$alias'")
+                    s"an aggregate alias (${aliasList.mkString(", ")})")
                 case other =>
                   Left(s"unsupported ORDER BY item: ${other.trim.take(40)}")
               }
@@ -1988,8 +2028,8 @@ object CypherLite {
           connSugar(connLabel, connPropsStr, conds), items, ob,
           Option(skipStr).map(_.toInt), Option(limitStr).map(_.toInt),
           optional, distinctKw != null, None,
-          Some(WithSpec(groupIdentity, alias,
-            Option(havVar).map(_ => (havOp, havNum.toDouble)))),
+          Some(WithSpec(groupIdentity, retAliases,
+            Option(havVar).map(v => (v, havOp, havNum.toDouble)))),
           direction = dir, relVar = relVar)
       }
     case MatchRe(m, label, propsStr, optVar, relType, hopsStr, connVar,
@@ -3463,10 +3503,11 @@ object CypherLite {
       i.isInstanceOf[RetCount] || i.isInstanceOf[RetCollect] ||
         i.isInstanceOf[RetAggProp] || i.isInstanceOf[RetCountProp])
     // canonical output columns, one per aggregate, in item order (the
-    // WITH pipeline binds its single aggregate to the alias instead);
+    // WITH pipeline binds its aggregates to the user aliases instead —
+    // ordered by RETURN position, so the positional zip aligns);
     // duplicate-canonical combinations were rejected at parse time, so
     // these equal each item's canonical name
-    val aggNames = withSpec.map(ws => Seq(ws.alias))
+    val aggNames = withSpec.map(_.aliases)
       .getOrElse(globalCanonNames(aggItems))
     // the first aggregate's column — the HAVING filter target and the
     // name single-aggregate callers see
@@ -3833,10 +3874,10 @@ object CypherLite {
             else out.map(col)
           val agged = grouped.groupBy(groupCols: _*)
             .agg(aggCols.head, aggCols.tail: _*)
-          // the WHERE after WITH: a numeric filter on the aggregate —
-          // Spark's HAVING, applied post-aggregation
+          // the WHERE after WITH: a numeric filter on the NAMED aggregate
+          // alias — Spark's HAVING, applied post-aggregation
           val havinged = withSpec.flatMap(_.having).fold(agged) {
-            case (op, v) => agged.filter(numCmp(col(aggOut), op, v))
+            case (tgt, op, v) => agged.filter(numCmp(col(tgt), op, v))
           }
           ordered(maybeDistinct(
             havinged.select((out ++ aggNames).map(col): _*)), out)

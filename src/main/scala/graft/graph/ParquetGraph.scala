@@ -1261,6 +1261,31 @@ object ParquetGraph {
         .orderBy("name")
     },
 
+    // Q9 Louvain twin on the clique layer. Unlike LPA (whose winning label
+    // is tie-break luck, graded by invariants above), Louvain under the
+    // exact modularity accept-guard + min-member-id canonicalization is
+    // FULLY deterministic here: modularity of disjoint K3s is maximized by
+    // one community per clique (Q = 1 − 1/R), so every clique member lands
+    // in its region's clique community — reported as the region's lowest
+    // nation id — and message-less isolated vertices stay singleton. The
+    // whole assignment is closed-form SQL.
+    QueryDef.sql(
+      "graphp_louvain",
+      """WITH ranked AS (
+        |  SELECT n_name, n_nationkey, n_regionkey,
+        |    row_number() OVER (PARTITION BY n_regionkey
+        |      ORDER BY n_nationkey) AS rn,
+        |    min(n_nationkey) OVER (PARTITION BY n_regionkey) AS lo
+        |  FROM nation)
+        |SELECT n_name AS name,
+        |  CAST(2000000000 + CASE WHEN rn <= 3 THEN lo
+        |    ELSE n_nationkey END AS BIGINT) AS community
+        |FROM ranked ORDER BY name""".stripMargin) { (s, d) =>
+      GraphOps.louvain(s, cliques(s, d))
+        .select(col("name"), col("community"))
+        .orderBy("name")
+    },
+
     // Q6 subtree-text twin: path-ordered descendant concatenation over the
     // docTree fixture, whose synthetic path/content make document order
     // independently derivable (= nationkey order within the region).
@@ -2114,6 +2139,29 @@ object ParquetGraph {
         .fold(err => throw new IllegalArgumentException(err), identity)
     },
 
+    // C10 CypherLite twin: MULTI-aggregate WITH — `WITH m, count(c) AS n,
+    // sum(c.v) AS s, min(c.v) AS lo WHERE n ≥ k` (the LLM-emitted HAVING
+    // form with several aggregates in one pipeline stage). All three
+    // evaluate in ONE grouped pass; the HAVING filters the count alias
+    // while ORDER BY keys on the sum alias — alias→column routing, not
+    // first-aggregate defaults, on both clauses. min keeps string
+    // collation, mirrored by the VARCHAR cast.
+    QueryDef.sql(
+      "graphp_cypher_with_multi",
+      """SELECT n_name AS m_name, CAST(count(*) AS BIGINT) AS n_cu,
+        |  CAST(sum(c_custkey) AS DOUBLE) AS total,
+        |  min(CAST(c_custkey AS VARCHAR)) AS lo
+        |FROM nation JOIN customer ON c_nationkey = n_nationkey
+        |GROUP BY n_name HAVING count(*) >= 60
+        |ORDER BY total DESC, m_name""".stripMargin) { (s, d) =>
+      CypherLite.run(hierarchy(s, d),
+        "MATCH (m:Nation)-[:HAS_CUSTOMER]->(c) " +
+          "WITH m, count(c) AS n_cu, sum(c.name) AS total, " +
+          "min(c.name) AS lo WHERE n_cu >= 60 " +
+          "RETURN m.name, n_cu, total, lo ORDER BY total DESC")
+        .fold(err => throw new IllegalArgumentException(err), identity)
+    },
+
     // C10 CypherLite twin: SEVERAL aggregates in one grouped query (the
     // LLM staple `RETURN x, count(y), min(y), sum(y)`), all evaluated in
     // one partial+final hash aggregate, ORDER BY an aliased aggregate.
@@ -2193,6 +2241,24 @@ object ParquetGraph {
       CypherLite.run(hierarchy(s, d),
         "MATCH (a:Nation) MATCH (b:Nation) " +
           "WHERE a.name < b.name AND a.name CONTAINS '2' " +
+          "RETURN a.name, b.name ORDER BY a.name")
+        .fold(err => throw new IllegalArgumentException(err), identity)
+    },
+
+    // B6 CypherLite twin: dual MATCH with a cross-variable EQUALITY —
+    // the shape where the cartesian composition MUST collapse into one
+    // distributed equi-join (Catalyst pushes the `=` into the join
+    // condition; PlanShapeSpec asserts no nested-loop survives). The
+    // extra literal filter keeps one side pruned before the join.
+    QueryDef.sql(
+      "graphp_cypher_dual_match_eq",
+      """SELECT a.n_name AS a_name, b.n_name AS b_name
+        |FROM nation a, nation b
+        |WHERE a.n_name = b.n_name AND a.n_name LIKE '%A%'
+        |ORDER BY a_name, b_name""".stripMargin) { (s, d) =>
+      CypherLite.run(hierarchy(s, d),
+        "MATCH (a:Nation) MATCH (b:Nation) " +
+          "WHERE a.name = b.name AND a.name CONTAINS 'A' " +
           "RETURN a.name, b.name ORDER BY a.name")
         .fold(err => throw new IllegalArgumentException(err), identity)
     },

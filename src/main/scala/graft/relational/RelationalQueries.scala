@@ -543,11 +543,12 @@ object RelationalQueries {
           .orderBy("l_returnflag")
     },
     // HLL sketch differs engine-to-engine by design => rows-only check.
-    QueryDef.rowsOnly("g4_approx_distinct") { (s, d) =>
-      Tables.lineitem(s, d).groupBy("l_returnflag")
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
-        .orderBy("l_returnflag")
-    },
+    // G4 approximate distinct: the oracle-graded face is the KMV sketch
+    // below (engine-portable hash order statistics — DuckDB reproduces it
+    // exactly); Spark's own HLL (`approx_count_distinct`) stays available
+    // and is regression-pinned by G4SnapshotSpec, but is not a registered
+    // query: HLL sketches differ engine-to-engine by design, and a
+    // rows-only gate would hide drift the snapshot spec catches.
     QueryDef.sql("g4b_kmv_sketch", kmvOracleSql(1024)) { (s, d) =>
       // custom TypedImperativeAggregate KMV sketch, partial+final mergeable
       graft.functions.KmvSketch.register(s)

@@ -22,31 +22,35 @@ import graft.graph.{EdgeRow, GraphOps, GraphTables, NodeRow}
 class ScaleCurveSpec extends SparkSpec {
   import ScaleCurveSpec._
 
-  /** 1× and 10× corpora written through the SAME pipeline (identical file
-    * layout policy), each a directory holding only documents.parquet —
-    * the sole table the heavy family reads.
+  /** 1×/10×/100× corpora written through the SAME pipeline (identical
+    * file layout policy), each a directory holding only documents.parquet
+    * — the sole table the heavy family reads. Copies are token-salted per
+    * copy index, so copy k's shingles never collide with copy j's — no
+    * synthetic cross-copy near-dups inflating the output super-linearly.
+    * The 100× build salts with a SINGLE column expression (one
+    * `~<copyid>` suffix derived from the replica index) instead of 100
+    * unioned branches, so building the fixture is itself linear.
     */
-  private lazy val (dir1x, dir10x): (String, String) = {
+  private def replicateDocs(copies: Int, out: String): String = {
     val docs = spark.read.parquet(sf("sf0.01") + "/documents.parquet")
-    def replicate(copies: Int, out: String): String = {
-      (0 until copies).map { k =>
-        docs.select(
-          (col("doc_id") + lit(k.toLong * 1000000000L)).as("doc_id"),
-          // token-salting: suffix every token with the copy index, so
-          // copy k's shingles never collide with copy j's — no synthetic
-          // cross-copy near-dups inflating the output super-linearly
-          (if (k == 0) col("text")
-           else regexp_replace(col("text"), "(\\S+)", "$1~" + k)).as("text"),
-          col("lang"), col("source"), col("n_chars"))
-      }.reduce(_ unionByName _)
-        .write.mode("overwrite").parquet(s"$out/documents.parquet")
-      out
-    }
-    (replicate(1,
-        java.nio.file.Files.createTempDirectory("scale1x").toString),
-      replicate(10,
-        java.nio.file.Files.createTempDirectory("scale10x").toString))
+    docs.crossJoin(
+        spark.range(copies).select(col("id").as("copy_k")))
+      .select(
+        (col("doc_id") + col("copy_k") * lit(1000000000L)).as("doc_id"),
+        when(col("copy_k") === 0, col("text"))
+          .otherwise(regexp_replace(col("text"), lit("(\\S+)"),
+            concat(lit("$1~"), col("copy_k").cast("string")))).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    out
   }
+
+  private lazy val dir1x: String = replicateDocs(1,
+    java.nio.file.Files.createTempDirectory("scale1x").toString)
+  private lazy val dir10x: String = replicateDocs(10,
+    java.nio.file.Files.createTempDirectory("scale10x").toString)
+  private lazy val dir100x: String = replicateDocs(100,
+    java.nio.file.Files.createTempDirectory("scale100x").toString)
 
   private def timed(body: => Unit): Double = {
     val t0 = System.nanoTime()
@@ -87,6 +91,23 @@ class ScaleCurveSpec extends SparkSpec {
       val t1 = timedMin2(run(spark, dir1x).count())
       val t10 = timedMin2(run(spark, dir10x).count())
       assertLinear(q, t1, t10)
+    }
+  }
+
+  // round-9 directive 5: one more order of magnitude on the core dedup
+  // kernels. The 10× curves show the quadratic term dead at 10×; this
+  // point shows it STAYS dead at 100× (where an all-pairs join would run
+  // ~10,000× the 1× work and a bucket-quadratic one ~100× the 10×
+  // reading). Runtime-budgeted: single timed run at 100× against the
+  // min-of-2 10× baseline, one 10×-step bound — same MaxRatio.
+  for (q <- Seq("l2_minhash_lsh", "l2c_ngram_jaccard",
+      "l34_verified_neardup")) {
+    test(s"$q wall-time stays ~linear from 10x to 100x corpus") {
+      val run = SparkEntry.queries(q)
+      run(spark, dir10x).count() // warm-up: JIT + codegen + footer caches
+      val t10 = timedMin2(run(spark, dir10x).count())
+      val t100 = timed(run(spark, dir100x).count())
+      assertLinear(s"$q(10x→100x)", t10, t100)
     }
   }
 

@@ -959,6 +959,88 @@ class CypherLiteSpec extends SparkSpec {
       r5.toString)
   }
 
+  test("multi-aggregate WITH: several aggregates in one grouped pass, " +
+      "RETURN order routes each alias to its own column") {
+    // ground truth from the established multi-aggregate RETURN path
+    val plain = CypherLite.run(g,
+      "MATCH (m:Boeing_Service_Bulletin)-[*1..2]->(c) " +
+        "RETURN m.docnbr, count(c), min(c.name), count(DISTINCT c.label)")
+      .fold(e => fail(e), identity).collect().map(r =>
+        r.getAs[String]("m_docnbr") ->
+          ((r.getAs[Long]("n_connected"), r.getAs[String]("min_name"),
+            r.getAs[Long]("n_label")))).toMap
+    // same aggregates through the WITH pipeline, RETURN order ≠ WITH
+    // order — each alias must still land on its own aggregate
+    val viaWith = CypherLite.run(g,
+      "MATCH (m:Boeing_Service_Bulletin)-[*1..2]->(c) " +
+        "WITH m, count(c) AS n, min(c.name) AS lo, " +
+        "count(DISTINCT c.label) AS kinds WHERE n >= 0 " +
+        "RETURN m.docnbr, kinds, n, lo").fold(e => fail(e), identity)
+    assert(viaWith.columns.toSeq == Seq("m_docnbr", "kinds", "n", "lo"))
+    val got = viaWith.collect().map(r =>
+      r.getAs[String]("m_docnbr") ->
+        ((r.getAs[Long]("n"), r.getAs[String]("lo"),
+          r.getAs[Long]("kinds")))).toMap
+    assert(got == plain && got.nonEmpty)
+  }
+
+  test("multi-aggregate WITH: HAVING filters the NAMED alias and " +
+      "ORDER BY keys any alias, not the first aggregate by default") {
+    val plain = CypherLite.run(g,
+      "MATCH (m:Boeing_Service_Bulletin)-[*1..2]->(c) " +
+        "RETURN m.docnbr, count(c), count(DISTINCT c.label)")
+      .fold(e => fail(e), identity).collect().map(r =>
+        r.getAs[String]("m_docnbr") ->
+          ((r.getAs[Long]("n_connected"), r.getAs[Long]("n_label")))).toMap
+    val counts = plain.values.map(_._1).toSeq.sorted
+    val k = counts(counts.size / 2).max(counts.head + 1)
+    assert(plain.values.exists(_._1 < k) && plain.values.exists(_._1 >= k))
+    // HAVING on the SECOND declared alias; ORDER BY on it too
+    val rows = CypherLite.run(g,
+      s"MATCH (m:Boeing_Service_Bulletin)-[*1..2]->(c) " +
+        s"WITH m, count(DISTINCT c.label) AS kinds, count(c) AS n " +
+        s"WHERE n >= $k RETURN m.docnbr, kinds, n " +
+        s"ORDER BY n DESC, m.docnbr").fold(e => fail(e), identity)
+      .collect()
+    val got = rows.map(r => r.getAs[String]("m_docnbr") ->
+      ((r.getAs[Long]("n"), r.getAs[Long]("kinds")))).toMap
+    assert(got == plain.filter(_._2._1 >= k) && got.nonEmpty)
+    assert(rows.map(_.getAs[Long]("n")).toSeq ==
+      rows.map(_.getAs[Long]("n")).toSeq.sortBy(-_))
+  }
+
+  test("malformed multi-aggregate WITH pipelines are rejected with " +
+      "named errors") {
+    // duplicate alias
+    val r1 = CypherLite.parse(
+      "MATCH (m:Step)-[*1..1]->(c) WITH m, count(c) AS n, " +
+        "min(c.name) AS n RETURN m.name, n")
+    assert(r1.isLeft && r1.swap.toOption.get.contains("duplicate"),
+      r1.toString)
+    // a grouping item may not follow an aggregate
+    val r2 = CypherLite.parse(
+      "MATCH (m:Step)-[*1..1]->(c) WITH m, count(c) AS n, m.name, " +
+        "min(c.name) AS lo RETURN m.name, n, lo")
+    assert(r2.isLeft, r2.toString)
+    // every alias must come back out through RETURN
+    val r3 = CypherLite.parse(
+      "MATCH (m:Step)-[*1..1]->(c) WITH m, count(c) AS n, " +
+        "min(c.name) AS lo RETURN m.name, n")
+    assert(r3.isLeft && r3.swap.toOption.get.contains("every aggregate"),
+      r3.toString)
+    // HAVING must target a declared alias…
+    val r4 = CypherLite.parse(
+      "MATCH (m:Step)-[*1..1]->(c) WITH m, count(c) AS n, " +
+        "min(c.name) AS lo WHERE zz >= 2 RETURN m.name, n, lo")
+    assert(r4.isLeft && r4.swap.toOption.get.contains("alias"), r4.toString)
+    // …and not a min/max one (string collation vs numeric compare)
+    val r5 = CypherLite.parse(
+      "MATCH (m:Step)-[*1..1]->(c) WITH m, count(c) AS n, " +
+        "min(c.name) AS lo WHERE lo >= 2 RETURN m.name, n, lo")
+    assert(r5.isLeft && r5.swap.toOption.get.contains("min/max"),
+      r5.toString)
+  }
+
   test("count(*) counts rows: 1 for an unmatched OPTIONAL root where " +
       "count(c) answers 0") {
     val star = CypherLite.run(g,

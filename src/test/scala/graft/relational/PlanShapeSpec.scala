@@ -220,6 +220,23 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p.take(800))
   }
 
+  test("Cypher dual-MATCH with a cross-variable equality collapses to " +
+      "one distributed equi-join — no nested loop, no cartesian") {
+    // the composition is written as crossJoin + filter (CypherLite
+    // runDualMatch); Catalyst must rewrite the `=` into the join
+    // condition, or the plan is O(n²) at scale — this pins the rewrite
+    val p = plan("graphp_cypher_dual_match_eq")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p.take(600))
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), p.take(600))
+    // the genuinely non-equi `<` twin keeps its nested-loop shape — the
+    // rewrite must not have been "everything broadcasts" by accident
+    val lt = plan("graphp_cypher_dual_match")
+    assert(lt.contains("BroadcastNestedLoopJoin") ||
+      lt.contains("CartesianProduct"), lt.take(600))
+  }
+
   test("every registered query has distinct name and runnable plan") {
     val names = SparkEntry.allDefs.map(_.name)
     assert(names.distinct.size == names.size)
