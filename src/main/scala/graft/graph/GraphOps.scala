@@ -760,8 +760,8 @@ object GraphOps {
             greatest(col("clo"), col("chi")).as("hi"), col("w"))
           .groupBy("lo", "hi").agg(sum("w").as("w"))
           .localCheckpoint()
+        // lazy: one distinct over the checkpointed assignment
         nodes = assignment.select(col("comm").as("id")).distinct()
-          .localCheckpoint()
       }
     }
     val rep = membership.groupBy(col("node"))
@@ -781,6 +781,12 @@ object GraphOps {
     // adjacency rows (u, v, w) both directions; a condensed self-loop
     // counts double (A_ii = 2w — the igraph/Blondel degree convention)
     val plain = edges.filter(col("lo") =!= col("hi"))
+    // no inter-node edges at this level (condensed communities are
+    // mutually disconnected — every weight lives in self-loops): no move
+    // can ever change modularity, skip the whole local phase. This is
+    // the common exit for a CONVERGED coarsened graph.
+    if (plain.isEmpty)
+      return (nodes.select(col("id"), col("id").as("comm")), false)
     val adjAll = plain
       .select(col("lo").as("u"), col("hi").as("v"), col("w"))
       .unionByName(plain.select(col("hi").as("u"), col("lo").as("v"),
@@ -790,24 +796,41 @@ object GraphOps {
           (col("w") * 2).as("w")))
       .localCheckpoint()
     val identity = nodes.select(col("id"), col("id").as("comm"))
-    val m2Row = adjAll.agg(sum("w")).head
-    if (m2Row.isNullAt(0) || m2Row.getLong(0) == 0L)
-      return (identity, false)
-    val m2 = m2Row.getLong(0)
+    // one action for 2m, Σk² and the self-loop mass: the all-singleton
+    // starting modularity has the closed form Q0·(2m)² = 2m·selfw − Σk²
+    // (isolated nodes hold k = 0 and drop out of both sums), so the
+    // first guard evaluation never needs the general 2-join plan
+    val dec0 = "decimal(38,0)"
+    val statsRow = adjAll.groupBy(col("u")).agg(sum("w").as("k"))
+      .agg(sum(col("k")).as("m2"),
+        coalesce(sum(col("k").cast("decimal(19,0)") *
+          col("k").cast("decimal(19,0)")), lit(0).cast(dec0)).as("t2"))
+      .crossJoin(adjAll.filter(col("u") === col("v"))
+        .agg(coalesce(sum(col("w").cast(dec0)), lit(0).cast(dec0))
+          .as("selfw")))
+      .head
+    val m2 = statsRow.getLong(0)
+    // one-hop derivations of the checkpointed adjacency — left lazy on
+    // purpose: re-deriving a filter/aggregation inside each round's job
+    // is cheaper than one eager materialization job apiece at this
+    // round cadence, and lineage stays rooted at the checkpoint
     val degAll = nodes
       .join(adjAll.groupBy(col("u").as("id")).agg(sum("w").as("k")),
         Seq("id"), "left_outer")
       .select(col("id"), coalesce(col("k"), lit(0L)).as("k"))
-      .localCheckpoint()
     // gain table excludes self rows: i's self-loop follows it into any
     // community, contributing equally everywhere — cancels in the argmax
-    val adjN = adjAll.filter(col("u") =!= col("v")).localCheckpoint()
-    var assignment = identity.localCheckpoint()
-    var qnum = modularityNum(adjAll, degAll, assignment, m2)
+    val adjN = adjAll.filter(col("u") =!= col("v"))
+    var assignment: DataFrame = identity
+    var qnum = new java.math.BigDecimal(m2)
+      .multiply(statsRow.getDecimal(2)).subtract(statsRow.getDecimal(1))
     var round = 0
     var failStreak = 0
     var anyChange = false
-    while (round < maxRounds && failStreak < 2) {
+    // the round's move proposal for the `active` node subset — a LAZY
+    // plan over the checkpointed relations: evaluated inside the fused
+    // modularity action, checkpointed only if ACCEPTED
+    def propose(active: Column): DataFrame = {
       val commTot = assignment.join(degAll, "id")
         .groupBy("comm").agg(sum("k").as("tot"))
       // k_{i,c}: total link weight from i into community c
@@ -843,19 +866,35 @@ object GraphOps {
           col("cand"))).as("m"))
         .select(col("id"), col("m.score").as("moveScore"),
           col("m.cand").as("target"))
-      val tentative = stay.join(best, Seq("id"), "left_outer")
+      stay.join(best, Seq("id"), "left_outer")
         .select(col("id"),
-          when(pmod(col("id") + lit(round), lit(2)) === 0 &&
-              col("moveScore") > col("stayScore") + lit(1e-12),
+          when(active && col("moveScore") > col("stayScore") + lit(1e-12),
             col("target")).otherwise(col("comm")).as("comm"))
-        .localCheckpoint()
-      val qNew = modularityNum(adjAll, degAll, tentative, m2)
-      if (qNew.compareTo(qnum) > 0) {
-        assignment = tentative
-        qnum = qNew
+    }
+    // FULL synchronous rounds while they keep improving (few rounds when
+    // moves don't conflict); the first rejected full round switches the
+    // level permanently to PARITY rounds (one id-parity class moves per
+    // round — breaks label-swap oscillations, the 2-coloring argument).
+    // The exact-integer guard decides every round: accept only strict
+    // modularity improvement. Each proposal is checkpointed BEFORE the
+    // guard evaluates it, so the ~8-join propose plan runs once per
+    // proposal and the guard's plan stays two shallow joins. Termination:
+    // two CONSECUTIVE parity failures cover both classes — no single-node
+    // move improves, a local optimum.
+    var fullMode = true
+    while (round < maxRounds && failStreak < 2) {
+      val active =
+        if (fullMode) lit(true)
+        else pmod(col("id") + lit(round), lit(2)) === 0
+      val t = propose(active).localCheckpoint()
+      val q = modularityNum(adjAll, degAll, t, m2)
+      if (q.compareTo(qnum) > 0) {
+        assignment = t
+        qnum = q
         failStreak = 0
         anyChange = true
-      } else failStreak += 1
+      } else if (fullMode) fullMode = false // not a parity-class failure
+      else failStreak += 1
       round += 1
     }
     (assignment, anyChange)
@@ -872,14 +911,16 @@ object GraphOps {
       .join(assignment.select(col("id").as("u"), col("comm").as("cu")), "u")
       .join(assignment.select(col("id").as("v"), col("comm").as("cv")), "v")
       .filter(col("cu") === col("cv"))
-      .agg(coalesce(sum(col("w").cast(dec)), lit(0).cast(dec)))
-      .head.getDecimal(0)
+      .agg(coalesce(sum(col("w").cast(dec)), lit(0).cast(dec)).as("in"))
     val tot2 = assignment.join(degAll, "id")
       .groupBy("comm").agg(sum("k").as("tot"))
       .agg(coalesce(sum(col("tot").cast("decimal(19,0)") *
-        col("tot").cast("decimal(19,0)")), lit(0).cast(dec)))
-      .head.getDecimal(0)
-    new java.math.BigDecimal(m2).multiply(intra).subtract(tot2)
+        col("tot").cast("decimal(19,0)")), lit(0).cast(dec)).as("t2"))
+    // both single-row aggregates fused into ONE action (the per-round
+    // accept-guard runs this every proposal — job count matters)
+    val row = intra.crossJoin(tot2).head
+    new java.math.BigDecimal(m2).multiply(row.getDecimal(0))
+      .subtract(row.getDecimal(1))
   }
 
   /** Modularity Q of an (id, community) assignment over g's simple
