@@ -46,8 +46,13 @@ import org.apache.spark.sql.functions._
   *     (negated after evaluation — NOT null stays null, Cypher's rule)
   *   [WITH (m|m.prop)[, m.prop ...],
   *    (count([DISTINCT] c|r|*|c.prop) | (sum|avg|min|max)(c.prop)) AS alias
-  *    [WHERE alias <cmp> number]]   // numeric HAVING — count/sum/avg
-  *    aliases only (min/max keep string collation)
+  *      [, <another aggregate> AS alias ...]  // SEVERAL aggregates — one
+  *      // grouped pass, each RETURNed under its own alias
+  *    [WHERE alias <cmp> number]   // numeric HAVING on any NAMED
+  *    count/sum/avg alias (min/max keep string collation)
+  *    [ORDER BY (m.prop|alias) [ASC|DESC][, ...]] [LIMIT n]]  // top-k
+  *    // groups at the WITH stage — ≡ the post-RETURN spelling (grouped
+  *    // rows project 1:1); at most one ORDER BY/LIMIT per query
   *   RETURN [DISTINCT] m | m.prop[, m.prop ...] | m, c | m.prop, c
   *          | m.prop[, ...], c.prop[, ...] | c.prop[, ...]
   *          | [m.prop[, ...],] type(r)[, c.prop[, ...]]
@@ -579,6 +584,13 @@ object CypherLite {
       s"""WITH\\s+((?:\\w+(?:\\s*\\.\\s*\\w+)?\\s*,\\s*)+""" +
       s"""$WithAggFrag(?:\\s*,\\s*$WithAggFrag)*)\\s+""" +
       """(?:WHERE\s+(\w+)\s*(<>|<=|>=|=|<|>)\s*(-?\d+(?:\.\d+)?)\s*)?""" +
+      // WITH-stage ORDER BY/LIMIT (`WITH m, count(c) AS n ORDER BY n DESC
+      // LIMIT 5 RETURN …` — the LLM top-k-groups emission). Normalized
+      // onto the RETURN-side ordering path: RETURN after WITH projects
+      // the grouped rows 1:1 (unique per group), so order-then-project ≡
+      // project-then-order and the limit picks the same groups.
+      s"""(?:ORDER\\s+BY\\s+($ObItemFrag(?:\\s*,\\s*$ObItemFrag)*)\\s*)?""" +
+      """(?:LIMIT\s+(\d+)\s*)?""" +
       """RETURN\s+(DISTINCT\s+)?(.+?)\s*""" +
       s"""(?:ORDER\\s+BY\\s+($ObItemFrag(?:\\s*,\\s*$ObItemFrag)*)\\s*)?""" +
       """(?:SKIP\s+(\d+)\s*)?""" +
@@ -1840,7 +1852,8 @@ object CypherLite {
         skipStr, limitStr)
     case WithRe(m, label, propsStr, optVar, relType, hopsStr, connVar,
         connLabel, connPropsStr, whereStr, withItems, havVar, havOp, havNum,
-        distinctKw, retStr, obClause, skipStr, limitStr) =>
+        wObClause, wLimitStr, distinctKw, retStr, retObClause, skipStr,
+        retLimitStr) =>
       val conn = Option(connVar)
       val optional = optVar != null
       if (conn.isEmpty)
@@ -1994,6 +2007,19 @@ object CypherLite {
             Left("RETURN properties must match the WITH grouping " +
               s"properties (${groupProps.sorted.mkString(", ")})")
           else Right(())
+          // the ordering may sit at the WITH stage or after RETURN —
+          // equivalent here (RETURN projects grouped rows 1:1), but BOTH
+          // at once would be ambiguous about which wins
+          _ <- if (wObClause != null && retObClause != null)
+            Left("ORDER BY may follow the WITH aggregates or the RETURN, " +
+              "not both")
+          else Right(())
+          _ <- if (wLimitStr != null && retLimitStr != null)
+            Left("LIMIT may follow the WITH aggregates or the RETURN, " +
+              "not both")
+          else Right(())
+          obClause = if (wObClause != null) wObClause else retObClause
+          limitStr = if (wLimitStr != null) wLimitStr else retLimitStr
           ob <- {
             // key list, most-significant first: m properties and/or any
             // aggregate alias (each sorts by its own output column)

@@ -2139,6 +2139,25 @@ object ParquetGraph {
         .fold(err => throw new IllegalArgumentException(err), identity)
     },
 
+    // C10 CypherLite twin: WITH-stage ORDER BY + LIMIT — the top-k-groups
+    // emission (`WITH m, count(c) AS n ORDER BY n DESC LIMIT 5 RETURN …`).
+    // The ordering keys the aggregate alias and the limit picks WHICH
+    // groups survive on both engines; the engine's implicit grouping-prop
+    // tiebreak is mirrored in the oracle's ORDER BY so rank-boundary ties
+    // cannot hash-diverge.
+    QueryDef.sql(
+      "graphp_cypher_with_topk",
+      """SELECT n_name AS m_name, CAST(count(*) AS BIGINT) AS n_cust
+        |FROM nation JOIN customer ON c_nationkey = n_nationkey
+        |GROUP BY n_name
+        |ORDER BY n_cust DESC, m_name LIMIT 5""".stripMargin) { (s, d) =>
+      CypherLite.run(hierarchy(s, d),
+        "MATCH (m:Nation)-[:HAS_CUSTOMER]->(c) " +
+          "WITH m, count(c) AS n_cust ORDER BY n_cust DESC LIMIT 5 " +
+          "RETURN m.name, n_cust")
+        .fold(err => throw new IllegalArgumentException(err), identity)
+    },
+
     // C10 CypherLite twin: MULTI-aggregate WITH — `WITH m, count(c) AS n,
     // sum(c.v) AS s, min(c.v) AS lo WHERE n ≥ k` (the LLM-emitted HAVING
     // form with several aggregates in one pipeline stage). All three

@@ -111,6 +111,38 @@ class ScaleCurveSpec extends SparkSpec {
     }
   }
 
+  test("louvain wall-time grows ~linearly on a 10x disjoint-clique bank") {
+    // disjoint identical K5s: every copy converges through the SAME move
+    // sequence in parallel, so the accepted/failed round count is a
+    // constant of K5, not of the copy count — the curve isolates the
+    // per-round join work, which must scale with edges. A plan carrying
+    // an all-pairs (node × community) term would blow the bound.
+    def cliqueBank(copies: Int): GraphTables = {
+      import spark.implicits._
+      val pairs = (for { i <- 0 until 5; j <- (i + 1) until 5 }
+        yield (i, j)).toDF("i", "j")
+      val edges = spark.range(copies).crossJoin(pairs)
+        .select((col("id") * 10 + col("i")).as("src"),
+          (col("id") * 10 + col("j")).as("dst"),
+          lit("E").as("relType"), lit("s").as("docnbr"),
+          lit("b0").as("batch")).as[EdgeRow]
+      val nodes = spark.range(copies).crossJoin(
+          spark.range(5).select(col("id").as("i")))
+        .select((col("id") * 10 + col("i")).as("id"), lit("N").as("label"),
+          (col("id") * 10 + col("i")).cast("string").as("name"),
+          lit("").as("content"), lit("").as("docnbr"),
+          lit("b0").as("batch"), typedLit(Seq.empty[Int]).as("path"))
+        .as[NodeRow]
+      GraphTables(nodes, edges)
+    }
+    val g1 = cliqueBank(2000)
+    val g10 = cliqueBank(20000)
+    GraphOps.louvain(spark, g1).count() // warm-up
+    val t1 = timedMin2(GraphOps.louvain(spark, g1).count())
+    val t10 = timedMin2(GraphOps.louvain(spark, g10).count())
+    assertLinear("louvain(cliqueBank)", t1, t10)
+  }
+
   test("kCore wall-time grows ~linearly on a 10x hub graph") {
     def hubGraph(mult: Int): GraphTables = {
       import spark.implicits._

@@ -39,6 +39,21 @@ class CypherFuzzSpec extends SparkSpec {
     " WHERE type(r) = 'HAS_NATION'", " WHERE exists(m.name)",
     " WHERE NOT EXISTS { (m)-[]->() }", " WHERE m.name =",
     " WHERE m.name = 'a' OR (m)-[]->()")
+  // WITH pipeline fragments, incl. MULTI-aggregate forms and near-miss
+  // shapes (duplicate alias, grouping item after an aggregate, dangling
+  // comma/HAVING) — the round-10 multi-aggregate WITH surface must stay
+  // total under recombination like everything else
+  private val withs = Seq("",
+    " WITH m, count(c) AS n",
+    " WITH m, count(c) AS n WHERE n >= 1",
+    " WITH m, count(c) AS n, sum(c.name) AS s",
+    " WITH m, count(c) AS n, min(c.name) AS lo WHERE n > 0",
+    " WITH m.name, count(DISTINCT c.name) AS n, avg(c.name) AS a",
+    " WITH m, count(c) AS n, count(c) AS n",
+    " WITH m, count(c) AS n, m.name, sum(c.name) AS s",
+    " WITH m, count(c) AS n, min(c.name) AS lo WHERE lo >= 2",
+    " WITH m, count(c) AS n, sum(c.name) AS",
+    " WITH m, count(c) AS n,")
   private val rets = Seq(" RETURN m", " RETURN m.name", " RETURN DISTINCT c",
     " RETURN m, count(c)", " RETURN count(*)", " RETURN collect(c.name)",
     " RETURN m.name, COUNT { (m)-[]->(x) }", " RETURN type(r), count(r)",
@@ -60,10 +75,10 @@ class CypherFuzzSpec extends SparkSpec {
 
   test("every fragment recombination answers Left or a collectable Right") {
     val rnd = new scala.util.Random(42)
-    (1 to 400).foreach { _ =>
+    (1 to 500).foreach { _ =>
       val q = heads(rnd.nextInt(heads.size)) + hops(rnd.nextInt(hops.size)) +
-        wheres(rnd.nextInt(wheres.size)) + rets(rnd.nextInt(rets.size)) +
-        tails(rnd.nextInt(tails.size))
+        wheres(rnd.nextInt(wheres.size)) + withs(rnd.nextInt(withs.size)) +
+        rets(rnd.nextInt(rets.size)) + tails(rnd.nextInt(tails.size))
       exercise(q)
     }
   }
@@ -72,6 +87,18 @@ class CypherFuzzSpec extends SparkSpec {
     val base = "MATCH (m:Region)-[:HAS_NATION*1..2]->(c:Nation) " +
       "WHERE m.name = 'r1' AND NOT (c)-[]->() " +
       "RETURN m.name, count(c) AS n ORDER BY n DESC LIMIT 2"
+    (1 to base.length).foreach(k => exercise(base.take(k)))
+    val toks = base.split(" ")
+    toks.indices.foreach { i =>
+      exercise((toks.take(i) ++ toks.drop(i + 1)).mkString(" "))
+    }
+  }
+
+  test("multi-aggregate WITH truncations and token deletions never " +
+      "escape Either") {
+    val base = "MATCH (m:Region)-[:HAS_NATION]->(c) " +
+      "WITH m, count(c) AS n, sum(c.name) AS s, min(c.name) AS lo " +
+      "WHERE n >= 1 RETURN m.name, n, s, lo ORDER BY s DESC LIMIT 2"
     (1 to base.length).foreach(k => exercise(base.take(k)))
     val toks = base.split(" ")
     toks.indices.foreach { i =>

@@ -1009,6 +1009,26 @@ class CypherLiteSpec extends SparkSpec {
       rows.map(_.getAs[Long]("n")).toSeq.sortBy(-_))
   }
 
+  test("WITH-stage ORDER BY + LIMIT ≡ the post-RETURN spelling; both at " +
+      "once is rejected") {
+    val post = CypherLite.run(g,
+      "MATCH (m:Boeing_Service_Bulletin)-[*1..2]->(c) " +
+        "WITH m, count(c) AS n WHERE n >= 0 RETURN m.docnbr, n " +
+        "ORDER BY n DESC LIMIT 2").fold(e => fail(e), identity).collect()
+    val atWith = CypherLite.run(g,
+      "MATCH (m:Boeing_Service_Bulletin)-[*1..2]->(c) " +
+        "WITH m, count(c) AS n WHERE n >= 0 ORDER BY n DESC LIMIT 2 " +
+        "RETURN m.docnbr, n").fold(e => fail(e), identity).collect()
+    assert(atWith.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      post.map(r => (r.getString(0), r.getLong(1))).toSeq)
+    assert(atWith.nonEmpty)
+    val both = CypherLite.parse(
+      "MATCH (m:Step)-[*1..1]->(c) WITH m, count(c) AS n " +
+        "ORDER BY n DESC RETURN m.name, n ORDER BY n")
+    assert(both.isLeft && both.swap.toOption.get.contains("not both"),
+      both.toString)
+  }
+
   test("malformed multi-aggregate WITH pipelines are rejected with " +
       "named errors") {
     // duplicate alias
