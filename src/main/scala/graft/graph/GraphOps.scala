@@ -992,6 +992,33 @@ object GraphOps {
         (coalesce(col("micro"), lit(0L)) / lit(1000000.0)).as("harmonic"))
   }
 
+  /** Landmark-sampled closeness centrality (the GDS staple next to
+    * [[harmonicCentrality]], same bounded-landmark scale posture — exact
+    * closeness needs all-pairs distances, never at 100 TB):
+    * C(v) = r(v) / Σ_l d(v→l) over the landmarks REACHABLE from v
+    * (d > 0 — the landmark itself is excluded, as in harmonic), and 0
+    * when none are (the disconnected-graph convention). Distances come
+    * from the same distributed GraphX ShortestPaths substrate; r and Σd
+    * are exact integer sums, so the emitted ratio is deterministic under
+    * any partitioning with no quantization step needed.
+    */
+  def closenessCentrality(spark: SparkSession, g: GraphTables,
+      landmarks: Seq[Long]): DataFrame = {
+    import spark.implicits._
+    val rd = org.apache.spark.graphx.lib.ShortestPaths
+      .run(toGraphX(g), landmarks).vertices
+      .map { case (id, spmap) =>
+        val ds = spmap.valuesIterator.filter(_ > 0)
+          .map(_.toLong).toSeq
+        (id, ds.size.toLong, ds.sum)
+      }.toDF("id", "r", "sumd")
+    g.nodes.toDF().join(rd, Seq("id"), "left_outer")
+      .select(col("label"), col("name"),
+        when(coalesce(col("sumd"), lit(0L)) > 0,
+          col("r").cast("double") / col("sumd"))
+          .otherwise(lit(0.0)).as("closeness"))
+  }
+
   /** Personalized PageRank from a single source (Q9 analytics breadth —
     * the "important relative to THIS node" ranking a Neo4j deployment
     * answers with GDS; the recommendation primitive). GraphX

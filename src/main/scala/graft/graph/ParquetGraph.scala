@@ -427,6 +427,33 @@ object ParquetGraph {
         .orderBy("name")
     },
 
+    // Q9 closeness twin: landmark-restricted closeness on the directed
+    // cycle, same landmark set as graphp_harmonic. Each node reaches
+    // exactly ONE landmark (its own region's) at the wrap distance, so
+    // C = 1/(sz − rn + 1) exactly — a ratio of small ints both engines
+    // compute bit-identically in IEEE double; the landmark itself
+    // (d = 0 excluded) answers 0.
+    QueryDef.sql(
+      "graphp_closeness",
+      """WITH pos AS (
+        |  SELECT n_name, n_regionkey,
+        |    row_number() OVER (PARTITION BY n_regionkey
+        |      ORDER BY n_nationkey) AS rn,
+        |    count(*) OVER (PARTITION BY n_regionkey) AS sz
+        |  FROM nation)
+        |SELECT n_name AS name,
+        |  CASE WHEN rn = 1 THEN CAST(0 AS DOUBLE)
+        |       ELSE CAST(1 AS DOUBLE) / (sz - rn + 1) END AS closeness
+        |FROM pos ORDER BY name""".stripMargin) { (s, d) =>
+      val landmarks = Tables.nation(s, d)
+        .groupBy("n_regionkey").agg(min("n_nationkey").as("k"))
+        .select((col("k") + NationBase).as("id"))
+        .collect().map(_.getLong(0)).toSeq // ≤ |regions| rows — bounded
+      GraphOps.closenessCentrality(s, chain(s, d), landmarks)
+        .select(col("name"), col("closeness"))
+        .orderBy("name")
+    },
+
     // Q9 personalized-PageRank twin (new r8): PPR from the globally
     // min-keyed nation on the directed cycle layer. Finite-iteration rank
     // VALUES aren't engine-portable, but two invariants are exact: (a)
