@@ -50,9 +50,16 @@ import org.apache.spark.sql.functions._
   *      // grouped pass, each RETURNed under its own alias
   *    [WHERE alias <cmp> number]   // numeric HAVING on any NAMED
   *    count/sum/avg alias (min/max keep string collation)
-  *    [ORDER BY (m.prop|alias) [ASC|DESC][, ...]] [LIMIT n]]  // top-k
+  *    [ORDER BY (m.prop|alias) [ASC|DESC][, ...]] [LIMIT n]  // top-k
   *    // groups at the WITH stage — ≡ the post-RETURN spelling (grouped
   *    // rows project 1:1); at most one ORDER BY/LIMIT per query
+  *    [WHERE alias <cmp> number]]  // the openCypher subclause order
+  *    // (WHERE may also follow ORDER BY/LIMIT, Neo4j's grammar). One
+  *    // WHERE per WITH stage, either position. Semantics follow the
+  *    // position, per openCypher: before ORDER BY/LIMIT it filters the
+  *    // groups first (SQL HAVING); after a LIMIT it filters the
+  *    // LIMITED rows (Neo4j applies WITH's ORDER BY/LIMIT before its
+  *    // WHERE) — the two only differ when a LIMIT is present
   *   RETURN [DISTINCT] m | m.prop[, m.prop ...] | m, c | m.prop, c
   *          | m.prop[, ...], c.prop[, ...] | c.prop[, ...]
   *          | [m.prop[, ...],] type(r)[, c.prop[, ...]]
@@ -395,9 +402,14 @@ object CypherLite {
     * (Cypher's rule). `aliases` is one name per aggregate item, in the
     * order the aggregates appear among the RETURN items (the executor
     * zips them positionally); `having` names WHICH alias it filters.
+    * `havingAfterLimit` = the WHERE sat AFTER the WITH stage's ORDER
+    * BY/LIMIT (openCypher's subclause order), so it filters the LIMITED
+    * rows — the executor applies it after the limit, not at the
+    * aggregation (the two orders only differ when a LIMIT is present).
     */
   final case class WithSpec(groupIdentity: Boolean, aliases: Seq[String],
-      having: Option[(String, String, Double)])
+      having: Option[(String, String, Double)],
+      havingAfterLimit: Boolean = false)
 
   final case class MatchReturn(
       label: Option[String],
@@ -591,10 +603,19 @@ object CypherLite {
       // project-then-order and the limit picks the same groups.
       s"""(?:ORDER\\s+BY\\s+($ObItemFrag(?:\\s*,\\s*$ObItemFrag)*)\\s*)?""" +
       """(?:LIMIT\s+(\d+)\s*)?""" +
+      // openCypher also admits the WHERE AFTER the ORDER BY/SKIP/LIMIT
+      // subclauses (and applies it after them) — accept that spelling as
+      // ONE group re-parsed by PostHavRe (the 22-binding unapply budget
+      // is exhausted, so the clause can't take three groups of its own)
+      """(?:WHERE\s+(\w+\s*(?:<>|<=|>=|=|<|>)\s*-?\d+(?:\.\d+)?)\s*)?""" +
       """RETURN\s+(DISTINCT\s+)?(.+?)\s*""" +
       s"""(?:ORDER\\s+BY\\s+($ObItemFrag(?:\\s*,\\s*$ObItemFrag)*)\\s*)?""" +
       """(?:SKIP\s+(\d+)\s*)?""" +
       """(?:LIMIT\s+(\d+))?\s*;?\s*""").r
+
+  // the captured post-LIMIT WHERE clause, split back into (alias, op, num)
+  private val PostHavRe =
+    """(?is)\s*(\w+)\s*(<>|<=|>=|=|<|>)\s*(-?\d+(?:\.\d+)?)\s*""".r
 
   // one WITH item: the grouping variable/property or the aliased aggregate
   private val WithCountRe =
@@ -1852,8 +1873,8 @@ object CypherLite {
         skipStr, limitStr)
     case WithRe(m, label, propsStr, optVar, relType, hopsStr, connVar,
         connLabel, connPropsStr, whereStr, withItems, havVar, havOp, havNum,
-        wObClause, wLimitStr, distinctKw, retStr, retObClause, skipStr,
-        retLimitStr) =>
+        wObClause, wLimitStr, postHavStr, distinctKw, retStr, retObClause,
+        skipStr, retLimitStr) =>
       val conn = Option(connVar)
       val optional = optVar != null
       if (conn.isEmpty)
@@ -1955,20 +1976,44 @@ object CypherLite {
             case (_, Some(_)) => Left("a pattern-existence WHERE cannot " +
               "be combined with WITH")
           }
-          _ <- if (havVar != null && !aliasMap.contains(havVar))
-            Left(s"the WHERE after WITH may only filter an aggregate " +
-              s"alias (${aliasList.mkString(", ")}), got '$havVar'")
+          // the WHERE may precede the stage's ORDER BY/LIMIT (this
+          // grammar's original spot) or follow them (openCypher's
+          // subclause order) — one WHERE per stage, either position
+          _ <- if (havVar != null && postHavStr != null)
+            Left("one WHERE per WITH stage — before ORDER BY or after " +
+              "LIMIT, not both")
           else Right(())
+          hav <- Option(postHavStr) match {
+            case None => Right(Option(havVar)
+              .map(v => (v, havOp, havNum.toDouble)))
+            case Some(PostHavRe(v2, op2, n2)) =>
+              Right(Some((v2, op2, n2.toDouble)))
+            case Some(other) => Left("unparseable WHERE after the WITH " +
+              s"ORDER BY/LIMIT: '${other.trim.take(40)}'")
+          }
+          // openCypher applies WITH's ORDER BY/LIMIT BEFORE its WHERE, so
+          // a post-LIMIT WHERE filters the limited rows; without a LIMIT
+          // the two positions select the same rows, so the cheaper
+          // aggregation-stage filter (HAVING) serves both
+          havAfterLimit = postHavStr != null && wLimitStr != null
+          _ <- hav match {
+            case Some((v, _, _)) if !aliasMap.contains(v) =>
+              Left(s"the WHERE after WITH may only filter an aggregate " +
+                s"alias (${aliasList.mkString(", ")}), got '$v'")
+            case _ => Right(())
+          }
           // the WHERE after WITH compares numerically — meaningful for
           // count/sum/avg; a min/max alias keeps string collation, so a
           // numeric filter over it would silently compare garbage
-          _ <- if (havVar != null && (aliasMap(havVar) match {
-              case RetAggProp("min", _) | RetAggProp("max", _) => true
-              case _ => false
-            }))
-            Left("the WHERE after WITH compares numerically — filter a " +
-              "count/sum/avg alias, not min/max")
-          else Right(())
+          _ <- hav match {
+            case Some((v, _, _)) if (aliasMap(v) match {
+                case RetAggProp("min", _) | RetAggProp("max", _) => true
+                case _ => false
+              }) =>
+              Left("the WHERE after WITH compares numerically — filter a " +
+                "count/sum/avg alias, not min/max")
+            case _ => Right(())
+          }
           // RETURN items; aggregate aliases resolve to their items, and
           // their RETURN-position order becomes the WithSpec alias order
           // (the executor zips aggregates with names positionally)
@@ -2050,12 +2095,28 @@ object CypherLite {
           _ <- if (skipStr != null && ob.isEmpty)
             Left("SKIP requires ORDER BY")
           else Right(())
+          // a post-LIMIT WHERE sits BETWEEN the stage limit and a RETURN
+          // SKIP in Cypher's evaluation order (limit → filter → skip) —
+          // not expressible in the executor's offset-then-limit tail
+          _ <- if (havAfterLimit && skipStr != null)
+            Left("SKIP cannot combine with a WHERE after the WITH LIMIT " +
+              "(Cypher would filter between them) — filter before the " +
+              "LIMIT or drop SKIP")
+          else Right(())
+          skipN = Option(skipStr).map(_.toInt)
+          // a WITH-stage LIMIT runs BEFORE a RETURN-stage SKIP in Cypher
+          // (limit-then-skip → ranks S+1..L); the executor applies
+          // offset-then-limit, so normalize to skip S, limit max(L−S, 0)
+          // — exact under the shared ordering (grouped rows project 1:1)
+          limitN = Option(limitStr).map(_.toInt).map(l =>
+            if (wLimitStr != null && skipN.isDefined)
+              math.max(l - skipN.get, 0)
+            else l)
         } yield MatchReturn(Option(label), props, Option(relType), hops,
           connSugar(connLabel, connPropsStr, conds), items, ob,
-          Option(skipStr).map(_.toInt), Option(limitStr).map(_.toInt),
+          skipN, limitN,
           optional, distinctKw != null, None,
-          Some(WithSpec(groupIdentity, retAliases,
-            Option(havVar).map(v => (v, havOp, havNum.toDouble)))),
+          Some(WithSpec(groupIdentity, retAliases, hav, havAfterLimit)),
           direction = dir, relVar = relVar)
       }
     case MatchRe(m, label, propsStr, optVar, relType, hopsStr, connVar,
@@ -3901,10 +3962,13 @@ object CypherLite {
           val agged = grouped.groupBy(groupCols: _*)
             .agg(aggCols.head, aggCols.tail: _*)
           // the WHERE after WITH: a numeric filter on the NAMED aggregate
-          // alias — Spark's HAVING, applied post-aggregation
-          val havinged = withSpec.flatMap(_.having).fold(agged) {
-            case (tgt, op, v) => agged.filter(numCmp(col(tgt), op, v))
-          }
+          // alias — Spark's HAVING, applied post-aggregation. A WHERE
+          // that followed the stage's LIMIT instead filters the LIMITED
+          // rows (openCypher's order) — deferred to the post-limit tail.
+          val havinged = withSpec
+            .filterNot(_.havingAfterLimit).flatMap(_.having).fold(agged) {
+              case (tgt, op, v) => agged.filter(numCmp(col(tgt), op, v))
+            }
           ordered(maybeDistinct(
             havinged.select((out ++ aggNames).map(col): _*)), out)
         } else if (wantsConnected) {
@@ -3956,7 +4020,13 @@ object CypherLite {
     // Cypher pagination: SKIP drops the first n of the ordered rows, LIMIT
     // caps what remains (Dataset.offset composes with limit exactly so)
     val skipped = skip.map(base.offset).getOrElse(base)
-    val limited = limit.map(skipped.limit).getOrElse(skipped)
+    val capped = limit.map(skipped.limit).getOrElse(skipped)
+    // openCypher `WITH … ORDER BY … LIMIT … WHERE …`: the WHERE filters
+    // the LIMITED rows (Neo4j applies WITH's subclauses in written
+    // order); the alias column is still canonical here — renames follow
+    val limited = withSpec.filter(_.havingAfterLimit).flatMap(_.having)
+      .fold(capped) { case (tgt, op, v) =>
+        capped.filter(numCmp(col(tgt), op, v)) }
     // `AS` aliases: a final rename of each item's canonical output column —
     // ordering and dedup already ran on canonical names, so an alias can
     // never change WHICH rows come back, only what they are called

@@ -22,18 +22,36 @@ import java.util.concurrent.atomic.AtomicLong
   * current pointer target) are COMMITTED; gc, [[versionList]] and
   * [[loadVersion]] consider committed versions only, and any `v-*`
   * directory outside that set is a crashed writer's torn snapshot and is
-  * swept unconditionally — a partial dir can never be preferentially
-  * retained as "newest history" or read back as a snapshot. History
-  * order is the log's append order (a total order independent of
-  * filesystem mtime, which copy/backup tooling can perturb); version
-  * names also embed a zero-padded epoch-millis + sequence prefix so the
-  * names themselves sort in creation order for humans and tools.
+  * swept once it ages past [[UncommittedGraceMillis]] — a partial dir can
+  * never be preferentially retained as "newest history" or read back as a
+  * snapshot. History order is the log's append order (a total order
+  * independent of filesystem mtime, which copy/backup tooling can
+  * perturb); version names also embed a zero-padded epoch-millis +
+  * sequence prefix so the names themselves sort in creation order for
+  * humans and tools.
+  *
+  * CONCURRENCY CONTRACT: the store assumes a SINGLE WRITER per directory
+  * — [[save]]/[[gc]]/[[compact]] serialize through the caller, as in any
+  * non-locking lakehouse layout (concurrent writers would race the
+  * pointer flip itself, not just gc). Readers are unrestricted. As
+  * defense in depth against a gc racing another process's in-flight
+  * save, an UNCOMMITTED `v-*` dir younger than the grace window is left
+  * alone: a torn snapshot is by definition older than its crashed
+  * writer, so the grace delays its sweep by minutes without ever
+  * resurrecting it as readable history.
   */
 object GraphStore {
 
   private val Pointer = "CURRENT"
   private val CommitLog = "COMMITS"
   private val seq = new AtomicLong(0L)
+
+  /** How long an UNCOMMITTED `v-*` dir (absent from the COMMITS log) is
+    * protected from the gc sweep, by mtime. Long enough that a live
+    * writer's snapshot-in-progress is never destroyed under it; short
+    * enough that crashed-writer debris doesn't accumulate across runs.
+    */
+  val UncommittedGraceMillis: Long = 10L * 60 * 1000
 
   private def currentVersion(dir: String): Option[String] = {
     val p = Paths.get(dir, Pointer)
@@ -103,22 +121,28 @@ object GraphStore {
     gc(dir, keepVersions)
   }
 
-  /** Sweep stale pointer temps, every NON-COMMITTED `v-*` dir (torn
-    * snapshots from crashed writers — swept unconditionally, whatever
-    * their mtime), and all but the newest `keepVersions` committed
-    * non-current versions. Safe to run any time; never touches the live
-    * version. `keepVersions = 0` is the crash-sweep default: only the
-    * live version survives.
+  /** Sweep stale pointer temps, NON-COMMITTED `v-*` dirs (torn snapshots
+    * from crashed writers) older than [[UncommittedGraceMillis]], and all
+    * but the newest `keepVersions` committed non-current versions. Safe
+    * to run any time under the single-writer contract; never touches the
+    * live version. `keepVersions = 0` is the crash-sweep default: only
+    * the live version survives.
     */
   def gc(dir: String, keepVersions: Int = 0): Unit =
     currentVersion(dir).foreach { cur =>
       val committed = committedVersions(dir).toSet
+      val now = System.currentTimeMillis()
+      def aged(p: Path): Boolean =
+        try now - Files.getLastModifiedTime(p).toMillis >
+          UncommittedGraceMillis
+        catch { case _: java.io.IOException => false } // raced: skip
       val stream = Files.list(Paths.get(dir))
       try stream.forEach { p =>
         val n = p.getFileName.toString
-        if (n.startsWith(Pointer + ".tmp-")) deleteRecursively(p)
+        if (n.startsWith(Pointer + ".tmp-") && aged(p)) deleteRecursively(p)
         // a v-* dir the log never saw was never pointed to: torn snapshot
-        else if (n.startsWith("v-") && !committed.contains(n))
+        // — swept once it outlives any writer that could still commit it
+        else if (n.startsWith("v-") && !committed.contains(n) && aged(p))
           deleteRecursively(p)
       } finally stream.close()
       // retained history: committed, existing, non-current — newest first

@@ -53,7 +53,12 @@ class CypherFuzzSpec extends SparkSpec {
     " WITH m, count(c) AS n, m.name, sum(c.name) AS s",
     " WITH m, count(c) AS n, min(c.name) AS lo WHERE lo >= 2",
     " WITH m, count(c) AS n, sum(c.name) AS",
-    " WITH m, count(c) AS n,")
+    " WITH m, count(c) AS n,",
+    // openCypher subclause order (WHERE after ORDER BY/LIMIT) + near-misses
+    " WITH m, count(c) AS n ORDER BY n DESC LIMIT 2 WHERE n >= 1",
+    " WITH m, count(c) AS n ORDER BY n WHERE n >= 1",
+    " WITH m, count(c) AS n WHERE n >= 1 ORDER BY n WHERE n >= 2",
+    " WITH m, count(c) AS n ORDER BY n WHERE")
   private val rets = Seq(" RETURN m", " RETURN m.name", " RETURN DISTINCT c",
     " RETURN m, count(c)", " RETURN count(*)", " RETURN collect(c.name)",
     " RETURN m.name, COUNT { (m)-[]->(x) }", " RETURN type(r), count(r)",

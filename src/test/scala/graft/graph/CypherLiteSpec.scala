@@ -1029,6 +1029,77 @@ class CypherLiteSpec extends SparkSpec {
       both.toString)
   }
 
+  // degree staircase t1..t4 with 5/4/3/2 children — unique counts, so
+  // every ORDER BY n is a total order and limit/skip/filter boundaries
+  // are deterministic
+  private lazy val stair: GraphTables = {
+    import spark.implicits._
+    val kids = (1 to 4).flatMap(i => (1 to (6 - i)).map(j =>
+      NodeRow(100L * i + j, "Kid", s"k$i-$j", "", "", "base", Seq.empty)))
+    GraphTables(
+      ((1 to 4).map(i =>
+        NodeRow(i.toLong, "T", s"t$i", "", "", "base", Seq.empty)) ++ kids)
+        .toDS(),
+      (1 to 4).flatMap(i => (1 to (6 - i)).map(j =>
+        EdgeRow(i.toLong, 100L * i + j, "HAS_KID", "", "base"))).toDS())
+  }
+
+  test("WITH-stage LIMIT then RETURN SKIP is Cypher's limit-then-skip " +
+      "(ranks S+1..L), not skip-then-limit") {
+    // top-3 by count = t1(5), t2(4), t3(3); SKIP 2 of those → [(t3, 3)]
+    val rows = CypherLite.run(stair,
+      "MATCH (m:T)-[:HAS_KID]->(c) " +
+        "WITH m, count(c) AS n ORDER BY n DESC LIMIT 3 " +
+        "RETURN m.name, n SKIP 2").fold(e => fail(e), identity).collect()
+    assert(rows.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("t3", 3L)))
+  }
+
+  test("openCypher subclause order: WHERE after the WITH ORDER BY/LIMIT " +
+      "parses, and filters AFTER the limit") {
+    // no LIMIT → position is immaterial: both spellings agree
+    val pre = CypherLite.run(stair,
+      "MATCH (m:T)-[:HAS_KID]->(c) WITH m, count(c) AS n WHERE n >= 3 " +
+        "ORDER BY n DESC RETURN m.name, n")
+      .fold(e => fail(e), identity).collect()
+    val post = CypherLite.run(stair,
+      "MATCH (m:T)-[:HAS_KID]->(c) WITH m, count(c) AS n ORDER BY n DESC " +
+        "WHERE n >= 3 RETURN m.name, n")
+      .fold(e => fail(e), identity).collect()
+    assert(post.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      pre.map(r => (r.getString(0), r.getLong(1))).toSeq)
+    assert(post.map(_.getString(0)).toSeq == Seq("t1", "t2", "t3"))
+
+    // WITH a LIMIT the positions diverge (Neo4j runs ORDER BY/LIMIT first,
+    // WHERE on the limited rows): ASC LIMIT 2 keeps [(t4,2),(t3,3)], then
+    // n >= 3 keeps only t3 — the pre-WHERE spelling would answer [t3, t2]
+    val lim = CypherLite.run(stair,
+      "MATCH (m:T)-[:HAS_KID]->(c) WITH m, count(c) AS n ORDER BY n ASC " +
+        "LIMIT 2 WHERE n >= 3 RETURN m.name, n")
+      .fold(e => fail(e), identity).collect()
+    assert(lim.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("t3", 3L)))
+    val preLim = CypherLite.run(stair,
+      "MATCH (m:T)-[:HAS_KID]->(c) WITH m, count(c) AS n WHERE n >= 3 " +
+        "ORDER BY n ASC LIMIT 2 RETURN m.name, n")
+      .fold(e => fail(e), identity).collect()
+    assert(preLim.map(_.getString(0)).toSeq == Seq("t3", "t2"))
+
+    // one WHERE per stage — both positions at once is ambiguous
+    val both = CypherLite.parse(
+      "MATCH (m:T)-[:HAS_KID]->(c) WITH m, count(c) AS n WHERE n >= 1 " +
+        "ORDER BY n DESC WHERE n >= 2 RETURN m.name, n")
+    assert(both.isLeft && both.swap.toOption.get.contains("one WHERE"),
+      both.toString)
+    // SKIP after a post-LIMIT WHERE would interleave limit→filter→skip —
+    // rejected, not silently reordered
+    val skp = CypherLite.parse(
+      "MATCH (m:T)-[:HAS_KID]->(c) WITH m, count(c) AS n ORDER BY n DESC " +
+        "LIMIT 3 WHERE n >= 3 RETURN m.name, n SKIP 1")
+    assert(skp.isLeft && skp.swap.toOption.get.contains("SKIP"),
+      skp.toString)
+  }
+
   test("malformed multi-aggregate WITH pipelines are rejected with " +
       "named errors") {
     // duplicate alias

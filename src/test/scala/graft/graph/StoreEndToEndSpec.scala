@@ -50,6 +50,15 @@ class StoreEndToEndSpec extends SparkSpec {
       Array[Byte](0, 1, 2))
     Files.write(Paths.get(store, "CURRENT.tmp-v-crashed-writer"),
       "v-crashed-writer".getBytes("UTF-8"))
+    // the writer is long dead: age its leftovers past the in-flight grace
+    // window (a YOUNG uncommitted dir is protected — TimeTravelSpec)
+    val dead = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - GraphStore.UncommittedGraceMillis - 60000)
+    Seq(crashDir, Paths.get(store, "CURRENT.tmp-v-crashed-writer"))
+      .foreach { p =>
+        val w = Files.walk(p)
+        try w.forEach(Files.setLastModifiedTime(_, dead)) finally w.close()
+      }
     // readers resolve the committed version — old data, never a mix or none
     assert(new String(Files.readAllBytes(Paths.get(store, "CURRENT")),
       "UTF-8").trim == committedPtr)

@@ -70,10 +70,31 @@ class TimeTravelSpec extends SparkSpec {
       GraphStore.loadVersion(spark, store, torn.getFileName.toString)
     }
     assert(e.getMessage.contains("never committed"))
-    // gc keeps the committed history (keepVersions budget is NOT spent on
-    // the torn dir) and sweeps the torn dir unconditionally
+    // while the dir is YOUNG it could still be another writer's
+    // in-flight snapshot (defense in depth on the single-writer
+    // contract) — gc leaves it alone…
+    GraphStore.gc(store, keepVersions = 2)
+    assert(java.nio.file.Files.exists(torn),
+      "fresh uncommitted dir must survive gc (in-flight grace)")
+    // …but it stays invisible to readers throughout the grace window
+    assert(!GraphStore.versionList(store).exists(_.contains("deadbeef")))
+
+    // once it outlives any writer that could commit it, gc sweeps it;
+    // the keepVersions budget is NOT spent on the torn dir
+    backdate(torn)
     GraphStore.gc(store, keepVersions = 2)
     assert(!java.nio.file.Files.exists(torn))
     assert(GraphStore.versionList(store).length == 2)
+  }
+
+  /** Age a path past the uncommitted-dir grace window (recursively — gc
+    * checks the top-level dir's mtime, but keep the tree consistent).
+    */
+  private def backdate(p: java.nio.file.Path): Unit = {
+    val old = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - GraphStore.UncommittedGraceMillis - 60000)
+    val s = java.nio.file.Files.walk(p)
+    try s.forEach(java.nio.file.Files.setLastModifiedTime(_, old))
+    finally s.close()
   }
 }
