@@ -411,6 +411,42 @@ object CypherLite {
       having: Option[(String, String, Double)],
       havingAfterLimit: Boolean = false)
 
+  /** One aggregate item of a chained (2nd+) WITH stage: fn over a FLAT
+    * column of the previous stage's output (None = `count(*)`).
+    */
+  final case class FlatAgg(fn: String, arg: Option[String],
+      distinct: Boolean, alias: String)
+
+  /** A chained WITH stage over the FLAT output of the previous stage
+    * (columns referenced by bare name — the previous stage's grouping
+    * names and aggregate aliases): grouping keys then aggregates, with
+    * the same optional WHERE (either subclause position) / ORDER BY /
+    * LIMIT surface as the first stage. `aggs` empty = a pure
+    * projection/filter stage (`WITH n WHERE n > 2`).
+    */
+  final case class FlatStage(keys: Seq[String], aggs: Seq[FlatAgg],
+      having: Option[(String, String, Double)], havingAfterLimit: Boolean,
+      orderBy: Seq[(String, Boolean)], limit: Option[Int])
+
+  /** `MATCH … WITH … WITH … [WITH …] RETURN …` — the multi-stage pipeline
+    * (aggregate → re-filter → re-aggregate, the reference's NL→Cypher
+    * loop staple). Stage 1 is re-expressed as a SINGLE-stage WITH query
+    * (`stage1Query`, validated at parse time) whose RETURN projects the
+    * stage's grouping columns + aliases; `stage1Renames` maps its
+    * canonical `m_<prop>` outputs to the bare names the later stages
+    * see. Each later stage is a flat aggregation over the previous
+    * output; the final RETURN selects/renames flat columns.
+    */
+  final case class ChainedWith(
+      stage1Query: String,
+      stage1Renames: Seq[(String, String)],
+      stages: Seq[FlatStage],
+      retItems: Seq[(String, Option[String])],
+      retDistinct: Boolean,
+      retOrderBy: Seq[(String, Boolean)],
+      retSkip: Option[Int],
+      retLimit: Option[Int]) extends Statement
+
   final case class MatchReturn(
       label: Option[String],
       props: Map[String, String],
@@ -1374,7 +1410,316 @@ object CypherLite {
     rewriteGqlQuantifier(query).flatMap(q =>
       mergeConsecutiveMatches(
         stripPassthroughWith(rewriteCountSubquery(rewriteCommaPatterns(q))))
-        .flatMap(parseStmt))
+        .flatMap(q2 => parseChainedWith(q2).getOrElse(parseStmt(q2))))
+
+  // ——— chained WITH pipeline (2+ stages) ———————————————————————————————
+
+  // a clause-level WITH: the keyword not preceded by STARTS/ENDS (those
+  // are comparison operators); located on the quote-blanked text
+  private val ClauseWithRe = """(?i)\b(?:(STARTS|ENDS)\s+)?WITH\b""".r
+  private val ClauseReturnRe = """(?i)\bRETURN\b""".r
+
+  // one WITH/RETURN stage's clause tail, split verbatim: items, then the
+  // optional WHERE (either subclause position, as in the single-stage
+  // grammar), ORDER BY, LIMIT
+  private val FlatWithRe =
+    ("""(?is)\s*WITH\s+(.+?)\s*""" +
+      """(?:\bWHERE\s+(\w+\s*(?:<>|<=|>=|=|<|>)\s*-?\d+(?:\.\d+)?)\s*)?""" +
+      """(?:\bORDER\s+BY\s+([\w\s,.]+?)\s*)?""" +
+      """(?:\bLIMIT\s+(\d+)\s*)?""" +
+      """(?:\bWHERE\s+(\w+\s*(?:<>|<=|>=|=|<|>)\s*-?\d+(?:\.\d+)?)\s*)?$""").r
+  private val FlatRetRe =
+    ("""(?is)\s*RETURN\s+(DISTINCT\s+)?(.+?)\s*""" +
+      """(?:\bORDER\s+BY\s+([\w\s,.]+?)\s*)?""" +
+      """(?:\bSKIP\s+(\d+)\s*)?""" +
+      """(?:\bLIMIT\s+(\d+))?\s*;?\s*$""").r
+  private val FlatAggRe =
+    ("""(?is)\s*(count|sum|avg|min|max)\s*\(\s*(DISTINCT\s+)?""" +
+      """(\*|\w+)\s*\)\s+AS\s+(\w+)\s*""").r
+  private val FlatRetItemRe = """(?is)\s*(\w+)(?:\s+AS\s+(\w+))?\s*""".r
+  private val FlatObItemRe = """(?is)\s*(\w+)(?:\s+(ASC|DESC))?\s*""".r
+
+  /** Detect and parse the ≥2-stage WITH pipeline; `None` = not a chain
+    * (single-stage and WITH-less queries take their existing paths).
+    */
+  private def parseChainedWith(q: String)
+      : Option[Either[String, Statement]] = {
+    val blanked = blankQuoted(q)
+    val withMs = ClauseWithRe.findAllMatchIn(blanked)
+      .filter(_.group(1) == null).toList
+    if (withMs.length < 2) None
+    else Some(buildChain(q, blanked, withMs))
+  }
+
+  private def buildChain(q: String, blanked: String,
+      withMs: List[scala.util.matching.Regex.Match])
+      : Either[String, Statement] = for {
+    ret <- ClauseReturnRe.findFirstMatchIn(blanked)
+      .toRight("a chained WITH pipeline needs a closing RETURN")
+    _ <- if (ret.start < withMs.last.start)
+      Left("RETURN must follow the last WITH stage of a chained pipeline")
+    else Right(())
+    // stage 1: the original MATCH + first WITH clause, re-expressed as a
+    // single-stage WITH query with a synthesized RETURN of its outputs
+    s1 <- synthStage1(q.substring(0, withMs.head.start),
+      q.substring(withMs.head.start, withMs(1).start))
+    (stage1Query, avail0, renames) = s1
+    _ <- parseStmt(stage1Query) match {
+      case Left(e) => Left(s"in WITH stage 1: $e")
+      case Right(_: MatchReturn) => Right(())
+      case Right(_) => Left("the first WITH stage must follow a single " +
+        "MATCH pattern")
+    }
+    // later stages: flat aggregations over the previous stage's columns
+    segs = withMs.tail.zip(withMs.drop(2).map(_.start) :+ ret.start)
+      .map { case (m, end) => q.substring(m.start, end) }
+    folded <- segs.zipWithIndex
+      .foldLeft[Either[String, (Seq[FlatStage], Seq[(String, Boolean)])]](
+        Right((Seq.empty, avail0))) {
+        case (acc, (seg, i)) => acc.flatMap { case (stages, avail) =>
+          parseFlatStage(seg, i + 2, avail).map { case (st, avail2) =>
+            (stages :+ st, avail2)
+          }
+        }
+      }
+    (stages, availN) = folded
+    retParsed <- parseFlatReturn(q.substring(ret.start), availN)
+    (items, distinct, ob, skip, limit) = retParsed
+  } yield ChainedWith(stage1Query, renames, stages, items, distinct, ob,
+    skip, limit)
+
+  /** Classify the first WITH clause's items and synthesize the
+    * single-stage query: grouping props (+ `name` as the identity
+    * carrier) and every alias become the stage's RETURN. Answers
+    * (query text, available columns with numeric-lineage flags,
+    * canonical→bare renames).
+    */
+  private def synthStage1(matchPart: String, withPart: String): Either[
+      String, (String, Seq[(String, Boolean)], Seq[(String, String)])] =
+    withPart match {
+      case FlatWithRe(itemsText, hav, obText, limitStr, havPost) =>
+        val parts = splitTopLevel(itemsText).map(_.trim)
+        var mVar: Option[String] = None
+        var identity = false
+        val props = Seq.newBuilder[String]
+        val aggs = Seq.newBuilder[(String, Boolean)] // alias → numeric
+        var err: Option[String] = None
+        parts.foreach {
+          case _ if err.isDefined => ()
+          case WithCountRe(_, _, alias) => aggs += ((alias, true))
+          case WithCountPropRe(_, _, _, alias) => aggs += ((alias, true))
+          case WithAggPropRe(fn, _, _, alias) =>
+            // min/max keep the property's string collation; sum/avg
+            // produce numbers — the flag gates later numeric use
+            aggs += ((alias,
+              Set("sum", "avg")(fn.toLowerCase(java.util.Locale.ROOT))))
+          case VarRe(v) =>
+            identity = true
+            if (mVar.forall(_ == v)) mVar = Some(v)
+            else err = Some(s"two grouping variables ('${mVar.get}', " +
+              s"'$v') in one WITH stage")
+          case VarPropRe(v, p) =>
+            props += p
+            if (mVar.forall(_ == v)) mVar = Some(v)
+            else err = Some(s"two grouping variables ('${mVar.get}', " +
+              s"'$v') in one WITH stage")
+          case other =>
+            err = Some("unsupported WITH item in a chained pipeline: " +
+              s"'${other.trim.take(40)}'")
+        }
+        val aliasSeq = aggs.result()
+        val propSeq = props.result()
+        err.map(Left(_)).getOrElse {
+          if (mVar.isEmpty)
+            Left("the first WITH stage needs a grouping item (the " +
+              "matched variable or one of its properties)")
+          else if (aliasSeq.isEmpty)
+            Left("the first WITH stage needs at least one aliased " +
+              "aggregate")
+          else {
+            val v = mVar.get
+            // identity grouping carries `name` so the synthesized RETURN
+            // has a grouping property; per-node multiplicity is preserved
+            // by the identity groupBy regardless of name collisions
+            val carried =
+              if (identity) (propSeq :+ "name").distinct else propSeq
+            val shadow = aliasSeq.map(_._1).toSet.intersect(carried.toSet)
+            if (shadow.nonEmpty)
+              Left(s"WITH alias '${shadow.head}' shadows a carried " +
+                "grouping property")
+            else {
+              val projection =
+                (carried.map(p => s"$v.$p") ++ aliasSeq.map(_._1))
+                  .mkString(", ")
+              val clause = new StringBuilder("WITH ").append(itemsText)
+              Option(hav).foreach(h => clause.append(" WHERE ").append(h))
+              Option(obText).foreach(o =>
+                clause.append(" ORDER BY ").append(o))
+              Option(limitStr).foreach(l =>
+                clause.append(" LIMIT ").append(l))
+              Option(havPost).foreach(h =>
+                clause.append(" WHERE ").append(h))
+              val avail = carried.map((_, false)) ++ aliasSeq
+              Right((s"$matchPart$clause RETURN $projection",
+                avail, carried.map(p => (s"m_$p", p))))
+            }
+          }
+        }
+      case _ => Left("unparseable first WITH stage: " +
+        s"'${withPart.trim.take(60)}'")
+    }
+
+  /** Parse one chained (2nd+) stage: bare-name keys and/or aggregates
+    * over the previous stage's columns. Answers (stage, the NEW
+    * available columns).
+    */
+  private def parseFlatStage(seg: String, stageNo: Int,
+      avail: Seq[(String, Boolean)])
+      : Either[String, (FlatStage, Seq[(String, Boolean)])] = {
+    val numeric = avail.toMap
+    def inScope(c: String): Boolean = numeric.contains(c)
+    def scopeErr(c: String): String =
+      s"'$c' is not in scope in WITH stage $stageNo — the previous " +
+        s"stage carries: ${avail.map(_._1).mkString(", ")}"
+    seg match {
+      case FlatWithRe(itemsText, hav, obText, limitStr, havPost) =>
+        val parts = splitTopLevel(itemsText).map(_.trim)
+        val keys = Seq.newBuilder[String]
+        val aggs = Seq.newBuilder[FlatAgg]
+        var sawAgg = false
+        var err: Option[String] = None
+        parts.foreach {
+          case _ if err.isDefined => ()
+          case FlatAggRe(fn0, dk, arg, alias) =>
+            sawAgg = true
+            val fn = fn0.toLowerCase(java.util.Locale.ROOT)
+            if (arg == "*") {
+              if (fn != "count")
+                err = Some(s"$fn(*) is not an aggregate — only count(*)")
+              else if (dk != null)
+                err = Some("count(DISTINCT *) is not supported")
+              else aggs += FlatAgg("count", None, distinct = false, alias)
+            } else if (!inScope(arg)) err = Some(scopeErr(arg))
+            else if (Set("sum", "avg")(fn) && !numeric(arg))
+              err = Some(s"$fn('$arg') needs a numeric column — '$arg' " +
+                s"carries string collation in WITH stage $stageNo")
+            else aggs += FlatAgg(fn, Some(arg), dk != null, alias)
+          case VarRe(c) =>
+            if (sawAgg)
+              err = Some("WITH grouping items must precede the " +
+                s"aggregates, got '$c' after one (stage $stageNo)")
+            else if (!inScope(c)) err = Some(scopeErr(c))
+            else keys += c
+          case other =>
+            err = Some(s"unsupported item in WITH stage $stageNo: " +
+              s"'${other.trim.take(40)}' (use a carried column or " +
+              "agg(col) AS alias)")
+        }
+        val keySeq = keys.result()
+        val aggSeq = aggs.result()
+        val outCols = keySeq.map(k => (k, numeric(k))) ++
+          aggSeq.map(a => (a.alias, a.fn match {
+            case "count" | "sum" | "avg" => true
+            case _ => a.arg.forall(numeric)
+          }))
+        val outMap = outCols.toMap
+        def havParsed(h: String): Either[String, (String, String, Double)] =
+          h match {
+            case PostHavRe(t, op, n) =>
+              if (!outMap.contains(t))
+                Left(s"the WHERE of WITH stage $stageNo may only filter " +
+                  s"this stage's columns (${outCols.map(_._1)
+                    .mkString(", ")}), got '$t'")
+              else if (!outMap(t))
+                Left(s"the WHERE of WITH stage $stageNo compares " +
+                  s"numerically — '$t' carries string collation")
+              else Right((t, op, n.toDouble))
+            case _ => Left(s"unparseable WHERE in WITH stage $stageNo")
+          }
+        for {
+          _ <- err.map(Left(_)).getOrElse(Right(()))
+          _ <- if (outCols.map(_._1).distinct.sizeIs != outCols.size)
+            Left(s"duplicate output column in WITH stage $stageNo")
+          else Right(())
+          _ <- if (keySeq.isEmpty && aggSeq.isEmpty)
+            Left(s"WITH stage $stageNo carries no items")
+          else Right(())
+          _ <- if (hav != null && havPost != null)
+            Left(s"one WHERE per WITH stage — before ORDER BY or after " +
+              s"LIMIT, not both (stage $stageNo)")
+          else Right(())
+          having <- Option(if (hav != null) hav else havPost)
+            .map(h => havParsed(h).map(Some(_))).getOrElse(Right(None))
+          ob <- parseFlatOrderBy(obText, outMap.keySet,
+            s"WITH stage $stageNo")
+        } yield (FlatStage(keySeq, aggSeq, having,
+          havingAfterLimit = havPost != null && limitStr != null,
+          ob, Option(limitStr).map(_.toInt)), outCols)
+      case _ => Left(s"unparseable WITH stage $stageNo: " +
+        s"'${seg.trim.take(60)}'")
+    }
+  }
+
+  private def parseFlatOrderBy(obText: String, scope: Set[String],
+      where: String): Either[String, Seq[(String, Boolean)]] =
+    Option(obText) match {
+      case None => Right(Seq.empty)
+      case Some(t) =>
+        val parsed = t.split(",").toSeq.map {
+          case FlatObItemRe(k, dir) =>
+            if (scope.contains(k))
+              Right((k, dir != null && dir.equalsIgnoreCase("DESC")))
+            else Left(s"ORDER BY key '$k' is not in scope in $where " +
+              s"(carried: ${scope.toSeq.sorted.mkString(", ")})")
+          case other =>
+            Left(s"unsupported ORDER BY item in $where: " +
+              s"'${other.trim.take(40)}'")
+        }
+        parsed.collectFirst { case Left(e) => Left(e) }
+          .getOrElse(Right(parsed.collect { case Right(k) => k }))
+    }
+
+  /** The chain's closing RETURN: flat columns with optional AS renames +
+    * the usual DISTINCT / ORDER BY / SKIP / LIMIT tail.
+    */
+  private def parseFlatReturn(retText: String,
+      avail: Seq[(String, Boolean)]): Either[String,
+      (Seq[(String, Option[String])], Boolean, Seq[(String, Boolean)],
+        Option[Int], Option[Int])] = {
+    val scope = avail.map(_._1).toSet
+    retText match {
+      case FlatRetRe(distinctKw, itemsText, obText, skipStr, limitStr) =>
+        val parsed = splitTopLevel(itemsText).map(_.trim).map {
+          case FlatRetItemRe(c, alias) =>
+            if (scope.contains(c)) Right((c, Option(alias)))
+            else Left(s"RETURN item '$c' is not in scope after the " +
+              s"last WITH stage (carried: ${avail.map(_._1)
+                .mkString(", ")})")
+          case other => Left("unsupported RETURN item after a chained " +
+            s"WITH: '${other.trim.take(40)}' (use a carried column, " +
+            "optionally AS-aliased)")
+        }
+        for {
+          items <- parsed.collectFirst { case Left(e) => Left(e) }
+            .getOrElse(Right(parsed.collect { case Right(i) => i }))
+          outNames = items.map { case (c, a) => a.getOrElse(c) }
+          _ <- if (outNames.distinct.sizeIs != outNames.size)
+            Left("duplicate RETURN output column after a chained WITH")
+          else Right(())
+          // ORDER BY may key a canonical column or a RETURN alias
+          aliasBack = items.collect { case (c, Some(a)) => a -> c }.toMap
+          ob <- parseFlatOrderBy(obText,
+            items.map(_._1).toSet ++ aliasBack.keySet, "the final RETURN")
+          obCanon = ob.map { case (k, d) => (aliasBack.getOrElse(k, k), d) }
+          _ <- if (skipStr != null && obCanon.isEmpty)
+            Left("SKIP requires ORDER BY")
+          else Right(())
+        } yield (items, distinctKw != null, obCanon,
+          Option(skipStr).map(_.toInt), Option(limitStr).map(_.toInt))
+      case _ => Left("unparseable RETURN after a chained WITH: " +
+        s"'${retText.trim.take(60)}'")
+    }
+  }
 
   /** Comma-separated patterns inside one MATCH clause (`MATCH
     * (a)-[…]->(b), (b)-[…]->(c)`) are Cypher's n-ary pattern list — each
@@ -3348,6 +3693,10 @@ object CypherLite {
             dm.orderBy.nonEmpty || dm.skip.isDefined || dm.limit.isDefined
           case sp: ShortestPathReturn =>
             sp.orderBy.isDefined || sp.limit.isDefined
+          case cw: ChainedWith =>
+            cw.retOrderBy.nonEmpty || cw.retSkip.isDefined ||
+              cw.retLimit.isDefined ||
+              cw.stages.exists(s => s.orderBy.nonEmpty || s.limit.isDefined)
           case _ => false
         }
         if (stmts.exists(s => s.isInstanceOf[DetachDelete] ||
@@ -3379,9 +3728,74 @@ object CypherLite {
     }
   }
 
+  /** Execute the chained WITH pipeline: stage 1 through the single-stage
+    * WITH machinery (its validated query text), later stages as flat
+    * grouped aggregates over the previous output — each stage one
+    * distributed aggregation on its grouping keys, nothing collected.
+    */
+  private def runChainedWith(g: GraphTables, cw: ChainedWith)
+      : Either[String, DataFrame] =
+    runSingle(g, cw.stage1Query).map { df1 =>
+      val renamed = cw.stage1Renames.foldLeft(df1) {
+        case (df, (from, to)) =>
+          if (from == to) df else df.withColumnRenamed(from, to)
+      }
+      val staged = cw.stages.foldLeft(renamed)(runFlatStage)
+      val projected = staged.select(cw.retItems.map(i => col(i._1)): _*)
+      val dd = if (cw.retDistinct) projected.distinct() else projected
+      val ordered =
+        if (cw.retOrderBy.isEmpty) dd
+        else dd.orderBy(cw.retOrderBy.map { case (k, desc) =>
+          if (desc) col(k).desc else col(k).asc }: _*)
+      val skipped = cw.retSkip.map(ordered.offset).getOrElse(ordered)
+      val limited = cw.retLimit.map(skipped.limit).getOrElse(skipped)
+      cw.retItems.foldLeft(limited) {
+        case (df, (from, Some(to))) if from != to =>
+          df.withColumnRenamed(from, to)
+        case (df, _) => df
+      }
+    }
+
+  private def runFlatStage(df: DataFrame, st: FlatStage): DataFrame = {
+    val agged =
+      if (st.aggs.isEmpty) df.select(st.keys.map(col): _*)
+      else {
+        val exprs = st.aggs.map { a =>
+          (a match {
+            case FlatAgg("count", None, _, _) => count(lit(1))
+            case FlatAgg("count", Some(x), true, _) => countDistinct(col(x))
+            case FlatAgg("count", Some(x), false, _) => count(col(x))
+            case FlatAgg("sum", Some(x), _, _) => sum(col(x))
+            case FlatAgg("avg", Some(x), _, _) => avg(col(x))
+            case FlatAgg("min", Some(x), _, _) => min(col(x))
+            case FlatAgg("max", Some(x), _, _) => max(col(x))
+            case other => throw new IllegalStateException(
+              s"parse admitted an unexecutable stage aggregate: $other")
+          }).as(a.alias)
+        }
+        if (st.keys.isEmpty) df.agg(exprs.head, exprs.tail: _*)
+        else df.groupBy(st.keys.map(col): _*).agg(exprs.head, exprs.tail: _*)
+      }
+    // WHERE position semantics mirror the single-stage grammar: before
+    // ORDER BY it filters the groups (HAVING); after a LIMIT it filters
+    // the limited rows (openCypher's subclause order)
+    val pre = st.having.filter(_ => !st.havingAfterLimit).fold(agged) {
+      case (t, op, v) => agged.filter(numCmp(col(t), op, v))
+    }
+    val ordered =
+      if (st.orderBy.isEmpty) pre
+      else pre.orderBy(st.orderBy.map { case (k, desc) =>
+        if (desc) col(k).desc else col(k).asc }: _*)
+    val limited = st.limit.map(ordered.limit).getOrElse(ordered)
+    st.having.filter(_ => st.havingAfterLimit).fold(limited) {
+      case (t, op, v) => limited.filter(numCmp(col(t), op, v))
+    }
+  }
+
   private def runSingle(g: GraphTables,
       query: String): Either[String, DataFrame] =
     parse(query).flatMap {
+      case cw: ChainedWith => runChainedWith(g, cw)
       case ch: ChainReturn =>
         ch.nodes.flatMap(_.props.keys).find(!SupportedProps(_))
           .map(k => Left(s"unsupported property: $k " +
@@ -3530,7 +3944,8 @@ object CypherLite {
       g: GraphTables): org.apache.spark.sql.Dataset[EdgeRow] = {
     import g.edges.sparkSession.implicits._
     g.edges.select(col("dst").as("src"), col("src").as("dst"),
-      col("relType"), col("docnbr"), col("batch")).as[EdgeRow]
+      col("relType"), col("docnbr"), col("batch"), col("props"))
+      .as[EdgeRow]
   }
 
   /** Single-hop expansion carrying the traversed edge's type (`r_type`) —

@@ -22,13 +22,36 @@ final case class NodeRow(
     batch: String,
     path: Seq[Int])
 
-/** Directed typed edge; endpoints reference [[NodeRow.id]]. */
+/** Directed typed edge; endpoints reference [[NodeRow.id]].
+  *
+  * `props` carries OPTIONAL edge properties (string-keyed, string-valued
+  * — the same schemaless-in-data discipline as node content). The
+  * reference's edges are property-less (SURVEY §1.1, `xml2neo.py:104`),
+  * so ingest leaves the map empty; weighted kernels
+  * ([[GraphOps.shortestPathWeighted]]) read a numeric property out of it
+  * (e.g. `props("weight")`). One map column, not per-property columns:
+  * at 100 TB a fixed schema with a pruned-away map beats per-relType
+  * schemas that explode small files.
+  */
 final case class EdgeRow(
     src: Long,
     dst: Long,
     relType: String,
     docnbr: String,
-    batch: String)
+    batch: String,
+    props: Map[String, String] = Map.empty)
+
+object EdgeRow {
+  /** Widen a props-less edge relation (pre-props at-rest layout, or a
+    * hand-built fixture) to the full schema — the backward-compat seam:
+    * stores written before the column existed load as empty-props edges.
+    */
+  def normalize(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    if (df.columns.contains("props")) df
+    else df.withColumn("props",
+      org.apache.spark.sql.functions.typedLit(Map.empty[String, String]))
+}
 
 object GraphModel {
 

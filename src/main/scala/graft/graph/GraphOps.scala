@@ -319,7 +319,8 @@ object GraphOps {
     val newEdges = keyed.join(roots, "docnbr")
       .select(col("root_id").as("src"),
         idCol.as("dst"),
-        lit(relType).as("relType"), col("docnbr"), lit(batch).as("batch"))
+        lit(relType).as("relType"), col("docnbr"), lit(batch).as("batch"),
+        typedLit(Map.empty[String, String]).as("props"))
       .as[EdgeRow]
     upsert(g, GraphTables(dimNodes, newEdges))
   }
@@ -795,7 +796,6 @@ object GraphOps {
         .select(col("lo").as("u"), col("hi").as("v"),
           (col("w") * 2).as("w")))
       .localCheckpoint()
-    val identity = nodes.select(col("id"), col("id").as("comm"))
     // one action for 2m, Σk² and the self-loop mass: the all-singleton
     // starting modularity has the closed form Q0·(2m)² = 2m·selfw − Σk²
     // (isolated nodes hold k = 0 and drop out of both sums), so the
@@ -810,18 +810,23 @@ object GraphOps {
           .as("selfw")))
       .head
     val m2 = statsRow.getLong(0)
-    // one-hop derivations of the checkpointed adjacency — left lazy on
-    // purpose: re-deriving a filter/aggregation inside each round's job
-    // is cheaper than one eager materialization job apiece at this
-    // round cadence, and lineage stays rooted at the checkpoint
+    // degrees materialized ONCE per level: every round's proposal reads
+    // them (via the k carried on the assignment) and the level runs many
+    // rounds — one eager job here deletes a join+aggregate from every
+    // round's plan
     val degAll = nodes
       .join(adjAll.groupBy(col("u").as("id")).agg(sum("w").as("k")),
         Seq("id"), "left_outer")
       .select(col("id"), coalesce(col("k"), lit(0L)).as("k"))
+      .localCheckpoint()
     // gain table excludes self rows: i's self-loop follows it into any
     // community, contributing equally everywhere — cancels in the argmax
     val adjN = adjAll.filter(col("u") =!= col("v"))
-    var assignment: DataFrame = identity
+    // the assignment CARRIES each node's degree k: Σtot per community and
+    // the guard's Σtot² become plain aggregates of the assignment itself
+    // (no degree join anywhere in the round loop)
+    var assignment: DataFrame =
+      degAll.select(col("id"), col("id").as("comm"), col("k"))
     var qnum = new java.math.BigDecimal(m2)
       .multiply(statsRow.getDecimal(2)).subtract(statsRow.getDecimal(1))
     var round = 0
@@ -829,72 +834,79 @@ object GraphOps {
     var anyChange = false
     // the round's move proposal for the `active` node subset — a LAZY
     // plan over the checkpointed relations: evaluated inside the fused
-    // modularity action, checkpointed only if ACCEPTED
+    // modularity action, checkpointed only if ACCEPTED. One SCORED pass:
+    // the k_{i,c} link table joins the node's own (comm, k) and the
+    // candidate's Σtot once, then a single grouped aggregate produces
+    // BOTH the best foreign candidate (argmax by score, ties to the
+    // smallest community id — struct max on (score, -cand), deterministic
+    // under any partitioning) and the node's own-community link weight —
+    // the stay score's Σtot uses the OWN community minus k_i (Blondel:
+    // the node is first removed from its community).
     def propose(active: Column): DataFrame = {
-      val commTot = assignment.join(degAll, "id")
-        .groupBy("comm").agg(sum("k").as("tot"))
+      val commTot = assignment.groupBy("comm").agg(sum("k").as("tot"))
       // k_{i,c}: total link weight from i into community c
       val links = adjN
         .join(assignment.select(col("id").as("v"), col("comm").as("cand")),
           "v")
         .groupBy(col("u"), col("cand")).agg(sum("w").as("kic"))
-      val base = assignment.join(degAll, "id").join(commTot, "comm")
-      // staying score uses Σtot of the OWN community minus k_i (Blondel:
-      // the node is first removed from its community)
-      val ownLink = links.select(col("u").as("id"),
-        col("cand").as("comm"), col("kic").as("kOwn"))
-      val stay = base.join(ownLink, Seq("id", "comm"), "left_outer")
-        .select(col("id"), col("comm"),
-          (coalesce(col("kOwn"), lit(0L)).cast("double") -
-            col("k").cast("double") * (col("tot") - col("k")) /
-              lit(m2.toDouble)).as("stayScore"))
-      val cands = links.select(col("u").as("id"), col("cand"), col("kic"))
+      val scored = links.select(col("u").as("id"), col("cand"), col("kic"))
         .join(assignment, "id")
-        .filter(col("cand") =!= col("comm"))
         .join(commTot.select(col("comm").as("cand"), col("tot").as("ctot")),
           "cand")
-        .join(degAll, "id")
-        .select(col("id"),
-          (col("kic").cast("double") -
+      val perNode = scored.groupBy("id").agg(
+        max(when(col("cand") =!= col("comm"),
+          struct((col("kic").cast("double") -
             col("k").cast("double") * col("ctot") / lit(m2.toDouble))
             .as("score"),
-          col("cand"))
-      // argmax by score, ties to the SMALLEST community id (struct max on
-      // (score, -cand)) — deterministic under any partitioning
-      val best = cands.groupBy("id")
-        .agg(max(struct(col("score"), (-col("cand")).as("negc"),
-          col("cand"))).as("m"))
-        .select(col("id"), col("m.score").as("moveScore"),
-          col("m.cand").as("target"))
-      stay.join(best, Seq("id"), "left_outer")
-        .select(col("id"),
-          when(active && col("moveScore") > col("stayScore") + lit(1e-12),
-            col("target")).otherwise(col("comm")).as("comm"))
+            (-col("cand")).as("negc"), col("cand").as("cand")))).as("m"),
+        max(when(col("cand") === col("comm"), col("kic"))).as("kOwn"))
+      val newComm = when(active && col("m.score") >
+          (coalesce(col("kOwn"), lit(0L)).cast("double") -
+            col("k").cast("double") * (col("tot") - col("k")) /
+              lit(m2.toDouble)) + lit(1e-12),
+          col("m.cand")).otherwise(col("comm"))
+      assignment.join(commTot, "comm")
+        .join(perNode, Seq("id"), "left_outer")
+        .select(col("id"), newComm.as("comm"), col("k"),
+          // `moved` rides the proposal into the guard action: a FULL
+          // round that proposes zero moves is a proven local optimum
+          // (parity classes gate the same per-node test on a subset of
+          // the same scores), letting the level exit without spending
+          // the two parity-failure rounds
+          (newComm =!= col("comm")).as("moved"))
     }
     // FULL synchronous rounds while they keep improving (few rounds when
     // moves don't conflict); the first rejected full round switches the
     // level permanently to PARITY rounds (one id-parity class moves per
     // round — breaks label-swap oscillations, the 2-coloring argument).
     // The exact-integer guard decides every round: accept only strict
-    // modularity improvement. Each proposal is checkpointed BEFORE the
-    // guard evaluates it, so the ~8-join propose plan runs once per
-    // proposal and the guard's plan stays two shallow joins. Termination:
-    // two CONSECUTIVE parity failures cover both classes — no single-node
+    // modularity improvement. The proposal is LAZILY checkpointed: the
+    // guard's single-row action is the job that materializes it (ONE
+    // driver round-trip per round, not propose-then-guard two), after
+    // which the checkpointed blocks back every later reference and the
+    // SQL plan is already truncated at the LogicalRDD. Termination: two
+    // CONSECUTIVE parity failures cover both classes — no single-node
     // move improves, a local optimum.
     var fullMode = true
     while (round < maxRounds && failStreak < 2) {
       val active =
         if (fullMode) lit(true)
         else pmod(col("id") + lit(round), lit(2)) === 0
-      val t = propose(active).localCheckpoint()
-      val q = modularityNum(adjAll, degAll, t, m2)
+      val t = propose(active).localCheckpoint(false)
+      val (q, moved) = guardStats(adjAll, t, m2)
       if (q.compareTo(qnum) > 0) {
         assignment = t
         qnum = q
         failStreak = 0
         anyChange = true
-      } else if (fullMode) fullMode = false // not a parity-class failure
-      else failStreak += 1
+      } else if (fullMode) {
+        // a zero-move FULL round is a local optimum — no parity subset
+        // can propose what the full round didn't (same scores, gated on
+        // a subset of the same nodes): exit instead of burning the two
+        // parity-failure rounds
+        if (moved == 0L) failStreak = 2
+        else fullMode = false // conflicting moves — not a class failure
+      } else failStreak += 1
       round += 1
     }
     (assignment, anyChange)
@@ -903,8 +915,10 @@ object GraphOps {
   /** Exact integer modularity numerator Q·(2m)² = 2m·Σ_c Σin_c −
     * Σ_c Σtot_c², as decimal sums (order-independent, engine-portable —
     * the accept-guard must never flip on float summation order).
+    * `assignment` is (id, comm, k) — the carried degree makes Σtot² a
+    * plain self-aggregate, no degree join in the guard plan.
     */
-  private def modularityNum(adjAll: DataFrame, degAll: DataFrame,
+  private def modularityNum(adjAll: DataFrame,
       assignment: DataFrame, m2: Long): java.math.BigDecimal = {
     val dec = "decimal(38,0)"
     val intra = adjAll
@@ -912,7 +926,7 @@ object GraphOps {
       .join(assignment.select(col("id").as("v"), col("comm").as("cv")), "v")
       .filter(col("cu") === col("cv"))
       .agg(coalesce(sum(col("w").cast(dec)), lit(0).cast(dec)).as("in"))
-    val tot2 = assignment.join(degAll, "id")
+    val tot2 = assignment
       .groupBy("comm").agg(sum("k").as("tot"))
       .agg(coalesce(sum(col("tot").cast("decimal(19,0)") *
         col("tot").cast("decimal(19,0)")), lit(0).cast(dec)).as("t2"))
@@ -921,6 +935,30 @@ object GraphOps {
     val row = intra.crossJoin(tot2).head
     new java.math.BigDecimal(m2).multiply(row.getDecimal(0))
       .subtract(row.getDecimal(1))
+  }
+
+  /** The round guard: [[modularityNum]] plus the proposal's move count,
+    * all single-row aggregates fused into the ONE action that also
+    * materializes the lazily-checkpointed proposal. `t` is the proposal
+    * (id, comm, k, moved).
+    */
+  private def guardStats(adjAll: DataFrame, t: DataFrame, m2: Long)
+      : (java.math.BigDecimal, Long) = {
+    val dec = "decimal(38,0)"
+    val intra = adjAll
+      .join(t.select(col("id").as("u"), col("comm").as("cu")), "u")
+      .join(t.select(col("id").as("v"), col("comm").as("cv")), "v")
+      .filter(col("cu") === col("cv"))
+      .agg(coalesce(sum(col("w").cast(dec)), lit(0).cast(dec)).as("in"))
+    val tot2 = t
+      .groupBy("comm").agg(sum("k").as("tot"))
+      .agg(coalesce(sum(col("tot").cast("decimal(19,0)") *
+        col("tot").cast("decimal(19,0)")), lit(0).cast(dec)).as("t2"))
+    val movedAgg = t.agg(
+      coalesce(sum(col("moved").cast("long")), lit(0L)).as("mv"))
+    val row = intra.crossJoin(tot2).crossJoin(movedAgg).head
+    (new java.math.BigDecimal(m2).multiply(row.getDecimal(0))
+      .subtract(row.getDecimal(1)), row.getLong(2))
   }
 
   /** Modularity Q of an (id, community) assignment over g's simple
@@ -949,7 +987,8 @@ object GraphOps {
         Seq("id"), "left_outer")
       .select(col("id"), coalesce(col("k"), lit(0L)).as("k"))
     val asg = assignment.select(col("id"), col("community").as("comm"))
-    modularityNum(adjAll, degAll, asg, m2)
+      .join(degAll, "id")
+    modularityNum(adjAll, asg, m2)
       .divide(new java.math.BigDecimal(m2).pow(2),
         java.math.MathContext.DECIMAL64)
       .doubleValue()
@@ -1121,6 +1160,27 @@ object GraphOps {
       .toDF("id", "distance")
   }
 
+  /** Weighted single-source shortest paths over a REAL edge property:
+    * reads the numeric cost out of `EdgeRow.props` (string-valued —
+    * `try_cast` tolerates absent/garbage values via `default`) and rides
+    * the [[weightedDistances]] Pregel kernel. This is the
+    * `shortestPath((a)-[r*]->(b))`-with-weights surface a property graph
+    * with cost-bearing edges serves first; the reference's edges carry no
+    * properties (SURVEY §1.1), so the property column defaults empty and
+    * this kernel activates only on graphs that set it.
+    */
+  def shortestPathWeighted(spark: SparkSession, g: GraphTables,
+      rootIds: Set[Long], weightProp: String = "weight",
+      default: Double = 1.0, maxIterations: Int = 30): DataFrame = {
+    require(weightProp.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"weight property must be an identifier, got '$weightProp'")
+    weightedDistances(spark, g, rootIds,
+      coalesce(
+        expr(s"try_cast(element_at(props, '$weightProp') AS DOUBLE)"),
+        lit(default)),
+      maxIterations)
+  }
+
   /** Unbounded BFS depth from roots via Pregel (J11 unbounded form) —
     * message = candidate depth, merge = min; `maxIterations` bounds run.
     */
@@ -1164,11 +1224,17 @@ object GraphOps {
   def kCore(spark: SparkSession, g: GraphTables, k: Int,
       maxIterations: Int = 64): DataFrame = {
     val e0 = g.edges.toDF().select(col("src"), col("dst"))
+    // round state is checkpointed SERIALIZED: the peeling loop's live set
+    // is the whole surviving edge list, and deserialized row caching
+    // inflates it ~5-10× — at big-graph scale that tips storage into
+    // eviction/spill and the loop goes super-linear (the 100× curve
+    // caught exactly this). Serialized blocks keep the state ~raw-size.
+    val serLevel = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
     var edges = e0.select(col("src").as("u"), col("dst").as("v"))
       .unionByName(e0.select(col("dst").as("u"), col("src").as("v")))
       .filter(col("u") =!= col("v"))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(true, serLevel)
     var iters = 0
     var done = false
     while (iters < maxIterations && !done) {
@@ -1179,11 +1245,17 @@ object GraphOps {
       else {
         // drop every edge touching a peeled node; both endpoints checked
         // with semi-join-shaped anti-joins (never a collect of the doomed)
+        val prev = edges
         edges = edges
           .join(doomed, Seq("u"), "left_anti")
           .join(doomed.select(col("u").as("v")), Seq("v"), "left_anti")
           .select("u", "v")
-          .localCheckpoint()
+          .localCheckpoint(true, serLevel)
+        // the superseded round's checkpoint blocks are DEAD once the new
+        // round materialized (eager) — free them now, or R peeling rounds
+        // pin R copies of the edge set in executor storage and the big-
+        // graph run tips into eviction/spill (the 100× curve caught this)
+        prev.unpersist()
       }
     }
     if (!done) throw new IllegalStateException(

@@ -149,6 +149,27 @@ object GraphQueries {
           dropped.nodes.count(), dropped.edges.count()))
         .toDF("kept_nodes", "kept_edges", "dropped_nodes", "dropped_edges")
     },
+    QueryDef.rowsOnly("graph_stream_ingest") { (s, _) =>
+      // C2 MERGE under continuous arrival: the XML-corpus graph arrives
+      // as a two-slice envelope file stream (checkpointed AvailableNow
+      // drains → foreachBatch → upsert → versioned store commits); the
+      // label census of the store-loaded final state must equal the
+      // batch ingest's. Oracle-checked parquet twin: graphp_stream_ingest.
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_xml_stream_ingest").toString
+      val env = StreamingGraphIngest.toEnvelope(graph(s)).localCheckpoint()
+      // XOR, not +: node ids are full-range FNV hashes, addition overflows
+      // under ANSI mode
+      val sliceKey = pmod(coalesce(col("id"),
+        col("src").bitwiseXOR(col("dst"))), lit(2))
+      (0 to 1).foreach { i =>
+        env.filter(sliceKey === i).write.parquet(s"$dir/env/slice$i")
+        StreamingGraphIngest.drainIngest(s, s"$dir/env", s"$dir/store",
+          s"$dir/ckpt")
+      }
+      GraphStore.load(s, s"$dir/store").nodes.groupBy("label")
+        .agg(count(lit(1)).as("n_nodes")).orderBy("label")
+    },
     QueryDef.rowsOnly("graph_subtree_text") { (s, _) =>
       GraphOps.subtreeText(graph(s), "Appendix_A", "appendix_a")
         .orderBy("docnbr")

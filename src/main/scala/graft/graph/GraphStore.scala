@@ -179,7 +179,7 @@ object GraphStore {
       s"version $version was never committed in $dir (torn snapshot)")
     GraphTables(
       spark.read.parquet(s"$vd/nodes").as[NodeRow],
-      spark.read.parquet(s"$vd/edges").as[EdgeRow])
+      EdgeRow.normalize(spark.read.parquet(s"$vd/edges")).as[EdgeRow])
   }
 
   def load(spark: SparkSession, dir: String): GraphTables = {
@@ -187,7 +187,8 @@ object GraphStore {
     val cd = currentDir(dir)
     GraphTables(
       spark.read.parquet(s"$cd/nodes").as[NodeRow],
-      spark.read.parquet(s"$cd/edges").as[EdgeRow])
+      // normalize: a store written before edges carried props still loads
+      EdgeRow.normalize(spark.read.parquet(s"$cd/edges")).as[EdgeRow])
   }
 
   /** A19 at rest: drop the batch's node/edge partitions — pure metadata.

@@ -46,7 +46,8 @@ object ParquetGraph {
       batch: String): DataFrame =
     df.select(src.cast("long").as("src"), dst.cast("long").as("dst"),
       lit(relType).as("relType"), lit("").as("docnbr"),
-      lit(batch).as("batch"))
+      lit(batch).as("batch"),
+      typedLit(Map.empty[String, String]).as("props"))
 
   /** One build per (session, sfDir), cached AND materialized — the eleven
     * `graphp_*` queries share the in-memory relations instead of each
@@ -203,6 +204,26 @@ object ParquetGraph {
     GraphTables(nodes, edges)
   }
 
+  /** The chain fixture with a REAL cost property on each edge:
+    * `props("weight") = dst nationkey % 7 + 1` (string-valued, the
+    * EdgeRow props contract). Per-region wrap-around cycles as in
+    * [[chain]], so the weighted-shortest-path twin proves both the
+    * props→cost read path and cycle safety; the expected distance from
+    * each region's lowest-keyed nation is a closed-form prefix sum in
+    * SQL (the only path to a node is forward along the chain).
+    */
+  def weightedChain(s: SparkSession, d: String): GraphTables =
+    cached(s, d, "wchain") {
+      import s.implicits._
+      val c = buildChain(s, d)
+      val weighted = c.edges.toDF()
+        .withColumn("props", map(lit("weight"),
+          (pmod(col("dst") - lit(NationBase), lit(7L)) + 1L)
+            .cast("string")))
+        .as[EdgeRow]
+      GraphTables(c.nodes, weighted)
+    }
+
   /** Per-region 3-clique layer: the three lowest-keyed nations of each
     * region fully connected pairwise. Gives the triangle-count kernel a
     * fixture whose expected output IS SQL-derivable — exactly one triangle
@@ -225,7 +246,8 @@ object ParquetGraph {
       col("n_name"), "base").as[NodeRow]
     val edges = pairs.select(col("src"), col("dst"),
         lit("CLIQUE").as("relType"), lit("").as("docnbr"),
-        lit("base").as("batch")).as[EdgeRow]
+        lit("base").as("batch"),
+        typedLit(Map.empty[String, String]).as("props")).as[EdgeRow]
     GraphTables(nodes, edges)
   }
 
@@ -1148,7 +1170,8 @@ object ParquetGraph {
           (col("r_regionkey") + RegionBase).cast("long").as("src"),
           (col("r_regionkey") + MetaBase).cast("long").as("dst"),
           lit("HAS_META").as("relType"), lit("").as("docnbr"),
-          lit("meta").as("batch")).as[EdgeRow]
+          lit("meta").as("batch"),
+          typedLit(Map.empty[String, String]).as("props")).as[EdgeRow]
       val appended = GraphOps.upsert(hierarchy(s, d),
         GraphTables(metaNodes, metaEdges))
       appended.nodes.groupBy("label")
@@ -1159,6 +1182,80 @@ object ParquetGraph {
           .select(concat(lit("edge:"), col("relType")).as("entity"),
             col("n")))
         .orderBy("entity")
+    },
+
+    // Streaming graph ingest seam (the reference's C2 MERGE write path
+    // under continuous arrival): the hierarchy graph arrives as an
+    // envelope FILE STREAM in two interleaved slices, each drained by a
+    // checkpointed AvailableNow pass through foreachBatch → upsert →
+    // versioned store commit. Graded on the FINAL STATE: label/relType
+    // census of the store-loaded graph must equal the batch-derived
+    // answer — the stream-ingested graph IS the batch-ingested graph.
+    QueryDef.sql(
+      "graphp_stream_ingest",
+      """SELECT entity, n FROM (
+        |  SELECT 'node:Region' AS entity, CAST(count(*) AS BIGINT) AS n
+        |    FROM region
+        |  UNION ALL SELECT 'node:Nation', count(*) FROM nation
+        |  UNION ALL SELECT 'node:Customer', count(*) FROM customer
+        |  UNION ALL SELECT 'node:Order', count(*) FROM orders
+        |  UNION ALL SELECT 'edge:HAS_NATION', count(*) FROM nation
+        |  UNION ALL SELECT 'edge:HAS_CUSTOMER', count(*) FROM customer
+        |  UNION ALL SELECT 'edge:HAS_ORDER', count(*) FROM orders)
+        |ORDER BY entity""".stripMargin) { (s, d) =>
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_stream_ingest_q").toString
+      val env = StreamingGraphIngest.toEnvelope(hierarchy(s, d))
+        .localCheckpoint()
+      val sliceKey = pmod(coalesce(col("id"), col("src") + col("dst")),
+        lit(2))
+      (0 to 1).foreach { i =>
+        env.filter(sliceKey === i).write.parquet(s"$dir/env/slice$i")
+        StreamingGraphIngest.drainIngest(s, s"$dir/env", s"$dir/store",
+          s"$dir/ckpt")
+      }
+      val g = GraphStore.load(s, s"$dir/store")
+      g.nodes.groupBy("label").agg(count(lit(1)).as("n"))
+        .select(concat(lit("node:"), col("label")).as("entity"), col("n"))
+        .unionByName(g.edges.groupBy("relType")
+          .agg(count(lit(1)).as("n"))
+          .select(concat(lit("edge:"), col("relType")).as("entity"),
+            col("n")))
+        .orderBy("entity")
+    },
+
+    // Weighted shortest-path twin over a REAL edge property: costs live
+    // in EdgeRow.props("weight") (dst key % 7 + 1), roots are each
+    // region's lowest-keyed nation, paths run forward along the per-
+    // region cycle — so the true distance is the closed-form prefix sum
+    // the oracle computes with a window. Proves the props→try_cast→
+    // Pregel relaxation path end to end, including cycle safety
+    // (positive weights: the wrap-around can never undercut the prefix).
+    QueryDef.sql(
+      "graphp_weighted_sp",
+      """WITH r AS (
+        |  SELECT n_name, n_nationkey, n_regionkey,
+        |    row_number() OVER (PARTITION BY n_regionkey
+        |      ORDER BY n_nationkey) AS rn,
+        |    CAST(n_nationkey % 7 + 1 AS DOUBLE) AS w
+        |  FROM nation)
+        |SELECT n_name AS name,
+        |  CAST(sum(CASE WHEN rn = 1 THEN 0 ELSE w END) OVER (
+        |    PARTITION BY n_regionkey ORDER BY n_nationkey
+        |    ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS distance
+        |FROM r ORDER BY name""".stripMargin) { (s, d) =>
+      val g = weightedChain(s, d)
+      // ≤ |regions| root picks — bounded driver round-trip, same policy
+      // as the landmark kernels
+      val roots = Tables.nation(s, d)
+        .groupBy("n_regionkey").agg(min("n_nationkey").as("lo"))
+        .select((col("lo") + NationBase).cast("long")).as[Long](
+          org.apache.spark.sql.Encoders.scalaLong)
+        .collect().toSet
+      GraphOps.shortestPathWeighted(s, g, roots)
+        .join(nationNames(s, d), "id")
+        .select(col("n_name").as("name"), col("distance"))
+        .orderBy("name")
     },
 
     // Q2 expand twin: single-hop typed expansion from every nation —
@@ -2205,6 +2302,44 @@ object ParquetGraph {
           "WITH m, count(c) AS n_cu, sum(c.name) AS total, " +
           "min(c.name) AS lo WHERE n_cu >= 60 " +
           "RETURN m.name, n_cu, total, lo ORDER BY total DESC")
+        .fold(err => throw new IllegalArgumentException(err), identity)
+    },
+
+    // C10 CypherLite twin: CHAINED WITH stages — aggregate → re-aggregate
+    // (`WITH m, count(c) AS n WITH n, count(*) AS n_nations`), the
+    // customers-per-nation HISTOGRAM. Two grouped passes, each a
+    // distributed hash aggregate on its stage's keys; the final ORDER BY
+    // keys the carried stage-1 alias.
+    QueryDef.sql(
+      "graphp_cypher_with_chain",
+      """SELECT n, CAST(count(*) AS BIGINT) AS n_nations FROM (
+        |  SELECT CAST(count(*) AS BIGINT) AS n
+        |  FROM customer GROUP BY c_nationkey)
+        |GROUP BY n ORDER BY n""".stripMargin) { (s, d) =>
+      CypherLite.run(hierarchy(s, d),
+        "MATCH (m:Nation)-[:HAS_CUSTOMER]->(c) " +
+          "WITH m, count(c) AS n WITH n, count(*) AS n_nations " +
+          "RETURN n, n_nations ORDER BY n")
+        .fold(err => throw new IllegalArgumentException(err), identity)
+    },
+
+    // C10 CypherLite twin: chained WITH with a RE-FILTER stage and a
+    // GLOBAL closing aggregate — `WITH m, count(c) AS n WHERE n >= k
+    // WITH n WHERE n <= k2 WITH sum(n) AS total` (aggregate → filter →
+    // filter → re-aggregate, the reference's NL→Cypher loop shape,
+    // first-graph.py:141-144). One summary row on both engines.
+    QueryDef.sql(
+      "graphp_cypher_with_chain_sum",
+      """SELECT CAST(sum(n) AS BIGINT) AS total,
+        |  CAST(count(*) AS BIGINT) AS n_groups FROM (
+        |  SELECT count(*) AS n FROM customer GROUP BY c_nationkey
+        |  HAVING count(*) >= 50)
+        |WHERE n <= 70""".stripMargin) { (s, d) =>
+      CypherLite.run(hierarchy(s, d),
+        "MATCH (m:Nation)-[:HAS_CUSTOMER]->(c) " +
+          "WITH m, count(c) AS n WHERE n >= 50 WITH n WHERE n <= 70 " +
+          "WITH sum(n) AS total, count(*) AS n_groups " +
+          "RETURN total, n_groups")
         .fold(err => throw new IllegalArgumentException(err), identity)
     },
 

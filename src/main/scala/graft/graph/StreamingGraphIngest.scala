@@ -1,0 +1,148 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** Continuous graph ingest: the reference's only write path — C2 MERGE of
+  * nodes + relationships (`new_final.js:22-40`) — under CONTINUOUS arrival,
+  * composed from the two proven halves of this engine:
+  *
+  *   file-source stream of node/edge rows
+  *     → `foreachBatch`
+  *       → [[GraphOps.upsert]]   (MERGE semantics: anti-join + union)
+  *       → [[GraphStore.save]]   (atomic CURRENT-pointer commit + COMMITS
+  *                                log — readers never see a torn graph)
+  *
+  * Arrival format is one ENVELOPE relation carrying both node and edge
+  * rows (`kind` discriminates), the natural shape of a CDC / ingest feed:
+  * a writer appends parquet files of envelope rows, the stream drains
+  * them exactly once per checkpoint, and every micro-batch commits one
+  * new graph version.
+  *
+  * Semantics under the streaming failure model:
+  *  - WITHIN a batch: incoming rows are deduped on their MERGE keys
+  *    (node `id`; edge `(src, dst, relType)`) — an at-least-once feed may
+  *    repeat rows inside one batch.
+  *  - ACROSS batches: [[GraphOps.upsert]] is idempotent, so foreachBatch's
+  *    at-least-once replay of a batch after a crash re-commits the SAME
+  *    graph content (a fresh version name, identical rows) — the
+  *    stream-ingested graph converges to the batch-ingested graph on the
+  *    same data regardless of slicing or replay.
+  *
+  * Scale posture: each micro-batch costs O(batch ⋈ current-graph-keys) —
+  * two anti-joins on the MERGE keys — plus the store rewrite.
+  * The anti-joins are the same shape at any graph size (shuffle on id /
+  * edge key); the store rewrite is the lakehouse-compaction cost and at
+  * 100 TB would ride the partitioned MERGE path ([[GraphStore]] keeps
+  * `batch` partitioning, so per-batch files land in their own partition
+  * and compaction is routine maintenance, not part of the commit).
+  */
+object StreamingGraphIngest {
+
+  /** Envelope schema: a discriminated union of NodeRow and EdgeRow. Node
+    * fields are null on edge rows and vice versa; `batch` is shared.
+    */
+  val EnvelopeSchema: StructType = StructType(Seq(
+    StructField("kind", StringType),      // "node" | "edge"
+    StructField("id", LongType),
+    StructField("label", StringType),
+    StructField("name", StringType),
+    StructField("content", StringType),
+    StructField("docnbr", StringType),
+    StructField("batch", StringType),
+    StructField("path", ArrayType(IntegerType)),
+    StructField("src", LongType),
+    StructField("dst", LongType),
+    StructField("relType", StringType),
+    StructField("props", MapType(StringType, StringType))))
+
+  /** A graph as one envelope relation (the writer side of the feed). */
+  def toEnvelope(g: GraphTables): DataFrame = {
+    val n = g.nodes.toDF().select(lit("node").as("kind"), col("id"),
+      col("label"), col("name"), col("content"), col("docnbr"),
+      col("batch"), col("path"), lit(null).cast("long").as("src"),
+      lit(null).cast("long").as("dst"),
+      lit(null).cast("string").as("relType"),
+      lit(null).cast("map<string,string>").as("props"))
+    val e = EdgeRow.normalize(g.edges.toDF()).select(lit("edge").as("kind"),
+      lit(null).cast("long").as("id"), lit(null).cast("string").as("label"),
+      lit(null).cast("string").as("name"),
+      lit(null).cast("string").as("content"), col("docnbr"), col("batch"),
+      lit(null).cast("array<int>").as("path"), col("src"), col("dst"),
+      col("relType"), col("props"))
+    n.unionByName(e)
+  }
+
+  /** Split an envelope micro-batch back into typed node/edge relations,
+    * deduped on their MERGE keys (an at-least-once feed may repeat rows
+    * within one batch; node rows with equal `id` are identical by the
+    * deterministic-id construction, so any representative is THE row).
+    */
+  def fromEnvelope(spark: SparkSession, env: DataFrame): GraphTables = {
+    import spark.implicits._
+    val nodes = env.filter(col("kind") === "node")
+      .select(col("id"), col("label"), col("name"), col("content"),
+        col("docnbr"), col("batch"),
+        coalesce(col("path"), typedLit(Seq.empty[Int])).as("path"))
+      .dropDuplicates("id").as[NodeRow]
+    val edges = env.filter(col("kind") === "edge")
+      .select(col("src"), col("dst"), col("relType"), col("docnbr"),
+        col("batch"),
+        coalesce(col("props"), typedLit(Map.empty[String, String]))
+          .as("props"))
+      .dropDuplicates("src", "dst", "relType").as[EdgeRow]
+    GraphTables(nodes, edges)
+  }
+
+  /** MERGE one envelope micro-batch into the store: load the current
+    * version (empty graph before the first commit), upsert, commit a new
+    * version. Reading the current version while writing the next is safe
+    * — [[GraphStore.save]] writes a fresh directory and flips the pointer
+    * atomically. Idempotent on replay of the same batch.
+    */
+  def ingestBatch(spark: SparkSession, env: DataFrame, storeDir: String,
+      keepVersions: Int = 0): Unit = {
+    val incoming = fromEnvelope(spark, env)
+    val merged =
+      if (java.nio.file.Files.exists(
+          java.nio.file.Paths.get(storeDir, "CURRENT")))
+        GraphOps.upsert(GraphStore.load(spark, storeDir), incoming)
+      else incoming
+    GraphStore.save(merged, storeDir, keepVersions)
+  }
+
+  /** The always-on form: every micro-batch of the envelope stream commits
+    * one graph version. Offsets checkpoint, so restarts resume without
+    * loss; replays re-commit identical content (see class doc).
+    */
+  def ingest(envStream: DataFrame, storeDir: String, checkpoint: String,
+      keepVersions: Int = 0): StreamingQuery =
+    envStream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        ingestBatch(batch.sparkSession, batch, storeDir, keepVersions)
+      }
+      .start()
+
+  /** Incremental catch-up form (`Trigger.AvailableNow`, the scheduled-job
+    * shape): drain every envelope file not yet processed by this
+    * checkpoint into the store, then return. Each invocation picks up
+    * exactly the NEW files — the growing-corpus contract
+    * [[graft.streaming.StreamingOps.drainAvailable]] proves for
+    * relational sinks, here closed over the graph MERGE path.
+    */
+  def drainIngest(spark: SparkSession, envDir: String, storeDir: String,
+      checkpoint: String, keepVersions: Int = 0): Unit = {
+    val stream = spark.readStream.schema(EnvelopeSchema)
+      .option("recursiveFileLookup", "true").parquet(envDir)
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        ingestBatch(batch.sparkSession, batch, storeDir, keepVersions)
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+  }
+}

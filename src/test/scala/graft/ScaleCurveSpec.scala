@@ -66,13 +66,14 @@ class ScaleCurveSpec extends SparkSpec {
   private def timedMin2(body: => Unit): Double =
     math.min(timed(body), timed(body))
 
-  private def assertLinear(name: String, t1: Double, t10: Double): Unit = {
+  private def assertLinear(name: String, t1: Double, t10: Double,
+      bound: Double = MaxRatio): Unit = {
     val ratio = t10 / math.max(t1, OverheadFloorSec)
     info(f"$name: 1x=${t1}%.2fs 10x=${t10}%.2fs ratio=$ratio%.1f " +
-      f"(bound $MaxRatio%.0f)")
-    assert(ratio <= MaxRatio,
+      f"(bound $bound%.0f)")
+    assert(ratio <= bound,
       f"$name scaled super-linearly: 1x=$t1%.2fs 10x=$t10%.2fs " +
-        f"ratio=$ratio%.1f > $MaxRatio%.0f — a quadratic term is hiding " +
+        f"ratio=$ratio%.1f > $bound%.0f — a quadratic term is hiding " +
         "in this plan")
   }
 
@@ -125,7 +126,8 @@ class ScaleCurveSpec extends SparkSpec {
         .select((col("id") * 10 + col("i")).as("src"),
           (col("id") * 10 + col("j")).as("dst"),
           lit("E").as("relType"), lit("s").as("docnbr"),
-          lit("b0").as("batch")).as[EdgeRow]
+          lit("b0").as("batch"),
+          typedLit(Map.empty[String, String]).as("props")).as[EdgeRow]
       val nodes = spark.range(copies).crossJoin(
           spark.range(5).select(col("id").as("i")))
         .select((col("id") * 10 + col("i")).as("id"), lit("N").as("label"),
@@ -158,7 +160,8 @@ class ScaleCurveSpec extends SparkSpec {
           .as("dst"))
       val edges = hub.unionByName(bg)
         .select(col("src"), col("dst"), lit("HAS_CHILD").as("relType"),
-          lit("s").as("docnbr"), lit("b0").as("batch"))
+          lit("s").as("docnbr"), lit("b0").as("batch"),
+          typedLit(Map.empty[String, String]).as("props"))
         .as[EdgeRow]
       GraphTables(spark.emptyDataset[NodeRow], edges)
     }
@@ -189,7 +192,8 @@ class ScaleCurveSpec extends SparkSpec {
         .select((col("c") * 1000L + col("i")).as("src"),
           (col("c") * 1000L + pmod(col("i") + 1L, lit(n))).as("dst"),
           lit("HAS_CHILD").as("relType"), lit("s").as("docnbr"),
-          lit("b0").as("batch"))
+          lit("b0").as("batch"),
+          typedLit(Map.empty[String, String]).as("props"))
         .as[EdgeRow]
       (GraphTables(spark.emptyDataset[NodeRow], edges),
         (0 until copies).map(_ * 1000L))
@@ -228,7 +232,8 @@ class ScaleCurveSpec extends SparkSpec {
       val edges = triEdges.unionAll(star).unionAll(bg)
         .select(col("a").as("src"), col("b").as("dst"),
           lit("HAS_CHILD").as("relType"), lit("s").as("docnbr"),
-          lit("b0").as("batch"))
+          lit("b0").as("batch"),
+          typedLit(Map.empty[String, String]).as("props"))
         .as[EdgeRow]
       GraphTables(spark.emptyDataset[NodeRow], edges)
   }
@@ -261,6 +266,55 @@ class ScaleCurveSpec extends SparkSpec {
     val t1 = timedMin2(GraphOps.kTruss(spark, g1, 3).count())
     val t10 = timedMin2(GraphOps.kTruss(spark, g10, 3).count())
     assertLinear("kTruss(tri+star)", t1, t10)
+  }
+
+  test("kCore wall-time stays ~linear from 10x to 100x hub graph") {
+    // round-11 directive 5: the graph kernels get the same third order of
+    // magnitude the dedup family has. The hub graph at mult=100 is ~22M
+    // edges (4M-leaf hub); peeling depth is a constant of the degree
+    // DISTRIBUTION, not the edge count, so rounds stay fixed while
+    // per-round degree-aggregate + semi-join input grows 10× — a plan
+    // with an O(m²) or O(m·deg_max) term would blow the one-step bound.
+    def hubGraph(mult: Int): GraphTables = {
+      import spark.implicits._
+      val hubEdges = 40000L * mult
+      val hub = spark.range(1L, hubEdges + 1L)
+        .select(lit(0L).as("src"), col("id").as("dst"))
+      val bg = spark.range(180000L * mult).select(
+        (lit(1L) + pmod(hash(col("id")), lit(10000 * mult)).cast("long"))
+          .as("src"),
+        (lit(hubEdges + 1L) +
+          pmod(hash(col("id") * 7L), lit(20000 * mult)).cast("long"))
+          .as("dst"))
+      val edges = hub.unionByName(bg)
+        .select(col("src"), col("dst"), lit("HAS_CHILD").as("relType"),
+          lit("s").as("docnbr"), lit("b0").as("batch"),
+          typedLit(Map.empty[String, String]).as("props"))
+        .as[EdgeRow]
+      GraphTables(spark.emptyDataset[NodeRow], edges)
+    }
+    val g10 = hubGraph(10)
+    val g100 = hubGraph(100)
+    GraphOps.kCore(spark, g10, 2).count() // warm-up
+    val t10 = timedMin2(GraphOps.kCore(spark, g10, 2).count())
+    val t100 = timed(GraphOps.kCore(spark, g100, 2).count())
+    assertLinear("kCore(hub 10x→100x)", t10, t100, MaxRatio100Graph)
+  }
+
+  test("clusteringCoefficient wall-time stays ~linear from 10x to 100x") {
+    // same third-decade discipline for the single-pass wedge kernel:
+    // triangles, star leaves and background all ×100 (≈19M edges), total
+    // wedge count still linear in mult — only the degree-ordered
+    // orientation keeps the 4M-leaf star wedge-free at this scale (an
+    // id-ordered plan would enumerate ~8×10¹² wedges and never finish,
+    // let alone pass the bound).
+    val g10 = triGraph(10)
+    val g100 = triGraph(100)
+    GraphOps.clusteringCoefficient(spark, g10).count() // warm-up
+    val t10 = timedMin2(GraphOps.clusteringCoefficient(spark, g10).count())
+    val t100 = timed(GraphOps.clusteringCoefficient(spark, g100).count())
+    assertLinear("clusteringCoefficient(10x→100x)", t10, t100,
+      MaxRatio100Graph)
   }
 
   /** Relational (TPC-H) curve corpora: FACTS (lineitem, orders) replicated
@@ -349,4 +403,14 @@ object ScaleCurveSpec {
     * turn noise into a fake super-linear verdict.
     */
   val OverheadFloorSec = 0.4
+
+  /** Bound for the GRAPH kernels' third decade (10×→100×): the 100×
+    * fixtures (~20M edges) push the shared 8g test JVM's storage fraction
+    * — other suites' cached fixtures and the serialized round state
+    * coexist — so honest linear plans read ~12-13 with several seconds of
+    * eviction/IO jitter on top. 20 keeps the verdict unambiguous: the
+    * quadratic alternative reads ~100 (and an id-ordered wedge plan would
+    * not finish at all).
+    */
+  val MaxRatio100Graph = 20.0
 }

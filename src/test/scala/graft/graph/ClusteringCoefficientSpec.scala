@@ -1,7 +1,7 @@
 package graft.graph
 
 import graft.SparkSpec
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.functions.{col, lit, typedLit}
 
 /** Unit-level check of [[GraphOps.clusteringCoefficient]] (the oracle twin
   * `graphp_clustering` covers the clique∪star parquet fixture; this pins
@@ -55,7 +55,8 @@ class ClusteringCoefficientSpec extends SparkSpec {
     import spark.implicits._
     val leaves = spark.range(1L, 100001L)
       .select(lit(0L).as("src"), col("id").as("dst"),
-        lit("E").as("relType"), lit("").as("docnbr"), lit("base").as("batch"))
+        lit("E").as("relType"), lit("").as("docnbr"), lit("base").as("batch"),
+        typedLit(Map.empty[String, String]).as("props"))
       .as[EdgeRow]
     val closing = Seq(EdgeRow(1L, 2L, "E", "", "base")).toDS()
     val g = GraphTables(

@@ -58,7 +58,15 @@ class CypherFuzzSpec extends SparkSpec {
     " WITH m, count(c) AS n ORDER BY n DESC LIMIT 2 WHERE n >= 1",
     " WITH m, count(c) AS n ORDER BY n WHERE n >= 1",
     " WITH m, count(c) AS n WHERE n >= 1 ORDER BY n WHERE n >= 2",
-    " WITH m, count(c) AS n ORDER BY n WHERE")
+    " WITH m, count(c) AS n ORDER BY n WHERE",
+    // chained stages (multi-WITH pipeline) + scope/shape near-misses
+    " WITH m, count(c) AS n WITH n, count(*) AS g",
+    " WITH m, count(c) AS n WHERE n >= 1 WITH n WHERE n <= 3",
+    " WITH m, count(c) AS n WITH sum(n) AS total",
+    " WITH m, count(c) AS n WITH c, count(*) AS g",
+    " WITH m, count(c) AS n WITH n, sum(name) AS s",
+    " WITH m, count(c) AS n WITH n, count(*) AS",
+    " WITH m, count(c) AS n WITH")
   private val rets = Seq(" RETURN m", " RETURN m.name", " RETURN DISTINCT c",
     " RETURN m, count(c)", " RETURN count(*)", " RETURN collect(c.name)",
     " RETURN m.name, COUNT { (m)-[]->(x) }", " RETURN type(r), count(r)",

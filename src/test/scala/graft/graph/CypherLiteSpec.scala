@@ -1100,6 +1100,77 @@ class CypherLiteSpec extends SparkSpec {
       skp.toString)
   }
 
+  test("chained WITH stages: aggregate → re-aggregate (histogram), " +
+      "re-filter between stages, three stages, global final aggregate") {
+    // counts 5/4/3/2 are unique → histogram is four (n, 1) rows
+    val hist = CypherLite.run(stair,
+      "MATCH (m:T)-[:HAS_KID]->(c) WITH m, count(c) AS n " +
+        "WITH n, count(*) AS groups RETURN n, groups ORDER BY n")
+      .fold(e => fail(e), identity).collect()
+    assert(hist.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((2L, 1L), (3L, 1L), (4L, 1L), (5L, 1L)))
+
+    // filter in stage 1 (n >= 3 keeps 5,4,3), projection stage re-filters
+    // (n <= 4 keeps 4,3), global aggregate sums
+    val total = CypherLite.run(stair,
+      "MATCH (m:T)-[:HAS_KID]->(c) WITH m, count(c) AS n WHERE n >= 3 " +
+        "WITH n WHERE n <= 4 WITH sum(n) AS total RETURN total")
+      .fold(e => fail(e), identity).collect()
+    assert(total.map(_.getLong(0)).toSeq == Seq(7L))
+
+    // property grouping in stage 1, AS rename + ORDER BY the rename
+    val top = CypherLite.run(stair,
+      "MATCH (m:T)-[:HAS_KID]->(c) WITH m.name, count(c) AS n " +
+        "WITH n, count(*) AS groups WHERE groups >= 1 " +
+        "RETURN n AS kid_count, groups ORDER BY kid_count DESC LIMIT 2")
+      .fold(e => fail(e), identity).collect()
+    assert(top.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((5L, 1L), (4L, 1L)))
+    assert(top.headOption.map(_.schema.fieldNames.toSeq)
+      .contains(Seq("kid_count", "groups")))
+
+    // a mid-chain LIMIT caps what the next stage aggregates: the two
+    // smallest counts (2, 3) survive into the sum
+    val lim = CypherLite.run(stair,
+      "MATCH (m:T)-[:HAS_KID]->(c) WITH m, count(c) AS n " +
+        "ORDER BY n ASC LIMIT 2 WITH sum(n) AS total RETURN total")
+      .fold(e => fail(e), identity).collect()
+    assert(lim.map(_.getLong(0)).toSeq == Seq(5L))
+  }
+
+  test("chained WITH scoping violations are rejected with named errors") {
+    // the hop variable died at the first WITH
+    val r1 = CypherLite.run(stair,
+      "MATCH (m:T)-[:HAS_KID]->(c) WITH m, count(c) AS n " +
+        "WITH c, count(*) AS g RETURN c, g")
+    assert(r1.isLeft && r1.swap.toOption.get.contains("not in scope"),
+      r1.toString)
+    // numeric aggregate over a string-collation column
+    val r2 = CypherLite.run(stair,
+      "MATCH (m:T)-[:HAS_KID]->(c) WITH m, count(c) AS n " +
+        "WITH sum(name) AS s RETURN s")
+    assert(r2.isLeft && r2.swap.toOption.get.contains("numeric"),
+      r2.toString)
+    // numeric WHERE over a min/max string alias, across a stage boundary
+    val r3 = CypherLite.run(stair,
+      "MATCH (m:T)-[:HAS_KID]->(c) WITH m, count(c) AS n " +
+        "WITH n, min(name) AS lo WHERE lo >= 2 RETURN n, lo")
+    assert(r3.isLeft && r3.swap.toOption.get.contains("string collation"),
+      r3.toString)
+    // RETURN of a column the last stage dropped
+    val r4 = CypherLite.run(stair,
+      "MATCH (m:T)-[:HAS_KID]->(c) WITH m, count(c) AS n " +
+        "WITH n, count(*) AS g RETURN n, g, name")
+    assert(r4.isLeft && r4.swap.toOption.get.contains("not in scope"),
+      r4.toString)
+    // a stage-1 error surfaces with its stage label
+    val r5 = CypherLite.run(stair,
+      "MATCH (m:T)-[:HAS_KID]->(c) WITH m, count(q) AS n " +
+        "WITH n, count(*) AS g RETURN n, g")
+    assert(r5.isLeft && r5.swap.toOption.get.contains("WITH stage 1"),
+      r5.toString)
+  }
+
   test("malformed multi-aggregate WITH pipelines are rejected with " +
       "named errors") {
     // duplicate alias

@@ -82,6 +82,17 @@ class GraphMaintenanceSpec extends SparkSpec {
     // the committed version is untouched and still resolves
     assert(GraphStore.currentDir(dir) == live)
     assert(GraphStore.load(spark, dir).nodes.count() == g.nodes.count())
+    // the writer is long dead: age its leftovers past the in-flight
+    // grace window (a fresh uncommitted dir survives gc by design)
+    val dead = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - GraphStore.UncommittedGraceMillis - 60000)
+    Seq(orphan,
+      java.nio.file.Paths.get(dir, "CURRENT.tmp-v-orphan-crashed"))
+      .foreach { pth =>
+        val w = java.nio.file.Files.walk(pth)
+        try w.forEach(java.nio.file.Files.setLastModifiedTime(_, dead))
+        finally w.close()
+      }
     GraphStore.gc(dir)
     assert(!java.nio.file.Files.exists(orphan))
     assert(!java.nio.file.Files.exists(

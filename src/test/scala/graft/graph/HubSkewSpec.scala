@@ -45,7 +45,8 @@ class HubSkewSpec extends SparkSpec {
         .as("dst"))
     val edges = hub.unionByName(bg)
       .select(col("src"), col("dst"), lit("HAS_CHILD").as("relType"),
-        lit("synthetic").as("docnbr"), lit("b0").as("batch"))
+        lit("synthetic").as("docnbr"), lit("b0").as("batch"),
+        typedLit(Map.empty[String, String]).as("props"))
       .as[EdgeRow]
     GraphTables(spark.emptyDataset[NodeRow], edges)
   }

@@ -18,8 +18,9 @@ class KTrussSpec extends SparkSpec {
       (1L, 2L), (1L, 3L), (2L, 3L), // triangle A-B-C
       (2L, 4L), (3L, 4L)            // triangle B-C-D (shares B-C)
     ).map { case (s, d) => (s, d, "HAS_CHILD", "", "b0") }
-      .toDF("src", "dst", "relType", "docnbr", "batch").as[EdgeRow]
-    GraphTables(spark.emptyDataset[NodeRow], edges)
+      .toDF("src", "dst", "relType", "docnbr", "batch")
+    val withProps = EdgeRow.normalize(edges).as[EdgeRow]
+    GraphTables(spark.emptyDataset[NodeRow], withProps)
   }
 
   test("k=4 cascades to empty across two peeling rounds") {

@@ -1,0 +1,89 @@
+package graft.graph
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+/** The reference's only write path (C2 MERGE, `new_final.js:22-40`) under
+  * CONTINUOUS arrival: a file-source envelope stream → foreachBatch →
+  * upsert → versioned store commit. The contract proven here:
+  *
+  *  1. stream-ingested graph ≡ batch-ingested graph on the same data,
+  *     whatever the slicing into micro-batches,
+  *  2. replaying a batch (foreachBatch's at-least-once contract) is a
+  *     content no-op,
+  *  3. each drain resumes from the checkpoint — only NEW files process.
+  */
+class StreamingGraphIngestSpec extends SparkSpec {
+
+  private def graphColumns(g: GraphTables) = (
+    g.nodes.toDF().select("id", "label", "name", "content", "docnbr",
+      "batch", "path"),
+    g.edges.toDF().select("src", "dst", "relType", "docnbr", "batch"))
+
+  private def assertSameGraph(a: GraphTables, b: GraphTables): Unit = {
+    val (an, ae) = graphColumns(a)
+    val (bn, be) = graphColumns(b)
+    assert(an.exceptAll(bn).isEmpty && bn.exceptAll(an).isEmpty,
+      "node relations differ")
+    assert(ae.exceptAll(be).isEmpty && be.exceptAll(ae).isEmpty,
+      "edge relations differ")
+  }
+
+  test("sliced stream ingest converges to the batch graph; replay and " +
+      "re-drain are no-ops") {
+    val dir = Files.createTempDirectory("graft_stream_ingest").toString
+    val env = s"$dir/env"
+    val store = s"$dir/store"
+    val ckpt = s"$dir/ckpt"
+    val g = ParquetGraph.hierarchy(spark, sf("sf0.001"))
+    val full = StreamingGraphIngest.toEnvelope(g).localCheckpoint()
+
+    // three deterministic slices on the MERGE keys — nodes and edges
+    // interleave across slices (an edge may arrive before its endpoints;
+    // final-state equivalence must not depend on arrival order)
+    val sliceKey = pmod(coalesce(col("id"), col("src") + col("dst")), lit(3))
+    (0 to 2).foreach { i =>
+      full.filter(sliceKey === i).write.parquet(s"$env/slice$i")
+      StreamingGraphIngest.drainIngest(spark, env, store, ckpt)
+      // the store is live and readable after every incremental commit
+      assert(GraphStore.load(spark, store).nodes.count() > 0)
+    }
+
+    val streamed = GraphStore.load(spark, store)
+    assertSameGraph(streamed, g)
+
+    // replay of an already-applied batch (at-least-once delivery):
+    // commits a new version, content identical
+    val before = GraphStore.versionList(store)
+    StreamingGraphIngest.ingestBatch(spark,
+      full.filter(sliceKey === 1), store)
+    assertSameGraph(GraphStore.load(spark, store), g)
+    assert(GraphStore.versionList(store) != before,
+      "replay must commit through the same versioned protocol")
+
+    // a drain with nothing new processes nothing (checkpointed offsets)
+    StreamingGraphIngest.drainIngest(spark, env, store, ckpt)
+    assertSameGraph(GraphStore.load(spark, store), g)
+  }
+
+  test("envelope round-trip is lossless and batch-deduping") {
+    import spark.implicits._
+    val g = GraphTables(
+      Seq(NodeRow(1L, "A", "a", "", "", "b1", Seq(1, 2)),
+        NodeRow(2L, "B", "b", "c", "d9", "b1", Seq.empty)).toDS(),
+      Seq(EdgeRow(1L, 2L, "R", "", "b1")).toDS())
+    val env = StreamingGraphIngest.toEnvelope(g)
+    // an at-least-once feed repeats rows WITHIN a batch: dedup on MERGE keys
+    val doubled = env.unionByName(env)
+    // materialize: the comparison's exceptAll against the SAME toDS
+    // lineage otherwise trips attribute-binding conflicts in the
+    // replication Generate (both sides would share attribute ids)
+    val raw = StreamingGraphIngest.fromEnvelope(spark, doubled)
+    val back = GraphTables(
+      raw.nodes.localCheckpoint(), raw.edges.localCheckpoint())
+    assertSameGraph(back, g)
+    assert(back.nodes.count() == 2 && back.edges.count() == 1)
+  }
+}
