@@ -565,6 +565,69 @@ object Multimodal {
         .orderBy("doc_id", "kind")
     },
     QueryDef.sql(
+      "mm11_binary_ingest",
+      // the OBJECT-STORAGE seam as a graded query (MediaIngestSpec pins
+      // it as a spec; this row makes the driver exercise it every
+      // round): real .bmp FILES on disk → the `binaryFile` datasource
+      // (partitioned file listing, no driver-side reads) → REAL codec
+      // decode per partition → per-file stats. The oracle recomputes
+      // byte size, dimensions and the full-pixel luma sum from the
+      // GENERATOR formulas (file pixel p = text byte p mod n) — the
+      // files never reach DuckDB, so a wrong glob, a misparsed header,
+      // or a truncated pixel walk hash-misses.
+      """WITH img AS (
+        |  SELECT doc_id, text, octet_length(encode(text)) AS n
+        |  FROM documents
+        |  WHERE octet_length(encode(text)) % 3 = 0
+        |    AND octet_length(encode(text)) > 0),
+        |dim AS (SELECT doc_id, text, n, n % 24 + 8 AS w,
+        |    (n // 7) % 24 + 8 AS h FROM img),
+        |px AS (SELECT doc_id, n, text, w, h,
+        |    unnest(generate_series(0, w * h - 1)) AS p FROM dim),
+        |ls AS (SELECT doc_id,
+        |    CAST(sum(ascii(substring(text, CAST(p % n AS INT) + 1, 1)))
+        |      AS BIGINT) AS luma_sum
+        |  FROM px GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(54 + 4 * ((3 * d.w + 3) // 4) * d.h AS BIGINT) AS n_bytes,
+        |  CAST(d.w AS INT) AS width, CAST(d.h AS INT) AS height,
+        |  ls.luma_sum
+        |FROM dim d JOIN ls USING (doc_id) ORDER BY d.doc_id""".stripMargin) {
+      (s, d) =>
+      import s.implicits._
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_mm11").toString
+      // producer side of the seam: render the image slice to real files,
+      // executor-parallel (at 100 TB this is the upstream system writing
+      // the bucket; the ENGINE path under grade starts at the read)
+      bmpTable(s, d).as[(Long, Array[Byte])].foreachPartition {
+        rows: Iterator[(Long, Array[Byte])] =>
+          rows.foreach { case (id, bytes) =>
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(dir, f"doc_$id%012d.bmp"), bytes)
+          }
+      }
+      // a decoy the glob filter must exclude
+      java.nio.file.Files.write(java.nio.file.Paths.get(dir, "notes.txt"),
+        "not an image".getBytes("UTF-8"))
+      s.read.format("binaryFile").option("pathGlobFilter", "*.bmp")
+        .load(dir)
+        .select(element_at(split(col("path"), "/"), -1).as("file"),
+          col("length"), col("content"))
+        .as[(String, Long, Array[Byte])]
+        .mapPartitions { rows =>
+          // one decoder context per partition (the mapInPandas shape)
+          rows.map { case (f, len, bytes) =>
+            val img = Bmp.decode(bytes)
+            (f.stripPrefix("doc_").stripSuffix(".bmp").toLong, len,
+              img.width, img.height, img.luma.map(_.toLong).sum)
+          }
+        }
+        .toDF("doc_id", "n_bytes", "width", "height", "luma_sum")
+        .orderBy("doc_id")
+    },
+
+    QueryDef.sql(
       "mm10_png_phash",
       // per-image aHash over REAL decoded PNG pixels: unlike mm6's flat
       // BMP layout, the engine-side parse crosses a DEFLATE stream
