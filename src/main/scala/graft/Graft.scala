@@ -103,6 +103,23 @@ object Graft {
   /** Local clustering coefficient (2T(v) / deg(v)(deg(v)−1)). */
   def clusteringCoefficient(spark: SparkSession, g: GraphTables): DataFrame =
     GraphOps.clusteringCoefficient(spark, g)
+  /** Louvain modularity communities (exact-integer accept-guard). */
+  def louvain(spark: SparkSession, g: GraphTables): DataFrame =
+    GraphOps.louvain(spark, g)
+  /** k-truss edge subgraph (every edge in ≥ k−2 triangles). */
+  def kTruss(spark: SparkSession, g: GraphTables, k: Int): DataFrame =
+    GraphOps.kTruss(spark, g, k)
+  /** Landmark-restricted closeness centrality. */
+  def closenessCentrality(spark: SparkSession, g: GraphTables,
+      landmarks: Seq[Long]): DataFrame =
+    GraphOps.closenessCentrality(spark, g, landmarks)
+  /** Weighted shortest distances reading a REAL edge property
+    * (`EdgeRow.props(weightProp)`, absent/garbage values → `default`).
+    */
+  def shortestPathWeighted(spark: SparkSession, g: GraphTables,
+      rootIds: Set[Long], weightProp: String = "weight",
+      default: Double = 1.0): DataFrame =
+    GraphOps.shortestPathWeighted(spark, g, rootIds, weightProp, default)
 
   // ------------------------------------------------------------ corpus ops
   /** Near-duplicate clusters of a documents table (doc_id, text, …):
@@ -151,4 +168,19 @@ object Graft {
       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
     graft.streaming.StreamingOps.incrementalAgg(streaming, stateDir,
       checkpoint)
+
+  /** Continuous graph ingest (the reference's MERGE write path under
+    * streaming arrival): an envelope stream of node/edge rows commits one
+    * store version per micro-batch. See [[graph.StreamingGraphIngest]].
+    */
+  def streamIngest(envStream: DataFrame, storeDir: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    StreamingGraphIngest.ingest(envStream, storeDir, checkpoint)
+
+  /** Scheduled-catch-up graph ingest: drain every envelope file this
+    * checkpoint has not yet processed into the store, then return.
+    */
+  def drainGraphIngest(spark: SparkSession, envDir: String,
+      storeDir: String, checkpoint: String): Unit =
+    StreamingGraphIngest.drainIngest(spark, envDir, storeDir, checkpoint)
 }

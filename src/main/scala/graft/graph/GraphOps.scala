@@ -11,11 +11,13 @@ import org.apache.spark.sql.functions._
   */
 object GraphOps {
 
-  /** MERGE-style idempotent upsert (Q7; reference `new_final.js:22-40`):
-    * deterministic ids turn "match or create" into a left-anti join + union
-    * — no per-row lookups, one shuffle, safe at any scale.
+  /** The NEW rows a MERGE of `incoming` into `existing` would add —
+    * anti-joins on the MERGE keys (node `id`; edge `(src, dst,
+    * relType)`). This is both [[upsert]]'s work set and the O(batch)
+    * payload an incremental commit ([[GraphStore.saveDelta]]) writes.
     */
-  def upsert(existing: GraphTables, incoming: GraphTables): GraphTables = {
+  def upsertDelta(existing: GraphTables, incoming: GraphTables)
+      : GraphTables = {
     val newNodes = incoming.nodes
       .join(existing.nodes.select("id"), Seq("id"), "left_anti")
       .as(existing.nodes.encoder)
@@ -23,11 +25,20 @@ object GraphOps {
     val newEdges = incoming.edges
       .join(existing.edges.select(edgeKey.map(col): _*), edgeKey, "left_anti")
       .as(existing.edges.encoder)
+    GraphTables(newNodes, newEdges)
+  }
+
+  /** MERGE-style idempotent upsert (Q7; reference `new_final.js:22-40`):
+    * deterministic ids turn "match or create" into a left-anti join + union
+    * — no per-row lookups, one shuffle, safe at any scale.
+    */
+  def upsert(existing: GraphTables, incoming: GraphTables): GraphTables = {
+    val d = upsertDelta(existing, incoming)
     // by-name union: a graph loaded from the partitioned store carries its
     // partition column (`batch`) LAST, so positional union would silently
     // misalign columns between a loaded graph and a freshly-built one
-    GraphTables(existing.nodes.unionByName(newNodes),
-      existing.edges.unionByName(newEdges))
+    GraphTables(existing.nodes.unionByName(d.nodes),
+      existing.edges.unionByName(d.edges))
   }
 
   /** Tag-predicate cascade delete (Q8/A19; `deleteneo.py:10-12`): drop the

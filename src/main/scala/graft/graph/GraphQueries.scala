@@ -162,11 +162,14 @@ object GraphQueries {
       // under ANSI mode
       val sliceKey = pmod(coalesce(col("id"),
         col("src").bitwiseXOR(col("dst"))), lit(2))
+      // 4 files per slice + maxFilesPerTrigger=4: one drain, two
+      // micro-batch commits (see graphp_stream_ingest)
       (0 to 1).foreach { i =>
-        env.filter(sliceKey === i).write.parquet(s"$dir/env/slice$i")
-        StreamingGraphIngest.drainIngest(s, s"$dir/env", s"$dir/store",
-          s"$dir/ckpt")
+        env.filter(sliceKey === i).coalesce(4)
+          .write.parquet(s"$dir/env/slice$i")
       }
+      StreamingGraphIngest.drainIngest(s, s"$dir/env", s"$dir/store",
+        s"$dir/ckpt", maxFilesPerTrigger = Some(4))
       GraphStore.load(s, s"$dir/store").nodes.groupBy("label")
         .agg(count(lit(1)).as("n_nodes")).orderBy("label")
     },

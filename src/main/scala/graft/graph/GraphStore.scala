@@ -1,6 +1,7 @@
 package graft.graph
 
-import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.{Encoders, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.{coalesce, col, typedLit}
 
 import java.nio.file.{Files, Path, Paths, StandardCopyOption, StandardOpenOption}
 import java.util.Comparator
@@ -16,6 +17,13 @@ import java.util.concurrent.atomic.AtomicLong
   *    form of a lakehouse transaction log (§4.3). The commit is a single
   *    rename, so a crash at ANY step leaves the previous version fully
   *    live; there is no window with no readable graph.
+  *
+  * Two commit shapes share one protocol: [[save]] writes a FULL
+  * snapshot; [[saveDelta]] writes only a micro-batch's new rows and
+  * marks the version `DELTA` — its logical content is the union of its
+  * CHAIN (predecessors in the commit log down to the youngest full
+  * snapshot), resolved at read time. Incremental commits cost O(batch);
+  * [[compact]] folds a chain back into one snapshot as maintenance.
   *
   * Commit protocol: after the pointer flip, the version name is appended
   * to a `COMMITS` log. Only versions that appear in the log (or are the
@@ -52,6 +60,30 @@ object GraphStore {
     * enough that crashed-writer debris doesn't accumulate across runs.
     */
   val UncommittedGraceMillis: Long = 10L * 60 * 1000
+
+  /** Marker file distinguishing an INCREMENTAL version (its logical
+    * content = predecessor + this dir's rows) from a full snapshot.
+    */
+  private val DeltaMarker = "DELTA"
+
+  private def isDelta(dir: String, v: String): Boolean =
+    Files.exists(Paths.get(dir, v, DeltaMarker))
+
+  /** The contiguous commit-log suffix `v`'s data depends on: `v` itself
+    * plus, while a version is a delta, its log predecessor — ending at
+    * the youngest FULL snapshot at or below `v`. A full version's chain
+    * is just itself.
+    */
+  private def chainOf(dir: String, v: String): Seq[String] = {
+    val log = committedVersions(dir)
+    val idx = log.indexOf(v)
+    if (idx < 0) Seq(v)
+    else {
+      var i = idx
+      while (i > 0 && isDelta(dir, log(i))) i -= 1
+      log.slice(i, idx + 1)
+    }
+  }
 
   private def currentVersion(dir: String): Option[String] = {
     val p = Paths.get(dir, Pointer)
@@ -100,7 +132,31 @@ object GraphStore {
     * after the commit (time travel via [[loadVersion]]); the default
     * keeps none — the original crash-sweep behavior.
     */
-  def save(g: GraphTables, dir: String, keepVersions: Int = 0): Unit = {
+  def save(g: GraphTables, dir: String, keepVersions: Int = 0): Unit =
+    commitVersion(g, dir, keepVersions, delta = false)
+
+  /** Commit an INCREMENTAL version: only `delta`'s rows are written; the
+    * version's logical content = predecessor + delta, resolved through
+    * the commit log at read time ([[loadVersion]] unions the chain). The
+    * commit costs O(delta), not O(graph) — the micro-batch MERGE shape a
+    * continuous ingest needs at 100 TB (a full rewrite per micro-batch
+    * would be quadratic in arrived data). The delta MUST be disjoint
+    * from the current content on the MERGE keys (the caller computes it
+    * with [[GraphOps.upsertDelta]]); [[compact]] folds a long chain back
+    * into one full snapshot as routine maintenance. An empty delta is a
+    * legal commit (a replayed micro-batch re-commits identical content
+    * through the same protocol).
+    */
+  def saveDelta(delta: GraphTables, dir: String,
+      keepVersions: Int = 0): Unit = {
+    require(currentVersion(dir).isDefined,
+      "saveDelta needs an existing committed base — use save() for the " +
+        "first commit")
+    commitVersion(delta, dir, keepVersions, delta = true)
+  }
+
+  private def commitVersion(g: GraphTables, dir: String, keepVersions: Int,
+      delta: Boolean): Unit = {
     // name embeds creation order (epoch millis + per-JVM sequence) so
     // lexicographic sort ≡ creation order even within one millisecond;
     // the UUID tail keeps cross-JVM uniqueness
@@ -111,6 +167,9 @@ object GraphStore {
       .parquet(vdir.resolve("nodes").toString)
     g.edges.write.mode(SaveMode.Overwrite).partitionBy("batch")
       .parquet(vdir.resolve("edges").toString)
+    // the marker precedes the pointer flip: a reader resolving the new
+    // version must already see it as a delta
+    if (delta) Files.write(vdir.resolve(DeltaMarker), Array.empty[Byte])
     // commit = one atomic rename of the pointer file; readers resolving
     // CURRENT see the old or the new version, never a mix, never neither
     val tmpPtr = Paths.get(dir, Pointer + ".tmp-" + version)
@@ -125,12 +184,16 @@ object GraphStore {
     * from crashed writers) older than [[UncommittedGraceMillis]], and all
     * but the newest `keepVersions` committed non-current versions. Safe
     * to run any time under the single-writer contract; never touches the
-    * live version. `keepVersions = 0` is the crash-sweep default: only
-    * the live version survives.
+    * live version NOR its delta chain (the predecessors a delta head's
+    * content resolves through are infrastructure of the live version,
+    * not time-travel budget), and a RETAINED history head keeps its own
+    * chain readable too. `keepVersions = 0` is the crash-sweep default:
+    * only the live version ( + its chain) survives.
     */
   def gc(dir: String, keepVersions: Int = 0): Unit =
     currentVersion(dir).foreach { cur =>
-      val committed = committedVersions(dir).toSet
+      val log = committedVersions(dir)
+      val committed = log.toSet
       val now = System.currentTimeMillis()
       def aged(p: Path): Boolean =
         try now - Files.getLastModifiedTime(p).toMillis >
@@ -145,13 +208,17 @@ object GraphStore {
         else if (n.startsWith("v-") && !committed.contains(n) && aged(p))
           deleteRecursively(p)
       } finally stream.close()
-      // retained history: committed, existing, non-current — newest first
-      // by LOG ORDER (not mtime)
-      val history = committedVersions(dir).reverse
-        .filter(v => v != cur && Files.exists(Paths.get(dir, v)))
-      history.drop(keepVersions).foreach(v =>
+      val liveChain = chainOf(dir, cur).toSet
+      // retained history HEADS: committed, existing, outside the live
+      // chain — newest first by LOG ORDER (not mtime)
+      val history = log.reverse
+        .filter(v => !liveChain.contains(v) &&
+          Files.exists(Paths.get(dir, v)))
+      val kept = liveChain ++
+        history.take(keepVersions).flatMap(chainOf(dir, _))
+      history.filterNot(kept.contains).foreach(v =>
         deleteRecursively(Paths.get(dir, v)))
-      rewriteLog(dir, (cur +: history.take(keepVersions)).reverse)
+      rewriteLog(dir, log.filter(kept.contains))
     }
 
   /** All readable versions, current first, then retained committed
@@ -167,29 +234,46 @@ object GraphStore {
   /** Time-travel read of a retained version (any name from
     * [[versionList]]) — the lakehouse "AS OF" primitive: readers pin a
     * version and are isolated from every later commit and compaction.
-    * Refuses names outside the commit log: a torn snapshot is not
-    * readable history.
+    * A DELTA version reads as the union of its chain (its predecessors
+    * down to the youngest full snapshot). Refuses names outside the
+    * commit log: a torn snapshot is not readable history. Relations are
+    * read with EXPLICIT schemas, so an empty delta (a replayed
+    * micro-batch) and a pre-`props` store both load cleanly.
     */
   def loadVersion(spark: SparkSession, dir: String, version: String)
       : GraphTables = {
-    import spark.implicits._
-    val vd = Paths.get(dir, version)
-    require(Files.exists(vd), s"version $version not retained in $dir")
+    require(Files.exists(Paths.get(dir, version)),
+      s"version $version not retained in $dir")
     require(committedVersions(dir).contains(version),
       s"version $version was never committed in $dir (torn snapshot)")
-    GraphTables(
-      spark.read.parquet(s"$vd/nodes").as[NodeRow],
-      EdgeRow.normalize(spark.read.parquet(s"$vd/edges")).as[EdgeRow])
+    val chain = chainOf(dir, version)
+    chain.foreach(v => require(Files.exists(Paths.get(dir, v)),
+      s"delta chain member $v of $version missing in $dir"))
+    val nodes = chain
+      .map(v => spark.read.schema(Encoders.product[NodeRow].schema)
+        .parquet(s"$dir/$v/nodes"))
+      .reduce(_ unionByName _)
+    val edges = chain
+      .map(v => spark.read.schema(Encoders.product[EdgeRow].schema)
+        .parquet(s"$dir/$v/edges"))
+      .reduce(_ unionByName _)
+      // a pre-props file reads the missing column as null, not empty map
+      .withColumn("props",
+        coalesce(col("props"), typedLit(Map.empty[String, String])))
+    GraphTables(nodes.as(Encoders.product[NodeRow]),
+      edges.as(Encoders.product[EdgeRow]))
   }
 
-  def load(spark: SparkSession, dir: String): GraphTables = {
-    import spark.implicits._
-    val cd = currentDir(dir)
-    GraphTables(
-      spark.read.parquet(s"$cd/nodes").as[NodeRow],
-      // normalize: a store written before edges carried props still loads
-      EdgeRow.normalize(spark.read.parquet(s"$cd/edges")).as[EdgeRow])
-  }
+  def load(spark: SparkSession, dir: String): GraphTables =
+    currentVersion(dir) match {
+      case Some(cur) => loadVersion(spark, dir, cur)
+      case None => // pre-pointer layout: data directly under dir
+        GraphTables(
+          spark.read.schema(Encoders.product[NodeRow].schema)
+            .parquet(s"$dir/nodes").as(Encoders.product[NodeRow]),
+          EdgeRow.normalize(spark.read.parquet(s"$dir/edges"))
+            .as(Encoders.product[EdgeRow]))
+    }
 
   /** A19 at rest: drop the batch's node/edge partitions — pure metadata.
     * Edits the live version in place (a partition drop is idempotent and
@@ -199,11 +283,17 @@ object GraphStore {
     * ingest writes edges under their own batch, so same-batch drops are
     * complete.
     */
-  def dropBatchAtRest(dir: String, batch: String): Unit =
-    Seq("nodes", "edges").foreach { rel =>
-      val p = Paths.get(currentDir(dir), rel, s"batch=$batch")
+  def dropBatchAtRest(dir: String, batch: String): Unit = {
+    // a delta head's batch rows may live in ANY chain member
+    val roots = currentVersion(dir) match {
+      case Some(cur) => chainOf(dir, cur).map(v => Paths.get(dir, v))
+      case None => Seq(Paths.get(dir))
+    }
+    for (r <- roots; rel <- Seq("nodes", "edges")) {
+      val p = r.resolve(rel).resolve(s"batch=$batch")
       if (Files.exists(p)) deleteRecursively(p)
     }
+  }
 
   /** Small-files compaction: incremental batch upserts accumulate many
     * small parquet files per partition; rewrite each relation to

@@ -1209,11 +1209,17 @@ object ParquetGraph {
         .localCheckpoint()
       val sliceKey = pmod(coalesce(col("id"), col("src") + col("dst")),
         lit(2))
+      // 4 files per slice + maxFilesPerTrigger=4 → ONE AvailableNow
+      // drain runs TWO micro-batches (two upsert→commit cycles, writes
+      // still parallel) without paying a second streaming-query
+      // lifecycle; the multi-drain checkpoint-resume contract is pinned
+      // by StreamingGraphIngestSpec
       (0 to 1).foreach { i =>
-        env.filter(sliceKey === i).write.parquet(s"$dir/env/slice$i")
-        StreamingGraphIngest.drainIngest(s, s"$dir/env", s"$dir/store",
-          s"$dir/ckpt")
+        env.filter(sliceKey === i).coalesce(4)
+          .write.parquet(s"$dir/env/slice$i")
       }
+      StreamingGraphIngest.drainIngest(s, s"$dir/env", s"$dir/store",
+        s"$dir/ckpt", maxFilesPerTrigger = Some(4))
       val g = GraphStore.load(s, s"$dir/store")
       g.nodes.groupBy("label").agg(count(lit(1)).as("n"))
         .select(concat(lit("node:"), col("label")).as("entity"), col("n"))

@@ -32,12 +32,14 @@ import org.apache.spark.sql.types._
   *    same data regardless of slicing or replay.
   *
   * Scale posture: each micro-batch costs O(batch ⋈ current-graph-keys) —
-  * two anti-joins on the MERGE keys — plus the store rewrite.
-  * The anti-joins are the same shape at any graph size (shuffle on id /
-  * edge key); the store rewrite is the lakehouse-compaction cost and at
-  * 100 TB would ride the partitioned MERGE path ([[GraphStore]] keeps
-  * `batch` partitioning, so per-batch files land in their own partition
-  * and compaction is routine maintenance, not part of the commit).
+  * two anti-joins on the MERGE keys — plus an O(batch) INCREMENTAL
+  * commit ([[GraphStore.saveDelta]]: only the delta's rows are written,
+  * the version's content resolves through the commit-log chain). The
+  * anti-joins are the same shape at any graph size (shuffle on id / edge
+  * key); nothing in the commit path scales with the accumulated graph,
+  * so continuous ingest stays linear in arrived data. Folding a long
+  * delta chain back into one snapshot is [[GraphStore.compact]] —
+  * routine maintenance, not part of any commit.
   */
 object StreamingGraphIngest {
 
@@ -96,21 +98,26 @@ object StreamingGraphIngest {
     GraphTables(nodes, edges)
   }
 
-  /** MERGE one envelope micro-batch into the store: load the current
-    * version (empty graph before the first commit), upsert, commit a new
-    * version. Reading the current version while writing the next is safe
-    * — [[GraphStore.save]] writes a fresh directory and flips the pointer
-    * atomically. Idempotent on replay of the same batch.
+  /** MERGE one envelope micro-batch into the store: the first batch
+    * commits a full snapshot; every later batch computes the MERGE DELTA
+    * (anti-joins on the MERGE keys against the current content) and
+    * commits it INCREMENTALLY ([[GraphStore.saveDelta]]) — each commit
+    * writes O(batch), never O(graph), which is what keeps a continuous
+    * ingest linear in arrived data (a full rewrite per micro-batch is
+    * quadratic). Reading the current chain while writing the next
+    * version is safe — the commit is a fresh directory + one atomic
+    * pointer flip. Replay of an applied batch commits an EMPTY delta:
+    * identical content through the same protocol.
     */
   def ingestBatch(spark: SparkSession, env: DataFrame, storeDir: String,
       keepVersions: Int = 0): Unit = {
     val incoming = fromEnvelope(spark, env)
-    val merged =
-      if (java.nio.file.Files.exists(
-          java.nio.file.Paths.get(storeDir, "CURRENT")))
-        GraphOps.upsert(GraphStore.load(spark, storeDir), incoming)
-      else incoming
-    GraphStore.save(merged, storeDir, keepVersions)
+    if (java.nio.file.Files.exists(
+        java.nio.file.Paths.get(storeDir, "CURRENT")))
+      GraphStore.saveDelta(
+        GraphOps.upsertDelta(GraphStore.load(spark, storeDir), incoming),
+        storeDir, keepVersions)
+    else GraphStore.save(incoming, storeDir, keepVersions)
   }
 
   /** The always-on form: every micro-batch of the envelope stream commits
@@ -134,9 +141,17 @@ object StreamingGraphIngest {
     * relational sinks, here closed over the graph MERGE path.
     */
   def drainIngest(spark: SparkSession, envDir: String, storeDir: String,
-      checkpoint: String, keepVersions: Int = 0): Unit = {
-    val stream = spark.readStream.schema(EnvelopeSchema)
-      .option("recursiveFileLookup", "true").parquet(envDir)
+      checkpoint: String, keepVersions: Int = 0,
+      maxFilesPerTrigger: Option[Int] = None): Unit = {
+    // AvailableNow honors source read limits, so `maxFilesPerTrigger`
+    // splits one drain into several micro-batches (several commits) —
+    // the cheap way to exercise the incremental path without paying a
+    // full streaming-query lifecycle per slice
+    val reader = spark.readStream.schema(EnvelopeSchema)
+      .option("recursiveFileLookup", "true")
+    val stream = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+      .parquet(envDir)
     val q = stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>

@@ -237,6 +237,17 @@ class PlanShapeSpec extends SparkSpec {
       lt.contains("CartesianProduct"), lt.take(600))
   }
 
+  test("chained WITH compiles to stacked hash aggregates — no nested " +
+      "loop, no cartesian, partial+final at each stage") {
+    // two pipeline stages = two distributed aggregations; anything
+    // cartesian-shaped would mean a stage re-joined its own input
+    val p = plan("graphp_cypher_with_chain")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p.take(800))
+    assert(p.contains("HashAggregate"), p.take(800))
+    assert(p.contains("partial_"), p.take(800))
+  }
+
   test("every registered query has distinct name and runnable plan") {
     val names = SparkEntry.allDefs.map(_.name)
     assert(names.distinct.size == names.size)
