@@ -60,6 +60,17 @@ import org.apache.spark.sql.functions._
   *    // groups first (SQL HAVING); after a LIMIT it filters the
   *    // LIMITED rows (Neo4j applies WITH's ORDER BY/LIMIT before its
   *    // WHERE) — the two only differ when a LIMIT is present
+  *   [WITH [DISTINCT] <col>[, …][, agg(<col>|*) AS alias[, …]]
+  *    [WHERE …] [ORDER BY …] [LIMIT n]]*  // CHAINED stages: any number
+  *    // of further WITH stages, each a flat grouped aggregate (or, with
+  *    // no aggregates, a projection/filter/dedupe) over the PREVIOUS
+  *    // stage's bare-named columns — aggregate → re-filter →
+  *    // re-aggregate, the NL→Cypher loop staple. Numeric lineage is
+  *    // tracked across stages (sum/avg over a string-collation column
+  *    // and numeric WHERE on a min/max-of-string alias are named
+  *    // errors, as are out-of-scope references). The closing RETURN may
+  *    // itself aggregate (`RETURN n, count(*) AS c`) — an IMPLICIT
+  *    // final stage grouped on its non-aggregate items, Cypher's rule
   *   RETURN [DISTINCT] m | m.prop[, m.prop ...] | m, c | m.prop, c
   *          | m.prop[, ...], c.prop[, ...] | c.prop[, ...]
   *          | [m.prop[, ...],] type(r)[, c.prop[, ...]]
@@ -426,7 +437,10 @@ object CypherLite {
     */
   final case class FlatStage(keys: Seq[String], aggs: Seq[FlatAgg],
       having: Option[(String, String, Double)], havingAfterLimit: Boolean,
-      orderBy: Seq[(String, Boolean)], limit: Option[Int])
+      orderBy: Seq[(String, Boolean)], limit: Option[Int],
+      // `WITH DISTINCT a, b` — dedupe a keys-only stage (aggregating
+      // stages already collapse per group; DISTINCT there is rejected)
+      distinct: Boolean = false)
 
   /** `MATCH … WITH … WITH … [WITH …] RETURN …` — the multi-stage pipeline
     * (aggregate → re-filter → re-aggregate, the reference's NL→Cypher
@@ -1423,7 +1437,7 @@ object CypherLite {
   // optional WHERE (either subclause position, as in the single-stage
   // grammar), ORDER BY, LIMIT
   private val FlatWithRe =
-    ("""(?is)\s*WITH\s+(.+?)\s*""" +
+    ("""(?is)\s*WITH\s+(DISTINCT\s+)?(.+?)\s*""" +
       """(?:\bWHERE\s+(\w+\s*(?:<>|<=|>=|=|<|>)\s*-?\d+(?:\.\d+)?)\s*)?""" +
       """(?:\bORDER\s+BY\s+([\w\s,.]+?)\s*)?""" +
       """(?:\bLIMIT\s+(\d+)\s*)?""" +
@@ -1439,16 +1453,31 @@ object CypherLite {
   private val FlatRetItemRe = """(?is)\s*(\w+)(?:\s+AS\s+(\w+))?\s*""".r
   private val FlatObItemRe = """(?is)\s*(\w+)(?:\s+(ASC|DESC))?\s*""".r
 
-  /** Detect and parse the ≥2-stage WITH pipeline; `None` = not a chain
-    * (single-stage and WITH-less queries take their existing paths).
+  // an aggregate CALL in a RETURN after WITH (`RETURN n, count(*) AS c`)
+  // — the implicit re-aggregation form LLMs emit instead of a second
+  // WITH; located on the blanked text
+  private val FlatAggCallRe =
+    """(?i)\b(?:count|sum|avg|min|max)\s*\(""".r
+
+  /** Detect and parse the multi-stage WITH pipeline; `None` = not a
+    * chain (WITH-less and plain single-WITH queries take their existing
+    * paths). Chains trigger on ≥2 WITH stages, or on ONE WITH whose
+    * closing RETURN itself aggregates (an implicit final stage —
+    * `WITH m, count(c) AS n RETURN n, count(*) AS c`).
     */
   private def parseChainedWith(q: String)
       : Option[Either[String, Statement]] = {
     val blanked = blankQuoted(q)
     val withMs = ClauseWithRe.findAllMatchIn(blanked)
       .filter(_.group(1) == null).toList
-    if (withMs.length < 2) None
-    else Some(buildChain(q, blanked, withMs))
+    if (withMs.isEmpty) None
+    else if (withMs.length >= 2) Some(buildChain(q, blanked, withMs))
+    else ClauseReturnRe.findFirstMatchIn(blanked) match {
+      case Some(ret) if ret.start > withMs.head.start &&
+          FlatAggCallRe.findFirstIn(blanked.substring(ret.end)).isDefined =>
+        Some(buildChain(q, blanked, withMs))
+      case _ => None
+    }
   }
 
   private def buildChain(q: String, blanked: String,
@@ -1461,8 +1490,9 @@ object CypherLite {
     else Right(())
     // stage 1: the original MATCH + first WITH clause, re-expressed as a
     // single-stage WITH query with a synthesized RETURN of its outputs
+    stage1End = withMs.lift(1).map(_.start).getOrElse(ret.start)
     s1 <- synthStage1(q.substring(0, withMs.head.start),
-      q.substring(withMs.head.start, withMs(1).start))
+      q.substring(withMs.head.start, stage1End))
     (stage1Query, avail0, renames) = s1
     _ <- parseStmt(stage1Query) match {
       case Left(e) => Left(s"in WITH stage 1: $e")
@@ -1484,9 +1514,9 @@ object CypherLite {
       }
     (stages, availN) = folded
     retParsed <- parseFlatReturn(q.substring(ret.start), availN)
-    (items, distinct, ob, skip, limit) = retParsed
-  } yield ChainedWith(stage1Query, renames, stages, items, distinct, ob,
-    skip, limit)
+    (items, distinct, ob, skip, limit, implicitStage) = retParsed
+  } yield ChainedWith(stage1Query, renames,
+    stages ++ implicitStage.toSeq, items, distinct, ob, skip, limit)
 
   /** Classify the first WITH clause's items and synthesize the
     * single-stage query: grouping props (+ `name` as the identity
@@ -1497,7 +1527,10 @@ object CypherLite {
   private def synthStage1(matchPart: String, withPart: String): Either[
       String, (String, Seq[(String, Boolean)], Seq[(String, String)])] =
     withPart match {
-      case FlatWithRe(itemsText, hav, obText, limitStr, havPost) =>
+      case FlatWithRe(distinctKw, _, _, _, _, _) if distinctKw != null =>
+        Left("DISTINCT on the first WITH stage is not supported — the " +
+          "stage aggregates, which already collapses each group")
+      case FlatWithRe(_, itemsText, hav, obText, limitStr, havPost) =>
         val parts = splitTopLevel(itemsText).map(_.trim)
         var mVar: Option[String] = None
         var identity = false
@@ -1582,7 +1615,8 @@ object CypherLite {
       s"'$c' is not in scope in WITH stage $stageNo — the previous " +
         s"stage carries: ${avail.map(_._1).mkString(", ")}"
     seg match {
-      case FlatWithRe(itemsText, hav, obText, limitStr, havPost) =>
+      case FlatWithRe(distinctKw, itemsText, hav, obText, limitStr,
+          havPost) =>
         val parts = splitTopLevel(itemsText).map(_.trim)
         val keys = Seq.newBuilder[String]
         val aggs = Seq.newBuilder[FlatAgg]
@@ -1644,6 +1678,13 @@ object CypherLite {
           _ <- if (keySeq.isEmpty && aggSeq.isEmpty)
             Left(s"WITH stage $stageNo carries no items")
           else Right(())
+          // DISTINCT on an aggregating stage is vacuous-at-best and
+          // misleading-at-worst (grouping already collapses) — reject
+          _ <- if (distinctKw != null && aggSeq.nonEmpty)
+            Left(s"WITH DISTINCT cannot combine with aggregates " +
+              s"(stage $stageNo) — the aggregation already collapses " +
+              "each group")
+          else Right(())
           _ <- if (hav != null && havPost != null)
             Left(s"one WHERE per WITH stage — before ORDER BY or after " +
               s"LIMIT, not both (stage $stageNo)")
@@ -1654,7 +1695,8 @@ object CypherLite {
             s"WITH stage $stageNo")
         } yield (FlatStage(keySeq, aggSeq, having,
           havingAfterLimit = havPost != null && limitStr != null,
-          ob, Option(limitStr).map(_.toInt)), outCols)
+          ob, Option(limitStr).map(_.toInt),
+          distinct = distinctKw != null), outCols)
       case _ => Left(s"unparseable WITH stage $stageNo: " +
         s"'${seg.trim.take(60)}'")
     }
@@ -1682,40 +1724,96 @@ object CypherLite {
   /** The chain's closing RETURN: flat columns with optional AS renames +
     * the usual DISTINCT / ORDER BY / SKIP / LIMIT tail.
     */
+  // an aggregate RETURN item missing its AS — matched to give a NAMED
+  // error (the alias is the aggregate's only output-column name)
+  private val FlatAggNoAsRe =
+    """(?is)\s*(count|sum|avg|min|max)\s*\(\s*(?:DISTINCT\s+)?(?:\*|\w+)\s*\)\s*""".r
+
+  /** The chain's closing RETURN. Bare carried columns project 1:1; any
+    * AGGREGATE item (`count(*) AS c`, `sum(n) AS total`, …) turns the
+    * RETURN into an IMPLICIT final aggregation stage — Cypher's grouping
+    * rule: the non-aggregate items are the grouping keys. Answers the
+    * items (in query order), DISTINCT flag, canonical ORDER BY keys,
+    * SKIP/LIMIT, and the implicit stage if one arose.
+    */
   private def parseFlatReturn(retText: String,
       avail: Seq[(String, Boolean)]): Either[String,
       (Seq[(String, Option[String])], Boolean, Seq[(String, Boolean)],
-        Option[Int], Option[Int])] = {
-    val scope = avail.map(_._1).toSet
+        Option[Int], Option[Int], Option[FlatStage])] = {
+    val numeric = avail.toMap
+    def scopeErr(c: String): String =
+      s"RETURN item '$c' is not in scope after the last WITH stage " +
+        s"(carried: ${avail.map(_._1).mkString(", ")})"
     retText match {
       case FlatRetRe(distinctKw, itemsText, obText, skipStr, limitStr) =>
-        val parsed = splitTopLevel(itemsText).map(_.trim).map {
+        val keys = Seq.newBuilder[String]
+        val aggs = Seq.newBuilder[FlatAgg]
+        val order = Seq.newBuilder[(String, Option[String])]
+        var err: Option[String] = None
+        splitTopLevel(itemsText).map(_.trim).foreach {
+          case _ if err.isDefined => ()
+          case FlatAggRe(fn0, dk, arg, alias) =>
+            val fn = fn0.toLowerCase(java.util.Locale.ROOT)
+            if (arg == "*") {
+              if (fn != "count")
+                err = Some(s"$fn(*) is not an aggregate — only count(*)")
+              else if (dk != null)
+                err = Some("count(DISTINCT *) is not supported")
+              else {
+                aggs += FlatAgg("count", None, distinct = false, alias)
+                order += ((alias, None))
+              }
+            } else if (!numeric.contains(arg)) err = Some(scopeErr(arg))
+            else if (Set("sum", "avg")(fn) && !numeric(arg))
+              err = Some(s"$fn('$arg') needs a numeric column — '$arg' " +
+                "carries string collation")
+            else {
+              aggs += FlatAgg(fn, Some(arg), dk != null, alias)
+              order += ((alias, None))
+            }
+          case FlatAggNoAsRe(fn) =>
+            err = Some(s"alias the RETURN aggregate ($fn(…) AS <name>) " +
+              "— the alias is its output column")
           case FlatRetItemRe(c, alias) =>
-            if (scope.contains(c)) Right((c, Option(alias)))
-            else Left(s"RETURN item '$c' is not in scope after the " +
-              s"last WITH stage (carried: ${avail.map(_._1)
-                .mkString(", ")})")
-          case other => Left("unsupported RETURN item after a chained " +
-            s"WITH: '${other.trim.take(40)}' (use a carried column, " +
-            "optionally AS-aliased)")
+            if (!numeric.contains(c)) err = Some(scopeErr(c))
+            else { keys += c; order += ((c, Option(alias))) }
+          case other => err = Some("unsupported RETURN item after a " +
+            s"chained WITH: '${other.trim.take(40)}' (use a carried " +
+            "column or agg(col) AS alias)")
         }
+        val keySeq = keys.result()
+        val aggSeq = aggs.result()
+        val items = order.result()
+        // an aggregate item ⇒ implicit closing stage grouped on the
+        // bare items (no HAVING/ORDER/LIMIT of its own — the RETURN
+        // tail below orders and pages the aggregated rows)
+        val implicitStage =
+          if (aggSeq.isEmpty) None
+          else Some(FlatStage(keySeq, aggSeq, None,
+            havingAfterLimit = false, Seq.empty, None))
+        val postScope =
+          if (aggSeq.isEmpty) avail.map(_._1).toSet
+          else keySeq.toSet ++ aggSeq.map(_.alias)
         for {
-          items <- parsed.collectFirst { case Left(e) => Left(e) }
-            .getOrElse(Right(parsed.collect { case Right(i) => i }))
+          _ <- err.map(Left(_)).getOrElse(Right(()))
           outNames = items.map { case (c, a) => a.getOrElse(c) }
           _ <- if (outNames.distinct.sizeIs != outNames.size)
             Left("duplicate RETURN output column after a chained WITH")
           else Right(())
+          _ <- if (items.map(_._1).distinct.sizeIs != items.size)
+            Left("duplicate RETURN item after a chained WITH")
+          else Right(())
           // ORDER BY may key a canonical column or a RETURN alias
           aliasBack = items.collect { case (c, Some(a)) => a -> c }.toMap
           ob <- parseFlatOrderBy(obText,
-            items.map(_._1).toSet ++ aliasBack.keySet, "the final RETURN")
+            postScope ++ aliasBack.keySet, "the final RETURN")
           obCanon = ob.map { case (k, d) => (aliasBack.getOrElse(k, k), d) }
           _ <- if (skipStr != null && obCanon.isEmpty)
             Left("SKIP requires ORDER BY")
           else Right(())
         } yield (items, distinctKw != null, obCanon,
-          Option(skipStr).map(_.toInt), Option(limitStr).map(_.toInt))
+          Option(skipStr).map(_.toInt), Option(limitStr).map(_.toInt),
+          implicitStage)
       case _ => Left("unparseable RETURN after a chained WITH: " +
         s"'${retText.trim.take(60)}'")
     }
@@ -3758,8 +3856,10 @@ object CypherLite {
 
   private def runFlatStage(df: DataFrame, st: FlatStage): DataFrame = {
     val agged =
-      if (st.aggs.isEmpty) df.select(st.keys.map(col): _*)
-      else {
+      if (st.aggs.isEmpty) {
+        val proj = df.select(st.keys.map(col): _*)
+        if (st.distinct) proj.distinct() else proj
+      } else {
         val exprs = st.aggs.map { a =>
           (a match {
             case FlatAgg("count", None, _, _) => count(lit(1))

@@ -122,6 +122,14 @@ object GraphStore {
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** Length of the LIVE version's delta chain (1 = a full snapshot with
+    * no deltas on top; 0 = no committed version yet). Read cost grows
+    * with the chain, so a continuous writer compacts when this passes
+    * its budget — see [[StreamingGraphIngest.ingestBatch]].
+    */
+  def chainLength(dir: String): Int =
+    currentVersion(dir).map(chainOf(dir, _).length).getOrElse(0)
+
   /** The live data directory readers and maintenance resolve through. */
   def currentDir(dir: String): String =
     currentVersion(dir)

@@ -2349,6 +2349,39 @@ object ParquetGraph {
         .fold(err => throw new IllegalArgumentException(err), identity)
     },
 
+    // C10 CypherLite twin: IMPLICIT re-aggregation in the RETURN after a
+    // WITH (`WITH m, count(c) AS n RETURN n, count(*) AS n_nations`) —
+    // the form LLMs emit instead of a second WITH; per Cypher's grouping
+    // rule the non-aggregate RETURN items become the keys of an implicit
+    // closing stage. Same answer as the explicit two-WITH chain.
+    QueryDef.sql(
+      "graphp_cypher_with_agg_return",
+      """SELECT n, CAST(count(*) AS BIGINT) AS n_nations FROM (
+        |  SELECT CAST(count(*) AS BIGINT) AS n
+        |  FROM customer GROUP BY c_nationkey)
+        |GROUP BY n ORDER BY n""".stripMargin) { (s, d) =>
+      CypherLite.run(hierarchy(s, d),
+        "MATCH (m:Nation)-[:HAS_CUSTOMER]->(c) " +
+          "WITH m, count(c) AS n " +
+          "RETURN n, count(*) AS n_nations ORDER BY n")
+        .fold(err => throw new IllegalArgumentException(err), identity)
+    },
+
+    // C10 CypherLite twin: `WITH DISTINCT` projection stage mid-chain —
+    // dedupe the per-nation counts, then count the distinct values
+    // (openCypher's DISTINCT subclause on a non-aggregating WITH).
+    QueryDef.sql(
+      "graphp_cypher_with_distinct",
+      """SELECT CAST(count(DISTINCT n) AS BIGINT) AS n_distinct FROM (
+        |  SELECT count(*) AS n FROM customer
+        |  GROUP BY c_nationkey)""".stripMargin) { (s, d) =>
+      CypherLite.run(hierarchy(s, d),
+        "MATCH (m:Nation)-[:HAS_CUSTOMER]->(c) " +
+          "WITH m, count(c) AS n WITH DISTINCT n " +
+          "WITH count(*) AS n_distinct RETURN n_distinct")
+        .fold(err => throw new IllegalArgumentException(err), identity)
+    },
+
     // C10 CypherLite twin: SEVERAL aggregates in one grouped query (the
     // LLM staple `RETURN x, count(y), min(y), sum(y)`), all evaluated in
     // one partial+final hash aggregate, ORDER BY an aliased aggregate.

@@ -109,15 +109,26 @@ object StreamingGraphIngest {
     * pointer flip. Replay of an applied batch commits an EMPTY delta:
     * identical content through the same protocol.
     */
+  /** Delta chains a continuous writer may grow before [[ingestBatch]]
+    * folds the store back into one snapshot ([[GraphStore.compact]]):
+    * read cost grows with the chain (one parquet listing per member),
+    * so compaction is amortized maintenance — every `MaxChain` batches,
+    * one O(graph) rewrite, keeping reads O(1) listings on average while
+    * commits stay O(batch).
+    */
+  val MaxChain: Int = 32
+
   def ingestBatch(spark: SparkSession, env: DataFrame, storeDir: String,
-      keepVersions: Int = 0): Unit = {
+      keepVersions: Int = 0, maxChain: Int = MaxChain): Unit = {
     val incoming = fromEnvelope(spark, env)
     if (java.nio.file.Files.exists(
-        java.nio.file.Paths.get(storeDir, "CURRENT")))
+        java.nio.file.Paths.get(storeDir, "CURRENT"))) {
       GraphStore.saveDelta(
         GraphOps.upsertDelta(GraphStore.load(spark, storeDir), incoming),
         storeDir, keepVersions)
-    else GraphStore.save(incoming, storeDir, keepVersions)
+      if (GraphStore.chainLength(storeDir) > maxChain)
+        GraphStore.compact(spark, storeDir)
+    } else GraphStore.save(incoming, storeDir, keepVersions)
   }
 
   /** The always-on form: every micro-batch of the envelope stream commits

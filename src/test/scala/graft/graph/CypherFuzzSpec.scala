@@ -66,7 +66,11 @@ class CypherFuzzSpec extends SparkSpec {
     " WITH m, count(c) AS n WITH c, count(*) AS g",
     " WITH m, count(c) AS n WITH n, sum(name) AS s",
     " WITH m, count(c) AS n WITH n, count(*) AS",
-    " WITH m, count(c) AS n WITH")
+    " WITH m, count(c) AS n WITH",
+    // implicit RETURN re-aggregation + DISTINCT stages + near-misses
+    " WITH m, count(c) AS n WITH DISTINCT n",
+    " WITH m, count(c) AS n WITH DISTINCT n, count(*) AS g",
+    " WITH m, count(c) AS n WITH DISTINCT")
   private val rets = Seq(" RETURN m", " RETURN m.name", " RETURN DISTINCT c",
     " RETURN m, count(c)", " RETURN count(*)", " RETURN collect(c.name)",
     " RETURN m.name, COUNT { (m)-[]->(x) }", " RETURN type(r), count(r)",

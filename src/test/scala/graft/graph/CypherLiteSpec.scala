@@ -1138,6 +1138,46 @@ class CypherLiteSpec extends SparkSpec {
     assert(lim.map(_.getLong(0)).toSeq == Seq(5L))
   }
 
+  test("implicit aggregate in the RETURN after WITH = the explicit " +
+      "second stage; WITH DISTINCT dedupes a projection stage") {
+    // `RETURN n, count(*) AS groups` re-aggregates per Cypher's grouping
+    // rule (non-aggregate items are the keys)
+    val hist = CypherLite.run(stair,
+      "MATCH (m:T)-[:HAS_KID]->(c) WITH m, count(c) AS n " +
+        "RETURN n, count(*) AS groups ORDER BY n")
+      .fold(e => fail(e), identity).collect()
+    assert(hist.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((2L, 1L), (3L, 1L), (4L, 1L), (5L, 1L)))
+
+    // global form: every RETURN item aggregates → one summary row
+    val tot = CypherLite.run(stair,
+      "MATCH (m:T)-[:HAS_KID]->(c) WITH m, count(c) AS n WHERE n >= 3 " +
+        "RETURN sum(n) AS total, count(*) AS grp")
+      .fold(e => fail(e), identity).collect()
+    assert(tot.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((12L, 3L)))
+
+    // WITH DISTINCT on a projection stage (counts 5/4/3/2 are unique
+    // here, so distinct keeps 4 rows and the closing count answers 4)
+    val dc = CypherLite.run(stair,
+      "MATCH (m:T)-[:HAS_KID]->(c) WITH m, count(c) AS n " +
+        "WITH DISTINCT n WITH count(*) AS dc RETURN dc")
+      .fold(e => fail(e), identity).collect()
+    assert(dc.map(_.getLong(0)).toSeq == Seq(4L))
+
+    // rejections: un-aliased RETURN aggregate; DISTINCT + aggregate
+    val noAs = CypherLite.run(stair,
+      "MATCH (m:T)-[:HAS_KID]->(c) WITH m, count(c) AS n " +
+        "RETURN n, count(*)")
+    assert(noAs.isLeft && noAs.swap.toOption.get.contains("alias"),
+      noAs.toString)
+    val da = CypherLite.run(stair,
+      "MATCH (m:T)-[:HAS_KID]->(c) WITH m, count(c) AS n " +
+        "WITH DISTINCT n, count(*) AS g RETURN n, g")
+    assert(da.isLeft && da.swap.toOption.get.contains("DISTINCT"),
+      da.toString)
+  }
+
   test("chained WITH scoping violations are rejected with named errors") {
     // the hop variable died at the first WITH
     val r1 = CypherLite.run(stair,

@@ -68,6 +68,26 @@ class StreamingGraphIngestSpec extends SparkSpec {
     assertSameGraph(GraphStore.load(spark, store), g)
   }
 
+  test("ingestBatch auto-compacts once the delta chain passes its " +
+      "budget — content unchanged, reads back to one snapshot") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_autocompact").toString
+    def slice(ids: Seq[Long]): org.apache.spark.sql.DataFrame =
+      StreamingGraphIngest.toEnvelope(GraphTables(
+        ids.map(i => NodeRow(i, "N", s"n$i", "", "", s"b$i", Seq.empty))
+          .toDS(),
+        spark.emptyDataset[EdgeRow])).localCheckpoint()
+    // budget 2: batch1 = full, batch2 = delta (chain 2), batch3's delta
+    // pushes the chain to 3 > 2 → compaction folds it back to 1
+    (1 to 3).foreach(i =>
+      StreamingGraphIngest.ingestBatch(spark, slice(Seq(i.toLong)),
+        s"$dir/store", maxChain = 2))
+    assert(GraphStore.chainLength(s"$dir/store") == 1,
+      "the chain must have compacted back to one full snapshot")
+    assert(GraphStore.load(spark, s"$dir/store")
+      .nodes.collect().map(_.id).toSet == Set(1L, 2L, 3L))
+  }
+
   test("envelope round-trip is lossless and batch-deduping") {
     import spark.implicits._
     val g = GraphTables(
