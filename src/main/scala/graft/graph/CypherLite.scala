@@ -512,7 +512,10 @@ object CypherLite {
     */
   final case class SetContent(label: Option[String],
       props: Map[String, String], conds: Seq[Seq[Cond]],
-      value: String) extends Statement
+      value: String,
+      // the optional second (batch-tag) label of the matched pattern —
+      // `MATCH (n:Title:Batch {…}) SET …` (`new-converter.js:136-140`)
+      batch: Option[String] = None) extends Statement
 
   /** `CREATE (n:Label {name: '…'[, content: '…'][, docnbr: '…']})` — the
     * front-end form of the MERGE upsert (A11/A12): a deterministic-id
@@ -523,7 +526,35 @@ object CypherLite {
     * supports).
     */
   final case class CreateNode(label: String,
-      props: Map[String, String]) extends Statement
+      props: Map[String, String],
+      // the OPTIONAL second label of `MERGE (n:Label:Batch {…})` — the
+      // reference's batch-tag spelling (`new_final.js:23`: every node of
+      // one ingest run carries a unique second label). In this engine's
+      // fixed-schema model the batch tag IS the `batch` column (A20), the
+      // unit `MATCH (n) WHERE n.<tag> = true DETACH DELETE n` drops
+      // (`deleteneo.py:10-12`), so the second label lands there rather
+      // than in a label array.
+      batch: Option[String] = None) extends Statement
+
+  /** One side of an edge-MERGE's dual MATCH: variable, required label,
+    * optional batch tag (second label), literal/parameter property map.
+    */
+  final case class MergePat(v: String, label: String,
+      batch: Option[String], props: Map[String, String])
+
+  /** `MATCH (a:L1[:B] [{…}]), (b:L2[:B] [{…}]) MERGE (a)-[:R]->(b)
+    * [MERGE (b)-[:R2]->(a) …]` — the reference's relationship write path
+    * (`new_final.js:34-38`): bind two node sets, MERGE one edge per
+    * (pair × clause). All clauses land in ONE idempotent upsert
+    * (anti-join on the edge MERGE key) — the Spark-first collapse of the
+    * reference's one-transaction-per-MERGE loop. Cypher cartesian
+    * semantics: every (a, b) pair in the cross product of the two
+    * filtered sets gets the edge; a side that matches nothing merges
+    * nothing (MERGE inside MATCH never creates the endpoints).
+    */
+  final case class MergeEdges(a: MergePat, b: MergePat,
+      // (srcVar, relType, dstVar) per MERGE clause, in statement order
+      clauses: Seq[(String, String, String)]) extends Statement
 
   /** `MATCH p = shortestPath((a…)-[[:REL][*[1..K]]]->(b…)) RETURN …` —
     * one row per (a, b) endpoint pair that a directed path connects, at
@@ -699,16 +730,22 @@ object CypherLite {
   // MATCH (m…) [WHERE …] SET m.content = '…' — the write form; the SET
   // keyword after the pattern (where every read form requires
   // WHERE/WITH/RETURN or a relationship segment) disambiguates it.
+  // the pattern takes an optional second (batch-tag) label and the match
+  // props / SET value may be `$param`s — the reference's content-update
+  // call is exactly `MATCH (n:Title:Batch {name: $name, docnbr: $docnbr})
+  // SET n.content = $content` (`new-converter.js:136-140`)
   private val SetRe =
-    ("""(?is)\s*MATCH\s*\(\s*(\w+)\s*(?::\s*(\w+))?\s*(?:\{\s*([^}]*)\s*\})?\s*\)\s*""" +
+    ("""(?is)\s*MATCH\s*\(\s*(\w+)\s*(?::\s*(\w+))?(?:\s*:\s*(\w+))?\s*(?:\{\s*([^}]*)\s*\})?\s*\)\s*""" +
       """(?:WHERE\s+(.*?)\s*)?""" +
-      """SET\s+(\w+)\s*\.\s*(\w+)\s*=\s*'([^']*)'\s*;?\s*""").r
+      """SET\s+(\w+)\s*\.\s*(\w+)\s*=\s*(?:'([^']*)'|\$(\w+))\s*;?\s*""").r
 
   // CREATE (n:Label {prop: '…', …}) — the literal node-creation form; a
   // property map is REQUIRED (a node without a name has no identity in
   // this engine's deterministic-id model)
+  // `:Label[:Batch]` — the optional second label is the reference's
+  // per-ingest batch tag (`new_final.js:23`), mapped to the `batch` column
   private val CreateRe =
-    """(?is)\s*CREATE\s*\(\s*(\w+)\s*:\s*(\w+)\s*\{\s*([^}]*)\s*\}\s*\)\s*;?\s*""".r
+    """(?is)\s*CREATE\s*\(\s*(\w+)\s*:\s*(\w+)(?:\s*:\s*(\w+))?\s*\{\s*([^}]*)\s*\}\s*\)\s*;?\s*""".r
 
   // MERGE (n:Label {prop: '…', …}) — Cypher's match-or-create. This
   // engine's node ids are deterministic hashes of (label, name, content,
@@ -717,7 +754,20 @@ object CypherLite {
   // match-or-create. The separate keyword is accepted because it is what
   // LLMs emit when the prompt says "add if missing".
   private val MergeRe =
-    """(?is)\s*MERGE\s*\(\s*(\w+)\s*:\s*(\w+)\s*\{\s*([^}]*)\s*\}\s*\)\s*;?\s*""".r
+    """(?is)\s*MERGE\s*\(\s*(\w+)\s*:\s*(\w+)(?:\s*:\s*(\w+))?\s*\{\s*([^}]*)\s*\}\s*\)\s*;?\s*""".r
+
+  // MATCH (a:L1[:B] [{…}]), (b:L2[:B] [{…}]) MERGE (a)-[:R]->(b) … — the
+  // reference's edge write (`new_final.js:34-38`). By the time parseStmt
+  // sees it, rewriteCommaPatterns has turned the `), (` comma into a
+  // second MATCH keyword, so the pattern accepts the MATCH-separated
+  // form; one-or-more MERGE clauses are captured as a block and re-scanned
+  // by MergeEdgeClauseRe (a regex group can't repeat-and-collect).
+  private val MergeEdgeRe =
+    ("""(?is)\s*MATCH\s*\(\s*(\w+)\s*:\s*(\w+)(?:\s*:\s*(\w+))?\s*(?:\{\s*([^}]*)\s*\})?\s*\)\s*""" +
+      """MATCH\s*\(\s*(\w+)\s*:\s*(\w+)(?:\s*:\s*(\w+))?\s*(?:\{\s*([^}]*)\s*\})?\s*\)\s*""" +
+      """((?:MERGE\s*\(\s*\w+\s*\)\s*-\s*\[\s*:\s*\w+\s*\]\s*-\s*>\s*\(\s*\w+\s*\)\s*)+);?\s*""").r
+  private val MergeEdgeClauseRe =
+    """(?i)MERGE\s*\(\s*(\w+)\s*\)\s*-\s*\[\s*:\s*(\w+)\s*\]\s*-\s*>\s*\(\s*(\w+)\s*\)""".r
 
   // WHERE [NOT] EXISTS { [MATCH] (m)-[…]->([:Label]) } — the modern
   // (Neo4j 5.x) existential-subquery spelling of the pattern-existence
@@ -1400,15 +1450,42 @@ object CypherLite {
     }
   }
 
+  // one property entry: `key: 'literal'` or `key: $param` — the
+  // parameterized spelling the reference's driver emits
+  // (`new_final.js:23-30`: `{name: $name, content: $content}`)
+  private val PropOrParamRe = """(\w+)\s*:\s*(?:'([^']*)'|\$(\w+))""".r
+
+  /** Resolve a write-pattern property map, substituting `$param` values
+    * from `params`. Resolution happens AFTER tokenizing (never by text
+    * splicing), so a parameter value may contain quotes or any other
+    * Cypher syntax without re-parsing hazards — the reason Cypher has
+    * parameters at all.
+    */
+  private def resolveProps(propsStr: String, params: Map[String, String])
+      : Either[String, Map[String, String]] = {
+    val entries = PropOrParamRe.findAllMatchIn(propsStr).toSeq
+    entries.foldLeft[Either[String, Map[String, String]]](Right(Map.empty)) {
+      (acc, m) => acc.flatMap { done =>
+        val k = m.group(1)
+        if (m.group(2) != null) Right(done + (k -> m.group(2)))
+        else params.get(m.group(3)) match {
+          case Some(v) => Right(done + (k -> v))
+          case None => Left(s"missing parameter $$${m.group(3)} " +
+            s"(have: ${params.keys.toSeq.sorted.mkString(", ")})")
+        }
+      }
+    }
+  }
+
   /** Shared body of CREATE/MERGE: validate the property map and build the
     * match-or-create statement.
     */
-  private def parseCreate(label: String,
-      propsStr: String): Either[String, Statement] = {
-    val props = PropRe.findAllMatchIn(propsStr)
-      .map(p => p.group(1) -> p.group(2)).toMap
+  private def parseCreate(label: String, batch: Option[String],
+      propsStr: String, params: Map[String, String])
+      : Either[String, Statement] = {
     val allowed = Set("name", "content", "docnbr")
     for {
+      props <- resolveProps(propsStr, params)
       _ <- props.keys.find(!allowed(_)).map(k =>
         Left(s"unsupported CREATE/MERGE property: $k " +
           s"(supported: ${allowed.toSeq.sorted.mkString(", ")})"))
@@ -1417,14 +1494,54 @@ object CypherLite {
         Left("CREATE/MERGE requires a name property — node identity " +
           "hashes (label, name, content, docnbr)")
       else Right(())
-    } yield CreateNode(label, props)
+    } yield CreateNode(label, props, batch)
   }
 
-  def parse(query: String): Either[String, Statement] =
+  /** Parse the edge-MERGE statement: both MATCH sides + every MERGE
+    * clause, with clause variables validated against the matched pair.
+    */
+  private def parseMergeEdges(groups: Seq[String],
+      mergeBlock: String, params: Map[String, String])
+      : Either[String, Statement] = {
+    val Seq(aV, aL, aB, aP, bV, bL, bB, bP) = groups
+    val clauses = MergeEdgeClauseRe.findAllMatchIn(mergeBlock)
+      .map(m => (m.group(1), m.group(2), m.group(3))).toSeq
+    val allowed = Set("name", "content", "docnbr")
+    for {
+      _ <- if (aV == bV)
+        Left(s"edge MERGE needs two distinct match variables, got '$aV' twice")
+      else Right(())
+      aProps <- resolveProps(Option(aP).getOrElse(""), params)
+      bProps <- resolveProps(Option(bP).getOrElse(""), params)
+      _ <- (aProps.keys ++ bProps.keys).find(!allowed(_)).map(k =>
+        Left(s"unsupported match property: $k " +
+          s"(supported: ${allowed.toSeq.sorted.mkString(", ")})"))
+        .getOrElse(Right(()))
+      _ <- clauses.flatMap(c => Seq(c._1, c._3)).find(v => v != aV && v != bV)
+        .map(v => Left(s"MERGE clause references unmatched variable '$v' " +
+          s"(matched: $aV, $bV)")).getOrElse(Right(()))
+      _ <- clauses.find(c => c._1 == c._3).map(c =>
+        Left(s"self-loop MERGE (${c._1})-[:${c._2}]->(${c._3}) is not " +
+          "supported")).getOrElse(Right(()))
+    } yield MergeEdges(
+      MergePat(aV, aL, Option(aB), aProps),
+      MergePat(bV, bL, Option(bB), bProps), clauses)
+  }
+
+  def parse(query: String): Either[String, Statement] = parse(query, Map.empty)
+
+  /** Parse with Cypher parameters (`$name` in write-pattern property
+    * maps), resolved token-wise — never by text substitution. Parameters
+    * are a write-surface feature (the reference's driver calls are all
+    * parameterized, `new_final.js:23-38`); read queries arrive from the
+    * LLM as literal Cypher and need none.
+    */
+  def parse(query: String, params: Map[String, String])
+      : Either[String, Statement] =
     rewriteGqlQuantifier(query).flatMap(q =>
       mergeConsecutiveMatches(
         stripPassthroughWith(rewriteCountSubquery(rewriteCommaPatterns(q))))
-        .flatMap(q2 => parseChainedWith(q2).getOrElse(parseStmt(q2))))
+        .flatMap(q2 => parseChainedWith(q2).getOrElse(parseStmt(q2, params))))
 
   // ——— chained WITH pipeline (2+ stages) ———————————————————————————————
 
@@ -2017,15 +2134,14 @@ object CypherLite {
     }
   }
 
-  private def parseStmt(query: String): Either[String, Statement] =
+  private def parseStmt(query: String,
+      params: Map[String, String] = Map.empty): Either[String, Statement] =
     query match {
     case DeleteRe(_, tag) => Right(DetachDelete(tag))
     case UnwindPrefixRe(listStr, x, rest) =>
-      rewriteUnwind(listStr, x, rest).flatMap(parse)
-    case SetRe(m, label, propsStr, whereStr, setVar, setProp, value) =>
-      val props = Option(propsStr).toSeq
-        .flatMap(s => PropRe.findAllMatchIn(s)
-          .map(p => p.group(1) -> p.group(2))).toMap
+      rewriteUnwind(listStr, x, rest).flatMap(parse(_, params))
+    case SetRe(m, label, batch, propsStr, whereStr, setVar, setProp,
+        litValue, paramValue) =>
       for {
         _ <- if (setVar != m)
           Left(s"SET may only write the matched variable '$m', " +
@@ -2035,18 +2151,31 @@ object CypherLite {
           Left("only the content property is writable (name/label are " +
             "part of the node identity — use CREATE to mint a new node)")
         else Right(())
+        props <- resolveProps(Option(propsStr).getOrElse(""), params)
+        value <- if (litValue != null) Right(litValue)
+          else params.get(paramValue)
+            .toRight(s"missing parameter $$$paramValue " +
+              s"(have: ${params.keys.toSeq.sorted.mkString(", ")})")
         whereParsed <- parseWhereClause(m, None, whereStr)
         conds <- whereParsed match {
           case (cs, None) => Right(cs)
           case (_, Some(_)) => Left("a pattern-existence WHERE cannot " +
             "gate a SET — filter with comparisons instead")
         }
-      } yield SetContent(Option(label), props, conds, value)
-    case CreateRe(v, label, propsStr) => parseCreate(label, propsStr)
+      } yield SetContent(Option(label), props, conds, value, Option(batch))
+    case CreateRe(v, label, batch, propsStr) =>
+      parseCreate(label, Option(batch), propsStr, params)
     // MERGE ≡ CREATE here: deterministic node ids make CREATE the
     // match-or-create upsert already (A11/A12), which is exactly MERGE's
     // contract — re-running either is a no-op
-    case MergeRe(v, label, propsStr) => parseCreate(label, propsStr)
+    case MergeRe(v, label, batch, propsStr) =>
+      parseCreate(label, Option(batch), propsStr, params)
+    // MATCH (a…) MATCH (b…) MERGE (a)-[:R]->(b) … — the relationship
+    // write (reference `new_final.js:34-38`); checked before the chain
+    // scanner so a 3-clause MERGE block is not misread as a path
+    case MergeEdgeRe(aV, aL, aB, aP, bV, bL, bB, bP, mergeBlock) =>
+      parseMergeEdges(Seq(aV, aL, aB, aP, bV, bL, bB, bP),
+        mergeBlock, params)
     // ≥3 relationship segments: the N-step chain scanner (regexes cannot
     // express a repeated group) — checked before the fixed-arity forms
     case q if looksMultiChain(q) => parseMultiChain(q)
@@ -3412,8 +3541,17 @@ object CypherLite {
     */
   def runWrite(g: GraphTables,
       query: String): Either[String, (GraphTables, DataFrame)] =
-    parse(query).flatMap {
-      case s @ (_: SetContent | _: CreateNode) => execWrite(g, s)
+    runWrite(g, query, Map.empty)
+
+  /** [[runWrite]] with Cypher parameters — the reference's driver shape
+    * (`new_final.js:23-38` passes `{name: $name, …}` maps per call).
+    */
+  def runWrite(g: GraphTables, query: String,
+      params: Map[String, String])
+      : Either[String, (GraphTables, DataFrame)] =
+    parse(query, params).flatMap {
+      case s @ (_: SetContent | _: CreateNode | _: MergeEdges) =>
+        execWrite(g, s)
       case DetachDelete(tag) =>
         val after = GraphOps.dropBatch(g, tag)
         Right((after, after.nodes.groupBy("batch")
@@ -3421,10 +3559,137 @@ object CypherLite {
       case _ => Left("not a write statement — use run() for reads")
     }
 
+  // one edge-MERGE clause as DATA for [[runScript]]'s set-oriented
+  // resolution: absent match keys are None (= match any). Not private:
+  // the codegen'd encoder serializer calls the field accessors from
+  // generated Java, which a private modifier blocks (falling back to the
+  // per-row interpreted projection).
+  final case class EdgeClauseRow(
+      srcIsA: Boolean, relType: String, batchTag: String,
+      aLabel: String, aBatch: Option[String], aName: Option[String],
+      aContent: Option[String], aDocnbr: Option[String],
+      bLabel: String, bBatch: Option[String], bName: Option[String],
+      bContent: Option[String], bDocnbr: Option[String])
+
+  /** Batched write script — the Spark-first collapse of the reference's
+    * one-transaction-per-statement ingest loop (`new_final.js:15-47`
+    * runs a node MERGE, then an edge MERGE, per XML tag). Executing N
+    * statements as N sequential [[runWrite]] calls would build an
+    * N-deep plan and N shuffles; here the STATEMENTS BECOME ROWS and the
+    * whole script runs in two phases:
+    *
+    *  1. every node MERGE/CREATE → one deterministic-id [[NodeRow]]
+    *     batch → ONE upsert;
+    *  2. every edge-MERGE clause → one [[EdgeClauseRow]] relation,
+    *     joined twice against the node table (label equi-key + residual
+    *     null-or-equal on batch/name/content/docnbr — the tiny statement
+    *     side broadcasts) → ONE edge upsert.
+    *
+    * Job count is O(1) in script length, and the node table is scanned a
+    * constant number of times however many statements arrive.
+    *
+    * Two-phase evaluation is equivalent to the sequential loop whenever
+    * each edge MERGE's endpoints were merged earlier in the same script
+    * or already exist — the reference's own invariant (a parent tag is
+    * always merged before its child edges). A script that merges an edge
+    * BEFORE its endpoint node would sequentially match nothing; here the
+    * edge sees the phase-1 node. Only MERGE/CREATE statements are
+    * accepted (SET / DETACH DELETE have read-your-writes orderings a
+    * two-phase plan cannot honor — run those through [[runWrite]]).
+    *
+    * Returns the final graph and its (entity, n) census — nodes by
+    * label ∪ edges by relType.
+    */
+  def runScript(g: GraphTables,
+      stmts: Seq[(String, Map[String, String])])
+      : Either[String, (GraphTables, DataFrame)] = {
+    val spark = g.nodes.sparkSession
+    import spark.implicits._
+    val parsed = stmts.zipWithIndex.map { case ((q, p), i) =>
+      parse(q, p).left.map(e => s"statement ${i + 1}: $e").flatMap {
+        case s: CreateNode => Right(s)
+        case s: MergeEdges => Right(s)
+        case _ => Left(s"statement ${i + 1}: only MERGE/CREATE " +
+          "statements run in a script — SET/DELETE need runWrite's " +
+          "sequential semantics")
+      }
+    }
+    parsed.collectFirst { case Left(e) => Left(e) }.getOrElse {
+      val ok = parsed.collect { case Right(s) => s }
+      val nodeRows = ok.collect { case CreateNode(label, props, batch) =>
+        val name = props("name")
+        val content = props.getOrElse("content", "")
+        val docnbr = props.getOrElse("docnbr", "")
+        NodeRow(GraphModel.nodeId(label, name, content, docnbr), label,
+          name, content, docnbr, batch.getOrElse("cypher"), Seq.empty)
+      }
+      val clauseRows = ok.collect { case MergeEdges(a, b, clauses) =>
+        val batchTag = a.batch.orElse(b.batch).getOrElse("cypher")
+        clauses.map { case (sv, rel, _) =>
+          EdgeClauseRow(sv == a.v, rel, batchTag,
+            a.label, a.batch, a.props.get("name"), a.props.get("content"),
+            a.props.get("docnbr"),
+            b.label, b.batch, b.props.get("name"), b.props.get("content"),
+            b.props.get("docnbr"))
+        }
+      }.flatten
+      val withNodes =
+        if (nodeRows.isEmpty) g
+        else GraphOps.upsert(g, GraphTables(
+          nodeRows.toDS().dropDuplicates("id"),
+          spark.emptyDataset[EdgeRow]))
+      val after =
+        if (clauseRows.isEmpty) withNodes
+        else {
+          def sideCond(prefix: String) =
+            col("label") === col(s"${prefix}Label") &&
+              (col(s"${prefix}Batch").isNull ||
+                col("batch") === col(s"${prefix}Batch")) &&
+              (col(s"${prefix}Name").isNull ||
+                col("name") === col(s"${prefix}Name")) &&
+              (col(s"${prefix}Content").isNull ||
+                col("content") === col(s"${prefix}Content")) &&
+              (col(s"${prefix}Docnbr").isNull ||
+                col("docnbr") === col(s"${prefix}Docnbr"))
+          val nodeCols = withNodes.nodes.toDF()
+            .select("id", "label", "name", "content", "docnbr", "batch")
+          def resolved(prefix: String) = {
+            val idAlias = s"${prefix}_id"
+            nodeCols.withColumnRenamed("id", idAlias)
+          }
+          val stmtDs = clauseRows.toDS()
+          val withA = stmtDs.join(resolved("a"), sideCond("a"), "inner")
+            .drop("label", "name", "content", "docnbr", "batch")
+          val withB = withA.join(resolved("b"), sideCond("b"), "inner")
+          val incoming = withB.select(
+              when(col("srcIsA"), col("a_id")).otherwise(col("b_id"))
+                .as("src"),
+              when(col("srcIsA"), col("b_id")).otherwise(col("a_id"))
+                .as("dst"),
+              col("relType"), lit("").as("docnbr"),
+              col("batchTag").as("batch"),
+              typedLit(Map.empty[String, String]).as("props"))
+            .dropDuplicates("src", "dst", "relType")
+            .as[EdgeRow]
+          GraphOps.upsert(withNodes,
+            GraphTables(spark.emptyDataset[NodeRow], incoming))
+        }
+      val summary = after.nodes.toDF().groupBy("label")
+        .agg(count(lit(1)).as("n"))
+        .select(concat(lit("node:"), col("label")).as("entity"), col("n"))
+        .unionByName(after.edges.toDF().groupBy("relType")
+          .agg(count(lit(1)).as("n"))
+          .select(concat(lit("edge:"), col("relType")).as("entity"),
+            col("n")))
+        .orderBy("entity")
+      Right((after, summary))
+    }
+  }
+
   private def execWrite(g: GraphTables,
       stmt: Statement): Either[String, (GraphTables, DataFrame)] =
     stmt match {
-      case SetContent(label, props, conds, value) =>
+      case SetContent(label, props, conds, value, batch) =>
         (props.keys ++ conds.flatten.map(_.prop) ++
           conds.flatten.flatMap(_.crossProp)).find(!SupportedProps(_))
           .map(k => Left(s"unsupported property: $k " +
@@ -3439,6 +3704,7 @@ object CypherLite {
                 .reduceOption(_ && _).getOrElse(lit(true)))
               .reduceOption(_ || _).getOrElse(lit(true))
             val pred = (label.map(col("label") === _).toSeq ++
+              batch.map(col("batch") === _).toSeq ++
               props.map { case (k, v) => col(k) === v })
               .reduceOption(_ && _).getOrElse(lit(true)) && whereCol
             val targets = g.nodes.filter(pred).select(col("id"))
@@ -3452,7 +3718,7 @@ object CypherLite {
               .orderBy("m_label", "m_name", "m_content")
             Right((after, summary))
           }
-      case CreateNode(label, props) =>
+      case CreateNode(label, props, batch) =>
         val spark = g.nodes.sparkSession
         import spark.implicits._
         val name = props("name") // presence validated at parse time
@@ -3460,8 +3726,8 @@ object CypherLite {
         val docnbr = props.getOrElse("docnbr", "")
         val id = GraphModel.nodeId(label, name, content, docnbr)
         val incoming = GraphTables(
-          Seq(NodeRow(id, label, name, content, docnbr, "cypher",
-            Seq.empty)).toDS(),
+          Seq(NodeRow(id, label, name, content, docnbr,
+            batch.getOrElse("cypher"), Seq.empty)).toDS(),
           spark.emptyDataset[EdgeRow])
         // match-or-create: the anti-join drops the row when the identical
         // node already exists — re-running the CREATE is a no-op
@@ -3470,6 +3736,43 @@ object CypherLite {
           .select(col("label").as("m_label"), col("name").as("m_name"),
             col("content").as("m_content"))
           .orderBy("m_label", "m_name", "m_content")
+        Right((after, summary))
+      case MergeEdges(a, b, clauses) =>
+        val spark = g.nodes.sparkSession
+        import spark.implicits._
+        // each side: label (+ optional batch tag + property literals)
+        // filter down to ids only — the cross product is over the MATCHED
+        // sets (typically a handful of rows after a name match), and only
+        // ids flow into it
+        def side(p: MergePat, alias: String) = {
+          val pred = (Seq(col("label") === p.label) ++
+            p.batch.map(col("batch") === _) ++
+            p.props.map { case (k, v) => col(k) === v })
+            .reduce(_ && _)
+          g.nodes.filter(pred).select(col("id").as(alias))
+        }
+        val pairs = side(a, "ida").crossJoin(side(b, "idb"))
+        // edges inherit the batch tag of the matched pattern (the
+        // reference tags every entity of an ingest run with its unique
+        // label); untagged statements fall back to the generic batch
+        val batchTag = a.batch.orElse(b.batch).getOrElse("cypher")
+        val incomingEdges = clauses.map { case (sv, rel, dv) =>
+          pairs.select(
+            col(if (sv == a.v) "ida" else "idb").as("src"),
+            col(if (dv == a.v) "ida" else "idb").as("dst"),
+            lit(rel).as("relType"), lit("").as("docnbr"),
+            lit(batchTag).as("batch"),
+            typedLit(Map.empty[String, String]).as("props"))
+        }.reduce(_ unionByName _).as[EdgeRow]
+        // ONE upsert for every clause: the anti-join on (src, dst,
+        // relType) is what makes re-running the statement a no-op
+        val after = GraphOps.upsert(g,
+          GraphTables(spark.emptyDataset[NodeRow], incomingEdges))
+        val rels = clauses.map(_._2).distinct
+        val summary = after.edges.toDF()
+          .filter(col("relType").isin(rels: _*))
+          .groupBy("relType").agg(count(lit(1)).as("n_edges"))
+          .orderBy("relType")
         Right((after, summary))
       case other => Left(s"not a write statement: $other")
     }
@@ -3936,8 +4239,8 @@ object CypherLite {
       // SET/CREATE through the read API would compute a success summary
       // from a mutated graph that is immediately DISCARDED — a phantom
       // write. Reject with a pointer instead of pretending.
-      case _: SetContent | _: CreateNode =>
-        Left("SET/CREATE are write statements — use runWrite(), which " +
+      case _: SetContent | _: CreateNode | _: MergeEdges =>
+        Left("SET/CREATE/MERGE are write statements — use runWrite(), " +
           "returns the mutated graph alongside the summary (run() would " +
           "discard the mutation)")
       case MatchReturn(label, props, relType, hops, conds, items, orderBy,

@@ -2483,6 +2483,75 @@ object ParquetGraph {
         .fold(err => throw new IllegalArgumentException(err), identity)
     },
 
+    // C10 write surface (new r11): the reference's relationship write —
+    // dual MATCH + forward/reverse edge MERGE (`new_final.js:34-38`) —
+    // through CypherLite.runWrite. The statement runs TWICE so the graded
+    // answer also certifies MERGE idempotence (the second run's anti-join
+    // on the (src, dst, relType) key adds nothing). Output: full edge
+    // census by relType.
+    QueryDef.sql(
+      "graphp_cypher_merge_edge",
+      """SELECT rel_type, n FROM (
+        |  SELECT 'BORDERS' AS rel_type, CAST(2 AS BIGINT) AS n
+        |  UNION ALL SELECT 'HAS_NATION', count(*) FROM nation
+        |  UNION ALL SELECT 'HAS_CUSTOMER', count(*) FROM customer
+        |  UNION ALL SELECT 'HAS_ORDER', count(*) FROM orders)
+        |ORDER BY rel_type""".stripMargin) { (s, d) =>
+      val stmt =
+        "MATCH (a:Region {name: 'ASIA'}), (b:Region {name: 'AFRICA'}) " +
+          "MERGE (a)-[:BORDERS]->(b) MERGE (b)-[:BORDERS]->(a)"
+      val once = CypherLite.runWrite(hierarchy(s, d), stmt)
+        .fold(err => throw new IllegalArgumentException(err), identity)._1
+      val twice = CypherLite.runWrite(once, stmt)
+        .fold(err => throw new IllegalArgumentException(err), identity)._1
+      twice.edges.groupBy("relType").agg(count(lit(1)).as("n"))
+        .select(col("relType").as("rel_type"), col("n"))
+        .orderBy("rel_type")
+    },
+
+    // C10 write surface (new r11): the reference's WHOLE ingest loop as a
+    // parameterized script — per entity, a batch-tagged node MERGE then
+    // the parent's forward/reverse edge MERGE pair
+    // (`new_final.js:15-47`), executed by runScript's TWO-PHASE batched
+    // plan (statements become rows; one node upsert + one edge upsert,
+    // O(1) Spark jobs in script length). The driver-side statement build
+    // is |nation| = 25 rows — the same bounded per-tag loop the reference
+    // runs, not a data collect. Graded on the final (entity, n) census.
+    QueryDef.sql(
+      "graphp_cypher_write_script",
+      """SELECT entity, n FROM (
+        |  SELECT 'node:Region' AS entity, CAST(count(*) AS BIGINT) AS n
+        |    FROM region
+        |  UNION ALL SELECT 'node:Nation', count(*) FROM nation
+        |  UNION ALL SELECT 'node:Customer', count(*) FROM customer
+        |  UNION ALL SELECT 'node:Order', count(*) FROM orders
+        |  UNION ALL SELECT 'node:Province', count(*) FROM nation
+        |  UNION ALL SELECT 'edge:HAS_NATION', count(*) FROM nation
+        |  UNION ALL SELECT 'edge:HAS_CUSTOMER', count(*) FROM customer
+        |  UNION ALL SELECT 'edge:HAS_ORDER', count(*) FROM orders
+        |  UNION ALL SELECT 'edge:HAS_PROVINCE', count(*) FROM nation
+        |  UNION ALL SELECT 'edge:PROVINCE_OF', count(*) FROM nation)
+        |ORDER BY entity""".stripMargin) { (s, d) =>
+      // bounded driver loop: one (nation, region) row per statement pair,
+      // 25 rows total — mirrors the reference's per-XML-tag iteration
+      val pairs = Tables.nation(s, d)
+        .join(Tables.region(s, d),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("n_name", "r_name").collect()
+        .map(r => (r.getString(0), r.getString(1)))
+      val script = pairs.toSeq.flatMap { case (nName, rName) =>
+        Seq(
+          ("MERGE (c:Province:ProvBatch {name: $name, content: $content})",
+            Map("name" -> nName, "content" -> s"prov of $rName")),
+          ("MATCH (p:Region {name: $parentName}), " +
+            "(c:Province:ProvBatch {name: $childName}) " +
+            "MERGE (p)-[:HAS_PROVINCE]->(c) MERGE (c)-[:PROVINCE_OF]->(p)",
+            Map("parentName" -> rName, "childName" -> nName)))
+      }
+      CypherLite.runScript(hierarchy(s, d), script)
+        .fold(err => throw new IllegalArgumentException(err), identity)._2
+    },
+
     // B6 CypherLite twin: a THREE-step chain spanning the full
     // region→nation→customer→order hierarchy ("orders of customers in
     // nations of each region" — the N-step scanner path; the two-step

@@ -123,6 +123,62 @@ class CypherFuzzSpec extends SparkSpec {
     }
   }
 
+  private def exerciseWrite(q: String,
+      params: Map[String, String] = Map.empty): Unit =
+    try CypherLite.runWrite(g, q, params) match {
+      case Right((after, s)) => s.collect(); after.nodes.count()
+      case Left(e) => assert(e.nonEmpty, s"empty error for: $q")
+    } catch {
+      case ex: Throwable =>
+        fail(s"runWrite() threw ${ex.getClass.getSimpleName} on: $q\n$ex")
+    }
+
+  test("write-surface recombinations answer Left or an executable Right") {
+    val nodePats = Seq("(a:Region {name: 'r1'})", "(a:Region)",
+      "(a:Region:B1 {name: $p})", "(a:Region {name: $missing})",
+      "(a:Region {name: 'r1'")
+    val second = Seq(", (b:Nation {name: 'n1'})", ", (b:Nation)",
+      ", (b:Nation:B1 {name: $p})", "", ", (b:")
+    val merges = Seq(" MERGE (a)-[:R]->(b)",
+      " MERGE (a)-[:R]->(b) MERGE (b)-[:R2]->(a)",
+      " MERGE (a)-[:R]->(c)", " MERGE (a)-[:R]->(a)", " MERGE (a)-[:R]->",
+      " MERGE (a)-[]->(b)", "")
+    val rnd = new scala.util.Random(97)
+    (1 to 200).foreach { _ =>
+      val q = "MATCH " + nodePats(rnd.nextInt(nodePats.size)) +
+        second(rnd.nextInt(second.size)) + merges(rnd.nextInt(merges.size))
+      exerciseWrite(q, Map("p" -> "r1"))
+    }
+    // node MERGE forms, incl. the batch-tag second label + param misses
+    Seq("MERGE (n:Note {name: 'x'})", "MERGE (n:Note:B2 {name: $v})",
+      "MERGE (n:Note:B2 {name: $gone})", "MERGE (n:Note:B2 {frob: 'x'})",
+      "MERGE (n:Note:B2)", "MERGE (n:Note:B2 {name: 'x'",
+      "CREATE (n:Note:B2 {name: 'x'})")
+      .foreach(exerciseWrite(_, Map("v" -> "ok")))
+    // the full edge-merge statement survives truncation + token deletion
+    val base = "MATCH (a:Region {name: 'r1'}), (b:Nation {name: 'n1'}) " +
+      "MERGE (a)-[:HAS_N]->(b) MERGE (b)-[:PART_OF]->(a)"
+    (1 to base.length).foreach(k => exerciseWrite(base.take(k)))
+    val toks = base.split(" ")
+    toks.indices.foreach { i =>
+      exerciseWrite((toks.take(i) ++ toks.drop(i + 1)).mkString(" "))
+    }
+    // runScript totality on malformed scripts
+    Seq(
+      Seq(("MERGE (n:Note {name: 'x'})", Map.empty[String, String]),
+        ("garbage", Map.empty[String, String])),
+      Seq(("MATCH (m:Nation) RETURN m", Map.empty[String, String])),
+      Seq.empty[(String, Map[String, String])]).foreach { script =>
+      try CypherLite.runScript(g, script) match {
+        case Right((after, s)) => s.collect(); after.nodes.count()
+        case Left(e) => assert(e.nonEmpty)
+      } catch {
+        case ex: Throwable =>
+          fail(s"runScript threw ${ex.getClass.getSimpleName} on: $script")
+      }
+    }
+  }
+
   test("pathological inputs stay inside Either") {
     Seq("", "   ", "garbage", "MATCH MATCH MATCH", "RETURN m",
       "MATCH (m RETURN m", "MATCH (m:')-[", "MATCH (m) RETURN m; DROP x",

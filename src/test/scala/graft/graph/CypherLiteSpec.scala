@@ -2420,4 +2420,156 @@ class CypherLiteSpec extends SparkSpec {
       .fold(e => fail(e), identity).collect().toSeq
     assert(all == one && all.nonEmpty)
   }
+
+  // ——— write surface: edge MERGE, batch labels, params, scripts ————————
+
+  private def tinyGraph(): GraphTables = {
+    import spark.implicits._
+    val nodes = Seq(
+      NodeRow(1L, "Region", "ASIA", "", "", "base", Nil),
+      NodeRow(2L, "Region", "AFRICA", "", "", "base", Nil),
+      NodeRow(3L, "Nation", "CHINA", "", "", "base", Nil)).toDS()
+    GraphTables(nodes, spark.emptyDataset[EdgeRow])
+  }
+
+  test("edge MERGE after dual MATCH creates one edge per clause, " +
+      "idempotently") {
+    val tg = tinyGraph()
+    val q = "MATCH (a:Region {name: 'ASIA'}), (b:Region {name: 'AFRICA'}) " +
+      "MERGE (a)-[:BORDERS]->(b) MERGE (b)-[:BORDERS]->(a)"
+    val (after, summary) = CypherLite.runWrite(tg, q)
+      .fold(e => fail(e), identity)
+    assert(summary.collect().map(r =>
+      (r.getString(0), r.getLong(1))).toSeq == Seq(("BORDERS", 2L)))
+    val edges = after.edges.collect().map(e => (e.src, e.dst, e.relType))
+    assert(edges.toSet == Set((1L, 2L, "BORDERS"), (2L, 1L, "BORDERS")))
+    // MERGE is match-or-create on the edge key: rerun adds nothing
+    val (again, _) = CypherLite.runWrite(after, q)
+      .fold(e => fail(e), identity)
+    assert(again.edges.count() == 2)
+    // a side that matches nothing merges nothing (no endpoint creation)
+    val (none, _) = CypherLite.runWrite(tg,
+      "MATCH (a:Region {name: 'ASIA'}), (b:City {name: 'XI'}) " +
+        "MERGE (a)-[:HAS_CITY]->(b)").fold(e => fail(e), identity)
+    assert(none.edges.count() == 0 && none.nodes.count() == 3)
+    // the read API refuses the write form
+    val viaRun = CypherLite.run(tg, q)
+    assert(viaRun.isLeft && viaRun.swap.toOption.get.contains("runWrite"),
+      viaRun.toString)
+  }
+
+  test("multi-label MERGE carries the batch tag; DETACH DELETE by tag " +
+      "removes the whole batch") {
+    val tg = tinyGraph()
+    val (tagged, _) = CypherLite.runWrite(tg,
+      "MERGE (n:Note:Ingest42 {name: 'memo', content: 'c1'})")
+      .fold(e => fail(e), identity)
+    val note = tagged.nodes.filter(col("label") === "Note").collect()
+    assert(note.length == 1 && note.head.batch == "Ingest42")
+    // edge through the tagged node inherits the tag
+    val (withEdge, _) = CypherLite.runWrite(tagged,
+      "MATCH (a:Nation {name: 'CHINA'}), (b:Note:Ingest42 {name: 'memo'}) " +
+        "MERGE (a)-[:HAS_NOTE]->(b)").fold(e => fail(e), identity)
+    assert(withEdge.edges.collect().forall(_.batch == "Ingest42"))
+    // the reference's batch delete (`deleteneo.py:10-12`) drops it all
+    val (clean, _) = CypherLite.runWrite(withEdge,
+      "MATCH (n) WHERE n.Ingest42 = true DETACH DELETE n")
+      .fold(e => fail(e), identity)
+    assert(clean.nodes.count() == tg.nodes.count() &&
+      clean.edges.count() == 0)
+  }
+
+  test("write parameters resolve token-wise and report missing names") {
+    val tg = tinyGraph()
+    // a value with quotes round-trips — params are never text-spliced
+    val (after, _) = CypherLite.runWrite(tg,
+      "MERGE (n:Note:B7 {name: $name, content: $content})",
+      Map("name" -> "x'y", "content" -> "it's quoted"))
+      .fold(e => fail(e), identity)
+    val row = after.nodes.filter(col("label") === "Note").collect().head
+    assert(row.name == "x'y" && row.content == "it's quoted")
+    val missing = CypherLite.runWrite(tg,
+      "MERGE (n:Note {name: $nope})", Map("other" -> "x"))
+    assert(missing.isLeft &&
+      missing.swap.toOption.get.contains("$nope"), missing.toString)
+    val badVar = CypherLite.parse(
+      "MATCH (a:Region {name: 'ASIA'}), (b:Region {name: 'AFRICA'}) " +
+        "MERGE (a)-[:R]->(c)")
+    assert(badVar.isLeft &&
+      badVar.swap.toOption.get.contains("'c'"), badVar.toString)
+    val selfLoop = CypherLite.parse(
+      "MATCH (a:Region {name: 'ASIA'}), (b:Region {name: 'AFRICA'}) " +
+        "MERGE (a)-[:R]->(a)")
+    assert(selfLoop.isLeft &&
+      selfLoop.swap.toOption.get.contains("self-loop"), selfLoop.toString)
+  }
+
+  test("parameterized batch-tagged SET updates only the tagged match " +
+      "(the reference's content-update statement)") {
+    val tg = tinyGraph()
+    // two Title nodes, same name, different batch tags — the reference's
+    // `MATCH (n:Title:Batch {name: $name, docnbr: $docnbr}) SET
+    // n.content = $content` (`new-converter.js:136-140`) must touch only
+    // the tagged one
+    val (seeded, _) = CypherLite.runScript(tg, Seq(
+      ("MERGE (n:Title:B1 {name: $name, docnbr: $d})",
+        Map("name" -> "Summary", "d" -> "100")),
+      ("MERGE (n:Title:B2 {name: $name, docnbr: $d})",
+        Map("name" -> "Summary", "d" -> "200"))))
+      .fold(e => fail(e), identity)
+    val (after, summary) = CypherLite.runWrite(seeded,
+      "MATCH (n:Title:B1 {name: $name, docnbr: $docnbr}) " +
+        "SET n.content = $content",
+      Map("name" -> "Summary", "docnbr" -> "100",
+        "content" -> "gathered 'text'"))
+      .fold(e => fail(e), identity)
+    assert(summary.count() == 1)
+    val titles = after.nodes.filter(col("label") === "Title").collect()
+    assert(titles.filter(_.batch == "B1").forall(
+      _.content == "gathered 'text'"))
+    assert(titles.filter(_.batch == "B2").forall(_.content == ""))
+    val missing = CypherLite.runWrite(seeded,
+      "MATCH (n:Title:B1 {name: 'Summary'}) SET n.content = $gone",
+      Map.empty)
+    assert(missing.isLeft &&
+      missing.swap.toOption.get.contains("$gone"), missing.toString)
+  }
+
+  test("runScript two-phase batch equals the sequential runWrite fold") {
+    val tg = tinyGraph()
+    // the reference's ingest shape: node MERGE then the parent edge pair,
+    // per entity (`new_final.js:15-47`), parameterized
+    val script = Seq("Hebei", "Gansu", "Fujian").flatMap { prov =>
+      Seq(
+        ("MERGE (n:Province:B9 {name: $name})", Map("name" -> prov)),
+        ("MATCH (p:Nation {name: $pn}), (c:Province:B9 {name: $cn}) " +
+          "MERGE (p)-[:HAS_PROVINCE]->(c) MERGE (c)-[:PROVINCE_OF]->(p)",
+          Map("pn" -> "CHINA", "cn" -> prov)))
+    }
+    val (batched, census) = CypherLite.runScript(tg, script)
+      .fold(e => fail(e), identity)
+    val sequential = script.foldLeft(tg) { case (acc, (q, p)) =>
+      CypherLite.runWrite(acc, q, p).fold(e => fail(e), identity)._1
+    }
+    assert(batched.nodes.collect().toSet == sequential.nodes.collect().toSet)
+    assert(batched.edges.collect().toSet == sequential.edges.collect().toSet)
+    assert(census.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      .view.filterKeys(k => k.contains("PROVINCE") || k.contains("Province"))
+      .toMap == Map("node:Province" -> 3L, "edge:HAS_PROVINCE" -> 3L,
+        "edge:PROVINCE_OF" -> 3L))
+    // replaying the whole script over the result is a no-op (MERGE keys)
+    val (replayed, _) = CypherLite.runScript(batched, script)
+      .fold(e => fail(e), identity)
+    assert(replayed.nodes.count() == batched.nodes.count() &&
+      replayed.edges.count() == batched.edges.count())
+    // scripts are MERGE-only: sequential-semantics statements are named
+    val set = CypherLite.runScript(tg,
+      Seq(("MATCH (m:Nation) SET m.content = 'x'",
+        Map.empty[String, String])))
+    assert(set.isLeft && set.swap.toOption.get.contains("statement 1"),
+      set.toString)
+    val read = CypherLite.runScript(tg,
+      Seq(("MATCH (m:Nation) RETURN m", Map.empty[String, String])))
+    assert(read.isLeft, read.toString)
+  }
 }
