@@ -552,9 +552,21 @@ object CypherLite {
     * filtered sets gets the edge; a side that matches nothing merges
     * nothing (MERGE inside MATCH never creates the endpoints).
     */
+  /** One edge-MERGE clause: `MERGE (src)-[:REL [{props}]]->(dst)`. The
+    * optional property map lands in [[EdgeRow.props]] (schemaless
+    * string map — any keys; `weight` feeds
+    * [[GraphOps.shortestPathWeighted]]). Props are SET-ON-CREATE: the
+    * MERGE key is (src, dst, relType), so re-merging an existing edge
+    * with different props is a no-op rather than Neo4j's
+    * distinct-pattern second relationship — this engine's edge identity
+    * is the triple, documented divergence.
+    */
+  final case class MergeClause(srcVar: String, relType: String,
+      dstVar: String, props: Map[String, String] = Map.empty)
+
   final case class MergeEdges(a: MergePat, b: MergePat,
-      // (srcVar, relType, dstVar) per MERGE clause, in statement order
-      clauses: Seq[(String, String, String)]) extends Statement
+      // per MERGE clause, in statement order
+      clauses: Seq[MergeClause]) extends Statement
 
   /** `MATCH p = shortestPath((a…)-[[:REL][*[1..K]]]->(b…)) RETURN …` —
     * one row per (a, b) endpoint pair that a directed path connects, at
@@ -765,9 +777,9 @@ object CypherLite {
   private val MergeEdgeRe =
     ("""(?is)\s*MATCH\s*\(\s*(\w+)\s*:\s*(\w+)(?:\s*:\s*(\w+))?\s*(?:\{\s*([^}]*)\s*\})?\s*\)\s*""" +
       """MATCH\s*\(\s*(\w+)\s*:\s*(\w+)(?:\s*:\s*(\w+))?\s*(?:\{\s*([^}]*)\s*\})?\s*\)\s*""" +
-      """((?:MERGE\s*\(\s*\w+\s*\)\s*-\s*\[\s*:\s*\w+\s*\]\s*-\s*>\s*\(\s*\w+\s*\)\s*)+);?\s*""").r
+      """((?:MERGE\s*\(\s*\w+\s*\)\s*-\s*\[\s*:\s*\w+\s*(?:\{[^}]*\}\s*)?\]\s*-\s*>\s*\(\s*\w+\s*\)\s*)+);?\s*""").r
   private val MergeEdgeClauseRe =
-    """(?i)MERGE\s*\(\s*(\w+)\s*\)\s*-\s*\[\s*:\s*(\w+)\s*\]\s*-\s*>\s*\(\s*(\w+)\s*\)""".r
+    """(?i)MERGE\s*\(\s*(\w+)\s*\)\s*-\s*\[\s*:\s*(\w+)\s*(?:\{\s*([^}]*)\s*\})?\s*\]\s*-\s*>\s*\(\s*(\w+)\s*\)""".r
 
   // WHERE [NOT] EXISTS { [MATCH] (m)-[…]->([:Label]) } — the modern
   // (Neo4j 5.x) existential-subquery spelling of the pattern-existence
@@ -1504,8 +1516,9 @@ object CypherLite {
       mergeBlock: String, params: Map[String, String])
       : Either[String, Statement] = {
     val Seq(aV, aL, aB, aP, bV, bL, bB, bP) = groups
-    val clauses = MergeEdgeClauseRe.findAllMatchIn(mergeBlock)
-      .map(m => (m.group(1), m.group(2), m.group(3))).toSeq
+    val rawClauses = MergeEdgeClauseRe.findAllMatchIn(mergeBlock)
+      .map(m => (m.group(1), m.group(2), Option(m.group(3)), m.group(4)))
+      .toSeq
     val allowed = Set("name", "content", "docnbr")
     for {
       _ <- if (aV == bV)
@@ -1517,12 +1530,20 @@ object CypherLite {
         Left(s"unsupported match property: $k " +
           s"(supported: ${allowed.toSeq.sorted.mkString(", ")})"))
         .getOrElse(Right(()))
-      _ <- clauses.flatMap(c => Seq(c._1, c._3)).find(v => v != aV && v != bV)
+      // clause props (edge properties, e.g. {weight: '2'}) are an OPEN
+      // map — EdgeRow.props is schemaless by design, so any key goes
+      clauses <- rawClauses.foldLeft[Either[String, Seq[MergeClause]]](
+        Right(Seq.empty)) { (acc, c) => acc.flatMap(done =>
+          resolveProps(c._3.getOrElse(""), params)
+            .map(ps => done :+ MergeClause(c._1, c._2, c._4, ps)))
+      }
+      _ <- clauses.flatMap(c => Seq(c.srcVar, c.dstVar))
+        .find(v => v != aV && v != bV)
         .map(v => Left(s"MERGE clause references unmatched variable '$v' " +
           s"(matched: $aV, $bV)")).getOrElse(Right(()))
-      _ <- clauses.find(c => c._1 == c._3).map(c =>
-        Left(s"self-loop MERGE (${c._1})-[:${c._2}]->(${c._3}) is not " +
-          "supported")).getOrElse(Right(()))
+      _ <- clauses.find(c => c.srcVar == c.dstVar).map(c =>
+        Left(s"self-loop MERGE (${c.srcVar})-[:${c.relType}]->" +
+          s"(${c.dstVar}) is not supported")).getOrElse(Right(()))
     } yield MergeEdges(
       MergePat(aV, aL, Option(aB), aProps),
       MergePat(bV, bL, Option(bB), bProps), clauses)
@@ -3569,7 +3590,8 @@ object CypherLite {
       aLabel: String, aBatch: Option[String], aName: Option[String],
       aContent: Option[String], aDocnbr: Option[String],
       bLabel: String, bBatch: Option[String], bName: Option[String],
-      bContent: Option[String], bDocnbr: Option[String])
+      bContent: Option[String], bDocnbr: Option[String],
+      props: Map[String, String])
 
   /** Batched write script — the Spark-first collapse of the reference's
     * one-transaction-per-statement ingest loop (`new_final.js:15-47`
@@ -3625,12 +3647,12 @@ object CypherLite {
       }
       val clauseRows = ok.collect { case MergeEdges(a, b, clauses) =>
         val batchTag = a.batch.orElse(b.batch).getOrElse("cypher")
-        clauses.map { case (sv, rel, _) =>
-          EdgeClauseRow(sv == a.v, rel, batchTag,
+        clauses.map { c =>
+          EdgeClauseRow(c.srcVar == a.v, c.relType, batchTag,
             a.label, a.batch, a.props.get("name"), a.props.get("content"),
             a.props.get("docnbr"),
             b.label, b.batch, b.props.get("name"), b.props.get("content"),
-            b.props.get("docnbr"))
+            b.props.get("docnbr"), c.props)
         }
       }.flatten
       val withNodes =
@@ -3668,7 +3690,7 @@ object CypherLite {
                 .as("dst"),
               col("relType"), lit("").as("docnbr"),
               col("batchTag").as("batch"),
-              typedLit(Map.empty[String, String]).as("props"))
+              col("props"))
             .dropDuplicates("src", "dst", "relType")
             .as[EdgeRow]
           GraphOps.upsert(withNodes,
@@ -3756,19 +3778,19 @@ object CypherLite {
         // reference tags every entity of an ingest run with its unique
         // label); untagged statements fall back to the generic batch
         val batchTag = a.batch.orElse(b.batch).getOrElse("cypher")
-        val incomingEdges = clauses.map { case (sv, rel, dv) =>
+        val incomingEdges = clauses.map { c =>
           pairs.select(
-            col(if (sv == a.v) "ida" else "idb").as("src"),
-            col(if (dv == a.v) "ida" else "idb").as("dst"),
-            lit(rel).as("relType"), lit("").as("docnbr"),
+            col(if (c.srcVar == a.v) "ida" else "idb").as("src"),
+            col(if (c.dstVar == a.v) "ida" else "idb").as("dst"),
+            lit(c.relType).as("relType"), lit("").as("docnbr"),
             lit(batchTag).as("batch"),
-            typedLit(Map.empty[String, String]).as("props"))
+            typedLit(c.props).as("props"))
         }.reduce(_ unionByName _).as[EdgeRow]
         // ONE upsert for every clause: the anti-join on (src, dst,
         // relType) is what makes re-running the statement a no-op
         val after = GraphOps.upsert(g,
           GraphTables(spark.emptyDataset[NodeRow], incomingEdges))
-        val rels = clauses.map(_._2).distinct
+        val rels = clauses.map(_.relType).distinct
         val summary = after.edges.toDF()
           .filter(col("relType").isin(rels: _*))
           .groupBy("relType").agg(count(lit(1)).as("n_edges"))

@@ -142,7 +142,10 @@ class CypherFuzzSpec extends SparkSpec {
     val merges = Seq(" MERGE (a)-[:R]->(b)",
       " MERGE (a)-[:R]->(b) MERGE (b)-[:R2]->(a)",
       " MERGE (a)-[:R]->(c)", " MERGE (a)-[:R]->(a)", " MERGE (a)-[:R]->",
-      " MERGE (a)-[]->(b)", "")
+      " MERGE (a)-[]->(b)", " MERGE (a)-[:R {weight: '2'}]->(b)",
+      " MERGE (a)-[:R {weight: $p}]->(b)",
+      " MERGE (a)-[:R {weight: $absent}]->(b)",
+      " MERGE (a)-[:R {weight: '2']->(b)", "")
     val rnd = new scala.util.Random(97)
     (1 to 200).foreach { _ =>
       val q = "MATCH " + nodePats(rnd.nextInt(nodePats.size)) +

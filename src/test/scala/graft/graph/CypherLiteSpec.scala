@@ -2504,6 +2504,41 @@ class CypherLiteSpec extends SparkSpec {
       selfLoop.swap.toOption.get.contains("self-loop"), selfLoop.toString)
   }
 
+  test("edge-property MERGE writes EdgeRow.props; the weighted kernel " +
+      "reads them back") {
+    val tg = tinyGraph()
+    // weights written through the Cypher surface (set-on-create props);
+    // r1 -> n1 costs 3, n1 -> r2 costs 4 via two statements
+    val s1 = "MATCH (a:Region {name: 'ASIA'}), (b:Nation {name: 'CHINA'}) " +
+      "MERGE (a)-[:ROAD {weight: $w, kind: 'paved'}]->(b)"
+    val s2 = "MATCH (a:Nation {name: 'CHINA'}), " +
+      "(b:Region {name: 'AFRICA'}) MERGE (a)-[:ROAD {weight: $w}]->(b)"
+    val (g1, _) = CypherLite.runWrite(tg, s1, Map("w" -> "3"))
+      .fold(e => fail(e), identity)
+    val (g2, _) = CypherLite.runWrite(g1, s2, Map("w" -> "4"))
+      .fold(e => fail(e), identity)
+    val edges = g2.edges.collect()
+    assert(edges.length == 2)
+    assert(edges.find(_.src == 1L).get.props ==
+      Map("weight" -> "3", "kind" -> "paved"))
+    // props are SET-ON-CREATE: re-merging with a different weight is a
+    // no-op on the existing (src, dst, relType) key
+    val (g3, _) = CypherLite.runWrite(g2, s1, Map("w" -> "99"))
+      .fold(e => fail(e), identity)
+    assert(g3.edges.filter(col("src") === 1L).collect()
+      .head.props("weight") == "3")
+    // the weighted kernel reads the Cypher-written costs: ASIA reaches
+    // AFRICA at 3 + 4 = 7
+    val dist = GraphOps.shortestPathWeighted(spark, g2, Set(1L))
+      .filter(col("id") === 2L).collect()
+    assert(dist.length == 1 && dist.head.getAs[Double]("distance") == 7.0)
+    // same props through the batched script path
+    val (gs, _) = CypherLite.runScript(tg, Seq((s1, Map("w" -> "5"))))
+      .fold(e => fail(e), identity)
+    assert(gs.edges.collect().head.props ==
+      Map("weight" -> "5", "kind" -> "paved"))
+  }
+
   test("parameterized batch-tagged SET updates only the tagged match " +
       "(the reference's content-update statement)") {
     val tg = tinyGraph()
