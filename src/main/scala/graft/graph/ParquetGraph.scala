@@ -1264,6 +1264,48 @@ object ParquetGraph {
         .orderBy("name")
     },
 
+    // C10 write → Q9 analytics composition (new r11): edge WEIGHTS are
+    // written through the Cypher surface (edge-prop MERGE clauses with
+    // $param values, batched by runScript into one edge upsert), then
+    // READ BACK by the weighted Pregel kernel. A ROAD chain threads the
+    // regions in name order, each edge costing (dst regionkey % 3 + 1);
+    // the oracle is the closed-form prefix sum. Non-ROAD hierarchy edges
+    // only point DOWN (region→nation→…), so they cannot shortcut the
+    // region-to-region distances.
+    QueryDef.sql(
+      "graphp_cypher_weighted_road",
+      """WITH r AS (
+        |  SELECT r_name, CAST(r_regionkey % 3 + 1 AS DOUBLE) AS w,
+        |    row_number() OVER (ORDER BY r_name) AS rn
+        |  FROM region)
+        |SELECT r_name AS name,
+        |  CAST(sum(CASE WHEN rn = 1 THEN 0 ELSE w END) OVER (
+        |    ORDER BY r_name ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+        |    AS distance
+        |FROM r ORDER BY name""".stripMargin) { (s, d) =>
+      // |region| = 5 rows — the same bounded driver loop as the script
+      // twin; statements are per-pair, data stays distributed
+      val regions = Tables.region(s, d)
+        .select("r_name", "r_regionkey").collect()
+        .map(r => (r.getString(0), r.getAs[Number](1).intValue))
+        .sortBy(_._1)
+      val script = regions.sliding(2).collect {
+        case Array((pName, _), (cName, cKey)) =>
+          ("MATCH (a:Region {name: $p}), (b:Region {name: $c}) " +
+            "MERGE (a)-[:ROAD {weight: $w}]->(b)",
+            Map("p" -> pName, "c" -> cName,
+              "w" -> (cKey % 3 + 1).toString))
+      }.toSeq
+      val (after, _) = CypherLite.runScript(hierarchy(s, d), script)
+        .fold(err => throw new IllegalArgumentException(err), identity)
+      val rootId = regions.head._2.toLong + RegionBase
+      GraphOps.shortestPathWeighted(s, after, Set(rootId))
+        .join(after.nodes.filter(col("label") === "Region")
+          .select(col("id"), col("name")), "id")
+        .select(col("name"), col("distance"))
+        .orderBy("name")
+    },
+
     // Q2 expand twin: single-hop typed expansion from every nation —
     // per-nation out-neighbor count along HAS_CUSTOMER.
     QueryDef.sql(
