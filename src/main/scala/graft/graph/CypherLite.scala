@@ -3657,9 +3657,17 @@ object CypherLite {
       }.flatten
       val withNodes =
         if (nodeRows.isEmpty) g
-        else GraphOps.upsert(g, GraphTables(
-          nodeRows.toDS().dropDuplicates("id"),
-          spark.emptyDataset[EdgeRow]))
+        else {
+          val up = GraphOps.upsert(g, GraphTables(
+            nodeRows.toDS().dropDuplicates("id"),
+            spark.emptyDataset[EdgeRow]))
+          // phase 2 + the census consume the phase-1 node relation three
+          // times (both side resolutions and the final graph); a LAZY
+          // local checkpoint materializes the upsert's anti-join once
+          // instead of re-shuffling the base per consumer
+          if (clauseRows.isEmpty) up
+          else GraphTables(up.nodes.localCheckpoint(false), up.edges)
+        }
       val after =
         if (clauseRows.isEmpty) withNodes
         else {
