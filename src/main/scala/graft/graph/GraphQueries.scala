@@ -157,17 +157,17 @@ object GraphQueries {
       // batch ingest's. Oracle-checked parquet twin: graphp_stream_ingest.
       val dir = java.nio.file.Files
         .createTempDirectory("graft_xml_stream_ingest").toString
-      val env = StreamingGraphIngest.toEnvelope(graph(s)).localCheckpoint()
+      val env = StreamingGraphIngest.toEnvelope(graph(s))
       // XOR, not +: node ids are full-range FNV hashes, addition overflows
       // under ANSI mode
       val sliceKey = pmod(coalesce(col("id"),
         col("src").bitwiseXOR(col("dst"))), lit(2))
-      // 4 files per slice + maxFilesPerTrigger=4: one drain, two
-      // micro-batch commits (see graphp_stream_ingest)
-      (0 to 1).foreach { i =>
-        env.filter(sliceKey === i).coalesce(4)
-          .write.parquet(s"$dir/env/slice$i")
-      }
+      // ONE partitioned write emits both slices (4 files each, the
+      // partition column stays in the dir name, not the files);
+      // maxFilesPerTrigger=4 then makes one drain run two micro-batch
+      // commits (see graphp_stream_ingest)
+      env.withColumn("slice", sliceKey).repartition(4)
+        .write.partitionBy("slice").parquet(s"$dir/env")
       StreamingGraphIngest.drainIngest(s, s"$dir/env", s"$dir/store",
         s"$dir/ckpt", maxFilesPerTrigger = Some(4))
       GraphStore.load(s, s"$dir/store").nodes.groupBy("label")

@@ -1206,18 +1206,17 @@ object ParquetGraph {
       val dir = java.nio.file.Files
         .createTempDirectory("graft_stream_ingest_q").toString
       val env = StreamingGraphIngest.toEnvelope(hierarchy(s, d))
-        .localCheckpoint()
       val sliceKey = pmod(coalesce(col("id"), col("src") + col("dst")),
         lit(2))
-      // 4 files per slice + maxFilesPerTrigger=4 → ONE AvailableNow
-      // drain runs TWO micro-batches (two upsert→commit cycles, writes
-      // still parallel) without paying a second streaming-query
-      // lifecycle; the multi-drain checkpoint-resume contract is pinned
-      // by StreamingGraphIngestSpec
-      (0 to 1).foreach { i =>
-        env.filter(sliceKey === i).coalesce(4)
-          .write.parquet(s"$dir/env/slice$i")
-      }
+      // ONE partitioned write emits both slices (the partition column
+      // lives in the dir name, not the files, so the envelope schema is
+      // unchanged); 4 files per slice + maxFilesPerTrigger=4 → ONE
+      // AvailableNow drain runs TWO micro-batches (two upsert→commit
+      // cycles) without paying a second streaming-query lifecycle; the
+      // multi-drain checkpoint-resume contract is pinned by
+      // StreamingGraphIngestSpec
+      env.withColumn("slice", sliceKey).repartition(4)
+        .write.partitionBy("slice").parquet(s"$dir/env")
       StreamingGraphIngest.drainIngest(s, s"$dir/env", s"$dir/store",
         s"$dir/ckpt", maxFilesPerTrigger = Some(4))
       val g = GraphStore.load(s, s"$dir/store")
