@@ -1280,6 +1280,71 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // --------------------------------- L56 cross-doc duplicated-span REMOVAL
+    // The rewrite half of substring dedup (Lee et al. 2022 §4 "ExactSubstr":
+    // delete, from every document, each span that also occurs verbatim in
+    // another document). l30 measures the signal; this op actually produces
+    // the cleaned corpus: a token position is covered when any of the
+    // 8-token windows containing it appears in ≥2 distinct docs, and the
+    // cleaned text is the uncovered tokens rejoined in order. Scale shape:
+    // windows travel as 60-bit hashes (the text never shuffles with them);
+    // covered positions are (doc_id, int) pairs — ≤8× the dup-window count,
+    // linear in corpus size; the one text-bearing join is keyed by doc_id.
+    // Production would interval-merge window starts per doc instead of
+    // exploding the 8 member positions — same output, ~8× fewer rows in the
+    // coverage shuffle.
+    QueryDef.sql(
+      "l56_dup_span_removal",
+      s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS l
+         |           FROM documents),
+         |ws AS (SELECT doc_id, u['i'] AS i, ${PortableHash.duck("u['w']")}
+         |    AS wh
+         |  FROM (SELECT doc_id, unnest(list_transform(
+         |      generate_series(1, len(l) - 7),
+         |      i -> {'i': i, 'w': array_to_string(l[i:i+7], ' ')})) AS u
+         |    FROM tk WHERE len(l) >= 8) t),
+         |df AS (SELECT wh, count(DISTINCT doc_id) AS df FROM ws GROUP BY wh),
+         |cov AS (SELECT DISTINCT doc_id, p FROM (
+         |  SELECT doc_id, unnest(generate_series(i, i + 7)) AS p
+         |  FROM ws JOIN df USING (wh) WHERE df >= 2)),
+         |ca AS (SELECT doc_id, list(DISTINCT p) AS cv FROM cov
+         |       GROUP BY doc_id)
+         |SELECT tk.doc_id, CAST(len(l) AS BIGINT) AS n_tokens,
+         |  CAST(coalesce(len(cv), 0) AS BIGINT) AS n_removed,
+         |  CASE WHEN cv IS NULL THEN array_to_string(l, ' ')
+         |       ELSE coalesce(array_to_string(list_transform(list_filter(
+         |         generate_series(1, len(l)), i -> NOT list_contains(cv, i)),
+         |         i -> l[i]), ' '), '') END AS cleaned_text
+         |FROM tk LEFT JOIN ca USING (doc_id)
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      // window relation feeds the DF aggregate and the coverage join — the
+      // l30 multi-consumer materialization policy, now carrying the window
+      // START so coverage can be reconstructed without re-hashing
+      val tk = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      val ws = tk.filter(size(col("toks")) >= 8)
+        .select(col("doc_id"), posexplode(expr(
+          "transform(sequence(0, size(toks) - 8)," +
+            " i -> array_join(slice(toks, i + 1, 8), ' '))")))
+        .select(col("doc_id"), col("pos").as("i"),
+          PortableHash.spark(col("col")).as("wh"))
+        .localCheckpoint()
+      val df = ws.groupBy("wh").agg(countDistinct(col("doc_id")).as("df"))
+      val cov = ws.join(df.filter(col("df") >= 2), "wh")
+        .select(col("doc_id"),
+          explode(expr("sequence(i, i + 7)")).as("p"))
+        .groupBy("doc_id").agg(collect_set(col("p")).as("cv"))
+      tk.join(cov, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          size(col("toks")).cast("long").as("n_tokens"),
+          coalesce(size(col("cv")), lit(0)).cast("long").as("n_removed"),
+          when(col("cv").isNull, array_join(col("toks"), " "))
+            .otherwise(array_join(expr(
+              "filter(toks, (t, i) -> NOT array_contains(cv, i))"), " "))
+            .as("cleaned_text"))
+        .orderBy("doc_id")
+    },
+
     // ------------------------------------------- L31 ANN recall@k vs exact
     // Index-quality gate for the ANN scale path: recall@3 of the
     // sign-LSH-bucketed search (the l4 plan) against the exact brute-force

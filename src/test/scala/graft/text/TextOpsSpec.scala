@@ -295,4 +295,36 @@ class TextOpsSpec extends SparkSpec {
     assert(got(0) == ((3L, 1.333333)), got.toString)
     assert(got(1) == ((2L, 0.0)), got.toString)
   }
+
+  test("dup-span removal excises exactly the cross-doc shared span") {
+    // docs 1 and 2 share one 8-token span at different offsets; doc 3 is
+    // unique; doc 4 is shorter than a window and must pass through whole
+    val span = "s1 s2 s3 s4 s5 s6 s7 s8"
+    withDocs(docs(
+      1L -> s"$span x y z",
+      2L -> s"p q $span r",
+      3L -> "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10",
+      4L -> "tiny doc here")) { dir =>
+      val got = SparkEntry.queries("l56_dup_span_removal")(spark, dir)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+      assert(got(1L) == ((11L, 8L, "x y z")), got.toString)
+      assert(got(2L) == ((11L, 8L, "p q r")), got.toString)
+      assert(got(3L) == ((10L, 0L, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10")),
+        got.toString)
+      assert(got(4L) == ((3L, 0L, "tiny doc here")), got.toString)
+    }
+  }
+
+  test("dup-span removal empties a document that is one shared span") {
+    // doc 1 IS the shared window — every position covered, cleaned = ""
+    val span = "c1 c2 c3 c4 c5 c6 c7 c8"
+    withDocs(docs(1L -> span, 2L -> s"lead $span tail")) { dir =>
+      val got = SparkEntry.queries("l56_dup_span_removal")(spark, dir)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+      assert(got(1L) == ((8L, 8L, "")), got.toString)
+      assert(got(2L) == ((10L, 8L, "lead tail")), got.toString)
+    }
+  }
 }
