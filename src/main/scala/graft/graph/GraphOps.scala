@@ -1214,6 +1214,58 @@ object GraphOps {
       .toDF("id", "depth")
   }
 
+  /** Deterministic random-walk corpus over the out-edge relation — the
+    * corpus-generation step of graph-embedding training (DeepWalk,
+    * Perozzi et al. KDD 2014; node2vec's p=q=1 case): `walksPerRoot`
+    * walks of at most `maxLen` steps start at every root, and a walk
+    * sitting at node v takes out-neighbor number
+    * `H(rootId|walkNo|position|v) mod outdeg(v)` — H the same 60-bit md5
+    * family the dedup operators share. Content-addressed steps make the
+    * corpus REPRODUCIBLE under any cluster size, partitioning, or retry
+    * history — no RNG state, no per-executor seeds — which is what a
+    * 100 TB training pipeline needs from its samplers (the l11/l16
+    * mixture ops follow the same no-RNG discipline). A walk ends early at
+    * a sink (node with no out-edges).
+    *
+    * Scale shape: the adjacency relation is dense-ranked per src ONCE
+    * (one window pass, localCheckpointed, reused by every step), and each
+    * step is one (src, rank) EQUI-join of the live frontier against it —
+    * O(maxLen) joins total, frontier stays one row per live walk, and
+    * neighbor lists are never materialized as arrays, so hub nodes cost
+    * the same as leaves.
+    *
+    * Returns (root_id, walk, step, node); step 0 is the root itself.
+    */
+  def randomWalks(spark: SparkSession, g: GraphTables, roots: DataFrame,
+      walksPerRoot: Int, maxLen: Int): DataFrame = {
+    require(walksPerRoot > 0, s"walksPerRoot must be > 0: $walksPerRoot")
+    require(maxLen >= 0, s"maxLen must be >= 0: $maxLen")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("src").orderBy("dst")
+    val adj = g.edges.toDF().select(col("src"), col("dst")).distinct()
+      .select(col("src"), col("dst"),
+        (row_number().over(w) - 1).cast("long").as("rnk"))
+      .localCheckpoint() // multi-consumer: the degree agg + one join/step
+    val deg = adj.groupBy("src").agg(count(lit(1)).as("deg"))
+    var frontier = roots.select(col("root_id"))
+      .crossJoin(spark.range(walksPerRoot).select(col("id").as("walk")))
+      .select(col("root_id"), col("walk"), col("root_id").as("cur"))
+    var out = frontier.select(col("root_id"), col("walk"),
+      lit(0).as("step"), col("cur").as("node"))
+    for (stepN <- 1 to maxLen) {
+      frontier = frontier
+        .join(deg.withColumnRenamed("src", "cur"), "cur") // sinks drop out
+        .withColumn("pick", pmod(graft.text.PortableHash.spark(
+          concat_ws("|", col("root_id"), col("walk"), lit(stepN - 1),
+            col("cur"))), col("deg")))
+        .join(adj, col("cur") === adj("src") && col("pick") === adj("rnk"))
+        .select(col("root_id"), col("walk"), col("dst").as("cur"))
+      out = out.unionByName(frontier.select(col("root_id"), col("walk"),
+        lit(stepN).as("step"), col("cur").as("node")))
+    }
+    out
+  }
+
   /** k-core of the undirected view of the edges: the maximal subgraph in
     * which every node has degree ≥ k (Q9 analytics breadth — the standard
     * "dense enough to matter" community filter). Iterative peeling as a

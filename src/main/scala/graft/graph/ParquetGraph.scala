@@ -1305,6 +1305,61 @@ object ParquetGraph {
         .orderBy("name")
     },
 
+    // Q9 sampling: deterministic random-walk corpus (DeepWalk) from every
+    // region root — 5 walks × ≤3 steps down the containment tree, each
+    // step choosing out-neighbor H(root|walk|pos|cur) mod outdeg. The
+    // oracle replays the identical hash-indexed choice over the
+    // base-arithmetic edge relation with a rank window, so every sampled
+    // node id must match exactly — grading both the walk mechanics and
+    // the cross-engine determinism of the content-addressed sampler.
+    QueryDef.sql(
+      "graphp_random_walks",
+      s"""WITH e AS (
+         |  SELECT src, dst,
+         |    row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS rnk,
+         |    count(*) OVER (PARTITION BY src) AS deg
+         |  FROM (
+         |    SELECT CAST(1000000000 + n_regionkey AS BIGINT) AS src,
+         |           CAST(2000000000 + n_nationkey AS BIGINT) AS dst
+         |    FROM nation
+         |    UNION ALL
+         |    SELECT CAST(2000000000 + c_nationkey AS BIGINT),
+         |           CAST(3000000000 + c_custkey AS BIGINT) FROM customer
+         |    UNION ALL
+         |    SELECT CAST(3000000000 + o_custkey AS BIGINT),
+         |           CAST(4000000000 + o_orderkey AS BIGINT) FROM orders)),
+         |r AS (SELECT CAST(1000000000 + r_regionkey AS BIGINT) AS root,
+         |             r_name, CAST(w AS BIGINT) AS walk
+         |      FROM region, (SELECT unnest(generate_series(0, 4)) AS w)),
+         |s1 AS (SELECT r.root, r.r_name, r.walk, e.dst AS n1 FROM r JOIN e
+         |  ON e.src = r.root AND e.rnk = ${graft.text.PortableHash.duck(
+          "concat(CAST(r.root AS VARCHAR), '|', CAST(r.walk AS VARCHAR)," +
+            " '|0|', CAST(r.root AS VARCHAR))")} % e.deg),
+         |s2 AS (SELECT s1.*, e.dst AS n2 FROM s1 JOIN e
+         |  ON e.src = s1.n1 AND e.rnk = ${graft.text.PortableHash.duck(
+          "concat(CAST(s1.root AS VARCHAR), '|', CAST(s1.walk AS VARCHAR)," +
+            " '|1|', CAST(s1.n1 AS VARCHAR))")} % e.deg),
+         |s3 AS (SELECT s2.*, e.dst AS n3 FROM s2 JOIN e
+         |  ON e.src = s2.n2 AND e.rnk = ${graft.text.PortableHash.duck(
+          "concat(CAST(s2.root AS VARCHAR), '|', CAST(s2.walk AS VARCHAR)," +
+            " '|2|', CAST(s2.n2 AS VARCHAR))")} % e.deg)
+         |SELECT r_name AS root_name, walk, step, node FROM (
+         |  SELECT r_name, walk, 0 AS step, root AS node FROM r
+         |  UNION ALL SELECT r_name, walk, 1, n1 FROM s1
+         |  UNION ALL SELECT r_name, walk, 2, n2 FROM s2
+         |  UNION ALL SELECT r_name, walk, 3, n3 FROM s3)
+         |ORDER BY root_name, walk, step""".stripMargin) { (s, d) =>
+      val g = hierarchy(s, d)
+      val regions = g.nodes.filter(col("label") === "Region")
+      GraphOps.randomWalks(s, g,
+          regions.select(col("id").as("root_id")), walksPerRoot = 5,
+          maxLen = 3)
+        .join(regions.select(col("id").as("root_id"),
+          col("name").as("root_name")), "root_id")
+        .select(col("root_name"), col("walk"), col("step"), col("node"))
+        .orderBy("root_name", "walk", "step")
+    },
+
     // Q2 expand twin: single-hop typed expansion from every nation —
     // per-nation out-neighbor count along HAS_CUSTOMER.
     QueryDef.sql(

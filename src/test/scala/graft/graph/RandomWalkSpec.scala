@@ -1,0 +1,90 @@
+package graft.graph
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Unit-level checks of [[GraphOps.randomWalks]] (the oracle twin
+  * `graphp_random_walks` pins cross-engine hash determinism; this pins the
+  * walk mechanics on hand-built graphs).
+  */
+class RandomWalkSpec extends SparkSpec {
+
+  private def mkGraph(edges: Seq[(Long, Long)]): GraphTables = {
+    import spark.implicits._
+    val ids = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    GraphTables(
+      ids.map(i => NodeRow(i, "N", s"n$i", "", "", "base", Seq.empty)).toDS(),
+      edges.map { case (s, d) => EdgeRow(s, d, "E", "", "base") }.toDS())
+  }
+
+  private def roots(ids: Long*) = {
+    import spark.implicits._
+    ids.toDF("root_id")
+  }
+
+  private def walks(g: GraphTables, rs: Seq[Long], perRoot: Int, len: Int)
+      : Seq[(Long, Long, Int, Long)] =
+    GraphOps.randomWalks(spark, g, roots(rs: _*), perRoot, len)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+      .toSeq
+
+  // a small DAG with branching: 1 → {2,3}, 2 → {4,5}, 3 → {6}, leaves sink
+  private val dag = mkGraph(Seq(1L -> 2L, 1L -> 3L, 2L -> 4L, 2L -> 5L,
+    3L -> 6L))
+
+  test("every consecutive walk pair is a real edge; step 0 is the root") {
+    val edgeSet = Set(1L -> 2L, 1L -> 3L, 2L -> 4L, 2L -> 5L, 3L -> 6L)
+    val got = walks(dag, Seq(1L), perRoot = 8, len = 3)
+    val byWalk = got.groupBy(t => (t._1, t._2)).values
+    assert(byWalk.size == 8)
+    byWalk.foreach { steps =>
+      val path = steps.sortBy(_._3).map(_._4)
+      assert(path.head == 1L, s"walk must start at its root: $path")
+      path.sliding(2).foreach {
+        case Seq(a, b) => assert(edgeSet.contains(a -> b),
+          s"non-edge step $a->$b in $path")
+        case _ => ()
+      }
+    }
+  }
+
+  test("walks stop at sinks instead of emitting null steps") {
+    // 1 → 2 → sink: every walk has exactly steps 0,1,2 — never 3
+    val chain = mkGraph(Seq(1L -> 2L, 2L -> 3L))
+    val got = walks(chain, Seq(1L), perRoot = 3, len = 5)
+    val byWalk = got.groupBy(_._2)
+    assert(byWalk.size == 3)
+    byWalk.values.foreach { steps =>
+      assert(steps.map(_._3).sorted == Seq(0, 1, 2), steps.toString)
+      assert(steps.sortBy(_._3).map(_._4) == Seq(1L, 2L, 3L))
+    }
+  }
+
+  test("the sampler is deterministic across invocations and explores " +
+      "more than one branch") {
+    val a = walks(dag, Seq(1L), perRoot = 8, len = 3).sorted
+    val b = walks(dag, Seq(1L), perRoot = 8, len = 3).sorted
+    assert(a == b, "content-addressed steps must be replay-identical")
+    // 8 hash-indexed walks over a branching factor of 2 collide onto one
+    // branch with probability 2^-8 per level under any uniform-ish hash;
+    // the fixed md5 family is pinned here so this cannot flake
+    val firstSteps = a.filter(_._3 == 1).map(_._4).toSet
+    assert(firstSteps == Set(2L, 3L),
+      s"expected both branches sampled, got $firstSteps")
+  }
+
+  test("duplicate edges do not skew the choice set") {
+    // 1 → 2 listed twice: the rank index must see ONE neighbor
+    val g = mkGraph(Seq(1L -> 2L, 1L -> 2L))
+    val got = walks(g, Seq(1L), perRoot = 4, len = 1)
+    assert(got.filter(_._3 == 1).forall(_._4 == 2L), got.toString)
+    assert(got.count(_._3 == 1) == 4)
+  }
+
+  test("rejects non-positive walk counts") {
+    intercept[IllegalArgumentException] {
+      GraphOps.randomWalks(spark, dag, roots(1L), 0, 3)
+    }
+  }
+}
