@@ -1266,6 +1266,26 @@ object GraphOps {
     out
   }
 
+  /** Skip-gram (center, context) pair counts over a walk corpus — the
+    * training-pair extraction DeepWalk/node2vec feed to word2vec: every
+    * ordered pair of nodes on the SAME walk within `window` positions of
+    * each other, aggregated to a count (the multiplicity a sampled-softmax
+    * trainer weights by). One self-join keyed on the walk identity; the
+    * position-window filter bounds fan-out at 2·window rows per walk
+    * position, so the pair relation stays linear in corpus size (walk
+    * length is a generation-time constant, never data-dependent).
+    */
+  def skipGramPairs(walks: DataFrame, window: Int = 2): DataFrame = {
+    require(window > 0, s"window must be > 0: $window")
+    val a = walks.select(col("root_id"), col("walk"),
+      col("step").as("step_a"), col("node").as("center"))
+    val b = walks.select(col("root_id"), col("walk"),
+      col("step").as("step_b"), col("node").as("context"))
+    a.join(b, Seq("root_id", "walk"))
+      .filter(abs(col("step_a") - col("step_b")).between(1, window))
+      .groupBy("center", "context").agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** k-core of the undirected view of the edges: the maximal subgraph in
     * which every node has degree ≥ k (Q9 analytics breadth — the standard
     * "dense enough to matter" community filter). Iterative peeling as a

@@ -284,6 +284,62 @@ object ParquetGraph {
     Tables.nation(s, d).select((col("n_nationkey") + NationBase).as("id"),
       col("n_name"))
 
+  /** The DeepWalk corpus the two walk queries share: 5 walks × ≤3 steps
+    * from every region root over the hierarchy graph, plus the root's
+    * region name for grading. Cheap enough to recompute per query (the
+    * graph itself is `cached`).
+    */
+  private def walkNames(s: SparkSession, d: String): DataFrame = {
+    val g = hierarchy(s, d)
+    val regions = g.nodes.filter(col("label") === "Region")
+    GraphOps.randomWalks(s, g, regions.select(col("id").as("root_id")),
+        walksPerRoot = 5, maxLen = 3)
+      .join(regions.select(col("id").as("root_id"),
+        col("name").as("root_name")), "root_id")
+  }
+
+  /** DuckDB replay of [[walkNames]]: the same hash-indexed neighbor choice
+    * over the base-arithmetic edge relation with a per-src rank window,
+    * ending in a CTE `wk(root_name, walk, step, node)`.
+    */
+  private val duckWalksSql: String = {
+    def pick(rootE: String, walkE: String, pos: Int, curE: String) =
+      graft.text.PortableHash.duck(
+        s"concat(CAST($rootE AS VARCHAR), '|', CAST($walkE AS VARCHAR)," +
+          s" '|$pos|', CAST($curE AS VARCHAR))")
+    s"""WITH e AS (
+       |  SELECT src, dst,
+       |    row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS rnk,
+       |    count(*) OVER (PARTITION BY src) AS deg
+       |  FROM (
+       |    SELECT CAST(1000000000 + n_regionkey AS BIGINT) AS src,
+       |           CAST(2000000000 + n_nationkey AS BIGINT) AS dst
+       |    FROM nation
+       |    UNION ALL
+       |    SELECT CAST(2000000000 + c_nationkey AS BIGINT),
+       |           CAST(3000000000 + c_custkey AS BIGINT) FROM customer
+       |    UNION ALL
+       |    SELECT CAST(3000000000 + o_custkey AS BIGINT),
+       |           CAST(4000000000 + o_orderkey AS BIGINT) FROM orders)),
+       |r AS (SELECT CAST(1000000000 + r_regionkey AS BIGINT) AS root,
+       |             r_name, CAST(w AS BIGINT) AS walk
+       |      FROM region, (SELECT unnest(generate_series(0, 4)) AS w)),
+       |s1 AS (SELECT r.root, r.r_name, r.walk, e.dst AS n1 FROM r JOIN e
+       |  ON e.src = r.root
+       |  AND e.rnk = ${pick("r.root", "r.walk", 0, "r.root")} % e.deg),
+       |s2 AS (SELECT s1.*, e.dst AS n2 FROM s1 JOIN e
+       |  ON e.src = s1.n1
+       |  AND e.rnk = ${pick("s1.root", "s1.walk", 1, "s1.n1")} % e.deg),
+       |s3 AS (SELECT s2.*, e.dst AS n3 FROM s2 JOIN e
+       |  ON e.src = s2.n2
+       |  AND e.rnk = ${pick("s2.root", "s2.walk", 2, "s2.n2")} % e.deg),
+       |wk AS (SELECT root_name, walk, step, node FROM (
+       |  SELECT r_name AS root_name, walk, 0 AS step, root AS node FROM r
+       |  UNION ALL SELECT r_name, walk, 1, n1 FROM s1
+       |  UNION ALL SELECT r_name, walk, 2, n2 FROM s2
+       |  UNION ALL SELECT r_name, walk, 3, n3 FROM s3))""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // Q9 degrees twin: per-node out/in/total degree over the hierarchy.
@@ -1314,50 +1370,30 @@ object ParquetGraph {
     // the cross-engine determinism of the content-addressed sampler.
     QueryDef.sql(
       "graphp_random_walks",
-      s"""WITH e AS (
-         |  SELECT src, dst,
-         |    row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS rnk,
-         |    count(*) OVER (PARTITION BY src) AS deg
-         |  FROM (
-         |    SELECT CAST(1000000000 + n_regionkey AS BIGINT) AS src,
-         |           CAST(2000000000 + n_nationkey AS BIGINT) AS dst
-         |    FROM nation
-         |    UNION ALL
-         |    SELECT CAST(2000000000 + c_nationkey AS BIGINT),
-         |           CAST(3000000000 + c_custkey AS BIGINT) FROM customer
-         |    UNION ALL
-         |    SELECT CAST(3000000000 + o_custkey AS BIGINT),
-         |           CAST(4000000000 + o_orderkey AS BIGINT) FROM orders)),
-         |r AS (SELECT CAST(1000000000 + r_regionkey AS BIGINT) AS root,
-         |             r_name, CAST(w AS BIGINT) AS walk
-         |      FROM region, (SELECT unnest(generate_series(0, 4)) AS w)),
-         |s1 AS (SELECT r.root, r.r_name, r.walk, e.dst AS n1 FROM r JOIN e
-         |  ON e.src = r.root AND e.rnk = ${graft.text.PortableHash.duck(
-          "concat(CAST(r.root AS VARCHAR), '|', CAST(r.walk AS VARCHAR)," +
-            " '|0|', CAST(r.root AS VARCHAR))")} % e.deg),
-         |s2 AS (SELECT s1.*, e.dst AS n2 FROM s1 JOIN e
-         |  ON e.src = s1.n1 AND e.rnk = ${graft.text.PortableHash.duck(
-          "concat(CAST(s1.root AS VARCHAR), '|', CAST(s1.walk AS VARCHAR)," +
-            " '|1|', CAST(s1.n1 AS VARCHAR))")} % e.deg),
-         |s3 AS (SELECT s2.*, e.dst AS n3 FROM s2 JOIN e
-         |  ON e.src = s2.n2 AND e.rnk = ${graft.text.PortableHash.duck(
-          "concat(CAST(s2.root AS VARCHAR), '|', CAST(s2.walk AS VARCHAR)," +
-            " '|2|', CAST(s2.n2 AS VARCHAR))")} % e.deg)
-         |SELECT r_name AS root_name, walk, step, node FROM (
-         |  SELECT r_name, walk, 0 AS step, root AS node FROM r
-         |  UNION ALL SELECT r_name, walk, 1, n1 FROM s1
-         |  UNION ALL SELECT r_name, walk, 2, n2 FROM s2
-         |  UNION ALL SELECT r_name, walk, 3, n3 FROM s3)
+      s"""$duckWalksSql
+         |SELECT root_name, walk, step, node FROM wk
          |ORDER BY root_name, walk, step""".stripMargin) { (s, d) =>
-      val g = hierarchy(s, d)
-      val regions = g.nodes.filter(col("label") === "Region")
-      GraphOps.randomWalks(s, g,
-          regions.select(col("id").as("root_id")), walksPerRoot = 5,
-          maxLen = 3)
-        .join(regions.select(col("id").as("root_id"),
-          col("name").as("root_name")), "root_id")
+      walkNames(s, d)
         .select(col("root_name"), col("walk"), col("step"), col("node"))
         .orderBy("root_name", "walk", "step")
+    },
+
+    // The consumer stage of the walk corpus: skip-gram (center, context)
+    // pair extraction — the training pairs DeepWalk feeds to word2vec.
+    // Every ordered same-walk pair within 2 positions, counted; the
+    // oracle self-joins the identical replayed corpus, so pair
+    // multiplicities must match exactly.
+    QueryDef.sql(
+      "graphp_walk_skipgrams",
+      s"""$duckWalksSql
+         |SELECT a.node AS center, b.node AS context,
+         |  CAST(count(*) AS BIGINT) AS n_pairs
+         |FROM wk a JOIN wk b
+         |  ON a.root_name = b.root_name AND a.walk = b.walk
+         |  AND abs(a.step - b.step) BETWEEN 1 AND 2
+         |GROUP BY 1, 2 ORDER BY center, context""".stripMargin) { (s, d) =>
+      GraphOps.skipGramPairs(walkNames(s, d), window = 2)
+        .orderBy("center", "context")
     },
 
     // Q2 expand twin: single-hop typed expansion from every nation —

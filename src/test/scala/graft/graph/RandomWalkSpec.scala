@@ -87,4 +87,22 @@ class RandomWalkSpec extends SparkSpec {
       GraphOps.randomWalks(spark, dag, roots(1L), 0, 3)
     }
   }
+
+  test("skip-gram pairs: window-2 counts on a hand-built corpus") {
+    import spark.implicits._
+    // walk 0 = [1,2,3,4]; walk 1 = [1,2] — the (1,2)/(2,1) pairs repeat
+    val walks = Seq(
+      (9L, 0L, 0, 1L), (9L, 0L, 1, 2L), (9L, 0L, 2, 3L), (9L, 0L, 3, 4L),
+      (9L, 1L, 0, 1L), (9L, 1L, 1, 2L))
+      .toDF("root_id", "walk", "step", "node")
+    val got = GraphOps.skipGramPairs(walks, window = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(got((1L, 2L)) == 2 && got((2L, 1L)) == 2, got.toString)
+    assert(got((1L, 3L)) == 1 && got((3L, 1L)) == 1, got.toString)
+    assert(got((2L, 4L)) == 1 && got((3L, 4L)) == 1, got.toString)
+    assert(!got.contains((1L, 4L)), "distance 3 exceeds the window")
+    assert(!got.contains((1L, 1L)), "zero-distance pairs are excluded")
+    assert(got.values.sum == 12, got.toString) // 10 from walk 0, 2 from walk 1
+  }
 }
