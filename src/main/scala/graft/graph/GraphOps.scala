@@ -407,10 +407,21 @@ object GraphOps {
         math.max(1, math.min(target,
           g.edges.sparkSession.sparkContext.defaultParallelism))
       }
-    val vertices = g.nodes.rdd
-      .map(n => (n.id: VertexId, s"${n.label}:${n.name}"))
+    // prune to the consumed columns BEFORE leaving Catalyst: the typed
+    // rows carry a props map / path array the GraphX view never reads,
+    // and .rdd on the full row would deserialize them for every element
+    val ss = g.edges.sparkSession
+    import ss.implicits._
+    val vertices = g.nodes.toDF()
+      .select(col("id"),
+        concat(col("label"), lit(":"), col("name")).as("attr"))
+      .as[(Long, String)].rdd
+      .map { case (id, attr) => (id: VertexId, attr) }
       .coalesce(p)
-    val edgesRdd = g.edges.rdd.map(e => Edge(e.src, e.dst, e.relType))
+    val edgesRdd = g.edges.toDF().select(col("src"), col("dst"),
+        col("relType"))
+      .as[(Long, Long, String)].rdd
+      .map { case (s, d, r) => Edge(s, d, r) }
     Graph(vertices, edgesRdd.coalesce(p))
   }
 
@@ -1284,6 +1295,46 @@ object GraphOps {
     a.join(b, Seq("root_id", "walk"))
       .filter(abs(col("step_a") - col("step_b")).between(1, window))
       .groupBy("center", "context").agg(count(lit(1)).as("n_pairs"))
+  }
+
+  /** Deterministic negative sampling — the third stage of the word2vec
+    * training-set pipeline (walks → skip-gram pairs → `k` negatives per
+    * pair): negative `j` for pair (c, x) is corpus occurrence number
+    * `H(c|x|j) mod |corpus|`, i.e. drawn from the walk corpus's UNIGRAM
+    * occurrence distribution (sampling positions ∝ occurrence count is
+    * exactly unigram sampling, with no weight table to build; the ^0.75
+    * flattening is a production knob applied by re-weighting the corpus
+    * relation). Content-addressed like the walk steps, so the draw is
+    * replay-identical anywhere. A drawn negative may coincide with the
+    * pair's own context — word2vec discards those at training time;
+    * keeping them preserves draw-position determinism.
+    *
+    * Scale shape: the draw is one equi-join on the occurrence index. The
+    * index here is a single total-order window — the clear spelling at
+    * test scale; production swaps in a two-pass partition-offset rank
+    * (the o5b/o8 sampling discipline) without changing draw semantics.
+    * The corpus size rides in as a broadcast 1-row aggregate, not a
+    * driver action.
+    */
+  def negativeSamples(walks: DataFrame, pairs: DataFrame, k: Int = 2)
+      : DataFrame = {
+    require(k > 0, s"k must be > 0: $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy("root_id", "walk", "step")
+    val corpus = walks
+      .select(col("root_id"), col("walk"), col("step"), col("node"))
+      .withColumn("pos", row_number().over(w).cast("long") - 1)
+      .select(col("pos"), col("node").as("negative"))
+    val tot = corpus.agg(count(lit(1)).as("n_occ"))
+    val drawn = pairs.select("center", "context").distinct()
+      .crossJoin(broadcast(tot))
+      .select(col("center"), col("context"),
+        explode(expr(s"sequence(0, ${k - 1})")).as("j"), col("n_occ"))
+      .select(col("center"), col("context"), col("j"),
+        pmod(graft.text.PortableHash.spark(concat_ws("|", col("center"),
+          col("context"), col("j"))), col("n_occ")).as("pos"))
+    drawn.join(corpus, "pos")
+      .select(col("center"), col("context"), col("j"), col("negative"))
   }
 
   /** k-core of the undirected view of the edges: the maximal subgraph in

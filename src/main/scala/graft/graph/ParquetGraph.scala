@@ -333,11 +333,12 @@ object ParquetGraph {
        |s3 AS (SELECT s2.*, e.dst AS n3 FROM s2 JOIN e
        |  ON e.src = s2.n2
        |  AND e.rnk = ${pick("s2.root", "s2.walk", 2, "s2.n2")} % e.deg),
-       |wk AS (SELECT root_name, walk, step, node FROM (
-       |  SELECT r_name AS root_name, walk, 0 AS step, root AS node FROM r
-       |  UNION ALL SELECT r_name, walk, 1, n1 FROM s1
-       |  UNION ALL SELECT r_name, walk, 2, n2 FROM s2
-       |  UNION ALL SELECT r_name, walk, 3, n3 FROM s3))""".stripMargin
+       |wk AS (SELECT root, root_name, walk, step, node FROM (
+       |  SELECT root, r_name AS root_name, walk, 0 AS step, root AS node
+       |  FROM r
+       |  UNION ALL SELECT root, r_name, walk, 1, n1 FROM s1
+       |  UNION ALL SELECT root, r_name, walk, 2, n2 FROM s2
+       |  UNION ALL SELECT root, r_name, walk, 3, n3 FROM s3))""".stripMargin
   }
 
   val defs: Seq[QueryDef] = Seq(
@@ -1394,6 +1395,40 @@ object ParquetGraph {
          |GROUP BY 1, 2 ORDER BY center, context""".stripMargin) { (s, d) =>
       GraphOps.skipGramPairs(walkNames(s, d), window = 2)
         .orderBy("center", "context")
+    },
+
+    // Stage 3 of the embedding training-set pipeline: 2 deterministic
+    // negatives per skip-gram pair, drawn from the corpus's unigram
+    // occurrence distribution by hashing into the occurrence index.
+    // The oracle replays corpus, pairs, and draws identically — every
+    // sampled negative id must match, making the whole
+    // walks→pairs→negatives chain oracle-exact end to end.
+    QueryDef.sql(
+      "graphp_walk_negatives",
+      s"""$duckWalksSql,
+         |pairs AS (
+         |  SELECT DISTINCT a.node AS center, b.node AS context
+         |  FROM wk a JOIN wk b
+         |    ON a.root = b.root AND a.walk = b.walk
+         |    AND abs(a.step - b.step) BETWEEN 1 AND 2),
+         |corpus AS (SELECT node,
+         |    row_number() OVER (ORDER BY root, walk, step) - 1 AS pos
+         |  FROM wk),
+         |tot AS (SELECT count(*) AS n_occ FROM corpus),
+         |drawn AS (
+         |  SELECT p.center, p.context, j, ${graft.text.PortableHash.duck(
+          "concat(CAST(p.center AS VARCHAR), '|'," +
+            " CAST(p.context AS VARCHAR), '|', CAST(j AS VARCHAR))")}
+         |    % tot.n_occ AS pos
+         |  FROM pairs p CROSS JOIN tot,
+         |    (SELECT unnest(generate_series(0, 1)) AS j))
+         |SELECT d.center, d.context, d.j, c.node AS negative
+         |FROM drawn d JOIN corpus c USING (pos)
+         |ORDER BY center, context, j""".stripMargin) { (s, d) =>
+      val walks = walkNames(s, d).localCheckpoint() // corpus + pair consumer
+      GraphOps.negativeSamples(walks,
+          GraphOps.skipGramPairs(walks, window = 2), k = 2)
+        .orderBy("center", "context", "j")
     },
 
     // Q2 expand twin: single-hop typed expansion from every nation —

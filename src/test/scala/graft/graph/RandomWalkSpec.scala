@@ -105,4 +105,27 @@ class RandomWalkSpec extends SparkSpec {
     assert(!got.contains((1L, 1L)), "zero-distance pairs are excluded")
     assert(got.values.sum == 12, got.toString) // 10 from walk 0, 2 from walk 1
   }
+
+  test("negative samples: k draws per pair, always corpus members, " +
+      "replay-identical") {
+    import spark.implicits._
+    val walks = Seq(
+      (9L, 0L, 0, 1L), (9L, 0L, 1, 2L), (9L, 0L, 2, 3L), (9L, 0L, 3, 4L),
+      (9L, 1L, 0, 5L), (9L, 1L, 1, 6L))
+      .toDF("root_id", "walk", "step", "node")
+    val pairs = GraphOps.skipGramPairs(walks, window = 2)
+    def draw() = GraphOps.negativeSamples(walks, pairs, k = 3)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+      .sorted.toSeq
+    val got = draw()
+    val nPairs = pairs.count()
+    assert(got.length == nPairs * 3, s"${got.length} vs $nPairs pairs * 3")
+    val corpus = Set(1L, 2L, 3L, 4L, 5L, 6L)
+    assert(got.forall(t => corpus.contains(t._4)),
+      "negatives must be corpus occurrences")
+    got.groupBy(t => (t._1, t._2)).values.foreach(ds =>
+      assert(ds.map(_._3).sorted.toSeq == Seq(0, 1, 2), ds.toString))
+    assert(got == draw(), "content-addressed draws must replay identically")
+  }
 }
