@@ -1337,6 +1337,49 @@ object GraphOps {
       .select(col("center"), col("context"), col("j"), col("negative"))
   }
 
+  /** Layer-wise neighborhood sampling — the GNN minibatch sampler
+    * (GraphSAGE, Hamilton et al. NeurIPS 2017): from a seed set, layer
+    * `l` keeps at most `fanouts(l-1)` out-neighbors of every frontier
+    * node, and the kept neighbors become layer `l+1`'s frontier. The
+    * choice is a deterministic hash RANKING — neighbor order
+    * `H(layer|src|dst)` with dst as the tiebreak — so the sampled
+    * computation graph is replay-identical anywhere (same
+    * content-addressed discipline as [[randomWalks]]); including the
+    * layer in the hash decorrelates the layers' samples.
+    *
+    * Scale shape: one frontier ⋈ edges equi-join plus one per-src top-k
+    * window per layer — fanout caps bound the frontier at
+    * |seeds|·Πfanouts regardless of hub degrees, which is the entire
+    * point of sampled GNN training.
+    *
+    * Returns the sampled computation graph as (layer, src, dst) rows,
+    * layer 1 adjacent to the seeds.
+    */
+  def sampleNeighborhood(spark: SparkSession, g: GraphTables,
+      seeds: DataFrame, fanouts: Seq[Int]): DataFrame = {
+    require(fanouts.nonEmpty && fanouts.forall(_ > 0),
+      s"fanouts must be non-empty positives: $fanouts")
+    val edges = g.edges.toDF().select(col("src"), col("dst")).distinct()
+      .localCheckpoint() // one consumer per layer
+    var frontier = seeds.select(col("id")).distinct()
+    var out = Option.empty[DataFrame]
+    for ((k, i) <- fanouts.zipWithIndex) {
+      val layer = i + 1
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("src").orderBy(col("hrank"), col("dst"))
+      val sampled = frontier.join(edges, frontier("id") === edges("src"))
+        .select(col("src"), col("dst"))
+        .withColumn("hrank", graft.text.PortableHash.spark(concat_ws("|",
+          lit(layer), col("src"), col("dst"))))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k)
+        .select(lit(layer).as("layer"), col("src"), col("dst"))
+      out = Some(out.fold(sampled)(_.unionByName(sampled)))
+      frontier = sampled.select(col("dst").as("id")).distinct()
+    }
+    out.get
+  }
+
   /** k-core of the undirected view of the edges: the maximal subgraph in
     * which every node has degree ≥ k (Q9 analytics breadth — the standard
     * "dense enough to matter" community filter). Iterative peeling as a

@@ -1431,6 +1431,46 @@ object ParquetGraph {
         .orderBy("center", "context", "j")
     },
 
+    // GNN minibatch sampling (GraphSAGE): the 2-layer sampled computation
+    // graph from the region seeds — ≤3 nations per region, then ≤2
+    // customers per sampled nation, each layer a hash-ranked top-k per
+    // source. The oracle replays the identical ranking, so the sampled
+    // edge set must match exactly at every layer.
+    QueryDef.sql(
+      "graphp_sage_sample",
+      s"""WITH ed AS (
+         |    SELECT CAST(1000000000 + n_regionkey AS BIGINT) AS src,
+         |           CAST(2000000000 + n_nationkey AS BIGINT) AS dst
+         |    FROM nation
+         |    UNION ALL
+         |    SELECT CAST(2000000000 + c_nationkey AS BIGINT),
+         |           CAST(3000000000 + c_custkey AS BIGINT) FROM customer
+         |    UNION ALL
+         |    SELECT CAST(3000000000 + o_custkey AS BIGINT),
+         |           CAST(4000000000 + o_orderkey AS BIGINT) FROM orders),
+         |l1 AS (SELECT 1 AS layer, src, dst FROM (
+         |  SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY
+         |      ${graft.text.PortableHash.duck("concat('1|', " +
+          "CAST(src AS VARCHAR), '|', CAST(dst AS VARCHAR))")}, dst) AS rn
+         |  FROM ed WHERE src IN (
+         |    SELECT CAST(1000000000 + r_regionkey AS BIGINT) FROM region))
+         |  WHERE rn <= 3),
+         |l2 AS (SELECT 2 AS layer, src, dst FROM (
+         |  SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY
+         |      ${graft.text.PortableHash.duck("concat('2|', " +
+          "CAST(src AS VARCHAR), '|', CAST(dst AS VARCHAR))")}, dst) AS rn
+         |  FROM ed WHERE src IN (SELECT DISTINCT dst FROM l1))
+         |  WHERE rn <= 2)
+         |SELECT layer, src, dst
+         |FROM (SELECT * FROM l1 UNION ALL SELECT * FROM l2)
+         |ORDER BY layer, src, dst""".stripMargin) { (s, d) =>
+      val g = hierarchy(s, d)
+      GraphOps.sampleNeighborhood(s, g,
+          g.nodes.filter(col("label") === "Region").select("id"),
+          fanouts = Seq(3, 2))
+        .orderBy("layer", "src", "dst")
+    },
+
     // Q2 expand twin: single-hop typed expansion from every nation —
     // per-nation out-neighbor count along HAS_CUSTOMER.
     QueryDef.sql(

@@ -128,4 +128,43 @@ class RandomWalkSpec extends SparkSpec {
       assert(ds.map(_._3).sorted.toSeq == Seq(0, 1, 2), ds.toString))
     assert(got == draw(), "content-addressed draws must replay identically")
   }
+
+  test("GraphSAGE sampling: fanout caps per layer, frontier follows only " +
+      "sampled nodes, small degrees kept whole") {
+    // 1 → {10..14} (deg 5, cap 2); each 1x → {100·1x + 0..2} (deg 3,
+    // cap 2); 2 → {20} (deg 1 < cap)
+    val edges = (10L to 14L).map(1L -> _) ++
+      (10L to 14L).flatMap(x => (0L to 2L).map(i => x -> (100 * x + i))) :+
+      (2L -> 20L)
+    val g = mkGraph(edges)
+    val got = GraphOps.sampleNeighborhood(spark, g, roots(1L, 2L).toDF()
+        .withColumnRenamed("root_id", "id"), Seq(2, 2))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    val l1 = got.filter(_._1 == 1)
+    val l2 = got.filter(_._1 == 2)
+    // layer 1: exactly 2 of node 1's five neighbors; node 2's single
+    // neighbor survives whole
+    assert(l1.count(_._2 == 1L) == 2, l1.toString)
+    assert(l1.filter(_._2 == 2L).map(_._3) == Seq(20L), l1.toString)
+    // layer 2 expands ONLY the sampled layer-1 dsts (20 is a sink)
+    val sampledDsts = l1.filter(_._2 == 1L).map(_._3).toSet
+    assert(l2.map(_._2).toSet == sampledDsts, s"$sampledDsts vs $l2")
+    assert(l2.groupBy(_._2).values.forall(_.size == 2), l2.toString)
+    // replay-identical
+    val again = GraphOps.sampleNeighborhood(spark, g, roots(1L, 2L).toDF()
+        .withColumnRenamed("root_id", "id"), Seq(2, 2))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got.sorted == again.sorted)
+  }
+
+  test("GraphSAGE sampling rejects empty or non-positive fanouts") {
+    intercept[IllegalArgumentException] {
+      GraphOps.sampleNeighborhood(spark, dag,
+        roots(1L).withColumnRenamed("root_id", "id"), Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      GraphOps.sampleNeighborhood(spark, dag,
+        roots(1L).withColumnRenamed("root_id", "id"), Seq(2, 0))
+    }
+  }
 }
