@@ -83,9 +83,13 @@ class ScaleCurveSpec extends SparkSpec {
   // l43 (round 8): the pair fan-out runs over the DISTINCT-word census,
   // which the salted copies grow linearly — the curve confirms the
   // dedup-before-expand shape holds
+  // l56 (round 11): dup windows live WITHIN the salted copies, so the
+  // coverage relation (8 positions per dup window) and the doc_id-keyed
+  // text join both grow linearly — the curve confirms the rewrite stays
+  // as scalable as the l30 signal it extends
   for (q <- Seq("l2_minhash_lsh", "l2c_ngram_jaccard", "l30_dup_spans",
       "l34_verified_neardup", "l38_lm_perplexity", "l40_slice_drift",
-      "l43_bpe_pair_merge")) {
+      "l43_bpe_pair_merge", "l56_dup_span_removal")) {
     test(s"$q wall-time grows ~linearly from 1x to 10x corpus") {
       val run = SparkEntry.queries(q)
       run(spark, dir1x).count() // warm-up: JIT + codegen + footer caches
@@ -171,6 +175,48 @@ class ScaleCurveSpec extends SparkSpec {
     val t1 = timedMin2(GraphOps.kCore(spark, g1, 2).count())
     val t10 = timedMin2(GraphOps.kCore(spark, g10, 2).count())
     assertLinear("kCore(hub)", t1, t10)
+  }
+
+  test("randomWalks + sampleNeighborhood wall-time grows ~linearly on a " +
+      "10x hub graph with 10x roots") {
+    // the samplers' scale claims: adjacency ranking is one window over
+    // the edges (linear), each walk step / SAGE layer is an equi-join
+    // whose frontier scales with ROOTS, not degree — so a 10x graph with
+    // 10x roots must cost ~10x. The hub (node 0, 40k·mult out-edges) is
+    // in the root set both times: a hub root costs the same as a leaf
+    // root or the claim is false.
+    def samplerGraph(mult: Int): GraphTables = {
+      import spark.implicits._
+      val hubEdges = 40000L * mult
+      val bgEdges = 180000L * mult
+      val hub = spark.range(1L, hubEdges + 1L)
+        .select(lit(0L).as("src"), col("id").as("dst"))
+      val bg = spark.range(bgEdges).select(
+        (lit(1L) + pmod(hash(col("id")), lit(10000 * mult)).cast("long"))
+          .as("src"),
+        (lit(hubEdges + 1L) +
+          pmod(hash(col("id") * 7L), lit(20000 * mult)).cast("long"))
+          .as("dst"))
+      val edges = hub.unionByName(bg)
+        .select(col("src"), col("dst"), lit("HAS_CHILD").as("relType"),
+          lit("s").as("docnbr"), lit("b0").as("batch"),
+          typedLit(Map.empty[String, String]).as("props"))
+        .as[EdgeRow]
+      GraphTables(spark.emptyDataset[NodeRow], edges)
+    }
+    def roots(mult: Int) = spark.range(0L, 1000L * mult + 1L)
+      .select(col("id").as("root_id")) // 0 = the hub, 1.. = bg sources
+    val g1 = samplerGraph(1)
+    val g10 = samplerGraph(10)
+    def runBoth(g: GraphTables, mult: Int): Unit = {
+      GraphOps.randomWalks(spark, g, roots(mult), 2, 3).count()
+      GraphOps.sampleNeighborhood(spark, g,
+        roots(mult).withColumnRenamed("root_id", "id"), Seq(3, 2)).count()
+    }
+    runBoth(g1, 1) // warm-up
+    val t1 = timedMin2(runBoth(g1, 1))
+    val t10 = timedMin2(runBoth(g10, 10))
+    assertLinear("samplers(hub)", t1, t10)
   }
 
   test("betweenness wall-time grows ~linearly: 10x cycle components, " +
