@@ -1337,6 +1337,86 @@ object GraphOps {
       .select(col("center"), col("context"), col("j"), col("negative"))
   }
 
+  /** Second-order (node2vec) biased walks — [[randomWalks]] with the
+    * Grover-Leskovec transition bias (KDD 2016): the step out of `cur`
+    * arriving from `prev` weights each candidate neighbor `x` by
+    *   `wReturn` if x = prev (node2vec's 1/p),
+    *   `wCommon` if prev→x is an edge (distance 1; the 1-weight class),
+    *   `wFar`    otherwise (1/q),
+    * with INTEGER weights so the cumulative intervals are exact — p =
+    * wCommon/wReturn, q = wCommon/wFar. The pick is content-addressed
+    * like [[randomWalks]]: `H(root|walk|pos|cur) mod Σw` lands in a
+    * candidate's cumulative interval (dst order), so the corpus is
+    * replay-identical anywhere. The first transition has no `prev` and
+    * is the uniform rank pick (node2vec's own first step).
+    *
+    * Scale shape: the biased step is inherently O(outdeg(cur)) per walk
+    * position — the weights need normalizing, which is exactly why
+    * node2vec implementations precompute alias tables; here the
+    * candidate relation (one equi-join), its per-walk window cumsum, and
+    * the prev-adjacency membership join are all keyed/partitioned on the
+    * walk identity, so the work is Σ outdeg over visited nodes — linear
+    * in walk count, never in graph size.
+    */
+  def biasedWalks(spark: SparkSession, g: GraphTables, roots: DataFrame,
+      walksPerRoot: Int, maxLen: Int, wReturn: Int = 1, wCommon: Int = 4,
+      wFar: Int = 2): DataFrame = {
+    require(walksPerRoot > 0, s"walksPerRoot must be > 0: $walksPerRoot")
+    require(maxLen >= 1, s"maxLen must be >= 1: $maxLen")
+    require(wReturn > 0 && wCommon > 0 && wFar > 0,
+      s"weights must be positive: $wReturn/$wCommon/$wFar")
+    val W = org.apache.spark.sql.expressions.Window
+    val adj = g.edges.toDF().select(col("src"), col("dst")).distinct()
+      .localCheckpoint() // consumers: rank, degree, candidates, membership
+    val ranked = adj.select(col("src"), col("dst"),
+      (row_number().over(W.partitionBy("src").orderBy("dst")) - 1)
+        .cast("long").as("rnk"))
+    val deg = adj.groupBy("src").agg(count(lit(1)).as("deg"))
+    val start = roots.select(col("root_id"))
+      .crossJoin(spark.range(walksPerRoot).select(col("id").as("walk")))
+    var out = start.select(col("root_id"), col("walk"), lit(0).as("step"),
+      col("root_id").as("node"))
+    var frontier = start
+      .select(col("root_id"), col("walk"), col("root_id").as("cur"))
+      .join(deg.withColumnRenamed("src", "cur"), "cur")
+      .withColumn("pick", pmod(graft.text.PortableHash.spark(concat_ws("|",
+        col("root_id"), col("walk"), lit(0), col("cur"))), col("deg")))
+      .join(ranked, col("cur") === ranked("src") &&
+        col("pick") === ranked("rnk"))
+      .select(col("root_id"), col("walk"), col("cur").as("prev"),
+        col("dst").as("cur"))
+    out = out.unionByName(frontier.select(col("root_id"), col("walk"),
+      lit(1).as("step"), col("cur").as("node")))
+    for (stepN <- 2 to maxLen) {
+      // both relations derive from `adj`; renamed projections + string
+      // column refs keep the double use out of the ambiguous-self-join
+      // detector (the repo-wide renamed-column self-join pattern)
+      val cn = adj.select(col("src").as("cur"), col("dst"))
+      val pe = adj.select(col("src").as("p_src"), col("dst").as("p_dst"),
+        lit(1).as("is_common"))
+      val ordered = W.partitionBy("root_id", "walk").orderBy("dst")
+      val whole = W.partitionBy("root_id", "walk")
+      val cand = frontier.join(cn, "cur")
+        .join(pe, col("prev") === col("p_src") &&
+          col("dst") === col("p_dst"), "left_outer")
+        .withColumn("wt",
+          when(col("dst") === col("prev"), lit(wReturn.toLong))
+            .when(col("is_common").isNotNull, lit(wCommon.toLong))
+            .otherwise(lit(wFar.toLong)))
+        .withColumn("cum", sum("wt").over(ordered))
+        .withColumn("tot", sum("wt").over(whole))
+        .withColumn("r", pmod(graft.text.PortableHash.spark(concat_ws("|",
+          col("root_id"), col("walk"), lit(stepN - 1), col("cur"))),
+          col("tot")))
+        .filter(col("r") >= col("cum") - col("wt") && col("r") < col("cum"))
+      frontier = cand.select(col("root_id"), col("walk"),
+        col("cur").as("prev"), col("dst").as("cur"))
+      out = out.unionByName(frontier.select(col("root_id"), col("walk"),
+        lit(stepN).as("step"), col("cur").as("node")))
+    }
+    out
+  }
+
   /** Layer-wise neighborhood sampling — the GNN minibatch sampler
     * (GraphSAGE, Hamilton et al. NeurIPS 2017): from a seed set, layer
     * `l` keeps at most `fanouts(l-1)` out-neighbors of every frontier

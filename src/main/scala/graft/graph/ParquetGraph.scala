@@ -341,6 +341,37 @@ object ParquetGraph {
        |  UNION ALL SELECT root, r_name, walk, 3, n3 FROM s3))""".stripMargin
   }
 
+  /** The hash-indexed pick expression both walk-oracle families share:
+    * `H(root|walk|pos|cur)` over VARCHAR-cast operands.
+    */
+  private def duckWalkPick(rootE: String, walkE: String, pos: Int,
+      curE: String): String =
+    graft.text.PortableHash.duck(
+      s"concat(CAST($rootE AS VARCHAR), '|', CAST($walkE AS VARCHAR)," +
+        s" '|$pos|', CAST($curE AS VARCHAR))")
+
+  /** One node2vec transition in DuckDB: candidates = out-neighbors of
+    * `cur`, weighted 1 (return to prev) / 4 (prev-adjacent) / 2 (far),
+    * picked by `H mod Σw` landing in the dst-ordered cumulative interval
+    * — the exact mirror of [[GraphOps.biasedWalks]]'s step. Expects CTEs
+    * `ed(src, dst)` and a previous stage exposing (root, walk, prev, cur).
+    */
+  private def duckBiasedStep(prevCte: String, pos: Int): String =
+    s"""(SELECT root, walk, cur AS prev, dst AS cur FROM (
+       |  SELECT root, walk, prev, cur, dst, wt,
+       |    sum(wt) OVER (PARTITION BY root, walk ORDER BY dst) AS cum,
+       |    sum(wt) OVER (PARTITION BY root, walk) AS tot
+       |  FROM (
+       |    SELECT s.root, s.walk, s.prev, s.cur, ed.dst,
+       |      CASE WHEN ed.dst = s.prev THEN 1
+       |           WHEN pe.src IS NOT NULL THEN 4 ELSE 2 END AS wt
+       |    FROM $prevCte s JOIN ed ON ed.src = s.cur
+       |    LEFT JOIN ed pe ON pe.src = s.prev AND pe.dst = ed.dst))
+       |  WHERE ${duckWalkPick("root", "walk", pos, "cur")} % tot
+       |      >= cum - wt
+       |    AND ${duckWalkPick("root", "walk", pos, "cur")} % tot < cum)"""
+      .stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // Q9 degrees twin: per-node out/in/total degree over the hierarchy.
@@ -1429,6 +1460,66 @@ object ParquetGraph {
       GraphOps.negativeSamples(walks,
           GraphOps.skipGramPairs(walks, window = 2), k = 2)
         .orderBy("center", "context", "j")
+    },
+
+    // Second-order biased walks (node2vec): 4 walks × 3 steps from each
+    // region's lowest-keyed nation over a BIDIRECTIONAL top-3 clique —
+    // the fixture where the bias genuinely acts: every post-first step
+    // chooses between returning to prev (weight 1) and the triangle-
+    // closing common neighbor (weight 4). The oracle replays the
+    // cumulative-interval pick exactly; at these weights ~1/5 of steps
+    // backtrack, and the sampled rate is part of the graded rows.
+    QueryDef.sql(
+      "graphp_node2vec_walks",
+      s"""WITH t3 AS (SELECT rk, id, rn FROM (
+         |    SELECT n_regionkey AS rk,
+         |      CAST(2000000000 + n_nationkey AS BIGINT) AS id,
+         |      row_number() OVER (PARTITION BY n_regionkey
+         |        ORDER BY n_nationkey) AS rn
+         |    FROM nation) WHERE rn <= 3),
+         |ed AS (SELECT a.id AS src, b.id AS dst FROM t3 a JOIN t3 b
+         |  ON a.rk = b.rk AND a.id <> b.id),
+         |dg AS (SELECT src, count(*) AS deg FROM ed GROUP BY src),
+         |rkd AS (SELECT src, dst,
+         |    row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS rnk
+         |  FROM ed),
+         |r0 AS (SELECT id AS root, CAST(w AS BIGINT) AS walk FROM t3,
+         |  (SELECT unnest(generate_series(0, 3)) AS w) WHERE rn = 1),
+         |s1 AS (SELECT r0.root, r0.walk, r0.root AS prev, rkd.dst AS cur
+         |  FROM r0 JOIN dg ON dg.src = r0.root
+         |  JOIN rkd ON rkd.src = r0.root
+         |  AND rkd.rnk = ${duckWalkPick("r0.root", "r0.walk", 0,
+          "r0.root")} % dg.deg),
+         |s2 AS ${duckBiasedStep("s1", 1)},
+         |s3 AS ${duckBiasedStep("s2", 2)}
+         |SELECT root, walk, step, node FROM (
+         |  SELECT root, walk, 0 AS step, root AS node FROM r0
+         |  UNION ALL SELECT root, walk, 1, cur FROM s1
+         |  UNION ALL SELECT root, walk, 2, cur FROM s2
+         |  UNION ALL SELECT root, walk, 3, cur FROM s3)
+         |ORDER BY root, walk, step""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val nation = Tables.nation(s, d)
+      val w = Window.partitionBy("n_regionkey").orderBy("n_nationkey")
+      val t3 = nation.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("n_regionkey").as("rk"),
+          (col("n_nationkey") + NationBase).cast("long").as("id"),
+          col("rn"))
+        .localCheckpoint() // three consumers: 2 edge sides + the roots
+      val a = t3.select(col("rk"), col("id").as("src"))
+      val b = t3.select(col("rk"), col("id").as("dst"))
+      val edges = a.join(b, Seq("rk")).filter(col("src") =!= col("dst"))
+        .select(col("src"), col("dst"), lit("CLIQUE").as("relType"),
+          lit("").as("docnbr"), lit("base").as("batch"),
+          typedLit(Map.empty[String, String]).as("props")).as[EdgeRow]
+      val g = GraphTables(s.emptyDataset[NodeRow], edges)
+      val roots = t3.filter(col("rn") === 1).select(col("id").as("root_id"))
+      GraphOps.biasedWalks(s, g, roots, walksPerRoot = 4, maxLen = 3,
+          wReturn = 1, wCommon = 4, wFar = 2)
+        .select(col("root_id").as("root"), col("walk"), col("step"),
+          col("node"))
+        .orderBy("root", "walk", "step")
     },
 
     // GNN minibatch sampling (GraphSAGE): the 2-layer sampled computation

@@ -157,6 +157,42 @@ class RandomWalkSpec extends SparkSpec {
     assert(got.sorted == again.sorted)
   }
 
+  test("node2vec bias classes steer the walk: common-neighbor weight " +
+      "closes triangles, return weight backtracks, far weight explores") {
+    // bidirectional triangle 1-2-3: after the first step every candidate
+    // is either the return node or a prev-adjacent (common) node
+    val tri = mkGraph(Seq(1L -> 2L, 2L -> 1L, 2L -> 3L, 3L -> 2L,
+      3L -> 1L, 1L -> 3L))
+    def steps(g: GraphTables, wr: Int, wc: Int, wf: Int, len: Int = 3) =
+      GraphOps.biasedWalks(spark, g, roots(1L), walksPerRoot = 6,
+          maxLen = len, wReturn = wr, wCommon = wc, wFar = wf)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)),
+          (r.getInt(2), r.getLong(3)))).toSeq
+        .groupBy(_._1).values.map(_.map(_._2).sortBy(_._1).map(_._2))
+    // overwhelming common weight: no walk ever immediately backtracks
+    steps(tri, 1, 1000000, 1).foreach { path =>
+      path.sliding(3).foreach {
+        case Seq(a, _, c) => assert(a != c, s"backtracked: $path")
+        case _ => ()
+      }
+    }
+    // overwhelming return weight: every walk oscillates root-x-root-x
+    steps(tri, 1000000, 1, 1).foreach { path =>
+      assert(path(0) == 1L && path(2) == 1L && path(1) == path(3),
+        s"expected oscillation, got $path")
+    }
+    // far class on a bidirectional line 1-2-3-4 (no triangles): from 2
+    // with prev=1 the candidates are 1 (return) and 3 (far); an
+    // overwhelming far weight walks straight down the line
+    val line = mkGraph(Seq(1L -> 2L, 2L -> 1L, 2L -> 3L, 3L -> 2L,
+      3L -> 4L, 4L -> 3L))
+    steps(line, 1, 1, 1000000).foreach { path =>
+      assert(path == Seq(1L, 2L, 3L, 4L), s"expected straight, got $path")
+    }
+    // determinism
+    assert(steps(tri, 1, 4, 2).toSet == steps(tri, 1, 4, 2).toSet)
+  }
+
   test("GraphSAGE sampling rejects empty or non-positive fanouts") {
     intercept[IllegalArgumentException] {
       GraphOps.sampleNeighborhood(spark, dag,
