@@ -1163,13 +1163,23 @@ object GraphOps {
       rootIds: Set[Long], weight: Column, maxIterations: Int = 30)
       : DataFrame = {
     import spark.implicits._
+    // materialize the (possibly derived) edge relation ONCE — Pregel's
+    // per-superstep scans must not replay an upstream upsert/join plan —
+    // and size partitions by the buildGraphX policy (~1M edges each):
+    // a small graph on the session's full shuffle width pays per-task
+    // overhead × iterations for nothing
+    val eDf = g.edges.toDF()
+      .select(col("src"), col("dst"), weight.cast("double").as("w"))
+      .localCheckpoint()
+    val p = math.max(1, math.min((eDf.count() / 1000000L + 1).toInt,
+      spark.sparkContext.defaultParallelism))
     val verts = g.nodes.toDF().select(col("id")).as[Long].rdd
       .map(id => (id: VertexId,
         if (rootIds.contains(id)) 0.0 else Double.PositiveInfinity))
-    val edges = g.edges.toDF()
-      .select(col("src"), col("dst"), weight.cast("double").as("w"))
-      .as[(Long, Long, Double)].rdd
+      .coalesce(p)
+    val edges = eDf.as[(Long, Long, Double)].rdd
       .map { case (s0, d0, w0) => Edge(s0, d0, w0) }
+      .coalesce(p)
     val res = Graph(verts, edges).pregel(
       Double.PositiveInfinity, maxIterations)(
       (_, attr, msg) => math.min(attr, msg),
