@@ -347,6 +347,46 @@ class ScaleCurveSpec extends SparkSpec {
     assertLinear("kCore(hub 10x→100x)", t10, t100, MaxRatio100Graph)
   }
 
+  test("randomWalks + sampleNeighborhood wall-time stays ~linear from " +
+      "10x to 100x hub graph with 10x-100x roots") {
+    // third-decade point for the sampler family: at mult 100 the hub
+    // carries 4M out-edges (the adjacency rank window and the SAGE
+    // top-k window must stay one pass over it) and the walk/seed count
+    // scales with the graph — ~2.2M edges vs ~22M, 10k vs 100k roots.
+    def samplerGraph(mult: Int): GraphTables = {
+      import spark.implicits._
+      val hubEdges = 40000L * mult
+      val bgEdges = 180000L * mult
+      val hub = spark.range(1L, hubEdges + 1L)
+        .select(lit(0L).as("src"), col("id").as("dst"))
+      val bg = spark.range(bgEdges).select(
+        (lit(1L) + pmod(hash(col("id")), lit(10000 * mult)).cast("long"))
+          .as("src"),
+        (lit(hubEdges + 1L) +
+          pmod(hash(col("id") * 7L), lit(20000 * mult)).cast("long"))
+          .as("dst"))
+      val edges = hub.unionByName(bg)
+        .select(col("src"), col("dst"), lit("HAS_CHILD").as("relType"),
+          lit("s").as("docnbr"), lit("b0").as("batch"),
+          typedLit(Map.empty[String, String]).as("props"))
+        .as[EdgeRow]
+      GraphTables(spark.emptyDataset[NodeRow], edges)
+    }
+    def roots(mult: Int) = spark.range(0L, 1000L * mult + 1L)
+      .select(col("id").as("root_id"))
+    def runBoth(g: GraphTables, mult: Int): Unit = {
+      GraphOps.randomWalks(spark, g, roots(mult), 2, 3).count()
+      GraphOps.sampleNeighborhood(spark, g,
+        roots(mult).withColumnRenamed("root_id", "id"), Seq(3, 2)).count()
+    }
+    val g10 = samplerGraph(10)
+    val g100 = samplerGraph(100)
+    runBoth(g10, 10) // warm-up
+    val t10 = timedMin2(runBoth(g10, 10))
+    val t100 = timed(runBoth(g100, 100))
+    assertLinear("samplers(hub 10x→100x)", t10, t100, MaxRatio100Graph)
+  }
+
   test("clusteringCoefficient wall-time stays ~linear from 10x to 100x") {
     // same third-decade discipline for the single-pass wedge kernel:
     // triangles, star leaves and background all ×100 (≈19M edges), total
