@@ -1427,6 +1427,61 @@ object GraphOps {
     out
   }
 
+  /** Edge-property-weighted walks — [[randomWalks]] where the transition
+    * probability is proportional to an INTEGER weight read from
+    * `EdgeRow.props` (the same property surface the Cypher write path
+    * sets): candidate `x` of `cur` gets interval width
+    * `try_cast(props[weightProp])` when that is a positive integer, else
+    * `default`, and the pick is `H(root|walk|pos|cur) mod Σw` into the
+    * dst-ordered cumulative intervals — the [[biasedWalks]] machinery
+    * with data-carried weights instead of second-order classes. Parallel
+    * edges between a pair SUM their weights (transition mass adds).
+    * All-default graphs degenerate to exactly [[randomWalks]]'s uniform
+    * pick (unit intervals in dst order ≡ the rank index).
+    *
+    * Scale shape: identical to [[biasedWalks]] minus the membership join
+    * — one candidate equi-join and one per-walk window cumsum per step,
+    * work = Σ outdeg over visited nodes.
+    */
+  def weightedWalks(spark: SparkSession, g: GraphTables, roots: DataFrame,
+      walksPerRoot: Int, maxLen: Int, weightProp: String = "weight",
+      default: Long = 1L): DataFrame = {
+    require(walksPerRoot > 0, s"walksPerRoot must be > 0: $walksPerRoot")
+    require(maxLen >= 0, s"maxLen must be >= 0: $maxLen")
+    require(weightProp.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"weight property must be an identifier, got '$weightProp'")
+    require(default > 0, s"default weight must be positive: $default")
+    val W = org.apache.spark.sql.expressions.Window
+    val rawW = expr(s"try_cast(element_at(props, '$weightProp') AS BIGINT)")
+    val adj = g.edges.toDF()
+      .select(col("src"), col("dst"),
+        when(rawW.isNotNull && rawW > 0, rawW).otherwise(lit(default))
+          .as("wt"))
+      .groupBy("src", "dst").agg(sum("wt").as("wt"))
+      .localCheckpoint() // one consumer per step
+    var frontier = roots.select(col("root_id"))
+      .crossJoin(spark.range(walksPerRoot).select(col("id").as("walk")))
+      .select(col("root_id"), col("walk"), col("root_id").as("cur"))
+    var out = frontier.select(col("root_id"), col("walk"),
+      lit(0).as("step"), col("cur").as("node"))
+    for (stepN <- 1 to maxLen) {
+      val ordered = W.partitionBy("root_id", "walk").orderBy("dst")
+      val whole = W.partitionBy("root_id", "walk")
+      frontier = frontier
+        .join(adj.withColumnRenamed("src", "cur"), "cur")
+        .withColumn("cum", sum("wt").over(ordered))
+        .withColumn("tot", sum("wt").over(whole))
+        .withColumn("r", pmod(graft.text.PortableHash.spark(concat_ws("|",
+          col("root_id"), col("walk"), lit(stepN - 1), col("cur"))),
+          col("tot")))
+        .filter(col("r") >= col("cum") - col("wt") && col("r") < col("cum"))
+        .select(col("root_id"), col("walk"), col("dst").as("cur"))
+      out = out.unionByName(frontier.select(col("root_id"), col("walk"),
+        lit(stepN).as("step"), col("cur").as("node")))
+    }
+    out
+  }
+
   /** Layer-wise neighborhood sampling — the GNN minibatch sampler
     * (GraphSAGE, Hamilton et al. NeurIPS 2017): from a seed set, layer
     * `l` keeps at most `fanouts(l-1)` out-neighbors of every frontier

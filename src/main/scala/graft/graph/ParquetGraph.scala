@@ -350,6 +350,24 @@ object ParquetGraph {
       s"concat(CAST($rootE AS VARCHAR), '|', CAST($walkE AS VARCHAR)," +
         s" '|$pos|', CAST($curE AS VARCHAR))")
 
+  /** One property-weighted transition in DuckDB: candidates = out-edges
+    * of `cur` from a CTE `ed(src, dst, wt)`, picked by `H mod Σwt` into
+    * the dst-ordered cumulative interval — the mirror of
+    * [[GraphOps.weightedWalks]]'s step. `prv` carries the departing node
+    * into the filter scope (the hash is over the node being LEFT).
+    */
+  private def duckWeightedStep(prevCte: String, pos: Int): String =
+    s"""(SELECT root, walk, dst AS cur FROM (
+       |  SELECT s.root, s.walk, s.cur AS prv, ed.dst, ed.wt,
+       |    sum(ed.wt) OVER (PARTITION BY s.root, s.walk ORDER BY ed.dst)
+       |      AS cum,
+       |    sum(ed.wt) OVER (PARTITION BY s.root, s.walk) AS tot
+       |  FROM $prevCte s JOIN ed ON ed.src = s.cur)
+       |  WHERE ${duckWalkPick("root", "walk", pos, "prv")} % tot
+       |      >= cum - wt
+       |    AND ${duckWalkPick("root", "walk", pos, "prv")} % tot < cum)"""
+      .stripMargin
+
   /** One node2vec transition in DuckDB: candidates = out-neighbors of
     * `cur`, weighted 1 (return to prev) / 4 (prev-adjacent) / 2 (far),
     * picked by `H mod Σw` landing in the dst-ordered cumulative interval
@@ -1517,6 +1535,52 @@ object ParquetGraph {
       val roots = t3.filter(col("rn") === 1).select(col("id").as("root_id"))
       GraphOps.biasedWalks(s, g, roots, walksPerRoot = 4, maxLen = 3,
           wReturn = 1, wCommon = 4, wFar = 2)
+        .select(col("root_id").as("root"), col("walk"), col("step"),
+          col("node"))
+        .orderBy("root", "walk", "step")
+    },
+
+    // Edge-property-weighted walks: the hierarchy's HAS_NATION edges
+    // carry a props weight (nationkey % 3 + 1) while HAS_CUSTOMER edges
+    // carry none — so step 1 grades the weighted cumulative-interval
+    // pick and step 2 grades the default-weight path degenerating to the
+    // uniform interval. Same data-carried-weight surface the Cypher
+    // write path sets (graphp_cypher_weighted_road writes, this samples).
+    QueryDef.sql(
+      "graphp_weighted_walks",
+      s"""WITH ed AS (
+         |  SELECT CAST(1000000000 + n_regionkey AS BIGINT) AS src,
+         |         CAST(2000000000 + n_nationkey AS BIGINT) AS dst,
+         |         CAST(n_nationkey % 3 + 1 AS BIGINT) AS wt FROM nation
+         |  UNION ALL
+         |  SELECT CAST(2000000000 + c_nationkey AS BIGINT),
+         |         CAST(3000000000 + c_custkey AS BIGINT), CAST(1 AS BIGINT)
+         |  FROM customer),
+         |r0 AS (SELECT CAST(1000000000 + r_regionkey AS BIGINT) AS root,
+         |              CAST(w AS BIGINT) AS walk,
+         |              CAST(1000000000 + r_regionkey AS BIGINT) AS cur
+         |       FROM region, (SELECT unnest(generate_series(0, 3)) AS w)),
+         |s1 AS ${duckWeightedStep("r0", 0)},
+         |s2 AS ${duckWeightedStep("s1", 1)}
+         |SELECT root, walk, step, node FROM (
+         |  SELECT root, walk, 0 AS step, cur AS node FROM r0
+         |  UNION ALL SELECT root, walk, 1, cur FROM s1
+         |  UNION ALL SELECT root, walk, 2, cur FROM s2)
+         |ORDER BY root, walk, step""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val g = hierarchy(s, d)
+      val weighted = g.edges.toDF()
+        .withColumn("props",
+          when(col("relType") === "HAS_NATION",
+            map(lit("weight"),
+              (pmod(col("dst") - lit(NationBase), lit(3L)) + 1L)
+                .cast("string")))
+            .otherwise(typedLit(Map.empty[String, String])))
+        .as[EdgeRow]
+      val roots = g.nodes.filter(col("label") === "Region")
+        .select(col("id").as("root_id"))
+      GraphOps.weightedWalks(s, GraphTables(g.nodes, weighted), roots,
+          walksPerRoot = 4, maxLen = 2)
         .select(col("root_id").as("root"), col("walk"), col("step"),
           col("node"))
         .orderBy("root", "walk", "step")

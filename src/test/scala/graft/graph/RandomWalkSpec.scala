@@ -193,6 +193,48 @@ class RandomWalkSpec extends SparkSpec {
     assert(steps(tri, 1, 4, 2).toSet == steps(tri, 1, 4, 2).toSet)
   }
 
+  test("weighted walks follow the props weight; defaults degenerate to " +
+      "the uniform sampler; garbage weights fall back") {
+    import spark.implicits._
+    def g(edges: Seq[(Long, Long, Map[String, String])]) = {
+      val ids = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      GraphTables(
+        ids.map(i => NodeRow(i, "N", s"n$i", "", "", "base", Seq.empty))
+          .toDS(),
+        edges.map { case (s, d, p) => EdgeRow(s, d, "E", "", "base", p) }
+          .toDS())
+    }
+    def run(gt: GraphTables, n: Int, len: Int) =
+      GraphOps.weightedWalks(spark, gt, roots(1L), n, len)
+        .collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))).sorted
+        .toSeq
+    // weight 1000000 vs 1: all 8 walks take the heavy edge
+    val heavy = g(Seq((1L, 2L, Map("weight" -> "1000000")),
+      (1L, 3L, Map.empty[String, String])))
+    assert(run(heavy, 8, 1).filter(_._3 == 1).forall(_._4 == 2L))
+    // all-default weights reproduce randomWalks EXACTLY (unit intervals
+    // in dst order are the rank index)
+    val plain = Seq((1L, 2L), (1L, 3L), (2L, 4L), (2L, 5L), (3L, 6L))
+    val unif = GraphOps.randomWalks(spark,
+        g(plain.map { case (a, b) => (a, b, Map.empty[String, String]) }),
+        roots(1L), 8, 3)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))).sorted
+      .toSeq
+    val dflt = run(
+      g(plain.map { case (a, b) => (a, b, Map.empty[String, String]) }),
+      8, 3)
+    assert(dflt == unif, "default-weight walks must equal the uniform " +
+      "sampler step for step")
+    // a non-numeric weight falls back to the default, not an error
+    val garbage = g(Seq((1L, 2L, Map("weight" -> "abc")),
+      (1L, 3L, Map.empty[String, String])))
+    val got = run(garbage, 8, 1).filter(_._3 == 1).map(_._4).toSet
+    assert(got.subsetOf(Set(2L, 3L)) && got.size == 2,
+      s"expected both branches under equal fallback weights, got $got")
+  }
+
   test("GraphSAGE sampling rejects empty or non-positive fanouts") {
     intercept[IllegalArgumentException] {
       GraphOps.sampleNeighborhood(spark, dag,
