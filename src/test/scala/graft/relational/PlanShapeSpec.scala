@@ -248,6 +248,26 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("partial_"), p.take(800))
   }
 
+  test("skip-gram self-join is a distributed equi-join on the walk " +
+      "identity — never a cartesian") {
+    val p = plan("graphp_walk_skipgrams")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    // the pair join must key on (root_id, walk) — the window filter is a
+    // residual, not the join condition. (The walks builder's own
+    // |roots|×walksPerRoot fan-out legitimately broadcasts a range.)
+    assert(Seq("SortMergeJoin [root_id", "ShuffledHashJoin [root_id",
+      "BroadcastHashJoin [root_id").exists(p.contains), p.take(1500))
+  }
+
+  test("negative sampling carries the corpus size as a broadcast 1-row " +
+      "aggregate and draws through an equi-join on the position") {
+    val p = plan("graphp_walk_negatives")
+    // the only nested-loop allowed is the 1-row total crossJoin
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+  }
+
   test("every registered query has distinct name and runnable plan") {
     val names = SparkEntry.allDefs.map(_.name)
     assert(names.distinct.size == names.size)
