@@ -219,6 +219,45 @@ class ScaleCurveSpec extends SparkSpec {
     assertLinear("samplers(hub)", t1, t10)
   }
 
+  test("weighted and biased walks stay ~linear on the 10x hub graph — " +
+      "including walks RESIDENT at the 400k-out-edge hub") {
+    // the O(outdeg)-per-step samplers: a walk sitting at the hub pays a
+    // per-walk cumulative-weight window over the hub's whole candidate
+    // block (the cost alias tables amortize in single-node node2vec).
+    // Root 0 IS the hub both times, so the curve proves that block scales
+    // linearly rather than exploding with a hidden all-pairs or skew term.
+    def hubGraph(mult: Int): GraphTables = {
+      import spark.implicits._
+      val hubEdges = 40000L * mult
+      val hub = spark.range(1L, hubEdges + 1L)
+        .select(lit(0L).as("src"), col("id").as("dst"))
+      val bg = spark.range(180000L * mult).select(
+        (lit(1L) + pmod(hash(col("id")), lit(10000 * mult)).cast("long"))
+          .as("src"),
+        (lit(hubEdges + 1L) +
+          pmod(hash(col("id") * 7L), lit(20000 * mult)).cast("long"))
+          .as("dst"))
+      val edges = hub.unionByName(bg)
+        .select(col("src"), col("dst"), lit("HAS_CHILD").as("relType"),
+          lit("s").as("docnbr"), lit("b0").as("batch"),
+          typedLit(Map.empty[String, String]).as("props"))
+        .as[EdgeRow]
+      GraphTables(spark.emptyDataset[NodeRow], edges)
+    }
+    def roots(mult: Int) = spark.range(0L, 1000L * mult + 1L)
+      .select(col("id").as("root_id"))
+    def runBoth(g: GraphTables, mult: Int): Unit = {
+      GraphOps.weightedWalks(spark, g, roots(mult), 2, 3).count()
+      GraphOps.biasedWalks(spark, g, roots(mult), 2, 3).count()
+    }
+    val g1 = hubGraph(1)
+    val g10 = hubGraph(10)
+    runBoth(g1, 1) // warm-up
+    val t1 = timedMin2(runBoth(g1, 1))
+    val t10 = timedMin2(runBoth(g10, 10))
+    assertLinear("walks(weighted+biased, hub-resident)", t1, t10)
+  }
+
   test("betweenness wall-time grows ~linearly: 10x cycle components, " +
     "one landmark each") {
     // landmark-sampled Brandes scales along BOTH axes at once in
