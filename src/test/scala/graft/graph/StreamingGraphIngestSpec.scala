@@ -66,6 +66,22 @@ class StreamingGraphIngestSpec extends SparkSpec {
     // a drain with nothing new processes nothing (checkpointed offsets)
     StreamingGraphIngest.drainIngest(spark, env, store, ckpt)
     assertSameGraph(GraphStore.load(spark, store), g)
+
+    // downstream seam: the content-addressed samplers produce a
+    // BIT-IDENTICAL corpus over the stream-ingested store and the batch
+    // graph — training-data generation is invariant to how the graph
+    // arrived (equal edge sets + no RNG state ⇒ equal draws, not merely
+    // equivalent distributions)
+    def corpus(gt: GraphTables): Seq[(Long, Long, Int, Long)] = {
+      val roots = gt.nodes.filter(col("label") === "Region")
+        .select(col("id").as("root_id"))
+      GraphOps.randomWalks(spark, gt, roots, 3, 3)
+        .collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+        .sorted.toSeq
+    }
+    assert(corpus(GraphStore.load(spark, store)) == corpus(g),
+      "walk corpus must be identical over the streamed store")
   }
 
   test("ingestBatch auto-compacts once the delta chain passes its " +
