@@ -11,6 +11,21 @@ import org.apache.spark.sql.functions._
   */
 object GraphOps {
 
+  /** Free the executor blocks a `localCheckpoint`ed relation pins.
+    * `Dataset.unpersist` only clears CacheManager entries (persist/
+    * cache); a local checkpoint's blocks belong to the INTERNAL RDD
+    * behind the plan's `LogicalRDD` leaf and are never registered with
+    * the CacheManager, so they must be unpersisted on that RDD
+    * directly. Only for relations that are truly dead: a local
+    * checkpoint truncates lineage, so freed blocks are unrecoverable.
+    */
+  private[graph] def freeLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.logical match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => df.unpersist()
+    }
+
   /** The NEW rows a MERGE of `incoming` into `existing` would add —
     * anti-joins on the MERGE keys (node `id`; edge `(src, dst,
     * relType)`). This is both [[upsert]]'s work set and the O(batch)
@@ -1281,6 +1296,13 @@ object GraphOps {
             col("cur"))), col("deg")))
         .join(adj, col("cur") === adj("src") && col("pick") === adj("rnk"))
         .select(col("root_id"), col("walk"), col("dst").as("cur"))
+        // lazy checkpoint: each union branch of `out` and the next step's
+        // join read step k's MATERIALIZED blocks instead of replaying the
+        // k-join prefix per branch — without it corpus evaluation is
+        // O(maxLen²) join work at realistic walk lengths (40–80 steps).
+        // Lazy (not eager) so no job fires until the corpus is consumed;
+        // blocks stay pinned exactly as long as `out` needs them.
+        .localCheckpoint(false)
       out = out.unionByName(frontier.select(col("root_id"), col("walk"),
         lit(stepN).as("step"), col("cur").as("node")))
     }
@@ -1395,6 +1417,9 @@ object GraphOps {
         col("pick") === ranked("rnk"))
       .select(col("root_id"), col("walk"), col("cur").as("prev"),
         col("dst").as("cur"))
+      // lazy checkpoint per step — same O(maxLen²)-prefix-replay guard as
+      // randomWalks; see the comment there
+      .localCheckpoint(false)
     out = out.unionByName(frontier.select(col("root_id"), col("walk"),
       lit(1).as("step"), col("cur").as("node")))
     for (stepN <- 2 to maxLen) {
@@ -1421,6 +1446,7 @@ object GraphOps {
         .filter(col("r") >= col("cum") - col("wt") && col("r") < col("cum"))
       frontier = cand.select(col("root_id"), col("walk"),
         col("cur").as("prev"), col("dst").as("cur"))
+        .localCheckpoint(false)
       out = out.unionByName(frontier.select(col("root_id"), col("walk"),
         lit(stepN).as("step"), col("cur").as("node")))
     }
@@ -1476,6 +1502,9 @@ object GraphOps {
           col("tot")))
         .filter(col("r") >= col("cum") - col("wt") && col("r") < col("cum"))
         .select(col("root_id"), col("walk"), col("dst").as("cur"))
+        // lazy checkpoint per step — same O(maxLen²)-prefix-replay guard
+        // as randomWalks; see the comment there
+        .localCheckpoint(false)
       out = out.unionByName(frontier.select(col("root_id"), col("walk"),
         lit(stepN).as("step"), col("cur").as("node")))
     }
@@ -1519,6 +1548,10 @@ object GraphOps {
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= k)
         .select(lit(layer).as("layer"), col("src"), col("dst"))
+        // lazy checkpoint per layer: the output union and the next
+        // layer's frontier both read this layer's materialized blocks
+        // (same prefix-replay guard as randomWalks)
+        .localCheckpoint(false)
       out = Some(out.fold(sampled)(_.unionByName(sampled)))
       frontier = sampled.select(col("dst").as("id")).distinct()
     }
@@ -1577,7 +1610,7 @@ object GraphOps {
         // round materialized (eager) — free them now, or R peeling rounds
         // pin R copies of the edge set in executor storage and the big-
         // graph run tips into eviction/spill (the 100× curve caught this)
-        prev.unpersist()
+        freeLocalCheckpoint(prev)
       }
     }
     if (!done) throw new IllegalStateException(

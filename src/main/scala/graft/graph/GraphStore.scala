@@ -130,6 +130,12 @@ object GraphStore {
   def chainLength(dir: String): Int =
     currentVersion(dir).map(chainOf(dir, _).length).getOrElse(0)
 
+  /** Whether `dir` holds a committed version (the pointer exists). The
+    * public form of the "has this store been initialized" probe, so
+    * callers never hardcode the pointer filename or layout.
+    */
+  def hasCurrent(dir: String): Boolean = currentVersion(dir).isDefined
+
   /** The live data directory readers and maintenance resolve through. */
   def currentDir(dir: String): String =
     currentVersion(dir)
@@ -319,7 +325,7 @@ object GraphStore {
     * a full rewrite through the same atomic-swap commit.
     */
   def compact(spark: SparkSession, dir: String,
-      filesPerPartition: Int = 1): Unit = {
+      filesPerPartition: Int = 1, keepVersions: Int = 0): Unit = {
     val g = load(spark, dir)
     val compacted = GraphTables(
       g.nodes.repartition(filesPerPartition,
@@ -333,7 +339,10 @@ object GraphStore {
     val materialized = GraphTables(
       compacted.nodes.localCheckpoint(),
       compacted.edges.localCheckpoint())
-    save(materialized, dir)
+    // the compaction commit honors the caller's retention: a default
+    // save() here would gc every retained time-travel version, breaking
+    // loadVersion's pin contract for any keepVersions>0 writer
+    save(materialized, dir, keepVersions)
   }
 
   private def deleteRecursively(p: Path): Unit =

@@ -121,13 +121,14 @@ object StreamingGraphIngest {
   def ingestBatch(spark: SparkSession, env: DataFrame, storeDir: String,
       keepVersions: Int = 0, maxChain: Int = MaxChain): Unit = {
     val incoming = fromEnvelope(spark, env)
-    if (java.nio.file.Files.exists(
-        java.nio.file.Paths.get(storeDir, "CURRENT"))) {
+    if (GraphStore.hasCurrent(storeDir)) {
       GraphStore.saveDelta(
         GraphOps.upsertDelta(GraphStore.load(spark, storeDir), incoming),
         storeDir, keepVersions)
+      // compaction is maintenance, not retention policy: it must keep
+      // the same history the per-batch commits keep
       if (GraphStore.chainLength(storeDir) > maxChain)
-        GraphStore.compact(spark, storeDir)
+        GraphStore.compact(spark, storeDir, keepVersions = keepVersions)
     } else GraphStore.save(incoming, storeDir, keepVersions)
   }
 

@@ -45,6 +45,24 @@ class KCoreSpec extends SparkSpec {
     assert(core(g, 2) == Set.empty[Long])
   }
 
+  test("peeling frees superseded rounds' checkpoint blocks — storage " +
+      "pins O(1) edge-set copies, not O(rounds)") {
+    // an 11-edge path peels one layer from each end per round: 6 rounds
+    // to an empty 2-core, so a leak would pin ~6 superseded checkpoints.
+    // Dataset.unpersist would NOT catch that (it only clears CacheManager
+    // entries, and localCheckpoint blocks live on the internal RDD) —
+    // this asserts on the SparkContext's persistent-RDD registry, which
+    // is where those blocks are actually tracked.
+    val path = mkGraph((1L to 11L).map(i => i -> (i + 1)))
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    assert(core(path, 2) == Set.empty[Long])
+    val pinned = spark.sparkContext.getPersistentRDDs.keySet -- before
+    // at most the FINAL round's checkpoint may stay pinned (it backs the
+    // returned relation); every superseded round must have been freed
+    assert(pinned.size <= 1,
+      s"peeling left ${pinned.size} checkpointed rounds pinned: $pinned")
+  }
+
   test("exhausting maxIterations before the fixpoint throws, never " +
       "returns a truncated superset") {
     // triTail's 2-core needs two peeling rounds; with the bound at 1 the

@@ -84,24 +84,53 @@ class StreamingGraphIngestSpec extends SparkSpec {
       "walk corpus must be identical over the streamed store")
   }
 
+  private def nodeSlice(ids: Seq[Long]): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    StreamingGraphIngest.toEnvelope(GraphTables(
+      ids.map(i => NodeRow(i, "N", s"n$i", "", "", s"b$i", Seq.empty))
+        .toDS(),
+      spark.emptyDataset[EdgeRow])).localCheckpoint()
+  }
+
   test("ingestBatch auto-compacts once the delta chain passes its " +
       "budget — content unchanged, reads back to one snapshot") {
-    import spark.implicits._
     val dir = Files.createTempDirectory("graft_autocompact").toString
-    def slice(ids: Seq[Long]): org.apache.spark.sql.DataFrame =
-      StreamingGraphIngest.toEnvelope(GraphTables(
-        ids.map(i => NodeRow(i, "N", s"n$i", "", "", s"b$i", Seq.empty))
-          .toDS(),
-        spark.emptyDataset[EdgeRow])).localCheckpoint()
     // budget 2: batch1 = full, batch2 = delta (chain 2), batch3's delta
     // pushes the chain to 3 > 2 → compaction folds it back to 1
     (1 to 3).foreach(i =>
-      StreamingGraphIngest.ingestBatch(spark, slice(Seq(i.toLong)),
+      StreamingGraphIngest.ingestBatch(spark, nodeSlice(Seq(i.toLong)),
         s"$dir/store", maxChain = 2))
     assert(GraphStore.chainLength(s"$dir/store") == 1,
       "the chain must have compacted back to one full snapshot")
     assert(GraphStore.load(spark, s"$dir/store")
       .nodes.collect().map(_.id).toSet == Set(1L, 2L, 3L))
+  }
+
+  test("auto-compaction honors the writer's keepVersions — retained " +
+      "time-travel history survives the MaxChain fold") {
+    val store = Files.createTempDirectory("graft_compact_keep")
+      .resolve("store").toString
+    // keepVersions = 2 with chain budget 2: batch 3's delta pushes the
+    // chain past budget, so the SAME ingestBatch call both commits and
+    // compacts — the fold must keep the history the per-batch commits
+    // kept, or loadVersion's pin contract breaks every MaxChain batches
+    (1 to 3).foreach(i =>
+      StreamingGraphIngest.ingestBatch(spark, nodeSlice(Seq(i.toLong)),
+        store, keepVersions = 2, maxChain = 2))
+    assert(GraphStore.chainLength(store) == 1,
+      "the chain must have compacted back to one full snapshot")
+    val versions = GraphStore.versionList(store)
+    // current (compacted) + the 2 retained heads + the chain member the
+    // newest retained delta resolves through
+    assert(versions.length == 4,
+      s"compaction swept retained history: $versions")
+    // each retained version still reads ITS point in time
+    assert(GraphStore.loadVersion(spark, store, versions(1))
+      .nodes.collect().map(_.id).toSet == Set(1L, 2L, 3L))
+    assert(GraphStore.loadVersion(spark, store, versions(2))
+      .nodes.collect().map(_.id).toSet == Set(1L, 2L))
+    assert(GraphStore.loadVersion(spark, store, versions(3))
+      .nodes.collect().map(_.id).toSet == Set(1L))
   }
 
   test("envelope round-trip is lossless and batch-deduping") {
