@@ -301,6 +301,14 @@ object CypherLite {
       // prop is empty and onConn rides true so the binding-level filter
       // path engages
       onRel: Boolean = false,
+      // `r.prop <op> literal` (and the `-[r:T {prop: 'v'}]->` inline-map
+      // desugar): the comparison targets the traversed edge's PROPERTY —
+      // `element_at(r_props, prop)` on the typed-bindings substrate
+      // (EdgeRow.props is a string map, so the same string/numeric
+      // comparison lenses apply; a missing key is null and the row drops,
+      // Cypher's rule). onConn rides true like onRel so the binding-level
+      // filter path engages.
+      onRelProp: Boolean = false,
       // cross-VARIABLE comparison `v1.p1 <op> v2.p2` (Cypher's property-
       // to-property predicate — "connected nodes whose name sorts before
       // the root's"): the RHS is another bound variable's property, not a
@@ -536,6 +544,19 @@ object CypherLite {
       // than in a label array.
       batch: Option[String] = None) extends Statement
 
+  /** `MERGE (n:Label[:Batch] {…}) [ON CREATE SET n.content = …]
+    * [ON MATCH SET n.content = …]` — the standard Neo4j upsert idiom one
+    * step past the reference's plain MERGE (`new_final.js:22-31`): the
+    * MERGE key is the pattern (this engine's deterministic node id), and
+    * whichever branch actually happened applies ITS content value. Only
+    * `content` is writable — same restriction and same join-update
+    * kernel as [[SetContent]] (name/label/docnbr are hashed into the
+    * node identity). Clauses may appear in either order, each at most
+    * once; values are literals or `$params`.
+    */
+  final case class MergeNodeOnSet(node: CreateNode,
+      onCreate: Option[String], onMatch: Option[String]) extends Statement
+
   /** One side of an edge-MERGE's dual MATCH: variable, required label,
     * optional batch tag (second label), literal/parameter property map.
     */
@@ -651,7 +672,7 @@ object CypherLite {
     """(?is)\s*MATCH\s*\(\s*(\w+)\s*(?::\s*(\w+))?\s*""" +
       """(?:\{\s*([^}]*)\s*\})?\s*\)\s*""" +
       """(?:(?:OPTIONAL\s+MATCH\s*\(\s*(\w+)\s*\)\s*)?""" +
-      """(?:<)?-\s*\[\s*(?:[A-Za-z_]\w*\s*)?(?::\s*(\w+(?:\s*\|\s*\w+)*)\s*)?(?:\*\s*1\s*\.\.\s*(\d+)\s*)?\]\s*-\s*(?:>)?\s*\(\s*(\w+)\s*(?::\s*(\w+))?\s*(?:\{\s*([^}]*)\s*\})?\s*\)\s*)?""" +
+      """(?:<)?-\s*\[\s*(?:[A-Za-z_]\w*\s*)?(?::\s*(\w+(?:\s*\|\s*\w+)*)\s*)?(?:\*\s*1\s*\.\.\s*(\d+)\s*)?(?:\{[^}]*\}\s*)?\]\s*-\s*(?:>)?\s*\(\s*(\w+)\s*(?::\s*(\w+))?\s*(?:\{\s*([^}]*)\s*\})?\s*\)\s*)?""" +
       """(?:WHERE\s+(.*?)\s*)?"""
 
   // one ORDER BY item (property ref, count(...), type(...), or a bare
@@ -767,6 +788,17 @@ object CypherLite {
   // LLMs emit when the prompt says "add if missing".
   private val MergeRe =
     """(?is)\s*MERGE\s*\(\s*(\w+)\s*:\s*(\w+)(?:\s*:\s*(\w+))?\s*\{\s*([^}]*)\s*\}\s*\)\s*;?\s*""".r
+
+  // MERGE (n:Label {…}) ON CREATE SET n.content = … ON MATCH SET … —
+  // the branch-aware upsert (Neo4j's standard idiom). The trailing ON
+  // block is captured whole and re-scanned by OnSetClauseRe (a regex
+  // group cannot repeat-and-collect); checked before MergeRe so the
+  // plain form never swallows a query with ON clauses.
+  private val MergeOnSetRe =
+    ("""(?is)\s*MERGE\s*\(\s*(\w+)\s*:\s*(\w+)(?:\s*:\s*(\w+))?\s*\{\s*([^}]*)\s*\}\s*\)\s*""" +
+      """((?:ON\s+(?:CREATE|MATCH)\s+SET\s+\w+\s*\.\s*\w+\s*=\s*(?:'[^']*'|\$\w+)\s*)+);?\s*""").r
+  private val OnSetClauseRe =
+    """(?i)ON\s+(CREATE|MATCH)\s+SET\s+(\w+)\s*\.\s*(\w+)\s*=\s*(?:'([^']*)'|\$(\w+))""".r
 
   // MATCH (a:L1[:B] [{…}]), (b:L2[:B] [{…}]) MERGE (a)-[:R]->(b) … — the
   // reference's edge write (`new_final.js:34-38`). By the time parseStmt
@@ -1002,6 +1034,35 @@ object CypherLite {
     else RelVarRe.findFirstMatchIn(query.replaceAll("'[^']*'", "''"))
       .map(_.group(1))
 
+  /** The hop pattern's inline relationship property map
+    * (`-[r:T {grade: 'a'}]->`), extracted textually for the same
+    * capture-group-budget reason as [[parseRelVar]] — the statement
+    * regexes admit the map non-capturing. Located on the
+    * LENGTH-PRESERVING blanked text (the first bracket span is the hop
+    * pattern; IN-list brackets never precede it), then the brace span's
+    * positions index back into the original so quoted values survive
+    * intact. Literal values only — the read surface takes no `$params`
+    * (same rule as every other read comparison).
+    */
+  private val RelBracketRe = """\[[^\[\]]*\]""".r
+  private def parseRelProps(query: String, hasHop: Boolean)
+      : Map[String, String] =
+    if (!hasHop) Map.empty
+    else {
+      val blanked = blankQuoted(query)
+      RelBracketRe.findFirstMatchIn(blanked).flatMap { span =>
+        val open = blanked.indexOf('{', span.start)
+        if (open < 0 || open >= span.end) None
+        else {
+          val close = blanked.indexOf('}', open)
+          if (close < 0 || close >= span.end) None
+          else Some(PropRe.findAllMatchIn(
+              query.substring(open + 1, close))
+            .map(p => p.group(1) -> p.group(2)).toMap)
+        }
+      }.getOrElse(Map.empty)
+    }
+
   // ---- boolean WHERE structure: parentheses, NOT groups, AND/OR ----
   // The clause is tokenized (atoms = single comparisons, recognized by
   // the same regexes the flat path uses; structure = parens + keywords),
@@ -1206,10 +1267,26 @@ object CypherLite {
                 if conn.contains(v) =>
               mkCondFn(fnKw, close, prop, op, str, num, list)
                 .map(_.copy(onConn = true, negated = neg))
+            // r.prop <op> literal — a binding-level comparison on the
+            // traversed edge's property map (the typed-bindings
+            // substrate's `r_props` column; a missing key is null and
+            // the binding drops, Cypher's rule). Case folds compose
+            // (toLower(r.prop) = '…'); numeric literals compare through
+            // the same try_cast lens as node properties.
+            case CondRe(fnKw, v, prop, close, op, str, num, list)
+                if relVar.contains(v) =>
+              mkCondFn(fnKw, close, prop, op, str, num, list)
+                .map(_.copy(onConn = true, negated = neg,
+                  onRelProp = true))
+            case NullCondRe(v, prop, notKw) if relVar.contains(v) =>
+              Right(Cond(prop,
+                if (notKw != null) "IS NOT NULL" else "IS NULL", "",
+                onConn = true, negated = neg, onRelProp = true))
             case CondRe(_, v, _, _, _, _, _, _) =>
               Left(s"WHERE may only reference the matched variable '$m'" +
                 conn.fold("")(c => s" or the connected variable '$c'") +
-                s", got '$v'")
+                relVar.fold("")(r => s" or the relationship " +
+                  s"variable '$r'") + s", got '$v'")
             // v1.p1 <op> v2.p2 — both sides bound variables: a binding-
             // level column-to-column comparison (native string collation)
             case CrossCondRe(v1, p1, op, v2, p2)
@@ -1430,6 +1507,21 @@ object CypherLite {
     else conds.map(_ ++ sugar)
   }
 
+  /** `-[r:T {prop: 'v'}]->` inline relationship-map sugar: desugars to
+    * equality conditions on the traversed edge's property map (the
+    * typed-bindings substrate's `r_props` column), AND-distributed into
+    * every OR-group — same rule as [[connSugar]]. Sorted for a
+    * deterministic condition order.
+    */
+  private def relSugar(relProps: Map[String, String],
+      conds: Seq[Seq[Cond]]): Seq[Seq[Cond]] = {
+    val sugar = relProps.toSeq.sortBy(_._1).map { case (k, v) =>
+      Cond(k, "=", v, onConn = true, onRelProp = true) }
+    if (sugar.isEmpty) conds
+    else if (conds.isEmpty) Seq(sugar)
+    else conds.map(_ ++ sugar)
+  }
+
   // UNWIND ['v', …] AS x <rest> — the list-parameterization prefix LLMs
   // emit for "any of these" prompts. Desugared by rewriting every
   // `= x` comparison in <rest> to `IN [list]` (positions located on the
@@ -1507,6 +1599,45 @@ object CypherLite {
           "hashes (label, name, content, docnbr)")
       else Right(())
     } yield CreateNode(label, props, batch)
+  }
+
+  /** Parse the ON CREATE/ON MATCH block of a branch-aware MERGE: each
+    * clause must write `<mergeVar>.content`, appear at most once, and
+    * carry a literal or `$param` value (resolved here, like
+    * [[resolveProps]] — never by text splicing).
+    */
+  private def parseMergeOnSet(v: String, label: String,
+      batch: Option[String], propsStr: String, onBlock: String,
+      params: Map[String, String]): Either[String, Statement] = {
+    val clauses = OnSetClauseRe.findAllMatchIn(onBlock).toSeq
+    def clauseValue(m: scala.util.matching.Regex.Match)
+        : Either[String, String] =
+      if (m.group(4) != null) Right(m.group(4))
+      else params.get(m.group(5))
+        .toRight(s"missing parameter $$${m.group(5)} " +
+          s"(have: ${params.keys.toSeq.sorted.mkString(", ")})")
+    for {
+      node <- parseCreate(label, batch, propsStr, params)
+      _ <- clauses.find(_.group(2) != v)
+        .map(m => Left(s"ON ${m.group(1).toUpperCase} SET may only " +
+          s"write the merged variable '$v', got '${m.group(2)}'"))
+        .getOrElse(Right(()))
+      _ <- clauses.find(_.group(3) != "content")
+        .map(_ => Left("only the content property is writable in " +
+          "ON CREATE/ON MATCH SET (name/label are part of the node " +
+          "identity — use a different MERGE pattern to mint a new node)"))
+        .getOrElse(Right(()))
+      kinds = clauses.map(_.group(1).toUpperCase)
+      _ <- if (kinds.distinct.size != kinds.size)
+        Left("at most one ON CREATE SET and one ON MATCH SET clause")
+      else Right(())
+      resolved <- clauses
+        .foldLeft[Either[String, Map[String, String]]](Right(Map.empty)) {
+          (acc, m) => acc.flatMap(done =>
+            clauseValue(m).map(vv => done + (m.group(1).toUpperCase -> vv)))
+        }
+    } yield MergeNodeOnSet(node.asInstanceOf[CreateNode],
+      resolved.get("CREATE"), resolved.get("MATCH"))
   }
 
   /** Parse the edge-MERGE statement: both MATCH sides + every MERGE
@@ -2186,11 +2317,23 @@ object CypherLite {
       } yield SetContent(Option(label), props, conds, value, Option(batch))
     case CreateRe(v, label, batch, propsStr) =>
       parseCreate(label, Option(batch), propsStr, params)
+    // branch-aware MERGE: created vs matched nodes take different SET
+    // values — must be tried before the plain form
+    case MergeOnSetRe(v, label, batch, propsStr, onBlock) =>
+      parseMergeOnSet(v, label, Option(batch), propsStr, onBlock, params)
     // MERGE ≡ CREATE here: deterministic node ids make CREATE the
     // match-or-create upsert already (A11/A12), which is exactly MERGE's
     // contract — re-running either is a no-op
     case MergeRe(v, label, batch, propsStr) =>
       parseCreate(label, Option(batch), propsStr, params)
+    // a MERGE with ON clauses that did NOT match the strict form above:
+    // reject with a targeted message instead of the generic parse error
+    case q if "(?is)^\\s*MERGE\\b.*\\bON\\s+(CREATE|MATCH)\\b.*".r
+        .matches(q) =>
+      Left("unparseable MERGE … ON CREATE/ON MATCH SET — supported " +
+        "shape: MERGE (n:Label[:Batch] {name: '…'[, …]}) " +
+        "[ON CREATE SET n.content = '…'|$p] " +
+        "[ON MATCH SET n.content = '…'|$p], each clause at most once")
     // MATCH (a…) MATCH (b…) MERGE (a)-[:R]->(b) … — the relationship
     // write (reference `new_final.js:34-38`); checked before the chain
     // scanner so a 3-clause MERGE block is not misread as a path
@@ -2486,6 +2629,11 @@ object CypherLite {
         // `WITH m, count(c) AS n, sum(c.v) AS s` computes every aggregate
         // in ONE grouped pass — the same multi-aggregate path RETURN has.
         val relVar = parseRelVar(query, conn.isDefined)
+        val relProps = parseRelProps(query, conn.isDefined)
+        // inline relationship map → typed-bindings substrate, same rule
+        // as the plain-MATCH form
+        val relVarEff =
+          if (relProps.nonEmpty) relVar.orElse(Some("__rel")) else relVar
         val wparts = withItems.split(",").toSeq
         // an item that LOOKS like an aggregate parses as one (Some);
         // grouping items answer None
@@ -2557,6 +2705,10 @@ object CypherLite {
           _ <- if (relVar.isDefined && hopsStr != null)
             Left(s"a relationship variable ('${relVar.get}') cannot bind " +
               "a variable-length pattern — drop the range or the variable")
+          else Right(())
+          _ <- if (relProps.nonEmpty && hopsStr != null)
+            Left("a variable-length pattern cannot carry a relationship " +
+              "property map — match single hops (or chain them) instead")
           else Right(())
           aggs <- aggsE
           aliasMap = aggs.map { case (i, a) => a -> i }.toMap
@@ -2706,11 +2858,12 @@ object CypherLite {
               math.max(l - skipN.get, 0)
             else l)
         } yield MatchReturn(Option(label), props, Option(relType), hops,
-          connSugar(connLabel, connPropsStr, conds), items, ob,
+          relSugar(relProps, connSugar(connLabel, connPropsStr, conds)),
+          items, ob,
           skipN, limitN,
           optional, distinctKw != null, None,
           Some(WithSpec(groupIdentity, retAliases, hav, havAfterLimit)),
-          direction = dir, relVar = relVar)
+          direction = dir, relVar = relVarEff)
       }
     case MatchRe(m, label, propsStr, optVar, relType, hopsStr, connVar,
         connLabel, connPropsStr, whereStr, distinctKw, retStr, obClause,
@@ -2721,6 +2874,12 @@ object CypherLite {
       val hops = Option(hopsStr).map(_.toInt).getOrElse(0)
       val conn = Option(connVar)
       val relVar = parseRelVar(query, conn.isDefined)
+      val relProps = parseRelProps(query, conn.isDefined)
+      // an inline relationship map forces the typed-bindings (per-edge)
+      // substrate even without an explicit variable — the map is a
+      // per-edge predicate, exactly what that substrate addresses
+      val relVarEff =
+        if (relProps.nonEmpty) relVar.orElse(Some("__rel")) else relVar
       val optional = optVar != null
       val retDistinct = distinctKw != null
       // a WHERE clause is EITHER a comparison DNF or a single pattern-
@@ -3124,6 +3283,15 @@ object CypherLite {
             Left(s"a relationship variable ('${relVar.get}') cannot bind " +
               "a variable-length pattern — drop the range or the variable")
           else Right(())
+          // a property map on a RANGED pattern would have to hold for
+          // every edge of a var-length binding, which this substrate
+          // cannot address per edge (same rule as the variable above:
+          // Cypher itself rejects most r-talk on unaliased multi-hop
+          // rels) — reject rather than silently filter one hop
+          _ <- if (relProps.nonEmpty && hopsStr != null)
+            Left("a variable-length pattern cannot carry a relationship " +
+              "property map — match single hops (or chain them) instead")
+          else Right(())
           // type(r) alongside the whole matched node has nowhere to go in
           // the m-only projection branch (mirror of the c.prop rule above);
           // alongside the whole connected node it rides the binding columns
@@ -3160,12 +3328,25 @@ object CypherLite {
           // typed patterns, `first-graph.py:63-136`)
           MatchReturn(Option(label), props, Option(relType),
             if (conn.isDefined) math.max(hops, 1) else 0,
-            connSugar(connLabel, connPropsStr, conds), items, ob,
+            relSugar(relProps, connSugar(connLabel, connPropsStr, conds)),
+            items, ob,
             Option(skipStr).map(_.toInt),
             Option(limitStr).map(_.toInt), optional, retDistinct, existsPat,
             aliases = aliasMap,
-            direction = dir, relVar = relVar)
+            direction = dir, relVar = relVarEff)
         }
+    // a hop bracket carrying a property map that no statement form
+    // accepted (a 2+-segment chain, or a shape error elsewhere): name
+    // the restriction instead of the generic shape error
+    case q if {
+      val b = blankQuoted(q)
+      RelBracketRe.findAllMatchIn(b)
+        .exists(mm => b.substring(mm.start, mm.end).contains("{"))
+    } =>
+      Left("a relationship property map (-[r:T {…}]->) is supported on " +
+        "single-hop MATCH patterns only — not on multi-segment chains " +
+        "or variable-length patterns; match single hops and filter " +
+        "with WHERE")
     case _ => Left(s"unsupported query shape: ${query.take(120)}")
   }
 
@@ -3571,7 +3752,8 @@ object CypherLite {
       params: Map[String, String])
       : Either[String, (GraphTables, DataFrame)] =
     parse(query, params).flatMap {
-      case s @ (_: SetContent | _: CreateNode | _: MergeEdges) =>
+      case s @ (_: SetContent | _: CreateNode | _: MergeEdges |
+          _: MergeNodeOnSet) =>
         execWrite(g, s)
       case DetachDelete(tag) =>
         val after = GraphOps.dropBatch(g, tag)
@@ -3631,9 +3813,10 @@ object CypherLite {
       parse(q, p).left.map(e => s"statement ${i + 1}: $e").flatMap {
         case s: CreateNode => Right(s)
         case s: MergeEdges => Right(s)
-        case _ => Left(s"statement ${i + 1}: only MERGE/CREATE " +
-          "statements run in a script — SET/DELETE need runWrite's " +
-          "sequential semantics")
+        case _ => Left(s"statement ${i + 1}: only plain MERGE/CREATE " +
+          "statements run in a script — SET / DELETE / " +
+          "MERGE … ON CREATE/ON MATCH SET need runWrite's sequential " +
+          "read-your-writes semantics")
       }
     }
     parsed.collectFirst { case Left(e) => Left(e) }.getOrElse {
@@ -3762,6 +3945,38 @@ object CypherLite {
         // match-or-create: the anti-join drops the row when the identical
         // node already exists — re-running the CREATE is a no-op
         val after = GraphOps.upsert(g, incoming)
+        val summary = after.nodes.toDF().filter(col("id") === id)
+          .select(col("label").as("m_label"), col("name").as("m_name"),
+            col("content").as("m_content"))
+          .orderBy("m_label", "m_name", "m_content")
+        Right((after, summary))
+      case MergeNodeOnSet(CreateNode(label, props, batch),
+          onCreate, onMatch) =>
+        val spark = g.nodes.sparkSession
+        import spark.implicits._
+        val name = props("name") // presence validated at parse time
+        val content = props.getOrElse("content", "")
+        val docnbr = props.getOrElse("docnbr", "")
+        val id = GraphModel.nodeId(label, name, content, docnbr)
+        val incoming = GraphTables(
+          Seq(NodeRow(id, label, name, content, docnbr,
+            batch.getOrElse("cypher"), Seq.empty)).toDS(),
+          spark.emptyDataset[EdgeRow])
+        // which branch happened is decided SET-wise against the
+        // pre-merge image — anti-join = created, semi-join = matched —
+        // never a driver-side existence probe; both updates ride one
+        // relation through the A18 join-update kernel
+        val mergedId = incoming.nodes.toDF().select("id")
+        val preIds = g.nodes.toDF().select("id")
+        val updates = Seq(
+          onCreate.map(v => mergedId.join(preIds, Seq("id"), "left_anti")
+            .select(col("id"), lit(v).as("new_content"))),
+          onMatch.map(v => mergedId.join(preIds, Seq("id"), "left_semi")
+            .select(col("id"), lit(v).as("new_content"))))
+          .flatten.reduceOption(_ unionByName _)
+        val merged = GraphOps.upsert(g, incoming)
+        val after = updates.fold(merged)(u =>
+          GraphOps.updateContent(merged, u))
         val summary = after.nodes.toDF().filter(col("id") === id)
           .select(col("label").as("m_label"), col("name").as("m_name"),
             col("content").as("m_content"))
@@ -4269,7 +4484,8 @@ object CypherLite {
       // SET/CREATE through the read API would compute a success summary
       // from a mutated graph that is immediately DISCARDED — a phantom
       // write. Reject with a pointer instead of pretending.
-      case _: SetContent | _: CreateNode | _: MergeEdges =>
+      case _: SetContent | _: CreateNode | _: MergeEdges |
+          _: MergeNodeOnSet =>
         Left("SET/CREATE/MERGE are write statements — use runWrite(), " +
           "returns the mutated graph alongside the summary (run() would " +
           "discard the mutation)")
@@ -4307,10 +4523,12 @@ object CypherLite {
           items.collect { case RetAggRootProp(_, p) => p } ++
             items.collect { case RetCollectRoot(p, _) => p } ++
             items.collect { case RetCountProp(_, p, false) => p }
-        // type(r) conds (onRel) target the bindings' r_type column, not a
-        // node property — exempt from the connected-prop name check
+        // type(r) conds (onRel) target the bindings' r_type column and
+        // r.prop conds (onRelProp) the schemaless edge-property map —
+        // neither is a node property; exempt from the name checks
         val (connConds, mConds) =
-          conds.flatten.filterNot(_.onRel).partition(_.onConn)
+          conds.flatten.filterNot(c => c.onRel || c.onRelProp)
+            .partition(_.onConn)
         val filterProps = props.keys ++ mConds.map(_.prop) ++
           rootConds.flatten.map(_.prop) ++
           rootConds.flatten.flatMap(_.crossProp)
@@ -4398,14 +4616,15 @@ object CypherLite {
     val roots = g.nodes.filter(pred).select(col("id").as("root_id"),
       col("name").as("root_name"))
     val es = g.edges.filter(relFilter).select(col("src").as("root_id"),
-      col("dst").as("c_id"), col("relType").as("r_type"))
+      col("dst").as("c_id"), col("relType").as("r_type"),
+      col("props").as("r_props"))
     val connected = g.nodes.select(col("id").as("c_id"),
       col("label").as("c_label"), col("name").as("c_name"),
       col("content").as("c_content"))
     roots.join(es, "root_id").join(connected, "c_id")
       .select(col("root_id"), col("root_name"), lit(1).as("depth"),
         col("c_id"), col("c_label"), col("c_name"), col("c_content"),
-        col("r_type"))
+        col("r_type"), col("r_props"))
   }
 
   private def runMatch(g0: GraphTables, label: Option[String],
@@ -4724,7 +4943,8 @@ object CypherLite {
               "root_id")
           if (bindingWhere)
             df.filter(dnf(
-              c => col(if (c.onRel) "r_type"
+              c => if (c.onRelProp) element_at(col("r_props"), c.prop)
+                else col(if (c.onRel) "r_type"
                 else if (c.onConn) s"c_${c.prop}"
                 else s"m_${c.prop}"),
               c => c.crossProp.map(p =>

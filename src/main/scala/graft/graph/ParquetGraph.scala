@@ -284,6 +284,29 @@ object ParquetGraph {
     Tables.nation(s, d).select((col("n_nationkey") + NationBase).as("id"),
       col("n_name"))
 
+  /** The region ROAD chain written through the Cypher surface with BOTH
+    * a numeric `weight` and a categorical `grade` edge property — the
+    * substrate the relationship-property-predicate twins read back
+    * (same script shape as `graphp_cypher_weighted_road`, |region| = 5
+    * bounded driver rows; data stays distributed).
+    */
+  private def roadPropsGraph(s: SparkSession, d: String): GraphTables = {
+    val regions = Tables.region(s, d)
+      .select("r_name", "r_regionkey").collect()
+      .map(r => (r.getString(0), r.getAs[Number](1).intValue))
+      .sortBy(_._1)
+    val script = regions.sliding(2).collect {
+      case Array((pName, _), (cName, cKey)) =>
+        ("MATCH (a:Region {name: $p}), (b:Region {name: $c}) " +
+          "MERGE (a)-[:ROAD {weight: $w, grade: $g}]->(b)",
+          Map("p" -> pName, "c" -> cName,
+            "w" -> (cKey % 3 + 1).toString,
+            "g" -> (if (cKey % 2 == 0) "even" else "odd")))
+    }.toSeq
+    CypherLite.runScript(hierarchy(s, d), script)
+      .fold(err => throw new IllegalArgumentException(err), _._1)
+  }
+
   /** The DeepWalk corpus the two walk queries share: 5 walks × ≤3 steps
     * from every region root over the hierarchy graph, plus the root's
     * region name for grading. Cheap enough to recompute per query (the
@@ -1409,6 +1432,50 @@ object ParquetGraph {
           .select(col("id"), col("name")), "id")
         .select(col("name"), col("distance"))
         .orderBy("name")
+    },
+
+    // C10 write → read-surface composition (new r12): the same
+    // Cypher-written ROAD chain as graphp_cypher_weighted_road, with a
+    // numeric `weight` AND a categorical `grade` edge property — read
+    // back through the NEW relationship-property WHERE on a single-hop
+    // pattern (`WHERE r.weight >= 2`, numeric through the try_cast
+    // lens). The oracle recomputes the surviving chain edges from the
+    // same closed-form weights, so a props round-trip bug or a
+    // comparison-lens bug hash-misses.
+    QueryDef.sql(
+      "graphp_cypher_relprop_where",
+      """WITH r AS (
+        |  SELECT r_name, r_regionkey,
+        |    row_number() OVER (ORDER BY r_name) AS rn
+        |  FROM region)
+        |SELECT p.r_name AS a_name, c.r_name AS b_name
+        |FROM r p JOIN r c ON c.rn = p.rn + 1
+        |WHERE c.r_regionkey % 3 + 1 >= 2
+        |ORDER BY a_name""".stripMargin) { (s, d) =>
+      CypherLite.run(roadPropsGraph(s, d),
+        "MATCH (a:Region)-[r:ROAD]->(b:Region) WHERE r.weight >= 2 " +
+          "RETURN a.name AS a_name, b.name AS b_name ORDER BY a.name")
+        .fold(err => throw new IllegalArgumentException(err), identity)
+    },
+
+    // C10 write → read-surface composition (new r12): the inline
+    // relationship property map (`-[r:ROAD {grade: 'even'}]->`) — the
+    // pattern-level spelling of the same per-edge predicate, desugared
+    // into the binding filter. Same written chain, categorical key.
+    QueryDef.sql(
+      "graphp_cypher_relprop_map",
+      """WITH r AS (
+        |  SELECT r_name, r_regionkey,
+        |    row_number() OVER (ORDER BY r_name) AS rn
+        |  FROM region)
+        |SELECT c.r_name AS b_name
+        |FROM r p JOIN r c ON c.rn = p.rn + 1
+        |WHERE c.r_regionkey % 2 = 0
+        |ORDER BY b_name""".stripMargin) { (s, d) =>
+      CypherLite.run(roadPropsGraph(s, d),
+        "MATCH (a:Region)-[r:ROAD {grade: 'even'}]->(b:Region) " +
+          "RETURN b.name AS b_name ORDER BY b.name")
+        .fold(err => throw new IllegalArgumentException(err), identity)
     },
 
     // Q9 sampling: deterministic random-walk corpus (DeepWalk) from every
@@ -3014,6 +3081,36 @@ object ParquetGraph {
       CypherLite.runWrite(hierarchy(s, d),
         "MERGE (n:Meta {name: 'merge-note', content: 'round8'})")
         .fold(err => throw new IllegalArgumentException(err), _._2)
+    },
+
+    // C10 write surface (new r12): branch-aware MERGE — ON CREATE SET /
+    // ON MATCH SET, the standard Neo4j upsert idiom one step past the
+    // reference's plain MERGE (`new_final.js:22-31`). The SAME statement
+    // runs twice: run 1 must take the CREATE branch (node absent →
+    // content 'created-r12'), run 2 over the mutated graph must take the
+    // MATCH branch (content flips to 'matched-r12') — both branches are
+    // graded in one answer, tagged by run. The branch decision is
+    // set-wise (anti/semi join on the MERGE key against the pre-merge
+    // image), never a driver probe.
+    QueryDef.sql(
+      "graphp_cypher_merge_onset",
+      """SELECT * FROM (
+        |  SELECT 1 AS run, 'Meta' AS m_label, 'onset-note' AS m_name,
+        |    'created-r12' AS m_content
+        |  UNION ALL
+        |  SELECT 2, 'Meta', 'onset-note', 'matched-r12')
+        |ORDER BY run""".stripMargin) { (s, d) =>
+      val q = "MERGE (n:Meta {name: 'onset-note'}) " +
+        "ON CREATE SET n.content = 'created-r12' " +
+        "ON MATCH SET n.content = 'matched-r12'"
+      val (g1, s1) = CypherLite.runWrite(hierarchy(s, d), q)
+        .fold(err => throw new IllegalArgumentException(err), identity)
+      val s2 = CypherLite.runWrite(g1, q)
+        .fold(err => throw new IllegalArgumentException(err), _._2)
+      s1.withColumn("run", lit(1))
+        .unionByName(s2.withColumn("run", lit(2)))
+        .select(col("run"), col("m_label"), col("m_name"), col("m_content"))
+        .orderBy("run")
     },
 
     // B6 CypherLite twin (new r8): the modern EXISTS { … } existential-

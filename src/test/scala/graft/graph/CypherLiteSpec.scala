@@ -2169,6 +2169,76 @@ class CypherLiteSpec extends SparkSpec {
     assert(CypherLite.parse("MERGE (n:Note {content: 'x'})").isLeft)
   }
 
+  test("MERGE … ON CREATE SET / ON MATCH SET applies the branch that " +
+      "actually happened") {
+    val q = "MERGE (n:Note {name: 'onset'}) " +
+      "ON CREATE SET n.content = 'fresh' ON MATCH SET n.content = 'seen'"
+    // run 1: node absent → CREATE branch
+    val (a1, s1) = CypherLite.runWrite(g, q).fold(e => fail(e), identity)
+    assert(a1.nodes.count() == g.nodes.count() + 1)
+    assert(s1.collect().map(r => (r.getString(0), r.getString(1),
+      r.getString(2))).toSeq == Seq(("Note", "onset", "fresh")))
+    // run 2: matched → MATCH branch flips the content, no new node
+    val (a2, s2) = CypherLite.runWrite(a1, q).fold(e => fail(e), identity)
+    assert(a2.nodes.count() == a1.nodes.count())
+    assert(s2.collect().map(_.getString(2)).toSeq == Seq("seen"))
+    // run 3: still matched — the matched branch is idempotent
+    val (a3, s3) = CypherLite.runWrite(a2, q).fold(e => fail(e), identity)
+    assert(a3.nodes.count() == a2.nodes.count())
+    assert(s3.collect().map(_.getString(2)).toSeq == Seq("seen"))
+    // clause order is free (Neo4j allows either)
+    val (_, t1) = CypherLite.runWrite(g,
+      "MERGE (n:Note {name: 'onset2'}) ON MATCH SET n.content = 'm' " +
+        "ON CREATE SET n.content = 'c'").fold(e => fail(e), identity)
+    assert(t1.collect().map(_.getString(2)).toSeq == Seq("c"))
+    // a lone ON CREATE clause leaves a MATCHED node untouched
+    val (_, u2) = CypherLite.runWrite(a1,
+      "MERGE (n:Note {name: 'onset'}) " +
+        "ON CREATE SET n.content = 'only-create'")
+      .fold(e => fail(e), identity)
+    assert(u2.collect().map(_.getString(2)).toSeq == Seq("fresh"))
+    // values resolve from $params like every other write value
+    val (_, pv) = CypherLite.runWrite(g,
+      "MERGE (n:Note {name: $nm}) ON CREATE SET n.content = $cv",
+      Map("nm" -> "onset3", "cv" -> "param-made"))
+      .fold(e => fail(e), identity)
+    assert(pv.collect().map(_.getString(2)).toSeq == Seq("param-made"))
+  }
+
+  test("MERGE … ON SET rejections: non-content writes, duplicate " +
+      "clauses, foreign variables, scripts") {
+    def bad(q: String, frag: String): Unit = {
+      val r = CypherLite.parse(q)
+      assert(r.isLeft && r.swap.toOption.get.contains(frag), s"$q → $r")
+    }
+    bad("MERGE (n:Note {name: 'x'}) ON CREATE SET n.name = 'y'",
+      "content")
+    bad("MERGE (n:Note {name: 'x'}) ON CREATE SET m.content = 'y'",
+      "merged variable")
+    bad("MERGE (n:Note {name: 'x'}) ON CREATE SET n.content = 'a' " +
+      "ON CREATE SET n.content = 'b'", "at most one")
+    // a comma list of SET items is outside the supported shape — the
+    // targeted unparseable message, not the generic one
+    bad("MERGE (n:Note {name: 'x'}) ON CREATE SET n.content = 'a', " +
+      "n.docnbr = 'b'", "ON CREATE/ON MATCH")
+    val mp = CypherLite.parse(
+      "MERGE (n:Note {name: 'x'}) ON MATCH SET n.content = $gone")
+    assert(mp.isLeft &&
+      mp.swap.toOption.get.contains("missing parameter"), mp.toString)
+    // the read API refuses the write
+    val viaRun = CypherLite.run(g,
+      "MERGE (n:Note {name: 'x'}) ON CREATE SET n.content = 'y'")
+    assert(viaRun.isLeft &&
+      viaRun.swap.toOption.get.contains("runWrite"), viaRun.toString)
+    // scripts refuse it — the branch decision needs sequential
+    // read-your-writes ordering a two-phase script cannot honor
+    val sc = CypherLite.runScript(g, Seq(
+      ("MERGE (n:Note {name: 'x'}) ON CREATE SET n.content = 'y'",
+        Map.empty[String, String])))
+    assert(sc.isLeft && sc.swap.toOption.get.contains("sequential"),
+      sc.toString)
+  }
+
   test("EXISTS { } subquery spelling equals the bare pattern-existence") {
     val brace = CypherLite.run(g,
       "MATCH (m:Boeing_Service_Bulletin) " +

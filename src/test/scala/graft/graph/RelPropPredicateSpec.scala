@@ -1,0 +1,111 @@
+package graft.graph
+
+import graft.SparkSpec
+
+/** Relationship-property predicates on single-hop patterns — the inline
+  * map form (`-[r:ROAD {grade: 'a'}]->`) and the WHERE form
+  * (`WHERE r.weight > 3`) — over the schemaless `EdgeRow.props` map the
+  * Cypher write surface sets. Ranged patterns reject them (Cypher's own
+  * restriction for per-edge talk on var-length bindings).
+  */
+class RelPropPredicateSpec extends SparkSpec {
+
+  private def node(id: Long, label: String = "N"): NodeRow =
+    NodeRow(id, label, s"n$id", "", "", "b1", Seq.empty)
+
+  // a small road net: grades a/b, weights 1..5, one unweighted edge,
+  // and a parallel edge of a different type between 1 and 2
+  private lazy val g = {
+    import spark.implicits._
+    GraphTables(
+      (1L to 5L).map(node(_)).toDS(),
+      Seq(
+        EdgeRow(1L, 2L, "ROAD", "", "b1",
+          Map("grade" -> "a", "weight" -> "5")),
+        EdgeRow(1L, 3L, "ROAD", "", "b1",
+          Map("grade" -> "b", "weight" -> "2")),
+        EdgeRow(1L, 4L, "ROAD", "", "b1", Map("grade" -> "a")),
+        EdgeRow(2L, 5L, "ROAD", "", "b1", Map("weight" -> "3")),
+        EdgeRow(1L, 2L, "TOLL", "", "b1", Map("grade" -> "a"))
+      ).toDS())
+  }
+
+  private def names(q: String, colName: String = "c_name"): Seq[String] =
+    CypherLite.run(g, q).fold(e => fail(s"$q → $e"), identity)
+      .collect().map(_.getAs[String](colName)).toSeq
+
+  test("inline relationship map filters per edge, with or without a " +
+      "bound variable") {
+    assert(names("MATCH (a:N)-[r:ROAD {grade: 'a'}]->(b) " +
+      "RETURN b.name ORDER BY b.name") == Seq("n2", "n4"))
+    assert(names("MATCH (a:N)-[:ROAD {grade: 'a'}]->(b) " +
+      "RETURN b.name ORDER BY b.name") == Seq("n2", "n4"))
+    // two-key map conjoins
+    assert(names("MATCH (a:N)-[r:ROAD {grade: 'a', weight: '5'}]->(b) " +
+      "RETURN b.name") == Seq("n2"))
+    // multi-type bracket with a map still filters per edge (an untyped
+    // bracket follows the engine's HAS_* containment convention, so the
+    // any-of-these form is the right spelling here)
+    assert(names("MATCH (a:N)-[r:ROAD|TOLL {grade: 'a'}]->(b) " +
+      "RETURN b.name ORDER BY b.name") == Seq("n2", "n2", "n4"))
+  }
+
+  test("WHERE r.prop compares numerically, by string ops, and by " +
+      "null tests; a missing key is null and the binding drops") {
+    assert(names("MATCH (a:N)-[r:ROAD]->(b) WHERE r.weight > 2 " +
+      "RETURN b.name ORDER BY b.name") == Seq("n2", "n5"))
+    assert(names("MATCH (a:N)-[r:ROAD]->(b) WHERE r.weight >= 2 " +
+      "AND r.weight <= 3 RETURN b.name ORDER BY b.name") ==
+      Seq("n3", "n5"))
+    assert(names("MATCH (a:N)-[r:ROAD]->(b) WHERE r.grade = 'b' " +
+      "RETURN b.name") == Seq("n3"))
+    assert(names("MATCH (a:N)-[r:ROAD]->(b) WHERE toUpper(r.grade) = 'A' " +
+      "RETURN b.name ORDER BY b.name") == Seq("n2", "n4"))
+    // missing weight key: the numeric comparison is null → drops; the
+    // explicit null test finds exactly that edge
+    assert(names("MATCH (a:N)-[r:ROAD]->(b) WHERE r.weight IS NULL " +
+      "RETURN b.name") == Seq("n4"))
+    assert(names("MATCH (a:N)-[r:ROAD]->(b) WHERE r.weight IS NOT NULL " +
+      "RETURN b.name ORDER BY b.name") == Seq("n2", "n3", "n5"))
+    // rel conds compose with node conds and the inline map
+    assert(names("MATCH (a:N)-[r:ROAD {grade: 'a'}]->(b) " +
+      "WHERE r.weight IS NOT NULL AND b.name <> 'n9' " +
+      "RETURN b.name") == Seq("n2"))
+  }
+
+  test("rel-prop predicates compose with type(r), count(r), direction, " +
+      "and OPTIONAL MATCH") {
+    // type(r) projection under an inline map on a multi-type bracket
+    val t = CypherLite.run(g, "MATCH (a:N)-[r:ROAD|TOLL {grade: 'a'}]->(b) " +
+      "RETURN type(r), count(r) ORDER BY type(r)")
+      .fold(e => fail(e), identity).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(t == Seq(("ROAD", 2L), ("TOLL", 1L)))
+    // incoming direction: props ride the reversed edge relation
+    assert(names("MATCH (b:N)<-[r:ROAD {grade: 'a'}]-(a) " +
+      "RETURN a.name ORDER BY a.name") == Seq("n1", "n1"))
+    // OPTIONAL MATCH: a root with no binding surviving the rel filter
+    // still returns, with null connected columns (Cypher's rule)
+    val o = CypherLite.run(g, "MATCH (m:N {name: 'n2'}) " +
+      "OPTIONAL MATCH (m)-[r:ROAD]->(c) WHERE r.weight > 9 " +
+      "RETURN m.name, c.name").fold(e => fail(e), identity).collect()
+    assert(o.length == 1 && o.head.getString(0) == "n2" &&
+      o.head.isNullAt(1))
+  }
+
+  test("ranged patterns and chains reject relationship property maps " +
+      "and r-property WHERE with named errors") {
+    def leftMsg(q: String): String =
+      CypherLite.parse(q).swap.getOrElse(fail(s"$q unexpectedly parsed"))
+    assert(leftMsg("MATCH (a:N)-[r:ROAD*1..3 {grade: 'a'}]->(b) " +
+      "RETURN b.name").contains("variable-length"))
+    assert(leftMsg("MATCH (a:N)-[:ROAD*1..2 {grade: 'a'}]->(b) " +
+      "RETURN b.name").contains("variable-length"))
+    // 2-segment chain: the targeted single-hop-only message
+    assert(leftMsg("MATCH (a:N)-[:ROAD {grade: 'a'}]->(b)-[:ROAD]->(c) " +
+      "RETURN c.name").contains("single-hop"))
+    // WHERE r.prop needs the bound variable
+    assert(leftMsg("MATCH (a:N)-[:ROAD]->(b) WHERE r.weight > 2 " +
+      "RETURN b.name").contains("WHERE may only reference"))
+  }
+}
