@@ -499,6 +499,144 @@ class ScaleCurveSpec extends SparkSpec {
       s"1x=$c1 10x=$c10")
   }
 
+  // round-12 directive 1: the incremental GraphStore chain — the repo's
+  // one previously unmeasured scale claim (StreamingGraphIngest doc:
+  // commits write O(batch) never O(graph); reads pay one listing per
+  // chain member until MaxChain folds the store).
+  test("incremental store: a delta commit writes O(batch) bytes " +
+      "whatever the accumulated graph size; a replayed batch commits " +
+      "an ~empty delta") {
+    import spark.implicits._
+    import graft.graph.{GraphStore, StreamingGraphIngest}
+    def batchEnv(lo: Long, n: Long) =
+      StreamingGraphIngest.toEnvelope(GraphTables(
+        spark.range(lo, lo + n).select(col("id"), lit("N").as("label"),
+            concat(lit("n"), col("id")).as("name"), lit("").as("content"),
+            lit("").as("docnbr"), lit("b0").as("batch"),
+            typedLit(Seq.empty[Int]).as("path")).as[NodeRow],
+        spark.emptyDataset[EdgeRow])).localCheckpoint()
+    def dirBytes(p: String): Long = {
+      val root = java.nio.file.Paths.get(p)
+      val s = java.nio.file.Files.walk(root)
+      try s.filter(java.nio.file.Files.isRegularFile(_))
+        .mapToLong(java.nio.file.Files.size(_)).sum
+      finally s.close()
+    }
+    def newestVersionBytes(store: String): Long =
+      dirBytes(s"$store/${GraphStore.versionList(store).head}")
+    // small store: 1 batch of 500; big store: bulk 50,000 then the SAME
+    // 500-row batch shape — the delta commit's payload must not grow
+    // with the 100x store
+    val small = java.nio.file.Files
+      .createTempDirectory("chain_small").resolve("s").toString
+    StreamingGraphIngest.ingestBatch(spark, batchEnv(0, 500), small)
+    val smallCommit = newestVersionBytes(small)
+    val big = java.nio.file.Files
+      .createTempDirectory("chain_big").resolve("s").toString
+    StreamingGraphIngest.ingestBatch(spark, batchEnv(0, 50000), big)
+    StreamingGraphIngest.ingestBatch(spark, batchEnv(100000, 500), big)
+    val bigDelta = newestVersionBytes(big)
+    info(f"commit payload: 500-row full=$smallCommit%d B, " +
+      f"500-row delta on a 100x store=$bigDelta%d B")
+    assert(bigDelta <= 3 * smallCommit,
+      s"delta commit scaled with the store, not the batch: " +
+        s"$bigDelta B vs $smallCommit B for the same 500 rows")
+    // replay of an applied batch: the anti-join leaves nothing — the
+    // commit is schema + footer overhead only, far under one batch
+    StreamingGraphIngest.ingestBatch(spark, batchEnv(100000, 500), big)
+    val replay = newestVersionBytes(big)
+    assert(replay < smallCommit / 2,
+      s"a replayed batch must commit an ~empty delta, wrote $replay B")
+  }
+
+  test("incremental store: total drain wall-time grows ~linearly from " +
+      "10x to 100x batch count, chain capped by auto-compaction") {
+    import spark.implicits._
+    import graft.graph.{GraphStore, StreamingGraphIngest}
+    def writeEnvFiles(dir: String, n: Int, rowsPer: Int): Unit =
+      (0 until n).foreach { k =>
+        val lo = k.toLong * rowsPer
+        StreamingGraphIngest.toEnvelope(GraphTables(
+          spark.range(lo, lo + rowsPer).select(col("id"),
+              lit("N").as("label"),
+              concat(lit("n"), col("id")).as("name"), lit("").as("content"),
+              lit("").as("docnbr"), lit(s"b$k").as("batch"),
+              typedLit(Seq.empty[Int]).as("path")).as[NodeRow],
+          spark.emptyDataset[EdgeRow]))
+          .coalesce(1).write.parquet(s"$dir/f$k")
+      }
+    def drain(n: Int): (String, Double) = {
+      val root = java.nio.file.Files
+        .createTempDirectory(s"chain_drain$n").toString
+      writeEnvFiles(s"$root/env", n, 200)
+      val t = timed(StreamingGraphIngest.drainIngest(spark, s"$root/env",
+        s"$root/store", s"$root/ckpt", maxFilesPerTrigger = Some(1)))
+      (s"$root/store", t)
+    }
+    drain(3) // warm-up: streaming-query lifecycle JIT
+    val (_, t10) = drain(10)
+    val (store100, t100) = drain(100)
+    // 100 one-file micro-batches = 100 O(batch) commits + ~3 amortized
+    // compaction folds. The bound is 20, not MaxRatio's 15: per-commit
+    // read cost carries one parquet listing per LIVE CHAIN member by
+    // design, and the 10-batch run never grows past chain 10 while the
+    // 100-batch run averages ~20 members between folds — a bounded
+    // (≤ MaxChain) constant-factor ramp on top of the 10x batch count,
+    // which is exactly the documented amortization contract (measured
+    // 14.3 on an idle box). A per-batch store REWRITE — the defect this
+    // curve exists to catch — would read ~50x and blow any such bound.
+    assertLinear("graphstore-drain(10x→100x batches)", t10, t100,
+      bound = 20.0)
+    assert(GraphStore.chainLength(store100) <=
+      StreamingGraphIngest.MaxChain + 1,
+      "auto-compaction must cap the live chain")
+    assert(GraphStore.load(spark, store100).nodes.count() == 100L * 200)
+  }
+
+  test("incremental store: load cost grows with the chain only " +
+      "linearly, and compaction folds it back to snapshot cost") {
+    import spark.implicits._
+    import graft.graph.{GraphStore, StreamingGraphIngest}
+    def batchEnv(lo: Long, n: Long) =
+      StreamingGraphIngest.toEnvelope(GraphTables(
+        spark.range(lo, lo + n).select(col("id"), lit("N").as("label"),
+            concat(lit("n"), col("id")).as("name"), lit("").as("content"),
+            lit("").as("docnbr"), lit("b0").as("batch"),
+            typedLit(Seq.empty[Int]).as("path")).as[NodeRow],
+        spark.emptyDataset[EdgeRow])).localCheckpoint()
+    // same 32k-row content, two layouts: one snapshot vs a 32-member
+    // delta chain (maxChain high enough that no fold happens)
+    val snap = java.nio.file.Files
+      .createTempDirectory("chain_snap").resolve("s").toString
+    StreamingGraphIngest.ingestBatch(spark, batchEnv(0, 32000), snap)
+    val chained = java.nio.file.Files
+      .createTempDirectory("chain_long").resolve("s").toString
+    (0 until 32).foreach(k => StreamingGraphIngest.ingestBatch(spark,
+      batchEnv(k * 1000L, 1000), chained, maxChain = 1000))
+    assert(GraphStore.chainLength(chained) == 32)
+    def loadCount(dir: String): Unit = {
+      val g = GraphStore.load(spark, dir)
+      assert(g.nodes.count() == 32000)
+    }
+    loadCount(snap); loadCount(chained) // warm-up
+    val tSnap = timedMin2(loadCount(snap))
+    val tChain = timedMin2(loadCount(chained))
+    info(f"load: snapshot=${tSnap}%.2fs 32-chain=${tChain}%.2fs " +
+      f"ratio=${tChain / math.max(tSnap, OverheadFloorSec)}%.1f")
+    // one parquet listing + footer per member: 32 members may cost up
+    // to ~32 listings' overhead but never superlinear blowup
+    assertLinear("graphstore-load(1→32 chain)", tSnap, tChain,
+      bound = 32.0)
+    // compaction restores snapshot-shaped reads (content unchanged)
+    GraphStore.compact(spark, chained)
+    assert(GraphStore.chainLength(chained) == 1)
+    val tAfter = timedMin2(loadCount(chained))
+    info(f"load after compaction=${tAfter}%.2fs")
+    assert(tAfter <= math.max(3 * tSnap, 3 * OverheadFloorSec),
+      f"post-compaction load should read like a snapshot: " +
+        f"$tAfter%.2fs vs $tSnap%.2fs")
+  }
+
   test("10x replica preserves per-copy output: minhash pairs are exactly " +
       "10x the 1x pairs, none crossing copies") {
     // the fairness precondition of the curve: if token-salting leaked
