@@ -239,6 +239,18 @@ import org.apache.spark.sql.functions._
   * variable never widens WHICH edges are traversed, only what the query
   * can say about them. On an incoming (`<-[r]-`) or undirected pattern
   * type(r) answers the TRUE stored type of the traversed edge.
+  * The same substrate carries the edge's PROPERTY map (`EdgeRow.props`,
+  * the schemaless map the write surface sets): an inline map
+  * `-[r:T {grade: 'a'}]->` desugars to per-edge equality conditions
+  * (and forces the typed-bindings substrate even without an explicit
+  * variable), `WHERE r.prop <op> …` / `r.prop IS [NOT] NULL` filter the
+  * bindings through the usual numeric/case-fold lenses (a missing key
+  * is null — the binding drops), and `RETURN r.prop` projects it per
+  * binding (output column `r_<prop>`; a grouping key under aggregates —
+  * the `RETURN r.grade, count(r)` weighted census — and an ORDER BY
+  * key when projected). Ranged patterns and multi-segment chains
+  * reject all three forms by name (per-edge talk on a var-length
+  * binding is Cypher's own restriction).
   * `OPTIONAL MATCH` makes the hop pattern left-outer (Cypher's optional
   * semantics): every root matching the first MATCH pattern is returned,
   * with the connected columns null when no binding exists. A WHERE clause
@@ -357,6 +369,12 @@ object CypherLite {
       default: Option[String]) extends RetItem
   case object RetConnected extends RetItem
   final case class RetConnProp(prop: String) extends RetItem // c.prop
+  // r.prop — the traversed edge's property (output column `r_<prop>`,
+  // `element_at(r_props, prop)` on the typed-bindings substrate; a
+  // missing key projects null, Cypher's rule). Like type(r): only valid
+  // with a bound single-hop relationship variable, and a grouping key
+  // under aggregates.
+  final case class RetRelProp(prop: String) extends RetItem
   // count([DISTINCT] connected) — distinct counts connected NODES not
   // bindings; count(*) (star) counts RESULT ROWS, which under OPTIONAL
   // MATCH includes the null row of an unmatched root (Cypher: count(*) is
@@ -371,6 +389,12 @@ object CypherLite {
   // drop out — Cypher's rule — and a sum over zero values is 0); min/max
   // order by the property's native string collation
   final case class RetAggProp(fn: String, prop: String) extends RetItem
+  // sum/avg/min/max(r.prop) — aggregates over the traversed edges'
+  // property values ("total weight per grade"): the same numeric
+  // (try_cast) / string-collation lenses as [[RetAggProp]], read from
+  // the typed-bindings substrate's edge-property map. Requires the
+  // bound single-hop relationship variable, like every r-form.
+  final case class RetAggRelProp(fn: String, prop: String) extends RetItem
   // count([DISTINCT] (m|c).prop) — counts the variable's non-null
   // PROPERTY VALUES over the surviving bindings rather than the bindings
   // themselves; DISTINCT counts distinct values ("how many kinds of X" —
@@ -2936,9 +2960,14 @@ object CypherLite {
         // sum/avg/min/max(m.prop): the global matched-side aggregate
         case AggRe(fn, v, p) if v == m =>
           Right(RetAggRootProp(fn.toLowerCase(java.util.Locale.ROOT), p))
+        // sum/avg/min/max(r.prop): edge-property aggregates over the
+        // typed-bindings substrate ("total weight per grade")
+        case AggRe(fn, v, p) if relVar.contains(v) =>
+          Right(RetAggRelProp(fn.toLowerCase(java.util.Locale.ROOT), p))
         case AggRe(fn, v, p) => Left(s"$fn() may only aggregate the " +
           s"matched variable '$m'" +
           conn.fold("")(c => s" or the connected variable '$c'") +
+          relVar.fold("")(r => s" or the relationship variable '$r'") +
           s", got '$v.$p'")
         case CoalesceRe(v, p, d) if conn.contains(v) =>
           Right(RetCoalesce(p, d))
@@ -3005,9 +3034,14 @@ object CypherLite {
             s"variable '$m' on the hop-less form, got '$v'")
         case VarPropRe(v, p) if v == m => Right(RetProp(p))
         case VarPropRe(v, p) if conn.contains(v) => Right(RetConnProp(p))
+        // r.prop: the traversed edge's property — rides the same
+        // typed-bindings substrate as type(r)
+        case VarPropRe(v, p) if relVar.contains(v) => Right(RetRelProp(p))
         case VarPropRe(v, p) => Left(
           s"property projection may only reference '$m'" +
-            conn.fold("")(c => s" or '$c'") + s", got '$v.$p'")
+            conn.fold("")(c => s" or '$c'") +
+            relVar.fold("")(r => s" or the relationship variable '$r'") +
+            s", got '$v.$p'")
         case VarRe(v) if v == m => Right(RetVar)
         case VarRe(v) if conn.contains(v) => Right(RetConnected)
         case other => Left(s"unsupported RETURN item: ${other.take(40)}")
@@ -3025,6 +3059,7 @@ object CypherLite {
         // canonical name and is rejected by the duplicate-canonical check)
         case RetCase(_, _) => Some("case_result")
         case RetConnProp(p) => Some(s"c_$p")
+        case RetRelProp(p) => Some(s"r_$p")
         case RetCoalesce(p, _) => Some(s"c_$p")
         case RetCount(_, _) => Some("n_connected")
         case RetCountRoot(_) => Some("n_matched")
@@ -3032,6 +3067,7 @@ object CypherLite {
         case RetCollect(_, _) => Some("collected")
         case RetCollectRoot(_, _) => Some("collected")
         case RetAggProp(fn, p) => Some(s"${fn}_$p")
+        case RetAggRelProp(fn, p) => Some(s"${fn}_$p")
         // m- and c-side property aggregates share the `<fn>_<prop>`
         // namespace; a query projecting both on the SAME (fn, prop) is
         // rejected by the duplicate-canonical check (alias one with AS)
@@ -3065,6 +3101,7 @@ object CypherLite {
             i.isInstanceOf[RetCount] || i.isInstanceOf[RetCollect] ||
               i.isInstanceOf[RetAggProp] || i.isInstanceOf[RetCountRoot] ||
               i.isInstanceOf[RetAggRootProp] ||
+              i.isInstanceOf[RetAggRelProp] ||
               i.isInstanceOf[RetCollectRoot]
           val global = pairs.nonEmpty && pairs.forall(p => isAggI(p._1))
           if (dupAlias.nonEmpty)
@@ -3122,9 +3159,17 @@ object CypherLite {
                 Left(s"ORDER BY key '$v.$p' must be among the returned " +
                   "connected-node properties")
               else Right((ConnKeyPrefix + p, d(dir)))
+            // ORDER BY r.prop: sort by a projected edge-property column
+            // (the "r:" pseudo-key) — same projection demand as c.prop
+            case ObPropItemRe(v, p, dir) if relVar.contains(v) =>
+              if (!items.contains(RetRelProp(p)))
+                Left(s"ORDER BY key '$v.$p' must be among the returned " +
+                  "relationship properties")
+              else Right((RelKeyPrefix + p, d(dir)))
             case ObPropItemRe(v, _, _) =>
               Left(s"ORDER BY may only reference '$m'" +
-                conn.fold("")(c => s" or '$c'") + s", got '$v'")
+                conn.fold("")(c => s" or '$c'") +
+                relVar.fold("")(r => s" or '$r'") + s", got '$v'")
             // ORDER BY count(c)/count(*): sort groups by the aggregate
             // (top-k groups); demands a count item in RETURN
             case ObCountItemRe(v, dir) if conn.contains(v) || v == "*" =>
@@ -3158,13 +3203,16 @@ object CypherLite {
                 case Some(i @ (_: RetPropFn | _: RetCase)) =>
                   Right((AggKeyPrefix + canonOf(i).getOrElse(""), d(dir)))
                 case Some(i @ (_: RetCount | _: RetCollect
-                   | _: RetAggProp | _: RetCountProp)) =>
+                   | _: RetAggProp | _: RetAggRelProp
+                   | _: RetCountProp)) =>
                   // each aggregate sorts by ITS canonical column (several
                   // may coexist), carried via the agg: pseudo-namespace
                   Right((AggKeyPrefix + canonOf(i).getOrElse(""), d(dir)))
                 case Some(RetRelType) => Right((RelTypeKey, d(dir)))
                 case Some(RetConnProp(p)) =>
                   Right((ConnKeyPrefix + p, d(dir)))
+                case Some(RetRelProp(p)) =>
+                  Right((RelKeyPrefix + p, d(dir)))
                 case Some(_) => Left("ORDER BY on this alias kind is " +
                   s"not supported ('$b')")
                 case None => Left(s"ORDER BY key '$b' is not an alias " +
@@ -3201,6 +3249,7 @@ object CypherLite {
             i.isInstanceOf[RetCount] || i.isInstanceOf[RetCollect] ||
               i.isInstanceOf[RetAggProp] || i.isInstanceOf[RetCountRoot] ||
               i.isInstanceOf[RetAggRootProp] ||
+              i.isInstanceOf[RetAggRelProp] ||
               i.isInstanceOf[RetCollectRoot] ||
               i.isInstanceOf[RetCountProp]
           isRootAgg = (i: RetItem) => i match {
@@ -3229,7 +3278,8 @@ object CypherLite {
               "aggregates)")
           else Right(())
           _ <- if (items.exists(i => i.isInstanceOf[RetCollect] ||
-              i.isInstanceOf[RetAggProp]) && conn.isEmpty)
+              i.isInstanceOf[RetAggProp] ||
+              i.isInstanceOf[RetAggRelProp]) && conn.isEmpty)
             Left("collect()/sum()/avg()/min()/max() require a hop pattern")
           else Right(())
           // m-side aggregates are the hop-less global form; mixing them
@@ -3295,19 +3345,22 @@ object CypherLite {
           // type(r) alongside the whole matched node has nowhere to go in
           // the m-only projection branch (mirror of the c.prop rule above);
           // alongside the whole connected node it rides the binding columns
-          _ <- if (items.contains(RetRelType) && items.contains(RetVar) &&
-              !items.contains(RetConnected))
+          _ <- if ((items.contains(RetRelType) ||
+              items.exists(_.isInstanceOf[RetRelProp])) &&
+              items.contains(RetVar) && !items.contains(RetConnected))
             Left("RETURN of the whole matched node cannot be combined with " +
-              "type() — project m.prop explicitly")
+              "type() or r.prop — project m.prop explicitly")
           else Right(())
           // Cypher's grouping rule: every non-aggregate RETURN item is a
           // grouping key; with NO non-aggregate items the query is the
           // GLOBAL form (one summary row) — that's isGlobal, handled by
-          // its own branch. A mix that groups only by type(r) stays valid.
+          // its own branch. A mix that groups only by type(r) or a
+          // projected edge property stays valid.
           _ <- if (items.exists(isAgg) && !isGlobal && !items.exists(i =>
-              i == RetVar || i.isInstanceOf[RetProp] || i == RetRelType))
-            Left("an aggregate requires a grouping item (m, m.prop, or " +
-              "type(r))")
+              i == RetVar || i.isInstanceOf[RetProp] || i == RetRelType ||
+              i.isInstanceOf[RetRelProp]))
+            Left("an aggregate requires a grouping item (m, m.prop, " +
+              "type(r), or r.prop)")
           else Right(())
           // hop-less count(*) groups matched nodes by projected property
           // values; grouping by the whole node would count 1 per node
@@ -3570,6 +3623,7 @@ object CypherLite {
         case _: RetCollect => "collected"
         case _: RetCollectRoot => "collected"
         case RetAggProp(fn, p) => s"${fn}_$p"
+        case RetAggRelProp(fn, p) => s"${fn}_$p"
         case RetAggRootProp(fn, p) => s"${fn}_$p"
         case _ => "item" // unreachable: callers filtered to aggregates
       }
@@ -3588,6 +3642,9 @@ object CypherLite {
     * parens-can't-collide trick as [[CountKey]].
     */
   private val RelTypeKey = "type(r)"
+  // ORDER BY r.prop pseudo-key namespace ("r:<prop>") — a colon keeps it
+  // collision-free with m-property names, as with [[ConnKeyPrefix]]
+  private val RelKeyPrefix = "r:"
 
   /** ORDER BY key prefix marking a CONNECTED-node property (`c.prop`) —
     * a colon cannot appear in a property name, so the namespace cannot
@@ -4502,6 +4559,7 @@ object CypherLite {
         }
         val hasCount = items.exists(i => i.isInstanceOf[RetCount] ||
           i.isInstanceOf[RetCollect] || i.isInstanceOf[RetAggProp] ||
+          i.isInstanceOf[RetAggRelProp] ||
           i.isInstanceOf[RetCountRoot] || i.isInstanceOf[RetAggRootProp] ||
           i.isInstanceOf[RetCollectRoot])
         // coalesce() plumbs as a c-prop projection; the whole-node and
@@ -4540,7 +4598,8 @@ object CypherLite {
         // through the outProps check below
         val obProps = orderBy.map(_._1).distinct
           .filterNot(k => k == CountKey || k == RelTypeKey ||
-            k.startsWith(ConnKeyPrefix) || k.startsWith(AggKeyPrefix))
+            k.startsWith(ConnKeyPrefix) || k.startsWith(AggKeyPrefix) ||
+            k.startsWith(RelKeyPrefix))
         // scalar-fn/CASE items read raw property columns before
         // transforming — validate those names like any projection
         val fnProps = items.collect { case RetPropFn(_, p, _) => p } ++
@@ -4655,7 +4714,8 @@ object CypherLite {
     // else the fixed contract names (AS aliases rename at the very end)
     val aggItems = items.filter(i =>
       i.isInstanceOf[RetCount] || i.isInstanceOf[RetCollect] ||
-        i.isInstanceOf[RetAggProp] || i.isInstanceOf[RetCountProp])
+        i.isInstanceOf[RetAggProp] || i.isInstanceOf[RetAggRelProp] ||
+        i.isInstanceOf[RetCountProp])
     // canonical output columns, one per aggregate, in item order (the
     // WITH pipeline binds its aggregates to the user aliases instead —
     // ordered by RETURN position, so the positional zip aligns);
@@ -4717,7 +4777,8 @@ object CypherLite {
     // grouped-by-root-keys plan shape; only the aggregate expression differs
     val wantsAgg = items.exists(i =>
       i.isInstanceOf[RetCount] || i.isInstanceOf[RetCollect] ||
-        i.isInstanceOf[RetAggProp] || i.isInstanceOf[RetCountProp])
+        i.isInstanceOf[RetAggProp] || i.isInstanceOf[RetAggRelProp] ||
+        i.isInstanceOf[RetCountProp])
     // GLOBAL form: every item an aggregate → no grouping keys, one summary
     // row out of one partial+final hash aggregate (parse() validated the
     // combination rules)
@@ -4725,6 +4786,7 @@ object CypherLite {
       i.isInstanceOf[RetCount] || i.isInstanceOf[RetCollect] ||
         i.isInstanceOf[RetAggProp] || i.isInstanceOf[RetCountRoot] ||
         i.isInstanceOf[RetAggRootProp] || i.isInstanceOf[RetCollectRoot] ||
+        i.isInstanceOf[RetAggRelProp] ||
         i.isInstanceOf[RetCountProp])
     // the engine's deterministic list serialization (sorted comma-join —
     // a raw collect_list would be shuffle-order-dependent)
@@ -4747,6 +4809,8 @@ object CypherLite {
           else if (p.startsWith(AggKeyPrefix)) p.stripPrefix(AggKeyPrefix)
           else if (p.startsWith(ConnKeyPrefix))
             s"c_${p.stripPrefix(ConnKeyPrefix)}"
+          else if (p.startsWith(RelKeyPrefix))
+            s"r_${p.stripPrefix(RelKeyPrefix)}"
           else s"m_$p"
         val outs = orderBy.map { case (p, _) => outCol(p) }
         // run() validated every ORDER BY key against the projected props;
@@ -4890,6 +4954,12 @@ object CypherLite {
               avg(col(s"c_$p").try_cast("double"))
             case RetAggProp("min", p) => min(col(s"c_$p"))
             case RetAggProp("max", p) => max(col(s"c_$p"))
+            case RetAggRelProp("sum", p) =>
+              coalesce(sum(col(s"r_$p").try_cast("double")), lit(0d))
+            case RetAggRelProp("avg", p) =>
+              avg(col(s"r_$p").try_cast("double"))
+            case RetAggRelProp("min", p) => min(col(s"r_$p"))
+            case RetAggRelProp("max", p) => max(col(s"r_$p"))
             case other => throw new IllegalArgumentException(
               s"unsupported aggregate item: $other")
           }).as(nm)
@@ -4901,6 +4971,7 @@ object CypherLite {
           case _: RetCount => Seq("c_id")
           case RetCollect(p, _) => Seq(s"c_$p")
           case RetAggProp(_, p) => Seq(s"c_$p")
+          case RetAggRelProp(_, p) => Seq(s"r_$p")
           case RetCountProp(_, p, true) => Seq(s"c_$p")
           case _ => Seq.empty[String]
         }.distinct
@@ -4908,13 +4979,25 @@ object CypherLite {
         // single-hop typed-bindings substrate: one row per EDGE (Cypher's
         // true bag semantics — the kernel's min-depth dedup would collapse
         // parallel relationships) carrying the edge's type as `r_type`
-        val neigh =
+        val neigh0 =
           if (hasRelVar) typedBindings(g, pred, relFilter)
           else GraphOps.neighborhoodWhereKeyed(g, pred, hops, relFilter)
+        // RETURN r.prop projections materialize as `r_<prop>` columns on
+        // the typed-bindings relation (element_at on the edge-prop map —
+        // a missing key projects null, Cypher's rule). Parse guarantees
+        // RetRelProp only arises with a bound rel var (= hasRelVar), so
+        // `r_props` is always present here when this list is non-empty.
+        val relPropCols = (items.collect { case RetRelProp(p) => p } ++
+          items.collect { case RetAggRelProp(_, p) => p }).distinct
+        val neigh = relPropCols.foldLeft(neigh0)((df, p) =>
+          df.withColumn(s"r_$p", element_at(col("r_props"), p)))
         // binding columns the RETURN projection asks for beyond the node
-        // image: the traversed edge's type when the query touches type(r)
+        // image: the traversed edge's type when the query touches
+        // type(r), plus any projected edge properties
         val relCols =
-          if (items.contains(RetRelType)) Seq("r_type") else Seq.empty
+          (if (items.contains(RetRelType)) Seq("r_type")
+           else Seq.empty) ++
+            items.collect { case RetRelProp(p) => s"r_$p" }.distinct
         // m properties the binding filter needs beyond what RETURN asks
         // for — a cross-variable cond contributes its m-side property from
         // WHICHEVER side of the comparison it sits on
@@ -4974,6 +5057,7 @@ object CypherLite {
             case RetCount(_, star) => if (star) Seq.empty else Seq("c_id")
             case RetCollect(p, _) => Seq(s"c_$p")
             case RetAggProp(_, p) => Seq(s"c_$p")
+            case RetAggRelProp(_, p) => Seq(s"r_$p")
             case RetCountProp(_, p, true) => Seq(s"c_$p")
             case _ => Seq.empty
           }.distinct
@@ -4999,6 +5083,12 @@ object CypherLite {
                   avg(col(s"c_$p").try_cast("double"))
                 case RetAggProp("min", p) => min(col(s"c_$p"))
                 case RetAggProp("max", p) => max(col(s"c_$p"))
+                case RetAggRelProp("sum", p) =>
+                  coalesce(sum(col(s"r_$p").try_cast("double")), lit(0d))
+                case RetAggRelProp("avg", p) =>
+                  avg(col(s"r_$p").try_cast("double"))
+                case RetAggRelProp("min", p) => min(col(s"r_$p"))
+                case RetAggRelProp("max", p) => max(col(s"r_$p"))
                 case other => throw new IllegalArgumentException(
                   s"unsupported global aggregate item: $other")
               }).as(nm)

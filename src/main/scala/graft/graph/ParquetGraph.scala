@@ -1458,6 +1458,64 @@ object ParquetGraph {
         .fold(err => throw new IllegalArgumentException(err), identity)
     },
 
+    // C10 read surface (new r12): RETURN r.prop — the edge property
+    // PROJECTED per binding (and grouped: the r.grade census), closing
+    // the loop on the rel-prop surface: written by the Cypher MERGE,
+    // filtered by WHERE r.prop, now read back as output columns.
+    QueryDef.sql(
+      "graphp_cypher_relprop_proj",
+      """WITH r AS (
+        |  SELECT r_name, r_regionkey,
+        |    row_number() OVER (ORDER BY r_name) AS rn
+        |  FROM region),
+        |e AS (
+        |  SELECT c.r_name AS b_name,
+        |    CASE WHEN c.r_regionkey % 2 = 0 THEN 'even' ELSE 'odd' END
+        |      AS grade,
+        |    CAST(c.r_regionkey % 3 + 1 AS VARCHAR) AS w
+        |  FROM r p JOIN r c ON c.rn = p.rn + 1)
+        |SELECT grade, CAST(count(*) AS BIGINT) AS n_roads FROM e
+        |GROUP BY grade
+        |UNION ALL
+        |SELECT b_name || '#' || w, CAST(1 AS BIGINT) FROM e
+        |ORDER BY grade""".stripMargin) { (s, d) =>
+      val g = roadPropsGraph(s, d)
+      // grouped: the grade census (r.prop as a grouping key under an
+      // aggregate); per-binding: each chain edge's (target, weight)
+      val census = CypherLite.run(g,
+        "MATCH (a:Region)-[r:ROAD]->(b:Region) " +
+          "RETURN r.grade AS grade, count(r) AS n_roads")
+        .fold(err => throw new IllegalArgumentException(err), identity)
+      val perEdge = CypherLite.run(g,
+        "MATCH (a:Region)-[r:ROAD]->(b:Region) " +
+          "RETURN b.name, r.weight ORDER BY b.name")
+        .fold(err => throw new IllegalArgumentException(err), identity)
+        .select(concat(col("c_name"), lit("#"), col("r_weight"))
+          .as("grade"), lit(1L).as("n_roads"))
+      census.unionByName(perEdge).orderBy("grade")
+    },
+
+    // C10 read surface (new r12): sum(r.prop) — the edge-property
+    // aggregate grouped by another edge property ("total weight per
+    // grade", the weighted schema census) over the same Cypher-written
+    // chain; numeric lens through try_cast, exactly like c-side sums.
+    QueryDef.sql(
+      "graphp_cypher_relprop_agg",
+      """WITH r AS (
+        |  SELECT r_name, r_regionkey,
+        |    row_number() OVER (ORDER BY r_name) AS rn
+        |  FROM region)
+        |SELECT CASE WHEN c.r_regionkey % 2 = 0 THEN 'even' ELSE 'odd' END
+        |    AS grade,
+        |  CAST(sum(c.r_regionkey % 3 + 1) AS DOUBLE) AS total
+        |FROM r p JOIN r c ON c.rn = p.rn + 1
+        |GROUP BY 1 ORDER BY grade""".stripMargin) { (s, d) =>
+      CypherLite.run(roadPropsGraph(s, d),
+        "MATCH (a:Region)-[r:ROAD]->(b:Region) " +
+          "RETURN r.grade AS grade, sum(r.weight) AS total ORDER BY grade")
+        .fold(err => throw new IllegalArgumentException(err), identity)
+    },
+
     // C10 write → read-surface composition (new r12): the inline
     // relationship property map (`-[r:ROAD {grade: 'even'}]->`) — the
     // pattern-level spelling of the same per-edge predicate, desugared

@@ -152,6 +152,62 @@ object TextQueries {
       |FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
       |WHERE len(l) >= 3""".stripMargin
 
+  /** The lowercased host of a URL with the `www.` alias stripped — the
+    * host identity URL canonicalization dedups on (an `m.` or other
+    * subdomain is a REAL distinct host and is never merged). Pure column
+    * expressions: whole-stage codegen, no UDF.
+    */
+  def urlHost(url: Column): Column =
+    regexp_replace(lower(coalesce(regexp_extract(
+        regexp_replace(url, "#.*$", ""),
+        "^[A-Za-z]+://([^/?#:]+)", 1), lit(""))),
+      "^www\\.", "")
+
+  /** Canonical form of a URL — the crawl-intake normalization every
+    * web-corpus pipeline runs before URL-level dedup:
+    * scheme and host case-fold, `www.` stripped, default ports (443/80)
+    * dropped, the fragment removed, trailing path slashes trimmed (the
+    * root path stays `/`), and tracking params (`utm_*`, `fbclid`,
+    * `gclid`, `ref`) filtered out of the query string while REAL params
+    * survive in their original order. Every rule is a plain string
+    * expression (codegen'd) and has an exact DuckDB mirror in the
+    * `l57_url_dedup` oracle, so the two engines' canonical forms agree
+    * byte-for-byte.
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val nf = regexp_replace(url, "#.*$", "")
+    val scheme =
+      lower(coalesce(regexp_extract(nf, "^([A-Za-z]+)://", 1), lit("")))
+    val host = urlHost(url)
+    val port = coalesce(
+      regexp_extract(nf, "^[A-Za-z]+://[^/?#]*:([0-9]+)", 1), lit(""))
+    val rawpath = coalesce(
+      regexp_extract(nf, "^[A-Za-z]+://[^/?#]+(/[^?#]*)", 1), lit(""))
+    val q = coalesce(regexp_extract(nf, "\\?(.*)$", 1), lit(""))
+    // startsWith, not LIKE: '_' is a single-char LIKE wildcard in every
+    // SQL engine, so 'utm_%' would also swallow the REAL param utm=1
+    val keepq = coalesce(array_join(filter(split(q, "&"),
+      p => p =!= "" && !(p.startsWith("utm_") || p.startsWith("fbclid=") ||
+        p.startsWith("gclid=") || p.startsWith("ref="))), "&"), lit(""))
+    val trimmed = regexp_replace(rawpath, "/+$", "")
+    val path = when(trimmed === "", lit("/")).otherwise(trimmed)
+    val portSfx = when(port === "" ||
+        (scheme === "https" && port === "443") ||
+        (scheme === "http" && port === "80"), lit(""))
+      .otherwise(concat(lit(":"), port))
+    concat(scheme, lit("://"), host, portSfx, path,
+      when(keepq === "", lit("")).otherwise(concat(lit("?"), keepq)))
+  }
+
+  /** Toy registrable-domain extractor: the last two host labels. A
+    * production pipeline swaps in the public-suffix list here (the rule
+    * table is a broadcast lookup, same plan shape); the grouping
+    * semantics — subdomains of one registrable domain aggregate
+    * together — are what the l57 oracle grades.
+    */
+  def registrableDomain(host: Column): Column =
+    coalesce(regexp_extract(host, "([^.]+\\.[^.]+)$", 1), lit(""))
+
   val defs: Seq[QueryDef] = Seq(
     // ------------------------------------------------------- L1 exact dedup
     QueryDef.sql(
@@ -1343,6 +1399,107 @@ object TextQueries {
               "filter(toks, (t, i) -> NOT array_contains(cv, i))"), " "))
             .as("cleaned_text"))
         .orderBy("doc_id")
+    },
+
+    // ---------------------------------- L57 URL canonicalization + dedup
+    // The web-corpus intake step every crawl-derived training set runs
+    // BEFORE content dedup: canonicalize each document's URL (case-fold
+    // scheme/host, strip the www. alias, default ports, fragments,
+    // trailing slashes, and tracking params — keeping real params) and
+    // dedup per canonical URL with registrable-domain grouping. URLs are
+    // synthesized deterministically from row data — four messy VARIANTS
+    // of the same underlying page per quadruple of docs (upper-cased
+    // scheme/host + :443, fragment + trailing slash, an m. subdomain,
+    // utm_/fbclid/gclid/ref noise) — so the canonicalizer must collapse
+    // exactly 4 raw → 2 canonical per page (m. is a REAL distinct host,
+    // never merged). The oracle mirrors every canonicalization rule in
+    // DuckDB, so a divergence in any rule hash-misses. Scale shape: pure
+    // per-row string expressions (whole-stage codegen, no UDF) + one
+    // grouped aggregate keyed by registrable domain — the same
+    // partial+final shape as any census; at 100 TB the domain key is
+    // low-cardinality and heavy hitters are exactly what AQE skew
+    // handling exists for.
+    QueryDef.sql(
+      "l57_url_dedup",
+      s"""WITH u AS (
+         |  SELECT doc_id, doc_id // 4 AS page, doc_id % 4 AS v,
+         |    'site' || CAST((doc_id // 4) % 7 AS VARCHAR) ||
+         |      '.ex' || CAST((doc_id // 4) % 3 AS VARCHAR) || '.com'
+         |      AS hbase
+         |  FROM documents),
+         |raw AS (
+         |  SELECT doc_id, CASE v
+         |    WHEN 0 THEN 'https://www.' || hbase || '/p/'
+         |      || CAST(page AS VARCHAR) || '?utm_source=feed'
+         |    WHEN 1 THEN 'HTTPS://WWW.' || upper(hbase) || ':443/p/'
+         |      || CAST(page AS VARCHAR) || '?fbclid=x&utm_campaign=y'
+         |    WHEN 2 THEN 'https://' || hbase || '/p/'
+         |      || CAST(page AS VARCHAR) || '/#top'
+         |    ELSE 'https://m.' || hbase || '/p/'
+         |      || CAST(page AS VARCHAR) || '?ref=tw' END AS url
+         |  FROM u),
+         |c AS (SELECT doc_id, regexp_replace(url, '#.*$$', '') AS nf
+         |      FROM raw),
+         |parts AS (
+         |  SELECT doc_id,
+         |    lower(coalesce(regexp_extract(nf, '^([A-Za-z]+)://', 1), ''))
+         |      AS scheme,
+         |    regexp_replace(lower(coalesce(
+         |      regexp_extract(nf, '^[A-Za-z]+://([^/?#:]+)', 1), '')),
+         |      '^www\\.', '') AS host,
+         |    coalesce(regexp_extract(nf,
+         |      '^[A-Za-z]+://[^/?#]*:([0-9]+)', 1), '') AS port,
+         |    coalesce(regexp_extract(nf,
+         |      '^[A-Za-z]+://[^/?#]+(/[^?#]*)', 1), '') AS rawpath,
+         |    coalesce(regexp_extract(nf, '\\?(.*)$$', 1), '') AS q
+         |  FROM c),
+         |surv AS (
+         |  SELECT *, coalesce(array_to_string(list_filter(
+         |      string_split(q, '&'),
+         |      x -> x <> '' AND NOT (starts_with(x, 'utm_')
+         |        OR starts_with(x, 'fbclid=') OR starts_with(x, 'gclid=')
+         |        OR starts_with(x, 'ref='))), '&'), '')
+         |    AS keepq
+         |  FROM parts),
+         |canon AS (
+         |  SELECT doc_id, host,
+         |    scheme || '://' || host ||
+         |    (CASE WHEN port = '' OR (scheme = 'https' AND port = '443')
+         |       OR (scheme = 'http' AND port = '80') THEN ''
+         |       ELSE ':' || port END) ||
+         |    (CASE WHEN regexp_replace(rawpath, '/+$$', '') = '' THEN '/'
+         |       ELSE regexp_replace(rawpath, '/+$$', '') END) ||
+         |    (CASE WHEN keepq = '' THEN '' ELSE '?' || keepq END) AS canon
+         |  FROM surv)
+         |SELECT coalesce(regexp_extract(host, '([^.]+\\.[^.]+)$$', 1), '')
+         |    AS domain,
+         |  CAST(count(*) AS BIGINT) AS n_raw,
+         |  CAST(count(DISTINCT canon) AS BIGINT) AS n_canonical,
+         |  CAST(count(DISTINCT host) AS BIGINT) AS n_hosts
+         |FROM canon GROUP BY 1 ORDER BY domain""".stripMargin) { (s, d) =>
+      val page = expr("doc_id DIV 4")
+      val v = col("doc_id") % 4
+      val hbase = concat(lit("site"), (page % 7).cast("string"),
+        lit(".ex"), (page % 3).cast("string"), lit(".com"))
+      val url = when(v === 0, concat(lit("https://www."), hbase,
+          lit("/p/"), page.cast("string"), lit("?utm_source=feed")))
+        .when(v === 1, concat(lit("HTTPS://WWW."), upper(hbase),
+          lit(":443/p/"), page.cast("string"),
+          lit("?fbclid=x&utm_campaign=y")))
+        .when(v === 2, concat(lit("https://"), hbase, lit("/p/"),
+          page.cast("string"), lit("/#top")))
+        .otherwise(concat(lit("https://m."), hbase, lit("/p/"),
+          page.cast("string"), lit("?ref=tw")))
+      val withCanon = Tables.documents(s, d)
+        .select(col("doc_id"), url.as("url"))
+        .select(col("doc_id"),
+          urlHost(col("url")).as("host"),
+          canonicalizeUrl(col("url")).as("canon"))
+      withCanon.groupBy(registrableDomain(col("host")).as("domain"))
+        .agg(count(lit(1)).as("n_raw"),
+          countDistinct(col("canon")).as("n_canonical"),
+          countDistinct(col("host")).as("n_hosts"))
+        .orderBy("domain")
     },
 
     // ------------------------------------------- L31 ANN recall@k vs exact

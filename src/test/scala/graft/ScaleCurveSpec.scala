@@ -149,6 +149,42 @@ class ScaleCurveSpec extends SparkSpec {
     assertLinear("louvain(cliqueBank)", t1, t10)
   }
 
+  test("louvain wall-time stays ~linear from 10x to 100x clique bank") {
+    // round-12 directive 4: the third decade for the most expensive pure
+    // kernel — 200k disjoint K5s = 1M nodes / 2M undirected edges. The
+    // move-round count stays the constant of K5, so the reading isolates
+    // the per-round join work at a graph 100x the 1x bank; a (node ×
+    // community) all-pairs term would run ~100x the 10x reading. Same
+    // runtime-budget protocol as the sampler third decade: single timed
+    // 100x run against the min-of-2 10x baseline, graph-curve bound.
+    def cliqueBank(copies: Int): GraphTables = {
+      import spark.implicits._
+      val pairs = (for { i <- 0 until 5; j <- (i + 1) until 5 }
+        yield (i, j)).toDF("i", "j")
+      val edges = spark.range(copies).crossJoin(pairs)
+        .select((col("id") * 10 + col("i")).as("src"),
+          (col("id") * 10 + col("j")).as("dst"),
+          lit("E").as("relType"), lit("s").as("docnbr"),
+          lit("b0").as("batch"),
+          typedLit(Map.empty[String, String]).as("props")).as[EdgeRow]
+      val nodes = spark.range(copies).crossJoin(
+          spark.range(5).select(col("id").as("i")))
+        .select((col("id") * 10 + col("i")).as("id"), lit("N").as("label"),
+          (col("id") * 10 + col("i")).cast("string").as("name"),
+          lit("").as("content"), lit("").as("docnbr"),
+          lit("b0").as("batch"), typedLit(Seq.empty[Int]).as("path"))
+        .as[NodeRow]
+      GraphTables(nodes, edges)
+    }
+    val g10 = cliqueBank(20000)
+    val g100 = cliqueBank(200000)
+    GraphOps.louvain(spark, g10).count() // warm-up
+    val t10 = timedMin2(GraphOps.louvain(spark, g10).count())
+    val t100 = timed(GraphOps.louvain(spark, g100).count())
+    assertLinear("louvain(cliqueBank 10x→100x)", t10, t100,
+      MaxRatio100Graph)
+  }
+
   test("kCore wall-time grows ~linearly on a 10x hub graph") {
     def hubGraph(mult: Int): GraphTables = {
       import spark.implicits._
@@ -577,20 +613,70 @@ class ScaleCurveSpec extends SparkSpec {
     val (_, t10) = drain(10)
     val (store100, t100) = drain(100)
     // 100 one-file micro-batches = 100 O(batch) commits + ~3 amortized
-    // compaction folds. The bound is 20, not MaxRatio's 15: per-commit
+    // compaction folds. The bound is 35, not MaxRatio's 15: per-commit
     // read cost carries one parquet listing per LIVE CHAIN member by
     // design, and the 10-batch run never grows past chain 10 while the
     // 100-batch run averages ~20 members between folds — a bounded
     // (≤ MaxChain) constant-factor ramp on top of the 10x batch count,
     // which is exactly the documented amortization contract (measured
-    // 14.3 on an idle box). A per-batch store REWRITE — the defect this
-    // curve exists to catch — would read ~50x and blow any such bound.
+    // 14.3 idle, 25.2 under full-suite CPU contention — the margin
+    // covers contention, not a plan defect). A per-batch store
+    // REWRITE — the defect this curve exists to catch — reads and
+    // writes ~50x and blows any such bound; its deterministic pin is
+    // the write-amplification test below, which no contention can tip.
     assertLinear("graphstore-drain(10x→100x batches)", t10, t100,
-      bound = 20.0)
+      bound = 35.0)
     assert(GraphStore.chainLength(store100) <=
       StreamingGraphIngest.MaxChain + 1,
       "auto-compaction must cap the live chain")
     assert(GraphStore.load(spark, store100).nodes.count() == 100L * 200)
+  }
+
+  test("incremental store: write amplification over 100 commits stays " +
+      "a small constant — deltas + amortized folds, never a rewrite " +
+      "per batch") {
+    // the DETERMINISTIC form of the amortization claim (timing-free, so
+    // CPU contention cannot tip it): with every version retained, total
+    // bytes on disk after N batches = N deltas + the ~N/MaxChain
+    // compaction folds' snapshots. At 100 batches/MaxChain=32 the folds
+    // rewrite ~33+66+99 batch-equivalents, so amplification ≈ 3x
+    // arrived data; a per-batch rewrite is Σk ≈ 50x and a per-batch
+    // fold ~N/2 x. Bound 6x.
+    import spark.implicits._
+    import graft.graph.{GraphStore, StreamingGraphIngest}
+    def batchEnv(lo: Long, n: Long) =
+      StreamingGraphIngest.toEnvelope(GraphTables(
+        spark.range(lo, lo + n).select(col("id"), lit("N").as("label"),
+            concat(lit("n"), col("id")).as("name"), lit("").as("content"),
+            lit("").as("docnbr"), lit("b0").as("batch"),
+            typedLit(Seq.empty[Int]).as("path")).as[NodeRow],
+        spark.emptyDataset[EdgeRow])).localCheckpoint()
+    def dirBytes(p: String): Long = {
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(p))
+      try s.filter(java.nio.file.Files.isRegularFile(_))
+        .mapToLong(java.nio.file.Files.size(_)).sum
+      finally s.close()
+    }
+    val store = java.nio.file.Files
+      .createTempDirectory("chain_amp").resolve("s").toString
+    (0 until 100).foreach(k => StreamingGraphIngest.ingestBatch(spark,
+      batchEnv(k * 200L, 200), store, keepVersions = 1000))
+    val oneBatch = {
+      val solo = java.nio.file.Files
+        .createTempDirectory("chain_amp1").resolve("s").toString
+      StreamingGraphIngest.ingestBatch(spark, batchEnv(0, 200), solo)
+      dirBytes(solo)
+    }
+    val total = dirBytes(store)
+    val amp = total.toDouble / (100.0 * oneBatch)
+    info(f"write amplification over 100 commits: total=$total%d B, " +
+      f"one batch=$oneBatch%d B, amp=$amp%.2fx (bound 6)")
+    assert(amp <= 6.0,
+      f"write amplification $amp%.2fx — the store is rewriting more " +
+        "than the documented deltas + amortized folds")
+    assert(GraphStore.chainLength(store) <=
+      StreamingGraphIngest.MaxChain + 1)
+    assert(GraphStore.load(spark, store).nodes.count() == 100L * 200)
   }
 
   test("incremental store: load cost grows with the chain only " +

@@ -93,6 +93,79 @@ class RelPropPredicateSpec extends SparkSpec {
       o.head.isNullAt(1))
   }
 
+  test("RETURN r.prop projects the edge property per binding; missing " +
+      "keys project null; grouping and ORDER BY compose") {
+    // projection alongside endpoint properties, one row per edge
+    // (columns read by canonical name — the engine emits rel columns
+    // before connected ones, whatever the RETURN order)
+    val rows = CypherLite.run(g, "MATCH (a:N)-[r:ROAD]->(b) " +
+      "RETURN b.name, r.weight ORDER BY b.name")
+      .fold(e => fail(e), identity).collect()
+      .map(r => (r.getAs[String]("c_name"), r.getAs[String]("r_weight")))
+      .toSeq
+    assert(rows == Seq(("n2", "5"), ("n3", "2"), ("n4", null), ("n5", "3")))
+    // grouping key under an aggregate (the weighted census) + AS alias
+    val census = CypherLite.run(g, "MATCH (a:N)-[r:ROAD]->(b) " +
+      "RETURN r.grade AS grade, count(r) ORDER BY grade")
+      .fold(e => fail(e), identity).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(census == Seq((null, 1L), ("a", 2L), ("b", 1L)))
+    // ORDER BY r.prop sorts by the projected edge property
+    val byW = CypherLite.run(g, "MATCH (a:N)-[r:ROAD]->(b) " +
+      "WHERE r.weight IS NOT NULL RETURN b.name, r.weight " +
+      "ORDER BY r.weight DESC, b.name")
+      .fold(e => fail(e), identity).collect()
+      .map(_.getAs[String]("c_name")).toSeq
+    assert(byW == Seq("n2", "n5", "n3"))
+    // composes with WHERE r.prop and the inline map
+    val one = CypherLite.run(g, "MATCH (a:N)-[r:ROAD {grade: 'a'}]->(b) " +
+      "WHERE r.weight IS NOT NULL RETURN b.name, r.weight")
+      .fold(e => fail(e), identity).collect()
+      .map(r => (r.getAs[String]("c_name"), r.getAs[String]("r_weight")))
+      .toSeq
+    assert(one == Seq(("n2", "5")))
+    // rejections: unprojected ORDER BY key; whole-node mix
+    val ob = CypherLite.parse("MATCH (a:N)-[r:ROAD]->(b) " +
+      "RETURN b.name ORDER BY r.weight")
+    assert(ob.isLeft && ob.swap.toOption.get.contains("relationship"),
+      ob.toString)
+    val mix = CypherLite.parse("MATCH (a:N)-[r:ROAD]->(b) " +
+      "RETURN a, r.weight")
+    assert(mix.isLeft && mix.swap.toOption.get.contains("whole matched"),
+      mix.toString)
+  }
+
+  test("sum/avg/min/max(r.prop) aggregate edge properties — grouped " +
+      "by r.prop keys, globally, and ORDER BY the alias") {
+    // grouped: total weight per grade (missing weights drop from the
+    // numeric lens; a grade group whose weights are all missing sums 0)
+    val perGrade = CypherLite.run(g, "MATCH (a:N)-[r:ROAD]->(b) " +
+      "RETURN r.grade AS grade, sum(r.weight) AS total " +
+      "ORDER BY grade")
+      .fold(e => fail(e), identity).collect()
+      .map(r => (r.getAs[String]("grade"), r.getAs[Double]("total"))).toSeq
+    assert(perGrade == Seq((null, 3.0), ("a", 5.0), ("b", 2.0)))
+    // global form: every item an aggregate → one summary row
+    val glob = CypherLite.run(g, "MATCH (a:N)-[r:ROAD]->(b) " +
+      "RETURN sum(r.weight) AS s, min(r.weight) AS lo, " +
+      "max(r.weight) AS hi, count(r) AS n")
+      .fold(e => fail(e), identity).collect().head
+    assert(glob.getAs[Double]("s") == 10.0)
+    assert(glob.getAs[String]("lo") == "2") // min/max keep collation
+    assert(glob.getAs[String]("hi") == "5")
+    assert(glob.getAs[Long]("n") == 4L)
+    // ORDER BY the aggregate alias (top weight groups first)
+    val byTotal = CypherLite.run(g, "MATCH (a:N)-[r:ROAD]->(b) " +
+      "RETURN r.grade AS grade, sum(r.weight) AS total " +
+      "ORDER BY total DESC")
+      .fold(e => fail(e), identity).collect()
+      .map(_.getAs[Double]("total")).toSeq
+    assert(byTotal == Seq(5.0, 3.0, 2.0))
+    // hop-less form rejects it like the c-side aggregates
+    val hopless = CypherLite.parse("MATCH (m:N) RETURN sum(r.weight)")
+    assert(hopless.isLeft, hopless.toString)
+  }
+
   test("ranged patterns and chains reject relationship property maps " +
       "and r-property WHERE with named errors") {
     def leftMsg(q: String): String =
