@@ -268,6 +268,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(800))
   }
 
+  test("l57 URL canonicalization stays pure codegen expressions — no " +
+      "UDF, one partial+final aggregate") {
+    val p = plan("l57_url_dedup")
+    // the canonicalizer is built from string expressions only; a UDF
+    // eval node here would break whole-stage codegen on a 100 TB-sized
+    // map stage
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"),
+      p.take(800))
+    assert(p.contains("HashAggregate") && p.contains("partial_"),
+      p.take(800))
+  }
+
   test("every registered query has distinct name and runnable plan") {
     val names = SparkEntry.allDefs.map(_.name)
     assert(names.distinct.size == names.size)
