@@ -2689,9 +2689,17 @@ object CypherLite {
           case WithAggPropRe(fn, v, pr, alias) if conn.contains(v) =>
             Some(Right((RetAggProp(
               fn.toLowerCase(java.util.Locale.ROOT), pr), alias)))
+          // sum/avg/min/max(r.prop) AS alias — the edge-property
+          // aggregate in the WITH pipeline ("total weight per root,
+          // then HAVING"), same lenses as the RETURN-side form
+          case WithAggPropRe(fn, v, pr, alias) if relVar.contains(v) =>
+            Some(Right((RetAggRelProp(
+              fn.toLowerCase(java.util.Locale.ROOT), pr), alias)))
           case WithAggPropRe(fn, v, pr, _) =>
             Some(Left(s"WITH $fn() may only aggregate the connected " +
-              s"variable '${conn.get}', got '$v.$pr'"))
+              s"variable '${conn.get}'" +
+              relVar.fold("")(r => s" or the relationship variable '$r'") +
+              s", got '$v.$pr'"))
           case _ => None
         }
         val tagged = wparts.map(p => (p, parseAgg(p)))
@@ -2776,7 +2784,9 @@ object CypherLite {
           // numeric filter over it would silently compare garbage
           _ <- hav match {
             case Some((v, _, _)) if (aliasMap(v) match {
-                case RetAggProp("min", _) | RetAggProp("max", _) => true
+                case RetAggProp("min", _) | RetAggProp("max", _) |
+                     RetAggRelProp("min", _) | RetAggRelProp("max", _) =>
+                  true
                 case _ => false
               }) =>
               Left("the WHERE after WITH compares numerically — filter a " +

@@ -1520,6 +1520,28 @@ object ParquetGraph {
         .fold(err => throw new IllegalArgumentException(err), identity)
     },
 
+    // C10 read surface (new r12): the edge-property aggregate through
+    // the WITH pipeline — `WITH a.name, sum(r.weight) AS total WHERE
+    // total >= 2` (per-root weighted degree, HAVING-filtered), the
+    // "roots whose outgoing weight clears a budget" idiom.
+    QueryDef.sql(
+      "graphp_cypher_relprop_having",
+      """WITH r AS (
+        |  SELECT r_name, r_regionkey,
+        |    row_number() OVER (ORDER BY r_name) AS rn
+        |  FROM region)
+        |SELECT p.r_name AS m_name,
+        |  CAST(c.r_regionkey % 3 + 1 AS DOUBLE) AS total
+        |FROM r p JOIN r c ON c.rn = p.rn + 1
+        |WHERE c.r_regionkey % 3 + 1 >= 2
+        |ORDER BY m_name""".stripMargin) { (s, d) =>
+      CypherLite.run(roadPropsGraph(s, d),
+        "MATCH (a:Region)-[r:ROAD]->(b:Region) " +
+          "WITH a.name, sum(r.weight) AS total WHERE total >= 2 " +
+          "RETURN a.name, total ORDER BY a.name")
+        .fold(err => throw new IllegalArgumentException(err), identity)
+    },
+
     // C10 write → read-surface composition (new r12): the inline
     // relationship property map (`-[r:ROAD {grade: 'even'}]->`) — the
     // pattern-level spelling of the same per-edge predicate, desugared

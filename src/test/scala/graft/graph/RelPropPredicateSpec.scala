@@ -166,6 +166,31 @@ class RelPropPredicateSpec extends SparkSpec {
     assert(hopless.isLeft, hopless.toString)
   }
 
+  test("WITH …, sum(r.prop) AS alias pipelines edge-property " +
+      "aggregates through HAVING and top-k") {
+    // per-root total weight, HAVING-filtered (n1's roads: 5+2 weighted
+    // + one unweighted; only n1 clears 4)
+    val hav = CypherLite.run(g, "MATCH (a:N)-[r:ROAD]->(b) " +
+      "WITH a.name, sum(r.weight) AS total WHERE total > 4 " +
+      "RETURN a.name, total")
+      .fold(e => fail(e), identity).collect()
+      .map(r => (r.getAs[String]("m_name"), r.getAs[Double]("total")))
+      .toSeq
+    assert(hav == Seq(("n1", 7.0)))
+    // ORDER BY the alias (top roots by total weight)
+    val topk = CypherLite.run(g, "MATCH (a:N)-[r:ROAD]->(b) " +
+      "WITH a.name, sum(r.weight) AS total ORDER BY total DESC LIMIT 1 " +
+      "RETURN a.name, total")
+      .fold(e => fail(e), identity).collect()
+      .map(_.getAs[String]("m_name")).toSeq
+    assert(topk == Seq("n1"))
+    // min/max aliases refuse the numeric HAVING, same as the c-side rule
+    val mm = CypherLite.parse("MATCH (a:N)-[r:ROAD]->(b) " +
+      "WITH a.name, max(r.weight) AS hi WHERE hi > 2 RETURN a.name, hi")
+    assert(mm.isLeft && mm.swap.toOption.get.contains("count/sum/avg"),
+      mm.toString)
+  }
+
   test("ranged patterns and chains reject relationship property maps " +
       "and r-property WHERE with named errors") {
     def leftMsg(q: String): String =
