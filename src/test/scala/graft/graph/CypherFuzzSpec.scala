@@ -31,14 +31,22 @@ class CypherFuzzSpec extends SparkSpec {
   private val hops = Seq("", "-[]->(c)", "-[:HAS_NATION]->(c)",
     "-[*1..2]->(c)", "-[r]->(c)", "<-[]-(c)", "-[]-(c)", "-[]->{1,2}(c)",
     "-[]->{0,2}(c)", "-[:A|B]->(c)", "-[]->(c:Nation)", "-[]->(c)-[]->(d)",
-    ", (c)-[]->(d)", "-[]->", "-[")
+    ", (c)-[]->(d)", "-[]->", "-[",
+    // relationship-property forms (round 12): inline maps, with/without
+    // the variable, on typed/untyped/ranged brackets + near-misses
+    "-[r:HAS_NATION {grade: 'a'}]->(c)", "-[:HAS_NATION {grade: 'a'}]->(c)",
+    "-[r {w: '1'}]->(c)", "-[r:HAS_NATION*1..2 {w: '1'}]->(c)",
+    "-[r:HAS_NATION {grade: 'a'")
   private val wheres = Seq("", " WHERE m.name = 'n1'",
     " WHERE m.name CONTAINS", " WHERE (m)-[]->()",
     " WHERE m.name = 'a' AND NOT (m)-[]->()", " WHERE toLower(m.name)",
     " WHERE m.name IN ['a', 'b']", " WHERE c.name < m.name",
     " WHERE type(r) = 'HAS_NATION'", " WHERE exists(m.name)",
     " WHERE NOT EXISTS { (m)-[]->() }", " WHERE m.name =",
-    " WHERE m.name = 'a' OR (m)-[]->()")
+    " WHERE m.name = 'a' OR (m)-[]->()",
+    " WHERE r.weight > 1", " WHERE r.weight IS NULL",
+    " WHERE toLower(r.grade) = 'a'", " WHERE r.weight >",
+    " WHERE r.weight > 1 AND c.name = 'n1'")
   // WITH pipeline fragments, incl. MULTI-aggregate forms and near-miss
   // shapes (duplicate alias, grouping item after an aggregate, dangling
   // comma/HAVING) — the round-10 multi-aggregate WITH surface must stay
@@ -70,13 +78,18 @@ class CypherFuzzSpec extends SparkSpec {
     // implicit RETURN re-aggregation + DISTINCT stages + near-misses
     " WITH m, count(c) AS n WITH DISTINCT n",
     " WITH m, count(c) AS n WITH DISTINCT n, count(*) AS g",
-    " WITH m, count(c) AS n WITH DISTINCT")
+    " WITH m, count(c) AS n WITH DISTINCT",
+    " WITH m, sum(r.weight) AS t WHERE t > 1",
+    " WITH m, sum(r.weight) AS")
   private val rets = Seq(" RETURN m", " RETURN m.name", " RETURN DISTINCT c",
     " RETURN m, count(c)", " RETURN count(*)", " RETURN collect(c.name)",
     " RETURN m.name, COUNT { (m)-[]->(x) }", " RETURN type(r), count(r)",
     " RETURN size((m)-[]->())", " RETURN toUpper(m.name)",
     " RETURN CASE WHEN m.name = 'a' THEN 'x' END", " RETURN", "",
-    " RETURN m.name AS", " DETACH DELETE m", " SET m.content = 'v'")
+    " RETURN m.name AS", " DETACH DELETE m", " SET m.content = 'v'",
+    " RETURN r.grade, count(r)", " RETURN sum(r.weight)",
+    " RETURN m.name, r.weight ORDER BY r.weight", " RETURN r.",
+    " RETURN c.name, r.weight")
   private val tails = Seq("", " ORDER BY m.name", " ORDER BY count(c) DESC",
     " LIMIT 2", " ORDER BY m.name SKIP 1 LIMIT 1", " UNION MATCH (m) RETURN m",
     " LIMIT", " ORDER BY")
@@ -156,7 +169,27 @@ class CypherFuzzSpec extends SparkSpec {
     Seq("MERGE (n:Note {name: 'x'})", "MERGE (n:Note:B2 {name: $v})",
       "MERGE (n:Note:B2 {name: $gone})", "MERGE (n:Note:B2 {frob: 'x'})",
       "MERGE (n:Note:B2)", "MERGE (n:Note:B2 {name: 'x'",
-      "CREATE (n:Note:B2 {name: 'x'})")
+      "CREATE (n:Note:B2 {name: 'x'})",
+      // branch-aware MERGE (round 12) + near-misses: both orders,
+      // params, duplicate clauses, foreign vars, non-content writes,
+      // comma lists, truncations
+      "MERGE (n:Note {name: 'x'}) ON CREATE SET n.content = 'a'",
+      "MERGE (n:Note {name: 'x'}) ON MATCH SET n.content = $v",
+      "MERGE (n:Note {name: 'x'}) ON CREATE SET n.content = 'a' " +
+        "ON MATCH SET n.content = 'b'",
+      "MERGE (n:Note {name: 'x'}) ON MATCH SET n.content = 'b' " +
+        "ON CREATE SET n.content = 'a'",
+      "MERGE (n:Note {name: 'x'}) ON CREATE SET n.content = $gone",
+      "MERGE (n:Note {name: 'x'}) ON CREATE SET m.content = 'a'",
+      "MERGE (n:Note {name: 'x'}) ON CREATE SET n.name = 'a'",
+      "MERGE (n:Note {name: 'x'}) ON CREATE SET n.content = 'a' " +
+        "ON CREATE SET n.content = 'b'",
+      "MERGE (n:Note {name: 'x'}) ON CREATE SET n.content = 'a', " +
+        "n.docnbr = 'd'",
+      "MERGE (n:Note {name: 'x'}) ON CREATE SET n.content =",
+      "MERGE (n:Note {name: 'x'}) ON CREATE SET",
+      "MERGE (n:Note {name: 'x'}) ON CREATE",
+      "MERGE (n:Note {name: 'x'}) ON")
       .foreach(exerciseWrite(_, Map("v" -> "ok")))
     // the full edge-merge statement survives truncation + token deletion
     val base = "MATCH (a:Region {name: 'r1'}), (b:Nation {name: 'n1'}) " +
