@@ -389,6 +389,11 @@ object CypherLite {
   // drop out — Cypher's rule — and a sum over zero values is 0); min/max
   // order by the property's native string collation
   final case class RetAggProp(fn: String, prop: String) extends RetItem
+  // collect([DISTINCT] r.prop) — the edge-property list aggregate
+  // (same sorted comma-joined serialization contract as [[RetCollect]]),
+  // read from the typed-bindings substrate's edge-property map.
+  final case class RetCollectRel(prop: String, distinct: Boolean)
+    extends RetItem
   // sum/avg/min/max(r.prop) — aggregates over the traversed edges'
   // property values ("total weight per grade"): the same numeric
   // (try_cast) / string-collation lenses as [[RetAggProp]], read from
@@ -2959,6 +2964,9 @@ object CypherLite {
           Right(RetCollect(p, dk != null))
         // collect([DISTINCT] m.prop): the global matched-side list
         case CollectRe(dk, v, p) if v == m => Right(RetCollectRoot(p, dk != null))
+        // collect([DISTINCT] r.prop): the edge-property list aggregate
+        case CollectRe(dk, v, p) if relVar.contains(v) =>
+          Right(RetCollectRel(p, dk != null))
         case CollectRe(_, v, p) => Left(s"collect() may only aggregate " +
           s"the matched variable '$m'" +
           conn.fold("")(c => s" or the connected variable '$c'") +
@@ -3078,6 +3086,7 @@ object CypherLite {
         case RetCollectRoot(_, _) => Some("collected")
         case RetAggProp(fn, p) => Some(s"${fn}_$p")
         case RetAggRelProp(fn, p) => Some(s"${fn}_$p")
+        case RetCollectRel(_, _) => Some("collected")
         // m- and c-side property aggregates share the `<fn>_<prop>`
         // namespace; a query projecting both on the SAME (fn, prop) is
         // rejected by the duplicate-canonical check (alias one with AS)
@@ -3112,6 +3121,7 @@ object CypherLite {
               i.isInstanceOf[RetAggProp] || i.isInstanceOf[RetCountRoot] ||
               i.isInstanceOf[RetAggRootProp] ||
               i.isInstanceOf[RetAggRelProp] ||
+              i.isInstanceOf[RetCollectRel] ||
               i.isInstanceOf[RetCollectRoot]
           val global = pairs.nonEmpty && pairs.forall(p => isAggI(p._1))
           if (dupAlias.nonEmpty)
@@ -3213,7 +3223,7 @@ object CypherLite {
                 case Some(i @ (_: RetPropFn | _: RetCase)) =>
                   Right((AggKeyPrefix + canonOf(i).getOrElse(""), d(dir)))
                 case Some(i @ (_: RetCount | _: RetCollect
-                   | _: RetAggProp | _: RetAggRelProp
+                   | _: RetAggProp | _: RetAggRelProp | _: RetCollectRel
                    | _: RetCountProp)) =>
                   // each aggregate sorts by ITS canonical column (several
                   // may coexist), carried via the agg: pseudo-namespace
@@ -3260,6 +3270,7 @@ object CypherLite {
               i.isInstanceOf[RetAggProp] || i.isInstanceOf[RetCountRoot] ||
               i.isInstanceOf[RetAggRootProp] ||
               i.isInstanceOf[RetAggRelProp] ||
+              i.isInstanceOf[RetCollectRel] ||
               i.isInstanceOf[RetCollectRoot] ||
               i.isInstanceOf[RetCountProp]
           isRootAgg = (i: RetItem) => i match {
@@ -3289,7 +3300,8 @@ object CypherLite {
           else Right(())
           _ <- if (items.exists(i => i.isInstanceOf[RetCollect] ||
               i.isInstanceOf[RetAggProp] ||
-              i.isInstanceOf[RetAggRelProp]) && conn.isEmpty)
+              i.isInstanceOf[RetAggRelProp] ||
+              i.isInstanceOf[RetCollectRel]) && conn.isEmpty)
             Left("collect()/sum()/avg()/min()/max() require a hop pattern")
           else Right(())
           // m-side aggregates are the hop-less global form; mixing them
@@ -3634,6 +3646,7 @@ object CypherLite {
         case _: RetCollectRoot => "collected"
         case RetAggProp(fn, p) => s"${fn}_$p"
         case RetAggRelProp(fn, p) => s"${fn}_$p"
+        case RetCollectRel(_, _) => "collected"
         case RetAggRootProp(fn, p) => s"${fn}_$p"
         case _ => "item" // unreachable: callers filtered to aggregates
       }
@@ -4570,6 +4583,7 @@ object CypherLite {
         val hasCount = items.exists(i => i.isInstanceOf[RetCount] ||
           i.isInstanceOf[RetCollect] || i.isInstanceOf[RetAggProp] ||
           i.isInstanceOf[RetAggRelProp] ||
+          i.isInstanceOf[RetCollectRel] ||
           i.isInstanceOf[RetCountRoot] || i.isInstanceOf[RetAggRootProp] ||
           i.isInstanceOf[RetCollectRoot])
         // coalesce() plumbs as a c-prop projection; the whole-node and
@@ -4725,6 +4739,7 @@ object CypherLite {
     val aggItems = items.filter(i =>
       i.isInstanceOf[RetCount] || i.isInstanceOf[RetCollect] ||
         i.isInstanceOf[RetAggProp] || i.isInstanceOf[RetAggRelProp] ||
+        i.isInstanceOf[RetCollectRel] ||
         i.isInstanceOf[RetCountProp])
     // canonical output columns, one per aggregate, in item order (the
     // WITH pipeline binds its aggregates to the user aliases instead —
@@ -4788,6 +4803,7 @@ object CypherLite {
     val wantsAgg = items.exists(i =>
       i.isInstanceOf[RetCount] || i.isInstanceOf[RetCollect] ||
         i.isInstanceOf[RetAggProp] || i.isInstanceOf[RetAggRelProp] ||
+        i.isInstanceOf[RetCollectRel] ||
         i.isInstanceOf[RetCountProp])
     // GLOBAL form: every item an aggregate → no grouping keys, one summary
     // row out of one partial+final hash aggregate (parse() validated the
@@ -4797,6 +4813,7 @@ object CypherLite {
         i.isInstanceOf[RetAggProp] || i.isInstanceOf[RetCountRoot] ||
         i.isInstanceOf[RetAggRootProp] || i.isInstanceOf[RetCollectRoot] ||
         i.isInstanceOf[RetAggRelProp] ||
+        i.isInstanceOf[RetCollectRel] ||
         i.isInstanceOf[RetCountProp])
     // the engine's deterministic list serialization (sorted comma-join —
     // a raw collect_list would be shuffle-order-dependent)
@@ -4970,6 +4987,7 @@ object CypherLite {
               avg(col(s"r_$p").try_cast("double"))
             case RetAggRelProp("min", p) => min(col(s"r_$p"))
             case RetAggRelProp("max", p) => max(col(s"r_$p"))
+            case RetCollectRel(p, dk) => collectCol(col(s"r_$p"), dk)
             case other => throw new IllegalArgumentException(
               s"unsupported aggregate item: $other")
           }).as(nm)
@@ -4982,6 +5000,7 @@ object CypherLite {
           case RetCollect(p, _) => Seq(s"c_$p")
           case RetAggProp(_, p) => Seq(s"c_$p")
           case RetAggRelProp(_, p) => Seq(s"r_$p")
+          case RetCollectRel(p, _) => Seq(s"r_$p")
           case RetCountProp(_, p, true) => Seq(s"c_$p")
           case _ => Seq.empty[String]
         }.distinct
@@ -4998,7 +5017,8 @@ object CypherLite {
         // RetRelProp only arises with a bound rel var (= hasRelVar), so
         // `r_props` is always present here when this list is non-empty.
         val relPropCols = (items.collect { case RetRelProp(p) => p } ++
-          items.collect { case RetAggRelProp(_, p) => p }).distinct
+          items.collect { case RetAggRelProp(_, p) => p } ++
+          items.collect { case RetCollectRel(p, _) => p }).distinct
         val neigh = relPropCols.foldLeft(neigh0)((df, p) =>
           df.withColumn(s"r_$p", element_at(col("r_props"), p)))
         // binding columns the RETURN projection asks for beyond the node
@@ -5068,6 +5088,7 @@ object CypherLite {
             case RetCollect(p, _) => Seq(s"c_$p")
             case RetAggProp(_, p) => Seq(s"c_$p")
             case RetAggRelProp(_, p) => Seq(s"r_$p")
+            case RetCollectRel(p, _) => Seq(s"r_$p")
             case RetCountProp(_, p, true) => Seq(s"c_$p")
             case _ => Seq.empty
           }.distinct
@@ -5099,6 +5120,7 @@ object CypherLite {
                   avg(col(s"r_$p").try_cast("double"))
                 case RetAggRelProp("min", p) => min(col(s"r_$p"))
                 case RetAggRelProp("max", p) => max(col(s"r_$p"))
+                case RetCollectRel(p, dk) => collectCol(col(s"r_$p"), dk)
                 case other => throw new IllegalArgumentException(
                   s"unsupported global aggregate item: $other")
               }).as(nm)

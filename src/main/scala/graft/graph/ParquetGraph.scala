@@ -3189,7 +3189,12 @@ object ParquetGraph {
         "ON MATCH SET n.content = 'matched-r12'"
       val (g1, s1) = CypherLite.runWrite(hierarchy(s, d), q)
         .fold(err => throw new IllegalArgumentException(err), identity)
-      val s2 = CypherLite.runWrite(g1, q)
+      // run 2 consumes run 1's node relation several times (anti/semi
+      // branch joins, the upsert, the content update, its summary); a
+      // lazy checkpoint materializes run 1's whole-graph plan once
+      // instead of replaying it per consumer
+      val g1m = GraphTables(g1.nodes.localCheckpoint(false), g1.edges)
+      val s2 = CypherLite.runWrite(g1m, q)
         .fold(err => throw new IllegalArgumentException(err), _._2)
       s1.withColumn("run", lit(1))
         .unionByName(s2.withColumn("run", lit(2)))

@@ -164,6 +164,18 @@ class RelPropPredicateSpec extends SparkSpec {
     // hop-less form rejects it like the c-side aggregates
     val hopless = CypherLite.parse("MATCH (m:N) RETURN sum(r.weight)")
     assert(hopless.isLeft, hopless.toString)
+    // collect([DISTINCT] r.prop): the sorted comma-joined list contract,
+    // grouped and global; missing keys drop from the list
+    val coll = CypherLite.run(g, "MATCH (a:N)-[r:ROAD]->(b) " +
+      "RETURN a.name, collect(r.grade) ORDER BY a.name")
+      .fold(e => fail(e), identity).collect()
+      .map(r => (r.getAs[String]("m_name"), r.getAs[String]("collected")))
+      .toSeq
+    assert(coll == Seq(("n1", "a,a,b"), ("n2", "")))
+    val cd = CypherLite.run(g, "MATCH (a:N)-[r:ROAD]->(b) " +
+      "RETURN collect(DISTINCT r.grade)")
+      .fold(e => fail(e), identity).collect().head.getString(0)
+    assert(cd == "a,b")
   }
 
   test("WITH …, sum(r.prop) AS alias pipelines edge-property " +
