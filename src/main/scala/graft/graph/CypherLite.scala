@@ -415,6 +415,15 @@ object CypherLite {
   // count(DISTINCT m) counts distinct matched roots ("how many X have an
   // R" — the semi-join cardinality).
   final case class RetCountRoot(distinct: Boolean) extends RetItem
+  // count([DISTINCT] r) — relationships traversed, on the typed-bindings
+  // substrate (one row per EDGE). The plain form counts binding rows;
+  // DISTINCT is HONORED as a distinct count over the edge identity
+  // (root_id, c_id, r_type) — equal to the plain count whenever the
+  // store's edge-key invariant holds (upsert dedups on exactly that
+  // tuple), and the correctly collapsed count on a hand-built multigraph
+  // input, where duplicate (src, dst, relType) rows are the same stored
+  // relationship bound more than once.
+  final case class RetCountRel(distinct: Boolean) extends RetItem
   // sum/avg/min/max(m.prop) — global aggregates over the MATCHED nodes
   // (hop-less only; with a hop pattern aggregate the connected variable).
   // Same numeric/collation lenses as the c-side [[RetAggProp]].
@@ -546,6 +555,12 @@ object CypherLite {
     * matched set, mapped to [[GraphOps.updateContent]]. Only the
     * `content` property is writable (the engine's node identity hashes
     * name/label, so rewriting those would be an upsert, not a SET).
+    * CAVEAT — content-vs-id drift: [[GraphModel.nodeId]] hashes content
+    * too, and SET does NOT re-key the node, so after an update the
+    * stored id still reflects the ORIGINAL content; a later MERGE whose
+    * pattern carries the NEW content hashes to a different id and mints
+    * a separate node. Re-MERGE with the content the node was CREATED
+    * with (or match by name) to hit the updated node.
     */
   final case class SetContent(label: Option[String],
       props: Map[String, String], conds: Seq[Seq[Cond]],
@@ -582,6 +597,13 @@ object CypherLite {
     * kernel as [[SetContent]] (name/label/docnbr are hashed into the
     * node identity). Clauses may appear in either order, each at most
     * once; values are literals or `$params`.
+    * CAVEAT — content-vs-id drift (same as [[SetContent]]):
+    * [[GraphModel.nodeId]] hashes content as well, and the branch SET
+    * does NOT re-key the node — the id keeps hashing the content the
+    * node was MERGED with. A later MERGE whose pattern carries the
+    * SET-updated content therefore computes a DIFFERENT id and mints a
+    * duplicate node; re-MERGE with the original pattern to take the
+    * ON MATCH branch.
     */
   final case class MergeNodeOnSet(node: CreateNode,
       onCreate: Option[String], onMatch: Option[String]) extends Statement
@@ -618,6 +640,26 @@ object CypherLite {
       // per MERGE clause, in statement order
       clauses: Seq[MergeClause]) extends Statement
 
+  /** `MATCH (a…) MATCH (b…) MERGE (a)-[r:R [{…}]]->(b)
+    * ON CREATE SET r.prop = … ON MATCH SET r.prop = …` — the
+    * relationship-side branch-aware MERGE, completing the write-surface
+    * symmetry with [[MergeNodeOnSet]] (round-13 directive 5). The MERGE
+    * key is the edge triple (src, dst, relType); whichever branch
+    * actually happened applies ITS property value — created edges carry
+    * the inline map plus the ON CREATE assignment, matched edges keep
+    * their stored props with the ON MATCH key overwritten (the
+    * schemaless [[EdgeRow.props]] map is fully writable, unlike the
+    * node side's content-only rule — edge props are not part of the
+    * edge identity, so there is no drift caveat here). One MERGE clause
+    * per statement (Neo4j binds ON clauses to the preceding MERGE;
+    * a multi-clause block with ON branches is rejected by name), each
+    * branch at most once, values literal or `$param`.
+    */
+  final case class MergeEdgesOnSet(a: MergePat, b: MergePat,
+      clause: MergeClause, relVar: String,
+      onCreate: Option[(String, String)],
+      onMatch: Option[(String, String)]) extends Statement
+
   /** `MATCH p = shortestPath((a…)-[[:REL][*[1..K]]]->(b…)) RETURN …` —
     * one row per (a, b) endpoint pair that a directed path connects, at
     * the MINIMUM path length. No range on the relationship = single hop
@@ -635,6 +677,52 @@ object CypherLite {
       bVar: String, bLabel: Option[String], bProps: Map[String, String],
       items: Seq[(String, String)], // (var, prop); (pathVar, "length")
       orderBy: Option[(String, String, Boolean)],
+      limit: Option[Int]) extends Statement
+
+  /** One RETURN item of a path-quantified query ([[PathQuantReturn]]). */
+  sealed trait PathQItem
+  /** `a.prop` / `b.prop` endpoint projection → column `<var>_<prop>`. */
+  final case class PQProp(v: String, prop: String) extends PathQItem
+  /** `length(p)` → column `path_len`. */
+  case object PQLen extends PathQItem
+  /** `reduce(s = 0, x IN relationships(p) | s + x.prop) [AS alias]` —
+    * the along-the-path property sum → column `alias` (default `total`).
+    * Edge props are strings: each term try_casts to double, a missing or
+    * non-numeric value contributes 0 (documented lens — Neo4j would
+    * type-error; a null-poisoning sum would be ungradable).
+    */
+  final case class PQReduce(prop: String, alias: String) extends PathQItem
+
+  /** `MATCH p = (a…)-[r:T*lo..hi]->(b…)
+    * [WHERE ALL(x IN relationships(p) WHERE <x.prop conds>)]
+    * RETURN <a.prop|b.prop|length(p)|reduce(…)> …` — relationship
+    * predicates on VARIABLE-LENGTH patterns (round-13 directive 4), the
+    * form Neo4j users filter weighted paths with. Path semantics are
+    * Neo4j's: one row PER PATH (bag — two distinct qualifying paths to
+    * the same endpoint answer two rows), relationship-unique (an edge
+    * may appear at most once per path — Cypher's relationship
+    * isomorphism), directed, length within [lo, hi].
+    *
+    * Execution is a per-step frontier expansion over the PRE-FILTERED
+    * edge relation: `ALL(…)` holds by construction because the expansion
+    * only ever walks edges that pass the per-edge DNF — the quantifier
+    * costs one scan-side filter, not a per-path re-check. The reduce sum
+    * accumulates along the frontier (one column add per step). Each step
+    * is one equi-join keyed on the frontier node id (the samplers'
+    * shape); per-step lazy checkpoints bound plan replay; the visited
+    * edge list per row is bounded by `hi` (the parse caps it), so the
+    * relationship-uniqueness filter is an O(hi) array probe, never a
+    * join.
+    */
+  final case class PathQuantReturn(
+      pathVar: String,
+      aVar: String, aLabel: Option[String], aProps: Map[String, String],
+      relVar: Option[String], relType: Option[String],
+      lo: Int, hi: Int,
+      bVar: String, bLabel: Option[String], bProps: Map[String, String],
+      allConds: Seq[Seq[Cond]], // DNF over the quantified edge variable
+      items: Seq[PathQItem],
+      orderBy: Option[(String, Boolean)], // (output column, desc)
       limit: Option[Int]) extends Statement
 
   /** One node of a chain pattern: variable name, optional label, inline
@@ -842,6 +930,20 @@ object CypherLite {
   private val MergeEdgeClauseRe =
     """(?i)MERGE\s*\(\s*(\w+)\s*\)\s*-\s*\[\s*:\s*(\w+)\s*(?:\{\s*([^}]*)\s*\})?\s*\]\s*-\s*>\s*\(\s*(\w+)\s*\)""".r
 
+  // MATCH (a…) MATCH (b…) MERGE (a)-[r:R [{…}]]->(b) ON CREATE SET
+  // r.prop = … [ON MATCH SET r.prop = …] — the relationship-side
+  // branch-aware MERGE. ONE clause (Neo4j binds ON to the preceding
+  // MERGE), a REQUIRED rel variable (the SET needs something to
+  // reference), and the same ON-block re-scan as the node form
+  // (OnSetClauseRe). Checked before MergeEdgeRe, whose clause-block
+  // repetition would otherwise fail on the trailing ON text and fall
+  // to the generic error.
+  private val MergeEdgeOnSetRe =
+    ("""(?is)\s*MATCH\s*\(\s*(\w+)\s*:\s*(\w+)(?:\s*:\s*(\w+))?\s*(?:\{\s*([^}]*)\s*\})?\s*\)\s*""" +
+      """MATCH\s*\(\s*(\w+)\s*:\s*(\w+)(?:\s*:\s*(\w+))?\s*(?:\{\s*([^}]*)\s*\})?\s*\)\s*""" +
+      """MERGE\s*\(\s*(\w+)\s*\)\s*-\s*\[\s*(\w+)\s*:\s*(\w+)\s*(?:\{\s*([^}]*)\s*\})?\s*\]\s*-\s*>\s*\(\s*(\w+)\s*\)\s*""" +
+      """((?:ON\s+(?:CREATE|MATCH)\s+SET\s+\w+\s*\.\s*\w+\s*=\s*(?:'[^']*'|\$\w+)\s*)+);?\s*""").r
+
   // WHERE [NOT] EXISTS { [MATCH] (m)-[…]->([:Label]) } — the modern
   // (Neo4j 5.x) existential-subquery spelling of the pattern-existence
   // predicate. Normalized to the bare-pattern form before parsing, so
@@ -893,6 +995,28 @@ object CypherLite {
 
   // `length(p)` — the path-length RETURN item
   private val LengthRe = """(?is)\s*length\s*\(\s*(\w+)\s*\)\s*""".r
+
+  // MATCH p = (a…)-[r:T*lo..hi]->(b…) [WHERE ALL(x IN relationships(p)
+  // WHERE …)] RETURN … — the path-quantified ranged pattern
+  // ([[PathQuantReturn]]). The bracket admits NO inline map (the
+  // restriction stands on var-length patterns — predicates go through
+  // the quantifier); the rel variable is optional (ALL binds its own).
+  private val PathQuantRe =
+    ("""(?is)\s*MATCH\s+(\w+)\s*=\s*""" +
+      """\(\s*(\w+)\s*(?::\s*(\w+))?\s*(?:\{\s*([^}]*)\s*\})?\s*\)\s*""" +
+      """-\s*\[\s*(\w+)?\s*(?::\s*(\w+(?:\s*\|\s*\w+)*))?\s*\*\s*(\d+)\s*\.\.\s*(\d+)\s*\]\s*-\s*>\s*""" +
+      """\(\s*(\w+)\s*(?::\s*(\w+))?\s*(?:\{\s*([^}]*)\s*\})?\s*\)\s*""" +
+      """(?:WHERE\s+ALL\s*\(\s*(\w+)\s+IN\s+relationships\s*\(\s*(\w+)\s*\)\s*WHERE\s+(.+?)\s*\)\s*)?""" +
+      """RETURN\s+(.+?)\s*""" +
+      """(?:ORDER\s+BY\s+([\w.()]+)\s*(ASC|DESC)?\s*)?""" +
+      """(?:LIMIT\s+(\d+))?\s*;?\s*""").r
+
+  // reduce(s = 0, x IN relationships(p) | s + [toFloat(]x.prop[)]) —
+  // the along-the-path sum RETURN item of a path-quantified query
+  private val ReduceRe =
+    ("""(?is)\s*reduce\s*\(\s*(\w+)\s*=\s*0(?:\.0)?\s*,\s*(\w+)\s+IN\s+""" +
+      """relationships\s*\(\s*(\w+)\s*\)\s*\|\s*(\w+)\s*\+\s*""" +
+      """(?:toFloat\s*\(\s*)?(\w+)\s*\.\s*(\w+)\s*\)?\s*\)\s*""").r
 
   private val PropRe = """(\w+)\s*:\s*'([^']*)'""".r
 
@@ -1074,6 +1198,9 @@ object CypherLite {
     * (same rule as every other read comparison).
     */
   private val RelBracketRe = """\[[^\[\]]*\]""".r
+  // one `key:` inside a (blanked) map body — counted against the parsed
+  // entries so an unsupported VALUE form can never be silently dropped
+  private val MapKeyRe = """[A-Za-z_]\w*\s*:""".r
   private def parseRelProps(query: String, hasHop: Boolean)
       : Map[String, String] =
     if (!hasHop) Map.empty
@@ -1085,9 +1212,26 @@ object CypherLite {
         else {
           val close = blanked.indexOf('}', open)
           if (close < 0 || close >= span.end) None
-          else Some(PropRe.findAllMatchIn(
-              query.substring(open + 1, close))
-            .map(p => p.group(1) -> p.group(2)).toMap)
+          else {
+            val parsed = PropRe.findAllMatchIn(
+                query.substring(open + 1, close))
+              .map(p => p.group(1) -> p.group(2)).toMap
+            // every `key:` in the map must have produced an entry:
+            // PropRe admits quoted string values only, so a numeric
+            // literal ({weight: 2}), boolean, or $param would otherwise
+            // VANISH and the query would return unfiltered bindings —
+            // reject by name instead (keys counted on the blanked body,
+            // so a quoted value containing `x:` can't inflate the count;
+            // a duplicate key collapses in the map and is also rejected)
+            val keyCount = MapKeyRe
+              .findAllMatchIn(blanked.substring(open + 1, close)).size
+            if (parsed.size != keyCount)
+              throw ParseError("inline relationship property maps " +
+                "support quoted string values and unique keys only " +
+                "({key: 'value'}) — numeric/boolean literals and " +
+                "$params are not supported; compare with WHERE instead")
+            Some(parsed)
+          }
         }
       }.getOrElse(Map.empty)
     }
@@ -1653,8 +1797,11 @@ object CypherLite {
         .getOrElse(Right(()))
       _ <- clauses.find(_.group(3) != "content")
         .map(_ => Left("only the content property is writable in " +
-          "ON CREATE/ON MATCH SET (name/label are part of the node " +
-          "identity — use a different MERGE pattern to mint a new node)"))
+          "ON CREATE/ON MATCH SET (name/label/docnbr/content are all " +
+          "hashed into the node identity — and note the SET does not " +
+          "re-key the node: its id keeps hashing the content it was " +
+          "merged with, so MERGE again with the ORIGINAL pattern, not " +
+          "the updated content)"))
         .getOrElse(Right(()))
       kinds = clauses.map(_.group(1).toUpperCase)
       _ <- if (kinds.distinct.size != kinds.size)
@@ -1709,6 +1856,206 @@ object CypherLite {
       MergePat(bV, bL, Option(bB), bProps), clauses)
   }
 
+  /** Parse the path-quantified ranged pattern ([[PathQuantReturn]]):
+    * validates the variable namespace, the range bounds (path
+    * enumeration is capped at hi ≤ 8 — beyond that the bag of paths is
+    * not a serving-layer answer), the ALL(…) inner WHERE (x.prop atoms
+    * through the standard boolean DNF), and the RETURN items
+    * (endpoint props, length(p), at most one reduce() sum).
+    */
+  private def parsePathQuant(pathVar: String, aVar: String,
+      aLabel: Option[String], aPropsStr: String, relVar: Option[String],
+      relType: Option[String], lo: Int, hi: Int, bVar: String,
+      bLabel: Option[String], bPropsStr: String, allVar: Option[String],
+      allPRef: Option[String], allWhere: Option[String], retStr: String,
+      obStr: Option[String], obDirS: Option[String],
+      limitStr: Option[String]): Either[String, Statement] = {
+    def propsOf(s: String): Map[String, String] =
+      Option(s).toSeq.flatMap(x => PropRe.findAllMatchIn(x)
+        .map(p => p.group(1) -> p.group(2))).toMap
+    val bound = Seq(Some(pathVar), Some(aVar), Some(bVar), relVar,
+      allVar).flatten
+    for {
+      _ <- if (bound.distinct.size != bound.size)
+        Left("path-query variables must be distinct, got " +
+          bound.mkString(", "))
+      else Right(())
+      _ <- if (lo < 1) Left("the range lower bound must be >= 1")
+      else Right(())
+      _ <- if (hi < lo)
+        Left(s"empty range *$lo..$hi (upper bound below lower)")
+      else Right(())
+      _ <- if (hi > 8)
+        Left(s"range upper bound *..$hi exceeds the path-enumeration " +
+          "cap (8): a longer bag of paths is not a serving answer — " +
+          "use shortestPath or the reachability forms")
+      else Right(())
+      _ <- allPRef.filter(_ != pathVar).map(p =>
+        Left(s"relationships() may only take the path variable " +
+          s"'$pathVar', got '$p'")).getOrElse(Right(()))
+      allConds <- (allVar, allWhere) match {
+        case (Some(x), Some(w)) =>
+          def onePart(part: String, neg: Boolean): Either[String, Cond] =
+            part match {
+              case NullCondRe(v, prop, notKw) if v == x =>
+                Right(Cond(prop,
+                  if (notKw != null) "IS NOT NULL" else "IS NULL", "",
+                  negated = neg, onRelProp = true))
+              case ExistsFnRe(v, prop) if v == x =>
+                Right(Cond(prop, "IS NOT NULL", "", negated = neg,
+                  onRelProp = true))
+              case CondRe(fnKw, v, prop, close, op, str, num, list)
+                  if v == x =>
+                mkCondFn(fnKw, close, prop, op, str, num, list)
+                  .map(_.copy(negated = neg, onRelProp = true))
+              case other =>
+                Left(s"ALL(…) may only compare the quantified " +
+                  s"variable's properties ($x.<prop>), got " +
+                  s"'${other.trim.take(40)}'")
+            }
+          parseBoolDnf(w).flatMap { groups =>
+            val parsed = groups.map { parts =>
+              val cs = parts.map { case (p, neg) => onePart(p, neg) }
+              cs.collectFirst { case Left(e) => Left(e) }
+                .getOrElse(Right(cs.collect { case Right(c) => c }))
+            }
+            parsed.collectFirst { case Left(e) => Left(e) }
+              .getOrElse(Right(parsed.collect { case Right(g) => g }))
+          }
+        case _ => Right(Seq.empty)
+      }
+      items <- {
+        def one(body: String, alias: Option[String])
+            : Either[String, PathQItem] = body match {
+          case ReduceRe(acc, x2, p2, accRef, xRef, prop) =>
+            if (p2 != pathVar)
+              Left(s"reduce() must iterate relationships($pathVar), " +
+                s"got relationships($p2)")
+            else if (acc != accRef || x2 != xRef)
+              Left("reduce() accumulator/iterator names must match " +
+                s"($acc = 0 … | $accRef + …; $x2 IN … | … $xRef.<prop>)")
+            else Right(PQReduce(prop, alias.getOrElse("total")))
+          case LengthRe(v) if v == pathVar =>
+            if (alias.isDefined)
+              Left("length(p) projects as the fixed column path_len — " +
+                "drop the alias")
+            else Right(PQLen)
+          case LengthRe(v) => Left("length() may only take the path " +
+            s"variable '$pathVar', got '$v'")
+          case VarPropRe(v, p) if v == aVar || v == bVar =>
+            if (alias.isDefined)
+              Left(s"endpoint properties project as <var>_<prop> — " +
+                "drop the alias")
+            else Right(PQProp(v, p))
+          case other => Left("a path-quantified RETURN projects " +
+            s"endpoint properties ($aVar.<prop>, $bVar.<prop>), " +
+            s"length($pathVar), or one reduce(…) sum, got " +
+            s"'${other.trim.take(40)}'")
+        }
+        val parsed = splitTopLevel(retStr).map {
+          case AsItemRe(body, a) => one(body, Some(a))
+          case p => one(p, None)
+        }
+        parsed.collectFirst { case Left(e) => Left(e) }
+          .getOrElse(Right(parsed.collect { case Right(i) => i }))
+      }
+      _ <- if (items.isEmpty) Left("empty RETURN list") else Right(())
+      _ <- if (items.count(_.isInstanceOf[PQReduce]) > 1)
+        Left("at most one reduce() sum per path query")
+      else Right(())
+      outName = (i: PathQItem) => i match {
+        case PQProp(v, p) => s"${v}_$p"
+        case PQLen => "path_len"
+        case PQReduce(_, a) => a
+      }
+      _ <- {
+        val names = items.map(outName)
+        if (names.distinct.size != names.size)
+          Left(s"duplicate output columns: ${names.mkString(", ")}")
+        else Right(())
+      }
+      ob <- obStr match {
+        case None => Right(None)
+        case Some(o) =>
+          val key = o.trim match {
+            case LengthRe(v) if v == pathVar => Some("path_len")
+            case VarPropRe(v, p) => Some(s"${v}_$p")
+            case bare => Some(bare.trim)
+          }
+          key.filter(k => items.map(outName).contains(k)) match {
+            case Some(k) =>
+              Right(Some((k, obDirS.exists(_.equalsIgnoreCase("DESC")))))
+            case None => Left(s"ORDER BY key '${o.trim}' is not a " +
+              "projected item (project it first)")
+          }
+      }
+    } yield PathQuantReturn(pathVar, aVar, aLabel, propsOf(aPropsStr),
+      relVar, relType, lo, hi, bVar, bLabel, propsOf(bPropsStr),
+      allConds, items, ob, limitStr.map(_.toInt))
+  }
+
+  /** Parse the relationship-side branch-aware MERGE
+    * ([[MergeEdgesOnSet]]): the dual-MATCH sides get
+    * [[parseMergeEdges]]'s validations, the ON block gets
+    * [[parseMergeOnSet]]'s rules — except that EVERY prop key is
+    * writable (EdgeRow.props is schemaless and not part of the edge
+    * identity).
+    */
+  private def parseMergeEdgeOnSet(groups: Seq[String], relVar: String,
+      relType: String, clausePropsStr: Option[String], onBlock: String,
+      params: Map[String, String]): Either[String, Statement] = {
+    val Seq(aV, aL, aB, aP, bV, bL, bB, bP, srcV, dstV) = groups
+    val allowed = Set("name", "content", "docnbr")
+    val onClauses = OnSetClauseRe.findAllMatchIn(onBlock).toSeq
+    def clauseValue(m: scala.util.matching.Regex.Match)
+        : Either[String, String] =
+      if (m.group(4) != null) Right(m.group(4))
+      else params.get(m.group(5))
+        .toRight(s"missing parameter $$${m.group(5)} " +
+          s"(have: ${params.keys.toSeq.sorted.mkString(", ")})")
+    for {
+      _ <- if (aV == bV)
+        Left(s"edge MERGE needs two distinct match variables, got '$aV' twice")
+      else Right(())
+      aProps <- resolveProps(Option(aP).getOrElse(""), params)
+      bProps <- resolveProps(Option(bP).getOrElse(""), params)
+      _ <- (aProps.keys ++ bProps.keys).find(!allowed(_)).map(k =>
+        Left(s"unsupported match property: $k " +
+          s"(supported: ${allowed.toSeq.sorted.mkString(", ")})"))
+        .getOrElse(Right(()))
+      clauseProps <- resolveProps(clausePropsStr.getOrElse(""), params)
+      _ <- Seq(srcV, dstV).find(v => v != aV && v != bV)
+        .map(v => Left(s"MERGE clause references unmatched variable '$v' " +
+          s"(matched: $aV, $bV)")).getOrElse(Right(()))
+      _ <- if (srcV == dstV)
+        Left(s"self-loop MERGE ($srcV)-[:$relType]->($dstV) is not " +
+          "supported")
+      else Right(())
+      _ <- Seq(aV, bV).find(_ == relVar).map(v =>
+        Left(s"the relationship variable '$relVar' collides with " +
+          s"matched node variable '$v'")).getOrElse(Right(()))
+      _ <- onClauses.find(_.group(2) != relVar)
+        .map(m => Left(s"ON ${m.group(1).toUpperCase} SET may only " +
+          s"write the merged relationship '$relVar', got " +
+          s"'${m.group(2)}'"))
+        .getOrElse(Right(()))
+      kinds = onClauses.map(_.group(1).toUpperCase)
+      _ <- if (kinds.distinct.size != kinds.size)
+        Left("at most one ON CREATE SET and one ON MATCH SET clause")
+      else Right(())
+      resolved <- onClauses
+        .foldLeft[Either[String, Map[String, (String, String)]]](
+          Right(Map.empty)) { (acc, m) => acc.flatMap(done =>
+            clauseValue(m).map(vv =>
+              done + (m.group(1).toUpperCase -> (m.group(3), vv))))
+        }
+    } yield MergeEdgesOnSet(
+      MergePat(aV, aL, Option(aB), aProps),
+      MergePat(bV, bL, Option(bB), bProps),
+      MergeClause(srcV, relType, dstV, clauseProps), relVar,
+      resolved.get("CREATE"), resolved.get("MATCH"))
+  }
+
   def parse(query: String): Either[String, Statement] = parse(query, Map.empty)
 
   /** Parse with Cypher parameters (`$name` in write-pattern property
@@ -1719,10 +2066,11 @@ object CypherLite {
     */
   def parse(query: String, params: Map[String, String])
       : Either[String, Statement] =
-    rewriteGqlQuantifier(query).flatMap(q =>
+    try rewriteGqlQuantifier(query).flatMap(q =>
       mergeConsecutiveMatches(
         stripPassthroughWith(rewriteCountSubquery(rewriteCommaPatterns(q))))
         .flatMap(q2 => parseChainedWith(q2).getOrElse(parseStmt(q2, params))))
+    catch { case ParseError(m) => Left(m) }
 
   // ——— chained WITH pipeline (2+ stages) ———————————————————————————————
 
@@ -2363,12 +2711,30 @@ object CypherLite {
         "shape: MERGE (n:Label[:Batch] {name: '…'[, …]}) " +
         "[ON CREATE SET n.content = '…'|$p] " +
         "[ON MATCH SET n.content = '…'|$p], each clause at most once")
+    // MATCH (a…) MATCH (b…) MERGE (a)-[r:R]->(b) ON CREATE/ON MATCH SET
+    // r.prop = … — the relationship-side branch-aware MERGE; before
+    // MergeEdgeRe so the plain form's clause-block repetition never
+    // half-matches a query with ON branches
+    case MergeEdgeOnSetRe(aV, aL, aB, aP, bV, bL, bB, bP, srcV, relVar,
+        relType, clauseProps, dstV, onBlock) =>
+      parseMergeEdgeOnSet(Seq(aV, aL, aB, aP, bV, bL, bB, bP, srcV, dstV),
+        relVar, relType, Option(clauseProps), onBlock, params)
     // MATCH (a…) MATCH (b…) MERGE (a)-[:R]->(b) … — the relationship
     // write (reference `new_final.js:34-38`); checked before the chain
     // scanner so a 3-clause MERGE block is not misread as a path
     case MergeEdgeRe(aV, aL, aB, aP, bV, bL, bB, bP, mergeBlock) =>
       parseMergeEdges(Seq(aV, aL, aB, aP, bV, bL, bB, bP),
         mergeBlock, params)
+    // an edge MERGE with ON clauses that did NOT match the strict form:
+    // name the supported shape (single clause, bound rel var) instead of
+    // the generic parse error
+    case q if ("(?is)^\\s*MATCH\\b.*\\bMERGE\\b.*\\bON\\s+" +
+        "(CREATE|MATCH)\\b.*").r.matches(q) =>
+      Left("unparseable relationship MERGE … ON CREATE/ON MATCH SET — " +
+        "supported shape: MATCH (a:L1 {…}) MATCH (b:L2 {…}) " +
+        "MERGE (a)-[r:R [{…}]]->(b) [ON CREATE SET r.prop = '…'|$p] " +
+        "[ON MATCH SET r.prop = '…'|$p] — ONE MERGE clause, a bound " +
+        "relationship variable, each ON clause at most once")
     // ≥3 relationship segments: the N-step chain scanner (regexes cannot
     // express a repeated group) — checked before the fixed-arity forms
     case q if looksMultiChain(q) => parseMultiChain(q)
@@ -2624,6 +2990,17 @@ object CypherLite {
       } yield ShortestPathReturn(pathVar, aVar, Option(aLabel),
         propsOf(aPropsStr), Option(relT), bound, bVar, Option(bLabel),
         propsOf(bPropsStr), items, ob, Option(limitStr).map(_.toInt))
+    // path-quantified ranged pattern: relationship predicates through
+    // ALL(x IN relationships(p) WHERE …) and/or an along-the-path
+    // reduce() sum (round-13 directive 4)
+    case PathQuantRe(pathVar, aVar, aLabel, aPropsStr, relVarS, relT,
+        loS, hiS, bVar, bLabel, bPropsStr, allVar, allPRef, allWhere,
+        retStr, obStr, obDirS, limitStr) =>
+      parsePathQuant(pathVar, aVar, Option(aLabel), aPropsStr,
+        Option(relVarS), Option(relT), loS.toInt, hiS.toInt, bVar,
+        Option(bLabel), bPropsStr, Option(allVar), Option(allPRef),
+        Option(allWhere), retStr, Option(obStr), Option(obDirS),
+        Option(limitStr))
     case ChainRe(v1, l1, p1, r1, k1, v2, l2, p2, r2, k2, v3, l3, p3,
         whereStr, distinctKw, retStr, obClause, skipStr, limitStr) =>
       val nodes = Seq((v1, l1, p1), (v2, l2, p2), (v3, l3, p3)).map {
@@ -2673,10 +3050,10 @@ object CypherLite {
             else Right((RetCount(distinct = false, star = true), alias)))
           case WithCountRe(dk, v, alias) if conn.contains(v) =>
             Some(Right((RetCount(dk != null), alias)))
-          // count(r): one row per traversed EDGE on the typed-bindings
-          // substrate, so plain and DISTINCT counts coincide
-          case WithCountRe(_, v, alias) if relVar.contains(v) =>
-            Some(Right((RetCount(distinct = false), alias)))
+          // count([DISTINCT] r): relationships traversed — DISTINCT is
+          // honored over the edge identity (RetCountRel doc)
+          case WithCountRe(dk, v, alias) if relVar.contains(v) =>
+            Some(Right((RetCountRel(dk != null), alias)))
           case WithCountRe(_, v, _) =>
             Some(Left(s"WITH count() may only aggregate the connected " +
               s"variable '${conn.get}'" +
@@ -2741,7 +3118,10 @@ object CypherLite {
           dir <- parseDirection(query, conn.isDefined)
           _ <- if (relVar.isDefined && hopsStr != null)
             Left(s"a relationship variable ('${relVar.get}') cannot bind " +
-              "a variable-length pattern — drop the range or the variable")
+              "a variable-length pattern — drop the range or the " +
+              "variable, or quantify per-edge predicates with " +
+              "MATCH p = (a)-[r:T*lo..hi]->(b) WHERE ALL(x IN " +
+              "relationships(p) WHERE x.prop …)")
           else Right(())
           _ <- if (relProps.nonEmpty && hopsStr != null)
             Left("a variable-length pattern cannot carry a relationship " +
@@ -2943,11 +3323,10 @@ object CypherLite {
           s"only reference '$m'" + conn.fold("")(c => s" or '$c'") +
           s", got '$v.$pr'")
         case CountRe(dk, v) if conn.contains(v) => Right(RetCount(dk != null))
-        // count([DISTINCT] r): relationships traversed — with a bound rel
-        // var the bindings relation is one row per EDGE, so plain and
-        // DISTINCT counts coincide (each row IS a distinct relationship)
-        case CountRe(_, v) if relVar.contains(v) =>
-          Right(RetCount(distinct = false))
+        // count([DISTINCT] r): relationships traversed — DISTINCT is
+        // honored over the edge identity (RetCountRel doc)
+        case CountRe(dk, v) if relVar.contains(v) =>
+          Right(RetCountRel(dk != null))
         // count([DISTINCT] m): the global matched-variable count (the
         // "how many X" staple) — validated below to the all-aggregate form
         case CountRe(dk, v) if v == m => Right(RetCountRoot(dk != null))
@@ -3080,6 +3459,7 @@ object CypherLite {
         case RetRelProp(p) => Some(s"r_$p")
         case RetCoalesce(p, _) => Some(s"c_$p")
         case RetCount(_, _) => Some("n_connected")
+        case RetCountRel(_) => Some("n_connected")
         case RetCountRoot(_) => Some("n_matched")
         case RetCountProp(_, p, _) => Some(s"n_$p")
         case RetCollect(_, _) => Some("collected")
@@ -3117,7 +3497,8 @@ object CypherLite {
           val aliased = pairs.collect { case (i, Some(a)) => (i, a) }
           val dupAlias = aliased.map(_._2).diff(aliased.map(_._2).distinct)
           val isAggI = (i: RetItem) =>
-            i.isInstanceOf[RetCount] || i.isInstanceOf[RetCollect] ||
+            i.isInstanceOf[RetCount] || i.isInstanceOf[RetCountRel] ||
+              i.isInstanceOf[RetCollect] ||
               i.isInstanceOf[RetAggProp] || i.isInstanceOf[RetCountRoot] ||
               i.isInstanceOf[RetAggRootProp] ||
               i.isInstanceOf[RetAggRelProp] ||
@@ -3193,7 +3574,8 @@ object CypherLite {
             // ORDER BY count(c)/count(*): sort groups by the aggregate
             // (top-k groups); demands a count item in RETURN
             case ObCountItemRe(v, dir) if conn.contains(v) || v == "*" =>
-              if (!items.exists(_.isInstanceOf[RetCount]))
+              if (!items.exists(i => i.isInstanceOf[RetCount] ||
+                  i.isInstanceOf[RetCountRel]))
                 Left("ORDER BY count() requires count(connected) in RETURN")
               else Right((CountKey, d(dir)))
             case ObCountItemRe(v, _) =>
@@ -3222,7 +3604,7 @@ object CypherLite {
                 // column pseudo-namespace the aggregates use
                 case Some(i @ (_: RetPropFn | _: RetCase)) =>
                   Right((AggKeyPrefix + canonOf(i).getOrElse(""), d(dir)))
-                case Some(i @ (_: RetCount | _: RetCollect
+                case Some(i @ (_: RetCount | _: RetCountRel | _: RetCollect
                    | _: RetAggProp | _: RetAggRelProp | _: RetCollectRel
                    | _: RetCountProp)) =>
                   // each aggregate sorts by ITS canonical column (several
@@ -3266,7 +3648,8 @@ object CypherLite {
           (items, aliasPairs, aliasMap) = parsedItems
           ob <- orderByE(items, aliasPairs)
           isAgg = (i: RetItem) =>
-            i.isInstanceOf[RetCount] || i.isInstanceOf[RetCollect] ||
+            i.isInstanceOf[RetCount] || i.isInstanceOf[RetCountRel] ||
+              i.isInstanceOf[RetCollect] ||
               i.isInstanceOf[RetAggProp] || i.isInstanceOf[RetCountRoot] ||
               i.isInstanceOf[RetAggRootProp] ||
               i.isInstanceOf[RetAggRelProp] ||
@@ -3353,7 +3736,10 @@ object CypherLite {
           // silently misread — reject rather than guess
           _ <- if (relVar.isDefined && hopsStr != null)
             Left(s"a relationship variable ('${relVar.get}') cannot bind " +
-              "a variable-length pattern — drop the range or the variable")
+              "a variable-length pattern — drop the range or the " +
+              "variable, or quantify per-edge predicates with " +
+              "MATCH p = (a)-[r:T*lo..hi]->(b) WHERE ALL(x IN " +
+              "relationships(p) WHERE x.prop …)")
           else Right(())
           // a property map on a RANGED pattern would have to hold for
           // every edge of a var-length binding, which this substrate
@@ -3458,6 +3844,18 @@ object CypherLite {
   }
 
   private def parseMultiChain(query: String): Either[String, Statement] = {
+    // a hop bracket carrying an inline property map: 3+-segment chains
+    // route here BEFORE the single-hop statement forms' named fall-
+    // through can see them, so the restriction must be named here too —
+    // otherwise the map shreds the segment scan and the user gets a
+    // generic chain-shape error for a documented restriction
+    val blankedQ = blankQuoted(query)
+    if (RelBracketRe.findAllMatchIn(blankedQ).exists(mm =>
+        blankedQ.substring(mm.start, mm.end).contains("{")))
+      return Left("a relationship property map (-[r:T {…}]->) is " +
+        "supported on single-hop MATCH patterns only — not on " +
+        "multi-segment chains or variable-length patterns; match single " +
+        "hops and filter with WHERE")
     def propsOf(s: String): Map[String, String] =
       Option(s).toSeq.flatMap(x => PropRe.findAllMatchIn(x)
         .map(p => p.group(1) -> p.group(2))).toMap
@@ -3640,6 +4038,7 @@ object CypherLite {
     items.map { i =>
       val base = i match {
         case _: RetCount => "n_connected"
+        case _: RetCountRel => "n_connected"
         case _: RetCountRoot => "n_matched"
         case RetCountProp(_, p, _) => s"n_$p"
         case _: RetCollect => "collected"
@@ -3833,7 +4232,7 @@ object CypherLite {
       : Either[String, (GraphTables, DataFrame)] =
     parse(query, params).flatMap {
       case s @ (_: SetContent | _: CreateNode | _: MergeEdges |
-          _: MergeNodeOnSet) =>
+          _: MergeNodeOnSet | _: MergeEdgesOnSet) =>
         execWrite(g, s)
       case DetachDelete(tag) =>
         val after = GraphOps.dropBatch(g, tag)
@@ -4099,6 +4498,51 @@ object CypherLite {
           .groupBy("relType").agg(count(lit(1)).as("n_edges"))
           .orderBy("relType")
         Right((after, summary))
+      case MergeEdgesOnSet(a, b, c, _, onCreate, onMatch) =>
+        val spark = g.nodes.sparkSession
+        import spark.implicits._
+        def side(p: MergePat, alias: String) = {
+          val pred = (Seq(col("label") === p.label) ++
+            p.batch.map(col("batch") === _) ++
+            p.props.map { case (k, v) => col(k) === v })
+            .reduce(_ && _)
+          g.nodes.filter(pred).select(col("id").as(alias))
+        }
+        val pairs = side(a, "ida").crossJoin(side(b, "idb"))
+        val batchTag = a.batch.orElse(b.batch).getOrElse("cypher")
+        // the ON CREATE assignment rides the created edges' inline map
+        // (both are parse-time literals); ON MATCH becomes a join-update
+        // against the pre-merge edge image — which branch happened is
+        // decided SET-wise (anti-join = created, semi-join = matched),
+        // the same discipline as the node-side MergeNodeOnSet
+        val createProps = c.props ++ onCreate.map { case (k, v) => k -> v }
+        val incoming = pairs.select(
+          col(if (c.srcVar == a.v) "ida" else "idb").as("src"),
+          col(if (c.dstVar == a.v) "ida" else "idb").as("dst"),
+          lit(c.relType).as("relType"), lit("").as("docnbr"),
+          lit(batchTag).as("batch"),
+          typedLit(createProps).as("props")).as[EdgeRow]
+        val merged = GraphOps.upsert(g,
+          GraphTables(spark.emptyDataset[NodeRow], incoming))
+        val after = onMatch.fold(merged) { case (k, v) =>
+          val key = Seq("src", "dst", "relType")
+          val preEdges = g.edges.toDF().select(key.map(col): _*)
+          val matchedUpd = incoming.toDF().select(key.map(col): _*)
+            .join(preEdges, key, "left_semi")
+            .select(col("src"), col("dst"), col("relType"),
+              lit(k).as("prop_key"), lit(v).as("prop_value"))
+          GraphOps.updateEdgeProp(merged, matchedUpd)
+        }
+        val setKeys = (onCreate.map(_._1).toSeq ++ onMatch.map(_._1))
+          .distinct.sorted
+        val summary = after.edges.toDF()
+          .filter(col("relType") === c.relType)
+          .select(col("relType") +: setKeys.map(k =>
+            element_at(col("props"), k).as(s"r_$k")): _*)
+          .groupBy(("relType" +: setKeys.map(k => s"r_$k")).map(col): _*)
+          .agg(count(lit(1)).as("n_edges"))
+          .orderBy(("relType" +: setKeys.map(k => s"r_$k")).map(col): _*)
+        Right((after, summary))
       case other => Left(s"not a write statement: $other")
     }
 
@@ -4202,6 +4646,92 @@ object CypherLite {
       case None => projected.orderBy(outCols.map(col): _*)
     }
     sp.limit.map(ordered.limit).getOrElse(ordered)
+  }
+
+  /** Execute a path-quantified ranged pattern ([[PathQuantReturn]]):
+    * frontier expansion over the quantifier-filtered edge relation.
+    * `ALL(…)` holds by construction — the per-edge DNF compiles onto the
+    * EDGE RELATION (one sargable scan-side filter), and the expansion
+    * only ever walks passing edges — so the quantifier costs nothing per
+    * path. Each step is one equi-join keyed on the frontier node id (the
+    * walk/sampler shape: frontier-sized, never graph-squared), the
+    * reduce() sum is one column add per step, and Neo4j's
+    * relationship-uniqueness is an O(hi)-bounded array probe on the
+    * per-row visited list. Per-step LAZY checkpoints bound plan replay
+    * (the output union and the next step both read each step's blocks).
+    * Bag semantics: one output row per qualifying PATH.
+    */
+  private def runPathQuant(g: GraphTables, pq: PathQuantReturn)
+      : DataFrame = {
+    def pred(label: Option[String], props: Map[String, String]): Column =
+      (label.map(col("label") === _).toSeq ++
+        props.map { case (k, v) => col(k) === v })
+        .reduceOption(_ && _).getOrElse(lit(true))
+    val edgeDnf: Column = pq.allConds
+      .map(_.map(c => condCol(c, element_at(col("props"), c.prop)))
+        .reduceOption(_ && _).getOrElse(lit(true)))
+      .reduceOption(_ || _).getOrElse(lit(true))
+    val reduceProp = pq.items.collectFirst { case PQReduce(p, _) => p }
+    // edge-prop string → double through the try_cast lens; a missing or
+    // non-numeric value contributes 0 (PQReduce doc)
+    val term = reduceProp
+      .map(p => coalesce(element_at(col("props"), p).try_cast("double"),
+        lit(0.0)))
+      .getOrElse(lit(0.0))
+    val edges = g.edges.toDF().filter(relColOf(pq.relType) && edgeDnf)
+      .select(col("src"), col("dst"),
+        struct(col("src"), col("dst"), col("relType")).as("eid"),
+        term.as("w"))
+      .localCheckpoint(false) // consumed once per step, hi times
+    def wanted(v: String): Seq[String] =
+      pq.items.collect { case PQProp(`v`, p) => p }.distinct
+    val aCols = wanted(pq.aVar)
+    val bCols = wanted(pq.bVar)
+    val aSide = g.nodes.toDF().filter(pred(pq.aLabel, pq.aProps))
+      .select(col("id").as("cur") +:
+        aCols.map(p => col(p).as(s"${pq.aVar}_$p")): _*)
+    var frontier = aSide
+      .withColumn("path_len", lit(0))
+      .withColumn("total", lit(0.0))
+      .withColumn("visited", array().cast(
+        "array<struct<src:bigint,dst:bigint,relType:string>>"))
+    var out: Option[DataFrame] = None
+    for (step <- 1 to pq.hi) {
+      frontier = frontier.join(edges, frontier("cur") === edges("src"))
+        .filter(!array_contains(col("visited"), col("eid")))
+        .select((aCols.map(p => col(s"${pq.aVar}_$p")) ++ Seq(
+          edges("dst").as("cur"),
+          (col("path_len") + 1).as("path_len"),
+          (col("total") + col("w")).as("total"),
+          array_append(col("visited"), col("eid")).as("visited"))): _*)
+        .localCheckpoint(false)
+      if (step >= pq.lo)
+        out = Some(out.fold(frontier)(_ unionByName frontier))
+    }
+    val bSide = g.nodes.toDF().filter(pred(pq.bLabel, pq.bProps))
+      .select(col("id").as("cur") +:
+        bCols.map(p => col(p).as(s"${pq.bVar}_$p")): _*)
+    // column namespaces can't collide: the parse enforced distinct vars
+    // and every projected column is <var>-prefixed
+    val rows = out.get.join(bSide, "cur")
+    def outName(i: PathQItem): String = i match {
+      case PQProp(v, p) => s"${v}_$p"
+      case PQLen => "path_len"
+      case PQReduce(_, a) => a
+    }
+    val outCols = pq.items.map(outName)
+    val named = pq.items.collectFirst {
+      case PQReduce(_, a) if a != "total" => a
+    }.fold(rows)(a => rows.withColumnRenamed("total", a))
+    val projected = named.withColumn("path_len",
+      col("path_len").cast("int")).select(outCols.map(col): _*)
+    val ordered = pq.orderBy match {
+      case Some((k, desc)) =>
+        val head = if (desc) col(k).desc else col(k).asc
+        projected.orderBy(head +: outCols.filterNot(_ == k).map(col): _*)
+      case None => projected.orderBy(outCols.map(col): _*)
+    }
+    pq.limit.map(ordered.limit).getOrElse(ordered)
   }
 
   /** One numeric comparison column (the WHERE-after-WITH filter). */
@@ -4335,11 +4865,21 @@ object CypherLite {
     * c_name, c_content]) rows — or the requested `m_<prop>` projection —
     * mirroring the reference's (m, connected) contract (`first-graph.py:168`).
     */
-  def run(g: GraphTables, query: String): Either[String, DataFrame] = {
-    val toks = UnionTokRe.findAllMatchIn(blankQuoted(query)).toSeq
-    if (toks.isEmpty) runSingle(g, query)
-    else runUnion(g, query, toks)
-  }
+  /** Targeted parse failure raised from helpers that sit BELOW the
+    * Either-threading statement parsers (textual extractors like
+    * [[parseRelProps]], which the statement regexes call mid-pattern);
+    * [[run]] converts it to the standard Left so callers see one error
+    * channel.
+    */
+  private final case class ParseError(msg: String)
+    extends RuntimeException(msg)
+
+  def run(g: GraphTables, query: String): Either[String, DataFrame] =
+    try {
+      val toks = UnionTokRe.findAllMatchIn(blankQuoted(query)).toSeq
+      if (toks.isEmpty) runSingle(g, query)
+      else runUnion(g, query, toks)
+    } catch { case ParseError(m) => Left(m) }
 
   // `UNION [ALL]` tokens, located on the length-preserving quote-blanked
   // text so a literal containing the word can never split a query
@@ -4419,6 +4959,8 @@ object CypherLite {
             dm.orderBy.nonEmpty || dm.skip.isDefined || dm.limit.isDefined
           case sp: ShortestPathReturn =>
             sp.orderBy.isDefined || sp.limit.isDefined
+          case pq: PathQuantReturn =>
+            pq.orderBy.isDefined || pq.limit.isDefined
           case cw: ChainedWith =>
             cw.retOrderBy.nonEmpty || cw.retSkip.isDefined ||
               cw.retLimit.isDefined ||
@@ -4556,6 +5098,16 @@ object CypherLite {
             .map(k => Left(s"unsupported projection property: $k " +
               s"(supported: ${ProjectableProps.toSeq.sorted.mkString(", ")})")))
           .getOrElse(Right(runShortestPath(g, sp)))
+      case pq: PathQuantReturn =>
+        (pq.aProps.keys ++ pq.bProps.keys).find(!SupportedProps(_))
+          .map(k => Left(s"unsupported property: $k " +
+            s"(supported: ${SupportedProps.toSeq.sorted.mkString(", ")})"))
+          .orElse(pq.items.collect { case PQProp(_, p) => p }
+            .find(!ProjectableProps(_))
+            .map(k => Left(s"unsupported projection property: $k " +
+              s"(supported: " +
+              s"${ProjectableProps.toSeq.sorted.mkString(", ")})")))
+          .getOrElse(Right(runPathQuant(g, pq)))
       case DetachDelete(tag) =>
         // the reference's boolean tag ≙ our batch lineage column
         val after = GraphOps.dropBatch(g, tag)
@@ -4565,7 +5117,7 @@ object CypherLite {
       // from a mutated graph that is immediately DISCARDED — a phantom
       // write. Reject with a pointer instead of pretending.
       case _: SetContent | _: CreateNode | _: MergeEdges |
-          _: MergeNodeOnSet =>
+          _: MergeNodeOnSet | _: MergeEdgesOnSet =>
         Left("SET/CREATE/MERGE are write statements — use runWrite(), " +
           "returns the mutated graph alongside the summary (run() would " +
           "discard the mutation)")
@@ -4581,6 +5133,7 @@ object CypherLite {
           case RetCoalesce(p, _) => p
         }
         val hasCount = items.exists(i => i.isInstanceOf[RetCount] ||
+          i.isInstanceOf[RetCountRel] ||
           i.isInstanceOf[RetCollect] || i.isInstanceOf[RetAggProp] ||
           i.isInstanceOf[RetAggRelProp] ||
           i.isInstanceOf[RetCollectRel] ||
@@ -4737,7 +5290,8 @@ object CypherLite {
     // the aggregate's output column: the WITH alias when one was bound,
     // else the fixed contract names (AS aliases rename at the very end)
     val aggItems = items.filter(i =>
-      i.isInstanceOf[RetCount] || i.isInstanceOf[RetCollect] ||
+      i.isInstanceOf[RetCount] || i.isInstanceOf[RetCountRel] ||
+        i.isInstanceOf[RetCollect] ||
         i.isInstanceOf[RetAggProp] || i.isInstanceOf[RetAggRelProp] ||
         i.isInstanceOf[RetCollectRel] ||
         i.isInstanceOf[RetCountProp])
@@ -4754,6 +5308,7 @@ object CypherLite {
     // ORDER BY count() resolves to the FIRST count-kind aggregate
     val countOut = aggItems.zip(aggNames).collectFirst {
       case (i, nm) if i.isInstanceOf[RetCount] ||
+        i.isInstanceOf[RetCountRel] ||
         i.isInstanceOf[RetCountProp] => nm
     }.getOrElse(aggOut)
     // the WHERE DNF, evaluated against a caller-chosen column mapping: bare
@@ -4801,7 +5356,8 @@ object CypherLite {
     // count(), collect(), and the property aggregates take the same
     // grouped-by-root-keys plan shape; only the aggregate expression differs
     val wantsAgg = items.exists(i =>
-      i.isInstanceOf[RetCount] || i.isInstanceOf[RetCollect] ||
+      i.isInstanceOf[RetCount] || i.isInstanceOf[RetCountRel] ||
+        i.isInstanceOf[RetCollect] ||
         i.isInstanceOf[RetAggProp] || i.isInstanceOf[RetAggRelProp] ||
         i.isInstanceOf[RetCollectRel] ||
         i.isInstanceOf[RetCountProp])
@@ -4809,7 +5365,8 @@ object CypherLite {
     // row out of one partial+final hash aggregate (parse() validated the
     // combination rules)
     val globalAgg = items.nonEmpty && items.forall(i =>
-      i.isInstanceOf[RetCount] || i.isInstanceOf[RetCollect] ||
+      i.isInstanceOf[RetCount] || i.isInstanceOf[RetCountRel] ||
+        i.isInstanceOf[RetCollect] ||
         i.isInstanceOf[RetAggProp] || i.isInstanceOf[RetCountRoot] ||
         i.isInstanceOf[RetAggRootProp] || i.isInstanceOf[RetCollectRoot] ||
         i.isInstanceOf[RetAggRelProp] ||
@@ -4972,6 +5529,9 @@ object CypherLite {
             case RetCount(_, true) => count(lit(1))
             case RetCount(true, _) => countDistinct(col("c_id"))
             case RetCount(false, _) => count(col("c_id"))
+            case RetCountRel(true) =>
+              countDistinct(col("root_id"), col("c_id"), col("r_type"))
+            case RetCountRel(false) => count(col("c_id"))
             case RetCountProp(true, p, _) => countDistinct(col(s"c_$p"))
             case RetCountProp(false, p, _) => count(col(s"c_$p"))
             case RetCollect(p, dk) => collectCol(col(s"c_$p"), dk)
@@ -4997,6 +5557,7 @@ object CypherLite {
         val aggConnCols = aggItems.flatMap {
           case RetCount(_, true) => Seq.empty[String]
           case _: RetCount => Seq("c_id")
+          case RetCountRel(_) => Seq("c_id", "r_type")
           case RetCollect(p, _) => Seq(s"c_$p")
           case RetAggProp(_, p) => Seq(s"c_$p")
           case RetAggRelProp(_, p) => Seq(s"r_$p")
@@ -5085,6 +5646,7 @@ object CypherLite {
           // count(r) on the typed-bindings substrate counts edges.
           val neededConn = items.flatMap {
             case RetCount(_, star) => if (star) Seq.empty else Seq("c_id")
+            case RetCountRel(_) => Seq("c_id", "r_type")
             case RetCollect(p, _) => Seq(s"c_$p")
             case RetAggProp(_, p) => Seq(s"c_$p")
             case RetAggRelProp(_, p) => Seq(s"r_$p")
@@ -5101,6 +5663,9 @@ object CypherLite {
                 case RetCount(_, true) => count(lit(1))
                 case RetCount(true, _) => countDistinct(col("c_id"))
                 case RetCount(false, _) => count(col("c_id"))
+                case RetCountRel(true) =>
+                  countDistinct(col("root_id"), col("c_id"), col("r_type"))
+                case RetCountRel(false) => count(col("c_id"))
                 case RetCountRoot(dk) =>
                   if (dk) countDistinct(col("root_id"))
                   else count(col("root_id"))

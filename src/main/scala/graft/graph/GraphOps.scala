@@ -364,6 +364,32 @@ object GraphOps {
     GraphTables(nodes, g.edges)
   }
 
+  /** Relationship-property update as a join-update on the edge MERGE key
+    * (the edge analogue of [[updateContent]], backing the Cypher
+    * `MERGE … ON MATCH SET r.prop` branch): one shuffle keyed on
+    * (src, dst, relType), missing keys keep their stored props. The
+    * written key is OVERWRITTEN in the schemaless props map
+    * (map_filter-out + map_concat — pure column expressions, no UDF, no
+    * dependence on spark.sql.mapKeyDedupPolicy). `updates` columns:
+    * (src, dst, relType, prop_key, prop_value).
+    */
+  def updateEdgeProp(g: GraphTables, updates: DataFrame): GraphTables = {
+    val key = Seq("src", "dst", "relType")
+    val upd = updates.select(
+      (key.map(col) :+ col("prop_key") :+ col("prop_value")): _*)
+    val edges = g.edges.join(upd, key, "left_outer")
+      .withColumn("props",
+        when(col("prop_key").isNotNull,
+          map_concat(
+            map_filter(col("props"), (k, _) => k =!= col("prop_key")),
+            map_from_arrays(array(col("prop_key")),
+              array(col("prop_value")))))
+          .otherwise(col("props")))
+      .drop("prop_key", "prop_value")
+      .as(g.edges.encoder)
+    GraphTables(g.nodes, edges)
+  }
+
   // ------------------------------------------------------------------ GraphX
 
   /** Build a GraphX graph from the relations (north-star analytics path,
@@ -1567,12 +1593,21 @@ object GraphOps {
     * which every node has degree ≥ k (Q9 analytics breadth — the standard
     * "dense enough to matter" community filter). Iterative peeling as a
     * bulk-synchronous fixpoint: each round removes ALL nodes below k
-    * simultaneously and recomputes degrees — O(peeling-depth) rounds, not
-    * O(removed-nodes), which is the shape that survives a 100 TB edge
-    * list (each round is two shuffles: the degree aggregate and the
-    * edge-endpoint semi-join). The per-round `localCheckpoint` +
-    * `isEmpty` termination probe follows the same lineage discipline as
-    * [[reachable]].
+    * simultaneously — O(peeling-depth) rounds, not O(removed-nodes).
+    *
+    * The loop is NODE-CENTRIC (round 13): the undirected edge list is
+    * checkpointed ONCE, hash-partitioned by `u` (checkpoint preserves
+    * output partitioning, so every per-round lookup into it is
+    * shuffle-free on the edge side), and the only per-round state is the
+    * O(nodes) live-degree table. A round semi-joins the static edges
+    * against the doomed set (small after round 1 — AQE broadcasts it),
+    * aggregates the per-neighbor decrements, and rewrites the degree
+    * table. The previous shape rewrote + re-checkpointed the whole
+    * O(edges) list every round, which made each round cost a full edge
+    * shuffle + materialization — ~5× slower at the 22M-edge curve point
+    * and strictly worse at 100 TB, where re-materializing the edge list
+    * per round is the difference between O(depth·m) I/O and O(m + Σ
+    * removed-adjacency).
     *
     * Returns the surviving node ids (empty when the k-core is empty).
     * Throws if `maxIterations` rounds exhaust BEFORE the peeling fixpoint:
@@ -1582,46 +1617,70 @@ object GraphOps {
     * default bound far exceeds any real peeling depth).
     */
   def kCore(spark: SparkSession, g: GraphTables, k: Int,
-      maxIterations: Int = 64): DataFrame = {
+      maxIterations: Int = 64): DataFrame =
+    kCoreStats(spark, g, k, maxIterations)._1
+
+  /** [[kCore]] plus the peel-round count it converged in — the
+    * contention-immune scale pin (round count is a property of the degree
+    * distribution, not of machine load; ScaleCurveSpec asserts it).
+    */
+  def kCoreStats(spark: SparkSession, g: GraphTables, k: Int,
+      maxIterations: Int = 64): (DataFrame, Int) = {
     val e0 = g.edges.toDF().select(col("src"), col("dst"))
-    // round state is checkpointed SERIALIZED: the peeling loop's live set
-    // is the whole surviving edge list, and deserialized row caching
-    // inflates it ~5-10× — at big-graph scale that tips storage into
-    // eviction/spill and the loop goes super-linear (the 100× curve
-    // caught exactly this). Serialized blocks keep the state ~raw-size.
+    // serialized blocks: the edge list is the big resident state, and
+    // deserialized row caching inflates it ~5-10× — at big-graph scale
+    // that tips storage into eviction/spill (the 100× curve caught this)
     val serLevel = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
-    var edges = e0.select(col("src").as("u"), col("dst").as("v"))
+    val und = e0.select(col("src").as("u"), col("dst").as("v"))
       .unionByName(e0.select(col("dst").as("u"), col("src").as("v")))
       .filter(col("u") =!= col("v"))
       .distinct()
+      .repartition(col("u"))
+      .localCheckpoint(true, serLevel)
+    var deg = und.groupBy("u").agg(count(lit(1)).as("deg"))
       .localCheckpoint(true, serLevel)
     var iters = 0
     var done = false
     while (iters < maxIterations && !done) {
       iters += 1
-      val deg = edges.groupBy("u").agg(count(lit(1)).as("deg"))
       val doomed = deg.filter(col("deg") < k).select("u")
-      if (doomed.isEmpty) done = true
-      else {
-        // drop every edge touching a peeled node; both endpoints checked
-        // with semi-join-shaped anti-joins (never a collect of the doomed)
-        val prev = edges
-        edges = edges
+        .localCheckpoint(true, serLevel)
+      if (doomed.isEmpty) {
+        freeLocalCheckpoint(doomed)
+        done = true
+      } else {
+        // every doomed node's edges vanish: each (doomed u → v) row
+        // decrements v. A v that is itself doomed (this round or earlier)
+        // is simply absent from the surviving degree table, so its
+        // decrement row joins away — no alive-set bookkeeping needed.
+        val dec = und.join(doomed, Seq("u"), "left_semi")
+          .groupBy("v").agg(count(lit(1)).as("dec"))
+          .select(col("v").as("u"), col("dec"))
+        val prev = deg
+        deg = deg
           .join(doomed, Seq("u"), "left_anti")
-          .join(doomed.select(col("u").as("v")), Seq("v"), "left_anti")
-          .select("u", "v")
+          .join(dec, Seq("u"), "left_outer")
+          .select(col("u"),
+            (col("deg") - coalesce(col("dec"), lit(0L))).as("deg"))
           .localCheckpoint(true, serLevel)
-        // the superseded round's checkpoint blocks are DEAD once the new
-        // round materialized (eager) — free them now, or R peeling rounds
-        // pin R copies of the edge set in executor storage and the big-
-        // graph run tips into eviction/spill (the 100× curve caught this)
+        // superseded round state is DEAD once the new table materialized
+        // (eager) — free it now, or R rounds pin R degree-table copies
         freeLocalCheckpoint(prev)
+        freeLocalCheckpoint(doomed)
       }
     }
-    if (!done) throw new IllegalStateException(
-      s"kCore(k=$k) did not converge within $maxIterations peeling rounds " +
-        "— the remainder still contains sub-k nodes; raise maxIterations")
-    edges.select(col("u").as("id")).distinct()
+    if (!done) {
+      freeLocalCheckpoint(und)
+      freeLocalCheckpoint(deg)
+      throw new IllegalStateException(
+        s"kCore(k=$k) did not converge within $maxIterations peeling " +
+          "rounds — the remainder still contains sub-k nodes; raise " +
+          "maxIterations")
+    }
+    // the result reads only the (checkpointed) degree table; the edge
+    // list's blocks are dead the moment the loop converges
+    freeLocalCheckpoint(und)
+    (deg.select(col("u").as("id")), iters)
   }
 
   /** Adamic-Adar link prediction over the undirected view of the edges

@@ -1462,6 +1462,68 @@ object ParquetGraph {
         .fold(err => throw new IllegalArgumentException(err), identity)
     },
 
+    // C10 read surface (new r13, directive 4): relationship predicates
+    // on a VARIABLE-LENGTH pattern — `WHERE ALL(x IN relationships(p)
+    // WHERE x.weight < 3)` over the Cypher-written weighted ROAD chain.
+    // The quantifier compiles to an edge-relation pre-filter (the
+    // expansion only walks passing edges), so every (a, b, len) row is a
+    // path whose EVERY edge passes. Unanchored start: the AMERICA→ASIA
+    // edge (weight 3) must sever the chain into two islands of
+    // qualifying paths. The oracle replays the closed-form weights
+    // through a recursive CTE with the same per-edge filter.
+    QueryDef.sql(
+      "graphp_cypher_path_all",
+      """WITH RECURSIVE e AS (
+        |  SELECT lag(r_name) OVER (ORDER BY r_name) AS src,
+        |    r_name AS dst, r_regionkey % 3 + 1 AS w
+        |  FROM region),
+        |p AS (
+        |  SELECT src AS a, dst AS b, 1 AS len
+        |  FROM e WHERE src IS NOT NULL AND w < 3
+        |  UNION ALL
+        |  SELECT p.a, e.dst, p.len + 1
+        |  FROM p JOIN e ON e.src = p.b
+        |  WHERE p.len < 4 AND e.w < 3)
+        |SELECT a AS a_name, b AS b_name, CAST(len AS INT) AS path_len
+        |FROM p ORDER BY a_name, b_name, path_len""".stripMargin) {
+      (s, d) =>
+      CypherLite.run(roadPropsGraph(s, d),
+        "MATCH p = (a:Region)-[r:ROAD*1..4]->(b:Region) " +
+          "WHERE ALL(x IN relationships(p) WHERE x.weight < 3) " +
+          "RETURN a.name, b.name, length(p) ORDER BY a_name")
+        .fold(err => throw new IllegalArgumentException(err), identity)
+    },
+
+    // C10 read surface (new r13, directive 4): the along-the-path
+    // reduce() sum — `reduce(s = 0, x IN relationships(p) | s +
+    // x.weight)` from the anchored AFRICA root, one row per path with
+    // its cumulative weight (bag semantics). The oracle accumulates the
+    // same closed-form weights through a recursive CTE, so a
+    // per-step accumulation bug (or a string-to-double lens bug)
+    // hash-misses.
+    QueryDef.sql(
+      "graphp_cypher_path_reduce",
+      """WITH RECURSIVE e AS (
+        |  SELECT lag(r_name) OVER (ORDER BY r_name) AS src,
+        |    r_name AS dst, CAST(r_regionkey % 3 + 1 AS DOUBLE) AS w
+        |  FROM region),
+        |p AS (
+        |  SELECT src AS a, dst AS b, 1 AS len, w AS total
+        |  FROM e WHERE src IS NOT NULL
+        |  UNION ALL
+        |  SELECT p.a, e.dst, p.len + 1, p.total + e.w
+        |  FROM p JOIN e ON e.src = p.b
+        |  WHERE p.len < 4)
+        |SELECT b AS b_name, CAST(len AS INT) AS path_len, total
+        |FROM p WHERE a = 'AFRICA' ORDER BY total""".stripMargin) {
+      (s, d) =>
+      CypherLite.run(roadPropsGraph(s, d),
+        "MATCH p = (a:Region {name: 'AFRICA'})-[:ROAD*1..4]->(b:Region) " +
+          "RETURN b.name, length(p), reduce(s = 0, x IN " +
+          "relationships(p) | s + x.weight) AS total ORDER BY total")
+        .fold(err => throw new IllegalArgumentException(err), identity)
+    },
+
     // C10 read surface (new r12): RETURN r.prop — the edge property
     // PROJECTED per binding (and grouped: the r.grade census), closing
     // the loop on the rel-prop surface: written by the Cypher MERGE,
@@ -3199,6 +3261,53 @@ object ParquetGraph {
       s1.withColumn("run", lit(1))
         .unionByName(s2.withColumn("run", lit(2)))
         .select(col("run"), col("m_label"), col("m_name"), col("m_content"))
+        .orderBy("run")
+    },
+
+    // C10 write surface (new r13): the RELATIONSHIP-side branch-aware
+    // MERGE — ON CREATE SET / ON MATCH SET on an edge pattern, completing
+    // the write-surface symmetry with graphp_cypher_merge_onset (round-13
+    // directive 5). The SAME statement runs twice over the region
+    // hierarchy: run 1 must take the CREATE branch (edge absent → state
+    // 'created-r13', inline lane '2' riding along), run 2 over the
+    // mutated graph must take the MATCH branch (state flips to
+    // 'matched-r13' while lane survives — the join-update overwrites ONE
+    // key of the schemaless props map). Both branches graded in one
+    // answer, tagged by run; branch decision is set-wise (anti/semi join
+    // on the edge MERGE key against the pre-merge image).
+    QueryDef.sql(
+      "graphp_cypher_merge_edge_onset",
+      """SELECT * FROM (
+        |  SELECT 1 AS run, 'ONSET_LINK' AS relType,
+        |    'created-r13' AS r_state, '2' AS r_lane,
+        |    CAST(1 AS BIGINT) AS n_edges
+        |  UNION ALL
+        |  SELECT 2, 'ONSET_LINK', 'matched-r13', '2', CAST(1 AS BIGINT))
+        |ORDER BY run""".stripMargin) { (s, d) =>
+      val q = "MATCH (a:Region {name: 'AFRICA'}) " +
+        "MATCH (b:Region {name: 'ASIA'}) " +
+        "MERGE (a)-[r:ONSET_LINK {lane: '2'}]->(b) " +
+        "ON CREATE SET r.state = 'created-r13' " +
+        "ON MATCH SET r.state = 'matched-r13'"
+      def summary(g: GraphTables): org.apache.spark.sql.DataFrame =
+        g.edges.toDF().filter(col("relType") === "ONSET_LINK")
+          .select(col("relType"),
+            element_at(col("props"), "state").as("r_state"),
+            element_at(col("props"), "lane").as("r_lane"))
+          .groupBy("relType", "r_state", "r_lane")
+          .agg(count(lit(1)).as("n_edges"))
+      val (g1, _) = CypherLite.runWrite(hierarchy(s, d), q)
+        .fold(err => throw new IllegalArgumentException(err), identity)
+      // run 2 consumes run 1's edge relation several times (the branch
+      // joins, the upsert, the prop update, the summary); a lazy
+      // checkpoint materializes run 1's plan once per consumer set
+      val g1m = GraphTables(g1.nodes, g1.edges.localCheckpoint(false))
+      val g2 = CypherLite.runWrite(g1m, q)
+        .fold(err => throw new IllegalArgumentException(err), _._1)
+      summary(g1).withColumn("run", lit(1))
+        .unionByName(summary(g2).withColumn("run", lit(2)))
+        .select(col("run"), col("relType"), col("r_state"), col("r_lane"),
+          col("n_edges"))
         .orderBy("run")
     },
 

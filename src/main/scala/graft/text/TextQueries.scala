@@ -199,14 +199,132 @@ object TextQueries {
       when(keepq === "", lit("")).otherwise(concat(lit("?"), keepq)))
   }
 
-  /** Toy registrable-domain extractor: the last two host labels. A
-    * production pipeline swaps in the public-suffix list here (the rule
-    * table is a broadcast lookup, same plan shape); the grouping
-    * semantics — subdomains of one registrable domain aggregate
-    * together — are what the l57 oracle grades.
+  /** Public-suffix rules — a bundled snapshot SUBSET of the public
+    * suffix list (publicsuffix.org; the full snapshot drops into this
+    * same literal map, or a broadcast table past ~10k rules — either
+    * way the lookup stays scan-side, one pass, no extra shuffle).
+    * Kinds: 1 = normal rule (`co.uk`), 2 = wildcard (`*.ck`, keyed by
+    * its base so any single extra label is part of the suffix),
+    * 3 = exception (`!www.ck` — the PSL's carve-out: the named host IS
+    * registrable, its suffix is the rule minus its leftmost label).
     */
-  def registrableDomain(host: Column): Column =
-    coalesce(regexp_extract(host, "([^.]+\\.[^.]+)$", 1), lit(""))
+  private[text] val PslRules: Map[String, Int] = Map(
+    // UK second-level
+    "co.uk" -> 1, "org.uk" -> 1, "ac.uk" -> 1, "gov.uk" -> 1,
+    "me.uk" -> 1, "net.uk" -> 1, "ltd.uk" -> 1, "plc.uk" -> 1,
+    "sch.uk" -> 1,
+    // AU / NZ / ZA
+    "com.au" -> 1, "net.au" -> 1, "org.au" -> 1, "edu.au" -> 1,
+    "gov.au" -> 1, "id.au" -> 1, "co.nz" -> 1, "org.nz" -> 1,
+    "net.nz" -> 1, "govt.nz" -> 1, "co.za" -> 1, "org.za" -> 1,
+    "net.za" -> 1,
+    // JP / KR / IN / SG / TR
+    "co.jp" -> 1, "or.jp" -> 1, "ne.jp" -> 1, "ac.jp" -> 1, "go.jp" -> 1,
+    "co.kr" -> 1, "or.kr" -> 1, "co.in" -> 1, "net.in" -> 1,
+    "org.in" -> 1, "gen.in" -> 1, "firm.in" -> 1, "com.sg" -> 1,
+    "edu.sg" -> 1, "com.tr" -> 1,
+    // BR / CN / MX
+    "com.br" -> 1, "net.br" -> 1, "org.br" -> 1, "gov.br" -> 1,
+    "com.cn" -> 1, "net.cn" -> 1, "org.cn" -> 1, "gov.cn" -> 1,
+    "com.mx" -> 1, "org.mx" -> 1,
+    // private-domain staples (PSL private section)
+    "github.io" -> 1, "gitlab.io" -> 1, "blogspot.com" -> 1,
+    "herokuapp.com" -> 1, "netlify.app" -> 1, "vercel.app" -> 1,
+    "web.app" -> 1, "s3.amazonaws.com" -> 1,
+    // wildcard + its exception (the PSL's *.ck / !www.ck pair)
+    "ck" -> 2, "www.ck" -> 3)
+
+  /** Longest rule length in labels (bounds the suffix probes). */
+  private val PslMaxLabels: Int =
+    PslRules.collect { case (s, 1) => s.count(_ == '.') + 1 }.max
+
+  /** Registrable domain under the PUBLIC SUFFIX LIST algorithm
+    * (round-13 directive 6, replacing the last-two-labels toy): probe
+    * the host's trailing k labels against [[PslRules]] for k = 1..max,
+    * prevail exception > longest match > the implicit `*` default
+    * (ps = the last label), and answer the public suffix plus ONE
+    * label. A host that IS a public suffix (or a single label) has no
+    * registrable domain and answers '' — such hosts group alone.
+    * Pure column expressions over a LITERAL map (element_at on a
+    * literal compiles to a static lookup — whole-stage codegen, no
+    * UDF, no join, the l57 plan pin holds); the DuckDB mirror is
+    * generated from the SAME rule map ([[registrableDomainDuckCtes]])
+    * so the two engines cannot drift.
+    */
+  def registrableDomain(host: Column): Column = {
+    val labels = split(host, "\\.")
+    val n = size(labels)
+    def suf(k: Int) = array_join(slice(labels, lit(-k), lit(k)), ".")
+    def kindAt(k: Int) =
+      when(n >= k, element_at(typedLit(PslRules), suf(k)))
+    val exc = coalesce(
+      (1 to (PslMaxLabels + 1)).map(k =>
+        when(kindAt(k) === 3, lit(k - 1))) :+
+        lit(null).cast("int"): _*)
+    val norm = greatest(
+      (1 to PslMaxLabels).flatMap(k => Seq(
+        when(kindAt(k) === 1, lit(k)).otherwise(lit(0)),
+        when(kindAt(k) === 2 && n >= k + 1, lit(k + 1))
+          .otherwise(lit(0)))) :+ lit(1): _*)
+    val ps = coalesce(exc, norm)
+    when(n <= ps, lit(""))
+      .otherwise(array_join(slice(labels, -(ps + lit(1)), ps + lit(1)),
+        "."))
+  }
+
+  /** DuckDB CTE tail mirroring [[registrableDomain]], generated from
+    * the SAME [[PslRules]] map: given a relation `<src>` carrying a
+    * `host` column, appends CTEs `psl0`/`psl1` and leaves
+    * `psl1.domain` as the registrable-domain column. Both engines'
+    * rule tables are one source of truth, so a rule edit cannot
+    * desynchronize the oracle.
+    */
+  private[text] def registrableDomainDuckCtes(src: String): String = {
+    def inList(kind: Int, k: Int): String = {
+      val rules = PslRules.collect {
+        case (s, `kind`) if s.count(_ == '.') + 1 == k => s"'$s'"
+      }.toSeq.sorted
+      if (rules.isEmpty) "" else rules.mkString("(", ", ", ")")
+    }
+    def normCase(k: Int): Seq[String] = {
+      val n1 = inList(1, k)
+      val w = inList(2, k)
+      (if (n1.isEmpty) Seq.empty
+       else Seq(s"CASE WHEN hn >= $k AND s$k IN $n1 THEN $k ELSE 0 END")) ++
+        (if (w.isEmpty) Seq.empty
+         else Seq(s"CASE WHEN hn >= ${k + 1} AND s$k IN $w " +
+           s"THEN ${k + 1} ELSE 0 END"))
+    }
+    def excCase(k: Int): Seq[String] = {
+      val e = inList(3, k)
+      if (e.isEmpty) Seq.empty
+      else Seq(s"CASE WHEN hn >= $k AND s$k IN $e THEN ${k - 1} END")
+    }
+    val sufs = (1 to (PslMaxLabels + 1)).map(k =>
+      s"array_to_string(list_slice(hl, hn - ${k - 1}, hn), '.') AS s$k")
+      .mkString(",\n    ")
+    val excs = (1 to (PslMaxLabels + 1)).flatMap(excCase)
+    val norms = (1 to PslMaxLabels).flatMap(normCase) :+ "1"
+    val psExpr =
+      if (excs.isEmpty) s"GREATEST(${norms.mkString(", ")})"
+      else s"COALESCE(${excs.mkString(", ")}, " +
+        s"GREATEST(${norms.mkString(", ")}))"
+    s"""psl0 AS (
+       |  SELECT *, string_split(host, '.') AS hl,
+       |    len(string_split(host, '.')) AS hn
+       |  FROM $src),
+       |psl1 AS (
+       |  SELECT *,
+       |    $sufs
+       |  FROM psl0),
+       |psl2 AS (
+       |  SELECT *, $psExpr AS ps FROM psl1),
+       |psl AS (
+       |  SELECT *, CASE WHEN hn <= ps THEN ''
+       |    ELSE array_to_string(list_slice(hl, hn - ps, hn), '.') END
+       |    AS domain
+       |  FROM psl2)""".stripMargin
+  }
 
   val defs: Seq[QueryDef] = Seq(
     // ------------------------------------------------------- L1 exact dedup
@@ -1424,8 +1542,10 @@ object TextQueries {
       s"""WITH u AS (
          |  SELECT doc_id, doc_id // 4 AS page, doc_id % 4 AS v,
          |    'site' || CAST((doc_id // 4) % 7 AS VARCHAR) ||
-         |      '.ex' || CAST((doc_id // 4) % 3 AS VARCHAR) || '.com'
-         |      AS hbase
+         |      '.ex' || CAST((doc_id // 4) % 3 AS VARCHAR) ||
+         |      (CASE (doc_id // 4) % 4 WHEN 0 THEN '.com'
+         |        WHEN 1 THEN '.co.uk' WHEN 2 THEN '.github.io'
+         |        ELSE '.ck' END) AS hbase
          |  FROM documents),
          |raw AS (
          |  SELECT doc_id, CASE v
@@ -1470,17 +1590,27 @@ object TextQueries {
          |    (CASE WHEN regexp_replace(rawpath, '/+$$', '') = '' THEN '/'
          |       ELSE regexp_replace(rawpath, '/+$$', '') END) ||
          |    (CASE WHEN keepq = '' THEN '' ELSE '?' || keepq END) AS canon
-         |  FROM surv)
-         |SELECT coalesce(regexp_extract(host, '([^.]+\\.[^.]+)$$', 1), '')
-         |    AS domain,
+         |  FROM surv),
+         |${registrableDomainDuckCtes("canon")}
+         |SELECT domain,
          |  CAST(count(*) AS BIGINT) AS n_raw,
          |  CAST(count(DISTINCT canon) AS BIGINT) AS n_canonical,
          |  CAST(count(DISTINCT host) AS BIGINT) AS n_hosts
-         |FROM canon GROUP BY 1 ORDER BY domain""".stripMargin) { (s, d) =>
+         |FROM psl GROUP BY 1 ORDER BY domain""".stripMargin) { (s, d) =>
       val page = expr("doc_id DIV 4")
       val v = col("doc_id") % 4
+      // the TLD rotates through PSL rule KINDS per page — a plain TLD
+      // (.com, registrable = last two labels), a second-level rule
+      // (.co.uk), a private-section rule (.github.io), and the wildcard
+      // (*.ck, where the registrable domain keeps THREE labels) — so the
+      // oracle grades the whole public-suffix algorithm, not just the
+      // last-two default
+      val tld = when(page % 4 === 0, lit(".com"))
+        .when(page % 4 === 1, lit(".co.uk"))
+        .when(page % 4 === 2, lit(".github.io"))
+        .otherwise(lit(".ck"))
       val hbase = concat(lit("site"), (page % 7).cast("string"),
-        lit(".ex"), (page % 3).cast("string"), lit(".com"))
+        lit(".ex"), (page % 3).cast("string"), tld)
       val url = when(v === 0, concat(lit("https://www."), hbase,
           lit("/p/"), page.cast("string"), lit("?utm_source=feed")))
         .when(v === 1, concat(lit("HTTPS://WWW."), upper(hbase),

@@ -66,6 +66,13 @@ class ScaleCurveSpec extends SparkSpec {
   private def timedMin2(body: => Unit): Double =
     math.min(timed(body), timed(body))
 
+  /** Byte-count scale ratio (guards the empty-baseline edge). Used by the
+    * contention-immune decade pins, where the measured quantity is
+    * shuffle bytes rather than wall-time.
+    */
+  private def ratioOf(big: Long, base: Long): Double =
+    big.toDouble / math.max(base, 1L).toDouble
+
   private def assertLinear(name: String, t1: Double, t10: Double,
       bound: Double = MaxRatio): Unit = {
     val ratio = t10 / math.max(t1, OverheadFloorSec)
@@ -417,9 +424,41 @@ class ScaleCurveSpec extends SparkSpec {
     val g10 = hubGraph(10)
     val g100 = hubGraph(100)
     GraphOps.kCore(spark, g10, 2).count() // warm-up
-    val t10 = timedMin2(GraphOps.kCore(spark, g10, 2).count())
-    val t100 = timed(GraphOps.kCore(spark, g100, 2).count())
-    assertLinear("kCore(hub 10x→100x)", t10, t100, MaxRatio100Graph)
+    // round-13 directive 1: contention-immune pins. Wall-time ratios on a
+    // loaded machine flaked this test twice (21.8 / 20.25 vs bound 20 with
+    // idle readings ~12-16), so the ASSERTED quantities are now the ones
+    // that cannot drift with CPU load: (a) the peel-round count — a
+    // property of the degree distribution, identical at 10x and 100x by
+    // construction (same distribution, scaled support); (b) total shuffle
+    // bytes — a property of the plan and the data; the failure mode (a
+    // per-round O(edges) rewrite, or an O(m²) term) multiplies bytes by
+    // ~rounds× or ~100×, far over the linear bound. Wall-time is reported
+    // as info() for the PLANS.md record, not asserted.
+    import org.apache.spark.graft.TestMetrics
+    var r10 = 0; var r100 = 0
+    var t10 = 0.0; var t100 = 0.0
+    val (read10, write10) = TestMetrics.shuffleBytes(spark.sparkContext) {
+      t10 = timed { r10 = GraphOps.kCoreStats(spark, g10, 2)._2 }
+    }
+    val (read100, write100) = TestMetrics.shuffleBytes(spark.sparkContext) {
+      t100 = timed { r100 = GraphOps.kCoreStats(spark, g100, 2)._2 }
+    }
+    info(f"kCore(hub 10x→100x): wall $t10%.2fs→$t100%.2fs " +
+      f"(ratio ${t100 / math.max(t10, OverheadFloorSec)}%.1f, not " +
+      "asserted); rounds " + s"$r10→$r100; shuffle read " +
+      f"${read10}%,d→${read100}%,d B (${ratioOf(read100, read10)}%.1fx) " +
+      f"write ${write10}%,d→${write100}%,d B " +
+      f"(${ratioOf(write100, write10)}%.1fx)")
+    assert(r100 == r10,
+      s"peel-round count changed with scale: $r10 at 10x vs $r100 at " +
+        "100x — peeling depth must be a degree-distribution property")
+    assert(ratioOf(read100, read10) <= MaxRatio100Graph &&
+      ratioOf(write100, write10) <= MaxRatio100Graph,
+      f"kCore shuffled super-linearly: read " +
+        f"${ratioOf(read100, read10)}%.1fx write " +
+        f"${ratioOf(write100, write10)}%.1fx at a 10x input " +
+        f"(bound $MaxRatio100Graph%.0f) — an O(edges)-per-round term is " +
+        "hiding in the peel loop")
   }
 
   test("randomWalks + sampleNeighborhood wall-time stays ~linear from " +
@@ -472,10 +511,31 @@ class ScaleCurveSpec extends SparkSpec {
     val g10 = triGraph(10)
     val g100 = triGraph(100)
     GraphOps.clusteringCoefficient(spark, g10).count() // warm-up
-    val t10 = timedMin2(GraphOps.clusteringCoefficient(spark, g10).count())
-    val t100 = timed(GraphOps.clusteringCoefficient(spark, g100).count())
-    assertLinear("clusteringCoefficient(10x→100x)", t10, t100,
-      MaxRatio100Graph)
+    // round-13 directive 1: same contention-immune treatment as the kCore
+    // decade — the asserted quantity is total shuffle bytes, which the
+    // threat model (an id-ordered orientation enumerating ~8×10¹² wedges
+    // at this scale) multiplies by orders of magnitude whatever the CPU
+    // load; wall-time is info() only.
+    import org.apache.spark.graft.TestMetrics
+    var t10 = 0.0; var t100 = 0.0
+    val (read10, write10) = TestMetrics.shuffleBytes(spark.sparkContext) {
+      t10 = timed(GraphOps.clusteringCoefficient(spark, g10).count())
+    }
+    val (read100, write100) = TestMetrics.shuffleBytes(spark.sparkContext) {
+      t100 = timed(GraphOps.clusteringCoefficient(spark, g100).count())
+    }
+    info(f"clusteringCoefficient(10x→100x): wall $t10%.2fs→$t100%.2fs " +
+      f"(ratio ${t100 / math.max(t10, OverheadFloorSec)}%.1f, not " +
+      f"asserted); shuffle read ${read10}%,d→${read100}%,d B " +
+      f"(${ratioOf(read100, read10)}%.1fx) write " +
+      f"${write10}%,d→${write100}%,d B (${ratioOf(write100, write10)}%.1fx)")
+    assert(ratioOf(read100, read10) <= MaxRatio100Graph &&
+      ratioOf(write100, write10) <= MaxRatio100Graph,
+      f"clusteringCoefficient shuffled super-linearly: read " +
+        f"${ratioOf(read100, read10)}%.1fx write " +
+        f"${ratioOf(write100, write10)}%.1fx at a 10x input (bound " +
+        f"$MaxRatio100Graph%.0f) — the degree-ordered orientation is not " +
+        "holding the wedge count linear")
   }
 
   /** Relational (TPC-H) curve corpora: FACTS (lineitem, orders) replicated

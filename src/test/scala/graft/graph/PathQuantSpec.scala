@@ -1,0 +1,152 @@
+package graft.graph
+
+import graft.SparkSpec
+
+/** Path-quantified ranged patterns (round-13 directive 4):
+  * `MATCH p = (a)-[r:T*lo..hi]->(b) WHERE ALL(x IN relationships(p)
+  * WHERE x.prop …) RETURN …` and the along-the-path
+  * `reduce(s = 0, x IN relationships(p) | s + x.prop)` sum. Semantics
+  * pinned here: one row per PATH (bag), relationship-unique, directed,
+  * ALL() as an edge-relation pre-filter.
+  */
+class PathQuantSpec extends SparkSpec {
+
+  private def node(id: Long, label: String = "N"): NodeRow =
+    NodeRow(id, label, s"n$id", "", "", "b1", Seq.empty)
+
+  // weighted diamond + a heavy direct edge + a spur:
+  //   1 →(w1)→ 2 →(w2)→ 4
+  //   1 →(w9)→ 3 →(w1)→ 4
+  //   1 →(w7)→ 4        (direct)
+  //   4 →(w1)→ 5        (spur)
+  private lazy val g = {
+    import spark.implicits._
+    GraphTables(
+      (1L to 5L).map(node(_)).toDS(),
+      Seq(
+        EdgeRow(1L, 2L, "ROAD", "", "b1", Map("weight" -> "1")),
+        EdgeRow(2L, 4L, "ROAD", "", "b1", Map("weight" -> "2")),
+        EdgeRow(1L, 3L, "ROAD", "", "b1", Map("weight" -> "9")),
+        EdgeRow(3L, 4L, "ROAD", "", "b1", Map("weight" -> "1")),
+        EdgeRow(1L, 4L, "ROAD", "", "b1", Map("weight" -> "7")),
+        EdgeRow(4L, 5L, "ROAD", "", "b1", Map("weight" -> "1"))
+      ).toDS())
+  }
+
+  private def rows(q: String) =
+    CypherLite.run(g, q).fold(e => fail(s"$q → $e"), identity).collect()
+
+  test("ALL(x IN relationships(p) WHERE …) keeps only paths whose EVERY " +
+      "edge passes — one row per qualifying path") {
+    // paths 1→…→4 of length 1..2: direct (w7), via 2 (w1,w2), via 3
+    // (w9,w1). ALL weight < 5 keeps only the via-2 path.
+    val r = rows("MATCH p = (a:N {name: 'n1'})-[r:ROAD*1..2]->(b:N " +
+      "{name: 'n4'}) WHERE ALL(x IN relationships(p) WHERE x.weight < 5) " +
+      "RETURN b.name, length(p)")
+    assert(r.map(x => (x.getAs[String]("b_name"),
+      x.getAs[Int]("path_len"))).toSeq == Seq(("n4", 2)))
+    // ALL weight < 8 admits the direct hop too → two paths, two rows
+    val r2 = rows("MATCH p = (a:N {name: 'n1'})-[r:ROAD*1..2]->(b:N " +
+      "{name: 'n4'}) WHERE ALL(x IN relationships(p) WHERE x.weight < 8) " +
+      "RETURN length(p) ORDER BY length(p)")
+    assert(r2.map(_.getAs[Int]("path_len")).toSeq == Seq(1, 2))
+  }
+
+  test("reduce() sums the edge property along each path; bag semantics " +
+      "answer one row per path") {
+    val r = rows("MATCH p = (a:N {name: 'n1'})-[:ROAD*1..2]->(b:N " +
+      "{name: 'n4'}) RETURN length(p), reduce(s = 0, x IN " +
+      "relationships(p) | s + x.weight) AS cost ORDER BY cost")
+    assert(r.map(x => (x.getAs[Int]("path_len"),
+      x.getAs[Double]("cost"))).toSeq ==
+      Seq((2, 3.0), (1, 7.0), (2, 10.0)))
+  }
+
+  test("ALL and reduce compose; the quantifier filters BEFORE the sum") {
+    val r = rows("MATCH p = (a:N {name: 'n1'})-[r:ROAD*1..3]->(b:N " +
+      "{name: 'n5'}) WHERE ALL(x IN relationships(p) WHERE x.weight < 5) " +
+      "RETURN b.name, reduce(s = 0, x IN relationships(p) | s + " +
+      "toFloat(x.weight)) AS total")
+    // only 1→2→4→5 survives (via-3 has w9, direct has w7): total 4
+    assert(r.map(x => (x.getAs[String]("b_name"),
+      x.getAs[Double]("total"))).toSeq == Seq(("n5", 4.0)))
+  }
+
+  test("the range bounds clip path lengths; lo > 1 excludes shorter " +
+      "paths even when they exist") {
+    val r = rows("MATCH p = (a:N {name: 'n1'})-[:ROAD*2..2]->(b:N " +
+      "{name: 'n4'}) RETURN length(p)")
+    assert(r.map(_.getAs[Int]("path_len")).toSeq == Seq(2, 2))
+  }
+
+  test("relationship-uniqueness: a cycle cannot reuse an edge within " +
+      "one path") {
+    import spark.implicits._
+    // 2-cycle a↔b: paths from a of length ≤3 are a→b (len 1) and
+    // a→b→a (len 2); a→b→a→b would reuse the a→b edge — excluded
+    val cyc = GraphTables(
+      Seq(node(11), node(12)).toDS(),
+      Seq(EdgeRow(11L, 12L, "ROAD", "", "b1", Map("weight" -> "1")),
+        EdgeRow(12L, 11L, "ROAD", "", "b1", Map("weight" -> "1"))).toDS())
+    val r = CypherLite.run(cyc, "MATCH p = (a:N {name: 'n11'})" +
+      "-[:ROAD*1..3]->(b:N) RETURN b.name, length(p) ORDER BY path_len")
+      .fold(e => fail(e), identity).collect()
+    assert(r.map(x => (x.getAs[String]("b_name"),
+      x.getAs[Int]("path_len"))).toSeq == Seq(("n12", 1), ("n11", 2)))
+  }
+
+  test("string comparisons, null tests, and boolean structure work " +
+      "inside ALL(…)") {
+    import spark.implicits._
+    val g2 = GraphTables(
+      (1L to 3L).map(node(_)).toDS(),
+      Seq(
+        EdgeRow(1L, 2L, "ROAD", "", "b1", Map("grade" -> "a")),
+        EdgeRow(2L, 3L, "ROAD", "", "b1", Map("weight" -> "2"))).toDS())
+    val r = CypherLite.run(g2, "MATCH p = (a:N {name: 'n1'})" +
+      "-[:ROAD*2..2]->(b:N) WHERE ALL(x IN relationships(p) WHERE " +
+      "x.grade = 'a' OR x.weight IS NOT NULL) RETURN b.name")
+      .fold(e => fail(e), identity).collect()
+    assert(r.map(_.getAs[String]("b_name")).toSeq == Seq("n3"))
+    // flipping to AND kills every path (no edge carries both)
+    val r2 = CypherLite.run(g2, "MATCH p = (a:N {name: 'n1'})" +
+      "-[:ROAD*2..2]->(b:N) WHERE ALL(x IN relationships(p) WHERE " +
+      "x.grade = 'a' AND x.weight IS NOT NULL) RETURN b.name")
+      .fold(e => fail(e), identity).collect()
+    assert(r2.isEmpty)
+  }
+
+  test("fuzz: malformed path-quantified shapes reject by name") {
+    def leftMsg(q: String): String =
+      CypherLite.run(g, q).swap.getOrElse(fail(s"$q unexpectedly parsed"))
+    assert(leftMsg("MATCH p = (a:N)-[:ROAD*1..20]->(b:N) RETURN b.name")
+      .contains("path-enumeration cap"))
+    assert(leftMsg("MATCH p = (a:N)-[:ROAD*3..2]->(b:N) RETURN b.name")
+      .contains("empty range"))
+    assert(leftMsg("MATCH p = (a:N)-[:ROAD*1..2]->(b:N) WHERE " +
+      "ALL(x IN relationships(q) WHERE x.w > 1) RETURN b.name")
+      .contains("path variable"))
+    assert(leftMsg("MATCH p = (a:N)-[:ROAD*1..2]->(b:N) WHERE " +
+      "ALL(x IN relationships(p) WHERE a.name = 'n1') RETURN b.name")
+      .contains("quantified"))
+    assert(leftMsg("MATCH p = (a:N)-[:ROAD*1..2]->(b:N) RETURN " +
+      "reduce(s = 0, x IN relationships(p) | s + y.weight)")
+      .contains("must match"))
+    assert(leftMsg("MATCH p = (a:N)-[:ROAD*1..2]->(b:N) RETURN b.name " +
+      "ORDER BY cost").contains("not a projected item"))
+    // two reduce items
+    assert(leftMsg("MATCH p = (a:N)-[:ROAD*1..2]->(b:N) RETURN " +
+      "reduce(s = 0, x IN relationships(p) | s + x.weight) AS c1, " +
+      "reduce(s = 0, x IN relationships(p) | s + x.weight) AS c2")
+      .contains("at most one reduce"))
+  }
+
+  test("ORDER BY a projected key + LIMIT page the path bag " +
+      "deterministically") {
+    val r = rows("MATCH p = (a:N {name: 'n1'})-[:ROAD*1..2]->(b:N " +
+      "{name: 'n4'}) RETURN length(p), reduce(s = 0, x IN " +
+      "relationships(p) | s + x.weight) AS cost ORDER BY cost DESC " +
+      "LIMIT 2")
+    assert(r.map(_.getAs[Double]("cost")).toSeq == Seq(10.0, 7.0))
+  }
+}

@@ -214,8 +214,67 @@ class RelPropPredicateSpec extends SparkSpec {
     // 2-segment chain: the targeted single-hop-only message
     assert(leftMsg("MATCH (a:N)-[:ROAD {grade: 'a'}]->(b)-[:ROAD]->(c) " +
       "RETURN c.name").contains("single-hop"))
+    // 3+-segment chain: routes through the N-step scanner, which must
+    // name the SAME restriction (round-13 ADVICE: the generic chain
+    // error used to swallow it)
+    assert(leftMsg("MATCH (a:N)-[:ROAD {grade: 'a'}]->(b)-[:ROAD]->(c)" +
+      "-[:ROAD]->(d) RETURN d.name").contains("single-hop"))
     // WHERE r.prop needs the bound variable
     assert(leftMsg("MATCH (a:N)-[:ROAD]->(b) WHERE r.weight > 2 " +
       "RETURN b.name").contains("WHERE may only reference"))
+  }
+
+  test("inline rel maps with unsupported VALUE forms are rejected by " +
+      "name, never silently dropped (round-13 ADVICE)") {
+    def leftMsg(q: String): String =
+      CypherLite.parse(q).swap.getOrElse(fail(s"$q unexpectedly parsed"))
+    // a numeric literal used to vanish (PropRe admits quoted strings
+    // only) and the query returned UNFILTERED bindings
+    assert(leftMsg("MATCH (a:N)-[r:ROAD {weight: 2}]->(b) RETURN b.name")
+      .contains("quoted string values"))
+    // $params are a write-surface feature; the read map must say so too
+    assert(leftMsg("MATCH (a:N)-[r:ROAD {grade: $g}]->(b) RETURN b.name")
+      .contains("quoted string values"))
+    // a duplicate key collapses in the parsed map — reject, don't pick one
+    assert(leftMsg("MATCH (a:N)-[r:ROAD {grade: 'a', grade: 'b'}]->(b) " +
+      "RETURN b.name").contains("unique keys"))
+    // mixed quoted + numeric: still rejected
+    assert(leftMsg("MATCH (a:N)-[r:ROAD {grade: 'a', weight: 5}]->(b) " +
+      "RETURN b.name").contains("quoted string values"))
+    // the run() channel surfaces the same Left (no exception escapes)
+    assert(CypherLite.run(g,
+      "MATCH (a:N)-[r:ROAD {weight: 2}]->(b) RETURN b.name")
+      .swap.exists(_.contains("quoted string values")))
+  }
+
+  test("count(DISTINCT r) is honored over the edge identity: equal to " +
+      "count(r) under the store invariant, collapsed on a multigraph") {
+    import spark.implicits._
+    // store-invariant graph (unique (src,dst,relType)): the two forms
+    // agree — the invariant that used to be silently assumed
+    def one(q: String): Long =
+      CypherLite.run(g, q).fold(e => fail(s"$q → $e"), identity)
+        .collect().head.getLong(0)
+    assert(one("MATCH (a:N)-[r:ROAD]->(b) RETURN count(r)") == 4L)
+    assert(one("MATCH (a:N)-[r:ROAD]->(b) RETURN count(DISTINCT r)") == 4L)
+    // hand-built multigraph: duplicate (1,2,ROAD) rows are the SAME
+    // stored relationship bound twice — plain count sees both bindings,
+    // DISTINCT collapses them
+    val multi = GraphTables(
+      (1L to 2L).map(node(_)).toDS(),
+      Seq(
+        EdgeRow(1L, 2L, "ROAD", "", "b1", Map("grade" -> "a")),
+        EdgeRow(1L, 2L, "ROAD", "", "b1", Map("grade" -> "a"))).toDS())
+    def oneOn(gx: GraphTables, q: String): Long =
+      CypherLite.run(gx, q).fold(e => fail(s"$q → $e"), identity)
+        .collect().head.getLong(0)
+    assert(oneOn(multi, "MATCH (a:N)-[r:ROAD]->(b) RETURN count(r)") == 2L)
+    assert(oneOn(multi,
+      "MATCH (a:N)-[r:ROAD]->(b) RETURN count(DISTINCT r)") == 1L)
+    // grouped (WITH) pipeline honors it the same way
+    val grouped = CypherLite.run(multi, "MATCH (a:N)-[r:ROAD]->(b) " +
+      "WITH a.name, count(DISTINCT r) AS n RETURN a.name, n")
+      .fold(e => fail(e), identity).collect()
+    assert(grouped.map(_.getAs[Long]("n")).toSeq == Seq(1L))
   }
 }

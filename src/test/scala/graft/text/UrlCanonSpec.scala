@@ -59,11 +59,36 @@ class UrlCanonSpec extends SparkSpec {
     assert(canon("https://www.www.com/p") == "https://www.com/p")
   }
 
-  test("registrable domain: last two labels; single-label hosts answer " +
-      "empty (documented toy eTLD — production swaps in the PSL)") {
+  test("registrable domain follows the public-suffix algorithm " +
+      "(round-13 directive 6): default TLD, second-level rules, " +
+      "private-section rules, wildcard, exception") {
+    // implicit `*` default: unlisted TLD → last two labels
     assert(dom("a.b.c.com") == "c.com")
     assert(dom("a.com") == "a.com")
+    // a host that IS a public suffix (or a single label) has no
+    // registrable domain — groups alone
     assert(dom("localhost") == "")
+    assert(dom("com") == "")
+    assert(dom("co.uk") == "")
+    assert(dom("github.io") == "")
+    // second-level rules: the suffix is TWO labels, registrable keeps 3
+    assert(dom("foo.co.uk") == "foo.co.uk")
+    assert(dom("a.b.foo.co.uk") == "foo.co.uk")
+    assert(dom("shop.example.com.au") == "example.com.au")
+    // longest match prevails: blogspot.com beats the default com rule
+    assert(dom("me.blogspot.com") == "me.blogspot.com")
+    assert(dom("x.me.blogspot.com") == "me.blogspot.com")
+    // 3-label private rule
+    assert(dom("bucket.s3.amazonaws.com") == "bucket.s3.amazonaws.com")
+    assert(dom("s3.amazonaws.com") == "")
+    assert(dom("amazonaws.com") == "amazonaws.com")
+    // wildcard *.ck: ANY single label under ck is part of the suffix
+    assert(dom("foo.ck") == "")
+    assert(dom("bar.foo.ck") == "bar.foo.ck")
+    assert(dom("a.bar.foo.ck") == "bar.foo.ck")
+    // exception !www.ck carves www.ck back out as registrable
+    assert(dom("www.ck") == "www.ck")
+    assert(dom("a.www.ck") == "www.ck")
   }
 
   test("canonicalization is idempotent on its own output") {
