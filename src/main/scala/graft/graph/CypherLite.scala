@@ -694,23 +694,30 @@ object CypherLite {
   final case class PQReduce(prop: String, alias: String) extends PathQItem
 
   /** `MATCH p = (a…)-[r:T*lo..hi]->(b…)
-    * [WHERE ALL(x IN relationships(p) WHERE <x.prop conds>)]
-    * RETURN <a.prop|b.prop|length(p)|reduce(…)> …` — relationship
-    * predicates on VARIABLE-LENGTH patterns (round-13 directive 4), the
-    * form Neo4j users filter weighted paths with. Path semantics are
-    * Neo4j's: one row PER PATH (bag — two distinct qualifying paths to
-    * the same endpoint answer two rows), relationship-unique (an edge
-    * may appear at most once per path — Cypher's relationship
-    * isomorphism), directed, length within [lo, hi].
+    * [WHERE ALL|ANY|NONE|SINGLE(x IN relationships(p) WHERE <x.prop
+    * conds>)] RETURN <a.prop|b.prop|length(p)|reduce(…)> …` —
+    * relationship predicates on VARIABLE-LENGTH patterns (round-13
+    * directive 4), the form Neo4j users filter weighted paths with.
+    * Path semantics are Neo4j's: one row PER PATH (bag — two distinct
+    * qualifying paths to the same endpoint answer two rows),
+    * relationship-unique (an edge may appear at most once per path —
+    * Cypher's relationship isomorphism), directed, length within
+    * [lo, hi]. Quantifier semantics are exact in Kleene logic (a
+    * missing/non-numeric property compares to NULL): the path survives
+    * iff the quantifier is TRUE — ALL: every edge true; ANY: ≥1 true
+    * (nulls irrelevant once one is true); NONE: zero true AND zero
+    * null; SINGLE: exactly one true AND zero null.
     *
-    * Execution is a per-step frontier expansion over the PRE-FILTERED
-    * edge relation: `ALL(…)` holds by construction because the expansion
-    * only ever walks edges that pass the per-edge DNF — the quantifier
-    * costs one scan-side filter, not a per-path re-check. The reduce sum
-    * accumulates along the frontier (one column add per step). Each step
-    * is one equi-join keyed on the frontier node id (the samplers'
-    * shape); per-step lazy checkpoints bound plan replay; the visited
-    * edge list per row is bounded by `hi` (the parse caps it), so the
+    * Execution is a per-step frontier expansion. Under `ALL(…)` the
+    * per-edge DNF compiles onto the EDGE RELATION (the expansion only
+    * walks passing edges — one sargable scan-side filter, no per-path
+    * re-check); under ANY/NONE/SINGLE every type-matched edge is walked
+    * carrying two counter columns (true-count, null-count, one add per
+    * step) and the quantifier is a counter test at output. The reduce
+    * sum accumulates along the frontier the same way. Each step is one
+    * equi-join keyed on the frontier node id (the samplers' shape);
+    * per-step lazy checkpoints bound plan replay; the visited edge list
+    * per row is bounded by `hi` (the parse caps it), so the
     * relationship-uniqueness filter is an O(hi) array probe, never a
     * join.
     */
@@ -720,6 +727,7 @@ object CypherLite {
       relVar: Option[String], relType: Option[String],
       lo: Int, hi: Int,
       bVar: String, bLabel: Option[String], bProps: Map[String, String],
+      quant: String, // ALL | ANY | NONE | SINGLE ("" when no WHERE)
       allConds: Seq[Seq[Cond]], // DNF over the quantified edge variable
       items: Seq[PathQItem],
       orderBy: Option[(String, Boolean)], // (output column, desc)
@@ -1006,7 +1014,7 @@ object CypherLite {
       """\(\s*(\w+)\s*(?::\s*(\w+))?\s*(?:\{\s*([^}]*)\s*\})?\s*\)\s*""" +
       """-\s*\[\s*(\w+)?\s*(?::\s*(\w+(?:\s*\|\s*\w+)*))?\s*\*\s*(\d+)\s*\.\.\s*(\d+)\s*\]\s*-\s*>\s*""" +
       """\(\s*(\w+)\s*(?::\s*(\w+))?\s*(?:\{\s*([^}]*)\s*\})?\s*\)\s*""" +
-      """(?:WHERE\s+ALL\s*\(\s*(\w+)\s+IN\s+relationships\s*\(\s*(\w+)\s*\)\s*WHERE\s+(.+?)\s*\)\s*)?""" +
+      """(?:WHERE\s+(ALL|ANY|NONE|SINGLE)\s*\(\s*(\w+)\s+IN\s+relationships\s*\(\s*(\w+)\s*\)\s*WHERE\s+(.+?)\s*\)\s*)?""" +
       """RETURN\s+(.+?)\s*""" +
       """(?:ORDER\s+BY\s+([\w.()]+)\s*(ASC|DESC)?\s*)?""" +
       """(?:LIMIT\s+(\d+))?\s*;?\s*""").r
@@ -1866,7 +1874,8 @@ object CypherLite {
   private def parsePathQuant(pathVar: String, aVar: String,
       aLabel: Option[String], aPropsStr: String, relVar: Option[String],
       relType: Option[String], lo: Int, hi: Int, bVar: String,
-      bLabel: Option[String], bPropsStr: String, allVar: Option[String],
+      bLabel: Option[String], bPropsStr: String, quantKw: Option[String],
+      allVar: Option[String],
       allPRef: Option[String], allWhere: Option[String], retStr: String,
       obStr: Option[String], obDirS: Option[String],
       limitStr: Option[String]): Either[String, Statement] = {
@@ -1909,9 +1918,9 @@ object CypherLite {
                 mkCondFn(fnKw, close, prop, op, str, num, list)
                   .map(_.copy(negated = neg, onRelProp = true))
               case other =>
-                Left(s"ALL(…) may only compare the quantified " +
-                  s"variable's properties ($x.<prop>), got " +
-                  s"'${other.trim.take(40)}'")
+                Left(s"${quantKw.getOrElse("ALL")}(…) may only compare " +
+                  s"the quantified variable's properties ($x.<prop>), " +
+                  s"got '${other.trim.take(40)}'")
             }
           parseBoolDnf(w).flatMap { groups =>
             val parsed = groups.map { parts =>
@@ -1991,6 +2000,7 @@ object CypherLite {
       }
     } yield PathQuantReturn(pathVar, aVar, aLabel, propsOf(aPropsStr),
       relVar, relType, lo, hi, bVar, bLabel, propsOf(bPropsStr),
+      quantKw.map(_.toUpperCase(java.util.Locale.ROOT)).getOrElse(""),
       allConds, items, ob, limitStr.map(_.toInt))
   }
 
@@ -2994,13 +3004,13 @@ object CypherLite {
     // ALL(x IN relationships(p) WHERE …) and/or an along-the-path
     // reduce() sum (round-13 directive 4)
     case PathQuantRe(pathVar, aVar, aLabel, aPropsStr, relVarS, relT,
-        loS, hiS, bVar, bLabel, bPropsStr, allVar, allPRef, allWhere,
-        retStr, obStr, obDirS, limitStr) =>
+        loS, hiS, bVar, bLabel, bPropsStr, quantKw, allVar, allPRef,
+        allWhere, retStr, obStr, obDirS, limitStr) =>
       parsePathQuant(pathVar, aVar, Option(aLabel), aPropsStr,
         Option(relVarS), Option(relT), loS.toInt, hiS.toInt, bVar,
-        Option(bLabel), bPropsStr, Option(allVar), Option(allPRef),
-        Option(allWhere), retStr, Option(obStr), Option(obDirS),
-        Option(limitStr))
+        Option(bLabel), bPropsStr, Option(quantKw), Option(allVar),
+        Option(allPRef), Option(allWhere), retStr, Option(obStr),
+        Option(obDirS), Option(limitStr))
     case ChainRe(v1, l1, p1, r1, k1, v2, l2, p2, r2, k2, v3, l3, p3,
         whereStr, distinctKw, retStr, obClause, skipStr, limitStr) =>
       val nodes = Seq((v1, l1, p1), (v2, l2, p2), (v3, l3, p3)).map {
@@ -4678,10 +4688,22 @@ object CypherLite {
       .map(p => coalesce(element_at(col("props"), p).try_cast("double"),
         lit(0.0)))
       .getOrElse(lit(0.0))
-    val edges = g.edges.toDF().filter(relColOf(pq.relType) && edgeDnf)
+    // ALL compiles to the edge-relation pre-filter (the expansion walks
+    // only passing edges); ANY/NONE/SINGLE must walk EVERY type-matched
+    // edge and instead carry the per-edge outcome as two counter
+    // columns — true-count and null-count — tested at output
+    // (PathQuantReturn doc: exact Kleene semantics)
+    val isAll = pq.quant == "ALL" || pq.quant.isEmpty
+    val edges = g.edges.toDF()
+      .filter(if (isAll) relColOf(pq.relType) && edgeDnf
+        else relColOf(pq.relType))
       .select(col("src"), col("dst"),
         struct(col("src"), col("dst"), col("relType")).as("eid"),
-        term.as("w"))
+        term.as("w"),
+        (if (isAll) lit(0)
+         else when(edgeDnf, lit(1)).otherwise(lit(0))).as("hit"),
+        (if (isAll) lit(0)
+         else when(edgeDnf.isNull, lit(1)).otherwise(lit(0))).as("unk"))
       .localCheckpoint(false) // consumed once per step, hi times
     def wanted(v: String): Seq[String] =
       pq.items.collect { case PQProp(`v`, p) => p }.distinct
@@ -4693,6 +4715,8 @@ object CypherLite {
     var frontier = aSide
       .withColumn("path_len", lit(0))
       .withColumn("total", lit(0.0))
+      .withColumn("hits", lit(0))
+      .withColumn("unks", lit(0))
       .withColumn("visited", array().cast(
         "array<struct<src:bigint,dst:bigint,relType:string>>"))
     var out: Option[DataFrame] = None
@@ -4703,6 +4727,8 @@ object CypherLite {
           edges("dst").as("cur"),
           (col("path_len") + 1).as("path_len"),
           (col("total") + col("w")).as("total"),
+          (col("hits") + col("hit")).as("hits"),
+          (col("unks") + col("unk")).as("unks"),
           array_append(col("visited"), col("eid")).as("visited"))): _*)
         .localCheckpoint(false)
       if (step >= pq.lo)
@@ -4711,9 +4737,17 @@ object CypherLite {
     val bSide = g.nodes.toDF().filter(pred(pq.bLabel, pq.bProps))
       .select(col("id").as("cur") +:
         bCols.map(p => col(p).as(s"${pq.bVar}_$p")): _*)
+    // the quantifier's counter test (TRUE-only survival, Kleene-exact —
+    // PathQuantReturn doc); ALL already held by the edge pre-filter
+    val quantKeep = pq.quant match {
+      case "ANY" => col("hits") >= 1
+      case "NONE" => col("hits") === 0 && col("unks") === 0
+      case "SINGLE" => col("hits") === 1 && col("unks") === 0
+      case _ => lit(true)
+    }
     // column namespaces can't collide: the parse enforced distinct vars
     // and every projected column is <var>-prefixed
-    val rows = out.get.join(bSide, "cur")
+    val rows = out.get.filter(quantKeep).join(bSide, "cur")
     def outName(i: PathQItem): String = i match {
       case PQProp(v, p) => s"${v}_$p"
       case PQLen => "path_len"

@@ -1631,22 +1631,32 @@ object GraphOps {
     // deserialized row caching inflates it ~5-10× — at big-graph scale
     // that tips storage into eviction/spill (the 100× curve caught this)
     val serLevel = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+    // ONE setup shuffle: the undirected view is hash-partitioned by `u`
+    // (preserved through the checkpoint, so every per-round aggregate
+    // and semi-join below is exchange-free on the edge side) and NOT
+    // deduplicated — a distinct() here would be a second full-edge
+    // shuffle; instead both degree aggregates count DISTINCT neighbors,
+    // which the u-clustering satisfies without an exchange (duplicate
+    // and reverse edges count once, KCoreSpec)
     val und = e0.select(col("src").as("u"), col("dst").as("v"))
       .unionByName(e0.select(col("dst").as("u"), col("src").as("v")))
       .filter(col("u") =!= col("v"))
-      .distinct()
       .repartition(col("u"))
       .localCheckpoint(true, serLevel)
-    var deg = und.groupBy("u").agg(count(lit(1)).as("deg"))
+    var deg = und.groupBy("u").agg(countDistinct(col("v")).as("deg"))
       .localCheckpoint(true, serLevel)
     var iters = 0
     var done = false
     while (iters < maxIterations && !done) {
       iters += 1
+      // NOT checkpointed: doomed is one filter over the checkpointed
+      // degree table, so its three consumers (the emptiness probe and
+      // the two joins below, which run in ONE job via the next
+      // checkpoint) replay a trivial plan — a per-round materialization
+      // here costs an extra job per round, which dominates at small
+      // scale where rounds are cheap
       val doomed = deg.filter(col("deg") < k).select("u")
-        .localCheckpoint(true, serLevel)
       if (doomed.isEmpty) {
-        freeLocalCheckpoint(doomed)
         done = true
       } else {
         // every doomed node's edges vanish: each (doomed u → v) row
@@ -1654,7 +1664,7 @@ object GraphOps {
         // is simply absent from the surviving degree table, so its
         // decrement row joins away — no alive-set bookkeeping needed.
         val dec = und.join(doomed, Seq("u"), "left_semi")
-          .groupBy("v").agg(count(lit(1)).as("dec"))
+          .groupBy("v").agg(countDistinct(col("u")).as("dec"))
           .select(col("v").as("u"), col("dec"))
         val prev = deg
         deg = deg
@@ -1666,7 +1676,6 @@ object GraphOps {
         // superseded round state is DEAD once the new table materialized
         // (eager) — free it now, or R rounds pin R degree-table copies
         freeLocalCheckpoint(prev)
-        freeLocalCheckpoint(doomed)
       }
     }
     if (!done) {

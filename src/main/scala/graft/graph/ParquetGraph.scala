@@ -1494,6 +1494,37 @@ object ParquetGraph {
         .fold(err => throw new IllegalArgumentException(err), identity)
     },
 
+    // C10 read surface (new r13): the ANY quantifier — unlike ALL (an
+    // edge pre-filter), ANY/NONE/SINGLE walk every type-matched edge
+    // carrying true/null counter columns and test them at output.
+    // ANY(grade = 'even') from AFRICA: the first edge is odd, so the
+    // len-1 path must drop while len 2..4 survive (they contain the
+    // even ASIA edge). The oracle accumulates the same closed-form hit
+    // counter through a recursive CTE.
+    QueryDef.sql(
+      "graphp_cypher_path_any",
+      """WITH RECURSIVE e AS (
+        |  SELECT lag(r_name) OVER (ORDER BY r_name) AS src,
+        |    r_name AS dst,
+        |    CASE WHEN r_regionkey % 2 = 0 THEN 1 ELSE 0 END AS hit
+        |  FROM region),
+        |p AS (
+        |  SELECT src AS a, dst AS b, 1 AS len, hit AS hits
+        |  FROM e WHERE src IS NOT NULL
+        |  UNION ALL
+        |  SELECT p.a, e.dst, p.len + 1, p.hits + e.hit
+        |  FROM p JOIN e ON e.src = p.b
+        |  WHERE p.len < 4)
+        |SELECT b AS b_name, CAST(len AS INT) AS path_len
+        |FROM p WHERE a = 'AFRICA' AND hits >= 1
+        |ORDER BY path_len""".stripMargin) { (s, d) =>
+      CypherLite.run(roadPropsGraph(s, d),
+        "MATCH p = (a:Region {name: 'AFRICA'})-[:ROAD*1..4]->(b:Region) " +
+          "WHERE ANY(x IN relationships(p) WHERE x.grade = 'even') " +
+          "RETURN b.name, length(p) ORDER BY path_len")
+        .fold(err => throw new IllegalArgumentException(err), identity)
+    },
+
     // C10 read surface (new r13, directive 4): the along-the-path
     // reduce() sum — `reduce(s = 0, x IN relationships(p) | s +
     // x.weight)` from the anchored AFRICA root, one row per path with

@@ -116,6 +116,57 @@ class PathQuantSpec extends SparkSpec {
     assert(r2.isEmpty)
   }
 
+  test("ANY / NONE / SINGLE quantifiers: counter semantics, exact in " +
+      "Kleene logic (null predicates block NONE and SINGLE, not ANY)") {
+    // paths 1→…→4 of length ≤2: direct (w7), via 2 (w1,w2), via 3
+    // (w9,w1). ANY(weight > 8): only the via-3 path carries a w9 edge.
+    val any = rows("MATCH p = (a:N {name: 'n1'})-[:ROAD*1..2]->(b:N " +
+      "{name: 'n4'}) WHERE ANY(x IN relationships(p) WHERE x.weight > 8) " +
+      "RETURN length(p)")
+    assert(any.map(_.getAs[Int]("path_len")).toSeq == Seq(2))
+    // NONE(weight > 6): direct (w7) fails; via-3 (w9) fails; via-2 stays
+    val none = rows("MATCH p = (a:N {name: 'n1'})-[:ROAD*1..2]->(b:N " +
+      "{name: 'n4'}) WHERE NONE(x IN relationships(p) WHERE x.weight > 6) " +
+      "RETURN length(p)")
+    assert(none.map(_.getAs[Int]("path_len")).toSeq == Seq(2))
+    // SINGLE(weight > 1): via-2 has exactly one (w2); direct one (w7);
+    // via-3 has exactly one (w9) → all three qualify except… via-2:
+    // w1 (no), w2 (yes) = 1 ✓; via-3: w9 (yes), w1 (no) = 1 ✓;
+    // direct: w7 = 1 ✓ — so tighten: SINGLE(weight > 2) → direct (w7)
+    // ✓, via-3 (w9) ✓, via-2 (w2? no — w2 > 2 is false, 0 hits) ✗
+    val single = rows("MATCH p = (a:N {name: 'n1'})-[:ROAD*1..2]->(b:N " +
+      "{name: 'n4'}) WHERE SINGLE(x IN relationships(p) WHERE " +
+      "x.weight > 2) RETURN length(p) ORDER BY length(p)")
+    assert(single.map(_.getAs[Int]("path_len")).toSeq == Seq(1, 2))
+    // Kleene: a path through the weightless 1→(w?)→… — build a graph
+    // with a missing weight on one edge: NONE must DROP the path whose
+    // predicate is null on that edge (null is not false), ANY must keep
+    // the path if another edge is true
+    import spark.implicits._
+    val g2 = GraphTables(
+      (1L to 3L).map(node(_)).toDS(),
+      Seq(
+        EdgeRow(1L, 2L, "ROAD", "", "b1"), // no weight → null pred
+        EdgeRow(2L, 3L, "ROAD", "", "b1", Map("weight" -> "9"))).toDS())
+    def lens(q: String) = CypherLite.run(g2, q)
+      .fold(e => fail(e), identity).collect()
+      .map(_.getAs[Int]("path_len")).toSeq
+    // NONE(w > 10): the len-1 path (null pred) drops — null, not false;
+    // the len-2 path also carries the null edge → drops too
+    assert(lens("MATCH p = (a:N {name: 'n1'})-[:ROAD*1..2]->(b:N) " +
+      "WHERE NONE(x IN relationships(p) WHERE x.weight > 10) " +
+      "RETURN length(p)") == Seq.empty)
+    // ANY(w > 8): the len-2 path has a TRUE edge — the null edge is
+    // irrelevant once one is true
+    assert(lens("MATCH p = (a:N {name: 'n1'})-[:ROAD*1..2]->(b:N) " +
+      "WHERE ANY(x IN relationships(p) WHERE x.weight > 8) " +
+      "RETURN length(p)") == Seq(2))
+    // SINGLE with a null sibling: one true + one null → null → drops
+    assert(lens("MATCH p = (a:N {name: 'n1'})-[:ROAD*2..2]->(b:N) " +
+      "WHERE SINGLE(x IN relationships(p) WHERE x.weight > 8) " +
+      "RETURN length(p)") == Seq.empty)
+  }
+
   test("fuzz: malformed path-quantified shapes reject by name") {
     def leftMsg(q: String): String =
       CypherLite.run(g, q).swap.getOrElse(fail(s"$q unexpectedly parsed"))
