@@ -677,7 +677,16 @@ object CypherLite {
       bVar: String, bLabel: Option[String], bProps: Map[String, String],
       items: Seq[(String, String)], // (var, prop); (pathVar, "length")
       orderBy: Option[(String, String, Boolean)],
-      limit: Option[Int]) extends Statement
+      limit: Option[Int],
+      // WHERE ALL|NONE(x IN relationships(p) WHERE …): per-edge DNF
+      // applied to the edge relation BEFORE the BFS — the shortest path
+      // in the subgraph of passing edges, which is exactly how Neo4j's
+      // planner evaluates an expansion-evaluable path predicate. NONE
+      // keeps the edges whose predicate is FALSE (a null predicate
+      // drops the edge under both quantifiers — TRUE-only filter
+      // semantics, Kleene-exact since NONE(c) ≡ ALL(c IS FALSE))
+      allConds: Seq[Seq[Cond]] = Seq.empty,
+      quantNone: Boolean = false) extends Statement
 
   /** One RETURN item of a path-quantified query ([[PathQuantReturn]]). */
   sealed trait PathQItem
@@ -997,6 +1006,7 @@ object CypherLite {
       """\(\s*(\w+)\s*(?::\s*(\w+))?\s*(?:\{\s*([^}]*)\s*\})?\s*\)\s*""" +
       """-\s*\[\s*(?::\s*(\w+(?:\s*\|\s*\w+)*)\s*)?(?:(\*)\s*(?:1\s*\.\.\s*(\d+)\s*)?)?\]\s*->\s*""" +
       """\(\s*(\w+)\s*(?::\s*(\w+))?\s*(?:\{\s*([^}]*)\s*\})?\s*\)\s*\)\s*""" +
+      """(?:WHERE\s+(ALL|NONE)\s*\(\s*(\w+)\s+IN\s+relationships\s*\(\s*(\w+)\s*\)\s*WHERE\s+(.+?)\s*\)\s*)?""" +
       """RETURN\s+(.+?)\s*""" +
       """(?:ORDER\s+BY\s+(?:(\w+)\s*\.\s*(\w+)|length\s*\(\s*(\w+)\s*\))\s*(?:(ASC|DESC)\s*)?)?""" +
       """(?:LIMIT\s+(\d+))?\s*;?\s*""").r
@@ -1864,6 +1874,42 @@ object CypherLite {
       MergePat(bV, bL, Option(bB), bProps), clauses)
   }
 
+  /** Parse a quantifier's inner WHERE (`QUANT(x IN relationships(p)
+    * WHERE <atoms over x.prop>)`) into the per-edge DNF — shared by the
+    * ranged-pattern quantifiers and the quantified shortestPath form so
+    * the atom grammar cannot drift between them.
+    */
+  private def parseQuantConds(x: String, w: String, quantName: String)
+      : Either[String, Seq[Seq[Cond]]] = {
+    def onePart(part: String, neg: Boolean): Either[String, Cond] =
+      part match {
+        case NullCondRe(v, prop, notKw) if v == x =>
+          Right(Cond(prop,
+            if (notKw != null) "IS NOT NULL" else "IS NULL", "",
+            negated = neg, onRelProp = true))
+        case ExistsFnRe(v, prop) if v == x =>
+          Right(Cond(prop, "IS NOT NULL", "", negated = neg,
+            onRelProp = true))
+        case CondRe(fnKw, v, prop, close, op, str, num, list)
+            if v == x =>
+          mkCondFn(fnKw, close, prop, op, str, num, list)
+            .map(_.copy(negated = neg, onRelProp = true))
+        case other =>
+          Left(s"$quantName(…) may only compare the quantified " +
+            s"variable's properties ($x.<prop>), got " +
+            s"'${other.trim.take(40)}'")
+      }
+    parseBoolDnf(w).flatMap { groups =>
+      val parsed = groups.map { parts =>
+        val cs = parts.map { case (p, neg) => onePart(p, neg) }
+        cs.collectFirst { case Left(e) => Left(e) }
+          .getOrElse(Right(cs.collect { case Right(c) => c }))
+      }
+      parsed.collectFirst { case Left(e) => Left(e) }
+        .getOrElse(Right(parsed.collect { case Right(g) => g }))
+    }
+  }
+
   /** Parse the path-quantified ranged pattern ([[PathQuantReturn]]):
     * validates the variable namespace, the range bounds (path
     * enumeration is capped at hi ≤ 8 — beyond that the bag of paths is
@@ -1904,33 +1950,7 @@ object CypherLite {
           s"'$pathVar', got '$p'")).getOrElse(Right(()))
       allConds <- (allVar, allWhere) match {
         case (Some(x), Some(w)) =>
-          def onePart(part: String, neg: Boolean): Either[String, Cond] =
-            part match {
-              case NullCondRe(v, prop, notKw) if v == x =>
-                Right(Cond(prop,
-                  if (notKw != null) "IS NOT NULL" else "IS NULL", "",
-                  negated = neg, onRelProp = true))
-              case ExistsFnRe(v, prop) if v == x =>
-                Right(Cond(prop, "IS NOT NULL", "", negated = neg,
-                  onRelProp = true))
-              case CondRe(fnKw, v, prop, close, op, str, num, list)
-                  if v == x =>
-                mkCondFn(fnKw, close, prop, op, str, num, list)
-                  .map(_.copy(negated = neg, onRelProp = true))
-              case other =>
-                Left(s"${quantKw.getOrElse("ALL")}(…) may only compare " +
-                  s"the quantified variable's properties ($x.<prop>), " +
-                  s"got '${other.trim.take(40)}'")
-            }
-          parseBoolDnf(w).flatMap { groups =>
-            val parsed = groups.map { parts =>
-              val cs = parts.map { case (p, neg) => onePart(p, neg) }
-              cs.collectFirst { case Left(e) => Left(e) }
-                .getOrElse(Right(cs.collect { case Right(c) => c }))
-            }
-            parsed.collectFirst { case Left(e) => Left(e) }
-              .getOrElse(Right(parsed.collect { case Right(g) => g }))
-          }
+          parseQuantConds(x, w, quantKw.getOrElse("ALL"))
         case _ => Right(Seq.empty)
       }
       items <- {
@@ -2949,7 +2969,8 @@ object CypherLite {
         Option(skipStr).map(_.toInt), Option(limitStr).map(_.toInt),
         distinctKw != null)
     case ShortestPathRe(pathVar, aVar, aLabel, aPropsStr, relT, star,
-        boundK, bVar, bLabel, bPropsStr, retStr, obVar, obProp, obLenVar,
+        boundK, bVar, bLabel, bPropsStr, spQuantKw, spQuantVar,
+        spQuantPRef, spQuantWhere, retStr, obVar, obProp, obLenVar,
         obDir, limitStr) =>
       def propsOf(s: String): Map[String, String] =
         Option(s).toSeq.flatMap(x => PropRe.findAllMatchIn(x)
@@ -2971,10 +2992,20 @@ object CypherLite {
           .getOrElse(Right(parsed.collect { case Right(i) => i }))
       }
       for {
-        _ <- if (Seq(pathVar, aVar, bVar).distinct.size != 3)
+        _ <- if ((Seq(pathVar, aVar, bVar) ++ Option(spQuantVar))
+            .distinct.size != 3 + Option(spQuantVar).size)
           Left("shortestPath variables must be distinct, got " +
-            s"$pathVar, $aVar, $bVar")
+            (Seq(pathVar, aVar, bVar) ++ Option(spQuantVar))
+              .mkString(", "))
         else Right(())
+        _ <- Option(spQuantPRef).filter(_ != pathVar).map(pr =>
+          Left(s"relationships() may only take the path variable " +
+            s"'$pathVar', got '$pr'")).getOrElse(Right(()))
+        spAllConds <- (Option(spQuantVar), Option(spQuantWhere)) match {
+          case (Some(x), Some(w)) =>
+            parseQuantConds(x, w, Option(spQuantKw).getOrElse("ALL"))
+          case _ => Right(Seq.empty[Seq[Cond]])
+        }
         items <- itemsE
         _ <- if (items.isEmpty) Left("RETURN needs at least one item")
         else Right(())
@@ -2999,7 +3030,9 @@ object CypherLite {
         }
       } yield ShortestPathReturn(pathVar, aVar, Option(aLabel),
         propsOf(aPropsStr), Option(relT), bound, bVar, Option(bLabel),
-        propsOf(bPropsStr), items, ob, Option(limitStr).map(_.toInt))
+        propsOf(bPropsStr), items, ob, Option(limitStr).map(_.toInt),
+        spAllConds,
+        Option(spQuantKw).exists(_.equalsIgnoreCase("NONE")))
     // path-quantified ranged pattern: relationship predicates through
     // ALL(x IN relationships(p) WHERE …) and/or an along-the-path
     // reduce() sum (round-13 directive 4)
@@ -4624,7 +4657,16 @@ object CypherLite {
         .reduceOption(_ && _).getOrElse(lit(true))
     val roots = g.nodes.filter(pred(sp.aLabel, sp.aProps))
     val rootIds = roots.select(col("id").as("root_id"))
-    val rel = relColOf(sp.relType)
+    // the ALL-on-relationships quantifier pre-filters the edge relation
+    // (shortest path in the subgraph of passing edges — one sargable
+    // scan-side predicate before the BFS, exactly the ranged-pattern
+    // ALL treatment)
+    val rel = sp.allConds
+      .map(_.map(c => condCol(c, element_at(col("props"), c.prop)))
+        .reduceOption(_ && _).getOrElse(lit(true)))
+      .reduceOption(_ || _)
+      .map(dnf => if (sp.quantNone) !dnf else dnf)
+      .fold(relColOf(sp.relType))(relColOf(sp.relType) && _)
     val depths = sp.bound match {
       case Some(k) => GraphOps.kHop(g, rootIds, k, rel)
         .filter(col("depth") > 0)

@@ -1494,6 +1494,34 @@ object ParquetGraph {
         .fold(err => throw new IllegalArgumentException(err), identity)
     },
 
+    // C10 read surface (new r13): the quantifier composed with
+    // shortestPath — `shortestPath((a)-[:ROAD*]->(b)) WHERE ALL(x IN
+    // relationships(p) WHERE x.weight < 3)` is the shortest path IN THE
+    // SUBGRAPH of passing edges (the same scan-side pre-filter as the
+    // ranged-pattern ALL, composed with the unbounded BFS fixpoint).
+    // The w=3 AMERICA→ASIA edge severs the chain: AFRICA reaches only
+    // AMERICA; ASIA reaches EUROPE and MIDDLE EAST. The oracle replays
+    // the filtered chain through a recursive CTE.
+    QueryDef.sql(
+      "graphp_cypher_shortest_quant",
+      """WITH RECURSIVE e AS (
+        |  SELECT lag(r_name) OVER (ORDER BY r_name) AS src,
+        |    r_name AS dst, r_regionkey % 3 + 1 AS w
+        |  FROM region),
+        |f AS (SELECT src, dst FROM e WHERE src IS NOT NULL AND w < 3),
+        |p AS (
+        |  SELECT src AS a, dst AS b, 1 AS len FROM f
+        |  UNION ALL
+        |  SELECT p.a, f.dst, p.len + 1 FROM p JOIN f ON f.src = p.b)
+        |SELECT a AS a_name, b AS b_name, CAST(len AS INT) AS path_len
+        |FROM p ORDER BY a_name, b_name""".stripMargin) { (s, d) =>
+      CypherLite.run(roadPropsGraph(s, d),
+        "MATCH p = shortestPath((a:Region)-[:ROAD*]->(b:Region)) " +
+          "WHERE ALL(x IN relationships(p) WHERE x.weight < 3) " +
+          "RETURN a.name, b.name, length(p) ORDER BY a.name")
+        .fold(err => throw new IllegalArgumentException(err), identity)
+    },
+
     // C10 read surface (new r13): the ANY quantifier — unlike ALL (an
     // edge pre-filter), ANY/NONE/SINGLE walk every type-matched edge
     // carrying true/null counter columns and test them at output.

@@ -192,6 +192,54 @@ class PathQuantSpec extends SparkSpec {
       .contains("at most one reduce"))
   }
 
+  test("quantified shortestPath: WHERE ALL(…) pre-filters the edge " +
+      "relation — the shortest path IN THE SUBGRAPH of passing edges") {
+    // unfiltered: 1→4 direct (len 1). ALL weight < 5 removes the direct
+    // (w7) and the via-3 (w9) edges: the shortest surviving path is
+    // 1→2→4 (len 2). ALL weight < 2 leaves only 1→2 and 3→4: no path.
+    val r = rows("MATCH p = shortestPath((a:N {name: 'n1'})" +
+      "-[:ROAD*1..4]->(b:N {name: 'n4'})) WHERE ALL(x IN " +
+      "relationships(p) WHERE x.weight < 5) RETURN length(p)")
+    assert(r.map(_.getAs[Int]("path_len")).toSeq == Seq(2))
+    val none = rows("MATCH p = shortestPath((a:N {name: 'n1'})" +
+      "-[:ROAD*1..4]->(b:N {name: 'n4'})) WHERE ALL(x IN " +
+      "relationships(p) WHERE x.weight < 2) RETURN length(p)")
+    assert(none.isEmpty)
+    // unbounded `*` composes too
+    val unb = rows("MATCH p = shortestPath((a:N {name: 'n1'})" +
+      "-[:ROAD*]->(b:N {name: 'n5'})) WHERE ALL(x IN relationships(p) " +
+      "WHERE x.weight < 5) RETURN b.name, length(p)")
+    assert(unb.map(x => (x.getAs[String]("b_name"),
+      x.getAs[Int]("path_len"))).toSeq == Seq(("n5", 3)))
+    // NONE keeps only edges whose predicate is FALSE (null drops too):
+    // NONE(weight >= 2) leaves only the w1 edges 1→3? no — 1→2 is w1
+    // and 3→4 is w1: from n1 the passing subgraph is 1→2 only → no
+    // path to n4; from n3 → 4 at len 1
+    val sp = CypherLite.run(g, "MATCH p = shortestPath((a:N " +
+      "{name: 'n3'})-[:ROAD*]->(b:N {name: 'n4'})) WHERE NONE(x IN " +
+      "relationships(p) WHERE x.weight >= 2) RETURN length(p)")
+      .fold(e => fail(e), identity).collect()
+    assert(sp.map(_.getAs[Int]("path_len")).toSeq == Seq(1))
+    assert(rows("MATCH p = shortestPath((a:N {name: 'n1'})-[:ROAD*]->" +
+      "(b:N {name: 'n4'})) WHERE NONE(x IN relationships(p) WHERE " +
+      "x.weight >= 2) RETURN length(p)").isEmpty)
+    // an everywhere-false predicate under NONE keeps the whole graph:
+    // n2 → n4 → n5 at len 2
+    assert(rows("MATCH p = shortestPath((a:N {name: 'n2'})-[:ROAD*]->" +
+      "(b:N {name: 'n5'})) WHERE NONE(x IN relationships(p) WHERE " +
+      "x.weight > 9) RETURN length(p)")
+      .map(_.getAs[Int]("path_len")).toSeq == Seq(2))
+    // quantifier variable collisions and wrong path refs reject by name
+    def leftMsg(q: String): String =
+      CypherLite.run(g, q).swap.getOrElse(fail(s"$q unexpectedly parsed"))
+    assert(leftMsg("MATCH p = shortestPath((a:N)-[:ROAD*]->(b:N)) " +
+      "WHERE ALL(a IN relationships(p) WHERE a.weight < 5) " +
+      "RETURN length(p)").contains("distinct"))
+    assert(leftMsg("MATCH p = shortestPath((a:N)-[:ROAD*]->(b:N)) " +
+      "WHERE ALL(x IN relationships(q) WHERE x.weight < 5) " +
+      "RETURN length(p)").contains("path variable"))
+  }
+
   test("ORDER BY a projected key + LIMIT page the path bag " +
       "deterministically") {
     val r = rows("MATCH p = (a:N {name: 'n1'})-[:ROAD*1..2]->(b:N " +
