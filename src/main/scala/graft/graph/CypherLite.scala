@@ -657,8 +657,8 @@ object CypherLite {
     */
   final case class MergeEdgesOnSet(a: MergePat, b: MergePat,
       clause: MergeClause, relVar: String,
-      onCreate: Option[(String, String)],
-      onMatch: Option[(String, String)]) extends Statement
+      onCreate: Map[String, String],
+      onMatch: Map[String, String]) extends Statement
 
   /** `MATCH p = shortestPath((a…)-[[:REL][*[1..K]]]->(b…)) RETURN …` —
     * one row per (a, b) endpoint pair that a directed path connects, at
@@ -930,9 +930,18 @@ object CypherLite {
   // plain form never swallows a query with ON clauses.
   private val MergeOnSetRe =
     ("""(?is)\s*MERGE\s*\(\s*(\w+)\s*:\s*(\w+)(?:\s*:\s*(\w+))?\s*\{\s*([^}]*)\s*\}\s*\)\s*""" +
-      """((?:ON\s+(?:CREATE|MATCH)\s+SET\s+\w+\s*\.\s*\w+\s*=\s*(?:'[^']*'|\$\w+)\s*)+);?\s*""").r
+      """((?:ON\s+(?:CREATE|MATCH)\s+SET\s+\w+\s*\.\s*\w+\s*=\s*(?:'[^']*'|\$\w+)\s*(?:,\s*\w+\s*\.\s*\w+\s*=\s*(?:'[^']*'|\$\w+)\s*)*)+);?\s*""").r
   private val OnSetClauseRe =
     """(?i)ON\s+(CREATE|MATCH)\s+SET\s+(\w+)\s*\.\s*(\w+)\s*=\s*(?:'([^']*)'|\$(\w+))""".r
+  // the edge-side branch clause captures its whole comma-separated
+  // assignment LIST (EdgeRow.props is schemaless — several keys per
+  // branch are the Neo4j norm); assignments are re-scanned by
+  // OnSetAssignRe
+  private val OnSetMultiClauseRe =
+    ("""(?i)ON\s+(CREATE|MATCH)\s+SET\s+""" +
+      """((?:\w+\s*\.\s*\w+\s*=\s*(?:'[^']*'|\$\w+)\s*,?\s*)+)""").r
+  private val OnSetAssignRe =
+    """(\w+)\s*\.\s*(\w+)\s*=\s*(?:'([^']*)'|\$(\w+))""".r
 
   // MATCH (a:L1[:B] [{…}]), (b:L2[:B] [{…}]) MERGE (a)-[:R]->(b) … — the
   // reference's edge write (`new_final.js:34-38`). By the time parseStmt
@@ -959,7 +968,7 @@ object CypherLite {
     ("""(?is)\s*MATCH\s*\(\s*(\w+)\s*:\s*(\w+)(?:\s*:\s*(\w+))?\s*(?:\{\s*([^}]*)\s*\})?\s*\)\s*""" +
       """MATCH\s*\(\s*(\w+)\s*:\s*(\w+)(?:\s*:\s*(\w+))?\s*(?:\{\s*([^}]*)\s*\})?\s*\)\s*""" +
       """MERGE\s*\(\s*(\w+)\s*\)\s*-\s*\[\s*(\w+)\s*:\s*(\w+)\s*(?:\{\s*([^}]*)\s*\})?\s*\]\s*-\s*>\s*\(\s*(\w+)\s*\)\s*""" +
-      """((?:ON\s+(?:CREATE|MATCH)\s+SET\s+\w+\s*\.\s*\w+\s*=\s*(?:'[^']*'|\$\w+)\s*)+);?\s*""").r
+      """((?:ON\s+(?:CREATE|MATCH)\s+SET\s+\w+\s*\.\s*\w+\s*=\s*(?:'[^']*'|\$\w+)\s*(?:,\s*\w+\s*\.\s*\w+\s*=\s*(?:'[^']*'|\$\w+)\s*)*)+);?\s*""").r
 
   // WHERE [NOT] EXISTS { [MATCH] (m)-[…]->([:Label]) } — the modern
   // (Neo4j 5.x) existential-subquery spelling of the pattern-existence
@@ -2036,12 +2045,16 @@ object CypherLite {
       params: Map[String, String]): Either[String, Statement] = {
     val Seq(aV, aL, aB, aP, bV, bL, bB, bP, srcV, dstV) = groups
     val allowed = Set("name", "content", "docnbr")
-    val onClauses = OnSetClauseRe.findAllMatchIn(onBlock).toSeq
-    def clauseValue(m: scala.util.matching.Regex.Match)
+    // per branch: the raw assignment LIST, re-scanned into
+    // (var, prop, value-or-param) triples
+    val onClauses = OnSetMultiClauseRe.findAllMatchIn(onBlock).toSeq
+      .map(m => (m.group(1).toUpperCase,
+        OnSetAssignRe.findAllMatchIn(m.group(2)).toSeq))
+    def assignValue(a: scala.util.matching.Regex.Match)
         : Either[String, String] =
-      if (m.group(4) != null) Right(m.group(4))
-      else params.get(m.group(5))
-        .toRight(s"missing parameter $$${m.group(5)} " +
+      if (a.group(3) != null) Right(a.group(3))
+      else params.get(a.group(4))
+        .toRight(s"missing parameter $$${a.group(4)} " +
           s"(have: ${params.keys.toSeq.sorted.mkString(", ")})")
     for {
       _ <- if (aV == bV)
@@ -2064,26 +2077,38 @@ object CypherLite {
       _ <- Seq(aV, bV).find(_ == relVar).map(v =>
         Left(s"the relationship variable '$relVar' collides with " +
           s"matched node variable '$v'")).getOrElse(Right(()))
-      _ <- onClauses.find(_.group(2) != relVar)
-        .map(m => Left(s"ON ${m.group(1).toUpperCase} SET may only " +
-          s"write the merged relationship '$relVar', got " +
-          s"'${m.group(2)}'"))
+      _ <- onClauses.flatMap { case (kind, as) =>
+          as.filter(_.group(1) != relVar).map(a => (kind, a.group(1)))
+        }.headOption
+        .map { case (kind, v) => Left(s"ON $kind SET may only " +
+          s"write the merged relationship '$relVar', got '$v'") }
         .getOrElse(Right(()))
-      kinds = onClauses.map(_.group(1).toUpperCase)
+      kinds = onClauses.map(_._1)
       _ <- if (kinds.distinct.size != kinds.size)
         Left("at most one ON CREATE SET and one ON MATCH SET clause")
       else Right(())
+      _ <- onClauses.collectFirst {
+          case (kind, as)
+            if as.map(_.group(2)).distinct.size != as.size =>
+          Left(s"duplicate property in ON $kind SET")
+        }.getOrElse(Right(()))
       resolved <- onClauses
-        .foldLeft[Either[String, Map[String, (String, String)]]](
-          Right(Map.empty)) { (acc, m) => acc.flatMap(done =>
-            clauseValue(m).map(vv =>
-              done + (m.group(1).toUpperCase -> (m.group(3), vv))))
+        .foldLeft[Either[String, Map[String, Map[String, String]]]](
+          Right(Map.empty)) { case (acc, (kind, as)) =>
+          acc.flatMap { done =>
+            as.foldLeft[Either[String, Map[String, String]]](
+              Right(Map.empty)) { (m, a) =>
+              m.flatMap(mm => assignValue(a).map(vv =>
+                mm + (a.group(2) -> vv)))
+            }.map(kv => done + (kind -> kv))
+          }
         }
     } yield MergeEdgesOnSet(
       MergePat(aV, aL, Option(aB), aProps),
       MergePat(bV, bL, Option(bB), bProps),
       MergeClause(srcV, relType, dstV, clauseProps), relVar,
-      resolved.get("CREATE"), resolved.get("MATCH"))
+      resolved.getOrElse("CREATE", Map.empty),
+      resolved.getOrElse("MATCH", Map.empty))
   }
 
   def parse(query: String): Either[String, Statement] = parse(query, Map.empty)
@@ -4553,12 +4578,12 @@ object CypherLite {
         }
         val pairs = side(a, "ida").crossJoin(side(b, "idb"))
         val batchTag = a.batch.orElse(b.batch).getOrElse("cypher")
-        // the ON CREATE assignment rides the created edges' inline map
-        // (both are parse-time literals); ON MATCH becomes a join-update
+        // the ON CREATE assignments ride the created edges' inline map
+        // (all parse-time literals); ON MATCH becomes a join-update
         // against the pre-merge edge image — which branch happened is
         // decided SET-wise (anti-join = created, semi-join = matched),
         // the same discipline as the node-side MergeNodeOnSet
-        val createProps = c.props ++ onCreate.map { case (k, v) => k -> v }
+        val createProps = c.props ++ onCreate
         val incoming = pairs.select(
           col(if (c.srcVar == a.v) "ida" else "idb").as("src"),
           col(if (c.dstVar == a.v) "ida" else "idb").as("dst"),
@@ -4567,16 +4592,18 @@ object CypherLite {
           typedLit(createProps).as("props")).as[EdgeRow]
         val merged = GraphOps.upsert(g,
           GraphTables(spark.emptyDataset[NodeRow], incoming))
-        val after = onMatch.fold(merged) { case (k, v) =>
-          val key = Seq("src", "dst", "relType")
-          val preEdges = g.edges.toDF().select(key.map(col): _*)
-          val matchedUpd = incoming.toDF().select(key.map(col): _*)
-            .join(preEdges, key, "left_semi")
-            .select(col("src"), col("dst"), col("relType"),
-              lit(k).as("prop_key"), lit(v).as("prop_value"))
-          GraphOps.updateEdgeProp(merged, matchedUpd)
-        }
-        val setKeys = (onCreate.map(_._1).toSeq ++ onMatch.map(_._1))
+        val after =
+          if (onMatch.isEmpty) merged
+          else {
+            val key = Seq("src", "dst", "relType")
+            val preEdges = g.edges.toDF().select(key.map(col): _*)
+            val matchedUpd = incoming.toDF().select(key.map(col): _*)
+              .join(preEdges, key, "left_semi")
+              .select(col("src"), col("dst"), col("relType"),
+                typedLit(onMatch).as("new_props"))
+            GraphOps.updateEdgeProps(merged, matchedUpd)
+          }
+        val setKeys = (onCreate.keys ++ onMatch.keys).toSeq
           .distinct.sorted
         val summary = after.edges.toDF()
           .filter(col("relType") === c.relType)

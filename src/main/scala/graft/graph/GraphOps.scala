@@ -366,26 +366,26 @@ object GraphOps {
 
   /** Relationship-property update as a join-update on the edge MERGE key
     * (the edge analogue of [[updateContent]], backing the Cypher
-    * `MERGE … ON MATCH SET r.prop` branch): one shuffle keyed on
-    * (src, dst, relType), missing keys keep their stored props. The
-    * written key is OVERWRITTEN in the schemaless props map
-    * (map_filter-out + map_concat — pure column expressions, no UDF, no
-    * dependence on spark.sql.mapKeyDedupPolicy). `updates` columns:
-    * (src, dst, relType, prop_key, prop_value).
+    * `MERGE … ON MATCH SET r.prop = …[, r.prop2 = …]` branch): one
+    * shuffle keyed on (src, dst, relType), missing keys keep their
+    * stored props. The written keys are OVERWRITTEN in the schemaless
+    * props map (map_filter-out + map_concat — pure column expressions,
+    * no UDF, no dependence on spark.sql.mapKeyDedupPolicy). `updates`
+    * columns: (src, dst, relType, new_props map<string,string>) — one
+    * row per edge key, several written keys per row.
     */
-  def updateEdgeProp(g: GraphTables, updates: DataFrame): GraphTables = {
+  def updateEdgeProps(g: GraphTables, updates: DataFrame): GraphTables = {
     val key = Seq("src", "dst", "relType")
-    val upd = updates.select(
-      (key.map(col) :+ col("prop_key") :+ col("prop_value")): _*)
+    val upd = updates.select((key.map(col) :+ col("new_props")): _*)
     val edges = g.edges.join(upd, key, "left_outer")
       .withColumn("props",
-        when(col("prop_key").isNotNull,
+        when(col("new_props").isNotNull,
           map_concat(
-            map_filter(col("props"), (k, _) => k =!= col("prop_key")),
-            map_from_arrays(array(col("prop_key")),
-              array(col("prop_value")))))
+            map_filter(col("props"),
+              (k, _) => !array_contains(map_keys(col("new_props")), k)),
+            col("new_props")))
           .otherwise(col("props")))
-      .drop("prop_key", "prop_value")
+      .drop("new_props")
       .as(g.edges.encoder)
     GraphTables(g.nodes, edges)
   }

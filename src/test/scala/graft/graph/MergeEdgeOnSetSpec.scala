@@ -124,6 +124,34 @@ class MergeEdgeOnSetSpec extends SparkSpec {
       "ON MATCH SET r.weight = $nope").contains("missing parameter"))
   }
 
+  test("comma lists: several assignments per branch, each branch its " +
+      "own map; duplicates within one branch reject") {
+    val after = write(freshGraph,
+      "MATCH (a:City {name: 'ithaca'}) MATCH (b:City {name: 'auburn'}) " +
+        "MERGE (a)-[r:ROAD]->(b) " +
+        "ON CREATE SET r.weight = '1', r.state = 'new' " +
+        "ON MATCH SET r.weight = '9', r.state = 'seen', r.lanes = $n",
+      Map("n" -> "4"))
+    val p = props(after)((1L, 2L, "ROAD"))
+    assert(p("weight") == "9" && p("state") == "seen" &&
+      p("lanes") == "4", p.toString)
+    assert(p("grade") == "a", s"untouched keys must survive: $p")
+    // create branch takes ITS list
+    val created = write(freshGraph,
+      "MATCH (a:City {name: 'ithaca'}) MATCH (b:Town {name: 'dryden'}) " +
+        "MERGE (a)-[r:ROAD]->(b) " +
+        "ON CREATE SET r.weight = '1', r.state = 'new' " +
+        "ON MATCH SET r.weight = '9'")
+    assert(props(created)((1L, 3L, "ROAD")) ==
+      Map("weight" -> "1", "state" -> "new"))
+    // duplicate prop within one branch: named rejection
+    val dup = CypherLite.runWrite(freshGraph,
+      "MATCH (a:City {name: 'ithaca'}) MATCH (b:City {name: 'auburn'}) " +
+        "MERGE (a)-[r:ROAD]->(b) " +
+        "ON MATCH SET r.weight = '9', r.weight = '8'", Map.empty)
+    assert(dup.swap.exists(_.contains("duplicate property")), dup.toString)
+  }
+
   test("read-after-write: the set property is visible to the Cypher " +
       "read surface (WHERE r.prop / RETURN r.prop)") {
     val after = write(freshGraph,
