@@ -27,17 +27,31 @@ class CypherFuzzSpec extends SparkSpec {
   private val heads = Seq("MATCH (m:Region)", "MATCH (m)",
     "MATCH (m:Nation {name: 'n1'})", "OPTIONAL MATCH", "MATCH (m:Region),",
     "MATCH (m:Region) WITH m MATCH (m)", "MATCH p = shortestPath((a:Region)",
-    "UNWIND ['n1'] AS x MATCH (m)", "MATCH")
+    "UNWIND ['n1'] AS x MATCH (m)", "MATCH",
+    // path-quantified ranged heads (round 13) + near-misses
+    "MATCH p = (m:Region)", "MATCH p = (m)", "MATCH p =")
   private val hops = Seq("", "-[]->(c)", "-[:HAS_NATION]->(c)",
     "-[*1..2]->(c)", "-[r]->(c)", "<-[]-(c)", "-[]-(c)", "-[]->{1,2}(c)",
     "-[]->{0,2}(c)", "-[:A|B]->(c)", "-[]->(c:Nation)", "-[]->(c)-[]->(d)",
     ", (c)-[]->(d)", "-[]->", "-[",
+    // quantified ranged brackets (round 13) + near-misses
+    "-[r:HAS_NATION*1..3]->(c)", "-[:HAS_NATION*2..9]->(c)",
+    "-[:HAS_NATION*1..20]->(c)", "-[:HAS_NATION*3..2]->(c)",
+    "-[x:HAS_NATION*1..2]->(c)",
     // relationship-property forms (round 12): inline maps, with/without
     // the variable, on typed/untyped/ranged brackets + near-misses
     "-[r:HAS_NATION {grade: 'a'}]->(c)", "-[:HAS_NATION {grade: 'a'}]->(c)",
     "-[r {w: '1'}]->(c)", "-[r:HAS_NATION*1..2 {w: '1'}]->(c)",
     "-[r:HAS_NATION {grade: 'a'")
   private val wheres = Seq("", " WHERE m.name = 'n1'",
+    // path-quantifier forms (round 13) + near-misses
+    " WHERE ALL(x IN relationships(p) WHERE x.w > 1)",
+    " WHERE ANY(x IN relationships(p) WHERE x.g = 'a')",
+    " WHERE NONE(x IN relationships(p) WHERE x.w > 1)",
+    " WHERE SINGLE(x IN relationships(p) WHERE x.w > 1)",
+    " WHERE ALL(x IN relationships(q) WHERE x.w > 1)",
+    " WHERE ALL(x IN relationships(p) WHERE m.name = 'a')",
+    " WHERE ALL(x IN relationships(p) WHERE x.w >",
     " WHERE m.name CONTAINS", " WHERE (m)-[]->()",
     " WHERE m.name = 'a' AND NOT (m)-[]->()", " WHERE toLower(m.name)",
     " WHERE m.name IN ['a', 'b']", " WHERE c.name < m.name",
@@ -82,6 +96,12 @@ class CypherFuzzSpec extends SparkSpec {
     " WITH m, sum(r.weight) AS t WHERE t > 1",
     " WITH m, sum(r.weight) AS")
   private val rets = Seq(" RETURN m", " RETURN m.name", " RETURN DISTINCT c",
+    // path items (round 13) + near-misses
+    " RETURN length(p)",
+    " RETURN c.name, reduce(s = 0, x IN relationships(p) | s + x.w)",
+    " RETURN reduce(s = 0, x IN relationships(p) | t + x.w)",
+    " RETURN reduce(s = 0, x IN relationships(p) | s + x.w) AS t, " +
+      "reduce(s = 0, x IN relationships(p) | s + x.w) AS u",
     " RETURN m, count(c)", " RETURN count(*)", " RETURN collect(c.name)",
     " RETURN m.name, COUNT { (m)-[]->(x) }", " RETURN type(r), count(r)",
     " RETURN size((m)-[]->())", " RETURN toUpper(m.name)",

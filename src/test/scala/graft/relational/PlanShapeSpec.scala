@@ -268,6 +268,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(800))
   }
 
+  test("path-quantified expansion: per-step equi-joins, never a " +
+      "cartesian product; the quantifier and uniqueness probes stay " +
+      "codegen expressions (no UDF)") {
+    for (q <- Seq("graphp_cypher_path_all", "graphp_cypher_path_any")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q: ${p.take(800)}")
+      assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"),
+        s"$q: ${p.take(800)}")
+    }
+  }
+
   test("l57 URL canonicalization stays pure codegen expressions — no " +
       "UDF, one partial+final aggregate") {
     val p = plan("l57_url_dedup")
