@@ -660,6 +660,32 @@ object CypherLite {
       onCreate: Map[String, String],
       onMatch: Map[String, String]) extends Statement
 
+  /** One single-hop edge pattern for the relationship write forms:
+    * `(a[:L] [{…}])-[r:T]->(b[:L] [{…}])`.
+    */
+  final case class EdgePat(aVar: String, aLabel: Option[String],
+      aProps: Map[String, String], relVar: String, relType: String,
+      bVar: String, bLabel: Option[String], bProps: Map[String, String])
+
+  /** `MATCH (a…)-[r:T]->(b…) [WHERE <r.prop conds>] SET r.p = …[, …]` —
+    * the direct relationship-property update (the companion of the
+    * MERGE-branch form, for edges that already exist): one join-update
+    * over the matched edge set via [[GraphOps.updateEdgeProps]]. The
+    * WHERE takes r.prop atoms only (endpoint filters belong in the
+    * pattern's label/property maps) — a per-edge DNF pushed onto the
+    * edge scan.
+    */
+  final case class SetRelProps(pat: EdgePat, conds: Seq[Seq[Cond]],
+      assigns: Map[String, String]) extends Statement
+
+  /** `MATCH (a…)-[r:T]->(b…) [WHERE <r.prop conds>] DELETE r` —
+    * relationship deletion (Cypher's DELETE on a bound edge variable;
+    * nodes stay — unlike DETACH DELETE). One anti-join on the edge
+    * MERGE key against the matched set.
+    */
+  final case class DeleteRels(pat: EdgePat, conds: Seq[Seq[Cond]])
+    extends Statement
+
   /** `MATCH p = shortestPath((a…)-[[:REL][*[1..K]]]->(b…)) RETURN …` —
     * one row per (a, b) endpoint pair that a directed path connects, at
     * the MINIMUM path length. No range on the relationship = single hop
@@ -905,6 +931,24 @@ object CypherLite {
     ("""(?is)\s*MATCH\s*\(\s*(\w+)\s*(?::\s*(\w+))?(?:\s*:\s*(\w+))?\s*(?:\{\s*([^}]*)\s*\})?\s*\)\s*""" +
       """(?:WHERE\s+(.*?)\s*)?""" +
       """SET\s+(\w+)\s*\.\s*(\w+)\s*=\s*(?:'([^']*)'|\$(\w+))\s*;?\s*""").r
+
+  // MATCH (a…)-[r:T]->(b…) [WHERE …] SET r.p = …[, r.p2 = …] — the
+  // direct relationship-property update; the hop bracket is what keeps
+  // this and SetRe from ever colliding (SetRe's pattern is hop-less)
+  private val SetRelRe =
+    ("""(?is)\s*MATCH\s*\(\s*(\w+)\s*(?::\s*(\w+))?\s*(?:\{\s*([^}]*)\s*\})?\s*\)\s*""" +
+      """-\s*\[\s*(\w+)\s*:\s*(\w+)\s*\]\s*-\s*>\s*""" +
+      """\(\s*(\w+)\s*(?::\s*(\w+))?\s*(?:\{\s*([^}]*)\s*\})?\s*\)\s*""" +
+      """(?:WHERE\s+(.+?)\s*)?""" +
+      """SET\s+((?:\w+\s*\.\s*\w+\s*=\s*(?:'[^']*'|\$\w+)\s*,?\s*)+);?\s*""").r
+
+  // MATCH (a…)-[r:T]->(b…) [WHERE …] DELETE r — relationship deletion
+  private val DeleteRelRe =
+    ("""(?is)\s*MATCH\s*\(\s*(\w+)\s*(?::\s*(\w+))?\s*(?:\{\s*([^}]*)\s*\})?\s*\)\s*""" +
+      """-\s*\[\s*(\w+)\s*:\s*(\w+)\s*\]\s*-\s*>\s*""" +
+      """\(\s*(\w+)\s*(?::\s*(\w+))?\s*(?:\{\s*([^}]*)\s*\})?\s*\)\s*""" +
+      """(?:WHERE\s+(.+?)\s*)?""" +
+      """DELETE\s+(\w+)\s*;?\s*""").r
 
   // CREATE (n:Label {prop: '…', …}) — the literal node-creation form; a
   // property map is REQUIRED (a node without a name has no identity in
@@ -2033,6 +2077,38 @@ object CypherLite {
       allConds, items, ob, limitStr.map(_.toInt))
   }
 
+  /** Shared validation for the relationship write forms
+    * ([[SetRelProps]]/[[DeleteRels]]): variable namespace, endpoint
+    * property keys, and the optional WHERE — r.prop atoms only, parsed
+    * by the quantifier-conds grammar (onRelProp), so the edge-predicate
+    * language cannot drift between the read and write surfaces.
+    */
+  private def parseEdgeWrite(aV: String, aL: String, aP: String,
+      rV: String, relT: String, bV: String, bL: String, bP: String,
+      whereStr: Option[String], params: Map[String, String])
+      : Either[String, (EdgePat, Seq[Seq[Cond]])] = {
+    val allowed = Set("name", "content", "docnbr")
+    for {
+      _ <- if (Seq(aV, rV, bV).distinct.size != 3)
+        Left(s"edge-write variables must be distinct, got $aV, $rV, $bV")
+      else Right(())
+      aProps <- resolveProps(Option(aP).getOrElse(""), params)
+      bProps <- resolveProps(Option(bP).getOrElse(""), params)
+      _ <- (aProps.keys ++ bProps.keys).find(!allowed(_)).map(k =>
+        Left(s"unsupported match property: $k " +
+          s"(supported: ${allowed.toSeq.sorted.mkString(", ")})"))
+        .getOrElse(Right(()))
+      conds <- whereStr.map(_.trim).filter(_.nonEmpty) match {
+        case None => Right(Seq.empty[Seq[Cond]])
+        case Some(w) => parseQuantConds(rV, w,
+          "an edge-write WHERE").left.map(_ +
+          " — endpoint filters belong in the pattern's label/property " +
+          "maps")
+      }
+    } yield (EdgePat(aV, Option(aL), aProps, rV, relT, bV, Option(bL),
+      bProps), conds)
+  }
+
   /** Parse the relationship-side branch-aware MERGE
     * ([[MergeEdgesOnSet]]): the dual-MATCH sides get
     * [[parseMergeEdges]]'s validations, the ON block gets
@@ -2724,6 +2800,37 @@ object CypherLite {
     case DeleteRe(_, tag) => Right(DetachDelete(tag))
     case UnwindPrefixRe(listStr, x, rest) =>
       rewriteUnwind(listStr, x, rest).flatMap(parse(_, params))
+    // relationship write forms first: their hop bracket keeps them out
+    // of every hop-less statement regex
+    case SetRelRe(aV, aL, aP, rV, relT, bV, bL, bP, whereStr, setList) =>
+      parseEdgeWrite(aV, aL, aP, rV, relT, bV, bL, bP,
+        Option(whereStr), params).flatMap { case (pat, conds) =>
+        val assigns = OnSetAssignRe.findAllMatchIn(setList).toSeq
+        for {
+          _ <- assigns.find(_.group(1) != rV).map(a =>
+            Left(s"SET may only write the bound relationship '$rV', " +
+              s"got '${a.group(1)}'")).getOrElse(Right(()))
+          _ <- if (assigns.map(_.group(2)).distinct.size != assigns.size)
+            Left("duplicate property in SET") else Right(())
+          resolved <- assigns
+            .foldLeft[Either[String, Map[String, String]]](
+              Right(Map.empty)) { (acc, a) => acc.flatMap { m =>
+              (if (a.group(3) != null) Right(a.group(3))
+               else params.get(a.group(4))
+                 .toRight(s"missing parameter $$${a.group(4)} (have: " +
+                   s"${params.keys.toSeq.sorted.mkString(", ")})"))
+                .map(v => m + (a.group(2) -> v))
+            } }
+        } yield SetRelProps(pat, conds, resolved)
+      }
+    case DeleteRelRe(aV, aL, aP, rV, relT, bV, bL, bP, whereStr, delV) =>
+      parseEdgeWrite(aV, aL, aP, rV, relT, bV, bL, bP,
+        Option(whereStr), params).flatMap { case (pat, conds) =>
+        if (delV != rV)
+          Left(s"DELETE may only take the bound relationship '$rV', " +
+            s"got '$delV'")
+        else Right(DeleteRels(pat, conds))
+      }
     case SetRe(m, label, batch, propsStr, whereStr, setVar, setProp,
         litValue, paramValue) =>
       for {
@@ -4300,7 +4407,8 @@ object CypherLite {
       : Either[String, (GraphTables, DataFrame)] =
     parse(query, params).flatMap {
       case s @ (_: SetContent | _: CreateNode | _: MergeEdges |
-          _: MergeNodeOnSet | _: MergeEdgesOnSet) =>
+          _: MergeNodeOnSet | _: MergeEdgesOnSet | _: SetRelProps |
+          _: DeleteRels) =>
         execWrite(g, s)
       case DetachDelete(tag) =>
         val after = GraphOps.dropBatch(g, tag)
@@ -4613,8 +4721,51 @@ object CypherLite {
           .agg(count(lit(1)).as("n_edges"))
           .orderBy(("relType" +: setKeys.map(k => s"r_$k")).map(col): _*)
         Right((after, summary))
+      case SetRelProps(pat, conds, assigns) =>
+        val matched = matchedEdgeKeys(g, pat, conds)
+        val updates = matched.select(col("src"), col("dst"),
+          col("relType"), typedLit(assigns).as("new_props"))
+        val after = GraphOps.updateEdgeProps(g, updates)
+        val summary = matched
+          .groupBy("relType").agg(count(lit(1)).as("n_updated"))
+          .orderBy("relType")
+        Right((after, summary))
+      case DeleteRels(pat, conds) =>
+        val matched = matchedEdgeKeys(g, pat, conds)
+        val after = GraphTables(g.nodes,
+          g.edges.join(matched, Seq("src", "dst", "relType"), "left_anti")
+            .as(g.edges.encoder))
+        val summary = matched
+          .groupBy("relType").agg(count(lit(1)).as("n_deleted"))
+          .orderBy("relType")
+        Right((after, summary))
       case other => Left(s"not a write statement: $other")
     }
+
+  /** The (src, dst, relType) keys an [[EdgePat]] (+ per-edge DNF)
+    * matches: the edge scan filters on type + r.prop conds (sargable,
+    * scan-side), then two semi-joins restrict the endpoints to the
+    * label/property-matched node sets — never a collect.
+    */
+  private def matchedEdgeKeys(g: GraphTables, pat: EdgePat,
+      conds: Seq[Seq[Cond]]): DataFrame = {
+    def pred(label: Option[String], props: Map[String, String]): Column =
+      (label.map(col("label") === _).toSeq ++
+        props.map { case (k, v) => col(k) === v })
+        .reduceOption(_ && _).getOrElse(lit(true))
+    val dnf = conds
+      .map(_.map(c => condCol(c, element_at(col("props"), c.prop)))
+        .reduceOption(_ && _).getOrElse(lit(true)))
+      .reduceOption(_ || _).getOrElse(lit(true))
+    val aIds = g.nodes.filter(pred(pat.aLabel, pat.aProps))
+      .select(col("id").as("src"))
+    val bIds = g.nodes.filter(pred(pat.bLabel, pat.bProps))
+      .select(col("id").as("dst"))
+    g.edges.toDF().filter(col("relType") === pat.relType && dnf)
+      .select("src", "dst", "relType")
+      .join(aIds, Seq("src"), "left_semi")
+      .join(bIds, Seq("dst"), "left_semi")
+  }
 
   /** Execute a dual-MATCH query: filter each node pattern's set down to
     * exactly the columns the query touches, cross-join, and apply the
@@ -5220,7 +5371,8 @@ object CypherLite {
       // from a mutated graph that is immediately DISCARDED — a phantom
       // write. Reject with a pointer instead of pretending.
       case _: SetContent | _: CreateNode | _: MergeEdges |
-          _: MergeNodeOnSet | _: MergeEdgesOnSet =>
+          _: MergeNodeOnSet | _: MergeEdgesOnSet | _: SetRelProps |
+          _: DeleteRels =>
         Left("SET/CREATE/MERGE are write statements — use runWrite(), " +
           "returns the mutated graph alongside the summary (run() would " +
           "discard the mutation)")

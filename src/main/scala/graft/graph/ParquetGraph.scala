@@ -1494,6 +1494,57 @@ object ParquetGraph {
         .fold(err => throw new IllegalArgumentException(err), identity)
     },
 
+    // C10 write surface (new r13): the direct relationship-property
+    // update — `MATCH (a)-[r:ROAD]->(b) WHERE r.grade = 'even' SET
+    // r.toll = '1'` over the Cypher-written chain, read back through
+    // the rel-prop projection: even edges carry the new key, odd edges
+    // project null for it (never touched), every stored key survives.
+    QueryDef.sql(
+      "graphp_cypher_set_rel",
+      """WITH r AS (
+        |  SELECT r_name, r_regionkey,
+        |    row_number() OVER (ORDER BY r_name) AS rn
+        |  FROM region)
+        |SELECT c.r_name AS b_name,
+        |  CASE WHEN c.r_regionkey % 2 = 0 THEN 'even' ELSE 'odd' END
+        |    AS r_grade,
+        |  CASE WHEN c.r_regionkey % 2 = 0 THEN '1' END AS r_toll
+        |FROM r p JOIN r c ON c.rn = p.rn + 1
+        |ORDER BY b_name""".stripMargin) { (s, d) =>
+      val mutated = CypherLite.runWrite(roadPropsGraph(s, d),
+        "MATCH (a:Region)-[r:ROAD]->(b:Region) WHERE r.grade = 'even' " +
+          "SET r.toll = '1'", Map.empty)
+        .fold(err => throw new IllegalArgumentException(err), _._1)
+      CypherLite.run(mutated,
+        "MATCH (a:Region)-[r:ROAD]->(b:Region) " +
+          "RETURN b.name AS b_name, r.grade, r.toll ORDER BY b_name")
+        .fold(err => throw new IllegalArgumentException(err), identity)
+    },
+
+    // C10 write surface (new r13): relationship DELETE — `MATCH
+    // (a)-[r:ROAD]->(b) WHERE r.grade = 'odd' DELETE r` severs the odd
+    // chain links (nodes stay); the surviving edge list read back must
+    // be exactly the even links.
+    QueryDef.sql(
+      "graphp_cypher_delete_rel",
+      """WITH r AS (
+        |  SELECT r_name, r_regionkey,
+        |    row_number() OVER (ORDER BY r_name) AS rn
+        |  FROM region)
+        |SELECT p.r_name AS a_name, c.r_name AS b_name
+        |FROM r p JOIN r c ON c.rn = p.rn + 1
+        |WHERE c.r_regionkey % 2 = 0
+        |ORDER BY a_name""".stripMargin) { (s, d) =>
+      val mutated = CypherLite.runWrite(roadPropsGraph(s, d),
+        "MATCH (a:Region)-[r:ROAD]->(b:Region) WHERE r.grade = 'odd' " +
+          "DELETE r", Map.empty)
+        .fold(err => throw new IllegalArgumentException(err), _._1)
+      CypherLite.run(mutated,
+        "MATCH (a:Region)-[r:ROAD]->(b:Region) " +
+          "RETURN a.name AS a_name, b.name AS b_name ORDER BY a_name")
+        .fold(err => throw new IllegalArgumentException(err), identity)
+    },
+
     // C10 read surface (new r13): the quantifier composed with
     // shortestPath — `shortestPath((a)-[:ROAD*]->(b)) WHERE ALL(x IN
     // relationships(p) WHERE x.weight < 3)` is the shortest path IN THE
