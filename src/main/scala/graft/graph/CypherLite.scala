@@ -678,6 +678,15 @@ object CypherLite {
   final case class SetRelProps(pat: EdgePat, conds: Seq[Seq[Cond]],
       assigns: Map[String, String]) extends Statement
 
+  /** `MATCH (a…)-[r:T]->(b…) [WHERE <r.prop conds>] REMOVE r.p[, …]` —
+    * relationship-property removal (Cypher's REMOVE on the schemaless
+    * props map): the named keys are map_filter-ed out of every matched
+    * edge's props in one join-update; absent keys are a no-op (Neo4j's
+    * rule).
+    */
+  final case class RemoveRelProps(pat: EdgePat, conds: Seq[Seq[Cond]],
+      props: Seq[String]) extends Statement
+
   /** `MATCH (a…)-[r:T]->(b…) [WHERE <r.prop conds>] DELETE r` —
     * relationship deletion (Cypher's DELETE on a bound edge variable;
     * nodes stay — unlike DETACH DELETE). One anti-join on the edge
@@ -949,6 +958,15 @@ object CypherLite {
       """\(\s*(\w+)\s*(?::\s*(\w+))?\s*(?:\{\s*([^}]*)\s*\})?\s*\)\s*""" +
       """(?:WHERE\s+(.+?)\s*)?""" +
       """DELETE\s+(\w+)\s*;?\s*""").r
+
+  // MATCH (a…)-[r:T]->(b…) [WHERE …] REMOVE r.p[, r.p2 …]
+  private val RemoveRelRe =
+    ("""(?is)\s*MATCH\s*\(\s*(\w+)\s*(?::\s*(\w+))?\s*(?:\{\s*([^}]*)\s*\})?\s*\)\s*""" +
+      """-\s*\[\s*(\w+)\s*:\s*(\w+)\s*\]\s*-\s*>\s*""" +
+      """\(\s*(\w+)\s*(?::\s*(\w+))?\s*(?:\{\s*([^}]*)\s*\})?\s*\)\s*""" +
+      """(?:WHERE\s+(.+?)\s*)?""" +
+      """REMOVE\s+((?:\w+\s*\.\s*\w+\s*,?\s*)+);?\s*""").r
+  private val RemoveItemRe = """(\w+)\s*\.\s*(\w+)""".r
 
   // CREATE (n:Label {prop: '…', …}) — the literal node-creation form; a
   // property map is REQUIRED (a node without a name has no identity in
@@ -2802,6 +2820,20 @@ object CypherLite {
       rewriteUnwind(listStr, x, rest).flatMap(parse(_, params))
     // relationship write forms first: their hop bracket keeps them out
     // of every hop-less statement regex
+    case RemoveRelRe(aV, aL, aP, rV, relT, bV, bL, bP, whereStr,
+        remList) =>
+      parseEdgeWrite(aV, aL, aP, rV, relT, bV, bL, bP,
+        Option(whereStr), params).flatMap { case (pat, conds) =>
+        val items = RemoveItemRe.findAllMatchIn(remList).toSeq
+        for {
+          _ <- items.find(_.group(1) != rV).map(i =>
+            Left(s"REMOVE may only take the bound relationship '$rV', " +
+              s"got '${i.group(1)}'")).getOrElse(Right(()))
+          ps = items.map(_.group(2))
+          _ <- if (ps.distinct.size != ps.size)
+            Left("duplicate property in REMOVE") else Right(())
+        } yield RemoveRelProps(pat, conds, ps)
+      }
     case SetRelRe(aV, aL, aP, rV, relT, bV, bL, bP, whereStr, setList) =>
       parseEdgeWrite(aV, aL, aP, rV, relT, bV, bL, bP,
         Option(whereStr), params).flatMap { case (pat, conds) =>
@@ -4408,7 +4440,7 @@ object CypherLite {
     parse(query, params).flatMap {
       case s @ (_: SetContent | _: CreateNode | _: MergeEdges |
           _: MergeNodeOnSet | _: MergeEdgesOnSet | _: SetRelProps |
-          _: DeleteRels) =>
+          _: DeleteRels | _: RemoveRelProps) =>
         execWrite(g, s)
       case DetachDelete(tag) =>
         val after = GraphOps.dropBatch(g, tag)
@@ -4726,6 +4758,23 @@ object CypherLite {
         val updates = matched.select(col("src"), col("dst"),
           col("relType"), typedLit(assigns).as("new_props"))
         val after = GraphOps.updateEdgeProps(g, updates)
+        val summary = matched
+          .groupBy("relType").agg(count(lit(1)).as("n_updated"))
+          .orderBy("relType")
+        Right((after, summary))
+      case RemoveRelProps(pat, conds, ps) =>
+        val matched = matchedEdgeKeys(g, pat, conds)
+          .withColumn("removed", lit(true))
+        val key = Seq("src", "dst", "relType")
+        val edges = g.edges.join(matched, key, "left_outer")
+          .withColumn("props",
+            when(col("removed").isNotNull,
+              map_filter(col("props"),
+                (k, _) => !k.isin(ps.map(x => x: Any): _*)))
+              .otherwise(col("props")))
+          .drop("removed")
+          .as(g.edges.encoder)
+        val after = GraphTables(g.nodes, edges)
         val summary = matched
           .groupBy("relType").agg(count(lit(1)).as("n_updated"))
           .orderBy("relType")
@@ -5372,7 +5421,7 @@ object CypherLite {
       // write. Reject with a pointer instead of pretending.
       case _: SetContent | _: CreateNode | _: MergeEdges |
           _: MergeNodeOnSet | _: MergeEdgesOnSet | _: SetRelProps |
-          _: DeleteRels =>
+          _: DeleteRels | _: RemoveRelProps =>
         Left("SET/CREATE/MERGE are write statements — use runWrite(), " +
           "returns the mutated graph alongside the summary (run() would " +
           "discard the mutation)")

@@ -1521,6 +1521,32 @@ object ParquetGraph {
         .fold(err => throw new IllegalArgumentException(err), identity)
     },
 
+    // C10 write surface (new r13): relationship-property REMOVE —
+    // `MATCH (a)-[r:ROAD]->(b) WHERE r.grade = 'even' REMOVE r.weight`
+    // drops the key from exactly the matched edges (odd edges keep
+    // their weights; Cypher's absent-key no-op rule holds by
+    // construction of map_filter).
+    QueryDef.sql(
+      "graphp_cypher_remove_rel",
+      """WITH r AS (
+        |  SELECT r_name, r_regionkey,
+        |    row_number() OVER (ORDER BY r_name) AS rn
+        |  FROM region)
+        |SELECT c.r_name AS b_name,
+        |  CASE WHEN c.r_regionkey % 2 = 0 THEN NULL
+        |    ELSE CAST(c.r_regionkey % 3 + 1 AS VARCHAR) END AS r_weight
+        |FROM r p JOIN r c ON c.rn = p.rn + 1
+        |ORDER BY b_name""".stripMargin) { (s, d) =>
+      val mutated = CypherLite.runWrite(roadPropsGraph(s, d),
+        "MATCH (a:Region)-[r:ROAD]->(b:Region) WHERE r.grade = 'even' " +
+          "REMOVE r.weight", Map.empty)
+        .fold(err => throw new IllegalArgumentException(err), _._1)
+      CypherLite.run(mutated,
+        "MATCH (a:Region)-[r:ROAD]->(b:Region) " +
+          "RETURN b.name AS b_name, r.weight ORDER BY b_name")
+        .fold(err => throw new IllegalArgumentException(err), identity)
+    },
+
     // C10 write surface (new r13): relationship DELETE — `MATCH
     // (a)-[r:ROAD]->(b) WHERE r.grade = 'odd' DELETE r` severs the odd
     // chain links (nodes stay); the surviving edge list read back must

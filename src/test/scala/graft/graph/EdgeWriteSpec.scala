@@ -86,6 +86,26 @@ class EdgeWriteSpec extends SparkSpec {
       Seq(("ROAD", 2L)))
   }
 
+  test("REMOVE r.prop drops exactly the named keys from matched edges; " +
+      "absent keys are a no-op") {
+    val after = write(freshGraph,
+      "MATCH (a:City)-[r:ROAD]->(b) WHERE r.weight > 5 " +
+        "REMOVE r.grade, r.nosuch")
+    val p = props(after)
+    assert(p((1L, 2L, "ROAD")) == Map("weight" -> "7"))
+    // unmatched edges keep everything
+    assert(p((1L, 3L, "ROAD")) == Map("weight" -> "2"))
+    assert(p((2L, 3L, "TOLL")) == Map("grade" -> "a"))
+    // rejections: wrong var, duplicates
+    def leftMsg(q: String): String =
+      CypherLite.runWrite(freshGraph, q, Map.empty)
+        .swap.getOrElse(fail(s"$q unexpectedly parsed"))
+    assert(leftMsg("MATCH (a:City)-[r:ROAD]->(b) REMOVE x.grade")
+      .contains("may only take the bound relationship"))
+    assert(leftMsg("MATCH (a:City)-[r:ROAD]->(b) REMOVE r.g, r.g")
+      .contains("duplicate property"))
+  }
+
   test("fuzz: malformed edge-write shapes reject by name") {
     def leftMsg(q: String): String =
       CypherLite.runWrite(freshGraph, q, Map.empty)
