@@ -783,6 +783,71 @@ class ScaleCurveSpec extends SparkSpec {
         f"$tAfter%.2fs vs $tSnap%.2fs")
   }
 
+  test("path-quantified expansion scales linearly on a 10x disjoint-" +
+      "chain bank: output rows exactly 10x, shuffle bytes bounded") {
+    // the round-13 kernel's scale evidence, contention-immune from the
+    // start: disjoint weighted 6-chains (every path stays inside its
+    // chain, so the TRUE path bag grows exactly with the bank) — output
+    // cardinality is asserted exactly and the work signal is shuffle
+    // bytes, never wall-clock. The per-step frontier join's input grows
+    // with the bank; a super-linear term (e.g. a cross-chain product)
+    // would multiply both the row count and the bytes.
+    import spark.implicits._
+    import graft.graph.CypherLite
+    def chainBank(copies: Int): GraphTables = {
+      val nodes = spark.range(copies).crossJoin(
+          spark.range(6).select(col("id").as("i")))
+        .select((col("id") * 10 + col("i")).as("id"),
+          when(col("i") === 0, lit("Root")).otherwise(lit("N"))
+            .as("label"),
+          (col("id") * 10 + col("i")).cast("string").as("name"),
+          lit("").as("content"), lit("").as("docnbr"),
+          lit("b0").as("batch"), typedLit(Seq.empty[Int]).as("path"))
+        .as[NodeRow]
+      val edges = spark.range(copies).crossJoin(
+          spark.range(5).select(col("id").as("i")))
+        .select((col("id") * 10 + col("i")).as("src"),
+          (col("id") * 10 + col("i") + 1).as("dst"),
+          lit("E").as("relType"), lit("").as("docnbr"),
+          lit("b0").as("batch"),
+          typedLit(Map("w" -> "2")).as("props")).as[EdgeRow]
+      GraphTables(nodes, edges)
+    }
+    val q = "MATCH p = (a:Root)-[r:E*1..4]->(b:N) " +
+      "WHERE ALL(x IN relationships(p) WHERE x.w > 1) " +
+      "RETURN b.name, reduce(s = 0, x IN relationships(p) | s + x.w) " +
+      "AS total"
+    def run(g: GraphTables): Long =
+      CypherLite.run(g, q).fold(e => fail(e), identity).count()
+    // 20k vs 200k chains: both points are PAST the broadcast-join
+    // regime (a 2k-chain bank shuffles ~nothing — AQE broadcasts every
+    // frontier join — which would make a byte ratio meaningless)
+    val g10 = chainBank(20000)
+    val g100 = chainBank(200000)
+    run(g10) // warm-up
+    import org.apache.spark.graft.TestMetrics
+    var n10 = 0L; var n100 = 0L
+    val (read10, write10) = TestMetrics.shuffleBytes(spark.sparkContext) {
+      n10 = run(g10)
+    }
+    val (read100, write100) =
+      TestMetrics.shuffleBytes(spark.sparkContext) {
+        n100 = run(g100)
+      }
+    info(f"pathQuant(chain bank 10x→100x): rows $n10%,d→$n100%,d; " +
+      f"shuffle read $read10%,d→$read100%,d B " +
+      f"(${ratioOf(read100, read10)}%.1fx) write " +
+      f"$write10%,d→$write100%,d B (${ratioOf(write100, write10)}%.1fx)")
+    // 4 paths per chain (len 1..4 from the root), all passing w>1
+    assert(n10 == 4L * 20000 && n100 == 10L * n10,
+      s"path bag must grow exactly with the bank: $n10 → $n100")
+    assert(ratioOf(read100, read10) <= MaxRatio100Graph &&
+      ratioOf(write100, write10) <= MaxRatio100Graph,
+      f"quantified expansion shuffled super-linearly: read " +
+        f"${ratioOf(read100, read10)}%.1fx write " +
+        f"${ratioOf(write100, write10)}%.1fx at a 10x bank")
+  }
+
   test("10x replica preserves per-copy output: minhash pairs are exactly " +
       "10x the 1x pairs, none crossing copies") {
     // the fairness precondition of the curve: if token-salting leaked
