@@ -736,10 +736,25 @@ object CypherLite {
     * type-error; a null-poisoning sum would be ungradable).
     */
   final case class PQReduce(prop: String, alias: String) extends PathQItem
+  /** `nodes(p)` — the node list along the path, serialized in PATH ORDER
+    * as the comma-joined `name` of each node (start through end) →
+    * fixed column `path_nodes`. Neo4j returns node entities; `name` is
+    * the one property every node of the model carries, and the
+    * comma-joined string is the same list contract `collect()` uses —
+    * except ordered by path position, which IS the semantics here.
+    */
+  case object PQNodes extends PathQItem
+  /** `relationships(p)` — the relationship-TYPE list along the path,
+    * comma-joined in path order → fixed column `path_rels` (meaningful
+    * under multi-type alternation `:A|B`; a single-type pattern answers
+    * the type repeated length(p) times).
+    */
+  case object PQRels extends PathQItem
 
   /** `MATCH p = (a…)-[r:T*lo..hi]->(b…)
     * [WHERE ALL|ANY|NONE|SINGLE(x IN relationships(p) WHERE <x.prop
-    * conds>)] RETURN <a.prop|b.prop|length(p)|reduce(…)> …` —
+    * conds>)] RETURN <a.prop|b.prop|length(p)|nodes(p)|
+    * relationships(p)|reduce(…)> …` —
     * relationship predicates on VARIABLE-LENGTH patterns (round-13
     * directive 4), the form Neo4j users filter weighted paths with.
     * Path semantics are Neo4j's: one row PER PATH (bag — two distinct
@@ -1084,6 +1099,12 @@ object CypherLite {
 
   // `length(p)` — the path-length RETURN item
   private val LengthRe = """(?is)\s*length\s*\(\s*(\w+)\s*\)\s*""".r
+  // nodes(p) / relationships(p) as RETURN items of a path-quantified
+  // query — the path-content accessors (Neo4j returns entity lists; the
+  // tabular contract serializes them in PATH ORDER, see PQNodes/PQRels)
+  private val NodesFnRe = """(?is)\s*nodes\s*\(\s*(\w+)\s*\)\s*""".r
+  private val RelsFnRe =
+    """(?is)\s*relationships\s*\(\s*(\w+)\s*\)\s*""".r
 
   // MATCH p = (a…)-[r:T*lo..hi]->(b…) [WHERE ALL(x IN relationships(p)
   // WHERE …)] RETURN … — the path-quantified ranged pattern
@@ -1872,6 +1893,18 @@ object CypherLite {
       batch: Option[String], propsStr: String, onBlock: String,
       params: Map[String, String]): Either[String, Statement] = {
     val clauses = OnSetClauseRe.findAllMatchIn(onBlock).toSeq
+    // the statement regex shares its ON-block shape with the edge form,
+    // which takes comma-separated assignment LISTS; the node side has a
+    // single writable property (content), so a list here could only
+    // duplicate it or write an identity field — reject by name rather
+    // than silently keeping the first assignment (OnSetClauseRe captures
+    // one assignment per clause).
+    val multi = OnSetMultiClauseRe.findAllMatchIn(onBlock)
+      .find(m => OnSetAssignRe.findAllMatchIn(m.group(2)).size > 1)
+    if (multi.isDefined)
+      return Left("node-side ON CREATE/ON MATCH SET takes exactly one " +
+        "assignment (only content is writable); comma-separated " +
+        "assignment lists are relationship-side only")
     def clauseValue(m: scala.util.matching.Regex.Match)
         : Either[String, String] =
       if (m.group(4) != null) Right(m.group(4))
@@ -2042,6 +2075,20 @@ object CypherLite {
             else Right(PQLen)
           case LengthRe(v) => Left("length() may only take the path " +
             s"variable '$pathVar', got '$v'")
+          case NodesFnRe(v) if v == pathVar =>
+            if (alias.isDefined)
+              Left("nodes(p) projects as the fixed column path_nodes — " +
+                "drop the alias")
+            else Right(PQNodes)
+          case NodesFnRe(v) => Left("nodes() may only take the path " +
+            s"variable '$pathVar', got '$v'")
+          case RelsFnRe(v) if v == pathVar =>
+            if (alias.isDefined)
+              Left("relationships(p) projects as the fixed column " +
+                "path_rels — drop the alias")
+            else Right(PQRels)
+          case RelsFnRe(v) => Left("relationships() may only take the " +
+            s"path variable '$pathVar', got '$v'")
           case VarPropRe(v, p) if v == aVar || v == bVar =>
             if (alias.isDefined)
               Left(s"endpoint properties project as <var>_<prop> — " +
@@ -2049,7 +2096,8 @@ object CypherLite {
             else Right(PQProp(v, p))
           case other => Left("a path-quantified RETURN projects " +
             s"endpoint properties ($aVar.<prop>, $bVar.<prop>), " +
-            s"length($pathVar), or one reduce(…) sum, got " +
+            s"length($pathVar), nodes($pathVar), " +
+            s"relationships($pathVar), or one reduce(…) sum, got " +
             s"'${other.trim.take(40)}'")
         }
         val parsed = splitTopLevel(retStr).map {
@@ -2066,6 +2114,8 @@ object CypherLite {
       outName = (i: PathQItem) => i match {
         case PQProp(v, p) => s"${v}_$p"
         case PQLen => "path_len"
+        case PQNodes => "path_nodes"
+        case PQRels => "path_rels"
         case PQReduce(_, a) => a
       }
       _ <- {
@@ -2079,6 +2129,8 @@ object CypherLite {
         case Some(o) =>
           val key = o.trim match {
             case LengthRe(v) if v == pathVar => Some("path_len")
+            case NodesFnRe(v) if v == pathVar => Some("path_nodes")
+            case RelsFnRe(v) if v == pathVar => Some("path_rels")
             case VarPropRe(v, p) => Some(s"${v}_$p")
             case bare => Some(bare.trim)
           }
@@ -4963,7 +5015,12 @@ object CypherLite {
     // columns — true-count and null-count — tested at output
     // (PathQuantReturn doc: exact Kleene semantics)
     val isAll = pq.quant == "ALL" || pq.quant.isEmpty
-    val edges = g.edges.toDF()
+    // nodes(p)/relationships(p) projections accumulate per-path arrays;
+    // columns exist only when requested, so plans without them are
+    // byte-identical to before
+    val needNodes = pq.items.contains(PQNodes)
+    val needRels = pq.items.contains(PQRels)
+    val edgesBase = g.edges.toDF()
       .filter(if (isAll) relColOf(pq.relType) && edgeDnf
         else relColOf(pq.relType))
       .select(col("src"), col("dst"),
@@ -4973,6 +5030,15 @@ object CypherLite {
          else when(edgeDnf, lit(1)).otherwise(lit(0))).as("hit"),
         (if (isAll) lit(0)
          else when(edgeDnf.isNull, lit(1)).otherwise(lit(0))).as("unk"))
+    val edges = (if (needNodes)
+      // nodes(p) needs each walked edge's DESTINATION name — one
+      // edges⋈nodes hash join at prep (node ids are unique), paid once
+      // before the checkpoint, never per step
+      edgesBase.join(g.nodes.toDF()
+          .select(col("id").as("dst"), col("name").as("dst_name")), "dst")
+        .select(col("src"), col("dst"), col("eid"), col("w"),
+          col("hit"), col("unk"), col("dst_name"))
+    else edgesBase)
       .localCheckpoint(false) // consumed once per step, hi times
     def wanted(v: String): Seq[String] =
       pq.items.collect { case PQProp(`v`, p) => p }.distinct
@@ -4980,7 +5046,9 @@ object CypherLite {
     val bCols = wanted(pq.bVar)
     val aSide = g.nodes.toDF().filter(pred(pq.aLabel, pq.aProps))
       .select(col("id").as("cur") +:
-        aCols.map(p => col(p).as(s"${pq.aVar}_$p")): _*)
+        (aCols.map(p => col(p).as(s"${pq.aVar}_$p")) ++
+          (if (needNodes) Seq(col("name").as("__start_name"))
+           else Seq.empty)): _*)
     var frontier = aSide
       .withColumn("path_len", lit(0))
       .withColumn("total", lit(0.0))
@@ -4988,6 +5056,10 @@ object CypherLite {
       .withColumn("unks", lit(0))
       .withColumn("visited", array().cast(
         "array<struct<src:bigint,dst:bigint,relType:string>>"))
+    if (needNodes) frontier = frontier
+      .withColumn("nds", array(col("__start_name"))).drop("__start_name")
+    if (needRels) frontier = frontier
+      .withColumn("rels", array().cast("array<string>"))
     var out: Option[DataFrame] = None
     for (step <- 1 to pq.hi) {
       frontier = frontier.join(edges, frontier("cur") === edges("src"))
@@ -4998,7 +5070,14 @@ object CypherLite {
           (col("total") + col("w")).as("total"),
           (col("hits") + col("hit")).as("hits"),
           (col("unks") + col("unk")).as("unks"),
-          array_append(col("visited"), col("eid")).as("visited"))): _*)
+          array_append(col("visited"), col("eid")).as("visited")) ++
+          (if (needNodes)
+            Seq(array_append(col("nds"), col("dst_name")).as("nds"))
+           else Seq.empty) ++
+          (if (needRels)
+            Seq(array_append(col("rels"),
+              col("eid").getField("relType")).as("rels"))
+           else Seq.empty)): _*)
         .localCheckpoint(false)
       if (step >= pq.lo)
         out = Some(out.fold(frontier)(_ unionByName frontier))
@@ -5020,12 +5099,21 @@ object CypherLite {
     def outName(i: PathQItem): String = i match {
       case PQProp(v, p) => s"${v}_$p"
       case PQLen => "path_len"
+      case PQNodes => "path_nodes"
+      case PQRels => "path_rels"
       case PQReduce(_, a) => a
     }
     val outCols = pq.items.map(outName)
-    val named = pq.items.collectFirst {
+    val named0 = pq.items.collectFirst {
       case PQReduce(_, a) if a != "total" => a
     }.fold(rows)(a => rows.withColumnRenamed("total", a))
+    // the path-order list serialization (PQNodes/PQRels doc contract)
+    val named1 = if (needNodes)
+      named0.withColumn("path_nodes", array_join(col("nds"), ","))
+    else named0
+    val named = if (needRels)
+      named1.withColumn("path_rels", array_join(col("rels"), ","))
+    else named1
     val projected = named.withColumn("path_len",
       col("path_len").cast("int")).select(outCols.map(col): _*)
     val ordered = pq.orderBy match {

@@ -1494,6 +1494,42 @@ object ParquetGraph {
         .fold(err => throw new IllegalArgumentException(err), identity)
     },
 
+    // C10 read surface (new r13): the path-content accessors — `RETURN
+    // nodes(p), relationships(p)` on a ranged MULTI-TYPE pattern over
+    // the region→nation→customer hierarchy. Each row serializes its
+    // path's node names and relationship types comma-joined IN PATH
+    // ORDER (the list contract `collect()` uses, but ordered by path
+    // position — which is the semantics). The alternation makes the rel
+    // list informative: depth-1 paths read HAS_NATION, depth-2 paths
+    // HAS_NATION,HAS_CUSTOMER. The oracle rebuilds every path string
+    // from the base tables, so an order-of-append bug, a wrong-name
+    // join, or a depth mixup all hash-miss.
+    QueryDef.sql(
+      "graphp_cypher_path_nodes",
+      """WITH d1 AS (
+        |  SELECT r.r_name || ',' || n.n_name AS path_nodes,
+        |    'HAS_NATION' AS path_rels, 1 AS path_len
+        |  FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+        |  WHERE r.r_name = 'ASIA'),
+        |d2 AS (
+        |  SELECT r.r_name || ',' || n.n_name || ',' ||
+        |      CAST(c.c_custkey AS VARCHAR) AS path_nodes,
+        |    'HAS_NATION,HAS_CUSTOMER' AS path_rels, 2 AS path_len
+        |  FROM region r
+        |  JOIN nation n ON n.n_regionkey = r.r_regionkey
+        |  JOIN customer c ON c.c_nationkey = n.n_nationkey
+        |  WHERE r.r_name = 'ASIA')
+        |SELECT path_nodes, path_rels, CAST(path_len AS INT) AS path_len
+        |FROM (SELECT * FROM d1 UNION ALL SELECT * FROM d2)
+        |ORDER BY path_nodes""".stripMargin) { (s, d) =>
+      CypherLite.run(hierarchy(s, d),
+        "MATCH p = (a:Region {name: 'ASIA'})" +
+          "-[:HAS_NATION|HAS_CUSTOMER*1..2]->(b) " +
+          "RETURN nodes(p), relationships(p), length(p) " +
+          "ORDER BY nodes(p)")
+        .fold(err => throw new IllegalArgumentException(err), identity)
+    },
+
     // C10 write surface (new r13): the direct relationship-property
     // update — `MATCH (a)-[r:ROAD]->(b) WHERE r.grade = 'even' SET
     // r.toll = '1'` over the Cypher-written chain, read back through

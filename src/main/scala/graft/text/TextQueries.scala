@@ -326,6 +326,35 @@ object TextQueries {
        |  FROM psl2)""".stripMargin
   }
 
+  /** PII patterns for the l58 redaction kernel. Deliberately
+    * conservative and RE2-compatible (no lookarounds, ASCII `\b` —
+    * identical semantics under Java regex and DuckDB's RE2, which is
+    * what lets the oracle grade the redaction byte-exact): an email
+    * shape, a US-style separator phone (`555-123-4567` / `555.123.4567`
+    * — bare 10-digit runs are NOT matched; too many false positives on
+    * real corpora), and a dotted-quad IPv4 whose `\b` anchors reject
+    * 4+-digit octets. Production swaps in a larger pattern bank the
+    * same way — the kernel is one scan of codegen'd regexp expressions
+    * per pattern, no UDF, no shuffle before the output sort.
+    */
+  private[text] val PiiEmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[text] val PiiPhoneRe = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+  private[text] val PiiIpRe =
+    "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** Redact all three PII classes, each to its typed placeholder.
+    * Replacement order is safe by pattern shape: placeholders carry no
+    * digits or `@`, phones have exactly two separators where IPv4 needs
+    * three dots, and octets are ≤3 digits where phones end in 4 — so no
+    * pass can create or destroy a later pass's match.
+    */
+  private[text] def redactPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, PiiEmailRe, "<EMAIL>"),
+        PiiPhoneRe, "<PHONE>"),
+      PiiIpRe, "<IP>")
+
   val defs: Seq[QueryDef] = Seq(
     // ------------------------------------------------------- L1 exact dedup
     QueryDef.sql(
@@ -1630,6 +1659,72 @@ object TextQueries {
           countDistinct(col("canon")).as("n_canonical"),
           countDistinct(col("host")).as("n_hosts"))
         .orderBy("domain")
+    },
+
+    // ----------------------------------------------- L58 PII redaction
+    // The compliance pass every training-data pipeline runs before
+    // release: find-and-redact emails / separator phones / IPv4s, with
+    // per-doc counts for the audit trail. The fixture INJECTS
+    // deterministic PII into the real document text (doc_id-keyed, so
+    // both engines build the identical augmented corpus — the same
+    // trick as l57's URL fixture), and the oracle grades the redacted
+    // output BYTE-EXACT via md5 — a pattern-semantics drift between
+    // the engines (greediness, `\b`, octet bounds), a wrong replacement
+    // order, or a replace-first-only bug all hash-miss. One scan, all
+    // codegen regexp expressions (PiiRedactSpec pins no UDF), no
+    // shuffle before the output sort.
+    QueryDef.sql(
+      "l58_pii_redact",
+      s"""WITH aug AS (
+         |  SELECT doc_id,
+         |    text ||
+         |    (CASE WHEN doc_id % 3 = 0 THEN ' Contact user' ||
+         |      CAST(doc_id AS VARCHAR) || '@mail.example.com now.'
+         |      ELSE '' END) ||
+         |    (CASE WHEN doc_id % 5 = 0
+         |      THEN ' Call 555-123-4567 or 555.987.6543.' ELSE '' END) ||
+         |    (CASE WHEN doc_id % 7 = 0 THEN ' Host 10.0.' ||
+         |      CAST(doc_id % 256 AS VARCHAR) || '.' ||
+         |      CAST((doc_id * 7) % 256 AS VARCHAR) || ' up.'
+         |      ELSE '' END) AS t
+         |  FROM documents),
+         |red AS (
+         |  SELECT doc_id,
+         |    CAST(len(regexp_extract_all(t, '$PiiEmailRe')) AS INT)
+         |      AS n_emails,
+         |    CAST(len(regexp_extract_all(t, '$PiiPhoneRe')) AS INT)
+         |      AS n_phones,
+         |    CAST(len(regexp_extract_all(t, '$PiiIpRe')) AS INT) AS n_ips,
+         |    regexp_replace(regexp_replace(regexp_replace(t,
+         |      '$PiiEmailRe', '<EMAIL>', 'g'),
+         |      '$PiiPhoneRe', '<PHONE>', 'g'),
+         |      '$PiiIpRe', '<IP>', 'g') AS r
+         |  FROM aug)
+         |SELECT doc_id, n_emails, n_phones, n_ips,
+         |  md5(r) AS red_md5, CAST(length(r) AS INT) AS red_len
+         |FROM red ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val t = concat(col("text"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" Contact user"), col("doc_id").cast("string"),
+            lit("@mail.example.com now."))).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          lit(" Call 555-123-4567 or 555.987.6543.")).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" Host 10.0."), (col("doc_id") % 256).cast("string"),
+            lit("."), ((col("doc_id") * 7) % 256).cast("string"),
+            lit(" up."))).otherwise(lit("")))
+      Tables.documents(s, d)
+        .select(col("doc_id"), t.as("t"))
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("t"), lit(PiiEmailRe), lit(0)))
+            .as("n_emails"),
+          size(regexp_extract_all(col("t"), lit(PiiPhoneRe), lit(0)))
+            .as("n_phones"),
+          size(regexp_extract_all(col("t"), lit(PiiIpRe), lit(0)))
+            .as("n_ips"),
+          md5(redactPii(col("t"))).as("red_md5"),
+          length(redactPii(col("t"))).as("red_len"))
+        .orderBy("doc_id")
     },
 
     // ------------------------------------------- L31 ANN recall@k vs exact

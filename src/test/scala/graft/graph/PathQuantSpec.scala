@@ -248,4 +248,47 @@ class PathQuantSpec extends SparkSpec {
       "LIMIT 2")
     assert(r.map(_.getAs[Double]("cost")).toSeq == Seq(10.0, 7.0))
   }
+
+  test("nodes(p) / relationships(p) serialize the path contents IN " +
+      "PATH ORDER; they compose with quantifiers and each other") {
+    // the three 1→…→4 paths, each with a distinct node trail
+    val r = rows("MATCH p = (a:N {name: 'n1'})-[:ROAD*1..2]->(b:N " +
+      "{name: 'n4'}) RETURN nodes(p), length(p) ORDER BY nodes(p)")
+    assert(r.map(x => (x.getAs[String]("path_nodes"),
+      x.getAs[Int]("path_len"))).toSeq ==
+      Seq(("n1,n2,n4", 2), ("n1,n3,n4", 2), ("n1,n4", 1)))
+    // relationships(p) over a MIXED-type chain answers the types in
+    // path order (the single-type form would repeat one type)
+    import spark.implicits._
+    val g3 = GraphTables(
+      (1L to 3L).map(node(_)).toDS(),
+      Seq(
+        EdgeRow(1L, 2L, "RAIL", "", "b1", Map("weight" -> "1")),
+        EdgeRow(2L, 3L, "ROAD", "", "b1", Map("weight" -> "2"))).toDS())
+    val mixed = CypherLite.run(g3, "MATCH p = (a:N {name: 'n1'})" +
+      "-[:RAIL|ROAD*1..2]->(b:N) RETURN nodes(p), relationships(p) " +
+      "ORDER BY nodes(p)").fold(e => fail(e), identity).collect()
+    assert(mixed.map(x => (x.getAs[String]("path_nodes"),
+      x.getAs[String]("path_rels"))).toSeq ==
+      Seq(("n1,n2", "RAIL"), ("n1,n2,n3", "RAIL,ROAD")))
+    // quantifier composition: the accessor projects the SURVIVING bag
+    val q = rows("MATCH p = (a:N {name: 'n1'})-[:ROAD*1..2]->(b:N " +
+      "{name: 'n4'}) WHERE ALL(x IN relationships(p) WHERE " +
+      "x.weight < 5) RETURN nodes(p), relationships(p)")
+    assert(q.map(x => (x.getAs[String]("path_nodes"),
+      x.getAs[String]("path_rels"))).toSeq ==
+      Seq(("n1,n2,n4", "ROAD,ROAD")))
+    // rejections: foreign variables and aliases, by name
+    def leftMsg(qs: String): String =
+      CypherLite.run(g, qs).swap.getOrElse(fail(s"$qs unexpectedly " +
+        "parsed"))
+    assert(leftMsg("MATCH p = (a:N)-[:ROAD*1..2]->(b:N) RETURN " +
+      "nodes(q)").contains("path variable"))
+    assert(leftMsg("MATCH p = (a:N)-[:ROAD*1..2]->(b:N) RETURN " +
+      "relationships(q)").contains("path variable"))
+    assert(leftMsg("MATCH p = (a:N)-[:ROAD*1..2]->(b:N) RETURN " +
+      "nodes(p) AS trail").contains("path_nodes"))
+    assert(leftMsg("MATCH p = (a:N)-[:ROAD*1..2]->(b:N) RETURN " +
+      "relationships(p) AS kinds").contains("path_rels"))
+  }
 }
