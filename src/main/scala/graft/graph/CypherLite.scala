@@ -450,6 +450,18 @@ object CypherLite {
   // variable-length binding). Acts as a grouping key under aggregates
   // (the `RETURN type(r), count(*)` schema-census staple).
   case object RetRelType extends RetItem
+  // keys(r) / properties(r) — the edge's property-map inspection
+  // accessors (the "what's on this relationship" staple). Neo4j returns
+  // a list / a map; the tabular contract serializes both
+  // DETERMINISTICALLY, sorted by key: keys(r) → the comma-joined key
+  // list (collect()'s contract) under `r_keys`; properties(r) →
+  // `{k1: v1, k2: v2}` under `r_properties`. An unbound r (unmatched
+  // OPTIONAL binding) projects null for both, Cypher's rule; an EMPTY
+  // map answers ''/'{}'. Same substrate rules as every r-form: bound
+  // single-hop relationship variable required, a grouping key under
+  // aggregates. Node-side keys(n)/properties(n) are rejected by name —
+  // node properties are FIXED columns here (project them directly).
+  final case class RetRelAccessor(fn: String) extends RetItem
 
   /** `WITH <keys>, agg AS <alias>[, agg AS <alias> …] [WHERE <alias>
     * <op> <num>]` — the aggregate-then-filter (HAVING) pipeline stage.
@@ -676,7 +688,12 @@ object CypherLite {
     * edge scan.
     */
   final case class SetRelProps(pat: EdgePat, conds: Seq[Seq[Cond]],
-      assigns: Map[String, String]) extends Statement
+      assigns: Map[String, String],
+      // the map-form spellings: `SET r += {…}` parses to the same
+      // merge-update as the assignment list; `SET r = {…}` sets
+      // replace=true and OVERWRITES the whole props map (unnamed stored
+      // keys drop — Neo4j's replace semantics)
+      replace: Boolean = false) extends Statement
 
   /** `MATCH (a…)-[r:T]->(b…) [WHERE <r.prop conds>] REMOVE r.p[, …]` —
     * relationship-property removal (Cypher's REMOVE on the schemaless
@@ -721,7 +738,19 @@ object CypherLite {
       // drops the edge under both quantifiers — TRUE-only filter
       // semantics, Kleene-exact since NONE(c) ≡ ALL(c IS FALSE))
       allConds: Seq[Seq[Cond]] = Seq.empty,
-      quantNone: Boolean = false) extends Statement
+      quantNone: Boolean = false,
+      // PATH RECONSTRUCTION (r13): `RETURN nodes(p)/relationships(p)`
+      // items ((pathVar, "nodes"/"relationships") in `items`) switch the
+      // executor from the depth kernels to a bounded enumeration (the
+      // parse requires `*1..K`, K ≤ 8). Determinism contract: among
+      // equal-length shortest paths, shortestPath answers the
+      // lexicographically SMALLEST (path_nodes, path_rels)
+      // serialization (Neo4j returns an arbitrary one — an arbitrary
+      // answer is ungradable); allShortestPaths (allPaths=true) answers
+      // ALL min-length paths, one row each, which restores its true
+      // bag semantics (without accessors the endpoint+length projection
+      // collapses them, so the flag changes nothing there).
+      allPaths: Boolean = false) extends Statement
 
   /** One RETURN item of a path-quantified query ([[PathQuantReturn]]). */
   sealed trait PathQItem
@@ -966,6 +995,22 @@ object CypherLite {
       """(?:WHERE\s+(.+?)\s*)?""" +
       """SET\s+((?:\w+\s*\.\s*\w+\s*=\s*(?:'[^']*'|\$\w+)\s*,?\s*)+);?\s*""").r
 
+  // MATCH (a…)-[r:T]->(b…) [WHERE …] SET r (+=|=) { … } — the map-form
+  // relationship update: `+=` merges the map into the stored props
+  // (Neo4j's selective update — written keys overwrite, others keep),
+  // bare `=` REPLACES the whole props map (unnamed stored keys drop).
+  // The brace span is re-scanned by OnSetAssignMapRe with the same
+  // entry-count completeness check as parseRelProps (an unsupported
+  // value form is a named error, never a silently-dropped entry).
+  private val SetRelMapRe =
+    ("""(?is)\s*MATCH\s*\(\s*(\w+)\s*(?::\s*(\w+))?\s*(?:\{\s*([^}]*)\s*\})?\s*\)\s*""" +
+      """-\s*\[\s*(\w+)\s*:\s*(\w+)\s*\]\s*-\s*>\s*""" +
+      """\(\s*(\w+)\s*(?::\s*(\w+))?\s*(?:\{\s*([^}]*)\s*\})?\s*\)\s*""" +
+      """(?:WHERE\s+(.+?)\s*)?""" +
+      """SET\s+(\w+)\s*(\+?=)\s*\{\s*([^}]*)\s*\};?\s*""").r
+  private val OnSetAssignMapRe =
+    """(\w+)\s*:\s*(?:'([^']*)'|\$(\w+))""".r
+
   // MATCH (a…)-[r:T]->(b…) [WHERE …] DELETE r — relationship deletion
   private val DeleteRelRe =
     ("""(?is)\s*MATCH\s*\(\s*(\w+)\s*(?::\s*(\w+))?\s*(?:\{\s*([^}]*)\s*\})?\s*\)\s*""" +
@@ -1088,7 +1133,7 @@ object CypherLite {
   // query form. The rel fragment distinguishes no-star (single hop) from
   // bare `*` (unbounded) from `*1..K` (bounded).
   private val ShortestPathRe =
-    ("""(?is)\s*MATCH\s+(\w+)\s*=\s*(?:shortestPath|allShortestPaths)\s*\(\s*""" +
+    ("""(?is)\s*MATCH\s+(\w+)\s*=\s*(shortestPath|allShortestPaths)\s*\(\s*""" +
       """\(\s*(\w+)\s*(?::\s*(\w+))?\s*(?:\{\s*([^}]*)\s*\})?\s*\)\s*""" +
       """-\s*\[\s*(?::\s*(\w+(?:\s*\|\s*\w+)*)\s*)?(?:(\*)\s*(?:1\s*\.\.\s*(\d+)\s*)?)?\]\s*->\s*""" +
       """\(\s*(\w+)\s*(?::\s*(\w+))?\s*(?:\{\s*([^}]*)\s*\})?\s*\)\s*\)\s*""" +
@@ -1224,6 +1269,10 @@ object CypherLite {
     """(?is)\s*coalesce\s*\(\s*(\w+)\s*\.\s*(\w+)\s*,\s*'([^']*)'\s*\)\s*""".r
   // labels(v) — the label-list accessor
   private val LabelsRe = """(?is)\s*labels\s*\(\s*(\w+)\s*\)\s*""".r
+  // keys(r) / properties(r) — the relationship property-map accessors
+  private val KeysFnRe = """(?is)\s*keys\s*\(\s*(\w+)\s*\)\s*""".r
+  private val PropsAccessorRe =
+    """(?is)\s*properties\s*\(\s*(\w+)\s*\)\s*""".r
   // scalar string functions over a property projection (RETURN items).
   // `size(v.prop)` (string length) cannot collide with the degree
   // expression `size((m)-[…]->())` — the dotted-property operand vs the
@@ -2907,6 +2956,43 @@ object CypherLite {
             } }
         } yield SetRelProps(pat, conds, resolved)
       }
+    case SetRelMapRe(aV, aL, aP, rV, relT, bV, bL, bP, whereStr,
+        setVar, op, mapBody) =>
+      parseEdgeWrite(aV, aL, aP, rV, relT, bV, bL, bP,
+        Option(whereStr), params).flatMap { case (pat, conds) =>
+        val entries = OnSetAssignMapRe.findAllMatchIn(mapBody).toSeq
+        // the same completeness check as parseRelProps: every `key:`
+        // token in the brace span must have parsed, or the value form
+        // is unsupported — reject by name, never drop silently
+        val keyTokens =
+          """\w+\s*:""".r.findAllMatchIn(mapBody).size
+        for {
+          _ <- if (setVar != rV)
+            Left(s"SET may only write the bound relationship '$rV', " +
+              s"got '$setVar'")
+          else Right(())
+          _ <- if (entries.size != keyTokens)
+            Left("unsupported value form in the SET property map — " +
+              "values are 'quoted' literals or $params " +
+              s"(got: {${mapBody.trim.take(60)}})")
+          else Right(())
+          _ <- if (entries.isEmpty && op == "+=")
+            Left("SET r += {} is a no-op — name at least one property")
+          else Right(())
+          ks = entries.map(_.group(1))
+          _ <- if (ks.distinct.size != ks.size)
+            Left("duplicate property in the SET map") else Right(())
+          resolved <- entries
+            .foldLeft[Either[String, Map[String, String]]](
+              Right(Map.empty)) { (acc, e) => acc.flatMap { m =>
+              (if (e.group(2) != null) Right(e.group(2))
+               else params.get(e.group(3))
+                 .toRight(s"missing parameter $$${e.group(3)} (have: " +
+                   s"${params.keys.toSeq.sorted.mkString(", ")})"))
+                .map(v => m + (e.group(1) -> v))
+            } }
+        } yield SetRelProps(pat, conds, resolved, replace = op == "=")
+      }
     case DeleteRelRe(aV, aL, aP, rV, relT, bV, bL, bP, whereStr, delV) =>
       parseEdgeWrite(aV, aL, aP, rV, relT, bV, bL, bP,
         Option(whereStr), params).flatMap { case (pat, conds) =>
@@ -3184,8 +3270,8 @@ object CypherLite {
       } yield DualMatchReturn(nodes, conds, items, ob,
         Option(skipStr).map(_.toInt), Option(limitStr).map(_.toInt),
         distinctKw != null)
-    case ShortestPathRe(pathVar, aVar, aLabel, aPropsStr, relT, star,
-        boundK, bVar, bLabel, bPropsStr, spQuantKw, spQuantVar,
+    case ShortestPathRe(pathVar, spKind, aVar, aLabel, aPropsStr, relT,
+        star, boundK, bVar, bLabel, bPropsStr, spQuantKw, spQuantVar,
         spQuantPRef, spQuantWhere, retStr, obVar, obProp, obLenVar,
         obDir, limitStr) =>
       def propsOf(s: String): Map[String, String] =
@@ -3199,10 +3285,18 @@ object CypherLite {
           case LengthRe(v) if v == pathVar => Right((pathVar, "length"))
           case LengthRe(v) => Left(s"length() may only take the path " +
             s"variable '$pathVar', got '$v'")
+          case NodesFnRe(v) if v == pathVar => Right((pathVar, "nodes"))
+          case NodesFnRe(v) => Left(s"nodes() may only take the path " +
+            s"variable '$pathVar', got '$v'")
+          case RelsFnRe(v) if v == pathVar =>
+            Right((pathVar, "relationships"))
+          case RelsFnRe(v) => Left("relationships() may only take the " +
+            s"path variable '$pathVar', got '$v'")
           case VarPropRe(v, p) if v == aVar || v == bVar => Right((v, p))
           case other => Left("a shortestPath RETURN projects endpoint " +
-            s"properties ($aVar.<prop>, $bVar.<prop>) or length($pathVar), " +
-            s"got '${other.trim.take(40)}'")
+            s"properties ($aVar.<prop>, $bVar.<prop>), " +
+            s"length($pathVar), nodes($pathVar), or " +
+            s"relationships($pathVar), got '${other.trim.take(40)}'")
         }
         parsed.collectFirst { case Left(e) => Left(e) }
           .getOrElse(Right(parsed.collect { case Right(i) => i }))
@@ -3224,6 +3318,15 @@ object CypherLite {
         }
         items <- itemsE
         _ <- if (items.isEmpty) Left("RETURN needs at least one item")
+        else Right(())
+        // path reconstruction needs the bounded enumeration: the depth
+        // kernels answer lengths, not paths, and an unbounded path bag
+        // is not a serving answer (the PathQuant cap, same rule)
+        _ <- if (items.exists(i => i._1 == pathVar && i._2 != "length")
+            && !bound.exists(_ <= 8))
+          Left("nodes(p)/relationships(p) require a bounded pattern " +
+            "*1..K with K <= 8 — the unbounded (or deeper) shortest " +
+            "path answers length(p) only")
         else Right(())
         desc = Option(obDir).exists(_.equalsIgnoreCase("DESC"))
         ob <- (Option(obVar), Option(obProp), Option(obLenVar)) match {
@@ -3248,7 +3351,8 @@ object CypherLite {
         propsOf(aPropsStr), Option(relT), bound, bVar, Option(bLabel),
         propsOf(bPropsStr), items, ob, Option(limitStr).map(_.toInt),
         spAllConds,
-        Option(spQuantKw).exists(_.equalsIgnoreCase("NONE")))
+        Option(spQuantKw).exists(_.equalsIgnoreCase("NONE")),
+        allPaths = spKind.equalsIgnoreCase("allShortestPaths"))
     // path-quantified ranged pattern: relationship predicates through
     // ALL(x IN relationships(p) WHERE …) and/or an along-the-path
     // reduce() sum (round-13 directive 4)
@@ -3635,6 +3739,19 @@ object CypherLite {
           Right(RetLabels(onConn = true))
         case LabelsRe(v) => Left(s"labels() may only reference '$m'" +
           conn.fold("")(c => s" or '$c'") + s", got '$v'")
+        case KeysFnRe(v) if relVar.contains(v) =>
+          Right(RetRelAccessor("keys"))
+        case PropsAccessorRe(v) if relVar.contains(v) =>
+          Right(RetRelAccessor("properties"))
+        case KeysFnRe(v) => Left("keys() may only inspect the bound " +
+          "relationship variable" + relVar.fold("")(r => s" '$r'") +
+          s", got '$v' — node properties are fixed columns here: " +
+          "project them directly ($v.name, $v.content, …)")
+        case PropsAccessorRe(v) => Left("properties() may only inspect " +
+          "the bound relationship variable" +
+          relVar.fold("")(r => s" '$r'") +
+          s", got '$v' — node properties are fixed columns here: " +
+          "project them directly ($v.name, $v.content, …)")
         case CaseRe(whenChain, elseStr) =>
           val ms = CaseWhenRe.findAllMatchIn(whenChain).toSeq
           def contiguous = ms.headOption.exists(_.start == 0) &&
@@ -3731,6 +3848,7 @@ object CypherLite {
         // rejected by the duplicate-canonical check (alias one with AS)
         case RetAggRootProp(fn, p) => Some(s"${fn}_$p")
         case RetRelType => Some("r_type")
+        case RetRelAccessor(fn) => Some(s"r_$fn")
         case _ => None
       }
       val itemsE: Either[String,
@@ -3874,6 +3992,11 @@ object CypherLite {
                   Right((ConnKeyPrefix + p, d(dir)))
                 case Some(RetRelProp(p)) =>
                   Right((RelKeyPrefix + p, d(dir)))
+                // a keys(r)/properties(r) alias sorts by its serialized
+                // column (canonical r_keys/r_properties — the same
+                // binding-side pseudo-namespace as r.prop)
+                case Some(RetRelAccessor(fn)) =>
+                  Right((RelKeyPrefix + fn, d(dir)))
                 case Some(_) => Left("ORDER BY on this alias kind is " +
                   s"not supported ('$b')")
                 case None => Left(s"ORDER BY key '$b' is not an alias " +
@@ -4013,7 +4136,8 @@ object CypherLite {
           // the m-only projection branch (mirror of the c.prop rule above);
           // alongside the whole connected node it rides the binding columns
           _ <- if ((items.contains(RetRelType) ||
-              items.exists(_.isInstanceOf[RetRelProp])) &&
+              items.exists(_.isInstanceOf[RetRelProp]) ||
+              items.exists(_.isInstanceOf[RetRelAccessor])) &&
               items.contains(RetVar) && !items.contains(RetConnected))
             Left("RETURN of the whole matched node cannot be combined with " +
               "type() or r.prop — project m.prop explicitly")
@@ -4025,7 +4149,8 @@ object CypherLite {
           // projected edge property stays valid.
           _ <- if (items.exists(isAgg) && !isGlobal && !items.exists(i =>
               i == RetVar || i.isInstanceOf[RetProp] || i == RetRelType ||
-              i.isInstanceOf[RetRelProp]))
+              i.isInstanceOf[RetRelProp] ||
+              i.isInstanceOf[RetRelAccessor]))
             Left("an aggregate requires a grouping item (m, m.prop, " +
               "type(r), or r.prop)")
           else Right(())
@@ -4805,11 +4930,26 @@ object CypherLite {
           .agg(count(lit(1)).as("n_edges"))
           .orderBy(("relType" +: setKeys.map(k => s"r_$k")).map(col): _*)
         Right((after, summary))
-      case SetRelProps(pat, conds, assigns) =>
+      case SetRelProps(pat, conds, assigns, replace) =>
         val matched = matchedEdgeKeys(g, pat, conds)
-        val updates = matched.select(col("src"), col("dst"),
-          col("relType"), typedLit(assigns).as("new_props"))
-        val after = GraphOps.updateEdgeProps(g, updates)
+        val after = if (replace) {
+          // `SET r = {…}`: the whole props map is REPLACED on matched
+          // edges (same join-update shape as the merge path — one
+          // shuffle on the edge key — but overwrite, not map_concat)
+          val key = Seq("src", "dst", "relType")
+          val edges = g.edges
+            .join(matched.withColumn("hit", lit(true)), key, "left_outer")
+            .withColumn("props",
+              when(col("hit").isNotNull,
+                typedLit(assigns)).otherwise(col("props")))
+            .drop("hit")
+            .as(g.edges.encoder)
+          GraphTables(g.nodes, edges)
+        } else {
+          val updates = matched.select(col("src"), col("dst"),
+            col("relType"), typedLit(assigns).as("new_props"))
+          GraphOps.updateEdgeProps(g, updates)
+        }
         val summary = matched
           .groupBy("relType").agg(count(lit(1)).as("n_updated"))
           .orderBy("relType")
@@ -4946,29 +5086,125 @@ object CypherLite {
       .reduceOption(_ || _)
       .map(dnf => if (sp.quantNone) !dnf else dnf)
       .fold(relColOf(sp.relType))(relColOf(sp.relType) && _)
-    val depths = sp.bound match {
-      case Some(k) => GraphOps.kHop(g, rootIds, k, rel)
-        .filter(col("depth") > 0)
-      case None => GraphOps.shortestDepths(g, rootIds, rel)
-    }
     def wanted(v: String): Seq[String] = sp.items.collect {
       case (`v`, p) if !(v == sp.pathVar) => p
     }.distinct
     val aCols = wanted(sp.aVar)
     val bCols = wanted(sp.bVar)
-    val withA =
-      if (aCols.isEmpty) depths
-      else depths.join(roots.select(col("id").as("root_id") +:
+    val needNodes = sp.items.contains((sp.pathVar, "nodes"))
+    val needRels = sp.items.contains((sp.pathVar, "relationships"))
+    // PATH RECONSTRUCTION (accessors requested): the depth kernels know
+    // lengths, not paths — switch to the bounded enumeration (parse
+    // guaranteed *1..K, K ≤ 8; the runPathQuant expansion shape: one
+    // frontier equi-join per step, per-row visited list, per-step lazy
+    // checkpoints), then per (a, b) pair keep the min-length path —
+    // shortestPath: the lexicographically smallest (path_nodes,
+    // path_rels) among equal lengths (struct-min, deterministic);
+    // allShortestPaths: every min-length path (its true bag semantics).
+    val withB = if (needNodes || needRels) {
+      val k = sp.bound.get
+      val edgesBase = g.edges.toDF().filter(rel)
+        .select(col("src"), col("dst"),
+          struct(col("src"), col("dst"), col("relType")).as("eid"))
+      val edges = (if (needNodes)
+        edgesBase.join(g.nodes.toDF()
+            .select(col("id").as("dst"), col("name").as("dst_name")),
+          "dst")
+          .select(col("src"), col("dst"), col("eid"), col("dst_name"))
+      else edgesBase).localCheckpoint(false)
+      var frontier = roots
+        .select(col("id").as("cur"), col("id").as("root_id"),
+          col("name").as("__sn"))
+        .withColumn("path_len", lit(0))
+        .withColumn("visited", array().cast(
+          "array<struct<src:bigint,dst:bigint,relType:string>>"))
+      frontier =
+        if (needNodes)
+          frontier.withColumn("nds", array(col("__sn"))).drop("__sn")
+        else frontier.drop("__sn")
+      if (needRels) frontier = frontier
+        .withColumn("rels", array().cast("array<string>"))
+      var out: Option[DataFrame] = None
+      for (_ <- 1 to k) {
+        frontier = frontier.join(edges, frontier("cur") === edges("src"))
+          .filter(!array_contains(col("visited"), col("eid")))
+          .select(Seq(col("root_id"), edges("dst").as("cur"),
+            (col("path_len") + 1).as("path_len"),
+            array_append(col("visited"), col("eid")).as("visited")) ++
+            (if (needNodes)
+              Seq(array_append(col("nds"), col("dst_name")).as("nds"))
+             else Seq.empty) ++
+            (if (needRels)
+              Seq(array_append(col("rels"),
+                col("eid").getField("relType")).as("rels"))
+             else Seq.empty): _*)
+          .localCheckpoint(false)
+        out = Some(out.fold(frontier)(_ unionByName frontier))
+      }
+      val bKeep = g.nodes.filter(pred(sp.bLabel, sp.bProps))
+        .select(col("id").as("cur") +:
+          bCols.map(p => col(p).as(s"${sp.bVar}_$p")): _*)
+      val candidates = out.get
+        // a root's cycle back to itself is no path (Neo4j's rule —
+        // same as the depth kernels' depth > 0 + distinct endpoints)
+        .filter(col("cur") =!= col("root_id"))
+        .join(bKeep, "cur")
+        .withColumn("path_len", col("path_len").cast("int"))
+      val serialized = {
+        val s1 = if (needNodes) candidates
+          .withColumn("path_nodes", array_join(col("nds"), ","))
+        else candidates
+        if (needRels) s1
+          .withColumn("path_rels", array_join(col("rels"), ","))
+        else s1
+      }
+      val tieFields = Seq("path_len") ++
+        (if (needNodes) Seq("path_nodes") else Seq.empty) ++
+        (if (needRels) Seq("path_rels") else Seq.empty)
+      val bSer = bCols.map(p => s"${sp.bVar}_$p")
+      val best =
+        if (sp.allPaths) {
+          val mins = serialized.groupBy("root_id", "cur")
+            .agg(min(col("path_len")).as("__min_len"))
+          serialized.join(mins, Seq("root_id", "cur"))
+            .filter(col("path_len") === col("__min_len"))
+            .drop("__min_len")
+            .select((Seq("root_id", "cur") ++ tieFields ++ bSer)
+              .map(col): _*)
+            .distinct()
+        } else
+          serialized.groupBy(
+            (Seq("root_id", "cur") ++ bSer).map(col): _*)
+            .agg(min(struct(tieFields.map(col): _*)).as("__best"))
+            .select((Seq("root_id", "cur") ++ bSer).map(col) ++
+              tieFields.map(f => col(s"__best.$f").as(f)): _*)
+      if (aCols.isEmpty) best
+      else best.join(roots.select(col("id").as("root_id") +:
         aCols.map(p => col(p).as(s"${sp.aVar}_$p")): _*), "root_id")
-    val withB = withA.join(
-      g.nodes.filter(pred(sp.bLabel, sp.bProps))
-        .select(col("id").as("node_id") +:
-          bCols.map(p => col(p).as(s"${sp.bVar}_$p")): _*), "node_id")
+    } else {
+      val depths = sp.bound match {
+        case Some(k) => GraphOps.kHop(g, rootIds, k, rel)
+          .filter(col("depth") > 0)
+        case None => GraphOps.shortestDepths(g, rootIds, rel)
+      }
+      val withA =
+        if (aCols.isEmpty) depths
+        else depths.join(roots.select(col("id").as("root_id") +:
+          aCols.map(p => col(p).as(s"${sp.aVar}_$p")): _*), "root_id")
+      withA.join(
+        g.nodes.filter(pred(sp.bLabel, sp.bProps))
+          .select(col("id").as("node_id") +:
+            bCols.map(p => col(p).as(s"${sp.bVar}_$p")): _*), "node_id")
+        .withColumn("path_len", col("depth").cast("int"))
+    }
     def colOf(v: String, p: String): String =
-      if (v == sp.pathVar) "path_len" else s"${v}_$p"
+      if (v == sp.pathVar) p match {
+        case "length" => "path_len"
+        case "nodes" => "path_nodes"
+        case _ => "path_rels"
+      } else s"${v}_$p"
     val outCols = sp.items.map { case (v, p) => colOf(v, p) }.distinct
-    val projected = withB.withColumn("path_len", col("depth").cast("int"))
-      .select(outCols.map(col): _*)
+    val projected = withB.select(outCols.map(col): _*)
     val ordered = sp.orderBy match {
       case Some((v, p, desc)) =>
         val key = colOf(v, p)
@@ -5484,7 +5720,7 @@ object CypherLite {
           .map(k => Left(s"unsupported property: $k " +
             s"(supported: ${SupportedProps.toSeq.sorted.mkString(", ")})"))
           .orElse(sp.items.collect {
-              case (v, p) if !(v == sp.pathVar && p == "length") => p
+              case (v, p) if v != sp.pathVar => p
             }.find(!ProjectableProps(_))
             .map(k => Left(s"unsupported projection property: $k " +
               s"(supported: ${ProjectableProps.toSeq.sorted.mkString(", ")})")))
@@ -5972,15 +6208,33 @@ object CypherLite {
         val relPropCols = (items.collect { case RetRelProp(p) => p } ++
           items.collect { case RetAggRelProp(_, p) => p } ++
           items.collect { case RetCollectRel(p, _) => p }).distinct
-        val neigh = relPropCols.foldLeft(neigh0)((df, p) =>
+        val neigh1 = relPropCols.foldLeft(neigh0)((df, p) =>
           df.withColumn(s"r_$p", element_at(col("r_props"), p)))
+        // keys(r)/properties(r): deterministic serializations of the
+        // edge-prop map, sorted by key (RetRelAccessor doc). Null map
+        // (unmatched OPTIONAL binding) → null through every step —
+        // map_keys/transform/array_join/concat all propagate null, which
+        // is Cypher's keys(null)/properties(null) answer; empty map →
+        // ''/'{}' by the same expressions.
+        val neigh = items.collect { case RetRelAccessor(fn) => fn }
+          .distinct.foldLeft(neigh1) {
+            case (df, "keys") => df.withColumn("r_keys",
+              array_join(array_sort(map_keys(col("r_props"))), ","))
+            case (df, _) => df.withColumn("r_properties",
+              concat(lit("{"),
+                array_join(transform(array_sort(map_keys(col("r_props"))),
+                  k => concat(k, lit(": "),
+                    element_at(col("r_props"), k))), ", "),
+                lit("}")))
+          }
         // binding columns the RETURN projection asks for beyond the node
         // image: the traversed edge's type when the query touches
         // type(r), plus any projected edge properties
         val relCols =
           (if (items.contains(RetRelType)) Seq("r_type")
            else Seq.empty) ++
-            items.collect { case RetRelProp(p) => s"r_$p" }.distinct
+            items.collect { case RetRelProp(p) => s"r_$p" }.distinct ++
+            items.collect { case RetRelAccessor(fn) => s"r_$fn" }.distinct
         // m properties the binding filter needs beyond what RETURN asks
         // for — a cross-variable cond contributes its m-side property from
         // WHICHEVER side of the comparison it sits on

@@ -1530,6 +1530,69 @@ object ParquetGraph {
         .fold(err => throw new IllegalArgumentException(err), identity)
     },
 
+    // C10 read surface (new r13): shortestPath PATH RECONSTRUCTION —
+    // `RETURN nodes(p), relationships(p)` switches the executor from
+    // the depth kernels to the bounded enumeration and answers the
+    // actual path, not just its length ("show me the route", the
+    // serving ask the length-only form can't answer). Over the ROAD
+    // chain every pair has a unique path, so the oracle can rebuild
+    // each (endpoint, length, node-trail, type-trail) row exactly via
+    // a recursive CTE; the tie-break determinism contract (smallest
+    // serialization among equal lengths) is pinned separately in
+    // PathQuantSpec on a hand diamond.
+    QueryDef.sql(
+      "graphp_cypher_shortest_nodes",
+      """WITH RECURSIVE e AS (
+        |  SELECT lag(r_name) OVER (ORDER BY r_name) AS src,
+        |    r_name AS dst
+        |  FROM region),
+        |p AS (
+        |  SELECT src AS a, dst AS b, 1 AS len,
+        |    src || ',' || dst AS pn, 'ROAD' AS pr
+        |  FROM e WHERE src = 'AFRICA'
+        |  UNION ALL
+        |  SELECT p.a, e.dst, p.len + 1, p.pn || ',' || e.dst,
+        |    p.pr || ',ROAD'
+        |  FROM p JOIN e ON e.src = p.b WHERE p.len < 4)
+        |SELECT b AS b_name, CAST(len AS INT) AS path_len,
+        |  pn AS path_nodes, pr AS path_rels
+        |FROM p ORDER BY b_name""".stripMargin) { (s, d) =>
+      CypherLite.run(roadPropsGraph(s, d),
+        "MATCH p = shortestPath((a:Region {name: 'AFRICA'})" +
+          "-[:ROAD*1..4]->(b:Region)) " +
+          "RETURN b.name, length(p), nodes(p), " +
+          "relationships(p) ORDER BY b.name")
+        .fold(err => throw new IllegalArgumentException(err), identity)
+    },
+
+    // C10 read surface (new r13): the relationship property-map
+    // inspection accessors — `RETURN keys(r), properties(r)` over the
+    // Cypher-written ROAD chain (edges carry weight + grade). Both
+    // serialize sorted-by-key (keys comma-joined, properties as
+    // `{k: v, …}`), so the oracle rebuilds the exact strings from the
+    // closed-form weights/grades: a sort-order drift, a dropped key, or
+    // a map-entry separator change all hash-miss.
+    QueryDef.sql(
+      "graphp_cypher_rel_accessors",
+      """WITH r AS (
+        |  SELECT r_name, r_regionkey,
+        |    row_number() OVER (ORDER BY r_name) AS rn
+        |  FROM region)
+        |SELECT c.r_name AS b_name,
+        |  'grade,weight' AS r_keys,
+        |  '{grade: ' ||
+        |    (CASE WHEN c.r_regionkey % 2 = 0 THEN 'even' ELSE 'odd' END)
+        |    || ', weight: ' ||
+        |    CAST(c.r_regionkey % 3 + 1 AS VARCHAR) || '}' AS r_properties
+        |FROM r p JOIN r c ON c.rn = p.rn + 1
+        |ORDER BY b_name""".stripMargin) { (s, d) =>
+      CypherLite.run(roadPropsGraph(s, d),
+        "MATCH (a:Region)-[r:ROAD]->(b:Region) " +
+          "RETURN b.name AS b_name, keys(r), properties(r) " +
+          "ORDER BY b_name")
+        .fold(err => throw new IllegalArgumentException(err), identity)
+    },
+
     // C10 write surface (new r13): the direct relationship-property
     // update — `MATCH (a)-[r:ROAD]->(b) WHERE r.grade = 'even' SET
     // r.toll = '1'` over the Cypher-written chain, read back through
@@ -1554,6 +1617,42 @@ object ParquetGraph {
       CypherLite.run(mutated,
         "MATCH (a:Region)-[r:ROAD]->(b:Region) " +
           "RETURN b.name AS b_name, r.grade, r.toll ORDER BY b_name")
+        .fold(err => throw new IllegalArgumentException(err), identity)
+    },
+
+    // C10 write surface (new r13): the MAP-form relationship updates —
+    // `SET r += {…}` (merge: written keys overwrite, others keep) and
+    // `SET r = {…}` (replace: the whole props map is overwritten,
+    // unnamed stored keys DROP). Both run over the Cypher-written chain
+    // and read back through properties(r), whose sorted-by-key
+    // serialization makes every surviving/overwritten/dropped key
+    // visible to the hash: odd edges merge {grade: ODD, toll: 3} onto
+    // their stored weight, even edges are replaced wholesale.
+    QueryDef.sql(
+      "graphp_cypher_set_rel_map",
+      """WITH r AS (
+        |  SELECT r_name, r_regionkey,
+        |    row_number() OVER (ORDER BY r_name) AS rn
+        |  FROM region)
+        |SELECT c.r_name AS b_name,
+        |  CASE WHEN c.r_regionkey % 2 = 0 THEN '{cleared: 1}'
+        |    ELSE '{grade: ODD, toll: 3, weight: ' ||
+        |      CAST(c.r_regionkey % 3 + 1 AS VARCHAR) || '}' END
+        |    AS r_properties
+        |FROM r p JOIN r c ON c.rn = p.rn + 1
+        |ORDER BY b_name""".stripMargin) { (s, d) =>
+      val g0 = roadPropsGraph(s, d)
+      val g1 = CypherLite.runWrite(g0,
+        "MATCH (a:Region)-[r:ROAD]->(b:Region) WHERE r.grade = 'odd' " +
+          "SET r += {toll: $t, grade: 'ODD'}", Map("t" -> "3"))
+        .fold(err => throw new IllegalArgumentException(err), _._1)
+      val g2 = CypherLite.runWrite(g1,
+        "MATCH (a:Region)-[r:ROAD]->(b:Region) WHERE r.grade = 'even' " +
+          "SET r = {cleared: '1'}", Map.empty)
+        .fold(err => throw new IllegalArgumentException(err), _._1)
+      CypherLite.run(g2,
+        "MATCH (a:Region)-[r:ROAD]->(b:Region) " +
+          "RETURN b.name AS b_name, properties(r) ORDER BY b_name")
         .fold(err => throw new IllegalArgumentException(err), identity)
     },
 

@@ -291,4 +291,46 @@ class PathQuantSpec extends SparkSpec {
     assert(leftMsg("MATCH p = (a:N)-[:ROAD*1..2]->(b:N) RETURN " +
       "relationships(p) AS kinds").contains("path_rels"))
   }
+
+  test("shortestPath reconstruction: nodes(p)/relationships(p) answer " +
+      "the actual route; equal-length ties break to the smallest " +
+      "serialization; allShortestPaths answers every min-length path") {
+    // the diamond: severing ONLY the direct w7 edge (weight <> 7)
+    // leaves 1→2→4 and 1→3→4 BOTH at length 2 — shortestPath must
+    // answer exactly one, the lexicographically smallest node trail
+    val r = rows("MATCH p = shortestPath((a:N {name: 'n1'})" +
+      "-[:ROAD*1..4]->(b:N {name: 'n4'})) WHERE ALL(x IN " +
+      "relationships(p) WHERE x.weight <> 7) " +
+      "RETURN nodes(p), relationships(p), length(p)")
+    assert(r.map(x => (x.getAs[String]("path_nodes"),
+      x.getAs[String]("path_rels"), x.getAs[Int]("path_len"))).toSeq ==
+      Seq(("n1,n2,n4", "ROAD,ROAD", 2)))
+    // a filter that also kills the heavy 1→3 edge leaves ONE route
+    val one = rows("MATCH p = shortestPath((a:N {name: 'n1'})" +
+      "-[:ROAD*1..4]->(b:N {name: 'n4'})) WHERE ALL(x IN " +
+      "relationships(p) WHERE x.weight < 5) " +
+      "RETURN nodes(p), length(p)")
+    assert(one.map(x => (x.getAs[String]("path_nodes"),
+      x.getAs[Int]("path_len"))).toSeq == Seq(("n1,n2,n4", 2)))
+    // unfiltered: the direct w7 edge wins at length 1
+    val direct = rows("MATCH p = shortestPath((a:N {name: 'n1'})" +
+      "-[:ROAD*1..4]->(b:N {name: 'n4'})) RETURN nodes(p), length(p)")
+    assert(direct.map(x => (x.getAs[String]("path_nodes"),
+      x.getAs[Int]("path_len"))).toSeq == Seq(("n1,n4", 1)))
+    // allShortestPaths under the tie: BOTH length-2 routes, one row each
+    val all = rows("MATCH p = allShortestPaths((a:N {name: 'n1'})" +
+      "-[:ROAD*1..4]->(b:N {name: 'n4'})) WHERE ALL(x IN " +
+      "relationships(p) WHERE x.weight <> 7) " +
+      "RETURN nodes(p), length(p) ORDER BY length(p)")
+    assert(all.map(x => (x.getAs[String]("path_nodes"),
+      x.getAs[Int]("path_len"))).toSet ==
+      Set(("n1,n2,n4", 2), ("n1,n3,n4", 2)))
+    // unbounded `*` cannot reconstruct — named rejection
+    def leftMsg(qs: String): String =
+      CypherLite.run(g, qs).swap.getOrElse(fail(s"$qs unexpectedly " +
+        "parsed"))
+    assert(leftMsg("MATCH p = shortestPath((a:N {name: 'n1'})" +
+      "-[:ROAD*]->(b:N {name: 'n4'})) RETURN nodes(p)")
+      .contains("bounded"))
+  }
 }

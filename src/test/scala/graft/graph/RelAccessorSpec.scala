@@ -1,0 +1,70 @@
+package graft.graph
+
+import graft.SparkSpec
+
+/** `keys(r)` / `properties(r)` — the relationship property-map
+  * inspection accessors (round-13). Contract pinned here: sorted-by-key
+  * deterministic serializations (`r_keys` comma-joined, `r_properties`
+  * as `{k: v, …}`), empty map → ''/'{}', unmatched OPTIONAL binding →
+  * null for both, grouping-key behavior under aggregates, node-side
+  * rejections by name.
+  */
+class RelAccessorSpec extends SparkSpec {
+
+  private def node(id: Long): NodeRow =
+    NodeRow(id, "N", s"n$id", "", "", "b1", Seq.empty)
+
+  private lazy val g = {
+    import spark.implicits._
+    GraphTables(
+      (1L to 4L).map(node).toDS(),
+      Seq(
+        EdgeRow(1L, 2L, "T", "", "b1",
+          Map("weight" -> "2", "grade" -> "even")),
+        EdgeRow(1L, 3L, "T", "", "b1", Map.empty[String, String]),
+        EdgeRow(2L, 4L, "U", "", "b1", Map("weight" -> "9"))).toDS())
+  }
+
+  private def rows(q: String) =
+    CypherLite.run(g, q).fold(e => fail(s"$q → $e"), identity).collect()
+
+  test("keys(r)/properties(r): sorted-by-key serialization; empty map " +
+      "answers ''/'{}'") {
+    val r = rows("MATCH (a:N {name: 'n1'})-[r:T]->(b:N) " +
+      "RETURN b.name AS b_name, keys(r), properties(r) ORDER BY b_name")
+    assert(r.map(x => (x.getAs[String]("b_name"),
+      x.getAs[String]("r_keys"), x.getAs[String]("r_properties")))
+      .toSeq == Seq(
+        ("n2", "grade,weight", "{grade: even, weight: 2}"),
+        ("n3", "", "{}")))
+  }
+
+  test("unmatched OPTIONAL binding projects null for both accessors " +
+      "(keys(null)/properties(null), Cypher's rule)") {
+    val r = rows("MATCH (a:N {name: 'n4'}) OPTIONAL MATCH " +
+      "(a)-[r:T]->(b) RETURN a.name, keys(r), properties(r)")
+    assert(r.map(x => (x.getAs[String]("m_name"),
+      x.getAs[String]("r_keys"), x.getAs[String]("r_properties")))
+      .toSeq == Seq(("n4", null, null)))
+  }
+
+  test("accessors act as grouping keys under aggregates; an AS alias " +
+      "keys the ORDER BY") {
+    val r = rows("MATCH (a:N)-[r:T]->(b:N) " +
+      "RETURN keys(r) AS kk, count(*) ORDER BY kk DESC")
+    assert(r.map(x => (x.getAs[String]("kk"),
+      x.getAs[Long]("n_connected"))).toSeq ==
+      Seq(("grade,weight", 1L), ("", 1L)))
+  }
+
+  test("node-side keys()/properties() and unbound r reject by name") {
+    def leftMsg(q: String): String =
+      CypherLite.run(g, q).swap.getOrElse(fail(s"$q unexpectedly parsed"))
+    assert(leftMsg("MATCH (a:N)-[r:T]->(b:N) RETURN keys(a)")
+      .contains("fixed columns"))
+    assert(leftMsg("MATCH (a:N)-[r:T]->(b:N) RETURN properties(b)")
+      .contains("fixed columns"))
+    assert(leftMsg("MATCH (a:N)-[:T]->(b:N) RETURN keys(r)")
+      .contains("keys"))
+  }
+}
