@@ -750,7 +750,12 @@ object CypherLite {
       // ALL min-length paths, one row each, which restores its true
       // bag semantics (without accessors the endpoint+length projection
       // collapses them, so the flag changes nothing there).
-      allPaths: Boolean = false) extends Statement
+      allPaths: Boolean = false,
+      // traversal direction (r13): "out" | "in" | "both" — implemented
+      // by ORIENTING the edge relation before the kernels/enumeration
+      // (reverse projection / union of both orientations), so every
+      // downstream step is direction-blind
+      dir: String = "out") extends Statement
 
   /** One RETURN item of a path-quantified query ([[PathQuantReturn]]). */
   sealed trait PathQItem
@@ -819,7 +824,13 @@ object CypherLite {
       allConds: Seq[Seq[Cond]], // DNF over the quantified edge variable
       items: Seq[PathQItem],
       orderBy: Option[(String, Boolean)], // (output column, desc)
-      limit: Option[Int]) extends Statement
+      limit: Option[Int],
+      // traversal direction (r13): "out" (`->`), "in" (`<-` — the
+      // REVERSED edge relation, a projection), "both" (undirected —
+      // union of both orientations; the visited list carries the STORED
+      // edge identity either way, so one relationship can never appear
+      // twice in a path even in opposite directions, Cypher's rule)
+      dir: String = "out") extends Statement
 
   /** One node of a chain pattern: variable name, optional label, inline
     * property map.
@@ -1135,7 +1146,7 @@ object CypherLite {
   private val ShortestPathRe =
     ("""(?is)\s*MATCH\s+(\w+)\s*=\s*(shortestPath|allShortestPaths)\s*\(\s*""" +
       """\(\s*(\w+)\s*(?::\s*(\w+))?\s*(?:\{\s*([^}]*)\s*\})?\s*\)\s*""" +
-      """-\s*\[\s*(?::\s*(\w+(?:\s*\|\s*\w+)*)\s*)?(?:(\*)\s*(?:1\s*\.\.\s*(\d+)\s*)?)?\]\s*->\s*""" +
+      """(<)?-\s*\[\s*(?::\s*(\w+(?:\s*\|\s*\w+)*)\s*)?(?:(\*)\s*(?:1\s*\.\.\s*(\d+)\s*)?)?\]\s*-\s*(>)?\s*""" +
       """\(\s*(\w+)\s*(?::\s*(\w+))?\s*(?:\{\s*([^}]*)\s*\})?\s*\)\s*\)\s*""" +
       """(?:WHERE\s+(ALL|NONE)\s*\(\s*(\w+)\s+IN\s+relationships\s*\(\s*(\w+)\s*\)\s*WHERE\s+(.+?)\s*\)\s*)?""" +
       """RETURN\s+(.+?)\s*""" +
@@ -1159,7 +1170,7 @@ object CypherLite {
   private val PathQuantRe =
     ("""(?is)\s*MATCH\s+(\w+)\s*=\s*""" +
       """\(\s*(\w+)\s*(?::\s*(\w+))?\s*(?:\{\s*([^}]*)\s*\})?\s*\)\s*""" +
-      """-\s*\[\s*(\w+)?\s*(?::\s*(\w+(?:\s*\|\s*\w+)*))?\s*\*\s*(\d+)\s*\.\.\s*(\d+)\s*\]\s*-\s*>\s*""" +
+      """(<)?-\s*\[\s*(\w+)?\s*(?::\s*(\w+(?:\s*\|\s*\w+)*))?\s*\*\s*(\d+)\s*\.\.\s*(\d+)\s*\]\s*-\s*(>)?\s*""" +
       """\(\s*(\w+)\s*(?::\s*(\w+))?\s*(?:\{\s*([^}]*)\s*\})?\s*\)\s*""" +
       """(?:WHERE\s+(ALL|ANY|NONE|SINGLE)\s*\(\s*(\w+)\s+IN\s+relationships\s*\(\s*(\w+)\s*\)\s*WHERE\s+(.+?)\s*\)\s*)?""" +
       """RETURN\s+(.+?)\s*""" +
@@ -2063,6 +2074,20 @@ object CypherLite {
     }
   }
 
+  /** Direction of a path-form relationship bracket from its captured
+    * arrow heads: `->` outgoing, `<-` incoming, neither = undirected
+    * (`both`); both-ended arrows reject (the hop grammar's rule).
+    */
+  private def dirOf(l: String, r: String): Either[String, String] =
+    (Option(l), Option(r)) match {
+      case (Some(_), Some(_)) => Left("a relationship pattern cannot " +
+        "point both ways — drop one arrow head (or both, for the " +
+        "undirected form -[…]-)")
+      case (Some(_), None) => Right("in")
+      case (None, Some(_)) => Right("out")
+      case (None, None) => Right("both")
+    }
+
   /** Parse the path-quantified ranged pattern ([[PathQuantReturn]]):
     * validates the variable namespace, the range bounds (path
     * enumeration is capped at hi ≤ 8 — beyond that the bag of paths is
@@ -2077,7 +2102,8 @@ object CypherLite {
       allVar: Option[String],
       allPRef: Option[String], allWhere: Option[String], retStr: String,
       obStr: Option[String], obDirS: Option[String],
-      limitStr: Option[String]): Either[String, Statement] = {
+      limitStr: Option[String], dir: String = "out")
+      : Either[String, Statement] = {
     def propsOf(s: String): Map[String, String] =
       Option(s).toSeq.flatMap(x => PropRe.findAllMatchIn(x)
         .map(p => p.group(1) -> p.group(2))).toMap
@@ -2193,7 +2219,7 @@ object CypherLite {
     } yield PathQuantReturn(pathVar, aVar, aLabel, propsOf(aPropsStr),
       relVar, relType, lo, hi, bVar, bLabel, propsOf(bPropsStr),
       quantKw.map(_.toUpperCase(java.util.Locale.ROOT)).getOrElse(""),
-      allConds, items, ob, limitStr.map(_.toInt))
+      allConds, items, ob, limitStr.map(_.toInt), dir = dir)
   }
 
   /** Shared validation for the relationship write forms
@@ -3270,10 +3296,21 @@ object CypherLite {
       } yield DualMatchReturn(nodes, conds, items, ob,
         Option(skipStr).map(_.toInt), Option(limitStr).map(_.toInt),
         distinctKw != null)
-    case ShortestPathRe(pathVar, spKind, aVar, aLabel, aPropsStr, relT,
-        star, boundK, bVar, bLabel, bPropsStr, spQuantKw, spQuantVar,
-        spQuantPRef, spQuantWhere, retStr, obVar, obProp, obLenVar,
-        obDir, limitStr) =>
+    case ShortestPathRe(spGroups @ _*) =>
+      // 23 capture groups exceed Scala's fixed-arity pattern limit (22)
+      // — bind the group Seq and index it (order = the regex's groups)
+      val pathVar = spGroups(0); val spKind = spGroups(1)
+      val aVar = spGroups(2); val aLabel = spGroups(3)
+      val aPropsStr = spGroups(4); val spArrowL = spGroups(5)
+      val relT = spGroups(6); val star = spGroups(7)
+      val boundK = spGroups(8); val spArrowR = spGroups(9)
+      val bVar = spGroups(10); val bLabel = spGroups(11)
+      val bPropsStr = spGroups(12); val spQuantKw = spGroups(13)
+      val spQuantVar = spGroups(14); val spQuantPRef = spGroups(15)
+      val spQuantWhere = spGroups(16); val retStr = spGroups(17)
+      val obVar = spGroups(18); val obProp = spGroups(19)
+      val obLenVar = spGroups(20); val obDir = spGroups(21)
+      val limitStr = spGroups(22)
       def propsOf(s: String): Map[String, String] =
         Option(s).toSeq.flatMap(x => PropRe.findAllMatchIn(x)
           .map(p => p.group(1) -> p.group(2))).toMap
@@ -3302,6 +3339,7 @@ object CypherLite {
           .getOrElse(Right(parsed.collect { case Right(i) => i }))
       }
       for {
+        spDir <- dirOf(spArrowL, spArrowR)
         _ <- if ((Seq(pathVar, aVar, bVar) ++ Option(spQuantVar))
             .distinct.size != 3 + Option(spQuantVar).size)
           Left("shortestPath variables must be distinct, got " +
@@ -3352,18 +3390,20 @@ object CypherLite {
         propsOf(bPropsStr), items, ob, Option(limitStr).map(_.toInt),
         spAllConds,
         Option(spQuantKw).exists(_.equalsIgnoreCase("NONE")),
-        allPaths = spKind.equalsIgnoreCase("allShortestPaths"))
+        allPaths = spKind.equalsIgnoreCase("allShortestPaths"),
+        dir = spDir)
     // path-quantified ranged pattern: relationship predicates through
     // ALL(x IN relationships(p) WHERE …) and/or an along-the-path
     // reduce() sum (round-13 directive 4)
-    case PathQuantRe(pathVar, aVar, aLabel, aPropsStr, relVarS, relT,
-        loS, hiS, bVar, bLabel, bPropsStr, quantKw, allVar, allPRef,
-        allWhere, retStr, obStr, obDirS, limitStr) =>
-      parsePathQuant(pathVar, aVar, Option(aLabel), aPropsStr,
-        Option(relVarS), Option(relT), loS.toInt, hiS.toInt, bVar,
-        Option(bLabel), bPropsStr, Option(quantKw), Option(allVar),
-        Option(allPRef), Option(allWhere), retStr, Option(obStr),
-        Option(obDirS), Option(limitStr))
+    case PathQuantRe(pathVar, aVar, aLabel, aPropsStr, arrowL, relVarS,
+        relT, loS, hiS, arrowR, bVar, bLabel, bPropsStr, quantKw,
+        allVar, allPRef, allWhere, retStr, obStr, obDirS, limitStr) =>
+      dirOf(arrowL, arrowR).flatMap(dir =>
+        parsePathQuant(pathVar, aVar, Option(aLabel), aPropsStr,
+          Option(relVarS), Option(relT), loS.toInt, hiS.toInt, bVar,
+          Option(bLabel), bPropsStr, Option(quantKw), Option(allVar),
+          Option(allPRef), Option(allWhere), retStr, Option(obStr),
+          Option(obDirS), Option(limitStr), dir))
     case ChainRe(v1, l1, p1, r1, k1, v2, l2, p2, r2, k2, v3, l3, p3,
         whereStr, distinctKw, retStr, obClause, skipStr, limitStr) =>
       val nodes = Seq((v1, l1, p1), (v2, l2, p2), (v3, l3, p3)).map {
@@ -5068,6 +5108,41 @@ object CypherLite {
     * pattern's label/property constraints). Never a per-pair search: all
     * (a, b) pairs resolve in one distributed traversal.
     */
+  /** The traversal-oriented edge relation of the path forms: "out" = as
+    * stored, "in" = reversed (a src↔dst projection — no extra shuffle),
+    * "both" = union of both orientations. Every row keeps the STORED
+    * edge identity in `eid`, so the path-level relationship-uniqueness
+    * probe is orientation-blind: one relationship can never appear
+    * twice in a path, even traversed in opposite directions (Cypher's
+    * rule — the 2-cycle a-b-a via one edge is no path).
+    */
+  private def orientedEdges(g: GraphTables, dir: String): DataFrame = {
+    val base = g.edges.toDF().withColumn("eid",
+      struct(col("src"), col("dst"), col("relType")))
+    val fwd = base.select(col("src"), col("dst"), col("relType"),
+      col("props"), col("eid"))
+    lazy val rev = base.select(col("dst").as("src"),
+      col("src").as("dst"), col("relType"), col("props"), col("eid"))
+    dir match {
+      case "in" => rev
+      case "both" => fwd.unionByName(rev)
+      case _ => fwd
+    }
+  }
+
+  /** The orientation at the TYPED relation level (the depth kernels
+    * walk GraphTables.edges directly).
+    */
+  private def orientedTables(g: GraphTables, dir: String): GraphTables =
+    if (dir == "out") g
+    else {
+      val rev = g.edges.toDF().select(col("dst").as("src"),
+        col("src").as("dst"), col("relType"), col("docnbr"),
+        col("batch"), col("props")).as(g.edges.encoder)
+      GraphTables(g.nodes,
+        if (dir == "in") rev else g.edges.unionByName(rev))
+    }
+
   private def runShortestPath(g: GraphTables,
       sp: ShortestPathReturn): DataFrame = {
     def pred(label: Option[String], props: Map[String, String]): Column =
@@ -5103,9 +5178,8 @@ object CypherLite {
     // allShortestPaths: every min-length path (its true bag semantics).
     val withB = if (needNodes || needRels) {
       val k = sp.bound.get
-      val edgesBase = g.edges.toDF().filter(rel)
-        .select(col("src"), col("dst"),
-          struct(col("src"), col("dst"), col("relType")).as("eid"))
+      val edgesBase = orientedEdges(g, sp.dir).filter(rel)
+        .select(col("src"), col("dst"), col("eid"))
       val edges = (if (needNodes)
         edgesBase.join(g.nodes.toDF()
             .select(col("id").as("dst"), col("name").as("dst_name")),
@@ -5182,10 +5256,11 @@ object CypherLite {
       else best.join(roots.select(col("id").as("root_id") +:
         aCols.map(p => col(p).as(s"${sp.aVar}_$p")): _*), "root_id")
     } else {
+      val gO = orientedTables(g, sp.dir)
       val depths = sp.bound match {
-        case Some(k) => GraphOps.kHop(g, rootIds, k, rel)
+        case Some(k) => GraphOps.kHop(gO, rootIds, k, rel)
           .filter(col("depth") > 0)
-        case None => GraphOps.shortestDepths(g, rootIds, rel)
+        case None => GraphOps.shortestDepths(gO, rootIds, rel)
       }
       val withA =
         if (aCols.isEmpty) depths
@@ -5256,11 +5331,10 @@ object CypherLite {
     // byte-identical to before
     val needNodes = pq.items.contains(PQNodes)
     val needRels = pq.items.contains(PQRels)
-    val edgesBase = g.edges.toDF()
+    val edgesBase = orientedEdges(g, pq.dir)
       .filter(if (isAll) relColOf(pq.relType) && edgeDnf
         else relColOf(pq.relType))
-      .select(col("src"), col("dst"),
-        struct(col("src"), col("dst"), col("relType")).as("eid"),
+      .select(col("src"), col("dst"), col("eid"),
         term.as("w"),
         (if (isAll) lit(0)
          else when(edgeDnf, lit(1)).otherwise(lit(0))).as("hit"),

@@ -1565,6 +1565,58 @@ object ParquetGraph {
         .fold(err => throw new IllegalArgumentException(err), identity)
     },
 
+    // C10 read surface (new r13): DIRECTION on the path forms —
+    // an INCOMING quantified ranged pattern with reconstruction
+    // (`(b)<-[r:ROAD*1..3]-(a)`: the reversed edge relation, a
+    // projection, no extra shuffle; nodes(p) serializes from the
+    // pattern's left endpoint) over the ROAD chain anchored at EUROPE:
+    // exactly the three upstream suffixes of the chain come back.
+    QueryDef.sql(
+      "graphp_cypher_path_incoming",
+      """WITH RECURSIVE e AS (
+        |  SELECT r_name AS src, lag(r_name) OVER (ORDER BY r_name)
+        |    AS dst
+        |  FROM region),
+        |p AS (
+        |  SELECT src AS x, dst AS y, 1 AS len, src || ',' || dst AS pn
+        |  FROM e WHERE src = 'EUROPE' AND dst IS NOT NULL
+        |  UNION ALL
+        |  SELECT p.x, e.dst, p.len + 1, p.pn || ',' || e.dst
+        |  FROM p JOIN e ON e.src = p.y
+        |  WHERE p.len < 3 AND e.dst IS NOT NULL)
+        |SELECT y AS a_name, pn AS path_nodes, CAST(len AS INT)
+        |  AS path_len
+        |FROM p ORDER BY path_nodes""".stripMargin) { (s, d) =>
+      CypherLite.run(roadPropsGraph(s, d),
+        "MATCH p = (b:Region {name: 'EUROPE'})<-[r:ROAD*1..3]-" +
+          "(a:Region) RETURN a.name, nodes(p), length(p) " +
+          "ORDER BY nodes(p)")
+        .fold(err => throw new IllegalArgumentException(err), identity)
+    },
+
+    // C10 read surface (new r13): UNDIRECTED shortestPath with
+    // reconstruction — from the chain's END every other region is
+    // reachable only backwards; the (endpoint, length, trail) rows are
+    // the chain suffixes walked against the arrows.
+    QueryDef.sql(
+      "graphp_cypher_shortest_undirected",
+      """WITH r AS (
+        |  SELECT r_name, row_number() OVER (ORDER BY r_name) AS rn
+        |  FROM region),
+        |me AS (SELECT max(rn) AS mrn FROM r)
+        |SELECT t.r_name AS b_name, CAST(me.mrn - t.rn AS INT)
+        |    AS path_len,
+        |  (SELECT string_agg(r2.r_name, ',' ORDER BY r2.rn DESC)
+        |   FROM r r2 WHERE r2.rn BETWEEN t.rn AND me.mrn) AS path_nodes
+        |FROM r t, me WHERE t.rn <> me.mrn
+        |ORDER BY b_name""".stripMargin) { (s, d) =>
+      CypherLite.run(roadPropsGraph(s, d),
+        "MATCH p = shortestPath((a:Region {name: 'MIDDLE EAST'})" +
+          "-[:ROAD*1..4]-(b:Region)) " +
+          "RETURN b.name, length(p), nodes(p) ORDER BY b.name")
+        .fold(err => throw new IllegalArgumentException(err), identity)
+    },
+
     // C10 read surface (new r13): the relationship property-map
     // inspection accessors — `RETURN keys(r), properties(r)` over the
     // Cypher-written ROAD chain (edges carry weight + grade). Both

@@ -333,4 +333,47 @@ class PathQuantSpec extends SparkSpec {
       "-[:ROAD*]->(b:N {name: 'n4'})) RETURN nodes(p)")
       .contains("bounded"))
   }
+
+  test("direction on path forms: <- walks the reversed relation, " +
+      "-[]- is undirected with orientation-blind edge uniqueness") {
+    // incoming: start at n4, stored edges INTO it — the reversed
+    // diamond; nodes(p) serializes from the pattern's left endpoint
+    val in = rows("MATCH p = (x:N {name: 'n4'})<-[r:ROAD*1..2]-(y:N " +
+      "{name: 'n1'}) RETURN nodes(p), length(p) ORDER BY nodes(p)")
+    assert(in.map(x => (x.getAs[String]("path_nodes"),
+      x.getAs[Int]("path_len"))).toSeq ==
+      Seq(("n4,n1", 1), ("n4,n2,n1", 2), ("n4,n3,n1", 2)))
+    // undirected single step from n4: neighbors in EITHER direction
+    val und = rows("MATCH p = (x:N {name: 'n4'})-[r:ROAD*1..1]-(y:N) " +
+      "RETURN y.name ORDER BY y_name")
+    assert(und.map(_.getAs[String]("y_name")).toSeq ==
+      Seq("n1", "n2", "n3", "n5"))
+    // orientation-blind uniqueness: ONE stored edge cannot make the
+    // 2-step bounce x-y-x (rows through n5, which only connects via
+    // 4→5, must not answer a length-2 path back to n4)
+    val bounce = rows("MATCH p = (x:N {name: 'n5'})-[r:ROAD*2..2]-" +
+      "(y:N {name: 'n5'}) RETURN length(p)")
+    assert(bounce.isEmpty)
+    // quantifier composes with direction: incoming ALL over the
+    // reversed diamond — only the via-2 trail has every weight < 5
+    val inAll = rows("MATCH p = (x:N {name: 'n4'})<-[r:ROAD*2..2]-" +
+      "(y:N {name: 'n1'}) WHERE ALL(z IN relationships(p) WHERE " +
+      "z.weight < 5) RETURN nodes(p)")
+    assert(inAll.map(_.getAs[String]("path_nodes")).toSeq ==
+      Seq("n4,n2,n1"))
+    // shortestPath undirected with reconstruction: n5 reaches n3 only
+    // through n4 (against 3→4) — the actual route comes back
+    val spu = rows("MATCH p = shortestPath((a:N {name: 'n5'})" +
+      "-[:ROAD*1..4]-(b:N {name: 'n3'})) RETURN nodes(p), length(p)")
+    assert(spu.map(x => (x.getAs[String]("path_nodes"),
+      x.getAs[Int]("path_len"))).toSeq == Seq(("n5,n4,n3", 2)))
+    // both-ended arrows reject by name
+    def leftMsg(qs: String): String =
+      CypherLite.run(g, qs).swap.getOrElse(fail(s"$qs unexpectedly " +
+        "parsed"))
+    assert(leftMsg("MATCH p = (a:N)<-[r:ROAD*1..2]->(b:N) " +
+      "RETURN length(p)").contains("point both ways"))
+    assert(leftMsg("MATCH p = shortestPath((a:N)<-[:ROAD*1..2]->(b:N))" +
+      " RETURN length(p)").contains("point both ways"))
+  }
 }
