@@ -462,6 +462,11 @@ object CypherLite {
   // aggregates. Node-side keys(n)/properties(n) are rejected by name —
   // node properties are FIXED columns here (project them directly).
   final case class RetRelAccessor(fn: String) extends RetItem
+  // coalesce(r.prop, 'default') — the missing-key/unmatched-OPTIONAL
+  // default on the edge-property map (canonical column `r_<prop>`, like
+  // [[RetRelProp]]; the default applies BEFORE DISTINCT/ORDER BY).
+  final case class RetRelCoalesce(prop: String, default: String)
+    extends RetItem
 
   /** `WITH <keys>, agg AS <alias>[, agg AS <alias> …] [WHERE <alias>
     * <op> <num>]` — the aggregate-then-filter (HAVING) pipeline stage.
@@ -1282,6 +1287,8 @@ object CypherLite {
   private val LabelsRe = """(?is)\s*labels\s*\(\s*(\w+)\s*\)\s*""".r
   // keys(r) / properties(r) — the relationship property-map accessors
   private val KeysFnRe = """(?is)\s*keys\s*\(\s*(\w+)\s*\)\s*""".r
+  private val StartEndNodeRe =
+    """(?is)\s*(startNode|endNode)\s*\(\s*(\w+)\s*\)\s*""".r
   private val PropsAccessorRe =
     """(?is)\s*properties\s*\(\s*(\w+)\s*\)\s*""".r
   // scalar string functions over a property projection (RETURN items).
@@ -3771,9 +3778,19 @@ object CypherLite {
           s", got '$v.$p'")
         case CoalesceRe(v, p, d) if conn.contains(v) =>
           Right(RetCoalesce(p, d))
+        // coalesce(r.prop, 'default') — the same OPTIONAL/missing-key
+        // staple on the edge-property map (a missing key projects null
+        // exactly like an unmatched binding)
+        case CoalesceRe(v, p, d) if relVar.contains(v) =>
+          Right(RetRelCoalesce(p, d))
         case CoalesceRe(v, p, _) => Left("coalesce() may only default " +
           "the connected variable's property" +
-          conn.fold("")(c => s" ('$c.<prop>')") + s", got '$v.$p'")
+          conn.fold("")(c => s" ('$c.<prop>')") +
+          relVar.fold("")(r => s" or the relationship variable's " +
+            s"('$r.<prop>')") + s", got '$v.$p'")
+        case StartEndNodeRe(fn, _) => Left(s"$fn() is not supported — " +
+          "the pattern's endpoint variables already name both nodes: " +
+          "project their properties directly (m.prop / c.prop)")
         case LabelsRe(v) if v == m => Right(RetLabels(onConn = false))
         case LabelsRe(v) if conn.contains(v) =>
           Right(RetLabels(onConn = true))
@@ -3889,6 +3906,7 @@ object CypherLite {
         case RetAggRootProp(fn, p) => Some(s"${fn}_$p")
         case RetRelType => Some("r_type")
         case RetRelAccessor(fn) => Some(s"r_$fn")
+        case RetRelCoalesce(p, _) => Some(s"r_$p")
         case _ => None
       }
       val itemsE: Either[String,
@@ -4037,6 +4055,8 @@ object CypherLite {
                 // binding-side pseudo-namespace as r.prop)
                 case Some(RetRelAccessor(fn)) =>
                   Right((RelKeyPrefix + fn, d(dir)))
+                case Some(RetRelCoalesce(p, _)) =>
+                  Right((RelKeyPrefix + p, d(dir)))
                 case Some(_) => Left("ORDER BY on this alias kind is " +
                   s"not supported ('$b')")
                 case None => Left(s"ORDER BY key '$b' is not an alias " +
@@ -4177,11 +4197,25 @@ object CypherLite {
           // alongside the whole connected node it rides the binding columns
           _ <- if ((items.contains(RetRelType) ||
               items.exists(_.isInstanceOf[RetRelProp]) ||
-              items.exists(_.isInstanceOf[RetRelAccessor])) &&
+              items.exists(_.isInstanceOf[RetRelAccessor]) ||
+              items.exists(_.isInstanceOf[RetRelCoalesce])) &&
               items.contains(RetVar) && !items.contains(RetConnected))
             Left("RETURN of the whole matched node cannot be combined with " +
               "type() or r.prop — project m.prop explicitly")
           else Right(())
+          // coalesce(r.p, …) and an aggregate over the SAME r.p would
+          // share the r_<p> column — the default would leak into the
+          // aggregate's input. Reject rather than silently mis-aggregate.
+          _ <- items.collectFirst {
+            case RetRelCoalesce(p, _) if items.exists {
+              case RetAggRelProp(_, q) => q == p
+              case RetCollectRel(q, _) => q == p
+              case _ => false
+            } => p
+          }.map(p => Left(s"coalesce(r.$p, …) cannot be combined with " +
+            s"an aggregate over r.$p in one RETURN — they share the " +
+            s"r_$p column and the default would leak into the aggregate"))
+            .getOrElse(Right(()))
           // Cypher's grouping rule: every non-aggregate RETURN item is a
           // grouping key; with NO non-aggregate items the query is the
           // GLOBAL form (one summary row) — that's isGlobal, handled by
@@ -4190,7 +4224,8 @@ object CypherLite {
           _ <- if (items.exists(isAgg) && !isGlobal && !items.exists(i =>
               i == RetVar || i.isInstanceOf[RetProp] || i == RetRelType ||
               i.isInstanceOf[RetRelProp] ||
-              i.isInstanceOf[RetRelAccessor]))
+              i.isInstanceOf[RetRelAccessor] ||
+              i.isInstanceOf[RetRelCoalesce]))
             Left("an aggregate requires a grouping item (m, m.prop, " +
               "type(r), or r.prop)")
           else Right(())
@@ -6206,8 +6241,14 @@ object CypherLite {
         }
         // coalesce defaults applied to the projected binding columns
         // BEFORE DISTINCT/ORDER BY (Cypher operates on returned values)
+        // rel-side defaults join the list too: the r_<p> column was
+        // already defaulted on the BINDINGS relation (missing-key
+        // nulls), but an unmatched OPTIONAL root's null arrives from
+        // the LEFT JOIN after that — default again post-join, same as
+        // the c-side (idempotent on already-defaulted rows)
         val coalesceDefaults =
-          items.collect { case RetCoalesce(p, d) => (s"c_$p", d) }
+          items.collect { case RetCoalesce(p, d) => (s"c_$p", d) } ++
+            items.collect { case RetRelCoalesce(p, d) => (s"r_$p", d) }
         def applyDefaults(df: DataFrame): DataFrame =
           coalesceDefaults.foldLeft(df) { case (acc, (c, d)) =>
             acc.withColumn(c, coalesce(col(c), lit(d)))
@@ -6282,8 +6323,17 @@ object CypherLite {
         val relPropCols = (items.collect { case RetRelProp(p) => p } ++
           items.collect { case RetAggRelProp(_, p) => p } ++
           items.collect { case RetCollectRel(p, _) => p }).distinct
-        val neigh1 = relPropCols.foldLeft(neigh0)((df, p) =>
+        val neigh0b = relPropCols.foldLeft(neigh0)((df, p) =>
           df.withColumn(s"r_$p", element_at(col("r_props"), p)))
+        // coalesce(r.prop, 'default'): the defaulted projection shares
+        // the r_<prop> canonical column (a co-present bare r.prop would
+        // collide there and is rejected by the duplicate-canonical
+        // check at parse)
+        val neigh1 = items.collect { case RetRelCoalesce(p, d) => (p, d) }
+          .foldLeft(neigh0b) { case (df, (p, d)) =>
+            df.withColumn(s"r_$p",
+              coalesce(element_at(col("r_props"), p), lit(d)))
+          }
         // keys(r)/properties(r): deterministic serializations of the
         // edge-prop map, sorted by key (RetRelAccessor doc). Null map
         // (unmatched OPTIONAL binding) → null through every step —
@@ -6308,7 +6358,8 @@ object CypherLite {
           (if (items.contains(RetRelType)) Seq("r_type")
            else Seq.empty) ++
             items.collect { case RetRelProp(p) => s"r_$p" }.distinct ++
-            items.collect { case RetRelAccessor(fn) => s"r_$fn" }.distinct
+            items.collect { case RetRelAccessor(fn) => s"r_$fn" }.distinct ++
+            items.collect { case RetRelCoalesce(p, _) => s"r_$p" }.distinct
         // m properties the binding filter needs beyond what RETURN asks
         // for — a cross-variable cond contributes its m-side property from
         // WHICHEVER side of the comparison it sits on

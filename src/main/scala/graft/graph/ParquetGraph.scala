@@ -1672,6 +1672,33 @@ object ParquetGraph {
         .fold(err => throw new IllegalArgumentException(err), identity)
     },
 
+    // C10 read surface (new r13): coalesce(r.prop, 'default') — the
+    // missing-key default on the edge-property map, composed with a
+    // write: even edges carry the written toll, odd edges never got
+    // the key and must answer the default (a null-leak through the
+    // projection would hash-miss on every odd row).
+    QueryDef.sql(
+      "graphp_cypher_rel_coalesce",
+      """WITH r AS (
+        |  SELECT r_name, r_regionkey,
+        |    row_number() OVER (ORDER BY r_name) AS rn
+        |  FROM region)
+        |SELECT c.r_name AS b_name,
+        |  CASE WHEN c.r_regionkey % 2 = 0 THEN '1' ELSE '0' END
+        |    AS r_toll
+        |FROM r p JOIN r c ON c.rn = p.rn + 1
+        |ORDER BY b_name""".stripMargin) { (s, d) =>
+      val mutated = CypherLite.runWrite(roadPropsGraph(s, d),
+        "MATCH (a:Region)-[r:ROAD]->(b:Region) WHERE r.grade = 'even' " +
+          "SET r.toll = '1'", Map.empty)
+        .fold(err => throw new IllegalArgumentException(err), _._1)
+      CypherLite.run(mutated,
+        "MATCH (a:Region)-[r:ROAD]->(b:Region) " +
+          "RETURN b.name AS b_name, coalesce(r.toll, '0') " +
+          "ORDER BY b_name")
+        .fold(err => throw new IllegalArgumentException(err), identity)
+    },
+
     // C10 write surface (new r13): the MAP-form relationship updates —
     // `SET r += {…}` (merge: written keys overwrite, others keep) and
     // `SET r = {…}` (replace: the whole props map is overwritten,

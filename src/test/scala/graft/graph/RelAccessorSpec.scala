@@ -57,6 +57,30 @@ class RelAccessorSpec extends SparkSpec {
       Seq(("grade,weight", 1L), ("", 1L)))
   }
 
+  test("coalesce(r.prop, default): missing keys and unmatched OPTIONAL " +
+      "bindings answer the default; aggregate collisions reject") {
+    // n1-[T]->n2 carries weight; n1-[T]->n3 has an empty map
+    val r = rows("MATCH (a:N {name: 'n1'})-[r:T]->(b:N) " +
+      "RETURN b.name AS b_name, coalesce(r.weight, 'none') " +
+      "ORDER BY b_name")
+    assert(r.map(x => (x.getAs[String]("b_name"),
+      x.getAs[String]("r_weight"))).toSeq ==
+      Seq(("n2", "2"), ("n3", "none")))
+    // unmatched OPTIONAL binding: r is null → default
+    val opt = rows("MATCH (a:N {name: 'n4'}) OPTIONAL MATCH " +
+      "(a)-[r:T]->(b) RETURN a.name, coalesce(r.weight, 'none')")
+    assert(opt.map(_.getAs[String]("r_weight")).toSeq == Seq("none"))
+    // sharing r_<p> with an aggregate over the same prop rejects
+    val bad = CypherLite.run(g, "MATCH (a:N)-[r:T]->(b:N) " +
+      "RETURN coalesce(r.weight, '7'), avg(r.weight)")
+    assert(bad.isLeft &&
+      bad.swap.toOption.get.contains("leak into the aggregate"), bad)
+    // startNode/endNode reject by name with the projection pointer
+    val sn = CypherLite.run(g,
+      "MATCH (a:N)-[r:T]->(b:N) RETURN startNode(r)")
+    assert(sn.isLeft && sn.swap.toOption.get.contains("endpoint"), sn)
+  }
+
   test("node-side keys()/properties() and unbound r reject by name") {
     def leftMsg(q: String): String =
       CypherLite.run(g, q).swap.getOrElse(fail(s"$q unexpectedly parsed"))
