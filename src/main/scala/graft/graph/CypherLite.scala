@@ -891,7 +891,18 @@ object CypherLite {
       // count([DISTINCT] v) over the chain bindings, grouped by `items`
       // (Cypher's grouping rule); output column `n_<var>`. ORDER BY
       // count(v) is encoded as orderBy index -1 with the count column.
-      countVar: Option[(Int, Boolean)] = None) extends Statement
+      countVar: Option[(Int, Boolean)] = None,
+      // per-segment RELATIONSHIP filters (r13): inline map equalities
+      // (`-[r:T {grade: 'x'}]->`) and top-level-conjunct `r.prop` WHERE
+      // atoms, both compiled onto that segment's EDGE SCAN (sargable,
+      // below the joins — the chain only walks passing edges).
+      // Filter-only by design: projecting r.prop on a chain rejects by
+      // name (the id-pair expansion drops edge payloads; a single-hop
+      // MATCH projects them). Single-hop segments only — parse rejects
+      // them on var-length segments (the quantified path form owns
+      // per-edge talk there).
+      relMaps: Seq[Map[String, String]] = Seq.empty,
+      relConds: Seq[Seq[Cond]] = Seq.empty) extends Statement
 
   // the shared MATCH-pattern prefix (matched node, optional hop pattern,
   // optional pattern-level WHERE) — both statement regexes build on it,
@@ -974,11 +985,14 @@ object CypherLite {
   // arrow right after the middle node's paren is what distinguishes this
   // from the single-hop forms (whose regexes require WHERE/WITH/RETURN
   // there, so neither can swallow a chain).
+  // each segment bracket (r13): optional rel VARIABLE, optional type
+  // alternation, optional *1..k range, optional inline property map —
+  // vars/maps power the chain's per-segment relationship filters
   private val ChainRe =
     ("""(?is)\s*MATCH\s*\(\s*(\w+)\s*(?::\s*(\w+))?\s*(?:\{\s*([^}]*)\s*\})?\s*\)\s*""" +
-      """-\s*\[\s*(?::\s*(\w+(?:\s*\|\s*\w+)*)\s*)?(?:\*\s*1\s*\.\.\s*(\d+)\s*)?\]\s*->\s*""" +
+      """-\s*\[\s*(\w+)?\s*(?::\s*(\w+(?:\s*\|\s*\w+)*)\s*)?(?:\*\s*1\s*\.\.\s*(\d+)\s*)?(?:\{\s*([^}]*)\s*\}\s*)?\]\s*->\s*""" +
       """\(\s*(\w+)\s*(?::\s*(\w+))?\s*(?:\{\s*([^}]*)\s*\})?\s*\)\s*""" +
-      """-\s*\[\s*(?::\s*(\w+(?:\s*\|\s*\w+)*)\s*)?(?:\*\s*1\s*\.\.\s*(\d+)\s*)?\]\s*->\s*""" +
+      """-\s*\[\s*(\w+)?\s*(?::\s*(\w+(?:\s*\|\s*\w+)*)\s*)?(?:\*\s*1\s*\.\.\s*(\d+)\s*)?(?:\{\s*([^}]*)\s*\}\s*)?\]\s*->\s*""" +
       """\(\s*(\w+)\s*(?::\s*(\w+))?\s*(?:\{\s*([^}]*)\s*\})?\s*\)\s*""" +
       """(?:WHERE\s+(.*?)\s*)?""" +
       """RETURN\s+(DISTINCT\s+)?(.+?)\s*""" +
@@ -3411,18 +3425,27 @@ object CypherLite {
           Option(bLabel), bPropsStr, Option(quantKw), Option(allVar),
           Option(allPRef), Option(allWhere), retStr, Option(obStr),
           Option(obDirS), Option(limitStr), dir))
-    case ChainRe(v1, l1, p1, r1, k1, v2, l2, p2, r2, k2, v3, l3, p3,
-        whereStr, distinctKw, retStr, obClause, skipStr, limitStr) =>
+    case ChainRe(chGroups @ _*) =>
+      // 23 capture groups exceed the fixed-arity pattern limit (22)
+      val Seq(v1, l1, p1) = chGroups.slice(0, 3)
+      val Seq(rv1, r1, k1, m1) = chGroups.slice(3, 7)
+      val Seq(v2, l2, p2) = chGroups.slice(7, 10)
+      val Seq(rv2, r2, k2, m2) = chGroups.slice(10, 14)
+      val Seq(v3, l3, p3) = chGroups.slice(14, 17)
+      val Seq(whereStr, distinctKw, retStr, obClause, skipStr,
+        limitStr) = chGroups.slice(17, 23)
+      def propsOfS(s: String): Map[String, String] =
+        Option(s).toSeq.flatMap(x => PropRe.findAllMatchIn(x)
+          .map(p => p.group(1) -> p.group(2))).toMap
       val nodes = Seq((v1, l1, p1), (v2, l2, p2), (v3, l3, p3)).map {
-        case (v, l, ps) => ChainNode(v, Option(l),
-          Option(ps).toSeq.flatMap(s => PropRe.findAllMatchIn(s)
-            .map(p => p.group(1) -> p.group(2))).toMap)
+        case (v, l, ps) => ChainNode(v, Option(l), propsOfS(ps))
       }
       val rels = Seq(
         (Option(r1), Option(k1).map(_.toInt).getOrElse(1)),
         (Option(r2), Option(k2).map(_.toInt).getOrElse(1)))
       buildChainStmt(nodes, rels, whereStr, distinctKw, retStr, obClause,
-        skipStr, limitStr)
+        skipStr, limitStr, Seq(Option(rv1), Option(rv2)),
+        Seq(Option(m1), Option(m2)))
     case WithRe(m, label, propsStr, optVar, relType, hopsStr, connVar,
         connLabel, connPropsStr, whereStr, withItems, havVar, havOp, havNum,
         wObClause, wLimitStr, postHavStr, distinctKw, retStr, retObClause,
@@ -4281,7 +4304,7 @@ object CypherLite {
   private val NodePatPrefixRe =
     """(?s)\s*\(\s*(\w+)\s*(?::\s*(\w+))?\s*(?:\{\s*([^}]*)\s*\})?\s*\)""".r
   private val RelPatPrefixRe =
-    """(?s)\s*-\s*\[\s*(?::\s*(\w+(?:\s*\|\s*\w+)*)\s*)?(?:\*\s*1\s*\.\.\s*(\d+)\s*)?\]\s*-\s*>""".r
+    """(?s)\s*-\s*\[\s*(\w+)?\s*(?::\s*(\w+(?:\s*\|\s*\w+)*)\s*)?(?:\*\s*1\s*\.\.\s*(\d+)\s*)?(?:\{\s*([^}]*)\s*\}\s*)?\]\s*-\s*>""".r
   private val MatchPrefixRe = """(?is)\s*MATCH\b""".r
   private val ChainTailRe =
     ("""(?is)\s*(?:WHERE\s+(.*?)\s*)?""" +
@@ -4303,18 +4326,6 @@ object CypherLite {
   }
 
   private def parseMultiChain(query: String): Either[String, Statement] = {
-    // a hop bracket carrying an inline property map: 3+-segment chains
-    // route here BEFORE the single-hop statement forms' named fall-
-    // through can see them, so the restriction must be named here too —
-    // otherwise the map shreds the segment scan and the user gets a
-    // generic chain-shape error for a documented restriction
-    val blankedQ = blankQuoted(query)
-    if (RelBracketRe.findAllMatchIn(blankedQ).exists(mm =>
-        blankedQ.substring(mm.start, mm.end).contains("{")))
-      return Left("a relationship property map (-[r:T {…}]->) is " +
-        "supported on single-hop MATCH patterns only — not on " +
-        "multi-segment chains or variable-length patterns; match single " +
-        "hops and filter with WHERE")
     def propsOf(s: String): Map[String, String] =
       Option(s).toSeq.flatMap(x => PropRe.findAllMatchIn(x)
         .map(p => p.group(1) -> p.group(2))).toMap
@@ -4327,6 +4338,8 @@ object CypherLite {
       case Some(nm0) =>
         val nodesB = Seq.newBuilder[ChainNode]
         val relsB = Seq.newBuilder[(Option[String], Int)]
+        val relVarsB = Seq.newBuilder[Option[String]]
+        val relMapsB = Seq.newBuilder[Option[String]]
         nodesB += ChainNode(nm0.group(1), Option(nm0.group(2)),
           propsOf(nm0.group(3)))
         pos += nm0.end
@@ -4344,8 +4357,10 @@ object CypherLite {
                     "relationship segment, got: '" +
                     query.substring(relPos).trim.take(40) + "'")
                 case Some(nm) =>
-                  relsB += ((Option(rm.group(1)),
-                    Option(rm.group(2)).map(_.toInt).getOrElse(1)))
+                  relsB += ((Option(rm.group(2)),
+                    Option(rm.group(3)).map(_.toInt).getOrElse(1)))
+                  relVarsB += Option(rm.group(1))
+                  relMapsB += Option(rm.group(4))
                   nodesB += ChainNode(nm.group(1), Option(nm.group(2)),
                     propsOf(nm.group(3)))
                   pos = relPos + nm.end
@@ -4357,7 +4372,8 @@ object CypherLite {
             case ChainTailRe(whereStr, distinctKw, retStr, obClause,
                 skipStr, limitStr) =>
               buildChainStmt(nodesB.result(), relsB.result(), whereStr,
-                distinctKw, retStr, obClause, skipStr, limitStr)
+                distinctKw, retStr, obClause, skipStr, limitStr,
+                relVarsB.result(), relMapsB.result())
             case rest =>
               Left("unsupported chain tail: '" + rest.trim.take(60) + "'")
           }
@@ -4372,8 +4388,21 @@ object CypherLite {
   private def buildChainStmt(nodes: Seq[ChainNode],
       rels: Seq[(Option[String], Int)], whereStr: String,
       distinctKw: String, retStr: String, obClause: String,
-      skipStr: String, limitStr: String): Either[String, Statement] = {
+      skipStr: String, limitStr: String,
+      // per-segment relationship variables and RAW inline-map bodies
+      // (r13): vars admit `WHERE r.prop …` conjunct atoms, maps desugar
+      // to per-segment equality filters — both compile onto that
+      // segment's edge scan. Raw map text is validated here with the
+      // parseRelProps entry-count completeness check.
+      relVars: Seq[Option[String]] = Seq.empty,
+      relMapStrs: Seq[Option[String]] = Seq.empty)
+      : Either[String, Statement] = {
       val varIdx = nodes.map(_.v).zipWithIndex.toMap
+      // rel-var atoms are encoded during WHERE parsing as node-count-
+      // offset indices (idx = nodes.size + segment) and split back out
+      // below — the node grammar is untouched
+      val relIdx: Map[String, Int] = relVars.zipWithIndex
+        .collect { case (Some(v), i) => v -> i }.toMap
       val condsE: Either[String, Seq[Seq[(Int, Cond)]]] =
         Option(whereStr).map(_.trim).filter(_.nonEmpty) match {
           case None => Right(Seq.empty)
@@ -4385,17 +4414,32 @@ object CypherLite {
                 Right(varIdx(v) -> Cond(prop,
                   if (notKw != null) "IS NOT NULL" else "IS NULL", "",
                   negated = neg))
+              case NullCondRe(v, prop, notKw) if relIdx.contains(v) =>
+                Right((nodes.size + relIdx(v)) -> Cond(prop,
+                  if (notKw != null) "IS NOT NULL" else "IS NULL", "",
+                  negated = neg))
               // legacy exists(v.prop) ≡ v.prop IS NOT NULL
               case ExistsFnRe(v, prop) if varIdx.contains(v) =>
                 Right(varIdx(v) -> Cond(prop, "IS NOT NULL", "",
                   negated = neg))
+              case ExistsFnRe(v, prop) if relIdx.contains(v) =>
+                Right((nodes.size + relIdx(v)) ->
+                  Cond(prop, "IS NOT NULL", "", negated = neg))
               case CondRe(fnKw, v, prop, close, op, str, num, list)
                   if varIdx.contains(v) =>
                 mkCondFn(fnKw, close, prop, op, str, num, list)
                   .map(c => varIdx(v) -> c.copy(negated = neg))
+              // r.prop atoms ride the same Cond grammar, segment-offset
+              // encoded; split out and pushed onto the edge scan below
+              case CondRe(fnKw, v, prop, close, op, str, num, list)
+                  if relIdx.contains(v) =>
+                mkCondFn(fnKw, close, prop, op, str, num, list)
+                  .map(c => (nodes.size + relIdx(v)) ->
+                    c.copy(negated = neg))
               case CondRe(_, v, _, _, _, _, _, _) =>
                 Left(s"WHERE may only reference the chain variables " +
-                  s"${nodes.map(_.v).mkString(", ")}, got '$v'")
+                  s"${(nodes.map(_.v) ++ relVars.flatten).mkString(", ")}" +
+                  s", got '$v'")
               case other =>
                 Left(s"unsupported WHERE condition: ${other.take(80)}")
             }
@@ -4416,6 +4460,11 @@ object CypherLite {
         val parsed = retStr.split(",").toSeq.map {
           case VarPropRe(v, p) if varIdx.contains(v) =>
             Right(Left(varIdx(v) -> p))
+          case VarPropRe(v, p) if relIdx.contains(v) =>
+            Left(s"a chain RETURN projects node properties — " +
+              s"relationship properties are FILTER-only on chains " +
+              s"(WHERE $v.$p …); to project them, match the hop " +
+              s"singly (MATCH (a)-[$v:T]->(b) RETURN $v.$p)")
           case CountRe(dk, v) if varIdx.contains(v) =>
             Right(Right(varIdx(v) -> (dk != null)))
           case CountRe(_, v) => Left(s"count() may only aggregate a " +
@@ -4430,11 +4479,62 @@ object CypherLite {
             parsed.collect { case Right(Right(c)) => c })))
       }
       for {
-        _ <- if (nodes.map(_.v).distinct.size != nodes.size)
-          Left("chain variables must be distinct, got " +
-            nodes.map(_.v).mkString(", "))
+        _ <- {
+          val all = nodes.map(_.v) ++ relVars.flatten
+          if (all.distinct.size != all.size)
+            Left("chain variables must be distinct, got " +
+              all.mkString(", "))
+          else Right(())
+        }
+        conds0 <- condsE
+        // split the WHERE atoms back into node conditions and
+        // per-segment relationship conditions (encoded node-count-
+        // offset). A per-edge filter inside an OR cannot compile onto
+        // one segment's scan — conjuncts only.
+        _ <- if (conds0.size > 1 &&
+            conds0.exists(_.exists(_._1 >= nodes.size)))
+          Left("relationship-property conditions on a chain must be " +
+            "top-level conjuncts (ANDed with the rest) — under OR a " +
+            "per-edge filter cannot compile onto one segment's scan")
         else Right(())
-        conds <- condsE
+        conds = conds0.map(_.filter(_._1 < nodes.size)).filter(_.nonEmpty)
+        whereRelConds = rels.indices.map(i =>
+          conds0.flatten.collect {
+            case (j, c) if j == nodes.size + i => c
+          })
+        // inline maps: parse with the completeness check (an
+        // unsupported value form is a named error, never a silent
+        // drop); single-hop segments only, like every per-edge form
+        relMaps <- rels.indices.foldLeft[Either[String,
+            Seq[Map[String, String]]]](Right(Seq.empty)) { (acc, i) =>
+          acc.flatMap { done =>
+            relMapStrs.lift(i).flatten match {
+              case None => Right(done :+ Map.empty[String, String])
+              case Some(body) =>
+                val entries = PropRe.findAllMatchIn(body).toSeq
+                val keyTokens = """\w+\s*:""".r
+                  .findAllMatchIn(blankQuoted(body)).size
+                if (entries.size != keyTokens)
+                  Left("unsupported value form in the relationship " +
+                    "property map — values are 'quoted' literals " +
+                    s"(got: {${body.trim.take(60)}})")
+                else if (entries.map(_.group(1)).distinct.size !=
+                    entries.size)
+                  Left("duplicate key in the relationship property map")
+                else Right(done :+
+                  entries.map(e => e.group(1) -> e.group(2)).toMap)
+            }
+          }
+        }
+        _ <- rels.indices.collectFirst {
+          case i if rels(i)._2 > 1 && (relVars.lift(i).flatten.isDefined
+              || relMaps(i).nonEmpty || whereRelConds(i).nonEmpty) => i
+        }.map(_ => Left("per-edge relationship talk (a variable, an " +
+          "inline map, or r.prop conditions) is supported on " +
+          "single-hop chain segments only — a var-length segment's " +
+          "edges go through the quantified path form (MATCH p = … " +
+          "WHERE ALL(x IN relationships(p) WHERE …))"))
+          .getOrElse(Right(()))
         parsedItems <- itemsE
         (items, counts) = parsedItems
         _ <- if (counts.size > 1)
@@ -4481,7 +4581,8 @@ object CypherLite {
         else Right(())
       } yield ChainReturn(nodes, rels, conds, items, ob,
         Option(skipStr).map(_.toInt), Option(limitStr).map(_.toInt),
-        distinctKw != null, counts.headOption)
+        distinctKw != null, counts.headOption,
+        relMaps = relMaps, relConds = whereRelConds)
   }
 
   /** Canonical output columns for the GLOBAL aggregate form, in item
@@ -4588,8 +4689,19 @@ object CypherLite {
     val n = ch.nodes.size
     def constrained(i: Int): Boolean =
       ch.nodes(i).label.isDefined || ch.nodes(i).props.nonEmpty
+    // the segment's relationship filter: inline-map equalities + the
+    // WHERE conjunct r.prop atoms, all on the edge scan (parse
+    // guarantees they only exist for k = 1 segments)
+    def relExtra(i: Int): Column = {
+      val mapEq = ch.relMaps.lift(i).getOrElse(Map.empty).map {
+        case (k, v) => element_at(col("props"), k) === v
+      }
+      val conds = ch.relConds.lift(i).getOrElse(Seq.empty)
+        .map(c => condCol(c, element_at(col("props"), c.prop)))
+      (mapEq ++ conds).reduceOption(_ && _).getOrElse(lit(true))
+    }
     def edgePairs(i: Int): DataFrame =
-      g.edges.filter(relF(ch.rels(i)))
+      g.edges.filter(relF(ch.rels(i)) && relExtra(i))
         .select(col("src").as(s"id$i"), col("dst").as(s"id${i + 1}"))
         .dropDuplicates(s"id$i", s"id${i + 1}")
     var acc =

@@ -1672,6 +1672,31 @@ object ParquetGraph {
         .fold(err => throw new IllegalArgumentException(err), identity)
     },
 
+    // C10 read surface (new r13): per-segment RELATIONSHIP filters on
+    // chain patterns — a numeric `r1.weight >= 2` WHERE conjunct on the
+    // first segment plus an inline `{grade: 'even'}` map on the second,
+    // both compiled onto their segment's edge scan (filter-only; the
+    // id-pair expansion never carries edge payloads). The oracle
+    // replays the closed-form weights/grades through the same two-join
+    // chain, so a filter landing on the wrong segment hash-misses.
+    QueryDef.sql(
+      "graphp_cypher_chain_relfilter",
+      """WITH r AS (
+        |  SELECT r_name, r_regionkey,
+        |    row_number() OVER (ORDER BY r_name) AS rn
+        |  FROM region)
+        |SELECT a.r_name AS a_name, c.r_name AS c_name
+        |FROM r a JOIN r b ON b.rn = a.rn + 1
+        |  JOIN r c ON c.rn = b.rn + 1
+        |WHERE (b.r_regionkey % 3 + 1) >= 2 AND c.r_regionkey % 2 = 0
+        |ORDER BY a_name""".stripMargin) { (s, d) =>
+      CypherLite.run(roadPropsGraph(s, d),
+        "MATCH (a:Region)-[r1:ROAD]->(b:Region)" +
+          "-[:ROAD {grade: 'even'}]->(c:Region) " +
+          "WHERE r1.weight >= 2 RETURN a.name, c.name ORDER BY a.name")
+        .fold(err => throw new IllegalArgumentException(err), identity)
+    },
+
     // C10 read surface (new r13): coalesce(r.prop, 'default') — the
     // missing-key default on the edge-property map, composed with a
     // write: even edges carry the written toll, odd edges never got

@@ -211,14 +211,29 @@ class RelPropPredicateSpec extends SparkSpec {
       "RETURN b.name").contains("variable-length"))
     assert(leftMsg("MATCH (a:N)-[:ROAD*1..2 {grade: 'a'}]->(b) " +
       "RETURN b.name").contains("variable-length"))
-    // 2-segment chain: the targeted single-hop-only message
-    assert(leftMsg("MATCH (a:N)-[:ROAD {grade: 'a'}]->(b)-[:ROAD]->(c) " +
-      "RETURN c.name").contains("single-hop"))
-    // 3+-segment chain: routes through the N-step scanner, which must
-    // name the SAME restriction (round-13 ADVICE: the generic chain
-    // error used to swallow it)
-    assert(leftMsg("MATCH (a:N)-[:ROAD {grade: 'a'}]->(b)-[:ROAD]->(c)" +
-      "-[:ROAD]->(d) RETURN d.name").contains("single-hop"))
+    // chains now SUPPORT per-segment maps and conjunct r.prop WHERE
+    // atoms on single-hop segments (r13, second wave) — filter-only,
+    // compiled onto each segment's edge scan. 1→2 (grade a, w5) → 2→5
+    // (w3): the first-segment map prunes 1→3/1→4 bindings.
+    assert(names("MATCH (a:N)-[:ROAD {grade: 'a'}]->(b)-[:ROAD]->(c) " +
+      "RETURN c.name") == Seq("n5"))
+    assert(names("MATCH (a:N)-[r1:ROAD]->(b)-[r2:ROAD]->(c) " +
+      "WHERE r1.weight >= 5 AND r2.weight >= 3 RETURN c.name")
+      == Seq("n5"))
+    // the per-edge filter stays conjunct-only — OR across it rejects
+    assert(leftMsg("MATCH (a:N)-[r1:ROAD]->(b)-[r2:ROAD]->(c) " +
+      "WHERE r1.weight >= 5 OR b.name = 'n2' RETURN c.name")
+      .contains("conjuncts"))
+    // var-length SEGMENTS keep rejecting per-edge talk by name
+    assert(leftMsg("MATCH (a:N)-[:ROAD*1..2 {grade: 'a'}]->(b)" +
+      "-[:ROAD]->(c)-[:ROAD]->(d) RETURN d.name")
+      .contains("single-hop"))
+    // projecting r.prop on a chain stays filter-only, by name
+    assert(leftMsg("MATCH (a:N)-[r1:ROAD]->(b)-[:ROAD]->(c) " +
+      "RETURN r1.weight").contains("FILTER-only"))
+    // unsupported map value forms reject on chains too, never drop
+    assert(leftMsg("MATCH (a:N)-[:ROAD {weight: 2}]->(b)-[:ROAD]->(c) " +
+      "RETURN c.name").contains("unsupported value form"))
     // WHERE r.prop needs the bound variable
     assert(leftMsg("MATCH (a:N)-[:ROAD]->(b) WHERE r.weight > 2 " +
       "RETURN b.name").contains("WHERE may only reference"))
