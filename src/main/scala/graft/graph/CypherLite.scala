@@ -902,7 +902,14 @@ object CypherLite {
       // them on var-length segments (the quantified path form owns
       // per-edge talk there).
       relMaps: Seq[Map[String, String]] = Seq.empty,
-      relConds: Seq[Seq[Cond]] = Seq.empty) extends Statement
+      relConds: Seq[Seq[Cond]] = Seq.empty,
+      // per-segment traversal direction (r13): "out" (`->`) or "in"
+      // (`<-` — that segment walks the reversed edge relation, a
+      // column swap on its scan). Mixed chains are Cypher's
+      // co-occurrence staple (`(a)-[:R]->(x)<-[:R]-(b)`); empty = all
+      // "out". Undirected segments reject by name (give each segment a
+      // direction, or use the undirected single-hop form).
+      dirs: Seq[String] = Seq.empty) extends Statement
 
   // the shared MATCH-pattern prefix (matched node, optional hop pattern,
   // optional pattern-level WHERE) — both statement regexes build on it,
@@ -990,9 +997,9 @@ object CypherLite {
   // vars/maps power the chain's per-segment relationship filters
   private val ChainRe =
     ("""(?is)\s*MATCH\s*\(\s*(\w+)\s*(?::\s*(\w+))?\s*(?:\{\s*([^}]*)\s*\})?\s*\)\s*""" +
-      """-\s*\[\s*(\w+)?\s*(?::\s*(\w+(?:\s*\|\s*\w+)*)\s*)?(?:\*\s*1\s*\.\.\s*(\d+)\s*)?(?:\{\s*([^}]*)\s*\}\s*)?\]\s*->\s*""" +
+      """(<)?-\s*\[\s*(\w+)?\s*(?::\s*(\w+(?:\s*\|\s*\w+)*)\s*)?(?:\*\s*1\s*\.\.\s*(\d+)\s*)?(?:\{\s*([^}]*)\s*\}\s*)?\]\s*-\s*(>)?\s*""" +
       """\(\s*(\w+)\s*(?::\s*(\w+))?\s*(?:\{\s*([^}]*)\s*\})?\s*\)\s*""" +
-      """-\s*\[\s*(\w+)?\s*(?::\s*(\w+(?:\s*\|\s*\w+)*)\s*)?(?:\*\s*1\s*\.\.\s*(\d+)\s*)?(?:\{\s*([^}]*)\s*\}\s*)?\]\s*->\s*""" +
+      """(<)?-\s*\[\s*(\w+)?\s*(?::\s*(\w+(?:\s*\|\s*\w+)*)\s*)?(?:\*\s*1\s*\.\.\s*(\d+)\s*)?(?:\{\s*([^}]*)\s*\}\s*)?\]\s*-\s*(>)?\s*""" +
       """\(\s*(\w+)\s*(?::\s*(\w+))?\s*(?:\{\s*([^}]*)\s*\})?\s*\)\s*""" +
       """(?:WHERE\s+(.*?)\s*)?""" +
       """RETURN\s+(DISTINCT\s+)?(.+?)\s*""" +
@@ -3426,14 +3433,14 @@ object CypherLite {
           Option(allPRef), Option(allWhere), retStr, Option(obStr),
           Option(obDirS), Option(limitStr), dir))
     case ChainRe(chGroups @ _*) =>
-      // 23 capture groups exceed the fixed-arity pattern limit (22)
+      // 27 capture groups exceed the fixed-arity pattern limit (22)
       val Seq(v1, l1, p1) = chGroups.slice(0, 3)
-      val Seq(rv1, r1, k1, m1) = chGroups.slice(3, 7)
-      val Seq(v2, l2, p2) = chGroups.slice(7, 10)
-      val Seq(rv2, r2, k2, m2) = chGroups.slice(10, 14)
-      val Seq(v3, l3, p3) = chGroups.slice(14, 17)
+      val Seq(aL1, rv1, r1, k1, m1, aR1) = chGroups.slice(3, 9)
+      val Seq(v2, l2, p2) = chGroups.slice(9, 12)
+      val Seq(aL2, rv2, r2, k2, m2, aR2) = chGroups.slice(12, 18)
+      val Seq(v3, l3, p3) = chGroups.slice(18, 21)
       val Seq(whereStr, distinctKw, retStr, obClause, skipStr,
-        limitStr) = chGroups.slice(17, 23)
+        limitStr) = chGroups.slice(21, 27)
       def propsOfS(s: String): Map[String, String] =
         Option(s).toSeq.flatMap(x => PropRe.findAllMatchIn(x)
           .map(p => p.group(1) -> p.group(2))).toMap
@@ -3443,9 +3450,14 @@ object CypherLite {
       val rels = Seq(
         (Option(r1), Option(k1).map(_.toInt).getOrElse(1)),
         (Option(r2), Option(k2).map(_.toInt).getOrElse(1)))
-      buildChainStmt(nodes, rels, whereStr, distinctKw, retStr, obClause,
-        skipStr, limitStr, Seq(Option(rv1), Option(rv2)),
-        Seq(Option(m1), Option(m2)))
+      for {
+        d1 <- dirOf(aL1, aR1)
+        d2 <- dirOf(aL2, aR2)
+        stmt <- buildChainStmt(nodes, rels, whereStr, distinctKw,
+          retStr, obClause, skipStr, limitStr,
+          Seq(Option(rv1), Option(rv2)), Seq(Option(m1), Option(m2)),
+          Seq(d1, d2))
+      } yield stmt
     case WithRe(m, label, propsStr, optVar, relType, hopsStr, connVar,
         connLabel, connPropsStr, whereStr, withItems, havVar, havOp, havNum,
         wObClause, wLimitStr, postHavStr, distinctKw, retStr, retObClause,
@@ -4304,7 +4316,7 @@ object CypherLite {
   private val NodePatPrefixRe =
     """(?s)\s*\(\s*(\w+)\s*(?::\s*(\w+))?\s*(?:\{\s*([^}]*)\s*\})?\s*\)""".r
   private val RelPatPrefixRe =
-    """(?s)\s*-\s*\[\s*(\w+)?\s*(?::\s*(\w+(?:\s*\|\s*\w+)*)\s*)?(?:\*\s*1\s*\.\.\s*(\d+)\s*)?(?:\{\s*([^}]*)\s*\}\s*)?\]\s*-\s*>""".r
+    """(?s)\s*(<)?-\s*\[\s*(\w+)?\s*(?::\s*(\w+(?:\s*\|\s*\w+)*)\s*)?(?:\*\s*1\s*\.\.\s*(\d+)\s*)?(?:\{\s*([^}]*)\s*\}\s*)?\]\s*-\s*(>)?""".r
   private val MatchPrefixRe = """(?is)\s*MATCH\b""".r
   private val ChainTailRe =
     ("""(?is)\s*(?:WHERE\s+(.*?)\s*)?""" +
@@ -4313,6 +4325,10 @@ object CypherLite {
       """(?:SKIP\s+(\d+)\s*)?""" +
       """(?:LIMIT\s+(\d+))?\s*;?\s*""").r
   private val ArrowSegRe = """\]\s*-\s*>""".r
+  // incoming segments (`<-[`) count toward the multi-chain routing too
+  // (mixed-direction chains, r13); undirected brackets intentionally do
+  // NOT — they belong to the single-hop grammar
+  private val InArrowSegRe = """<\s*-\s*\[""".r
 
   /** A query is routed to the N-step scanner when its (quote-blanked) text
     * opens with MATCH and carries ≥3 outgoing relationship segments —
@@ -4321,7 +4337,8 @@ object CypherLite {
   private def looksMultiChain(q: String): Boolean = {
     val blanked = blankQuoted(q)
     MatchPrefixRe.findPrefixMatchOf(blanked).isDefined &&
-      ArrowSegRe.findAllMatchIn(blanked).size >= 3 &&
+      (ArrowSegRe.findAllMatchIn(blanked).size +
+        InArrowSegRe.findAllMatchIn(blanked).size) >= 3 &&
       !blanked.toLowerCase(java.util.Locale.ROOT).contains("shortestpath")
   }
 
@@ -4340,6 +4357,7 @@ object CypherLite {
         val relsB = Seq.newBuilder[(Option[String], Int)]
         val relVarsB = Seq.newBuilder[Option[String]]
         val relMapsB = Seq.newBuilder[Option[String]]
+        val relDirsB = Seq.newBuilder[String]
         nodesB += ChainNode(nm0.group(1), Option(nm0.group(2)),
           propsOf(nm0.group(3)))
         pos += nm0.end
@@ -4357,13 +4375,18 @@ object CypherLite {
                     "relationship segment, got: '" +
                     query.substring(relPos).trim.take(40) + "'")
                 case Some(nm) =>
-                  relsB += ((Option(rm.group(2)),
-                    Option(rm.group(3)).map(_.toInt).getOrElse(1)))
-                  relVarsB += Option(rm.group(1))
-                  relMapsB += Option(rm.group(4))
-                  nodesB += ChainNode(nm.group(1), Option(nm.group(2)),
-                    propsOf(nm.group(3)))
-                  pos = relPos + nm.end
+                  dirOf(rm.group(1), rm.group(6)) match {
+                    case Left(e) => err = Some(e)
+                    case Right(dir) =>
+                      relsB += ((Option(rm.group(3)),
+                        Option(rm.group(4)).map(_.toInt).getOrElse(1)))
+                      relVarsB += Option(rm.group(2))
+                      relMapsB += Option(rm.group(5))
+                      relDirsB += dir
+                      nodesB += ChainNode(nm.group(1),
+                        Option(nm.group(2)), propsOf(nm.group(3)))
+                      pos = relPos + nm.end
+                  }
               }
           }
         }
@@ -4373,7 +4396,7 @@ object CypherLite {
                 skipStr, limitStr) =>
               buildChainStmt(nodesB.result(), relsB.result(), whereStr,
                 distinctKw, retStr, obClause, skipStr, limitStr,
-                relVarsB.result(), relMapsB.result())
+                relVarsB.result(), relMapsB.result(), relDirsB.result())
             case rest =>
               Left("unsupported chain tail: '" + rest.trim.take(60) + "'")
           }
@@ -4395,7 +4418,8 @@ object CypherLite {
       // segment's edge scan. Raw map text is validated here with the
       // parseRelProps entry-count completeness check.
       relVars: Seq[Option[String]] = Seq.empty,
-      relMapStrs: Seq[Option[String]] = Seq.empty)
+      relMapStrs: Seq[Option[String]] = Seq.empty,
+      relDirs: Seq[String] = Seq.empty)
       : Either[String, Statement] = {
       val varIdx = nodes.map(_.v).zipWithIndex.toMap
       // rel-var atoms are encoded during WHERE parsing as node-count-
@@ -4486,6 +4510,11 @@ object CypherLite {
               all.mkString(", "))
           else Right(())
         }
+        _ <- if (relDirs.contains("both"))
+          Left("an undirected chain segment is not supported — give " +
+            "each segment a direction (-[…]-> or <-[…]-), or match " +
+            "the hop singly with the undirected single-hop form")
+        else Right(())
         conds0 <- condsE
         // split the WHERE atoms back into node conditions and
         // per-segment relationship conditions (encoded node-count-
@@ -4582,7 +4611,7 @@ object CypherLite {
       } yield ChainReturn(nodes, rels, conds, items, ob,
         Option(skipStr).map(_.toInt), Option(limitStr).map(_.toInt),
         distinctKw != null, counts.headOption,
-        relMaps = relMaps, relConds = whereRelConds)
+        relMaps = relMaps, relConds = whereRelConds, dirs = relDirs)
   }
 
   /** Canonical output columns for the GLOBAL aggregate form, in item
@@ -4700,15 +4729,52 @@ object CypherLite {
         .map(c => condCol(c, element_at(col("props"), c.prop)))
       (mapEq ++ conds).reduceOption(_ && _).getOrElse(lit(true))
     }
-    def edgePairs(i: Int): DataFrame =
-      g.edges.filter(relF(ch.rels(i)) && relExtra(i))
-        .select(col("src").as(s"id$i"), col("dst").as(s"id${i + 1}"))
-        .dropDuplicates(s"id$i", s"id${i + 1}")
+    def dirOfSeg(i: Int): String = ch.dirs.lift(i).getOrElse("out")
+    // Cypher's relationship isomorphism: one stored edge may bind at
+    // most ONE segment of the pattern. Only segment pairs whose types
+    // can overlap (same type / intersecting alternations / untyped)
+    // can collide, and only single-hop segments expose the edge — for
+    // exactly those segments the scan carries the stored edge identity
+    // and the pairwise inequality filters post-join. Chains of
+    // disjoint types (the common case) keep the lean id-pair shape,
+    // byte-identical plans. A side effect on colliding-type chains:
+    // bindings are per EDGE COMBINATION (parallel relationships stay
+    // distinct bindings), which is Cypher's bag semantics.
+    def typeSet(t: Option[String]): Option[Set[String]] =
+      t.map(_.split("\\|").map(_.trim).toSet)
+    def overlap(a: Option[String], b: Option[String]): Boolean =
+      (typeSet(a), typeSet(b)) match {
+        case (Some(x), Some(y)) => (x & y).nonEmpty
+        case _ => true
+      }
+    val collidingPairs = for {
+      i <- ch.rels.indices; j <- ch.rels.indices
+      if i < j && ch.rels(i)._2 == 1 && ch.rels(j)._2 == 1 &&
+        overlap(ch.rels(i)._1, ch.rels(j)._1)
+    } yield (i, j)
+    val eidSegs: Set[Int] =
+      collidingPairs.flatMap { case (i, j) => Seq(i, j) }.toSet
+    def edgePairs(i: Int): DataFrame = {
+      val base = g.edges.filter(relF(ch.rels(i)) && relExtra(i))
+      val (s0, d0) =
+        if (dirOfSeg(i) == "in") (col("dst"), col("src"))
+        else (col("src"), col("dst"))
+      val cols = Seq(s0.as(s"id$i"), d0.as(s"id${i + 1}")) ++
+        (if (eidSegs(i))
+          Seq(struct(col("src"), col("dst"), col("relType"))
+            .as(s"eid$i"))
+         else Seq.empty)
+      val sel = base.select(cols: _*)
+      if (eidSegs(i))
+        sel.dropDuplicates(s"id$i", s"id${i + 1}", s"eid$i")
+      else sel.dropDuplicates(s"id$i", s"id${i + 1}")
+    }
     var acc =
       if (ch.rels(0)._2 == 1)
         g.nodes.filter(pred(ch.nodes(0))).select(col("id").as("id0"))
           .join(edgePairs(0), "id0")
-      else GraphOps.neighborhoodWhereKeyed(g, pred(ch.nodes(0)),
+      else GraphOps.neighborhoodWhereKeyed(
+          orientedTables(g, dirOfSeg(0)), pred(ch.nodes(0)),
           ch.rels(0)._2, relF(ch.rels(0)))
         .select(col("root_id").as("id0"), col("c_id").as("id1"))
     for (i <- 1 until n - 1) {
@@ -4723,19 +4789,27 @@ object CypherLite {
       if (ch.rels(i)._2 == 1) acc = acc.join(edgePairs(i), s"id$i")
       else {
         val frontier = acc.select(col(s"id$i").as("root_id")).distinct()
-        val exp = GraphOps.kHop(g, frontier, ch.rels(i)._2, relF(ch.rels(i)))
+        val exp = GraphOps.kHop(orientedTables(g, dirOfSeg(i)),
+            frontier, ch.rels(i)._2, relF(ch.rels(i)))
           .filter(col("depth") > 0)
           .select(col("root_id").as(s"id$i"),
             col("node_id").as(s"id${i + 1}"))
         acc = acc.join(exp, s"id$i")
       }
     }
-    val triples =
+    val triples0 =
       if (constrained(n - 1)) {
         val tailOk = g.nodes.filter(pred(ch.nodes(n - 1)))
           .select(col("id").as(s"id${n - 1}"))
         acc.join(tailOk, Seq(s"id${n - 1}"), "left_semi")
       } else acc
+    // the relationship-isomorphism filter (see eidSegs above), then the
+    // edge-identity columns drop before projection
+    val uniq = collidingPairs
+      .map { case (i, j) => col(s"eid$i") =!= col(s"eid$j") }
+      .reduceOption(_ && _)
+    val triples = uniq.fold(triples0)(triples0.filter)
+      .drop(eidSegs.toSeq.map(i => s"eid$i"): _*)
     // node-side columns per variable: exactly what RETURN/WHERE/ORDER BY
     // touch, named <var>_<prop>
     def neededProps(i: Int): Seq[String] =

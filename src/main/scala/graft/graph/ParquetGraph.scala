@@ -1672,6 +1672,37 @@ object ParquetGraph {
         .fold(err => throw new IllegalArgumentException(err), identity)
     },
 
+    // C10 read surface (new r13): the mixed-direction CO-OCCURRENCE
+    // chain — `(a)-[:CLIQUE]->(x)<-[:CLIQUE]-(b)` over the directed
+    // clique bank, with Cypher's relationship isomorphism across
+    // segments (one stored edge binds at most one segment: the a = b
+    // bounce through a single edge is NO binding). Per region the rank-3
+    // member is the only x with two distinct in-edges, so its count is
+    // exactly the ordered pairs of its two in-neighbors; rank-2 (one
+    // in-edge) contributes nothing — an isomorphism regression would
+    // add it with count 1 and hash-miss.
+    QueryDef.sql(
+      "graphp_cypher_chain_cooccur",
+      """WITH t AS (
+        |  SELECT n_name, n_regionkey,
+        |    row_number() OVER (PARTITION BY n_regionkey
+        |      ORDER BY n_nationkey) AS rn
+        |  FROM nation),
+        |t3 AS (SELECT * FROM t WHERE rn <= 3),
+        |e AS (
+        |  SELECT a.n_name AS src, b.n_name AS dst
+        |  FROM t3 a JOIN t3 b
+        |    ON a.n_regionkey = b.n_regionkey AND a.rn < b.rn)
+        |SELECT e1.dst AS x_name, CAST(count(*) AS BIGINT) AS n_a
+        |FROM e e1 JOIN e e2 ON e1.dst = e2.dst
+        |WHERE e1.src <> e2.src
+        |GROUP BY e1.dst ORDER BY x_name""".stripMargin) { (s, d) =>
+      CypherLite.run(linkPred(s, d),
+        "MATCH (a:Nation)-[:CLIQUE]->(x:Nation)<-[:CLIQUE]-(b:Nation) " +
+          "RETURN x.name, count(a) ORDER BY x.name")
+        .fold(err => throw new IllegalArgumentException(err), identity)
+    },
+
     // C10 read surface (new r13): per-segment RELATIONSHIP filters on
     // chain patterns — a numeric `r1.weight >= 2` WHERE conjunct on the
     // first segment plus an inline `{grade: 'even'}` map on the second,
