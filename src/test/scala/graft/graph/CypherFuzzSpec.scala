@@ -42,7 +42,16 @@ class CypherFuzzSpec extends SparkSpec {
     // the variable, on typed/untyped/ranged brackets + near-misses
     "-[r:HAS_NATION {grade: 'a'}]->(c)", "-[:HAS_NATION {grade: 'a'}]->(c)",
     "-[r {w: '1'}]->(c)", "-[r:HAS_NATION*1..2 {w: '1'}]->(c)",
-    "-[r:HAS_NATION {grade: 'a'")
+    "-[r:HAS_NATION {grade: 'a'",
+    // direction on path/chain forms (round 13, third wave) + near-misses
+    "<-[r:HAS_NATION*1..2]-(c)", "-[r:HAS_NATION*1..2]-(c)",
+    "<-[r:HAS_NATION*1..2]->(c)",
+    "-[:HAS_NATION]->(c)<-[:HAS_NEXT]-(d)",
+    "<-[:HAS_NATION]-(c)<-[:HAS_NEXT]-(d)",
+    "-[:HAS_NATION]-(c)-[:HAS_NEXT]->(d)",
+    "-[r1:HAS_NATION]->(c)-[r2:HAS_NEXT {w: '1'}]->(d)",
+    "-[r1:HAS_NATION {w: 2}]->(c)-[:HAS_NEXT]->(d)",
+    "<-[:HAS_NATION]-(c)-[")
   private val wheres = Seq("", " WHERE m.name = 'n1'",
     // path-quantifier forms (round 13) + near-misses
     " WHERE ALL(x IN relationships(p) WHERE x.w > 1)",
@@ -60,7 +69,10 @@ class CypherFuzzSpec extends SparkSpec {
     " WHERE m.name = 'a' OR (m)-[]->()",
     " WHERE r.weight > 1", " WHERE r.weight IS NULL",
     " WHERE toLower(r.grade) = 'a'", " WHERE r.weight >",
-    " WHERE r.weight > 1 AND c.name = 'n1'")
+    " WHERE r.weight > 1 AND c.name = 'n1'",
+    // chain rel-filter conjuncts (round 13, third wave) + near-misses
+    " WHERE r1.w > 1 AND r2.g = 'a'", " WHERE r1.w > 1 OR c.name = 'a'",
+    " WHERE r1.w IS NOT NULL", " WHERE r1.w > 1 AND")
   // WITH pipeline fragments, incl. MULTI-aggregate forms and near-miss
   // shapes (duplicate alias, grouping item after an aggregate, dangling
   // comma/HAVING) — the round-10 multi-aggregate WITH surface must stay
@@ -108,6 +120,13 @@ class CypherFuzzSpec extends SparkSpec {
     " RETURN CASE WHEN m.name = 'a' THEN 'x' END", " RETURN", "",
     " RETURN m.name AS", " DETACH DELETE m", " SET m.content = 'v'",
     " RETURN r.grade, count(r)", " RETURN sum(r.weight)",
+    // accessors + reconstruction (round 13, third wave) + near-misses
+    " RETURN nodes(p)", " RETURN relationships(p)",
+    " RETURN nodes(p), relationships(p), length(p)",
+    " RETURN nodes(q)", " RETURN nodes(p) AS t",
+    " RETURN keys(r)", " RETURN properties(r)", " RETURN keys(m)",
+    " RETURN coalesce(r.w, 'd')", " RETURN startNode(r)",
+    " RETURN keys(r), count(*)", " RETURN properties(",
     " RETURN m.name, r.weight ORDER BY r.weight", " RETURN r.",
     " RETURN c.name, r.weight")
   private val tails = Seq("", " ORDER BY m.name", " ORDER BY count(c) DESC",
