@@ -2123,6 +2123,17 @@ object CypherLite {
     * through the standard boolean DNF), and the RETURN items
     * (endpoint props, length(p), at most one reduce() sum).
     */
+  /** Internal column names of the [[runPathQuant]] frontier/edge
+    * relations (lowercase). A reduce() alias matching one of these
+    * (case-insensitive — Spark's default resolution) is rejected at
+    * parse so the executor's rename can never manufacture a duplicate
+    * column (ADVICE r13).
+    */
+  private val PQReservedCols: Set[String] = Set(
+    "root_id", "cur", "path_len", "path_nodes", "path_rels",
+    "hits", "unks", "hit", "unk", "visited", "nds", "rels",
+    "w", "eid", "src", "dst", "dst_name")
+
   private def parsePathQuant(pathVar: String, aVar: String,
       aLabel: Option[String], aPropsStr: String, relVar: Option[String],
       relType: Option[String], lo: Int, hi: Int, bVar: String,
@@ -2170,6 +2181,17 @@ object CypherLite {
             else if (acc != accRef || x2 != xRef)
               Left("reduce() accumulator/iterator names must match " +
                 s"($acc = 0 … | $accRef + …; $x2 IN … | … $xRef.<prop>)")
+            // an alias equal to one of the executor's internal frontier
+            // columns would make the final withColumnRenamed create a
+            // DUPLICATE column and fail downstream with an
+            // ambiguous-reference AnalysisException — reject by name
+            // instead (ADVICE r13). "total" itself is fine (no rename).
+            else if (PQReservedCols.contains(alias.getOrElse("total")
+                .toLowerCase(java.util.Locale.ROOT)))
+              Left(s"reduce() alias '${alias.getOrElse("total")}' is " +
+                "reserved by the path executor (" +
+                PQReservedCols.toSeq.sorted.mkString(", ") +
+                ") — pick another name")
             else Right(PQReduce(prop, alias.getOrElse("total")))
           case LengthRe(v) if v == pathVar =>
             if (alias.isDefined)
@@ -3017,9 +3039,13 @@ object CypherLite {
         val entries = OnSetAssignMapRe.findAllMatchIn(mapBody).toSeq
         // the same completeness check as parseRelProps: every `key:`
         // token in the brace span must have parsed, or the value form
-        // is unsupported — reject by name, never drop silently
+        // is unsupported — reject by name, never drop silently. Counted
+        // on the QUOTE-BLANKED body (as parseRelProps and
+        // buildChainStmt do), so a quoted value containing a
+        // colon-suffixed word ({note: 'see docs: here'}) cannot
+        // inflate the count and falsely reject a valid map (ADVICE r13)
         val keyTokens =
-          """\w+\s*:""".r.findAllMatchIn(mapBody).size
+          """\w+\s*:""".r.findAllMatchIn(blankQuoted(mapBody)).size
         for {
           _ <- if (setVar != rV)
             Left(s"SET may only write the bound relationship '$rV', " +
@@ -6170,20 +6196,40 @@ object CypherLite {
     * relation keeps `relType`, so type(r) answers the TRUE type of an
     * incoming edge).
     */
-  private def typedBindings(g: GraphTables, pred: Column,
+  /** The single-hop typed-bindings relation: one row per (root, edge)
+    * binding. Orientation is applied HERE (not by pre-reversing the
+    * edge table) so every row keeps the STORED edge identity in
+    * `r_eid` — on an undirected match the both-orientations union
+    * yields two binding rows per stored relationship (Cypher's bag
+    * semantics: `count(r)` counts both), but `count(DISTINCT r)`
+    * collapses them back to ONE relationship by grouping on `r_eid`
+    * rather than the orientation-dependent (root, c, type) tuple
+    * (ADVICE r13: the latter double-counted undirected matches).
+    */
+  private def typedBindings(g0: GraphTables, dir: String, pred: Column,
       relFilter: Column): DataFrame = {
-    val roots = g.nodes.filter(pred).select(col("id").as("root_id"),
+    val roots = g0.nodes.filter(pred).select(col("id").as("root_id"),
       col("name").as("root_name"))
-    val es = g.edges.filter(relFilter).select(col("src").as("root_id"),
+    val base = g0.edges.filter(relFilter).toDF()
+      .withColumn("r_eid", struct(col("src"), col("dst"), col("relType")))
+    val fwd = base.select(col("src").as("root_id"),
       col("dst").as("c_id"), col("relType").as("r_type"),
-      col("props").as("r_props"))
-    val connected = g.nodes.select(col("id").as("c_id"),
+      col("props").as("r_props"), col("r_eid"))
+    lazy val rev = base.select(col("dst").as("root_id"),
+      col("src").as("c_id"), col("relType").as("r_type"),
+      col("props").as("r_props"), col("r_eid"))
+    val es = dir match {
+      case "in" => rev
+      case "both" => fwd.unionByName(rev)
+      case _ => fwd
+    }
+    val connected = g0.nodes.select(col("id").as("c_id"),
       col("label").as("c_label"), col("name").as("c_name"),
       col("content").as("c_content"))
     roots.join(es, "root_id").join(connected, "c_id")
       .select(col("root_id"), col("root_name"), lit(1).as("depth"),
         col("c_id"), col("c_label"), col("c_name"), col("c_content"),
-        col("r_type"), col("r_props"))
+        col("r_type"), col("r_props"), col("r_eid"))
   }
 
   private def runMatch(g0: GraphTables, label: Option[String],
@@ -6459,7 +6505,9 @@ object CypherLite {
             case RetCount(true, _) => countDistinct(col("c_id"))
             case RetCount(false, _) => count(col("c_id"))
             case RetCountRel(true) =>
-              countDistinct(col("root_id"), col("c_id"), col("r_type"))
+              // DISTINCT relationships = distinct STORED edges (r_eid),
+              // orientation-blind (typedBindings doc)
+              countDistinct(col("r_eid"))
             case RetCountRel(false) => count(col("c_id"))
             case RetCountProp(true, p, _) => countDistinct(col(s"c_$p"))
             case RetCountProp(false, p, _) => count(col(s"c_$p"))
@@ -6486,7 +6534,7 @@ object CypherLite {
         val aggConnCols = aggItems.flatMap {
           case RetCount(_, true) => Seq.empty[String]
           case _: RetCount => Seq("c_id")
-          case RetCountRel(_) => Seq("c_id", "r_type")
+          case RetCountRel(_) => Seq("c_id", "r_type", "r_eid")
           case RetCollect(p, _) => Seq(s"c_$p")
           case RetAggProp(_, p) => Seq(s"c_$p")
           case RetAggRelProp(_, p) => Seq(s"r_$p")
@@ -6499,7 +6547,7 @@ object CypherLite {
         // true bag semantics — the kernel's min-depth dedup would collapse
         // parallel relationships) carrying the edge's type as `r_type`
         val neigh0 =
-          if (hasRelVar) typedBindings(g, pred, relFilter)
+          if (hasRelVar) typedBindings(g0, direction, pred, relFilter)
           else GraphOps.neighborhoodWhereKeyed(g, pred, hops, relFilter)
         // RETURN r.prop projections materialize as `r_<prop>` columns on
         // the typed-bindings relation (element_at on the edge-prop map —
@@ -6603,7 +6651,7 @@ object CypherLite {
           // count(r) on the typed-bindings substrate counts edges.
           val neededConn = items.flatMap {
             case RetCount(_, star) => if (star) Seq.empty else Seq("c_id")
-            case RetCountRel(_) => Seq("c_id", "r_type")
+            case RetCountRel(_) => Seq("c_id", "r_type", "r_eid")
             case RetCollect(p, _) => Seq(s"c_$p")
             case RetAggProp(_, p) => Seq(s"c_$p")
             case RetAggRelProp(_, p) => Seq(s"r_$p")
@@ -6621,7 +6669,7 @@ object CypherLite {
                 case RetCount(true, _) => countDistinct(col("c_id"))
                 case RetCount(false, _) => count(col("c_id"))
                 case RetCountRel(true) =>
-                  countDistinct(col("root_id"), col("c_id"), col("r_type"))
+                  countDistinct(col("r_eid"))
                 case RetCountRel(false) => count(col("c_id"))
                 case RetCountRoot(dk) =>
                   if (dk) countDistinct(col("root_id"))

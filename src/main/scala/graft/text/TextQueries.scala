@@ -234,9 +234,19 @@ object TextQueries {
     // wildcard + its exception (the PSL's *.ck / !www.ck pair)
     "ck" -> 2, "www.ck" -> 3)
 
-  /** Longest rule length in labels (bounds the suffix probes). */
+  /** Longest rule length in labels (bounds the suffix probes).
+    * Computed from ALL rule kinds — wildcards count base+1 (their
+    * public suffix is one label longer than the stored base key),
+    * exceptions as-is (their probe loop already extends one past this
+    * bound) — so a future rule addition of any kind can never fall
+    * outside the probed range and silently yield a wrong registrable
+    * domain (ADVICE r13).
+    */
   private val PslMaxLabels: Int =
-    PslRules.collect { case (s, 1) => s.count(_ == '.') + 1 }.max
+    PslRules.map { case (s, kind) =>
+      val labels = s.count(_ == '.') + 1
+      if (kind == 2) labels + 1 else labels
+    }.max
 
   /** Registrable domain under the PUBLIC SUFFIX LIST algorithm
     * (round-13 directive 6, replacing the last-two-labels toy): probe

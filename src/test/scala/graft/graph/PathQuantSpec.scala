@@ -190,6 +190,19 @@ class PathQuantSpec extends SparkSpec {
       "reduce(s = 0, x IN relationships(p) | s + x.weight) AS c1, " +
       "reduce(s = 0, x IN relationships(p) | s + x.weight) AS c2")
       .contains("at most one reduce"))
+    // a reduce alias shadowing an internal frontier column would have
+    // made the executor's rename manufacture a duplicate column and
+    // die with an ambiguous-reference AnalysisException — named parse
+    // error instead (ADVICE r14); case-insensitive like Spark's
+    // resolution, and a NON-reserved alias still works
+    for (bad <- Seq("visited", "cur", "hits", "Unks", "nds", "rels",
+        "w", "eid", "ROOT_ID"))
+      assert(leftMsg("MATCH p = (a:N)-[:ROAD*1..2]->(b:N) RETURN " +
+        s"reduce(s = 0, x IN relationships(p) | s + x.weight) AS $bad")
+        .contains("reserved"), s"alias $bad")
+    assert(CypherLite.run(g, "MATCH p = (a:N)-[:ROAD*1..2]->(b:N) " +
+      "RETURN reduce(s = 0, x IN relationships(p) | s + x.weight) " +
+      "AS cost").isRight)
   }
 
   test("quantified shortestPath: WHERE ALL(…) pre-filters the edge " +

@@ -292,4 +292,34 @@ class RelPropPredicateSpec extends SparkSpec {
       .fold(e => fail(e), identity).collect()
     assert(grouped.map(_.getAs[Long]("n")).toSeq == Seq(1L))
   }
+
+  test("undirected count(DISTINCT r) collapses the two orientation " +
+      "rows of each stored relationship to ONE (ADVICE r14: the " +
+      "orientation-dependent tuple double-counted)") {
+    import spark.implicits._
+    def one(gx: GraphTables, q: String): Long =
+      CypherLite.run(gx, q).fold(e => fail(s"$q → $e"), identity)
+        .collect().head.getLong(0)
+    // 4 stored ROAD edges: the undirected match binds each twice
+    // (bag semantics — count(r) = 8), DISTINCT collapses to 4
+    assert(one(g, "MATCH (a:N)-[r:ROAD]-(b) RETURN count(r)") == 8L)
+    assert(one(g,
+      "MATCH (a:N)-[r:ROAD]-(b) RETURN count(DISTINCT r)") == 4L)
+    // reciprocal pair: a→b and b→a are TWO distinct stored
+    // relationships — a (least, greatest, type) normalization would
+    // wrongly collapse them; the stored-eid identity keeps both
+    val recip = GraphTables(
+      (1L to 2L).map(node(_)).toDS(),
+      Seq(
+        EdgeRow(1L, 2L, "ROAD", "", "b1", Map("grade" -> "a")),
+        EdgeRow(2L, 1L, "ROAD", "", "b1", Map("grade" -> "b"))).toDS())
+    assert(one(recip, "MATCH (a:N)-[r:ROAD]-(b) RETURN count(r)") == 4L)
+    assert(one(recip,
+      "MATCH (a:N)-[r:ROAD]-(b) RETURN count(DISTINCT r)") == 2L)
+    // directed matches are unchanged by the identity swap
+    assert(one(recip,
+      "MATCH (a:N)-[r:ROAD]->(b) RETURN count(DISTINCT r)") == 2L)
+    assert(one(recip,
+      "MATCH (a:N)<-[r:ROAD]-(b) RETURN count(DISTINCT r)") == 2L)
+  }
 }

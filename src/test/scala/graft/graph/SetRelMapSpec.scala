@@ -65,4 +65,19 @@ class SetRelMapSpec extends SparkSpec {
     assert(leftMsg("MATCH (a:N)-[r:T]->(b:N) SET r += {w: $missing}")
       .contains("missing parameter"))
   }
+
+  test("a quoted value containing a colon-suffixed word does not " +
+      "inflate the completeness check (ADVICE r14: counted on the " +
+      "quote-blanked body)") {
+    val (after, _) = CypherLite.runWrite(g,
+      "MATCH (a:N {name: 'n1'})-[r:T]->(b:N) " +
+        "SET r += {note: 'see docs: here', ref: 'a:b: c:'}", Map.empty)
+      .fold(e => fail(e), identity)
+    val p = props(after)("n1->n2")
+    assert(p("note") == "see docs: here" && p("ref") == "a:b: c:")
+    // the genuinely-unsupported form still rejects by name
+    assert(CypherLite.runWrite(g,
+      "MATCH (a:N)-[r:T]->(b:N) SET r += {note: 'ok', w: 2}", Map.empty)
+      .swap.exists(_.contains("unsupported value form")))
+  }
 }
