@@ -33,5 +33,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_nfc"),
       (children: Seq[Expression]) =>
         functions.NfcNormalize(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_psl_kind"),
+      new ExpressionInfo(classOf[functions.PslKind].getName,
+        "graft_psl_kind"),
+      (children: Seq[Expression]) =>
+        functions.PslKind(children.head)))
   }
 }

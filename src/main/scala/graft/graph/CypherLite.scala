@@ -459,9 +459,36 @@ object CypherLite {
   // OPTIONAL binding) projects null for both, Cypher's rule; an EMPTY
   // map answers ''/'{}'. Same substrate rules as every r-form: bound
   // single-hop relationship variable required, a grouping key under
-  // aggregates. Node-side keys(n)/properties(n) are rejected by name —
-  // node properties are FIXED columns here (project them directly).
+  // aggregates.
   final case class RetRelAccessor(fn: String) extends RetItem
+  // keys(n) / properties(n) — the NODE-side symmetry of the accessors
+  // above (round-14 directive 4). A node's user properties are the
+  // fixed document columns {content, docnbr, name} with the at-rest
+  // convention that the empty string means ABSENT (the ingest writes ''
+  // for properties a tag doesn't carry); `label` is a label, not a
+  // property, and `batch`/`path` are engine lineage/layout columns —
+  // none of the three serialize. Same deterministic sorted-by-key
+  // serialization as keys(r)/properties(r): `content,docnbr,name` order
+  // under `m_keys`/`m_properties` (matched variable, HOP-LESS form) or
+  // `c_keys`/`c_properties` (connected variable — one extra hash join
+  // against the node relation on c_id, only when requested). The
+  // matched variable UNDER a hop pattern rejects by name (inspect it
+  // hop-less, or inspect the connected side).
+  final case class RetNodeAccessor(fn: String, onConn: Boolean)
+    extends RetItem
+  // startNode(r).<prop> / endNode(r).<prop> — the STORED endpoint
+  // projections (round-14 directive 3: Neo4j's startNode/endNode answer
+  // the edge's source/destination AS WRITTEN, independent of traversal
+  // orientation — on an incoming or undirected match they reveal which
+  // way the relationship actually points). The typed-bindings relation
+  // carries the stored identity (`r_eid` = struct(src, dst, relType)),
+  // so each side is one hash join against the node relation, added only
+  // when requested. Canonical columns `startnode_<prop>` /
+  // `endnode_<prop>`; bound single-hop relationship variable required
+  // (same substrate rule as every r-form); whole-node startNode(r)
+  // rejects by name — project a property.
+  final case class RetEndpoint(start: Boolean, prop: String)
+    extends RetItem
   // coalesce(r.prop, 'default') — the missing-key/unmatched-OPTIONAL
   // default on the edge-property map (canonical column `r_<prop>`, like
   // [[RetRelProp]]; the default applies BEFORE DISTINCT/ORDER BY).
@@ -874,6 +901,17 @@ object CypherLite {
     * expansion dedupes (root, node) pairs to min depth, so a pair
     * reachable along several paths binds once).
     *
+    * NAMED DIVERGENCE (bag multiplicity on ranged segments): because a
+    * ranged segment's bindings are min-depth-deduped (root, node) PAIRS,
+    * `MATCH (m)-[*1..2]->(c) RETURN m.name, count(c)` counts DISTINCT
+    * reachable nodes where Neo4j counts PATHS (a node reachable two ways
+    * within the range contributes 2 to Neo4j's count, 1 here). The
+    * divergence is deliberate — path-existence is the scalable serving
+    * answer — and a user who needs Neo4j's per-path bag writes the
+    * explicit path form `MATCH p = (m)-[*1..2]->(c) …`, which has exact
+    * bag semantics (one row per path, [[PathQuantReturn]]). Pinned by
+    * ChainBagSemanticsSpec.
+    *
     *  - `conds`: DNF of (node index 0/1/2, comparison)
     *  - `items`: projections as (node index, prop)
     *  - `orderBy`: key LIST in query order, most-significant first —
@@ -903,12 +941,14 @@ object CypherLite {
       // per-edge talk there).
       relMaps: Seq[Map[String, String]] = Seq.empty,
       relConds: Seq[Seq[Cond]] = Seq.empty,
-      // per-segment traversal direction (r13): "out" (`->`) or "in"
+      // per-segment traversal direction (r13): "out" (`->`), "in"
       // (`<-` — that segment walks the reversed edge relation, a
-      // column swap on its scan). Mixed chains are Cypher's
-      // co-occurrence staple (`(a)-[:R]->(x)<-[:R]-(b)`); empty = all
-      // "out". Undirected segments reject by name (give each segment a
-      // direction, or use the undirected single-hop form).
+      // column swap on its scan), or "both" (r14: the undirected
+      // `-[…]-` — that segment's scan unions both orientations; the
+      // stored edge identity rides along, so the isomorphism rule
+      // below still recognizes one stored relationship seen from
+      // either side). Mixed chains are Cypher's co-occurrence staple
+      // (`(a)-[:R]->(x)<-[:R]-(b)`); empty = all "out".
       dirs: Seq[String] = Seq.empty) extends Statement
 
   // the shared MATCH-pattern prefix (matched node, optional hop pattern,
@@ -1310,6 +1350,10 @@ object CypherLite {
   private val KeysFnRe = """(?is)\s*keys\s*\(\s*(\w+)\s*\)\s*""".r
   private val StartEndNodeRe =
     """(?is)\s*(startNode|endNode)\s*\(\s*(\w+)\s*\)\s*""".r
+  // startNode(r).prop / endNode(r).prop — the stored-endpoint property
+  // projection (the whole-node form above stays a named rejection)
+  private val StartEndNodePropRe =
+    """(?is)\s*(startNode|endNode)\s*\(\s*(\w+)\s*\)\s*\.\s*(\w+)\s*""".r
   private val PropsAccessorRe =
     """(?is)\s*properties\s*\(\s*(\w+)\s*\)\s*""".r
   // scalar string functions over a property projection (RETURN items).
@@ -3849,9 +3893,25 @@ object CypherLite {
           conn.fold("")(c => s" ('$c.<prop>')") +
           relVar.fold("")(r => s" or the relationship variable's " +
             s"('$r.<prop>')") + s", got '$v.$p'")
-        case StartEndNodeRe(fn, _) => Left(s"$fn() is not supported — " +
-          "the pattern's endpoint variables already name both nodes: " +
-          "project their properties directly (m.prop / c.prop)")
+        // the stored-endpoint projections (r14): startNode(r).prop /
+        // endNode(r).prop answer the STORED source/destination node's
+        // property — orientation-independent, the way Neo4j's endpoint
+        // accessors behave on incoming and undirected matches
+        case StartEndNodePropRe(fn, v, p) if relVar.contains(v) =>
+          if (!ProjectableProps(p))
+            Left(s"unsupported endpoint property: $p (supported: " +
+              ProjectableProps.toSeq.sorted.mkString(", ") + ")")
+          else Right(RetEndpoint(
+            fn.toLowerCase(java.util.Locale.ROOT).startsWith("start"), p))
+        case StartEndNodePropRe(fn, v, _) =>
+          Left(s"$fn() may only inspect the bound relationship variable" +
+            relVar.fold("")(r => s" '$r'") + s", got '$v'")
+        case StartEndNodeRe(fn, v) if relVar.contains(v) =>
+          Left(s"$fn($v) projects a whole node — project a property: " +
+            s"$fn($v).name")
+        case StartEndNodeRe(fn, _) =>
+          Left(s"$fn() requires a bound single-hop relationship " +
+            "variable (MATCH (m)-[r:T]->(c) RETURN " + fn + "(r).name)")
         case LabelsRe(v) if v == m => Right(RetLabels(onConn = false))
         case LabelsRe(v) if conn.contains(v) =>
           Right(RetLabels(onConn = true))
@@ -3861,15 +3921,34 @@ object CypherLite {
           Right(RetRelAccessor("keys"))
         case PropsAccessorRe(v) if relVar.contains(v) =>
           Right(RetRelAccessor("properties"))
-        case KeysFnRe(v) => Left("keys() may only inspect the bound " +
-          "relationship variable" + relVar.fold("")(r => s" '$r'") +
-          s", got '$v' — node properties are fixed columns here: " +
-          "project them directly ($v.name, $v.content, …)")
+        // node-side keys()/properties() (r14): the matched variable
+        // hop-less, or the connected variable — see [[RetNodeAccessor]]
+        case KeysFnRe(v) if v == m && conn.isEmpty =>
+          Right(RetNodeAccessor("keys", onConn = false))
+        case KeysFnRe(v) if conn.contains(v) =>
+          Right(RetNodeAccessor("keys", onConn = true))
+        case PropsAccessorRe(v) if v == m && conn.isEmpty =>
+          Right(RetNodeAccessor("properties", onConn = false))
+        case PropsAccessorRe(v) if conn.contains(v) =>
+          Right(RetNodeAccessor("properties", onConn = true))
+        case KeysFnRe(v) if v == m =>
+          Left(s"keys($v) under a hop pattern is not supported — " +
+            s"inspect the node hop-less (MATCH ($v…) RETURN keys($v)) " +
+            "or inspect the connected variable" +
+            conn.fold("")(c => s" (keys($c))"))
+        case PropsAccessorRe(v) if v == m =>
+          Left(s"properties($v) under a hop pattern is not supported — " +
+            s"inspect the node hop-less (MATCH ($v…) RETURN " +
+            s"properties($v)) or inspect the connected variable" +
+            conn.fold("")(c => s" (properties($c))"))
+        case KeysFnRe(v) => Left("keys() may only inspect the matched " +
+          s"variable '$m'" + conn.fold("")(c => s", the connected " +
+            s"variable '$c'") + relVar.fold("")(r =>
+            s", or the relationship variable '$r'") + s", got '$v'")
         case PropsAccessorRe(v) => Left("properties() may only inspect " +
-          "the bound relationship variable" +
-          relVar.fold("")(r => s" '$r'") +
-          s", got '$v' — node properties are fixed columns here: " +
-          "project them directly ($v.name, $v.content, …)")
+          s"the matched variable '$m'" + conn.fold("")(c => s", the " +
+            s"connected variable '$c'") + relVar.fold("")(r =>
+            s", or the relationship variable '$r'") + s", got '$v'")
         case CaseRe(whenChain, elseStr) =>
           val ms = CaseWhenRe.findAllMatchIn(whenChain).toSeq
           def contiguous = ms.headOption.exists(_.start == 0) &&
@@ -3967,6 +4046,10 @@ object CypherLite {
         case RetAggRootProp(fn, p) => Some(s"${fn}_$p")
         case RetRelType => Some("r_type")
         case RetRelAccessor(fn) => Some(s"r_$fn")
+        case RetNodeAccessor(fn, on) =>
+          Some(if (on) s"c_$fn" else s"m_$fn")
+        case RetEndpoint(st, p) =>
+          Some(s"${if (st) "startnode" else "endnode"}_$p")
         case RetRelCoalesce(p, _) => Some(s"r_$p")
         case _ => None
       }
@@ -4116,6 +4199,12 @@ object CypherLite {
                 // binding-side pseudo-namespace as r.prop)
                 case Some(RetRelAccessor(fn)) =>
                   Right((RelKeyPrefix + fn, d(dir)))
+                // endpoint projections and node accessors sort by their
+                // canonical output column through the generic canonical
+                // (agg:) pseudo-namespace — ordered() strips the prefix
+                // and finds the column among the projected ones
+                case Some(i @ (_: RetEndpoint | _: RetNodeAccessor)) =>
+                  Right((AggKeyPrefix + canonOf(i).getOrElse(""), d(dir)))
                 case Some(RetRelCoalesce(p, _)) =>
                   Right((RelKeyPrefix + p, d(dir)))
                 case Some(_) => Left("ORDER BY on this alias kind is " +
@@ -4259,10 +4348,20 @@ object CypherLite {
           _ <- if ((items.contains(RetRelType) ||
               items.exists(_.isInstanceOf[RetRelProp]) ||
               items.exists(_.isInstanceOf[RetRelAccessor]) ||
+              items.exists(_.isInstanceOf[RetEndpoint]) ||
               items.exists(_.isInstanceOf[RetRelCoalesce])) &&
               items.contains(RetVar) && !items.contains(RetConnected))
             Left("RETURN of the whole matched node cannot be combined with " +
               "type() or r.prop — project m.prop explicitly")
+          else Right(())
+          // the node accessors are projection items over the node image —
+          // pairing them with an aggregate would make them grouping keys
+          // of a SERIALIZED map, a shape with no Cypher analogue; reject
+          // by name rather than group on a derived string silently
+          _ <- if (items.exists(_.isInstanceOf[RetNodeAccessor]) &&
+              items.exists(isAgg))
+            Left("keys()/properties() of a node cannot combine with an " +
+              "aggregate in one RETURN — project it in its own query")
           else Right(())
           // coalesce(r.p, …) and an aggregate over the SAME r.p would
           // share the r_<p> column — the default would leak into the
@@ -4286,6 +4385,7 @@ object CypherLite {
               i == RetVar || i.isInstanceOf[RetProp] || i == RetRelType ||
               i.isInstanceOf[RetRelProp] ||
               i.isInstanceOf[RetRelAccessor] ||
+              i.isInstanceOf[RetEndpoint] ||
               i.isInstanceOf[RetRelCoalesce]))
             Left("an aggregate requires a grouping item (m, m.prop, " +
               "type(r), or r.prop)")
@@ -4350,21 +4450,46 @@ object CypherLite {
       s"""(?:ORDER\\s+BY\\s+($ObItemFrag(?:\\s*,\\s*$ObItemFrag)*)\\s*)?""" +
       """(?:SKIP\s+(\d+)\s*)?""" +
       """(?:LIMIT\s+(\d+))?\s*;?\s*""").r
-  private val ArrowSegRe = """\]\s*-\s*>""".r
-  // incoming segments (`<-[`) count toward the multi-chain routing too
-  // (mixed-direction chains, r13); undirected brackets intentionally do
-  // NOT — they belong to the single-hop grammar
-  private val InArrowSegRe = """<\s*-\s*\[""".r
+  /** Number of chained node-rel-node segments scanned structurally from
+    * the MATCH prefix — the SAME scanner [[parseMultiChain]] runs, so
+    * routing and parsing cannot disagree on what a segment is. Counting
+    * the pattern prefix (instead of arrow tokens anywhere in the text,
+    * the pre-r14 rule) makes undirected segments (`-[…]-`, no arrow)
+    * count too, and keeps arrows inside a WHERE pattern-existence
+    * predicate from inflating the count: the scan stops at the first
+    * non-pattern text.
+    */
+  private def chainSegCount(q: String): Int =
+    MatchPrefixRe.findPrefixMatchOf(q).fold(0) { mk =>
+      NodePatPrefixRe.findPrefixMatchOf(q.substring(mk.end)).fold(0) {
+        nm0 =>
+          var pos = mk.end + nm0.end
+          var n = 0
+          var done = false
+          while (!done) {
+            RelPatPrefixRe.findPrefixMatchOf(q.substring(pos)) match {
+              case None => done = true
+              case Some(rm) =>
+                NodePatPrefixRe.findPrefixMatchOf(
+                    q.substring(pos + rm.end)) match {
+                  case None => done = true
+                  case Some(nm) =>
+                    n += 1
+                    pos = pos + rm.end + nm.end
+                }
+            }
+          }
+          n
+      }
+    }
 
-  /** A query is routed to the N-step scanner when its (quote-blanked) text
-    * opens with MATCH and carries ≥3 outgoing relationship segments —
-    * more than any single-hop/two-step/existence form can produce.
+  /** A query is routed to the N-step scanner when its (quote-blanked)
+    * text opens with MATCH and chains ≥3 relationship segments — more
+    * than any single-hop/two-step/existence form can produce.
     */
   private def looksMultiChain(q: String): Boolean = {
     val blanked = blankQuoted(q)
-    MatchPrefixRe.findPrefixMatchOf(blanked).isDefined &&
-      (ArrowSegRe.findAllMatchIn(blanked).size +
-        InArrowSegRe.findAllMatchIn(blanked).size) >= 3 &&
+    chainSegCount(blanked) >= 3 &&
       !blanked.toLowerCase(java.util.Locale.ROOT).contains("shortestpath")
   }
 
@@ -4536,11 +4661,16 @@ object CypherLite {
               all.mkString(", "))
           else Right(())
         }
-        _ <- if (relDirs.contains("both"))
-          Left("an undirected chain segment is not supported — give " +
-            "each segment a direction (-[…]-> or <-[…]-), or match " +
-            "the hop singly with the undirected single-hop form")
-        else Right(())
+        // ranged chain segments cap at *1..8 — the same serving-layer
+        // bound as the quantified path form (and the bound that keeps
+        // the isomorphism expansion's per-path enumeration finite on
+        // cyclic graphs)
+        _ <- rels.collectFirst { case (_, k) if k > 8 => k }
+          .map(k => Left(s"a ranged chain segment caps at *1..8 " +
+            s"(got *1..$k) — an unbounded expansion is not a " +
+            "serving-layer answer; use the analytics kernels for " +
+            "deep reachability"))
+          .getOrElse(Right(()))
         conds0 <- condsE
         // split the WHERE atoms back into node conditions and
         // per-segment relationship conditions (encoded node-count-
@@ -4756,16 +4886,24 @@ object CypherLite {
       (mapEq ++ conds).reduceOption(_ && _).getOrElse(lit(true))
     }
     def dirOfSeg(i: Int): String = ch.dirs.lift(i).getOrElse("out")
+    def isSingle(i: Int): Boolean = ch.rels(i)._2 == 1
     // Cypher's relationship isomorphism: one stored edge may bind at
     // most ONE segment of the pattern. Only segment pairs whose types
     // can overlap (same type / intersecting alternations / untyped)
-    // can collide, and only single-hop segments expose the edge — for
-    // exactly those segments the scan carries the stored edge identity
-    // and the pairwise inequality filters post-join. Chains of
+    // can collide — for exactly those segments the scan carries the
+    // stored edge identity (single-hop: one `eid` struct; ranged, r14:
+    // the per-path `eids` array walked by the bounded expansion below)
+    // and the pairwise disjointness filters post-join. Chains of
     // disjoint types (the common case) keep the lean id-pair shape,
-    // byte-identical plans. A side effect on colliding-type chains:
-    // bindings are per EDGE COMBINATION (parallel relationships stay
-    // distinct bindings), which is Cypher's bag semantics.
+    // byte-identical plans. Identity is the STORED (src, dst, relType)
+    // triple, so an undirected segment seeing one relationship from
+    // either side still collides with itself elsewhere in the chain.
+    // A side effect on colliding-type chains: bindings are per EDGE
+    // COMBINATION of the single-hop segments (parallel relationships
+    // stay distinct bindings — Cypher's bag semantics), while ranged
+    // segments keep path-existence semantics (a binding survives iff
+    // SOME witness path avoids the bound edges; the per-path rows are
+    // collapsed after the filter).
     def typeSet(t: Option[String]): Option[Set[String]] =
       t.map(_.split("\\|").map(_.trim).toSet)
     def overlap(a: Option[String], b: Option[String]): Boolean =
@@ -4775,34 +4913,110 @@ object CypherLite {
       }
     val collidingPairs = for {
       i <- ch.rels.indices; j <- ch.rels.indices
-      if i < j && ch.rels(i)._2 == 1 && ch.rels(j)._2 == 1 &&
-        overlap(ch.rels(i)._1, ch.rels(j)._1)
+      if i < j && overlap(ch.rels(i)._1, ch.rels(j)._1)
     } yield (i, j)
     val eidSegs: Set[Int] =
       collidingPairs.flatMap { case (i, j) => Seq(i, j) }.toSet
+    // one segment's oriented (from, to) pairs: "in" swaps the scan's
+    // columns, "both" (undirected, r14) unions both orientations —
+    // projections over the same scan, no extra shuffle
+    def oriented(base: DataFrame, from: String, to: String,
+        dir: String, extra: Seq[Column]): DataFrame = {
+      def sel(s0: Column, d0: Column) =
+        base.select(Seq(s0.as(from), d0.as(to)) ++ extra: _*)
+      dir match {
+        case "in" => sel(col("dst"), col("src"))
+        case "both" => sel(col("src"), col("dst"))
+          .unionByName(sel(col("dst"), col("src")))
+        case _ => sel(col("src"), col("dst"))
+      }
+    }
     def edgePairs(i: Int): DataFrame = {
-      val base = g.edges.filter(relF(ch.rels(i)) && relExtra(i))
-      val (s0, d0) =
-        if (dirOfSeg(i) == "in") (col("dst"), col("src"))
-        else (col("src"), col("dst"))
-      val cols = Seq(s0.as(s"id$i"), d0.as(s"id${i + 1}")) ++
-        (if (eidSegs(i))
-          Seq(struct(col("src"), col("dst"), col("relType"))
-            .as(s"eid$i"))
-         else Seq.empty)
-      val sel = base.select(cols: _*)
+      val base = g.edges.filter(relF(ch.rels(i)) && relExtra(i)).toDF()
+        .withColumn(s"eid$i",
+          struct(col("src"), col("dst"), col("relType")))
+      val sel = oriented(base, s"id$i", s"id${i + 1}", dirOfSeg(i),
+        if (eidSegs(i)) Seq(col(s"eid$i")) else Seq.empty)
       if (eidSegs(i))
         sel.dropDuplicates(s"id$i", s"id${i + 1}", s"eid$i")
       else sel.dropDuplicates(s"id$i", s"id${i + 1}")
     }
-    var acc =
-      if (ch.rels(0)._2 == 1)
+    // bounded per-path expansion of a ranged segment carrying the
+    // walked edge SET (r14) — used ONLY when the segment's types
+    // overlap another segment's (relationship isomorphism needs edge
+    // identities across segments; disjoint-type ranged segments keep
+    // the min-depth kernel). One equi-join per step from the incoming
+    // frontier (never the whole graph); within-path edge uniqueness
+    // (Cypher's var-length rule) is the array probe — also what kills
+    // the frontier after one loop on a cycle. No per-step dedup or
+    // array canonicalization: the overlap filters are order-blind and
+    // the binding collapse after them dedups once — extra per-step
+    // shuffles bought nothing (measured 4× on the chain_ranged twin).
+    // Lazy checkpoints only past depth 2, where plan replay would
+    // otherwise compound. Parse caps the range at 8, so the
+    // enumeration is finite even on cycles.
+    def rangedEidPairs(i: Int, frontier: DataFrame): DataFrame = {
+      val base = g.edges.filter(relF(ch.rels(i))).toDF()
+        .withColumn("__eid",
+          struct(col("src"), col("dst"), col("relType")))
+      val es = oriented(base, "__from", "__to", dirOfSeg(i),
+        Seq(col("__eid")))
+      var paths = frontier.select(col(s"id$i")).distinct()
+        .join(es, col(s"id$i") === col("__from"))
+        .select(col(s"id$i"), col("__to").as("__cur"),
+          array(col("__eid")).as(s"eids$i"))
+      var out = paths
+      for (step <- 2 to ch.rels(i)._2) {
+        paths = paths.join(es, paths("__cur") === es("__from"))
+          .filter(!array_contains(col(s"eids$i"), col("__eid")))
+          .select(col(s"id$i"), col("__to").as("__cur"),
+            array_append(col(s"eids$i"), col("__eid")).as(s"eids$i"))
+        if (step > 2) paths = paths.localCheckpoint(false)
+        out = out.unionByName(paths)
+      }
+      out.select(col(s"id$i"), col("__cur").as(s"id${i + 1}"),
+        col(s"eids$i"))
+    }
+    // which colliding segments pair with ranged segment i
+    val partnersOf: Map[Int, Seq[Int]] = ch.rels.indices.map(i =>
+      i -> collidingPairs.collect {
+        case (a, b) if a == i => b
+        case (a, b) if b == i => a
+      }).toMap
+    // the UNAVOIDABLE-SET collapse (r14): when a ranged segment's ONLY
+    // colliding partner is one single-hop segment, "some witness path
+    // avoids the bound edge e" ⟺ "e is not in the INTERSECTION of the
+    // witness paths' edge sets" — so the per-path relation folds to one
+    // row per (from, to) pair carrying that intersection, and the chain
+    // join returns to pair-sized inputs (the per-path bag never reaches
+    // the join). Exact only for a single excluded edge; two-plus
+    // colliding partners need one path avoiding ALL bound edges at
+    // once, which the per-path form handles.
+    def rangedUnavoidable(i: Int): Boolean =
+      !isSingle(i) && partnersOf(i).sizeIs == 1 &&
+        isSingle(partnersOf(i).head)
+    def rangedUnavPairs(i: Int, frontier: DataFrame): DataFrame =
+      rangedEidPairs(i, frontier)
+        .groupBy(s"id$i", s"id${i + 1}")
+        .agg(collect_list(col(s"eids$i")).as("__pp"))
+        .select(col(s"id$i"), col(s"id${i + 1}"),
+          aggregate(
+            expr("slice(__pp, 2, size(__pp) - 1)"),
+            element_at(col("__pp"), 1),
+            (acc, x) => array_intersect(acc, x)).as(s"unav$i"))
+    def rangedPairs(i: Int, frontier: DataFrame): DataFrame =
+      if (rangedUnavoidable(i)) rangedUnavPairs(i, frontier)
+      else rangedEidPairs(i, frontier)
+    var acc = {
+      val heads =
         g.nodes.filter(pred(ch.nodes(0))).select(col("id").as("id0"))
-          .join(edgePairs(0), "id0")
+      if (isSingle(0)) heads.join(edgePairs(0), "id0")
+      else if (eidSegs(0)) heads.join(rangedPairs(0, heads), "id0")
       else GraphOps.neighborhoodWhereKeyed(
           orientedTables(g, dirOfSeg(0)), pred(ch.nodes(0)),
           ch.rels(0)._2, relF(ch.rels(0)))
         .select(col("root_id").as("id0"), col("c_id").as("id1"))
+    }
     for (i <- 1 until n - 1) {
       // the node-set semi-join only runs when the pattern actually
       // constrains the variable (the graph maintains referential
@@ -4812,7 +5026,9 @@ object CypherLite {
           .select(col("id").as(s"id$i"))
         acc = acc.join(ok, Seq(s"id$i"), "left_semi")
       }
-      if (ch.rels(i)._2 == 1) acc = acc.join(edgePairs(i), s"id$i")
+      if (isSingle(i)) acc = acc.join(edgePairs(i), s"id$i")
+      else if (eidSegs(i))
+        acc = acc.join(rangedPairs(i, acc.select(s"id$i")), s"id$i")
       else {
         val frontier = acc.select(col(s"id$i").as("root_id")).distinct()
         val exp = GraphOps.kHop(orientedTables(g, dirOfSeg(i)),
@@ -4829,13 +5045,42 @@ object CypherLite {
           .select(col("id").as(s"id${n - 1}"))
         acc.join(tailOk, Seq(s"id${n - 1}"), "left_semi")
       } else acc
-    // the relationship-isomorphism filter (see eidSegs above), then the
-    // edge-identity columns drop before projection
-    val uniq = collidingPairs
-      .map { case (i, j) => col(s"eid$i") =!= col(s"eid$j") }
-      .reduceOption(_ && _)
-    val triples = uniq.fold(triples0)(triples0.filter)
-      .drop(eidSegs.toSeq.map(i => s"eid$i"): _*)
+    // the relationship-isomorphism filter (see eidSegs above): single ×
+    // single compares identities, single × ranged probes the path's
+    // edge set, ranged × ranged demands disjoint sets — then the
+    // identity columns drop before projection, collapsing ranged
+    // per-path multiplicity back to the chain's binding semantics
+    // (single-hop identities stay in the dedup key: parallel edges
+    // remain distinct bindings)
+    def rangedProbe(ranged: Int, single: Int): Column =
+      if (rangedUnavoidable(ranged))
+        !array_contains(col(s"unav$ranged"), col(s"eid$single"))
+      else !array_contains(col(s"eids$ranged"), col(s"eid$single"))
+    val uniq = collidingPairs.map { case (i, j) =>
+      (isSingle(i), isSingle(j)) match {
+        case (true, true) => col(s"eid$i") =!= col(s"eid$j")
+        case (true, false) => rangedProbe(j, i)
+        case (false, true) => rangedProbe(i, j)
+        // two colliding ranged segments are never in unavoidable mode
+        // (each has a non-single partner) — both carry per-path sets
+        case (false, false) =>
+          !arrays_overlap(col(s"eids$i"), col(s"eids$j"))
+      }
+    }.reduceOption(_ && _)
+    val filtered0 = uniq.fold(triples0)(triples0.filter)
+    val rangedEidCols = eidSegs.toSeq
+      .filter(i => !isSingle(i) && !rangedUnavoidable(i))
+      .map(i => s"eids$i")
+    val unavCols =
+      eidSegs.toSeq.filter(rangedUnavoidable).map(i => s"unav$i")
+    // per-path ranged segments need the multiplicity collapse after the
+    // filter; the unavoidable-mode pairs relation is already one row
+    // per binding — its helper column just drops
+    val dedupedPaths =
+      if (rangedEidCols.isEmpty) filtered0.drop(unavCols: _*)
+      else filtered0.drop(rangedEidCols ++ unavCols: _*).dropDuplicates()
+    val triples = dedupedPaths.drop(
+      eidSegs.toSeq.filter(isSingle).map(i => s"eid$i"): _*)
     // node-side columns per variable: exactly what RETURN/WHERE/ORDER BY
     // touch, named <var>_<prop>
     def neededProps(i: Int): Seq[String] =
@@ -5416,13 +5661,19 @@ object CypherLite {
     val needNodes = sp.items.contains((sp.pathVar, "nodes"))
     val needRels = sp.items.contains((sp.pathVar, "relationships"))
     // PATH RECONSTRUCTION (accessors requested): the depth kernels know
-    // lengths, not paths — switch to the bounded enumeration (parse
-    // guaranteed *1..K, K ≤ 8; the runPathQuant expansion shape: one
-    // frontier equi-join per step, per-row visited list, per-step lazy
-    // checkpoints), then per (a, b) pair keep the min-length path —
-    // shortestPath: the lexicographically smallest (path_nodes,
-    // path_rels) among equal lengths (struct-min, deterministic);
-    // allShortestPaths: every min-length path (its true bag semantics).
+    // lengths, not paths. allShortestPaths keeps the bounded
+    // enumeration (its BAG of min-length paths is the semantics —
+    // every path must materialize); single shortestPath (r14 directive
+    // 2) runs a BFS carrying one argmin path per (root, node): work
+    // O(E·K), not O(|paths ≤ K|) — on a hub-skewed graph the
+    // difference between linear and combinatorial (the r13 review's
+    // one perf_weak item). Tie-break: the element-wise lexicographic
+    // min over the (nodes, rels) ARRAYS among equal-length paths.
+    // Equal-length array comparison is prefix-decomposable (appending
+    // the same suffix never reorders two prefixes), which is what
+    // makes the greedy per-node argmin exact; it coincides with the
+    // old serialized-string min whenever name alphabets sit above ','
+    // (every fixture — an accepted pin, see ShortestBfsSpec).
     val withB = if (needNodes || needRels) {
       val k = sp.bound.get
       val edgesBase = orientedEdges(g, sp.dir).filter(rel)
@@ -5433,72 +5684,122 @@ object CypherLite {
           "dst")
           .select(col("src"), col("dst"), col("eid"), col("dst_name"))
       else edgesBase).localCheckpoint(false)
-      var frontier = roots
-        .select(col("id").as("cur"), col("id").as("root_id"),
-          col("name").as("__sn"))
-        .withColumn("path_len", lit(0))
-        .withColumn("visited", array().cast(
-          "array<struct<src:bigint,dst:bigint,relType:string>>"))
-      frontier =
-        if (needNodes)
-          frontier.withColumn("nds", array(col("__sn"))).drop("__sn")
-        else frontier.drop("__sn")
-      if (needRels) frontier = frontier
-        .withColumn("rels", array().cast("array<string>"))
-      var out: Option[DataFrame] = None
-      for (_ <- 1 to k) {
-        frontier = frontier.join(edges, frontier("cur") === edges("src"))
-          .filter(!array_contains(col("visited"), col("eid")))
-          .select(Seq(col("root_id"), edges("dst").as("cur"),
-            (col("path_len") + 1).as("path_len"),
-            array_append(col("visited"), col("eid")).as("visited")) ++
-            (if (needNodes)
-              Seq(array_append(col("nds"), col("dst_name")).as("nds"))
-             else Seq.empty) ++
-            (if (needRels)
-              Seq(array_append(col("rels"),
-                col("eid").getField("relType")).as("rels"))
-             else Seq.empty): _*)
-          .localCheckpoint(false)
-        out = Some(out.fold(frontier)(_ unionByName frontier))
-      }
       val bKeep = g.nodes.filter(pred(sp.bLabel, sp.bProps))
         .select(col("id").as("cur") +:
           bCols.map(p => col(p).as(s"${sp.bVar}_$p")): _*)
-      val candidates = out.get
-        // a root's cycle back to itself is no path (Neo4j's rule —
-        // same as the depth kernels' depth > 0 + distinct endpoints)
-        .filter(col("cur") =!= col("root_id"))
-        .join(bKeep, "cur")
-        .withColumn("path_len", col("path_len").cast("int"))
-      val serialized = {
-        val s1 = if (needNodes) candidates
-          .withColumn("path_nodes", array_join(col("nds"), ","))
-        else candidates
-        if (needRels) s1
-          .withColumn("path_rels", array_join(col("rels"), ","))
-        else s1
-      }
+      val bSer = bCols.map(p => s"${sp.bVar}_$p")
       val tieFields = Seq("path_len") ++
         (if (needNodes) Seq("path_nodes") else Seq.empty) ++
         (if (needRels) Seq("path_rels") else Seq.empty)
-      val bSer = bCols.map(p => s"${sp.bVar}_$p")
-      val best =
-        if (sp.allPaths) {
-          val mins = serialized.groupBy("root_id", "cur")
-            .agg(min(col("path_len")).as("__min_len"))
-          serialized.join(mins, Seq("root_id", "cur"))
-            .filter(col("path_len") === col("__min_len"))
-            .drop("__min_len")
-            .select((Seq("root_id", "cur") ++ tieFields ++ bSer)
-              .map(col): _*)
-            .distinct()
-        } else
-          serialized.groupBy(
-            (Seq("root_id", "cur") ++ bSer).map(col): _*)
-            .agg(min(struct(tieFields.map(col): _*)).as("__best"))
-            .select((Seq("root_id", "cur") ++ bSer).map(col) ++
-              tieFields.map(f => col(s"__best.$f").as(f)): _*)
+      val best = if (sp.allPaths) {
+        // ---- bag form: enumerate, then keep every min-length path
+        var frontier = roots
+          .select(col("id").as("cur"), col("id").as("root_id"),
+            col("name").as("__sn"))
+          .withColumn("path_len", lit(0))
+          .withColumn("visited", array().cast(
+            "array<struct<src:bigint,dst:bigint,relType:string>>"))
+        frontier =
+          if (needNodes)
+            frontier.withColumn("nds", array(col("__sn"))).drop("__sn")
+          else frontier.drop("__sn")
+        if (needRels) frontier = frontier
+          .withColumn("rels", array().cast("array<string>"))
+        var out: Option[DataFrame] = None
+        for (_ <- 1 to k) {
+          frontier = frontier.join(edges, frontier("cur") === edges("src"))
+            .filter(!array_contains(col("visited"), col("eid")))
+            .select(Seq(col("root_id"), edges("dst").as("cur"),
+              (col("path_len") + 1).as("path_len"),
+              array_append(col("visited"), col("eid")).as("visited")) ++
+              (if (needNodes)
+                Seq(array_append(col("nds"), col("dst_name")).as("nds"))
+               else Seq.empty) ++
+              (if (needRels)
+                Seq(array_append(col("rels"),
+                  col("eid").getField("relType")).as("rels"))
+               else Seq.empty): _*)
+            .localCheckpoint(false)
+          out = Some(out.fold(frontier)(_ unionByName frontier))
+        }
+        val candidates = out.get
+          // a root's cycle back to itself is no path (Neo4j's rule —
+          // same as the depth kernels' depth > 0 + distinct endpoints)
+          .filter(col("cur") =!= col("root_id"))
+          .join(bKeep, "cur")
+          .withColumn("path_len", col("path_len").cast("int"))
+        val serialized = {
+          val s1 = if (needNodes) candidates
+            .withColumn("path_nodes", array_join(col("nds"), ","))
+          else candidates
+          if (needRels) s1
+            .withColumn("path_rels", array_join(col("rels"), ","))
+          else s1
+        }
+        val mins = serialized.groupBy("root_id", "cur")
+          .agg(min(col("path_len")).as("__min_len"))
+        serialized.join(mins, Seq("root_id", "cur"))
+          .filter(col("path_len") === col("__min_len"))
+          .drop("__min_len")
+          .select((Seq("root_id", "cur") ++ tieFields ++ bSer)
+            .map(col): _*)
+          .distinct()
+      } else {
+        // ---- single form: BFS parent frontier, one argmin path per
+        // (root, node). `seen` is the first-reach set (min depth); the
+        // anti-join keeps a node's paths only at its BFS depth, and
+        // the per-step argmin keeps exactly one row per (root, node) —
+        // frontier size is bounded by |V| per root, never |paths|.
+        val tieArr = (if (needNodes) Seq("nds") else Seq.empty) ++
+          (if (needRels) Seq("rels") else Seq.empty)
+        var frontier = roots
+          .select(col("id").as("cur"), col("id").as("root_id"),
+            col("name").as("__sn"))
+        frontier =
+          if (needNodes)
+            frontier.withColumn("nds", array(col("__sn"))).drop("__sn")
+          else frontier.drop("__sn")
+        if (needRels) frontier = frontier
+          .withColumn("rels", array().cast("array<string>"))
+        var seen = frontier.select("root_id", "cur")
+        var out: Option[DataFrame] = None
+        for (d <- 1 to k) {
+          val stepped = frontier
+            .join(edges, frontier("cur") === edges("src"))
+            .select(Seq(col("root_id"), edges("dst").as("cur")) ++
+              (if (needNodes)
+                Seq(array_append(col("nds"), col("dst_name")).as("nds"))
+               else Seq.empty) ++
+              (if (needRels)
+                Seq(array_append(col("rels"),
+                  col("eid").getField("relType")).as("rels"))
+               else Seq.empty): _*)
+            // first reach only: a node seen at an earlier depth has a
+            // shorter path — drop every longer candidate here, which
+            // is also what keeps the frontier from re-walking cycles
+            .join(seen, Seq("root_id", "cur"), "left_anti")
+          frontier = stepped.groupBy("root_id", "cur")
+            .agg(min(struct(tieArr.map(col): _*)).as("__t"))
+            .select(Seq(col("root_id"), col("cur")) ++
+              tieArr.map(f => col(s"__t.$f").as(f)): _*)
+            .localCheckpoint(false)
+          val withLen = frontier.withColumn("path_len", lit(d))
+          out = Some(out.fold(withLen)(_ unionByName withLen))
+          seen = seen.unionByName(frontier.select("root_id", "cur"))
+            .localCheckpoint(false)
+        }
+        val reached = out.get.join(bKeep, "cur")
+        val serialized = {
+          val s1 = if (needNodes) reached
+            .withColumn("path_nodes", array_join(col("nds"), ","))
+          else reached
+          if (needRels) s1
+            .withColumn("path_rels", array_join(col("rels"), ","))
+          else s1
+        }
+        serialized.select((Seq("root_id", "cur") ++ tieFields ++ bSer)
+          .map(col): _*)
+      }
       if (aCols.isEmpty) best
       else best.join(roots.select(col("id").as("root_id") +:
         aCols.map(p => col(p).as(s"${sp.aVar}_$p")): _*), "root_id")
@@ -5732,6 +6033,26 @@ object CypherLite {
       case other => throw new IllegalArgumentException(
         s"unknown scalar fn: $other (parse/exec drifted)")
     }
+  }
+
+  /** keys(n)/properties(n) serialization over a node relation's RAW
+    * columns ([[RetNodeAccessor]] doc): the user properties are
+    * {content, docnbr, name} (already in sorted-key order), the empty
+    * string means ABSENT (the ingest's at-rest convention), and the two
+    * shapes match keys(r)/properties(r) exactly — comma-joined key list
+    * / `{k: v, …}`. Pure column expressions (whole-stage codegen), no
+    * join — callers that need it on a JOINED node image compute it here
+    * and alias the result.
+    */
+  private def nodeAccessorCol(fn: String): Column = {
+    val props = Seq("content", "docnbr", "name") // sorted-key order
+    if (fn == "keys")
+      array_join(filter(array(props.map(p =>
+        when(col(p) =!= "", lit(p))): _*), x => x.isNotNull), ",")
+    else
+      concat(lit("{"), array_join(filter(array(props.map(p =>
+        when(col(p) =!= "", concat(lit(p + ": "), col(p)))): _*),
+        x => x.isNotNull), ", "), lit("}"))
   }
 
   private def relColOf(relType: Option[String]): Column =
@@ -6446,6 +6767,10 @@ object CypherLite {
                 case RetVar =>
                   Seq("label", "name", "content").map(c => (s"m_$c", col(c)))
                 case RetProp(p) => Seq((s"m_$p", col(p)))
+                // keys(m)/properties(m): the node-map serializations,
+                // computed straight off the matched node's raw columns
+                case RetNodeAccessor(fn, false) =>
+                  Seq((s"m_$fn", nodeAccessorCol(fn)))
                 case f: RetPropFn => Seq((s"${f.fn}_${f.prop}", scalarCol(f)))
                 case RetCase(bs, default) =>
                   // fold the WHEN chain right-to-left so the first true
@@ -6574,7 +6899,7 @@ object CypherLite {
         // map_keys/transform/array_join/concat all propagate null, which
         // is Cypher's keys(null)/properties(null) answer; empty map →
         // ''/'{}' by the same expressions.
-        val neigh = items.collect { case RetRelAccessor(fn) => fn }
+        val neigh2 = items.collect { case RetRelAccessor(fn) => fn }
           .distinct.foldLeft(neigh1) {
             case (df, "keys") => df.withColumn("r_keys",
               array_join(array_sort(map_keys(col("r_props"))), ","))
@@ -6585,6 +6910,39 @@ object CypherLite {
                     element_at(col("r_props"), k))), ", "),
                 lit("}")))
           }
+        // startNode(r).p / endNode(r).p: the STORED endpoint's property,
+        // read through the binding's edge identity (r_eid carries the
+        // as-written src/dst — parse guarantees these items only arise
+        // on the typed-bindings substrate). One hash join per requested
+        // side against the node relation; plans without them are
+        // byte-identical to before.
+        val neigh3 = {
+          val eps = items.collect { case RetEndpoint(st, p) => (st, p) }
+            .distinct
+          def joinSide(df: DataFrame, start: Boolean): DataFrame = {
+            val ps = eps.collect { case (`start`, p) => p }.distinct
+            if (ps.isEmpty) df
+            else {
+              val side = if (start) "startnode" else "endnode"
+              val idc = s"__${side}_id"
+              df.join(g0.nodes.toDF().select(col("id").as(idc) +:
+                  ps.map(p => col(p).as(s"${side}_$p")): _*),
+                col(s"r_eid.${if (start) "src" else "dst"}") === col(idc))
+                .drop(idc)
+            }
+          }
+          joinSide(joinSide(neigh2, start = true), start = false)
+        }
+        // keys(c)/properties(c): the serialized node map of the connected
+        // variable — computed scan-side on the node relation (needs
+        // docnbr, which the expansion's node image doesn't carry) and
+        // joined on c_id, only when requested
+        val connAccCols = items
+          .collect { case RetNodeAccessor(fn, true) => fn }.distinct
+        val neigh = if (connAccCols.isEmpty) neigh3
+          else neigh3.join(g0.nodes.toDF().select(
+            col("id").as("c_id") +: connAccCols.map(fn =>
+              nodeAccessorCol(fn).as(s"c_$fn")): _*), "c_id")
         // binding columns the RETURN projection asks for beyond the node
         // image: the traversed edge's type when the query touches
         // type(r), plus any projected edge properties
@@ -6593,6 +6951,8 @@ object CypherLite {
            else Seq.empty) ++
             items.collect { case RetRelProp(p) => s"r_$p" }.distinct ++
             items.collect { case RetRelAccessor(fn) => s"r_$fn" }.distinct ++
+            items.collect { case RetEndpoint(st, p) =>
+              s"${if (st) "startnode" else "endnode"}_$p" }.distinct ++
             items.collect { case RetRelCoalesce(p, _) => s"r_$p" }.distinct
         // m properties the binding filter needs beyond what RETURN asks
         // for — a cross-variable cond contributes its m-side property from
@@ -6734,13 +7094,15 @@ object CypherLite {
         } else if (wantsConnected) {
           val keys = if (retProps.nonEmpty) retProps.distinct else Seq("name")
           val connSide =
-            relCols ++ Seq("depth", "c_label", "c_name", "c_content")
+            relCols ++ Seq("depth", "c_label", "c_name", "c_content") ++
+              connAccCols.map("c_" + _)
           val out = keys.map("m_" + _) ++ connSide
           val rows =
             if (optional) leftJoined(keys, connSide)
             else withRootCols(keys)
           ordered(maybeDistinct(rows.select(out.map(col): _*)), out)
-        } else if (connRetProps.nonEmpty || relCols.nonEmpty) {
+        } else if (connRetProps.nonEmpty || relCols.nonEmpty ||
+            connAccCols.nonEmpty) {
           // RETURN [m.prop, ...,] [type(r),] c.prop[, ...]: one row per
           // surviving (m, c) binding, exactly the requested columns — the
           // expansion already dedupes to min depth per (root, node) pair
@@ -6749,7 +7111,8 @@ object CypherLite {
           // stay distinct rows (Cypher's bag semantics) unless RETURN
           // DISTINCT collapses them
           val keys = retProps.distinct
-          val cCols = relCols ++ connRetProps.distinct.map("c_" + _)
+          val cCols = relCols ++ connRetProps.distinct.map("c_" + _) ++
+            connAccCols.map("c_" + _)
           val out = keys.map("m_" + _) ++ cCols
           val rows =
             if (optional) leftJoined(keys, cCols) else withRootCols(keys)

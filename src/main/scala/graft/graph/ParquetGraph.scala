@@ -1645,6 +1645,72 @@ object ParquetGraph {
         .fold(err => throw new IllegalArgumentException(err), identity)
     },
 
+    // C10 read surface (new r14, directive 3): the STORED-endpoint
+    // projections — startNode(r).name / endNode(r).name on an
+    // UNDIRECTED single-hop match around ASIA. The undirected binding
+    // set contains both the incoming (AMERICA→ASIA) and outgoing
+    // (ASIA→EUROPE) stored edges; the endpoint accessors must reveal
+    // each edge's AS-WRITTEN orientation, not the traversal's. An
+    // implementation that projected the pattern's own (m, x) sides
+    // would answer (ASIA, AMERICA) for the incoming row and hash-miss.
+    QueryDef.sql(
+      "graphp_cypher_endpoints",
+      """WITH r AS (
+        |  SELECT r_name, row_number() OVER (ORDER BY r_name) AS rn
+        |  FROM region),
+        |asia AS (SELECT rn FROM r WHERE r_name = 'ASIA')
+        |SELECT p.r_name AS src_name, c.r_name AS dst_name
+        |FROM r p JOIN r c ON c.rn = p.rn + 1, asia
+        |WHERE p.rn = asia.rn OR c.rn = asia.rn
+        |ORDER BY src_name""".stripMargin) { (s, d) =>
+      CypherLite.run(roadPropsGraph(s, d),
+        "MATCH (m:Region {name: 'ASIA'})-[r:ROAD]-(x:Region) " +
+          "RETURN startNode(r).name AS src_name, " +
+          "endNode(r).name AS dst_name ORDER BY src_name")
+        .fold(err => throw new IllegalArgumentException(err), identity)
+    },
+
+    // C10 read surface (new r14, directive 4): node-side keys(n) /
+    // properties(n) — hop-less over the document tree, whose nation
+    // nodes populate all three user properties (content = name,
+    // docnbr = the region). Sorted-key serialization; the oracle
+    // rebuilds the exact strings, so a dropped column, an absent-
+    // filter bug, or a lineage column (batch/path) leaking into the
+    // map all hash-miss.
+    QueryDef.sql(
+      "graphp_cypher_node_accessors",
+      """SELECT n_name AS name,
+        |  'content,docnbr,name' AS n_keys,
+        |  '{content: ' || n_name || ', docnbr: ' || r_name ||
+        |    ', name: ' || n_name || '}' AS n_props
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY name""".stripMargin) { (s, d) =>
+      CypherLite.run(docTree(s, d),
+        "MATCH (n:Nation) RETURN n.name AS name, keys(n) AS n_keys, " +
+          "properties(n) AS n_props ORDER BY name")
+        .fold(err => throw new IllegalArgumentException(err), identity)
+    },
+
+    // C10 read surface (new r14): the connected-side accessor —
+    // keys(c)/properties(c) under a hop pattern (one extra node join
+    // on c_id; the expansion's node image lacks docnbr, so a shortcut
+    // through c_name/c_content alone would miss the docnbr key and
+    // hash-miss on every row).
+    QueryDef.sql(
+      "graphp_cypher_conn_accessors",
+      """SELECT n_name AS name, 'content,docnbr,name' AS c_keys,
+        |  '{content: ' || n_name || ', docnbr: ' || r_name ||
+        |    ', name: ' || n_name || '}' AS c_props
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |ORDER BY name""".stripMargin) { (s, d) =>
+      CypherLite.run(docTree(s, d),
+        "MATCH (r0:Region {name: 'ASIA'})-[:HAS_NATION]->(c) " +
+          "RETURN c.name AS name, keys(c) AS c_keys, " +
+          "properties(c) AS c_props ORDER BY name")
+        .fold(err => throw new IllegalArgumentException(err), identity)
+    },
+
     // C10 write surface (new r13): the direct relationship-property
     // update — `MATCH (a)-[r:ROAD]->(b) WHERE r.grade = 'even' SET
     // r.toll = '1'` over the Cypher-written chain, read back through
@@ -3127,6 +3193,56 @@ object ParquetGraph {
       CypherLite.run(hierarchy(s, d),
         "MATCH (r:Region)-[*1..1]->(n:Nation)-[*1..2]->(x) " +
           "RETURN DISTINCT r.name, x.label")
+        .fold(err => throw new IllegalArgumentException(err), identity)
+    },
+
+    // C10 read surface (new r14, directive 1): relationship
+    // isomorphism ACROSS a ranged chain segment, on a genuinely CYCLIC
+    // graph (the per-region nation cycles). The single-hop segment
+    // binds NATION_3 → its cycle successor x; the ranged *1..5 walk
+    // from x can return to x only by traversing the FULL cycle —
+    // which reuses the bound edge, so Cypher excludes (y = x) while a
+    // no-isomorphism engine returns it. Closed form (regions have 5
+    // nations, cycle-minus-one-edge is a 4-step path): every nation of
+    // the region EXCEPT the successor itself.
+    QueryDef.sql(
+      "graphp_cypher_chain_iso_ranged",
+      """WITH t AS (
+        |  SELECT n_name, n_nationkey, n_regionkey,
+        |    coalesce(lead(n_nationkey) OVER (PARTITION BY n_regionkey
+        |        ORDER BY n_nationkey),
+        |      min(n_nationkey) OVER (PARTITION BY n_regionkey)) AS nxt
+        |  FROM nation),
+        |a AS (SELECT nxt AS xkey, n_regionkey AS rk FROM t
+        |      WHERE n_name = 'NATION_3')
+        |SELECT t.n_name AS y_name FROM t, a
+        |WHERE t.n_regionkey = a.rk AND t.n_nationkey <> a.xkey
+        |ORDER BY y_name""".stripMargin) { (s, d) =>
+      CypherLite.run(chain(s, d),
+        "MATCH (a:Nation {name: 'NATION_3'})-[:HAS_NEXT]->(x)" +
+          "-[:HAS_NEXT*1..5]->(y) RETURN y.name ORDER BY y.name")
+        .fold(err => throw new IllegalArgumentException(err), identity)
+    },
+
+    // C10 read surface (new r14, directive 5): an UNDIRECTED chain
+    // segment — co-occurrence through the shared parent, walked
+    // backwards then forwards through one undirected + one directed
+    // segment of the SAME type. Isomorphism on the stored identity
+    // excludes the bounce (b = NATION_3 via the same stored
+    // region→NATION_3 edge), so the answer is the region's OTHER
+    // nations — an engine that pre-reversed edges and lost the stored
+    // identity would return NATION_3 too and hash-miss.
+    QueryDef.sql(
+      "graphp_cypher_chain_undirected",
+      """SELECT n2.n_name AS b_name
+        |FROM nation n1 JOIN nation n2
+        |  ON n2.n_regionkey = n1.n_regionkey
+        |WHERE n1.n_name = 'NATION_3' AND n2.n_name <> 'NATION_3'
+        |ORDER BY b_name""".stripMargin) { (s, d) =>
+      CypherLite.run(hierarchy(s, d),
+        "MATCH (a:Nation {name: 'NATION_3'})-[:HAS_NATION]-(x)" +
+          "-[:HAS_NATION]->(b:Nation) " +
+          "RETURN b.name ORDER BY b.name")
         .fold(err => throw new IllegalArgumentException(err), identity)
     },
 

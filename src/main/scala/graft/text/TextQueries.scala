@@ -199,80 +199,40 @@ object TextQueries {
       when(keepq === "", lit("")).otherwise(concat(lit("?"), keepq)))
   }
 
-  /** Public-suffix rules — a bundled snapshot SUBSET of the public
-    * suffix list (publicsuffix.org; the full snapshot drops into this
-    * same literal map, or a broadcast table past ~10k rules — either
-    * way the lookup stays scan-side, one pass, no extra shuffle).
-    * Kinds: 1 = normal rule (`co.uk`), 2 = wildcard (`*.ck`, keyed by
-    * its base so any single extra label is part of the suffix),
-    * 3 = exception (`!www.ck` — the PSL's carve-out: the named host IS
-    * registrable, its suffix is the rule minus its leftmost label).
-    */
-  private[text] val PslRules: Map[String, Int] = Map(
-    // UK second-level
-    "co.uk" -> 1, "org.uk" -> 1, "ac.uk" -> 1, "gov.uk" -> 1,
-    "me.uk" -> 1, "net.uk" -> 1, "ltd.uk" -> 1, "plc.uk" -> 1,
-    "sch.uk" -> 1,
-    // AU / NZ / ZA
-    "com.au" -> 1, "net.au" -> 1, "org.au" -> 1, "edu.au" -> 1,
-    "gov.au" -> 1, "id.au" -> 1, "co.nz" -> 1, "org.nz" -> 1,
-    "net.nz" -> 1, "govt.nz" -> 1, "co.za" -> 1, "org.za" -> 1,
-    "net.za" -> 1,
-    // JP / KR / IN / SG / TR
-    "co.jp" -> 1, "or.jp" -> 1, "ne.jp" -> 1, "ac.jp" -> 1, "go.jp" -> 1,
-    "co.kr" -> 1, "or.kr" -> 1, "co.in" -> 1, "net.in" -> 1,
-    "org.in" -> 1, "gen.in" -> 1, "firm.in" -> 1, "com.sg" -> 1,
-    "edu.sg" -> 1, "com.tr" -> 1,
-    // BR / CN / MX
-    "com.br" -> 1, "net.br" -> 1, "org.br" -> 1, "gov.br" -> 1,
-    "com.cn" -> 1, "net.cn" -> 1, "org.cn" -> 1, "gov.cn" -> 1,
-    "com.mx" -> 1, "org.mx" -> 1,
-    // private-domain staples (PSL private section)
-    "github.io" -> 1, "gitlab.io" -> 1, "blogspot.com" -> 1,
-    "herokuapp.com" -> 1, "netlify.app" -> 1, "vercel.app" -> 1,
-    "web.app" -> 1, "s3.amazonaws.com" -> 1,
-    // wildcard + its exception (the PSL's *.ck / !www.ck pair)
-    "ck" -> 2, "www.ck" -> 3)
-
-  /** Longest rule length in labels (bounds the suffix probes).
-    * Computed from ALL rule kinds — wildcards count base+1 (their
-    * public suffix is one label longer than the stored base key),
-    * exceptions as-is (their probe loop already extends one past this
-    * bound) — so a future rule addition of any kind can never fall
-    * outside the probed range and silently yield a wrong registrable
-    * domain (ADVICE r13).
-    */
-  private val PslMaxLabels: Int =
-    PslRules.map { case (s, kind) =>
-      val labels = s.count(_ == '.') + 1
-      if (kind == 2) labels + 1 else labels
-    }.max
-
-  /** Registrable domain under the PUBLIC SUFFIX LIST algorithm
-    * (round-13 directive 6, replacing the last-two-labels toy): probe
-    * the host's trailing k labels against [[PslRules]] for k = 1..max,
-    * prevail exception > longest match > the implicit `*` default
-    * (ps = the last label), and answer the public suffix plus ONE
-    * label. A host that IS a public suffix (or a single label) has no
-    * registrable domain and answers '' — such hosts group alone.
-    * Pure column expressions over a LITERAL map (element_at on a
-    * literal compiles to a static lookup — whole-stage codegen, no
-    * UDF, no join, the l57 plan pin holds); the DuckDB mirror is
-    * generated from the SAME rule map ([[registrableDomainDuckCtes]])
-    * so the two engines cannot drift.
+  /** Registrable domain under the PUBLIC SUFFIX LIST algorithm, now
+    * over the FULL bundled list ([[PslTable]], ~9.5k rules — round-14
+    * directive 6, replacing the round-13 50-rule snapshot): probe the
+    * host's trailing k labels for k = 1..max, prevail exception >
+    * longest match > the implicit `*` default (ps = the last label),
+    * and answer the public suffix plus ONE label. A host that IS a
+    * public suffix (or a single label) has no registrable domain and
+    * answers '' — such hosts group alone. Pure column expressions —
+    * each probe is the native [[graft.functions.PslKind]] codegen
+    * expression (an O(1) hash get against the table riding the plan
+    * as a reference object; a 9.5k-entry literal map would be an
+    * O(rules) linear probe per row, and a broadcast join would put 6
+    * joins into a projection) — whole-stage codegen, no UDF, no join,
+    * the l57 plan pin holds. The DuckDB mirror reads the SAME rules
+    * ([[registrableDomainDuckCtes]] joins the CSV generated from
+    * [[PslTable.rules]]) so the two engines cannot drift.
     */
   def registrableDomain(host: Column): Column = {
+    // idempotent per-call registration, the graft_dot pattern — the
+    // expression is invoked by name so this Column helper composes in
+    // any query without threading the session through
+    graft.functions.PslKind.register(
+      org.apache.spark.sql.SparkSession.active)
     val labels = split(host, "\\.")
     val n = size(labels)
     def suf(k: Int) = array_join(slice(labels, lit(-k), lit(k)), ".")
     def kindAt(k: Int) =
-      when(n >= k, element_at(typedLit(PslRules), suf(k)))
+      when(n >= k, call_function("graft_psl_kind", suf(k)))
     val exc = coalesce(
-      (1 to (PslMaxLabels + 1)).map(k =>
+      (1 to (PslTable.maxLabels + 1)).map(k =>
         when(kindAt(k) === 3, lit(k - 1))) :+
         lit(null).cast("int"): _*)
     val norm = greatest(
-      (1 to PslMaxLabels).flatMap(k => Seq(
+      (1 to PslTable.maxLabels).flatMap(k => Seq(
         when(kindAt(k) === 1, lit(k)).otherwise(lit(0)),
         when(kindAt(k) === 2 && n >= k + 1, lit(k + 1))
           .otherwise(lit(0)))) :+ lit(1): _*)
@@ -282,44 +242,38 @@ object TextQueries {
         "."))
   }
 
-  /** DuckDB CTE tail mirroring [[registrableDomain]], generated from
-    * the SAME [[PslRules]] map: given a relation `<src>` carrying a
-    * `host` column, appends CTEs `psl0`/`psl1` and leaves
-    * `psl1.domain` as the registrable-domain column. Both engines'
-    * rule tables are one source of truth, so a rule edit cannot
-    * desynchronize the oracle.
+  /** DuckDB CTE tail mirroring [[registrableDomain]]: given a relation
+    * `<src>` carrying a `host` column, appends CTEs ending in
+    * `psl.domain` as the registrable-domain column. The rule table is
+    * [[PslTable.csvPath]] — the CSV generated from the SAME parsed
+    * rules the Spark expression probes — joined once per candidate
+    * suffix depth (maxLabels+1 left joins of a 9.5k-row table; DuckDB
+    * hash-joins those in microseconds). One source of truth, so a
+    * rule refresh cannot desynchronize the oracle.
     */
   private[text] def registrableDomainDuckCtes(src: String): String = {
-    def inList(kind: Int, k: Int): String = {
-      val rules = PslRules.collect {
-        case (s, `kind`) if s.count(_ == '.') + 1 == k => s"'$s'"
-      }.toSeq.sorted
-      if (rules.isEmpty) "" else rules.mkString("(", ", ", ")")
-    }
-    def normCase(k: Int): Seq[String] = {
-      val n1 = inList(1, k)
-      val w = inList(2, k)
-      (if (n1.isEmpty) Seq.empty
-       else Seq(s"CASE WHEN hn >= $k AND s$k IN $n1 THEN $k ELSE 0 END")) ++
-        (if (w.isEmpty) Seq.empty
-         else Seq(s"CASE WHEN hn >= ${k + 1} AND s$k IN $w " +
-           s"THEN ${k + 1} ELSE 0 END"))
-    }
-    def excCase(k: Int): Seq[String] = {
-      val e = inList(3, k)
-      if (e.isEmpty) Seq.empty
-      else Seq(s"CASE WHEN hn >= $k AND s$k IN $e THEN ${k - 1} END")
-    }
-    val sufs = (1 to (PslMaxLabels + 1)).map(k =>
+    val max = PslTable.maxLabels
+    val ks = 1 to (max + 1)
+    val sufs = ks.map(k =>
       s"array_to_string(list_slice(hl, hn - ${k - 1}, hn), '.') AS s$k")
       .mkString(",\n    ")
-    val excs = (1 to (PslMaxLabels + 1)).flatMap(excCase)
-    val norms = (1 to PslMaxLabels).flatMap(normCase) :+ "1"
-    val psExpr =
-      if (excs.isEmpty) s"GREATEST(${norms.mkString(", ")})"
-      else s"COALESCE(${excs.mkString(", ")}, " +
-        s"GREATEST(${norms.mkString(", ")}))"
-    s"""psl0 AS (
+    val joins = ks.map(k => s"LEFT JOIN psl_rules r$k ON r$k.rule = s$k")
+      .mkString("\n  ")
+    val kinds = ks.map(k => s"r$k.kind AS k$k").mkString(", ")
+    // the hn >= k guards mirror the Spark side's `when(n >= k, …)`: a
+    // too-short host's sX string is garbage (negative slice), but no
+    // guarded CASE can consume it
+    val excs = ks.map(k =>
+      s"CASE WHEN hn >= $k AND k$k = 3 THEN ${k - 1} END")
+    val norms = (1 to max).flatMap(k => Seq(
+      s"CASE WHEN hn >= $k AND k$k = 1 THEN $k ELSE 0 END",
+      s"CASE WHEN hn >= ${k + 1} AND k$k = 2 THEN ${k + 1} ELSE 0 END")) :+
+      "1"
+    s"""psl_rules AS (
+       |  SELECT rule, kind FROM read_csv('${PslTable.csvPath}',
+       |    header = true,
+       |    columns = {'rule': 'VARCHAR', 'kind': 'INTEGER'})),
+       |psl0 AS (
        |  SELECT *, string_split(host, '.') AS hl,
        |    len(string_split(host, '.')) AS hn
        |  FROM $src),
@@ -328,12 +282,18 @@ object TextQueries {
        |    $sufs
        |  FROM psl0),
        |psl2 AS (
-       |  SELECT *, $psExpr AS ps FROM psl1),
+       |  SELECT psl1.*, $kinds
+       |  FROM psl1
+       |  $joins),
+       |psl3 AS (
+       |  SELECT *, COALESCE(${excs.mkString(", ")},
+       |    GREATEST(${norms.mkString(", ")})) AS ps
+       |  FROM psl2),
        |psl AS (
        |  SELECT *, CASE WHEN hn <= ps THEN ''
        |    ELSE array_to_string(list_slice(hl, hn - ps, hn), '.') END
        |    AS domain
-       |  FROM psl2)""".stripMargin
+       |  FROM psl3)""".stripMargin
   }
 
   /** PII patterns for the l58 redaction kernel. Deliberately

@@ -7,7 +7,10 @@ import graft.SparkSpec
   * `(a)-[:R]->(x)<-[:R]-(b)`), with Cypher's relationship isomorphism
   * across segments — one stored edge binds at most one segment, so the
   * a = b bounce through a single edge is no binding, while distinct
-  * parallel edges are. Undirected segments reject by name.
+  * parallel edges are. Round 14 adds the UNDIRECTED segment (`-[…]-`:
+  * that segment's scan unions both orientations; identity stays the
+  * stored triple, so isomorphism recognizes one relationship seen from
+  * either side).
   */
 class ChainDirSpec extends SparkSpec {
 
@@ -61,10 +64,29 @@ class ChainDirSpec extends SparkSpec {
       x.getAs[String]("z_name"))).toSeq == Seq(("n2", "n3")))
   }
 
-  test("undirected chain segments reject by name") {
-    val r = CypherLite.run(g,
-      "MATCH (a:A)-[:R]-(x:X)-[:R]->(b:A) RETURN a.name")
-    assert(r.isLeft &&
-      r.swap.toOption.get.contains("undirected chain segment"), r)
+  test("undirected chain segments (r14): the segment's scan unions " +
+      "both orientations") {
+    val r = rows("MATCH (a:A {name: 'n1'})-[:R]-(x:X)-[:R]->(b:B) " +
+      "RETURN a.name, b.name")
+    assert(r.map(x => (x.getAs[String]("a_name"),
+      x.getAs[String]("b_name"))).toSeq == Seq(("n1", "n4")))
+  }
+
+  test("undirected × undirected same-type segments: isomorphism on the " +
+      "STORED identity — no single-edge bounce from either side") {
+    val r = rows("MATCH (a:A {name: 'n1'})-[:R]-(x:X)-[:R]-(b) " +
+      "RETURN b.name ORDER BY b.name")
+    // x = n3 via the stored 1→3 edge; the second segment sees 1→3
+    // (same stored edge — excluded), 2→3, and 3→4
+    assert(r.map(_.getAs[String]("b_name")).toSeq == Seq("n2", "n4"))
+  }
+
+  test("3-segment chains with an undirected middle route through the " +
+      "N-step scanner") {
+    val r = rows("MATCH (y:B)<-[:R]-(x:X)-[:R]-(a:A)-[:R2]->(z:X) " +
+      "RETURN y.name, a.name, z.name")
+    assert(r.map(x => (x.getAs[String]("y_name"),
+      x.getAs[String]("a_name"), x.getAs[String]("z_name"))).toSeq ==
+      Seq(("n4", "n1", "n3")))
   }
 }

@@ -127,6 +127,14 @@ class CypherFuzzSpec extends SparkSpec {
     " RETURN keys(r)", " RETURN properties(r)", " RETURN keys(m)",
     " RETURN coalesce(r.w, 'd')", " RETURN startNode(r)",
     " RETURN keys(r), count(*)", " RETURN properties(",
+    // endpoint + node-accessor grammar (round 14) + near-misses
+    " RETURN startNode(r).name", " RETURN endNode(r).label",
+    " RETURN startNode(r).name AS sn ORDER BY sn",
+    " RETURN startNode(r).nope", " RETURN endNode(m).name",
+    " RETURN startNode(r).name, count(*)",
+    " RETURN keys(c)", " RETURN properties(c)", " RETURN properties(m)",
+    " RETURN keys(c), count(c)", " RETURN keys(z)",
+    " RETURN m.name, keys(m)", " RETURN startNode(",
     " RETURN m.name, r.weight ORDER BY r.weight", " RETURN r.",
     " RETURN c.name, r.weight")
   private val tails = Seq("", " ORDER BY m.name", " ORDER BY count(c) DESC",

@@ -75,20 +75,66 @@ class RelAccessorSpec extends SparkSpec {
       "RETURN coalesce(r.weight, '7'), avg(r.weight)")
     assert(bad.isLeft &&
       bad.swap.toOption.get.contains("leak into the aggregate"), bad)
-    // startNode/endNode reject by name with the projection pointer
+    // whole-node startNode/endNode reject with the dotted-form pointer
     val sn = CypherLite.run(g,
       "MATCH (a:N)-[r:T]->(b:N) RETURN startNode(r)")
-    assert(sn.isLeft && sn.swap.toOption.get.contains("endpoint"), sn)
+    assert(sn.isLeft &&
+      sn.swap.toOption.get.contains("startNode(r).name"), sn)
   }
 
-  test("node-side keys()/properties() and unbound r reject by name") {
+  test("matched-var keys() under a hop pattern and unbound r reject " +
+      "by name") {
     def leftMsg(q: String): String =
       CypherLite.run(g, q).swap.getOrElse(fail(s"$q unexpectedly parsed"))
     assert(leftMsg("MATCH (a:N)-[r:T]->(b:N) RETURN keys(a)")
-      .contains("fixed columns"))
-    assert(leftMsg("MATCH (a:N)-[r:T]->(b:N) RETURN properties(b)")
-      .contains("fixed columns"))
+      .contains("hop-less"))
+    assert(leftMsg("MATCH (a:N)-[r:T]->(b:N) RETURN properties(a)")
+      .contains("hop-less"))
     assert(leftMsg("MATCH (a:N)-[:T]->(b:N) RETURN keys(r)")
       .contains("keys"))
+  }
+
+  test("startNode(r).prop / endNode(r).prop answer the STORED " +
+      "endpoints — orientation-independent on incoming and undirected " +
+      "matches") {
+    // outgoing: startNode = the matched side, endNode = connected
+    val out = rows("MATCH (a:N {name: 'n1'})-[r:T]->(b:N) " +
+      "RETURN b.name AS b_name, startNode(r).name AS sn, " +
+      "endNode(r).name AS en ORDER BY b_name")
+    assert(out.map(x => (x.getAs[String]("b_name"),
+      x.getAs[String]("sn"), x.getAs[String]("en"))).toSeq ==
+      Seq(("n2", "n1", "n2"), ("n3", "n1", "n3")))
+    // incoming: traversal flips, the STORED endpoints do not
+    val in = rows("MATCH (b:N {name: 'n4'})<-[r:U]-(a:N) " +
+      "RETURN startNode(r).name AS sn, endNode(r).name AS en")
+    assert(in.map(x => (x.getAs[String]("sn"), x.getAs[String]("en")))
+      .toSeq == Seq(("n2", "n4")))
+    // undirected: both bindings of n2 reveal the stored orientation
+    // (typed alternation — an untyped hop follows HAS_* containment
+    // edges only, the engine's downward convention)
+    val both = rows("MATCH (m:N {name: 'n2'})-[r:T|U]-(c:N) " +
+      "RETURN startNode(r).name AS sn, endNode(r).name AS en " +
+      "ORDER BY sn")
+    assert(both.map(x => (x.getAs[String]("sn"), x.getAs[String]("en")))
+      .toSeq == Seq(("n1", "n2"), ("n2", "n4")))
+    // unknown property and non-rel variable reject by name
+    val bad = CypherLite.run(g,
+      "MATCH (a:N)-[r:T]->(b:N) RETURN startNode(r).weight")
+    assert(bad.isLeft &&
+      bad.swap.toOption.get.contains("endpoint property"), bad)
+    val nv = CypherLite.run(g,
+      "MATCH (a:N)-[r:T]->(b:N) RETURN endNode(a).name")
+    assert(nv.isLeft && nv.swap.toOption.get.contains("relationship"), nv)
+  }
+
+  test("endpoint projections group under aggregates and survive " +
+      "OPTIONAL as nulls") {
+    val g2 = rows("MATCH (a:N)-[r:T]->(b:N) " +
+      "RETURN startNode(r).name AS sn, count(*) ORDER BY sn")
+    assert(g2.map(x => (x.getAs[String]("sn"),
+      x.getAs[Long]("n_connected"))).toSeq == Seq(("n1", 2L)))
+    val opt = rows("MATCH (a:N {name: 'n4'}) OPTIONAL MATCH " +
+      "(a)-[r:T]->(b) RETURN a.name, endNode(r).name AS en")
+    assert(opt.map(_.getAs[String]("en")).toSeq == Seq(null))
   }
 }

@@ -280,13 +280,17 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("l57 URL canonicalization stays pure codegen expressions — no " +
-      "UDF, one partial+final aggregate") {
+      "UDF, no join, one partial+final aggregate") {
     val p = plan("l57_url_dedup")
     // the canonicalizer is built from string expressions only; a UDF
     // eval node here would break whole-stage codegen on a 100 TB-sized
     // map stage
     assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"),
       p.take(800))
+    // the FULL-PSL lookup (r14) is a reference-object hash probe inside
+    // the projection — if it ever degrades to a per-probe lookup JOIN,
+    // this catches it
+    assert(!p.contains("Join"), p.take(800))
     assert(p.contains("HashAggregate") && p.contains("partial_"),
       p.take(800))
   }

@@ -91,6 +91,29 @@ class UrlCanonSpec extends SparkSpec {
     assert(dom("a.www.ck") == "www.ck")
   }
 
+  test("the FULL bundled PSL (round-14 directive 6): exotic rule " +
+      "shapes the 50-rule snapshot never carried") {
+    // wildcard + exception pair deep in .jp: *.kawasaki.jp with
+    // !city.kawasaki.jp
+    assert(dom("foo.kawasaki.jp") == "")
+    assert(dom("shop.foo.kawasaki.jp") == "shop.foo.kawasaki.jp")
+    assert(dom("city.kawasaki.jp") == "city.kawasaki.jp")
+    assert(dom("sub.city.kawasaki.jp") == "city.kawasaki.jp")
+    // 4-label private rules (AWS): the deepest probe depths
+    assert(dom("b.s3.dualstack.ap-south-1.amazonaws.com") ==
+      "b.s3.dualstack.ap-south-1.amazonaws.com")
+    assert(dom("s3.dualstack.ap-south-1.amazonaws.com") == "")
+    // ordinary ccTLD second-levels absent from the snapshot
+    assert(dom("x.co.il") == "x.co.il")
+    assert(dom("a.b.co.il") == "b.co.il")
+    assert(dom("x.com.pl") == "x.com.pl")
+    // multi-label public suffixes under .uk beyond co/org/ac
+    assert(dom("a.police.uk") == "a.police.uk")
+    // a plain TLD listed as a rule (not just the implicit default)
+    assert(dom("x.dev") == "x.dev")
+    assert(dom("dev") == "")
+  }
+
   test("canonicalization is idempotent on its own output") {
     for (u <- Seq(
         "HTTPS://WWW.A.COM:443/p/1?utm_a=1&id=2&ref=x#f",

@@ -1,17 +1,82 @@
 #!/usr/bin/env python3
 """Compare two bench maps (the {"sf":…, "queries":{name:sec}} shape or a
-raw Bench JSON line): per-query deltas, common-subset ratio, new/gone."""
+raw Bench JSON line): per-query deltas, common-subset ratio, new/gone —
+plus the CANARY adjudication (round-14 directive 7): when both files
+carry a "canary" block (plan fingerprint + shuffle read/write bytes per
+headline query), classify each wall-time delta mechanically:
+
+  DRIFT        same fingerprint, same bytes, wall moved  -> environment
+  STABLE       same fingerprint, same bytes, wall ~flat  -> nothing
+  PLAN-CHANGED fingerprint differs                       -> real change
+  INVESTIGATE  same fingerprint, bytes moved             -> data/volume
+
+Bytes on the data-dependent iterative kernels wobble a few percent run
+to run (seen ±3–7% on same-code sweeps), so "same bytes" means within
+BYTES_TOL; everything past it is INVESTIGATE, not silently drift.
+"""
 import json
 import sys
 
+BYTES_TOL = 0.10   # relative shuffle-bytes tolerance for "same bytes"
+WALL_TOL = 0.25    # relative wall tolerance below which a pair is STABLE
+
+
+def load_full(path):
+    d = json.load(open(path))
+    if "tail" in d and "queries" not in d:
+        sys.exit(f"{path} is the driver's truncated wrapper (a 2000-char "
+                 "'tail') — diff the full artifacts instead: "
+                 "bench_queries.json / bench_last.json, snapshotted "
+                 "per round")
+    return d
+
 
 def load(path):
-    d = json.load(open(path))
+    d = load_full(path)
     return d["queries"] if "queries" in d else d
 
 
+def same_bytes(a, b):
+    if a == b:
+        return True
+    hi = max(abs(a), abs(b), 1)
+    return abs(a - b) / hi <= BYTES_TOL
+
+
+def canary_diff(old_full, new_full, old_q, new_q):
+    co, cn = old_full.get("canary"), new_full.get("canary")
+    if not co or not cn:
+        print("\n(no canary block on both sides — wall-only compare; "
+              "adjudication unavailable)")
+        return
+    print(f"\ncanary adjudication ({len(set(co) & set(cn))} common):")
+    for q in sorted(set(co) & set(cn)):
+        o, n = co[q], cn[q]
+        wo, wn = old_q.get(q), new_q.get(q)
+        wall = (f"{wo:.2f}->{wn:.2f}s" if wo is not None and wn is not None
+                else "wall n/a")
+        if o["p"] != n["p"]:
+            verdict = "PLAN-CHANGED"
+        elif same_bytes(o["sr"], n["sr"]) and same_bytes(o["sw"], n["sw"]):
+            if (wo is not None and wn is not None and
+                    abs(wn - wo) / max(wo, 1e-3) > WALL_TOL):
+                verdict = "DRIFT (env)"
+            else:
+                verdict = "stable"
+        else:
+            verdict = "INVESTIGATE (bytes moved)"
+        print(f"  {verdict:24s} {q}  {wall}  "
+              f"sr {o['sr']}->{n['sr']}  sw {o['sw']}->{n['sw']}  "
+              f"fp {o['p'][:12]}{'==' if o['p'] == n['p'] else '!='}"
+              f"{n['p'][:12]}")
+    for q in sorted(set(cn) - set(co)):
+        print(f"  NEW-CANARY               {q}")
+
+
 def main(old_path, new_path, top=15):
-    old, new = load(old_path), load(new_path)
+    old_full, new_full = load_full(old_path), load_full(new_path)
+    old = old_full.get("queries", old_full)
+    new = new_full.get("queries", new_full)
     common = sorted(set(old) & set(new))
     t_old = sum(old[q] for q in common)
     t_new = sum(new[q] for q in common)
@@ -32,6 +97,7 @@ def main(old_path, new_path, top=15):
     print(f"\ntop {top} improvements (sec):")
     for d, q in deltas[-top:][::-1]:
         print(f"  {d:+6.2f}  {q}  ({old[q]:.2f} -> {new[q]:.2f})")
+    canary_diff(old_full, new_full, old, new)
 
 
 if __name__ == "__main__":
