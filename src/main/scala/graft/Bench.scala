@@ -28,7 +28,13 @@ object Bench {
     "graphp_stream_ingest", "graphp_louvain", "graphp_hits",
     "graphp_betweenness", "graphp_scc", "graphp_kcore",
     "graphp_cypher_write_script", "l27_source_overlap", "l2_minhash_lsh",
-    "tpch_q21")
+    "tpch_q21",
+    // r14: the three queries whose plans deliberately changed this
+    // round (chain isomorphism expansion, BFS reconstruction, full-PSL
+    // lookup) join the canary so future rounds can adjudicate their
+    // wall readings mechanically
+    "graphp_cypher_chain_ranged", "graphp_cypher_shortest_nodes",
+    "l57_url_dedup")
 
   private final class ShuffleTally extends SparkListener {
     val read = new AtomicLong(0L)
@@ -46,9 +52,31 @@ object Bench {
     * rounds of identical code: canonicalized (exprIds normalized), with
     * run-varying tokens scrubbed — temp-dir paths (stream/store queries
     * materialize under java.io.tmpdir) and any residual id/hash suffixes.
+    *
+    * Caveat found in round 14: the OPTIMIZED plan embeds cache
+    * substitution (InMemoryRelation swaps in wherever a fragment matches
+    * an already-cached plan), so on the iterative graph kernels this
+    * hash is sensitive to the sweep's cache-build INTERLEAVING — the
+    * order seed decides which fixture cache exists first, and a nested
+    * InMemoryRelation may or may not be baked into an outer cached
+    * plan's string. Byte-identical shuffles with a changed `p` are that
+    * artifact, not a plan change; [[logicalFingerprint]] (`pl`, below)
+    * is cache-blind and disambiguates mechanically.
     */
-  private def planFingerprint(df: DataFrame): String = {
-    val normalized = df.queryExecution.optimizedPlan.canonicalized.toString
+  private def planFingerprint(df: DataFrame): String =
+    fpOf(df.queryExecution.optimizedPlan.canonicalized.toString)
+
+  /** Cache-blind companion fingerprint over the ANALYZED logical plan —
+    * immune to cache interleaving (no InMemoryRelation substitution
+    * happens there), still code-change-sensitive. The pair adjudicates:
+    * p differs + pl matches + bytes match ⇒ cache-layout noise;
+    * pl differs ⇒ the query's construction really changed.
+    */
+  private def logicalFingerprint(df: DataFrame): String =
+    fpOf(df.queryExecution.analyzed.canonicalized.toString)
+
+  private def fpOf(plan: String): String = {
+    val normalized = plan
       .replaceAll("/tmp/\\S*", "<tmp>")
       .replaceAll("#\\d+", "#x")
       .replaceAll("@[0-9a-fA-F]+", "@x")
@@ -111,7 +139,8 @@ object Bench {
       }
       prev
     }
-    val canary = scala.collection.mutable.Map[String, (String, Long, Long)]()
+    val canary =
+      scala.collection.mutable.Map[String, (String, String, Long, Long)]()
     val results = rnd.shuffle(SparkEntry.queries.toSeq.sortBy(_._1))
       .map { case (name, fn) =>
       // min of two back-to-back runs: a one-off GC/JIT stall (which lands on
@@ -131,7 +160,7 @@ object Bench {
         val df = fn(spark, sfDir)
         df.count()
         val t = (System.nanoTime() - t0) / 1e9
-        canary(name) = (planFingerprint(df),
+        canary(name) = (planFingerprint(df), logicalFingerprint(df),
           stableRead(tally.read.get()) - r0,
           stableRead(tally.write.get()) - w0)
         t
@@ -247,9 +276,11 @@ object Bench {
     // shuffle read/write bytes — the drift-vs-regression adjudicator
     // (identical p + similar sr/sw across rounds ⇒ any wall-time delta is
     // environment drift; a changed p or byte count is a real plan change)
-    val canaryJson = canary.toSeq.sortBy(_._1).map { case (k, (p, sr, sw)) =>
-      "\"" + k + "\":{\"p\":\"" + p + "\",\"sr\":" + sr + ",\"sw\":" + sw + "}"
-    }.mkString("{", ",", "}")
+    val canaryJson = canary.toSeq.sortBy(_._1)
+      .map { case (k, (p, pl, sr, sw)) =>
+        "\"" + k + "\":{\"p\":\"" + p + "\",\"pl\":\"" + pl +
+          "\",\"sr\":" + sr + ",\"sw\":" + sw + "}"
+      }.mkString("{", ",", "}")
     // "value" = sum of per-query minima (the comparable signal);
     // "wall" = elapsed for the whole sweep incl. reruns (capacity figure)
     val line =

@@ -469,11 +469,11 @@ object CypherLite {
   // property, and `batch`/`path` are engine lineage/layout columns —
   // none of the three serialize. Same deterministic sorted-by-key
   // serialization as keys(r)/properties(r): `content,docnbr,name` order
-  // under `m_keys`/`m_properties` (matched variable, HOP-LESS form) or
+  // under `m_keys`/`m_properties` (matched variable — computed on the
+  // root scan hop-less, or carried on the ROOT side of a hop pattern,
+  // so an OPTIONAL unmatched root still answers its own keys) or
   // `c_keys`/`c_properties` (connected variable — one extra hash join
-  // against the node relation on c_id, only when requested). The
-  // matched variable UNDER a hop pattern rejects by name (inspect it
-  // hop-less, or inspect the connected side).
+  // against the node relation on c_id, only when requested).
   final case class RetNodeAccessor(fn: String, onConn: Boolean)
     extends RetItem
   // startNode(r).<prop> / endNode(r).<prop> — the STORED endpoint
@@ -3922,25 +3922,17 @@ object CypherLite {
         case PropsAccessorRe(v) if relVar.contains(v) =>
           Right(RetRelAccessor("properties"))
         // node-side keys()/properties() (r14): the matched variable
-        // hop-less, or the connected variable — see [[RetNodeAccessor]]
-        case KeysFnRe(v) if v == m && conn.isEmpty =>
+        // (hop-less OR under a hop — the accessor rides the root side,
+        // so OPTIONAL unmatched roots still answer) or the connected
+        // variable — see [[RetNodeAccessor]]
+        case KeysFnRe(v) if v == m =>
           Right(RetNodeAccessor("keys", onConn = false))
         case KeysFnRe(v) if conn.contains(v) =>
           Right(RetNodeAccessor("keys", onConn = true))
-        case PropsAccessorRe(v) if v == m && conn.isEmpty =>
+        case PropsAccessorRe(v) if v == m =>
           Right(RetNodeAccessor("properties", onConn = false))
         case PropsAccessorRe(v) if conn.contains(v) =>
           Right(RetNodeAccessor("properties", onConn = true))
-        case KeysFnRe(v) if v == m =>
-          Left(s"keys($v) under a hop pattern is not supported — " +
-            s"inspect the node hop-less (MATCH ($v…) RETURN keys($v)) " +
-            "or inspect the connected variable" +
-            conn.fold("")(c => s" (keys($c))"))
-        case PropsAccessorRe(v) if v == m =>
-          Left(s"properties($v) under a hop pattern is not supported — " +
-            s"inspect the node hop-less (MATCH ($v…) RETURN " +
-            s"properties($v)) or inspect the connected variable" +
-            conn.fold("")(c => s" (properties($c))"))
         case KeysFnRe(v) => Left("keys() may only inspect the matched " +
           s"variable '$m'" + conn.fold("")(c => s", the connected " +
             s"variable '$c'") + relVar.fold("")(r =>
@@ -6943,6 +6935,12 @@ object CypherLite {
           else neigh3.join(g0.nodes.toDF().select(
             col("id").as("c_id") +: connAccCols.map(fn =>
               nodeAccessorCol(fn).as(s"c_$fn")): _*), "c_id")
+        // keys(m)/properties(m) under a hop pattern ride the ROOT side
+        // (withRootCols/leftJoined compute them in the root select), so
+        // an OPTIONAL unmatched root still answers its own keys
+        val rootAccFns = items
+          .collect { case RetNodeAccessor(fn, false) => fn }.distinct
+        val rootAccCols = rootAccFns.map(fn => s"m_$fn")
         // binding columns the RETURN projection asks for beyond the node
         // image: the traversed edge's type when the query touches
         // type(r), plus any projected edge properties
@@ -6973,12 +6971,14 @@ object CypherLite {
         def withRootCols(keys0: Seq[String]): DataFrame = {
           val keys = (keys0 ++ mCondProps).distinct
           val df =
-            if (keys == Seq("name"))
+            if (keys == Seq("name") && rootAccFns.isEmpty)
               neigh.withColumnRenamed("root_name", "m_name")
             else neigh.drop("root_name").join(
               g.nodes.filter(pred).select(
                 col("id").as("root_id") +:
-                  keys.map(p => col(p).as(s"m_$p")): _*),
+                  (keys.map(p => col(p).as(s"m_$p")) ++
+                    rootAccFns.map(fn =>
+                      nodeAccessorCol(fn).as(s"m_$fn"))): _*),
               "root_id")
           if (bindingWhere)
             df.filter(dnf(
@@ -6999,7 +6999,9 @@ object CypherLite {
             .select((Seq("root_id") ++ connCols).map(col): _*)
           g.nodes.filter(pred).select(
               col("id").as("root_id") +:
-                keys.map(p => col(p).as(s"m_$p")): _*)
+                (keys.map(p => col(p).as(s"m_$p")) ++
+                  rootAccFns.map(fn =>
+                    nodeAccessorCol(fn).as(s"m_$fn"))): _*)
             .join(bindings, Seq("root_id"), "left")
         }
         if (globalAgg) {
@@ -7096,7 +7098,7 @@ object CypherLite {
           val connSide =
             relCols ++ Seq("depth", "c_label", "c_name", "c_content") ++
               connAccCols.map("c_" + _)
-          val out = keys.map("m_" + _) ++ connSide
+          val out = keys.map("m_" + _) ++ rootAccCols ++ connSide
           val rows =
             if (optional) leftJoined(keys, connSide)
             else withRootCols(keys)
@@ -7113,7 +7115,7 @@ object CypherLite {
           val keys = retProps.distinct
           val cCols = relCols ++ connRetProps.distinct.map("c_" + _) ++
             connAccCols.map("c_" + _)
-          val out = keys.map("m_" + _) ++ cCols
+          val out = keys.map("m_" + _) ++ rootAccCols ++ cCols
           val rows =
             if (optional) leftJoined(keys, cCols) else withRootCols(keys)
           ordered(maybeDistinct(
@@ -7124,11 +7126,16 @@ object CypherLite {
           // (or, under a connected-variable WHERE, with no binding passing
           // it) are not matches, hence the semi-join on the expansion. An
           // OPTIONAL pattern never filters: every root returns as-is.
-          val keys = if (retProps.nonEmpty) retProps.distinct
+          val keys =
+            if (retProps.nonEmpty) retProps.distinct
+            else if (rootAccCols.nonEmpty) Seq.empty
             else Seq("label", "name")
-          val out = keys.map("m_" + _)
+          val out = keys.map("m_" + _) ++ rootAccCols
           val roots = g.nodes.filter(pred).select(
-            col("id").as("root_id") +: keys.map(p => col(p).as(s"m_$p")): _*)
+            col("id").as("root_id") +:
+              (keys.map(p => col(p).as(s"m_$p")) ++
+                rootAccFns.map(fn =>
+                  nodeAccessorCol(fn).as(s"m_$fn"))): _*)
           val kept =
             if (optional) roots
             else {

@@ -1711,6 +1711,23 @@ object ParquetGraph {
         .fold(err => throw new IllegalArgumentException(err), identity)
     },
 
+    // C10 read surface (new r14): the ROOT-side accessor under a hop
+    // pattern — keys(m) rides the root select (not the bindings), so
+    // the same serialized map repeats per binding; the region's nodes
+    // carry docnbr + name but no content, exercising the absent-filter
+    // on a different column subset than the nation twins.
+    QueryDef.sql(
+      "graphp_cypher_root_accessors",
+      """SELECT 'docnbr,name' AS m_keys, n_name AS name
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |ORDER BY name""".stripMargin) { (s, d) =>
+      CypherLite.run(docTree(s, d),
+        "MATCH (r0:Region {name: 'ASIA'})-[:HAS_NATION]->(c) " +
+          "RETURN keys(r0) AS m_keys, c.name AS name ORDER BY name")
+        .fold(err => throw new IllegalArgumentException(err), identity)
+    },
+
     // C10 write surface (new r13): the direct relationship-property
     // update — `MATCH (a)-[r:ROAD]->(b) WHERE r.grade = 'even' SET
     // r.toll = '1'` over the Cypher-written chain, read back through

@@ -62,19 +62,34 @@ class NodeAccessorSpec extends SparkSpec {
   }
 
   test("keys(c) under OPTIONAL MATCH: unmatched roots answer null " +
-      "(keys(null), Cypher's rule)") {
+      "(keys(null)) while keys(n) still answers the ROOT's own keys") {
     val r = rows("MATCH (n:Dim) OPTIONAL MATCH (n)-[:REF]->(c) " +
-      "RETURN n.name, keys(c)")
+      "RETURN n.name, keys(n), keys(c)")
     assert(r.map(x => (x.getAs[String]("m_name"),
-      x.getAs[String]("c_keys"))).toSeq == Seq(("gamma", null)))
+      x.getAs[String]("m_keys"), x.getAs[String]("c_keys")))
+      .toSeq == Seq(("gamma", "name", null)))
   }
 
-  test("unsupported placements reject by name: matched-var under a " +
-      "hop, aggregates alongside, unknown variable") {
+  test("matched-var keys(m)/properties(m) under a hop pattern ride " +
+      "the root side — one row per binding, root map unchanged") {
+    val r = rows("MATCH (a:Doc {name: 'alpha'})-[:REF]->(c) " +
+      "RETURN keys(a), c.name ORDER BY c.name")
+    assert(r.map(x => (x.getAs[String]("m_keys"),
+      x.getAs[String]("c_name"))).toSeq ==
+      Seq(("content,docnbr,name", "beta"),
+        ("content,docnbr,name", "gamma")))
+    // accessor-only RETURN under a hop: the pattern must still match
+    // (beta has no outgoing REF, so only alpha's row comes back)
+    val only = rows("MATCH (a:Doc)-[:REF]->(c:Doc) " +
+      "RETURN properties(a)")
+    assert(only.map(_.getAs[String]("m_properties")).toSeq ==
+      Seq("{content: body text, docnbr: D-1, name: alpha}"))
+  }
+
+  test("unsupported placements reject by name: aggregates alongside, " +
+      "unknown variable") {
     def leftMsg(q: String): String =
       CypherLite.run(g, q).swap.getOrElse(fail(s"$q unexpectedly parsed"))
-    assert(leftMsg("MATCH (a:Doc)-[:REF]->(c) RETURN keys(a)")
-      .contains("hop-less"))
     assert(leftMsg("MATCH (a:Doc)-[:REF]->(c) RETURN keys(c), count(c)")
       .contains("cannot combine with an aggregate"))
     assert(leftMsg("MATCH (a:Doc)-[:REF]->(c) RETURN keys(z)")

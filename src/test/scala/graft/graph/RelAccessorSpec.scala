@@ -82,16 +82,16 @@ class RelAccessorSpec extends SparkSpec {
       sn.swap.toOption.get.contains("startNode(r).name"), sn)
   }
 
-  test("matched-var keys() under a hop pattern and unbound r reject " +
-      "by name") {
-    def leftMsg(q: String): String =
-      CypherLite.run(g, q).swap.getOrElse(fail(s"$q unexpectedly parsed"))
-    assert(leftMsg("MATCH (a:N)-[r:T]->(b:N) RETURN keys(a)")
-      .contains("hop-less"))
-    assert(leftMsg("MATCH (a:N)-[r:T]->(b:N) RETURN properties(a)")
-      .contains("hop-less"))
-    assert(leftMsg("MATCH (a:N)-[:T]->(b:N) RETURN keys(r)")
-      .contains("keys"))
+  test("node-side keys() under a hop answers the ROOT's map; an " +
+      "unbound r rejects by name") {
+    val r = rows("MATCH (a:N {name: 'n1'})-[r:T]->(b:N) " +
+      "RETURN keys(a), b.name ORDER BY b.name")
+    // the fixture's nodes carry only a name
+    assert(r.map(x => (x.getAs[String]("m_keys"),
+      x.getAs[String]("c_name"))).toSeq ==
+      Seq(("name", "n2"), ("name", "n3")))
+    val bad = CypherLite.run(g, "MATCH (a:N)-[:T]->(b:N) RETURN keys(r)")
+    assert(bad.isLeft && bad.swap.toOption.get.contains("keys"), bad)
   }
 
   test("startNode(r).prop / endNode(r).prop answer the STORED " +

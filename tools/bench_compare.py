@@ -56,7 +56,15 @@ def canary_diff(old_full, new_full, old_q, new_q):
         wall = (f"{wo:.2f}->{wn:.2f}s" if wo is not None and wn is not None
                 else "wall n/a")
         if o["p"] != n["p"]:
-            verdict = "PLAN-CHANGED"
+            # the optimized-plan hash embeds cache substitution, so it
+            # is sensitive to the sweep's cache-build interleaving (r14
+            # finding); the cache-blind logical hash disambiguates
+            if (o.get("pl") and o.get("pl") == n.get("pl")
+                    and same_bytes(o["sr"], n["sr"])
+                    and same_bytes(o["sw"], n["sw"])):
+                verdict = "CACHE-LAYOUT (bytes ok)"
+            else:
+                verdict = "PLAN-CHANGED"
         elif same_bytes(o["sr"], n["sr"]) and same_bytes(o["sw"], n["sw"]):
             if (wo is not None and wn is not None and
                     abs(wn - wo) / max(wo, 1e-3) > WALL_TOL):
