@@ -357,6 +357,16 @@ object CypherLite {
     */
   final case class RetPropFn(fn: String, prop: String,
       args: Seq[String] = Seq.empty) extends RetItem
+  /** A scalar string function over the CONNECTED variable's property
+    * (r14: `RETURN toUpper(c.name)`, `substring(c.content, 0, 40)` — the
+    * tidy-up projections LLMs wrap around the far end of a hop).
+    * Computed on the bindings relation BEFORE DISTINCT/ORDER BY
+    * (Cypher's rule), canonical column `<fn>_c_<prop>` (namespace-
+    * disjoint from the m-side `<fn>_<prop>`), null-transparent under
+    * unmatched OPTIONAL bindings. Aggregate mixes reject by name — a
+    * transformed grouping key is a different query than the bare one.
+    */
+  final case class RetConnFn(f: RetPropFn) extends RetItem
   /** `CASE WHEN m.prop <op> lit THEN 'v' [WHEN …]* [ELSE 'v0'] END` — the
     * searched CASE expression over matched-node comparisons (the
     * categorization staple). Same hop-less aggregate-free contract as
@@ -3982,18 +3992,34 @@ object CypherLite {
             Seq(start) ++ Option(len).toSeq))
         case ScalarLeftRightRe(fn, v, p, n) if v == m =>
           Right(RetPropFn(fn.toLowerCase(java.util.Locale.ROOT), p, Seq(n)))
+        // the connected-side scalar transforms (r14) — see [[RetConnFn]]
+        case ScalarFn1Re(fn, v, p) if conn.contains(v) =>
+          Right(RetConnFn(
+            RetPropFn(fn.toLowerCase(java.util.Locale.ROOT), p)))
+        case ScalarReplaceRe(v, p, from, to) if conn.contains(v) =>
+          Right(RetConnFn(RetPropFn("replace", p, Seq(from, to))))
+        case ScalarSubstringRe(v, p, start, len) if conn.contains(v) =>
+          Right(RetConnFn(RetPropFn("substring", p,
+            Seq(start) ++ Option(len).toSeq)))
+        case ScalarLeftRightRe(fn, v, p, n) if conn.contains(v) =>
+          Right(RetConnFn(RetPropFn(
+            fn.toLowerCase(java.util.Locale.ROOT), p, Seq(n))))
         case ScalarFn1Re(fn, v, _) =>
           Left(s"$fn() in RETURN may only transform the matched " +
-            s"variable '$m' on the hop-less form, got '$v'")
+            s"variable '$m'" + conn.fold("")(c =>
+            s" or the connected variable '$c'") + s", got '$v'")
         case ScalarReplaceRe(v, _, _, _) if v != m =>
           Left("replace() in RETURN may only transform the matched " +
-            s"variable '$m' on the hop-less form, got '$v'")
+            s"variable '$m'" + conn.fold("")(c =>
+            s" or the connected variable '$c'") + s", got '$v'")
         case ScalarSubstringRe(v, _, _, _) if v != m =>
           Left("substring() in RETURN may only transform the matched " +
-            s"variable '$m' on the hop-less form, got '$v'")
+            s"variable '$m'" + conn.fold("")(c =>
+            s" or the connected variable '$c'") + s", got '$v'")
         case ScalarLeftRightRe(fn, v, _, _) if v != m =>
           Left(s"$fn() in RETURN may only transform the matched " +
-            s"variable '$m' on the hop-less form, got '$v'")
+            s"variable '$m'" + conn.fold("")(c =>
+            s" or the connected variable '$c'") + s", got '$v'")
         case VarPropRe(v, p) if v == m => Right(RetProp(p))
         case VarPropRe(v, p) if conn.contains(v) => Right(RetConnProp(p))
         // r.prop: the traversed edge's property — rides the same
@@ -4017,6 +4043,7 @@ object CypherLite {
         // fn items land in `<fn>_<prop>` (no m_ prefix — the column holds
         // a TRANSFORMED value, not the raw property)
         case RetPropFn(fn, p, _) => Some(s"${fn}_$p")
+        case RetConnFn(f) => Some(s"${f.fn}_c_${f.prop}")
         // one CASE item per query (a second one would collide on the
         // canonical name and is rejected by the duplicate-canonical check)
         case RetCase(_, _) => Some("case_result")
@@ -4195,7 +4222,8 @@ object CypherLite {
                 // canonical output column through the generic canonical
                 // (agg:) pseudo-namespace — ordered() strips the prefix
                 // and finds the column among the projected ones
-                case Some(i @ (_: RetEndpoint | _: RetNodeAccessor)) =>
+                case Some(i @ (_: RetEndpoint | _: RetNodeAccessor |
+                    _: RetConnFn)) =>
                   Right((AggKeyPrefix + canonOf(i).getOrElse(""), d(dir)))
                 case Some(RetRelCoalesce(p, _)) =>
                   Right((RelKeyPrefix + p, d(dir)))
@@ -4354,6 +4382,14 @@ object CypherLite {
               items.exists(isAgg))
             Left("keys()/properties() of a node cannot combine with an " +
               "aggregate in one RETURN — project it in its own query")
+          else Right(())
+          // a transformed connected property as a grouping key is a
+          // DIFFERENT query than the bare one — reject the mix rather
+          // than silently grouping on either form
+          _ <- if (items.exists(_.isInstanceOf[RetConnFn]) &&
+              items.exists(isAgg))
+            Left("a scalar function over the connected variable cannot " +
+              "combine with an aggregate in one RETURN")
           else Right(())
           // coalesce(r.p, …) and an aggregate over the SAME r.p would
           // share the r_<p> column — the default would leak into the
@@ -6000,28 +6036,33 @@ object CypherLite {
     * 0-based (desugared to SQL's 1-based form), `replace()` replaces all
     * occurrences; null in → null out for every function.
     */
-  private def scalarCol(f: RetPropFn): Column = {
-    val c = col(f.prop)
+  private def scalarCol(f: RetPropFn): Column =
+    scalarColOn(f, col(f.prop))
+
+  /** [[scalarCol]] over an explicit source column (the c-side transforms
+    * read the binding relation's `c_<prop>` column).
+    */
+  private def scalarColOn(f: RetPropFn, src: Column): Column = {
     f.fn match {
-      case "tolower" => lower(c)
-      case "toupper" => upper(c)
-      case "trim" => trim(c)
-      case "size" => length(c).cast("long")
+      case "tolower" => lower(src)
+      case "toupper" => upper(src)
+      case "trim" => trim(src)
+      case "size" => length(src).cast("long")
       // Cypher's conversions answer null on a non-numeric string (the
       // try_cast lens, same as numeric WHERE comparisons); toInteger
       // truncates a fractional string toward zero as Neo4j does
-      case "tointeger" => c.try_cast("double").cast("long")
-      case "tofloat" => c.try_cast("double")
+      case "tointeger" => src.try_cast("double").cast("long")
+      case "tofloat" => src.try_cast("double")
       case "replace" =>
-        expr(s"replace(${f.prop}, '${f.args(0)}', '${f.args(1)}')")
+        replace(src, lit(f.args(0)), lit(f.args(1)))
       case "substring" =>
         val start = f.args.head.toInt + 1
         f.args.drop(1).headOption match {
-          case Some(len) => expr(s"substring(${f.prop}, $start, $len)")
-          case None => expr(s"substring(${f.prop}, $start)")
+          case Some(len) => src.substr(lit(start), lit(len.toInt))
+          case None => src.substr(lit(start), length(src))
         }
-      case "left" => expr(s"left(${f.prop}, ${f.args.head})")
-      case "right" => expr(s"right(${f.prop}, ${f.args.head})")
+      case "left" => left(src, lit(f.args.head.toInt))
+      case "right" => right(src, lit(f.args.head.toInt))
       case other => throw new IllegalArgumentException(
         s"unknown scalar fn: $other (parse/exec drifted)")
     }
@@ -6469,7 +6510,8 @@ object CypherLite {
           .orElse(filterProps.find(!SupportedProps(_))
             .map(k => Left(s"unsupported property: $k " +
               s"(supported: ${SupportedProps.toSeq.sorted.mkString(", ")})")))
-          .orElse((connConds.map(_.prop) ++ connRetProps ++ collectProps)
+          .orElse((connConds.map(_.prop) ++ connRetProps ++ collectProps ++
+            items.collect { case RetConnFn(f) => f.prop })
             .find(!ConnectedProps(_))
             .map(k => Left(s"unsupported connected-node property: $k " +
               s"(supported: ${ConnectedProps.toSeq.sorted.mkString(", ")})")))
@@ -6941,6 +6983,9 @@ object CypherLite {
         val rootAccFns = items
           .collect { case RetNodeAccessor(fn, false) => fn }.distinct
         val rootAccCols = rootAccFns.map(fn => s"m_$fn")
+        // connected-side scalar transforms (RetConnFn): computed on the
+        // binding columns below, projected as <fn>_c_<prop>
+        val connFnItems = items.collect { case RetConnFn(f) => f }.distinct
         // binding columns the RETURN projection asks for beyond the node
         // image: the traversed edge's type when the query touches
         // type(r), plus any projected edge properties
@@ -7104,7 +7149,7 @@ object CypherLite {
             else withRootCols(keys)
           ordered(maybeDistinct(rows.select(out.map(col): _*)), out)
         } else if (connRetProps.nonEmpty || relCols.nonEmpty ||
-            connAccCols.nonEmpty) {
+            connAccCols.nonEmpty || connFnItems.nonEmpty) {
           // RETURN [m.prop, ...,] [type(r),] c.prop[, ...]: one row per
           // surviving (m, c) binding, exactly the requested columns — the
           // expansion already dedupes to min depth per (root, node) pair
@@ -7115,11 +7160,23 @@ object CypherLite {
           val keys = retProps.distinct
           val cCols = relCols ++ connRetProps.distinct.map("c_" + _) ++
             connAccCols.map("c_" + _)
-          val out = keys.map("m_" + _) ++ rootAccCols ++ cCols
+          val fnOut = connFnItems.map(f => s"${f.fn}_c_${f.prop}")
+          // binding columns the transforms read beyond the projected ones
+          val fnNeed = connFnItems.map(f => s"c_${f.prop}")
+            .filterNot(cCols.contains).distinct
+          val out = keys.map("m_" + _) ++ rootAccCols ++ cCols ++ fnOut
           val rows =
-            if (optional) leftJoined(keys, cCols) else withRootCols(keys)
-          ordered(maybeDistinct(
-            applyDefaults(rows.select(out.map(col): _*))), out)
+            if (optional) leftJoined(keys, (cCols ++ fnNeed).distinct)
+            else withRootCols(keys)
+          // transforms computed on the (defaulted) binding columns
+          // BEFORE the projection, so DISTINCT/ORDER BY see transformed
+          // values (Cypher's rule); null bindings stay null through
+          // every transform
+          val withFns = connFnItems.foldLeft(applyDefaults(rows)) {
+            (df, f) => df.withColumn(s"${f.fn}_c_${f.prop}",
+              scalarColOn(f, col(s"c_${f.prop}")))
+          }
+          ordered(maybeDistinct(withFns.select(out.map(col): _*)), out)
         } else {
           // RETURN m[.prop] with a hop pattern: per Cypher semantics the
           // pattern must MATCH — roots with nothing reachable within k hops

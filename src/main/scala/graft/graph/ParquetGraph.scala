@@ -1728,6 +1728,24 @@ object ParquetGraph {
         .fold(err => throw new IllegalArgumentException(err), identity)
     },
 
+    // C10 read surface (new r14): scalar string functions over the
+    // CONNECTED variable — `toLower(c.name)` + `left(c.content, 3)` on
+    // a hop pattern, transformed BEFORE DISTINCT/ORDER BY (the ORDER BY
+    // keys the transformed alias, deciding row order where raw names
+    // would tie differently under case).
+    QueryDef.sql(
+      "graphp_cypher_conn_scalar",
+      """SELECT lower(n_name) AS lname, left(n_name, 3) AS pfx
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |ORDER BY lname""".stripMargin) { (s, d) =>
+      CypherLite.run(docTree(s, d),
+        "MATCH (r0:Region {name: 'ASIA'})-[:HAS_NATION]->(c) " +
+          "RETURN toLower(c.name) AS lname, left(c.content, 3) AS pfx " +
+          "ORDER BY lname")
+        .fold(err => throw new IllegalArgumentException(err), identity)
+    },
+
     // C10 write surface (new r13): the direct relationship-property
     // update — `MATCH (a)-[r:ROAD]->(b) WHERE r.grade = 'even' SET
     // r.toll = '1'` over the Cypher-written chain, read back through

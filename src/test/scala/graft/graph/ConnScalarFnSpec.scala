@@ -1,0 +1,72 @@
+package graft.graph
+
+import graft.SparkSpec
+
+/** Scalar string functions over the CONNECTED variable (round 14):
+  * `RETURN toUpper(c.name)` and friends on hop patterns — computed on
+  * the bindings BEFORE DISTINCT/ORDER BY, canonical `<fn>_c_<prop>`,
+  * null-transparent under OPTIONAL, aggregate mixes rejected.
+  */
+class ConnScalarFnSpec extends SparkSpec {
+
+  private lazy val g = {
+    import spark.implicits._
+    GraphTables(
+      Seq(
+        NodeRow(1L, "A", "root", "", "", "b1", Seq.empty),
+        NodeRow(2L, "B", "Alpha", "alpha body", "", "b1", Seq.empty),
+        NodeRow(3L, "B", "beta", "Beta Body", "", "b1", Seq.empty),
+        NodeRow(4L, "A", "lone", "", "", "b1", Seq.empty)).toDS(),
+      Seq(
+        EdgeRow(1L, 2L, "T", "", "b1"),
+        EdgeRow(1L, 3L, "T", "", "b1")).toDS())
+  }
+
+  private def rows(q: String) =
+    CypherLite.run(g, q).fold(e => fail(s"$q → $e"), identity).collect()
+
+  test("toUpper/left over the connected property, alias + ORDER BY on " +
+      "the transformed value") {
+    val r = rows("MATCH (a:A {name: 'root'})-[:T]->(c:B) " +
+      "RETURN toUpper(c.name) AS un, left(c.content, 4) AS pfx " +
+      "ORDER BY un")
+    assert(r.map(x => (x.getAs[String]("un"), x.getAs[String]("pfx")))
+      .toSeq == Seq(("ALPHA", "alph"), ("BETA", "Beta")))
+  }
+
+  test("DISTINCT sees the TRANSFORMED value: bindings whose transforms " +
+      "coincide collapse to one row") {
+    // non-collapsing control: 0-based substring (Cypher's rule) keeps
+    // the two bindings apart ('body' from 'alpha body' at 6; only
+    // 'ody' remains of the 9-char 'Beta Body')
+    val sub = rows("MATCH (a:A {name: 'root'})-[:T]->(c:B) " +
+      "RETURN DISTINCT substring(c.content, 6, 4)")
+    assert(sub.map(_.getAs[String]("substring_c_content")).toSeq.sorted ==
+      Seq("body", "ody"))
+    // collapsing case: both contents end in 'ody', so DISTINCT over the
+    // transformed value answers ONE row — proof it ran post-transform
+    val one = rows("MATCH (a:A {name: 'root'})-[:T]->(c:B) " +
+      "RETURN DISTINCT right(c.content, 3)")
+    assert(one.map(_.getAs[String]("right_c_content")).toSeq ==
+      Seq("ody"))
+  }
+
+  test("OPTIONAL: unmatched roots answer null through the transform") {
+    val r = rows("MATCH (a:A {name: 'lone'}) OPTIONAL MATCH " +
+      "(a)-[:T]->(c) RETURN a.name, toUpper(c.name)")
+    assert(r.map(x => (x.getAs[String]("m_name"),
+      x.getAs[String]("toupper_c_name"))).toSeq == Seq(("lone", null)))
+  }
+
+  test("rejections by name: aggregate mix, unknown variable, " +
+      "unsupported connected property") {
+    def leftMsg(q: String): String =
+      CypherLite.run(g, q).swap.getOrElse(fail(s"$q unexpectedly parsed"))
+    assert(leftMsg("MATCH (a:A)-[:T]->(c) RETURN toUpper(c.name), " +
+      "count(c)").contains("cannot combine with an aggregate"))
+    assert(leftMsg("MATCH (a:A)-[:T]->(c) RETURN toUpper(z.name)")
+      .contains("got 'z'"))
+    assert(leftMsg("MATCH (a:A)-[:T]->(c) RETURN trim(c.docnbr)")
+      .contains("unsupported connected-node property"))
+  }
+}

@@ -135,6 +135,11 @@ class CypherFuzzSpec extends SparkSpec {
     " RETURN keys(c)", " RETURN properties(c)", " RETURN properties(m)",
     " RETURN keys(c), count(c)", " RETURN keys(z)",
     " RETURN m.name, keys(m)", " RETURN startNode(",
+    // connected-side scalar transforms (round 14) + near-misses
+    " RETURN toUpper(c.name)", " RETURN left(c.content, 3)",
+    " RETURN substring(c.content, 0, 4) AS pfx ORDER BY pfx",
+    " RETURN toUpper(c.name), count(c)", " RETURN trim(c.docnbr)",
+    " RETURN replace(c.name, 'a', 'b')", " RETURN toUpper(c.",
     " RETURN m.name, r.weight ORDER BY r.weight", " RETURN r.",
     " RETURN c.name, r.weight")
   private val tails = Seq("", " ORDER BY m.name", " ORDER BY count(c) DESC",
