@@ -57,12 +57,19 @@ class ChainIsoSpec extends SparkSpec {
   }
 
   test("disjoint-type mixed chains keep the lean id-pair plan — no " +
-      "edge-identity columns, same results") {
+      "edge-identity columns, the ranged step stays on the min-depth " +
+      "kernel, same results") {
     val q = "MATCH (a:N {name: 'A'})-[:R]->(x)-[:S*1..2]->(y) " +
       "RETURN y.name ORDER BY y.name"
     val df = CypherLite.run(tri, q).fold(e => fail(s"$q → $e"), identity)
     assert(!df.queryExecution.analyzed.toString.contains("eids"),
       "disjoint types must not pay the per-path expansion")
+    // the kernel's eager localCheckpoint materializes as an ExistingRDD
+    // scan — its presence proves the disjoint ranged step kept the
+    // kernel routing (colliding ranged steps switch to the isomorphism
+    // expansion, which has no checkpoint at depth ≤ 2)
+    assert(df.queryExecution.executedPlan.toString
+      .contains("ExistingRDD"))
     assert(df.collect().map(_.getAs[String]("y_name")).toSeq == Seq("C"))
   }
 

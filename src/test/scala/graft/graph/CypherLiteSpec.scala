@@ -1990,11 +1990,15 @@ class CypherLiteSpec extends SparkSpec {
         "RETURN DISTINCT a.name, d.label").fold(e => fail(e), identity)
     val fastPlan = fast.queryExecution.executedPlan.toString
     assert(!fastPlan.contains("ExistingRDD"), fastPlan.take(400))
-    // a ranged step still routes through the var-length kernel
+    // a ranged step whose types COLLIDE with another segment (here:
+    // untyped × untyped) routes through the r14 isomorphism expansion —
+    // pair-collapsed joins, no kernel checkpoint in the plan either
+    // (ChainIsoSpec pins the kernel routing of DISJOINT-type ranged
+    // segments and the correctness of the colliding form on a cycle)
     val ranged = CypherLite.run(g,
       "MATCH (a:Boeing_Service_Bulletin)-[]->(b)-[*1..2]->(c) " +
         "RETURN DISTINCT a.name, c.label").fold(e => fail(e), identity)
-    assert(ranged.queryExecution.executedPlan.toString
+    assert(!ranged.queryExecution.executedPlan.toString
       .contains("ExistingRDD"))
   }
 
@@ -2298,14 +2302,16 @@ class CypherLiteSpec extends SparkSpec {
       assert(r.getAs[String]("l").length <= 2)
       assert(r.getAs[String]("rr").length <= 2)
     }
-    // rejected shapes: hop pattern, aggregates, connected variable
+    // rejected shapes: m-side transform under a hop, aggregate mixes
     assert(CypherLite.parse(
       "MATCH (m:Step)-[*1..1]->(c) RETURN toLower(m.name)").isLeft)
     assert(CypherLite.parse(
       "MATCH (m:Step) RETURN toLower(m.name), count(m)").isLeft)
+    // the CONNECTED-side transform parses since r14 (ConnScalarFnSpec
+    // owns its execution contract)
     val connFn = CypherLite.parse(
       "MATCH (m:Step)-[*1..1]->(c) RETURN m.name, toLower(c.name)")
-    assert(connFn.isLeft, connFn.toString)
+    assert(connFn.isRight, connFn.toString)
   }
 
   test("CASE expression in RETURN categorizes before DISTINCT/ORDER BY") {
