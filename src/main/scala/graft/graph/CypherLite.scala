@@ -4281,17 +4281,21 @@ object CypherLite {
           _ <- if (items.contains(RetConnected) && conn.isEmpty)
             Left("RETURN of the connected variable requires a hop pattern")
           else Right(())
-          // scalar functions transform the projection in the hop-less
-          // plain branch, where DISTINCT/ORDER BY then see the transformed
-          // values (Cypher's rule); under a hop pattern or mixed with
-          // aggregates they would need per-branch plumbing — rejected
-          // rather than silently transforming after dedup/ordering
+          // scalar functions transform the projection BEFORE
+          // DISTINCT/ORDER BY (Cypher's rule): hop-less in the plain
+          // branch, under a hop pattern on the ROOT side (r14 — the
+          // conn-side symmetry); mixed with aggregates they would
+          // become transformed grouping keys — rejected rather than
+          // silently grouping on either form. CASE stays hop-less (its
+          // WHEN machinery reads bare root columns).
           _ <- if (items.exists(i => i.isInstanceOf[RetPropFn] ||
-              i.isInstanceOf[RetCase]) &&
-              (conn.isDefined || items.exists(isAgg)))
-            Left("scalar functions / CASE in RETURN are supported on the " +
-              "hop-less projection form only (no hop pattern, no " +
-              "aggregates)")
+              i.isInstanceOf[RetCase]) && items.exists(isAgg))
+            Left("scalar functions / CASE in RETURN cannot combine " +
+              "with aggregates")
+          else Right(())
+          _ <- if (items.exists(_.isInstanceOf[RetCase]) && conn.isDefined)
+            Left("CASE in RETURN is supported on the hop-less " +
+              "projection form only")
           else Right(())
           _ <- if (items.exists(i => i.isInstanceOf[RetCollect] ||
               i.isInstanceOf[RetAggProp] ||
@@ -6983,6 +6987,15 @@ object CypherLite {
         val rootAccFns = items
           .collect { case RetNodeAccessor(fn, false) => fn }.distinct
         val rootAccCols = rootAccFns.map(fn => s"m_$fn")
+        // m-side scalar transforms under a hop (r14, the conn-side
+        // symmetry): computed in the ROOT select like the accessors, so
+        // they exist before DISTINCT/ORDER BY and survive OPTIONAL
+        val rootFnItems = items.collect { case f: RetPropFn => f }.distinct
+        val rootFnCols = rootFnItems.map(f => s"${f.fn}_${f.prop}")
+        def rootExtraCols: Seq[Column] =
+          rootAccFns.map(fn => nodeAccessorCol(fn).as(s"m_$fn")) ++
+            rootFnItems.map(f =>
+              scalarColOn(f, col(f.prop)).as(s"${f.fn}_${f.prop}"))
         // connected-side scalar transforms (RetConnFn): computed on the
         // binding columns below, projected as <fn>_c_<prop>
         val connFnItems = items.collect { case RetConnFn(f) => f }.distinct
@@ -7016,14 +7029,14 @@ object CypherLite {
         def withRootCols(keys0: Seq[String]): DataFrame = {
           val keys = (keys0 ++ mCondProps).distinct
           val df =
-            if (keys == Seq("name") && rootAccFns.isEmpty)
+            if (keys == Seq("name") && rootAccFns.isEmpty &&
+                rootFnItems.isEmpty)
               neigh.withColumnRenamed("root_name", "m_name")
             else neigh.drop("root_name").join(
               g.nodes.filter(pred).select(
                 col("id").as("root_id") +:
                   (keys.map(p => col(p).as(s"m_$p")) ++
-                    rootAccFns.map(fn =>
-                      nodeAccessorCol(fn).as(s"m_$fn"))): _*),
+                    rootExtraCols): _*),
               "root_id")
           if (bindingWhere)
             df.filter(dnf(
@@ -7045,8 +7058,7 @@ object CypherLite {
           g.nodes.filter(pred).select(
               col("id").as("root_id") +:
                 (keys.map(p => col(p).as(s"m_$p")) ++
-                  rootAccFns.map(fn =>
-                    nodeAccessorCol(fn).as(s"m_$fn"))): _*)
+                  rootExtraCols): _*)
             .join(bindings, Seq("root_id"), "left")
         }
         if (globalAgg) {
@@ -7143,7 +7155,8 @@ object CypherLite {
           val connSide =
             relCols ++ Seq("depth", "c_label", "c_name", "c_content") ++
               connAccCols.map("c_" + _)
-          val out = keys.map("m_" + _) ++ rootAccCols ++ connSide
+          val out = keys.map("m_" + _) ++ rootAccCols ++ rootFnCols ++
+            connSide
           val rows =
             if (optional) leftJoined(keys, connSide)
             else withRootCols(keys)
@@ -7164,7 +7177,8 @@ object CypherLite {
           // binding columns the transforms read beyond the projected ones
           val fnNeed = connFnItems.map(f => s"c_${f.prop}")
             .filterNot(cCols.contains).distinct
-          val out = keys.map("m_" + _) ++ rootAccCols ++ cCols ++ fnOut
+          val out = keys.map("m_" + _) ++ rootAccCols ++ rootFnCols ++
+            cCols ++ fnOut
           val rows =
             if (optional) leftJoined(keys, (cCols ++ fnNeed).distinct)
             else withRootCols(keys)
@@ -7185,14 +7199,12 @@ object CypherLite {
           // OPTIONAL pattern never filters: every root returns as-is.
           val keys =
             if (retProps.nonEmpty) retProps.distinct
-            else if (rootAccCols.nonEmpty) Seq.empty
+            else if (rootAccCols.nonEmpty || rootFnCols.nonEmpty) Seq.empty
             else Seq("label", "name")
-          val out = keys.map("m_" + _) ++ rootAccCols
+          val out = keys.map("m_" + _) ++ rootAccCols ++ rootFnCols
           val roots = g.nodes.filter(pred).select(
             col("id").as("root_id") +:
-              (keys.map(p => col(p).as(s"m_$p")) ++
-                rootAccFns.map(fn =>
-                  nodeAccessorCol(fn).as(s"m_$fn"))): _*)
+              (keys.map(p => col(p).as(s"m_$p")) ++ rootExtraCols): _*)
           val kept =
             if (optional) roots
             else {

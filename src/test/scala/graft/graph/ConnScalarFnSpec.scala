@@ -58,6 +58,19 @@ class ConnScalarFnSpec extends SparkSpec {
       x.getAs[String]("toupper_c_name"))).toSeq == Seq(("lone", null)))
   }
 
+  test("m-side transforms under a hop ride the root select — " +
+      "computed once per root, present on every binding, non-null " +
+      "under OPTIONAL") {
+    val r = rows("MATCH (a:A {name: 'root'})-[:T]->(c:B) " +
+      "RETURN toUpper(a.name) AS ua, c.name ORDER BY c.name")
+    assert(r.map(x => (x.getAs[String]("ua"), x.getAs[String]("c_name")))
+      .toSeq == Seq(("ROOT", "Alpha"), ("ROOT", "beta")))
+    val opt = rows("MATCH (a:A {name: 'lone'}) OPTIONAL MATCH " +
+      "(a)-[:T]->(c) RETURN size(a.name), toUpper(c.name)")
+    assert(opt.map(x => (x.getAs[Long]("size_name"),
+      x.getAs[String]("toupper_c_name"))).toSeq == Seq((4L, null)))
+  }
+
   test("rejections by name: aggregate mix, unknown variable, " +
       "unsupported connected property") {
     def leftMsg(q: String): String =

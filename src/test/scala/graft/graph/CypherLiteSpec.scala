@@ -2302,13 +2302,19 @@ class CypherLiteSpec extends SparkSpec {
       assert(r.getAs[String]("l").length <= 2)
       assert(r.getAs[String]("rr").length <= 2)
     }
-    // rejected shapes: m-side transform under a hop, aggregate mixes
-    assert(CypherLite.parse(
-      "MATCH (m:Step)-[*1..1]->(c) RETURN toLower(m.name)").isLeft)
+    // rejected shape: aggregate mixes (a transformed grouping key is a
+    // different query)
     assert(CypherLite.parse(
       "MATCH (m:Step) RETURN toLower(m.name), count(m)").isLeft)
-    // the CONNECTED-side transform parses since r14 (ConnScalarFnSpec
-    // owns its execution contract)
+    // BOTH sides transform under a hop since r14 (ConnScalarFnSpec owns
+    // the execution contracts): m-side rides the root select, conn-side
+    // the bindings
+    val rootFn = CypherLite.run(g,
+      "MATCH (m:Step)-[*1..1]->(c) RETURN toLower(m.name) AS lname " +
+        "ORDER BY lname LIMIT 2").fold(e => fail(e), identity).collect()
+    assert(rootFn.forall(r =>
+      r.getAs[String]("lname") == r.getAs[String]("lname").toLowerCase))
+    assert(rootFn.nonEmpty)
     val connFn = CypherLite.parse(
       "MATCH (m:Step)-[*1..1]->(c) RETURN m.name, toLower(c.name)")
     assert(connFn.isRight, connFn.toString)
