@@ -1270,7 +1270,7 @@ object CypherLite {
   // pair in mkCondFn — regexes can't express the conditional) is Cypher's
   // toLower/toUpper scalar on the LHS, the case-insensitive-match staple.
   private val CondRe =
-    ("""(?is)\s*(?:(toLower|toUpper)\s*\(\s*)?(\w+)\s*\.\s*(\w+)\s*(\))?\s*""" +
+    ("""(?is)\s*(?:(toLower|toUpper|size)\s*\(\s*)?(\w+)\s*\.\s*(\w+)\s*(\))?\s*""" +
       """(<>|<=|>=|=~|=|<|>|STARTS\s+WITH|ENDS\s+WITH|CONTAINS|IN)""" +
       """\s*(?:'([^']*)'|(-?\d+(?:\.\d+)?)|\[([^\]]*)\])\s*""").r
 
@@ -1906,12 +1906,18 @@ object CypherLite {
       op: String, str: String, num: String, list: String)
       : Either[String, Cond] =
     if ((fnKw != null) != (close != null))
-      Left("unbalanced parentheses in a toLower/toUpper(...) wrapper")
+      Left("unbalanced parentheses in a toLower/toUpper/size(...) " +
+        "wrapper")
     else mkCond(prop, op, str, num, list).flatMap { c =>
       val fn = Option(fnKw).map(_.toLowerCase(java.util.Locale.ROOT))
-      if (fn.isDefined && c.numeric)
+      // size(...) is a NUMERIC lens (string length, r14); the case
+      // folds compare strings — each rejects the other's literal kind
+      if (fn.exists(_ != "size") && c.numeric)
         Left("toLower/toUpper(...) compares against quoted strings, " +
           s"got a numeric literal")
+      else if (fn.contains("size") && !c.numeric)
+        Left("size(...) compares against numeric literals, got a " +
+          "quoted string")
       else Right(c.copy(fn = fn))
     }
 
@@ -6108,6 +6114,9 @@ object CypherLite {
     val target0 = c.fn match {
       case Some("tolower") => lower(targetRaw)
       case Some("toupper") => upper(targetRaw)
+      // size(): Cypher's string length, a numeric lens (r14) — stays a
+      // codegen length() so the predicate remains scan-side
+      case Some("size") => length(targetRaw)
       case _ => targetRaw
     }
     // unquoted literal → numeric comparison: the property try_casts to

@@ -1746,6 +1746,21 @@ object ParquetGraph {
         .fold(err => throw new IllegalArgumentException(err), identity)
     },
 
+    // C10 read surface (new r14): the size() WHERE lens — a numeric
+    // string-length predicate on the node scan ("long names"), the
+    // filter staple of document-quality prompts. Two-digit nation
+    // names are exactly the ones longer than 8 characters.
+    QueryDef.sql(
+      "graphp_cypher_where_size",
+      """SELECT n_name AS m_name FROM nation
+        |WHERE length(n_name) > 8
+        |ORDER BY m_name""".stripMargin) { (s, d) =>
+      CypherLite.run(hierarchy(s, d),
+        "MATCH (n:Nation) WHERE size(n.name) > 8 " +
+          "RETURN n.name ORDER BY n.name")
+        .fold(err => throw new IllegalArgumentException(err), identity)
+    },
+
     // C10 write surface (new r13): the direct relationship-property
     // update — `MATCH (a)-[r:ROAD]->(b) WHERE r.grade = 'even' SET
     // r.toll = '1'` over the Cypher-written chain, read back through

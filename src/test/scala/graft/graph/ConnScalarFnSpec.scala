@@ -71,6 +71,25 @@ class ConnScalarFnSpec extends SparkSpec {
       x.getAs[String]("toupper_c_name"))).toSeq == Seq((4L, null)))
   }
 
+  test("WHERE size(v.prop): the numeric string-length lens on either " +
+      "variable, composable with the boolean grammar") {
+    val r = rows("MATCH (a:A)-[:T]->(c:B) WHERE size(c.content) > 9 " +
+      "RETURN c.name")
+    // 'alpha body' (10) passes, 'Beta Body' (9) drops
+    assert(r.map(_.getAs[String]("c_name")).toSeq == Seq("Alpha"))
+    val m = rows("MATCH (n:B) WHERE size(n.name) = 4 OR " +
+      "size(n.content) > 100 RETURN n.name")
+    assert(m.map(_.getAs[String]("m_name")).toSeq == Seq("beta"))
+    val neg = rows("MATCH (n:B) WHERE NOT size(n.name) = 4 " +
+      "RETURN n.name")
+    assert(neg.map(_.getAs[String]("m_name")).toSeq == Seq("Alpha"))
+    // a quoted literal against the numeric lens rejects by name
+    val bad = CypherLite.run(g,
+      "MATCH (n:B) WHERE size(n.name) = 'four' RETURN n.name")
+    assert(bad.isLeft &&
+      bad.swap.toOption.get.contains("numeric literals"), bad)
+  }
+
   test("rejections by name: aggregate mix, unknown variable, " +
       "unsupported connected property") {
     def leftMsg(q: String): String =

@@ -72,7 +72,12 @@ class CypherFuzzSpec extends SparkSpec {
     " WHERE r.weight > 1 AND c.name = 'n1'",
     // chain rel-filter conjuncts (round 13, third wave) + near-misses
     " WHERE r1.w > 1 AND r2.g = 'a'", " WHERE r1.w > 1 OR c.name = 'a'",
-    " WHERE r1.w IS NOT NULL", " WHERE r1.w > 1 AND")
+    " WHERE r1.w IS NOT NULL", " WHERE r1.w > 1 AND",
+    // size() WHERE lens (round 14) + near-misses
+    " WHERE size(m.name) > 2", " WHERE size(c.content) <= 4",
+    " WHERE size(m.name) = 'a'", " WHERE size(r.weight) > 1",
+    " WHERE NOT size(m.name) > 2 OR m.name = 'n1'",
+    " WHERE size(m.name", " WHERE size(m.name) >")
   // WITH pipeline fragments, incl. MULTI-aggregate forms and near-miss
   // shapes (duplicate alias, grouping item after an aggregate, dangling
   // comma/HAVING) — the round-10 multi-aggregate WITH surface must stay
