@@ -369,11 +369,13 @@ object CypherLite {
   final case class RetConnFn(f: RetPropFn) extends RetItem
   /** `CASE WHEN m.prop <op> lit THEN 'v' [WHEN …]* [ELSE 'v0'] END` — the
     * searched CASE expression over matched-node comparisons (the
-    * categorization staple). Same hop-less aggregate-free contract as
-    * [[RetPropFn]]: evaluated at projection time, before DISTINCT/ORDER
-    * BY. No ELSE → null (Cypher's rule); WHEN predicates reuse the WHERE
-    * comparison machinery (null comparisons fall through to the next
-    * branch, as in Cypher).
+    * categorization staple). Like [[RetPropFn]]: evaluated at
+    * projection time before DISTINCT/ORDER BY — hop-less on the plain
+    * branch, under a hop on the ROOT select (r14) — and aggregate-free
+    * (a transformed grouping key is a different query). No ELSE → null
+    * (Cypher's rule); WHEN predicates reuse the WHERE comparison
+    * machinery (null comparisons fall through to the next branch, as in
+    * Cypher).
     */
   final case class RetCase(branches: Seq[(Cond, String)],
       default: Option[String]) extends RetItem
@@ -4299,10 +4301,7 @@ object CypherLite {
             Left("scalar functions / CASE in RETURN cannot combine " +
               "with aggregates")
           else Right(())
-          _ <- if (items.exists(_.isInstanceOf[RetCase]) && conn.isDefined)
-            Left("CASE in RETURN is supported on the hop-less " +
-              "projection form only")
-          else Right(())
+
           _ <- if (items.exists(i => i.isInstanceOf[RetCollect] ||
               i.isInstanceOf[RetAggProp] ||
               i.isInstanceOf[RetAggRelProp] ||
@@ -6078,6 +6077,18 @@ object CypherLite {
     }
   }
 
+  /** The searched-CASE column of a [[RetCase]] item: the WHEN chain
+    * folded right-to-left so the first true branch wins; a null
+    * comparison falls through (Cypher); no ELSE → null.
+    */
+  private def caseColOf(bs: Seq[(Cond, String)],
+      default: Option[String]): Column =
+    bs.foldRight(
+      default.map(lit(_)).getOrElse(lit(null).cast("string"))) {
+      case ((cond, out), acc) =>
+        when(condCol(cond, col(cond.prop)), lit(out)).otherwise(acc)
+    }
+
   /** keys(n)/properties(n) serialization over a node relation's RAW
     * columns ([[RetNodeAccessor]] doc): the user properties are
     * {content, docnbr, name} (already in sorted-key order), the empty
@@ -6820,15 +6831,7 @@ object CypherLite {
                   Seq((s"m_$fn", nodeAccessorCol(fn)))
                 case f: RetPropFn => Seq((s"${f.fn}_${f.prop}", scalarCol(f)))
                 case RetCase(bs, default) =>
-                  // fold the WHEN chain right-to-left so the first true
-                  // branch wins; a null comparison falls through (Cypher)
-                  val caseCol = bs.foldRight(
-                    default.map(lit(_)).getOrElse(lit(null).cast("string"))) {
-                    case ((cond, out), acc) =>
-                      when(condCol(cond, col(cond.prop)), lit(out))
-                        .otherwise(acc)
-                  }
-                  Seq(("case_result", caseCol))
+                  Seq(("case_result", caseColOf(bs, default)))
                 case _ => Seq.empty
               }.foreach { case (n, c) => seen.getOrElseUpdate(n, c) }
               seen.toSeq
@@ -6996,15 +6999,21 @@ object CypherLite {
         val rootAccFns = items
           .collect { case RetNodeAccessor(fn, false) => fn }.distinct
         val rootAccCols = rootAccFns.map(fn => s"m_$fn")
-        // m-side scalar transforms under a hop (r14, the conn-side
-        // symmetry): computed in the ROOT select like the accessors, so
-        // they exist before DISTINCT/ORDER BY and survive OPTIONAL
-        val rootFnItems = items.collect { case f: RetPropFn => f }.distinct
-        val rootFnCols = rootFnItems.map(f => s"${f.fn}_${f.prop}")
+        // m-side scalar transforms AND searched CASE under a hop (r14,
+        // the conn-side symmetry): computed in the ROOT select like the
+        // accessors, so they exist before DISTINCT/ORDER BY and survive
+        // OPTIONAL
+        val rootComputed: Seq[(String, Column)] =
+          items.collect { case f: RetPropFn =>
+            (s"${f.fn}_${f.prop}", scalarColOn(f, col(f.prop)))
+          }.distinct ++
+            items.collect { case RetCase(bs, default) =>
+              ("case_result", caseColOf(bs, default))
+            }
+        val rootFnCols = rootComputed.map(_._1)
         def rootExtraCols: Seq[Column] =
           rootAccFns.map(fn => nodeAccessorCol(fn).as(s"m_$fn")) ++
-            rootFnItems.map(f =>
-              scalarColOn(f, col(f.prop)).as(s"${f.fn}_${f.prop}"))
+            rootComputed.map { case (n2, c2) => c2.as(n2) }
         // connected-side scalar transforms (RetConnFn): computed on the
         // binding columns below, projected as <fn>_c_<prop>
         val connFnItems = items.collect { case RetConnFn(f) => f }.distinct
@@ -7039,7 +7048,7 @@ object CypherLite {
           val keys = (keys0 ++ mCondProps).distinct
           val df =
             if (keys == Seq("name") && rootAccFns.isEmpty &&
-                rootFnItems.isEmpty)
+                rootComputed.isEmpty)
               neigh.withColumnRenamed("root_name", "m_name")
             else neigh.drop("root_name").join(
               g.nodes.filter(pred).select(

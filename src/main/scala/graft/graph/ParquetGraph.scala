@@ -1746,6 +1746,25 @@ object ParquetGraph {
         .fold(err => throw new IllegalArgumentException(err), identity)
     },
 
+    // C10 read surface (new r14): searched CASE under a hop pattern —
+    // the categorization staple composed with an expansion ("each
+    // region, its tier, and its nations"): the CASE rides the root
+    // select, so the tier repeats per binding and DISTINCT/ORDER BY
+    // see the categorized value.
+    QueryDef.sql(
+      "graphp_cypher_case_hop",
+      """SELECT CASE WHEN r_name = 'ASIA' THEN 'home' ELSE 'away' END
+        |    AS tier,
+        |  n_name AS name
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY name""".stripMargin) { (s, d) =>
+      CypherLite.run(hierarchy(s, d),
+        "MATCH (r0:Region)-[:HAS_NATION]->(c) " +
+          "RETURN CASE WHEN r0.name = 'ASIA' THEN 'home' " +
+          "ELSE 'away' END AS tier, c.name AS name ORDER BY name")
+        .fold(err => throw new IllegalArgumentException(err), identity)
+    },
+
     // C10 read surface (new r14): the size() WHERE lens — a numeric
     // string-length predicate on the node scan ("long names"), the
     // filter staple of document-quality prompts. Two-digit nation

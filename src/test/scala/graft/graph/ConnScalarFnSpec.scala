@@ -90,6 +90,21 @@ class ConnScalarFnSpec extends SparkSpec {
       bad.swap.toOption.get.contains("numeric literals"), bad)
   }
 
+  test("searched CASE under a hop pattern rides the root select " +
+      "(r14) — categorizes the ROOT per binding") {
+    val r = rows("MATCH (a:A)-[:T]->(c:B) " +
+      "RETURN CASE WHEN a.name = 'root' THEN 'anchor' ELSE 'other' " +
+      "END AS kind, c.name ORDER BY c.name")
+    assert(r.map(x => (x.getAs[String]("kind"),
+      x.getAs[String]("c_name"))).toSeq ==
+      Seq(("anchor", "Alpha"), ("anchor", "beta")))
+    // aggregate mixes still reject
+    val bad = CypherLite.run(g, "MATCH (a:A)-[:T]->(c) RETURN " +
+      "CASE WHEN a.name = 'root' THEN 'x' END, count(c)")
+    assert(bad.isLeft &&
+      bad.swap.toOption.get.contains("cannot combine"), bad)
+  }
+
   test("rejections by name: aggregate mix, unknown variable, " +
       "unsupported connected property") {
     def leftMsg(q: String): String =
