@@ -4400,6 +4400,20 @@ object CypherLite {
             Left("a scalar function over the connected variable cannot " +
               "combine with an aggregate in one RETURN")
           else Right(())
+          // coalesce(c.p, …) writes the default INTO the canonical c_p
+          // column, which a co-present transform over the same property
+          // would then read — Neo4j transforms the raw null instead.
+          // Reject rather than silently transforming the default (the
+          // same rule as the rel-side coalesce/aggregate collision).
+          _ <- items.collectFirst {
+            case RetCoalesce(p, _) if items.exists {
+              case RetConnFn(f) => f.prop == p
+              case _ => false
+            } => p
+          }.map(p => Left(s"coalesce(c.$p, …) cannot combine with a " +
+            s"scalar function over c.$p in one RETURN — the default " +
+            "would leak into the transform"))
+            .getOrElse(Right(()))
           // coalesce(r.p, …) and an aggregate over the SAME r.p would
           // share the r_<p> column — the default would leak into the
           // aggregate's input. Reject rather than silently mis-aggregate.

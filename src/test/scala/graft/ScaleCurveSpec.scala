@@ -496,9 +496,35 @@ class ScaleCurveSpec extends SparkSpec {
     val g10 = samplerGraph(10)
     val g100 = samplerGraph(100)
     runBoth(g10, 10) // warm-up
-    val t10 = timedMin2(runBoth(g10, 10))
-    val t100 = timed(runBoth(g100, 100))
-    assertLinear("samplers(hub 10x→100x)", t10, t100, MaxRatio100Graph)
+    // round-14: same contention-immune treatment as the kCore and
+    // clusteringCoefficient decades — the r14 close-out suite saw this
+    // pin's WALL ratio read 24.4 under 70-suite contention and ~14
+    // standalone, while the threat model (a frontier scaling with
+    // DEGREE instead of roots — the hub would multiply every walk
+    // step) moves shuffle BYTES by orders of magnitude whatever the
+    // CPU load. Bytes are asserted; wall is info() only.
+    import org.apache.spark.graft.TestMetrics
+    var t10 = 0.0; var t100 = 0.0
+    val (read10, write10) = TestMetrics.shuffleBytes(spark.sparkContext) {
+      t10 = timed(runBoth(g10, 10))
+    }
+    val (read100, write100) =
+      TestMetrics.shuffleBytes(spark.sparkContext) {
+        t100 = timed(runBoth(g100, 100))
+      }
+    info(f"samplers(hub 10x→100x): wall $t10%.2fs→$t100%.2fs " +
+      f"(ratio ${t100 / math.max(t10, OverheadFloorSec)}%.1f, not " +
+      f"asserted); shuffle read ${read10}%,d→${read100}%,d B " +
+      f"(${ratioOf(read100, read10)}%.1fx) write " +
+      f"${write10}%,d→${write100}%,d B " +
+      f"(${ratioOf(write100, write10)}%.1fx)")
+    assert(ratioOf(read100, read10) <= MaxRatio100Graph &&
+      ratioOf(write100, write10) <= MaxRatio100Graph,
+      f"samplers shuffled super-linearly: read " +
+        f"${ratioOf(read100, read10)}%.1fx write " +
+        f"${ratioOf(write100, write10)}%.1fx at a 10x input (bound " +
+        f"$MaxRatio100Graph%.0f) — a walk frontier is scaling with " +
+        "degree instead of roots")
   }
 
   test("clusteringCoefficient wall-time stays ~linear from 10x to 100x") {

@@ -115,5 +115,10 @@ class ConnScalarFnSpec extends SparkSpec {
       .contains("got 'z'"))
     assert(leftMsg("MATCH (a:A)-[:T]->(c) RETURN trim(c.docnbr)")
       .contains("unsupported connected-node property"))
+    // coalesce writes the default into the canonical column a transform
+    // over the same property would read — Neo4j transforms the raw null
+    assert(leftMsg("MATCH (a:A) OPTIONAL MATCH (a)-[:T]->(c) " +
+      "RETURN coalesce(c.name, 'x'), toUpper(c.name)")
+      .contains("leak into the transform"))
   }
 }
