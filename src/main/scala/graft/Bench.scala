@@ -34,7 +34,15 @@ object Bench {
     // lookup) join the canary so future rounds can adjudicate their
     // wall readings mechanically
     "graphp_cypher_chain_ranged", "graphp_cypher_shortest_nodes",
-    "l57_url_dedup")
+    "l57_url_dedup",
+    // r15: every query in the r14 top-10 by wall is canaried — the two
+    // movements the r14 judge could NOT adjudicate (set_rel_map +4.2x,
+    // l2b2_prod_knobs +2.7x) were exactly the expensive queries outside
+    // the canary; this closes that coverage gap for good
+    "graphp_cypher_set_rel_map", "l2b2_prod_knobs",
+    "l2b2_simhash_neardup", "l34_verified_neardup",
+    "graphp_node_similarity", "graphp_cypher_path_nodes",
+    "l21_bloom_decontam", "l52_semdedup")
 
   private final class ShuffleTally extends SparkListener {
     val read = new AtomicLong(0L)
@@ -166,11 +174,18 @@ object Bench {
         t
       }
       try {
-        val first = if (CanaryQueries(name)) onceCanary() else once()
+        // canary rides the SECOND (warm) run: the first run of whichever
+        // query touches a shared fixture first pays the cache-BUILD
+        // shuffles, so first-run bytes depend on the sweep's order seed
+        // (r15 adjudication of graphp_hits: cold 16,424 = the r13
+        // reading, warm 13,873 = the r14 reading, each exactly
+        // reproducible standalone) — warm-run bytes are cache-state-
+        // independent and therefore round-comparable
+        val first = once()
         // each run is caught separately: a flake on the SECOND run must not
         // discard the first run's real measurement as a failure
         val second =
-          try Some(once())
+          try Some(if (CanaryQueries(name)) onceCanary() else once())
           catch {
             case e: Throwable =>
               System.err.println(s"[bench] $name flaked on run 2: " +

@@ -50,6 +50,7 @@ def canary_diff(old_full, new_full, old_q, new_q):
               "adjudication unavailable)")
         return
     print(f"\ncanary adjudication ({len(set(co) & set(cn))} common):")
+    verdicts = {}
     for q in sorted(set(co) & set(cn)):
         o, n = co[q], cn[q]
         wo, wn = old_q.get(q), new_q.get(q)
@@ -63,6 +64,19 @@ def canary_diff(old_full, new_full, old_q, new_q):
                     and same_bytes(o["sr"], n["sr"])
                     and same_bytes(o["sw"], n["sw"])):
                 verdict = "CACHE-LAYOUT (bytes ok)"
+            elif o.get("pl") and o.get("pl") == n.get("pl"):
+                # same construction (cache-blind hash matches) but the
+                # shuffle volume moved: not a plan change — a data/AQE
+                # volume movement that needs a standalone reproduction
+                verdict = "INVESTIGATE (bytes moved, pl same)"
+            elif o["sr"] == n["sr"] and o["sw"] == n["sw"]:
+                # both hashes moved but the shuffles are EXACTLY equal:
+                # seen when Spark's canonicalization orders commutative
+                # operands by pre-normalization exprId hashCodes (lambda
+                # variables salt them per session — r15 l57 finding);
+                # verify with a standalone fingerprint probe, but equal
+                # bytes mean the executed work is identical
+                verdict = "FP-CHANGED (bytes equal)"
             else:
                 verdict = "PLAN-CHANGED"
         elif same_bytes(o["sr"], n["sr"]) and same_bytes(o["sw"], n["sw"]):
@@ -73,12 +87,18 @@ def canary_diff(old_full, new_full, old_q, new_q):
                 verdict = "stable"
         else:
             verdict = "INVESTIGATE (bytes moved)"
+        verdicts[verdict.split(" ")[0]] = verdicts.get(
+            verdict.split(" ")[0], 0) + 1
         print(f"  {verdict:24s} {q}  {wall}  "
               f"sr {o['sr']}->{n['sr']}  sw {o['sw']}->{n['sw']}  "
               f"fp {o['p'][:12]}{'==' if o['p'] == n['p'] else '!='}"
               f"{n['p'][:12]}")
     for q in sorted(set(cn) - set(co)):
+        verdicts["NEW-CANARY"] = verdicts.get("NEW-CANARY", 0) + 1
         print(f"  NEW-CANARY               {q}")
+    # machine-readable tally so the round notes can cite the tool's
+    # output verbatim (zero hand-adjudicated entries)
+    print("verdict tally: " + json.dumps(verdicts, sort_keys=True))
 
 
 def main(old_path, new_path, top=15):
