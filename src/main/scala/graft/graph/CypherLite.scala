@@ -294,6 +294,14 @@ import org.apache.spark.sql.functions._
   */
 object CypherLite {
 
+  /** TEST-ONLY escape hatch (r15): force the per-path relationship-
+    * isomorphism form even on the single-partner motif, so ChainIsoSpec
+    * can measure the unavoidable-set collapse's shuffle-byte advantage
+    * A/B on the SAME query (the two forms are semantically equal there —
+    * the spec asserts that too). Never set outside tests.
+    */
+  private[graph] var disableUnavoidableCollapse = false
+
   sealed trait Statement
   /** One comparison; `onConn` = it references the hop pattern's connected
     * variable rather than the matched one; `numeric` = the literal was
@@ -497,10 +505,26 @@ object CypherLite {
   // so each side is one hash join against the node relation, added only
   // when requested. Canonical columns `startnode_<prop>` /
   // `endnode_<prop>`; bound single-hop relationship variable required
-  // (same substrate rule as every r-form); whole-node startNode(r)
-  // rejects by name — project a property.
+  // (same substrate rule as every r-form).
   final case class RetEndpoint(start: Boolean, prop: String)
     extends RetItem
+  // startNode(r) / endNode(r) — the WHOLE-node endpoint projection
+  // (round-15 directive 4). The tabular contract cannot hand back a
+  // node object, so the node serializes through the same sorted-key
+  // properties(n) machinery as [[RetNodeAccessor]] (`{k: v, …}` over
+  // the user properties, '' = absent) under the canonical column
+  // `startnode_properties` / `endnode_properties` — a name the dotted
+  // form can never produce (ProjectableProps excludes "properties"),
+  // so the two namespaces cannot collide. The STORED-endpoint rule is
+  // identical to [[RetEndpoint]]: on an undirected or incoming match
+  // the serialization reveals the edge's as-written source/destination
+  // node, not the traversal side. Same substrate rule (bound
+  // single-hop relationship variable), same one-hash-join-per-side
+  // execution — a query asking both the dotted and whole forms of one
+  // side still pays a single join. Like the node accessors, pairing
+  // with an aggregate rejects by name (a serialized map is not a
+  // Cypher grouping key).
+  final case class RetEndpointNode(start: Boolean) extends RetItem
   // coalesce(r.prop, 'default') — the missing-key/unmatched-OPTIONAL
   // default on the edge-property map (canonical column `r_<prop>`, like
   // [[RetRelProp]]; the default applies BEFORE DISTINCT/ORDER BY).
@@ -608,22 +632,29 @@ object CypherLite {
   /** `MATCH (m[:Label] [{…}]) [WHERE …] SET m.content = 'value'` — the
     * front-end form of the content-update kernel (reference A18 /
     * `first-graph.py`'s py2neo SET path): one join-update over the
-    * matched set, mapped to [[GraphOps.updateContent]]. Only the
-    * `content` property is writable (the engine's node identity hashes
-    * name/label, so rewriting those would be an upsert, not a SET).
-    * CAVEAT — content-vs-id drift: [[GraphModel.nodeId]] hashes content
-    * too, and SET does NOT re-key the node, so after an update the
-    * stored id still reflects the ORIGINAL content; a later MERGE whose
-    * pattern carries the NEW content hashes to a different id and mints
-    * a separate node. Re-MERGE with the content the node was CREATED
-    * with (or match by name) to hit the updated node.
+    * matched set, mapped to [[GraphOps.updateNodeProp]]. Since r15 any
+    * USER property is writable (`prop` ∈ content/name/docnbr — the
+    * engine's property model is fixed user columns plus batch lineage,
+    * see [[RetNodeAccessor]]); `label` names the node's kind and
+    * `batch` its ingest lineage — writing those is a different
+    * operation (re-labeling / re-tagging) and rejects with a pointer
+    * to this model.
+    * CAVEAT — property-vs-id drift: [[GraphModel.nodeId]] hashes
+    * content, name, and docnbr, and SET does NOT re-key the node, so
+    * after an update the stored id still reflects the ORIGINAL values;
+    * a later MERGE whose pattern carries the NEW value hashes to a
+    * different id and mints a separate node. Re-MERGE with the values
+    * the node was CREATED with to hit the updated node.
     */
   final case class SetContent(label: Option[String],
       props: Map[String, String], conds: Seq[Seq[Cond]],
       value: String,
       // the optional second (batch-tag) label of the matched pattern —
       // `MATCH (n:Title:Batch {…}) SET …` (`new-converter.js:136-140`)
-      batch: Option[String] = None) extends Statement
+      batch: Option[String] = None,
+      // the written user property (r15): content (the reference's only
+      // SET, `new-converter.js:136-141`), name, or docnbr
+      prop: String = "content") extends Statement
 
   /** `CREATE (n:Label {name: '…'[, content: '…'][, docnbr: '…']})` — the
     * front-end form of the MERGE upsert (A11/A12): a deterministic-id
@@ -1955,35 +1986,107 @@ object CypherLite {
     else conds.map(_ ++ sugar)
   }
 
-  // UNWIND ['v', …] AS x <rest> — the list-parameterization prefix LLMs
-  // emit for "any of these" prompts. Desugared by rewriting every
-  // `= x` comparison in <rest> to `IN [list]` (positions located on the
+  // UNWIND ['v', …] AS x <rest> — the list prefix LLMs emit for "for
+  // each of these" prompts. Desugared by rewriting every `= x`
+  // comparison in <rest> to `IN [list]` (positions located on the
   // quote-blanked text so a literal can never be corrupted; `<= x` /
-  // `>= x` are protected by the lookbehind) and re-parsing. Duplicate
-  // list elements collapse (the engine's IN is set membership — the one
-  // observable difference from Cypher's bag UNWIND, documented here).
+  // `>= x` are protected by the lookbehind) and re-parsing. Since r15
+  // the variable may also RIDE THE PROJECTION (`RETURN x, count(n)` —
+  // the per-value aggregate staple): a RETURN item that is exactly `x`
+  // rewrites to the compared property (`v.prop AS x`, keeping an
+  // explicit AS if present), which is value-identical to the UNWIND
+  // binding because `v.prop = x` equates them — grouping by the alias
+  // IS Cypher's grouping by x, and an ORDER BY x resolves through the
+  // alias untouched. Bag semantics note: a duplicate list element
+  // would multiply bindings (and scale aggregates) in Cypher; the IN
+  // rewrite is set membership, so duplicates REJECT by name rather
+  // than silently collapsing (the r14-documented deviation, retired —
+  // no query answers differently from Cypher anymore). Projection
+  // shapes beyond a whole-item `x` (an `x` inside a function call, in
+  // WHERE beyond `= x`, or in a WITH stage) reject by name.
   private val UnwindPrefixRe =
     """(?is)\s*UNWIND\s*\[([^\]]*)\]\s+AS\s+(\w+)\s+(.*)""".r
 
   private def rewriteUnwind(listStr: String, x: String,
       rest: String): Either[String, String] = {
+    val dupes = splitTopLevel(listStr).map(_.trim).filter(_.nonEmpty)
+      .groupBy(identity).collect { case (v, vs) if vs.sizeIs > 1 => v }
+    if (dupes.nonEmpty)
+      return Left("duplicate UNWIND list element " +
+        s"(${dupes.toSeq.sorted.mkString(", ")}): bag multiplicity over " +
+        "duplicate literals is not supported — deduplicate the list")
     val blanked = blankQuoted(rest)
-    val re = ("""(?<![<>=!])=\s*""" +
-      java.util.regex.Pattern.quote(x) + """\b""").r
-    val ms = re.findAllMatchIn(blanked).toList
-    if (ms.isEmpty)
-      Left(s"the UNWIND variable '$x' is never compared with = in the " +
-        "query body")
-    else {
-      val sb = new StringBuilder
-      var prev = 0
-      ms.foreach { mm =>
-        sb.append(rest.substring(prev, mm.start))
-        sb.append(s"IN [$listStr]")
-        prev = mm.end
+    val xq = java.util.regex.Pattern.quote(x)
+    val cmpRe = ("""(?<![<>=!])=\s*""" + xq + """\b""").r
+    val cmps = cmpRe.findAllMatchIn(blanked).toList
+    // the compared property each `= x` equates: the dotted projection
+    // immediately left of the comparison — needed only when x is
+    // projected, and then it must be UNIQUE (several different
+    // properties equated to x would make `RETURN x` ambiguous)
+    val cmpProps = cmps.flatMap { mm =>
+      """(\w+)\s*\.\s*(\w+)\s*$""".r
+        .findFirstMatchIn(blanked.substring(0, mm.start))
+        .map(pm => s"${pm.group(1)}.${pm.group(2)}")
+    }.distinct
+    // standalone x tokens outside the `= x` comparisons
+    val cmpSpans = cmps.map(mm => (mm.start, mm.end))
+    val tokRe = ("""(?<![\w.])""" + xq + """\b(?!\s*\.)""").r
+    val toks = tokRe.findAllMatchIn(blanked).toList
+      .filterNot(t => cmpSpans.exists(s => t.start >= s._1 && t.end <= s._2))
+    if (cmps.isEmpty && toks.isEmpty)
+      return Left(s"the UNWIND variable '$x' is never compared with = " +
+        "in the query body")
+    val retM = """(?i)\bRETURN\b""".r.findFirstMatchIn(blanked)
+    val obStart = """(?i)\bORDER\s+BY\b""".r.findFirstMatchIn(blanked)
+      .map(_.start).getOrElse(blanked.length)
+    // classify each standalone token: a whole RETURN item (preceded by
+    // RETURN/comma, followed by comma/AS/ORDER/SKIP/LIMIT/end) rewrites;
+    // one under ORDER BY resolves through the alias and stays; anything
+    // else is a named rejection
+    sealed trait Tok
+    case object InOrderBy extends Tok
+    final case class RetItemTok(start: Int, end: Int, aliased: Boolean)
+      extends Tok
+    val classified = toks.map { t =>
+      val before = blanked.substring(0, t.start).trim
+      val after = blanked.substring(t.end).trim
+      val isItem = retM.exists(r => t.start > r.end) &&
+        (before.toUpperCase(java.util.Locale.ROOT).endsWith("RETURN") ||
+          before.toUpperCase(java.util.Locale.ROOT).endsWith("DISTINCT") ||
+          before.endsWith(",")) &&
+        (after.isEmpty || after.startsWith(",") ||
+          """(?is)^(AS|ORDER|SKIP|LIMIT)\b.*""".r.matches(after))
+      if (t.start >= obStart) Right(InOrderBy)
+      else if (isItem) Right(RetItemTok(t.start, t.end,
+        """(?is)^AS\b.*""".r.matches(after)))
+      else Left(s"the UNWIND variable '$x' may appear in `= $x` " +
+        "comparisons and as a whole RETURN item — got it at " +
+        s"'…${rest.substring(math.max(0, t.start - 12), t.end)}'")
+    }
+    classified.collectFirst { case Left(e) => Left(e) }.getOrElse {
+      val items = classified.collect { case Right(r: RetItemTok) => r }
+      if (items.nonEmpty && cmpProps.isEmpty)
+        Left(s"RETURN $x needs the UNWIND variable equated to a " +
+          s"property (WHERE v.prop = $x) so the projection has a value")
+      else if (items.nonEmpty && cmpProps.sizeIs > 1)
+        Left(s"RETURN $x is ambiguous: '$x' is equated to several " +
+          s"properties (${cmpProps.mkString(", ")})")
+      else {
+        // splice all rewrites in one left-to-right pass over `rest`
+        val edits =
+          (cmpSpans.map { case (s0, e0) => (s0, e0, s"IN [$listStr]") } ++
+            items.map(t => (t.start, t.end,
+              cmpProps.head + (if (t.aliased) "" else s" AS $x"))))
+            .sortBy(_._1)
+        val sb = new StringBuilder
+        var prev = 0
+        edits.foreach { case (s0, e0, rep) =>
+          sb.append(rest.substring(prev, s0)).append(rep)
+          prev = e0
+        }
+        sb.append(rest.substring(prev))
+        Right(sb.toString)
       }
-      sb.append(rest.substring(prev))
-      Right(sb.toString)
     }
   }
 
@@ -2508,7 +2611,12 @@ object CypherLite {
     else if (withMs.length >= 2) Some(buildChain(q, blanked, withMs))
     else ClauseReturnRe.findFirstMatchIn(blanked) match {
       case Some(ret) if ret.start > withMs.head.start &&
-          FlatAggCallRe.findFirstIn(blanked.substring(ret.end)).isDefined =>
+          (FlatAggCallRe.findFirstIn(blanked.substring(ret.end)).isDefined ||
+            // `WITH DISTINCT …` (r15): the dedup stage is a chain stage
+            // even when the closing RETURN doesn't aggregate — the
+            // single-stage WITH grammar is aggregate-only
+            """(?is)^\s*DISTINCT\b""".r
+              .findFirstIn(blanked.substring(withMs.head.end)).isDefined) =>
         Some(buildChain(q, blanked, withMs))
       case _ => None
     }
@@ -2561,9 +2669,58 @@ object CypherLite {
   private def synthStage1(matchPart: String, withPart: String): Either[
       String, (String, Seq[(String, Boolean)], Seq[(String, String)])] =
     withPart match {
-      case FlatWithRe(distinctKw, _, _, _, _, _) if distinctKw != null =>
-        Left("DISTINCT on the first WITH stage is not supported — the " +
-          "stage aggregates, which already collapses each group")
+      // `WITH DISTINCT <v.prop [AS alias]>[, …]` (r15 directive 3): the
+      // aggregate-free special case — an aggregating stage already
+      // collapses each group, so DISTINCT is only meaningful on a pure
+      // projection, where it is exactly a dedup on the stage columns.
+      // Synthesized as `MATCH … RETURN DISTINCT v.prop AS alias[, …]`
+      // (the engine's existing set-projection path — hop-aware, conn-
+      // side correct), so no rename plumbing is needed: the aliases are
+      // applied inside the stage and the later stages see them as flat
+      // columns. ORDER BY/LIMIT pass through verbatim (the inner
+      // grammar resolves bare aliases); a numeric WHERE has no
+      // aggregate to filter here and rejects by name.
+      case FlatWithRe(distinctKw, itemsText, hav, obText, limitStr,
+          havPost) if distinctKw != null =>
+        val parts = splitTopLevel(itemsText).map(_.trim)
+        val AsProp = """(?is)\s*(\w+)\s*\.\s*(\w+)\s+AS\s+(\w+)\s*""".r
+        val projE = parts.foldLeft[Either[String, Seq[(String, String,
+            String)]]](Right(Seq.empty)) { (acc, part) =>
+          acc.flatMap { done =>
+            part match {
+              case AsProp(v, p, a) => Right(done :+ (v, p, a))
+              case VarPropRe(v, p) => Right(done :+ (v, p, p))
+              case VarRe(v) => Left(s"WITH DISTINCT $v binds the whole " +
+                "variable — project properties to deduplicate on " +
+                s"($v.<prop>)")
+              case other => Left("unsupported WITH DISTINCT item " +
+                s"(expected v.prop [AS alias]): '${other.trim.take(40)}'")
+            }
+          }
+        }
+        projE.flatMap { proj =>
+          val vars = proj.map(_._1).distinct
+          val outs = proj.map(_._3)
+          if (hav != null || havPost != null)
+            Left("WHERE on a WITH DISTINCT stage has no aggregate to " +
+              "filter — filter in the MATCH's WHERE or a later stage")
+          else if (proj.isEmpty)
+            Left("WITH DISTINCT needs at least one projected property")
+          else if (vars.sizeIs > 1)
+            Left(s"two grouping variables ('${vars.head}', " +
+              s"'${vars(1)}') in one WITH stage")
+          else if (outs.distinct.size != outs.size)
+            Left("duplicate output name in the WITH DISTINCT stage: " +
+              outs.diff(outs.distinct).distinct.mkString(", "))
+          else {
+            val items = proj.map { case (v, p, a) => s"$v.$p AS $a" }
+              .mkString(", ")
+            val tail = Option(obText).fold("")(o => s" ORDER BY $o") +
+              Option(limitStr).fold("")(l => s" LIMIT $l")
+            Right((s"$matchPart RETURN DISTINCT $items$tail",
+              outs.map((_, false)), Seq.empty))
+          }
+        }
       case FlatWithRe(_, itemsText, hav, obText, limitStr, havPost) =>
         val parts = splitTopLevel(itemsText).map(_.trim)
         var mVar: Option[String] = None
@@ -3150,10 +3307,20 @@ object CypherLite {
           Left(s"SET may only write the matched variable '$m', " +
             s"got '$setVar'")
         else Right(())
-        _ <- if (setProp != "content")
-          Left("only the content property is writable (name/label are " +
-            "part of the node identity — use CREATE to mint a new node)")
-        else Right(())
+        // any USER property is writable (r15); label/batch are the
+        // engine's kind/lineage columns — point at the property model
+        // rather than a bare "unsupported"
+        _ <- if (SupportedProps(setProp)) Right(())
+        else if (setProp == "label" || setProp == "batch")
+          Left(s"'$setProp' is not a node property in this engine's " +
+            "model (fixed user columns content/name/docnbr plus the " +
+            "label kind and batch lineage columns) — re-labeling/" +
+            "re-tagging is a CREATE + DETACH DELETE, not a SET")
+        else
+          Left(s"unsupported SET property: $setProp " +
+            s"(writable: ${SupportedProps.toSeq.sorted.mkString(", ")}; " +
+            "note the node id keeps hashing the ORIGINAL values — " +
+            "SET does not re-key)")
         props <- resolveProps(Option(propsStr).getOrElse(""), params)
         value <- if (litValue != null) Right(litValue)
           else params.get(paramValue)
@@ -3165,7 +3332,8 @@ object CypherLite {
           case (_, Some(_)) => Left("a pattern-existence WHERE cannot " +
             "gate a SET — filter with comparisons instead")
         }
-      } yield SetContent(Option(label), props, conds, value, Option(batch))
+      } yield SetContent(Option(label), props, conds, value, Option(batch),
+        setProp)
     case CreateRe(v, label, batch, propsStr) =>
       parseCreate(label, Option(batch), propsStr, params)
     // branch-aware MERGE: created vs matched nodes take different SET
@@ -3924,12 +4092,15 @@ object CypherLite {
         case StartEndNodePropRe(fn, v, _) =>
           Left(s"$fn() may only inspect the bound relationship variable" +
             relVar.fold("")(r => s" '$r'") + s", got '$v'")
+        // whole-node startNode(r)/endNode(r) (r15): serialize the stored
+        // endpoint through the properties(n) sorted-key machinery —
+        // see [[RetEndpointNode]]
         case StartEndNodeRe(fn, v) if relVar.contains(v) =>
-          Left(s"$fn($v) projects a whole node — project a property: " +
-            s"$fn($v).name")
+          Right(RetEndpointNode(
+            fn.toLowerCase(java.util.Locale.ROOT).startsWith("start")))
         case StartEndNodeRe(fn, _) =>
           Left(s"$fn() requires a bound single-hop relationship " +
-            "variable (MATCH (m)-[r:T]->(c) RETURN " + fn + "(r).name)")
+            "variable (MATCH (m)-[r:T]->(c) RETURN " + fn + "(r))")
         case LabelsRe(v) if v == m => Right(RetLabels(onConn = false))
         case LabelsRe(v) if conn.contains(v) =>
           Right(RetLabels(onConn = true))
@@ -4077,6 +4248,8 @@ object CypherLite {
           Some(if (on) s"c_$fn" else s"m_$fn")
         case RetEndpoint(st, p) =>
           Some(s"${if (st) "startnode" else "endnode"}_$p")
+        case RetEndpointNode(st) =>
+          Some(s"${if (st) "startnode" else "endnode"}_properties")
         case RetRelCoalesce(p, _) => Some(s"r_$p")
         case _ => None
       }
@@ -4230,8 +4403,8 @@ object CypherLite {
                 // canonical output column through the generic canonical
                 // (agg:) pseudo-namespace — ordered() strips the prefix
                 // and finds the column among the projected ones
-                case Some(i @ (_: RetEndpoint | _: RetNodeAccessor |
-                    _: RetConnFn)) =>
+                case Some(i @ (_: RetEndpoint | _: RetEndpointNode |
+                    _: RetNodeAccessor | _: RetConnFn)) =>
                   Right((AggKeyPrefix + canonOf(i).getOrElse(""), d(dir)))
                 case Some(RetRelCoalesce(p, _)) =>
                   Right((RelKeyPrefix + p, d(dir)))
@@ -4378,6 +4551,7 @@ object CypherLite {
               items.exists(_.isInstanceOf[RetRelProp]) ||
               items.exists(_.isInstanceOf[RetRelAccessor]) ||
               items.exists(_.isInstanceOf[RetEndpoint]) ||
+              items.exists(_.isInstanceOf[RetEndpointNode]) ||
               items.exists(_.isInstanceOf[RetRelCoalesce])) &&
               items.contains(RetVar) && !items.contains(RetConnected))
             Left("RETURN of the whole matched node cannot be combined with " +
@@ -4387,10 +4561,11 @@ object CypherLite {
           // pairing them with an aggregate would make them grouping keys
           // of a SERIALIZED map, a shape with no Cypher analogue; reject
           // by name rather than group on a derived string silently
-          _ <- if (items.exists(_.isInstanceOf[RetNodeAccessor]) &&
-              items.exists(isAgg))
-            Left("keys()/properties() of a node cannot combine with an " +
-              "aggregate in one RETURN — project it in its own query")
+          _ <- if (items.exists(i => i.isInstanceOf[RetNodeAccessor] ||
+              i.isInstanceOf[RetEndpointNode]) && items.exists(isAgg))
+            Left("keys()/properties()/startNode()/endNode() of a node " +
+              "cannot combine with an aggregate in one RETURN — project " +
+              "it in its own query")
           else Right(())
           // a transformed connected property as a grouping key is a
           // DIFFERENT query than the bare one — reject the mix rather
@@ -5044,7 +5219,8 @@ object CypherLite {
     // colliding partners need one path avoiding ALL bound edges at
     // once, which the per-path form handles.
     def rangedUnavoidable(i: Int): Boolean =
-      !isSingle(i) && partnersOf(i).sizeIs == 1 &&
+      !CypherLite.disableUnavoidableCollapse &&
+        !isSingle(i) && partnersOf(i).sizeIs == 1 &&
         isSingle(partnersOf(i).head)
     def rangedUnavPairs(i: Int, frontier: DataFrame): DataFrame =
       rangedEidPairs(i, frontier)
@@ -5349,7 +5525,7 @@ object CypherLite {
   private def execWrite(g: GraphTables,
       stmt: Statement): Either[String, (GraphTables, DataFrame)] =
     stmt match {
-      case SetContent(label, props, conds, value, batch) =>
+      case SetContent(label, props, conds, value, batch, setProp) =>
         (props.keys ++ conds.flatten.map(_.prop) ++
           conds.flatten.flatMap(_.crossProp)).find(!SupportedProps(_))
           .map(k => Left(s"unsupported property: $k " +
@@ -5368,8 +5544,9 @@ object CypherLite {
               props.map { case (k, v) => col(k) === v })
               .reduceOption(_ && _).getOrElse(lit(true)) && whereCol
             val targets = g.nodes.filter(pred).select(col("id"))
-            val after = GraphOps.updateContent(g,
-              targets.select(col("id"), lit(value).as("new_content")))
+            val after = GraphOps.updateNodeProp(g,
+              targets.select(col("id"), lit(value).as("new_value")),
+              setProp)
             // summary: the updated nodes as the reference's SET result set
             val summary = after.nodes.toDF()
               .join(targets, Seq("id"), "left_semi")
@@ -6983,14 +7160,24 @@ object CypherLite {
         val neigh3 = {
           val eps = items.collect { case RetEndpoint(st, p) => (st, p) }
             .distinct
+          // whole-node sides (r15): serialize via the properties(n)
+          // machinery in the SAME per-side join — both forms of one side
+          // cost a single hash join
+          val wholeSides = items
+            .collect { case RetEndpointNode(st) => st }.distinct
           def joinSide(df: DataFrame, start: Boolean): DataFrame = {
             val ps = eps.collect { case (`start`, p) => p }.distinct
-            if (ps.isEmpty) df
+            if (ps.isEmpty && !wholeSides.contains(start)) df
             else {
               val side = if (start) "startnode" else "endnode"
               val idc = s"__${side}_id"
+              val whole =
+                if (wholeSides.contains(start))
+                  Seq(nodeAccessorCol("properties")
+                    .as(s"${side}_properties"))
+                else Seq.empty
               df.join(g0.nodes.toDF().select(col("id").as(idc) +:
-                  ps.map(p => col(p).as(s"${side}_$p")): _*),
+                  (ps.map(p => col(p).as(s"${side}_$p")) ++ whole): _*),
                 col(s"r_eid.${if (start) "src" else "dst"}") === col(idc))
                 .drop(idc)
             }
@@ -7041,6 +7228,9 @@ object CypherLite {
             items.collect { case RetRelAccessor(fn) => s"r_$fn" }.distinct ++
             items.collect { case RetEndpoint(st, p) =>
               s"${if (st) "startnode" else "endnode"}_$p" }.distinct ++
+            items.collect { case RetEndpointNode(st) =>
+              s"${if (st) "startnode" else "endnode"}_properties" }
+              .distinct ++
             items.collect { case RetRelCoalesce(p, _) => s"r_$p" }.distinct
         // m properties the binding filter needs beyond what RETURN asks
         // for — a cross-variable cond contributes its m-side property from

@@ -355,11 +355,25 @@ object GraphOps {
     * as a join-update: no in-place mutation, one shuffle, missing keys keep
     * their old content. `updates` columns: (id, new_content).
     */
-  def updateContent(g: GraphTables, updates: DataFrame): GraphTables = {
-    val upd = updates.select(col("id"), col("new_content"))
+  def updateContent(g: GraphTables, updates: DataFrame): GraphTables =
+    updateNodeProp(g,
+      updates.withColumnRenamed("new_content", "new_value"), "content")
+
+  /** Column-parameterized node-property join-update (r15 — the A18
+    * kernel generalized past `content`): overwrite `prop` for the keyed
+    * nodes, keep everything else. Any USER property column (content,
+    * name, docnbr) is a valid target; label/batch are engine identity/
+    * lineage columns and callers must not pass them. The node-id caveat
+    * is the same as content's: [[GraphModel.nodeId]] hashes name and
+    * docnbr too, and the update does NOT re-key the node. `updates`
+    * columns: (id, new_value).
+    */
+  def updateNodeProp(g: GraphTables, updates: DataFrame,
+      prop: String): GraphTables = {
+    val upd = updates.select(col("id"), col("new_value"))
     val nodes = g.nodes.join(upd, Seq("id"), "left_outer")
-      .withColumn("content", coalesce(col("new_content"), col("content")))
-      .drop("new_content")
+      .withColumn(prop, coalesce(col("new_value"), col(prop)))
+      .drop("new_value")
       .as(g.nodes.encoder)
     GraphTables(nodes, g.edges)
   }

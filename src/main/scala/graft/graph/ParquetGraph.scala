@@ -1670,6 +1670,34 @@ object ParquetGraph {
         .fold(err => throw new IllegalArgumentException(err), identity)
     },
 
+    // C10 read surface (new r15, directive 4): the WHOLE-node endpoint
+    // projections — startNode(r) / endNode(r) serialized through the
+    // properties(n) sorted-key machinery, on the same UNDIRECTED match
+    // around ASIA as the dotted twin above. The undirected binding set
+    // holds one incoming and one outgoing stored edge, so a traversal-
+    // side serialization (the pattern's own (m, x) sides) would answer
+    // {name: ASIA} for the incoming row's start and hash-miss. The
+    // dotted dst_name rides the SAME endpoint join as dst_node — both
+    // forms of one side cost a single hash join.
+    QueryDef.sql(
+      "graphp_cypher_endpoint_nodes",
+      """WITH r AS (
+        |  SELECT r_name, row_number() OVER (ORDER BY r_name) AS rn
+        |  FROM region),
+        |asia AS (SELECT rn FROM r WHERE r_name = 'ASIA')
+        |SELECT '{name: ' || p.r_name || '}' AS src_node,
+        |  '{name: ' || c.r_name || '}' AS dst_node,
+        |  c.r_name AS dst_name
+        |FROM r p JOIN r c ON c.rn = p.rn + 1, asia
+        |WHERE p.rn = asia.rn OR c.rn = asia.rn
+        |ORDER BY src_node""".stripMargin) { (s, d) =>
+      CypherLite.run(roadPropsGraph(s, d),
+        "MATCH (m:Region {name: 'ASIA'})-[r:ROAD]-(x:Region) " +
+          "RETURN startNode(r) AS src_node, endNode(r) AS dst_node, " +
+          "endNode(r).name AS dst_name ORDER BY src_node")
+        .fold(err => throw new IllegalArgumentException(err), identity)
+    },
+
     // C10 read surface (new r14, directive 4): node-side keys(n) /
     // properties(n) — hop-less over the document tree, whose nation
     // nodes populate all three user properties (content = name,
@@ -3347,6 +3375,27 @@ object ParquetGraph {
         .fold(err => throw new IllegalArgumentException(err), identity)
     },
 
+    // C10 CypherLite twin (new r15, directive 2): UNWIND-PROJECTION —
+    // the variable rides the RETURN (`RETURN x, count(c)`, the
+    // per-value aggregate staple LLMs emit for "for each of these…").
+    // `x` is equated to m.name, so the projection rewrites to the
+    // compared property under the alias x and the grouped count IS
+    // Cypher's per-x aggregate; the output column is literally named x.
+    // Values matching nothing produce no row (MATCH semantics) — the
+    // oracle's IN does the same.
+    QueryDef.sql(
+      "graphp_cypher_unwind_proj",
+      """SELECT n_name AS x, CAST(count(*) AS BIGINT) AS n_cust
+        |FROM nation JOIN customer ON c_nationkey = n_nationkey
+        |WHERE n_name IN ('NATION_3', 'NATION_7', 'NATION_11')
+        |GROUP BY n_name ORDER BY x""".stripMargin) { (s, d) =>
+      CypherLite.run(hierarchy(s, d),
+        "UNWIND ['NATION_3', 'NATION_7', 'NATION_11'] AS x " +
+          "MATCH (m:Nation)-[:HAS_CUSTOMER]->(c) WHERE m.name = x " +
+          "RETURN x, count(c) AS n_cust ORDER BY x")
+        .fold(err => throw new IllegalArgumentException(err), identity)
+    },
+
     // C10 CypherLite twin: size((m)-[:R]->()) — the degree expression
     // ("each X and its number of Y"): one row per ROOT, zero-degree roots
     // included (LEFT JOIN + count of the non-null side), the user WHERE
@@ -3477,6 +3526,28 @@ object ParquetGraph {
         .fold(err => throw new IllegalArgumentException(err), identity)
     },
 
+    // C10 CypherLite twin (new r15, directive 3): `WITH DISTINCT` on the
+    // FIRST stage — the LLM dedup idiom `MATCH … WITH DISTINCT m.name AS
+    // x RETURN count(*)`. The stage is the aggregate-free special case
+    // (a dropDuplicates on the stage columns, synthesized as RETURN
+    // DISTINCT); the closing global count is what makes the dedup
+    // OBSERVABLE — without DISTINCT this would count customer bindings
+    // (~hundreds), with it the distinct nation names. An engine that
+    // dropped the dedup or grouped instead would hash-miss on the
+    // single-row answer.
+    QueryDef.sql(
+      "graphp_cypher_with_distinct_first",
+      """SELECT CAST(count(*) AS BIGINT) AS n_nations FROM (
+        |  SELECT DISTINCT n_name
+        |  FROM nation JOIN customer ON c_nationkey = n_nationkey)
+        |""".stripMargin) { (s, d) =>
+      CypherLite.run(hierarchy(s, d),
+        "MATCH (m:Nation)-[:HAS_CUSTOMER]->(c) " +
+          "WITH DISTINCT m.name AS nation " +
+          "RETURN count(*) AS n_nations")
+        .fold(err => throw new IllegalArgumentException(err), identity)
+    },
+
     // C10 CypherLite twin: CHAINED WITH stages — aggregate → re-aggregate
     // (`WITH m, count(c) AS n WITH n, count(*) AS n_nations`), the
     // customers-per-nation HISTOGRAM. Two grouped passes, each a
@@ -3597,6 +3668,27 @@ object ParquetGraph {
         "MATCH (m:Nation) WHERE m.name CONTAINS '1' " +
           "SET m.content = 'audited'")
         .fold(err => throw new IllegalArgumentException(err), _._2)
+    },
+
+    // C10 CypherLite twin (new r15, directive 6): `SET m.name = …` —
+    // the node-property write generalized past content (the engine's
+    // user columns are content/name/docnbr; label/batch stay engine
+    // kind/lineage columns and reject with a model pointer). Graded on
+    // the FULL post-write node relation, not the summary, so a write
+    // that leaked onto unmatched rows — or missed a matched one —
+    // hash-misses. The node id is NOT re-keyed (same caveat as
+    // content, documented on the statement).
+    QueryDef.sql(
+      "graphp_cypher_set_name",
+      """SELECT CASE WHEN n_name LIKE '%1%' THEN 'N_REDACTED'
+        |    ELSE n_name END AS name
+        |FROM nation ORDER BY name""".stripMargin) { (s, d) =>
+      CypherLite.runWrite(hierarchy(s, d),
+        "MATCH (m:Nation) WHERE m.name CONTAINS '1' " +
+          "SET m.name = 'N_REDACTED'")
+        .fold(err => throw new IllegalArgumentException(err), _._1)
+        .nodes.filter(col("label") === "Nation")
+        .select(col("name")).orderBy("name")
     },
 
     // C10 CypherLite twin: the WRITE surface's CREATE form — a

@@ -83,6 +83,11 @@ class CypherFuzzSpec extends SparkSpec {
   // comma/HAVING) — the round-10 multi-aggregate WITH surface must stay
   // total under recombination like everything else
   private val withs = Seq("",
+    // first-stage WITH DISTINCT (round 15) + near-misses
+    " WITH DISTINCT m.name AS t",
+    " WITH DISTINCT c.name AS t ORDER BY t LIMIT 2",
+    " WITH DISTINCT m", " WITH DISTINCT m.name AS t WHERE t > 1",
+    " WITH DISTINCT m.name AS t, count(c) AS n", " WITH DISTINCT",
     " WITH m, count(c) AS n",
     " WITH m, count(c) AS n WHERE n >= 1",
     " WITH m, count(c) AS n, sum(c.name) AS s",
@@ -146,7 +151,12 @@ class CypherFuzzSpec extends SparkSpec {
     " RETURN toUpper(c.name), count(c)", " RETURN trim(c.docnbr)",
     " RETURN replace(c.name, 'a', 'b')", " RETURN toUpper(c.",
     " RETURN m.name, r.weight ORDER BY r.weight", " RETURN r.",
-    " RETURN c.name, r.weight")
+    " RETURN c.name, r.weight",
+    // UNWIND projection + whole-node endpoints (round 15) + near-misses
+    " RETURN x", " RETURN x AS v", " RETURN x, count(*)",
+    " RETURN count(x)", " RETURN endNode(r)",
+    " RETURN startNode(r) AS sn ORDER BY sn",
+    " RETURN startNode(r), count(*)")
   private val tails = Seq("", " ORDER BY m.name", " ORDER BY count(c) DESC",
     " LIMIT 2", " ORDER BY m.name SKIP 1 LIMIT 1", " UNION MATCH (m) RETURN m",
     " LIMIT", " ORDER BY")

@@ -1178,6 +1178,62 @@ class CypherLiteSpec extends SparkSpec {
       da.toString)
   }
 
+  test("WITH DISTINCT on the FIRST stage is the aggregate-free dedup " +
+      "(r15): m-side, conn-side, alias plumbing, ORDER BY/LIMIT " +
+      "passthrough, named rejections") {
+    // the LLM dedup idiom: 14 bindings dedup to 4 distinct root names
+    // before the closing count (without DISTINCT this answers 14)
+    val n = CypherLite.run(stair,
+      "MATCH (m:T)-[:HAS_KID]->(c) WITH DISTINCT m.name AS t " +
+        "RETURN count(*) AS n")
+      .fold(e => fail(e), identity).collect()
+    assert(n.map(_.getLong(0)).toSeq == Seq(4L))
+    // value projection through the alias; final ORDER BY keys it
+    val vals = CypherLite.run(stair,
+      "MATCH (m:T)-[:HAS_KID]->(c) WITH DISTINCT m.name AS t " +
+        "RETURN t ORDER BY t")
+      .fold(e => fail(e), identity).collect()
+    assert(vals.map(_.getString(0)).toSeq == Seq("t1", "t2", "t3", "t4"))
+    assert(vals.headOption.map(_.schema.fieldNames.toSeq)
+      .contains(Seq("t")))
+    // CONNECTED-side dedup: 14 kid bindings share one label
+    val lab = CypherLite.run(stair,
+      "MATCH (m:T)-[:HAS_KID]->(c) WITH DISTINCT c.label AS l " +
+        "RETURN l")
+      .fold(e => fail(e), identity).collect()
+    assert(lab.map(_.getString(0)).toSeq == Seq("Kid"))
+    // stage-level ORDER BY + LIMIT pass through (dedup, order, cap —
+    // THEN the later stage sees only the capped rows)
+    val capped = CypherLite.run(stair,
+      "MATCH (m:T)-[:HAS_KID]->(c) WITH DISTINCT m.name AS t " +
+        "ORDER BY t DESC LIMIT 2 RETURN t ORDER BY t")
+      .fold(e => fail(e), identity).collect()
+    assert(capped.map(_.getString(0)).toSeq == Seq("t3", "t4"))
+    // an unaliased item keeps its bare property name downstream
+    val bare = CypherLite.run(stair,
+      "MATCH (m:T)-[:HAS_KID]->(c) WITH DISTINCT m.name " +
+        "RETURN count(*) AS n")
+      .fold(e => fail(e), identity).collect()
+    assert(bare.map(_.getLong(0)).toSeq == Seq(4L))
+    // rejections, each by name: DISTINCT + aggregate in one stage,
+    // whole-variable dedup, numeric WHERE with nothing to filter
+    val agg = CypherLite.run(stair,
+      "MATCH (m:T)-[:HAS_KID]->(c) WITH DISTINCT m.name AS t, " +
+        "count(c) AS n RETURN t, n")
+    assert(agg.isLeft && agg.swap.toOption.get.contains("WITH DISTINCT"),
+      agg.toString)
+    val whole = CypherLite.run(stair,
+      "MATCH (m:T)-[:HAS_KID]->(c) WITH DISTINCT m " +
+        "RETURN count(*) AS n")
+    assert(whole.isLeft &&
+      whole.swap.toOption.get.contains("whole"), whole.toString)
+    val hav = CypherLite.run(stair,
+      "MATCH (m:T)-[:HAS_KID]->(c) WITH DISTINCT m.name AS t " +
+        "WHERE t > 2 RETURN t")
+    assert(hav.isLeft &&
+      hav.swap.toOption.get.contains("no aggregate"), hav.toString)
+  }
+
   test("chained WITH scoping violations are rejected with named errors") {
     // the hop variable died at the first WITH
     val r1 = CypherLite.run(stair,
@@ -1734,6 +1790,50 @@ class CypherLiteSpec extends SparkSpec {
       unused.swap.toOption.get.contains("UNWIND"), unused.toString)
   }
 
+  test("UNWIND variable rides the projection (r15): RETURN x maps to " +
+      "the compared property under the alias x; duplicates and " +
+      "unsupported positions reject by name") {
+    // per-value aggregate over the stair fixture: x equated to m.name,
+    // projected + grouped + ordered through the alias
+    val agg = CypherLite.run(stair,
+      "UNWIND ['t1', 't3'] AS x MATCH (m:T)-[:HAS_KID]->(c) " +
+        "WHERE m.name = x RETURN x, count(c) AS n ORDER BY x")
+      .fold(e => fail(e), identity).collect()
+    assert(agg.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("t1", 5L), ("t3", 3L)))
+    assert(agg.headOption.map(_.schema.fieldNames.toSeq)
+      .contains(Seq("x", "n")))
+    // non-aggregate projection: one row per binding, x carried; an
+    // explicit AS keeps the user's name
+    val proj = CypherLite.run(stair,
+      "UNWIND ['t4'] AS x MATCH (m:T)-[:HAS_KID]->(c) " +
+        "WHERE m.name = x RETURN x AS t, c.name ORDER BY c.name")
+      .fold(e => fail(e), identity).collect()
+    assert(proj.map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("t4", "k4-1"), ("t4", "k4-2")))
+    // a list value matching nothing produces no row (MATCH semantics)
+    val miss = CypherLite.run(stair,
+      "UNWIND ['t2', 'zz'] AS x MATCH (m:T) WHERE m.name = x RETURN x")
+      .fold(e => fail(e), identity).collect()
+    assert(miss.map(_.getString(0)).toSeq == Seq("t2"))
+    // duplicates would scale Cypher's bag aggregates — named rejection,
+    // never a silent set-collapse (the retired r14 deviation)
+    val dup = CypherLite.run(stair,
+      "UNWIND ['t1', 't1'] AS x MATCH (m:T) WHERE m.name = x RETURN x")
+    assert(dup.isLeft &&
+      dup.swap.toOption.get.contains("duplicate UNWIND"), dup.toString)
+    // x projected but never equated to a property
+    val free = CypherLite.run(stair,
+      "UNWIND ['t1'] AS x MATCH (m:T) WHERE m.name = 't1' RETURN x")
+    assert(free.isLeft &&
+      free.swap.toOption.get.contains("equated"), free.toString)
+    // x inside a function call is not a whole RETURN item
+    val fn = CypherLite.run(stair,
+      "UNWIND ['t1'] AS x MATCH (m:T) WHERE m.name = x RETURN count(x)")
+    assert(fn.isLeft &&
+      fn.swap.toOption.get.contains("whole RETURN item"), fn.toString)
+  }
+
   test("size((m)-[:R]->()) answers each root's degree, zeros included") {
     val df = CypherLite.run(g,
       "MATCH (m:Boeing_Service_Bulletin) " +
@@ -1880,6 +1980,39 @@ class CypherLiteSpec extends SparkSpec {
     assert(some.count() <= nSteps)
   }
 
+  test("SET m.name / m.docnbr write the other user properties (r15); " +
+      "label/batch reject with a model pointer") {
+    // a name write lands exactly on the matched set
+    val (after, _) = CypherLite.runWrite(g,
+      "MATCH (m:Step) SET m.name = 'redacted'")
+      .fold(e => fail(e), identity)
+    val nSteps = g.nodes.filter(col("label") === "Step").count()
+    assert(after.nodes.filter(col("name") === "redacted").count() ==
+      nSteps)
+    assert(after.nodes.filter(col("label") =!= "Step")
+      .filter(col("name") === "redacted").count() == 0)
+    // a docnbr write: every other column untouched
+    val (afterD, _) = CypherLite.runWrite(g,
+      "MATCH (m:Step) SET m.docnbr = 'D-9'")
+      .fold(e => fail(e), identity)
+    assert(afterD.nodes.filter(col("docnbr") === "D-9").count() == nSteps)
+    assert(afterD.nodes.filter(col("label") === "Step")
+      .join(g.nodes.filter(col("label") === "Step")
+        .select(col("id"), col("name").as("old_name")), "id")
+      .filter(col("name") =!= col("old_name")).count() == 0)
+    // label/batch are kind/lineage columns — the rejection points at
+    // the property model; an unknown property names the writable set
+    val lab = CypherLite.runWrite(g, "MATCH (m:Step) SET m.label = 'X'")
+    assert(lab.isLeft &&
+      lab.swap.toOption.get.contains("not a node property"), lab)
+    val bat = CypherLite.runWrite(g, "MATCH (m:Step) SET m.batch = 'b2'")
+    assert(bat.isLeft &&
+      bat.swap.toOption.get.contains("not a node property"), bat)
+    val unk = CypherLite.runWrite(g, "MATCH (m:Step) SET m.wat = 'v'")
+    assert(unk.isLeft &&
+      unk.swap.toOption.get.contains("writable"), unk)
+  }
+
   test("CREATE mints a deterministic node; re-running is a no-op") {
     val q = "CREATE (n:Note {name: 'todo-1', content: 'check torque'})"
     val (after1, s1) = CypherLite.runWrite(g, q).fold(e => fail(e), identity)
@@ -1924,10 +2057,16 @@ class CypherLiteSpec extends SparkSpec {
   }
 
   test("write-surface rejections keep their named errors") {
-    val badProp = CypherLite.parse(
+    // r15: SET m.name is a supported user-property write now — the
+    // rejection boundary moved to the engine columns (label/batch)
+    val nameOk = CypherLite.parse(
       "MATCH (m:Step) SET m.name = 'x'")
+    assert(nameOk.isRight, nameOk.toString)
+    val badProp = CypherLite.parse(
+      "MATCH (m:Step) SET m.label = 'x'")
     assert(badProp.isLeft &&
-      badProp.swap.toOption.get.contains("content"), badProp.toString)
+      badProp.swap.toOption.get.contains("not a node property"),
+      badProp.toString)
     val badVar = CypherLite.parse(
       "MATCH (m:Step) SET other.content = 'x'")
     assert(badVar.isLeft &&

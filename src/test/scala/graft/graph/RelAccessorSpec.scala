@@ -75,11 +75,40 @@ class RelAccessorSpec extends SparkSpec {
       "RETURN coalesce(r.weight, '7'), avg(r.weight)")
     assert(bad.isLeft &&
       bad.swap.toOption.get.contains("leak into the aggregate"), bad)
-    // whole-node startNode/endNode reject with the dotted-form pointer
-    val sn = CypherLite.run(g,
-      "MATCH (a:N)-[r:T]->(b:N) RETURN startNode(r)")
-    assert(sn.isLeft &&
-      sn.swap.toOption.get.contains("startNode(r).name"), sn)
+  }
+
+  test("whole-node startNode(r)/endNode(r) serialize the STORED " +
+      "endpoint through the properties(n) machinery (r15)") {
+    // outgoing: serialized sorted-key maps (fixture nodes carry only a
+    // name), canonical columns startnode_properties/endnode_properties
+    val out = rows("MATCH (a:N {name: 'n1'})-[r:T]->(b:N) " +
+      "RETURN b.name AS b_name, startNode(r), endNode(r) " +
+      "ORDER BY b_name")
+    assert(out.map(x => (x.getAs[String]("b_name"),
+      x.getAs[String]("startnode_properties"),
+      x.getAs[String]("endnode_properties"))).toSeq ==
+      Seq(("n2", "{name: n1}", "{name: n2}"),
+        ("n3", "{name: n1}", "{name: n3}")))
+    // undirected: the stored orientation is revealed, not the
+    // traversal's — and the dotted form rides the SAME endpoint join
+    val both = rows("MATCH (m:N {name: 'n2'})-[r:T|U]-(c:N) " +
+      "RETURN startNode(r) AS sn, endNode(r).name AS en ORDER BY sn")
+    assert(both.map(x => (x.getAs[String]("sn"), x.getAs[String]("en")))
+      .toSeq == Seq(("{name: n1}", "n2"), ("{name: n2}", "n4")))
+    // unmatched OPTIONAL binding → null (Cypher's startNode(null))
+    val opt = rows("MATCH (a:N {name: 'n4'}) OPTIONAL MATCH " +
+      "(a)-[r:T]->(b) RETURN a.name, startNode(r) AS sn")
+    assert(opt.map(_.getAs[String]("sn")).toSeq == Seq(null))
+    // a serialized map is not a Cypher grouping key — reject by name
+    val agg = CypherLite.run(g, "MATCH (a:N)-[r:T]->(b:N) " +
+      "RETURN startNode(r), count(*)")
+    assert(agg.isLeft &&
+      agg.swap.toOption.get.contains("cannot combine with an aggregate"),
+      agg)
+    // an unbound relationship variable still rejects by name
+    val nv = CypherLite.run(g,
+      "MATCH (a:N)-[:T]->(b:N) RETURN startNode(r)")
+    assert(nv.isLeft && nv.swap.toOption.get.contains("relationship"), nv)
   }
 
   test("node-side keys() under a hop answers the ROOT's map; an " +
