@@ -629,6 +629,15 @@ object CypherLite {
       rootConds: Seq[Seq[Cond]] = Seq.empty) extends Statement
   final case class DetachDelete(tag: String) extends Statement
 
+  /** Pattern-less `RETURN <literal> [AS alias]` (r15) — the sanity /
+    * connectivity probe LLM agents open a session with (`RETURN 1`).
+    * One row, no scan; the column is named by Neo4j's rule (the
+    * expression text — numbers verbatim, strings quoted — unless
+    * aliased). Integers come back as longs, decimals as doubles.
+    */
+  final case class ReturnLiteral(num: Option[String], str: Option[String],
+      alias: Option[String]) extends Statement
+
   /** `MATCH (m[:Label] [{…}]) [WHERE …] SET m.content = 'value'` — the
     * front-end form of the content-update kernel (reference A18 /
     * `first-graph.py`'s py2neo SET path): one join-update over the
@@ -675,25 +684,27 @@ object CypherLite {
       // than in a label array.
       batch: Option[String] = None) extends Statement
 
-  /** `MERGE (n:Label[:Batch] {…}) [ON CREATE SET n.content = …]
-    * [ON MATCH SET n.content = …]` — the standard Neo4j upsert idiom one
-    * step past the reference's plain MERGE (`new_final.js:22-31`): the
-    * MERGE key is the pattern (this engine's deterministic node id), and
-    * whichever branch actually happened applies ITS content value. Only
-    * `content` is writable — same restriction and same join-update
-    * kernel as [[SetContent]] (name/label/docnbr are hashed into the
-    * node identity). Clauses may appear in either order, each at most
-    * once; values are literals or `$params`.
-    * CAVEAT — content-vs-id drift (same as [[SetContent]]):
-    * [[GraphModel.nodeId]] hashes content as well, and the branch SET
-    * does NOT re-key the node — the id keeps hashing the content the
-    * node was MERGED with. A later MERGE whose pattern carries the
-    * SET-updated content therefore computes a DIFFERENT id and mints a
+  /** `MERGE (n:Label[:Batch] {…}) [ON CREATE SET n.prop = …[, …]]
+    * [ON MATCH SET n.prop = …[, …]]` — the standard Neo4j upsert idiom
+    * one step past the reference's plain MERGE (`new_final.js:22-31`):
+    * the MERGE key is the pattern (this engine's deterministic node
+    * id), and whichever branch actually happened applies ITS
+    * assignment map. Since r15 any USER property is writable
+    * (content/name/docnbr — comma lists allowed, same join-update
+    * kernel as [[SetContent]]); label/batch reject with the
+    * property-model pointer. Clauses may appear in either order, each
+    * at most once; values are literals or `$params`.
+    * CAVEAT — property-vs-id drift (same as [[SetContent]]):
+    * [[GraphModel.nodeId]] hashes content/name/docnbr, and the branch
+    * SET does NOT re-key the node — the id keeps hashing the values
+    * the node was MERGED with. A later MERGE whose pattern carries a
+    * SET-updated value therefore computes a DIFFERENT id and mints a
     * duplicate node; re-MERGE with the original pattern to take the
     * ON MATCH branch.
     */
   final case class MergeNodeOnSet(node: CreateNode,
-      onCreate: Option[String], onMatch: Option[String]) extends Statement
+      onCreate: Option[Map[String, String]],
+      onMatch: Option[Map[String, String]]) extends Statement
 
   /** One side of an edge-MERGE's dual MATCH: variable, required label,
     * optional batch tag (second label), literal/parameter property map.
@@ -1032,7 +1043,7 @@ object CypherLite {
   // plain-MATCH form.
   // one aliased WITH aggregate item (non-capturing): agg(arg) AS alias
   private val WithAggFrag =
-    """(?:count|sum|avg|min|max)\s*\(\s*(?:DISTINCT\s+)?""" +
+    """(?:count|sum|avg|min|max|collect)\s*\(\s*(?:DISTINCT\s+)?""" +
       """(?:\*|\w+(?:\s*\.\s*\w+)?)\s*\)\s+AS\s+\w+"""
 
   private val WithRe =
@@ -1070,6 +1081,12 @@ object CypherLite {
   // sum/avg/min/max(c.prop) AS alias — the numeric/collation aggregates
   private val WithAggPropRe =
     """(?is)\s*(sum|avg|min|max)\s*\(\s*(\w+)\s*\.\s*(\w+)\s*\)\s+AS\s+(\w+)\s*""".r
+  // collect([DISTINCT] c.prop) AS alias — the list-gathering WITH item
+  // (r15: `WITH a, collect(n.name) AS names RETURN a.name, names` is
+  // an LLM staple); same sorted comma-joined serialization as the
+  // RETURN-side collect
+  private val WithCollectRe =
+    """(?is)\s*collect\s*\(\s*(DISTINCT\s+)?(\w+)\s*\.\s*(\w+)\s*\)\s+AS\s+(\w+)\s*""".r
 
   // MATCH (a)-[r1]->(b)-[r2]->(c) …: the two-step chain. The second hop
   // arrow right after the middle node's paren is what distinguishes this
@@ -1165,20 +1182,18 @@ object CypherLite {
   private val MergeRe =
     """(?is)\s*MERGE\s*\(\s*(\w+)\s*:\s*(\w+)(?:\s*:\s*(\w+))?\s*\{\s*([^}]*)\s*\}\s*\)\s*;?\s*""".r
 
-  // MERGE (n:Label {…}) ON CREATE SET n.content = … ON MATCH SET … —
+  // MERGE (n:Label {…}) ON CREATE SET n.prop = …[, …] ON MATCH SET … —
   // the branch-aware upsert (Neo4j's standard idiom). The trailing ON
-  // block is captured whole and re-scanned by OnSetClauseRe (a regex
-  // group cannot repeat-and-collect); checked before MergeRe so the
-  // plain form never swallows a query with ON clauses.
+  // block is captured whole and re-scanned by OnSetMultiClauseRe (a
+  // regex group cannot repeat-and-collect); checked before MergeRe so
+  // the plain form never swallows a query with ON clauses.
   private val MergeOnSetRe =
     ("""(?is)\s*MERGE\s*\(\s*(\w+)\s*:\s*(\w+)(?:\s*:\s*(\w+))?\s*\{\s*([^}]*)\s*\}\s*\)\s*""" +
       """((?:ON\s+(?:CREATE|MATCH)\s+SET\s+\w+\s*\.\s*\w+\s*=\s*(?:'[^']*'|\$\w+)\s*(?:,\s*\w+\s*\.\s*\w+\s*=\s*(?:'[^']*'|\$\w+)\s*)*)+);?\s*""").r
-  private val OnSetClauseRe =
-    """(?i)ON\s+(CREATE|MATCH)\s+SET\s+(\w+)\s*\.\s*(\w+)\s*=\s*(?:'([^']*)'|\$(\w+))""".r
-  // the edge-side branch clause captures its whole comma-separated
-  // assignment LIST (EdgeRow.props is schemaless — several keys per
-  // branch are the Neo4j norm); assignments are re-scanned by
-  // OnSetAssignRe
+  // each branch clause captures its whole comma-separated assignment
+  // LIST (node side since r15: any user property, several per branch;
+  // edge side: EdgeRow.props is schemaless — several keys per branch
+  // are the Neo4j norm); assignments are re-scanned by OnSetAssignRe
   private val OnSetMultiClauseRe =
     ("""(?i)ON\s+(CREATE|MATCH)\s+SET\s+""" +
       """((?:\w+\s*\.\s*\w+\s*=\s*(?:'[^']*'|\$\w+)\s*,?\s*)+)""").r
@@ -1990,7 +2005,11 @@ object CypherLite {
   // each of these" prompts. Desugared by rewriting every `= x`
   // comparison in <rest> to `IN [list]` (positions located on the
   // quote-blanked text so a literal can never be corrupted; `<= x` /
-  // `>= x` are protected by the lookbehind) and re-parsing. Since r15
+  // `>= x` are protected by the lookbehind) and re-parsing. r15 adds
+  // the two sibling spellings: the REVERSED comparison `x = v.prop`
+  // (same rewrite, span replaced whole) and the INLINE-MAP form
+  // `MATCH (v:L {k: x})` (desugared to the WHERE-conjunct spelling
+  // first — see [[desugarUnwindMaps]]). Since r15
   // the variable may also RIDE THE PROJECTION (`RETURN x, count(n)` —
   // the per-value aggregate staple): a RETURN item that is exactly `x`
   // rewrites to the compared property (`v.prop AS x`, keeping an
@@ -2007,33 +2026,136 @@ object CypherLite {
   private val UnwindPrefixRe =
     """(?is)\s*UNWIND\s*\[([^\]]*)\]\s+AS\s+(\w+)\s+(.*)""".r
 
+  // pattern-less `RETURN <number|'string'> [AS alias]` — see the
+  // parseStmt case
+  private val ReturnLiteralRe =
+    """(?is)\s*RETURN\s+(?:(-?\d+(?:\.\d+)?)|'([^']*)')(?:\s+AS\s+(\w+))?\s*;?\s*""".r
+
+  /** The inline-map UNWIND spelling `MATCH (v:L {k: x, …})` — the most
+    * common LLM form — desugared to the WHERE-conjunct spelling
+    * (`MATCH (v:L {…}) WHERE v.k = x AND (…)`) BEFORE the `= x`
+    * machinery runs, so both spellings share one rewrite path. The map
+    * entry is excised (comma-repaired; an emptied map drops its
+    * braces), and the conjunct lands at the clause's WHERE — ANDed in
+    * front with the existing body parenthesized, so an OR inside it
+    * cannot leak around the new conjunct. Scoped to single-MATCH
+    * bodies (multi-clause/OPTIONAL placement is ambiguous — named
+    * rejection rather than a guessed clause).
+    */
+  private def desugarUnwindMaps(rest: String, x: String)
+      : Either[String, String] = {
+    val blanked = blankQuoted(rest)
+    val xq = java.util.regex.Pattern.quote(x)
+    val patRe = """\(\s*(\w+)((?:\s*:\s*\w+)*)\s*\{([^}]*)\}\s*\)""".r
+    val entryRe = ("""(\w+)\s*:\s*""" + xq + """\b""").r
+    val hits = patRe.findAllMatchIn(blanked).toList.flatMap { pm =>
+      entryRe.findAllMatchIn(pm.group(3)).toList.map(em => (pm, em))
+    }
+    if (hits.isEmpty) Right(rest)
+    else if ("""(?is)\bOPTIONAL\b""".r.findFirstIn(blanked).isDefined ||
+        """(?i)\bMATCH\b""".r.findAllMatchIn(blanked).size != 1)
+      Left(s"the UNWIND variable '$x' in an inline property map is " +
+        "supported on single-MATCH bodies only — spell the comparison " +
+        s"as WHERE v.prop = $x there")
+    else {
+      // per pattern: a map whose EVERY entry is a `k: x` entry drops
+      // its braces whole; otherwise each x-entry is excised with one
+      // adjacent comma. Spans computed on the blanked text (length-
+      // preserving), cut from the original.
+      val allCuts = hits.groupBy(_._1).toList.flatMap { case (pm, hs) =>
+        val keyTokens =
+          """\w+\s*:""".r.findAllMatchIn(pm.group(3)).size
+        if (hs.size == keyTokens)
+          // the regex puts `{` immediately before group 3, `}` at its end
+          Seq((pm.start(3) - 1, pm.end(3) + 1))
+        else hs.map { case (_, em) =>
+          val base = pm.start(3)
+          var (s0, e0) = (base + em.start, base + em.end)
+          val after = rest.substring(e0, pm.end(3))
+          if (after.trim.startsWith(",")) e0 += after.indexOf(',') + 1
+          else {
+            val before = rest.substring(base, s0)
+            if (before.trim.endsWith(","))
+              s0 = base + before.lastIndexOf(',')
+          }
+          (s0, e0)
+        }
+      }.sortBy(_._1)
+      val conjs = hits.map { case (pm, em) =>
+        s"${pm.group(1)}.${em.group(1)} = $x" }
+      val sb = new StringBuilder
+      var prev = 0
+      allCuts.foreach { case (s0, e0) =>
+        sb.append(rest.substring(prev, s0)); prev = e0 }
+      sb.append(rest.substring(prev))
+      val cutRest = sb.toString
+      // inject the conjuncts at the clause's WHERE (AND in front, the
+      // existing body parenthesized) or mint one before the next clause
+      val cb = blankQuoted(cutRest)
+      val whereM = """(?is)\bWHERE\b""".r.findFirstMatchIn(cb)
+      // next clause keyword AFTER the WHERE body: a clause-level WITH
+      // only (the `STARTS/ENDS WITH` comparison operators must not end
+      // the body — same filter as ClauseWithRe)
+      val kwStarts =
+        """(?is)\b(RETURN|ORDER|SKIP|LIMIT|SET|DETACH)\b""".r
+          .findAllMatchIn(cb).map(_.start).toList ++
+          """(?is)\b(?:(STARTS|ENDS)\s+)?WITH\b""".r
+            .findAllMatchIn(cb).filter(_.group(1) == null)
+            .map(_.start).toList
+      def nextKwAfter(pos: Int): Option[Int] =
+        kwStarts.filter(_ >= pos).minOption
+      val conj = conjs.mkString(" AND ")
+      whereM match {
+        case Some(w) =>
+          val bodyEnd = nextKwAfter(w.end).getOrElse(cb.length)
+          val body = cutRest.substring(w.end, bodyEnd).trim
+          Right(cutRest.substring(0, w.end) + s" $conj AND ($body) " +
+            cutRest.substring(bodyEnd))
+        case None =>
+          val at = nextKwAfter(0).getOrElse(cb.length)
+          Right(cutRest.substring(0, at) + s"WHERE $conj " +
+            cutRest.substring(at))
+      }
+    }
+  }
+
   private def rewriteUnwind(listStr: String, x: String,
-      rest: String): Either[String, String] = {
+      rest0: String): Either[String, String] = {
     val dupes = splitTopLevel(listStr).map(_.trim).filter(_.nonEmpty)
       .groupBy(identity).collect { case (v, vs) if vs.sizeIs > 1 => v }
     if (dupes.nonEmpty)
       return Left("duplicate UNWIND list element " +
         s"(${dupes.toSeq.sorted.mkString(", ")}): bag multiplicity over " +
         "duplicate literals is not supported — deduplicate the list")
+    val rest = desugarUnwindMaps(rest0, x) match {
+      case Left(e) => return Left(e)
+      case Right(r) => r
+    }
     val blanked = blankQuoted(rest)
     val xq = java.util.regex.Pattern.quote(x)
     val cmpRe = ("""(?<![<>=!])=\s*""" + xq + """\b""").r
     val cmps = cmpRe.findAllMatchIn(blanked).toList
+    // the REVERSED spelling `x = v.prop` (r15): same comparison, x on
+    // the left — the whole span rewrites to `v.prop IN [list]`
+    val revRe = ("""(?<![\w.])""" + xq +
+      """\s*=\s*(\w+)\s*\.\s*(\w+)""").r
+    val revs = revRe.findAllMatchIn(blanked).toList
     // the compared property each `= x` equates: the dotted projection
     // immediately left of the comparison — needed only when x is
     // projected, and then it must be UNIQUE (several different
     // properties equated to x would make `RETURN x` ambiguous)
-    val cmpProps = cmps.flatMap { mm =>
+    val cmpProps = (cmps.flatMap { mm =>
       """(\w+)\s*\.\s*(\w+)\s*$""".r
         .findFirstMatchIn(blanked.substring(0, mm.start))
         .map(pm => s"${pm.group(1)}.${pm.group(2)}")
-    }.distinct
-    // standalone x tokens outside the `= x` comparisons
-    val cmpSpans = cmps.map(mm => (mm.start, mm.end))
+    } ++ revs.map(mm => s"${mm.group(1)}.${mm.group(2)}")).distinct
+    // standalone x tokens outside the `= x` / `x = v.prop` comparisons
+    val cmpSpans = cmps.map(mm => (mm.start, mm.end)) ++
+      revs.map(mm => (mm.start, mm.end))
     val tokRe = ("""(?<![\w.])""" + xq + """\b(?!\s*\.)""").r
     val toks = tokRe.findAllMatchIn(blanked).toList
       .filterNot(t => cmpSpans.exists(s => t.start >= s._1 && t.end <= s._2))
-    if (cmps.isEmpty && toks.isEmpty)
+    if (cmps.isEmpty && revs.isEmpty && toks.isEmpty)
       return Left(s"the UNWIND variable '$x' is never compared with = " +
         "in the query body")
     val retM = """(?i)\bRETURN\b""".r.findFirstMatchIn(blanked)
@@ -2072,9 +2194,13 @@ object CypherLite {
         Left(s"RETURN $x is ambiguous: '$x' is equated to several " +
           s"properties (${cmpProps.mkString(", ")})")
       else {
-        // splice all rewrites in one left-to-right pass over `rest`
+        // splice all rewrites in one left-to-right pass over `rest`:
+        // `= x` keeps its LHS (span replaces just the comparison tail),
+        // the reversed `x = v.prop` span replaces whole
         val edits =
-          (cmpSpans.map { case (s0, e0) => (s0, e0, s"IN [$listStr]") } ++
+          (cmps.map(mm => (mm.start, mm.end, s"IN [$listStr]")) ++
+            revs.map(mm => (mm.start, mm.end,
+              s"${mm.group(1)}.${mm.group(2)} IN [$listStr]")) ++
             items.map(t => (t.start, t.end,
               cmpProps.head + (if (t.aliased) "" else s" AS $x"))))
             .sortBy(_._1)
@@ -2145,47 +2271,51 @@ object CypherLite {
   private def parseMergeOnSet(v: String, label: String,
       batch: Option[String], propsStr: String, onBlock: String,
       params: Map[String, String]): Either[String, Statement] = {
-    val clauses = OnSetClauseRe.findAllMatchIn(onBlock).toSeq
-    // the statement regex shares its ON-block shape with the edge form,
-    // which takes comma-separated assignment LISTS; the node side has a
-    // single writable property (content), so a list here could only
-    // duplicate it or write an identity field — reject by name rather
-    // than silently keeping the first assignment (OnSetClauseRe captures
-    // one assignment per clause).
-    val multi = OnSetMultiClauseRe.findAllMatchIn(onBlock)
-      .find(m => OnSetAssignRe.findAllMatchIn(m.group(2)).size > 1)
-    if (multi.isDefined)
-      return Left("node-side ON CREATE/ON MATCH SET takes exactly one " +
-        "assignment (only content is writable); comma-separated " +
-        "assignment lists are relationship-side only")
-    def clauseValue(m: scala.util.matching.Regex.Match)
-        : Either[String, String] =
-      if (m.group(4) != null) Right(m.group(4))
-      else params.get(m.group(5))
-        .toRight(s"missing parameter $$${m.group(5)} " +
-          s"(have: ${params.keys.toSeq.sorted.mkString(", ")})")
+    // each branch clause captures its full comma-separated assignment
+    // LIST (r15 — the node side now writes any USER property, so
+    // `ON CREATE SET n.content = '…', n.name = '…'` is legitimate);
+    // assignments re-scan with OnSetAssignRe, same as the edge form
+    val clauses = OnSetMultiClauseRe.findAllMatchIn(onBlock).toSeq
+    def branchMap(listStr: String)
+        : Either[String, Map[String, String]] = {
+      val ms = OnSetAssignRe.findAllMatchIn(listStr).toSeq
+      ms.foldLeft[Either[String, Map[String, String]]](Right(Map.empty)) {
+        (acc, m) => acc.flatMap { done =>
+          val (sv, prop) = (m.group(1), m.group(2))
+          if (sv != v)
+            Left(s"ON CREATE/ON MATCH SET may only write the merged " +
+              s"variable '$v', got '$sv'")
+          else if (!SupportedProps(prop))
+            Left(if (prop == "label" || prop == "batch")
+              s"'$prop' is not a node property in this engine's model " +
+                "(fixed user columns content/name/docnbr plus the " +
+                "label kind and batch lineage columns)"
+            else s"unsupported ON SET property: $prop (writable: " +
+              s"${SupportedProps.toSeq.sorted.mkString(", ")}; note " +
+              "the SET does not re-key the node — its id keeps " +
+              "hashing the values it was merged with, so MERGE again " +
+              "with the ORIGINAL pattern)")
+          else if (done.contains(prop))
+            Left(s"duplicate property '$prop' in one ON SET clause")
+          else (if (m.group(3) != null) Right(m.group(3))
+            else params.get(m.group(4))
+              .toRight(s"missing parameter $$${m.group(4)} " +
+                s"(have: ${params.keys.toSeq.sorted.mkString(", ")})"))
+            .map(vv => done + (prop -> vv))
+        }
+      }
+    }
     for {
       node <- parseCreate(label, batch, propsStr, params)
-      _ <- clauses.find(_.group(2) != v)
-        .map(m => Left(s"ON ${m.group(1).toUpperCase} SET may only " +
-          s"write the merged variable '$v', got '${m.group(2)}'"))
-        .getOrElse(Right(()))
-      _ <- clauses.find(_.group(3) != "content")
-        .map(_ => Left("only the content property is writable in " +
-          "ON CREATE/ON MATCH SET (name/label/docnbr/content are all " +
-          "hashed into the node identity — and note the SET does not " +
-          "re-key the node: its id keeps hashing the content it was " +
-          "merged with, so MERGE again with the ORIGINAL pattern, not " +
-          "the updated content)"))
-        .getOrElse(Right(()))
       kinds = clauses.map(_.group(1).toUpperCase)
       _ <- if (kinds.distinct.size != kinds.size)
         Left("at most one ON CREATE SET and one ON MATCH SET clause")
       else Right(())
       resolved <- clauses
-        .foldLeft[Either[String, Map[String, String]]](Right(Map.empty)) {
-          (acc, m) => acc.flatMap(done =>
-            clauseValue(m).map(vv => done + (m.group(1).toUpperCase -> vv)))
+        .foldLeft[Either[String, Map[String, Map[String, String]]]](
+          Right(Map.empty)) { (acc, m) => acc.flatMap(done =>
+            branchMap(m.group(2)).map(bm =>
+              done + (m.group(1).toUpperCase -> bm)))
         }
     } yield MergeNodeOnSet(node.asInstanceOf[CreateNode],
       resolved.get("CREATE"), resolved.get("MATCH"))
@@ -2559,9 +2689,41 @@ object CypherLite {
       : Either[String, Statement] =
     try rewriteGqlQuantifier(query).flatMap(q =>
       mergeConsecutiveMatches(
-        stripPassthroughWith(rewriteCountSubquery(rewriteCommaPatterns(q))))
+        stripPassthroughWith(rewriteCountSubquery(
+          rewriteCommaPatterns(rewriteBareArrows(q)))))
         .flatMap(q2 => parseChainedWith(q2).getOrElse(parseStmt(q2, params))))
     catch { case ParseError(m) => Left(m) }
+
+  // Cypher's BRACKET-LESS relationship shorthands (r15): `-->`, `<--`,
+  // and the undirected `--` between two node patterns are exactly the
+  // untyped single-hop brackets (`-[]->` / `<-[]-` / `-[]-`) — a pure
+  // spelling desugar, located on the quote-blanked text so an
+  // arrow-shaped literal can never masquerade as pattern syntax. Only
+  // spans between a closing and an opening paren rewrite, so `-`-ish
+  // text anywhere else is untouched. LLMs emit the shorthand for "is
+  // connected to" prompts; without this it was a generic shape error.
+  private val BareArrowRe = """\)\s*(<--|-->|--)\s*\(""".r
+
+  private def rewriteBareArrows(q: String): String = {
+    val blanked = blankQuoted(q)
+    val ms = BareArrowRe.findAllMatchIn(blanked).toList
+    if (ms.isEmpty) q
+    else {
+      val sb = new StringBuilder
+      var prev = 0
+      ms.foreach { m =>
+        sb.append(q.substring(prev, m.start))
+        sb.append(m.group(1) match {
+          case "-->" => ")-[]->("
+          case "<--" => ")<-[]-("
+          case _ => ")-[]-("
+        })
+        prev = m.end
+      }
+      sb.append(q.substring(prev))
+      sb.toString
+    }
+  }
 
   // ——— chained WITH pipeline (2+ stages) ———————————————————————————————
 
@@ -3212,6 +3374,12 @@ object CypherLite {
       params: Map[String, String] = Map.empty): Either[String, Statement] =
     query match {
     case DeleteRe(_, tag) => Right(DetachDelete(tag))
+    // pattern-less literal RETURN (r15): `RETURN 1` / `RETURN 'x' AS a`
+    // — the sanity/connectivity probes LLM agents open a session with;
+    // one driver-free row, Neo4j's column-naming rule (the expression
+    // text unless aliased)
+    case ReturnLiteralRe(num, str, alias) =>
+      Right(ReturnLiteral(Option(num), Option(str), Option(alias)))
     case UnwindPrefixRe(listStr, x, rest) =>
       rewriteUnwind(listStr, x, rest).flatMap(parse(_, params))
     // relationship write forms first: their hop bracket keeps them out
@@ -3783,6 +3951,17 @@ object CypherLite {
               s"variable '${conn.get}'" +
               relVar.fold("")(r => s" or the relationship variable '$r'") +
               s", got '$v.$pr'"))
+          // collect([DISTINCT] c.prop / r.prop) AS alias (r15) — the
+          // same grouped serialization the RETURN-side collect builds
+          case WithCollectRe(dk, v, pr, alias) if conn.contains(v) =>
+            Some(Right((RetCollect(pr, dk != null), alias)))
+          case WithCollectRe(dk, v, pr, alias) if relVar.contains(v) =>
+            Some(Right((RetCollectRel(pr, dk != null), alias)))
+          case WithCollectRe(_, v, pr, _) =>
+            Some(Left(s"WITH collect() may only gather the connected " +
+              s"variable '${conn.get}'" +
+              relVar.fold("")(r => s" or the relationship variable '$r'") +
+              s", got '$v.$pr'"))
           case _ => None
         }
         val tagged = wparts.map(p => (p, parseAgg(p)))
@@ -3871,12 +4050,13 @@ object CypherLite {
           _ <- hav match {
             case Some((v, _, _)) if (aliasMap(v) match {
                 case RetAggProp("min", _) | RetAggProp("max", _) |
-                     RetAggRelProp("min", _) | RetAggRelProp("max", _) =>
+                     RetAggRelProp("min", _) | RetAggRelProp("max", _) |
+                     RetCollect(_, _) | RetCollectRel(_, _) =>
                   true
                 case _ => false
               }) =>
               Left("the WHERE after WITH compares numerically — filter a " +
-                "count/sum/avg alias, not min/max")
+                "count/sum/avg alias, not min/max/collect")
             case _ => Right(())
           }
           // RETURN items; aggregate aliases resolve to their items, and
@@ -4069,6 +4249,15 @@ object CypherLite {
           s", got '$v.$p'")
         case CoalesceRe(v, p, d) if conn.contains(v) =>
           Right(RetCoalesce(p, d))
+        // coalesce over the MATCHED variable (r15): rides the scalar-fn
+        // machinery (hop-less plain branch / root side under a hop),
+        // with '' = absent so the default fires exactly where
+        // keys(n)/properties(n) would omit the key
+        case CoalesceRe(v, p, d) if v == m =>
+          if (!SupportedProps(p))
+            Left(s"unsupported property: $p (supported: " +
+              SupportedProps.toSeq.sorted.mkString(", ") + ")")
+          else Right(RetPropFn("coalesce", p, Seq(d)))
         // coalesce(r.prop, 'default') — the same OPTIONAL/missing-key
         // staple on the edge-property map (a missing key projects null
         // exactly like an unmatched binding)
@@ -5588,19 +5777,23 @@ object CypherLite {
           spark.emptyDataset[EdgeRow])
         // which branch happened is decided SET-wise against the
         // pre-merge image — anti-join = created, semi-join = matched —
-        // never a driver-side existence probe; both updates ride one
-        // relation through the A18 join-update kernel
+        // never a driver-side existence probe; the branch's assignment
+        // map applies per property through the A18 join-update kernel
+        // (r15: any user property, comma lists per clause)
         val mergedId = incoming.nodes.toDF().select("id")
         val preIds = g.nodes.toDF().select("id")
-        val updates = Seq(
-          onCreate.map(v => mergedId.join(preIds, Seq("id"), "left_anti")
-            .select(col("id"), lit(v).as("new_content"))),
-          onMatch.map(v => mergedId.join(preIds, Seq("id"), "left_semi")
-            .select(col("id"), lit(v).as("new_content"))))
-          .flatten.reduceOption(_ unionByName _)
+        def branchIds(created: Boolean) = mergedId.join(preIds,
+          Seq("id"), if (created) "left_anti" else "left_semi")
+        val updates: Seq[(String, DataFrame)] =
+          onCreate.toSeq.flatMap(m => m.toSeq.map { case (p, v) =>
+            (p, branchIds(created = true)
+              .select(col("id"), lit(v).as("new_value"))) }) ++
+            onMatch.toSeq.flatMap(m => m.toSeq.map { case (p, v) =>
+              (p, branchIds(created = false)
+                .select(col("id"), lit(v).as("new_value"))) })
         val merged = GraphOps.upsert(g, incoming)
-        val after = updates.fold(merged)(u =>
-          GraphOps.updateContent(merged, u))
+        val after = updates.foldLeft(merged) { case (acc, (p, u)) =>
+          GraphOps.updateNodeProp(acc, u, p) }
         val summary = after.nodes.toDF().filter(col("id") === id)
           .select(col("label").as("m_label"), col("name").as("m_name"),
             col("content").as("m_content"))
@@ -6263,6 +6456,13 @@ object CypherLite {
         }
       case "left" => left(src, lit(f.args.head.toInt))
       case "right" => right(src, lit(f.args.head.toInt))
+      // coalesce over the MATCHED variable (r15): node properties store
+      // '' for ABSENT (the ingest convention — keys(n)/properties(n)
+      // apply the same rule), so the default fires on '' as well as on
+      // the OPTIONAL-null, which is exactly Cypher's missing-property
+      // answer on this engine's at-rest encoding
+      case "coalesce" =>
+        when(src.isNull || src === "", lit(f.args.head)).otherwise(src)
       case other => throw new IllegalArgumentException(
         s"unknown scalar fn: $other (parse/exec drifted)")
     }
@@ -6583,6 +6783,16 @@ object CypherLite {
       query: String): Either[String, DataFrame] =
     parse(query).flatMap {
       case cw: ChainedWith => runChainedWith(g, cw)
+      case ReturnLiteral(num, str, alias) =>
+        val spark = g.nodes.sparkSession
+        val (value, name) = num match {
+          case Some(n) if n.contains('.') =>
+            (lit(n.toDouble), alias.getOrElse(n))
+          case Some(n) => (lit(n.toLong), alias.getOrElse(n))
+          case None => (lit(str.getOrElse("")),
+            alias.getOrElse(s"'${str.getOrElse("")}'"))
+        }
+        Right(spark.range(1).select(value.as(name)))
       case ch: ChainReturn =>
         ch.nodes.flatMap(_.props.keys).find(!SupportedProps(_))
           .map(k => Left(s"unsupported property: $k " +

@@ -3396,6 +3396,89 @@ object ParquetGraph {
         .fold(err => throw new IllegalArgumentException(err), identity)
     },
 
+    // C10 CypherLite twin (new r15): the INLINE-MAP UNWIND spelling —
+    // `UNWIND [...] AS x MATCH (m:L {name: x})` is the most common LLM
+    // form. The map entry is excised and desugared to the WHERE-
+    // conjunct spelling, so the projection + IN rewrite are shared;
+    // graded per-value with the projection riding the alias x.
+    QueryDef.sql(
+      "graphp_cypher_unwind_map",
+      """SELECT n_name AS x, CAST(count(*) AS BIGINT) AS n_cust
+        |FROM nation JOIN customer ON c_nationkey = n_nationkey
+        |WHERE n_name IN ('NATION_2', 'NATION_9')
+        |GROUP BY n_name ORDER BY x""".stripMargin) { (s, d) =>
+      CypherLite.run(hierarchy(s, d),
+        "UNWIND ['NATION_2', 'NATION_9'] AS x " +
+          "MATCH (m:Nation {name: x})-[:HAS_CUSTOMER]->(c) " +
+          "RETURN x, count(c) AS n_cust ORDER BY x")
+        .fold(err => throw new IllegalArgumentException(err), identity)
+    },
+
+    // C10 CypherLite twin (new r15): BRACKET-LESS relationship
+    // shorthand — `(n)--(x)` is the untyped undirected single hop
+    // (desugared to -[]-; untyped = the HAS_* containment convention).
+    // Around a NATION the undirected set is the parent region (incoming)
+    // plus the nation's customers (outgoing) — a one-orientation bug
+    // drops a side and hash-misses.
+    QueryDef.sql(
+      "graphp_cypher_bare_arrows",
+      """SELECT r_name AS x_name FROM region JOIN nation
+        |  ON n_regionkey = r_regionkey WHERE n_name = 'NATION_3'
+        |UNION ALL
+        |SELECT CAST(c_custkey AS VARCHAR) FROM customer JOIN nation
+        |  ON c_nationkey = n_nationkey WHERE n_name = 'NATION_3'
+        |ORDER BY x_name""".stripMargin) { (s, d) =>
+      CypherLite.run(hierarchy(s, d),
+        "MATCH (n:Nation {name: 'NATION_3'})--(x) " +
+          "RETURN x.name AS x_name ORDER BY x_name")
+        .fold(err => throw new IllegalArgumentException(err), identity)
+    },
+
+    // C10 CypherLite twin (new r15): collect() in the WITH pipeline —
+    // `WITH m, collect(c.name) AS names, count(c) AS cnt WHERE cnt ≥ k`
+    // (the gather-then-filter staple). The collected list keeps the
+    // sorted comma-joined serialization; the HAVING filters the count
+    // alias while the list rides along.
+    QueryDef.sql(
+      "graphp_cypher_with_collect",
+      """SELECT n_name AS m_name,
+        |  string_agg(CAST(c_custkey AS VARCHAR), ','
+        |    ORDER BY CAST(c_custkey AS VARCHAR)) AS names,
+        |  CAST(count(*) AS BIGINT) AS cnt
+        |FROM nation JOIN customer ON c_nationkey = n_nationkey
+        |GROUP BY n_name HAVING count(*) >= 60
+        |ORDER BY m_name""".stripMargin) { (s, d) =>
+      CypherLite.run(hierarchy(s, d),
+        "MATCH (m:Nation)-[:HAS_CUSTOMER]->(c) " +
+          "WITH m, collect(c.name) AS names, count(c) AS cnt " +
+          "WHERE cnt >= 60 RETURN m.name, names, cnt ORDER BY m.name")
+        .fold(err => throw new IllegalArgumentException(err), identity)
+    },
+
+    // C10 CypherLite twin (new r15): coalesce over the MATCHED variable
+    // — on this engine a node property stores '' for ABSENT (the ingest
+    // convention keys(n)/properties(n) already pin), so the default
+    // must fire on '' exactly where the accessors would omit the key.
+    // An engine treating '' as present returns '' rows and hash-misses.
+    QueryDef.sql(
+      "graphp_cypher_coalesce_root",
+      """SELECT r_name AS name, 'none' AS c FROM region
+        |ORDER BY name""".stripMargin) { (s, d) =>
+      CypherLite.run(hierarchy(s, d),
+        "MATCH (m:Region) RETURN m.name AS name, " +
+          "coalesce(m.content, 'none') AS c ORDER BY name")
+        .fold(err => throw new IllegalArgumentException(err), identity)
+    },
+
+    // C10 CypherLite twin (new r15): the pattern-less literal RETURN —
+    // `RETURN 1` is the sanity probe LLM agents open a session with.
+    QueryDef.sql(
+      "graphp_cypher_return_literal",
+      "SELECT CAST(1 AS BIGINT) AS one") { (s, d) =>
+      CypherLite.run(hierarchy(s, d), "RETURN 1 AS one")
+        .fold(err => throw new IllegalArgumentException(err), identity)
+    },
+
     // C10 CypherLite twin: size((m)-[:R]->()) — the degree expression
     // ("each X and its number of Y"): one row per ROOT, zero-degree roots
     // included (LEFT JOIN + count of the non-null side), the user WHERE

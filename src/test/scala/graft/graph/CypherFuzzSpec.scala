@@ -28,9 +28,15 @@ class CypherFuzzSpec extends SparkSpec {
     "MATCH (m:Nation {name: 'n1'})", "OPTIONAL MATCH", "MATCH (m:Region),",
     "MATCH (m:Region) WITH m MATCH (m)", "MATCH p = shortestPath((a:Region)",
     "UNWIND ['n1'] AS x MATCH (m)", "MATCH",
+    "UNWIND ['n1'] AS x MATCH (m {name: x})",
+    "UNWIND ['n1'] AS x MATCH (m:Nation {name: x})",
+    "UNWIND ['n1', 'n1'] AS x MATCH (m {name: x})",
+    "UNWIND ['n1'] AS x MATCH (m {name: x",
     // path-quantified ranged heads (round 13) + near-misses
     "MATCH p = (m:Region)", "MATCH p = (m)", "MATCH p =")
   private val hops = Seq("", "-[]->(c)", "-[:HAS_NATION]->(c)",
+    // bracket-less shorthands (round 15) + near-misses
+    "-->(c)", "<--(c)", "--(c)", "-->", "--",
     "-[*1..2]->(c)", "-[r]->(c)", "<-[]-(c)", "-[]-(c)", "-[]->{1,2}(c)",
     "-[]->{0,2}(c)", "-[:A|B]->(c)", "-[]->(c:Nation)", "-[]->(c)-[]->(d)",
     ", (c)-[]->(d)", "-[]->", "-[",
@@ -53,6 +59,8 @@ class CypherFuzzSpec extends SparkSpec {
     "-[r1:HAS_NATION {w: 2}]->(c)-[:HAS_NEXT]->(d)",
     "<-[:HAS_NATION]-(c)-[")
   private val wheres = Seq("", " WHERE m.name = 'n1'",
+    // UNWIND comparison spellings (round 15) + near-misses
+    " WHERE m.name = x", " WHERE x = m.name", " WHERE x = m.",
     // path-quantifier forms (round 13) + near-misses
     " WHERE ALL(x IN relationships(p) WHERE x.w > 1)",
     " WHERE ANY(x IN relationships(p) WHERE x.g = 'a')",
@@ -89,6 +97,9 @@ class CypherFuzzSpec extends SparkSpec {
     " WITH DISTINCT m", " WITH DISTINCT m.name AS t WHERE t > 1",
     " WITH DISTINCT m.name AS t, count(c) AS n", " WITH DISTINCT",
     " WITH m, count(c) AS n",
+    " WITH m, collect(c.name) AS names",
+    " WITH m, collect(DISTINCT c.name) AS names, count(c) AS n",
+    " WITH m, collect(c.name) AS names WHERE names > 1",
     " WITH m, count(c) AS n WHERE n >= 1",
     " WITH m, count(c) AS n, sum(c.name) AS s",
     " WITH m, count(c) AS n, min(c.name) AS lo WHERE n > 0",
@@ -154,6 +165,7 @@ class CypherFuzzSpec extends SparkSpec {
     " RETURN c.name, r.weight",
     // UNWIND projection + whole-node endpoints (round 15) + near-misses
     " RETURN x", " RETURN x AS v", " RETURN x, count(*)",
+    " RETURN coalesce(m.name, 'd')", " RETURN 1", " RETURN 'v' AS l",
     " RETURN count(x)", " RETURN endNode(r)",
     " RETURN startNode(r) AS sn ORDER BY sn",
     " RETURN startNode(r), count(*)")

@@ -1234,6 +1234,59 @@ class CypherLiteSpec extends SparkSpec {
       hav.swap.toOption.get.contains("no aggregate"), hav.toString)
   }
 
+  test("r15 grammar tail: bare arrows, literal RETURN, m-side " +
+      "coalesce ('' = absent), WITH collect") {
+    // bracket-less shorthands desugar to the untyped single hop: on
+    // the stair the HAS_* convention means -->/-- follow HAS_KID
+    val out = CypherLite.run(stair,
+      "MATCH (m:T {name: 't4'})-->(c) RETURN c.name ORDER BY c.name")
+      .fold(e => fail(e), identity).collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("k4-1", "k4-2"))
+    val und = CypherLite.run(stair,
+      "MATCH (m:Kid {name: 'k4-1'})--(c) RETURN c.name")
+      .fold(e => fail(e), identity).collect()
+    assert(und.map(_.getString(0)).toSeq == Seq("t4"))
+    val in0 = CypherLite.run(stair,
+      "MATCH (m:Kid {name: 'k4-2'})<--(c) RETURN c.name")
+      .fold(e => fail(e), identity).collect()
+    assert(in0.map(_.getString(0)).toSeq == Seq("t4"))
+    // and inside a pattern-existence WHERE
+    val pe = CypherLite.run(stair,
+      "MATCH (m:T) WHERE (m)-->() RETURN count(*) AS n")
+      .fold(e => fail(e), identity).collect()
+    assert(pe.map(_.getLong(0)).toSeq == Seq(4L))
+    // literal RETURN: one row, Neo4j's column naming, typed literals
+    val one = CypherLite.run(stair, "RETURN 1")
+      .fold(e => fail(e), identity)
+    assert(one.columns.toSeq == Seq("1") &&
+      one.collect().map(_.getLong(0)).toSeq == Seq(1L))
+    val greet = CypherLite.run(stair, "RETURN 'hi' AS greeting")
+      .fold(e => fail(e), identity).collect()
+    assert(greet.map(_.getString(0)).toSeq == Seq("hi"))
+    // m-side coalesce: '' means ABSENT (the accessors' rule), so the
+    // default fires on the stair's empty contents
+    val co = CypherLite.run(stair,
+      "MATCH (m:T {name: 't1'}) RETURN coalesce(m.content, 'none') AS c")
+      .fold(e => fail(e), identity).collect()
+    assert(co.map(_.getString(0)).toSeq == Seq("none"))
+    // WITH collect: gathered list + count in one grouped pass, HAVING
+    // on the count; a numeric HAVING on the collect alias rejects
+    val wc = CypherLite.run(stair,
+      "MATCH (m:T)-[:HAS_KID]->(c) WITH m, collect(c.name) AS names, " +
+        "count(c) AS n WHERE n >= 4 RETURN m.name, names, n " +
+        "ORDER BY m.name")
+      .fold(e => fail(e), identity).collect()
+    assert(wc.map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSeq == Seq(
+        ("t1", "k1-1,k1-2,k1-3,k1-4,k1-5", 5L),
+        ("t2", "k2-1,k2-2,k2-3,k2-4", 4L)))
+    val badHav = CypherLite.run(stair,
+      "MATCH (m:T)-[:HAS_KID]->(c) WITH m, collect(c.name) AS names " +
+        "WHERE names > 1 RETURN m.name")
+    assert(badHav.isLeft &&
+      badHav.swap.toOption.get.contains("not min/max/collect"), badHav)
+  }
+
   test("chained WITH scoping violations are rejected with named errors") {
     // the hop variable died at the first WITH
     val r1 = CypherLite.run(stair,
@@ -1686,9 +1739,12 @@ class CypherLiteSpec extends SparkSpec {
       "RETURN m.name, c, coalesce(c.name, 'x')").isLeft)
     assert(CypherLite.run(g, "MATCH (m:Step) OPTIONAL MATCH (m)-[]->(c) " +
       "RETURN m.name, coalesce(c.name, 'x'), count(c)").isLeft)
-    // coalesce may only default the connected variable
+    // r15: the m-side coalesce is a supported transform now ('' =
+    // absent) — the boundary moved to unknown variables
     assert(CypherLite.run(g, "MATCH (m:Step) " +
-      "RETURN coalesce(m.name, 'x')").isLeft)
+      "RETURN coalesce(m.name, 'x')").isRight)
+    assert(CypherLite.run(g, "MATCH (m:Step) " +
+      "RETURN coalesce(z.name, 'x')").isLeft)
   }
 
   test("labels() projects the label under Cypher's column name") {
@@ -1832,6 +1888,45 @@ class CypherLiteSpec extends SparkSpec {
       "UNWIND ['t1'] AS x MATCH (m:T) WHERE m.name = x RETURN count(x)")
     assert(fn.isLeft &&
       fn.swap.toOption.get.contains("whole RETURN item"), fn.toString)
+  }
+
+  test("UNWIND sibling spellings (r15): reversed `x = v.prop` and the " +
+      "inline map `(v:L {k: x})` both desugar to the IN rewrite") {
+    // reversed comparison, with projection riding it
+    val rev = CypherLite.run(stair,
+      "UNWIND ['t1', 't3'] AS x MATCH (m:T)-[:HAS_KID]->(c) " +
+        "WHERE x = m.name RETURN x, count(c) AS n ORDER BY x")
+      .fold(e => fail(e), identity).collect()
+    assert(rev.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("t1", 5L), ("t3", 3L)))
+    // the inline-map spelling — THE most common LLM form; the entry is
+    // excised and the conjunct lands as the clause WHERE
+    val map0 = CypherLite.run(stair,
+      "UNWIND ['t2', 't4'] AS x MATCH (m:T {name: x})-[:HAS_KID]->(c) " +
+        "RETURN x, count(c) AS n ORDER BY x")
+      .fold(e => fail(e), identity).collect()
+    assert(map0.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("t2", 4L), ("t4", 2L)))
+    // an existing WHERE keeps its semantics: the conjunct fronts it
+    // and the body is parenthesized, so a top-level OR cannot leak
+    val withWhere = CypherLite.run(stair,
+      "UNWIND ['t1', 't2'] AS x MATCH (m:T {name: x})-[:HAS_KID]->(c) " +
+        "WHERE c.name ENDS WITH '-1' OR c.name ENDS WITH '-2' " +
+        "RETURN x, count(c) AS n ORDER BY x")
+      .fold(e => fail(e), identity).collect()
+    assert(withWhere.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("t1", 2L), ("t2", 2L)))
+    // a map with other entries keeps them (the x entry alone is cut)
+    val mixed = CypherLite.run(stair,
+      "UNWIND ['t1'] AS x MATCH (m:T {content: '', name: x}) RETURN x")
+      .fold(e => fail(e), identity).collect()
+    assert(mixed.map(_.getString(0)).toSeq == Seq("t1"))
+    // multi-MATCH bodies reject by name rather than guessing a clause
+    val multi = CypherLite.run(stair,
+      "UNWIND ['t1'] AS x MATCH (m:T {name: x}) " +
+        "MATCH (k:Kid {name: x}) RETURN x")
+    assert(multi.isLeft &&
+      multi.swap.toOption.get.contains("single-MATCH"), multi.toString)
   }
 
   test("size((m)-[:R]->()) answers each root's degree, zeros included") {
@@ -2346,6 +2441,15 @@ class CypherLiteSpec extends SparkSpec {
       Map("nm" -> "onset3", "cv" -> "param-made"))
       .fold(e => fail(e), identity)
     assert(pv.collect().map(_.getString(2)).toSeq == Seq("param-made"))
+    // r15: comma lists write several user properties per branch, and
+    // name is writable (the summary's m_name shows the updated value)
+    val (a4, s4) = CypherLite.runWrite(g,
+      "MERGE (n:Note {name: 'onset4'}) " +
+        "ON CREATE SET n.content = 'c4', n.name = 'renamed4'")
+      .fold(e => fail(e), identity)
+    assert(s4.collect().map(r => (r.getString(1), r.getString(2)))
+      .toSeq == Seq(("renamed4", "c4")))
+    assert(a4.nodes.filter(col("name") === "renamed4").count() == 1)
   }
 
   test("MERGE … ON SET rejections: non-content writes, duplicate " +
@@ -2354,16 +2458,20 @@ class CypherLiteSpec extends SparkSpec {
       val r = CypherLite.parse(q)
       assert(r.isLeft && r.swap.toOption.get.contains(frag), s"$q → $r")
     }
-    bad("MERGE (n:Note {name: 'x'}) ON CREATE SET n.name = 'y'",
-      "content")
+    // r15: name/docnbr are writable user properties now — the boundary
+    // moved to the engine columns and duplicate keys within one clause
+    assert(CypherLite.parse(
+      "MERGE (n:Note {name: 'x'}) ON CREATE SET n.name = 'y'").isRight)
+    assert(CypherLite.parse("MERGE (n:Note {name: 'x'}) " +
+      "ON CREATE SET n.content = 'a', n.docnbr = 'b'").isRight)
+    bad("MERGE (n:Note {name: 'x'}) ON CREATE SET n.label = 'y'",
+      "not a node property")
+    bad("MERGE (n:Note {name: 'x'}) ON CREATE SET n.content = 'a', " +
+      "n.content = 'b'", "duplicate property")
     bad("MERGE (n:Note {name: 'x'}) ON CREATE SET m.content = 'y'",
       "merged variable")
     bad("MERGE (n:Note {name: 'x'}) ON CREATE SET n.content = 'a' " +
       "ON CREATE SET n.content = 'b'", "at most one")
-    // a comma list of SET items is outside the supported shape — the
-    // targeted unparseable message, not the generic one
-    bad("MERGE (n:Note {name: 'x'}) ON CREATE SET n.content = 'a', " +
-      "n.docnbr = 'b'", "ON CREATE/ON MATCH")
     val mp = CypherLite.parse(
       "MERGE (n:Note {name: 'x'}) ON MATCH SET n.content = $gone")
     assert(mp.isLeft &&
