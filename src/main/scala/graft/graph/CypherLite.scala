@@ -1414,6 +1414,32 @@ object CypherLite {
     """(?is)\s*(startNode|endNode)\s*\(\s*(\w+)\s*\)\s*\.\s*(\w+)\s*""".r
   private val PropsAccessorRe =
     """(?is)\s*properties\s*\(\s*(\w+)\s*\)\s*""".r
+  // id(v) — the node-id accessor (r15): this engine's ids are
+  // MEANINGFUL (deterministic content hashes on the ingest path,
+  // arithmetic keys on the fixtures — GraphModel.nodeId doc), so the
+  // accessor is a pure spelling of the id column and desugars to the
+  // dotted `v.id` BEFORE parsing (quote-blanked positions; the
+  // lookbehind keeps elementId() out — that stays a named rejection).
+  // One rewrite serves every context: RETURN projection (canonical
+  // m_id / c_id), WHERE comparisons (`WHERE id(n) = 123` — the
+  // lookup-by-id staple), ORDER BY, and count(DISTINCT id(v)).
+  private val IdFnRe = """(?i)(?<!\w)id\s*\(\s*(\w+)\s*\)""".r
+
+  private def rewriteIdAccessor(q: String): String = {
+    val blanked = blankQuoted(q)
+    val ms = IdFnRe.findAllMatchIn(blanked).toList
+    if (ms.isEmpty) q
+    else {
+      val sb = new StringBuilder
+      var prev = 0
+      ms.foreach { m =>
+        sb.append(q.substring(prev, m.start)).append(m.group(1) + ".id")
+        prev = m.end
+      }
+      sb.append(q.substring(prev))
+      sb.toString
+    }
+  }
   // scalar string functions over a property projection (RETURN items).
   // `size(v.prop)` (string length) cannot collide with the degree
   // expression `size((m)-[…]->())` — the dotted-property operand vs the
@@ -2690,7 +2716,7 @@ object CypherLite {
     try rewriteGqlQuantifier(query).flatMap(q =>
       mergeConsecutiveMatches(
         stripPassthroughWith(rewriteCountSubquery(
-          rewriteCommaPatterns(rewriteBareArrows(q)))))
+          rewriteCommaPatterns(rewriteBareArrows(rewriteIdAccessor(q))))))
         .flatMap(q2 => parseChainedWith(q2).getOrElse(parseStmt(q2, params))))
     catch { case ParseError(m) => Left(m) }
 
@@ -4388,6 +4414,9 @@ object CypherLite {
           Left(s"$fn() in RETURN may only transform the matched " +
             s"variable '$m'" + conn.fold("")(c =>
             s" or the connected variable '$c'") + s", got '$v'")
+        // (id(v) never reaches here — rewriteIdAccessor desugars it to
+        // the dotted v.id before parsing, so it rides the normal
+        // property paths in RETURN, WHERE, ORDER BY, and count())
         case VarPropRe(v, p) if v == m => Right(RetProp(p))
         case VarPropRe(v, p) if conn.contains(v) => Right(RetConnProp(p))
         // r.prop: the traversed edge's property — rides the same
@@ -5246,7 +5275,9 @@ object CypherLite {
   /** Properties a RETURN projection / ORDER BY may reference (filterable
     * props plus the label, which is not a filter — MATCH (m:Label) is).
     */
-  private val ProjectableProps = SupportedProps + "label"
+  // `id` joins the projectable set for the id() accessor (r15) —
+  // and for the dotted `v.id` LLMs write meaning the same thing
+  private val ProjectableProps = SupportedProps + "label" + "id"
 
   /** Properties of the CONNECTED variable a WHERE or RETURN may reference —
     * the node image the hop expansion carries (`c_label`/`c_name`/
@@ -5255,7 +5286,9 @@ object CypherLite {
     * `c.label = '…'` comparison (the parser desugars the former into the
     * latter).
     */
-  private val ConnectedProps = Set("name", "content", "label")
+  // `id` (r15): the expansion's binding image carries c_id, so the
+  // id() accessor and the dotted c.id both project/filter it directly
+  private val ConnectedProps = Set("name", "content", "label", "id")
 
   /** Ops meaningful over a numeric literal (the string predicates are not). */
   private val ComparisonOps = Set("=", "<>", "<", "<=", ">", ">=")
@@ -6932,7 +6965,10 @@ object CypherLite {
             retProps.toSet // c-prop-only RETURN → no m ORDER BY keys
           else Set("label", "name")
         coalesceGuard
-          .orElse(filterProps.find(!SupportedProps(_))
+          // `id` is filterable (r15: `WHERE id(n) = 123`, desugared to
+          // the dotted form) though never writable
+          .orElse(filterProps.filterNot(_ == "id")
+            .find(!SupportedProps(_))
             .map(k => Left(s"unsupported property: $k " +
               s"(supported: ${SupportedProps.toSeq.sorted.mkString(", ")})")))
           .orElse((connConds.map(_.prop) ++ connRetProps ++ collectProps ++

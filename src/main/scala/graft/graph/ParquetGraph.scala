@@ -3479,6 +3479,25 @@ object ParquetGraph {
         .fold(err => throw new IllegalArgumentException(err), identity)
     },
 
+    // C10 CypherLite twin (new r15): the id() accessor — this engine's
+    // node ids are MEANINGFUL (deterministic hashes / arithmetic
+    // fixture keys), so id(v) projects them on both pattern sides; the
+    // oracle rebuilds the exact arithmetic ids, so any id-derivation
+    // drift hash-misses.
+    QueryDef.sql(
+      "graphp_cypher_id",
+      """SELECT CAST(r_regionkey + 1000000000 AS BIGINT) AS rid,
+        |  CAST(n_nationkey + 2000000000 AS BIGINT) AS nid,
+        |  n_name AS name
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA' ORDER BY name""".stripMargin) { (s, d) =>
+      CypherLite.run(hierarchy(s, d),
+        "MATCH (a:Region {name: 'ASIA'})-[:HAS_NATION]->(n) " +
+          "RETURN id(a) AS rid, id(n) AS nid, n.name AS name " +
+          "ORDER BY name")
+        .fold(err => throw new IllegalArgumentException(err), identity)
+    },
+
     // C10 CypherLite twin: size((m)-[:R]->()) — the degree expression
     // ("each X and its number of Y"): one row per ROOT, zero-degree roots
     // included (LEFT JOIN + count of the non-null side), the user WHERE

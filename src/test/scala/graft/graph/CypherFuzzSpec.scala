@@ -61,6 +61,7 @@ class CypherFuzzSpec extends SparkSpec {
   private val wheres = Seq("", " WHERE m.name = 'n1'",
     // UNWIND comparison spellings (round 15) + near-misses
     " WHERE m.name = x", " WHERE x = m.name", " WHERE x = m.",
+    " WHERE id(m) = 2", " WHERE id(m) >", " WHERE id(", " WHERE m.id = 2",
     // path-quantifier forms (round 13) + near-misses
     " WHERE ALL(x IN relationships(p) WHERE x.w > 1)",
     " WHERE ANY(x IN relationships(p) WHERE x.g = 'a')",
@@ -166,6 +167,8 @@ class CypherFuzzSpec extends SparkSpec {
     // UNWIND projection + whole-node endpoints (round 15) + near-misses
     " RETURN x", " RETURN x AS v", " RETURN x, count(*)",
     " RETURN coalesce(m.name, 'd')", " RETURN 1", " RETURN 'v' AS l",
+    " RETURN id(m)", " RETURN id(c) AS cid", " RETURN id(m), count(c)",
+    " RETURN id(z)", " RETURN elementId(m)",
     " RETURN count(x)", " RETURN endNode(r)",
     " RETURN startNode(r) AS sn ORDER BY sn",
     " RETURN startNode(r), count(*)")

@@ -1287,6 +1287,42 @@ class CypherLiteSpec extends SparkSpec {
       badHav.swap.toOption.get.contains("not min/max/collect"), badHav)
   }
 
+  test("id(v) projects the deterministic node id on both pattern " +
+      "sides (r15); elementId stays a named rejection") {
+    val ids = CypherLite.run(stair,
+      "MATCH (m:T {name: 't1'})-[:HAS_KID]->(c) " +
+        "RETURN id(m) AS mid, id(c) AS cid, c.name ORDER BY c.name " +
+        "LIMIT 2")
+      .fold(e => fail(e), identity).collect()
+    assert(ids.map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .toSeq == Seq((1L, 101L, "k1-1"), (1L, 102L, "k1-2")))
+    // grouping key + DISTINCT-able (identity semantics)
+    val grouped = CypherLite.run(stair,
+      "MATCH (m:T)-[:HAS_KID]->(c) RETURN id(m) AS mid, count(c) AS n " +
+        "ORDER BY mid")
+      .fold(e => fail(e), identity).collect()
+    assert(grouped.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 5L), (2L, 4L), (3L, 3L), (4L, 2L)))
+    val el = CypherLite.run(stair, "MATCH (m:T) RETURN elementId(m)")
+    assert(el.isLeft, el.toString)
+    // the lookup-by-id staple: WHERE id(n) = <num> (and the dotted
+    // spelling) filter the root scan
+    val byId = CypherLite.run(stair,
+      "MATCH (m:T) WHERE id(m) = 2 RETURN m.name")
+      .fold(e => fail(e), identity).collect()
+    assert(byId.map(_.getString(0)).toSeq == Seq("t2"))
+    val byIdDot = CypherLite.run(stair,
+      "MATCH (m:T) WHERE m.id > 2 RETURN count(*) AS n")
+      .fold(e => fail(e), identity).collect()
+    assert(byIdDot.map(_.getLong(0)).toSeq == Seq(2L))
+    // id in ORDER BY through count(DISTINCT id(c)) and the projection
+    val cd = CypherLite.run(stair,
+      "MATCH (m:T {name: 't3'})-[:HAS_KID]->(c) " +
+        "RETURN count(DISTINCT id(c)) AS n")
+      .fold(e => fail(e), identity).collect()
+    assert(cd.map(_.getLong(0)).toSeq == Seq(3L))
+  }
+
   test("chained WITH scoping violations are rejected with named errors") {
     // the hop variable died at the first WITH
     val r1 = CypherLite.run(stair,
