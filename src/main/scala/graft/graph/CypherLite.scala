@@ -2713,7 +2713,9 @@ object CypherLite {
     */
   def parse(query: String, params: Map[String, String])
       : Either[String, Statement] =
-    try rewriteGqlQuantifier(query).flatMap(q =>
+    try rewriteGqlQuantifier(query)
+      .flatMap(rewritePassthroughLimit)
+      .flatMap(q =>
       mergeConsecutiveMatches(
         stripPassthroughWith(rewriteCountSubquery(
           rewriteCommaPatterns(rewriteBareArrows(rewriteIdAccessor(q))))))
@@ -3315,6 +3317,46 @@ object CypherLite {
   // by WHERE/RETURN, not MATCH, and contains non-identifier tokens).
   private val PassthroughWithRe =
     """(?i)\bWITH\s+\w+(?:\s*,\s*\w+)*\s+(?=MATCH\b)""".r
+
+  // `WITH <var> [ORDER BY <var>.prop [ASC|DESC]] LIMIT k RETURN <rest>`
+  // (r15) — the cap-the-matches idiom (`MATCH (n:X) WITH n LIMIT 100
+  // RETURN n.name`). When <rest> is aggregate-free and carries no
+  // ordering/pagination of its own, the stage is EXACTLY the RETURN's
+  // ORDER BY/LIMIT (grouped rows project 1:1), so the clause folds into
+  // the RETURN tail. An aggregating <rest> (`WITH n LIMIT 100 RETURN
+  // count(n)` — limit-then-count) or a RETURN with its own ORDER
+  // BY/SKIP/LIMIT (two-phase ordering) is NOT expressible post-hoc and
+  // rejects by name rather than silently reordering.
+  private val PassthroughLimitRe =
+    ("""(?is)\bWITH\s+(\w+)\s*""" +
+      """(?:ORDER\s+BY\s+(\1\s*\.\s*\w+(?:\s+(?:ASC|DESC))?)\s*)?""" +
+      """LIMIT\s+(\d+)\s+(?=RETURN\b)""").r
+
+  private def rewritePassthroughLimit(q: String)
+      : Either[String, String] = {
+    val blanked = blankQuoted(q)
+    PassthroughLimitRe.findFirstMatchIn(blanked) match {
+      case None => Right(q)
+      case Some(mm) =>
+        val tail = blanked.substring(mm.end)
+        if (FlatAggCallRe.findFirstIn(tail).isDefined)
+          Left(s"WITH ${mm.group(1)} LIMIT before an aggregating " +
+            "RETURN is limit-then-aggregate, which this engine cannot " +
+            "express post-hoc — aggregate first or drop the LIMIT")
+        else if ("""(?is)\b(ORDER\s+BY|SKIP|LIMIT)\b""".r
+            .findFirstIn(tail).isDefined)
+          Left(s"WITH ${mm.group(1)} … LIMIT cannot combine with the " +
+            "RETURN's own ORDER BY/SKIP/LIMIT (two-phase ordering) — " +
+            "put the whole ordering on one clause")
+        else {
+          val ob = Option(mm.group(2))
+            .map(o => s" ORDER BY ${q.substring(mm.start(2), mm.end(2))}")
+            .getOrElse("")
+          Right(q.substring(0, mm.start) + q.substring(mm.end)
+            + ob + s" LIMIT ${mm.group(3)}")
+        }
+    }
+  }
 
   private def stripPassthroughWith(q: String): String = {
     val blanked = blankQuoted(q)
