@@ -93,9 +93,12 @@ object Graft {
   def linkPredict(spark: SparkSession, g: GraphTables,
       maxDegree: Int = 1000): DataFrame =
     GraphOps.adamicAdar(spark, g, maxDegree)
-  /** Strongly connected components (directed mutual reachability). */
+  /** Strongly connected components (directed mutual reachability).
+    * Convergence-checked: runs to the empty-work-graph fixpoint;
+    * `maxPeels` is a safety valve that throws rather than truncate. */
   def stronglyConnected(spark: SparkSession, g: GraphTables,
-      iters: Int = 10): DataFrame = GraphOps.stronglyConnected(spark, g, iters)
+      maxPeels: Int = 1000): DataFrame =
+    GraphOps.stronglyConnected(spark, g, maxPeels)
   /** Landmark-sampled Brandes betweenness centrality. */
   def betweenness(spark: SparkSession, g: GraphTables,
       landmarks: Seq[Long]): DataFrame =

@@ -1194,16 +1194,134 @@ object GraphOps {
           .as("jaccard"))
   }
 
-  /** Strongly connected components via GraphX (Q9 DIRECTED analytics —
+  /** Strongly connected components (Q9 DIRECTED analytics —
     * `connectedComponents` ignores edge direction; SCC is the form that
     * finds mutual-reachability groups, e.g. cycles in a link graph).
-    * Component id = min vertex id of the SCC, GraphX's convention.
+    * Component id = min vertex id of the SCC (the GraphX convention,
+    * kept so downstream joins/oracles are unchanged).
+    *
+    * CONVERGENCE-CHECKED trim / forward-color / backward-mark peeling
+    * (the coloring family of distributed SCC — Orzan 2004; the same
+    * outer structure as GraphX's `StronglyConnectedComponents`, but with
+    * the fixpoint explicit). The previous delegation to GraphX at a
+    * fixed `iters = 10` silently returned WRONG components whenever the
+    * condensation DAG is deeper than the budget — each outer peel
+    * finalizes only the color-root SCCs, so a chain of k cycles needs k
+    * peels, and GraphX returns whatever it has when the budget runs out
+    * with no error. That is exactly what a 100× web-scale graph with
+    * long SCC chains would hit. Here the peel loop runs until the work
+    * graph is EMPTY; `maxPeels` is a safety valve that THROWS instead of
+    * truncating. Per peel:
+    *  1. trim — vertices with no in- or no out-edge in the residual
+    *     graph are singleton SCCs; iterated, because each removal wave
+    *     exposes the next (a pure DAG fully dissolves here);
+    *  2. forward min-id coloring to fixpoint (Pregel, out-edges);
+    *  3. backward reachability from each color root restricted to the
+    *     root's color (Pregel, in-edges) — the reached set is exactly
+    *     the root's SCC (reaches root ∧ same color ⇒ reachable from
+    *     root), finalized and removed.
+    * Scale posture: every step is a bulk-synchronous Pregel/degree pass
+    * over the residual edge relation — no driver-side state, no
+    * all-pairs term; per-peel finalized RDDs are `localCheckpoint`ed so
+    * deep condensations never replay the peel history, and superseded
+    * residual graphs are unpersisted after their successor materializes
+    * (O(1) pinned copies, the [[kCore]] discipline).
     */
   def stronglyConnected(spark: SparkSession, g: GraphTables,
-      iters: Int = 10): DataFrame = {
+      maxPeels: Int = 1000): DataFrame =
+    sccStats(spark, g, maxPeels)._1
+
+  /** [[stronglyConnected]] plus the peel-round count — the scale pin
+    * asserts rounds are a condensation-depth property, not an edge-count
+    * one (mirrors [[kCoreStats]]).
+    */
+  def sccStats(spark: SparkSession, g: GraphTables,
+      maxPeels: Int = 1000): (DataFrame, Int) = {
     import spark.implicits._
-    org.apache.spark.graphx.lib.StronglyConnectedComponents
-      .run(toGraphX(g), iters).vertices.toDF("id", "component")
+    import org.apache.spark.graphx.{EdgeDirection, Pregel}
+    val sc = spark.sparkContext
+    val base = toGraphX(g)
+    // fresh RDDs (not mapVertices over the cached base) so unpersisting
+    // peel intermediates can never evict the shared gxCache blocks; Int
+    // edge attr keeps the replicated edge payload minimal
+    var work: Graph[(VertexId, Boolean), Int] = Graph(
+      base.vertices.map { case (vid, _) => (vid, (vid, false)) },
+      base.edges.map(e => Edge(e.srcId, e.dstId, 0))).cache()
+    var remaining = work.vertices.count()
+    work.edges.count()
+    val parts = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.rdd.RDD[(VertexId, VertexId)]]
+    def harvest(rdd: org.apache.spark.rdd.RDD[(VertexId, VertexId)])
+        : Long = {
+      val done = rdd.localCheckpoint()
+      val n = done.count()
+      if (n > 0) parts += done
+      else done.unpersist(blocking = false) // keep the block registry clean
+      n
+    }
+    // swap the residual graph: materialize the successor FIRST, then
+    // unpersist everything it superseded (safe — no shared live blocks)
+    def swapIn(next0: Graph[(VertexId, Boolean), Int],
+        dead: Graph[_, _]*): Graph[(VertexId, Boolean), Int] = {
+      val next = next0.cache()
+      remaining = next.vertices.count()
+      next.edges.count()
+      dead.foreach(_.unpersist(blocking = false))
+      next
+    }
+    var peels = 0
+    while (remaining > 0) {
+      peels += 1
+      if (peels > maxPeels)
+        throw new IllegalStateException(
+          s"SCC peel loop hit the maxPeels = $maxPeels safety valve " +
+            s"with $remaining vertices unresolved — the condensation " +
+            "is deeper than the budget; raise maxPeels (the loop " +
+            "converges; it never silently truncates)")
+      // (1) trim to fixpoint: no-in or no-out ⇒ singleton SCC
+      var before = remaining + 1
+      while (remaining > 0 && remaining < before) {
+        before = remaining
+        val withDeg = work
+          .outerJoinVertices(work.outDegrees) { (_, d, od) =>
+            (d._1, od.isEmpty) }
+          .outerJoinVertices(work.inDegrees) { (_, d, ind) =>
+            (d._1, d._2 || ind.isEmpty) }
+        val n = harvest(withDeg.vertices.filter(_._2._2)
+          .map { case (vid, _) => (vid, vid) })
+        if (n > 0) {
+          work = swapIn(withDeg.subgraph(vpred = (_, d) => !d._2)
+            .mapVertices { case (vid, _) => (vid, false) }, work)
+        }
+      }
+      if (remaining > 0) {
+        // (2) forward min-id coloring to fixpoint
+        val colored = Pregel(work, Long.MaxValue,
+            activeDirection = EdgeDirection.Out)(
+          (_, attr, msg) => (math.min(attr._1, msg), attr._2),
+          e => if (e.srcAttr._1 < e.dstAttr._1)
+            Iterator((e.dstId, e.srcAttr._1)) else Iterator.empty,
+          (a, b) => math.min(a, b))
+        // (3) backward mark from color roots, within the root's color
+        val marked = Pregel(colored, false,
+            activeDirection = EdgeDirection.In)(
+          (vid, attr, msg) => (attr._1, attr._2 || vid == attr._1 || msg),
+          e => if (e.srcAttr._1 == e.dstAttr._1 && e.dstAttr._2 &&
+              !e.srcAttr._2) Iterator((e.srcId, true))
+            else Iterator.empty,
+          (a, b) => a || b).cache()
+        harvest(marked.vertices.filter(_._2._2)
+          .map { case (vid, (c, _)) => (vid, c) })
+        work = swapIn(marked.subgraph(vpred = (_, d) => !d._2)
+          .mapVertices { case (vid, _) => (vid, false) },
+          work, colored, marked)
+      }
+    }
+    work.unpersist(blocking = false)
+    val out =
+      if (parts.isEmpty) sc.emptyRDD[(VertexId, VertexId)]
+      else sc.union(parts.toSeq)
+    (out.toDF("id", "component"), peels)
   }
 
   /** Min-sum weighted distance from roots via Pregel — Dijkstra's

@@ -879,6 +879,83 @@ class ScaleCurveSpec extends SparkSpec {
         f"${ratioOf(write100, write10)}%.1fx at a 10x bank")
   }
 
+  test("scc shuffle bytes stay ~linear from 10x to 100x cycle-chain " +
+      "bank, peel count scale-invariant") {
+    // round-16 directive 1: SCC joins louvain/kcore in the third decade.
+    // Fixture: disjoint copies of a FIXED-depth motif — a 3-deep chain of
+    // directed 3-cycles (condensation depth 3, diameter ~11) — so the
+    // convergence-checked peel loop runs a CONSTANT number of peels and
+    // supersteps at every scale (all copies peel their k-th cycle in the
+    // same superstep wave), while per-superstep Pregel input grows 10×.
+    // The old fixed-budget kernel could not be pinned this way: its cost
+    // was 10 outer iterations regardless of convergence, and on deeper
+    // condensations its OUTPUT was wrong. A super-linear term (a
+    // peel-count dependence on copies, or an all-pairs color join) blows
+    // the byte bound; wall-time is info()-only per the round-13 rule.
+    def cycleBank(copies: Int): GraphTables = {
+      import spark.implicits._
+      val depth = 3L // cycles per copy, 3 nodes each, chained k -> k+1
+      val n = 3L * depth // nodes per copy
+      val intra = spark.range(copies * n)
+        .select((col("id") / n).cast("long").as("c"),
+          pmod(col("id"), lit(n)).as("i"))
+        .select((col("c") * 100L + col("i")).as("src"),
+          (col("c") * 100L +
+            (col("i") - pmod(col("i"), lit(3L)) +
+              pmod(col("i") + 1L, lit(3L)))).as("dst"))
+      val links = spark.range(copies * (depth - 1))
+        .select((col("id") / (depth - 1)).cast("long").as("c"),
+          pmod(col("id"), lit(depth - 1)).as("k"))
+        .select((col("c") * 100L + col("k") * 3L + 2L).as("src"),
+          (col("c") * 100L + (col("k") + 1L) * 3L).as("dst"))
+      val edges = intra.unionByName(links)
+        .select(col("src"), col("dst"), lit("HAS_CHILD").as("relType"),
+          lit("s").as("docnbr"), lit("b0").as("batch"),
+          typedLit(Map.empty[String, String]).as("props"))
+        .as[EdgeRow]
+      // unlike the DataFrame kernels' pins, toGraphX takes vertices from
+      // the node relation only (GraphX `Graph.apply` does NOT invent
+      // edge-endpoint vertices), so the bank needs real node rows
+      val nodes = spark.range(copies * n)
+        .select((col("id") / n).cast("long").as("c"),
+          pmod(col("id"), lit(n)).as("i"))
+        .select((col("c") * 100L + col("i")).as("id"),
+          lit("N").as("label"), lit("n").as("name"),
+          lit("").as("content"), lit("").as("docnbr"),
+          lit("b0").as("batch"),
+          typedLit(Seq.empty[Int]).as("path"))
+        .as[NodeRow]
+      GraphTables(nodes, edges)
+    }
+    val g10 = cycleBank(10000)
+    val g100 = cycleBank(100000)
+    import org.apache.spark.graft.TestMetrics
+    var p10 = 0; var p100 = 0
+    var t10 = 0.0; var t100 = 0.0
+    val (read10, write10) = TestMetrics.shuffleBytes(spark.sparkContext) {
+      t10 = timed { p10 = GraphOps.sccStats(spark, g10)._2 }
+    }
+    val (read100, write100) = TestMetrics.shuffleBytes(spark.sparkContext) {
+      t100 = timed { p100 = GraphOps.sccStats(spark, g100)._2 }
+    }
+    info(f"scc(cycleBank 10x→100x): wall $t10%.2fs→$t100%.2fs " +
+      f"(ratio ${t100 / math.max(t10, OverheadFloorSec)}%.1f, not " +
+      "asserted); peels " + s"$p10→$p100; shuffle read " +
+      f"${read10}%,d→${read100}%,d B (${ratioOf(read100, read10)}%.1fx) " +
+      f"write ${write10}%,d→${write100}%,d B " +
+      f"(${ratioOf(write100, write10)}%.1fx)")
+    assert(p100 == p10,
+      s"peel count changed with scale: $p10 at 10x vs $p100 at 100x — " +
+        "peels must be a condensation-depth property, not a size one")
+    assert(ratioOf(read100, read10) <= MaxRatio100Graph &&
+      ratioOf(write100, write10) <= MaxRatio100Graph,
+      f"scc shuffled super-linearly: read " +
+        f"${ratioOf(read100, read10)}%.1fx write " +
+        f"${ratioOf(write100, write10)}%.1fx at a 10x input " +
+        f"(bound $MaxRatio100Graph%.0f) — a per-peel O(copies) term or " +
+        "an all-pairs color join is hiding in the loop")
+  }
+
   test("10x replica preserves per-copy output: minhash pairs are exactly " +
       "10x the 1x pairs, none crossing copies") {
     // the fairness precondition of the curve: if token-salting leaked
