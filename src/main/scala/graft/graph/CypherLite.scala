@@ -298,9 +298,15 @@ object CypherLite {
     * isomorphism form even on the single-partner motif, so ChainIsoSpec
     * can measure the unavoidable-set collapse's shuffle-byte advantage
     * A/B on the SAME query (the two forms are semantically equal there —
-    * the spec asserts that too). Never set outside tests.
+    * the spec asserts that too). Never set outside tests. A
+    * DynamicVariable (r16, ADVICE): the build runs suites in parallel in
+    * one JVM, and a plain shared var flipped mid-test would perturb a
+    * concurrent suite's chain plans (semantics-safe — the collapse is a
+    * pure optimization — but it skews shuffle-byte A/Bs); thread-local
+    * scoping via `withValue` confines the flip to the spec's own calls.
     */
-  private[graph] var disableUnavoidableCollapse = false
+  private[graph] val disableUnavoidableCollapse =
+    new scala.util.DynamicVariable[Boolean](false)
 
   sealed trait Statement
   /** One comparison; `onConn` = it references the hop pattern's connected
@@ -586,6 +592,57 @@ object CypherLite {
       retOrderBy: Seq[(String, Boolean)],
       retSkip: Option[Int],
       retLimit: Option[Int]) extends Statement
+
+  /** `MATCH (v…) [WHERE …] WITH v [ORDER BY v.key [dir]] LIMIT k
+    * (MATCH …|RETURN …)` — the top-k-then-expand staple ("the 5 largest
+    * X, then their Y"), executed in TWO PHASES (r16 directive 2): the
+    * stage-1 match runs as its own query projecting `v.id` under the
+    * stage's ORDER BY + LIMIT (with `v.id` as the deterministic final
+    * tiebreak — Neo4j leaves ties and the no-ORDER-BY pick arbitrary;
+    * this engine pins both, the shortestPath tie-break convention), and
+    * the k ids splice into the remaining clauses as a `v.id IN […]`
+    * conjunct. k is bounded (`TopKMaxK`), so the id list is a bounded
+    * driver-side collect — the broadcast-the-tiny-side plan, exactly
+    * what a 1000-executor cluster wants for a k-row semi-join. The
+    * stage-1 pattern must be a single NODE pattern: its rows are then
+    * one-per-node, so the id-set restriction is EXACTLY the row limit
+    * (a relationship pattern's rows carry per-binding multiplicity an
+    * id set cannot express — rejected by name).
+    *
+    * `pre`/`whereBody`/`post` hold the rebuilt tail text around the
+    * splice point; [[rebuilt]] assembles the final query, which re-runs
+    * through the whole parse pipeline so every tail shape the engine
+    * serves (chains, DISTINCT, aggregates, UNWIND, scalar fns) composes
+    * for free. A clean RETURN tail (no DISTINCT/aggregate/ordering of
+    * its own) never reaches this statement — it folds textually at
+    * parse time (limit-then-project rows map 1:1, and the fold keeps
+    * the stage's output ordering, which two-phase would drop).
+    */
+  final case class TopKExpand(
+      stage1Query: String,
+      rootVar: String,
+      k: Int,
+      pre: String,
+      whereBody: Option[String],
+      post: String) extends Statement {
+    def rebuilt(ids: Seq[Long]): String = {
+      val list = ids.mkString("[", ", ", "]")
+      whereBody match {
+        case Some(b) =>
+          s"$pre WHERE $rootVar.id IN $list AND ($b) $post"
+        case None => s"$pre WHERE $rootVar.id IN $list $post"
+      }
+    }
+  }
+
+  /** Bag-multiplicity UNWIND (duplicate list elements): the
+    * per-occurrence single-element rewrites, unioned at execution;
+    * `reAgg` maps each aliased aggregate output column to its bag
+    * re-aggregation (count/sum → sum, min → min, max → max). Empty
+    * reAgg = aggregate-free tail, plain union. See [[parseUnwindBag]].
+    */
+  final case class UnwindBag(queries: Seq[String],
+      reAgg: Seq[(String, String)]) extends Statement
 
   final case class MatchReturn(
       label: Option[String],
@@ -1023,7 +1080,7 @@ object CypherLite {
   // approach cannot express a key LIST without exploding the group
   // budget past Scala's 22-binding unapply limit)
   private val ObItemFrag =
-    """(?:\w+\s*\.\s*\w+|count\s*\(\s*(?:DISTINCT\s+)?(?:\w+|\*)\s*\)|type\s*\(\s*\w+\s*\)|\w+)(?:\s+(?:ASC|DESC))?"""
+    """(?:(?:toLower|toUpper|trim|size|toInteger|toFloat)\s*\(\s*\w+\s*\.\s*\w+\s*\)|\w+\s*\.\s*\w+|count\s*\(\s*(?:DISTINCT\s+)?(?:\w+|\*)\s*\)|type\s*\(\s*\w+\s*\)|\w+)(?:\s+(?:ASC|DESC))?"""
 
   private val MatchRe =
     (PatFrag +
@@ -1370,6 +1427,14 @@ object CypherLite {
   // Cypher) while `ORDER BY x desc` reads direction.
   private val ObPropItemRe =
     """(?is)\s*(\w+)\s*\.\s*(\w+)(?:\s+(ASC|DESC))?\s*""".r
+  // ORDER BY <scalarFn>(v.prop) [dir] — the sort-by-a-transform staple
+  // (`ORDER BY toLower(n.name)`, r16 directive 3). The fn need NOT be
+  // projected: the sort key evaluates the fn over the projected BASE
+  // property column at order time (the base property must be projected,
+  // the same LIMIT-stability rule as every other key).
+  private val ObFnItemRe =
+    ("""(?is)\s*(toLower|toUpper|trim|size|toInteger|toFloat)""" +
+      """\s*\(\s*(\w+)\s*\.\s*(\w+)\s*\)(?:\s+(ASC|DESC))?\s*""").r
   private val ObCountItemRe =
     """(?is)\s*count\s*\(\s*(?:DISTINCT\s+)?(\w+|\*)\s*\)(?:\s+(ASC|DESC))?\s*""".r
   private val ObTypeItemRe =
@@ -1409,7 +1474,9 @@ object CypherLite {
   private val StartEndNodeRe =
     """(?is)\s*(startNode|endNode)\s*\(\s*(\w+)\s*\)\s*""".r
   // startNode(r).prop / endNode(r).prop — the stored-endpoint property
-  // projection (the whole-node form above stays a named rejection)
+  // projection; the whole-node form above serializes via the
+  // properties(n) machinery as startnode_properties/endnode_properties
+  // (r15, RetEndpointNode)
   private val StartEndNodePropRe =
     """(?is)\s*(startNode|endNode)\s*\(\s*(\w+)\s*\)\s*\.\s*(\w+)\s*""".r
   private val PropsAccessorRe =
@@ -2042,11 +2109,11 @@ object CypherLite {
   // explicit AS if present), which is value-identical to the UNWIND
   // binding because `v.prop = x` equates them — grouping by the alias
   // IS Cypher's grouping by x, and an ORDER BY x resolves through the
-  // alias untouched. Bag semantics note: a duplicate list element
-  // would multiply bindings (and scale aggregates) in Cypher; the IN
-  // rewrite is set membership, so duplicates REJECT by name rather
-  // than silently collapsing (the r14-documented deviation, retired —
-  // no query answers differently from Cypher anymore). Projection
+  // alias untouched. Bag semantics (r16): a DUPLICATE list element
+  // multiplies bindings and scales aggregates exactly as Cypher's bag —
+  // duplicate lists route to [[parseUnwindBag]] (per-occurrence union +
+  // re-aggregation); the IN rewrite here serves distinct lists, where
+  // set membership and bag membership coincide. Projection
   // shapes beyond a whole-item `x` (an `x` inside a function call, in
   // WHERE beyond `= x`, or in a WITH stage) reject by name.
   private val UnwindPrefixRe =
@@ -2145,14 +2212,72 @@ object CypherLite {
     }
   }
 
+  /** `UNWIND` with DUPLICATE list elements — Cypher's bag multiplicity
+    * (r16 directive 4): each occurrence contributes its own bindings,
+    * so duplicates multiply rows and scale aggregates. Executed as the
+    * per-OCCURRENCE union of the single-element rewrites (each element
+    * reuses the whole `= x` machinery), which is the bag by
+    * construction:
+    *  - `RETURN DISTINCT …` dedups the bag anyway → the deduplicated
+    *    IN fast path is value-identical (no union needed);
+    *  - aggregate-free tails union as-is;
+    *  - count/sum/min/max aggregates (aliased, non-DISTINCT) union the
+    *    per-element PARTIAL aggregates and re-aggregate — count/sum by
+    *    sum, min by min, max by max — exactly the bag totals;
+    *  - avg/collect (not re-aggregable from partials),
+    *    DISTINCT-inside-aggregate (dedups ACROSS the bag), and
+    *    ORDER BY/SKIP/LIMIT tails (row-order across the union) reject
+    *    by name rather than answer wrongly.
+    */
+  private def parseUnwindBag(elems: Seq[String], x: String,
+      rest: String, params: Map[String, String])
+      : Either[String, Statement] = {
+    val blanked = blankQuoted(rest)
+    if ("""(?is)\bRETURN\s+DISTINCT\b""".r.findFirstIn(blanked).isDefined)
+      rewriteUnwind(elems.distinct.mkString(", "), x, rest)
+        .flatMap(parse(_, params))
+    else if ("""(?is)\b(ORDER\s+BY|LIMIT|SKIP)\b""".r
+        .findFirstIn(blanked).isDefined)
+      Left("ORDER BY/SKIP/LIMIT over a duplicated UNWIND list is " +
+        "order-dependent across the bag — deduplicate the list or " +
+        "drop the ordering")
+    else if ("""(?is)\b(avg|collect)\s*\(""".r
+        .findFirstIn(blanked).isDefined)
+      Left("avg()/collect() over a duplicated UNWIND list cannot " +
+        "re-aggregate across the bag — deduplicate the list or use " +
+        "count/sum/min/max")
+    else if ("""(?is)\b(count|sum|min|max)\s*\(\s*DISTINCT\b""".r
+        .findFirstIn(blanked).isDefined)
+      Left("aggregate(DISTINCT …) over a duplicated UNWIND list " +
+        "dedups across the whole bag, which the per-occurrence union " +
+        "cannot express — deduplicate the list")
+    else {
+      val aggRe =
+        """(?is)\b(count|sum|min|max)\s*\(\s*[^()]*\)\s+AS\s+(\w+)""".r
+      val reAgg = aggRe.findAllMatchIn(blanked).map(m =>
+        (m.group(2), m.group(1).toLowerCase(java.util.Locale.ROOT)))
+        .toSeq
+      if (FlatAggCallRe.findAllMatchIn(blanked).size != reAgg.size)
+        Left("alias every aggregate (`count(…) AS c`) under a " +
+          "duplicated UNWIND list so the bag re-aggregation can " +
+          "target its column")
+      else {
+        val rewrites = elems.map(e => rewriteUnwind(e, x, rest))
+        rewrites.collectFirst { case Left(er) => Left(er) }.getOrElse {
+          val qs = rewrites.collect { case Right(s) => s }
+          // probe-parse one instance (all share the shape) so parse
+          // errors surface at parse time, not first execution
+          parse(qs.head, params).map(_ => UnwindBag(qs, reAgg))
+        }
+      }
+    }
+  }
+
   private def rewriteUnwind(listStr: String, x: String,
       rest0: String): Either[String, String] = {
-    val dupes = splitTopLevel(listStr).map(_.trim).filter(_.nonEmpty)
-      .groupBy(identity).collect { case (v, vs) if vs.sizeIs > 1 => v }
-    if (dupes.nonEmpty)
-      return Left("duplicate UNWIND list element " +
-        s"(${dupes.toSeq.sorted.mkString(", ")}): bag multiplicity over " +
-        "duplicate literals is not supported — deduplicate the list")
+    // duplicate lists never reach this rewrite: parseStmt routes them
+    // to parseUnwindBag (r16 — true bag multiplicity), so IN-list set
+    // membership here is value-identical to Cypher's bag
     val rest = desugarUnwindMaps(rest0, x) match {
       case Left(e) => return Left(e)
       case Right(r) => r
@@ -2713,13 +2838,30 @@ object CypherLite {
     */
   def parse(query: String, params: Map[String, String])
       : Either[String, Statement] =
-    try rewriteGqlQuantifier(query)
-      .flatMap(rewritePassthroughLimit)
-      .flatMap(q =>
-      mergeConsecutiveMatches(
-        stripPassthroughWith(rewriteCountSubquery(
-          rewriteCommaPatterns(rewriteBareArrows(rewriteIdAccessor(q))))))
-        .flatMap(q2 => parseChainedWith(q2).getOrElse(parseStmt(q2, params))))
+    try rewriteGqlQuantifier(query).flatMap { q0 =>
+      val q1 = rewriteCountSubquery(rewriteCommaPatterns(
+        rewriteBareArrows(rewriteIdAccessor(q0))))
+      // named rejection with a model pointer (r16 directive 7):
+      // elementId()'s contract is an OPAQUE session-scoped STRING
+      // handle — this engine's ids are deterministic and meaningful,
+      // so serving a stringified id would teach callers to depend on
+      // a contract difference. id(v) is the supported spelling.
+      if ("""(?i)\belementId\s*\(""".r
+          .findFirstIn(blankQuoted(q1)).isDefined)
+        return Left("elementId() is not served (Neo4j element ids are " +
+          "opaque session-scoped string handles) — use id(v): this " +
+          "engine's node ids are deterministic and stable across runs")
+      // the top-k WITH … LIMIT stage intercepts BEFORE the chain
+      // machinery (its single WITH would otherwise mis-parse as an
+      // aggregate stage) but AFTER the accessor desugars (ORDER BY
+      // id(v) arrives as v.id) and after the passthrough-WITH strip +
+      // match merge (so `WITH r MATCH` plumbing ahead of the stage
+      // normalizes away instead of masking it)
+      mergeConsecutiveMatches(stripPassthroughWith(q1)).flatMap { q2 =>
+        parseTopKWith(q2, params).getOrElse(
+          parseChainedWith(q2).getOrElse(parseStmt(q2, params)))
+      }
+    }
     catch { case ParseError(m) => Left(m) }
 
   // Cypher's BRACKET-LESS relationship shorthands (r15): `-->`, `<--`,
@@ -3318,43 +3460,231 @@ object CypherLite {
   private val PassthroughWithRe =
     """(?i)\bWITH\s+\w+(?:\s*,\s*\w+)*\s+(?=MATCH\b)""".r
 
-  // `WITH <var> [ORDER BY <var>.prop [ASC|DESC]] LIMIT k RETURN <rest>`
-  // (r15) — the cap-the-matches idiom (`MATCH (n:X) WITH n LIMIT 100
-  // RETURN n.name`). When <rest> is aggregate-free and carries no
-  // ordering/pagination of its own, the stage is EXACTLY the RETURN's
-  // ORDER BY/LIMIT (grouped rows project 1:1), so the clause folds into
-  // the RETURN tail. An aggregating <rest> (`WITH n LIMIT 100 RETURN
-  // count(n)` — limit-then-count) or a RETURN with its own ORDER
-  // BY/SKIP/LIMIT (two-phase ordering) is NOT expressible post-hoc and
-  // rejects by name rather than silently reordering.
-  private val PassthroughLimitRe =
+  // `WITH <v> [ORDER BY <v>.<prop> [ASC|DESC]] LIMIT k` before a MATCH
+  // or RETURN — the top-k stage (see [[TopKExpand]]). Located AFTER the
+  // accessor desugars, so `ORDER BY id(v)` arrives as `v.id`.
+  private val TopKWithRe =
     ("""(?is)\bWITH\s+(\w+)\s*""" +
-      """(?:ORDER\s+BY\s+(\1\s*\.\s*\w+(?:\s+(?:ASC|DESC))?)\s*)?""" +
-      """LIMIT\s+(\d+)\s+(?=RETURN\b)""").r
+      """(?:ORDER\s+BY\s+(?:(toLower|toUpper|trim|size|toInteger|""" +
+      """toFloat)\s*\(\s*(\w+)\s*\.\s*(\w+)\s*\)|(\w+)\s*\.\s*(\w+)|""" +
+      // the DEGREE key `size((v)-[:T]->([:L]))` — "the k most
+      // connected X" (single-hop outgoing, the size-sugar shape)
+      """size\s*\(\s*\(\s*(\w+)\s*\)\s*-\s*\[\s*(?::\s*(\w+))?\s*\]""" +
+      """\s*-\s*>\s*\(\s*(?::\s*(\w+))?\s*\)\s*\))""" +
+      """(?:\s+(ASC|DESC))?\s*)?""" +
+      """(?:SKIP\s+(\d+)\s+)?""" +
+      """LIMIT\s+(\d+)\s+(?=MATCH\b|RETURN\b|OPTIONAL\b)""").r
 
-  private def rewritePassthroughLimit(q: String)
-      : Either[String, String] = {
+  // the single-node first MATCH the two-phase path requires: rows are
+  // one-per-node, so the id set expresses the row limit exactly
+  private val SingleNodeMatchRe =
+    ("""(?is)^\s*MATCH\s*\(\s*(\w+)\s*(?::\s*\w+)?""" +
+      """\s*(?:\{[^{}]*\})?\s*\)\s*(?:WHERE\b.*?)?\s*$""").r
+
+  // clause keywords that can follow the tail's first MATCH pattern —
+  // the splice point for the top-k id conjunct. The first alternative
+  // swallows the comparison operators `STARTS WITH`/`ENDS WITH` so the
+  // WITH inside them can never be mistaken for a clause boundary
+  // (callers keep only matches with group(1) == null, the
+  // ClauseWithRe convention).
+  private val TailClauseKwRe =
+    ("""(?is)\b(?:(STARTS|ENDS)\s+WITH|""" +
+      """(WHERE|RETURN|WITH|MATCH|UNWIND|OPTIONAL\s+MATCH))\b""").r
+
+  /** Ceiling for the two-phase LIMIT: the id set is a driver-side
+    * collect spliced as an IN-literal (plan-embedded broadcast), so it
+    * must stay bounded. The idiom this path serves is small-k by nature.
+    */
+  private[graph] val TopKMaxK = 10000
+
+  /** Detect and parse the `WITH v [ORDER BY …] LIMIT k` stage. `None`
+    * routes elsewhere: no such stage, or the stage sits mid-chain
+    * (an earlier WITH exists — FlatStage LIMIT handles those). A clean
+    * RETURN tail folds textually (single phase, order-preserving);
+    * everything else becomes a [[TopKExpand]]. Both the synthesized
+    * stage-1 and a probe-rebuilt tail are parse-validated HERE so the
+    * caller sees parse errors at parse time, not first execution.
+    */
+  private def parseTopKWith(q: String, params: Map[String, String])
+      : Option[Either[String, Statement]] = {
     val blanked = blankQuoted(q)
-    PassthroughLimitRe.findFirstMatchIn(blanked) match {
-      case None => Right(q)
-      case Some(mm) =>
-        val tail = blanked.substring(mm.end)
-        if (FlatAggCallRe.findFirstIn(tail).isDefined)
-          Left(s"WITH ${mm.group(1)} LIMIT before an aggregating " +
-            "RETURN is limit-then-aggregate, which this engine cannot " +
-            "express post-hoc — aggregate first or drop the LIMIT")
-        else if ("""(?is)\b(ORDER\s+BY|SKIP|LIMIT)\b""".r
-            .findFirstIn(tail).isDefined)
-          Left(s"WITH ${mm.group(1)} … LIMIT cannot combine with the " +
-            "RETURN's own ORDER BY/SKIP/LIMIT (two-phase ordering) — " +
-            "put the whole ordering on one clause")
-        else {
-          val ob = Option(mm.group(2))
-            .map(o => s" ORDER BY ${q.substring(mm.start(2), mm.end(2))}")
-            .getOrElse("")
-          Right(q.substring(0, mm.start) + q.substring(mm.end)
-            + ob + s" LIMIT ${mm.group(3)}")
+    TopKWithRe.findFirstMatchIn(blanked).flatMap { mm =>
+      // an earlier WITH means this LIMIT belongs to a chained stage
+      if (ClauseWithRe.findAllMatchIn(blanked.substring(0, mm.start))
+          .exists(_.group(1) == null)) None
+      else Some(buildTopK(q, mm, params))
+    }
+  }
+
+  private def buildTopK(q: String, mm: scala.util.matching.Regex.Match,
+      params: Map[String, String]): Either[String, Statement] = {
+    val v = mm.group(1)
+    val obFn = Option(mm.group(2))
+    val obVar = Option(mm.group(3)).orElse(Option(mm.group(5)))
+      .orElse(Option(mm.group(7)))
+    val obProp = Option(mm.group(4)).orElse(Option(mm.group(6)))
+    // the degree sort key: (relType, targetLabel) as pattern text
+    val obSize: Option[String] = Option(mm.group(7)).map { _ =>
+      val rel = Option(mm.group(8)).fold("")(t => s":$t")
+      val lab = Option(mm.group(9)).fold("")(l => s":$l")
+      s"-[$rel]->($lab)"
+    }
+    val desc = Option(mm.group(10)).exists(_.equalsIgnoreCase("DESC"))
+    val skip = Option(mm.group(11)).map(_.toInt)
+    val k = mm.group(12).toInt
+    // the stage's sort key as query text: bare property or fn-wrapped
+    def obKeyText(p: String): String =
+      obFn.map(f => s"$f($v.$p)").getOrElse(s"$v.$p")
+    val matchPart = q.substring(0, mm.start).trim
+    val tail = q.substring(mm.end)
+    val tailBlank = blankQuoted(tail)
+    val tailIsMatch =
+      """(?is)^\s*MATCH\b""".r.findFirstIn(tailBlank).isDefined
+    val tailIsOptional =
+      """(?is)^\s*OPTIONAL\b""".r.findFirstIn(tailBlank).isDefined
+    // variables the tail references — after `WITH v` only v is in scope
+    // (Cypher's scope narrowing); referencing anything else is an error
+    // in Neo4j, and silently serving the pre-WITH binding would be a
+    // plausible-but-wrong answer. Dotted refs + bare RETURN items +
+    // single-var aggregate args, all on the blanked text.
+    def tailVars: Set[String] = {
+      val dotted = """([A-Za-z_]\w*)\s*\.\s*[A-Za-z_]""".r
+        .findAllMatchIn(tailBlank).map(_.group(1)).toSet
+      val retBody = tailBlank
+        .replaceFirst("""(?is)^\s*RETURN\s+(?:DISTINCT\s+)?""", "")
+      val bare = splitTopLevel(retBody).map(_.trim).flatMap {
+        case s if s.matches("""[A-Za-z_]\w*""") => Some(s)
+        case s if s.matches("""(?is)[A-Za-z_]\w*\s+AS\s+\w+""") =>
+          Some(s.split("""(?is)\s+AS\s+""")(0).trim)
+        case _ => None
+      }.toSet
+      val aggArgs = ("""(?i)\b(?:count|sum|avg|min|max|collect)""" +
+        """\s*\(\s*(?:DISTINCT\s+)?([A-Za-z_]\w*)\s*\)""").r
+        .findAllMatchIn(tailBlank).map(_.group(1)).toSet
+      dotted ++ bare ++ aggArgs
+    }
+    val obGuard: Either[String, Unit] = obVar match {
+      case Some(o) if o != v => Left(s"ORDER BY in a `WITH $v … LIMIT` " +
+        s"stage may only sort by $v's properties (got " +
+        s"$o.${obProp.getOrElse("")})")
+      case _ => Right(())
+    }
+    def foldClean: Boolean =
+      FlatAggCallRe.findFirstIn(tailBlank).isEmpty &&
+        """(?is)\b(ORDER\s+BY|SKIP|LIMIT|DISTINCT)\b""".r
+          .findFirstIn(tailBlank).isEmpty
+    def twoPhase(): Either[String, Statement] = {
+      val fullTail = if (tailIsMatch) tail.trim
+        else matchPart + " " + tail.trim
+      val fullBlank = blankQuoted(fullTail)
+      for {
+        _ <- SingleNodeMatchRe.findFirstMatchIn(blankQuoted(matchPart))
+          match {
+            case Some(sm) if sm.group(1) == v => Right(())
+            case Some(sm) => Left(s"WITH $v … LIMIT carries '$v' but " +
+              s"the MATCH binds '${sm.group(1)}' — carry the matched " +
+              "variable")
+            case None => Left(s"the two-phase `WITH $v … LIMIT` " +
+              s"expansion needs a single-node first MATCH (`MATCH " +
+              s"($v[:Label]) [WHERE …]`) — a relationship pattern's " +
+              "rows carry per-binding multiplicity an id set cannot " +
+              "express")
+          }
+        _ <- if (k <= TopKMaxK) Right(())
+          else Left(s"LIMIT $k exceeds the top-k expansion bound " +
+            s"($TopKMaxK): the selected ids splice into the tail as a " +
+            "bounded broadcast list")
+        clauseHits = TailClauseKwRe.findAllMatchIn(fullBlank)
+          .filter(_.group(1) == null).toList
+          .drop(1) // the leading MATCH itself
+        splice <- clauseHits.headOption match {
+          case None => Left("the clauses after `WITH … LIMIT` need " +
+            "a RETURN")
+          case Some(h) if h.group(2).equalsIgnoreCase("WHERE") =>
+            val bodyEnd = clauseHits.lift(1).map(_.start)
+              .getOrElse(fullTail.length)
+            Right((fullTail.substring(0, h.start),
+              Some(fullTail.substring(h.end, bodyEnd).trim),
+              fullTail.substring(bodyEnd)))
+          case Some(h) =>
+            Right((fullTail.substring(0, h.start), None,
+              fullTail.substring(h.start)))
         }
+        _ <- if (!tailIsMatch ||
+            s"""\\(\\s*$v\\s*[:\\)\\{]""".r
+              .findFirstIn(fullBlank.substring(0, clauseHits.headOption
+                .map(_.start).getOrElse(fullBlank.length)))
+              .isDefined) Right(())
+          else Left(s"the follow-up MATCH after `WITH $v … LIMIT` " +
+            s"must re-bind '$v' — an unconnected pattern would be a " +
+            "cartesian product over the selected rows")
+        skipTxt = skip.map(sk => s" SKIP $sk").getOrElse("")
+        dirTxt = if (desc) " DESC" else ""
+        stage1 = (obSize, obProp) match {
+          // degree key: the size() item rides its own alias, ordered
+          // by it with the id tiebreak — "the k most connected v"
+          case (Some(pat), _) =>
+            s"MATCH_STAGE1 RETURN $v.id, size(($v)$pat) AS topk_deg " +
+              s"ORDER BY topk_deg$dirTxt, $v.id$skipTxt LIMIT $k"
+          case (None, Some(p)) if p != "id" =>
+            s"MATCH_STAGE1 RETURN $v.$p, $v.id ORDER BY " +
+              s"${obKeyText(p)}$dirTxt, $v.id$skipTxt LIMIT $k"
+          case _ =>
+            s"MATCH_STAGE1 RETURN $v.id ORDER BY $v.id" +
+              s"${if (desc && obProp.contains("id")) " DESC" else ""}" +
+              s"$skipTxt LIMIT $k"
+        }
+        stage1Query = stage1.replace("MATCH_STAGE1", matchPart)
+        tk = TopKExpand(stage1Query, v, k, splice._1, splice._2,
+          splice._3)
+        _ <- parse(stage1Query, params).left
+          .map(e => s"in the top-k stage-1: $e")
+        _ <- parse(tk.rebuilt(Seq(0L)), params).left
+          .map(e => s"in the top-k expansion tail: $e")
+      } yield tk
+    }
+    obGuard.flatMap { _ =>
+      if (tailIsOptional)
+        Left(s"`WITH $v … LIMIT` into OPTIONAL MATCH is not served " +
+          "— the id conjunct would filter the optional bindings, not " +
+          "the selected roots; MATCH the expansion (unmatched roots " +
+          "then drop) or aggregate instead")
+      else if (tailIsMatch) twoPhase()
+      else {
+        val extra = tailVars - v
+        if (extra.nonEmpty)
+          Left(s"'${extra.head}' is out of scope after `WITH $v` — " +
+            s"only '$v' survives the stage (Cypher's scope narrowing)")
+        else {
+          // the fold can only order post-hoc when the stage's sort key
+          // is PROJECTED as a bare top-level item in the tail — checked
+          // STRUCTURALLY here (the projected-property validation lives
+          // at execution, not parse, so a parse-time fallback can't
+          // catch it); otherwise two-phase, where stage 1 owns the
+          // ordering (final output order then unspecified, as after
+          // any non-RETURN ORDER BY)
+          val obProjected = obProp.forall { p =>
+            val retBody = blankQuoted(tail)
+              .replaceFirst("""(?is)^\s*RETURN\s+(?:DISTINCT\s+)?""", "")
+            splitTopLevel(retBody).map(_.trim).exists(it =>
+              it.matches(
+                s"""(?is)$v\\s*\\.\\s*$p(\\s+AS\\s+\\w+)?\\s*;?\\s*"""))
+          }
+          if (foldClean && obProjected && obSize.isEmpty &&
+              (skip.isEmpty || obProp.isDefined)) {
+            // limit-then-project rows map 1:1, so the stage folds into
+            // the RETURN tail and keeps the stage's output ordering
+            // (a SKIP without ORDER BY runs two-phase: the engine's
+            // SKIP-requires-ORDER-BY determinism rule is satisfied
+            // there by the stage-1 id order)
+            val t2 = tail.replaceAll("""(?s);\s*$""", "")
+            val ob = obProp.map(p => s" ORDER BY ${obKeyText(p)}" +
+              s"${if (desc) " DESC" else ""}").getOrElse("")
+            val sk = skip.map(sk0 => s" SKIP $sk0").getOrElse("")
+            parse(s"$matchPart $t2$ob$sk LIMIT $k", params)
+          } else twoPhase()
+        }
+      }
     }
   }
 
@@ -3449,7 +3779,10 @@ object CypherLite {
     case ReturnLiteralRe(num, str, alias) =>
       Right(ReturnLiteral(Option(num), Option(str), Option(alias)))
     case UnwindPrefixRe(listStr, x, rest) =>
-      rewriteUnwind(listStr, x, rest).flatMap(parse(_, params))
+      val elems = splitTopLevel(listStr).map(_.trim).filter(_.nonEmpty)
+      if (elems.distinct.size == elems.size)
+        rewriteUnwind(listStr, x, rest).flatMap(parse(_, params))
+      else parseUnwindBag(elems, x, rest, params)
     // relationship write forms first: their hop bracket keeps them out
     // of every hop-less statement regex
     case RemoveRelRe(aV, aL, aP, rV, relT, bV, bL, bP, whereStr,
@@ -4610,6 +4943,37 @@ object CypherLite {
               Left(s"ORDER BY may only reference '$m'" +
                 conn.fold("")(c => s" or '$c'") +
                 relVar.fold("")(r => s" or '$r'") + s", got '$v'")
+            // ORDER BY <fn>(v.prop): sort by a scalar transform. A
+            // matching PROJECTED fn item sorts by its canonical column;
+            // otherwise the fn evaluates over the projected base column
+            // at order time (fn:/fnc: pseudo-keys — the base property
+            // must be projected, same LIMIT-stability rule as above)
+            case ObFnItemRe(fn0, v, p, dir) if v == m =>
+              val f = fn0.toLowerCase(java.util.Locale.ROOT)
+              val projectedFn = items.exists {
+                case RetPropFn(f2, p2, _) => f2 == f && p2 == p
+                case _ => false
+              }
+              if (projectedFn) Right((AggKeyPrefix + s"${f}_$p", d(dir)))
+              else Right((FnKeyPrefix + f + ":" + p, d(dir)))
+            case ObFnItemRe(fn0, v, p, dir) if conn.contains(v) =>
+              val f = fn0.toLowerCase(java.util.Locale.ROOT)
+              val projectedFn = items.exists {
+                case RetConnFn(RetPropFn(f2, p2, _)) => f2 == f && p2 == p
+                case _ => false
+              }
+              val baseProjected = items.contains(RetConnProp(p)) ||
+                (items.contains(RetConnected) && ConnectedProps(p))
+              if (projectedFn)
+                Right((AggKeyPrefix + s"${f}_c_$p", d(dir)))
+              else if (baseProjected)
+                Right((FnConnKeyPrefix + f + ":" + p, d(dir)))
+              else Left(s"ORDER BY $fn0($v.$p) needs '$v.$p' (or the " +
+                "function itself) among the returned connected-node " +
+                "properties")
+            case ObFnItemRe(fn0, v, p, _) =>
+              Left(s"ORDER BY $fn0($v.$p) may only reference '$m'" +
+                conn.fold("")(c => s" or '$c'") + s", got '$v'")
             // ORDER BY count(c)/count(*): sort groups by the aggregate
             // (top-k groups); demands a count item in RETURN
             case ObCountItemRe(v, dir) if conn.contains(v) || v == "*" =>
@@ -5311,6 +5675,16 @@ object CypherLite {
     */
   private val AggKeyPrefix = "agg:"
 
+  /** ORDER BY key prefix for an UNPROJECTED scalar-fn sort over an
+    * m-property (`fn:<fn>:<base-prop>`): the fn evaluates over the
+    * projected base column at order time (ordered() builds the
+    * expression via scalarColOn). Colons keep both namespaces
+    * collision-free with property names; "fnc:" (connected-side) cannot
+    * prefix-collide with "fn:" — the third character differs.
+    */
+  private val FnKeyPrefix = "fn:"
+  private val FnConnKeyPrefix = "fnc:"
+
   /** Node properties a MATCH pattern or WHERE clause may filter on. */
   private val SupportedProps = Set("name", "content", "docnbr")
 
@@ -5483,7 +5857,7 @@ object CypherLite {
     // colliding partners need one path avoiding ALL bound edges at
     // once, which the per-path form handles.
     def rangedUnavoidable(i: Int): Boolean =
-      !CypherLite.disableUnavoidableCollapse &&
+      !CypherLite.disableUnavoidableCollapse.value &&
         !isSingle(i) && partnersOf(i).sizeIs == 1 &&
         isSingle(partnersOf(i).head)
     def rangedUnavPairs(i: Int, frontier: DataFrame): DataFrame =
@@ -5790,7 +6164,12 @@ object CypherLite {
       stmt: Statement): Either[String, (GraphTables, DataFrame)] =
     stmt match {
       case SetContent(label, props, conds, value, batch, setProp) =>
-        (props.keys ++ conds.flatten.map(_.prop) ++
+        // `id` is FILTERABLE here exactly as on the read path (r16 —
+        // the lookup-by-id-then-update staple `MATCH (m) WHERE
+        // id(m) = … SET m.name = …`); it is never WRITABLE (setProp is
+        // validated against SupportedProps at parse time)
+        (props.keys ++
+          conds.flatten.map(_.prop).filterNot(_ == "id") ++
           conds.flatten.flatMap(_.crossProp)).find(!SupportedProps(_))
           .map(k => Left(s"unsupported property: $k " +
             s"(supported: ${SupportedProps.toSeq.sorted.mkString(", ")})"))
@@ -6596,6 +6975,31 @@ object CypherLite {
       case Some("size") => length(targetRaw)
       case _ => targetRaw
     }
+    // node-id comparisons stay in LONG space when every literal is
+    // integral: ids are 64-bit (the ingest path hashes content into
+    // 60-bit keys), and the generic double lens below rounds past 2^52 —
+    // `WHERE id(n) = <hash-id>` through a double would match NEIGHBORING
+    // ids. Only the dotted id of a NODE variable qualifies (an edge
+    // property that happens to be named "id" keeps the string/double
+    // lens), and only for =/<>/IN; range ops on ids are not a meaningful
+    // query and keep the generic lens.
+    val idExact = c.prop == "id" && c.numeric && !c.onRelProp &&
+      c.fn.isEmpty && rhs.isEmpty &&
+      (c.op match {
+        case "IN" => c.values.nonEmpty &&
+          c.values.forall(x => scala.util.Try(x.toLong).isSuccess)
+        case "=" | "<>" => scala.util.Try(c.value.toLong).isSuccess
+        case _ => false
+      })
+    if (idExact) {
+      val t = target0.cast("long")
+      val base = c.op match {
+        case "=" => t === c.value.toLong
+        case "<>" => t =!= c.value.toLong
+        case _ => t.isin(c.values.map(_.toLong): _*)
+      }
+      return if (c.negated) !base else base
+    }
     // unquoted literal → numeric comparison: the property try_casts to
     // double and non-numeric values become null, so the comparison is null
     // and the row drops — observably identical to Cypher's string-vs-number
@@ -6858,6 +7262,46 @@ object CypherLite {
       query: String): Either[String, DataFrame] =
     parse(query).flatMap {
       case cw: ChainedWith => runChainedWith(g, cw)
+      case ub: UnwindBag =>
+        // the bag = union of per-occurrence runs; aggregates arrive as
+        // per-element PARTIALS and re-aggregate here (one narrow union
+        // + one hash aggregate over ≤|list| rows per group — the list
+        // is a query literal, so this is O(list) driver-side plan, not
+        // data-sized work)
+        val runs = ub.queries.map(q => runSingle(g, q))
+        runs.collectFirst { case Left(e) => Left(e) }.getOrElse {
+          val dfs = runs.collect { case Right(df) => df }
+          val u = dfs.reduce(_ unionByName _)
+          if (ub.reAgg.isEmpty) Right(u)
+          else {
+            val aggCols = ub.reAgg.map(_._1).toSet
+            val keys = u.columns.filterNot(aggCols)
+            val aggs = ub.reAgg.map { case (a, fn) =>
+              (fn match {
+                case "count" | "sum" => sum(col(a))
+                case "min" => min(col(a))
+                case _ => max(col(a))
+              }).as(a)
+            }
+            val res =
+              if (keys.isEmpty) u.agg(aggs.head, aggs.tail: _*)
+              else u.groupBy(keys.map(col): _*)
+                .agg(aggs.head, aggs.tail: _*)
+            Right(res.select(u.columns.map(col): _*))
+          }
+        }
+      case tk: TopKExpand =>
+        // phase 1: the ordered-limited id set — a BOUNDED collect
+        // (≤ k ≤ TopKMaxK rows by construction, the broadcast-the-
+        // tiny-side plan); phase 2: the tail re-parsed with the ids
+        // as an exact-long IN conjunct on the root variable
+        runSingle(g, tk.stage1Query).flatMap { df1 =>
+          val idCol = Seq("m_id", "id").find(df1.columns.contains)
+            .getOrElse(df1.columns.last)
+          val ids = df1.select(col(idCol).cast("long")).collect()
+            .map(_.getLong(0)).toSeq.distinct
+          runSingle(g, tk.rebuilt(ids))
+        }
       case ReturnLiteral(num, str, alias) =>
         val spark = g.nodes.sparkSession
         val (value, name) = num match {
@@ -6979,7 +7423,9 @@ object CypherLite {
         val obProps = orderBy.map(_._1).distinct
           .filterNot(k => k == CountKey || k == RelTypeKey ||
             k.startsWith(ConnKeyPrefix) || k.startsWith(AggKeyPrefix) ||
-            k.startsWith(RelKeyPrefix))
+            k.startsWith(RelKeyPrefix) || k.startsWith(FnConnKeyPrefix))
+          // an fn: key's BASE property carries the must-be-projected rule
+          .map(k => if (k.startsWith(FnKeyPrefix)) k.split(':')(2) else k)
         // scalar-fn/CASE items read raw property columns before
         // transforming — validate those names like any projection
         val fnProps = items.collect { case RetPropFn(_, p, _) => p } ++
@@ -7218,11 +7664,22 @@ object CypherLite {
           if (p == CountKey) countOut
           else if (p == RelTypeKey) "r_type"
           else if (p.startsWith(AggKeyPrefix)) p.stripPrefix(AggKeyPrefix)
+          else if (p.startsWith(FnConnKeyPrefix))
+            s"c_${p.split(':')(2)}" // fn over the projected c-base column
+          else if (p.startsWith(FnKeyPrefix))
+            s"m_${p.split(':')(2)}" // fn over the projected m-base column
           else if (p.startsWith(ConnKeyPrefix))
             s"c_${p.stripPrefix(ConnKeyPrefix)}"
           else if (p.startsWith(RelKeyPrefix))
             s"r_${p.stripPrefix(RelKeyPrefix)}"
           else s"m_$p"
+        // an unprojected-scalar-fn key sorts by the fn EXPRESSION over
+        // its projected base column; every other key by the column itself
+        def keyCol(p: String): Column =
+          if (p.startsWith(FnConnKeyPrefix) || p.startsWith(FnKeyPrefix))
+            scalarColOn(RetPropFn(p.split(':')(1), p.split(':')(2)),
+              col(outCol(p)))
+          else col(outCol(p))
         val outs = orderBy.map { case (p, _) => outCol(p) }
         // run() validated every ORDER BY key against the projected props;
         // if the two ever drift, fail loudly — silently reordering (with
@@ -7234,7 +7691,7 @@ object CypherLite {
               s"(${cols.mkString(", ")}): run() validation and ordered() " +
               "drifted — fix outProps/runMatch in lockstep"))
         val keys = orderBy.map { case (p, desc) =>
-          if (desc) col(outCol(p)).desc else col(outCol(p)).asc
+          if (desc) keyCol(p).desc else keyCol(p).asc
         }
         df.orderBy(keys ++ cols.filterNot(outs.contains).map(col): _*)
       }

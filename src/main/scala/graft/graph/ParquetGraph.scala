@@ -133,6 +133,26 @@ object ParquetGraph {
     * fixture the IS [NOT] NULL twin grades on. Edge-less: the null test is
     * a node predicate.
     */
+  /** Nation nodes with MIXED-case names (odd keys lowercased) — the
+    * collation fixture: case-sensitive vs case-insensitive ordering
+    * diverge here (lowercase sorts after ALL uppercase in byte order),
+    * which is what the ORDER BY toLower(…) twin grades on. Edge-less.
+    */
+  def mixedCase(s: SparkSession, d: String): GraphTables =
+    cached(s, d, "mixedcase") {
+      import s.implicits._
+      val nation = Tables.nation(s, d)
+      val nodes = nation.select(
+        (col("n_nationkey") + NationBase).cast("long").as("id"),
+        lit("Nation").as("label"),
+        when(col("n_nationkey") % 2 === 1, lower(col("n_name")))
+          .otherwise(col("n_name")).cast("string").as("name"),
+        lit("").as("content"),
+        lit("").as("docnbr"), lit("base").as("batch"),
+        typedLit(Seq.empty[Int]).as("path")).as[NodeRow]
+      GraphTables(nodes, s.emptyDataset[EdgeRow])
+    }
+
   def nullableContent(s: SparkSession, d: String): GraphTables =
     cached(s, d, "nullable") {
       import s.implicits._
@@ -3496,6 +3516,116 @@ object ParquetGraph {
           "RETURN id(a) AS rid, id(n) AS nid, n.name AS name " +
           "ORDER BY name")
         .fold(err => throw new IllegalArgumentException(err), identity)
+    },
+
+    // C10 CypherLite twin (new r16, directive 2): the top-k-then-expand
+    // staple — `WITH n ORDER BY … LIMIT k` feeding a follow-up MATCH.
+    // Two-phase execution: stage 1 picks the k node ids (id tiebreak =
+    // this engine's deterministic pin where Neo4j leaves ties
+    // arbitrary), the ids splice into the expansion as a broadcast-
+    // sized IN conjunct. The oracle re-derives the same top-3 via a CTE,
+    // so a wrong phase order (expand-then-limit) or a wrong tiebreak
+    // hash-misses.
+    QueryDef.sql(
+      "graphp_cypher_topk_expand",
+      """WITH top3 AS (SELECT n_nationkey, n_name FROM nation
+        |              ORDER BY n_name DESC, n_nationkey LIMIT 3)
+        |SELECT n_name AS m_name,
+        |  CAST(count(c_custkey) AS BIGINT) AS n_cust
+        |FROM top3 JOIN customer ON c_nationkey = top3.n_nationkey
+        |GROUP BY n_name ORDER BY m_name""".stripMargin) { (s, d) =>
+      CypherLite.run(hierarchy(s, d),
+        "MATCH (n:Nation) WITH n ORDER BY n.name DESC LIMIT 3 " +
+          "MATCH (n)-[:HAS_CUSTOMER]->(c) " +
+          "RETURN n.name, count(c) AS n_cust ORDER BY n.name")
+        .fold(err => throw new IllegalArgumentException(err), identity)
+    },
+
+    // C10 CypherLite twin (new r16): limit-then-AGGREGATE — `WITH n
+    // ORDER BY … LIMIT k RETURN count(…)`, the shape the r15 fold
+    // rejected by name (aggregate-first vs limit-first answer
+    // differently; the two-phase path expresses the limit-first truth).
+    QueryDef.sql(
+      "graphp_cypher_topk_agg",
+      """WITH top7 AS (SELECT n_nationkey FROM nation
+        |              ORDER BY n_name, n_nationkey LIMIT 7)
+        |SELECT CAST(count(c_custkey) AS BIGINT) AS n_c
+        |FROM top7 JOIN customer ON c_nationkey = top7.n_nationkey""".stripMargin) {
+      (s, d) =>
+        CypherLite.run(hierarchy(s, d),
+          "MATCH (n:Nation) WITH n ORDER BY n.name LIMIT 7 " +
+            "MATCH (n)-[:HAS_CUSTOMER]->(c) RETURN count(c) AS n_c")
+          .fold(err => throw new IllegalArgumentException(err), identity)
+    },
+
+    // C10 CypherLite twin (new r16, directive 3): ORDER BY over an
+    // UNPROJECTED scalar fn (`ORDER BY toLower(n.name)`) — graded on
+    // the mixed-case fixture with a LIMIT, so a case-SENSITIVE
+    // collation (lowercase sorts after all uppercase in byte order)
+    // picks a different top-7 and hash-misses.
+    QueryDef.sql(
+      "graphp_cypher_order_fn",
+      """SELECT name AS m_name FROM (
+        |  SELECT CASE WHEN n_nationkey % 2 = 1 THEN lower(n_name)
+        |         ELSE n_name END AS name FROM nation)
+        |ORDER BY lower(name), name LIMIT 7""".stripMargin) { (s, d) =>
+      CypherLite.run(mixedCase(s, d),
+        "MATCH (n:Nation) RETURN n.name " +
+          "ORDER BY toLower(n.name), n.name LIMIT 7")
+        .fold(err => throw new IllegalArgumentException(err), identity)
+    },
+
+    // C10 CypherLite twin (new r16, directive 4): bag-multiplicity
+    // UNWIND — the duplicated element ('CHINA' twice) multiplies its
+    // bindings, so the count reads 3, not the set-semantics 2; an
+    // IN-rewrite (set membership) hash-misses.
+    QueryDef.sql(
+      "graphp_cypher_unwind_bag",
+      """SELECT CAST(count(*) AS BIGINT) AS c
+        |FROM (VALUES ('CHINA'), ('INDIA'), ('CHINA')) t(v)
+        |JOIN nation ON n_name = v""".stripMargin) { (s, d) =>
+      CypherLite.run(hierarchy(s, d),
+        "UNWIND ['CHINA', 'INDIA', 'CHINA'] AS x " +
+          "MATCH (n:Nation) WHERE n.name = x RETURN count(*) AS c")
+        .fold(err => throw new IllegalArgumentException(err), identity)
+    },
+
+    // C10 CypherLite twin (new r16): the DEGREE sort key — "the 2 most
+    // connected nations, then their customers" (the directive's own
+    // example). Stage 1 rides the size() sugar with the id tiebreak;
+    // the oracle rebuilds the same top-2 via a LEFT-JOIN degree CTE.
+    QueryDef.sql(
+      "graphp_cypher_topk_degree",
+      """WITH deg AS (SELECT n_nationkey, n_name,
+        |    count(c_custkey) AS d
+        |  FROM nation LEFT JOIN customer ON c_nationkey = n_nationkey
+        |  GROUP BY 1, 2),
+        |top2 AS (SELECT * FROM deg ORDER BY d DESC, n_nationkey
+        |         LIMIT 2)
+        |SELECT n_name AS m_name, CAST(d AS BIGINT) AS deg
+        |FROM top2 ORDER BY m_name""".stripMargin) { (s, d) =>
+      CypherLite.run(hierarchy(s, d),
+        "MATCH (n:Nation) " +
+          "WITH n ORDER BY size((n)-[:HAS_CUSTOMER]->()) DESC LIMIT 2 " +
+          "MATCH (n)-[:HAS_CUSTOMER]->(c) " +
+          "RETURN n.name, count(c) AS deg ORDER BY n.name")
+        .fold(err => throw new IllegalArgumentException(err), identity)
+    },
+
+    // C10 CypherLite twin (new r16): the lookup-by-id-then-update
+    // staple — id() as the WRITE path's filter (exact LONG comparison,
+    // never the double lens: a 60-bit ingest id through a double would
+    // match neighboring ids). The oracle rebuilds the arithmetic id.
+    QueryDef.sql(
+      "graphp_cypher_set_by_id",
+      """SELECT CASE WHEN n_nationkey = 7 THEN 'BY_ID' ELSE n_name END
+        |  AS name
+        |FROM nation ORDER BY name""".stripMargin) { (s, d) =>
+      CypherLite.runWrite(hierarchy(s, d),
+        "MATCH (m) WHERE id(m) = 2000000007 SET m.name = 'BY_ID'")
+        .fold(err => throw new IllegalArgumentException(err), _._1)
+        .nodes.filter(col("label") === "Nation")
+        .select(col("name")).orderBy("name")
     },
 
     // C10 CypherLite twin: size((m)-[:R]->()) — the degree expression

@@ -157,18 +157,19 @@ class ChainIsoSpec extends SparkSpec {
     // semantic A/B first: the collapse is an optimization, not a
     // different query — both forms must answer the same rows
     val collapsed = run()
-    CypherLite.disableUnavoidableCollapse = true
-    val perPath = try run()
-    finally CypherLite.disableUnavoidableCollapse = false
+    // withValue scopes the flip to THIS thread's plan builds (r16):
+    // concurrent suites' chain queries never observe it
+    val perPath =
+      CypherLite.disableUnavoidableCollapse.withValue(true) { run() }
     assert(collapsed == perPath,
       s"collapse changed the answer: $collapsed vs $perPath")
     // byte A/B (contention-immune — bytes, not wall): per-path ships
     // 300 witness rows per x into the chain join and the post-join
     // binding dedup, the collapse one row per (from, to) pair
     val bCollapse = shuffleBytes { run() }
-    CypherLite.disableUnavoidableCollapse = true
-    val bPerPath = try shuffleBytes { run() }
-    finally CypherLite.disableUnavoidableCollapse = false
+    val bPerPath = CypherLite.disableUnavoidableCollapse.withValue(true) {
+      shuffleBytes { run() }
+    }
     info(f"collapse=$bCollapse%,d bytes  per-path=$bPerPath%,d bytes  " +
       f"ratio=${bPerPath.toDouble / math.max(bCollapse, 1)}%.2f")
     assert(bCollapse * 3 <= bPerPath * 2,

@@ -32,6 +32,18 @@ class CypherFuzzSpec extends SparkSpec {
     "UNWIND ['n1'] AS x MATCH (m:Nation {name: x})",
     "UNWIND ['n1', 'n1'] AS x MATCH (m {name: x})",
     "UNWIND ['n1'] AS x MATCH (m {name: x",
+    // top-k WITH … LIMIT heads (round 16) + near-misses
+    "MATCH (m:Nation) WITH m LIMIT 2 MATCH (m)",
+    "MATCH (m:Nation) WITH m ORDER BY m.name DESC LIMIT 2 MATCH (m)",
+    "MATCH (m:Nation) WITH m ORDER BY toLower(m.name) LIMIT 2 MATCH (m)",
+    "MATCH (m:Nation) WITH m ORDER BY c.name LIMIT 2 MATCH (m)",
+    "MATCH (m:Nation) WITH m LIMIT 99999 MATCH (m)",
+    "MATCH (m:Nation) WITH m LIMIT MATCH (m)",
+    "MATCH (m)-[]->(z) WITH m LIMIT 2 MATCH (m)",
+    "MATCH (m:Nation) WITH m ORDER BY size((m)-[]->()) DESC LIMIT 2 " +
+      "MATCH (m)",
+    "MATCH (m:Nation) WITH m SKIP 1 LIMIT 2 MATCH (m)",
+    "MATCH (m:Nation) WITH m LIMIT 2 OPTIONAL MATCH (m)",
     // path-quantified ranged heads (round 13) + near-misses
     "MATCH p = (m:Region)", "MATCH p = (m)", "MATCH p =")
   private val hops = Seq("", "-[]->(c)", "-[:HAS_NATION]->(c)",
@@ -174,7 +186,11 @@ class CypherFuzzSpec extends SparkSpec {
     " RETURN startNode(r), count(*)")
   private val tails = Seq("", " ORDER BY m.name", " ORDER BY count(c) DESC",
     " LIMIT 2", " ORDER BY m.name SKIP 1 LIMIT 1", " UNION MATCH (m) RETURN m",
-    " LIMIT", " ORDER BY")
+    " LIMIT", " ORDER BY",
+    // scalar-fn sort keys (round 16) + near-misses
+    " ORDER BY toLower(m.name)", " ORDER BY size(m.name) DESC, m.name",
+    " ORDER BY toUpper(c.name)", " ORDER BY toLower(m.name",
+    " ORDER BY toLower(z.name)", " ORDER BY toInteger(m.name) LIMIT 2")
 
   private def exercise(q: String): Unit =
     try CypherLite.run(g, q) match {

@@ -1908,12 +1908,13 @@ class CypherLiteSpec extends SparkSpec {
       "UNWIND ['t2', 'zz'] AS x MATCH (m:T) WHERE m.name = x RETURN x")
       .fold(e => fail(e), identity).collect()
     assert(miss.map(_.getString(0)).toSeq == Seq("t2"))
-    // duplicates would scale Cypher's bag aggregates — named rejection,
-    // never a silent set-collapse (the retired r14 deviation)
+    // duplicates carry Cypher's bag multiplicity since r16 — each
+    // occurrence contributes its own binding (TopKWithSpec pins the
+    // aggregate-doubling and rejection shapes)
     val dup = CypherLite.run(stair,
       "UNWIND ['t1', 't1'] AS x MATCH (m:T) WHERE m.name = x RETURN x")
-    assert(dup.isLeft &&
-      dup.swap.toOption.get.contains("duplicate UNWIND"), dup.toString)
+      .fold(e => fail(e), identity).collect()
+    assert(dup.map(_.getString(0)).toSeq == Seq("t1", "t1"), dup.toSeq)
     // x projected but never equated to a property
     val free = CypherLite.run(stair,
       "UNWIND ['t1'] AS x MATCH (m:T) WHERE m.name = 't1' RETURN x")

@@ -1,0 +1,237 @@
+package graft.graph
+
+import graft.SparkSpec
+
+/** Semantic pins for the round-16 grammar wave: the top-k `WITH v
+  * [ORDER BY …] LIMIT k` stage (fold + two-phase), ORDER BY over an
+  * unprojected scalar fn, bag-multiplicity UNWIND, id-filtered writes,
+  * and the exact-long id comparison lens. The oracle twins
+  * (`graphp_cypher_topk_*`, `graphp_cypher_order_fn`,
+  * `graphp_cypher_unwind_bag`, `graphp_cypher_set_by_id`) grade the
+  * parquet fixtures; these pin the semantics and the named rejections
+  * by hand, including shapes the fixtures cannot reach (60-bit ids,
+  * scope violations).
+  */
+class TopKWithSpec extends SparkSpec {
+
+  private lazy val g: GraphTables = {
+    import spark.implicits._
+    GraphTables(
+      Seq(NodeRow(1L, "N", "Alpha", "", "", "b", Seq.empty),
+        NodeRow(2L, "N", "beta", "", "", "b", Seq.empty),
+        NodeRow(3L, "N", "Gamma", "", "", "b", Seq.empty),
+        NodeRow(4L, "N", "delta", "", "", "b", Seq.empty),
+        NodeRow(11L, "M", "x1", "", "", "b", Seq.empty),
+        NodeRow(12L, "M", "x2", "", "", "b", Seq.empty)).toDS(),
+      Seq(EdgeRow(1L, 11L, "HAS_X", "", "b"),
+        EdgeRow(2L, 12L, "HAS_X", "", "b"),
+        EdgeRow(3L, 11L, "HAS_X", "", "b"),
+        EdgeRow(4L, 12L, "HAS_X", "", "b")).toDS())
+  }
+
+  private def rows(q: String): Seq[Seq[Any]] =
+    CypherLite.run(g, q).fold(e => fail(s"$q → $e"), identity)
+      .collect().map(_.toSeq.toSeq).toSeq
+
+  private def left(q: String): String =
+    CypherLite.run(g, q).fold(identity, df =>
+      fail(s"expected a rejection, got ${df.collect().length} rows"))
+
+  test("two-phase top-k: ORDER BY DESC LIMIT then expand") {
+    // top-2 by name desc (byte order) = delta, beta — wait: byte order
+    // puts lowercase AFTER uppercase, so DESC = delta, beta, Gamma,
+    // Alpha → top-2 = delta, beta → their children x2, x2
+    assert(rows("MATCH (n:N) WITH n ORDER BY n.name DESC LIMIT 2 " +
+      "MATCH (n)-[:HAS_X]->(m) RETURN n.name, m.name ORDER BY n.name")
+      == Seq(Seq("beta", "x2"), Seq("delta", "x2")))
+  }
+
+  test("limit-then-aggregate (the r15 named rejection, retired)") {
+    assert(rows("MATCH (n:N) WITH n LIMIT 2 RETURN count(n) AS c")
+      == Seq(Seq(2L)))
+  }
+
+  test("limit-then-DISTINCT dedups AFTER the limit (the r15 fold " +
+      "would have dedup-then-limited)") {
+    // no ORDER BY → deterministic min-id pick (documented pin): ids
+    // 1,2,3 → labels N,N,N → one distinct row
+    assert(rows("MATCH (n:N) WITH n LIMIT 3 RETURN DISTINCT n.label")
+      == Seq(Seq("N")))
+  }
+
+  test("fold path keeps the stage ordering and strips a trailing " +
+      "semicolon") {
+    assert(rows("MATCH (n:N) WITH n ORDER BY n.name LIMIT 2 " +
+      "RETURN n.name;") == Seq(Seq("Alpha"), Seq("Gamma")))
+  }
+
+  test("fn sort key in the WITH stage routes through stage 1") {
+    // toLower order: alpha, beta, delta, gamma → top-2 = Alpha, beta
+    assert(rows("MATCH (n:N) WITH n ORDER BY toLower(n.name) LIMIT 2 " +
+      "MATCH (n)-[:HAS_X]->(m) RETURN m.name ORDER BY m.name")
+      == Seq(Seq("x1"), Seq("x2")))
+  }
+
+  test("scope narrowing: the tail may only reference the carried " +
+      "variable") {
+    assert(left("MATCH (m:N)-[r:HAS_X]->(c) WITH m LIMIT 5 " +
+      "RETURN c.name").contains("out of scope"))
+  }
+
+  test("two-phase needs a single-node first MATCH (binding " +
+      "multiplicity rejection)") {
+    assert(left("MATCH (a:N)-[:HAS_X]->(v) WITH v LIMIT 2 " +
+      "RETURN count(v) AS c").contains("single-node"))
+  }
+
+  test("the follow-up MATCH must re-bind the carried variable") {
+    assert(left("MATCH (n:N) WITH n LIMIT 2 MATCH (x:M)-[:HAS_X]->(y) " +
+      "RETURN x.name").contains("re-bind"))
+  }
+
+  test("LIMIT above TopKMaxK rejects by name on the two-phase path") {
+    assert(left("MATCH (n:N) WITH n LIMIT 99999 RETURN count(n) AS c")
+      .contains("top-k expansion bound"))
+  }
+
+  test("a WITH-LIMIT deeper in a chained pipeline stays with the " +
+      "chain machinery") {
+    assert(rows("MATCH (m:N)-[:HAS_X]->(c) WITH m, count(c) AS cnt " +
+      "WITH cnt LIMIT 1 RETURN cnt") == Seq(Seq(1L)))
+  }
+
+  test("ORDER BY over an unprojected scalar fn: case-insensitive " +
+      "order diverges from byte order") {
+    assert(rows("MATCH (n:N) RETURN n.name ORDER BY toLower(n.name)")
+      == Seq(Seq("Alpha"), Seq("beta"), Seq("delta"), Seq("Gamma")))
+    // byte order control: uppercase first
+    assert(rows("MATCH (n:N) RETURN n.name ORDER BY n.name")
+      == Seq(Seq("Alpha"), Seq("Gamma"), Seq("beta"), Seq("delta")))
+  }
+
+  test("fn sort key demands its base property among the projections") {
+    assert(left("MATCH (n:N) RETURN n.label ORDER BY toLower(n.name)")
+      .contains("must be among the returned"))
+  }
+
+  test("conn-side fn sort key over the projected base column") {
+    assert(rows("MATCH (n:N)-[:HAS_X]->(m) RETURN n.name, m.name " +
+      "ORDER BY toUpper(m.name) DESC, n.name")
+      == Seq(Seq("beta", "x2"), Seq("delta", "x2"),
+        Seq("Alpha", "x1"), Seq("Gamma", "x1")))
+  }
+
+  test("bag UNWIND: a duplicated element multiplies rows and doubles " +
+      "its count") {
+    assert(rows("UNWIND ['Alpha', 'beta', 'Alpha'] AS x MATCH (n:N) " +
+      "WHERE n.name = x RETURN count(*) AS c") == Seq(Seq(3L)))
+    val bag = rows("UNWIND ['Alpha', 'beta', 'Alpha'] AS x " +
+      "MATCH (n:N) WHERE n.name = x RETURN n.name")
+    assert(bag.sortBy(_.head.toString) ==
+      Seq(Seq("Alpha"), Seq("Alpha"), Seq("beta")))
+  }
+
+  test("bag UNWIND: RETURN DISTINCT collapses onto the deduplicated " +
+      "fast path") {
+    assert(rows("UNWIND ['Alpha', 'beta', 'Alpha'] AS x MATCH (n:N) " +
+      "WHERE n.name = x RETURN DISTINCT n.name")
+      .sortBy(_.head.toString) == Seq(Seq("Alpha"), Seq("beta")))
+  }
+
+  test("bag UNWIND named rejections: avg/collect, DISTINCT-in-agg, " +
+      "ordering, unaliased aggregates") {
+    assert(left("UNWIND ['a', 'a'] AS x MATCH (n:N) WHERE n.name = x " +
+      "RETURN avg(n.name) AS a").contains("re-aggregate"))
+    assert(left("UNWIND ['a', 'a'] AS x MATCH (n:N) WHERE n.name = x " +
+      "RETURN count(DISTINCT n.name) AS c").contains("dedups across"))
+    assert(left("UNWIND ['a', 'a'] AS x MATCH (n:N) WHERE n.name = x " +
+      "RETURN n.name ORDER BY n.name").contains("order-dependent"))
+    assert(left("UNWIND ['a', 'a'] AS x MATCH (n:N) WHERE n.name = x " +
+      "RETURN count(*)").contains("alias every aggregate"))
+  }
+
+  test("id comparisons stay exact past 2^52 (the double lens rounds " +
+      "60-bit ingest ids onto their neighbors)") {
+    import spark.implicits._
+    val big = 1L << 60
+    val g2 = GraphTables(
+      Seq(NodeRow(big, "N", "a", "", "", "b", Seq.empty),
+        NodeRow(big + 1, "N", "b", "", "", "b", Seq.empty)).toDS(),
+      spark.emptyDataset[EdgeRow])
+    def names(q: String): Seq[String] =
+      CypherLite.run(g2, q).fold(e => fail(s"$q → $e"), identity)
+        .collect().map(_.getString(0)).toSeq
+    // (big: Double) == (big+1: Double) — the generic lens would match
+    // BOTH rows; the exact-long lens must match exactly one
+    assert(names(s"MATCH (n) WHERE id(n) = $big RETURN n.name")
+      == Seq("a"))
+    assert(names(s"MATCH (n) WHERE id(n) = ${big + 1} RETURN n.name")
+      == Seq("b"))
+    assert(names(s"MATCH (n) WHERE id(n) IN [$big] RETURN n.name")
+      == Seq("a"))
+  }
+
+  test("id-filtered write: MATCH WHERE id(m) = … SET") {
+    val (after, _) = CypherLite.runWrite(g,
+      "MATCH (m) WHERE id(m) = 2 SET m.name = 'renamed'")
+      .fold(e => fail(s"write → $e"), identity)
+    assert(after.nodes.filter(_.id == 2L).collect().map(_.name).toSeq
+      == Seq("renamed"))
+    // everything else untouched
+    assert(after.nodes.filter(_.id != 2L).count() == 5L)
+  }
+
+  test("elementId rejects by name with the id(v) pointer") {
+    assert(left("MATCH (n:N) RETURN elementId(n)").contains("id(v)"))
+  }
+
+  test("ENDS WITH inside the tail's WHERE is not a clause boundary " +
+      "(the r16 battery's splice bug)") {
+    assert(rows("MATCH (n:N) WITH n ORDER BY n.name LIMIT 4 " +
+      "MATCH (n)-[:HAS_X]->(m) WHERE m.name ENDS WITH '1' " +
+      "RETURN m.name ORDER BY m.name") == Seq(Seq("x1"), Seq("x1")))
+  }
+
+  test("stage SKIP: two-phase without ORDER BY (id order), fold with") {
+    // id order 1,2,3,4 → SKIP 2 LIMIT 2 = ids 3,4 → Gamma, delta
+    assert(rows("MATCH (n:N) WITH n SKIP 2 LIMIT 2 RETURN count(n) " +
+      "AS c") == Seq(Seq(2L)))
+    assert(rows("MATCH (n:N) WITH n ORDER BY n.name SKIP 1 LIMIT 2 " +
+      "RETURN n.name") == Seq(Seq("Gamma"), Seq("beta")))
+  }
+
+  test("degree sort key: the k most connected nodes, then expand") {
+    import spark.implicits._
+    // N1 has 3 children, N2 has 1 → top-1 by degree = N1
+    val g3 = GraphTables(
+      Seq(NodeRow(1L, "N", "N1", "", "", "b", Seq.empty),
+        NodeRow(2L, "N", "N2", "", "", "b", Seq.empty),
+        NodeRow(11L, "M", "a", "", "", "b", Seq.empty),
+        NodeRow(12L, "M", "b", "", "", "b", Seq.empty),
+        NodeRow(13L, "M", "c", "", "", "b", Seq.empty)).toDS(),
+      Seq(EdgeRow(1L, 11L, "HAS_X", "", "b"),
+        EdgeRow(1L, 12L, "HAS_X", "", "b"),
+        EdgeRow(1L, 13L, "HAS_X", "", "b"),
+        EdgeRow(2L, 11L, "HAS_X", "", "b")).toDS())
+    val got = CypherLite.run(g3,
+      "MATCH (n:N) WITH n ORDER BY size((n)-[:HAS_X]->()) DESC " +
+        "LIMIT 1 MATCH (n)-[:HAS_X]->(m) RETURN n.name, count(m) AS d")
+      .fold(e => fail(e), identity).collect()
+    assert(got.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("N1", 3L)))
+  }
+
+  test("top-k into OPTIONAL MATCH rejects by name") {
+    assert(left("MATCH (n:N) WITH n ORDER BY n.name LIMIT 2 " +
+      "OPTIONAL MATCH (n)-[:HAS_X]->(m) RETURN n.name, m.name")
+      .contains("OPTIONAL"))
+  }
+
+  test("fold requires the sort key projected; an unprojected key " +
+      "routes two-phase instead of erroring") {
+    // ORDER BY n.content but the tail projects only name → two-phase
+    // (stage 1 owns the ordering; '' content ties break by id)
+    assert(rows("MATCH (n:N) WITH n ORDER BY n.content LIMIT 2 " +
+      "RETURN n.name").map(_.head).toSet == Set("Alpha", "beta"))
+  }
+}
