@@ -356,7 +356,13 @@ object CypherLite {
     * within `hops` typed edges, optionally constrained to a target label.
     */
   final case class ExistsPat(negated: Boolean, relType: Option[String],
-      hops: Int, connLabel: Option[String])
+      hops: Int, connLabel: Option[String],
+      // `size((m)-[:R]->([:L])) <op> N` (r16) — the degree-THRESHOLD
+      // filter ("X with at least N Y"). Single-hop only: one-hop paths
+      // ≡ edges, so the per-root edge count is exactly Cypher's size()
+      // value; zero-degree roots are kept via a left join (op `< N`
+      // must answer them). None = plain existence.
+      threshold: Option[(String, Int)] = None)
 
   sealed trait RetItem
   case object RetVar extends RetItem // the whole matched node
@@ -1421,6 +1427,14 @@ object CypherLite {
       """-\s*\[\s*(?::\s*(\w+(?:\s*\|\s*\w+)*)\s*)?(?:\*\s*1\s*\.\.\s*(\d+)\s*)?\]\s*->""" +
       """\s*\(\s*(?::\s*(\w+)\s*)?\)\s*""").r
 
+  // `[NOT] size((m)-[:R]->([:L])) <op> N` as a WHERE conjunct — the
+  // degree-threshold filter (r16, battery lead): single-hop outgoing,
+  // integer RHS (the size-sugar shape with a comparison tail)
+  private val SizeCondRe =
+    ("""(?is)\s*(NOT\s+)?size\s*\(\s*\(\s*(\w+)\s*\)\s*""" +
+      """-\s*\[\s*(?::\s*(\w+(?:\s*\|\s*\w+)*)\s*)?\]\s*-\s*>\s*""" +
+      """\(\s*(?::\s*(\w+)\s*)?\)\s*\)\s*(<>|<=|>=|=|<|>)\s*(\d+)\s*""").r
+
   // one ORDER BY item after the comma split: key then optional direction.
   // Bare-word directions cannot be mistaken for an alias: the (\w+) key is
   // greedy, so `ORDER BY desc` reads as an alias named desc (as in
@@ -1930,6 +1944,17 @@ object CypherLite {
             PatTermRe.findFirstIn(blankQuoted(p)).isDefined)
           val epsE: Either[String, Seq[ExistsPat]] = {
             val es = patParts.map {
+              // the degree THRESHOLD first: its `size((m)-[` prefix
+              // would otherwise half-match the bare existence shape
+              case SizeCondRe(notKw, v, relT, connLab, op, n) if v == m =>
+                if (conn.isDefined)
+                  Left("a size() threshold cannot be combined with a " +
+                    "hop pattern in MATCH — aggregate with WITH instead")
+                else Right(ExistsPat(notKw != null, Option(relT), 1,
+                  Option(connLab), Some((op, n.toInt))))
+              case SizeCondRe(_, v, _, _, _, _) =>
+                Left(s"size() in WHERE may only anchor the matched " +
+                  s"variable '$m', got '$v'")
               case ExistsRe(notKw, v, relT, hopsK, connLab) if v == m =>
                 onePat(notKw, relT, hopsK, connLab)
               case ExistsRe(_, v, _, _, _) =>
@@ -7704,12 +7729,36 @@ object CypherLite {
         // filters the expansion's node image before the existence check.
         val matched = existsPat.fold(matched0) { ep =>
           val epRel = relColOf(ep.relType)
-          val reach = GraphOps.neighborhoodWhereKeyed(g0, pred, ep.hops, epRel)
-          val hit = ep.connLabel.fold(reach)(l =>
-              reach.filter(col("c_label") === l))
-            .select(col("root_id").as("id")).distinct()
-          matched0.join(hit, Seq("id"),
-            if (ep.negated) "left_anti" else "left_semi")
+          ep.threshold match {
+            case Some((op, n)) =>
+              // degree threshold `size((m)-[:R]->([:L])) <op> N`: the
+              // per-root EDGE count (one-hop paths ≡ edges, exactly the
+              // size() sugar's binding count), via one partial+final
+              // hash aggregate over the edge scan + a left join so
+              // zero-degree roots survive ops like `< N`. NOT negates
+              // the whole comparison (never-null here — the coalesce
+              // makes 0 explicit).
+              val e0 = g0.edges.toDF().filter(epRel)
+              val e1 = ep.connLabel.fold(e0)(l => e0.join(
+                g0.nodes.toDF().filter(col("label") === l)
+                  .select(col("id").as("dst")), "dst"))
+              val cnts = e1.groupBy(col("src").as("id"))
+                .agg(count(lit(1)).as("sz_thresh"))
+              val cmp = numCmp(
+                coalesce(col("sz_thresh"), lit(0L)).cast("double"),
+                op, n.toDouble)
+              matched0.join(cnts, Seq("id"), "left_outer")
+                .filter(if (ep.negated) !cmp else cmp)
+                .drop("sz_thresh")
+            case None =>
+              val reach =
+                GraphOps.neighborhoodWhereKeyed(g0, pred, ep.hops, epRel)
+              val hit = ep.connLabel.fold(reach)(l =>
+                  reach.filter(col("c_label") === l))
+                .select(col("root_id").as("id")).distinct()
+              matched0.join(hit, Seq("id"),
+                if (ep.negated) "left_anti" else "left_semi")
+          }
         }
         if (globalAgg) {
           // hop-less GLOBAL aggregates ("how many X are there"): one hash

@@ -3612,6 +3612,33 @@ object ParquetGraph {
         .fold(err => throw new IllegalArgumentException(err), identity)
     },
 
+    // C10 CypherLite twin (new r16): the degree-THRESHOLD WHERE —
+    // "nations with at least 60 customers". Both the `>=` cut and its
+    // `<` complement run (tagged), so the boundary is pinned from BOTH
+    // sides — an off-by-one or a paths-vs-nodes count drift breaks one
+    // of them, and together they must partition the 25 nations. The
+    // zero-degree-kept property (`< N` answers edge-less roots) is
+    // pinned by TopKWithSpec on a fixture with isolated nodes.
+    QueryDef.sql(
+      "graphp_cypher_size_where",
+      """SELECT n_name AS m_name,
+        |  CASE WHEN cnt >= 60 THEN 'big' ELSE 'small' END AS bucket
+        |FROM (SELECT n_name, (SELECT count(*) FROM customer
+        |        WHERE c_nationkey = n_nationkey) AS cnt FROM nation)
+        |ORDER BY m_name""".stripMargin) { (s, d) =>
+      val big = CypherLite.run(hierarchy(s, d),
+        "MATCH (n:Nation) WHERE size((n)-[:HAS_CUSTOMER]->()) >= 60 " +
+          "RETURN n.name")
+        .fold(err => throw new IllegalArgumentException(err), identity)
+        .withColumn("bucket", lit("big"))
+      val small = CypherLite.run(hierarchy(s, d),
+        "MATCH (n:Nation) WHERE size((n)-[:HAS_CUSTOMER]->()) < 60 " +
+          "RETURN n.name")
+        .fold(err => throw new IllegalArgumentException(err), identity)
+        .withColumn("bucket", lit("small"))
+      big.unionByName(small).orderBy("m_name")
+    },
+
     // C10 CypherLite twin (new r16): the lookup-by-id-then-update
     // staple — id() as the WRITE path's filter (exact LONG comparison,
     // never the double lens: a 60-bit ingest id through a double would

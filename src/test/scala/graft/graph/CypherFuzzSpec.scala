@@ -96,6 +96,10 @@ class CypherFuzzSpec extends SparkSpec {
     " WHERE r1.w IS NOT NULL", " WHERE r1.w > 1 AND",
     // size() WHERE lens (round 14) + near-misses
     " WHERE size(m.name) > 2", " WHERE size(c.content) <= 4",
+    // degree-threshold conjuncts (round 16) + near-misses
+    " WHERE size((m)-[]->()) >= 1", " WHERE size((m)-[:HAS_NATION]->(:Nation)) < 2",
+    " WHERE NOT size((m)-[]->()) = 0", " WHERE size((m)-[]->()) >=",
+    " WHERE size((z)-[]->()) > 1", " WHERE m.name = 'n1' AND size((m)-[]->()) > 0",
     " WHERE size(m.name) = 'a'", " WHERE size(r.weight) > 1",
     " WHERE NOT size(m.name) > 2 OR m.name = 'n1'",
     " WHERE size(m.name", " WHERE size(m.name) >")

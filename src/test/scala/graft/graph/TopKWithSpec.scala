@@ -227,6 +227,27 @@ class TopKWithSpec extends SparkSpec {
       .contains("OPTIONAL"))
   }
 
+  test("degree-threshold WHERE: boundary ops, zero-degree kept, NOT") {
+    // degrees in g: node1→1, node2→1, node3→1, node4→1 (HAS_X each);
+    // the M nodes have out-degree 0 — `< 1` must KEEP them
+    assert(rows("MATCH (m:M) WHERE size((m)-[:HAS_X]->()) < 1 " +
+      "RETURN m.name ORDER BY m.name") == Seq(Seq("x1"), Seq("x2")))
+    assert(rows("MATCH (n:N) WHERE size((n)-[:HAS_X]->()) >= 1 " +
+      "RETURN count(*) AS c") == Seq(Seq(4L)))
+    assert(rows("MATCH (n:N) WHERE NOT size((n)-[:HAS_X]->()) >= 2 " +
+      "RETURN count(*) AS c") == Seq(Seq(4L)))
+    // AND-combined with a comparison; label-constrained target
+    assert(rows("MATCH (n:N) WHERE n.name STARTS WITH 'A' AND " +
+      "size((n)-[:HAS_X]->(:M)) = 1 RETURN n.name")
+      == Seq(Seq("Alpha")))
+    // foreign anchor and hop-pattern combination reject by name
+    assert(left("MATCH (n:N) WHERE size((z)-[:HAS_X]->()) > 1 " +
+      "RETURN n.name").contains("anchor"))
+    assert(left("MATCH (n:N)-[:HAS_X]->(m) WHERE " +
+      "size((n)-[:HAS_X]->()) >= 1 RETURN m.name")
+      .contains("hop pattern"))
+  }
+
   test("fold requires the sort key projected; an unprojected key " +
       "routes two-phase instead of erroring") {
     // ORDER BY n.content but the tail projects only name → two-phase
