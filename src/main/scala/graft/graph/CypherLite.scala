@@ -641,6 +641,25 @@ object CypherLite {
     }
   }
 
+  /** `MATCH … WITH <v.prop AS key>, <agg AS a>[, …] [WHERE hav]
+    * ORDER BY … LIMIT k MATCH …` — the aggregate-then-re-expand staple
+    * (r16, the battery's #1 ranked lead: "the 2 nations with the most
+    * customers, now show their X"). TWO-PHASE like [[TopKExpand]]:
+    * stage 1 runs the aggregate WITH as its own single-stage query
+    * (key + every aggregate alias projected — the grammar's rule —
+    * ordered with the KEY as the deterministic final tiebreak, group
+    * keys being unique) and collects the ≤ k KEY VALUES; the tail then
+    * rides the whole [[rewriteUnwind]] machinery with the key alias as
+    * the UNWIND variable — so `{prop: key}` inline maps, `= key` /
+    * `key = v.prop` comparisons, and `RETURN key` projections all
+    * compose exactly as the UNWIND surface does, with the values as
+    * the IN list. Values are group keys → distinct by construction
+    * (set ≡ bag). A value containing a quote cannot be spliced as a
+    * literal and rejects at run time by name.
+    */
+  final case class AggTopKExpand(stage1Query: String, keyCol: String,
+      keyAlias: String, tail: String) extends Statement
+
   /** Bag-multiplicity UNWIND (duplicate list elements): the
     * per-occurrence single-element rewrites, unioned at execution;
     * `reAgg` maps each aliased aggregate output column to its bag
@@ -2883,7 +2902,10 @@ object CypherLite {
       // match merge (so `WITH r MATCH` plumbing ahead of the stage
       // normalizes away instead of masking it)
       mergeConsecutiveMatches(stripPassthroughWith(q1)).flatMap { q2 =>
-        parseTopKWith(q2, params).getOrElse(
+        parseTopKWith(q2, params).orElse(
+          // aggregate-then-re-expand: the FIRST WITH carries an
+          // ordered-limited aggregation and a MATCH follows it
+          parseAggTopK(q2, params)).getOrElse(
           parseChainedWith(q2).getOrElse(parseStmt(q2, params)))
       }
     }
@@ -3538,6 +3560,117 @@ object CypherLite {
       if (ClauseWithRe.findAllMatchIn(blanked.substring(0, mm.start))
           .exists(_.group(1) == null)) None
       else Some(buildTopK(q, mm, params))
+    }
+  }
+
+  // one WITH item of the aggregate-then-re-expand stage: a key with a
+  // MANDATORY alias (the tail references the key BY the alias), or an
+  // aliased aggregate kept verbatim for the stage-1 synthesis
+  private val AggTopKKeyRe =
+    """(?is)\s*(\w+)\s*\.\s*(\w+)\s+AS\s+(\w+)\s*""".r
+  private val AggTopKKeyBareRe = """(?is)\s*(\w+)\s*\.\s*(\w+)\s*""".r
+  private val AggTopKAggRe =
+    ("""(?is)\s*(?:count|sum|avg|min|max|collect)\s*\(\s*""" +
+      """(?:DISTINCT\s+)?(?:\*|\w+(?:\s*\.\s*\w+)?)\s*\)\s+AS\s+""" +
+      """(\w+)\s*""").r
+
+  /** Detect and parse the aggregate-then-re-expand pipeline (see
+    * [[AggTopKExpand]]): the FIRST WITH carries items + ORDER BY +
+    * LIMIT and is followed by a MATCH before any RETURN. `None` routes
+    * to the other machineries (plain chains, top-k bare-variable
+    * stages, single-stage WITH).
+    */
+  private def parseAggTopK(q: String, params: Map[String, String])
+      : Option[Either[String, Statement]] = {
+    val blanked = blankQuoted(q)
+    for {
+      w <- ClauseWithRe.findAllMatchIn(blanked)
+        .filter(_.group(1) == null).toList.headOption
+      t <- MatchTokRe.findFirstMatchIn(blanked.substring(w.end))
+        .map(m => w.end + m.start)
+      // the re-entry MATCH must precede any RETURN
+      _ <- ClauseReturnRe.findFirstMatchIn(blanked)
+        .filter(_.start < t).fold(Option(())) (_ => None)
+      clause = q.substring(w.end, t)
+      clauseB = blanked.substring(w.end, t)
+      ob <- """(?is)\bORDER\s+BY\b""".r.findFirstMatchIn(clauseB)
+      lim <- """(?is)\bLIMIT\s+(\d+)\s*$""".r.findFirstMatchIn(clauseB)
+      _ <- if (lim.start > ob.end) Some(()) else None
+    } yield buildAggTopK(q, w.start, clause, clauseB, ob, lim, t, params)
+  }
+
+  private def buildAggTopK(q: String, wStart: Int, clause: String,
+      clauseB: String, ob: scala.util.matching.Regex.Match,
+      lim: scala.util.matching.Regex.Match, tailStart: Int,
+      params: Map[String, String]): Either[String, Statement] = {
+    val mp = q.substring(0, wStart).trim
+    val tail = q.substring(tailStart)
+    val whereM = """(?is)\bWHERE\b""".r.findFirstMatchIn(clauseB)
+      .filter(_.start < ob.start)
+    val itemsEnd = whereM.map(_.start).getOrElse(ob.start)
+    val itemsText = clause.substring(0, itemsEnd).trim
+    val hav = whereM.map(wm => clause.substring(wm.end, ob.start).trim)
+    val obText = clause.substring(ob.end, lim.start).trim
+    val k = lim.group(1).toInt
+    // classify items: exactly one aliased key + ≥1 aliased aggregate
+    val parts = splitTopLevel(itemsText).map(_.trim)
+    var key: Option[(String, String, String)] = None
+    val aggs = Seq.newBuilder[String]
+    var err: Option[String] = None
+    parts.foreach {
+      case _ if err.isDefined => ()
+      case p @ AggTopKAggRe(_) => aggs += p.trim
+      case AggTopKKeyRe(v0, p0, a0) =>
+        if (key.isEmpty) key = Some((v0, p0, a0))
+        else err = Some("the aggregate-then-expand stage groups by " +
+          s"ONE aliased key, got a second ('$v0.$p0')")
+      case AggTopKKeyBareRe(v0, p0) =>
+        err = Some(s"alias the grouping key (`$v0.$p0 AS <name>`) — " +
+          "the follow-up MATCH references the key by its alias")
+      case other =>
+        err = Some("unsupported item in an aggregate-then-expand " +
+          s"WITH stage: '${other.take(40)}'")
+    }
+    val aggTexts = aggs.result()
+    err.map(Left(_)).getOrElse {
+      (key, aggTexts) match {
+        case (None, _) =>
+          Left("the aggregate-then-expand stage needs one aliased " +
+            "grouping key (`v.prop AS name`)")
+        case (_, Seq()) =>
+          Left("the aggregate-then-expand stage needs at least one " +
+            "aliased aggregate — a bare projected key before a " +
+            "follow-up MATCH carries binding multiplicity an id set " +
+            "cannot express")
+        case (Some((v, p, alias)), aggList) =>
+          if (k > TopKMaxK)
+            Left(s"LIMIT $k exceeds the top-k expansion bound " +
+              s"($TopKMaxK): the selected keys splice into the tail " +
+              "as a bounded broadcast list")
+          else {
+            // the stage's ORDER BY with the key alias resolved to the
+            // key property and the key as the final tiebreak
+            val obResolved = obText.replaceAll(
+              s"(?i)(?<![\\w.])$alias\\b", s"$v.$p")
+            val obFull =
+              if (s"(?i)\\b$v\\s*\\.\\s*$p\\b".r
+                  .findFirstIn(obResolved).isDefined) obResolved
+              else s"$obResolved, $v.$p"
+            val stage1 = s"$mp WITH $v.$p, ${aggList.mkString(", ")}" +
+              hav.fold("")(h => s" WHERE $h") +
+              s" ORDER BY $obFull LIMIT $k RETURN $v.$p, " +
+              aggList.map(_.replaceAll("""(?is)^.*\bAS\s+""", ""))
+                .mkString(", ")
+            val ae = AggTopKExpand(stage1, s"m_$p", alias, tail.trim)
+            for {
+              _ <- parse(stage1, params).left
+                .map(e => s"in the aggregate-then-expand stage 1: $e")
+              _ <- rewriteUnwind("'__probe__'", alias, ae.tail)
+                .flatMap(parse(_, params)).left
+                .map(e => s"in the re-expansion tail: $e")
+            } yield ae
+          }
+      }
     }
   }
 
@@ -7313,6 +7446,25 @@ object CypherLite {
               else u.groupBy(keys.map(col): _*)
                 .agg(aggs.head, aggs.tail: _*)
             Right(res.select(u.columns.map(col): _*))
+          }
+        }
+      case ae: AggTopKExpand =>
+        // phase 1: the ordered-limited KEY VALUES (≤ k ≤ TopKMaxK, a
+        // bounded collect); phase 2: the tail through the UNWIND
+        // rewrite with the values as the IN list — group keys are
+        // distinct, so set membership is exact
+        runSingle(g, ae.stage1Query).flatMap { df1 =>
+          val keyCol = if (df1.columns.contains(ae.keyCol))
+            ae.keyCol else df1.columns.head
+          val vals = df1.select(col(keyCol).cast("string")).collect()
+            .map(_.getString(0)).toSeq.distinct
+          if (vals.exists(v => v == null || v.contains("'")))
+            Left("a selected key value contains a quote (or is null) " +
+              "— the re-expansion cannot splice it as a literal")
+          else {
+            val listStr = vals.map(v => s"'$v'").mkString(", ")
+            rewriteUnwind(listStr, ae.keyAlias, ae.tail)
+              .flatMap(q2 => runSingle(g, q2))
           }
         }
       case tk: TopKExpand =>

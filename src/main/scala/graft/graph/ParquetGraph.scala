@@ -3639,6 +3639,30 @@ object ParquetGraph {
       big.unionByName(small).orderBy("m_name")
     },
 
+    // C10 CypherLite twin (new r16): the aggregate-then-RE-EXPAND
+    // pipeline — "the 2 regions with the most nations, then list their
+    // nations". Stage 1 aggregates + orders + limits (all regions tie
+    // at 5 nations, so the KEY tiebreak decides — a missing or wrong
+    // tiebreak hash-misses); the selected keys splice into the
+    // follow-up MATCH through the UNWIND rewrite machinery.
+    QueryDef.sql(
+      "graphp_cypher_agg_expand",
+      """WITH cnts AS (SELECT r_regionkey, r_name, count(*) AS c
+        |  FROM region JOIN nation ON n_regionkey = r_regionkey
+        |  GROUP BY 1, 2),
+        |top2 AS (SELECT * FROM cnts ORDER BY c DESC, r_name LIMIT 2)
+        |SELECT t.r_name AS m_name, n.n_name AS c_name
+        |FROM top2 t JOIN nation n ON n.n_regionkey = t.r_regionkey
+        |ORDER BY m_name, c_name""".stripMargin) { (s, d) =>
+      CypherLite.run(hierarchy(s, d),
+        "MATCH (r:Region)-[:HAS_NATION]->(n) " +
+          "WITH r.name AS rn, count(n) AS cnt " +
+          "ORDER BY cnt DESC, rn LIMIT 2 " +
+          "MATCH (r2:Region {name: rn})-[:HAS_NATION]->(m) " +
+          "RETURN r2.name, m.name ORDER BY r2.name, m.name")
+        .fold(err => throw new IllegalArgumentException(err), identity)
+    },
+
     // C10 CypherLite twin (new r16): the lookup-by-id-then-update
     // staple — id() as the WRITE path's filter (exact LONG comparison,
     // never the double lens: a 60-bit ingest id through a double would

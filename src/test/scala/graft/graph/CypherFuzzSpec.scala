@@ -44,6 +44,12 @@ class CypherFuzzSpec extends SparkSpec {
       "MATCH (m)",
     "MATCH (m:Nation) WITH m SKIP 1 LIMIT 2 MATCH (m)",
     "MATCH (m:Nation) WITH m LIMIT 2 OPTIONAL MATCH (m)",
+    "MATCH (m:Nation)-[]->(c) WITH m.name AS mn, count(c) AS n " +
+      "ORDER BY n DESC LIMIT 2 MATCH (m)",
+    "MATCH (m:Nation)-[]->(c) WITH m.name AS mn, count(c) AS n " +
+      "ORDER BY n LIMIT MATCH (m)",
+    "MATCH (m:Nation)-[]->(c) WITH count(c) AS n ORDER BY n LIMIT 2 " +
+      "MATCH (m)",
     // path-quantified ranged heads (round 13) + near-misses
     "MATCH p = (m:Region)", "MATCH p = (m)", "MATCH p =")
   private val hops = Seq("", "-[]->(c)", "-[:HAS_NATION]->(c)",

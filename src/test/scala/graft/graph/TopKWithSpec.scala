@@ -248,6 +248,42 @@ class TopKWithSpec extends SparkSpec {
       .contains("hop pattern"))
   }
 
+  test("aggregate-then-re-expand: top keys by count feed the " +
+      "follow-up MATCH") {
+    // every N has exactly one child, so counts tie at 1 and the KEY
+    // tiebreak (byte order: Alpha < Gamma < beta < delta) decides the
+    // top-2 — a missing or wrong tiebreak answers different rows
+    assert(rows("MATCH (n:N)-[:HAS_X]->(m) WITH n.name AS nn, " +
+      "count(m) AS cnt ORDER BY cnt DESC LIMIT 2 " +
+      "MATCH (p:N {name: nn})-[:HAS_X]->(q) " +
+      "RETURN p.name, q.name ORDER BY p.name")
+      == Seq(Seq("Alpha", "x1"), Seq("Gamma", "x1")))
+    // HAVING composes; WHERE-equality spelling; tail re-aggregation
+    // over the alias projection
+    assert(rows("MATCH (n:N)-[:HAS_X]->(m) WITH n.name AS nn, " +
+      "count(m) AS cnt WHERE cnt >= 1 ORDER BY cnt DESC, nn LIMIT 2 " +
+      "MATCH (p:N) WHERE p.name = nn RETURN count(p) AS k")
+      == Seq(Seq(2L)))
+    assert(rows("MATCH (n:N)-[:HAS_X]->(m) WITH n.name AS nn, " +
+      "count(m) AS cnt ORDER BY cnt DESC LIMIT 2 " +
+      "MATCH (p:N {name: nn})-[:HAS_X]->(q) " +
+      "RETURN nn, count(q) AS kids ORDER BY nn")
+      == Seq(Seq("Alpha", 1L), Seq("Gamma", 1L)))
+  }
+
+  test("aggregate-then-re-expand rejections: bare key, key-less " +
+      "stage, unreferenced alias") {
+    assert(left("MATCH (n:N)-[:HAS_X]->(m) WITH n.name, count(m) AS " +
+      "cnt ORDER BY cnt DESC LIMIT 1 MATCH (q:N {name: nn}) " +
+      "RETURN q.name").contains("alias the grouping key"))
+    assert(left("MATCH (n:N)-[:HAS_X]->(m) WITH count(m) AS cnt " +
+      "ORDER BY cnt DESC LIMIT 1 MATCH (q:N) RETURN q.name")
+      .contains("grouping key"))
+    assert(left("MATCH (n:N)-[:HAS_X]->(m) WITH n.name AS nn, " +
+      "count(m) AS cnt ORDER BY cnt DESC LIMIT 1 MATCH (q:N) " +
+      "RETURN q.name").contains("never compared"))
+  }
+
   test("fold requires the sort key projected; an unprojected key " +
       "routes two-phase instead of erroring") {
     // ORDER BY n.content but the tail projects only name → two-phase
