@@ -2277,7 +2277,19 @@ object CypherLite {
       rest: String, params: Map[String, String])
       : Either[String, Statement] = {
     val blanked = blankQuoted(rest)
-    if ("""(?is)\bRETURN\s+DISTINCT\b""".r.findFirstIn(blanked).isDefined)
+    // a chained WITH stage inside the tail breaks BOTH bag paths: the
+    // per-element union would filter a HAVING against per-element
+    // PARTIAL counts (c=1 rows die before the re-aggregation — empty
+    // where Cypher answers the bag totals), and the RETURN DISTINCT
+    // fast path would dedup the list UNDER an aggregating stage and
+    // halve its counts. Reject by name BEFORE either path; located via
+    // ClauseWithRe so STARTS/ENDS WITH comparisons never trigger it.
+    if (ClauseWithRe.findAllMatchIn(blanked).exists(_.group(1) == null))
+      Left("a WITH stage after a duplicated UNWIND list cannot " +
+        "re-aggregate per-element partials across the bag — " +
+        "deduplicate the list or drop the WITH stage")
+    else if ("""(?is)\bRETURN\s+DISTINCT\b""".r
+        .findFirstIn(blanked).isDefined)
       rewriteUnwind(elems.distinct.mkString(", "), x, rest)
         .flatMap(parse(_, params))
     else if ("""(?is)\b(ORDER\s+BY|LIMIT|SKIP)\b""".r
@@ -7416,6 +7428,39 @@ object CypherLite {
     }
   }
 
+  /** [[AggTopKExpand]] execution — phase 1: the ordered-limited KEY
+    * VALUES (≤ k ≤ TopKMaxK, a bounded collect); phase 2: the tail
+    * through the UNWIND rewrite with the values as the IN list — group
+    * keys are distinct, so set membership is exact. Package-private so
+    * the stage-1 column contract's fail-loud path is spec-reachable.
+    */
+  private[graph] def execAggTopK(g: GraphTables,
+      ae: AggTopKExpand): Either[String, DataFrame] =
+    runSingle(g, ae.stage1Query).flatMap { df1 =>
+      // the key surfaces as m_<prop> (root-side grouping — the
+      // stage-1 grammar's rule) or c_<prop> (a conn-side carrier
+      // some hop shapes emit); anything else is an internal
+      // contract break — FAIL, never guess a column (a wrong guess
+      // would silently splice non-key values into the IN list)
+      val alt = "c_" + ae.keyCol.stripPrefix("m_")
+      Seq(ae.keyCol, alt).find(df1.columns.contains).map { keyCol =>
+        val vals = df1.select(col(keyCol).cast("string")).collect()
+          .map(_.getString(0)).toSeq.distinct
+        if (vals.exists(v => v == null || v.contains("'") ||
+            v.contains(",")))
+          Left("a selected key value contains a quote or comma (or " +
+            "is null) — the re-expansion cannot splice it as an " +
+            "IN-list literal")
+        else {
+          val listStr = vals.map(v => s"'$v'").mkString(", ")
+          rewriteUnwind(listStr, ae.keyAlias, ae.tail)
+            .flatMap(q2 => runSingle(g, q2))
+        }
+      }.getOrElse(Left("internal: the aggregate-then-expand " +
+        s"stage 1 produced columns [${df1.columns.mkString(", ")}]" +
+        s" — expected the key as '${ae.keyCol}' or '$alt'"))
+    }
+
   private def runSingle(g: GraphTables,
       query: String): Either[String, DataFrame] =
     parse(query).flatMap {
@@ -7448,25 +7493,7 @@ object CypherLite {
             Right(res.select(u.columns.map(col): _*))
           }
         }
-      case ae: AggTopKExpand =>
-        // phase 1: the ordered-limited KEY VALUES (≤ k ≤ TopKMaxK, a
-        // bounded collect); phase 2: the tail through the UNWIND
-        // rewrite with the values as the IN list — group keys are
-        // distinct, so set membership is exact
-        runSingle(g, ae.stage1Query).flatMap { df1 =>
-          val keyCol = if (df1.columns.contains(ae.keyCol))
-            ae.keyCol else df1.columns.head
-          val vals = df1.select(col(keyCol).cast("string")).collect()
-            .map(_.getString(0)).toSeq.distinct
-          if (vals.exists(v => v == null || v.contains("'")))
-            Left("a selected key value contains a quote (or is null) " +
-              "— the re-expansion cannot splice it as a literal")
-          else {
-            val listStr = vals.map(v => s"'$v'").mkString(", ")
-            rewriteUnwind(listStr, ae.keyAlias, ae.tail)
-              .flatMap(q2 => runSingle(g, q2))
-          }
-        }
+      case ae: AggTopKExpand => execAggTopK(g, ae)
       case tk: TopKExpand =>
         // phase 1: the ordered-limited id set — a BOUNDED collect
         // (≤ k ≤ TopKMaxK rows by construction, the broadcast-the-

@@ -284,6 +284,54 @@ class TopKWithSpec extends SparkSpec {
       "RETURN q.name").contains("never compared"))
   }
 
+  test("duplicated UNWIND list + a chained WITH stage rejects by " +
+      "name (per-element partials cannot cross a HAVING or a " +
+      "DISTINCT-after-aggregation)") {
+    // the r16 hole: the per-element union filtered HAVING against
+    // PARTIAL counts (c=1 died before re-aggregation → silently empty
+    // where Cypher answers the bag totals)
+    assert(left("UNWIND ['Alpha','Alpha'] AS x MATCH (n:N) WHERE " +
+      "n.name = x WITH n.name AS nm, count(*) AS c WHERE c > 1 " +
+      "RETURN nm, c").contains("WITH stage after a duplicated"))
+    // RETURN DISTINCT after an aggregating WITH would dedup the list
+    // UNDER the aggregation and halve counts — same guard
+    assert(left("UNWIND ['Alpha','Alpha'] AS x MATCH (n:N) WHERE " +
+      "n.name = x WITH n.name AS nm, count(*) AS c " +
+      "RETURN DISTINCT nm, c").contains("WITH stage after a duplicated"))
+    // STARTS/ENDS WITH are comparison operators, not stages — the
+    // guard must not trigger on them (ClauseWithRe convention): the
+    // bag still answers, with both occurrences counted
+    assert(rows("UNWIND ['Alpha','Alpha'] AS x MATCH (n:N) WHERE " +
+      "n.name = x AND n.name ENDS WITH 'a' RETURN count(*) AS c")
+      == Seq(Seq(2L)))
+  }
+
+  test("agg-expand key values containing a quote or comma reject " +
+      "(unsplicable IN-list literal)") {
+    import spark.implicits._
+    val g2 = GraphTables(
+      Seq(NodeRow(1L, "N", "a, b", "", "", "b", Seq.empty),
+        NodeRow(11L, "M", "x1", "", "", "b", Seq.empty)).toDS(),
+      Seq(EdgeRow(1L, 11L, "HAS_X", "", "b")).toDS())
+    val got = CypherLite.run(g2, "MATCH (n:N)-[:HAS_X]->(m) WITH " +
+      "n.name AS nn, count(m) AS c ORDER BY c DESC LIMIT 1 " +
+      "MATCH (p:N {name: nn}) RETURN p.name")
+    assert(got.left.exists(_.contains("quote or comma")))
+  }
+
+  test("agg-expand stage-1 column contract breaks FAIL loudly, " +
+      "never guess a column") {
+    // a malformed stage (refactor drift) whose stage 1 lacks both
+    // m_<prop> and c_<prop> must name the break, not splice whatever
+    // column happens to be first
+    val ae = CypherLite.AggTopKExpand(
+      "MATCH (n:N) RETURN count(n) AS c", "m_name", "nn",
+      "MATCH (p:N {name: nn}) RETURN p.name")
+    val got = CypherLite.execAggTopK(g, ae)
+    assert(got.left.exists(e => e.contains("internal") &&
+      e.contains("m_name")))
+  }
+
   test("fold requires the sort key projected; an unprojected key " +
       "routes two-phase instead of erroring") {
     // ORDER BY n.content but the tail projects only name → two-phase
