@@ -660,6 +660,23 @@ object CypherLite {
   final case class AggTopKExpand(stage1Query: String, keyCol: String,
       keyAlias: String, tail: String) extends Statement
 
+  /** `MATCH … WITH <agg AS a>[, …] MATCH … RETURN [a, ] …` — the
+    * KEY-LESS global-aggregate re-entry (r17, battery b32: "count the
+    * X, then match the Y and show both"). A key-less aggregate stage
+    * is ONE summary row, so the re-entry is a 1-row SCALAR SPLICE:
+    * stage 1 runs the aggregates as the global-RETURN form and the
+    * collected scalars re-enter the tail's result as literal columns
+    * at their original RETURN positions (`layout`: Left = a spliced
+    * scalar (source column → output name), Right = the i-th column of
+    * the tail's own result). The tail may reference the aliases ONLY
+    * as RETURN items — a WHERE/ORDER BY use would make the constant a
+    * filter/sort key, which callers should write against the stage
+    * directly; rejected by name at parse time.
+    */
+  final case class GlobalAggExpand(stage1Query: String,
+      tailQuery: String,
+      layout: Seq[Either[(String, String), Int]]) extends Statement
+
   /** Bag-multiplicity UNWIND (duplicate list elements): the
     * per-occurrence single-element rewrites, unioned at execution;
     * `reAgg` maps each aliased aggregate output column to its bag
@@ -2913,11 +2930,16 @@ object CypherLite {
       // id(v) arrives as v.id) and after the passthrough-WITH strip +
       // match merge (so `WITH r MATCH` plumbing ahead of the stage
       // normalizes away instead of masking it)
-      mergeConsecutiveMatches(stripPassthroughWith(q1)).flatMap { q2 =>
+      normalizeWithPlumbing(desugarDegreeProjection(q1))
+        .flatMap(foldProjectionWith).flatMap(qn =>
+        mergeConsecutiveMatches(stripPassthroughWith(qn))).flatMap { q2 =>
         parseTopKWith(q2, params).orElse(
           // aggregate-then-re-expand: the FIRST WITH carries an
           // ordered-limited aggregation and a MATCH follows it
-          parseAggTopK(q2, params)).getOrElse(
+          parseAggTopK(q2, params)).orElse(
+          // key-less global aggregate feeding a follow-up MATCH: the
+          // 1-row scalar splice
+          parseGlobalAggExpand(q2, params)).getOrElse(
           parseChainedWith(q2).getOrElse(parseStmt(q2, params)))
       }
     }
@@ -3530,7 +3552,10 @@ object CypherLite {
       // connected X" (single-hop outgoing, the size-sugar shape)
       """size\s*\(\s*\(\s*(\w+)\s*\)\s*-\s*\[\s*(?::\s*(\w+))?\s*\]""" +
       """\s*-\s*>\s*\(\s*(?::\s*(\w+))?\s*\)\s*\))""" +
-      """(?:\s+(ASC|DESC))?\s*)?""" +
+      """(?:\s+(ASC|DESC))?""" +
+      // an optional SECONDARY tiebreak key `, v.prop [dir]` (r17 —
+      // "most connected, ties by name"); always routed two-phase
+      """(?:\s*,\s*(\w+)\s*\.\s*(\w+)(?:\s+(ASC|DESC))?)?\s*)?""" +
       """(?:SKIP\s+(\d+)\s+)?""" +
       """LIMIT\s+(\d+)\s+(?=MATCH\b|RETURN\b|OPTIONAL\b)""").r
 
@@ -3686,6 +3711,101 @@ object CypherLite {
     }
   }
 
+  /** Detect and parse the key-less global-aggregate re-entry (see
+    * [[GlobalAggExpand]]): the FIRST WITH carries ONLY aliased
+    * aggregates and a MATCH follows before any RETURN. `None` routes
+    * elsewhere (keyed stages → [[parseAggTopK]], plain chains, …).
+    */
+  private def parseGlobalAggExpand(q: String,
+      params: Map[String, String]): Option[Either[String, Statement]] = {
+    val blanked = blankQuoted(q)
+    for {
+      w <- ClauseWithRe.findAllMatchIn(blanked)
+        .filter(_.group(1) == null).toList.headOption
+        .filter(m => !ClauseWithRe.findAllMatchIn(
+          blanked.substring(0, m.start)).exists(_.group(1) == null))
+      t <- MatchTokRe.findFirstMatchIn(blanked.substring(w.end))
+        .map(m => w.end + m.start)
+      _ <- ClauseReturnRe.findFirstMatchIn(blanked)
+        .filter(_.start < t).fold(Option(()))(_ => None)
+      clause = q.substring(w.end, t)
+      items = splitTopLevel(clause).map(_.trim).filter(_.nonEmpty)
+      _ <- if (items.nonEmpty && items.forall {
+          case AggTopKAggRe(_) => true
+          case _ => false
+        }) Some(()) else None
+    } yield buildGlobalAggExpand(q, w.start, items, t, params)
+  }
+
+  private def buildGlobalAggExpand(q: String, wStart: Int,
+      items: Seq[String], tailStart: Int,
+      params: Map[String, String]): Either[String, Statement] = {
+    val mp = q.substring(0, wStart).trim
+    val tail = q.substring(tailStart)
+    val aliases = items.map(_.replaceAll("""(?is)^.*\bAS\s+""", "").trim)
+    val stage1 = s"$mp RETURN ${items.mkString(", ")}"
+    val tb = blankQuoted(tail)
+    for {
+      _ <- if (aliases.distinct.size != aliases.size)
+        Left("duplicate aggregate alias in the global stage: " +
+          aliases.diff(aliases.distinct).distinct.mkString(", "))
+      else Right(())
+      ret <- ClauseReturnRe.findFirstMatchIn(tb).toRight(
+        "the global-aggregate re-entry needs a closing RETURN")
+      itemsEnd = """(?is)\b(ORDER|SKIP|LIMIT)\b""".r
+        .findFirstMatchIn(tb.substring(ret.end))
+        .map(ret.end + _.start).getOrElse(tb.length)
+      distinctLen = """(?is)^\s*DISTINCT\b""".r
+        .findFirstIn(tb.substring(ret.end, itemsEnd))
+        .map(_.length).getOrElse(0)
+      itemsStart = ret.end + distinctLen
+      retItems = splitTopLevel(tail.substring(itemsStart, itemsEnd))
+        .map(_.trim)
+      classified = retItems.map { it =>
+        val bare = aliases.find(_.equalsIgnoreCase(it))
+        val renamed = aliases.flatMap { a =>
+          val m = ("""(?is)^""" + java.util.regex.Pattern.quote(a) +
+            """\s+AS\s+(\w+)\s*;?\s*$""").r.findFirstMatchIn(it)
+          m.map(mm => (a, mm.group(1)))
+        }.headOption
+        bare.map(a => Left((a, a))).orElse(
+          renamed.map(Left(_))).getOrElse(Right(it))
+      }
+      kept = classified.collect { case Right(it) => it }
+      _ <- if (kept.isEmpty)
+        Left("the follow-up MATCH must compute something of its own — " +
+          "a RETURN of only the stage scalars re-emits one constant " +
+          "per matched row; RETURN them from the stage directly")
+      else Right(())
+      rebuilt = tail.substring(0, ret.end) + " " +
+        (if (distinctLen > 0) "DISTINCT " else "") +
+        kept.mkString(", ") + " " + tail.substring(itemsEnd)
+      // alias references outside the RETURN items (WHERE, ORDER BY)
+      // would make the spliced constant a filter/sort key — reject
+      rb = blankQuoted(rebuilt)
+      _ <- aliases.find(a => ("""(?i)(?<![\w.$:])""" +
+          java.util.regex.Pattern.quote(a) + """\b""").r
+          .findFirstIn(rb).isDefined) match {
+        case Some(a) => Left(s"the stage scalar '$a' may only appear " +
+          "as a RETURN item of the follow-up MATCH — as a WHERE or " +
+          "ORDER BY key it is a constant; compare against the stage " +
+          "query directly")
+        case None => Right(())
+      }
+      _ <- parse(stage1, params).left.map(e =>
+        s"in the global-aggregate stage: $e")
+      _ <- parse(rebuilt, params).left.map(e =>
+        s"in the re-entry tail: $e")
+      layout = {
+        var i = -1
+        classified.map {
+          case Left(sc) => Left(sc)
+          case Right(_) => i += 1; Right(i)
+        }
+      }
+    } yield GlobalAggExpand(stage1, rebuilt, layout)
+  }
+
   private def buildTopK(q: String, mm: scala.util.matching.Regex.Match,
       params: Map[String, String]): Either[String, Statement] = {
     val v = mm.group(1)
@@ -3700,8 +3820,12 @@ object CypherLite {
       s"-[$rel]->($lab)"
     }
     val desc = Option(mm.group(10)).exists(_.equalsIgnoreCase("DESC"))
-    val skip = Option(mm.group(11)).map(_.toInt)
-    val k = mm.group(12).toInt
+    // the optional secondary tiebreak key `, v.prop [dir]`
+    val secVar = Option(mm.group(11))
+    val secProp = Option(mm.group(12))
+    val secDesc = Option(mm.group(13)).exists(_.equalsIgnoreCase("DESC"))
+    val skip = Option(mm.group(14)).map(_.toInt)
+    val k = mm.group(15).toInt
     // the stage's sort key as query text: bare property or fn-wrapped
     def obKeyText(p: String): String =
       obFn.map(f => s"$f($v.$p)").getOrElse(s"$v.$p")
@@ -3737,7 +3861,12 @@ object CypherLite {
       case Some(o) if o != v => Left(s"ORDER BY in a `WITH $v … LIMIT` " +
         s"stage may only sort by $v's properties (got " +
         s"$o.${obProp.getOrElse("")})")
-      case _ => Right(())
+      case _ => secVar match {
+        case Some(o) if o != v => Left(s"ORDER BY in a `WITH $v … " +
+          s"LIMIT` stage may only sort by $v's properties (got the " +
+          s"tiebreak $o.${secProp.getOrElse("")})")
+        case _ => Right(())
+      }
     }
     def foldClean: Boolean =
       FlatAggCallRe.findFirstIn(tailBlank).isEmpty &&
@@ -3790,15 +3919,23 @@ object CypherLite {
             "cartesian product over the selected rows")
         skipTxt = skip.map(sk => s" SKIP $sk").getOrElse("")
         dirTxt = if (desc) " DESC" else ""
+        // the user's secondary tiebreak key slots between the primary
+        // key and the deterministic id tiebreak; its property joins
+        // the projection (ORDER BY keys must be projected)
+        secDirTxt = if (secDesc) " DESC" else ""
+        secProj = secProp.filterNot(p => p == "id" || obProp.contains(p))
+          .fold("")(p => s"$v.$p, ")
+        secOb = secProp.fold("")(p => s"$v.$p$secDirTxt, ")
         stage1 = (obSize, obProp) match {
           // degree key: the size() item rides its own alias, ordered
           // by it with the id tiebreak — "the k most connected v"
           case (Some(pat), _) =>
-            s"MATCH_STAGE1 RETURN $v.id, size(($v)$pat) AS topk_deg " +
-              s"ORDER BY topk_deg$dirTxt, $v.id$skipTxt LIMIT $k"
+            s"MATCH_STAGE1 RETURN $v.id, ${secProj}size(($v)$pat) " +
+              s"AS topk_deg ORDER BY topk_deg$dirTxt, $secOb$v.id" +
+              s"$skipTxt LIMIT $k"
           case (None, Some(p)) if p != "id" =>
-            s"MATCH_STAGE1 RETURN $v.$p, $v.id ORDER BY " +
-              s"${obKeyText(p)}$dirTxt, $v.id$skipTxt LIMIT $k"
+            s"MATCH_STAGE1 RETURN $v.$p, $secProj$v.id ORDER BY " +
+              s"${obKeyText(p)}$dirTxt, $secOb$v.id$skipTxt LIMIT $k"
           case _ =>
             s"MATCH_STAGE1 RETURN $v.id ORDER BY $v.id" +
               s"${if (desc && obProp.contains("id")) " DESC" else ""}" +
@@ -3841,7 +3978,7 @@ object CypherLite {
                 s"""(?is)$v\\s*\\.\\s*$p(\\s+AS\\s+\\w+)?\\s*;?\\s*"""))
           }
           if (foldClean && obProjected && obSize.isEmpty &&
-              (skip.isEmpty || obProp.isDefined)) {
+              secProp.isEmpty && (skip.isEmpty || obProp.isDefined)) {
             // limit-then-project rows map 1:1, so the stage folds into
             // the RETURN tail and keeps the stage's output ordering
             // (a SKIP without ORDER BY runs two-phase: the engine's
@@ -3856,6 +3993,414 @@ object CypherLite {
         }
       }
     }
+  }
+
+  // a plumbing WITH's item list: bare variables and/or whole-variable
+  // renames (`v AS x`) — identifiers only, so any dotted projection,
+  // aggregate call, or DISTINCT keyword fails the prefix match and the
+  // clause routes to the stage machineries untouched
+  private val PlumbingItemsRe =
+    """(?is)^\s+(\w+(?:\s+AS\s+\w+)?(?:\s*,\s*\w+(?:\s+AS\s+\w+)?)*)\s*""".r
+  private val PlumbingBoundaryRe =
+    ("""(?is)^(WHERE|ORDER|SKIP|LIMIT|MATCH|RETURN|WITH|UNWIND|""" +
+      """OPTIONAL|SET|DETACH|DELETE|REMOVE|MERGE|CREATE)\b""").r
+  private val PlumbingItemRe = """(?is)^(\w+)(?:\s+AS\s+(\w+))?$""".r
+
+  /** Pure variable-plumbing WITH clauses (r17, battery b27): `WITH v
+    * AS x[, …]` whole-variable renames and the bare pass-through forms
+    * they leave behind. A rename is scope bookkeeping, not computation
+    * — the alias substitutes back to the bound variable in everything
+    * downstream (quote-safe: located on the blanked text; label,
+    * property, and map-key positions excluded), and the residual
+    * bare-variable WITH then drops when it feeds a MATCH / RETURN /
+    * write clause (row-preserving: no DISTINCT, aggregate, or ordering
+    * is involved), stays as a bare stage when it carries ORDER BY /
+    * SKIP / LIMIT (the top-k machinery's shape), or merges its leading
+    * WHERE into the MATCH's own (`WHERE a WITH n WHERE b` ≡
+    * `WHERE a AND b` under pure plumbing). An alias that would shadow
+    * an already-bound variable rejects by name — substituting it would
+    * silently corrupt the earlier binding's references.
+    */
+  private def normalizeWithPlumbing(q0: String): Either[String, String] = {
+    var q = q0
+    var iter = 0
+    while (iter < 8) {
+      iter += 1
+      val blanked = blankQuoted(q)
+      val hit = ClauseWithRe.findAllMatchIn(blanked)
+        .filter(_.group(1) == null).flatMap { m =>
+          PlumbingItemsRe.findPrefixMatchOf(blanked.substring(m.end))
+            .flatMap { im =>
+              val after = blanked.substring(m.end + im.end)
+              PlumbingBoundaryRe.findPrefixMatchOf(after).map { b =>
+                val items = im.group(1).split(",").toSeq.map(_.trim)
+                  .flatMap {
+                    case PlumbingItemRe(v, a) =>
+                      Seq((v, Option(a).filter(_ != v)))
+                    case _ => Seq.empty // unreachable by construction
+                  }
+                (m, im, items,
+                  b.group(1).toUpperCase(java.util.Locale.ROOT))
+              }
+            }
+        }.find { case (m, _, items, boundary) =>
+          // only the FIRST WITH is variable plumbing — its items name
+          // MATCH-bound variables; a later bare WITH names the previous
+          // STAGE's columns (`WITH m, count(c) AS n WITH n WHERE …`)
+          // and belongs to the FlatStage machinery
+          !ClauseWithRe.findAllMatchIn(blanked.substring(0, m.start))
+            .exists(_.group(1) == null) &&
+          // actionable: carries a rename, or is a bare list whose
+          // boundary the legacy strip does not already serve (RETURN /
+          // WHERE / a following stage); bare-before-MATCH stays with
+          // stripPassthroughWith, bare-with-ordering with the top-k
+          // machinery
+          (items.exists(_._2.isDefined) ||
+            boundary == "RETURN" || boundary == "WHERE" ||
+            boundary == "WITH")
+        }
+      hit match {
+        case None => return Right(q)
+        case Some((m, im, items, boundary)) =>
+          val renames = items.collect { case (v, Some(a)) => (v, a) }
+          val vars = items.map(_._1)
+          val aliases = renames.map(_._2)
+          if (aliases.distinct.size != aliases.size)
+            return Left("duplicate WITH alias: " +
+              aliases.diff(aliases.distinct).distinct.mkString(", "))
+          if (aliases.exists(vars.contains))
+            return Left("a WITH alias may not collide with a carried " +
+              s"variable (${aliases.filter(vars.contains).head}) — " +
+              "rename to a fresh name")
+          val pre = blanked.substring(0, m.start)
+          aliases.find(a =>
+            ("""[(\[]\s*""" + java.util.regex.Pattern.quote(a) +
+              """\b""").r.findFirstIn(pre).isDefined) match {
+            case Some(a) => return Left(s"WITH … AS $a would shadow " +
+              s"the already-bound variable '$a' — rename to a fresh " +
+              "name")
+            case None => ()
+          }
+          val tailStart = m.end + im.end
+          // substitute each alias back to its variable across the tail,
+          // one rename at a time (each application re-blanks): skip
+          // label positions (:x), dotted-property positions (n.x), and
+          // map keys ({x: …})
+          var tail = q.substring(tailStart)
+          renames.foreach { case (v, a) => tail = substVar(tail, a, v) }
+          val head = q.substring(0, m.start)
+          q = boundary match {
+            case "ORDER" | "SKIP" | "LIMIT" =>
+              // the stage carries ordering — keep it as a bare-variable
+              // top-k stage over the original variables
+              head + "WITH " + vars.distinct.mkString(", ") + " " + tail
+            case "WHERE" =>
+              attachLeadingWhere(head, pre, tail) match {
+                case Left(e) => return Left(e)
+                case Right(r) => r
+              }
+            case _ => head + tail // MATCH/RETURN/WITH/UNWIND/write tails
+          }
+      }
+    }
+    Right(q)
+  }
+
+  // `WITH v, size((v)-[:T]->([:L])) AS d` — a DEGREE column projected
+  // through a stage (battery b44); single-hop outgoing, the size-sugar
+  // shape, anchored on the stage variable itself
+  private val DegProjWithRe =
+    ("""(?is)\bWITH\s+(\w+)\s*,\s*size\s*\(\s*\(\s*(\w+)\s*\)\s*""" +
+      """-\s*\[\s*(?::\s*(\w+))?\s*\]\s*-\s*>\s*""" +
+      """\(\s*(?::\s*(\w+))?\s*\)\s*\)\s+AS\s+(\w+)\b""").r
+
+  /** Degree-projection WITH stages (r17, battery b44): `WITH v,
+    * size((v)-[:T]->()) AS d ORDER BY d DESC LIMIT k RETURN …, d` —
+    * the computed column is the SAME degree expression everywhere it
+    * is referenced, so the stage desugars onto machinery that already
+    * exists: the WITH keeps only the bare variable (the top-k degree
+    * sort key serves the stage's ORDER BY), pre-RETURN references to
+    * the alias take the bare size() expression, and bare-alias RETURN
+    * items take `size(…) AS d` (the RETURN-side size sugar). Degree is
+    * a per-root edge count, so re-evaluating it over the id-limited
+    * roots in a two-phase tail answers identically.
+    */
+  private def desugarDegreeProjection(q: String): String = {
+    val blanked = blankQuoted(q)
+    DegProjWithRe.findFirstMatchIn(blanked) match {
+      case Some(m) if m.group(1) == m.group(2) &&
+          !ClauseWithRe.findAllMatchIn(blanked.substring(0, m.start))
+            .exists(_.group(1) == null) &&
+          // a true clause WITH, not STARTS/ENDS WITH (the regex's own
+          // \bWITH cannot see the preceding operator keyword)
+          !"""(?is)(?:STARTS|ENDS)\s*$""".r
+            .findFirstIn(blanked.substring(0, m.start)).isDefined =>
+        val v = m.group(1)
+        val rel = Option(m.group(3)).fold("")(t => s":$t")
+        val lab = Option(m.group(4)).fold("")(l => s":$l")
+        val alias = m.group(5)
+        val sizeExpr = s"size(($v)-[$rel]->($lab))"
+        var rest = q.substring(m.end)
+        val rb = blankQuoted(rest)
+        val retStart = ClauseReturnRe.findFirstMatchIn(rb).map(_.start)
+          .getOrElse(rb.length)
+        // pre-RETURN references (the stage's ORDER BY, a WHERE) take
+        // the bare expression; bare-alias RETURN items take the
+        // aliased size sugar; post-RETURN (ORDER BY) references keep
+        // the alias, which resolves through the projected item
+        val head0 = substVar(rest.substring(0, retStart), alias, sizeExpr)
+        var tail0 = rest.substring(retStart)
+        val tb = blankQuoted(tail0)
+        ClauseReturnRe.findFirstMatchIn(tb).foreach { rm =>
+          val itemsEnd = """(?is)\b(ORDER|SKIP|LIMIT)\b""".r
+            .findFirstMatchIn(tb.substring(rm.end))
+            .map(rm.end + _.start).getOrElse(tb.length)
+          val distinctLen = """(?is)^\s*DISTINCT\b""".r
+            .findFirstIn(tb.substring(rm.end, itemsEnd))
+            .map(_.length).getOrElse(0)
+          val itemsStart = rm.end + distinctLen
+          val retItems =
+            splitTopLevel(tail0.substring(itemsStart, itemsEnd))
+              .map(_.trim).map { it =>
+                if (it.equalsIgnoreCase(alias)) s"$sizeExpr AS $alias"
+                else it
+              }
+          tail0 = tail0.substring(0, itemsStart) + " " +
+            retItems.mkString(", ") + " " + tail0.substring(itemsEnd)
+        }
+        q.substring(0, m.start) + s"WITH $v " + head0 + tail0
+      case _ => q
+    }
+  }
+
+  // one projection-WITH item: a single-arg scalar fn over a dotted
+  // property, a bare dotted property, or a bare variable — each with an
+  // optional alias. Aggregate calls never match (their args are `*` or
+  // lack the dotted shape the fn arm requires — and the fn whitelist
+  // excludes them anyway).
+  private val ProjItemRe =
+    ("""(?is)^(?:(toLower|toUpper|trim|size|toInteger|toFloat)\s*\(\s*""" +
+      """(\w+)\s*\.\s*(\w+)\s*\)|(\w+)\s*\.\s*(\w+)|(\w+))""" +
+      """(?:\s+AS\s+(\w+))?$""").r
+
+  /** A pure PROJECTION first-WITH feeding WHERE or RETURN (r17,
+    * battery b36): `WITH toLower(n.name) AS lo … RETURN lo[, count(*)]`
+    * — scope bookkeeping over 1:1 rows, folded textually: each aliased
+    * expression substitutes into the tail (bare-alias RETURN items
+    * become `expr AS alias`, so the output name and Cypher's
+    * group-by-the-projected-expression rule are preserved; WHERE
+    * references take the bare expression), whole-variable items ride
+    * the same substitution the plumbing pass uses, and the WITH clause
+    * drops (its leading WHERE merging into the MATCH's own exactly as
+    * [[normalizeWithPlumbing]] does). No DISTINCT, aggregate, or
+    * ordering is involved, so rows map 1:1 and the fold is exact.
+    */
+  private def foldProjectionWith(q: String): Either[String, String] = {
+    val blanked = blankQuoted(q)
+    val cand = ClauseWithRe.findAllMatchIn(blanked)
+      .filter(_.group(1) == null).take(1).toList.headOption
+      .filter(m => !ClauseWithRe.findAllMatchIn(
+        blanked.substring(0, m.start)).exists(_.group(1) == null))
+    cand match {
+      case None => Right(q)
+      case Some(m) =>
+        // items run to the first clause keyword; the segment must
+        // contain a dot (else it was plumbing) and every comma-split
+        // item must parse as a projection item
+        val afterAll = blanked.substring(m.end)
+        val bnd = """(?is)\b(WHERE|ORDER|SKIP|LIMIT|MATCH|RETURN|WITH|UNWIND|OPTIONAL|SET|DETACH|DELETE|REMOVE|MERGE|CREATE)\b""".r
+          .findFirstMatchIn(afterAll)
+        bnd match {
+          case Some(b) if b.group(1).equalsIgnoreCase("WHERE") ||
+              b.group(1).equalsIgnoreCase("RETURN") =>
+            val itemsText = q.substring(m.end, m.end + b.start)
+            if (!itemsText.contains(".")) Right(q)
+            else {
+              val parsedOpt = itemsText.split(",").toSeq.map(_.trim)
+                .map {
+                  case ProjItemRe(fn, v1, p1, v2, p2, bare, alias) =>
+                    if (fn != null)
+                      Some(("fn", s"$fn($v1.$p1)", Option(alias)))
+                    else if (v2 != null)
+                      Some(("prop", s"$v2.$p2", Option(alias)))
+                    else Some(("var", bare, Option(alias)))
+                  case _ => None
+                }
+              if (parsedOpt.exists(_.isEmpty)) Right(q) // not this pass
+              else {
+                val items = parsedOpt.flatten
+                val aliases = items.flatMap(_._3)
+                if (aliases.distinct.size != aliases.size)
+                  Left("duplicate WITH alias: " +
+                    aliases.diff(aliases.distinct).distinct.mkString(", "))
+                else {
+                  val pre = blanked.substring(0, m.start)
+                  aliases.find(a => ("""[(\[]\s*""" +
+                      java.util.regex.Pattern.quote(a) + """\b""").r
+                      .findFirstIn(pre).isDefined) match {
+                    case Some(a) =>
+                      Left(s"WITH … AS $a would shadow the " +
+                        s"already-bound variable '$a' — rename to a " +
+                        "fresh name")
+                    case None =>
+                      foldProjTail(q, m.start, m.end + b.start, items)
+                  }
+                }
+              }
+            }
+          case _ => Right(q)
+        }
+    }
+  }
+
+  /** The tail rewrite of [[foldProjectionWith]]: substitute each
+    * aliased item into the tail and drop the WITH clause.
+    */
+  private def foldProjTail(q: String, wStart: Int, tailStart: Int,
+      items: Seq[(String, String, Option[String])])
+      : Either[String, String] = {
+    var tail = q.substring(tailStart)
+    // whole-variable renames substitute everywhere (label / map-key /
+    // quote safe), exactly as the plumbing pass
+    items.collect { case ("var", v, Some(a)) if a != v => (v, a) }
+      .foreach { case (v, a) => tail = substVar(tail, a, v) }
+    // expression items: rewrite bare-alias RETURN items to
+    // `expr AS alias`, then substitute remaining PRE-RETURN references
+    // (WHERE region) with the bare expression
+    val exprItems = items.collect {
+      case (k, e, Some(a)) if k != "var" => (e, a)
+    }
+    if (exprItems.nonEmpty) {
+      val tb = blankQuoted(tail)
+      val retM = ClauseReturnRe.findFirstMatchIn(tb)
+      retM.foreach { rm =>
+        val itemsEnd = """(?is)\b(ORDER|SKIP|LIMIT)\b""".r
+          .findFirstMatchIn(tb.substring(rm.end))
+          .map(rm.end + _.start).getOrElse(tb.length)
+        val distinctLen =
+          """(?is)^\s*DISTINCT\b""".r.findFirstIn(
+            tb.substring(rm.end, itemsEnd)).map(_.length).getOrElse(0)
+        val itemsStart = rm.end + distinctLen
+        val retItems = splitTopLevel(tail.substring(itemsStart, itemsEnd))
+          .map(_.trim).map { it =>
+            exprItems.collectFirst {
+              case (e, a) if it.equalsIgnoreCase(a) => s"$e AS $a"
+              case (e, a) if it.matches(
+                  s"(?is)$a\\s+AS\\s+(\\w+)") =>
+                s"$e AS ${it.replaceAll("(?is)^\\w+\\s+AS\\s+", "")}"
+            }.getOrElse(it)
+          }
+        tail = tail.substring(0, itemsStart) + " " +
+          retItems.mkString(", ") + " " + tail.substring(itemsEnd)
+      }
+      // WHERE-region (pre-RETURN) references take the bare expression
+      val tb2 = blankQuoted(tail)
+      val retStart = ClauseReturnRe.findFirstMatchIn(tb2)
+        .map(_.start).getOrElse(tb2.length)
+      exprItems.foreach { case (e, a) =>
+        val re = ("""(?<![\w.$:])""" +
+          java.util.regex.Pattern.quote(a) + """\b""").r
+        val head0 = tail.substring(0, retStart)
+        val hb = blankQuoted(head0)
+        val sb = new StringBuilder
+        var pos = 0
+        re.findAllMatchIn(hb).foreach { am =>
+          sb.append(head0.substring(pos, am.start)).append(e)
+          pos = am.end
+        }
+        sb.append(head0.substring(pos))
+        tail = sb.toString + tail.substring(retStart)
+      }
+    }
+    val head = q.substring(0, wStart)
+    val pre = blankQuoted(q).substring(0, wStart)
+    if ("""(?is)^\s*WHERE\b""".r.findFirstIn(
+        blankQuoted(tail)).isDefined)
+      attachLeadingWhere(head, pre, tail)
+    else Right(head + tail)
+  }
+
+  /** Attach a tail that BEGINS with `WHERE <body>` (left behind by a
+    * dropped plumbing/projection WITH) to the right clause. Three
+    * placements, in order of preference:
+    *  - a plain MATCH immediately follows the body → the filter moves
+    *    AFTER that MATCH's pattern (root-prop filters commute with the
+    *    inner expansion, and `MATCH … WHERE … MATCH …` has no parse —
+    *    the junction splice needs the patterns adjacent), AND-merging
+    *    with the MATCH's own WHERE when one exists;
+    *  - the preceding MATCH already carries a WHERE → `AND`-merge;
+    *  - otherwise the WHERE attaches to the preceding MATCH as-is.
+    * AND-merges reject compound OR bodies by name rather than silently
+    * re-associating them (`a AND b OR c` ≠ `a AND (b OR c)`).
+    */
+  private def attachLeadingWhere(head: String, pre: String,
+      tail: String): Either[String, String] = {
+    val tb = blankQuoted(tail)
+    val wEnd = """(?is)^\s*WHERE\b""".r.findFirstMatchIn(tb)
+      .map(_.end).getOrElse(0)
+    val kws = TailClauseKwRe.findAllMatchIn(tb)
+      .filter(m => m.group(1) == null && m.start >= wEnd).toList
+    def hasTopOr(s: String): Boolean =
+      """(?i)\bOR\b""".r.findFirstIn(blankQuoted(s)).isDefined
+    kws.headOption match {
+      case Some(kw) if kw.group(2).equalsIgnoreCase("MATCH") =>
+        val body = tail.substring(wEnd, kw.start).trim
+        val nextOpt = kws.lift(1)
+        nextOpt match {
+          case Some(nk) if nk.group(2).equalsIgnoreCase("WHERE") =>
+            if (hasTopOr(body) ||
+                hasTopOr(tail.substring(nk.end,
+                  kws.lift(2).map(_.start).getOrElse(tail.length))))
+              Left("cannot AND-merge an OR condition across a dropped " +
+                "WITH stage — write the filter in one WHERE clause")
+            else Right(head + tail.substring(kw.start, nk.end) +
+              " " + body + " AND" + tail.substring(nk.end))
+          case _ =>
+            val pos = nextOpt.map(_.start).getOrElse(tail.length)
+            Right(head + tail.substring(kw.start, pos) +
+              s" WHERE $body " + tail.substring(pos))
+        }
+      case _ =>
+        val lastOpen = """(?i)\b(MATCH|UNWIND)\b""".r
+          .findAllMatchIn(pre).toSeq.lastOption.map(_.start).getOrElse(0)
+        val preWhere = """(?i)\bWHERE\b""".r
+          .findFirstMatchIn(pre.substring(lastOpen))
+        if (preWhere.isEmpty) Right(head + tail)
+        else {
+          val body = tail.substring(wEnd,
+            kws.headOption.map(_.start).getOrElse(tail.length))
+          val preBody = pre.substring(lastOpen + preWhere.get.end)
+          if (hasTopOr(body) || hasTopOr(preBody))
+            Left("cannot AND-merge an OR condition across a dropped " +
+              "WITH stage — write the filter in one WHERE clause")
+          else Right(head +
+            tail.replaceFirst("""(?is)^\s*WHERE\b""", " AND"))
+        }
+    }
+  }
+
+  /** Label-, map-key-, and quote-safe whole-variable substitution
+    * (alias → variable), shared by the plumbing and projection passes.
+    */
+  private def substVar(text: String, from: String, to: String): String = {
+    val tb = blankQuoted(text)
+    val re = ("""(?<![\w.$:])""" +
+      java.util.regex.Pattern.quote(from) + """\b""").r
+    val sb = new StringBuilder
+    var pos = 0
+    re.findAllMatchIn(tb).foreach { am =>
+      val depth = tb.substring(0, am.start)
+        .foldLeft(0)((d, c) => if (c == '{') d + 1
+          else if (c == '}') d - 1 else d)
+      val isMapKey = depth > 0 &&
+        """^\s*:""".r.findFirstIn(tb.substring(am.end)).isDefined
+      if (!isMapKey) {
+        sb.append(text.substring(pos, am.start)).append(to)
+        pos = am.end
+      }
+    }
+    sb.append(text.substring(pos))
+    sb.toString
   }
 
   private def stripPassthroughWith(q: String): String = {
@@ -5259,14 +5804,29 @@ object CypherLite {
           // scalar functions transform the projection BEFORE
           // DISTINCT/ORDER BY (Cypher's rule): hop-less in the plain
           // branch, under a hop pattern on the ROOT side (r14 — the
-          // conn-side symmetry); mixed with aggregates they would
-          // become transformed grouping keys — rejected rather than
-          // silently grouping on either form. CASE stays hop-less (its
-          // WHEN machinery reads bare root columns).
+          // conn-side symmetry). Mixed with aggregates they become
+          // transformed GROUPING KEYS — served (r17, battery b36) on
+          // the hop-less count(*) form (`RETURN toLower(m.p) AS k,
+          // count(*)` groups by the transformed value, Cypher's
+          // group-by-the-projected-expression rule); every other
+          // combination still rejects rather than silently grouping.
+          // CASE stays hop-less (its WHEN machinery reads bare root
+          // columns).
+          fnGroupedCount = conn.isEmpty &&
+            items.exists(_.isInstanceOf[RetPropFn]) &&
+            items.exists(isAgg) &&
+            items.forall {
+              case RetCount(_, star) => star
+              case _: RetPropFn | _: RetProp => true
+              case _ => false
+            }
           _ <- if (items.exists(i => i.isInstanceOf[RetPropFn] ||
-              i.isInstanceOf[RetCase]) && items.exists(isAgg))
+              i.isInstanceOf[RetCase]) && items.exists(isAgg) &&
+              !fnGroupedCount)
             Left("scalar functions / CASE in RETURN cannot combine " +
-              "with aggregates")
+              "with aggregates" + (if (conn.isEmpty) " (except the " +
+              "hop-less grouped form `fn(m.prop) [AS k], count(*)`)"
+              else ""))
           else Right(())
 
           _ <- if (items.exists(i => i.isInstanceOf[RetCollect] ||
@@ -5406,9 +5966,12 @@ object CypherLite {
               i.isInstanceOf[RetRelProp] ||
               i.isInstanceOf[RetRelAccessor] ||
               i.isInstanceOf[RetEndpoint] ||
-              i.isInstanceOf[RetRelCoalesce]))
+              i.isInstanceOf[RetRelCoalesce] ||
+              // a scalar-fn item is a TRANSFORMED grouping key on the
+              // hop-less count(*) form (r17) — fnGroupedCount gates it
+              (fnGroupedCount && i.isInstanceOf[RetPropFn])))
             Left("an aggregate requires a grouping item (m, m.prop, " +
-              "type(r), or r.prop)")
+              "type(r), r.prop, or — hop-less — fn(m.prop))")
           else Right(())
           // hop-less count(*) groups matched nodes by projected property
           // values; grouping by the whole node would count 1 per node
@@ -7494,6 +8057,36 @@ object CypherLite {
           }
         }
       case ae: AggTopKExpand => execAggTopK(g, ae)
+      case ga: GlobalAggExpand =>
+        // phase 1: the global aggregates — ONE row by construction
+        // (a key-less aggregate over any match, even empty, answers
+        // exactly one summary row); phase 2: the tail's own result
+        // with the scalars re-entering as typed literal columns at
+        // their original RETURN positions
+        runSingle(g, ga.stage1Query).flatMap { df1 =>
+          val missing = ga.layout.collect {
+            case Left((src, _)) if !df1.columns.contains(src) => src
+          }
+          if (missing.nonEmpty)
+            Left("internal: the global-aggregate stage produced " +
+              s"columns [${df1.columns.mkString(", ")}] — missing " +
+              s"the spliced scalar(s) ${missing.mkString(", ")}")
+          else {
+            val row = df1.collect().head
+            runSingle(g, ga.tailQuery).map { df2 =>
+              val cols = ga.layout.map {
+                case Left((src, out)) =>
+                  val idx = row.fieldIndex(src)
+                  val c = if (row.isNullAt(idx))
+                    lit(null).cast(df1.schema(idx).dataType)
+                  else lit(row.get(idx))
+                  c.as(out)
+                case Right(i) => col(df2.columns(i))
+              }
+              df2.select(cols: _*)
+            }
+          }
+        }
       case tk: TopKExpand =>
         // phase 1: the ordered-limited id set — a BOUNDED collect
         // (≤ k ≤ TopKMaxK rows by construction, the broadcast-the-
@@ -7967,12 +8560,26 @@ object CypherLite {
         } else if (items.exists(_.isInstanceOf[RetCount])) {
           // hop-less `RETURN m.prop[, ...], count(*)`: group the matched
           // nodes by the projected property values and count members —
-          // one hash aggregate, partial+final, no join anywhere
-          val keys = items.collect { case RetProp(p) => p }.distinct
-          val agged = matched.groupBy(keys.map(col): _*)
+          // one hash aggregate, partial+final, no join anywhere. Scalar-
+          // fn items (r17) group by the TRANSFORMED value (Cypher groups
+          // by the projected expression), named canonically so ORDER BY
+          // aliases resolve through the agg: pseudo-namespace.
+          val keyPairs: Seq[(String, Column)] = {
+            val seen = scala.collection.mutable.LinkedHashMap
+              .empty[String, Column]
+            items.foreach {
+              case RetProp(p) => seen.getOrElseUpdate(s"m_$p", col(p))
+              case f: RetPropFn =>
+                seen.getOrElseUpdate(s"${f.fn}_${f.prop}", scalarCol(f))
+              case _ => ()
+            }
+            seen.toSeq
+          }
+          val agged = matched
+            .groupBy(keyPairs.map { case (n, c) => c.as(n) }: _*)
             .agg(count(lit(1)).as(aggOut))
-            .select(keys.map(p => col(p).as(s"m_$p")) :+ col(aggOut): _*)
-          ordered(agged, keys.map("m_" + _))
+            .select(keyPairs.map(_._1).map(col) :+ col(aggOut): _*)
+          ordered(agged, keyPairs.map(_._1))
         } else {
           // RETURN m → the full (label, name, content) node image;
           // RETURN m.prop[, ...] → exactly those properties; scalar-fn

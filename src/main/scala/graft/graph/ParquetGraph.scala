@@ -3679,6 +3679,84 @@ object ParquetGraph {
         .select(col("name")).orderBy("name")
     },
 
+    // C10 CypherLite twin (new r17): whole-variable rename — `WITH n
+    // AS x` is scope bookkeeping, normalized by substituting the alias
+    // back to the bound variable (battery b27: the alias feeds the
+    // tail's WHERE, a re-entry MATCH, and the RETURN). The oracle is
+    // the plain filtered hop-aggregate the rename desugars to.
+    QueryDef.sql(
+      "graphp_cypher_with_rename",
+      """SELECT n_name AS m_name,
+        |  CAST(count(c_custkey) AS BIGINT) AS n_cust
+        |FROM nation JOIN customer ON c_nationkey = n_nationkey
+        |WHERE n_name LIKE '%1%'
+        |GROUP BY n_name ORDER BY m_name""".stripMargin) { (s, d) =>
+      CypherLite.run(hierarchy(s, d),
+        "MATCH (n:Nation) WITH n AS x WHERE x.name CONTAINS '1' " +
+          "MATCH (x)-[:HAS_CUSTOMER]->(c) " +
+          "RETURN x.name, count(c) AS n_cust ORDER BY x.name")
+        .fold(err => throw new IllegalArgumentException(err), identity)
+    },
+
+    // C10 CypherLite twin (new r17): degree-projection top-k stage —
+    // `WITH m, size((m)-[:R]->()) AS deg ORDER BY deg DESC, m.name
+    // LIMIT k RETURN …, deg` (battery b44): the computed degree rides
+    // the stage AND the projection; the explicit name tiebreak (every
+    // sf0.01 nation count ties rarely, names decide determinism) and
+    // the final ORDER BY pin the order from both sides.
+    QueryDef.sql(
+      "graphp_cypher_topk_degproj",
+      """WITH deg AS (SELECT n_name, CAST(count(c_custkey) AS BIGINT)
+        |    AS degree
+        |  FROM nation LEFT JOIN customer ON c_nationkey = n_nationkey
+        |  GROUP BY n_name)
+        |SELECT n_name AS m_name, degree AS deg FROM deg
+        |ORDER BY degree DESC, n_name LIMIT 3""".stripMargin) { (s, d) =>
+      CypherLite.run(hierarchy(s, d),
+        "MATCH (m:Nation) WITH m, size((m)-[:HAS_CUSTOMER]->()) AS " +
+          "deg ORDER BY deg DESC, m.name LIMIT 3 " +
+          "RETURN m.name, deg ORDER BY deg DESC, m.name")
+        .fold(err => throw new IllegalArgumentException(err), identity)
+    },
+
+    // C10 CypherLite twin (new r17): KEY-LESS global-aggregate
+    // re-entry — `WITH count(n) AS total MATCH …` is a 1-row scalar
+    // splice (battery b32): stage 1 answers one summary row and the
+    // scalar re-enters the tail's result as a literal column at its
+    // original RETURN position. min() rides along so a non-count type
+    // (string) is pinned too.
+    QueryDef.sql(
+      "graphp_cypher_global_expand",
+      """SELECT (SELECT CAST(count(*) AS BIGINT) FROM nation)
+        |    AS n_nations,
+        |  (SELECT min(n_name) FROM nation) AS first_nation,
+        |  CAST(count(*) AS BIGINT) AS n_cust
+        |FROM customer""".stripMargin) { (s, d) =>
+      CypherLite.run(hierarchy(s, d),
+        "MATCH (n:Nation) WITH count(n) AS n_nations, " +
+          "min(n.name) AS first_nation " +
+          "MATCH (c:Customer) RETURN n_nations, first_nation, " +
+          "count(c) AS n_cust")
+        .fold(err => throw new IllegalArgumentException(err), identity)
+    },
+
+    // C10 CypherLite twin (new r17): scalar-fn WITH projection —
+    // `WITH size(n.name) AS len` folds into the RETURN (1:1 rows) and
+    // the transformed alias becomes a GROUPING key downstream (battery
+    // b36; Cypher groups by the projected expression). Wrong collation
+    // (grouping on the raw column instead of the transform) answers
+    // different groups and hash-misses.
+    QueryDef.sql(
+      "graphp_cypher_fn_group",
+      """SELECT CAST(length(n_name) AS BIGINT) AS len,
+        |  CAST(count(*) AS BIGINT) AS n_len
+        |FROM nation GROUP BY 1 ORDER BY len""".stripMargin) { (s, d) =>
+      CypherLite.run(hierarchy(s, d),
+        "MATCH (m:Nation) WITH size(m.name) AS len " +
+          "RETURN len, count(*) AS n_len ORDER BY len")
+        .fold(err => throw new IllegalArgumentException(err), identity)
+    },
+
     // C10 CypherLite twin: size((m)-[:R]->()) — the degree expression
     // ("each X and its number of Y"): one row per ROOT, zero-degree roots
     // included (LEFT JOIN + count of the non-null side), the user WHERE

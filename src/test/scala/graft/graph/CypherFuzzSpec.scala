@@ -50,6 +50,14 @@ class CypherFuzzSpec extends SparkSpec {
       "ORDER BY n LIMIT MATCH (m)",
     "MATCH (m:Nation)-[]->(c) WITH count(c) AS n ORDER BY n LIMIT 2 " +
       "MATCH (m)",
+    // whole-variable rename heads (round 17) + near-misses
+    "MATCH (m:Nation) WITH m AS x MATCH (x)",
+    "MATCH (m:Nation) WITH m AS x WHERE x.name = 'n1' MATCH (x)",
+    "MATCH (m:Nation) WITH m AS x ORDER BY x.name LIMIT 2 MATCH (x)",
+    "MATCH (m:Nation) WITH m AS x, m AS y MATCH (x)",
+    "MATCH (m:Nation) WITH m AS MATCH (m)",
+    "MATCH (m:Nation), (c:Nation) WITH m AS c MATCH (c)",
+    "MATCH (m:Nation) WITH m AS x WITH x MATCH (x)",
     // path-quantified ranged heads (round 13) + near-misses
     "MATCH p = (m:Region)", "MATCH p = (m)", "MATCH p =")
   private val hops = Seq("", "-[]->(c)", "-[:HAS_NATION]->(c)",

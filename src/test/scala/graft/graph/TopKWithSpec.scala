@@ -284,6 +284,118 @@ class TopKWithSpec extends SparkSpec {
       "RETURN q.name").contains("never compared"))
   }
 
+  test("whole-variable rename: WITH n AS x substitutes through " +
+      "ORDER BY, WHERE, re-entry MATCH, and RETURN") {
+    // top-k composition (battery b27's exact shape)
+    assert(rows("MATCH (n:N) WITH n AS x ORDER BY x.name LIMIT 2 " +
+      "RETURN x.name") == Seq(Seq("Alpha"), Seq("Gamma")))
+    // the alias feeds a re-entry MATCH and the RETURN
+    assert(rows("MATCH (n:N) WITH n AS x MATCH (x)-[:HAS_X]->(m) " +
+      "RETURN x.name, m.name ORDER BY x.name")
+      == Seq(Seq("Alpha", "x1"), Seq("Gamma", "x1"),
+        Seq("beta", "x2"), Seq("delta", "x2")))
+    // WHERE after the rename merges into the MATCH's own WHERE
+    assert(rows("MATCH (n:N) WHERE n.name CONTAINS 'a' WITH n AS x " +
+      "WHERE x.name STARTS WITH 'b' RETURN x.name")
+      == Seq(Seq("beta")))
+    // plain WHERE attachment when the MATCH has none
+    assert(rows("MATCH (n:N) WITH n AS x WHERE x.name = 'delta' " +
+      "RETURN x.name") == Seq(Seq("delta")))
+    // bare pass-through before RETURN drops (row-preserving)
+    assert(rows("MATCH (n:N)-[:HAS_X]->(m) WITH m " +
+      "RETURN count(m) AS k") == Seq(Seq(4L)))
+  }
+
+  test("rename rejections: shadowing an already-bound variable, " +
+      "alias colliding with a carried variable") {
+    assert(left("MATCH (n:N), (m:M) WITH n AS m RETURN m.name")
+      .contains("shadow"))
+    assert(left("MATCH (n:N) WITH n AS x, x RETURN x.name")
+      .contains("collide"))
+  }
+
+  test("rename substitution is quote- and label-safe") {
+    // a literal containing the alias text survives; label positions
+    // (:x) are never rewritten
+    assert(rows("MATCH (n:N) WITH n AS x WHERE x.name = 'beta' " +
+      "RETURN x.name AS x") == Seq(Seq("beta")))
+  }
+
+  test("scalar-fn WITH projection folds into RETURN and the " +
+      "transformed alias groups downstream (b36)") {
+    // toLower collapses nothing here but the VALUES transform —
+    // grouping on the raw column would answer uppercase keys
+    assert(rows("MATCH (n:N) WITH toLower(n.name) AS lo " +
+      "RETURN lo, count(*) AS c ORDER BY lo")
+      == Seq(Seq("alpha", 1L), Seq("beta", 1L), Seq("delta", 1L),
+        Seq("gamma", 1L)))
+    // size() genuinely merges groups: Alpha/Gamma/delta = 5, beta = 4
+    assert(rows("MATCH (n:N) WITH size(n.name) AS len " +
+      "RETURN len, count(*) AS c ORDER BY len")
+      == Seq(Seq(4L, 1L), Seq(5L, 3L)))
+    // the alias feeds the WHERE (expression substitution) and an
+    // aggregate-free tail keeps 1:1 rows
+    assert(rows("MATCH (n:N) WITH toUpper(n.name) AS up WHERE up " +
+      "STARTS WITH 'B' RETURN up") == Seq(Seq("BETA")))
+    // mixed whole-var + projection items
+    assert(rows("MATCH (n:N) WITH n AS x, toLower(n.name) AS lo " +
+      "RETURN lo ORDER BY lo LIMIT 2")
+      == Seq(Seq("alpha"), Seq("beta")))
+  }
+
+  test("global-aggregate re-entry: the key-less stage splices as a " +
+      "1-row scalar (b32)") {
+    assert(rows("MATCH (n:N) WITH count(n) AS total MATCH (m:M) " +
+      "RETURN total, count(m) AS ms") == Seq(Seq(4L, 2L)))
+    // scalar position and rename both honored; min pins a string type
+    assert(rows("MATCH (n:N) WITH count(n) AS total, min(n.name) AS " +
+      "first MATCH (m:M) RETURN count(m) AS ms, total AS t, first")
+      == Seq(Seq(2L, 4L, "Alpha")))
+    // an empty stage match still answers one row (count 0)
+    assert(rows("MATCH (n:Nowhere) WITH count(n) AS total MATCH (m:M) " +
+      "RETURN total, count(m) AS ms") == Seq(Seq(0L, 2L)))
+    // non-aggregate tail: the constant re-emits per row
+    assert(rows("MATCH (n:N) WITH count(n) AS total MATCH (m:M) " +
+      "RETURN m.name, total ORDER BY m.name LIMIT 1")
+      == Seq(Seq("x1", 4L)))
+  }
+
+  test("global-aggregate re-entry rejections: scalar-only RETURN, " +
+      "alias as a WHERE key") {
+    assert(left("MATCH (n:N) WITH count(n) AS total MATCH (m:M) " +
+      "RETURN total").contains("compute something of its own"))
+    assert(left("MATCH (n:N) WITH count(n) AS total MATCH (m:M) " +
+      "WHERE size(m.name) > total RETURN count(m) AS k")
+      .contains("only appear as a RETURN item"))
+  }
+
+  test("degree projection through the stage (b44): the computed " +
+      "column rides ORDER BY, WHERE, and the RETURN") {
+    // out-degrees: every N node has exactly 1 HAS_X edge; M nodes 0
+    assert(rows("MATCH (n:N) WITH n, size((n)-[:HAS_X]->()) AS deg " +
+      "ORDER BY deg DESC, n.name LIMIT 2 RETURN n.name, deg " +
+      "ORDER BY n.name") == Seq(Seq("Alpha", 1L), Seq("Gamma", 1L)))
+    // WHERE over the projected degree (merges into the MATCH)
+    assert(rows("MATCH (n:N) WITH n, size((n)-[:HAS_X]->()) AS deg " +
+      "WHERE deg >= 1 RETURN count(*) AS c") == Seq(Seq(4L)))
+    // re-entry MATCH after the degree stage
+    assert(rows("MATCH (n:N) WITH n, size((n)-[:HAS_X]->()) AS deg " +
+      "ORDER BY deg DESC, n.name LIMIT 1 MATCH (n)-[:HAS_X]->(m) " +
+      "RETURN n.name, m.name") == Seq(Seq("Alpha", "x1")))
+  }
+
+  test("top-k stage secondary tiebreak key (r17): ties on the " +
+      "primary key fall to the user's key, not just id") {
+    // all content values are '' → the name tiebreak decides; DESC on
+    // the secondary: byte order puts lowercase last
+    assert(rows("MATCH (n:N) WITH n ORDER BY n.content, n.name DESC " +
+      "LIMIT 2 MATCH (n)-[:HAS_X]->(m) RETURN n.name, m.name " +
+      "ORDER BY n.name") == Seq(Seq("beta", "x2"), Seq("delta", "x2")))
+    // a foreign tiebreak variable rejects by name
+    assert(left("MATCH (n:N) WITH n ORDER BY n.content, z.name LIMIT " +
+      "2 MATCH (n)-[:HAS_X]->(m) RETURN m.name").contains("tiebreak"))
+  }
+
   test("duplicated UNWIND list + a chained WITH stage rejects by " +
       "name (per-element partials cannot cross a HAVING or a " +
       "DISTINCT-after-aggregation)") {
