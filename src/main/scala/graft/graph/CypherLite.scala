@@ -728,6 +728,34 @@ object CypherLite {
       rootConds: Seq[Seq[Cond]] = Seq.empty) extends Statement
   final case class DetachDelete(tag: String) extends Statement
 
+  /** `MATCH (m[:Label[:Batch]] [{…}]) [WHERE …] DETACH DELETE m` — the
+    * per-node cascade delete (r17, battery b37's write shape): the
+    * matched nodes go and every incident edge goes with them. Executed
+    * as one anti-join on the node table and two on the edge table
+    * (src, then dst) — never a per-node probe; `id` is filterable
+    * exactly as on the read and SET paths.
+    */
+  final case class DetachDeleteNodes(label: Option[String],
+      batch: Option[String], props: Map[String, String],
+      conds: Seq[Seq[Cond]]) extends Statement
+
+  /** `MATCH … WITH v [ORDER BY …] [SKIP s] LIMIT k <write-clause>` —
+    * a top-k stage feeding a WRITE (r17, battery b37/b38: "SET a flag
+    * on the 5 most-connected X", "delete the 2 oldest Y"). TWO-PHASE
+    * like [[TopKExpand]]: stage 1 collects the ≤ k ids under the stage
+    * ordering, and the write tail re-parses as `MATCH (v) WHERE id(v)
+    * IN […] <tail>` — the id conjunct is the write path's existing
+    * match shape, so SET and per-node DETACH DELETE compose without
+    * new write kernels. Executed by [[runWrite]] only (the read API
+    * rejects with the phantom-write pointer).
+    */
+  final case class TopKWrite(stage1Query: String, rootVar: String,
+      writeTail: String) extends Statement {
+    def rebuilt(ids: Seq[Long]): String =
+      s"MATCH ($rootVar) WHERE id($rootVar) IN " +
+        ids.mkString("[", ", ", "]") + s" $writeTail"
+  }
+
   /** Pattern-less `RETURN <literal> [AS alias]` (r15) — the sanity /
     * connectivity probe LLM agents open a session with (`RETURN 1`).
     * One row, no scan; the column is named by Neo4j's rule (the
@@ -1208,6 +1236,14 @@ object CypherLite {
 
   private val DeleteRe =
     """(?is)\s*MATCH\s*\(\s*(\w+)\s*\)\s*WHERE\s+\1\.(\w+)\s*=\s*true\s+DETACH\s+DELETE\s+\1\s*;?\s*""".r
+
+  // MATCH (m[:Label[:Batch]] [{…}]) [WHERE …] DETACH DELETE m — the
+  // per-node cascade delete; tried AFTER the boolean-tag DeleteRe form
+  // (which maps onto the batch-drop kernel)
+  private val DeleteNodesRe =
+    ("""(?is)\s*MATCH\s*\(\s*(\w+)\s*(?::\s*(\w+))?(?:\s*:\s*(\w+))?\s*(?:\{\s*([^}]*)\s*\})?\s*\)\s*""" +
+      """(?:WHERE\s+(.*?)\s*)?""" +
+      """DETACH\s+DELETE\s+(\w+)\s*;?\s*""").r
 
   // MATCH (m…) [WHERE …] SET m.content = '…' — the write form; the SET
   // keyword after the pattern (where every read form requires
@@ -3557,7 +3593,8 @@ object CypherLite {
       // "most connected, ties by name"); always routed two-phase
       """(?:\s*,\s*(\w+)\s*\.\s*(\w+)(?:\s+(ASC|DESC))?)?\s*)?""" +
       """(?:SKIP\s+(\d+)\s+)?""" +
-      """LIMIT\s+(\d+)\s+(?=MATCH\b|RETURN\b|OPTIONAL\b)""").r
+      """LIMIT\s+(\d+)\s+""" +
+      """(?=MATCH\b|RETURN\b|OPTIONAL\b|SET\b|DETACH\b|REMOVE\b)""").r
 
   // the single-node first MATCH the two-phase path requires: rows are
   // one-per-node, so the id set expresses the row limit exactly
@@ -3836,6 +3873,9 @@ object CypherLite {
       """(?is)^\s*MATCH\b""".r.findFirstIn(tailBlank).isDefined
     val tailIsOptional =
       """(?is)^\s*OPTIONAL\b""".r.findFirstIn(tailBlank).isDefined
+    val tailIsWrite =
+      """(?is)^\s*(SET|DETACH\s+DELETE|REMOVE)\b""".r
+        .findFirstIn(tailBlank).isDefined
     // variables the tail references — after `WITH v` only v is in scope
     // (Cypher's scope narrowing); referencing anything else is an error
     // in Neo4j, and silently serving the pre-WITH binding would be a
@@ -3872,27 +3912,74 @@ object CypherLite {
       FlatAggCallRe.findFirstIn(tailBlank).isEmpty &&
         """(?is)\b(ORDER\s+BY|SKIP|LIMIT|DISTINCT)\b""".r
           .findFirstIn(tailBlank).isEmpty
+    // stage-1 synthesis, shared by the read two-phase and the write
+    // tail: the k ids under the stage ordering, the user's secondary
+    // tiebreak key (r17) slotted between the primary key and the
+    // deterministic id tiebreak (its property joins the projection —
+    // ORDER BY keys must be projected)
+    val skipTxt = skip.map(sk => s" SKIP $sk").getOrElse("")
+    val dirTxt = if (desc) " DESC" else ""
+    val secDirTxt = if (secDesc) " DESC" else ""
+    val secProj = secProp.filterNot(p => p == "id" || obProp.contains(p))
+      .fold("")(p => s"$v.$p, ")
+    val secOb = secProp.fold("")(p => s"$v.$p$secDirTxt, ")
+    val stage1Query: String = ((obSize, obProp) match {
+      // degree key: the size() item rides its own alias, ordered
+      // by it with the id tiebreak — "the k most connected v"
+      case (Some(pat), _) =>
+        s"MATCH_STAGE1 RETURN $v.id, ${secProj}size(($v)$pat) " +
+          s"AS topk_deg ORDER BY topk_deg$dirTxt, $secOb$v.id" +
+          s"$skipTxt LIMIT $k"
+      case (None, Some(p)) if p != "id" =>
+        s"MATCH_STAGE1 RETURN $v.$p, $secProj$v.id ORDER BY " +
+          s"${obKeyText(p)}$dirTxt, $secOb$v.id$skipTxt LIMIT $k"
+      case _ =>
+        s"MATCH_STAGE1 RETURN $v.id ORDER BY $v.id" +
+          s"${if (desc && obProp.contains("id")) " DESC" else ""}" +
+          s"$skipTxt LIMIT $k"
+    }).replace("MATCH_STAGE1", matchPart)
+    val singleNodeGuard: Either[String, Unit] =
+      SingleNodeMatchRe.findFirstMatchIn(blankQuoted(matchPart)) match {
+        case Some(sm) if sm.group(1) == v => Right(())
+        case Some(sm) => Left(s"WITH $v … LIMIT carries '$v' but " +
+          s"the MATCH binds '${sm.group(1)}' — carry the matched " +
+          "variable")
+        case None => Left(s"the two-phase `WITH $v … LIMIT` " +
+          s"expansion needs a single-node first MATCH (`MATCH " +
+          s"($v[:Label]) [WHERE …]`) — a relationship pattern's " +
+          "rows carry per-binding multiplicity an id set cannot " +
+          "express")
+      }
+    val kGuard: Either[String, Unit] =
+      if (k <= TopKMaxK) Right(())
+      else Left(s"LIMIT $k exceeds the top-k expansion bound " +
+        s"($TopKMaxK): the selected ids splice into the tail as a " +
+        "bounded broadcast list")
+    // a WRITE tail (r17, battery b37/b38): stage 1 owns selection,
+    // the tail re-parses as the id-conjunct write MATCH
+    def topKWrite(): Either[String, Statement] = {
+      val tkw = TopKWrite(stage1Query, v, tail.trim)
+      for {
+        _ <- singleNodeGuard
+        _ <- kGuard
+        _ <- parse(stage1Query, params).left
+          .map(e => s"in the top-k stage-1: $e")
+        probe <- parse(tkw.rebuilt(Seq(0L)), params).left
+          .map(e => s"in the top-k write tail: $e")
+        _ <- probe match {
+          case _: SetContent | _: DetachDeleteNodes => Right(())
+          case _ => Left("a top-k write tail may be SET or DETACH " +
+            "DELETE — other writes do not target the selected nodes")
+        }
+      } yield tkw
+    }
     def twoPhase(): Either[String, Statement] = {
       val fullTail = if (tailIsMatch) tail.trim
         else matchPart + " " + tail.trim
       val fullBlank = blankQuoted(fullTail)
       for {
-        _ <- SingleNodeMatchRe.findFirstMatchIn(blankQuoted(matchPart))
-          match {
-            case Some(sm) if sm.group(1) == v => Right(())
-            case Some(sm) => Left(s"WITH $v … LIMIT carries '$v' but " +
-              s"the MATCH binds '${sm.group(1)}' — carry the matched " +
-              "variable")
-            case None => Left(s"the two-phase `WITH $v … LIMIT` " +
-              s"expansion needs a single-node first MATCH (`MATCH " +
-              s"($v[:Label]) [WHERE …]`) — a relationship pattern's " +
-              "rows carry per-binding multiplicity an id set cannot " +
-              "express")
-          }
-        _ <- if (k <= TopKMaxK) Right(())
-          else Left(s"LIMIT $k exceeds the top-k expansion bound " +
-            s"($TopKMaxK): the selected ids splice into the tail as a " +
-            "bounded broadcast list")
+        _ <- singleNodeGuard
+        _ <- kGuard
         clauseHits = TailClauseKwRe.findAllMatchIn(fullBlank)
           .filter(_.group(1) == null).toList
           .drop(1) // the leading MATCH itself
@@ -3917,31 +4004,6 @@ object CypherLite {
           else Left(s"the follow-up MATCH after `WITH $v … LIMIT` " +
             s"must re-bind '$v' — an unconnected pattern would be a " +
             "cartesian product over the selected rows")
-        skipTxt = skip.map(sk => s" SKIP $sk").getOrElse("")
-        dirTxt = if (desc) " DESC" else ""
-        // the user's secondary tiebreak key slots between the primary
-        // key and the deterministic id tiebreak; its property joins
-        // the projection (ORDER BY keys must be projected)
-        secDirTxt = if (secDesc) " DESC" else ""
-        secProj = secProp.filterNot(p => p == "id" || obProp.contains(p))
-          .fold("")(p => s"$v.$p, ")
-        secOb = secProp.fold("")(p => s"$v.$p$secDirTxt, ")
-        stage1 = (obSize, obProp) match {
-          // degree key: the size() item rides its own alias, ordered
-          // by it with the id tiebreak — "the k most connected v"
-          case (Some(pat), _) =>
-            s"MATCH_STAGE1 RETURN $v.id, ${secProj}size(($v)$pat) " +
-              s"AS topk_deg ORDER BY topk_deg$dirTxt, $secOb$v.id" +
-              s"$skipTxt LIMIT $k"
-          case (None, Some(p)) if p != "id" =>
-            s"MATCH_STAGE1 RETURN $v.$p, $secProj$v.id ORDER BY " +
-              s"${obKeyText(p)}$dirTxt, $secOb$v.id$skipTxt LIMIT $k"
-          case _ =>
-            s"MATCH_STAGE1 RETURN $v.id ORDER BY $v.id" +
-              s"${if (desc && obProp.contains("id")) " DESC" else ""}" +
-              s"$skipTxt LIMIT $k"
-        }
-        stage1Query = stage1.replace("MATCH_STAGE1", matchPart)
         tk = TopKExpand(stage1Query, v, k, splice._1, splice._2,
           splice._3)
         _ <- parse(stage1Query, params).left
@@ -3956,6 +4018,7 @@ object CypherLite {
           "— the id conjunct would filter the optional bindings, not " +
           "the selected roots; MATCH the expansion (unmatched roots " +
           "then drop) or aggregate instead")
+      else if (tailIsWrite) topKWrite()
       else if (tailIsMatch) twoPhase()
       else {
         val extra = tailVars - v
@@ -4487,6 +4550,21 @@ object CypherLite {
       params: Map[String, String] = Map.empty): Either[String, Statement] =
     query match {
     case DeleteRe(_, tag) => Right(DetachDelete(tag))
+    case DeleteNodesRe(m, label, batch, propsStr, whereStr, delV) =>
+      for {
+        _ <- if (delV != m)
+          Left(s"DETACH DELETE may only take the matched variable " +
+            s"'$m', got '$delV'")
+        else Right(())
+        props <- resolveProps(Option(propsStr).getOrElse(""), params)
+        whereParsed <- parseWhereClause(m, None, whereStr)
+        conds <- whereParsed match {
+          case (cs, None) => Right(cs)
+          case (_, Some(_)) => Left("a pattern-existence WHERE cannot " +
+            "gate a DETACH DELETE — filter with comparisons instead")
+        }
+      } yield DetachDeleteNodes(Option(label), Option(batch), props,
+        conds)
     // pattern-less literal RETURN (r15): `RETURN 1` / `RETURN 'x' AS a`
     // — the sanity/connectivity probes LLM agents open a session with;
     // one driver-free row, Neo4j's column-naming rule (the expression
@@ -6747,8 +6825,26 @@ object CypherLite {
     parse(query, params).flatMap {
       case s @ (_: SetContent | _: CreateNode | _: MergeEdges |
           _: MergeNodeOnSet | _: MergeEdgesOnSet | _: SetRelProps |
-          _: DeleteRels | _: RemoveRelProps) =>
+          _: DeleteRels | _: RemoveRelProps | _: DetachDeleteNodes) =>
         execWrite(g, s)
+      case tkw: TopKWrite =>
+        // phase 1 is a READ (the ordered-limited id set, ≤ k ≤
+        // TopKMaxK); phase 2 re-parses as the id-conjunct write and
+        // runs through the ordinary write kernels
+        runSingle(g, tkw.stage1Query).flatMap { df1 =>
+          val idCol = Seq("m_id", "id").find(df1.columns.contains)
+            .getOrElse(df1.columns.last)
+          val ids = df1.select(col(idCol).cast("long")).collect()
+            .map(_.getLong(0)).toSeq.distinct
+          if (ids.isEmpty)
+            // an empty selection writes nothing — answer the
+            // unchanged graph with an empty summary
+            Right((g, g.nodes.toDF().limit(0)
+              .select(col("label").as("m_label"),
+                col("name").as("m_name"),
+                col("content").as("m_content"))))
+          else runWrite(g, tkw.rebuilt(ids), params)
+        }
       case DetachDelete(tag) =>
         val after = GraphOps.dropBatch(g, tag)
         Right((after, after.nodes.groupBy("batch")
@@ -6929,6 +7025,41 @@ object CypherLite {
               .select(col("label").as("m_label"), col("name").as("m_name"),
                 col("content").as("m_content"))
               .orderBy("m_label", "m_name", "m_content")
+            Right((after, summary))
+          }
+      case DetachDeleteNodes(label, batch, props, conds) =>
+        // same matching machinery as SET: label/batch/inline-map
+        // predicates + the WHERE DNF, id filterable (never writable)
+        (props.keys ++
+          conds.flatten.map(_.prop).filterNot(_ == "id") ++
+          conds.flatten.flatMap(_.crossProp)).find(!SupportedProps(_))
+          .map(k => Left(s"unsupported property: $k " +
+            s"(supported: ${SupportedProps.toSeq.sorted.mkString(", ")})"))
+          .getOrElse {
+            val whereCol = conds
+              .map(_.map(c => condCol(c, col(c.prop),
+                  c.crossProp.map(col)))
+                .reduceOption(_ && _).getOrElse(lit(true)))
+              .reduceOption(_ || _).getOrElse(lit(true))
+            val pred = (label.map(col("label") === _).toSeq ++
+              batch.map(col("batch") === _).toSeq ++
+              props.map { case (k, v) => col(k) === v })
+              .reduceOption(_ && _).getOrElse(lit(true)) && whereCol
+            val targets = g.nodes.filter(pred).select(col("id"))
+            // incident edges, each counted once: src-incident, plus
+            // dst-incident rows whose src was NOT a target (disjoint
+            // by construction — no dedup over multi-edges needed)
+            val tSrc = targets.withColumnRenamed("id", "src")
+            val tDst = targets.withColumnRenamed("id", "dst")
+            val e = g.edges.toDF()
+            val incident = e.join(tSrc, Seq("src"), "left_semi")
+              .unionByName(e.join(tSrc, Seq("src"), "left_anti")
+                .join(tDst, Seq("dst"), "left_semi"))
+            val after = GraphOps.deleteNodes(g, targets)
+            val summary = targets.agg(
+                count(lit(1)).as("deleted_nodes"))
+              .crossJoin(incident.agg(
+                count(lit(1)).as("deleted_edges")))
             Right((after, summary))
           }
       case CreateNode(label, props, batch) =>
@@ -8161,7 +8292,8 @@ object CypherLite {
       // write. Reject with a pointer instead of pretending.
       case _: SetContent | _: CreateNode | _: MergeEdges |
           _: MergeNodeOnSet | _: MergeEdgesOnSet | _: SetRelProps |
-          _: DeleteRels | _: RemoveRelProps =>
+          _: DeleteRels | _: RemoveRelProps | _: DetachDeleteNodes |
+          _: TopKWrite =>
         Left("SET/CREATE/MERGE are write statements — use runWrite(), " +
           "returns the mutated graph alongside the summary (run() would " +
           "discard the mutation)")

@@ -61,6 +61,24 @@ object GraphOps {
     * survive (two semi-joins). With nodes parquet partitioned by `batch`
     * the node side is partition pruning, not a scan.
     */
+  /** Per-node cascade delete (r17 — `MATCH (n…) DETACH DELETE n`):
+    * the target nodes go and every INCIDENT edge goes with them — one
+    * anti-join on the node table and two on the edge table (src, then
+    * dst), never a per-node probe. `targetIds` is an `id` column of
+    * any size; small sets broadcast under AQE, large sets shuffle-join
+    * — either way one distributed plan.
+    */
+  def deleteNodes(g: GraphTables, targetIds: DataFrame): GraphTables = {
+    val ids = targetIds.select("id")
+    val nodes = g.nodes.join(ids, Seq("id"), "left_anti")
+      .as(g.nodes.encoder)
+    val edges = g.edges
+      .join(ids.withColumnRenamed("id", "src"), Seq("src"), "left_anti")
+      .join(ids.withColumnRenamed("id", "dst"), Seq("dst"), "left_anti")
+      .as(g.edges.encoder)
+    GraphTables(nodes, edges)
+  }
+
   def dropBatch(g: GraphTables, batch: String): GraphTables = {
     val nodes = g.nodes.filter(col("batch") =!= batch)
     val ids = nodes.select("id")

@@ -3698,6 +3698,59 @@ object ParquetGraph {
         .fold(err => throw new IllegalArgumentException(err), identity)
     },
 
+    // C10 CypherLite twin (new r17): top-k feeding SET (battery b38 —
+    // "flag the 2 most-connected nations"): stage 1 selects by the
+    // degree key with the name tiebreak, the write re-parses as the
+    // id-conjunct SET. Graded by reading back exactly the flagged rows.
+    QueryDef.sql(
+      "graphp_cypher_topk_set",
+      """SELECT name FROM (
+        |  SELECT n_name AS name,
+        |    CAST(count(c_custkey) AS BIGINT) AS degree
+        |  FROM nation LEFT JOIN customer ON c_nationkey = n_nationkey
+        |  GROUP BY n_name ORDER BY degree DESC, name LIMIT 2)
+        |ORDER BY name""".stripMargin) { (s, d) =>
+      CypherLite.runWrite(hierarchy(s, d),
+        "MATCH (m:Nation) WITH m ORDER BY " +
+          "size((m)-[:HAS_CUSTOMER]->()) DESC, m.name LIMIT 2 " +
+          "SET m.content = 'HUB'")
+        .fold(err => throw new IllegalArgumentException(err), _._1)
+        .nodes.filter(col("label") === "Nation" &&
+          col("content") === "HUB")
+        .select(col("name")).orderBy("name")
+    },
+
+    // C10 CypherLite twin (new r17): top-k feeding DETACH DELETE
+    // (battery b37) — the per-node cascade delete behind a top-k
+    // stage: the 2 last-by-name nations go and every incident edge
+    // goes with them. Graded by the surviving nations' customer-edge
+    // census (a missed cascade would answer counts for ghosts; an
+    // over-delete would drop surviving rows).
+    QueryDef.sql(
+      "graphp_cypher_topk_delete",
+      """WITH del AS (SELECT n_name FROM nation
+        |             ORDER BY n_name DESC LIMIT 2)
+        |SELECT n_name AS name, CAST(count(c_custkey) AS BIGINT)
+        |  AS n_cust
+        |FROM nation LEFT JOIN customer ON c_nationkey = n_nationkey
+        |WHERE n_name NOT IN (SELECT n_name FROM del)
+        |GROUP BY n_name ORDER BY name""".stripMargin) { (s, d) =>
+      val after = CypherLite.runWrite(hierarchy(s, d),
+        "MATCH (m:Nation) WITH m ORDER BY m.name DESC LIMIT 2 " +
+          "DETACH DELETE m")
+        .fold(err => throw new IllegalArgumentException(err), _._1)
+      val nat = after.nodes.toDF().filter(col("label") === "Nation")
+        .select(col("id"), col("name"))
+      val custCnt = after.edges.toDF()
+        .filter(col("relType") === "HAS_CUSTOMER")
+        .groupBy(col("src").as("id"))
+        .agg(count(lit(1)).as("n_cust"))
+      nat.join(custCnt, Seq("id"), "left_outer")
+        .select(col("name"),
+          coalesce(col("n_cust"), lit(0L)).as("n_cust"))
+        .orderBy("name")
+    },
+
     // C10 CypherLite twin (new r17): degree-projection top-k stage —
     // `WITH m, size((m)-[:R]->()) AS deg ORDER BY deg DESC, m.name
     // LIMIT k RETURN …, deg` (battery b44): the computed degree rides

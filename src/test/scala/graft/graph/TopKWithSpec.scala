@@ -1,6 +1,7 @@
 package graft.graph
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.col
 
 /** Semantic pins for the round-16 grammar wave: the top-k `WITH v
   * [ORDER BY …] LIMIT k` stage (fold + two-phase), ORDER BY over an
@@ -394,6 +395,46 @@ class TopKWithSpec extends SparkSpec {
     // a foreign tiebreak variable rejects by name
     assert(left("MATCH (n:N) WITH n ORDER BY n.content, z.name LIMIT " +
       "2 MATCH (n)-[:HAS_X]->(m) RETURN m.name").contains("tiebreak"))
+  }
+
+  test("per-node DETACH DELETE cascades incident edges (b37)") {
+    val (after, sum) = CypherLite.runWrite(g,
+      "MATCH (n:N {name: 'Alpha'}) DETACH DELETE n")
+      .fold(e => fail(e), identity)
+    assert(sum.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      == Seq((1L, 1L))) // 1 node, its 1 HAS_X edge
+    assert(after.nodes.count() == 5 && after.edges.count() == 3)
+    // the neighbor x1 SURVIVES (DETACH DELETE removes the node and
+    // its relationships, never the neighbors)
+    assert(after.nodes.filter(col("name") === "x1").count() == 1)
+  }
+
+  test("top-k feeding SET / DETACH DELETE (b38/b37): stage-1 " +
+      "selection, id-conjunct write") {
+    val (a1, s1) = CypherLite.runWrite(g,
+      "MATCH (n:N) WITH n ORDER BY n.name LIMIT 2 " +
+        "SET n.content = 'top'")
+      .fold(e => fail(e), identity)
+    assert(s1.collect().map(_.getString(1)).sorted.toSeq
+      == Seq("Alpha", "Gamma")) // byte order: Alpha < Gamma < beta
+    assert(a1.nodes.filter(col("content") === "top").count() == 2)
+    val (a2, _) = CypherLite.runWrite(g,
+      "MATCH (n:N) WITH n ORDER BY n.name DESC LIMIT 1 " +
+        "DETACH DELETE n") // delta (byte-desc first)
+      .fold(e => fail(e), identity)
+    assert(a2.nodes.filter(col("name") === "delta").count() == 0)
+    assert(a2.edges.count() == 3)
+    // an empty stage-1 selection writes nothing
+    val (a3, s3) = CypherLite.runWrite(g,
+      "MATCH (n:Nowhere) WITH n ORDER BY n.name LIMIT 2 " +
+        "SET n.content = 'x'").fold(e => fail(e), identity)
+    assert(a3.nodes.count() == 6 && s3.collect().isEmpty)
+    // the read API rejects the write with the phantom-write pointer
+    assert(left("MATCH (n:N) WITH n ORDER BY n.name LIMIT 2 " +
+      "SET n.content = 'top'").contains("runWrite"))
+    // unsupported write tails reject by name at parse time
+    assert(CypherLite.runWrite(g, "MATCH (n:N) WITH n LIMIT 2 " +
+      "REMOVE n.content").left.exists(_.contains("top-k write tail")))
   }
 
   test("duplicated UNWIND list + a chained WITH stage rejects by " +
