@@ -42,7 +42,16 @@ object Bench {
     "graphp_cypher_set_rel_map", "l2b2_prod_knobs",
     "l2b2_simhash_neardup", "l34_verified_neardup",
     "graphp_node_similarity", "graphp_cypher_path_nodes",
-    "l21_bloom_decontam", "l52_semdedup")
+    "l21_bloom_decontam", "l52_semdedup",
+    // r17 (judge directive 1): after the SCC fix re-shaped the wall
+    // profile, the canary again covers the FULL top-10-by-wall (plus
+    // the two the r16 review could adjudicate only by git-diff
+    // absence: ppr and containment) — movements at the top of the map
+    // are decided by p/pl/byte pins, never argued from diffs
+    "graphp_closure_cyclic", "graph_stream_ingest",
+    "l12_contamination_check", "l48_containment",
+    "graphp_cypher_exists_brace", "graphp_ppr",
+    "l47_best_of_cluster", "graphp_cypher_weighted_road")
 
   private final class ShuffleTally extends SparkListener {
     val read = new AtomicLong(0L)

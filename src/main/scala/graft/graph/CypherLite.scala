@@ -4356,23 +4356,41 @@ object CypherLite {
         tail = tail.substring(0, itemsStart) + " " +
           retItems.mkString(", ") + " " + tail.substring(itemsEnd)
       }
-      // WHERE-region (pre-RETURN) references take the bare expression
-      val tb2 = blankQuoted(tail)
-      val retStart = ClauseReturnRe.findFirstMatchIn(tb2)
-        .map(_.start).getOrElse(tb2.length)
+      // remaining references take the bare expression: a BARE-PROPERTY
+      // alias substitutes everywhere (aggregate args included —
+      // `count(nm)` becomes `count(n.name)`, battery c04 — and ORDER
+      // BY keys, which sort identically through the projected base);
+      // an fn alias substitutes only in the pre-RETURN (WHERE) region,
+      // where the fn-on-the-LHS comparison grammar serves it — inside
+      // an aggregate call it would be an unsupported shape, better
+      // surfaced against the alias-free spelling
+      val propAliases = items.collect {
+        case ("prop", _, Some(a)) => a
+      }.toSet
       exprItems.foreach { case (e, a) =>
+        val isProp = propAliases.contains(a)
+        val tb2 = blankQuoted(tail)
+        val limitEnd = if (isProp) tb2.length
+          else ClauseReturnRe.findFirstMatchIn(tb2).map(_.start)
+            .getOrElse(tb2.length)
         val re = ("""(?<![\w.$:])""" +
           java.util.regex.Pattern.quote(a) + """\b""").r
-        val head0 = tail.substring(0, retStart)
+        val head0 = tail.substring(0, limitEnd)
         val hb = blankQuoted(head0)
         val sb = new StringBuilder
         var pos = 0
         re.findAllMatchIn(hb).foreach { am =>
-          sb.append(head0.substring(pos, am.start)).append(e)
-          pos = am.end
+          // never rewrite an OUTPUT name: `… AS nm` keeps its alias
+          // (the bare-item rewrite above just created those)
+          val isOutputName = """(?is)\bAS\s*$""".r
+            .findFirstIn(hb.substring(0, am.start)).isDefined
+          if (!isOutputName) {
+            sb.append(head0.substring(pos, am.start)).append(e)
+            pos = am.end
+          }
         }
         sb.append(head0.substring(pos))
-        tail = sb.toString + tail.substring(retStart)
+        tail = sb.toString + tail.substring(limitEnd)
       }
     }
     val head = q.substring(0, wStart)
