@@ -26,8 +26,31 @@ object QueryDef {
   * pushes projection/filters into the parquet scan.
   */
 object Tables {
-  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  /** One DataSource resolution per (session, file): `spark.read.parquet`
+    * costs ~150 ms per call (Hadoop conf + FileIndex construction —
+    * measured r17, guide §6 "listing/planning time on the driver"), and a
+    * 400-query sweep re-resolves the same eight immutable corpus files
+    * thousands of times. The memo holds the resolved *logical plan* only
+    * — no data, no results; every action still scans the parquet. This is
+    * what a catalog does for a production engine: resolve a table once
+    * per session. Keyed by session so concurrent test suites stay
+    * isolated; entries for stopped sessions are swept on access.
+    */
+  private val resolved = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
+
+  private def sweepStopped(): Unit = {
+    val it = resolved.keySet().iterator()
+    while (it.hasNext) {
+      if (it.next()._1.sparkContext.isStopped) it.remove()
+    }
+  }
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    sweepStopped()
+    resolved.computeIfAbsent((spark, s"$sfDir/$name.parquet"),
+      key => key._1.read.parquet(key._2))
+  }
 
   def region(s: SparkSession, d: String): DataFrame   = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame   = table(s, d, "nation")

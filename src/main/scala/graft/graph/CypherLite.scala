@@ -8673,11 +8673,11 @@ object CypherLite {
                 .filter(if (ep.negated) !cmp else cmp)
                 .drop("sz_thresh")
             case None =>
-              val reach =
-                GraphOps.neighborhoodWhereKeyed(g0, pred, ep.hops, epRel)
-              val hit = ep.connLabel.fold(reach)(l =>
-                  reach.filter(col("c_label") === l))
-                .select(col("root_id").as("id")).distinct()
+              // existence needs set membership, not the (root, reachable)
+              // pair expansion: walk BACKWARD from the (label-restricted)
+              // target set — one semi-join per level, O(|V|) sets
+              val hit = GraphOps.reachesWithin(g0, ep.hops, epRel,
+                ep.connLabel.map(l => col("label") === l))
               matched0.join(hit, Seq("id"),
                 if (ep.negated) "left_anti" else "left_semi")
           }

@@ -26,6 +26,20 @@ object GraphOps {
       case _ => df.unpersist()
     }
 
+  /** Materialize `df` as a LOCAL checkpoint and return it with its row
+    * count, in ONE Spark job: the lazy checkpoint's first action (the
+    * count) caches the partitions and truncates lineage, replacing the
+    * eager-checkpoint-then-isEmpty pair every loop iteration otherwise
+    * pays — two jobs plus an AQE replanning gap each, measured r17 at
+    * ~40-80 ms of pure scheduling overhead per iteration on small
+    * frontiers (guide §1: most of an iterative kernel's bench wall was
+    * inter-job gaps, not compute).
+    */
+  private[graft] def materializeCount(df: DataFrame): (DataFrame, Long) = {
+    val cp = df.localCheckpoint(eager = false)
+    (cp, cp.count())
+  }
+
   /** The NEW rows a MERGE of `incoming` into `existing` would add —
     * anti-joins on the MERGE keys (node `id`; edge `(src, dst,
     * relType)`). This is both [[upsert]]'s work set and the O(batch)
@@ -137,12 +151,14 @@ object GraphOps {
           lit(depth).as("depth"))
         .distinct()
       if (depth < k) {
-        // eager materialization: truncates the per-iteration plan/lineage
-        // growth (SURVEY.md §4.3) and makes the emptiness probe free. The
-        // FINAL hop skips both — its result is consumed exactly once by the
-        // closing aggregate, so the checkpoint job would be pure overhead.
-        frontier = expanded.localCheckpoint()
-        exhausted = frontier.isEmpty
+        // materialization truncates the per-iteration plan/lineage growth
+        // (SURVEY.md §4.3); the count that materializes it IS the
+        // emptiness probe — one job, not two. The FINAL hop skips it —
+        // its result is consumed exactly once by the closing aggregate,
+        // so the checkpoint job would be pure overhead.
+        val (f, n) = materializeCount(expanded)
+        frontier = f
+        exhausted = n == 0
         if (!exhausted) acc = acc.unionByName(frontier)
       } else {
         acc = acc.unionByName(expanded)
@@ -191,13 +207,14 @@ object GraphOps {
     var done = false
     while (depth < maxIterations && !done) {
       depth += 1
-      frontier = frontier.select(col("root_id"), col("node_id").as("src"))
-        .join(edges, Seq("src"))
-        .select(col("root_id"), col("dst").as("node_id"))
-        .distinct()
-        .join(visited, Seq("root_id", "node_id"), "left_anti")
-        .localCheckpoint()
-      done = frontier.isEmpty
+      val (f, n) = materializeCount(
+        frontier.select(col("root_id"), col("node_id").as("src"))
+          .join(edges, Seq("src"))
+          .select(col("root_id"), col("dst").as("node_id"))
+          .distinct()
+          .join(visited, Seq("root_id", "node_id"), "left_anti"))
+      frontier = f
+      done = n == 0
       if (!done) {
         pending ::= frontier
         if (pending.size >= VisitedCheckpointEvery) flush()
@@ -236,15 +253,16 @@ object GraphOps {
     var done = false
     while (depth < maxIterations && !done) {
       depth += 1
-      frontier = frontier.select(col("root_id"), col("node_id").as("src"))
-        .join(edges, Seq("src"))
-        .select(col("root_id"), col("dst").as("node_id"))
-        .distinct()
-        .join(visited.select("root_id", "node_id"),
-          Seq("root_id", "node_id"), "left_anti")
-        .select(col("root_id"), col("node_id"), lit(depth).as("depth"))
-        .localCheckpoint()
-      done = frontier.isEmpty
+      val (f, n) = materializeCount(
+        frontier.select(col("root_id"), col("node_id").as("src"))
+          .join(edges, Seq("src"))
+          .select(col("root_id"), col("dst").as("node_id"))
+          .distinct()
+          .join(visited.select("root_id", "node_id"),
+            Seq("root_id", "node_id"), "left_anti")
+          .select(col("root_id"), col("node_id"), lit(depth).as("depth")))
+      frontier = f
+      done = n == 0
       if (!done) {
         pending ::= frontier
         if (pending.size >= VisitedCheckpointEvery) flush()
@@ -294,6 +312,35 @@ object GraphOps {
       .select(col("root_id"), col("root_name"), col("depth"),
         col("node_id").as("c_id"), col("c_label"), col("c_name"),
         col("c_content"))
+  }
+
+  /** Node ids with a path of length 1..k (along `relFilter` edges) to a
+    * node satisfying `targetPred` (None = any node) — the EXISTENCE
+    * kernel behind `WHERE EXISTS { (m)-[*1..k]->(:L) }`. Walks BACKWARD
+    * from the target set as plain id-sets (one semi-join per level),
+    * never materializing (root, reachable) pairs: an existence check
+    * needs set membership, not the pair expansion, so the shuffle is
+    * O(|V|) per level instead of O(paths) (guide §2.3 — shuffle keys,
+    * not payloads; r17: this replaced a kHop pair expansion that carried
+    * every root×descendant combination only to be distinct-ed away).
+    */
+  def reachesWithin(g: GraphTables, k: Int,
+      relFilter: org.apache.spark.sql.Column,
+      targetPred: Option[org.apache.spark.sql.Column]): DataFrame = {
+    val edges = g.edges.filter(relFilter).select(col("src"), col("dst")).toDF()
+    val target = targetPred.fold(g.nodes.toDF().select(col("id")))(p =>
+      g.nodes.toDF().filter(p).select(col("id")))
+    var cur = target
+    var acc: DataFrame = null
+    for (level <- 1 to k) {
+      val next = edges.join(cur.select(col("id").as("dst")), Seq("dst"))
+        .select(col("src").as("id")).distinct()
+      // each level's set feeds both the accumulator and the next
+      // expansion — materialize only when it is actually read twice
+      cur = if (level < k) next.localCheckpoint() else next
+      acc = if (acc == null) cur else acc.unionByName(cur)
+    }
+    acc.distinct()
   }
 
   /** Group connected rows under the matched node's name (Q5/B5/G1;
@@ -646,16 +693,16 @@ object GraphOps {
     var done = landmarks.isEmpty
     while (!done && depth < maxIterations) {
       depth += 1
-      val next = frontier.join(edges, col("node") === col("src"))
-        .select(col("source"), col("dst").as("node"), col("sigma"))
-        .join(all.select(col("source").as("vs"), col("node").as("vn")),
-          col("source") === col("vs") && col("node") === col("vn"),
-          "left_anti")
-        .groupBy("source", "node").agg(sum("sigma").as("sigma"))
-        .select(col("source"), col("node"), lit(depth).as("depth"),
-          col("sigma"))
-        .localCheckpoint()
-      done = next.isEmpty
+      val (next, n) = materializeCount(
+        frontier.join(edges, col("node") === col("src"))
+          .select(col("source"), col("dst").as("node"), col("sigma"))
+          .join(all.select(col("source").as("vs"), col("node").as("vn")),
+            col("source") === col("vs") && col("node") === col("vn"),
+            "left_anti")
+          .groupBy("source", "node").agg(sum("sigma").as("sigma"))
+          .select(col("source"), col("node"), lit(depth).as("depth"),
+            col("sigma")))
+      done = n == 0
       if (!done) {
         all = all.unionByName(next).localCheckpoint()
         frontier = next
@@ -666,9 +713,9 @@ object GraphOps {
         s"betweenness forward BFS still has a non-empty frontier after " +
           s"$maxIterations levels — a truncated layering would yield " +
           s"silently wrong sigma/delta; raise maxIterations")
-    val maxD =
-      if (landmarks.isEmpty) 0
-      else all.agg(max("depth")).head.getInt(0)
+    // the loop exits with the frontier at `depth` empty, so the deepest
+    // populated layer is depth-1 — no aggregate job needed
+    val maxD = if (landmarks.isEmpty) 0 else math.max(0, depth - 1)
     // shortest-path DAG, built once: for every (source, v) and successor w
     // one level deeper on a shortest path, keep σ(v)/σ(w) pre-divided.
     // Nodes absent here (no successors) have δ = 0 and contribute nothing
@@ -690,14 +737,13 @@ object GraphOps {
     var delta = Seq.empty[(Long, Long, Double)].toDF("ds", "dn", "wdelta")
     val levels = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     for (d <- (maxD - 1) to 0 by -1) {
-      val curDelta = dag.filter(col("depth") === d)
+      val (curDelta, _) = materializeCount(dag.filter(col("depth") === d)
         .join(delta,
           col("source") === col("ds") && col("wn") === col("dn"),
           "left_outer")
         .groupBy("source", "node")
         .agg(sum(col("ratio") * (lit(1.0) + coalesce(col("wdelta"),
-          lit(0.0)))).as("delta"))
-        .localCheckpoint()
+          lit(0.0)))).as("delta")))
       levels += curDelta.withColumn("depth", lit(d))
       delta = curDelta.select(col("source").as("ds"), col("node").as("dn"),
         col("delta").as("wdelta"))

@@ -1899,7 +1899,7 @@ object TextQueries {
          |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
       val sh = shingles(s, d).localCheckpoint()
       val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val pairs = minhashPairs(s, d)
+      val pairs = minhashPairs(s, d, preShingled = Some(sh))
       val shared = pairs
         .join(sh.select(col("doc_id").as("doc_a"), col("s")), Seq("doc_a"))
         .join(sh.select(col("doc_id").as("doc_b"), col("s")),
@@ -3177,9 +3177,15 @@ object TextQueries {
   /** Spark side of the MinHash+LSH candidate-pair pipeline (shared by the
     * pair query and duplicate clustering).
     */
+  /** `preShingled`: a caller that already materialized the shingle
+    * relation (l34's verify path needs it for the exact-Jaccard joins)
+    * passes it in, so the scan+explode+distinct frontend runs once per
+    * query instead of once per consumer.
+    */
   private def minhashPairs(s: SparkSession, d: String,
-      kn: DedupKnobs = TK): DataFrame = {
-    val sh = shingles(s, d)
+      kn: DedupKnobs = TK, preShingled: Option[DataFrame] = None)
+      : DataFrame = {
+    val sh = preShingled.getOrElse(shingles(s, d))
       .select(col("doc_id"), (PortableHash.spark(col("s")) % P).as("hb"))
     val minCols = (0 until kn.seeds).map(k =>
       min((lit(hashA(k)) * col("hb") + hashB(k)) % P).as(s"h$k"))
