@@ -923,12 +923,6 @@ object GraphOps {
     // adjacency rows (u, v, w) both directions; a condensed self-loop
     // counts double (A_ii = 2w — the igraph/Blondel degree convention)
     val plain = edges.filter(col("lo") =!= col("hi"))
-    // no inter-node edges at this level (condensed communities are
-    // mutually disconnected — every weight lives in self-loops): no move
-    // can ever change modularity, skip the whole local phase. This is
-    // the common exit for a CONVERGED coarsened graph.
-    if (plain.isEmpty)
-      return (nodes.select(col("id"), col("id").as("comm")), false)
     val adjAll = plain
       .select(col("lo").as("u"), col("hi").as("v"), col("w"))
       .unionByName(plain.select(col("hi").as("u"), col("lo").as("v"),
@@ -936,11 +930,15 @@ object GraphOps {
       .unionByName(edges.filter(col("lo") === col("hi"))
         .select(col("lo").as("u"), col("hi").as("v"),
           (col("w") * 2).as("w")))
-      .localCheckpoint()
-    // one action for 2m, Σk² and the self-loop mass: the all-singleton
-    // starting modularity has the closed form Q0·(2m)² = 2m·selfw − Σk²
-    // (isolated nodes hold k = 0 and drop out of both sums), so the
-    // first guard evaluation never needs the general 2-join plan
+      .localCheckpoint(eager = false)
+    // one action for 2m, Σk², the self-loop mass AND the inter-node row
+    // count (r18: the former separate `plain.isEmpty` probe job is fused
+    // in as one more single-row aggregate — guide §1, one job per level
+    // setup; the same action materializes the lazy adjAll checkpoint).
+    // The all-singleton starting modularity has the closed form
+    // Q0·(2m)² = 2m·selfw − Σk² (isolated nodes hold k = 0 and drop out
+    // of both sums), so the first guard evaluation never needs the
+    // general 2-join plan.
     val dec0 = "decimal(38,0)"
     val statsRow = adjAll.groupBy(col("u")).agg(sum("w").as("k"))
       .agg(sum(col("k")).as("m2"),
@@ -949,17 +947,27 @@ object GraphOps {
       .crossJoin(adjAll.filter(col("u") === col("v"))
         .agg(coalesce(sum(col("w").cast(dec0)), lit(0).cast(dec0))
           .as("selfw")))
+      .crossJoin(adjAll.filter(col("u") =!= col("v"))
+        .agg(count(lit(1)).as("np")))
       .head
+    // no inter-node edges at this level (condensed communities are
+    // mutually disconnected — every weight lives in self-loops): no move
+    // can ever change modularity, skip the whole local phase. This is
+    // the common exit for a CONVERGED coarsened graph.
+    if (statsRow.getLong(3) == 0L) {
+      freeLocalCheckpoint(adjAll)
+      return (nodes.select(col("id"), col("id").as("comm")), false)
+    }
     val m2 = statsRow.getLong(0)
     // degrees materialized ONCE per level: every round's proposal reads
     // them (via the k carried on the assignment) and the level runs many
-    // rounds — one eager job here deletes a join+aggregate from every
-    // round's plan
+    // rounds. LAZY checkpoint (r18): round 1's fused guard action is the
+    // job that materializes it — no separate setup job
     val degAll = nodes
       .join(adjAll.groupBy(col("u").as("id")).agg(sum("w").as("k")),
         Seq("id"), "left_outer")
       .select(col("id"), coalesce(col("k"), lit(0L)).as("k"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     // gain table excludes self rows: i's self-loop follows it into any
     // community, contributing equally everywhere — cancels in the argmax
     val adjN = adjAll.filter(col("u") =!= col("v"))
@@ -1834,46 +1842,57 @@ object GraphOps {
     // shuffle; instead both degree aggregates count DISTINCT neighbors,
     // which the u-clustering satisfies without an exchange (duplicate
     // and reverse edges count once, KCoreSpec)
+    // BOTH setup relations lazy-checkpointed and materialized by ONE job
+    // (the degree count below computes deg THROUGH und, caching both) —
+    // the r17 one-job idiom (guide §1: inter-job gaps dominate iterative
+    // kernels at small SF; the eager-eager form paid two setup jobs)
     val und = e0.select(col("src").as("u"), col("dst").as("v"))
       .unionByName(e0.select(col("dst").as("u"), col("src").as("v")))
       .filter(col("u") =!= col("v"))
       .repartition(col("u"))
-      .localCheckpoint(true, serLevel)
+      .localCheckpoint(false, serLevel)
     var deg = und.groupBy("u").agg(countDistinct(col("v")).as("deg"))
-      .localCheckpoint(true, serLevel)
+      .localCheckpoint(false, serLevel)
+    // the materializing action of every round ALSO computes how many of
+    // the table's rows are doomed for the NEXT round (a single-row
+    // conditional count fused into the same job), so the loop never pays
+    // a separate emptiness-probe job AND never runs a final no-op round
+    // just to observe the fixpoint — one job per peel, period (r18,
+    // guide §1/§5; the VERDICT-flagged probe job at GraphOps.scala:1855)
+    def materializeWithDoomed(df: DataFrame): Long =
+      df.agg(coalesce(sum(when(col("deg") < k, 1L)), lit(0L))).head.getLong(0)
+    var doomedCount = materializeWithDoomed(deg)
+    // `iters` keeps its historical meaning — loop entries INCLUDING the
+    // final round that observes nothing left to peel (the spec-pinned
+    // round count): p real peels report p + 1
     var iters = 0
-    var done = false
-    while (iters < maxIterations && !done) {
+    while (iters < maxIterations && doomedCount > 0) {
       iters += 1
       // NOT checkpointed: doomed is one filter over the checkpointed
-      // degree table, so its three consumers (the emptiness probe and
-      // the two joins below, which run in ONE job via the next
-      // checkpoint) replay a trivial plan — a per-round materialization
-      // here costs an extra job per round, which dominates at small
-      // scale where rounds are cheap
+      // degree table, so its two join consumers (which run in ONE job
+      // via the next checkpoint) replay a trivial plan
       val doomed = deg.filter(col("deg") < k).select("u")
-      if (doomed.isEmpty) {
-        done = true
-      } else {
-        // every doomed node's edges vanish: each (doomed u → v) row
-        // decrements v. A v that is itself doomed (this round or earlier)
-        // is simply absent from the surviving degree table, so its
-        // decrement row joins away — no alive-set bookkeeping needed.
-        val dec = und.join(doomed, Seq("u"), "left_semi")
-          .groupBy("v").agg(countDistinct(col("u")).as("dec"))
-          .select(col("v").as("u"), col("dec"))
-        val prev = deg
-        deg = deg
-          .join(doomed, Seq("u"), "left_anti")
-          .join(dec, Seq("u"), "left_outer")
-          .select(col("u"),
-            (col("deg") - coalesce(col("dec"), lit(0L))).as("deg"))
-          .localCheckpoint(true, serLevel)
-        // superseded round state is DEAD once the new table materialized
-        // (eager) — free it now, or R rounds pin R degree-table copies
-        freeLocalCheckpoint(prev)
-      }
+      // every doomed node's edges vanish: each (doomed u → v) row
+      // decrements v. A v that is itself doomed (this round or earlier)
+      // is simply absent from the surviving degree table, so its
+      // decrement row joins away — no alive-set bookkeeping needed.
+      val dec = und.join(doomed, Seq("u"), "left_semi")
+        .groupBy("v").agg(countDistinct(col("u")).as("dec"))
+        .select(col("v").as("u"), col("dec"))
+      val prev = deg
+      deg = prev
+        .join(doomed, Seq("u"), "left_anti")
+        .join(dec, Seq("u"), "left_outer")
+        .select(col("u"),
+          (col("deg") - coalesce(col("dec"), lit(0L))).as("deg"))
+        .localCheckpoint(false, serLevel)
+      doomedCount = materializeWithDoomed(deg)
+      // superseded round state is DEAD once the new table materialized
+      // — free it now, or R rounds pin R degree-table copies
+      freeLocalCheckpoint(prev)
     }
+    val done = doomedCount == 0L
+    if (done) iters += 1 // the observing round, as the old probe counted it
     if (!done) {
       freeLocalCheckpoint(und)
       freeLocalCheckpoint(deg)

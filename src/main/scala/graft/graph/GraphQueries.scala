@@ -165,8 +165,12 @@ object GraphQueries {
       // ONE partitioned write emits both slices (4 files each, the
       // partition column stays in the dir name, not the files);
       // maxFilesPerTrigger=4 then makes one drain run two micro-batch
-      // commits (see graphp_stream_ingest)
-      env.withColumn("slice", sliceKey).repartition(4)
+      // commits (see graphp_stream_ingest). coalesce, NOT repartition
+      // (r18, guide §2.4): ≤4 writer tasks bound the per-slice file
+      // count without a full envelope shuffle + pre-repartition sort —
+      // both hash parities occur in every coalesced chunk, and the
+      // ingest converges to the same final graph under any slicing
+      env.withColumn("slice", sliceKey).coalesce(4)
         .write.partitionBy("slice").parquet(s"$dir/env")
       StreamingGraphIngest.drainIngest(s, s"$dir/env", s"$dir/store",
         s"$dir/ckpt", maxFilesPerTrigger = Some(4))

@@ -1367,8 +1367,15 @@ object ParquetGraph {
       // AvailableNow drain runs TWO micro-batches (two upsert→commit
       // cycles) without paying a second streaming-query lifecycle; the
       // multi-drain checkpoint-resume contract is pinned by
-      // StreamingGraphIngestSpec
-      env.withColumn("slice", sliceKey).repartition(4)
+      // StreamingGraphIngestSpec.
+      // coalesce, NOT repartition (r18, guide §2.4): the writer only
+      // needs ≤4 tasks so each slice lands in ≤4 files — a round-robin
+      // repartition paid a full envelope shuffle + sort-before-
+      // repartition for nothing (both id parities occur in every
+      // coalesced chunk of this corpus, so the file count per slice is
+      // unchanged — verified 4+4 at every driver SF; and the ingest
+      // contract converges to the same final graph under ANY slicing)
+      env.withColumn("slice", sliceKey).coalesce(4)
         .write.partitionBy("slice").parquet(s"$dir/env")
       StreamingGraphIngest.drainIngest(s, s"$dir/env", s"$dir/store",
         s"$dir/ckpt", maxFilesPerTrigger = Some(4))

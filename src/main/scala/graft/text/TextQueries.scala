@@ -665,16 +665,20 @@ object TextQueries {
       // by TF-IDF. All shuffles key on term or doc_id; the doc count joins
       // in as a broadcast scalar (no driver round-trip), and the ranking
       // window is PARTITIONED by doc — nothing global anywhere.
+      // ONE pass over the corpus (r18, guide §2.3/§2.4): tf already holds
+      // exactly one row per (doc, term), so the document frequency is a
+      // count window over tf PARTITIONED BY term — the old second
+      // scan+explode+distinct+aggregate branch and its join back on term
+      // computed the identical number (df = |{doc : tf(doc,term)>0}| =
+      // rows of tf for the term) at the price of re-reading the corpus
       val toks = Tables.documents(s, d)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
         .filter(length(col("term")) > 0)
       val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      val df = toks.select("doc_id", "term").distinct()
-        .groupBy("term").agg(count(lit(1)).as("df"))
       val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
       val w = Window.partitionBy("doc_id")
         .orderBy(col("tfidf").desc, col("term"))
-      tf.join(df, "term")
+      tf.withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
         .crossJoin(broadcast(nDocs))
         .withColumn("tfidf", col("tf").cast("double") *
           log(col("n_docs").cast("double") / col("df").cast("double")))
@@ -1294,7 +1298,15 @@ object TextQueries {
          |GROUP BY src_a, src_b HAVING count(*) >= 5
          |ORDER BY src_a, src_b""".stripMargin) { (s, d) =>
       // materialized once: both sides of the pair join read this relation,
-      // and the subtrees don't canonicalize to a ReusedExchange
+      // and the subtrees don't canonicalize to a ReusedExchange.
+      // materialized once: both sides of the pair join read this relation,
+      // and the subtrees don't canonicalize to a ReusedExchange.
+      // Deliberately NOT pre-partitioned by the join key (r18, measured):
+      // pinning HashPartitioning(s) into the checkpoint does delete both
+      // SortMergeJoin exchanges (shuffle read 19.0 → 14.8 MB at sf0.1)
+      // but costs +50% wall, because the pinned 32-partition layout
+      // defeats AQE's post-shuffle coalescing everywhere downstream — at
+      // this scale the coalescing is worth more than the exchange
       val ss = shingles(s, d)
         .join(Tables.documents(s, d).select("doc_id", "source"), "doc_id")
         .select(col("source"), col("s")).distinct().localCheckpoint()
@@ -2569,6 +2581,8 @@ object TextQueries {
       val sh0 = shingles(s, d).localCheckpoint()
       val hot = sh0.groupBy("s").agg(count(lit(1)).as("df"))
         .filter(col("df") > 1000).select("s")
+      // NOT checkpointed (measured r18): AQE's ReusedExchange already
+      // dedups the four consumers' replays — see ngramJaccard
       val sh = sh0.join(broadcast(hot), Seq("s"), "left_anti")
       val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val pairs = sh.select(col("doc_id").as("doc_a"), col("s"))
@@ -3389,6 +3403,11 @@ object TextQueries {
     val sh0 = shingles(s, d).localCheckpoint()
     val hot = sh0.groupBy("s").agg(count(lit(1)).as("df"))
       .filter(col("df") > kn.jaccardDfCap).select("s")
+    // NOT checkpointed (measured r18): the four consumers' replays of
+    // this anti-join already collapse into runtime ReusedExchange under
+    // AQE — shuffle bytes are identical with and without a checkpoint
+    // here, and a second O(corpus) checkpoint would pin executor memory
+    // at scale for nothing
     val sh = sh0.join(broadcast(hot), Seq("s"), "left_anti")
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val pairs = sh.select(col("doc_id").as("doc_a"), col("s"))

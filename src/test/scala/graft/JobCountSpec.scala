@@ -68,4 +68,28 @@ class JobCountSpec extends SparkSpec {
     val total = counts.map(_._2).sum
     assert(total <= 22, s"net total $total jobs (budget 22): $counts")
   }
+
+  test("kCore peeling spends ONE job per round (r18 count-delta probe)") {
+    // pre-build the cached fixture OUTSIDE the measured group
+    val g = graph.ParquetGraph.hierChain(spark, dir)
+    // hierChain's 2-core: orders peel in round 1, customers in round 2,
+    // round 3 proves the fixpoint ⇒ iters = 3. Job budget (AQE off, and
+    // auto-broadcast off too — each BroadcastExchange otherwise adds its
+    // own collect job per round, obscuring the loop's shape): 1 setup
+    // (the degree count materializes und + deg through one action) +
+    // 1 per round (the next-table count IS the termination probe) +
+    // 1 caller count = 5. The pre-r18 shape — eager und + eager deg +
+    // a separate isEmpty probe per round — spent 8; budget 6 fails any
+    // revert to two-jobs-per-round.
+    val bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val ((rows, iters), jobs) =
+      try jobsDuring("kcore-budget") {
+        val (core, it) = graph.GraphOps.kCoreStats(spark, g, k = 2)
+        (core.count(), it)
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bc)
+    assert(iters == 3, s"hierChain 2-core converges in 3 rounds: $iters")
+    assert(rows > 0, "2-core is non-empty (regions + nations survive)")
+    assert(jobs <= 6, s"kCore issued $jobs jobs (budget 6)")
+  }
 }
