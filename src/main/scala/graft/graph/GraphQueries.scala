@@ -162,18 +162,26 @@ object GraphQueries {
       // under ANSI mode
       val sliceKey = pmod(coalesce(col("id"),
         col("src").bitwiseXOR(col("dst"))), lit(2))
-      // ONE partitioned write emits both slices (4 files each, the
-      // partition column stays in the dir name, not the files);
-      // maxFilesPerTrigger=4 then makes one drain run two micro-batch
+      // ONE partitioned write emits both slices (the partition column
+      // stays in the dir name, not the files); maxFilesPerTrigger =
+      // ⌈files/2⌉ then makes one drain run EXACTLY two micro-batch
       // commits (see graphp_stream_ingest). coalesce, NOT repartition
-      // (r18, guide §2.4): ≤4 writer tasks bound the per-slice file
-      // count without a full envelope shuffle + pre-repartition sort —
-      // both hash parities occur in every coalesced chunk, and the
-      // ingest converges to the same final graph under any slicing
+      // (r18, guide §2.4): bounding writer tasks needs no exchange —
+      // the old repartition(4) paid a full envelope shuffle + its
+      // sort-before-repartition; the trigger size is computed from the
+      // files actually written, so the two-batch split holds under ANY
+      // partition layout, and the ingest converges to the same final
+      // graph under any slicing
       env.withColumn("slice", sliceKey).coalesce(4)
         .write.partitionBy("slice").parquet(s"$dir/env")
+      val nEnvFiles = {
+        val st = java.nio.file.Files.walk(
+          java.nio.file.Paths.get(s"$dir/env"))
+        try st.filter(p => p.toString.endsWith(".parquet")).count().toInt
+        finally st.close()
+      }
       StreamingGraphIngest.drainIngest(s, s"$dir/env", s"$dir/store",
-        s"$dir/ckpt", maxFilesPerTrigger = Some(4))
+        s"$dir/ckpt", maxFilesPerTrigger = Some((nEnvFiles + 1) / 2))
       GraphStore.load(s, s"$dir/store").nodes.groupBy("label")
         .agg(count(lit(1)).as("n_nodes")).orderBy("label")
     },

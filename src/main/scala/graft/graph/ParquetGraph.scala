@@ -1363,22 +1363,28 @@ object ParquetGraph {
         lit(2))
       // ONE partitioned write emits both slices (the partition column
       // lives in the dir name, not the files, so the envelope schema is
-      // unchanged); 4 files per slice + maxFilesPerTrigger=4 → ONE
-      // AvailableNow drain runs TWO micro-batches (two upsert→commit
-      // cycles) without paying a second streaming-query lifecycle; the
-      // multi-drain checkpoint-resume contract is pinned by
-      // StreamingGraphIngestSpec.
-      // coalesce, NOT repartition (r18, guide §2.4): the writer only
-      // needs ≤4 tasks so each slice lands in ≤4 files — a round-robin
-      // repartition paid a full envelope shuffle + sort-before-
-      // repartition for nothing (both id parities occur in every
-      // coalesced chunk of this corpus, so the file count per slice is
-      // unchanged — verified 4+4 at every driver SF; and the ingest
-      // contract converges to the same final graph under ANY slicing)
-      env.withColumn("slice", sliceKey).coalesce(4)
+      // unchanged), then maxFilesPerTrigger = ⌈files/2⌉ makes ONE
+      // AvailableNow drain run EXACTLY TWO micro-batches (two
+      // upsert→commit cycles — the incremental saveDelta path) without
+      // paying a second streaming-query lifecycle; the multi-drain
+      // checkpoint-resume contract is pinned by StreamingGraphIngestSpec.
+      // coalesce, NOT repartition (r18, guide §2.4): bounding writer
+      // tasks needs no exchange — the old round-robin repartition(4)
+      // paid a full envelope shuffle + its sort-before-repartition, and
+      // its 4-task write was the query's slowest job (~780 ms); the
+      // coalesce keeps the envelope's natural write parallelism (capped
+      // at 16) and the trigger size is computed from the files actually
+      // written, so the two-batch split holds under ANY partition layout.
+      env.withColumn("slice", sliceKey).coalesce(16)
         .write.partitionBy("slice").parquet(s"$dir/env")
+      val nEnvFiles = {
+        val st = java.nio.file.Files.walk(
+          java.nio.file.Paths.get(s"$dir/env"))
+        try st.filter(p => p.toString.endsWith(".parquet")).count().toInt
+        finally st.close()
+      }
       StreamingGraphIngest.drainIngest(s, s"$dir/env", s"$dir/store",
-        s"$dir/ckpt", maxFilesPerTrigger = Some(4))
+        s"$dir/ckpt", maxFilesPerTrigger = Some((nEnvFiles + 1) / 2))
       val g = GraphStore.load(s, s"$dir/store")
       g.nodes.groupBy("label").agg(count(lit(1)).as("n"))
         .select(concat(lit("node:"), col("label")).as("entity"), col("n"))
@@ -2251,7 +2257,10 @@ object ParquetGraph {
          |  ON a.root_name = b.root_name AND a.walk = b.walk
          |  AND abs(a.step - b.step) BETWEEN 1 AND 2
          |GROUP BY 1, 2 ORDER BY center, context""".stripMargin) { (s, d) =>
-      GraphOps.skipGramPairs(walkNames(s, d), window = 2)
+      // corpus materialized once (r18, guide §6): the skip-gram self-join
+      // otherwise replays the whole 3-step walk-generation join chain on
+      // BOTH sides — same policy as graphp_walk_negatives below
+      GraphOps.skipGramPairs(walkNames(s, d).localCheckpoint(), window = 2)
         .orderBy("center", "context")
     },
 

@@ -1118,6 +1118,12 @@ object TextQueries {
       // one filter is a closure udf — acceptable because it guards the
       // shuffle, not the hot inner loop, and the exact semi-join after it
       // keeps the result oracle-exact.
+      // deliberately NOT checkpointed (r18, measured): the shingle
+      // frontend appears in three subtrees (bloom build, both semi-join
+      // sides), but each replay is pruned to ONE split before the heavy
+      // work; materializing the full-corpus shingle relation once costs
+      // more than the pruned replays (1.06 s → 1.40 s warm, shuffle
+      // +1 MB at sf0.1)
       val sh = shingles(s, d)
       val sp = Tables.documents(s, d).select(col("doc_id"),
         (PortableHash.spark(col("doc_id").cast("string")) % 10 === 0)
