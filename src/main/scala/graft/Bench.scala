@@ -51,7 +51,16 @@ object Bench {
     "graphp_closure_cyclic", "graph_stream_ingest",
     "l12_contamination_check", "l48_containment",
     "graphp_cypher_exists_brace", "graphp_ppr",
-    "l47_best_of_cluster", "graphp_cypher_weighted_road")
+    "l47_best_of_cluster", "graphp_cypher_weighted_road",
+    // r18 (judge directive 8, additions only): the round-close
+    // top-10-by-wall gains its one uncovered member (l2c_prod_knobs),
+    // plus the three queries whose r17/r18 wall movements had to be
+    // adjudicated manually because they were un-canaried — merge_onset
+    // (r17 "what's wrong" list) and the two drift-flagged readings of
+    // the r18 close (shortest_path spread 2.1, ann_recall) — so the
+    // next round decides them from p/pl/byte pins mechanically
+    "l2c_prod_knobs", "graphp_cypher_merge_onset",
+    "graphp_cypher_shortest_path", "l31_ann_recall")
 
   private final class ShuffleTally extends SparkListener {
     val read = new AtomicLong(0L)

@@ -630,6 +630,12 @@ object GraphOps {
         .join(authOf(hub).select(col("id").as("dst"), col("auth")), "dst")
         .groupBy(col("src").as("id")).agg(sum("auth").as("hub"))
       i += 1
+      // EAGER, deliberately (re-measured r18): switching these to lazy
+      // checkpoints deletes the iters/4 materialization jobs but ran
+      // markedly SLOWER against a contemporaneous control (the whole
+      // 12-round cascade then executes inside one final job) — the
+      // eager cut points are load-bearing for stage scheduling, not
+      // just plan depth
       if (i % 4 == 0 || i == iters) hub = hub.localCheckpoint()
     }
     val hubN = normalized(hub, "hub")
@@ -1332,7 +1338,11 @@ object GraphOps {
       n
     }
     // swap the residual graph: materialize the successor FIRST, then
-    // unpersist everything it superseded (safe — no shared live blocks)
+    // unpersist everything it superseded (safe — no shared live blocks).
+    // The two counts stay SEQUENTIAL, deliberately: they share the
+    // graph's uncached replicated-vertex-view upstream, which concurrent
+    // jobs would compute twice (per-partition block locks only dedupe
+    // CACHED data) — r18 measured the concurrent form no faster
     def swapIn(next0: Graph[(VertexId, Boolean), Int],
         dead: Graph[_, _]*): Graph[(VertexId, Boolean), Int] = {
       val next = next0.cache()
